@@ -1,0 +1,367 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator inventory (SURVEY.md §2-C): scans, projection,
+  * filters, equi/broadcast/semi/anti joins, hash aggregation, distinct
+  * aggregation, window functions, sort/limit/top-k, set ops, string / date /
+  * math / conditional / JSON scalar functions.
+  *
+  * All plans are declarative DataFrame API — Catalyst supplies pushdown,
+  * pruning, join selection (broadcast for the small dims), partial+final
+  * aggregation and whole-stage codegen. Every query ends in a total ORDER BY
+  * so the oracle hash-compare is deterministic.
+  *
+  * Reference grounding: the reference itself performs only a max-aggregation
+  * over history (api.py:75) and the joins/filters implicit in Delta
+  * MERGE/DELETE (api.py:92-107); this module is the §2-C extension surface
+  * mandated by BASELINE.json's north star, sized for the driver testdata.
+  */
+object Relational {
+  import Exact._
+
+  val all: Seq[(String, Q)] = Seq(
+
+    // ---- Flagship: TPC-H Q1-style pricing summary --------------------------
+    // Scan → filter (pushed to parquet) → 2-phase hash agg on 6 tiny groups →
+    // sort. At 100 TB: map-side partial agg reduces the shuffle to
+    // #groups × #tasks rows; no skew possible with 6 groups.
+    "q01_pricing_summary" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .filter($"l_shipdate" <= lit("2000-01-01").cast("timestamp"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            sumExact($"l_quantity").as("sum_qty"),
+            sumExact($"l_extendedprice").as("sum_base_price"),
+            sum(discPrice($"l_extendedprice", $"l_discount")).cast("double").as("sum_disc_price"),
+            avgExact($"l_quantity").as("avg_qty"),
+            avgExact($"l_extendedprice").as("avg_price"),
+            avgExact($"l_discount").as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlSumExact("l_quantity")} AS sum_qty,
+         |  ${sqlSumExact("l_extendedprice")} AS sum_base_price,
+         |  CAST(SUM(${sqlDiscPrice("l_extendedprice", "l_discount")}) AS DOUBLE) AS sum_disc_price,
+         |  ${sqlAvgExact("l_quantity")} AS avg_qty,
+         |  ${sqlAvgExact("l_extendedprice")} AS avg_price,
+         |  ${sqlAvgExact("l_discount")} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // ---- Projection + selective filter (pushdown showcase) -----------------
+    // Row-level double arithmetic is IEEE-identical across engines, so the
+    // per-row revenue needs no decimal detour.
+    "q02_filter_project" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+                  $"l_shipdate" <  lit("1997-01-01").cast("timestamp") &&
+                  $"l_discount".between(0.02, 0.08) && $"l_quantity" < 25)
+          .select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"l_discount",
+                  ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
+        |  l_extendedprice * (1.0 - l_discount) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.08 AND l_quantity < 25
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // ---- 3-way join + agg + top-k (TPC-H Q3 shape) --------------------------
+    // customer (small) is broadcast; orders⋈lineitem is the one real shuffle
+    // join on the fact keys. Top-k plans as TakeOrderedAndProject — no global
+    // sort of the aggregate at any scale.
+    "q03_top_revenue_orders" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val c = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+        val o = Tables.orders(s, dir)
+        val l = Tables.lineitem(s, dir)
+        l.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .groupBy($"o_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"))
+          .agg(sum(discPrice($"l_extendedprice", $"l_discount")).cast("double").as("revenue"))
+          .orderBy($"revenue".desc, $"o_orderkey")
+          .limit(10)
+      },
+      s"""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+         |  CAST(SUM(${sqlDiscPrice("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY o_orderkey, orderdate
+         |ORDER BY revenue DESC, o_orderkey
+         |LIMIT 10""".stripMargin),
+
+    // ---- Star-schema rollup over broadcast dimension chain -----------------
+    // nation and region are tiny at every scale factor — explicit broadcast
+    // keeps the whole dim chain shuffle-free; only the customer agg shuffles.
+    "q04_region_rollup" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.customer(s, dir)
+          .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name")
+          .agg(count(lit(1)).as("n_customers"),
+               sumExact($"c_acctbal").as("sum_acctbal"),
+               avgExact($"c_acctbal").as("avg_acctbal"))
+          .orderBy($"r_name")
+      },
+      s"""SELECT r_name, COUNT(*) AS n_customers,
+         |  ${sqlSumExact("c_acctbal")} AS sum_acctbal,
+         |  ${sqlAvgExact("c_acctbal")} AS avg_acctbal
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name ORDER BY r_name""".stripMargin),
+
+    // ---- Left-semi join (EXISTS) --------------------------------------------
+    "q05_semi_join" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val deep = Tables.lineitem(s, dir).filter($"l_discount" >= 0.09)
+        val o = Tables.orders(s, dir)
+        o.join(deep, o("o_orderkey") === deep("l_orderkey"), "left_semi")
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+          .orderBy($"o_orderkey")
+      },
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_discount >= 0.09)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // ---- Left-anti join (NOT EXISTS) ----------------------------------------
+    "q06_anti_join" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select($"c_custkey", $"c_name", $"c_mktsegment")
+          .orderBy($"c_custkey")
+      },
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // ---- Distinct aggregation ------------------------------------------------
+    // COUNT(DISTINCT) expands to a two-stage agg in Spark; exact here, with
+    // approx_count_distinct exercised in q07b (no oracle — HLL is
+    // implementation-defined).
+    "q07_distinct_agg" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+               countDistinct($"o_custkey").as("n_customers"),
+               countDistinct($"o_orderpriority").as("n_priorities"),
+               sumExact($"o_totalprice").as("sum_price"))
+          .orderBy($"o_orderstatus")
+      },
+      s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+         |  COUNT(DISTINCT o_custkey) AS n_customers,
+         |  COUNT(DISTINCT o_orderpriority) AS n_priorities,
+         |  ${sqlSumExact("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // approx_count_distinct: HLL++ sketch — deterministic within Spark but not
+    // oracle-comparable to DuckDB's approx. Rows-only check + scalatest bound.
+    "q07b_approx_distinct" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+               countDistinct($"l_partkey").as("exact_parts"))
+          .orderBy($"l_returnflag")
+      },
+      None),
+
+    // ---- Window: ranking (top-2 orders per customer) -------------------------
+    "q08_window_rank" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+        Tables.orders(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 2)
+          .select($"o_custkey", $"rn", $"o_orderkey", $"o_totalprice")
+          .orderBy($"o_custkey", $"rn")
+      },
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 2
+        |ORDER BY o_custkey, rn""".stripMargin),
+
+    // ---- Window: running aggregate + lag -------------------------------------
+    // Explicit ROWS frame; decimal accumulation keeps the running sum exact.
+    "q09_window_running" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val ord = Window.partitionBy($"l_suppkey")
+          .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+        val frame = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.lineitem(s, dir)
+          .withColumn("running_qty", sum(dec($"l_quantity")).over(frame).cast("double"))
+          .withColumn("prev_qty", lag($"l_quantity", 1).over(ord))
+          .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_quantity",
+                  $"running_qty", $"prev_qty")
+          .orderBy($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber")
+      },
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+        |  LAG(l_quantity, 1) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin),
+
+    // ---- Sort / limit / top-k -------------------------------------------------
+    // orderBy+limit plans as TakeOrderedAndProject: per-partition heap top-k,
+    // then a k-row merge on the driver — O(k) memory at any data size.
+    "q10_topk" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"l_quantity")
+          .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+          .limit(15)
+      },
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 15""".stripMargin),
+
+    // ---- Set operations: UNION ALL / INTERSECT / EXCEPT ------------------------
+    "q11_set_ops" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.orders(s, dir)
+        def custsIn(y: Int) =
+          o.filter(year($"o_orderdate") === y).select($"o_custkey").distinct()
+        val both   = custsIn(1996).intersect(custsIn(1997)).withColumn("tag", lit("both"))
+        val only96 = custsIn(1996).except(custsIn(1997)).withColumn("tag", lit("only96"))
+        both.unionAll(only96)
+          .select($"tag", $"o_custkey")
+          .orderBy($"tag", $"o_custkey")
+      },
+      """WITH y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+        |     y97 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+        |SELECT 'both' AS tag, o_custkey FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)
+        |UNION ALL
+        |SELECT 'only96' AS tag, o_custkey FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97)
+        |ORDER BY tag, o_custkey""".stripMargin),
+
+    // ---- String functions -------------------------------------------------------
+    "q12_string_funcs" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.part(s, dir)
+          .select(
+            $"p_partkey",
+            upper($"p_name").as("name_upper"),
+            length($"p_name").as("name_len"),
+            substring($"p_name", 1, 5).as("name_pfx"),
+            concat($"p_brand", lit(":"), $"p_type").as("brand_type"),
+            regexp_replace($"p_name", " ", "_").as("name_snake"),
+            element_at(split($"p_type", " "), 1).as("type_head"))
+          .filter($"p_name".contains("a") || $"p_name".startsWith("b"))
+          .orderBy($"p_partkey")
+      },
+      """SELECT p_partkey,
+        |  upper(p_name) AS name_upper,
+        |  length(p_name) AS name_len,
+        |  substring(p_name, 1, 5) AS name_pfx,
+        |  p_brand || ':' || p_type AS brand_type,
+        |  replace(p_name, ' ', '_') AS name_snake,
+        |  split_part(p_type, ' ', 1) AS type_head
+        |FROM part
+        |WHERE contains(p_name, 'a') OR starts_with(p_name, 'b')
+        |ORDER BY p_partkey""".stripMargin),
+
+    // ---- Date/time functions -----------------------------------------------------
+    "q13_date_funcs" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .groupBy(year($"o_orderdate").as("y"),
+                   month($"o_orderdate").as("m"),
+                   date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM-dd").as("month_start"))
+          .agg(count(lit(1)).as("n_orders"),
+               sumExact($"o_totalprice").as("sum_price"),
+               countDistinct(dayofmonth($"o_orderdate")).as("active_days"))
+          .orderBy($"y", $"m")
+      },
+      s"""SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+         |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+         |  COUNT(*) AS n_orders,
+         |  ${sqlSumExact("o_totalprice")} AS sum_price,
+         |  COUNT(DISTINCT day(o_orderdate)) AS active_days
+         |FROM orders GROUP BY 1, 2, 3 ORDER BY y, m""".stripMargin),
+
+    // ---- Math functions (IEEE-exact subset: ceil/floor/abs/sqrt/mod) --------------
+    "q14_math_funcs" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .filter($"l_linenumber" === 1)
+          .select(
+            $"l_orderkey",
+            ceil($"l_extendedprice").as("price_ceil"),
+            floor($"l_extendedprice").as("price_floor"),
+            abs($"l_discount" - 0.05).as("disc_dev"),
+            sqrt($"l_quantity").as("qty_sqrt"),
+            ($"l_quantity" * $"l_quantity").as("qty_sq"),
+            ($"l_orderkey" % 7).as("key_mod7"))
+          .orderBy($"l_orderkey")
+      },
+      """SELECT l_orderkey,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  abs(l_discount - 0.05) AS disc_dev,
+        |  sqrt(l_quantity) AS qty_sqrt,
+        |  l_quantity * l_quantity AS qty_sq,
+        |  l_orderkey % 7 AS key_mod7
+        |FROM lineitem WHERE l_linenumber = 1
+        |ORDER BY l_orderkey""".stripMargin),
+
+    // ---- Conditional / null handling ------------------------------------------------
+    "q15_case_null" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.supplier(s, dir)
+          .withColumn("bal_bucket",
+            when($"s_acctbal" < 0, "negative")
+              .when($"s_acctbal" < 5000, "mid")
+              .otherwise("high"))
+          .withColumn("nk_or_default", coalesce(nullif($"s_nationkey", lit(0)), lit(-1)))
+          .groupBy($"bal_bucket")
+          .agg(count(lit(1)).as("n"),
+               sumExact($"s_acctbal").as("sum_bal"),
+               min($"nk_or_default").as("min_nk"))
+          .orderBy($"bal_bucket")
+      },
+      s"""SELECT CASE WHEN s_acctbal < 0 THEN 'negative'
+         |            WHEN s_acctbal < 5000 THEN 'mid'
+         |            ELSE 'high' END AS bal_bucket,
+         |  COUNT(*) AS n,
+         |  ${sqlSumExact("s_acctbal")} AS sum_bal,
+         |  MIN(coalesce(nullif(s_nationkey, 0), -1)) AS min_nk
+         |FROM supplier GROUP BY 1 ORDER BY bal_bucket""".stripMargin),
+  )
+}
