@@ -1,0 +1,175 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time analytics over the `events` table (SURVEY.md §2-D "event
+  * analytics"): per-type rollups, tumbling / sliding / session windows,
+  * JSON property extraction, and lag-based sessionization with revenue.
+  *
+  * Batch event-time semantics use the same expressions Structured Streaming
+  * would (`window()`, `session_window()`) — see graft.streaming for the
+  * streaming twins. All timestamps are formatted to second precision on
+  * output: the driver testdata stores events as TIMESTAMP(ns), which Spark
+  * reads at µs and DuckDB at ns — formatting removes the sub-second
+  * representation gap from the hash compare.
+  *
+  * 100-TB notes: every query here is scan → (optional window fn) → hash agg;
+  * partial aggregation bounds the shuffle by group count, and sessionization
+  * shuffles once on user_id (the natural partitioning key for event data).
+  * Reference grounding: the reference has no event analytics (SURVEY.md §0);
+  * this is the north-star extension surface over TESTDATA's events table.
+  */
+object Events {
+  import Exact._
+
+  private val fmt = "yyyy-MM-dd HH:mm:ss"
+
+  val all: Seq[(String, Q)] = Seq(
+
+    // ---- Per-type rollup ----------------------------------------------------
+    "q20_event_type_rollup" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+               countDistinct($"user_id").as("n_users"),
+               sumExact($"value").as("sum_value"),
+               avgExact($"value").as("avg_value"))
+          .orderBy($"event_type")
+      },
+      s"""SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+         |  ${sqlSumExact("value")} AS sum_value, ${sqlAvgExact("value")} AS avg_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // ---- Tumbling window (10 minutes) ----------------------------------------
+    // window() buckets rows map-side; the agg shuffles #buckets × #types keys.
+    "q21_tumbling_window" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .groupBy(window($"ts", "10 minutes"), $"event_type")
+          .agg(count(lit(1)).as("n"), sumExact($"value").as("sum_value"))
+          .select(date_format($"window.start", fmt).as("w_start"),
+                  $"event_type", $"n", $"sum_value")
+          .orderBy($"w_start", $"event_type")
+          .limit(500)
+      },
+      s"""SELECT strftime(to_timestamp(floor(epoch(ts) / 600) * 600), '%Y-%m-%d %H:%M:%S') AS w_start,
+         |  event_type, COUNT(*) AS n, ${sqlSumExact("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type LIMIT 500""".stripMargin),
+
+    // ---- Sliding window (10 min size / 5 min slide) ---------------------------
+    // Each event lands in exactly size/slide = 2 windows; Spark expands rows
+    // map-side before the agg (same shape as streaming).
+    "q22_sliding_window" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .groupBy(window($"ts", "10 minutes", "5 minutes"))
+          .agg(count(lit(1)).as("n"), sumExact($"value").as("sum_value"))
+          .select(date_format($"window.start", fmt).as("w_start"), $"n", $"sum_value")
+          .orderBy($"w_start")
+          .limit(500)
+      },
+      s"""WITH expanded AS (
+         |  SELECT unnest([floor(epoch(ts) / 300) * 300,
+         |                 floor(epoch(ts) / 300) * 300 - 300]) AS w, value
+         |  FROM events)
+         |SELECT strftime(to_timestamp(w), '%Y-%m-%d %H:%M:%S') AS w_start,
+         |  COUNT(*) AS n, ${sqlSumExact("value")} AS sum_value
+         |FROM expanded GROUP BY 1 ORDER BY w_start LIMIT 500""".stripMargin),
+
+    // ---- Session window (30-minute gap) ---------------------------------------
+    // session_window merges per-user event ranges [ts, ts+gap); a new session
+    // starts when the gap to the previous event is >= 30 minutes. The oracle
+    // reproduces exactly that with lag + a running break-count.
+    "q23_session_window" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .groupBy($"user_id", session_window($"ts", "30 minutes"))
+          .agg(count(lit(1)).as("n_events"), sumExact($"value").as("sum_value"))
+          .select($"user_id",
+                  date_format($"session_window.start", fmt).as("session_start"),
+                  $"n_events", $"sum_value")
+          .orderBy($"user_id", $"session_start")
+      },
+      s"""WITH flagged AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+         |              >= INTERVAL 30 MINUTE OR
+         |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM events),
+         |sessions AS (
+         |  SELECT user_id, ts, value,
+         |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM flagged)
+         |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         |  COUNT(*) AS n_events, ${sqlSumExact("value")} AS sum_value
+         |FROM sessions GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin),
+
+    // ---- JSON property extraction ----------------------------------------------
+    "q24_json_props" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+          .groupBy($"event_type")
+          .agg(sum($"k").as("sum_k"), min($"k").as("min_k"), max($"k").as("max_k"),
+               count($"k").as("n_k"))
+          .orderBy($"event_type")
+      },
+      """SELECT event_type,
+        |  SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k, COUNT(k) AS n_k
+        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // ---- Sessionization via window functions + top sessions by revenue ----------
+    // Same session semantics as q23 but built from lag/cumsum (the portable
+    // formulation), then ranked. Shuffle: one exchange on user_id for the
+    // window, one for the final top-k (TakeOrderedAndProject).
+    "q25_session_revenue" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val byUser = Window.partitionBy($"user_id").orderBy($"ts")
+        val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+          .withColumn("brk",
+            when($"prev_ts".isNull ||
+                 unix_timestamp($"ts") - unix_timestamp($"prev_ts") >= 1800, 1)
+              .otherwise(0))
+          .withColumn("sid", sum($"brk").over(cum))
+          .groupBy($"user_id", $"sid")
+          .agg(count(lit(1)).as("n_events"),
+               sum(dec($"value")).cast("double").as("revenue"))
+          .orderBy($"revenue".desc, $"user_id", $"sid")
+          .limit(20)
+          .select($"user_id", $"n_events", $"revenue")
+      },
+      s"""WITH flagged AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR
+         |              CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) AS BIGINT) >= 1800
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM events),
+         |sessions AS (
+         |  SELECT user_id, value,
+         |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM flagged),
+         |per_session AS (
+         |  SELECT user_id, sid, COUNT(*) AS n_events,
+         |    ${sqlSumExact("value")} AS revenue
+         |  FROM sessions GROUP BY user_id, sid)
+         |SELECT user_id, n_events, revenue FROM per_session
+         |ORDER BY revenue DESC, user_id, sid LIMIT 20""".stripMargin),
+  )
+}

@@ -1,0 +1,82 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (north-star surface): media payloads are
+  * opaque `binary` columns with typed metadata alongside. The container has
+  * no image/audio codecs, so DECODE IS A DETERMINISTIC STUB — a byte
+  * histogram standing in for "decoded features" — but everything Spark-side
+  * is real: schema (binary + struct metadata), per-row feature extraction
+  * with higher-order functions, fixed-shape feature vectors, partitioned
+  * scans. graft.operators.Media adds the mapPartitions batch-decode path
+  * (the shape a JNI/FFI codec would slot into) with the same stub.
+  *
+  * The synthetic payload is the document text encoded as UTF-8 — giving a
+  * real variable-length binary column whose derived stats (length, sha256)
+  * are oracle-checkable in DuckDB.
+  *
+  * 100-TB notes: media pipelines are map-only until the final aggregate —
+  * no shuffle touches the payload bytes; only the narrow derived features
+  * move. That is the property to preserve at scale: never shuffle blobs.
+  */
+object Multimodal {
+
+  /** documents with a binary `payload` column + typed metadata struct. */
+  private[queries] def mediaTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        encode($"text", "UTF-8").as("payload"),
+        struct($"lang".as("lang"), $"source".as("source"),
+               $"n_chars".as("n_chars"), lit("text/plain").as("mime")).as("meta"))
+  }
+
+  val all: Seq[(String, Q)] = Seq(
+
+    // ---- Binary payload stats (oracle-checked byte-level parity) -----------------
+    "q60_binary_meta" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        mediaTable(s, dir)
+          .select($"doc_id",
+            octet_length($"payload").as("n_bytes"),
+            sha2($"payload", 256).as("sha"),
+            $"meta.lang".as("lang"),
+            $"meta.mime".as("mime"))
+          .orderBy($"doc_id")
+      },
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  sha256(text) AS sha,
+        |  lang, 'text/plain' AS mime
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ---- Stubbed decode → fixed-shape features → aggregate ------------------------
+    // "Decode" = 16-bin byte histogram over the payload (deterministic stub
+    // for image decode); features aggregate per lang without moving payloads.
+    "q61_media_features" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        mediaTable(s, dir)
+          // histogram bin b = count of bytes with high nibble b (0..15)
+          .withColumn("features", expr(
+            """transform(sequence(0, 15), b ->
+              |  size(filter(sequence(1, octet_length(payload)),
+              |              i -> shiftright(ascii(substr(cast(payload as string), i, 1)), 4) = b)))
+              |""".stripMargin))
+          .select($"meta.lang".as("lang"), posexplode($"features"))
+          .groupBy($"lang", $"pos".as("bin"))
+          .agg(sum($"col").as("n_bytes_in_bin"))
+          .filter($"bin".isin(6, 7)) // ascii letters live in nibbles 6/7
+          .orderBy($"lang", $"bin")
+      },
+      """WITH bytes AS (
+        |  SELECT lang, unnest([ord(b) FOR b IN split(text, '')]) AS byte
+        |  FROM documents)
+        |SELECT lang, byte // 16 AS bin, COUNT(*) AS n_bytes_in_bin
+        |FROM bytes WHERE byte // 16 IN (6, 7)
+        |GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin),
+  )
+}

