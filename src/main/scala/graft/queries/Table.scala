@@ -1,0 +1,81 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.table.GraftTable
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's own capability surface, end-to-end: versioned table
+  * create → MERGE → DELETE → time travel → history, exposed as oracle-
+  * checked queries. This is the golden scenario of FIXTURES.md §A (the
+  * exact DML sequence of api.py:88-107 over the seed rows of
+  * spark_project.py:34); the oracles are literal VALUES of the expected
+  * states, so the driver's DuckDB gate checks the table layer too.
+  *
+  * Each query builds a fresh table in a temp dir — self-contained and
+  * idempotent under re-runs (Verify and Bench both call build functions
+  * repeatedly in one JVM).
+  */
+object TableQueries {
+
+  private val seedSchema = StructType(Seq(
+    StructField("id", IntegerType, nullable = false),
+    StructField("firstname", StringType, nullable = false),
+    StructField("lastname", StringType, nullable = false)))
+
+  /** Run the golden scenario; returns the table (3 commits: v0 seed,
+    * v1 merge, v2 delete). */
+  private def golden(s: SparkSession): GraftTable = {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft-golden-").toString
+    val seed = s.createDataFrame(Seq(
+      Row(1, "James", "Bond"), Row(2, "Alice", "Rogers"), Row(3, "Joe", "Bloggs")
+    ).asJava, seedSchema)
+    val t = GraftTable.create(s, dir, seed)
+    val updates = s.createDataFrame(Seq(
+      Row(2, "Alice", "Smith"), Row(4, "New", "Person")
+    ).asJava, seedSchema)
+    t.merge(updates, "t.id = s.id")
+      .whenMatchedUpdate(Map("firstname" -> "s.firstname", "lastname" -> "s.lastname"))
+      .whenNotMatchedInsert(Map("id" -> "s.id", "firstname" -> "s.firstname",
+                                "lastname" -> "s.lastname"))
+      .execute()
+    t.delete(col("id").isin(1, 3))
+    t
+  }
+
+  val all: Seq[(String, Q)] = Seq(
+
+    // ---- Final state after seed + MERGE + DELETE ------------------------------
+    "q70_table_golden_state" -> Q(
+      (s, _) => golden(s).toDF.orderBy("id"),
+      """SELECT * FROM (VALUES (2, 'Alice', 'Smith'), (4, 'New', 'Person'))
+        |AS t(id, firstname, lastname) ORDER BY id""".stripMargin),
+
+    // ---- Time travel: version 1 (post-merge, pre-delete) ------------------------
+    "q71_table_time_travel" -> Q(
+      (s, _) => {
+        val t = golden(s)
+        // both coordinates must agree: version 1 and the instant of commit 1
+        val byVersion = t.versionAsOf(1)
+        val ts = new Timestamp(t.log.commitInfos(1).timestamp)
+        val byTimestamp = t.timestampAsOf(ts)
+        byVersion.intersect(byTimestamp).orderBy("id")
+      },
+      """SELECT * FROM (VALUES (1, 'James', 'Bond'), (2, 'Alice', 'Smith'),
+        |                      (3, 'Joe', 'Bloggs'), (4, 'New', 'Person'))
+        |AS t(id, firstname, lastname) ORDER BY id""".stripMargin),
+
+    // ---- History: operations ledger, newest-first -------------------------------
+    "q72_table_history" -> Q(
+      (s, _) => {
+        import s.implicits._
+        golden(s).history().select($"version", $"operation")
+      },
+      """SELECT * FROM (VALUES (2, 'DELETE'), (1, 'MERGE'), (0, 'CREATE'))
+        |AS t(version, operation) ORDER BY version DESC""".stripMargin),
+  )
+}

@@ -1,0 +1,126 @@
+package graft.table
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo,
+  Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.catalyst.plans.logical.Filter
+import org.apache.spark.sql.types._
+
+/** File-level min/max pruning — the table-layer twin of Delta data skipping
+  * (SURVEY.md §4.2). Given a scan predicate, drop files whose stats prove no
+  * row can match, BEFORE Spark ever plans the scan.
+  *
+  * The predicate is resolved against the table schema first (Spark 4 Columns
+  * are lazy ColumnNodes until analysis), so we match fully-typed Catalyst
+  * nodes; any foldable side (e.g. `cast('2024-01-01' as timestamp)`) is
+  * evaluated to a literal.
+  *
+  * Conservative by construction: a file is only skipped when a top-level
+  * conjunct is provably false over the file's [min, max]; any unrecognized
+  * shape, missing stat, or unordered type keeps the file. Correctness never
+  * depends on skipping — it only removes provably-dead I/O
+  * (property-checked against full scans in DataSkippingSpec).
+  *
+  * At 100 TB this is the difference between planning 100k file splits and
+  * reading the handful whose range covers a selective predicate.
+  */
+object DataSkipping {
+
+  private type Ord = Either[BigDecimal, String]
+
+  /** Resolve a user predicate against `schema`, returning the typed
+    * Catalyst condition (analysis only — nothing executes). */
+  def resolve(spark: SparkSession, schema: StructType, pred: Column): Expression = {
+    val dummy = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    dummy.filter(pred).queryExecution.analyzed.collectFirst {
+      case f: Filter => f.condition
+    }.getOrElse(throw new IllegalStateException(s"could not resolve predicate $pred"))
+  }
+
+  /** true ⇒ the file may contain matching rows (must be read). */
+  def mayMatch(resolvedPred: Expression, file: AddFile): Boolean =
+    splitConjuncts(resolvedPred).forall(c => conjunctMayMatch(c, file))
+
+  def prune(resolvedPred: Expression, files: Seq[AddFile]): Seq[AddFile] =
+    files.filter(mayMatch(resolvedPred, _))
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other     => Seq(other)
+  }
+
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case _                     => None
+  }
+
+  /** Foldable side of a comparison as an ordered value:
+    * numeric/timestamp (BigDecimal) or string. */
+  private def litValue(e: Expression): Option[Ord] = {
+    if (!e.foldable) return None
+    val v = try e.eval(null) catch { case _: Exception => return None }
+    if (v == null) return None
+    e.dataType match {
+      case _: IntegerType | _: LongType | _: ShortType | _: ByteType |
+           _: DoubleType | _: FloatType | _: DecimalType =>
+        Some(Left(BigDecimal(v.toString)))
+      case _: TimestampType => Some(Left(BigDecimal(v.toString))) // micros
+      case _: StringType    => Some(Right(v.toString))
+      case _                => None
+    }
+  }
+
+  private def conjunctMayMatch(c: Expression, f: AddFile): Boolean = {
+    def bounds(name: String, asString: Boolean): Option[(Ord, Ord)] =
+      for {
+        lo <- f.minValues.get(name)
+        hi <- f.maxValues.get(name)
+        b <- if (asString) Some((Right(lo): Ord, Right(hi): Ord))
+             else scala.util.Try((Left(BigDecimal(lo)): Ord, Left(BigDecimal(hi)): Ord)).toOption
+      } yield b
+
+    def cmp(a: Ord, b: Ord): Option[Int] = (a, b) match {
+      case (Left(x), Left(y))   => Some(x.compare(y))
+      case (Right(x), Right(y)) => Some(x.compare(y))
+      case _                    => None
+    }
+
+    // op receives (cmp(min, v), cmp(max, v)) and answers "may match?"
+    def check(name: String, v: Ord, op: (Int, Int) => Boolean): Boolean =
+      bounds(name, v.isRight) match {
+        case Some((lo, hi)) =>
+          (cmp(lo, v), cmp(hi, v)) match {
+            case (Some(cl), Some(ch)) => op(cl, ch)
+            case _                    => true
+          }
+        case None => true // no stats → cannot skip
+      }
+
+    def attrLit(a: Expression, l: Expression): Option[(String, Ord)] =
+      for { n <- attrName(a); v <- litValue(l) } yield (n, v)
+
+    c match {
+      case EqualTo(a, l) => (attrLit(a, l) orElse attrLit(l, a)).forall {
+        case (n, v) => check(n, v, (cl, ch) => cl <= 0 && ch >= 0) }
+      case GreaterThan(a, l) if attrLit(a, l).isDefined =>          // col > v
+        attrLit(a, l).forall { case (n, v) => check(n, v, (_, ch) => ch > 0) }
+      case GreaterThan(l, a) if attrLit(a, l).isDefined =>          // v > col ⇔ col < v
+        attrLit(a, l).forall { case (n, v) => check(n, v, (cl, _) => cl < 0) }
+      case GreaterThanOrEqual(a, l) if attrLit(a, l).isDefined =>   // col >= v
+        attrLit(a, l).forall { case (n, v) => check(n, v, (_, ch) => ch >= 0) }
+      case GreaterThanOrEqual(l, a) if attrLit(a, l).isDefined =>   // v >= col ⇔ col <= v
+        attrLit(a, l).forall { case (n, v) => check(n, v, (cl, _) => cl <= 0) }
+      case LessThan(a, l) if attrLit(a, l).isDefined =>             // col < v
+        attrLit(a, l).forall { case (n, v) => check(n, v, (cl, _) => cl < 0) }
+      case LessThan(l, a) if attrLit(a, l).isDefined =>             // v < col ⇔ col > v
+        attrLit(a, l).forall { case (n, v) => check(n, v, (_, ch) => ch > 0) }
+      case LessThanOrEqual(a, l) if attrLit(a, l).isDefined =>      // col <= v
+        attrLit(a, l).forall { case (n, v) => check(n, v, (cl, _) => cl <= 0) }
+      case LessThanOrEqual(l, a) if attrLit(a, l).isDefined =>      // v <= col ⇔ col >= v
+        attrLit(a, l).forall { case (n, v) => check(n, v, (_, ch) => ch >= 0) }
+      case In(a, vs) if attrName(a).isDefined && vs.nonEmpty && vs.forall(litValue(_).isDefined) =>
+        vs.exists(v => check(attrName(a).get, litValue(v).get, (cl, ch) => cl <= 0 && ch >= 0))
+      case _ => true // unknown shape → cannot skip
+    }
+  }
+}

@@ -1,0 +1,290 @@
+package graft.table
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** A versioned, ACID, Parquet-backed table with snapshot reads, time travel
+  * (by version and timestamp), commit history, MERGE upsert and predicate
+  * DELETE — the full capability surface of the reference's Delta usage
+  * (spark_project.py:17-38; api.py:63-107), built natively on Spark since no
+  * Delta jar exists in this environment (SURVEY.md §7.1).
+  *
+  * All DML composes declarative DataFrame plans (joins + filters) that
+  * Catalyst optimizes; the table layer only decides WHICH files participate
+  * (touched-file pruning + stats-based data skipping) and appends the commit.
+  *
+  * Scale design: reads plan `spark.read.parquet(liveFiles)` — split planning,
+  * pushdown and pruning are Spark's. DML rewrites only files that provably
+  * contain affected rows (semi-join file discovery), so a MERGE touching 1%%
+  * of files rewrites 1%% of the table, not all of it.
+  */
+final class GraftTable private (val spark: SparkSession, val path: String) {
+
+  val log = new GraftLog(path)
+
+  def latestVersion: Long = log.latestVersion
+
+  def snapshot: Snapshot = log.snapshotAt(latestVersion)
+
+  def snapshotAt(v: Long): Snapshot = {
+    val latest = latestVersion
+    require(v >= 0 && v <= latest,
+      s"Cannot time travel to version $v: table $path has versions [0, $latest]")
+    log.snapshotAt(v)
+  }
+
+  /** DataFrame of a snapshot's live files (empty-but-typed when no files). */
+  private def read(s: Snapshot): DataFrame =
+    if (s.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s.schema)
+    else
+      spark.read.schema(s.schema).parquet(s.files.map(f => s"$path/${f.path}"): _*)
+
+  /** Current-version DataFrame (reference: names_table.toDF(), api.py:74). */
+  def toDF: DataFrame = read(snapshot)
+
+  /** Time travel by exact version (api.py:77). */
+  def versionAsOf(v: Long): DataFrame = read(snapshotAt(v))
+
+  /** Time travel by wall-clock instant: latest commit with ts <= given;
+    * error if the instant predates commit 0 (api.py:80 semantics). */
+  def timestampAsOf(ts: Timestamp): DataFrame = versionAsOf(versionAt(ts.getTime))
+
+  def versionAt(epochMillis: Long): Long = {
+    val infos = log.commitInfos
+    val at = infos.filter(_.timestamp <= epochMillis)
+    require(at.nonEmpty,
+      s"Cannot time travel to $epochMillis: earliest commit of $path is at ${infos.head.timestamp}")
+    at.map(_.version).max
+  }
+
+  /** Filtered scan with file-level data skipping: files whose min/max stats
+    * exclude `pred` are never given to Spark. Result is identical to
+    * `toDF.filter(pred)` (DataSkippingSpec property-checks this). */
+  def scan(pred: Column): DataFrame = {
+    val s = snapshot
+    val kept = prunedFiles(s, pred)
+    val df = if (kept.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s.schema)
+    else
+      spark.read.schema(s.schema).parquet(kept.map(f => s"$path/${f.path}"): _*)
+    df.filter(pred)
+  }
+
+  /** Commit metadata as a DataFrame, newest-first (api.py:63,75). */
+  def history(): DataFrame = {
+    val rows = log.commitInfos.reverse.map(c =>
+      Row(c.version, new Timestamp(c.timestamp), c.operation, c.operationMetrics))
+    val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("timestamp", TimestampType, nullable = false),
+      StructField("operation", StringType, nullable = false),
+      StructField("operationMetrics", MapType(StringType, StringType), nullable = false)))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** Align df to the table schema: same columns (by name, in order), cast to
+    * the table's types. Rejects missing/extra columns — schema enforcement
+    * on write (SURVEY.md §2-B.7). */
+  private def conform(df: DataFrame, schema: StructType): DataFrame = {
+    val have = df.columns.toSet
+    val want = schema.fieldNames.toSet
+    require(have == want,
+      s"schema mismatch: table has ${want.toSeq.sorted}, write has ${have.toSeq.sorted}")
+    df.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+  }
+
+  /** Append rows as a new commit (blind append — never conflicts). */
+  def append(df: DataFrame): Unit = {
+    val s = snapshot
+    val adds = FileOps.writeDataFiles(conform(df, s.schema), path)
+    log.commit(s.version + 1, Seq(
+      CommitInfo(s.version + 1, log.nextTimestamp(), "WRITE",
+        Map("numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++ adds)
+  }
+
+  /** DELETE rows matching `pred` (api.py:107). Files with no match survive
+    * untouched (discovered via stats pruning + input_file_name provenance);
+    * matched files are rewritten with `NOT pred` (null predicate ⇒ keep). */
+  /** Files of `s` that may contain rows matching `pred` (stats pruning). */
+  def prunedFiles(s: Snapshot, pred: Column): Seq[AddFile] =
+    DataSkipping.prune(DataSkipping.resolve(spark, s.schema, pred), s.files)
+
+  def delete(pred: Column): Long = {
+    val s = snapshot
+    val candidates = prunedFiles(s, pred)
+    if (candidates.isEmpty) { commitNoop(s, "DELETE"); return 0L }
+    val cand = spark.read.schema(s.schema)
+      .parquet(candidates.map(f => s"$path/${f.path}"): _*)
+    val touchedPaths = cand.filter(pred)
+      .select(input_file_name().as("f")).distinct().collect()
+      .map(r => fileName(r.getString(0))).toSet
+    if (touchedPaths.isEmpty) { commitNoop(s, "DELETE"); return 0L }
+
+    val touched = s.files.filter(f => touchedPaths.contains(f.path))
+    val touchedDF = spark.read.schema(s.schema)
+      .parquet(touched.map(f => s"$path/${f.path}"): _*)
+    val keep = touchedDF.filter(!coalesce(pred, lit(false)))
+    val adds = FileOps.writeDataFiles(keep, path)
+    val deleted = touched.map(_.numRecords).sum - adds.map(_.numRecords).sum
+    val ts = log.nextTimestamp()
+    log.commit(s.version + 1,
+      Seq(CommitInfo(s.version + 1, ts, "DELETE",
+        Map("numDeletedRows" -> deleted.toString,
+            "numRewrittenFiles" -> touched.size.toString))) ++
+      touched.map(f => RemoveFile(f.path, ts)) ++ adds)
+    deleted
+  }
+
+  /** DELETE with a SQL predicate string (reference passes strings, api.py:107). */
+  def delete(predicate: String): Long = delete(expr(predicate))
+
+  private def commitNoop(s: Snapshot, op: String): Unit =
+    log.commit(s.version + 1, Seq(CommitInfo(s.version + 1, log.nextTimestamp(), op,
+      Map("numDeletedRows" -> "0", "numRewrittenFiles" -> "0"))))
+
+  private def fileName(uri: String): String = uri.substring(uri.lastIndexOf('/') + 1)
+
+  /** MERGE builder, mirroring the reference's Delta call shape
+    * (api.py:92-102): condition references `<targetAlias>.<col>` and
+    * `<sourceAlias>.<col>`. */
+  def merge(source: DataFrame, condition: String,
+            targetAlias: String = "t", sourceAlias: String = "s"): MergeBuilder =
+    new MergeBuilder(this, source, condition, targetAlias, sourceAlias)
+
+  private[table] def executeMerge(
+      source: DataFrame, condition: String, targetAlias: String, sourceAlias: String,
+      updateSet: Option[Map[String, String]], insertValues: Option[Map[String, String]]): Unit = {
+    val s = snapshot
+    val schema = s.schema
+    val cond = expr(condition)
+
+    val srcCols = schema.fieldNames.toSeq
+    val srcMark = s"__${sourceAlias}_present"
+    val src = source.alias(sourceAlias)
+
+    // Phase 1: which target files contain matched rows? (semi-join on the
+    // merge condition — only these files are rewritten.)
+    val targetAll = read(s).alias(targetAlias)
+    val touchedPaths =
+      if (s.files.isEmpty) Set.empty[String]
+      else targetAll
+        .withColumn("__file", input_file_name())
+        .alias(targetAlias)
+        .join(src, cond, "inner")
+        .select(col("__file")).distinct().collect().map(r => fileName(r.getString(0))).toSet
+    val touched = s.files.filter(f => touchedPaths.contains(f.path))
+
+    // Duplicate-source-match guard (Delta semantics): >1 source row matching
+    // one target row is an error, not a nondeterministic update.
+    if (touched.nonEmpty) {
+      val t = spark.read.schema(schema).parquet(touched.map(f => s"$path/${f.path}"): _*)
+        .withColumn("__tid", monotonically_increasing_id())
+        .localCheckpoint(true) // pin row ids: same ids in guard and rewrite
+        .alias(targetAlias)
+      val dup = t.join(src, cond, "inner")
+        .groupBy(col("__tid")).count().filter(col("count") > 1).limit(1).count()
+      if (dup > 0) throw new IllegalStateException(
+        "MERGE failed: multiple source rows matched the same target row")
+
+      // Phase 2a: rewrite touched files — matched rows updated, others kept.
+      val joined = t.join(src.withColumn(srcMark, lit(true)), cond, "left_outer")
+      val matched = col(srcMark).isNotNull
+      val rewritten = joined.select(srcCols.map { c =>
+        updateSet match {
+          case Some(set) =>
+            set.get(c) match {
+              case Some(e) => when(matched, expr(e)).otherwise(col(s"$targetAlias.$c")).as(c)
+              case None    => col(s"$targetAlias.$c").as(c)
+            }
+          case None => col(s"$targetAlias.$c").as(c)
+        }
+      }: _*)
+
+      // Phase 2b: inserts — source rows matching NOTHING in the whole table
+      // (any match would have made its file touched; see class doc).
+      val inserts = insertRows(src, targetAll, cond, insertValues, schema)
+      val out = conform(rewritten.unionByName(inserts), schema)
+      val adds = FileOps.writeDataFiles(out, path)
+      val ts = log.nextTimestamp()
+      log.commit(s.version + 1,
+        Seq(CommitInfo(s.version + 1, ts, "MERGE",
+          Map("numTargetFilesRewritten" -> touched.size.toString,
+              "numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
+        touched.map(f => RemoveFile(f.path, ts)) ++ adds)
+    } else {
+      // No matches at all: pure insert path.
+      val inserts = insertRows(src, targetAll, cond, insertValues, schema)
+      val adds = FileOps.writeDataFiles(conform(inserts, schema), path)
+      log.commit(s.version + 1,
+        Seq(CommitInfo(s.version + 1, log.nextTimestamp(), "MERGE",
+          Map("numTargetFilesRewritten" -> "0",
+              "numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++ adds)
+    }
+  }
+
+  /** Source rows with no match in the target, projected via insertValues. */
+  private def insertRows(src: DataFrame, targetAll: DataFrame, cond: Column,
+      insertValues: Option[Map[String, String]], schema: StructType): DataFrame = {
+    val unmatched = src.join(targetAll, cond, "left_anti")
+    insertValues match {
+      case Some(vals) =>
+        require(schema.fieldNames.forall(vals.contains),
+          s"whenNotMatchedInsert must set every column: ${schema.fieldNames.mkString(", ")}")
+        unmatched.select(schema.fieldNames.map(c => expr(vals(c)).as(c)).toSeq: _*)
+      case None =>
+        // no insert clause: contribute nothing
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    }
+  }
+}
+
+/** Fluent MERGE clause builder (shape of api.py:92-102). Column expressions
+  * are SQL strings and may reference both aliases, e.g. "s.firstname". */
+final class MergeBuilder private[table] (
+    table: GraftTable, source: DataFrame, condition: String,
+    targetAlias: String, sourceAlias: String) {
+  private var updateSet: Option[Map[String, String]] = None
+  private var insertValues: Option[Map[String, String]] = None
+
+  def whenMatchedUpdate(set: Map[String, String]): MergeBuilder = { updateSet = Some(set); this }
+  def whenNotMatchedInsert(values: Map[String, String]): MergeBuilder = { insertValues = Some(values); this }
+  def execute(): Unit =
+    table.executeMerge(source, condition, targetAlias, sourceAlias, updateSet, insertValues)
+}
+
+object GraftTable {
+
+  /** Load an existing table (reference: DeltaTable.forPath, spark_project.py:27). */
+  def forPath(spark: SparkSession, path: String): GraftTable = {
+    val t = new GraftTable(spark, path)
+    require(t.log.exists, s"$path is not a GraftTable (no _delta_log)")
+    t
+  }
+
+  def isGraftTable(path: String): Boolean = new GraftLog(path).exists
+
+  /** Create commit 0 from a DataFrame (reference: df.write.format("delta")
+    * .save(path), spark_project.py:36). */
+  def create(spark: SparkSession, path: String, df: DataFrame): GraftTable = {
+    Files.createDirectories(Paths.get(path))
+    val log = new GraftLog(path)
+    require(!log.exists, s"$path is already a GraftTable")
+    val adds = FileOps.writeDataFiles(df, path)
+    val meta = MetaData(UUID.randomUUID().toString, df.schema.json, System.currentTimeMillis())
+    log.commit(0L, Seq(meta,
+      CommitInfo(0L, log.nextTimestamp(), "CREATE",
+        Map("numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++ adds)
+    new GraftTable(spark, path)
+  }
+
+  /** Create-if-absent with seed rows (spark_project.py:17-38). */
+  def createIfAbsent(spark: SparkSession, path: String, seed: => DataFrame): GraftTable =
+    if (isGraftTable(path)) forPath(spark, path) else create(spark, path, seed)
+}

@@ -1,0 +1,67 @@
+package graft.table
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+/** Property: scan(pred) ≡ toDF.filter(pred) for arbitrary range predicates —
+  * data skipping may only remove provably-dead files, never rows. */
+class DataSkippingSpec extends SparkTestBase {
+
+  private lazy val table: GraftTable = {
+    import spark.implicits._
+    val dir = tmpDir("skip-")
+    // 8 files, ids clustered by range so min/max stats are selective
+    val df = (0 until 800).map(i => (i, s"name$i", i * 1.5)).toDF("id", "name", "score")
+      .repartitionByRange(8, $"id")
+    GraftTable.create(spark, dir, df)
+  }
+
+  private def check(pred: Column): Unit = {
+    val expected = table.toDF.filter(pred).collect().map(_.getInt(0)).sorted
+    val actual = table.scan(pred).collect().map(_.getInt(0)).sorted
+    assert(actual.toSeq === expected.toSeq, s"pred=$pred")
+  }
+
+  test("stats land in the log") {
+    val f = table.snapshot.files
+    assert(f.size === 8)
+    assert(f.forall(a => a.minValues.contains("id") && a.maxValues.contains("id")))
+    assert(f.forall(a => a.minValues.contains("name")))
+  }
+
+  test("selective point lookup prunes to one file") {
+    val kept = table.prunedFiles(table.snapshot, col("id") === 42)
+    assert(kept.size === 1)
+    check(col("id") === 42)
+  }
+
+  test("range/in/string/conjunction predicates: scan ≡ filter (seeded property)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 40).foreach { _ =>
+      val a = rnd.between(-100, 900)
+      val b = rnd.between(-100, 900)
+      val preds = Seq(
+        col("id") === a,
+        col("id") > a,
+        col("id") <= a,
+        col("id") > a && col("id") <= b,
+        lit(a) < col("id"),
+        col("id").isin(a, b, a + 1),
+        col("name") === s"name$a",
+        col("name") >= s"name$a" && col("id") < b,
+        col("score") > a.toDouble)
+      check(preds(rnd.nextInt(preds.size)))
+    }
+  }
+
+  test("unskippable shapes keep all files") {
+    val s = table.snapshot
+    assert(table.prunedFiles(s, col("id") % 2 === 0).size === s.files.size)
+    assert(table.prunedFiles(s, col("id") === col("score").cast("int")).size === s.files.size)
+    assert(table.prunedFiles(s, lower(col("name")) === "name1").size === s.files.size)
+  }
+
+  test("disjunctions are conservative (never skip)") {
+    check(col("id") === 5 || col("id") === 795)
+  }
+}

@@ -1,0 +1,165 @@
+package graft.table
+
+import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table-layer semantics the DuckDB oracle can't express (SURVEY.md §5.2.2):
+  * versioning, history, time travel resolution + errors, MERGE clauses and
+  * the duplicate-source-match error, DELETE variants, schema enforcement. */
+class GraftTableSpec extends SparkTestBase {
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType, nullable = false),
+    StructField("firstname", StringType, nullable = false),
+    StructField("lastname", StringType, nullable = false)))
+
+  private def df(rows: (Int, String, String)*): DataFrame =
+    spark.createDataFrame(
+      rows.map { case (i, f, l) => Row(i, f, l) }.asJava, schema)
+
+  private def state(d: DataFrame): Set[(Int, String, String)] =
+    d.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+
+  private def golden(): GraftTable = {
+    val t = GraftTable.create(spark, tmpDir("gt-"),
+      df((1, "James", "Bond"), (2, "Alice", "Rogers"), (3, "Joe", "Bloggs")))
+    t.merge(df((2, "Alice", "Smith"), (4, "New", "Person")), "t.id = s.id")
+      .whenMatchedUpdate(Map("firstname" -> "s.firstname", "lastname" -> "s.lastname"))
+      .whenNotMatchedInsert(Map(
+        "id" -> "s.id", "firstname" -> "s.firstname", "lastname" -> "s.lastname"))
+      .execute()
+    t.delete(col("id").isin(1, 3))
+    t
+  }
+
+  test("golden scenario: v0 seed, v1 merge, v2 delete (FIXTURES.md §A)") {
+    val t = golden()
+    assert(t.latestVersion === 2)
+    assert(state(t.versionAsOf(0)) ===
+      Set((1, "James", "Bond"), (2, "Alice", "Rogers"), (3, "Joe", "Bloggs")))
+    assert(state(t.versionAsOf(1)) ===
+      Set((1, "James", "Bond"), (2, "Alice", "Smith"), (3, "Joe", "Bloggs"), (4, "New", "Person")))
+    assert(state(t.versionAsOf(2)) === Set((2, "Alice", "Smith"), (4, "New", "Person")))
+    assert(state(t.toDF) === state(t.versionAsOf(2)))
+  }
+
+  test("create-if-absent loads existing table instead of reseeding") {
+    val dir = tmpDir("gt-")
+    val t1 = GraftTable.createIfAbsent(spark, dir, df((1, "A", "B")))
+    t1.append(df((2, "C", "D")))
+    val t2 = GraftTable.createIfAbsent(spark, dir,
+      sys.error("seed must not be evaluated for an existing table"))
+    assert(state(t2.toDF) === Set((1, "A", "B"), (2, "C", "D")))
+  }
+
+  test("history is newest-first with correct operations") {
+    val h = golden().history().select("version", "operation").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(h === Seq((2L, "DELETE"), (1L, "MERGE"), (0L, "CREATE")))
+  }
+
+  test("versionAsOf out of range errors") {
+    val t = golden()
+    intercept[IllegalArgumentException](t.versionAsOf(3))
+    intercept[IllegalArgumentException](t.versionAsOf(-1))
+  }
+
+  test("timestampAsOf resolves to latest commit <= ts; errors before commit 0") {
+    val t = golden()
+    val infos = t.log.commitInfos
+    // exactly at each commit → that commit's version
+    infos.foreach(ci =>
+      assert(t.versionAt(ci.timestamp) === ci.version))
+    // between commit 0 and 1 → version 0
+    assert(t.versionAt(infos(1).timestamp - 1) === 0)
+    // far future → latest
+    assert(t.versionAt(Long.MaxValue) === 2)
+    // before commit 0 → error (api.py:82-84 path)
+    intercept[IllegalArgumentException](t.timestampAsOf(new Timestamp(infos.head.timestamp - 1)))
+  }
+
+  test("MERGE: duplicate source matches for one target row error out") {
+    val t = GraftTable.create(spark, tmpDir("gt-"), df((1, "A", "B")))
+    val dupSource = df((1, "X", "Y"), (1, "Z", "W"))
+    val ex = intercept[IllegalStateException] {
+      t.merge(dupSource, "t.id = s.id")
+        .whenMatchedUpdate(Map("firstname" -> "s.firstname"))
+        .execute()
+    }
+    assert(ex.getMessage.contains("multiple source rows"))
+    assert(t.latestVersion === 0, "failed merge must not commit")
+  }
+
+  test("MERGE: update-only (no insert clause) ignores unmatched source rows") {
+    val t = GraftTable.create(spark, tmpDir("gt-"), df((1, "A", "B")))
+    t.merge(df((1, "U", "V"), (9, "N", "N")), "t.id = s.id")
+      .whenMatchedUpdate(Map("firstname" -> "s.firstname", "lastname" -> "s.lastname"))
+      .execute()
+    assert(state(t.toDF) === Set((1, "U", "V")))
+  }
+
+  test("MERGE: insert-only (no update clause) keeps matched rows unchanged") {
+    val t = GraftTable.create(spark, tmpDir("gt-"), df((1, "A", "B")))
+    t.merge(df((1, "U", "V"), (9, "N", "M")), "t.id = s.id")
+      .whenNotMatchedInsert(Map(
+        "id" -> "s.id", "firstname" -> "s.firstname", "lastname" -> "s.lastname"))
+      .execute()
+    assert(state(t.toDF) === Set((1, "A", "B"), (9, "N", "M")))
+  }
+
+  test("MERGE: untouched files survive byte-identical (only touched rewritten)") {
+    val dir = tmpDir("gt-")
+    // two files: ids 1-2 in one, 3-4 in another (two commits)
+    val t = GraftTable.create(spark, dir, df((1, "A", "A"), (2, "B", "B")).coalesce(1))
+    t.append(df((3, "C", "C"), (4, "D", "D")).coalesce(1))
+    val filesBefore = t.snapshot.files.map(_.path).toSet
+    t.merge(df((1, "A2", "A2")), "t.id = s.id")
+      .whenMatchedUpdate(Map("firstname" -> "s.firstname", "lastname" -> "s.lastname"))
+      .execute()
+    val filesAfter = t.snapshot.files.map(_.path).toSet
+    // the id-3/4 file is still live; the id-1/2 file was replaced
+    assert(filesAfter.intersect(filesBefore).size === 1)
+    assert(state(t.toDF) ===
+      Set((1, "A2", "A2"), (2, "B", "B"), (3, "C", "C"), (4, "D", "D")))
+  }
+
+  test("DELETE: predicate string form, partial/none/all") {
+    val t = GraftTable.create(spark, tmpDir("gt-"), df((1, "A", "A"), (2, "B", "B"), (3, "C", "C")))
+    assert(t.delete("id = 2") === 1)
+    assert(state(t.toDF) === Set((1, "A", "A"), (3, "C", "C")))
+    assert(t.delete("id = 99") === 0)
+    assert(t.delete("id >= 0") === 2)
+    assert(t.toDF.count() === 0)
+    // still a valid table: append works after full delete
+    t.append(df((5, "E", "E")))
+    assert(state(t.toDF) === Set((5, "E", "E")))
+  }
+
+  test("schema enforcement: wrong columns rejected on append") {
+    val t = GraftTable.create(spark, tmpDir("gt-"), df((1, "A", "B")))
+    val bad = spark.createDataFrame(Seq(Row(1, "x")).asJava,
+      StructType(Seq(StructField("id", IntegerType), StructField("only", StringType))))
+    intercept[IllegalArgumentException](t.append(bad))
+  }
+
+  test("atomic commit: second writer of the same version fails, table intact") {
+    val t = GraftTable.create(spark, tmpDir("gt-"), df((1, "A", "B")))
+    t.log.commit(1, Seq(CommitInfo(1, t.log.nextTimestamp(), "WRITE", Map.empty)))
+    intercept[java.util.ConcurrentModificationException](
+      t.log.commit(1, Seq(CommitInfo(1, 0, "WRITE", Map.empty))))
+    assert(t.latestVersion === 1)
+  }
+
+  test("time travel state is immutable after later commits") {
+    val t = GraftTable.create(spark, tmpDir("gt-"), df((1, "A", "B")))
+    val v0 = state(t.versionAsOf(0))
+    t.append(df((2, "C", "D")))
+    t.delete("id = 1")
+    assert(state(t.versionAsOf(0)) === v0)
+  }
+}
