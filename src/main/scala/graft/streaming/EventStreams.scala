@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming over the events table: the same event-time
+  * transformations as graft.queries.Events (`window()`, `session_window()`,
+  * stateful sessionization), run as streams. Transformations are defined
+  * once over DataFrame and reused by both batch and streaming inputs —
+  * Spark's unified model makes streaming parity a source swap, not a
+  * rewrite.
+  *
+  * At scale the same code runs continuously: file source → watermarked
+  * event-time aggregation → sink, with state kept in the state store
+  * partitioned by grouping key (user_id — the natural even key here).
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double, props: String)
+
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                              n_events: Long, sum_value: Double)
+
+  /** Per-user running session state (public: Spark codegen instantiates it). */
+  final case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
+
+  /** File-source stream of the events table (schema fixed up front, as any
+    * production stream does; ts arrives as raw nanos — see Tables.events). */
+  def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling 10-minute counts per event type — identical expression tree to
+    * the batch q21 (works on batch and streaming inputs alike). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+              col("event_type"), col("n"), col("sum_value"))
+
+  /** Run a (finite) streaming aggregation to completion: AvailableNow
+    * trigger + complete mode into a memory sink; returns the result table.
+    * Complete mode needs no watermark, so a finite replay reproduces the
+    * batch answer exactly — that is the parity property q80 oracle-checks. */
+  def runToMemory(spark: SparkSession, streamed: DataFrame): DataFrame = {
+    val name = s"graft_stream_${UUID.randomUUID().toString.replace("-", "")}"
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Stateful sessionization with flatMapGroupsWithState (the custom-state
+    * path the built-in session_window can't express — e.g. carrying running
+    * aggregates per session). A session CLOSES when a later event arrives
+    * >= `gapSeconds` after the previous one; the trailing open session per
+    * user stays in state (emitted only by a real stream's timeout). Events
+    * are processed in event-time order within each group+batch.
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          var st = state.getOption.orNull
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            if (st == null) {
+              st = SessionState(t, t, 1, e.value)
+            } else if (t - st.lastTs >= gapSeconds * 1000) {
+              out += SessionOut(userId, new java.sql.Timestamp(st.start), st.n, st.total)
+              st = SessionState(t, t, 1, e.value)
+            } else {
+              st = SessionState(st.start, t, st.n + 1, st.total + e.value)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.streaming.EventStreams.{Event, SessionOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming semantics the oracle can't check: multi-batch stateful
+  * sessionization (state carried across micro-batches) and batch/stream
+  * agreement of the tumbling transform. */
+class StreamingSpec extends SparkTestBase {
+
+  import EventStreams._
+
+  private def ev(id: Long, user: Long, minute: Long, value: Double = 1.0): Event =
+    Event(id, new java.sql.Timestamp(minute * 60000L), user, "click", value, "{}")
+
+  test("flatMapGroupsWithState sessionization carries state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val sessions = sessionize(input.toDS())
+    val q = sessions.writeStream.format("memory")
+      .queryName("sess_test").outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: user 1 events at minute 0,5 (one session, still open)
+      input.addData(ev(1, 1, 0), ev(2, 1, 5))
+      q.processAllAvailable()
+      assert(spark.table("sess_test").count() === 0, "open session must not emit")
+
+      // batch 2: minute 90 (>= 30min gap) closes the first session
+      input.addData(ev(3, 1, 90))
+      q.processAllAvailable()
+      val closed = spark.table("sess_test").as[SessionOut].collect()
+      assert(closed.length === 1)
+      assert(closed.head.user_id === 1 && closed.head.n_events === 2)
+      assert(closed.head.session_start.getTime === 0L)
+
+      // batch 3: another user interleaved + user 1 closes session 2
+      input.addData(ev(4, 2, 91), ev(5, 1, 200))
+      q.processAllAvailable()
+      val all = spark.table("sess_test").as[SessionOut].collect().sortBy(_.session_start.getTime)
+      assert(all.length === 2)
+      assert(all(1).user_id === 1 && all(1).n_events === 1 &&
+             all(1).session_start.getTime === 90 * 60000L)
+    } finally q.stop()
+  }
+
+  test("sessionization within one batch splits on the gap and sorts by event time") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS()).writeStream.format("memory")
+      .queryName("sess_test2").outputMode(OutputMode.Append()).start()
+    try {
+      // out-of-order arrival within the batch; two closed + one open session
+      input.addData(ev(3, 7, 100, 3.0), ev(1, 7, 0, 1.0), ev(2, 7, 5, 2.0), ev(4, 7, 210, 4.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_test2").as[SessionOut].collect().sortBy(_.session_start.getTime)
+      assert(closed.map(c => (c.session_start.getTime / 60000, c.n_events, c.sum_value)).toSeq ===
+        Seq((0L, 2L, 3.0), (100L, 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("streaming tumbling counts equal the batch aggregation (file source)") {
+    val streamed = runToMemory(spark,
+      tumblingCounts(readEventStream(spark, sfDir)))
+    val batch = tumblingCounts(graft.Tables.events(spark, sfDir))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+}
