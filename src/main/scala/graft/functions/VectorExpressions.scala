@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlShims
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native dot product over two array<double> columns.
+  *
+  * Why a custom Catalyst Expression: the composable formulation
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0d, (acc,x) -> acc+x)` runs
+  * interpreted lambdas per element (HigherOrderFunction is not codegen'd),
+  * which dominates similarity workloads — a 64-dim dot on millions of pairs
+  * is the hot loop. This expression emits a tight Java loop inside
+  * whole-stage codegen instead (preference order (b) of the build brief:
+  * native Expression with doGenCode beats a Scala UDF).
+  *
+  * Semantics match the HOF formulation bit-for-bit: products accumulate in
+  * index order in a double, so results are identical to the interpreted
+  * version AND to DuckDB's list_inner_product (both simple left folds) —
+  * the DuckDB-oracle checks on q45/q50 hold under either implementation.
+  * Null element or length mismatch → null (as zip_with padding yields).
+  */
+final case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _                        => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $x.getDouble($i) * $y.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vec_dot"
+}
+
+/** Column-API entry points for the native vector expressions. */
+object VectorFunctions {
+  /** Dot product of two array<double> columns (codegen'd tight loop). */
+  def vecDot(a: Column, b: Column): Column =
+    GraftSqlShims.columnOf(DotProduct(
+      GraftSqlShims.expressionOf(a), GraftSqlShims.expressionOf(b)))
+
+  /** Cosine similarity built from vecDot (dot / (|a| * |b|)). */
+  def cosineSim(a: Column, b: Column, normA: Column, normB: Column): Column =
+    vecDot(a, b) / (normA * normB)
+}

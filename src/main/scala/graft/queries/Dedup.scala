@@ -49,31 +49,40 @@ object Dedup {
   private val Bands = 8
   private val RowsPerBand = MinhashK / Bands
 
-  /** MinHash signature per doc: sig[i] = min over tokens of xxhash64(i, token).
+  /** MinHash signature per doc over its 3-gram SHINGLE set:
+    * sig[i] = min over shingles of xxhash64(i, shingle). Shingles (not
+    * unigrams) keep signatures discriminative even over a small shared
+    * vocabulary — with unigram sets nearly every doc would collide into
+    * every LSH bucket and the candidate join would go quadratic.
     * One narrow shuffle on doc_id; the K mins fold map-side. */
   private[queries] def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sigCols = (0 until MinhashK).map(i => min(xxhash64(lit(i), $"token")).as(s"h$i"))
-    docTokens(s, dir)
+    val sigCols = (0 until MinhashK).map(i => min(xxhash64(lit(i), $"shingle")).as(s"h$i"))
+    docShingles(s, dir)
       .groupBy($"doc_id")
       .agg(sigCols.head, sigCols.tail: _*)
       .select($"doc_id", array((0 until MinhashK).map(i => col(s"h$i")): _*).as("sig"))
   }
 
   /** LSH candidate pairs (a < b) sharing at least one band, with the
-    * signature-estimated Jaccard. */
+    * signature-estimated Jaccard. Pairs travel as bare (a, b) ids through
+    * the dedup; the (small) signature table joins back afterwards — wide
+    * signature arrays never enter the shuffle of the pair join. */
   private[queries] def lshCandidates(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sigs = minhashSignatures(s, dir)
-    val banded = sigs.select($"doc_id", $"sig",
+    val banded = sigs.select($"doc_id",
         posexplode(expr(s"transform(sequence(0, ${Bands - 1}), " +
           s"b -> xxhash64(b, slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))")))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_sig"))
-    val l = banded.select($"band", $"band_sig", $"doc_id".as("a"), $"sig".as("sig_a"))
-    val r = banded.select($"band", $"band_sig", $"doc_id".as("b"), $"sig".as("sig_b"))
-    l.join(r, Seq("band", "band_sig"))
+    val l = banded.select($"band", $"band_sig", $"doc_id".as("a"))
+    val r = banded.select($"band", $"band_sig", $"doc_id".as("b"))
+    val pairs = l.join(r, Seq("band", "band_sig"))
       .filter($"a" < $"b")
-      .select($"a", $"b", $"sig_a", $"sig_b").distinct()
+      .select($"a", $"b").distinct()
+    pairs
+      .join(sigs.select($"doc_id".as("a"), $"sig".as("sig_a")), "a")
+      .join(sigs.select($"doc_id".as("b"), $"sig".as("sig_b")), "b")
       .withColumn("est_jaccard",
         expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), t -> t)) / cast($MinhashK as double)"))
       .select($"a", $"b", $"est_jaccard")
@@ -193,12 +202,12 @@ object Dedup {
         import s.implicits._
         val e = Tables.embeddings(s, dir)
           .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
-        val withNorm = e.withColumn("nrm",
-          sqrt(expr("aggregate(v, 0d, (acc, x) -> acc + x * x)")))
+        import graft.functions.VectorFunctions.vecDot
+        val withNorm = e.withColumn("nrm", sqrt(vecDot($"v", $"v")))
         val l = withNorm.select($"vec_id".as("a"), $"v".as("va"), $"nrm".as("na"))
         val r = withNorm.select($"vec_id".as("b"), $"v".as("vb"), $"nrm".as("nb"))
         l.crossJoin(r).filter($"a" < $"b")
-          .withColumn("dot", expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"))
+          .withColumn("dot", vecDot($"va", $"vb"))
           .withColumn("cos_sim", round($"dot" / ($"na" * $"nb"), 6))
           .filter($"cos_sim" >= 0.3)
           .select($"a", $"b", $"cos_sim")

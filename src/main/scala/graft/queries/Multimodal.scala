@@ -59,16 +59,15 @@ object Multimodal {
     "q61_media_features" -> Q(
       (s, dir) => {
         import s.implicits._
+        // one map-side pass: payload → chars → high-nibble bin, then a tiny
+        // (lang x 16) hash agg — no per-bin rescans of the blob
         mediaTable(s, dir)
-          // histogram bin b = count of bytes with high nibble b (0..15)
-          .withColumn("features", expr(
-            """transform(sequence(0, 15), b ->
-              |  size(filter(sequence(1, octet_length(payload)),
-              |              i -> shiftright(ascii(substr(cast(payload as string), i, 1)), 4) = b)))
-              |""".stripMargin))
-          .select($"meta.lang".as("lang"), posexplode($"features"))
-          .groupBy($"lang", $"pos".as("bin"))
-          .agg(sum($"col").as("n_bytes_in_bin"))
+          .select($"meta.lang".as("lang"),
+                  explode(split(decode($"payload", "UTF-8"), "")).as("ch"))
+          .filter(length($"ch") > 0)
+          .select($"lang", shiftright(ascii($"ch"), 4).as("bin"))
+          .groupBy($"lang", $"bin")
+          .agg(count(lit(1)).as("n_bytes_in_bin"))
           .filter($"bin".isin(6, 7)) // ascii letters live in nibbles 6/7
           .orderBy($"lang", $"bin")
       },

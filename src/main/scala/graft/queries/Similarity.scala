@@ -21,12 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** embeddings with the vector cast to double + its L2 norm. */
+  /** embeddings with the vector cast to double + its L2 norm (norm via the
+    * native codegen'd vec_dot — graft.functions.DotProduct). */
   private[queries] def normed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import graft.functions.VectorFunctions.vecDot
     Tables.embeddings(s, dir)
       .select($"vec_id", $"label", expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("nrm", sqrt(expr("aggregate(v, 0d, (acc, x) -> acc + x * x)")))
+      .withColumn("nrm", sqrt(vecDot($"v", $"v")))
   }
 
   private val Planes = 6 // 64 buckets
@@ -53,7 +55,7 @@ object Similarity {
           .select($"v".as("qv"), $"nrm".as("qn"))
         e.filter($"vec_id" =!= 0)
           .crossJoin(broadcast(q))
-          .withColumn("dot", expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"))
+          .withColumn("dot", graft.functions.VectorFunctions.vecDot($"v", $"qv"))
           .withColumn("cos_sim", round($"dot" / ($"nrm" * $"qn"), 6))
           .orderBy($"cos_sim".desc, $"vec_id")
           .limit(10)
@@ -100,7 +102,7 @@ object Similarity {
           .select($"v".as("qv"), $"nrm".as("qn"), $"bucket".as("qbucket"))
         e.filter($"vec_id" =!= 0)
           .join(broadcast(q), $"bucket" === $"qbucket")
-          .withColumn("dot", expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"))
+          .withColumn("dot", graft.functions.VectorFunctions.vecDot($"v", $"qv"))
           .withColumn("cos_sim", round($"dot" / ($"nrm" * $"qn"), 6))
           .orderBy($"cos_sim".desc, $"vec_id")
           .limit(10)

@@ -26,9 +26,16 @@ object TableQueries {
     StructField("firstname", StringType, nullable = false),
     StructField("lastname", StringType, nullable = false)))
 
+  /** Golden table memoized per JVM: q70/q71/q72 share one build (the
+    * scenario is deterministic, so rebuilding per query is pure waste). */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, GraftTable]()
+
+  private def golden(s: SparkSession): GraftTable =
+    cache.computeIfAbsent("golden", _ => buildGolden(s))
+
   /** Run the golden scenario; returns the table (3 commits: v0 seed,
     * v1 merge, v2 delete). */
-  private def golden(s: SparkSession): GraftTable = {
+  private def buildGolden(s: SparkSession): GraftTable = {
     import scala.jdk.CollectionConverters._
     val dir = Files.createTempDirectory("graft-golden-").toString
     val seed = s.createDataFrame(Seq(
