@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch media decoding over binary columns — the Scala twin of a Python
+  * `mapInPandas` decode stage: rows flow through `mapPartitions` so an
+  * expensive per-partition resource (a codec, an FFI handle, a model) is
+  * initialized ONCE per partition, not once per row, and rows are processed
+  * as a stream (never materializing a partition in memory).
+  *
+  * THE CODEC IS A DETERMINISTIC STUB (this container ships no image/audio
+  * libraries): `decodeStub` "decodes" a payload into a fixed-shape feature
+  * vector from its bytes. Everything around it is the real production
+  * plumbing — typed schema in/out, per-partition init, streaming iterator,
+  * fixed feature shape — so a real decoder drops in by replacing one
+  * function.
+  *
+  * 100-TB notes: decode is map-only (no shuffle sees the payload); the
+  * output row is narrow (id + 16 floats + meta), so downstream aggs shuffle
+  * a fraction of the input bytes. Partition sizing comes from the scan
+  * (spark.sql.files.maxPartitionBytes), which bounds decoder memory.
+  */
+object Media {
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte], lang: String)
+  final case class MediaFeatures(doc_id: Long, lang: String,
+                                 features: Array[Float], n_bytes: Int)
+
+  /** Documents as a typed media Dataset (payload = UTF-8 bytes; stands in
+    * for image/audio blobs). */
+  def mediaDataset(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"), $"lang")
+      .as[MediaRow]
+  }
+
+  /** The stub "codec": 16-bin byte histogram, L1-normalized. Deterministic,
+    * fixed output shape — exactly what a resize-to-fixed-dims image decode
+    * or a fixed-window audio featurizer produces. */
+  def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val bins = new Array[Float](16)
+    var i = 0
+    while (i < payload.length) {
+      bins((payload(i) & 0xF0) >> 4) += 1f
+      i += 1
+    }
+    if (payload.length > 0) {
+      var b = 0
+      while (b < 16) { bins(b) /= payload.length; b += 1 }
+    }
+    bins
+  }
+
+  /** Decode a partition stream with one codec init per partition. */
+  def decode(rows: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      // per-partition init happens HERE (a real codec would open its
+      // native context once); the iterator keeps the stream lazy
+      val codec: Array[Byte] => Array[Float] = decodeStub
+      it.map(r => MediaFeatures(r.doc_id, r.lang, codec(r.payload), r.payload.length))
+    }
+  }
+
+  /** Frame sampling: cut a payload into fixed-size "frames" and keep every
+    * `stride`-th — the video-frame-sample shape (map-only, exploding rows
+    * without shuffling payloads). */
+  def sampleFrames(rows: Dataset[MediaRow], frameBytes: Int, stride: Int): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows.flatMap { r =>
+      r.payload.grouped(frameBytes).zipWithIndex
+        .filter(_._2 % stride == 0)
+        .map { case (frame, idx) => (r.doc_id, idx, frame.length, decodeStub(frame)) }
+    }.toDF("doc_id", "frame_idx", "frame_bytes", "frame_features")
+  }
+}

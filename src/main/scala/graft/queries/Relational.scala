@@ -363,5 +363,27 @@ object Relational {
          |  ${sqlSumExact("s_acctbal")} AS sum_bal,
          |  MIN(coalesce(nullif(s_nationkey, 0), -1)) AS min_nk
          |FROM supplier GROUP BY 1 ORDER BY bal_bucket""".stripMargin),
+
+    // ---- ROLLUP (grouping sets) -----------------------------------------------
+    // Hierarchical totals in one pass: (year, status), (year), (). Spark
+    // plans a single Expand + hash agg — no re-scan per level; grouping_id
+    // disambiguates subtotal rows from genuine NULL groups.
+    "q16_rollup" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .rollup(year($"o_orderdate").as("y"), $"o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+               sumExact($"o_totalprice").as("sum_price"),
+               grouping_id().as("gid"))
+          .orderBy($"gid", $"y", $"o_orderstatus")
+      },
+      s"""SELECT year(o_orderdate) AS y, o_orderstatus,
+         |  COUNT(*) AS n_orders,
+         |  ${sqlSumExact("o_totalprice")} AS sum_price,
+         |  GROUPING(year(o_orderdate), o_orderstatus) AS gid
+         |FROM orders
+         |GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
+         |ORDER BY gid, y, o_orderstatus""".stripMargin),
   )
 }
