@@ -60,15 +60,41 @@ final class GraftLog(val tablePath: String) {
         throw new java.util.ConcurrentModificationException(
           s"concurrent commit: version $v already exists in $tablePath")
     }
+    if (v > 0 && v % checkpointInterval == 0) writeCheckpoint(v)
   }
 
-  /** Replay commits 0..v into a Snapshot. Linear in log length — fine for
-    * the log sizes here; the Delta-protocol answer at scale is checkpoint
-    * files every N commits, which this layout leaves room for. */
-  def snapshotAt(v: Long): Snapshot = {
-    var meta: Option[MetaData] = None
+  /** Checkpoint every N commits: `%020d.checkpoint.json` holds the full
+    * folded snapshot (metaData + live adds), so replay cost is bounded by
+    * the checkpoint interval instead of the table's whole history — the
+    * Delta-protocol answer to unbounded logs. */
+  val checkpointInterval = 10
+
+  def checkpointFile(v: Long): Path = logDir.resolve(f"$v%020d.checkpoint.json")
+
+  def writeCheckpoint(v: Long): Unit = {
+    val s = replay(0L, v, None)
+    val body = (s.metaData +: s.files).map(Actions.toJson).mkString("", "\n", "\n")
+    val tmp = logDir.resolve(s".${java.util.UUID.randomUUID()}.tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    try Files.move(tmp, checkpointFile(v), java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp) }
+  }
+
+  private def latestCheckpointAtOrBefore(v: Long): Option[Long] =
+    if (!Files.isDirectory(logDir)) None
+    else Files.list(logDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.matches("\\d{20}\\.checkpoint\\.json"))
+      .map(_.stripSuffix(".checkpoint.json").toLong)
+      .filter(_ <= v)
+      .maxOption
+
+  /** Replay commits (from..v], optionally seeded from a checkpoint state. */
+  private def replay(from: Long, v: Long, seed: Option[Snapshot]): Snapshot = {
+    var meta: Option[MetaData] = seed.map(_.metaData)
     val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
-    (0L to v).foreach { i =>
+    seed.foreach(_.files.foreach(a => live(a.path) = a))
+    (from to v).foreach { i =>
       readVersion(i).foreach {
         case m: MetaData   => meta = Some(m)
         case a: AddFile    => live(a.path) = a
@@ -78,6 +104,19 @@ final class GraftLog(val tablePath: String) {
     }
     Snapshot(v, meta.getOrElse(throw new IllegalStateException(
       s"no metaData in log of $tablePath")), live.values.toSeq)
+  }
+
+  /** Snapshot at version v: nearest checkpoint ≤ v + tail replay. */
+  def snapshotAt(v: Long): Snapshot = latestCheckpointAtOrBefore(v) match {
+    case Some(cp) =>
+      val lines = Files.readAllLines(checkpointFile(cp), StandardCharsets.UTF_8)
+        .asScala.filter(_.nonEmpty).map(Actions.fromJson).toSeq
+      val meta = lines.collectFirst { case m: MetaData => m }.getOrElse(
+        throw new IllegalStateException(s"checkpoint $cp of $tablePath lacks metaData"))
+      val files = lines.collect { case a: AddFile => a }
+      if (cp == v) Snapshot(v, meta, files)
+      else replay(cp + 1, v, Some(Snapshot(cp, meta, files)))
+    case None => replay(0L, v, None)
   }
 
   /** All commitInfo records, one per version, ascending. */

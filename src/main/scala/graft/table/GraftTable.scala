@@ -100,13 +100,44 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     df.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
   }
 
-  /** Append rows as a new commit (blind append — never conflicts). */
+  /** Append rows as a new commit. Blind appends never conflict
+    * semantically, so a lost commit race is resolved by re-reading the
+    * latest version and re-committing the same files (optimistic retry —
+    * the write itself is not redone). */
   def append(df: DataFrame): Unit = {
+    val adds = FileOps.writeDataFiles(conform(df, snapshot.schema), path)
+    var attempts = 0
+    while (true) {
+      val v = latestVersion + 1
+      try {
+        log.commit(v, Seq(
+          CommitInfo(v, log.nextTimestamp(), "WRITE",
+            Map("numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++ adds)
+        return
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts >= 10) throw e
+      }
+    }
+  }
+
+  /** OPTIMIZE: bin-pack the current live files into ~`targetFileBytes`
+    * files. Pure compaction — same rows, one commit, so time travel to
+    * pre-optimize versions still sees the old files. Small-file compaction
+    * is what keeps scan/split planning cheap after many DML commits. */
+  def optimize(targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     val s = snapshot
-    val adds = FileOps.writeDataFiles(conform(df, s.schema), path)
-    log.commit(s.version + 1, Seq(
-      CommitInfo(s.version + 1, log.nextTimestamp(), "WRITE",
-        Map("numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++ adds)
+    if (s.files.size <= 1) return
+    val totalBytes = s.files.map(_.size).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val adds = FileOps.writeDataFiles(read(s).repartition(nOut), path)
+    val ts = log.nextTimestamp()
+    log.commit(s.version + 1,
+      Seq(CommitInfo(s.version + 1, ts, "OPTIMIZE",
+        Map("numFilesBefore" -> s.files.size.toString,
+            "numFilesAfter" -> adds.size.toString))) ++
+      s.files.map(f => RemoveFile(f.path, ts)) ++ adds)
   }
 
   /** DELETE rows matching `pred` (api.py:107). Files with no match survive

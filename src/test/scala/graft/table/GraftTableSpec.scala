@@ -155,6 +155,33 @@ class GraftTableSpec extends SparkTestBase {
     assert(t.latestVersion === 1)
   }
 
+  test("OPTIMIZE compacts files, preserves rows, keeps time travel intact") {
+    val dir = tmpDir("gt-")
+    val t = GraftTable.create(spark, dir, df((1, "A", "A")).coalesce(1))
+    (2 to 6).foreach(i => t.append(df((i, s"N$i", s"L$i")).coalesce(1)))
+    val before = t.snapshot.files.size
+    assert(before === 6)
+    val rowsBefore = state(t.toDF)
+    t.optimize()
+    assert(t.snapshot.files.size === 1)
+    assert(state(t.toDF) === rowsBefore)
+    assert(state(t.versionAsOf(5)) === rowsBefore) // pre-optimize snapshot intact
+    val h = t.history().select("operation").collect().map(_.getString(0))
+    assert(h.head === "OPTIMIZE")
+  }
+
+  test("checkpoints bound replay: version 10+ reads through a checkpoint") {
+    val dir = tmpDir("gt-")
+    val t = GraftTable.create(spark, dir, df((0, "A", "A")))
+    (1 to 12).foreach(i => t.append(df((i, s"N$i", s"L$i"))))
+    assert(t.latestVersion === 12)
+    assert(java.nio.file.Files.exists(t.log.checkpointFile(10)), "checkpoint at v10")
+    // state via checkpoint replay must equal full-history expectations
+    assert(t.toDF.count() === 13)
+    assert(state(t.versionAsOf(10)).size === 11)
+    assert(state(t.versionAsOf(3)).size === 4) // pre-checkpoint replay path
+  }
+
   test("time travel state is immutable after later commits") {
     val t = GraftTable.create(spark, tmpDir("gt-"), df((1, "A", "B")))
     val v0 = state(t.versionAsOf(0))
