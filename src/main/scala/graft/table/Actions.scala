@@ -16,10 +16,15 @@ import scala.jdk.CollectionConverters._
 sealed trait Action
 
 /** Table-wide metadata; the latest metaData in the log wins. `schemaString`
-  * is Spark's own StructType JSON (DataType.fromJson round-trips it). */
-final case class MetaData(id: String, schemaString: String, createdTime: Long) extends Action
+  * is Spark's own StructType JSON (DataType.fromJson round-trips it);
+  * `partitionColumns` fixes the physical layout (Hive-style dirs). */
+final case class MetaData(id: String, schemaString: String, createdTime: Long,
+                          partitionColumns: Seq[String] = Nil) extends Action
 
 /** A live data file with footer-derived stats for data skipping.
+  * `path` is relative to the table root (may contain partition dirs);
+  * `partitionValues` are the file's Hive partition values — they join the
+  * min/max stats as exact (min = max = value) bounds during pruning.
   * min/max are stringified per-column values (numeric/string only); absent
   * entries mean "unknown — never skip on this column". */
 final case class AddFile(
@@ -28,7 +33,8 @@ final case class AddFile(
     modificationTime: Long,
     numRecords: Long,
     minValues: Map[String, String],
-    maxValues: Map[String, String]) extends Action
+    maxValues: Map[String, String],
+    partitionValues: Map[String, String] = Map.empty) extends Action
 
 /** Tombstone: the file is no longer part of the snapshot from this commit. */
 final case class RemoveFile(path: String, deletionTimestamp: Long) extends Action
@@ -56,14 +62,17 @@ object Actions {
   def toJson(a: Action): String = {
     val root = mapper.createObjectNode()
     a match {
-      case MetaData(id, schema, created) =>
+      case MetaData(id, schema, created, partCols) =>
         val n = root.putObject("metaData")
         n.put("id", id); n.put("schemaString", schema); n.put("createdTime", created)
-      case AddFile(path, size, mtime, rows, mins, maxs) =>
+        val arr = n.putArray("partitionColumns")
+        partCols.foreach(arr.add)
+      case AddFile(path, size, mtime, rows, mins, maxs, partVals) =>
         val n = root.putObject("add")
         n.put("path", path); n.put("size", size); n.put("modificationTime", mtime)
         n.put("numRecords", rows)
         putMap(n, "minValues", mins); putMap(n, "maxValues", maxs)
+        putMap(n, "partitionValues", partVals)
       case RemoveFile(path, ts) =>
         val n = root.putObject("remove")
         n.put("path", path); n.put("deletionTimestamp", ts)
@@ -79,12 +88,15 @@ object Actions {
     val root = mapper.readTree(line)
     if (root.has("metaData")) {
       val n = root.get("metaData")
-      MetaData(n.get("id").asText(), n.get("schemaString").asText(), n.get("createdTime").asLong())
+      val partCols = Option(n.get("partitionColumns"))
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+      MetaData(n.get("id").asText(), n.get("schemaString").asText(),
+        n.get("createdTime").asLong(), partCols)
     } else if (root.has("add")) {
       val n = root.get("add")
       AddFile(n.get("path").asText(), n.get("size").asLong(),
         n.get("modificationTime").asLong(), n.get("numRecords").asLong(),
-        strMap(n, "minValues"), strMap(n, "maxValues"))
+        strMap(n, "minValues"), strMap(n, "maxValues"), strMap(n, "partitionValues"))
     } else if (root.has("remove")) {
       val n = root.get("remove")
       RemoveFile(n.get("path").asText(), n.get("deletionTimestamp").asLong())

@@ -22,20 +22,35 @@ import org.apache.spark.sql.DataFrame
   */
 object FileOps {
 
-  /** Write `df` as parquet files inside `tablePath`, returning AddFiles with
-    * footer stats. Zero-row part files are dropped (never referenced). */
-  def writeDataFiles(df: DataFrame, tablePath: String): Seq[AddFile] = {
+  /** Write `df` as parquet files inside `tablePath` (Hive-style partition
+    * dirs when `partitionCols` is non-empty), returning AddFiles with footer
+    * stats + partition values. Zero-row part files are dropped. */
+  def writeDataFiles(df: DataFrame, tablePath: String,
+                     partitionCols: Seq[String] = Nil): Seq[AddFile] = {
     val staging = Paths.get(tablePath, s".staging-${UUID.randomUUID()}")
-    df.write.parquet(staging.toString)
-    val parts = Files.list(staging).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    val writer = if (partitionCols.nonEmpty) df.write.partitionBy(partitionCols: _*)
+                 else df.write
+    writer.parquet(staging.toString)
+    val parts = Files.walk(staging).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.toString)
     val adds = parts.flatMap { part =>
-      val target = Paths.get(tablePath, s"part-${UUID.randomUUID()}.parquet")
+      val relDir = staging.relativize(part.getParent) // "" or "lang=en/..."
+      val partVals = relDir.toString.split('/').filter(_.contains("=")).map { seg =>
+        val Array(k, v) = seg.split("=", 2)
+        // partition dir names are URL-encoded by the writer
+        k -> java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+      val relTarget =
+        (if (relDir.toString.isEmpty) "" else s"$relDir/") +
+          s"part-${UUID.randomUUID()}.parquet"
+      val target = Paths.get(tablePath, relTarget)
+      Files.createDirectories(target.getParent)
       Files.move(part, target)
       val (rows, mins, maxs) = footerStats(target)
       if (rows == 0L) { Files.delete(target); None }
-      else Some(AddFile(target.getFileName.toString, Files.size(target),
-        System.currentTimeMillis(), rows, mins, maxs))
+      else Some(AddFile(relTarget, Files.size(target),
+        System.currentTimeMillis(), rows, mins, maxs, partVals))
     }
     // best-effort cleanup of the staging dir (_SUCCESS, .crc, ...)
     Files.walk(staging).iterator().asScala.toSeq.reverse.foreach(p =>

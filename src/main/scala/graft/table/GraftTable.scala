@@ -40,11 +40,17 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   }
 
   /** DataFrame of a snapshot's live files (empty-but-typed when no files). */
-  private def read(s: Snapshot): DataFrame =
-    if (s.files.isEmpty)
+  private def read(s: Snapshot): DataFrame = readFiles(s, s.files)
+
+  /** Read a subset of a snapshot's files with the snapshot schema.
+    * basePath lets Spark reconstruct partition columns from the Hive-style
+    * directory names when the table is partitioned. */
+  private def readFiles(s: Snapshot, files: Seq[AddFile]): DataFrame =
+    if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s.schema)
     else
-      spark.read.schema(s.schema).parquet(s.files.map(f => s"$path/${f.path}"): _*)
+      spark.read.schema(s.schema).option("basePath", path)
+        .parquet(files.map(f => s"$path/${f.path}"): _*)
 
   /** Current-version DataFrame (reference: names_table.toDF(), api.py:74). */
   def toDF: DataFrame = read(snapshot)
@@ -69,12 +75,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * `toDF.filter(pred)` (DataSkippingSpec property-checks this). */
   def scan(pred: Column): DataFrame = {
     val s = snapshot
-    val kept = prunedFiles(s, pred)
-    val df = if (kept.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s.schema)
-    else
-      spark.read.schema(s.schema).parquet(kept.map(f => s"$path/${f.path}"): _*)
-    df.filter(pred)
+    readFiles(s, prunedFiles(s, pred)).filter(pred)
   }
 
   /** Commit metadata as a DataFrame, newest-first (api.py:63,75). */
@@ -105,7 +106,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * latest version and re-committing the same files (optimistic retry —
     * the write itself is not redone). */
   def append(df: DataFrame): Unit = {
-    val adds = FileOps.writeDataFiles(conform(df, snapshot.schema), path)
+    val s0 = snapshot
+    val adds = FileOps.writeDataFiles(conform(df, s0.schema), path,
+      s0.metaData.partitionColumns)
     var attempts = 0
     while (true) {
       val v = latestVersion + 1
@@ -122,6 +125,25 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     }
   }
 
+  /** VACUUM: physically delete data files that are no longer referenced by
+    * any snapshot version >= `retainVersions` back from latest. Time travel
+    * older than the retention window dies (as in Delta); the log itself is
+    * kept (history() still shows all commits). Returns files deleted. */
+  def vacuum(retainVersions: Int = 0): Int = {
+    val latest = latestVersion
+    val keepFrom = math.max(0L, latest - retainVersions)
+    val referenced = (keepFrom to latest)
+      .flatMap(v => log.snapshotAt(v).files.map(_.path)).toSet
+    val root = Paths.get(path)
+    val dataFiles = Files.walk(root).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet")
+        && !p.startsWith(root.resolve("_delta_log")))
+      .map(p => root.relativize(p).toString).toSeq
+    val orphans = dataFiles.filterNot(referenced.contains)
+    orphans.foreach(f => Files.deleteIfExists(Paths.get(path, f)))
+    orphans.size
+  }
+
   /** OPTIMIZE: bin-pack the current live files into ~`targetFileBytes`
     * files. Pure compaction — same rows, one commit, so time travel to
     * pre-optimize versions still sees the old files. Small-file compaction
@@ -131,7 +153,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     if (s.files.size <= 1) return
     val totalBytes = s.files.map(_.size).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val adds = FileOps.writeDataFiles(read(s).repartition(nOut), path)
+    val adds = FileOps.writeDataFiles(read(s).repartition(nOut), path,
+      s.metaData.partitionColumns)
     val ts = log.nextTimestamp()
     log.commit(s.version + 1,
       Seq(CommitInfo(s.version + 1, ts, "OPTIMIZE",
@@ -143,26 +166,33 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   /** DELETE rows matching `pred` (api.py:107). Files with no match survive
     * untouched (discovered via stats pruning + input_file_name provenance);
     * matched files are rewritten with `NOT pred` (null predicate ⇒ keep). */
-  /** Files of `s` that may contain rows matching `pred` (stats pruning). */
-  def prunedFiles(s: Snapshot, pred: Column): Seq[AddFile] =
-    DataSkipping.prune(DataSkipping.resolve(spark, s.schema, pred), s.files)
+  /** Files of `s` that may contain rows matching `pred`. Partition values
+    * enter the same pruning as exact (min = max = value) stats, so
+    * partition pruning and stats skipping are one mechanism. */
+  def prunedFiles(s: Snapshot, pred: Column): Seq[AddFile] = {
+    val resolved = DataSkipping.resolve(spark, s.schema, pred)
+    s.files.filter { f =>
+      val widened = f.copy(minValues = f.minValues ++ f.partitionValues,
+                           maxValues = f.maxValues ++ f.partitionValues)
+      DataSkipping.mayMatch(resolved, widened)
+    }
+  }
 
   def delete(pred: Column): Long = {
     val s = snapshot
     val candidates = prunedFiles(s, pred)
     if (candidates.isEmpty) { commitNoop(s, "DELETE"); return 0L }
-    val cand = spark.read.schema(s.schema)
-      .parquet(candidates.map(f => s"$path/${f.path}"): _*)
-    val touchedPaths = cand.filter(pred)
+    val cand = readFiles(s, candidates)
+    val touchedNames = cand.filter(pred)
       .select(input_file_name().as("f")).distinct().collect()
       .map(r => fileName(r.getString(0))).toSet
-    if (touchedPaths.isEmpty) { commitNoop(s, "DELETE"); return 0L }
+    if (touchedNames.isEmpty) { commitNoop(s, "DELETE"); return 0L }
 
-    val touched = s.files.filter(f => touchedPaths.contains(f.path))
-    val touchedDF = spark.read.schema(s.schema)
-      .parquet(touched.map(f => s"$path/${f.path}"): _*)
-    val keep = touchedDF.filter(!coalesce(pred, lit(false)))
-    val adds = FileOps.writeDataFiles(keep, path)
+    // part-file names are UUID-unique per table, so name-level matching is
+    // safe across partition directories
+    val touched = s.files.filter(f => touchedNames.contains(fileName(f.path)))
+    val keep = readFiles(s, touched).filter(!coalesce(pred, lit(false)))
+    val adds = FileOps.writeDataFiles(keep, path, s.metaData.partitionColumns)
     val deleted = touched.map(_.numRecords).sum - adds.map(_.numRecords).sum
     val ts = log.nextTimestamp()
     log.commit(s.version + 1,
@@ -210,12 +240,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         .alias(targetAlias)
         .join(src, cond, "inner")
         .select(col("__file")).distinct().collect().map(r => fileName(r.getString(0))).toSet
-    val touched = s.files.filter(f => touchedPaths.contains(f.path))
+    val touched = s.files.filter(f => touchedPaths.contains(fileName(f.path)))
 
     // Duplicate-source-match guard (Delta semantics): >1 source row matching
     // one target row is an error, not a nondeterministic update.
     if (touched.nonEmpty) {
-      val t = spark.read.schema(schema).parquet(touched.map(f => s"$path/${f.path}"): _*)
+      val t = readFiles(s, touched)
         .withColumn("__tid", monotonically_increasing_id())
         .localCheckpoint(true) // pin row ids: same ids in guard and rewrite
         .alias(targetAlias)
@@ -242,7 +272,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       // (any match would have made its file touched; see class doc).
       val inserts = insertRows(src, targetAll, cond, insertValues, schema)
       val out = conform(rewritten.unionByName(inserts), schema)
-      val adds = FileOps.writeDataFiles(out, path)
+      val adds = FileOps.writeDataFiles(out, path, s.metaData.partitionColumns)
       val ts = log.nextTimestamp()
       log.commit(s.version + 1,
         Seq(CommitInfo(s.version + 1, ts, "MERGE",
@@ -252,7 +282,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     } else {
       // No matches at all: pure insert path.
       val inserts = insertRows(src, targetAll, cond, insertValues, schema)
-      val adds = FileOps.writeDataFiles(conform(inserts, schema), path)
+      val adds = FileOps.writeDataFiles(conform(inserts, schema), path,
+        s.metaData.partitionColumns)
       log.commit(s.version + 1,
         Seq(CommitInfo(s.version + 1, log.nextTimestamp(), "MERGE",
           Map("numTargetFilesRewritten" -> "0",
@@ -303,12 +334,16 @@ object GraftTable {
 
   /** Create commit 0 from a DataFrame (reference: df.write.format("delta")
     * .save(path), spark_project.py:36). */
-  def create(spark: SparkSession, path: String, df: DataFrame): GraftTable = {
+  def create(spark: SparkSession, path: String, df: DataFrame,
+             partitionBy: Seq[String] = Nil): GraftTable = {
     Files.createDirectories(Paths.get(path))
     val log = new GraftLog(path)
     require(!log.exists, s"$path is already a GraftTable")
-    val adds = FileOps.writeDataFiles(df, path)
-    val meta = MetaData(UUID.randomUUID().toString, df.schema.json, System.currentTimeMillis())
+    require(partitionBy.forall(df.columns.contains),
+      s"partition columns $partitionBy must exist in ${df.columns.toSeq}")
+    val adds = FileOps.writeDataFiles(df, path, partitionBy)
+    val meta = MetaData(UUID.randomUUID().toString, df.schema.json,
+      System.currentTimeMillis(), partitionBy)
     log.commit(0L, Seq(meta,
       CommitInfo(0L, log.nextTimestamp(), "CREATE",
         Map("numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++ adds)

@@ -182,6 +182,19 @@ class GraftTableSpec extends SparkTestBase {
     assert(state(t.versionAsOf(3)).size === 4) // pre-checkpoint replay path
   }
 
+  test("VACUUM removes orphaned files; retained versions still readable") {
+    val dir = tmpDir("gt-")
+    val t = GraftTable.create(spark, dir, df((1, "A", "A"), (2, "B", "B")).coalesce(1))
+    t.delete("id = 1") // v1 rewrites the only file → v0's file is orphanable
+    val v1 = state(t.toDF)
+    val removed = t.vacuum(retainVersions = 0)
+    assert(removed === 1)
+    assert(state(t.toDF) === v1)             // latest unaffected
+    intercept[Exception](t.versionAsOf(0).collect()) // v0's data is gone
+    // history still lists all commits
+    assert(t.history().count() === 2)
+  }
+
   test("time travel state is immutable after later commits") {
     val t = GraftTable.create(spark, tmpDir("gt-"), df((1, "A", "B")))
     val v0 = state(t.versionAsOf(0))
