@@ -171,5 +171,33 @@ object Events {
          |  FROM sessions GROUP BY user_id, sid)
          |SELECT user_id, n_events, revenue FROM per_session
          |ORDER BY revenue DESC, user_id, sid LIMIT 20""".stripMargin),
+
+    // ---- As-of join: each purchase joined to the user's latest prior click -------
+    // graft.operators.AsOfJoin union-merge formulation (one shuffle on the
+    // key, no candidate-pair blowup); DuckDB's native ASOF JOIN is the
+    // oracle — an operator-level cross-engine equivalence check.
+    "q26_asof_join" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"ts", $"value")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"ts", $"value")
+        graft.operators.AsOfJoin.asof(
+            purchases, clicks, keys = Seq("user_id"),
+            leftTs = "ts", rightTs = "ts", rightVal = Seq("value"))
+          .select($"event_id", $"user_id",
+                  date_format($"ts", fmt).as("pts"),
+                  $"value", $"asof_value")
+          .orderBy($"event_id")
+      },
+      """SELECT l.event_id, l.user_id,
+        |  strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS pts,
+        |  l.value, r.value AS asof_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin),
   )
 }

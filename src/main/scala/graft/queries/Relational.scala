@@ -385,5 +385,50 @@ object Relational {
          |FROM orders
          |GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
          |ORDER BY gid, y, o_orderstatus""".stripMargin),
+
+    // ---- Correlated scalar + IN subqueries (SQL front door) ---------------------
+    // Catalyst decorrelates both subqueries into joins (no per-row
+    // re-execution); the same text runs in DuckDB. Exact decimal MAX keeps
+    // the equality comparison engine-portable.
+    "q17_subqueries" -> Q(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+        s.sql("""
+          SELECT o_orderkey, o_custkey
+          FROM orders_v o
+          WHERE CAST(o_totalprice AS DECIMAL(18,2)) =
+                (SELECT MAX(CAST(i.o_totalprice AS DECIMAL(18,2)))
+                 FROM orders_v i WHERE i.o_custkey = o.o_custkey)
+            AND o_custkey IN (SELECT c_custkey FROM customer_v
+                              WHERE c_mktsegment = 'BUILDING')
+          ORDER BY o_orderkey""")
+      },
+      """SELECT o_orderkey, o_custkey
+        |FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) =
+        |      (SELECT MAX(CAST(i.o_totalprice AS DECIMAL(18,2)))
+        |       FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |  AND o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // ---- Custom typed Aggregator (UDAF surface): exact var_pop -------------------
+    "q19_custom_agg_variance" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.ExactStats
+        Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(ExactStats.varPop2dp($"l_quantity").as("var_qty"),
+               sqrt(ExactStats.varPop2dp($"l_quantity")).as("stddev_qty"),
+               count(lit(1)).as("n"))
+          .orderBy($"l_returnflag")
+      },
+      s"""SELECT l_returnflag,
+         |  ${graft.functions.ExactStats.sqlVarPop2dp("l_quantity")} AS var_qty,
+         |  sqrt(${graft.functions.ExactStats.sqlVarPop2dp("l_quantity")}) AS stddev_qty,
+         |  COUNT(*) AS n
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
   )
 }
