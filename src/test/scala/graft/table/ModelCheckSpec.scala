@@ -1,0 +1,93 @@
+package graft.table
+
+import scala.jdk.CollectionConverters._
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Model-based property test (SURVEY.md §5.2.3): a GraftTable driven by a
+  * random sequence of append/merge/delete ops must always equal a plain
+  * in-memory Map model, at HEAD and at every historical version.
+  */
+class ModelCheckSpec extends SparkTestBase {
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType, nullable = false),
+    StructField("firstname", StringType, nullable = false),
+    StructField("lastname", StringType, nullable = false)))
+
+  private def df(rows: Seq[(Int, String, String)]): DataFrame =
+    spark.createDataFrame(rows.map { case (i, f, l) => Row(i, f, l) }.asJava, schema)
+
+  private def state(d: DataFrame): Map[Int, (String, String)] =
+    d.collect().map(r => r.getInt(0) -> (r.getString(1), r.getString(2))).toMap
+
+  test("random op sequences: table == model at head and at every version") {
+    val rnd = new scala.util.Random(2024)
+    val t = GraftTable.create(spark, tmpDir("model-"), df(Seq((0, "seed", "row"))))
+    var model = Map(0 -> ("seed", "row"))
+    val versions = scala.collection.mutable.ArrayBuffer(model)
+    var nextId = 1
+
+    (1 to 15).foreach { step =>
+      rnd.nextInt(3) match {
+        case 0 => // append fresh ids
+          val rows = (0 to rnd.nextInt(3)).map { _ =>
+            val r = (nextId, s"f$nextId", s"l$nextId"); nextId += 1; r
+          }
+          t.append(df(rows))
+          model = model ++ rows.map(r => r._1 -> (r._2, r._3))
+
+        case 1 => // merge: update some existing + insert some new
+          val existing = model.keys.toSeq.sorted.take(rnd.nextInt(3))
+            .map(id => (id, s"u$step-$id", s"v$step-$id"))
+          val fresh = (0 until rnd.nextInt(2)).map { _ =>
+            val r = (nextId, s"f$nextId", s"l$nextId"); nextId += 1; r
+          }
+          val src = existing ++ fresh
+          if (src.nonEmpty) {
+            t.merge(df(src), "t.id = s.id")
+              .whenMatchedUpdate(Map("firstname" -> "s.firstname", "lastname" -> "s.lastname"))
+              .whenNotMatchedInsert(Map(
+                "id" -> "s.id", "firstname" -> "s.firstname", "lastname" -> "s.lastname"))
+              .execute()
+            model = model ++ src.map(r => r._1 -> (r._2, r._3))
+          } else {
+            val r = (nextId, s"f$nextId", s"l$nextId"); nextId += 1
+            t.append(df(Seq(r)))
+            model += r._1 -> (r._2, r._3)
+          }
+
+        case 2 => // delete a random id range
+          val lo = rnd.nextInt(math.max(1, nextId))
+          val hi = lo + rnd.nextInt(4)
+          t.delete(col("id").between(lo, hi))
+          model = model.filter { case (id, _) => id < lo || id > hi }
+      }
+      versions += model
+      assert(state(t.toDF) === model, s"HEAD mismatch after step $step")
+    }
+
+    // every historical version must still replay to its recorded model
+    versions.zipWithIndex.foreach { case (m, v) =>
+      assert(state(t.versionAsOf(v)) === m, s"version $v mismatch")
+    }
+    // and history has one entry per commit
+    assert(t.history().count() === versions.size)
+  }
+
+  test("two concurrent appenders both land via optimistic retry") {
+    val t = GraftTable.create(spark, tmpDir("conc-"), df(Seq((0, "s", "s"))))
+    val threads = (1 to 4).map { i =>
+      new Thread(() => t.append(df(Seq((i, s"t$i", s"t$i")))))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(t.latestVersion === 4, "all four appends must commit distinct versions")
+    assert(state(t.toDF).keySet === Set(0, 1, 2, 3, 4))
+    // strictly increasing commit timestamps survived the race
+    val ts = t.log.commitInfos.map(_.timestamp)
+    assert(ts === ts.sorted && ts.distinct.size === ts.size)
+  }
+}
