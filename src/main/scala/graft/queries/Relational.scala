@@ -430,5 +430,27 @@ object Relational {
          |  sqrt(${graft.functions.ExactStats.sqlVarPop2dp("l_quantity")}) AS stddev_qty,
          |  COUNT(*) AS n
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // ---- Salted skew join == plain join (cross-engine) ---------------------------
+    // The salting transform must be semantically invisible; the oracle is
+    // the PLAIN join in DuckDB, so any salting bug (lost/duplicated rows)
+    // fails the hash compare.
+    "q27_salted_join" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val l = Tables.lineitem(s, dir)
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+        val o = Tables.orders(s, dir)
+          .filter($"o_orderpriority" === "1-URGENT")
+          .select($"o_orderkey".as("l_orderkey"), $"o_orderstatus")
+        graft.operators.SkewJoin.saltedInnerJoin(l, o, "l_orderkey", saltFactor = 8)
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"), sumExact($"l_quantity").as("sum_qty"))
+          .orderBy($"o_orderstatus")
+      },
+      s"""SELECT o_orderstatus, COUNT(*) AS n, ${sqlSumExact("l_quantity")} AS sum_qty
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
   )
 }
