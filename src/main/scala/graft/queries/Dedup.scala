@@ -36,12 +36,13 @@ object Dedup {
   private def docShingles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
-      .filter(size(split($"text", " ")) >= 3)
+      .select($"doc_id", split($"text", " ").as("toks")) // tokenize once
+      .filter(size($"toks") >= 3)
       .select($"doc_id",
         explode(array_distinct(
-          // shingle i = tokens[i..i+2] joined; sequence over 0..n-3
-          expr("transform(sequence(0, size(split(text,' ')) - 3), " +
-               "i -> concat_ws(' ', slice(split(text,' '), i + 1, 3)))")
+          // shingle i = toks[i..i+2] joined; sequence over 0..n-3
+          expr("transform(sequence(0, size(toks) - 3), " +
+               "i -> concat_ws(' ', slice(toks, i + 1, 3)))")
         )).as("shingle"))
   }
 

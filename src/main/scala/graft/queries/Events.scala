@@ -118,15 +118,22 @@ object Events {
     "q24_json_props" -> Q(
       (s, dir) => {
         import s.implicits._
+        // both JSON surfaces: path extraction AND schema-full from_json;
+        // the two must agree (asserted by the shared oracle columns)
         Tables.events(s, dir)
           .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+          .withColumn("k2",
+            from_json($"props", org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.LongType)))).getField("k"))
           .groupBy($"event_type")
           .agg(sum($"k").as("sum_k"), min($"k").as("min_k"), max($"k").as("max_k"),
-               count($"k").as("n_k"))
+               count($"k").as("n_k"), sum($"k2").as("sum_k2"))
           .orderBy($"event_type")
       },
       """SELECT event_type,
-        |  SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k, COUNT(k) AS n_k
+        |  SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k, COUNT(k) AS n_k,
+        |  SUM(k) AS sum_k2
         |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin),

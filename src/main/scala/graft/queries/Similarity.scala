@@ -109,5 +109,36 @@ object Similarity {
           .select($"vec_id", $"label", $"bucket", $"cos_sim")
       },
       None),
+
+    // ---- IVF-probe ANN (coarse quantizer + nprobe=1) ------------------------------
+    // Inverted-file search: centroids from one aggregation pass (mean vector
+    // per label — the coarse quantizer), the query probes only its nearest
+    // centroid's list. At scale the lists are Hive partitions of a vector
+    // table and probing is partition pruning. Spec-checked recall vs q50.
+    "q53_ann_ivf" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.VectorFunctions.vecDot
+        val e = normed(s, dir)
+        // coarse quantizer: element-wise mean per label (one narrow shuffle)
+        val centroids = e.select($"label", posexplode($"v"))
+          .groupBy($"label", $"pos").agg(avg($"col").as("m"))
+          .groupBy($"label").agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+          .select($"label".as("c_label"), expr("transform(pm, x -> x.m)").as("centroid"))
+        val q = e.filter($"vec_id" === 0).select($"v".as("qv"), $"nrm".as("qn"))
+        // probe = nearest centroid to the query (tiny cross join, k rows)
+        val probe = centroids.crossJoin(broadcast(q))
+          .withColumn("cd", vecDot($"centroid", $"qv"))
+          .orderBy($"cd".desc, $"c_label").limit(1)
+          .select($"c_label", $"qv", $"qn")
+        // scan ONLY the probed inverted list
+        e.filter($"vec_id" =!= 0)
+          .join(broadcast(probe), $"label" === $"c_label")
+          .withColumn("cos_sim", round(vecDot($"v", $"qv") / ($"nrm" * $"qn"), 6))
+          .orderBy($"cos_sim".desc, $"vec_id")
+          .limit(10)
+          .select($"vec_id", $"label", $"cos_sim")
+      },
+      None),
   )
 }

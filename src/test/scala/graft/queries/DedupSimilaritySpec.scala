@@ -72,6 +72,19 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(ann.length <= 10)
   }
 
+  test("IVF probe returns vectors only from the probed list, ranked like brute force") {
+    import spark.implicits._
+    val ivf = graft.SparkEntry.queries("q53_ann_ivf")(spark, sfDir).collect()
+    assert(ivf.nonEmpty)
+    val labels = ivf.map(_.getInt(1)).toSet
+    assert(labels.size === 1, "nprobe=1 must scan exactly one inverted list")
+    // ranking within the probed list must equal brute force restricted to it
+    val brute = graft.SparkEntry.queries("q50_knn_brute")(spark, sfDir)
+      .filter($"label" === labels.head).collect().map(_.getLong(0))
+    val ivfIds = ivf.map(_.getLong(0)).toSeq
+    assert(ivfIds.take(brute.length) === brute.take(ivfIds.length).toSeq)
+  }
+
   test("q52 centroid stats are stable across runs") {
     val a = graft.SparkEntry.queries("q52_label_centroids")(spark, sfDir).collect()
     val b = graft.SparkEntry.queries("q52_label_centroids")(spark, sfDir).collect()
