@@ -124,9 +124,12 @@ final class GraftLog(val tablePath: String) {
     listVersions.flatMap(v => readVersion(v).collectFirst { case c: CommitInfo => c })
 
   /** Strictly-increasing commit timestamp (guards timestampAsOf resolution
-    * against clock granularity between rapid commits). */
+    * against clock granularity between rapid commits). Reads only the last
+    * commit file, not the whole log. */
   def nextTimestamp(): Long = {
-    val prev = commitInfos.lastOption.map(_.timestamp).getOrElse(Long.MinValue)
+    val prev = listVersions.lastOption
+      .flatMap(v => readVersion(v).collectFirst { case c: CommitInfo => c.timestamp })
+      .getOrElse(Long.MinValue)
     math.max(System.currentTimeMillis(), prev + 1)
   }
 }
