@@ -76,6 +76,17 @@ object TableQueries {
         |                      (3, 'Joe', 'Bloggs'), (4, 'New', 'Person'))
         |AS t(id, firstname, lastname) ORDER BY id""".stripMargin),
 
+    // ---- format("graft") read path: the reference's exact read shape -------------
+    // spark.read.format(...).option("versionAsOf", 1).load(path) — api.py:77.
+    "q73_source_time_travel" -> Q(
+      (s, _) => {
+        val t = golden(s)
+        s.read.format("graft").option("versionAsOf", 1).load(t.path).orderBy("id")
+      },
+      """SELECT * FROM (VALUES (1, 'James', 'Bond'), (2, 'Alice', 'Smith'),
+        |                      (3, 'Joe', 'Bloggs'), (4, 'New', 'Person'))
+        |AS t(id, firstname, lastname) ORDER BY id""".stripMargin),
+
     // ---- History: operations ledger, newest-first -------------------------------
     "q72_table_history" -> Q(
       (s, _) => {

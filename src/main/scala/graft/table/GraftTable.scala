@@ -45,7 +45,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   /** Read a subset of a snapshot's files with the snapshot schema.
     * basePath lets Spark reconstruct partition columns from the Hive-style
     * directory names when the table is partitioned. */
-  private def readFiles(s: Snapshot, files: Seq[AddFile]): DataFrame =
+  private[graft] def readFiles(s: Snapshot, files: Seq[AddFile]): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s.schema)
     else
