@@ -72,6 +72,20 @@ object EventStreams {
     spark.table(name)
   }
 
+  /** Continuous ingestion into a GraftTable: each micro-batch commits one
+    * table version via foreachBatch → append (the streaming-sink shape of
+    * a Delta sink). Versions give replayable ingestion history; a failed
+    * batch never half-commits because the log append is atomic. */
+  def streamIntoTable(streamed: DataFrame, table: graft.table.GraftTable,
+                      trigger: Trigger = Trigger.AvailableNow()) = {
+    streamed.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        table.append(batch)
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** Stateful sessionization with flatMapGroupsWithState (the custom-state
     * path the built-in session_window can't express — e.g. carrying running
     * aggregates per session). A session CLOSES when a later event arrives

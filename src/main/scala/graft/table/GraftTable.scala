@@ -145,15 +145,21 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   }
 
   /** OPTIMIZE: bin-pack the current live files into ~`targetFileBytes`
-    * files. Pure compaction — same rows, one commit, so time travel to
-    * pre-optimize versions still sees the old files. Small-file compaction
-    * is what keeps scan/split planning cheap after many DML commits. */
-  def optimize(targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    * files; with `clusterBy` set, range-cluster rows so each output file
+    * covers a narrow key range — that is what makes the footer min/max
+    * stats selective and turns DataSkipping into real I/O elimination
+    * (the ZORDER-lite of this table layer). Pure reorganization — same
+    * rows, one commit, older versions still time-travel. */
+  def optimize(targetFileBytes: Long = 128L * 1024 * 1024,
+               clusterBy: Seq[String] = Nil): Unit = {
     val s = snapshot
-    if (s.files.size <= 1) return
+    if (s.files.size <= 1 && clusterBy.isEmpty) return
     val totalBytes = s.files.map(_.size).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val adds = FileOps.writeDataFiles(read(s).repartition(nOut), path,
+    val reorganized =
+      if (clusterBy.nonEmpty) read(s).repartitionByRange(nOut, clusterBy.map(col): _*)
+      else read(s).repartition(nOut)
+    val adds = FileOps.writeDataFiles(reorganized, path,
       s.metaData.partitionColumns)
     val ts = log.nextTimestamp()
     log.commit(s.version + 1,

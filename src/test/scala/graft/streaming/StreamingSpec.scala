@@ -63,6 +63,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming ingestion into GraftTable: one version per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = tmpDir("sink-")
+    val seedSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType, false),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType, false)))
+    val table = graft.table.GraftTable.create(spark, dir,
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], seedSchema))
+
+    val input = MemoryStream[(Long, Double)]
+    val q = EventStreams.streamIntoTable(
+      input.toDF().toDF("event_id", "value"), table,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      input.addData((1L, 1.0), (2L, 2.0))
+      q.processAllAvailable()
+      assert(table.toDF.count() === 2)
+      val v1 = table.latestVersion
+      input.addData((3L, 3.0))
+      q.processAllAvailable()
+      assert(table.toDF.count() === 3)
+      assert(table.latestVersion > v1, "each batch commits a new version")
+      // versioned ingestion: pre-batch state is still readable
+      assert(table.versionAsOf(v1).count() === 2)
+    } finally q.stop()
+  }
+
   test("streaming tumbling counts equal the batch aggregation (file source)") {
     val streamed = runToMemory(spark,
       tumblingCounts(readEventStream(spark, sfDir)))

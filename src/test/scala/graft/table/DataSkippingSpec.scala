@@ -64,4 +64,25 @@ class DataSkippingSpec extends SparkTestBase {
   test("disjunctions are conservative (never skip)") {
     check(col("id") === 5 || col("id") === 795)
   }
+
+  test("clustered OPTIMIZE restores skipping selectivity after appends") {
+    import spark.implicits._
+    val dir = tmpDir("clust-")
+    // interleaved appends → every file spans the whole id range → no skipping
+    val t = GraftTable.create(spark, dir,
+      (0 until 400 by 4).map(i => (i, i * 1.0)).toDF("id", "x").coalesce(1))
+    (1 to 3).foreach(off => t.append(
+      (off until 400 by 4).map(i => (i, i * 1.0)).toDF("id", "x").coalesce(1)))
+    val unclustered = t.prunedFiles(t.snapshot, col("id") === 42)
+    assert(unclustered.size === 4, "interleaved files cannot be skipped")
+
+    t.optimize(targetFileBytes = 4096, clusterBy = Seq("id"))
+    val clustered = t.prunedFiles(t.snapshot, col("id") === 42)
+    assert(t.snapshot.files.size > 1, "compaction kept multiple files")
+    assert(clustered.size < t.snapshot.files.size,
+      "range clustering must make point lookups prune files")
+    // correctness unchanged
+    assert(t.scan(col("id") === 42).collect().map(_.getInt(0)).toSeq === Seq(42))
+    assert(t.toDF.count() === 400)
+  }
 }
