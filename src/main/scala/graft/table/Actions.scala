@@ -19,7 +19,8 @@ sealed trait Action
   * is Spark's own StructType JSON (DataType.fromJson round-trips it);
   * `partitionColumns` fixes the physical layout (Hive-style dirs). */
 final case class MetaData(id: String, schemaString: String, createdTime: Long,
-                          partitionColumns: Seq[String] = Nil) extends Action
+                          partitionColumns: Seq[String] = Nil,
+                          constraints: Map[String, String] = Map.empty) extends Action
 
 /** A live data file with footer-derived stats for data skipping.
   * `path` is relative to the table root (may contain partition dirs);
@@ -62,11 +63,12 @@ object Actions {
   def toJson(a: Action): String = {
     val root = mapper.createObjectNode()
     a match {
-      case MetaData(id, schema, created, partCols) =>
+      case MetaData(id, schema, created, partCols, constraints) =>
         val n = root.putObject("metaData")
         n.put("id", id); n.put("schemaString", schema); n.put("createdTime", created)
         val arr = n.putArray("partitionColumns")
         partCols.foreach(arr.add)
+        putMap(n, "constraints", constraints)
       case AddFile(path, size, mtime, rows, mins, maxs, partVals) =>
         val n = root.putObject("add")
         n.put("path", path); n.put("size", size); n.put("modificationTime", mtime)
@@ -91,7 +93,7 @@ object Actions {
       val partCols = Option(n.get("partitionColumns"))
         .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
       MetaData(n.get("id").asText(), n.get("schemaString").asText(),
-        n.get("createdTime").asLong(), partCols)
+        n.get("createdTime").asLong(), partCols, strMap(n, "constraints"))
     } else if (root.has("add")) {
       val n = root.get("add")
       AddFile(n.get("path").asText(), n.get("size").asLong(),

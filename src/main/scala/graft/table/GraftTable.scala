@@ -101,13 +101,48 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     df.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
   }
 
+  /** Enforce the table's CHECK constraints on rows about to be written
+    * (Delta-style write-time data quality). One counting job per write;
+    * a violation aborts before any commit is attempted. */
+  private def enforceConstraints(df: DataFrame, meta: MetaData): DataFrame = {
+    meta.constraints.foreach { case (name, exprStr) =>
+      val violations = df.filter(!coalesce(expr(exprStr), lit(false))).limit(1).count()
+      require(violations == 0,
+        s"CHECK constraint '$name' ($exprStr) violated by write to $path")
+    }
+    df
+  }
+
+  /** ADD CONSTRAINT: validates all existing rows first, then commits the
+    * new metaData (constraint enforcement history is itself versioned). */
+  def addConstraint(name: String, checkExpr: String): Unit = {
+    val s = snapshot
+    require(!s.metaData.constraints.contains(name), s"constraint $name already exists")
+    val bad = read(s).filter(!coalesce(expr(checkExpr), lit(false))).limit(1).count()
+    require(bad == 0, s"cannot add constraint '$name': existing rows violate $checkExpr")
+    val meta = s.metaData.copy(constraints = s.metaData.constraints + (name -> checkExpr))
+    log.commit(s.version + 1, Seq(meta,
+      CommitInfo(s.version + 1, log.nextTimestamp(), "ADD CONSTRAINT",
+        Map("name" -> name, "expr" -> checkExpr))))
+  }
+
+  def dropConstraint(name: String): Unit = {
+    val s = snapshot
+    require(s.metaData.constraints.contains(name), s"no such constraint: $name")
+    val meta = s.metaData.copy(constraints = s.metaData.constraints - name)
+    log.commit(s.version + 1, Seq(meta,
+      CommitInfo(s.version + 1, log.nextTimestamp(), "DROP CONSTRAINT",
+        Map("name" -> name))))
+  }
+
   /** Append rows as a new commit. Blind appends never conflict
     * semantically, so a lost commit race is resolved by re-reading the
     * latest version and re-committing the same files (optimistic retry —
     * the write itself is not redone). */
   def append(df: DataFrame): Unit = {
     val s0 = snapshot
-    val adds = FileOps.writeDataFiles(conform(df, s0.schema), path,
+    val adds = FileOps.writeDataFiles(
+      enforceConstraints(conform(df, s0.schema), s0.metaData), path,
       s0.metaData.partitionColumns)
     var attempts = 0
     while (true) {
@@ -277,7 +312,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       // Phase 2b: inserts — source rows matching NOTHING in the whole table
       // (any match would have made its file touched; see class doc).
       val inserts = insertRows(src, targetAll, cond, insertValues, schema)
-      val out = conform(rewritten.unionByName(inserts), schema)
+      val out = enforceConstraints(conform(rewritten.unionByName(inserts), schema),
+        s.metaData)
       val adds = FileOps.writeDataFiles(out, path, s.metaData.partitionColumns)
       val ts = log.nextTimestamp()
       log.commit(s.version + 1,
@@ -288,7 +324,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     } else {
       // No matches at all: pure insert path.
       val inserts = insertRows(src, targetAll, cond, insertValues, schema)
-      val adds = FileOps.writeDataFiles(conform(inserts, schema), path,
+      val adds = FileOps.writeDataFiles(
+        enforceConstraints(conform(inserts, schema), s.metaData), path,
         s.metaData.partitionColumns)
       log.commit(s.version + 1,
         Seq(CommitInfo(s.version + 1, log.nextTimestamp(), "MERGE",

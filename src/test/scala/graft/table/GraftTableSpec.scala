@@ -195,6 +195,32 @@ class GraftTableSpec extends SparkTestBase {
     assert(t.history().count() === 2)
   }
 
+  test("CHECK constraints: enforced on append and merge, versioned add/drop") {
+    val t = GraftTable.create(spark, tmpDir("gt-"), df((1, "A", "B")))
+    t.addConstraint("pos_id", "id > 0")
+    // valid write passes
+    t.append(df((2, "C", "D")))
+    // violating append aborts BEFORE committing
+    val vBefore = t.latestVersion
+    intercept[IllegalArgumentException](t.append(df((-5, "X", "X"))))
+    assert(t.latestVersion === vBefore)
+    // violating merge insert aborts
+    intercept[IllegalArgumentException] {
+      t.merge(df((-7, "Y", "Y")), "t.id = s.id")
+        .whenNotMatchedInsert(Map(
+          "id" -> "s.id", "firstname" -> "s.firstname", "lastname" -> "s.lastname"))
+        .execute()
+    }
+    // cannot add a constraint existing rows violate
+    intercept[IllegalArgumentException](t.addConstraint("impossible", "id > 100"))
+    // drop re-opens the gate
+    t.dropConstraint("pos_id")
+    t.append(df((-5, "X", "X")))
+    assert(state(t.toDF).exists(_._1 == -5))
+    val ops = t.history().select("operation").collect().map(_.getString(0)).toSet
+    assert(ops.contains("ADD CONSTRAINT") && ops.contains("DROP CONSTRAINT"))
+  }
+
   test("time travel state is immutable after later commits") {
     val t = GraftTable.create(spark, tmpDir("gt-"), df((1, "A", "B")))
     val v0 = state(t.versionAsOf(0))
