@@ -452,5 +452,40 @@ object Relational {
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE o_orderpriority = '1-URGENT'
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // ---- Percentiles (exact, sort-based) + string distance -----------------------
+    // percentile() sorts within each group; l_quantity is integer-valued so
+    // linear interpolation lands on exact .0/.5 doubles in both engines.
+    "q28_percentiles" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(expr("percentile(l_quantity, 0.5)").as("med_qty"),
+               expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+               min($"l_quantity").as("min_qty"),
+               max($"l_quantity").as("max_qty"))
+          .orderBy($"l_returnflag")
+      },
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS med_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // ---- Edit distance (fuzzy matching primitive) ---------------------------------
+    "q29_edit_distance" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.nation(s, dir)
+          .crossJoin(Tables.region(s, dir))
+          .select($"n_name", $"r_name", levenshtein($"n_name", $"r_name").as("lev"))
+          .filter($"lev" <= 8)
+          .orderBy($"n_name", $"r_name")
+      },
+      """SELECT n_name, r_name, levenshtein(n_name, r_name) AS lev
+        |FROM nation CROSS JOIN region
+        |WHERE levenshtein(n_name, r_name) <= 8
+        |ORDER BY n_name, r_name""".stripMargin),
   )
 }

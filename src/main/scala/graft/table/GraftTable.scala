@@ -160,6 +160,24 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     }
   }
 
+  /** RESTORE: make the table's HEAD equal an earlier version, as one new
+    * commit (Delta RESTORE semantics — history moves forward, nothing is
+    * erased, and the restore itself can be time-traveled away from). */
+  def restore(version: Long): Unit = {
+    val cur = snapshot
+    val tgt = snapshotAt(version)
+    val curPaths = cur.files.map(_.path).toSet
+    val tgtPaths = tgt.files.map(_.path).toSet
+    val ts = log.nextTimestamp()
+    val actions =
+      Seq(CommitInfo(cur.version + 1, ts, "RESTORE",
+        Map("restoredVersion" -> version.toString))) ++
+      (if (tgt.metaData != cur.metaData) Seq(tgt.metaData) else Nil) ++
+      cur.files.filterNot(f => tgtPaths.contains(f.path)).map(f => RemoveFile(f.path, ts)) ++
+      tgt.files.filterNot(f => curPaths.contains(f.path))
+    log.commit(cur.version + 1, actions)
+  }
+
   /** VACUUM: physically delete data files that are no longer referenced by
     * any snapshot version >= `retainVersions` back from latest. Time travel
     * older than the retention window dies (as in Delta); the log itself is

@@ -221,6 +221,20 @@ class GraftTableSpec extends SparkTestBase {
     assert(ops.contains("ADD CONSTRAINT") && ops.contains("DROP CONSTRAINT"))
   }
 
+  test("RESTORE rolls HEAD back as a forward commit") {
+    val t = golden() // v0 seed, v1 merge, v2 delete
+    val v1 = state(t.versionAsOf(1))
+    t.restore(1)
+    assert(t.latestVersion === 3)
+    assert(state(t.toDF) === v1)
+    // nothing erased: v2 still shows the deleted state
+    assert(state(t.versionAsOf(2)) === Set((2, "Alice", "Smith"), (4, "New", "Person")))
+    assert(t.history().select("operation").first().getString(0) === "RESTORE")
+    // DML continues normally after restore
+    t.delete("id = 4")
+    assert(state(t.toDF) === v1.filterNot(_._1 == 4))
+  }
+
   test("time travel state is immutable after later commits") {
     val t = GraftTable.create(spark, tmpDir("gt-"), df((1, "A", "B")))
     val v0 = state(t.versionAsOf(0))
