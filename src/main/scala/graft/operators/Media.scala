@@ -64,6 +64,20 @@ object Media {
     }
   }
 
+  /** "Resize": pool a feature vector down to `outDims` by averaging
+    * adjacent bins — the fixed-shape-to-fixed-shape resample step of an
+    * image pipeline (pure column math, no shuffle). */
+  def resizeFeatures(feats: Dataset[MediaFeatures], outDims: Int): DataFrame = {
+    import feats.sparkSession.implicits._
+    val stride = 16 / outDims
+    require(outDims > 0 && 16 % outDims == 0, "outDims must divide 16")
+    feats.toDF().withColumn("resized", expr(
+      s"""transform(sequence(0, ${outDims - 1}), o ->
+         |  cast(aggregate(slice(features, o * $stride + 1, $stride), 0f,
+         |                 (acc, x) -> acc + x) / $stride as float))""".stripMargin))
+      .select($"doc_id", $"lang", $"resized")
+  }
+
   /** Frame sampling: cut a payload into fixed-size "frames" and keep every
     * `stride`-th — the video-frame-sample shape (map-only, exploding rows
     * without shuffling payloads). */

@@ -209,27 +209,34 @@ object Relational {
 
     // ---- Window: running aggregate + lag -------------------------------------
     // Explicit ROWS frame; decimal accumulation keeps the running sum exact.
+    // The synthetic lineitem REUSES (l_orderkey, l_linenumber) pairs
+    // (~118k duplicates at sf0.1), so the window order includes every
+    // value column: any remaining ties are full-duplicate rows, for which
+    // lag/running assignments are order-invariant as a multiset.
     "q09_window_running" -> Q(
       (s, dir) => {
         import s.implicits._
         val ord = Window.partitionBy($"l_suppkey")
-          .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+          .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber",
+                   $"l_quantity", $"l_extendedprice", $"l_discount")
         val frame = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.lineitem(s, dir)
           .withColumn("running_qty", sum(dec($"l_quantity")).over(frame).cast("double"))
           .withColumn("prev_qty", lag($"l_quantity", 1).over(ord))
           .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_quantity",
                   $"running_qty", $"prev_qty")
-          .orderBy($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber")
+          .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber", $"running_qty")
       },
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
-        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |                                    l_quantity, l_extendedprice, l_discount
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
         |  LAG(l_quantity, 1) OVER (
-        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |                                    l_quantity, l_extendedprice, l_discount) AS prev_qty
         |FROM lineitem
-        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin),
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin),
 
     // ---- Sort / limit / top-k -------------------------------------------------
     // orderBy+limit plans as TakeOrderedAndProject: per-partition heap top-k,

@@ -37,6 +37,18 @@ class MediaSpec extends SparkTestBase {
     assert(!agg.schema.fields.exists(_.dataType.typeName == "binary"))
   }
 
+  test("resize pools 16-dim features to 4 dims preserving mass") {
+    import spark.implicits._
+    val feats = Media.decode(Media.mediaDataset(spark, sfDir))
+    val resized = Media.resizeFeatures(feats, 4).limit(20).collect()
+    resized.foreach { r =>
+      val v = r.getSeq[Float](2)
+      assert(v.length === 4)
+      // average pooling of an L1-normalized histogram sums to 1/stride
+      assert(math.abs(v.sum - 0.25f) < 1e-3)
+    }
+  }
+
   test("frame sampling keeps every stride-th fixed-size frame") {
     import spark.implicits._
     val one = Media.mediaDataset(spark, sfDir).filter($"doc_id" === 0)
