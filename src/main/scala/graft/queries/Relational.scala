@@ -246,12 +246,15 @@ object Relational {
         import s.implicits._
         Tables.lineitem(s, dir)
           .select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"l_quantity")
-          .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+          // l_quantity in the sort: (orderkey, linenumber) pairs repeat in
+          // the synthetic data, so the boundary row must be totally ordered
+          // over every OUTPUT column or the k-th pick is engine-dependent
+          .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber", $"l_quantity")
           .limit(15)
       },
       """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
         |FROM lineitem
-        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_quantity
         |LIMIT 15""".stripMargin),
 
     // ---- Set operations: UNION ALL / INTERSECT / EXCEPT ------------------------
