@@ -139,18 +139,42 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * semantically, so a lost commit race is resolved by re-reading the
     * latest version and re-committing the same files (optimistic retry —
     * the write itself is not redone). */
-  def append(df: DataFrame): Unit = {
-    val s0 = snapshot
+  def append(df: DataFrame): Unit = append(df, mergeSchema = false)
+
+  /** Append with optional schema evolution: with `mergeSchema`, columns the
+    * table doesn't have yet are added (nullable) via a metaData update in
+    * the same commit; existing files simply read the new columns as null
+    * (parquet missing-column semantics). Dropping or retyping columns is
+    * still rejected — evolution is additive, as in Delta. */
+  def append(df: DataFrame, mergeSchema: Boolean): Unit = {
+    val s0raw = snapshot
+    val s0 =
+      if (!mergeSchema) s0raw
+      else {
+        val existing = s0raw.schema.fieldNames.toSet
+        val newFields = df.schema.fields.filterNot(f => existing.contains(f.name))
+          .map(_.copy(nullable = true))
+        if (newFields.isEmpty) s0raw
+        else {
+          require(s0raw.schema.fieldNames.forall(df.columns.contains),
+            "mergeSchema append must still supply every existing column")
+          val evolved = StructType(s0raw.schema.fields ++ newFields)
+          s0raw.copy(metaData = s0raw.metaData.copy(schemaString = evolved.json))
+        }
+      }
     val adds = FileOps.writeDataFiles(
       enforceConstraints(conform(df, s0.schema), s0.metaData), path,
       s0.metaData.partitionColumns)
+    val metaAction: Seq[Action] =
+      if (s0.metaData != s0raw.metaData) Seq(s0.metaData) else Nil
     var attempts = 0
     while (true) {
       val v = latestVersion + 1
       try {
         log.commit(v, Seq(
           CommitInfo(v, log.nextTimestamp(), "WRITE",
-            Map("numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++ adds)
+            Map("numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
+          metaAction ++ adds)
         return
       } catch {
         case e: java.util.ConcurrentModificationException =>

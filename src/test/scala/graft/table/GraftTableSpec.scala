@@ -235,6 +235,26 @@ class GraftTableSpec extends SparkTestBase {
     assert(state(t.toDF) === v1.filterNot(_._1 == 4))
   }
 
+  test("schema evolution: mergeSchema append adds nullable columns") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("gt-"), df((1, "A", "B")))
+    // plain append with an extra column is rejected
+    val withExtra = Seq((2, "C", "D", 9.5)).toDF("id", "firstname", "lastname", "score")
+    intercept[IllegalArgumentException](t.append(withExtra))
+    // mergeSchema evolves the table
+    t.append(withExtra, mergeSchema = true)
+    val out = t.toDF.orderBy("id").collect()
+    assert(t.snapshot.schema.fieldNames.toSeq ===
+      Seq("id", "firstname", "lastname", "score"))
+    assert(out(0).isNullAt(3), "old rows read the new column as null")
+    assert(out(1).getDouble(3) === 9.5)
+    // old snapshots keep the old schema
+    assert(t.versionAsOf(0).schema.fieldNames.length === 3)
+    // evolution is additive: dropping columns still rejected
+    intercept[IllegalArgumentException](
+      t.append(Seq((3, "E")).toDF("id", "firstname"), mergeSchema = true))
+  }
+
   test("time travel state is immutable after later commits") {
     val t = GraftTable.create(spark, tmpDir("gt-"), df((1, "A", "B")))
     val v0 = state(t.versionAsOf(0))
