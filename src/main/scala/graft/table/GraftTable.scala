@@ -184,6 +184,36 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     }
   }
 
+  /** Change data feed, computed from the log: for each commit in
+    * (fromVersion, toVersion], diff the rows of removed vs added files.
+    * Rows only in added files surface as `insert` (an update's post-image);
+    * rows only in removed files as `delete` (an update's pre-image); rows
+    * present in both (rewritten untouched) cancel out via exceptAll.
+    * Columns: table columns + _change_type + _commit_version.
+    * (Delta CDF materializes change files at write time; computing from
+    * file diffs trades one read of the touched files for zero write-path
+    * overhead — the right trade for occasional consumers.) */
+  def changes(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion, s"empty range: ($fromVersion, $toVersion]")
+    val frames = ((fromVersion + 1) to toVersion).map { v =>
+      val prev = log.snapshotAt(v - 1).files.map(f => f.path -> f).toMap
+      val cur = log.snapshotAt(v)
+      val actions = log.readVersion(v)
+      val addedFiles = actions.collect { case a: AddFile => a }
+      val removedFiles = actions.collect { case r: RemoveFile => prev(r.path) }
+      val added =
+        if (addedFiles.isEmpty) readFiles(cur, Nil) else readFiles(cur, addedFiles)
+      val removed =
+        if (removedFiles.isEmpty) readFiles(cur, Nil) else readFiles(cur, removedFiles)
+      added.exceptAll(removed)
+        .withColumn("_change_type", lit("insert"))
+        .unionByName(removed.exceptAll(added)
+          .withColumn("_change_type", lit("delete")))
+        .withColumn("_commit_version", lit(v))
+    }
+    frames.reduce(_ unionByName _)
+  }
+
   /** RESTORE: make the table's HEAD equal an earlier version, as one new
     * commit (Delta RESTORE semantics — history moves forward, nothing is
     * erased, and the restore itself can be time-traveled away from). */

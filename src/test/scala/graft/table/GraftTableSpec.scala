@@ -255,6 +255,24 @@ class GraftTableSpec extends SparkTestBase {
       t.append(Seq((3, "E")).toDF("id", "firstname"), mergeSchema = true))
   }
 
+  test("change data feed: per-commit inserts/deletes from file diffs") {
+    val t = golden()
+    val ch = t.changes(0, 2)
+      .collect()
+      .map(r => (r.getLong(4), r.getString(3), r.getInt(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(ch === Set(
+      // v1 MERGE: Alice updated (pre+post images), Person inserted
+      (1L, "delete", 2, "Alice", "Rogers"),
+      (1L, "insert", 2, "Alice", "Smith"),
+      (1L, "insert", 4, "New", "Person"),
+      // v2 DELETE: two rows removed
+      (2L, "delete", 1, "James", "Bond"),
+      (2L, "delete", 3, "Joe", "Bloggs")))
+    // untouched rows (James/Joe rewritten unchanged in v1) never appear in v1
+    assert(!ch.contains((1L, "insert", 1, "James", "Bond")))
+  }
+
   test("time travel state is immutable after later commits") {
     val t = GraftTable.create(spark, tmpDir("gt-"), df((1, "A", "B")))
     val v0 = state(t.versionAsOf(0))
