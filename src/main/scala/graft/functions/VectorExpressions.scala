@@ -84,6 +84,68 @@ final case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "vec_dot"
 }
 
+/** Native Hamming distance over two equal-length bit arrays (array<int> of
+  * 0/1), codegen'd like DotProduct — the SimHash near-dup filter's hot loop.
+  * Length mismatch or null element → null. */
+final case class HammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.IntegerType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<int> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var d = 0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      if (x.getInt(i) != y.getInt(i)) d += 1
+      i += 1
+    }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      s"""
+         |final int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $d = 0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    if ($x.getInt($i) != $y.getInt($i)) $d++;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $d; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingDistance =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "hamming"
+}
+
 /** Column-API entry points for the native vector expressions. */
 object VectorFunctions {
   /** Dot product of two array<double> columns (codegen'd tight loop). */
@@ -94,4 +156,9 @@ object VectorFunctions {
   /** Cosine similarity built from vecDot (dot / (|a| * |b|)). */
   def cosineSim(a: Column, b: Column, normA: Column, normB: Column): Column =
     vecDot(a, b) / (normA * normB)
+
+  /** Hamming distance of two 0/1 bit arrays (codegen'd tight loop). */
+  def hamming(a: Column, b: Column): Column =
+    GraftSqlShims.columnOf(HammingDistance(
+      GraftSqlShims.expressionOf(a), GraftSqlShims.expressionOf(b)))
 }

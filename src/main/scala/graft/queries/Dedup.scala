@@ -89,6 +89,20 @@ object Dedup {
       .select($"a", $"b", $"est_jaccard")
   }
 
+  /** 64-bit SimHash per doc as a bit array: per bit, +1 if the token hash
+    * has it set else -1, summed over tokens; bit = sign of the sum. */
+  private[queries] def simhashBits(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val th = docTokens(s, dir).withColumn("h", xxhash64($"token"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright($"h", i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    th.groupBy($"doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select($"doc_id",
+        array((0 until 64).map(i => (col(s"b$i") > 0).cast("int")): _*).as("bits"))
+  }
+
   val all: Seq[(String, Q)] = Seq(
 
     // ---- Exact dedup: keep min doc_id per identical text ------------------------
@@ -177,19 +191,38 @@ object Dedup {
     "q44_simhash" -> Q(
       (s, dir) => {
         import s.implicits._
-        val th = docTokens(s, dir).withColumn("h", xxhash64($"token"))
-        // per bit: +1 if set, -1 if not; simhash bit = sign of the sum
-        val bitSums = (0 until 64).map { i =>
-          sum(when(shiftright($"h", i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
-        }
-        th.groupBy($"doc_id")
-          .agg(bitSums.head, bitSums.tail: _*)
-          .select($"doc_id",
-            array((0 until 64).map(i => (col(s"b$i") > 0).cast("int")): _*).as("bits"))
+        simhashBits(s, dir)
           .withColumn("simhash_hex",
             expr("conv(concat_ws('', transform(reverse(bits), b -> cast(b as string))), 2, 16)"))
           .select($"doc_id", $"simhash_hex", $"bits")
           .orderBy($"doc_id")
+      },
+      None),
+
+    // ---- SimHash near-dup pairs: banded buckets + native hamming filter -----------
+    // 64 bits in 4 bands of 16: any pair within hamming distance 3 shares
+    // at least one identical band (pigeonhole), so the equi-join on
+    // (band, band bits) finds all close pairs without an all-pairs scan;
+    // the codegen'd hamming() then filters exactly.
+    "q46_simhash_pairs" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.VectorFunctions.hamming
+        val bits = simhashBits(s, dir)
+        val banded = bits.select($"doc_id", $"bits",
+            posexplode(expr("transform(sequence(0, 3), b -> slice(bits, b * 16 + 1, 16))")))
+          .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_bits"))
+        val l = banded.select($"band", $"band_bits", $"doc_id".as("a"))
+        val r = banded.select($"band", $"band_bits", $"doc_id".as("b"))
+        val pairs = l.join(r, Seq("band", "band_bits")).filter($"a" < $"b")
+          .select($"a", $"b").distinct()
+        pairs
+          .join(bits.select($"doc_id".as("a"), $"bits".as("bits_a")), "a")
+          .join(bits.select($"doc_id".as("b"), $"bits".as("bits_b")), "b")
+          .withColumn("hamming_dist", hamming($"bits_a", $"bits_b"))
+          .filter($"hamming_dist" <= 3)
+          .select($"a", $"b", $"hamming_dist")
+          .orderBy($"a", $"b")
       },
       None),
 

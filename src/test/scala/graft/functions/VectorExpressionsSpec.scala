@@ -46,6 +46,25 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(r(0).getDouble(0) === 32.0)
   }
 
+  test("hamming: codegen matches interpreted zip_with count; null/length semantics") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.hamming
+    val rnd = new scala.util.Random(3)
+    val bits = (0 until 60).map(i => (i.toLong, Array.fill(64)(rnd.nextInt(2))))
+      .toDF("id", "b")
+    val both = bits.as("x").crossJoin(bits.as("y")).limit(1500)
+      .withColumn("native", hamming($"x.b", $"y.b"))
+      .withColumn("hof", expr("size(filter(zip_with(x.b, y.b, (p, q) -> p != q), t -> t))"))
+    assert(both.filter($"native" =!= $"hof").count() === 0)
+    val mismatch = Seq((Array(1, 0), Array(1))).toDF("a", "b")
+      .select(hamming($"a", $"b")).collect()
+    assert(mismatch(0).isNullAt(0))
+    // SQL registration
+    new GraftExtensionsInstaller().install(spark)
+    assert(spark.sql("SELECT hamming(array(1,0,1), array(1,1,1)) AS h")
+      .collect()(0).getInt(0) === 1)
+  }
+
   test("float-array input coerces and matches double math") {
     import spark.implicits._
     val f = Seq((Array(1.5f, 2.5f), Array(2.0f, 4.0f))).toDF("a", "b")
@@ -65,5 +84,9 @@ class GraftExtensionsInstaller {
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
       children => DotProduct(children.head, children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      new FunctionIdentifier("hamming"),
+      new ExpressionInfo(classOf[HammingDistance].getName, "hamming"),
+      children => HammingDistance(children.head, children(1)))
   }
 }

@@ -39,6 +39,32 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out(1).isNullAt(3))
   }
 
+  test("randomized equivalence with the quadratic reference formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    val left = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(8).toLong, ts(rnd.nextInt(500)))).toDF("event_id", "user_id", "ts")
+    val right = (1 to 200).map(i =>
+      (rnd.nextInt(8).toLong, ts(rnd.nextInt(500)), rnd.nextInt(1000).toDouble))
+      .toDF("user_id", "ts", "value")
+      .dropDuplicates("user_id", "ts") // unique (key, ts) → both formulations total
+
+    val fast = AsOfJoin.asof(left, right, Seq("user_id"), "ts", "ts", Seq("value"))
+      .select($"event_id", $"asof_value")
+
+    // reference: candidate join + keep the max right ts per left row
+    val naive = left.as("l")
+      .join(right.as("r"), $"l.user_id" === $"r.user_id" && $"l.ts" >= $"r.ts", "left")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy($"event_id").orderBy($"r.ts".desc_nulls_last)))
+      .filter($"rn" === 1)
+      .select($"event_id", $"r.value".as("asof_value"))
+
+    assert(fast.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(fast).count() === 0)
+  }
+
   test("multiple carried right columns") {
     import spark.implicits._
     val left = Seq((1L, 1L, ts(10))).toDF("event_id", "user_id", "ts")

@@ -60,6 +60,15 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(hamming(rows(1L), rows(90002L)) <= 8)
   }
 
+  test("simhash banded pairs find the planted exact duplicate") {
+    import spark.implicits._
+    val pairs = graft.SparkEntry.queries("q46_simhash_pairs")(spark, plantedDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val exact = pairs.find(p => p._1 == 0L && p._2 == 90001L)
+    assert(exact.isDefined, s"exact dup pair missing from ${pairs.take(20).toSeq}")
+    assert(exact.get._3 === 0, "identical docs must be at hamming 0")
+  }
+
   test("ANN bucket contains the query itself; hits are a subset of brute-force ranking") {
     import spark.implicits._
     val brute = graft.SparkEntry.queries("q50_knn_brute")(spark, sfDir)
