@@ -152,5 +152,34 @@ object Text {
       """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_unique, MIN(fp) AS min_fp
         |FROM (SELECT source, md5(lower(trim(text))) AS fp FROM documents)
         |GROUP BY source ORDER BY source""".stripMargin),
+
+    // ---- Array function surface: union/except/slice/sort/contains -----------------
+    "q35_array_funcs" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val toks = array_distinct(split($"text", " "))
+        Tables.documents(s, dir)
+          .withColumn("toks", array_sort(toks))
+          .withColumn("head3", slice($"toks", 1, 3))
+          .select(
+            $"doc_id",
+            size($"toks").as("n_distinct"),
+            array_join($"head3", ",").as("first3"),
+            size(array_except($"toks", typedLit(stopwords))).as("n_nonstop"),
+            size(array_union($"head3", typedLit(Seq("query", "table")))).as("n_union"),
+            array_contains($"toks", "table").cast("int").as("has_table"),
+            element_at($"toks", -1).as("last_tok"))
+          .orderBy($"doc_id")
+      },
+      """SELECT doc_id,
+        |  len(toks) AS n_distinct,
+        |  array_to_string(toks[1:3], ',') AS first3,
+        |  len(list_filter(toks, t -> NOT list_contains(['the','a','of','and','to','in'], t))) AS n_nonstop,
+        |  len(list_distinct(list_concat(toks[1:3], ['query', 'table']))) AS n_union,
+        |  CASE WHEN list_contains(toks, 'table') THEN 1 ELSE 0 END AS has_table,
+        |  toks[-1] AS last_tok
+        |FROM (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin),
   )
 }
