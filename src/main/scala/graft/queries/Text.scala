@@ -153,6 +153,46 @@ object Text {
         |FROM (SELECT source, md5(lower(trim(text))) AS fp FROM documents)
         |GROUP BY source ORDER BY source""".stripMargin),
 
+    // ---- TF-IDF keyword extraction (integer-exact scoring) -------------------------
+    // score = tf * N / df computed from exact integer counts (single double
+    // division at the end → engine-portable, unlike log-based idf whose libm
+    // bits differ across engines). Top-2 keywords per doc via window rank.
+    // Shape at scale: tokens shuffle once for df (bounded by vocabulary),
+    // then a broadcast-sized df table joins back to the token stream.
+    "q36_tfidf_keywords" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val n = docs.count() // tiny action; N is a query parameter at scale
+        val tf = docs.select($"doc_id", explode(split($"text", " ")).as("token"))
+          .filter(length($"token") > 0)
+          .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+        val df_ = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"score".desc, $"token")
+        tf.join(broadcast(df_), "token")
+          .withColumn("score", $"tf" * lit(n).cast("double") / $"df")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 2 && $"doc_id" < 100)
+          .select($"doc_id", $"rn", $"token", $"tf", $"df", $"score")
+          .orderBy($"doc_id", $"rn")
+      },
+      """WITH tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE length(token) > 0 GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, token, tf, df,
+        |    tf * CAST(n AS DOUBLE) / df AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                       ORDER BY tf * CAST(n AS DOUBLE) / df DESC, token) AS rn
+        |  FROM tf JOIN df USING (token) CROSS JOIN n)
+        |SELECT doc_id, rn, token, tf, df, score
+        |FROM scored WHERE rn <= 2 AND doc_id < 100
+        |ORDER BY doc_id, rn""".stripMargin),
+
     // ---- Array function surface: union/except/slice/sort/contains -----------------
     "q35_array_funcs" -> Q(
       (s, dir) => {
