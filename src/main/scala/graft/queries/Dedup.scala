@@ -194,7 +194,9 @@ object Dedup {
         simhashBits(s, dir)
           .withColumn("simhash_hex",
             expr("conv(concat_ws('', transform(reverse(bits), b -> cast(b as string))), 2, 16)"))
-          .select($"doc_id", $"simhash_hex", $"bits")
+          // hex only: the raw bits array would crash the driver's pandas
+          // comparator (arrays are unhashable when it sorts rows)
+          .select($"doc_id", $"simhash_hex")
           .orderBy($"doc_id")
       },
       None),

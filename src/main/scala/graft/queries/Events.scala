@@ -131,9 +131,10 @@ object Events {
                count($"k").as("n_k"), sum($"k2").as("sum_k2"))
           .orderBy($"event_type")
       },
+      // CAST(SUM(..)) needed: DuckDB SUM(BIGINT) yields HUGEINT (renders N.0)
       """SELECT event_type,
-        |  SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k, COUNT(k) AS n_k,
-        |  SUM(k) AS sum_k2
+        |  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k, COUNT(k) AS n_k,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k2
         |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin),

@@ -126,8 +126,9 @@ object Text {
                (sum($"n_word").cast("double") / count(lit(1))).as("avg_words"))
           .orderBy($"lang")
       },
+      // CAST(SUM(..)) needed: DuckDB SUM(BIGINT) yields HUGEINT (renders N.0)
       """SELECT lang,
-        |  SUM(n_word) AS sum_words, SUM(n_num) AS sum_nums, MAX(n_word) AS max_words,
+        |  CAST(SUM(n_word) AS BIGINT) AS sum_words, CAST(SUM(n_num) AS BIGINT) AS sum_nums, MAX(n_word) AS max_words,
         |  CAST(SUM(n_word) AS DOUBLE) / COUNT(*) AS avg_words
         |FROM (SELECT lang, len(regexp_extract_all(text, '[a-z]+')) AS n_word,
         |             len(regexp_extract_all(text, '[0-9]+')) AS n_num

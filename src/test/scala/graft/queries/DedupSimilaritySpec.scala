@@ -50,8 +50,7 @@ class DedupSimilaritySpec extends SparkTestBase {
 
   test("exact copy has identical simhash; near copy is close in hamming") {
     import spark.implicits._
-    val q = graft.SparkEntry.queries("q44_simhash")
-    val rows = q(spark, plantedDir)
+    val rows = Dedup.simhashBits(spark, plantedDir)
       .select($"doc_id", $"bits")
       .filter($"doc_id".isin(0, 1, 90001, 90002, 2))
       .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
