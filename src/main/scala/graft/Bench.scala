@@ -24,15 +24,24 @@ object Bench {
     // untimed warmup: shuffle + codegen + vectorized parquet read paths
     Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().collect()
 
+    // A failed query is recorded as -1 (never a silent ~0s success) and
+    // reported loudly on stderr; the JSON also carries the failed names.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val failure = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
+          Some(e)
+      }
+      name -> (if (failure.isDefined) -1.0 else (System.nanoTime() - t0) / 1e9)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
+    if (results.exists(_._2 < 0)) sys.exit(1)
   }
 }

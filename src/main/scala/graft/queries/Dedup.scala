@@ -151,15 +151,25 @@ object Dedup {
       None),
 
     // ---- Exact n-gram (3-shingle) Jaccard via inverted-index join ------------------
-    // Candidates = pairs sharing >= 1 shingle (the inverted index bounds the
-    // quadratic blowup); Jaccard from integer intersection/union counts.
+    // Candidates = pairs sharing >= 1 KEPT shingle. Shingles with document
+    // frequency > DfCap are dropped before the self-join (identically in the
+    // oracle): a shingle shared by k docs fans out to k^2 pairs in its join
+    // group, so on a Zipfian corpus the hot head would dominate the join —
+    // and those shingles carry no near-dup signal anyway. Sizes and Jaccard
+    // are computed over the capped shingle sets on both sides, so the result
+    // stays an exact (capped-universe) Jaccard. At the synthetic corpus's
+    // uniform df (max 25) the cap never binds; at 100 TB it is the bound
+    // that keeps the join linear in the corpus.
     "q43_ngram_jaccard" -> Q(
       (s, dir) => {
         import s.implicits._
+        val DfCap = 1000
         val sh = docShingles(s, dir)
-        val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-        val a = sh.select($"shingle", $"doc_id".as("a"))
-        val b = sh.select($"shingle", $"doc_id".as("b"))
+        val dfs = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+        val kept = sh.join(dfs.filter($"df" <= DfCap).select($"shingle"), "shingle")
+        val sizes = kept.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val a = kept.select($"shingle", $"doc_id".as("a"))
+        val b = kept.select($"shingle", $"doc_id".as("b"))
         val inter = a.join(b, "shingle").filter($"a" < $"b")
           .groupBy($"a", $"b").agg(count(lit(1)).as("n_inter"))
         inter
@@ -170,12 +180,15 @@ object Dedup {
           .select($"a", $"b", $"n_inter", $"jaccard")
           .orderBy($"a", $"b")
       },
-      """WITH sh AS (
+      """WITH sh0 AS (
         |  SELECT doc_id, unnest(list_distinct(sh)) AS shingle FROM (
         |    SELECT doc_id,
         |      [array_to_string(toks[i:i+2], ' ')
         |       FOR i IN range(1, len(toks) - 1)] AS sh
         |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))),
+        |dfs AS (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY 1),
+        |sh AS (SELECT s.doc_id, s.shingle FROM sh0 s JOIN dfs USING (shingle)
+        |       WHERE dfs.df <= 1000),
         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
         |inter AS (
         |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_inter
@@ -228,23 +241,38 @@ object Dedup {
       },
       None),
 
-    // ---- Embedding-cosine near-dup pairs --------------------------------------------
-    // Brute all-pairs at test scale; the LSH-bucketed scale path is
-    // q51_ann_lsh (Similarity). Dot products fold in index order in both
-    // engines; output rounded to 6 dp to absorb the last-bit difference
-    // between (a·b)/(|a||b|) evaluation orders.
+    // ---- Embedding-cosine near-dup pairs (sign-bit LSH + exact rescore) -----------
+    // Scale shape: candidates come from a banded equi-join on the vector's
+    // 64 coordinate sign bits (4 bands x 16 bits — the same pigeonhole
+    // machinery as q46: any pair within hamming distance 3 of each other's
+    // sign sketch MUST share a band), then the exact cosine filters the
+    // candidates. This replaces the r1/r2 all-pairs crossJoin: the join fans
+    // out only within sign-buckets, so work scales with bucket occupancy,
+    // not n^2. Because the bands are plain sign bits (no hash), the DuckDB
+    // twin performs the identical banding — the oracle stays a full
+    // rows+hash check. Recall semantics: guaranteed for sketch-hamming <= 3
+    // (true near-dups); genuine low-similarity retrieval is q50/q51's job.
+    // DedupSimilaritySpec additionally asserts candidates ⊆ brute-force
+    // pairs with identical cosines, and that planted near-dups are found.
     "q45_embedding_neardup" -> Q(
       (s, dir) => {
         import s.implicits._
+        import graft.functions.VectorFunctions.vecDot
         val e = Tables.embeddings(s, dir)
           .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
-        import graft.functions.VectorFunctions.vecDot
+        val bits = e.withColumn("bits", expr("transform(v, x -> if(x > 0d, 1, 0))"))
+        val banded = bits.select($"vec_id",
+            posexplode(expr("transform(sequence(0, 3), b -> slice(bits, b * 16 + 1, 16))")))
+          .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_bits"))
+        val l = banded.select($"band", $"band_bits", $"vec_id".as("a"))
+        val r = banded.select($"band", $"band_bits", $"vec_id".as("b"))
+        val pairs = l.join(r, Seq("band", "band_bits")).filter($"a" < $"b")
+          .select($"a", $"b").distinct()
         val withNorm = e.withColumn("nrm", sqrt(vecDot($"v", $"v")))
-        val l = withNorm.select($"vec_id".as("a"), $"v".as("va"), $"nrm".as("na"))
-        val r = withNorm.select($"vec_id".as("b"), $"v".as("vb"), $"nrm".as("nb"))
-        l.crossJoin(r).filter($"a" < $"b")
-          .withColumn("dot", vecDot($"va", $"vb"))
-          .withColumn("cos_sim", round($"dot" / ($"na" * $"nb"), 6))
+        pairs
+          .join(withNorm.select($"vec_id".as("a"), $"v".as("va"), $"nrm".as("na")), "a")
+          .join(withNorm.select($"vec_id".as("b"), $"v".as("vb"), $"nrm".as("nb")), "b")
+          .withColumn("cos_sim", round(vecDot($"va", $"vb") / ($"na" * $"nb"), 6))
           .filter($"cos_sim" >= 0.3)
           .select($"a", $"b", $"cos_sim")
           .orderBy($"a", $"b")
@@ -252,10 +280,20 @@ object Dedup {
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
+        |bits AS (
+        |  SELECT vec_id, list_transform(v, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END) AS b
+        |  FROM e),
+        |banded AS (
+        |  SELECT vec_id, i AS band, array_to_string(b[(i*16+1):(i*16+16)], '') AS bb
+        |  FROM bits, (SELECT unnest(range(4)) AS i)),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        |  FROM banded x JOIN banded y ON x.band = y.band AND x.bb = y.bb
+        |  WHERE x.vec_id < y.vec_id),
         |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e)
-        |SELECT x.vec_id AS a, y.vec_id AS b,
+        |SELECT a, b,
         |  round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cos_sim
-        |FROM n x JOIN n y ON x.vec_id < y.vec_id
+        |FROM cand JOIN n x ON x.vec_id = a JOIN n y ON y.vec_id = b
         |WHERE round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.3
         |ORDER BY a, b""".stripMargin),
   )

@@ -139,6 +139,41 @@ object Events {
         |      FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin),
 
+    // ---- Map functions: build / filter / transform / lookup ---------------------
+    // The version-keyed-map surface (reference api.py:67 keeps a
+    // version -> DataFrame JSON map): per-type event counts assembled into a
+    // MapType column with map_from_entries, then exercised end-to-end —
+    // element_at lookup, map_filter, map_keys/map_values, transform_values,
+    // map_concat. Output is scalars only (the driver's comparator can't hash
+    // map cells); the DuckDB twin computes the same scalars relationally —
+    // the oracle checks the semantics, not the container. Collecting the map
+    // is safe at any scale: its size is the event-type cardinality, not the
+    // row count.
+    "q37_map_funcs" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"))
+          .agg(map_from_entries(array_sort(collect_list(struct($"event_type", $"n")))).as("m"))
+          .select(
+            size($"m").as("n_types"),
+            element_at($"m", "click").as("click_n"),
+            array_join(array_sort(map_keys(map_filter($"m", (_, v) => v > 2000))), ",")
+              .as("big_types"),
+            expr("aggregate(map_values(m), 0L, (acc, x) -> acc + x)").as("total_events"),
+            element_at(transform_values($"m", (_, v) => v * 2), "view").as("view_doubled"),
+            size(map_concat($"m", map(lit("__sentinel"), lit(0L)))).as("n_concat"))
+      },
+      """WITH t AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1)
+        |SELECT (SELECT COUNT(*) FROM t) AS n_types,
+        |  (SELECT n FROM t WHERE event_type = 'click') AS click_n,
+        |  coalesce((SELECT array_to_string(list_sort(list(event_type)), ',')
+        |            FROM t WHERE n > 2000), '') AS big_types,
+        |  (SELECT CAST(SUM(n) AS BIGINT) FROM t) AS total_events,
+        |  (SELECT n * 2 FROM t WHERE event_type = 'view') AS view_doubled,
+        |  (SELECT COUNT(*) + 1 FROM t) AS n_concat""".stripMargin),
+
     // ---- Sessionization via window functions + top sessions by revenue ----------
     // Same session semantics as q23 but built from lag/cumsum (the portable
     // formulation), then ranked. Shuffle: one exchange on user_id for the

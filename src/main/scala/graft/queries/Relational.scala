@@ -396,6 +396,28 @@ object Relational {
          |GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
          |ORDER BY gid, y, o_orderstatus""".stripMargin),
 
+    // ---- CUBE (all grouping-set combinations) -----------------------------------
+    // Same single-pass Expand + hash agg as rollup, but over all 4 subsets of
+    // the grouping keys: (year, status), (year), (status), (). grouping_id
+    // separates subtotal rows from genuine NULL groups.
+    "q18_cube" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .cube(year($"o_orderdate").as("y"), $"o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+               sumExact($"o_totalprice").as("sum_price"),
+               grouping_id().as("gid"))
+          .orderBy($"gid", $"y", $"o_orderstatus")
+      },
+      s"""SELECT year(o_orderdate) AS y, o_orderstatus,
+         |  COUNT(*) AS n_orders,
+         |  ${sqlSumExact("o_totalprice")} AS sum_price,
+         |  GROUPING(year(o_orderdate), o_orderstatus) AS gid
+         |FROM orders
+         |GROUP BY CUBE (year(o_orderdate), o_orderstatus)
+         |ORDER BY gid, y, o_orderstatus""".stripMargin),
+
     // ---- Correlated scalar + IN subqueries (SQL front door) ---------------------
     // Catalyst decorrelates both subqueries into joins (no per-row
     // re-execution); the same text runs in DuckDB. Exact decimal MAX keeps

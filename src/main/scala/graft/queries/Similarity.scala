@@ -71,25 +71,42 @@ object Similarity {
         |FROM n, q WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
 
-    // ---- Centroid similarity per label (embedding aggregation) -----------------
-    // Element-wise mean vector per label, then cosine of each label centroid
-    // against the global centroid. Aggregation via posexplode → (label, dim)
-    // partial sums: one narrow shuffle of label x dim rows, exact integer
-    // counts, sums rounded before compare.
+    // ---- Centroid stats per label (embedding aggregation) ----------------------
+    // Element-wise mean vector per label via posexplode → (label, dim)
+    // partial sums: one narrow shuffle of label x dim rows. Exactness: each
+    // element is normalized to DECIMAL(25,9) per row (same rounding in both
+    // engines), summed exactly in decimal (order-independent), and the
+    // decimal total — exactly representable as a double at these magnitudes —
+    // is divided once in double by the exact count. No order-dependent
+    // double accumulation remains, so the query is oracle-checked like every
+    // other aggregate (the Exact.dec discipline, at embedding precision).
     "q52_label_centroids" -> Q(
       (s, dir) => {
         import s.implicits._
         val dims = normed(s, dir)
           .select($"label", posexplode($"v"))
           .groupBy($"label", $"pos")
-          .agg(sum($"col").as("s"), count(lit(1)).as("n"))
+          .agg(sum($"col".cast("decimal(25,9)")).cast("double").as("s"),
+               count(lit(1)).as("n"))
         dims.groupBy($"label")
           .agg(count(lit(1)).as("n_dims"),
                round(max($"s" / $"n"), 6).as("max_mean_dim"),
                round(min($"s" / $"n"), 6).as("min_mean_dim"))
           .orderBy($"label")
       },
-      None), // SUM(double) over per-dim groups is order-dependent; scalatest-covered
+      """WITH e AS (
+        |  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT label, i AS pos, CAST(v[i] AS DECIMAL(25,9)) AS c
+        |  FROM e, (SELECT unnest(range(1, 65)) AS i)),
+        |dims AS (
+        |  SELECT label, pos, CAST(SUM(c) AS DOUBLE) AS s, COUNT(*) AS n
+        |  FROM d GROUP BY 1, 2)
+        |SELECT label, COUNT(*) AS n_dims,
+        |  round(MAX(s / n), 6) AS max_mean_dim,
+        |  round(MIN(s / n), 6) AS min_mean_dim
+        |FROM dims GROUP BY label ORDER BY label""".stripMargin),
 
     // ---- LSH-bucketed ANN (scale path; no SQL twin: xxhash64 buckets) -----------
     // Probes only the query vector's bucket; recall vs q50 checked in

@@ -25,5 +25,27 @@ object Streaming {
       s"""SELECT strftime(to_timestamp(floor(epoch(ts) / 600) * 600), '%Y-%m-%d %H:%M:%S') AS w_start,
          |  event_type, COUNT(*) AS n, ${sqlSumExact("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type LIMIT 500""".stripMargin),
+
+    // ---- Watermarked Append-mode streaming (the scale-safe shape) -------------
+    // withWatermark bounds state: a window is emitted once, when the watermark
+    // (max event time - 30 min) passes its end, then evicted. The oracle is
+    // the batch answer under the same cutoff: windows with
+    // end_ms <= max(ts)_ms - 30*60*1000 (Spark tracks event time at ms
+    // precision, hence the epoch_ms arithmetic in the twin).
+    "q81_stream_watermarked" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val streamed = EventStreams.watermarkedTumblingCounts(
+          EventStreams.readEventStream(s, dir), delay = "30 minutes")
+        EventStreams.runAppendToFiles(s, streamed)
+          .orderBy($"w_start", $"event_type")
+          .limit(500)
+      },
+      s"""WITH m AS (SELECT epoch_ms(max(ts)) - 30 * 60 * 1000 AS wm_ms FROM events)
+         |SELECT strftime(to_timestamp(floor(epoch(ts) / 600) * 600), '%Y-%m-%d %H:%M:%S') AS w_start,
+         |  event_type, COUNT(*) AS n, ${sqlSumExact("value")} AS sum_value
+         |FROM events, m
+         |WHERE (floor(epoch(ts) / 600) * 600 + 600) * 1000 <= wm_ms
+         |GROUP BY 1, 2 ORDER BY w_start, event_type LIMIT 500""".stripMargin),
   )
 }

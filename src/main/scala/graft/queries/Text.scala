@@ -164,7 +164,9 @@ object Text {
       (s, dir) => {
         import s.implicits._
         val docs = Tables.documents(s, dir)
-        val n = docs.count() // tiny action; N is a query parameter at scale
+        // N folded into the plan (single-row broadcast cross join, exactly
+        // like the oracle's CROSS JOIN n) — no driver-side count() job.
+        val nDf = docs.agg(count(lit(1)).cast("double").as("n_total"))
         val tf = docs.select($"doc_id", explode(split($"text", " ")).as("token"))
           .filter(length($"token") > 0)
           .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
@@ -172,7 +174,8 @@ object Text {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy($"doc_id").orderBy($"score".desc, $"token")
         tf.join(broadcast(df_), "token")
-          .withColumn("score", $"tf" * lit(n).cast("double") / $"df")
+          .crossJoin(broadcast(nDf))
+          .withColumn("score", $"tf" * $"n_total" / $"df")
           .withColumn("rn", row_number().over(w))
           .filter($"rn" <= 2 && $"doc_id" < 100)
           .select($"doc_id", $"rn", $"token", $"tf", $"df", $"score")

@@ -59,7 +59,14 @@ object EventStreams {
   /** Run a (finite) streaming aggregation to completion: AvailableNow
     * trigger + complete mode into a memory sink; returns the result table.
     * Complete mode needs no watermark, so a finite replay reproduces the
-    * batch answer exactly — that is the parity property q80 oracle-checks. */
+    * batch answer exactly — that is the parity property q80 oracle-checks.
+    *
+    * Cost note (bench): a streaming query pays fixed machinery per run —
+    * checkpoint WAL commits, state-store snapshot per shuffle partition,
+    * micro-batch planning — ~1-4 s regardless of data size, with run-to-run
+    * scatter from checkpoint I/O. That is the price of exercising the real
+    * streaming path; the scale-safe production shape is `runAppendToFiles`
+    * (watermarked, incremental emission, no driver materialization). */
   def runToMemory(spark: SparkSession, streamed: DataFrame): DataFrame = {
     val name = s"graft_stream_${UUID.randomUUID().toString.replace("-", "")}"
     val q = streamed.writeStream
@@ -70,6 +77,38 @@ object EventStreams {
       .start()
     q.awaitTermination()
     spark.table(name)
+  }
+
+  /** Watermarked tumbling aggregation: the Append-mode (scale-safe) twin of
+    * `tumblingCounts`. The watermark bounds state — windows older than
+    * max(event time) - delay are finalized, emitted once, and evicted, so
+    * state never grows with stream length and late rows beyond the delay are
+    * dropped. This is the shape that survives an unbounded stream; Complete
+    * mode (q80) re-emits everything per trigger and keeps all state forever. */
+  def watermarkedTumblingCounts(events: DataFrame, delay: String = "30 minutes"): DataFrame =
+    tumblingCounts(events.withWatermark("ts", delay))
+
+  /** Run a watermarked Append-mode aggregation over a finite replay into a
+    * parquet file sink (the production sink shape: executors write files,
+    * nothing materializes on the driver) and return the written result.
+    *
+    * Emission semantics on a single-batch replay: the watermark advances to
+    * max(event time) - delay after the data batch, then the trailing no-data
+    * micro-batch finalizes and emits exactly the windows whose end <= that
+    * watermark — a pure function of the input, which is what the DuckDB
+    * oracle (same cutoff in SQL) checks. */
+  def runAppendToFiles(spark: SparkSession, streamed: DataFrame): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-append-")
+    val outDir = base.resolve("out").toString
+    val q = streamed.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", base.resolve("chk").toString)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
   }
 
   /** Continuous ingestion into a GraftTable: each micro-batch commits one

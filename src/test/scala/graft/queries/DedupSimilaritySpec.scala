@@ -68,6 +68,57 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(exact.get._3 === 0, "identical docs must be at hamming 0")
   }
 
+  /** embeddings + planted near-dup vectors: exact copy of vec 0 as 99001,
+    * epsilon-scaled copy of vec 1 (all coordinate signs preserved, so the
+    * sign sketch is identical → q45's pigeonhole guarantee applies) as 99002. */
+  private lazy val plantedVecDir: String = {
+    import spark.implicits._
+    val dir = tmpDir("planted-vec-")
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val base = e.filter($"vec_id".isin(0L, 1L))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("label"), r.getSeq[Float](r.fieldIndex("embedding")).toVector))).toMap
+    val v0 = base(0L)._2
+    val v1near = base(1L)._2.map(x => x * 1.001f)
+    val planted = Seq((99001L, base(0L)._1, v0), (99002L, base(1L)._1, v1near))
+      .toDF("vec_id", "label", "embedding")
+    e.unionByName(planted).coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("q45 banded pairs are a subset of brute-force pairs with identical cosines") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.vecDot
+    val banded = graft.SparkEntry.queries("q45_embedding_neardup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute-force reference (the r1/r2 crossJoin shape, now spec-side only)
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", sqrt(vecDot($"v", $"v")))
+    val l = e.select($"vec_id".as("a"), $"v".as("va"), $"nrm".as("na"))
+    val r = e.select($"vec_id".as("b"), $"v".as("vb"), $"nrm".as("nb"))
+    val brute = l.crossJoin(r).filter($"a" < $"b")
+      .withColumn("cos_sim", round(vecDot($"va", $"vb") / ($"na" * $"nb"), 6))
+      .filter($"cos_sim" >= 0.3)
+      .select($"a", $"b", $"cos_sim")
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    banded.foreach { case (pair, cos) =>
+      assert(brute.get(pair).contains(cos),
+        s"banded pair $pair cos=$cos not in (or differs from) brute force")
+    }
+  }
+
+  test("q45 finds planted exact and sign-preserving near-duplicate embeddings") {
+    import spark.implicits._
+    val pairs = graft.SparkEntry.queries("q45_embedding_neardup")(spark, plantedVecDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.get((0L, 99001L)).exists(_ >= 0.999999),
+      s"exact dup pair missing: ${pairs.keySet.take(20)}")
+    assert(pairs.get((1L, 99002L)).exists(_ >= 0.999),
+      s"near dup pair missing: ${pairs.keySet.take(20)}")
+  }
+
   test("ANN bucket contains the query itself; hits are a subset of brute-force ranking") {
     import spark.implicits._
     val brute = graft.SparkEntry.queries("q50_knn_brute")(spark, sfDir)
@@ -91,6 +142,43 @@ class DedupSimilaritySpec extends SparkTestBase {
       .filter($"label" === labels.head).collect().map(_.getLong(0))
     val ivfIds = ivf.map(_.getLong(0)).toSeq
     assert(ivfIds.take(brute.length) === brute.take(ivfIds.length).toSeq)
+  }
+
+  /** embeddings + 10 planted true neighbors of the query vector (vec 0):
+    * positively-scaled copies, i.e. cosine exactly 1 and identical hyperplane
+    * sign pattern. This is the regime ANN structures actually promise recall
+    * in — the natural synthetic vectors are near-uniform (max pairwise cosine
+    * ~0.6), where "top-10 at cosine 0.5" is adversarial for ANY bucketed
+    * index (measured: single-bucket recall ~0), so quantified recall is
+    * asserted on planted neighbors, not noise. */
+  private lazy val annRecallDir: String = {
+    import spark.implicits._
+    val dir = tmpDir("planted-ann-")
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val q0 = e.filter($"vec_id" === 0L)
+      .collect().map(r => (r.getAs[Int]("label"), r.getSeq[Float](r.fieldIndex("embedding")).toVector)).head
+    val planted = (1 to 10).map { i =>
+      (99100L + i, q0._1, q0._2.map(x => x * (1.0f + 0.001f * i)))
+    }.toDF("vec_id", "label", "embedding")
+    e.unionByName(planted).coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("ANN recall@10 vs brute force on planted neighbors: q51 and q53 >= 0.8") {
+    import spark.implicits._
+    val brute = graft.SparkEntry.queries("q50_knn_brute")(spark, annRecallDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(brute.count(_ >= 99100L) === 10,
+      s"fixture broken: planted neighbors are not the brute-force top-10: $brute")
+    val lsh = graft.SparkEntry.queries("q51_ann_lsh")(spark, annRecallDir)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = graft.SparkEntry.queries("q53_ann_ivf")(spark, annRecallDir)
+      .collect().map(_.getLong(0)).toSet
+    val lshRecall = (lsh & brute).size / 10.0
+    val ivfRecall = (ivf & brute).size / 10.0
+    info(s"recall@10: lsh=$lshRecall ivf=$ivfRecall")
+    assert(lshRecall >= 0.8, s"q51 LSH recall@10 $lshRecall < 0.8")
+    assert(ivfRecall >= 0.8, s"q53 IVF recall@10 $ivfRecall < 0.8")
   }
 
   test("q52 centroid stats are stable across runs") {

@@ -78,6 +78,50 @@ class ModelCheckSpec extends SparkTestBase {
     assert(t.history().count() === versions.size)
   }
 
+  test("stale non-append writer gets ConcurrentModificationException; winner's state intact") {
+    val t = GraftTable.create(spark, tmpDir("conc-dml-"),
+      df(Seq((0, "s", "s"), (1, "a", "a"), (2, "b", "b"))))
+    val v0 = t.latestVersion
+    // writer A lands its DELETE
+    t.delete(col("id") === 1)
+    // writer B planned against the now-stale snapshot v0 and tries to commit
+    // the same version number — the atomic log rejects it outright (non-append
+    // DML is NOT retried: its rewrite was computed against stale files)
+    intercept[java.util.ConcurrentModificationException] {
+      t.log.commit(v0 + 1, Seq(
+        CommitInfo(v0 + 1, t.log.nextTimestamp(), "DELETE", Map())))
+    }
+    // state is exactly writer A's outcome; B left no trace in the log
+    assert(state(t.toDF) === Map(0 -> ("s", "s"), 2 -> ("b", "b")))
+    assert(t.latestVersion === v0 + 1)
+  }
+
+  test("racing DELETE writers: loser (if any) conflicts cleanly, never half-applies") {
+    val ids = 0 to 9
+    val t = GraftTable.create(spark, tmpDir("conc-race-"),
+      df(ids.map(i => (i, s"f$i", s"l$i"))))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def deleter(lo: Int, hi: Int) = new Thread(() => {
+      barrier.await()
+      try t.delete(col("id").between(lo, hi))
+      catch { case e: Throwable => errs.add(e) }
+    })
+    val a = deleter(0, 1); val b = deleter(8, 9)
+    a.start(); b.start(); a.join(); b.join()
+    errs.asScala.foreach(e =>
+      assert(e.isInstanceOf[java.util.ConcurrentModificationException],
+        s"unexpected failure kind: $e"))
+    val remaining = state(t.toDF).keySet
+    val expected = errs.size match {
+      case 0 => Set(ids.toSet -- Set(0, 1, 8, 9))             // serialized: both landed
+      case 1 => Set(ids.toSet -- Set(0, 1), ids.toSet -- Set(8, 9)) // one conflicted
+      case _ => Set(ids.toSet)                                 // both conflicted (can't: one must win)
+    }
+    assert(expected.contains(remaining), s"state $remaining not a clean outcome")
+    assert(errs.size <= 1, "at least one racing DELETE must commit")
+  }
+
   test("two concurrent appenders both land via optimistic retry") {
     val t = GraftTable.create(spark, tmpDir("conc-"), df(Seq((0, "s", "s"))))
     val threads = (1 to 4).map { i =>
