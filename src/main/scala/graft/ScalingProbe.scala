@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reproducible scaling evidence for the dedup scale paths (README
+  * "Scaling evidence"): replicates documents/embeddings m× with DISTINCT
+  * content — replica k's tokens are suffixed `_k` (disjoint shingle
+  * universes) and its vectors are rotated by k dimensions (≈ independent
+  * directions) — so output size grows linearly in m and measured wall-clock
+  * growth reflects join work, not a quadratically exploding result.
+  * A replication that copies content verbatim would make ANY implementation
+  * look quadratic: m copies of each doc are m(m-1)/2 genuine near-dup pairs.
+  *
+  * Usage: tools/run.sh graft.ScalingProbe [sfDir] [multipliers...]
+  * Prints one line per (query, m) with rows + seconds.
+  */
+object ScalingProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mults = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 2, 4, 8)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def replicated(m: Int): String = {
+      val dir = s"/tmp/graft-scale-${m}x"
+      if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+        val docs = Tables.documents(spark, sfDir)
+        val vecs = Tables.embeddings(spark, sfDir)
+        val docCopies = (0 until m).map { k =>
+          docs.withColumn("doc_id", $"doc_id" + lit(k.toLong * 10_000_000L))
+            .withColumn("text",
+              concat_ws(" ", expr(s"transform(split(text, ' '), t -> concat(t, '_$k'))")))
+        }
+        docCopies.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        val vecCopies = (0 until m).map { k =>
+          val rot = k % 64
+          vecs.withColumn("vec_id", $"vec_id" + lit(k.toLong * 10_000_000L))
+            .withColumn("embedding",
+              expr(s"concat(slice(embedding, ${rot + 1}, ${64 - rot}), slice(embedding, 1, $rot))"))
+        }
+        vecCopies.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      }
+      dir
+    }
+
+    // warmup
+    Tables.documents(spark, sfDir).groupBy($"lang").count().collect()
+
+    for (q <- Seq("q43_ngram_jaccard", "q45_embedding_neardup"); m <- mults) {
+      val dir = replicated(m)
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(q)(spark, dir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""SCALE {"query":"$q","m":$m,"rows":$rows,"sec":$sec%.2f}""")
+    }
+    spark.stop()
+  }
+}
