@@ -164,9 +164,15 @@ object Dedup {
       (s, dir) => {
         import s.implicits._
         val DfCap = 1000
-        val sh = docShingles(s, dir)
-        val dfs = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
-        val kept = sh.join(dfs.filter($"df" <= DfCap).select($"shingle"), "shingle")
+        // df via a window over shingle, not an agg+join-back: one hash
+        // partitioning on shingle that the self-join below reuses directly
+        // (no second exchange), and one fewer derivation of the tokenized
+        // shingle stream per reference.
+        val byShingle = Window.partitionBy($"shingle")
+        val kept = docShingles(s, dir)
+          .withColumn("df", count(lit(1)).over(byShingle))
+          .filter($"df" <= DfCap)
+          .select($"doc_id", $"shingle")
         val sizes = kept.groupBy($"doc_id").agg(count(lit(1)).as("n"))
         val a = kept.select($"shingle", $"doc_id".as("a"))
         val b = kept.select($"shingle", $"doc_id".as("b"))
