@@ -47,5 +47,24 @@ object Streaming {
          |FROM events, m
          |WHERE (floor(epoch(ts) / 600) * 600 + 600) * 1000 <= wm_ms
          |GROUP BY 1, 2 ORDER BY w_start, event_type LIMIT 500""".stripMargin),
+
+    // ---- Streaming ingest dedup (dropDuplicatesWithinWatermark) ----------------
+    // First-touch per (user, event_type) during ingest, state bounded by the
+    // watermark. On a finite single-batch replay no state evicts mid-stream,
+    // so the emitted key set is exactly the batch DISTINCT — which is what
+    // the oracle checks (summarized per type; the full key set is the
+    // file-sink content).
+    "q82_stream_dedup" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val deduped = EventStreams.streamingFirstTouch(
+          EventStreams.readEventStream(s, dir))
+        EventStreams.runAppendToFiles(s, deduped)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_first_touch"))
+          .orderBy($"event_type")
+      },
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_first_touch
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
   )
 }

@@ -197,6 +197,56 @@ object Text {
         |FROM scored WHERE rn <= 2 AND doc_id < 100
         |ORDER BY doc_id, rn""".stripMargin),
 
+    // ---- Winnowing fingerprints (rolling hash + min-in-window selection) ----------
+    // The standard document-fingerprinting algorithm (Schleimer et al.,
+    // MOSS): polynomial rolling hash over token 3-grams, then the minimum
+    // hash of every window of 4 consecutive grams; the distinct minima are
+    // the document's fingerprints. Guarantees: any shared run of >= 6 tokens
+    // between two documents shares at least one fingerprint. All arithmetic
+    // is integer mod 1e9+7, so the DuckDB twin reproduces it bit-for-bit —
+    // unlike xxhash64-based sketches this one is fully oracle-checked.
+    // Scale shape: pure map-side per-document expression work (no explode,
+    // no shuffle except the output ordering); fingerprints could feed the
+    // same banded pair-join as q42/q46 for matching at corpus scale.
+    "q38_winnow_fingerprint" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .withColumn("toks", split($"text", " "))
+          .filter(size($"toks") >= 6) // 3-gram + window of 4 needs 3+4-1 tokens
+          .withColumn("grams", expr(
+            "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))"))
+          // polynomial rolling hash per gram, folded in char order (g is a
+          // lambda variable, so each gram string materializes exactly once)
+          .withColumn("hs", expr(
+            "transform(grams, g -> aggregate(" +
+              "transform(sequence(1, length(g)), ci -> cast(ascii(substring(g, ci, 1)) as bigint)), " +
+              "cast(0 as bigint), (h, c) -> (h * 31 + c) % 1000000007))"))
+          .withColumn("fps", expr(
+            "array_distinct(transform(sequence(0, size(hs) - 4), j -> array_min(slice(hs, j + 1, 4))))"))
+          .select($"doc_id",
+            size($"fps").as("n_fp"),
+            array_min($"fps").as("min_fp"),
+            array_max($"fps").as("max_fp"),
+            md5(concat_ws(",", expr("array_sort(fps)"))).as("fp_digest"))
+          .orderBy($"doc_id")
+      },
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    [list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |       [CAST(ascii(c) AS BIGINT) FOR c IN split(array_to_string(toks[i:i+2], ' '), '')]),
+        |       (h, c) -> (h * 31 + c) % 1000000007)
+        |     FOR i IN range(1, len(toks) - 1)] AS hs
+        |  FROM t WHERE len(toks) >= 6),
+        |w AS (
+        |  SELECT doc_id,
+        |    list_distinct([list_min(hs[j:j+3]) FOR j IN range(1, len(hs) - 2)]) AS fps
+        |  FROM h)
+        |SELECT doc_id, len(fps) AS n_fp, list_min(fps) AS min_fp, list_max(fps) AS max_fp,
+        |  md5(array_to_string(list_sort(fps), ',')) AS fp_digest
+        |FROM w ORDER BY doc_id""".stripMargin),
+
     // ---- Array function surface: union/except/slice/sort/contains -----------------
     "q35_array_funcs" -> Q(
       (s, dir) => {

@@ -125,6 +125,19 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming ingest deduplication — the exactly-once guard every pipeline
+    * puts in front of its raw feed: first occurrence of each key passes,
+    * re-deliveries are suppressed. `dropDuplicatesWithinWatermark` keeps
+    * per-key state only until the watermark passes (bounded state on an
+    * unbounded stream); keys recurring after eviction would re-emit, which
+    * is the documented at-least-once-within-delay contract. Only the key
+    * columns are projected out, so the (arbitrary) surviving row's other
+    * fields can't make the output nondeterministic. */
+  def streamingFirstTouch(events: DataFrame, delay: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select("user_id", "event_type")
+
   /** Stateful sessionization with flatMapGroupsWithState (the custom-state
     * path the built-in session_window can't express — e.g. carrying running
     * aggregates per session). A session CLOSES when a later event arrives
