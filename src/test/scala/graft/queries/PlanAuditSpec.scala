@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.SparkTestBase
+
+/** Physical-plan invariants, asserted (not just eyeballed via graft.Explain):
+  * the properties that make these queries survive a 100× scale-up are plan
+  * shapes, so regressions in them should fail CI like wrong answers do.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private def plan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q02: filter and projection are pushed into the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(!p.contains("PushedFilters: []"), "filters must reach the scan")
+    // pruned read schema: only the selected + filtered columns are decoded
+    assert(p.contains("ReadSchema"), p.take(2000))
+  }
+
+  test("q03: dimension join is broadcast, top-k plans as TakeOrderedAndProject") {
+    val p = plan("q03_top_revenue_orders")
+    assert(p.contains("BroadcastHashJoin"), "small dim must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+  }
+
+  test("q10: top-k is TakeOrderedAndProject, never a global Sort + Limit") {
+    val p = plan("q10_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q01: aggregation is partial+final (map-side combine before the shuffle)") {
+    val p = plan("q01_pricing_summary")
+    val firstAgg = p.indexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0)
+    assert(p.indexOf("HashAggregate", exchange) >= 0,
+      "final aggregate must follow the exchange")
+  }
+
+  test("q45: banded near-dup plans no cartesian/nested-loop join") {
+    val p = plan("q45_embedding_neardup")
+    assert(!p.contains("CartesianProduct"), "q45 must not plan all-pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "q45 must not plan all-pairs")
+  }
+
+  test("q43: df-cap window feeds the self-join without an extra exchange on shingle") {
+    val p = plan("q43_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"))
+    // window partitioning on shingle is reused by the join: at most one
+    // exchange per derivation of the shingle stream (2 sides + sizes agg +
+    // final sort = 4 hash exchanges max in the whole plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 5, s"unexpected exchange count $exchanges:\n${p.take(1500)}")
+  }
+
+  test("q50: brute-force kNN broadcasts the single query vector, not the corpus") {
+    val p = plan("q50_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the 1-row query side must broadcast")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("no query hot path uses a Scala UDF or collects to the driver") {
+    // interpreted ScalaUDF in a plan defeats whole-stage codegen; the two
+    // sanctioned custom kernels (vec_dot, hamming) are codegen'd Expressions
+    for (q <- Seq("q01_pricing_summary", "q30_token_counts", "q38_winnow_fingerprint",
+                  "q42_minhash_lsh", "q45_embedding_neardup", "q52_label_centroids")) {
+      val p = plan(q)
+      assert(!p.contains("ScalaUDF"), s"$q plans a ScalaUDF")
+    }
+  }
+}
