@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   * candidate pairs, SimHash, exact n-gram Jaccard, and embedding-cosine
   * near-dup pairs.
   *
-  * Oracle policy: md5-based fingerprints and integer set arithmetic are
-  * bit-identical in DuckDB → oracle-checked. MinHash/SimHash build on Spark's
-  * xxhash64 (no DuckDB twin) → rows-only check + scalatest properties
-  * (DedupSpec): planted duplicates must be found, signatures are stable.
+  * Oracle policy: every operator here is oracle-checked. md5 fingerprints
+  * and integer set arithmetic are bit-identical in DuckDB; MinHash/SimHash
+  * build on a portable polynomial hash (identical integer arithmetic via
+  * DuckDB list_reduce), so signatures, bands, candidate pairs and distances
+  * are all hash-verified end-to-end. Scalatest adds the semantic properties
+  * the oracle can't express (planted duplicates found, locality).
   *
   * 100-TB notes: every dedup here is one shuffle keyed by a fixed-width hash
   * (64-bit or md5), so shuffle rows are narrow regardless of document size;
@@ -50,17 +52,33 @@ object Dedup {
   private val Bands = 8
   private val RowsPerBand = MinhashK / Bands
 
+  /** Polynomial rolling hash `(h*base + char) % mod` over a string column's
+    * chars. The point of using this instead of xxhash64: DuckDB reproduces
+    * the identical integer arithmetic (list_reduce), so every sketch built
+    * on it — minhash signatures, LSH candidates, simhash, banded pairs — is
+    * fully oracle-checked instead of spec-only. The LSH machinery is
+    * hash-agnostic; production deployments that don't need cross-engine
+    * verification can swap xxhash64 back in (faster, 64-bit) — one line. */
+  private def polyHash(col: String, base: Int, mod: Long): String =
+    s"aggregate(transform(sequence(1, length($col)), ci -> cast(ascii(substring($col, ci, 1)) as bigint)), " +
+      s"cast(0 as bigint), (h, c) -> (h * $base + c) % $mod)"
+
+  private val M1 = 1000000007L
+  private val M2 = 998244353L
+
   /** MinHash signature per doc over its 3-gram SHINGLE set:
-    * sig[i] = min over shingles of xxhash64(i, shingle). Shingles (not
+    * sig[i] = min over shingles of the i-th affine transform of the
+    * shingle's polynomial hash (universal-hashing family). Shingles (not
     * unigrams) keep signatures discriminative even over a small shared
     * vocabulary — with unigram sets nearly every doc would collide into
     * every LSH bucket and the candidate join would go quadratic.
     * One narrow shuffle on doc_id; the K mins fold map-side. */
   private[queries] def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sigCols = (0 until MinhashK).map(i => min(xxhash64(lit(i), $"shingle")).as(s"h$i"))
-    docShingles(s, dir)
-      .groupBy($"doc_id")
+    val ph = docShingles(s, dir).withColumn("h", expr(polyHash("shingle", 31, M1)))
+    val sigCols = (0 until MinhashK).map(i =>
+      min(expr(s"(h * ${2 * i + 1} + ${1000003L * i}) % $M1")).as(s"h$i"))
+    ph.groupBy($"doc_id")
       .agg(sigCols.head, sigCols.tail: _*)
       .select($"doc_id", array((0 until MinhashK).map(i => col(s"h$i")): _*).as("sig"))
   }
@@ -68,13 +86,15 @@ object Dedup {
   /** LSH candidate pairs (a < b) sharing at least one band, with the
     * signature-estimated Jaccard. Pairs travel as bare (a, b) ids through
     * the dedup; the (small) signature table joins back afterwards — wide
-    * signature arrays never enter the shuffle of the pair join. */
+    * signature arrays never enter the shuffle of the pair join. The band
+    * key is the raw 4-value signature slice (arrays join fine); hashing it
+    * first would only save key width. */
   private[queries] def lshCandidates(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sigs = minhashSignatures(s, dir)
     val banded = sigs.select($"doc_id",
         posexplode(expr(s"transform(sequence(0, ${Bands - 1}), " +
-          s"b -> xxhash64(b, slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))")))
+          s"b -> slice(sig, b * $RowsPerBand + 1, $RowsPerBand))")))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_sig"))
     val l = banded.select($"band", $"band_sig", $"doc_id".as("a"))
     val r = banded.select($"band", $"band_sig", $"doc_id".as("b"))
@@ -89,18 +109,62 @@ object Dedup {
       .select($"a", $"b", $"est_jaccard")
   }
 
-  /** 64-bit SimHash per doc as a bit array: per bit, +1 if the token hash
-    * has it set else -1, summed over tokens; bit = sign of the sum. */
+  /** SQL fragments shared by the q42/q44/q46 oracles (the DuckDB twins of
+    * polyHash / minhashSignatures / simhashBits). */
+  private def sqlPoly(col: String, base: Int, mod: Long): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"[CAST(ascii(c) AS BIGINT) FOR c IN split($col, '')]), (h, c) -> (h * $base + c) % $mod)"
+
+  private val sqlShingles =
+    """sh AS (
+      |  SELECT doc_id, unnest(list_distinct(shl)) AS shingle FROM (
+      |    SELECT doc_id,
+      |      [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)] AS shl
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |    WHERE len(toks) >= 3))""".stripMargin
+
+  private def sqlSimhashBits: String =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+       |  FROM documents),
+       |ft AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+       |th AS (
+       |  SELECT doc_id, (2654435761 * ${sqlPoly("token", 31, M1)} + 999983) % $M1 AS h1,
+       |                 (2654435761 * ${sqlPoly("token", 131, M2)} + 424243) % $M2 AS h2
+       |  FROM ft),
+       |bitsum AS (
+       |  SELECT doc_id, j,
+       |    SUM(CASE WHEN ((CASE WHEN j < 30 THEN h1 >> j ELSE h2 >> (j - 30) END) & 1) = 1
+       |        THEN 1 ELSE -1 END) AS sgn
+       |  FROM th, (SELECT unnest(range(60)) AS j) GROUP BY 1, 2),
+       |bits AS (
+       |  SELECT doc_id, list(CASE WHEN sgn > 0 THEN 1 ELSE 0 END ORDER BY j) AS bits
+       |  FROM bitsum GROUP BY 1)""".stripMargin
+
+  /** 60-bit SimHash per doc as a bit array: per bit, +1 if the token hash
+    * has it set else -1, summed over tokens; bit = sign of the sum. Bits
+    * 0-29 come from the base-31 hash, 30-59 from the independent base-131
+    * hash (the portable hashes are ~30-bit, so two of them make the
+    * sketch). */
   private[queries] def simhashBits(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val th = docTokens(s, dir).withColumn("h", xxhash64($"token"))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright($"h", i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    // Multiplicative mix after the poly hash: a short token's raw base-31
+    // value is < 2^27, so its top bits would be constantly zero and the
+    // simhash bits correlated across docs (observed: 5x more candidate
+    // pairs). (a*h + b) % p with a ~ 2^31 spreads every input bit over the
+    // whole 30-bit range; a * p < 2^63 so the arithmetic never overflows
+    // and DuckDB reproduces it exactly.
+    val th = docTokens(s, dir)
+      .withColumn("h1", expr(s"(2654435761 * ${polyHash("token", 31, M1)} + 999983) % $M1"))
+      .withColumn("h2", expr(s"(2654435761 * ${polyHash("token", 131, M2)} + 424243) % $M2"))
+    val bitSums = (0 until 60).map { j =>
+      val (h, b) = if (j < 30) ("h1", j) else ("h2", j - 30)
+      sum(when(expr(s"(shiftright($h, $b) & 1) = 1"), 1).otherwise(-1)).as(s"b$j")
     }
     th.groupBy($"doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select($"doc_id",
-        array((0 until 64).map(i => (col(s"b$i") > 0).cast("int")): _*).as("bits"))
+        array((0 until 60).map(i => (col(s"b$i") > 0).cast("int")): _*).as("bits"))
   }
 
   val all: Seq[(String, Q)] = Seq(
@@ -140,7 +204,11 @@ object Dedup {
         |      FROM documents)
         |GROUP BY source ORDER BY source""".stripMargin),
 
-    // ---- MinHash + LSH banding candidate pairs (no SQL twin: xxhash64) ------------
+    // ---- MinHash + LSH banding candidate pairs -------------------------------------
+    // Oracle-checked end-to-end since round 3: the portable polynomial hash
+    // lets DuckDB rebuild the identical signatures, bands, candidates and
+    // estimated Jaccard — the whole LSH pipeline is hash-verified, not just
+    // "finds the planted dups".
     "q42_minhash_lsh" -> Q(
       (s, dir) => {
         import s.implicits._
@@ -148,7 +216,24 @@ object Dedup {
           .filter($"est_jaccard" >= 0.3)
           .orderBy($"a", $"b")
       },
-      None),
+      s"""WITH $sqlShingles,
+         |ph AS (SELECT doc_id, ${sqlPoly("shingle", 31, M1)} AS h FROM sh),
+         |sig AS (
+         |  SELECT doc_id, i, min((h * (2*i+1) + 1000003*i) % $M1) AS m
+         |  FROM ph, (SELECT unnest(range($MinhashK)) AS i) GROUP BY 1, 2),
+         |sigl AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM sig GROUP BY 1),
+         |banded AS (
+         |  SELECT doc_id, b, sig[(b*$RowsPerBand+1):(b*$RowsPerBand+$RowsPerBand)] AS bsig
+         |  FROM sigl, (SELECT unnest(range($Bands)) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM banded x JOIN banded y ON x.b = y.b AND x.bsig = y.bsig
+         |  WHERE x.doc_id < y.doc_id)
+         |SELECT a, b,
+         |  len([1 FOR k IN range(1, ${MinhashK + 1}) IF sx.sig[k] = sy.sig[k]]) / ${MinhashK}.0 AS est_jaccard
+         |FROM cand JOIN sigl sx ON sx.doc_id = a JOIN sigl sy ON sy.doc_id = b
+         |WHERE len([1 FOR k IN range(1, ${MinhashK + 1}) IF sx.sig[k] = sy.sig[k]]) / ${MinhashK}.0 >= 0.3
+         |ORDER BY a, b""".stripMargin),
 
     // ---- Exact n-gram (3-shingle) Jaccard via inverted-index join ------------------
     // Candidates = pairs sharing >= 1 KEPT shingle. Shingles with document
@@ -206,32 +291,38 @@ object Dedup {
         |WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.02
         |ORDER BY a, b""".stripMargin),
 
-    // ---- SimHash (64-bit, as bit array + hex) — no SQL twin: xxhash64 --------------
+    // ---- SimHash (60-bit, as two 30-bit integers) -----------------------------------
+    // Oracle-checked since round 3 (portable hash). Output is two scalar
+    // ints, not the bits array: the driver's pandas comparator can't hash
+    // array cells.
     "q44_simhash" -> Q(
       (s, dir) => {
         import s.implicits._
         simhashBits(s, dir)
-          .withColumn("simhash_hex",
-            expr("conv(concat_ws('', transform(reverse(bits), b -> cast(b as string))), 2, 16)"))
-          // hex only: the raw bits array would crash the driver's pandas
-          // comparator (arrays are unhashable when it sorts rows)
-          .select($"doc_id", $"simhash_hex")
+          .select($"doc_id",
+            expr("aggregate(transform(sequence(0, 29), j -> cast(bits[j] as bigint) * shiftleft(cast(1 as bigint), j)), cast(0 as bigint), (a, x) -> a + x)").as("sim_lo"),
+            expr("aggregate(transform(sequence(0, 29), j -> cast(bits[j + 30] as bigint) * shiftleft(cast(1 as bigint), j)), cast(0 as bigint), (a, x) -> a + x)").as("sim_hi"))
           .orderBy($"doc_id")
       },
-      None),
+      s"""WITH $sqlSimhashBits
+         |SELECT doc_id,
+         |  list_sum([CAST(bits[j+1] AS BIGINT) * (CAST(1 AS BIGINT) << j) FOR j IN range(30)]) AS sim_lo,
+         |  list_sum([CAST(bits[j+31] AS BIGINT) * (CAST(1 AS BIGINT) << j) FOR j IN range(30)]) AS sim_hi
+         |FROM bits ORDER BY doc_id""".stripMargin),
 
     // ---- SimHash near-dup pairs: banded buckets + native hamming filter -----------
-    // 64 bits in 4 bands of 16: any pair within hamming distance 3 shares
+    // 60 bits in 4 bands of 15: any pair within hamming distance 3 shares
     // at least one identical band (pigeonhole), so the equi-join on
     // (band, band bits) finds all close pairs without an all-pairs scan;
-    // the codegen'd hamming() then filters exactly.
+    // the codegen'd hamming() then filters exactly. Oracle-checked since
+    // round 3 (portable hash; DuckDB rebuilds bands and hamming).
     "q46_simhash_pairs" -> Q(
       (s, dir) => {
         import s.implicits._
         import graft.functions.VectorFunctions.hamming
         val bits = simhashBits(s, dir)
         val banded = bits.select($"doc_id", $"bits",
-            posexplode(expr("transform(sequence(0, 3), b -> slice(bits, b * 16 + 1, 16))")))
+            posexplode(expr("transform(sequence(0, 3), b -> slice(bits, b * 15 + 1, 15))")))
           .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_bits"))
         val l = banded.select($"band", $"band_bits", $"doc_id".as("a"))
         val r = banded.select($"band", $"band_bits", $"doc_id".as("b"))
@@ -245,7 +336,19 @@ object Dedup {
           .select($"a", $"b", $"hamming_dist")
           .orderBy($"a", $"b")
       },
-      None),
+      s"""WITH $sqlSimhashBits,
+         |banded AS (
+         |  SELECT doc_id, b, bits[(b*15+1):(b*15+15)] AS bb
+         |  FROM bits, (SELECT unnest(range(4)) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM banded x JOIN banded y ON x.b = y.b AND x.bb = y.bb
+         |  WHERE x.doc_id < y.doc_id)
+         |SELECT a, b,
+         |  len([1 FOR k IN range(1, 61) IF xa.bits[k] <> xb.bits[k]]) AS hamming_dist
+         |FROM cand JOIN bits xa ON xa.doc_id = a JOIN bits xb ON xb.doc_id = b
+         |WHERE len([1 FOR k IN range(1, 61) IF xa.bits[k] <> xb.bits[k]]) <= 3
+         |ORDER BY a, b""".stripMargin),
 
     // ---- Embedding-cosine near-dup pairs (sign-bit LSH + exact rescore) -----------
     // Scale shape: candidates come from a banded equi-join on the vector's

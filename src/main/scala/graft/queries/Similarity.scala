@@ -34,13 +34,18 @@ object Similarity {
   private val Planes = 6 // 64 buckets
 
   /** Sign-bit bucket id from `Planes` pseudo-random hyperplanes.
-    * Plane p's d-th component is ±1 from the parity of xxhash64(p, d) —
-    * deterministic, computed inline per row (nothing broadcast). */
+    * Plane p's d-th component is ±1 from bit 15 of a classic LCG of the
+    * flat index p*64+d — deterministic, computed inline per row (nothing
+    * broadcast), and plain integer arithmetic, so the DuckDB oracle
+    * rebuilds the identical buckets (xxhash64 would be spec-only). The
+    * inner dot folds in index order — the same left fold DuckDB's
+    * list_reduce performs — so bucket signs are bit-identical across
+    * engines. */
   private[queries] def lshBucket(v: Column): Column =
     expr(s"""aggregate(
       transform(sequence(0, ${Planes - 1}), p ->
         if(aggregate(zip_with(v, sequence(0, size(v) - 1),
-             (x, d) -> if(pmod(xxhash64(p, d), 2) = 0, x, -x)),
+             (x, d) -> if((shiftright((1103515245L * (p * 64 + d) + 12345L) % 2147483648L, 15) & 1) = 0, x, -x)),
            0d, (acc, x) -> acc + x) > 0d, shiftleft(1, p), 0)),
       0, (acc, x) -> acc + x)""")
 
@@ -108,9 +113,11 @@ object Similarity {
         |  round(MIN(s / n), 6) AS min_mean_dim
         |FROM dims GROUP BY label ORDER BY label""".stripMargin),
 
-    // ---- LSH-bucketed ANN (scale path; no SQL twin: xxhash64 buckets) -----------
-    // Probes only the query vector's bucket; recall vs q50 checked in
-    // SimilaritySpec rather than an oracle.
+    // ---- LSH-bucketed ANN (scale path) ------------------------------------------
+    // Probes only the query vector's bucket. Oracle-checked since round 3:
+    // the LCG hyperplanes are plain integer arithmetic, so DuckDB rebuilds
+    // the identical buckets and ranking. Recall semantics stay spec-checked
+    // (recall@10 on planted neighbors).
     "q51_ann_lsh" -> Q(
       (s, dir) => {
         import s.implicits._
@@ -125,21 +132,42 @@ object Similarity {
           .limit(10)
           .select($"vec_id", $"label", $"bucket", $"cos_sim")
       },
-      None),
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+        |bkt AS (
+        |  SELECT vec_id, label, v, nrm,
+        |    list_sum([CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        [CASE WHEN (((CAST(1103515245 AS BIGINT) * (p * 64 + d) + 12345) % 2147483648) >> 15) & 1 = 0
+        |              THEN v[d + 1] ELSE -v[d + 1] END
+        |         FOR d IN range(64)]),
+        |        (acc, x) -> acc + x) > 0
+        |      THEN (1 << p) ELSE 0 END FOR p IN range(6)]) AS bucket
+        |  FROM n),
+        |q AS (SELECT v AS qv, nrm AS qn, bucket AS qb FROM bkt WHERE vec_id = 0)
+        |SELECT vec_id, label, bucket, round(list_inner_product(v, qv) / (nrm * qn), 6) AS cos_sim
+        |FROM bkt, q WHERE vec_id <> 0 AND bucket = qb
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
 
     // ---- IVF-probe ANN (coarse quantizer + nprobe=1) ------------------------------
     // Inverted-file search: centroids from one aggregation pass (mean vector
     // per label — the coarse quantizer), the query probes only its nearest
     // centroid's list. At scale the lists are Hive partitions of a vector
-    // table and probing is partition pruning. Spec-checked recall vs q50.
+    // table and probing is partition pruning. Oracle-checked since round 3:
+    // centroid means go through the DECIMAL(25,9) discipline (q52's), so
+    // the probe choice and ranking are deterministic cross-engine.
+    // Spec-checked recall vs q50.
     "q53_ann_ivf" -> Q(
       (s, dir) => {
         import s.implicits._
         import graft.functions.VectorFunctions.vecDot
         val e = normed(s, dir)
-        // coarse quantizer: element-wise mean per label (one narrow shuffle)
+        // coarse quantizer: element-wise mean per label (one narrow shuffle;
+        // exact decimal sum, one double division — order-independent)
         val centroids = e.select($"label", posexplode($"v"))
-          .groupBy($"label", $"pos").agg(avg($"col").as("m"))
+          .groupBy($"label", $"pos")
+          .agg((sum($"col".cast("decimal(25,9)")).cast("double") / count(lit(1))).as("m"))
           .groupBy($"label").agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
           .select($"label".as("c_label"), expr("transform(pm, x -> x.m)").as("centroid"))
         val q = e.filter($"vec_id" === 0).select($"v".as("qv"), $"nrm".as("qn"))
@@ -156,6 +184,22 @@ object Similarity {
           .limit(10)
           .select($"vec_id", $"label", $"cos_sim")
       },
-      None),
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+        |d AS (
+        |  SELECT label, i AS pos, CAST(v[i] AS DECIMAL(25,9)) AS c
+        |  FROM e, (SELECT unnest(range(1, 65)) AS i)),
+        |cm AS (SELECT label, pos, CAST(SUM(c) AS DOUBLE) / COUNT(*) AS m
+        |       FROM d GROUP BY 1, 2),
+        |cent AS (SELECT label AS c_label, list(m ORDER BY pos) AS centroid FROM cm GROUP BY 1),
+        |q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = 0),
+        |probe AS (
+        |  SELECT c_label FROM cent, q
+        |  ORDER BY list_inner_product(centroid, qv) DESC, c_label LIMIT 1)
+        |SELECT vec_id, label, round(list_inner_product(v, qv) / (nrm * qn), 6) AS cos_sim
+        |FROM n, q, probe WHERE vec_id <> 0 AND label = c_label
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
   )
 }
