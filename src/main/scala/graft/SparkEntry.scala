@@ -14,7 +14,7 @@ object SparkEntry {
   /** All query modules, in inventory order (SURVEY.md §2-C / §2-D). */
   private def modules: Seq[(String, Q)] =
     Relational.all ++ Events.all ++ Text.all ++ Dedup.all ++ Similarity.all ++
-      Multimodal.all ++ TableQueries.all ++ Streaming.all
+      Sampling.all ++ Multimodal.all ++ TableQueries.all ++ Streaming.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -52,30 +52,29 @@ object Dedup {
   private val Bands = 8
   private val RowsPerBand = MinhashK / Bands
 
-  /** Polynomial rolling hash `(h*base + char) % mod` over a string column's
-    * chars. The point of using this instead of xxhash64: DuckDB reproduces
-    * the identical integer arithmetic (list_reduce), so every sketch built
-    * on it — minhash signatures, LSH candidates, simhash, banded pairs — is
-    * fully oracle-checked instead of spec-only. The LSH machinery is
-    * hash-agnostic; production deployments that don't need cross-engine
-    * verification can swap xxhash64 back in (faster, 64-bit) — one line. */
-  private def polyHash(col: String, base: Int, mod: Long): String =
-    s"aggregate(transform(sequence(1, length($col)), ci -> cast(ascii(substring($col, ci, 1)) as bigint)), " +
-      s"cast(0 as bigint), (h, c) -> (h * $base + c) % $mod)"
+  /** Portable 60-bit hash: the first 15 hex chars of md5, parsed as an
+    * integer. The point of using this instead of xxhash64: md5 of a UTF8
+    * string is bit-identical in DuckDB, so every sketch built on it —
+    * minhash signatures, LSH candidates, simhash, banded pairs — is fully
+    * oracle-checked instead of spec-only. md5 is a native kernel in both
+    * engines (no interpreted per-char fold), and its bits are uniform, so
+    * no post-mixing is needed. Deployments that don't need cross-engine
+    * verification can swap xxhash64 back in (faster) — one line. */
+  private def h60(col: String): String =
+    s"cast(conv(substring(md5($col), 1, 15), 16, 10) as bigint)"
 
   private val M1 = 1000000007L
-  private val M2 = 998244353L
 
   /** MinHash signature per doc over its 3-gram SHINGLE set:
     * sig[i] = min over shingles of the i-th affine transform of the
-    * shingle's polynomial hash (universal-hashing family). Shingles (not
-    * unigrams) keep signatures discriminative even over a small shared
+    * shingle's 60-bit hash mod M1 (universal-hashing family). Shingles
+    * (not unigrams) keep signatures discriminative even over a small shared
     * vocabulary — with unigram sets nearly every doc would collide into
     * every LSH bucket and the candidate join would go quadratic.
     * One narrow shuffle on doc_id; the K mins fold map-side. */
   private[queries] def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ph = docShingles(s, dir).withColumn("h", expr(polyHash("shingle", 31, M1)))
+    val ph = docShingles(s, dir).withColumn("h", expr(s"${h60("shingle")} % $M1"))
     val sigCols = (0 until MinhashK).map(i =>
       min(expr(s"(h * ${2 * i + 1} + ${1000003L * i}) % $M1")).as(s"h$i"))
     ph.groupBy($"doc_id")
@@ -110,10 +109,9 @@ object Dedup {
   }
 
   /** SQL fragments shared by the q42/q44/q46 oracles (the DuckDB twins of
-    * polyHash / minhashSignatures / simhashBits). */
-  private def sqlPoly(col: String, base: Int, mod: Long): String =
-    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      s"[CAST(ascii(c) AS BIGINT) FOR c IN split($col, '')]), (h, c) -> (h * $base + c) % $mod)"
+    * h60 / minhashSignatures / simhashBits). */
+  private def sqlH60(col: String): String =
+    s"CAST(('0x' || substring(md5($col), 1, 15)) AS BIGINT)"
 
   private val sqlShingles =
     """sh AS (
@@ -128,38 +126,23 @@ object Dedup {
        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
        |  FROM documents),
        |ft AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
-       |th AS (
-       |  SELECT doc_id, (2654435761 * ${sqlPoly("token", 31, M1)} + 999983) % $M1 AS h1,
-       |                 (2654435761 * ${sqlPoly("token", 131, M2)} + 424243) % $M2 AS h2
-       |  FROM ft),
+       |th AS (SELECT doc_id, ${sqlH60("token")} AS h FROM ft),
        |bitsum AS (
        |  SELECT doc_id, j,
-       |    SUM(CASE WHEN ((CASE WHEN j < 30 THEN h1 >> j ELSE h2 >> (j - 30) END) & 1) = 1
-       |        THEN 1 ELSE -1 END) AS sgn
+       |    SUM(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS sgn
        |  FROM th, (SELECT unnest(range(60)) AS j) GROUP BY 1, 2),
        |bits AS (
        |  SELECT doc_id, list(CASE WHEN sgn > 0 THEN 1 ELSE 0 END ORDER BY j) AS bits
        |  FROM bitsum GROUP BY 1)""".stripMargin
 
   /** 60-bit SimHash per doc as a bit array: per bit, +1 if the token hash
-    * has it set else -1, summed over tokens; bit = sign of the sum. Bits
-    * 0-29 come from the base-31 hash, 30-59 from the independent base-131
-    * hash (the portable hashes are ~30-bit, so two of them make the
-    * sketch). */
+    * has it set else -1, summed over tokens; bit = sign of the sum. All 60
+    * bits come from one md5-based hash (uniform, so no mixing step). */
   private[queries] def simhashBits(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // Multiplicative mix after the poly hash: a short token's raw base-31
-    // value is < 2^27, so its top bits would be constantly zero and the
-    // simhash bits correlated across docs (observed: 5x more candidate
-    // pairs). (a*h + b) % p with a ~ 2^31 spreads every input bit over the
-    // whole 30-bit range; a * p < 2^63 so the arithmetic never overflows
-    // and DuckDB reproduces it exactly.
-    val th = docTokens(s, dir)
-      .withColumn("h1", expr(s"(2654435761 * ${polyHash("token", 31, M1)} + 999983) % $M1"))
-      .withColumn("h2", expr(s"(2654435761 * ${polyHash("token", 131, M2)} + 424243) % $M2"))
+    val th = docTokens(s, dir).withColumn("h", expr(h60("token")))
     val bitSums = (0 until 60).map { j =>
-      val (h, b) = if (j < 30) ("h1", j) else ("h2", j - 30)
-      sum(when(expr(s"(shiftright($h, $b) & 1) = 1"), 1).otherwise(-1)).as(s"b$j")
+      sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1).otherwise(-1)).as(s"b$j")
     }
     th.groupBy($"doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
@@ -217,7 +200,7 @@ object Dedup {
           .orderBy($"a", $"b")
       },
       s"""WITH $sqlShingles,
-         |ph AS (SELECT doc_id, ${sqlPoly("shingle", 31, M1)} AS h FROM sh),
+         |ph AS (SELECT doc_id, ${sqlH60("shingle")} % $M1 AS h FROM sh),
          |sig AS (
          |  SELECT doc_id, i, min((h * (2*i+1) + 1000003*i) % $M1) AS m
          |  FROM ph, (SELECT unnest(range($MinhashK)) AS i) GROUP BY 1, 2),
@@ -320,9 +303,16 @@ object Dedup {
       (s, dir) => {
         import s.implicits._
         import graft.functions.VectorFunctions.hamming
+        // band key: the 15 band bits packed into ONE int (bits are 0/1, so
+        // the packing is exact) — a 4-byte shuffle key instead of a
+        // 15-element array. Key representation is internal: the candidate
+        // set is identical, and that's what the oracle checks.
         val bits = simhashBits(s, dir)
         val banded = bits.select($"doc_id", $"bits",
-            posexplode(expr("transform(sequence(0, 3), b -> slice(bits, b * 15 + 1, 15))")))
+            posexplode(expr(
+              """transform(sequence(0, 3), b ->
+                |  aggregate(sequence(0, 14),
+                |    0, (acc, j) -> acc * 2 + bits[b * 15 + j]))""".stripMargin)))
           .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_bits"))
         val l = banded.select($"band", $"band_bits", $"doc_id".as("a"))
         val r = banded.select($"band", $"band_bits", $"doc_id".as("b"))

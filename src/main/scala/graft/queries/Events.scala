@@ -242,5 +242,56 @@ object Events {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin),
+
+    // ---- PIVOT: long → wide (day-of-week × event-type count matrix) ---------------
+    // pivot() with an EXPLICIT value list — the scale-safe form: without it
+    // Spark first runs a distinct scan to discover values and the column
+    // set becomes data-dependent (schema drift at 100 TB). Fixed columns →
+    // single 2-phase hash agg, 7 groups. The dow is cast to BIGINT so both
+    // engines agree on the column dtype.
+    "q49_pivot" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .withColumn("dow", dayofweek($"ts").cast("long"))
+          .groupBy($"dow")
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0)
+          .orderBy($"dow")
+      },
+      """SELECT dayofweek(ts) + 1 AS dow,
+        |  COUNT(*) FILTER (event_type = 'click') AS click,
+        |  COUNT(*) FILTER (event_type = 'error') AS error,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY dow""".stripMargin),
+
+    // ---- UNPIVOT: wide → long (melt), the inverse of q49 --------------------------
+    // Dataset.unpivot melts the five type columns back to (event_type, n)
+    // rows. The oracle is the zero-filled direct tall aggregate, so the
+    // pivot → unpivot round trip is verified lossless (absent combos must
+    // come back as explicit n=0 rows, not disappear).
+    "q54_unpivot" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        Tables.events(s, dir)
+          .withColumn("dow", dayofweek($"ts").cast("long"))
+          .groupBy($"dow")
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+          .na.fill(0)
+          .unpivot(Array($"dow"), types.map(col).toArray, "event_type", "n")
+          .orderBy($"dow", $"event_type")
+      },
+      """WITH d AS (SELECT DISTINCT dayofweek(ts) + 1 AS dow FROM events),
+        |t AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),
+        |a AS (SELECT dayofweek(ts) + 1 AS dow, event_type, COUNT(*) AS n
+        |      FROM events GROUP BY 1, 2)
+        |SELECT d.dow, t.event_type, COALESCE(a.n, 0) AS n
+        |FROM d CROSS JOIN t LEFT JOIN a ON a.dow = d.dow AND a.event_type = t.event_type
+        |ORDER BY d.dow, t.event_type""".stripMargin),
   )
 }

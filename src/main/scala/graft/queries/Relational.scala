@@ -519,5 +519,52 @@ object Relational {
         |FROM nation CROSS JOIN region
         |WHERE levenshtein(n_name, r_name) <= 8
         |ORDER BY n_name, r_name""".stripMargin),
+
+    // ---- Range join (pure inequality predicate) via bin-bucketed equi join --------
+    // "Orders in flight at each month start": interval per order =
+    // [o_orderdate, max(l_shipdate)] (its fulfillment span), probes = the
+    // distinct order months; the join predicate is BETWEEN only — no equi
+    // key, the relational shape Spark has no native operator for. Scale
+    // shape: both sides map to 365-day bins — an interval explodes to every
+    // bin it overlaps (span/365 + 1 rows, bounded), a probe to exactly one,
+    // so each qualifying pair meets in precisely one bin (no dedup) — and
+    // the join becomes an EQUI join on a fixed-width int key with the exact
+    // BETWEEN as a residual filter. No BroadcastNestedLoop / cartesian: with
+    // both sides large this is one hash shuffle, the plan that survives
+    // 100 TB. The oracle is the plain inequality join in DuckDB, so the
+    // binning rewrite is verified to lose/duplicate nothing (same policy as
+    // q27's salting).
+    "q47_range_join" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val binDays = 365
+        val day0 = to_date(lit("1970-01-01"))
+        val iv = Tables.orders(s, dir)
+          .join(Tables.lineitem(s, dir).groupBy($"l_orderkey").agg(max($"l_shipdate").as("iv_end")),
+            $"o_orderkey" === $"l_orderkey")
+          .select($"o_totalprice", $"o_orderdate".as("iv_start"), $"iv_end")
+          .withColumn("bin", explode(sequence(
+            floor(datediff(to_date($"iv_start"), day0) / binDays),
+            floor(datediff(to_date($"iv_end"), day0) / binDays))))
+        val probes = Tables.orders(s, dir)
+          .select(date_trunc("month", $"o_orderdate").as("m")).distinct()
+          .withColumn("bin", floor(datediff(to_date($"m"), day0) / binDays))
+        iv.join(probes, "bin")
+          .filter($"m" >= $"iv_start" && $"m" <= $"iv_end")
+          .groupBy($"m")
+          .agg(count(lit(1)).as("n_open"), sumExact($"o_totalprice").as("open_value"))
+          .select(date_format($"m", "yyyy-MM-dd").as("month_start"), $"n_open", $"open_value")
+          .orderBy($"month_start")
+      },
+      s"""WITH iv AS (
+         |  SELECT o.o_totalprice, o.o_orderdate AS iv_start, mx.iv_end
+         |  FROM orders o JOIN (SELECT l_orderkey, max(l_shipdate) AS iv_end
+         |                      FROM lineitem GROUP BY 1) mx
+         |    ON o.o_orderkey = mx.l_orderkey),
+         |probes AS (SELECT DISTINCT date_trunc('month', o_orderdate) AS m FROM orders)
+         |SELECT strftime(m, '%Y-%m-%d') AS month_start, COUNT(*) AS n_open,
+         |  ${sqlSumExact("o_totalprice")} AS open_value
+         |FROM probes JOIN iv ON m >= iv_start AND m <= iv_end
+         |GROUP BY m ORDER BY month_start""".stripMargin),
   )
 }

@@ -1,0 +1,51 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / train-test split over the documents corpus
+  * (SURVEY.md §2-D pipeline extensions).
+  *
+  * A training pipeline's sample must be stratified (each source keeps its
+  * own rate) and REPRODUCIBLE: re-running the job — on another day, another
+  * cluster, or another engine — must select the same rows. Seeded RNG
+  * sampling (`df.sample` / `df.stat.sampleBy`) is partition-order dependent
+  * and engine-specific, so the 100-TB idiom is a hash split: a
+  * multiplicative hash of the stable row key maps each row to a percentile
+  * bucket, and per-stratum thresholds assign train/test. The assignment is a
+  * pure function of the key — stable under repartitioning, task retries and
+  * engine change, which is exactly what the DuckDB oracle certifies.
+  *
+  * Scale shape: one narrow projection (hash + CASE, all codegen'd) and one
+  * tiny rollup; nothing shuffles at data width. Selecting the sampled ROWS
+  * (rather than the audit counts here) is the same plan minus the rollup.
+  */
+object Sampling {
+
+  val all: Seq[(String, Q)] = Seq(
+
+    // Per-source split audit: every (source, split) cell with its row count
+    // and an id checksum, so a single changed assignment flips the hash.
+    // Rates: sources src0-src9 hold 80% train, src10-src19 hold 50% — the
+    // "oversample the good strata, downsample the rest" pattern.
+    "q48_stratified_split" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .withColumn("pct", expr("((doc_id * 2654435761 + 12345) % 1000000007) % 100"))
+          .withColumn("rate",
+            when(expr("cast(substring(source, 4, 10) as int)") < 10, lit(80)).otherwise(lit(50)))
+          .withColumn("split", when($"pct" < $"rate", lit("train")).otherwise(lit("test")))
+          .groupBy($"source", $"split")
+          .agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("id_checksum"))
+          .orderBy($"source", $"split")
+      },
+      """SELECT source,
+        |  CASE WHEN ((doc_id * 2654435761 + 12345) % 1000000007) % 100 <
+        |       (CASE WHEN CAST(substring(source, 4) AS INT) < 10 THEN 80 ELSE 50 END)
+        |       THEN 'train' ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        |FROM documents
+        |GROUP BY 1, 2 ORDER BY source, split""".stripMargin),
+  )
+}

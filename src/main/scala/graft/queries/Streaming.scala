@@ -66,5 +66,31 @@ object Streaming {
       },
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_first_touch
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // ---- Stream-stream join (clicks → purchases within 30 min, per user) --------
+    // Two independent watermarked streams joined on key + event-time range —
+    // the canonical funnel/attribution shape. On a finite replay the inner
+    // join emits exactly the batch answer, which is what the DuckDB batch
+    // self-join checks. State is bounded by watermark + time-range predicate
+    // (see EventStreams.clickPurchaseJoin); the sink is files, nothing
+    // materializes on the driver.
+    "q83_stream_stream_join" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        // self-join on ONE source stream: Spark plans a single file source
+        // scanned once per micro-batch, halving source-side work vs two
+        // independent readers of the same files
+        val src = EventStreams.readEventStream(s, dir)
+        val joined = EventStreams.clickPurchaseJoin(src, src)
+        EventStreams.runAppendToFiles(s, joined)
+          .orderBy($"user_id", $"c_us", $"p_us", $"c_value", $"p_value")
+      },
+      """SELECT c.user_id, epoch_us(c.ts) AS c_us, epoch_us(p.ts) AS p_us,
+        |  c.value AS c_value, p.value AS p_value
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND epoch_us(p.ts) >= epoch_us(c.ts)
+        |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800 * 1000000
+        |ORDER BY 1, 2, 3, 4, 5""".stripMargin),
   )
 }

@@ -138,6 +138,31 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select("user_id", "event_type")
 
+  /** Stream-stream inner join: each click joined to the same user's
+    * purchases within the following 30 minutes. Both sides carry watermarks
+    * AND the join predicate bounds the event-time distance — together these
+    * let Spark evict buffered rows once the watermark passes their join
+    * range, so state stays bounded on an unbounded stream (without the time
+    * bound, every click would be buffered forever). The output projects
+    * microsecond epochs (`unix_micros`): Spark reads the nanos testdata at
+    * µs, DuckDB at ns, and `epoch_us` on the oracle side applies the same
+    * floor — removing the sub-µs representation gap from the compare. */
+  def clickPurchaseJoin(clickSrc: DataFrame, purchaseSrc: DataFrame): DataFrame = {
+    val clicks = clickSrc.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("value").as("c_value"))
+      .withWatermark("c_ts", "30 minutes")
+    val purchases = purchaseSrc.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", "30 minutes")
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"),
+        unix_micros(col("c_ts")).as("c_us"), unix_micros(col("p_ts")).as("p_us"),
+        col("c_value"), col("p_value"))
+  }
+
   /** Stateful sessionization with flatMapGroupsWithState (the custom-state
     * path the built-in session_window can't express — e.g. carrying running
     * aggregates per session). A session CLOSES when a later event arrives

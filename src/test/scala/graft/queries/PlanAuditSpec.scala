@@ -65,6 +65,15 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q47: binned range join plans as an equi hash join, never nested-loop") {
+    val p = plan("q47_range_join")
+    assert(!p.contains("CartesianProduct"), "range join must not plan a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the bin key must make the join an equi join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+           p.contains("ShuffledHashJoin"), "expected a hash-based equi join on bin")
+  }
+
   test("no query hot path uses a Scala UDF or collects to the driver") {
     // interpreted ScalaUDF in a plan defeats whole-stage codegen; the two
     // sanctioned custom kernels (vec_dot, hamming) are codegen'd Expressions

@@ -99,4 +99,30 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).count() === 0)
     assert(batch.exceptAll(streamed).count() === 0)
   }
+
+  test("stream-stream join buffers a click until its purchase arrives later") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = clickPurchaseJoin(clicks.toDF(), purchases.toDF())
+    val q = joined.writeStream.format("memory")
+      .queryName("ssj_test").outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: only the click — nothing can join yet, but it must be
+      // buffered in the join state, not dropped
+      val t0 = 1704067200000L // 2024-01-01, away from the epoch-0 watermark floor
+      clicks.addData(Event(1, new java.sql.Timestamp(t0), 7, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      assert(spark.table("ssj_test").count() === 0, "no purchase yet")
+      // batch 2: one purchase inside the 30-min window, one outside
+      purchases.addData(
+        Event(2, new java.sql.Timestamp(t0 + 10 * 60000L), 7, "purchase", 5.0, "{}"),
+        Event(3, new java.sql.Timestamp(t0 + 50 * 60000L), 7, "purchase", 9.0, "{}"))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_test").collect()
+      assert(rows.length === 1, "exactly the in-window purchase joins")
+      assert(rows.head.getAs[Double]("p_value") === 5.0)
+    } finally q.stop()
+  }
 }
