@@ -121,6 +121,29 @@ object Dedup {
       |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
       |    WHERE len(toks) >= 3))""".stripMargin
 
+  /** DuckDB twin of `lshCandidates.filter(est_jaccard >= 0.3)`, as a CTE
+    * chain ending in `lsh_pairs(a, b, est_jaccard)` — shared by the q42
+    * oracle and q57's component closure over the same pair graph. */
+  private def sqlLshPairs: String =
+    s"""$sqlShingles,
+       |ph AS (SELECT doc_id, ${sqlH60("shingle")} % $M1 AS h FROM sh),
+       |sig AS (
+       |  SELECT doc_id, i, min((h * (2*i+1) + 1000003*i) % $M1) AS m
+       |  FROM ph, (SELECT unnest(range($MinhashK)) AS i) GROUP BY 1, 2),
+       |sigl AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM sig GROUP BY 1),
+       |banded AS (
+       |  SELECT doc_id, b, sig[(b*$RowsPerBand+1):(b*$RowsPerBand+$RowsPerBand)] AS bsig
+       |  FROM sigl, (SELECT unnest(range($Bands)) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM banded x JOIN banded y ON x.b = y.b AND x.bsig = y.bsig
+       |  WHERE x.doc_id < y.doc_id),
+       |lsh_pairs AS (
+       |  SELECT a, b,
+       |    len([1 FOR k IN range(1, ${MinhashK + 1}) IF sx.sig[k] = sy.sig[k]]) / ${MinhashK}.0 AS est_jaccard
+       |  FROM cand JOIN sigl sx ON sx.doc_id = a JOIN sigl sy ON sy.doc_id = b
+       |  WHERE len([1 FOR k IN range(1, ${MinhashK + 1}) IF sx.sig[k] = sy.sig[k]]) / ${MinhashK}.0 >= 0.3)""".stripMargin
+
   private def sqlSimhashBits: String =
     s"""toks AS (
        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
@@ -199,24 +222,8 @@ object Dedup {
           .filter($"est_jaccard" >= 0.3)
           .orderBy($"a", $"b")
       },
-      s"""WITH $sqlShingles,
-         |ph AS (SELECT doc_id, ${sqlH60("shingle")} % $M1 AS h FROM sh),
-         |sig AS (
-         |  SELECT doc_id, i, min((h * (2*i+1) + 1000003*i) % $M1) AS m
-         |  FROM ph, (SELECT unnest(range($MinhashK)) AS i) GROUP BY 1, 2),
-         |sigl AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM sig GROUP BY 1),
-         |banded AS (
-         |  SELECT doc_id, b, sig[(b*$RowsPerBand+1):(b*$RowsPerBand+$RowsPerBand)] AS bsig
-         |  FROM sigl, (SELECT unnest(range($Bands)) AS b)),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM banded x JOIN banded y ON x.b = y.b AND x.bsig = y.bsig
-         |  WHERE x.doc_id < y.doc_id)
-         |SELECT a, b,
-         |  len([1 FOR k IN range(1, ${MinhashK + 1}) IF sx.sig[k] = sy.sig[k]]) / ${MinhashK}.0 AS est_jaccard
-         |FROM cand JOIN sigl sx ON sx.doc_id = a JOIN sigl sy ON sy.doc_id = b
-         |WHERE len([1 FOR k IN range(1, ${MinhashK + 1}) IF sx.sig[k] = sy.sig[k]]) / ${MinhashK}.0 >= 0.3
-         |ORDER BY a, b""".stripMargin),
+      s"""WITH $sqlLshPairs
+         |SELECT a, b, est_jaccard FROM lsh_pairs ORDER BY a, b""".stripMargin),
 
     // ---- Exact n-gram (3-shingle) Jaccard via inverted-index join ------------------
     // Candidates = pairs sharing >= 1 KEPT shingle. Shingles with document
@@ -395,5 +402,38 @@ object Dedup {
         |FROM cand JOIN n x ON x.vec_id = a JOIN n y ON y.vec_id = b
         |WHERE round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.3
         |ORDER BY a, b""".stripMargin),
+
+    // ---- Near-dup CLUSTERS: connected components over the LSH pair graph ----------
+    // Pairs are not enough for dedup — keeping one canonical doc per
+    // duplicate SET needs the transitive closure (a~b, b~c => {a,b,c} one
+    // cluster, keep min id). Spark side: distributed min-label propagation
+    // (operators.ConnectedComponents — per-round one shuffle join + min-agg,
+    // rounds = cluster diameter). Oracle: DuckDB recursive CTE over the
+    // IDENTICAL pair set (sqlLshPairs), so graph construction and closure
+    // are both cross-engine-verified. Output: every doc with its canonical
+    // representative and cluster size (singletons rep themselves).
+    "q57_dedup_clusters" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val edges = lshCandidates(s, dir).filter($"est_jaccard" >= 0.3)
+          .select($"a".as("src"), $"b".as("dst"))
+        val nodes = Tables.documents(s, dir).select($"doc_id".as("id"))
+        graft.operators.ConnectedComponents.components(nodes, edges)
+          .select($"id".as("doc_id"), $"label".as("cluster_rep"))
+          .withColumn("cluster_size",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"cluster_rep")))
+          .orderBy($"doc_id")
+      },
+      s"""WITH RECURSIVE $sqlLshPairs,
+         |edges AS (SELECT a AS src, b AS dst FROM lsh_pairs
+         |          UNION SELECT b, a FROM lsh_pairs),
+         |walk(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id),
+         |comp AS (SELECT id AS doc_id, min(lbl) AS cluster_rep FROM walk GROUP BY 1)
+         |SELECT doc_id, cluster_rep,
+         |  COUNT(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+         |FROM comp ORDER BY doc_id""".stripMargin),
   )
 }

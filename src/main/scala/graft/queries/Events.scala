@@ -293,5 +293,47 @@ object Events {
         |SELECT d.dow, t.event_type, COALESCE(a.n, 0) AS n
         |FROM d CROSS JOIN t LEFT JOIN a ON a.dow = d.dow AND a.event_type = t.event_type
         |ORDER BY d.dow, t.event_type""".stripMargin),
+
+    // ---- Gap-fill + forward-fill (time-series regularization) ---------------------
+    // The metrics/feature-pipeline staple: per user, a dense daily spine
+    // from first to last active day (sequence + explode — generated
+    // DISTRIBUTED, per row, not from a driver-side calendar), left-joined
+    // daily aggregates, missing days as explicit n=0 rows, and the value
+    // forward-filled with last_value(ignoreNulls) over an ordered window.
+    // Scale shape: one narrow agg on (user, day), spine fan-out bounded by
+    // each user's own span, one window partitioned by user — no shuffle
+    // wider than the daily rollup.
+    "q56_gap_fill" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val daily = Tables.events(s, dir)
+          .groupBy($"user_id", to_date($"ts").as("d"))
+          .agg(count(lit(1)).as("n_events"), sumExact($"value").as("day_value"))
+        val spine = daily.groupBy($"user_id")
+          .agg(min($"d").as("mn"), max($"d").as("mx"))
+          .select($"user_id", explode(sequence($"mn", $"mx", expr("interval 1 day"))).as("d"))
+        val w = Window.partitionBy($"user_id").orderBy($"d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(daily, Seq("user_id", "d"), "left")
+          .select($"user_id", date_format($"d", "yyyy-MM-dd").as("day"),
+            coalesce($"n_events", lit(0L)).as("n_events"),
+            last($"day_value", ignoreNulls = true).over(w).as("ff_value"))
+          .orderBy($"user_id", $"day")
+      },
+      s"""WITH daily AS (
+         |  SELECT user_id, date_trunc('day', ts) AS d,
+         |    COUNT(*) AS n_events, ${sqlSumExact("value")} AS day_value
+         |  FROM events GROUP BY 1, 2),
+         |spine AS (
+         |  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS d
+         |  FROM (SELECT user_id, min(d) AS mn, max(d) AS mx FROM daily GROUP BY 1)),
+         |j AS (SELECT s.user_id, s.d, dd.n_events, dd.day_value
+         |      FROM spine s LEFT JOIN daily dd ON dd.user_id = s.user_id AND dd.d = s.d)
+         |SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+         |  COALESCE(n_events, 0) AS n_events,
+         |  last_value(day_value IGNORE NULLS)
+         |    OVER (PARTITION BY user_id ORDER BY d
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff_value
+         |FROM j ORDER BY user_id, day""".stripMargin),
   )
 }

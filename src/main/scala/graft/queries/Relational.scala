@@ -566,5 +566,31 @@ object Relational {
          |  ${sqlSumExact("o_totalprice")} AS open_value
          |FROM probes JOIN iv ON m >= iv_start AND m <= iv_end
          |GROUP BY m ORDER BY month_start""".stripMargin),
+
+    // ---- Ranking window surface: ntile / percent_rank / cume_dist -----------------
+    // Completes the window-function inventory beyond q08/q09 (rank, lag,
+    // running sums). The ORDER BY is total (acctbal, custkey) — ntile
+    // assigns by row position, so any tie left to the engine would produce
+    // cross-engine divergence (same discipline as q09/q10, see README).
+    "q55_window_ranks" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal", $"c_custkey")
+        Tables.customer(s, dir)
+          .select($"c_custkey", $"c_nationkey",
+            ntile(4).over(w).cast("long").as("wealth_quartile"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"),
+            first_value($"c_custkey").over(w).as("poorest_key"))
+          .orderBy($"c_custkey")
+      },
+      """SELECT c_custkey, c_nationkey,
+        |  ntile(4) OVER w AS wealth_quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  first_value(c_custkey) OVER w AS poorest_key
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin),
   )
 }
