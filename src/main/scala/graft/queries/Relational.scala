@@ -592,5 +592,30 @@ object Relational {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin),
+
+    // ---- Mergeable distinct-count sketches (HLL partial + union rollup) -----------
+    // The 100-TB pre-aggregation pattern approx_count_distinct (q07b) can't
+    // express: per-nation Datasketches HLL partials materialized once, then
+    // ROLLED UP to region level by sketch union — re-aggregation without
+    // touching the raw data again (a cube of exact count-distincts can't be
+    // rolled up; sketches can). Deterministic for fixed input+lgK, but the
+    // sketch internals have no DuckDB twin → rows-only driver check +
+    // SketchRollupSpec (union estimate within 2% of exact, and equal to
+    // the unpartitioned sketch of the same data).
+    "q58_hll_rollup" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val partials = Tables.customer(s, dir)
+          .groupBy($"c_nationkey")
+          .agg(expr("hll_sketch_agg(c_custkey, 12)").as("sk"))
+        partials
+          .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"n_regionkey")
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").as("est_customers"))
+          .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+          .select($"r_name", $"est_customers")
+          .orderBy($"r_name")
+      },
+      None),
   )
 }
