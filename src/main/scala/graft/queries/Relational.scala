@@ -617,5 +617,34 @@ object Relational {
           .orderBy($"r_name")
       },
       None),
+
+    // ---- Fuzzy string join (record linkage) with length-band candidates -----------
+    // Near-match pairs over the DISTINCT name vocabulary, edit distance
+    // <= 2. Scale shape: levenshtein(a,b) <= 2 implies |len(a)-len(b)| <= 2,
+    // so one side explodes to its 5-length neighborhood and the join is an
+    // EQUI join on length — never an all-pairs product — with the exact
+    // levenshtein as the residual filter (each pair meets exactly once:
+    // the build side carries its single true length). At web scale the
+    // band key gains a q-gram prefix (same pattern, tighter buckets). The
+    // oracle is the UNbanded inequality join, so the banding is verified
+    // lossless (q27/q47 policy).
+    "q59_fuzzy_name_join" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val names = Tables.part(s, dir).select($"p_name").distinct()
+        val probe = names.select($"p_name".as("a"),
+          explode(sequence(length($"p_name") - 2, length($"p_name") + 2)).as("len"))
+        val build = names.select($"p_name".as("b"), length($"p_name").as("len"))
+        probe.join(build, "len")
+          .filter($"a" < $"b" && levenshtein($"a", $"b") <= 2)
+          .select($"a", $"b", levenshtein($"a", $"b").cast("long").as("lev"))
+          .orderBy($"a", $"b")
+      },
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS a, b.p_name AS b,
+        |  levenshtein(a.p_name, b.p_name) AS lev
+        |FROM n a JOIN n b
+        |  ON a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY a, b""".stripMargin),
   )
 }

@@ -74,6 +74,13 @@ class PlanAuditSpec extends SparkTestBase {
            p.contains("ShuffledHashJoin"), "expected a hash-based equi join on bin")
   }
 
+  test("q59: length-banded fuzzy join is an equi join, never an all-pairs product") {
+    val p = plan("q59_fuzzy_name_join")
+    assert(!p.contains("CartesianProduct"), "fuzzy join must not plan a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the length band must make the join an equi join")
+  }
+
   test("no query hot path uses a Scala UDF or collects to the driver") {
     // interpreted ScalaUDF in a plan defeats whole-stage codegen; the two
     // sanctioned custom kernels (vec_dot, hamming) are codegen'd Expressions
