@@ -31,6 +31,32 @@ object ScalingProbe {
 
     def replicated(m: Int): String = {
       val dir = s"/tmp/graft-scale-${m}x"
+      if (!new java.io.File(s"$dir/part.parquet").exists()) {
+        // relational tables for the join probes: keys shifted per replica so
+        // joins stay 1:1 (work grows linearly, never replica-cross-product);
+        // part names suffixed so the distinct-name vocabulary also grows m×
+        val shift = (c: String, k: Int) => lit(k.toLong * 10_000_000L) + col(c)
+        val parts = (0 until m).map { k =>
+          Tables.part(spark, sfDir)
+            .withColumn("p_partkey", shift("p_partkey", k))
+            // 3-char replica suffix: replicas land at edit distance 3 from
+            // each other (outside q59's <=2), so matches stay within-replica
+            // and the OUTPUT grows linearly in m, not quadratically
+            .withColumn("p_name", concat(col("p_name"), lit(s"_$k$k$k")))
+        }
+        parts.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dir/part.parquet")
+        val orders = (0 until m).map { k =>
+          Tables.orders(spark, sfDir).withColumn("o_orderkey", shift("o_orderkey", k))
+        }
+        orders.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+        val lis = (0 until m).map { k =>
+          Tables.lineitem(spark, sfDir).withColumn("l_orderkey", shift("l_orderkey", k))
+        }
+        lis.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      }
       if (!new java.io.File(s"$dir/documents.parquet").exists()) {
         val docs = Tables.documents(spark, sfDir)
         val vecs = Tables.embeddings(spark, sfDir)
@@ -56,7 +82,8 @@ object ScalingProbe {
     // warmup
     Tables.documents(spark, sfDir).groupBy($"lang").count().collect()
 
-    for (q <- Seq("q43_ngram_jaccard", "q45_embedding_neardup"); m <- mults) {
+    for (q <- Seq("q43_ngram_jaccard", "q45_embedding_neardup", "q57_dedup_clusters",
+                  "q47_range_join", "q59_fuzzy_name_join"); m <- mults) {
       val dir = replicated(m)
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(q)(spark, dir).count()
