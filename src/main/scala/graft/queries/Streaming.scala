@@ -92,5 +92,29 @@ object Streaming {
         |  AND epoch_us(p.ts) >= epoch_us(c.ts)
         |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800 * 1000000
         |ORDER BY 1, 2, 3, 4, 5""".stripMargin),
+
+    // ---- Stream-static broadcast enrichment ---------------------------------------
+    // The stream joins a small static dimension (event_type -> category,
+    // an in-memory relation — §2-A.5 shape) under a broadcast hint, then
+    // aggregates per category. No join state, no watermark needed for the
+    // join itself; the oracle is the batch CASE-mapping aggregate.
+    "q84_stream_static_join" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val dim = Seq(
+          ("click", "engagement"), ("view", "engagement"),
+          ("purchase", "conversion"), ("signup", "conversion"),
+          ("error", "ops")).toDF("event_type", "category")
+        val enriched = EventStreams.streamStaticEnrich(
+          EventStreams.readEventStream(s, dir), dim)
+        EventStreams.runToMemory(s, enriched)
+          .orderBy($"category")
+      },
+      s"""SELECT CASE event_type
+         |    WHEN 'click' THEN 'engagement' WHEN 'view' THEN 'engagement'
+         |    WHEN 'purchase' THEN 'conversion' WHEN 'signup' THEN 'conversion'
+         |    ELSE 'ops' END AS category,
+         |  COUNT(*) AS n, ${sqlSumExact("value")} AS sum_value
+         |FROM events GROUP BY 1 ORDER BY category""".stripMargin),
   )
 }

@@ -163,6 +163,18 @@ object EventStreams {
         col("c_value"), col("p_value"))
   }
 
+  /** Stream-static enrichment: the streaming side joins a (small) batch
+    * dimension under a broadcast hint — the canonical lookup/enrich shape.
+    * The static side is planned per micro-batch as an ordinary
+    * BroadcastHashJoin, needs no watermark and keeps NO join state (unlike
+    * stream-stream): at scale the stream shuffles nothing for the join and
+    * the dimension rides along with the tasks. */
+  def streamStaticEnrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("event_type"))
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
   /** Stateful sessionization with flatMapGroupsWithState (the custom-state
     * path the built-in session_window can't express — e.g. carrying running
     * aggregates per session). A session CLOSES when a later event arrives
