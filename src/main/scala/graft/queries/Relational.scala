@@ -277,6 +277,30 @@ object Relational {
         |SELECT 'only96' AS tag, o_custkey FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97)
         |ORDER BY tag, o_custkey""".stripMargin),
 
+    // ---- Multiset set ops: INTERSECT ALL / EXCEPT ALL ------------------------------
+    // Bag semantics (multiplicities preserved): a customer with 3 orders in
+    // 1996 and 1 in 1997 keeps 2 rows under EXCEPT ALL — the semantics
+    // dedup-by-subtraction pipelines need. Same shuffle shape as the
+    // distinct variants (hash on the compared columns).
+    "q11b_set_ops_all" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.orders(s, dir)
+        def custs(y: Int) =
+          o.filter(year($"o_orderdate") === y).select($"o_custkey")
+        val both   = custs(1996).intersectAll(custs(1997)).withColumn("tag", lit("both"))
+        val only96 = custs(1996).exceptAll(custs(1997)).withColumn("tag", lit("only96"))
+        both.unionAll(only96)
+          .select($"tag", $"o_custkey")
+          .orderBy($"tag", $"o_custkey")
+      },
+      """WITH y96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+        |     y97 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+        |SELECT 'both' AS tag, o_custkey FROM (SELECT * FROM y96 INTERSECT ALL SELECT * FROM y97)
+        |UNION ALL
+        |SELECT 'only96' AS tag, o_custkey FROM (SELECT * FROM y96 EXCEPT ALL SELECT * FROM y97)
+        |ORDER BY tag, o_custkey""".stripMargin),
+
     // ---- String functions -------------------------------------------------------
     "q12_string_funcs" -> Q(
       (s, dir) => {
