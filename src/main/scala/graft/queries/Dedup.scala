@@ -173,6 +173,24 @@ object Dedup {
         array((0 until 60).map(i => (col(s"b$i") > 0).cast("int")): _*).as("bits"))
   }
 
+  /** The simhash packed as two 30-bit longs (sim_lo = bits 0-29, sim_hi =
+    * 30-59): the shuffle representation — 16 bytes per sketch instead of a
+    * 60-element array; bands and hamming become shift/mask/popcount. */
+  private[queries] def simhashPacked(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    simhashBits(s, dir).select($"doc_id",
+      expr("aggregate(transform(sequence(0, 29), j -> cast(bits[j] as bigint) * shiftleft(cast(1 as bigint), j)), cast(0 as bigint), (a, x) -> a + x)").as("sim_lo"),
+      expr("aggregate(transform(sequence(0, 29), j -> cast(bits[j + 30] as bigint) * shiftleft(cast(1 as bigint), j)), cast(0 as bigint), (a, x) -> a + x)").as("sim_hi"))
+  }
+
+  /** DuckDB twin of `simhashPacked` (follows `sqlSimhashBits` in a WITH). */
+  private def sqlSimhashPacked: String =
+    """packed AS (
+      |  SELECT doc_id,
+      |    list_sum([CAST(bits[j+1] AS BIGINT) * (CAST(1 AS BIGINT) << j) FOR j IN range(30)]) AS sim_lo,
+      |    list_sum([CAST(bits[j+31] AS BIGINT) * (CAST(1 AS BIGINT) << j) FOR j IN range(30)]) AS sim_hi
+      |  FROM bits)""".stripMargin
+
   val all: Seq[(String, Q)] = Seq(
 
     // ---- Exact dedup: keep min doc_id per identical text ------------------------
@@ -288,63 +306,53 @@ object Dedup {
     "q44_simhash" -> Q(
       (s, dir) => {
         import s.implicits._
-        simhashBits(s, dir)
-          .select($"doc_id",
-            expr("aggregate(transform(sequence(0, 29), j -> cast(bits[j] as bigint) * shiftleft(cast(1 as bigint), j)), cast(0 as bigint), (a, x) -> a + x)").as("sim_lo"),
-            expr("aggregate(transform(sequence(0, 29), j -> cast(bits[j + 30] as bigint) * shiftleft(cast(1 as bigint), j)), cast(0 as bigint), (a, x) -> a + x)").as("sim_hi"))
-          .orderBy($"doc_id")
+        simhashPacked(s, dir).orderBy($"doc_id")
       },
-      s"""WITH $sqlSimhashBits
-         |SELECT doc_id,
-         |  list_sum([CAST(bits[j+1] AS BIGINT) * (CAST(1 AS BIGINT) << j) FOR j IN range(30)]) AS sim_lo,
-         |  list_sum([CAST(bits[j+31] AS BIGINT) * (CAST(1 AS BIGINT) << j) FOR j IN range(30)]) AS sim_hi
-         |FROM bits ORDER BY doc_id""".stripMargin),
+      s"""WITH $sqlSimhashBits, $sqlSimhashPacked
+         |SELECT doc_id, sim_lo, sim_hi FROM packed ORDER BY doc_id""".stripMargin),
 
-    // ---- SimHash near-dup pairs: banded buckets + native hamming filter -----------
+    // ---- SimHash near-dup pairs: banded buckets + popcount hamming filter ---------
     // 60 bits in 4 bands of 15: any pair within hamming distance 3 shares
     // at least one identical band (pigeonhole), so the equi-join on
-    // (band, band bits) finds all close pairs without an all-pairs scan;
-    // the codegen'd hamming() then filters exactly. Oracle-checked since
-    // round 3 (portable hash; DuckDB rebuilds bands and hamming).
+    // (band, 15-bit band key) finds all close pairs without an all-pairs
+    // scan. The sketch travels as TWO packed longs (sim_lo/sim_hi), never
+    // as a 60-element array: band keys are shift-and-mask, the exact
+    // hamming is bit_count(xor) — all fixed-width codegen'd integer ops,
+    // and the pair join shuffles 16 bytes of sketch per side instead of a
+    // wide array. Oracle-checked end to end (DuckDB packs and pops the
+    // same integers).
     "q46_simhash_pairs" -> Q(
       (s, dir) => {
         import s.implicits._
-        import graft.functions.VectorFunctions.hamming
-        // band key: the 15 band bits packed into ONE int (bits are 0/1, so
-        // the packing is exact) — a 4-byte shuffle key instead of a
-        // 15-element array. Key representation is internal: the candidate
-        // set is identical, and that's what the oracle checks.
-        val bits = simhashBits(s, dir)
-        val banded = bits.select($"doc_id", $"bits",
+        val packed = simhashPacked(s, dir)
+        val banded = packed.select($"doc_id", $"sim_lo", $"sim_hi",
             posexplode(expr(
               """transform(sequence(0, 3), b ->
-                |  aggregate(sequence(0, 14),
-                |    0, (acc, j) -> acc * 2 + bits[b * 15 + j]))""".stripMargin)))
-          .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_bits"))
-        val l = banded.select($"band", $"band_bits", $"doc_id".as("a"))
-        val r = banded.select($"band", $"band_bits", $"doc_id".as("b"))
-        val pairs = l.join(r, Seq("band", "band_bits")).filter($"a" < $"b")
-          .select($"a", $"b").distinct()
-        pairs
-          .join(bits.select($"doc_id".as("a"), $"bits".as("bits_a")), "a")
-          .join(bits.select($"doc_id".as("b"), $"bits".as("bits_b")), "b")
-          .withColumn("hamming_dist", hamming($"bits_a", $"bits_b"))
+                |  if(b < 2, shiftright(sim_lo, b * 15),
+                |            shiftright(sim_hi, (b - 2) * 15)) & 32767)""".stripMargin)))
+          .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
+        val l = banded.select($"band", $"band_key", $"doc_id".as("a"),
+          $"sim_lo".as("lo_a"), $"sim_hi".as("hi_a"))
+        val r = banded.select($"band", $"band_key", $"doc_id".as("b"),
+          $"sim_lo".as("lo_b"), $"sim_hi".as("hi_b"))
+        l.join(r, Seq("band", "band_key")).filter($"a" < $"b")
+          .withColumn("hamming_dist",
+            expr("cast(bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b) as bigint)"))
           .filter($"hamming_dist" <= 3)
-          .select($"a", $"b", $"hamming_dist")
+          .select($"a", $"b", $"hamming_dist").distinct()
           .orderBy($"a", $"b")
       },
-      s"""WITH $sqlSimhashBits,
+      s"""WITH $sqlSimhashBits, $sqlSimhashPacked,
          |banded AS (
-         |  SELECT doc_id, b, bits[(b*15+1):(b*15+15)] AS bb
-         |  FROM bits, (SELECT unnest(range(4)) AS b)),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM banded x JOIN banded y ON x.b = y.b AND x.bb = y.bb
-         |  WHERE x.doc_id < y.doc_id)
-         |SELECT a, b,
-         |  len([1 FOR k IN range(1, 61) IF xa.bits[k] <> xb.bits[k]]) AS hamming_dist
-         |FROM cand JOIN bits xa ON xa.doc_id = a JOIN bits xb ON xb.doc_id = b
-         |WHERE len([1 FOR k IN range(1, 61) IF xa.bits[k] <> xb.bits[k]]) <= 3
+         |  SELECT doc_id, sim_lo, sim_hi, b,
+         |    (CASE WHEN b < 2 THEN sim_lo >> (b * 15)
+         |          ELSE sim_hi >> ((b - 2) * 15) END) & 32767 AS band_key
+         |  FROM packed, (SELECT unnest(range(4)) AS b))
+         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |  CAST(bit_count(xor(x.sim_lo, y.sim_lo)) + bit_count(xor(x.sim_hi, y.sim_hi)) AS BIGINT) AS hamming_dist
+         |FROM banded x JOIN banded y ON x.b = y.b AND x.band_key = y.band_key
+         |WHERE x.doc_id < y.doc_id
+         |  AND bit_count(xor(x.sim_lo, y.sim_lo)) + bit_count(xor(x.sim_hi, y.sim_hi)) <= 3
          |ORDER BY a, b""".stripMargin),
 
     // ---- Embedding-cosine near-dup pairs (sign-bit LSH + exact rescore) -----------

@@ -62,7 +62,7 @@ class DedupSimilaritySpec extends SparkTestBase {
   test("simhash banded pairs find the planted exact duplicate") {
     import spark.implicits._
     val pairs = graft.SparkEntry.queries("q46_simhash_pairs")(spark, plantedDir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val exact = pairs.find(p => p._1 == 0L && p._2 == 90001L)
     assert(exact.isDefined, s"exact dup pair missing from ${pairs.take(20).toSeq}")
     assert(exact.get._3 === 0, "identical docs must be at hamming 0")
