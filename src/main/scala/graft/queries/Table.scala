@@ -95,5 +95,27 @@ object TableQueries {
       },
       """SELECT * FROM (VALUES (2, 'DELETE'), (1, 'MERGE'), (0, 'CREATE'))
         |AS t(version, operation) ORDER BY version DESC""".stripMargin),
+
+    // ---- Change data feed over the full golden history --------------------------
+    // changes(0, 2) must surface exactly the semantic deltas: the MERGE's
+    // update as delete-pre-image + insert-post-image plus its insert (v1),
+    // and the two DELETEd rows (v2). Rows merely rewritten into new files
+    // unchanged must NOT appear (they cancel via exceptAll) — which is the
+    // property that makes the file-diff CDF correct, and exactly what the
+    // literal-VALUES oracle pins down.
+    "q74_table_changes" -> Q(
+      (s, _) => {
+        import s.implicits._
+        golden(s).changes(0, 2)
+          .orderBy($"_commit_version", $"_change_type", $"id")
+      },
+      """SELECT * FROM (VALUES
+        |  (2, 'Alice', 'Rogers', 'delete', CAST(1 AS BIGINT)),
+        |  (2, 'Alice', 'Smith',  'insert', CAST(1 AS BIGINT)),
+        |  (4, 'New',   'Person', 'insert', CAST(1 AS BIGINT)),
+        |  (1, 'James', 'Bond',   'delete', CAST(2 AS BIGINT)),
+        |  (3, 'Joe',   'Bloggs', 'delete', CAST(2 AS BIGINT)))
+        |AS t(id, firstname, lastname, _change_type, _commit_version)
+        |ORDER BY _commit_version, _change_type, id""".stripMargin),
   )
 }
