@@ -117,5 +117,26 @@ object TableQueries {
         |  (3, 'Joe',   'Bloggs', 'delete', CAST(2 AS BIGINT)))
         |AS t(id, firstname, lastname, _change_type, _commit_version)
         |ORDER BY _commit_version, _change_type, id""".stripMargin),
+
+    // ---- RESTORE: head rolled back to v1 as a forward commit ---------------------
+    // A fresh golden table restored to version 1: the state must equal the
+    // v1 snapshot exactly, and the head commit must be a RESTORE at
+    // version 3 (history moves forward — the delete is not erased, and the
+    // restore itself is time-travelable). Both facts ride in one result.
+    "q75_table_restore" -> Q(
+      (s, _) => {
+        import s.implicits._
+        val t = cache.computeIfAbsent("restored", _ => {
+          val fresh = buildGolden(s); fresh.restore(1); fresh
+        })
+        val head = t.history()
+          .orderBy($"version".desc).limit(1)
+          .select($"version".as("head_version"), $"operation".as("head_op"))
+        t.toDF.crossJoin(head).orderBy($"id")
+      },
+      """SELECT * FROM (VALUES
+        |  (1, 'James', 'Bond',   3, 'RESTORE'), (2, 'Alice', 'Smith', 3, 'RESTORE'),
+        |  (3, 'Joe',   'Bloggs', 3, 'RESTORE'), (4, 'New',   'Person', 3, 'RESTORE'))
+        |AS t(id, firstname, lastname, head_version, head_op) ORDER BY id""".stripMargin),
   )
 }
