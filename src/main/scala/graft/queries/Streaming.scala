@@ -116,5 +116,42 @@ object Streaming {
          |    ELSE 'ops' END AS category,
          |  COUNT(*) AS n, ${sqlSumExact("value")} AS sum_value
          |FROM events GROUP BY 1 ORDER BY category""".stripMargin),
+
+    // ---- Streaming session windows (watermark + Append) --------------------------
+    // Dynamic-length windows in streaming: session_window merges events
+    // within the 30-min gap; Append emits a session once the watermark
+    // (max event time - 30 min, ms precision) passes its end (last event
+    // + gap). The oracle rebuilds sessions batch-side (q23's lag/cumsum
+    // formulation) and applies the same µs-exact cutoff.
+    "q85_stream_session" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val streamed = EventStreams.watermarkedSessionCounts(
+          EventStreams.readEventStream(s, dir))
+        EventStreams.runAppendToFiles(s, streamed)
+          .orderBy($"user_id", $"session_start")
+      },
+      s"""WITH flagged AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+         |              >= INTERVAL 30 MINUTE OR
+         |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM events),
+         |sessions AS (
+         |  SELECT user_id, ts, value,
+         |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM flagged),
+         |agg AS (
+         |  SELECT user_id, min(ts) AS st, max(ts) AS en,
+         |    COUNT(*) AS n_events, ${sqlSumExact("value")} AS sum_value
+         |  FROM sessions GROUP BY user_id, sid),
+         |m AS (SELECT (epoch_ms(max(ts)) - 30 * 60 * 1000) * 1000 AS wm_us FROM events)
+         |SELECT user_id, strftime(st, '%Y-%m-%d %H:%M:%S') AS session_start,
+         |  n_events, sum_value
+         |FROM agg, m
+         |WHERE epoch_us(en) + 1800 * 1000000 <= wm_us
+         |ORDER BY user_id, session_start""".stripMargin),
   )
 }

@@ -163,6 +163,22 @@ object EventStreams {
         col("c_value"), col("p_value"))
   }
 
+  /** Watermarked streaming SESSION windows (Append mode): session_window
+    * merges events within `gap` into one growing window per user; a session
+    * is finalized and emitted once the watermark passes its end
+    * (last event + gap), then its state is evicted — bounded state on an
+    * unbounded stream, dynamic-length windows the fixed tumbling/sliding
+    * shapes can't express. */
+  def watermarkedSessionCounts(events: DataFrame, gap: String = "30 minutes",
+                               delay: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("sum_value"))
+
   /** Stream-static enrichment: the streaming side joins a (small) batch
     * dimension under a broadcast hint — the canonical lookup/enrich shape.
     * The static side is planned per micro-batch as an ordinary
