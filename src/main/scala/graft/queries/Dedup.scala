@@ -12,8 +12,8 @@ import org.apache.spark.sql.functions._
   *
   * Oracle policy: every operator here is oracle-checked. md5 fingerprints
   * and integer set arithmetic are bit-identical in DuckDB; MinHash/SimHash
-  * build on a portable polynomial hash (identical integer arithmetic via
-  * DuckDB list_reduce), so signatures, bands, candidate pairs and distances
+  * build on a portable md5-derived 60-bit hash (bit-identical in DuckDB),
+  * so signatures, bands, candidate pairs and distances
   * are all hash-verified end-to-end. Scalatest adds the semantic properties
   * the oracle can't express (planted duplicates found, locality).
   *
@@ -229,7 +229,7 @@ object Dedup {
         |GROUP BY source ORDER BY source""".stripMargin),
 
     // ---- MinHash + LSH banding candidate pairs -------------------------------------
-    // Oracle-checked end-to-end since round 3: the portable polynomial hash
+    // Oracle-checked end-to-end since round 3: the portable md5-60bit hash
     // lets DuckDB rebuild the identical signatures, bands, candidates and
     // estimated Jaccard — the whole LSH pipeline is hash-verified, not just
     // "finds the planted dups".
