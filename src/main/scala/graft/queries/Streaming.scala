@@ -153,5 +153,30 @@ object Streaming {
          |FROM agg, m
          |WHERE epoch_us(en) + 1800 * 1000000 <= wm_us
          |ORDER BY user_id, session_start""".stripMargin),
+
+    // ---- Streaming sliding windows (watermark + Append) --------------------------
+    // Overlapping 10-min/5-min windows under the same emission rule as q81:
+    // a window appears once its end passes the watermark. The oracle
+    // expands each event to its two covering window starts (q22's batch
+    // formulation) and applies the identical ms-precision cutoff.
+    "q86_stream_sliding" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val streamed = EventStreams.watermarkedSlidingCounts(
+          EventStreams.readEventStream(s, dir))
+        EventStreams.runAppendToFiles(s, streamed)
+          .orderBy($"w_start")
+          .limit(500)
+      },
+      s"""WITH expanded AS (
+         |  SELECT unnest([floor(epoch(ts) / 300) * 300,
+         |                 floor(epoch(ts) / 300) * 300 - 300]) AS w, value
+         |  FROM events),
+         |m AS (SELECT epoch_ms(max(ts)) - 30 * 60 * 1000 AS wm_ms FROM events)
+         |SELECT strftime(to_timestamp(w), '%Y-%m-%d %H:%M:%S') AS w_start,
+         |  COUNT(*) AS n, ${sqlSumExact("value")} AS sum_value
+         |FROM expanded, m
+         |WHERE (w + 600) * 1000 <= wm_ms
+         |GROUP BY 1 ORDER BY w_start LIMIT 500""".stripMargin),
   )
 }

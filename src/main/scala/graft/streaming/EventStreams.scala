@@ -179,6 +179,19 @@ object EventStreams {
         date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         col("n_events"), col("sum_value"))
 
+  /** Watermarked sliding-window aggregation (Append mode): each event lands
+    * in windowSize/slide overlapping windows (assignment is map-side — the
+    * expansion happens before the shuffle, so state holds one row per OPEN
+    * window, not per event); windows emit once the watermark passes their
+    * end. */
+  def watermarkedSlidingCounts(events: DataFrame, delay: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+              col("n"), col("sum_value"))
+
   /** Stream-static enrichment: the streaming side joins a (small) batch
     * dimension under a broadcast hint — the canonical lookup/enrich shape.
     * The static side is planned per micro-batch as an ordinary
