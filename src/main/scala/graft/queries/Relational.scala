@@ -19,6 +19,10 @@ import org.apache.spark.sql.functions._
   * MERGE/DELETE (api.py:92-107); this module is the §2-C extension surface
   * mandated by BASELINE.json's north star, sized for the driver testdata.
   */
+/** Typed rows for q87 (top-level so Spark derives stable Encoders). */
+final case class CustomerSlim(c_custkey: Long, c_nationkey: Int, c_acctbal: Double)
+final case class TopAccount(nation: Int, rank: Long, custkey: Long, acctbal: Double)
+
 object Relational {
   import Exact._
 
@@ -641,6 +645,41 @@ object Relational {
           .orderBy($"r_name")
       },
       None),
+
+    // ---- Typed Dataset path: case-class Encoder + groupByKey.flatMapGroups --------
+    // The Dataset[T] API surface: rows decode into a case class, group
+    // logic runs as plain Scala per key (here: top-2 accounts per nation
+    // under a TOTAL order — ties on acctbal break by custkey, the q09/q10
+    // determinism discipline). flatMapGroups is the Scala analogue of
+    // applyInPandas grouped-map: one shuffle on the key, arbitrary typed
+    // logic per group, no state on the driver. Costs one
+    // serialize/deserialize boundary vs the window-function form (its
+    // oracle) — the price of typed logic; use it when the per-group code
+    // can't be expressed in columns.
+    "q87_typed_topk" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val ds = Tables.customer(s, dir)
+          .select($"c_custkey", $"c_nationkey", $"c_acctbal")
+          .as[CustomerSlim]
+        ds.groupByKey(_.c_nationkey)
+          .flatMapGroups { (nation: Int, it: Iterator[CustomerSlim]) =>
+            it.toSeq
+              .sortBy(c => (-c.c_acctbal, c.c_custkey))
+              .take(2)
+              .zipWithIndex
+              .map { case (c, i) => TopAccount(nation, i + 1L, c.c_custkey, c.c_acctbal) }
+          }
+          .toDF()
+          .orderBy($"nation", $"rank")
+      },
+      """SELECT c_nationkey AS nation,
+        |  CAST(row_number() OVER w AS BIGINT) AS rank,
+        |  c_custkey AS custkey, c_acctbal AS acctbal
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+        |QUALIFY rank <= 2
+        |ORDER BY nation, rank""".stripMargin),
 
     // ---- Fuzzy string join (record linkage) with length-band candidates -----------
     // Near-match pairs over the DISTINCT name vocabulary, edit distance
