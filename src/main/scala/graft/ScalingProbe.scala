@@ -82,8 +82,9 @@ object ScalingProbe {
     // warmup
     Tables.documents(spark, sfDir).groupBy($"lang").count().collect()
 
-    for (q <- Seq("q43_ngram_jaccard", "q45_embedding_neardup", "q57_dedup_clusters",
-                  "q47_range_join", "q59_fuzzy_name_join"); m <- mults) {
+    for (q <- Seq("q43_ngram_jaccard", "q45_embedding_neardup", "q46_simhash_pairs",
+                  "q57_dedup_clusters", "q47_range_join", "q59_fuzzy_name_join");
+         m <- mults) {
       val dir = replicated(m)
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(q)(spark, dir).count()
