@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   * but reads every vector. The LSH path buckets vectors by hyperplane sign
   * bits (map-side, no shuffle to build), and probes only the query's bucket
   * (+ optional hamming-1 neighbors): a partition-pruned equi-lookup instead
-  * of a full scan. Hyperplane components derive from xxhash64(plane, dim) —
-  * deterministic across the cluster, no driver-side randomness to ship.
+  * of a full scan. Hyperplane components derive from an LCG of (plane, dim)
+  * — deterministic across the cluster, no driver-side randomness to ship,
+  * and reproducible by the DuckDB oracle.
   */
 object Similarity {
 

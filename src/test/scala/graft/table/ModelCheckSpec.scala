@@ -8,8 +8,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Model-based property test (SURVEY.md §5.2.3): a GraftTable driven by a
-  * random sequence of append/merge/delete ops must always equal a plain
-  * in-memory Map model, at HEAD and at every historical version.
+  * random sequence of append/merge/delete/OPTIMIZE/RESTORE ops must always
+  * equal a plain in-memory Map model, at HEAD and at every historical
+  * version — OPTIMIZE must be a pure layout change, and RESTORE must snap
+  * state back while history keeps moving forward, with replay correct
+  * through both.
   */
 class ModelCheckSpec extends SparkTestBase {
 
@@ -31,8 +34,8 @@ class ModelCheckSpec extends SparkTestBase {
     val versions = scala.collection.mutable.ArrayBuffer(model)
     var nextId = 1
 
-    (1 to 15).foreach { step =>
-      rnd.nextInt(3) match {
+    (1 to 20).foreach { step =>
+      rnd.nextInt(5) match {
         case 0 => // append fresh ids
           val rows = (0 to rnd.nextInt(3)).map { _ =>
             val r = (nextId, s"f$nextId", s"l$nextId"); nextId += 1; r
@@ -65,6 +68,15 @@ class ModelCheckSpec extends SparkTestBase {
           val hi = lo + rnd.nextInt(4)
           t.delete(col("id").between(lo, hi))
           model = model.filter { case (id, _) => id < lo || id > hi }
+
+        case 3 => // OPTIMIZE: must be a pure layout change — state unchanged
+          t.optimize(targetFileBytes = 1L * 1024 * 1024)
+
+        case 4 => // RESTORE to a random earlier version: state snaps back,
+          // history still moves forward by exactly one commit
+          val target = rnd.nextInt(versions.size)
+          t.restore(target)
+          model = versions(target)
       }
       versions += model
       assert(state(t.toDF) === model, s"HEAD mismatch after step $step")
