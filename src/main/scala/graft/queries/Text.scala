@@ -275,5 +275,36 @@ object Text {
         |FROM (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin),
+
+    // ---- Sliding-window document chunking (pretraining/RAG windowing) -------------
+    // Fixed-size token chunks with overlap: chunk i covers tokens
+    // [i*stride, i*stride + size). The expansion is per-row map-side
+    // (transform + posexplode, no shuffle until the final sort), so at
+    // 100 TB chunking is embarrassingly parallel and output rows carry
+    // only (ids, token count, content hash) — the chunk text itself never
+    // needs to shuffle when the consumer writes chunks partition-local.
+    "q88_chunk_overlap" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val chunkLen = 32
+        val stride = 24
+        Tables.documents(s, dir)
+          .select($"doc_id", split($"text", " ").as("toks"))
+          .select($"doc_id",
+            posexplode(expr(
+              s"""transform(sequence(0, cast(floor((size(toks) - 1) / $stride) as int)),
+                 |  i -> slice(toks, i * $stride + 1, $chunkLen))""".stripMargin)))
+          .select($"doc_id", $"pos".cast("long").as("chunk_id"),
+            size($"col").cast("long").as("n_chunk_tokens"),
+            md5(concat_ws(" ", $"col")).as("chunk_md5"))
+          .orderBy($"doc_id", $"chunk_id")
+      },
+      """SELECT doc_id, s AS chunk_id,
+        |  len(toks[s*24+1 : s*24+32]) AS n_chunk_tokens,
+        |  md5(array_to_string(toks[s*24+1 : s*24+32], ' ')) AS chunk_md5
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |     (SELECT unnest(range(100)) AS s)
+        |WHERE s <= floor((len(toks) - 1) / 24)
+        |ORDER BY doc_id, chunk_id""".stripMargin),
   )
 }
