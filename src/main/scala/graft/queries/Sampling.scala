@@ -47,5 +47,46 @@ object Sampling {
         |  COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
         |FROM documents
         |GROUP BY 1, 2 ORDER BY source, split""".stripMargin),
+
+    // ---- Deterministic data mixing: weighted upsampling + epoch shuffle -----------
+    // The training-mix operator: high-quality strata repeat (src0-4 3x,
+    // src5-9 2x, rest 1x — explode over sequence, map-side), and the mixed
+    // stream gets a REPRODUCIBLE global order from md5(doc_id:copy) — the
+    // "seeded epoch shuffle" that makes a training run repeatable across
+    // engines and cluster layouts (a real shuffle would be partition-order
+    // dependent). Emitted: the first 50 positions of epoch 0.
+    "q89_data_mixing" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val weighted = Tables.documents(s, dir)
+          .withColumn("w",
+            when(expr("cast(substring(source, 4, 10) as int)") < 5, lit(3))
+              .when(expr("cast(substring(source, 4, 10) as int)") < 10, lit(2))
+              .otherwise(lit(1)))
+          .select($"doc_id", $"source", explode(expr("sequence(1, w)")).as("copy"))
+          .withColumn("shuffle_key", md5(concat_ws(":", $"doc_id", $"copy")))
+        weighted
+          .orderBy($"shuffle_key")
+          .limit(50)
+          .select(row_number().over(
+              org.apache.spark.sql.expressions.Window.orderBy($"shuffle_key"))
+              .cast("long").as("position"),
+            $"doc_id", $"copy".cast("long").as("copy"), $"source")
+          .orderBy($"position")
+      },
+      """WITH weighted AS (
+        |  SELECT doc_id, source, unnest(range(1, w + 1)) AS copy
+        |  FROM (SELECT doc_id, source,
+        |          CASE WHEN CAST(substring(source, 4) AS INT) < 5 THEN 3
+        |               WHEN CAST(substring(source, 4) AS INT) < 10 THEN 2
+        |               ELSE 1 END AS w
+        |        FROM documents)),
+        |keyed AS (
+        |  SELECT doc_id, source, copy,
+        |    md5(doc_id || ':' || copy) AS shuffle_key
+        |  FROM weighted)
+        |SELECT CAST(row_number() OVER (ORDER BY shuffle_key) AS BIGINT) AS position,
+        |  doc_id, copy, source
+        |FROM keyed ORDER BY shuffle_key LIMIT 50""".stripMargin),
   )
 }
