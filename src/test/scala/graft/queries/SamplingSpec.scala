@@ -36,6 +36,30 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("q89 mixing multiplies each stratum by its weight and is reproducible") {
+    import spark.implicits._
+    // the full weighted stream (pre-limit): n_rows per source = docs * w
+    val docs = graft.Tables.documents(spark, sfDir)
+      .groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val weighted = graft.Tables.documents(spark, sfDir)
+      .withColumn("w",
+        when(expr("cast(substring(source, 4, 10) as int)") < 5, lit(3))
+          .when(expr("cast(substring(source, 4, 10) as int)") < 10, lit(2))
+          .otherwise(lit(1)))
+      .select($"source", explode(expr("sequence(1, w)")).as("copy"))
+      .groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    weighted.foreach { case (src, n) =>
+      val tier = src.stripPrefix("src").toInt
+      val w = if (tier < 5) 3 else if (tier < 10) 2 else 1
+      assert(n === docs(src) * w, s"$src mixed to $n, expected ${docs(src)} * $w")
+    }
+    // epoch order is a pure function of (doc_id, copy): two evaluations agree
+    val q = graft.SparkEntry.queries("q89_data_mixing")
+    assert(q(spark, sfDir).collect().toSeq === q(spark, sfDir).collect().toSeq)
+  }
+
   test("q48 assignment is a pure function of doc_id (repartition-stable)") {
     import spark.implicits._
     val assign = (df: org.apache.spark.sql.DataFrame) => df
