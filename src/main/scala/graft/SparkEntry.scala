@@ -11,8 +11,10 @@ import graft.queries._
   */
 object SparkEntry {
 
-  /** All query modules, in inventory order (SURVEY.md §2-C / §2-D). */
-  private def modules: Seq[(String, Q)] =
+  /** All query modules, in inventory order (SURVEY.md §2-C / §2-D).
+    * private[graft] so the spec can assert name uniqueness — a duplicate
+    * name would silently drop a query at the `.toMap`. */
+  private[graft] def modules: Seq[(String, Q)] =
     Relational.all ++ Events.all ++ Text.all ++ Dedup.all ++ Similarity.all ++
       Sampling.all ++ Multimodal.all ++ TableQueries.all ++ Streaming.all
 

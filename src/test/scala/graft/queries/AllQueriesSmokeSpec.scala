@@ -26,6 +26,13 @@ class AllQueriesSmokeSpec extends SparkTestBase {
     }
   }
 
+  test("query names are unique (no silent drop at the registry toMap)") {
+    val names = graft.SparkEntry.modules.map(_._1)
+    val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate query names: $dups")
+    assert(graft.SparkEntry.queries.size === names.size)
+  }
+
   test("entry() smoke: flagship returns rows on sf0.001") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
