@@ -88,5 +88,46 @@ object Sampling {
         |SELECT CAST(row_number() OVER (ORDER BY shuffle_key) AS BIGINT) AS position,
         |  doc_id, copy, source
         |FROM keyed ORDER BY shuffle_key LIMIT 50""".stripMargin),
+
+    // ---- Curation funnel: dedup → quality gate → per-source retention -------------
+    // The operators composed as a real pipeline stage: exact-dedup keeps
+    // the min-id representative per normalized content hash, the survivors
+    // pass a quality gate (length + stopword hit, q31's signals), and the
+    // output is the per-source funnel — rows in, after dedup, after
+    // quality. One narrow md5 shuffle + one rollup; every intermediate is
+    // a DataFrame, so the funnel inherits pushdown/AQE end to end.
+    "q90_curation_funnel" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val toks = split($"text", " ")
+        val scored = Tables.documents(s, dir)
+          .withColumn("content_key", md5(lower(trim($"text"))))
+          .withColumn("rep",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy($"content_key").orderBy($"doc_id")) === 1)
+          .withColumn("n_tokens", size(toks))
+          .withColumn("n_stop", size(array_intersect(toks,
+            typedLit(Seq("the", "a", "of", "and", "to", "in")))))
+          .withColumn("quality_ok",
+            $"n_tokens" >= 20 && $"n_chars" >= 100 && $"n_stop" > 0)
+        scored.groupBy($"source")
+          .agg(count(lit(1)).as("n_in"),
+               count(when($"rep", 1)).as("n_after_dedup"),
+               count(when($"rep" && $"quality_ok", 1)).as("n_retained"))
+          .orderBy($"source")
+      },
+      """WITH scored AS (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY md5(lower(trim(text)))
+        |                       ORDER BY doc_id) = 1 AS rep,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    len(list_intersect(list_distinct(string_split(text, ' ')),
+        |        ['the','a','of','and','to','in'])) AS n_stop
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_in,
+        |  COUNT(*) FILTER (rep) AS n_after_dedup,
+        |  COUNT(*) FILTER (rep AND n_tokens >= 20 AND n_chars >= 100 AND n_stop > 0)
+        |    AS n_retained
+        |FROM scored GROUP BY source ORDER BY source""".stripMargin),
   )
 }
