@@ -16,6 +16,19 @@ class ConnectedComponentsSpec extends SparkTestBase {
                        10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("pointer jumping converges logarithmically: 40-chain within 8 rounds") {
+    import spark.implicits._
+    // plain neighbor propagation needs 39 rounds on this graph; with
+    // label := label(label) each round roughly doubles reach, so maxIter=8
+    // only succeeds if the jumping actually works
+    val n = 40L
+    val nodes = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = ConnectedComponents.components(nodes, edges, maxIter = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet === Set(1L), s"chain did not converge: $got")
+  }
+
   test("q57 clusters are consistent with q42 pairs: endpoints share a rep") {
     import spark.implicits._
     val comp = graft.SparkEntry.queries("q57_dedup_clusters")(spark, sfDir)
