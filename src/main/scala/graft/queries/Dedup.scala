@@ -183,12 +183,15 @@ object Dedup {
       expr("aggregate(transform(sequence(0, 29), j -> cast(bits[j + 30] as bigint) * shiftleft(cast(1 as bigint), j)), cast(0 as bigint), (a, x) -> a + x)").as("sim_hi"))
   }
 
-  /** DuckDB twin of `simhashPacked` (follows `sqlSimhashBits` in a WITH). */
+  /** DuckDB twin of `simhashPacked` (follows `sqlSimhashBits` in a WITH).
+    * list_sum over BIGINTs returns HUGEINT, which the driver's pandas
+    * comparator renders as float — cast back to BIGINT so the packed
+    * sketch columns hash identically to Spark's int64 output. */
   private def sqlSimhashPacked: String =
     """packed AS (
       |  SELECT doc_id,
-      |    list_sum([CAST(bits[j+1] AS BIGINT) * (CAST(1 AS BIGINT) << j) FOR j IN range(30)]) AS sim_lo,
-      |    list_sum([CAST(bits[j+31] AS BIGINT) * (CAST(1 AS BIGINT) << j) FOR j IN range(30)]) AS sim_hi
+      |    CAST(list_sum([CAST(bits[j+1] AS BIGINT) * (CAST(1 AS BIGINT) << j) FOR j IN range(30)]) AS BIGINT) AS sim_lo,
+      |    CAST(list_sum([CAST(bits[j+31] AS BIGINT) * (CAST(1 AS BIGINT) << j) FOR j IN range(30)]) AS BIGINT) AS sim_hi
       |  FROM bits)""".stripMargin
 
   val all: Seq[(String, Q)] = Seq(

@@ -131,7 +131,9 @@ object Similarity {
           .withColumn("cos_sim", round($"dot" / ($"nrm" * $"qn"), 6))
           .orderBy($"cos_sim".desc, $"vec_id")
           .limit(10)
-          .select($"vec_id", $"label", $"bucket", $"cos_sim")
+          // bucket is a small int in Spark but the DuckDB twin's list_sum
+          // yields HUGEINT; pin both sides to int64 for the hash compare
+          .select($"vec_id", $"label", $"bucket".cast("bigint").as("bucket"), $"cos_sim")
       },
       """WITH e AS (
         |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -139,12 +141,12 @@ object Similarity {
         |n AS (SELECT vec_id, label, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
         |bkt AS (
         |  SELECT vec_id, label, v, nrm,
-        |    list_sum([CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    CAST(list_sum([CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
         |        [CASE WHEN (((CAST(1103515245 AS BIGINT) * (p * 64 + d) + 12345) % 2147483648) >> 15) & 1 = 0
         |              THEN v[d + 1] ELSE -v[d + 1] END
         |         FOR d IN range(64)]),
         |        (acc, x) -> acc + x) > 0
-        |      THEN (1 << p) ELSE 0 END FOR p IN range(6)]) AS bucket
+        |      THEN (1 << p) ELSE 0 END FOR p IN range(6)]) AS BIGINT) AS bucket
         |  FROM n),
         |q AS (SELECT v AS qv, nrm AS qn, bucket AS qb FROM bkt WHERE vec_id = 0)
         |SELECT vec_id, label, bucket, round(list_inner_product(v, qv) / (nrm * qn), 6) AS cos_sim

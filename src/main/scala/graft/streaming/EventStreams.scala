@@ -28,6 +28,21 @@ object EventStreams {
   /** Per-user running session state (public: Spark codegen instantiates it). */
   final case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
 
+  /** Scratch dir for streaming checkpoints/sinks. Prefers RAM-backed
+    * /dev/shm over java.io.tmpdir when available: state-store deltas, WAL
+    * offset/commit files and sink output are all fsync'd per micro-batch,
+    * and on a disk-backed /tmp those synchronous fsyncs — not compute —
+    * dominate a finite replay's cost (and inflate unboundedly when the box
+    * is under write-back pressure). In production these locations are
+    * cluster-storage URIs (HDFS/S3) supplied by config; locally they are
+    * throwaway scratch, so tmpfs is the faithful analogue. */
+  private def scratchDir(prefix: String): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, prefix)
+    else java.nio.file.Files.createTempDirectory(prefix)
+  }
+
   /** File-source stream of the events table (schema fixed up front, as any
     * production stream does; ts arrives as raw nanos — see Tables.events). */
   def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
@@ -69,14 +84,25 @@ object EventStreams {
     * (watermarked, incremental emission, no driver materialization). */
   def runToMemory(spark: SparkSession, streamed: DataFrame): DataFrame = {
     val name = s"graft_stream_${UUID.randomUUID().toString.replace("-", "")}"
+    val chk = scratchDir("graft-stream-mem-")
     val q = streamed.writeStream
       .format("memory")
       .queryName(name)
+      .option("checkpointLocation", chk.resolve("chk").toString)
       .outputMode(OutputMode.Complete())
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    deleteRecursively(chk)
     spark.table(name)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
   }
 
   /** Watermarked tumbling aggregation: the Append-mode (scale-safe) twin of
@@ -98,7 +124,7 @@ object EventStreams {
     * watermark — a pure function of the input, which is what the DuckDB
     * oracle (same cutoff in SQL) checks. */
   def runAppendToFiles(spark: SparkSession, streamed: DataFrame): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft-stream-append-")
+    val base = scratchDir("graft-stream-append-")
     val outDir = base.resolve("out").toString
     val q = streamed.writeStream
       .format("parquet")
@@ -108,6 +134,9 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // the checkpoint is dead once the finite replay terminates; the sink
+    // parquet stays (the returned frame reads it lazily)
+    deleteRecursively(base.resolve("chk"))
     spark.read.parquet(outDir)
   }
 

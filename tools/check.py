@@ -21,6 +21,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon(rows, cols):
+    # Values compare as rendered strings, not Python equality: the driver
+    # hashes rendered values, so int 5 vs float 5.0 must MISMATCH here too.
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
@@ -29,9 +31,13 @@ def canon(rows, cols):
             v = r[i]
             if isinstance(v, float) and math.isnan(v):
                 v = "NaN"
+            elif v is None:
+                v = "<NULL>"
+            else:
+                v = str(v)
             rr.append(v)
         out.append(tuple(rr))
-    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    out.sort()
     return [cols[i] for i in order], out
 
 
@@ -44,12 +50,15 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            spark_tbl = pads.dataset(f"{out_dir}/{name}").to_table()
-            s_cols = spark_tbl.column_names
-            s_rows = [tuple(d.values()) for d in spark_tbl.to_pylist()]
-            duck = con.sql(sql)
-            d_cols = duck.columns
-            d_rows = duck.fetchall()
+            # Go through pandas on BOTH sides, mirroring the driver's
+            # comparator: dtype artifacts (e.g. DuckDB HUGEINT -> float64,
+            # so 5 renders as "5.0") must fail here like they fail there.
+            s_df = pads.dataset(f"{out_dir}/{name}").to_table().to_pandas()
+            s_cols = list(s_df.columns)
+            s_rows = [tuple(r) for r in s_df.itertuples(index=False, name=None)]
+            d_df = con.sql(sql).df()
+            d_cols = list(d_df.columns)
+            d_rows = [tuple(r) for r in d_df.itertuples(index=False, name=None)]
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
             n_fail += 1
@@ -58,6 +67,17 @@ def main(sf_dir, out_dir):
         dc, dr = canon(d_rows, d_cols)
         if sc != dc:
             print(f"FAIL {name}: columns spark={sc} duck={dc}")
+            n_fail += 1
+            continue
+        # int32 vs int64 renders identically and passes at the driver;
+        # what breaks the driver's hash is a KIND change (int vs float vs
+        # object — e.g. DuckDB HUGEINT arriving as float64).
+        s_dt = {c: t.kind for c, t in s_df.dtypes.items()}
+        d_dt = {c: t.kind for c, t in d_df.dtypes.items()}
+        dt_bad = {c: (s_dt[c], d_dt[c]) for c in s_dt
+                  if s_dt[c] != d_dt[c]}
+        if dt_bad:
+            print(f"FAIL {name}: dtype-kind drift {dt_bad}")
             n_fail += 1
             continue
         if len(sr) != len(dr):
