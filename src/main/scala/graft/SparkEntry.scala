@@ -16,7 +16,8 @@ object SparkEntry {
     * name would silently drop a query at the `.toMap`. */
   private[graft] def modules: Seq[(String, Q)] =
     Relational.all ++ Events.all ++ Text.all ++ Dedup.all ++ Similarity.all ++
-      Sampling.all ++ Multimodal.all ++ TableQueries.all ++ Streaming.all
+      Sampling.all ++ Multimodal.all ++ TableQueries.all ++ Streaming.all ++
+      Retrieval.all ++ GraphQueries.all ++ Privacy.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -124,7 +124,7 @@ object Dedup {
   /** DuckDB twin of `lshCandidates.filter(est_jaccard >= 0.3)`, as a CTE
     * chain ending in `lsh_pairs(a, b, est_jaccard)` — shared by the q42
     * oracle and q57's component closure over the same pair graph. */
-  private def sqlLshPairs: String =
+  private[queries] def sqlLshPairs: String =
     s"""$sqlShingles,
        |ph AS (SELECT doc_id, ${sqlH60("shingle")} % $M1 AS h FROM sh),
        |sig AS (

@@ -204,5 +204,52 @@ object Similarity {
         |SELECT vec_id, label, round(list_inner_product(v, qv) / (nrm * qn), 6) AS cos_sim
         |FROM n, q, probe WHERE vec_id <> 0 AND label = c_label
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
+
+    // ---- Int8 scalar quantization + reconstruction quality -----------------------
+    // The vector-compression step a 100-TB ANN index runs before anything
+    // else: per-vector symmetric int8 quantization (scale = 127/max|x|),
+    // 4x smaller than float32 — which is the difference between an index
+    // that fits executor memory and one that doesn't. Pure map-side
+    // expression work, no shuffle except the output sort. The quality gate
+    // is the cosine between the original and its dequantized self; all
+    // arithmetic (round → clamp → int cast; index-order dot folds) is
+    // bit-identical in DuckDB, so compression AND its error measurement are
+    // oracle-checked.
+    "q95_embedding_quantize" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.VectorFunctions.vecDot
+        Tables.embeddings(s, dir)
+          .select($"vec_id", $"label",
+            expr("transform(embedding, x -> cast(x as double))").as("v"))
+          .withColumn("mx", expr("array_max(transform(v, x -> abs(x)))"))
+          .filter($"mx" > 0d)
+          .withColumn("qv", expr(
+            "transform(v, x -> cast(greatest(-127.0d, least(127.0d, round(x * (127.0d / mx)))) as int))"))
+          .withColumn("dv", expr("transform(qv, q -> q / (127.0d / mx))"))
+          .select($"vec_id", $"label",
+            expr("size(filter(qv, q -> abs(q) = 127))").as("n_sat"),
+            expr("array_max(transform(qv, q -> abs(q)))").as("max_abs_q"),
+            round(vecDot($"v", $"dv") /
+              (sqrt(vecDot($"v", $"v")) * sqrt(vecDot($"dv", $"dv"))), 6).as("recon_cos"))
+          .orderBy($"vec_id")
+      },
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, label, v,
+        |        list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+        |qq AS (
+        |  SELECT vec_id, label, v, mx,
+        |    list_transform(v, x -> CAST(greatest(-127.0, least(127.0, round(x * (127.0 / mx)))) AS INTEGER)) AS qv
+        |  FROM m WHERE mx > 0),
+        |dq AS (SELECT vec_id, label, v, qv,
+        |         list_transform(qv, q -> q / (127.0 / mx)) AS dv FROM qq)
+        |SELECT vec_id, label,
+        |  len(list_filter(qv, q -> abs(q) = 127)) AS n_sat,
+        |  list_max(list_transform(qv, q -> abs(q))) AS max_abs_q,
+        |  round(list_inner_product(v, dv) /
+        |        (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(dv, dv))), 6) AS recon_cos
+        |FROM dq ORDER BY vec_id""".stripMargin),
   )
 }
