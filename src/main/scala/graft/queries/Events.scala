@@ -335,5 +335,33 @@ object Events {
          |    OVER (PARTITION BY user_id ORDER BY d
          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff_value
          |FROM j ORDER BY user_id, day""".stripMargin),
+
+    // ---- Time-RANGE rolling window (trailing 1 hour per user) --------------------
+    // The window-frame shape q09's ROWS frames can't express: the frame is
+    // every event within the trailing HOUR, however many rows that is —
+    // rolling rate-limit / velocity features. Ordering key is whole epoch
+    // seconds on BOTH engines (Spark's long cast floors µs, DuckDB floors
+    // ns — same integer), which also makes equal-second rows frame PEERS
+    // sharing one aggregate, so no cross-engine tie-break exists. The sum
+    // goes through the decimal discipline (exact within any frame order).
+    // Scale shape: one shuffle on user_id + an in-partition sort; frame
+    // state is the trailing window only.
+    "q96_rolling_range_window" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts".cast("long"))
+          .rangeBetween(-3600, 0)
+        Tables.events(s, dir)
+          .select($"event_id", $"user_id",
+            count(lit(1)).over(w).as("n_1h"),
+            sum(dec($"value")).over(w).cast("double").as("v_1h"))
+          .orderBy($"event_id")
+      },
+      """SELECT event_id, user_id, COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS v_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY floor(epoch(ts))
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin),
   )
 }

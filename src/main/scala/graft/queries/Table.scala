@@ -54,6 +54,32 @@ object TableQueries {
     t
   }
 
+  private val valueSchema = StructType(Seq(
+    StructField("id", IntegerType, nullable = false),
+    StructField("category", StringType, nullable = false),
+    StructField("value", IntegerType, nullable = false)))
+
+  /** Value-table scenario for incremental aggregation: v0 seed, v1 merge
+    * (update id=2 to 25, insert id=5), v2 delete id=3. */
+  private[queries] def ivmTable(s: SparkSession): GraftTable =
+    cache.computeIfAbsent("ivm", _ => {
+      import scala.jdk.CollectionConverters._
+      val dir = Files.createTempDirectory("graft-ivm-").toString
+      val seed = s.createDataFrame(Seq(
+        Row(1, "A", 10), Row(2, "A", 20), Row(3, "B", 30), Row(4, "B", 40)
+      ).asJava, valueSchema)
+      val t = GraftTable.create(s, dir, seed)
+      val updates = s.createDataFrame(Seq(
+        Row(2, "A", 25), Row(5, "B", 50)).asJava, valueSchema)
+      t.merge(updates, "t.id = s.id")
+        .whenMatchedUpdate(Map("value" -> "s.value"))
+        .whenNotMatchedInsert(Map("id" -> "s.id", "category" -> "s.category",
+                                  "value" -> "s.value"))
+        .execute()
+      t.delete(col("id") === 3)
+      t
+    })
+
   val all: Seq[(String, Q)] = Seq(
 
     // ---- Final state after seed + MERGE + DELETE ------------------------------
@@ -138,5 +164,37 @@ object TableQueries {
         |  (1, 'James', 'Bond',   3, 'RESTORE'), (2, 'Alice', 'Smith', 3, 'RESTORE'),
         |  (3, 'Joe',   'Bloggs', 3, 'RESTORE'), (4, 'New',   'Person', 3, 'RESTORE'))
         |AS t(id, firstname, lastname, head_version, head_op) ORDER BY id""".stripMargin),
+
+    // ---- Incremental aggregate maintenance from the change data feed -------------
+    // The IVM pattern every 100-TB pipeline runs instead of nightly full
+    // recomputes: a per-category aggregate materialized at v0 is advanced to
+    // the head state by FOLDING THE CDF DELTAS (insert ⇒ +1/+value, delete ⇒
+    // −1/−value; updates arrive as delete-pre + insert-post pairs, so they
+    // net correctly with no special case) — the head snapshot is never read.
+    // COUNT/SUM are the self-maintainable aggregates; the literal-VALUES
+    // oracle pins the maintained state, and RetrievalGraphSpec asserts it
+    // equals the full head recompute. Scale shape: the delta fold touches
+    // only changed rows — O(changes), not O(table).
+    "q76_incremental_agg" -> Q(
+      (s, _) => {
+        import s.implicits._
+        val t = ivmTable(s)
+        val base = t.versionAsOf(0).groupBy($"category")
+          .agg(count(lit(1)).as("n"), sum($"value").as("sv"))
+        // changes(from, to) diffs snapshots — exclusive of `from` (q74's
+        // pinned semantic), so the deltas on top of the v0 base are (0, 2)
+        val deltas = t.changes(0, 2)
+          .select($"category",
+            when($"_change_type" === "insert", lit(1L)).otherwise(lit(-1L)).as("n"),
+            when($"_change_type" === "insert", $"value".cast("long"))
+              .otherwise(-$"value".cast("long")).as("sv"))
+        base.unionByName(deltas)
+          .groupBy($"category")
+          .agg(sum($"n").as("n"), sum($"sv").as("sum_value"))
+          .orderBy($"category")
+      },
+      """SELECT * FROM (VALUES ('A', CAST(2 AS BIGINT), CAST(35 AS BIGINT)),
+        |                      ('B', CAST(2 AS BIGINT), CAST(90 AS BIGINT)))
+        |AS t(category, n, sum_value) ORDER BY category""".stripMargin),
   )
 }

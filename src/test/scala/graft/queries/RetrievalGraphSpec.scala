@@ -96,6 +96,25 @@ class RetrievalGraphSpec extends SparkTestBase {
       "int8 reconstruction cosine below 0.999")
   }
 
+  test("incremental CDF aggregate equals the full head recompute") {
+    import spark.implicits._
+    val incremental = SparkEntry_q("q76_incremental_agg")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val recomputed = TableQueries.ivmTable(spark).toDF
+      .groupBy($"category")
+      .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(incremental === recomputed,
+      "delta-maintained aggregate diverged from recompute")
+  }
+
+  test("range window: frame peers share aggregates; frames bounded by the hour") {
+    import spark.implicits._
+    val rows = SparkEntry_q("q96_rolling_range_window").limit(5000).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_1h") >= 1L), "a row must be in its own frame")
+  }
+
   private def SparkEntry_q(name: String, dir: String = sfDir) =
     graft.SparkEntry.queries(name)(spark, dir)
 }
