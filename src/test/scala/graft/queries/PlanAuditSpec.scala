@@ -81,6 +81,36 @@ class PlanAuditSpec extends SparkTestBase {
       "the length band must make the join an equi join")
   }
 
+  test("q91: bm25 broadcasts df/corpus stats and plans top-k, no cartesian") {
+    val p = plan("q91_bm25_search")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+    assert(!p.contains("CartesianProduct"), "corpus-side cartesian is forbidden")
+    assert(p.contains("BroadcastHashJoin"), "the df table must broadcast")
+  }
+
+  test("q93: sketch build is a partial+final aggregate, no cartesian") {
+    val p = plan("q93_heavy_hitters")
+    assert(!p.contains("CartesianProduct"))
+    val exchange = p.indexOf("Exchange")
+    assert(p.indexOf("HashAggregate") >= 0 && exchange >= 0)
+    assert(p.indexOf("HashAggregate", exchange) >= 0,
+      "grid counters must combine map-side before the shuffle")
+  }
+
+  test("q95: quantization is pure map-side — no join, no hash exchange") {
+    val p = plan("q95_embedding_quantize")
+    assert(!p.contains("Join"), "quantization must not join")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "only the output sort may exchange")
+  }
+
+  test("q96: range window shuffles once on user_id") {
+    val p = plan("q96_rolling_range_window")
+    assert(p.contains("Window"), "expected a window operator")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"range window should shuffle once, saw $exchanges")
+  }
+
   test("no query hot path uses a Scala UDF or collects to the driver") {
     // interpreted ScalaUDF in a plan defeats whole-stage codegen; the two
     // sanctioned custom kernels (vec_dot, hamming) are codegen'd Expressions
