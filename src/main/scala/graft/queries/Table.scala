@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
 import java.sql.Timestamp
 
 import graft.table.GraftTable
@@ -37,7 +36,7 @@ object TableQueries {
     * v1 merge, v2 delete). */
   private def buildGolden(s: SparkSession): GraftTable = {
     import scala.jdk.CollectionConverters._
-    val dir = Files.createTempDirectory("graft-golden-").toString
+    val dir = graft.Scratch.dir("graft-golden-").toString
     val seed = s.createDataFrame(Seq(
       Row(1, "James", "Bond"), Row(2, "Alice", "Rogers"), Row(3, "Joe", "Bloggs")
     ).asJava, seedSchema)
@@ -64,7 +63,7 @@ object TableQueries {
   private[queries] def ivmTable(s: SparkSession): GraftTable =
     cache.computeIfAbsent("ivm", _ => {
       import scala.jdk.CollectionConverters._
-      val dir = Files.createTempDirectory("graft-ivm-").toString
+      val dir = graft.Scratch.dir("graft-ivm-").toString
       val seed = s.createDataFrame(Seq(
         Row(1, "A", 10), Row(2, "A", 20), Row(3, "B", 30), Row(4, "B", 40)
       ).asJava, valueSchema)

@@ -28,20 +28,13 @@ object EventStreams {
   /** Per-user running session state (public: Spark codegen instantiates it). */
   final case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
 
-  /** Scratch dir for streaming checkpoints/sinks. Prefers RAM-backed
-    * /dev/shm over java.io.tmpdir when available: state-store deltas, WAL
-    * offset/commit files and sink output are all fsync'd per micro-batch,
-    * and on a disk-backed /tmp those synchronous fsyncs — not compute —
-    * dominate a finite replay's cost (and inflate unboundedly when the box
-    * is under write-back pressure). In production these locations are
-    * cluster-storage URIs (HDFS/S3) supplied by config; locally they are
-    * throwaway scratch, so tmpfs is the faithful analogue. */
-  private def scratchDir(prefix: String): java.nio.file.Path = {
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    if (java.nio.file.Files.isWritable(shm))
-      java.nio.file.Files.createTempDirectory(shm, prefix)
-    else java.nio.file.Files.createTempDirectory(prefix)
-  }
+  /** Scratch for streaming checkpoints/sinks (graft.Scratch: tmpfs when
+    * available — state-store deltas, WAL offset/commit files and sink
+    * output are all fsync'd per micro-batch, and on a disk-backed /tmp
+    * those synchronous fsyncs dominate a finite replay's cost under box
+    * write-back pressure. Production supplies cluster-storage URIs). */
+  private def scratchDir(prefix: String): java.nio.file.Path =
+    graft.Scratch.dir(prefix)
 
   /** File-source stream of the events table (schema fixed up front, as any
     * production stream does; ts arrives as raw nanos — see Tables.events). */
