@@ -194,6 +194,54 @@ object Dedup {
       |    CAST(list_sum([CAST(bits[j+31] AS BIGINT) * (CAST(1 AS BIGINT) << j) FOR j IN range(30)]) AS BIGINT) AS sim_hi
       |  FROM bits)""".stripMargin
 
+  /** Embedding near-dup candidate pairs (sign-bit banded LSH + exact cosine
+    * rescore, the q45 pipeline) — shared by q45 and q97's cluster closure. */
+  private[queries] def embNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions.vecDot
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val bits = e.withColumn("bits", expr("transform(v, x -> if(x > 0d, 1, 0))"))
+    val banded = bits.select($"vec_id",
+        posexplode(expr("transform(sequence(0, 3), b -> slice(bits, b * 16 + 1, 16))")))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_bits"))
+    val l = banded.select($"band", $"band_bits", $"vec_id".as("a"))
+    val r = banded.select($"band", $"band_bits", $"vec_id".as("b"))
+    val pairs = l.join(r, Seq("band", "band_bits")).filter($"a" < $"b")
+      .select($"a", $"b").distinct()
+    val withNorm = e.withColumn("nrm", sqrt(vecDot($"v", $"v")))
+    pairs
+      .join(withNorm.select($"vec_id".as("a"), $"v".as("va"), $"nrm".as("na")), "a")
+      .join(withNorm.select($"vec_id".as("b"), $"v".as("vb"), $"nrm".as("nb")), "b")
+      .withColumn("cos_sim", round(vecDot($"va", $"vb") / ($"na" * $"nb"), 6))
+      .filter($"cos_sim" >= 0.3)
+      .select($"a", $"b", $"cos_sim")
+  }
+
+  /** DuckDB twin of `embNearDupPairs`, as a CTE chain ending in
+    * `emb_pairs(a, b, cos_sim)` — shared by the q45 oracle and q97's
+    * recursive closure over the same pair graph. */
+  private[queries] def sqlEmbPairs: String =
+    """e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |bits AS (
+      |  SELECT vec_id, list_transform(v, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END) AS b
+      |  FROM e),
+      |banded AS (
+      |  SELECT vec_id, i AS band, array_to_string(b[(i*16+1):(i*16+16)], '') AS bb
+      |  FROM bits, (SELECT unnest(range(4)) AS i)),
+      |cand AS (
+      |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+      |  FROM banded x JOIN banded y ON x.band = y.band AND x.bb = y.bb
+      |  WHERE x.vec_id < y.vec_id),
+      |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      |emb_pairs AS (
+      |  SELECT a, b,
+      |    round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cos_sim
+      |  FROM cand JOIN n x ON x.vec_id = a JOIN n y ON y.vec_id = b
+      |  WHERE round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.3)""".stripMargin
+
   val all: Seq[(String, Q)] = Seq(
 
     // ---- Exact dedup: keep min doc_id per identical text ------------------------
@@ -374,45 +422,10 @@ object Dedup {
     "q45_embedding_neardup" -> Q(
       (s, dir) => {
         import s.implicits._
-        import graft.functions.VectorFunctions.vecDot
-        val e = Tables.embeddings(s, dir)
-          .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
-        val bits = e.withColumn("bits", expr("transform(v, x -> if(x > 0d, 1, 0))"))
-        val banded = bits.select($"vec_id",
-            posexplode(expr("transform(sequence(0, 3), b -> slice(bits, b * 16 + 1, 16))")))
-          .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_bits"))
-        val l = banded.select($"band", $"band_bits", $"vec_id".as("a"))
-        val r = banded.select($"band", $"band_bits", $"vec_id".as("b"))
-        val pairs = l.join(r, Seq("band", "band_bits")).filter($"a" < $"b")
-          .select($"a", $"b").distinct()
-        val withNorm = e.withColumn("nrm", sqrt(vecDot($"v", $"v")))
-        pairs
-          .join(withNorm.select($"vec_id".as("a"), $"v".as("va"), $"nrm".as("na")), "a")
-          .join(withNorm.select($"vec_id".as("b"), $"v".as("vb"), $"nrm".as("nb")), "b")
-          .withColumn("cos_sim", round(vecDot($"va", $"vb") / ($"na" * $"nb"), 6))
-          .filter($"cos_sim" >= 0.3)
-          .select($"a", $"b", $"cos_sim")
-          .orderBy($"a", $"b")
+        embNearDupPairs(s, dir).orderBy($"a", $"b")
       },
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |bits AS (
-        |  SELECT vec_id, list_transform(v, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END) AS b
-        |  FROM e),
-        |banded AS (
-        |  SELECT vec_id, i AS band, array_to_string(b[(i*16+1):(i*16+16)], '') AS bb
-        |  FROM bits, (SELECT unnest(range(4)) AS i)),
-        |cand AS (
-        |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-        |  FROM banded x JOIN banded y ON x.band = y.band AND x.bb = y.bb
-        |  WHERE x.vec_id < y.vec_id),
-        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e)
-        |SELECT a, b,
-        |  round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cos_sim
-        |FROM cand JOIN n x ON x.vec_id = a JOIN n y ON y.vec_id = b
-        |WHERE round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.3
-        |ORDER BY a, b""".stripMargin),
+      s"""WITH $sqlEmbPairs
+         |SELECT a, b, cos_sim FROM emb_pairs ORDER BY a, b""".stripMargin),
 
     // ---- Near-dup CLUSTERS: connected components over the LSH pair graph ----------
     // Pairs are not enough for dedup — keeping one canonical doc per
@@ -446,5 +459,37 @@ object Dedup {
          |SELECT doc_id, cluster_rep,
          |  COUNT(*) OVER (PARTITION BY cluster_rep) AS cluster_size
          |FROM comp ORDER BY doc_id""".stripMargin),
+
+    // ---- SEMANTIC dedup clusters: components over the embedding pair graph --------
+    // q57's transitive-closure treatment applied to the EMBEDDING near-dup
+    // graph (q45's sign-bit-banded pairs): textually different documents
+    // whose embeddings are near-identical collapse into one cluster with a
+    // canonical representative — the "semantic dedup" stage that textual
+    // fingerprints (q40-q44) can't perform. Same scale shape as q57
+    // (min-label propagation, rounds = cluster diameter); same
+    // cross-engine proof (DuckDB recursive closure over the identical
+    // oracle-checked pair set).
+    "q97_semantic_clusters" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val edges = embNearDupPairs(s, dir).select($"a".as("src"), $"b".as("dst"))
+        val nodes = Tables.embeddings(s, dir).select($"vec_id".as("id"))
+        graft.operators.ConnectedComponents.components(nodes, edges)
+          .select($"id".as("vec_id"), $"label".as("cluster_rep"))
+          .withColumn("cluster_size",
+            count(lit(1)).over(Window.partitionBy($"cluster_rep")))
+          .orderBy($"vec_id")
+      },
+      s"""WITH RECURSIVE $sqlEmbPairs,
+         |edges AS (SELECT a AS src, b AS dst FROM emb_pairs
+         |          UNION SELECT b, a FROM emb_pairs),
+         |walk(id, lbl) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id),
+         |comp AS (SELECT id AS vec_id, min(lbl) AS cluster_rep FROM walk GROUP BY 1)
+         |SELECT vec_id, cluster_rep,
+         |  COUNT(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+         |FROM comp ORDER BY vec_id""".stripMargin),
   )
 }

@@ -1,0 +1,55 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source-format interchange: the engine reads more than its native
+  * parquet. q98 exports an events projection as JSON-lines to scratch and
+  * reads it back with an explicit schema (the production posture — schema
+  * inference is a full extra pass at 100 TB and type-unstable); the
+  * aggregate over the round-tripped data must equal the aggregate over the
+  * original parquet, which is what the oracle (running on the ORIGINAL
+  * table) checks. Doubles survive the text round-trip exactly: Spark
+  * writes the shortest representation that parses back to the identical
+  * bits.
+  */
+object Interchange {
+  import Exact._
+
+  /** One JSONL export per (JVM, sfDir). */
+  private val exported = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def jsonlDir(s: SparkSession, dir: String): String =
+    exported.computeIfAbsent(dir, _ => {
+      val out = graft.Scratch.dir("graft-jsonl-").resolve("events").toString
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").json(out)
+      out
+    })
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("user_id", LongType),
+    StructField("event_type", StringType), StructField("value", DoubleType)))
+
+  val all: Seq[(String, Q)] = Seq(
+
+    // ---- JSON-lines source round-trip -----------------------------------------
+    "q98_jsonl_roundtrip" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        s.read.schema(eventsSchema).json(jsonlDir(s, dir))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+               countDistinct($"user_id").as("n_users"),
+               sumExact($"value").as("sum_value"),
+               min($"event_id").as("min_event"))
+          .orderBy($"event_type")
+      },
+      s"""SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+         |  ${sqlSumExact("value")} AS sum_value, MIN(event_id) AS min_event
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+  )
+}
