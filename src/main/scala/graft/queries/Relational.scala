@@ -709,5 +709,59 @@ object Relational {
         |FROM n a JOIN n b
         |  ON a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY a, b""".stripMargin),
+
+    // ---- Mergeable-histogram quantile estimation -----------------------------------
+    // The quantile SKETCH the exact percentile (q28) can't be at 100 TB:
+    // exact percentiles need the sorted values per group; a fixed 100-bin
+    // histogram is constant-size per group, merges by addition across
+    // partitions (same algebra as q93's CMS grid), and answers any quantile
+    // by linear interpolation inside the covering bin. Unlike t-digest/
+    // GK sketches (impl-defined internals), the bin counts are plain
+    // integers and the interpolation is one fixed double expression, so the
+    // whole sketch AND its estimates are oracle-checked. Estimation error
+    // is bounded by bin width (spec asserts vs exact percentiles).
+    "q99_histogram_quantiles" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val binW = 1100.0
+        val h = Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag".as("flag"),
+            least(lit(99), floor($"l_extendedprice" / binW)).cast("int").as("bin"))
+          .agg(count(lit(1)).as("c"))
+        val tot = h.groupBy($"flag").agg(sum($"c").as("n"))
+        val w = Window.partitionBy($"flag").orderBy($"bin")
+        val cum = h.withColumn("cum", sum($"c").over(w)).join(tot, "flag")
+        def est(p: Double, name: String) = {
+          val first = Window.partitionBy($"flag").orderBy($"bin")
+          cum.filter($"cum" >= $"n" * p)
+            .withColumn("rn", row_number().over(first))
+            .filter($"rn" === 1)
+            .select($"flag", round(
+              $"bin" * binW + lit(binW) * (($"n" * p - ($"cum" - $"c")) / $"c"), 6).as(name))
+        }
+        est(0.5, "p50_est").join(est(0.95, "p95_est"), "flag")
+          .orderBy($"flag")
+      },
+      """WITH h AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(least(99, floor(l_extendedprice / 1100.0)) AS INTEGER) AS bin,
+        |    COUNT(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |t AS (SELECT flag, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY 1),
+        |cum AS (
+        |  SELECT h.flag, bin, c,
+        |    CAST(SUM(c) OVER (PARTITION BY h.flag ORDER BY bin) AS BIGINT) AS cum, n
+        |  FROM h JOIN t USING (flag)),
+        |p50 AS (
+        |  SELECT flag, round(bin * 1100.0 + 1100.0 * ((n * 0.5 - (cum - c)) / c), 6) AS p50_est,
+        |    ROW_NUMBER() OVER (PARTITION BY flag ORDER BY bin) AS rn
+        |  FROM cum WHERE cum >= n * 0.5),
+        |p95 AS (
+        |  SELECT flag, round(bin * 1100.0 + 1100.0 * ((n * 0.95 - (cum - c)) / c), 6) AS p95_est,
+        |    ROW_NUMBER() OVER (PARTITION BY flag ORDER BY bin) AS rn
+        |  FROM cum WHERE cum >= n * 0.95)
+        |SELECT p50.flag, p50_est, p95_est
+        |FROM p50 JOIN p95 ON p50.flag = p95.flag AND p50.rn = 1 AND p95.rn = 1
+        |ORDER BY p50.flag""".stripMargin),
   )
 }

@@ -12,7 +12,59 @@ import org.apache.spark.sql.functions._
 object Streaming {
   import Exact.sqlSumExact
 
+  /** One upsert-target table per (JVM, sfDir): the stream MERGEs into it
+    * via foreachBatch; re-running the stream (Verify + smoke determinism
+    * both do) must be a no-op — that idempotence is part of the check. */
+  private val upsertTargets =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.table.GraftTable]()
+
   val all: Seq[(String, Q)] = Seq(
+
+    // ---- Streaming MERGE upsert sink (foreachBatch -> GraftTable.merge) ----------
+    // The Delta streaming-upsert shape: each micro-batch of first-touch
+    // keys MERGEs into a versioned table (insert-if-absent), so re-delivery
+    // and replays are idempotent — re-running the whole stream inserts
+    // nothing. The oracle checks the final table: exactly the batch
+    // DISTINCT key set (n_rows == n_users per type — no duplicate row can
+    // survive a keyed merge). At scale each micro-batch is one atomic
+    // commit; the merge's touched-file semi-join keeps the rewrite
+    // proportional to matched files, not table size.
+    "q78_stream_upsert_sink" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = upsertTargets.computeIfAbsent(dir, _ => {
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("user_id",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType, nullable = false)))
+          val empty = s.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+          graft.table.GraftTable.create(
+            s, graft.Scratch.dir("graft-upsert-").toString, empty)
+        })
+        val stream = EventStreams.streamingFirstTouch(
+          EventStreams.readEventStream(s, dir))
+        val chk = graft.Scratch.dir("graft-upsert-chk-")
+        val q = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            t.merge(batch, "t.user_id = s.user_id AND t.event_type = s.event_type")
+              .whenNotMatchedInsert(Map(
+                "user_id" -> "s.user_id", "event_type" -> "s.event_type"))
+              .execute()
+          }
+          .option("checkpointLocation", chk.resolve("chk").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        t.toDF.groupBy($"event_type")
+          .agg(countDistinct($"user_id").as("n_users"),
+               count(lit(1)).as("n_rows"))
+          .orderBy($"event_type")
+      },
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(DISTINCT user_id) AS n_rows
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
     "q80_stream_tumbling" -> Q(
       (s, dir) => {

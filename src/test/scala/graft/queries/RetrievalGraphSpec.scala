@@ -115,6 +115,34 @@ class RetrievalGraphSpec extends SparkTestBase {
     assert(rows.forall(_.getAs[Long]("n_1h") >= 1L), "a row must be in its own frame")
   }
 
+  test("histogram quantiles land within one bin width of the exact percentile") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val est = SparkEntry_q("q99_histogram_quantiles")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = graft.Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+           expr("percentile(l_extendedprice, 0.95)").as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val binW = 1100.0
+    for ((flag, (e50, e95)) <- est) {
+      assert(math.abs(e50 - exact(flag)._1) <= binW,
+        s"$flag p50 est $e50 vs exact ${exact(flag)._1}")
+      assert(math.abs(e95 - exact(flag)._2) <= binW,
+        s"$flag p95 est $e95 vs exact ${exact(flag)._2}")
+    }
+  }
+
+  test("streaming upsert sink is idempotent: a replay inserts nothing") {
+    val first = SparkEntry_q("q78_stream_upsert_sink").collect()
+    val again = SparkEntry_q("q78_stream_upsert_sink").collect()
+    assert(first.map(_.toString).sorted.sameElements(again.map(_.toString).sorted),
+      "replaying the stream changed the upsert target")
+    assert(first.forall(r => r.getAs[Long]("n_users") === r.getAs[Long]("n_rows")),
+      "duplicate rows survived the keyed merge")
+  }
+
   private def SparkEntry_q(name: String, dir: String = sfDir) =
     graft.SparkEntry.queries(name)(spark, dir)
 }
