@@ -195,5 +195,31 @@ object TableQueries {
       """SELECT * FROM (VALUES ('A', CAST(2 AS BIGINT), CAST(35 AS BIGINT)),
         |                      ('B', CAST(2 AS BIGINT), CAST(90 AS BIGINT)))
         |AS t(category, n, sum_value) ORDER BY category""".stripMargin),
+
+    // ---- Snapshot diff: full-outer reconciliation of two versions ---------------
+    // The audit view of time travel: FULL OUTER join v0 against the head
+    // snapshot and classify every key as added / removed / changed /
+    // unchanged — the reconciliation report a pipeline runs to validate a
+    // migration, and the row-level view the CDF (q74/q76) summarizes.
+    // Also the inventory's full_outer coverage: MERGE uses one internally;
+    // this is the user-facing shape. Scale: one equi-join on the key.
+    "q100_snapshot_diff" -> Q(
+      (s, _) => {
+        import s.implicits._
+        val t = ivmTable(s)
+        val v0 = t.versionAsOf(0)
+        val head = t.toDF.select($"id".as("h_id"), $"category".as("h_cat"),
+          $"value".as("h_val"))
+        v0.join(head, $"id" === $"h_id", "full_outer")
+          .select(coalesce($"id", $"h_id").as("key"),
+            when($"id".isNull, "added")
+              .when($"h_id".isNull, "removed")
+              .when($"value" =!= $"h_val" || $"category" =!= $"h_cat", "changed")
+              .otherwise("unchanged").as("status"))
+          .orderBy($"key")
+      },
+      """SELECT * FROM (VALUES (1, 'unchanged'), (2, 'changed'), (3, 'removed'),
+        |                      (4, 'unchanged'), (5, 'added'))
+        |AS t(key, status) ORDER BY key""".stripMargin),
   )
 }
