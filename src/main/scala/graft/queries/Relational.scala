@@ -763,5 +763,75 @@ object Relational {
         |SELECT p50.flag, p50_est, p95_est
         |FROM p50 JOIN p95 ON p50.flag = p95.flag AND p50.rn = 1 AND p95.rn = 1
         |ORDER BY p50.flag""".stripMargin),
+
+    // ---- Portable HLL: distinct-count sketch rollup, fully oracle-checked --------
+    // The same partial → union → estimate shape as q58, but on a
+    // from-scratch HyperLogLog whose every step is exact integer
+    // arithmetic both engines share: bucket = low 6 bits of the portable
+    // md5-60bit hash; rho = leading-zero rank of the remaining 54 bits
+    // (via length(bin(w)) — no floating log); registers = MAX(rho), which
+    // is what makes sketches union by MAX across any partitioning
+    // (per-nation partials here, exactly q58's rollup); the harmonic sum
+    // is computed as Σ 2^(55−rho) — an exact BIGINT (≤ 2^60) — so the
+    // only floating step is the final alpha·m²·2^55 / S division, bit-
+    // identical cross-engine. No small-range correction (it needs ln,
+    // which is not portable): below ~2.5m keys the raw estimate biases
+    // high, which the spec documents by asserting accuracy at sf0.01
+    // scale. Spark's Datasketches HLL (q58) stays as the built-in
+    // surface; this row proves the rollup algebra end-to-end.
+    "q101_portable_hll" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val h = "cast(conv(substring(md5(cast(c_custkey as string)), 1, 15), 16, 10) as bigint)"
+        val hashed = Tables.customer(s, dir)
+          .select($"c_nationkey", expr(h).as("h"))
+          .select($"c_nationkey", ($"h" % 64).cast("int").as("bucket"),
+            expr("shiftright(h, 6)").as("w"))
+          .withColumn("rho",
+            when($"w" === 0, lit(55)).otherwise(lit(55) - length(expr("bin(w)"))))
+        // partial: per-nation registers (the shippable sketch)
+        val partials = hashed.groupBy($"c_nationkey", $"bucket")
+          .agg(max($"rho").as("r"))
+        // union: MAX per (region, bucket) over the nation partials
+        val unioned = partials
+          .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"n_regionkey", $"bucket")
+          .agg(max($"r").as("r"))
+        val est = unioned.groupBy($"n_regionkey")
+          .agg((sum(expr("shiftleft(cast(1 as bigint), 55 - r)")) +
+                (lit(64) - count(lit(1))) * lit(36028797018963968L)).as("s_scaled"),
+               count(lit(1)).as("nz"))
+          .select($"n_regionkey", $"s_scaled", $"nz",
+            round(lit(0.709) * 4096 * lit(36028797018963968L) / $"s_scaled", 3).as("hll_est"))
+        est.join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+          .select($"r_name", $"hll_est", $"s_scaled", $"nz")
+          .orderBy($"r_name")
+      },
+      """WITH hashed AS (
+        |  SELECT c_nationkey,
+        |    CAST(CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 64 AS INTEGER) AS bucket,
+        |    CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) >> 6 AS w
+        |  FROM customer),
+        |rho AS (
+        |  SELECT c_nationkey, bucket,
+        |    CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END AS rho
+        |  FROM hashed),
+        |partials AS (
+        |  SELECT c_nationkey, bucket, MAX(rho) AS r FROM rho GROUP BY 1, 2),
+        |unioned AS (
+        |  SELECT n_regionkey, bucket, MAX(r) AS r
+        |  FROM partials JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |est AS (
+        |  SELECT n_regionkey,
+        |    CAST(SUM(CAST(1 AS BIGINT) << (55 - r)) +
+        |         (64 - COUNT(*)) * 36028797018963968 AS BIGINT) AS s_scaled,
+        |    COUNT(*) AS nz
+        |  FROM unioned GROUP BY 1)
+        |SELECT r_name,
+        |  round(0.709 * 4096 * 36028797018963968 / s_scaled, 3) AS hll_est,
+        |  s_scaled, nz
+        |FROM est JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY r_name""".stripMargin),
   )
 }

@@ -50,4 +50,48 @@ class SketchRollupSpec extends SparkTestBase {
         s"region ${r.get(0)}: one-pass != merged-partials estimate")
     }
   }
+
+  test("q101: portable HLL ~ exact at sf0.01, register-exact mergeability") {
+    import spark.implicits._
+    // sf0.01 deliberately: with m=64 registers and no small-range
+    // correction (needs ln — not portable), estimates are only meaningful
+    // above ~2.5m ≈ 160 distinct keys per group; sf0.001 has ~30.
+    val dir = "/root/testdata/sf0.01"
+    val est = graft.SparkEntry.queries("q101_portable_hll")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    val exact = graft.Tables.customer(spark, dir)
+      .join(graft.Tables.nation(spark, dir), $"c_nationkey" === $"n_nationkey")
+      .join(graft.Tables.region(spark, dir), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name").agg(countDistinct($"c_custkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (region, n) =>
+      val e = est(region)
+      // m=64 ⇒ theoretical rel. stderr 1.04/√64 = 13%; allow 3σ.
+      assert(math.abs(e - n) / n < 0.4,
+        s"$region: portable-HLL estimate $e vs exact $n beyond 40%")
+    }
+
+    // Mergeability is REGISTER-exact, not just estimate-close: rolling
+    // up per-nation MAX(rho) partials by MAX must reproduce the
+    // registers of a single pass over the region's rows.
+    val h = "cast(conv(substring(md5(cast(c_custkey as string)), 1, 15), 16, 10) as bigint)"
+    val hashed = graft.Tables.customer(spark, dir)
+      .select($"c_nationkey", expr(h).as("hh"))
+      .select($"c_nationkey", ($"hh" % 64).cast("int").as("bucket"),
+        expr("shiftright(hh, 6)").as("w"))
+      .withColumn("rho",
+        when($"w" === 0, lit(55)).otherwise(lit(55) - length(expr("bin(w)"))))
+      .join(graft.Tables.nation(spark, dir), $"c_nationkey" === $"n_nationkey")
+    val onePass = hashed.groupBy($"n_regionkey", $"bucket")
+      .agg(max($"rho").as("r1"))
+    val viaPartials = hashed.groupBy($"n_regionkey", $"c_nationkey", $"bucket")
+      .agg(max($"rho").as("r"))
+      .groupBy($"n_regionkey", $"bucket").agg(max($"r").as("r2"))
+    val diff = onePass.join(viaPartials, Seq("n_regionkey", "bucket"))
+      .where($"r1" =!= $"r2").count()
+    assert(diff === 0L, s"$diff (region,bucket) registers differ between one-pass and merged partials")
+  }
 }

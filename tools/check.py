@@ -47,8 +47,11 @@ def main(sf_dir, out_dir):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    only = sys.argv[3:]  # optional substrings restricting which queries run
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if only and not any(o in name for o in only):
+            continue
         try:
             # Go through pandas on BOTH sides, mirroring the driver's
             # comparator: dtype artifacts (e.g. DuckDB HUGEINT -> float64,
