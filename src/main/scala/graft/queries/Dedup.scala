@@ -491,5 +491,50 @@ object Dedup {
          |SELECT vec_id, cluster_rep,
          |  COUNT(*) OVER (PARTITION BY cluster_rep) AS cluster_size
          |FROM comp ORDER BY vec_id""".stripMargin),
+
+    // ---- Benchmark decontamination: n-gram overlap vs an eval set -----------------
+    // The train/eval contamination check every LLM data pipeline runs
+    // before training: flag corpus documents sharing any 4-token shingle
+    // with the held-out benchmark suite (simulated here as doc_id % 97 = 0
+    // — membership is a label, the machinery is the point). Scale shape:
+    // both sides reduce to DISTINCT (doc, h60(shingle)) — fixed-width keys,
+    // never the text — and the benchmark side (eval suites are tiny
+    // relative to a 100-TB corpus) broadcasts, so the corpus never
+    // shuffles: one map-side join + one groupBy keyed by doc_id. Reported
+    // per contaminated doc: how many distinct shingles leaked and how many
+    // benchmark docs they touch — the triage signal for "drop the doc vs
+    // drop the span".
+    "q104_decontaminate" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val sh = Tables.documents(s, dir)
+          .select($"doc_id", split($"text", " ").as("toks"))
+          .filter(size($"toks") >= 4)
+          .select($"doc_id",
+            explode(array_distinct(
+              expr("transform(sequence(0, size(toks) - 4), " +
+                   "i -> concat_ws(' ', slice(toks, i + 1, 4)))"))).as("shingle"))
+          .select($"doc_id", expr(h60("shingle")).as("h"))
+        val bench = sh.filter($"doc_id" % 97 === 0)
+          .select($"doc_id".as("bench_doc"), $"h").distinct()
+        sh.filter($"doc_id" % 97 =!= 0)
+          .join(broadcast(bench), "h")
+          .groupBy($"doc_id")
+          .agg(countDistinct($"h").as("n_hit_shingles"),
+               countDistinct($"bench_doc").as("n_bench_docs"))
+          .orderBy($"doc_id")
+      },
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, ${sqlH60("s")} AS h
+         |  FROM (SELECT doc_id,
+         |          unnest([array_to_string(t[i:i+3], ' ') FOR i IN range(1, len(t) - 2)]) AS s
+         |        FROM toks WHERE len(t) >= 4)),
+         |bench AS (SELECT DISTINCT doc_id AS bench_doc, h FROM sh WHERE doc_id % 97 = 0)
+         |SELECT sh.doc_id, COUNT(DISTINCT sh.h) AS n_hit_shingles,
+         |       COUNT(DISTINCT bench_doc) AS n_bench_docs
+         |FROM sh JOIN bench USING (h)
+         |WHERE sh.doc_id % 97 != 0
+         |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin),
   )
 }

@@ -833,5 +833,39 @@ object Relational {
         |  s_scaled, nz
         |FROM est JOIN region ON n_regionkey = r_regionkey
         |ORDER BY r_name""".stripMargin),
+
+    // ---- Runtime-filter join: broadcast bit-set prune + exact rescore -------------
+    // The two-phase shape of Spark's own runtime bloom-filter join, built
+    // explicitly so the prune is visible and portable: (1) the selective
+    // dim's key set folds to DISTINCT buckets (key mod 65536 — a one-hash
+    // bit-set; a k-hash bloom generalizes, sized ~10 bits/key), which
+    // always broadcasts (≤64Ki entries regardless of fact size); the fact
+    // scan semi-joins it map-side, so non-matching fact rows die BEFORE
+    // the shuffle instead of after it. (2) survivors (matches + the
+    // bit-set's false positives) rescore with the exact semi-join, so the
+    // result is semantically identical to the plain semi-join — which is
+    // exactly what the oracle asserts. At 100 TB phase 1 is the difference
+    // between shuffling the whole fact table and shuffling the ~selectivity
+    // fraction that survives the broadcast prune.
+    "q102_bitset_prune_join" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val dim = Tables.customer(s, dir)
+          .filter($"c_mktsegment" === "AUTOMOBILE" && $"c_acctbal" > 9000)
+          .select($"c_custkey")
+        val buckets = dim.select(($"c_custkey" % 65536).as("bk")).distinct()
+        Tables.orders(s, dir)
+          .join(broadcast(buckets), $"o_custkey" % 65536 === $"bk", "left_semi")
+          .join(dim, $"o_custkey" === $"c_custkey", "left_semi")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"), sumExact($"o_totalprice").as("sum_total"))
+          .orderBy($"o_orderpriority")
+      },
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 9000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
   )
 }

@@ -129,5 +129,51 @@ object Sampling {
         |  COUNT(*) FILTER (rep AND n_tokens >= 20 AND n_chars >= 100 AND n_stop > 0)
         |    AS n_retained
         |FROM scored GROUP BY source ORDER BY source""".stripMargin),
+
+    // ---- Weighted sampling without replacement: priority sampling -----------------
+    // Priority sampling (Duffield/Lund/Thorup): each row draws a uniform
+    // u ∈ (0,1] and gets priority w/u; the top-k by priority is a weighted
+    // sample without replacement with near-optimal variance for subset-sum
+    // estimation. Here u is DERIVED, not drawn: u = (h+1)/2^60 from the
+    // portable md5-60bit hash of the doc id — so the sample is a pure
+    // function of the row key, reproducible across engines, repartitioning
+    // and task retries (same argument as q48), and the DuckDB oracle can
+    // replay the draw exactly. w = n_chars (sample long documents
+    // proportionally more). Cross-engine determinism: priority = w/u is
+    // ONE IEEE-754 division of exactly-representable operands — correctly
+    // rounded, so bit-identical in both engines; ranking compares full
+    // doubles and doc_id breaks (never-observed) ties. Scale shape: hash +
+    // divide are map-side; top-k per stratum is a partial top-k fold, no
+    // global sort (the plan's per-group WindowGroupLimit at 100 TB keeps
+    // only k rows per stratum per partition).
+    "q103_priority_sample" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val k = 10
+        val h = "cast(conv(substring(md5(concat('ps:', doc_id)), 1, 15), 16, 10) as bigint)"
+        Tables.documents(s, dir)
+          .withColumn("priority",
+            $"n_chars".cast("double") / (expr(h).cast("double") + 1.0d))
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"source").orderBy($"priority".desc, $"doc_id")))
+          .filter($"rk" <= k)
+          .select($"source", $"rk".cast("long").as("rk"), $"doc_id", $"n_chars",
+            round($"priority" * 1e18, 6).as("priority_e18"))
+          .orderBy($"source", $"rk")
+      },
+      """WITH pri AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(n_chars AS DOUBLE) /
+        |      (CAST(CAST(('0x' || substring(md5('ps:' || doc_id), 1, 15)) AS BIGINT) AS DOUBLE) + 1.0)
+        |      AS priority
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT source, doc_id, n_chars, priority,
+        |    row_number() OVER (PARTITION BY source ORDER BY priority DESC, doc_id) AS rk
+        |  FROM pri)
+        |SELECT source, rk, doc_id, n_chars,
+        |  round(priority * 1e18, 6) AS priority_e18
+        |FROM ranked WHERE rk <= 10 ORDER BY source, rk""".stripMargin),
   )
 }

@@ -306,5 +306,83 @@ object Text {
         |     (SELECT unnest(range(100)) AS s)
         |WHERE s <= floor((len(toks) - 1) / 24)
         |ORDER BY doc_id, chunk_id""".stripMargin),
+
+    // ---- Repetition-based quality rules (Gopher-style) ---------------------------
+    // The repetition family of corpus-quality filters: per document, the
+    // duplicate-token fraction (1 - distinct/total), the share of tokens
+    // claimed by the single most frequent bigram, and the longest run of
+    // one token repeated consecutively. Every signal is a ratio of exact
+    // integer counts (one IEEE division at the end), so the oracle is
+    // bit-exact. Scale shape: the bigram and run-length passes shuffle
+    // narrow (doc_id, md5/int) rows keyed by doc_id — per-document work is
+    // independent, skew bounded by max document length, and the final
+    // verdict is one row per doc. Thresholds (0.30 / 0.18 / 3) mark which
+    // rule fired; `keep` is their conjunction — the pipeline's drop list.
+    "q105_repetition_quality" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.documents(s, dir)
+          .select($"doc_id", posexplode(split($"text", " ")))
+          .withColumnsRenamed(Map("pos" -> "i", "col" -> "tok"))
+        // longest consecutive run of one token (run id = i - rank-in-token)
+        val runW = Window.partitionBy($"doc_id", $"tok").orderBy($"i")
+        val runs = toks
+          .withColumn("run_key", $"i" - row_number().over(runW))
+          .groupBy($"doc_id", $"tok", $"run_key").agg(count(lit(1)).as("run_len"))
+          .groupBy($"doc_id").agg(max($"run_len").as("max_run"))
+        // most frequent bigram's claim on the token stream
+        val bigrams = Tables.documents(s, dir)
+          .select($"doc_id", split($"text", " ").as("t"))
+          .filter(size($"t") >= 2)
+          .select($"doc_id", explode(expr(
+            "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))")).as("bg"))
+          .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("n"))
+          .groupBy($"doc_id").agg(max($"n").as("top_bigram_n"))
+        Tables.documents(s, dir)
+          .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"),
+            size(array_distinct(split($"text", " "))).cast("long").as("n_distinct"))
+          .join(runs, "doc_id").join(bigrams, "doc_id")
+          .withColumn("dup_frac", ($"n_tokens" - $"n_distinct").cast("double") / $"n_tokens")
+          .withColumn("top_bigram_frac", lit(2) * $"top_bigram_n" / $"n_tokens")
+          .withColumn("keep",
+            $"dup_frac" <= 0.30 && $"top_bigram_frac" <= 0.18 && $"max_run" <= 3)
+          .select($"doc_id", $"n_tokens", $"dup_frac", $"top_bigram_n",
+            $"top_bigram_frac", $"max_run", $"keep")
+          .orderBy($"doc_id")
+      },
+      """WITH toks AS (
+        |  SELECT doc_id, i, t[i + 1] AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |       (SELECT unnest(range(200)) AS i)
+        |  WHERE i < len(t)),
+        |runs AS (
+        |  SELECT doc_id, MAX(run_len) AS max_run FROM (
+        |    SELECT doc_id, COUNT(*) AS run_len
+        |    FROM (SELECT doc_id, tok,
+        |            i - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY i) AS run_key
+        |          FROM toks)
+        |    GROUP BY doc_id, tok, run_key) GROUP BY doc_id),
+        |bigrams AS (
+        |  SELECT doc_id, MAX(n) AS top_bigram_n FROM (
+        |    SELECT doc_id, bg, COUNT(*) AS n FROM (
+        |      SELECT doc_id,
+        |        tok || ' ' || LEAD(tok) OVER (PARTITION BY doc_id ORDER BY i) AS bg
+        |      FROM toks)
+        |    WHERE bg IS NOT NULL GROUP BY doc_id, bg)
+        |  GROUP BY doc_id),
+        |base AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+        |  FROM documents)
+        |SELECT base.doc_id, n_tokens,
+        |  CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens AS dup_frac,
+        |  top_bigram_n, 2 * top_bigram_n / CAST(n_tokens AS DOUBLE) AS top_bigram_frac,
+        |  max_run,
+        |  (CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens <= 0.30
+        |   AND 2 * top_bigram_n / CAST(n_tokens AS DOUBLE) <= 0.18
+        |   AND max_run <= 3) AS keep
+        |FROM base JOIN runs ON base.doc_id = runs.doc_id
+        |JOIN bigrams ON base.doc_id = bigrams.doc_id
+        |ORDER BY base.doc_id""".stripMargin),
   )
 }

@@ -111,6 +111,29 @@ class PlanAuditSpec extends SparkTestBase {
     assert(exchanges <= 1, s"range window should shuffle once, saw $exchanges")
   }
 
+  test("q102: bit-set prune broadcasts; both phases are semi joins, never a product") {
+    val p = plan("q102_bitset_prune_join")
+    assert(!p.contains("CartesianProduct"))
+    val semis = "BroadcastHashJoin LeftSemi".r.findAllIn(p).size
+    assert(semis === 2,
+      s"expected broadcast semi prune + broadcast semi rescore, saw $semis:\n${p.take(1200)}")
+  }
+
+  test("q103: per-stratum top-k plans WindowGroupLimit partial+final, no global sort of the corpus") {
+    val p = plan("q103_priority_sample")
+    assert(p.contains("row_number(), 10, Partial"),
+      "expected a map-side Partial WindowGroupLimit keeping k rows/group/partition")
+    assert(p.contains("row_number(), 10, Final"),
+      "expected a Final WindowGroupLimit after the stratum exchange")
+  }
+
+  test("q104: benchmark shingle set broadcasts against the corpus scan") {
+    val p = plan("q104_decontaminate")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"),
+      "the eval-set side must broadcast so the corpus never shuffles")
+  }
+
   test("no query hot path uses a Scala UDF or collects to the driver") {
     // interpreted ScalaUDF in a plan defeats whole-stage codegen; the two
     // sanctioned custom kernels (vec_dot, hamming) are codegen'd Expressions
