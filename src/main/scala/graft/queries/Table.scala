@@ -221,5 +221,34 @@ object TableQueries {
       """SELECT * FROM (VALUES (1, 'unchanged'), (2, 'changed'), (3, 'removed'),
         |                      (4, 'unchanged'), (5, 'added'))
         |AS t(key, status) ORDER BY key""".stripMargin),
+
+    // ---- ZORDER optimize + 2-dim box scan over real testdata ---------------------
+    // The orders table re-clustered along a Morton curve on
+    // (o_custkey, o_totalprice), then scanned with a box predicate
+    // through the stats-pruned path. The oracle runs the same box on the
+    // raw parquet — proving the space-filling-curve rewrite is pure
+    // reorganization (no row gained/lost/changed) and that pruning never
+    // drops data; DataSkippingSpec proves the files-read win on both
+    // dimensions (linear clusterBy serves only its leading column).
+    "q106_zorder_scan" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = cache.computeIfAbsent(s"zorder:$dir", _ => {
+          val zt = GraftTable.create(s, graft.Scratch.dir("graft-zorder-").toString,
+            graft.Tables.orders(s, dir)
+              .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority"))
+          zt.optimize(targetFileBytes = 256 * 1024,
+            zorderBy = Seq("o_custkey", "o_totalprice"))
+          zt
+        })
+        t.scan($"o_custkey" <= 120 && $"o_totalprice" >= 40000.0 &&
+               $"o_totalprice" <= 60000.0)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")
+          .orderBy($"o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE o_custkey <= 120 AND o_totalprice BETWEEN 40000.0 AND 60000.0
+        |ORDER BY o_orderkey""".stripMargin),
   )
 }

@@ -254,25 +254,60 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   /** OPTIMIZE: bin-pack the current live files into ~`targetFileBytes`
     * files; with `clusterBy` set, range-cluster rows so each output file
     * covers a narrow key range — that is what makes the footer min/max
-    * stats selective and turns DataSkipping into real I/O elimination
-    * (the ZORDER-lite of this table layer). Pure reorganization — same
-    * rows, one commit, older versions still time-travel. */
+    * stats selective and turns DataSkipping into real I/O elimination.
+    * With `zorderBy` (2+ numeric columns), rows order along a Z
+    * (Morton) space-filling curve instead: each dimension is
+    * quantile-bucketed to 8 bits (boundaries from one sampling pass, the
+    * same mechanism RangePartitioner uses; assignment is a map-side
+    * integer expression), the per-dimension bits interleave into one
+    * z-value, and files range-cluster on it — so every output file covers
+    * a small BOX in the key space and DataSkipping prunes on ANY of the
+    * z dimensions, where linear clusterBy serves only its leading column.
+    * Pure reorganization — same rows, one commit, older versions still
+    * time-travel. */
   def optimize(targetFileBytes: Long = 128L * 1024 * 1024,
-               clusterBy: Seq[String] = Nil): Unit = {
+               clusterBy: Seq[String] = Nil,
+               zorderBy: Seq[String] = Nil): Unit = {
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "clusterBy and zorderBy are exclusive")
     val s = snapshot
-    if (s.files.size <= 1 && clusterBy.isEmpty) return
+    if (s.files.size <= 1 && clusterBy.isEmpty && zorderBy.isEmpty) return
     val totalBytes = s.files.map(_.size).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val reorganized =
-      if (clusterBy.nonEmpty) read(s).repartitionByRange(nOut, clusterBy.map(col): _*)
-      else read(s).repartition(nOut)
+      if (zorderBy.nonEmpty) {
+        val df = read(s)
+        // 255 interior quantile boundaries per dim → 256 rank-uniform
+        // buckets, robust to skew (value-uniform width_bucket is not).
+        // approxQuantile is one sampling aggregate over all dims at once.
+        val probs = (1 until 256).map(_ / 256.0).toArray
+        val bounds = df.stat.approxQuantile(zorderBy.toArray, probs, 0.01)
+        val k = zorderBy.size
+        val bucketed = zorderBy.zipWithIndex.foldLeft(df) { case (d, (c, j)) =>
+          val bArr = bounds(j).map(v => s"cast($v as double)").mkString("array(", ",", ")")
+          // bucket = #boundaries <= value (0..255); nulls land in bucket 0
+          d.withColumn(s"__zb$j",
+            expr(s"size(filter($bArr, b -> b <= cast(`$c` as double)))"))
+        }
+        // Morton interleave: bit i of dim j lands at position i*k + (k-1-j)
+        val zTerms = for (i <- 0 until 8; j <- 0 until k) yield
+          s"shiftleft(cast(shiftright(__zb$j, $i) & 1 as bigint), ${i * k + (k - 1 - j)})"
+        bucketed.withColumn("__zv", expr(zTerms.mkString(" + ")))
+          .repartitionByRange(nOut, col("__zv"))
+          .sortWithinPartitions("__zv")
+          .drop((0 until k).map(j => s"__zb$j") :+ "__zv": _*)
+      } else if (clusterBy.nonEmpty) {
+        read(s).repartitionByRange(nOut, clusterBy.map(col): _*)
+      } else read(s).repartition(nOut)
     val adds = FileOps.writeDataFiles(reorganized, path,
       s.metaData.partitionColumns)
     val ts = log.nextTimestamp()
     log.commit(s.version + 1,
       Seq(CommitInfo(s.version + 1, ts, "OPTIMIZE",
         Map("numFilesBefore" -> s.files.size.toString,
-            "numFilesAfter" -> adds.size.toString))) ++
+            "numFilesAfter" -> adds.size.toString) ++
+          (if (zorderBy.nonEmpty) Map("zorderBy" -> zorderBy.mkString(","))
+           else Map.empty))) ++
       s.files.map(f => RemoveFile(f.path, ts)) ++ adds)
   }
 

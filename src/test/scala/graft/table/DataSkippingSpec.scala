@@ -85,4 +85,36 @@ class DataSkippingSpec extends SparkTestBase {
     assert(t.scan(col("id") === 42).collect().map(_.getInt(0)).toSeq === Seq(42))
     assert(t.toDF.count() === 400)
   }
+
+  test("ZORDER optimize makes BOTH dimensions prunable; linear clusterBy only one") {
+    import spark.implicits._
+    // 64x64 grid, written in row-major id order: linear layout is
+    // perfectly clustered on x's companion id but every file spans all y.
+    def grid = (0 until 4096).map(i => (i, i % 64, i / 64)).toDF("id", "x", "y")
+    val lin = GraftTable.create(spark, tmpDir("zlin-"), grid.coalesce(1))
+    lin.optimize(targetFileBytes = 4096, clusterBy = Seq("x"))
+    val zt = GraftTable.create(spark, tmpDir("zord-"), grid.coalesce(1))
+    zt.optimize(targetFileBytes = 1024, zorderBy = Seq("x", "y"))
+
+    val nZ = zt.snapshot.files.size
+    assert(nZ >= 8, s"need several files for the comparison, got $nZ")
+
+    def frac(t: GraftTable, pred: Column): Double =
+      t.prunedFiles(t.snapshot, pred).size.toDouble / t.snapshot.files.size
+
+    // linear clusterBy serves its leading column only
+    assert(frac(lin, col("x") === 17) < 0.5, "clusterBy(x) must prune x slices")
+    assert(frac(lin, col("y") === 17) === 1.0, "clusterBy(x) cannot prune y")
+    // z-order serves both
+    assert(frac(zt, col("x") === 17) < 0.6, "zorder must prune x slices")
+    assert(frac(zt, col("y") === 17) < 0.6, "zorder must prune y slices")
+    // and a box predicate prunes multiplicatively
+    val box = col("x") >= 10 && col("x") < 14 && col("y") >= 20 && col("y") < 24
+    assert(frac(zt, box) < 0.25, s"box query should read few files, read ${frac(zt, box)}")
+
+    // reorganization only: same rows, both dims still correct
+    assert(zt.toDF.count() === 4096)
+    assert(zt.scan(col("x") === 17 && col("y") === 3).collect()
+      .map(_.getInt(0)).toSeq === Seq(3 * 64 + 17))
+  }
 }
