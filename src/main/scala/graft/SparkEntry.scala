@@ -17,7 +17,8 @@ object SparkEntry {
   private[graft] def modules: Seq[(String, Q)] =
     Relational.all ++ Events.all ++ Text.all ++ Dedup.all ++ Similarity.all ++
       Sampling.all ++ Multimodal.all ++ TableQueries.all ++ Streaming.all ++
-      Retrieval.all ++ GraphQueries.all ++ Privacy.all ++ Interchange.all
+      Retrieval.all ++ GraphQueries.all ++ Privacy.all ++ Interchange.all ++
+      DataQuality.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -507,7 +507,11 @@ object Dedup {
     "q104_decontaminate" -> Q(
       (s, dir) => {
         import s.implicits._
-        val sh = Tables.documents(s, dir)
+        // membership filter BEFORE shingling: each side tokenizes only its
+        // own documents (the filter prunes at the scan), instead of both
+        // sides deriving from one full-corpus shingle plan evaluated twice
+        def shingles(docFilter: Column) = Tables.documents(s, dir)
+          .filter(docFilter)
           .select($"doc_id", split($"text", " ").as("toks"))
           .filter(size($"toks") >= 4)
           .select($"doc_id",
@@ -515,9 +519,9 @@ object Dedup {
               expr("transform(sequence(0, size(toks) - 4), " +
                    "i -> concat_ws(' ', slice(toks, i + 1, 4)))"))).as("shingle"))
           .select($"doc_id", expr(h60("shingle")).as("h"))
-        val bench = sh.filter($"doc_id" % 97 === 0)
+        val bench = shingles($"doc_id" % 97 === 0)
           .select($"doc_id".as("bench_doc"), $"h").distinct()
-        sh.filter($"doc_id" % 97 =!= 0)
+        shingles($"doc_id" % 97 =!= 0)
           .join(broadcast(bench), "h")
           .groupBy($"doc_id")
           .agg(countDistinct($"h").as("n_hit_shingles"),
