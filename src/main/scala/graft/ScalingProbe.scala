@@ -56,6 +56,11 @@ object ScalingProbe {
         }
         lis.reduce(_ unionByName _)
           .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+        // dims copied verbatim: fact grows m×, dimension stays fixed —
+        // the realistic shape for the runtime-filter probe (q102)
+        for (t <- Seq("customer", "nation", "region"))
+          spark.read.parquet(s"$sfDir/$t.parquet")
+            .write.mode("overwrite").parquet(s"$dir/$t.parquet")
       }
       if (!new java.io.File(s"$dir/documents.parquet").exists()) {
         val docs = Tables.documents(spark, sfDir)
@@ -86,7 +91,8 @@ object ScalingProbe {
     // BM25 query terms vanish from the replicated vocabulary (0-row probe)
     for (q <- Seq("q43_ngram_jaccard", "q45_embedding_neardup", "q46_simhash_pairs",
                   "q57_dedup_clusters", "q47_range_join", "q59_fuzzy_name_join",
-                  "q92_pagerank", "q93_heavy_hitters");
+                  "q92_pagerank", "q93_heavy_hitters", "q102_bitset_prune_join",
+                  "q104_decontaminate", "q105_repetition_quality");
          m <- mults) {
       val dir = replicated(m)
       val t0 = System.nanoTime()
