@@ -92,7 +92,8 @@ object ScalingProbe {
     for (q <- Seq("q43_ngram_jaccard", "q45_embedding_neardup", "q46_simhash_pairs",
                   "q57_dedup_clusters", "q47_range_join", "q59_fuzzy_name_join",
                   "q92_pagerank", "q93_heavy_hitters", "q102_bitset_prune_join",
-                  "q104_decontaminate", "q105_repetition_quality");
+                  "q104_decontaminate", "q105_repetition_quality",
+                  "q108_pii_scrub", "q109_sequence_packing");
          m <- mults) {
       val dir = replicated(m)
       val t0 = System.nanoTime()

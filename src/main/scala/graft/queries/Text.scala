@@ -307,6 +307,50 @@ object Text {
         |WHERE s <= floor((len(toks) - 1) / 24)
         |ORDER BY doc_id, chunk_id""".stripMargin),
 
+    // ---- Sequence packing (training-batch assembly) ------------------------------
+    // Packs documents into fixed token-budget bins (B=1024) by cumulative
+    // offset: a doc starting at global token offset o lands in bin o div B
+    // — contiguous GPT-style concat packing where docs are never split and
+    // a bin absorbs the overhang of its last doc. Deterministic: packing
+    // order is doc_id within (lang, shard), a pure function of the data.
+    // Scale shape: the window runs per (lang, shard) — sharding by
+    // doc_id % 8 bounds partition size when one language dominates the
+    // corpus (at 100 TB the shard count scales with data volume, the
+    // per-shard window stays a single sorted pass). Output is one row per
+    // bin: the packing MANIFEST (doc ranges + token totals), not the
+    // packed text — assembly happens partition-local at write time.
+    "q109_sequence_packing" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val budget = 1024
+        val w = Window.partitionBy($"lang", $"shard").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.documents(s, dir)
+          .select($"lang", ($"doc_id" % 8).as("shard"), $"doc_id",
+            size(split($"text", " ")).cast("long").as("n_tokens"))
+          .withColumn("tok_offset", coalesce(sum($"n_tokens").over(w), lit(0L)))
+          .withColumn("bin", expr(s"tok_offset div $budget"))
+          .groupBy($"lang", $"shard", $"bin")
+          .agg(count(lit(1)).as("n_docs"),
+               sum($"n_tokens").as("bin_tokens"),
+               min($"doc_id").as("first_doc"),
+               max($"doc_id").as("last_doc"))
+          .orderBy($"lang", $"shard", $"bin")
+      },
+      """WITH t AS (
+        |  SELECT lang, doc_id % 8 AS shard, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |off AS (
+        |  SELECT lang, shard, doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        |  FROM t)
+        |SELECT lang, shard, tok_offset // 1024 AS bin, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM off GROUP BY 1, 2, 3 ORDER BY lang, shard, bin""".stripMargin),
+
     // ---- Repetition-based quality rules (Gopher-style) ---------------------------
     // The repetition family of corpus-quality filters: per document, the
     // duplicate-token fraction (1 - distinct/total), the share of tokens
