@@ -21,14 +21,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // untimed warmup: shuffle + codegen + vectorized parquet read paths
-    Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().collect()
-    // untimed streaming warmup (smallest SF): first streaming query in a JVM
-    // pays one-time state-store/checkpoint-WAL/micro-batch-planner init that
-    // would otherwise be misattributed to whichever q8x runs first
-    graft.streaming.EventStreams.runToMemory(spark,
-      graft.streaming.EventStreams.tumblingCounts(
-        graft.streaming.EventStreams.readEventStream(spark, "/root/testdata/sf0.001"))).count()
+    // Untimed warmup: run EVERY query once at the smallest SF. A fresh JVM
+    // charges large one-time costs to whichever query first exercises a
+    // path — whole-stage codegen of a big expression tree (first
+    // q42_minhash_lsh run: ~10s cold vs ~1.7s warm), streaming state-store
+    // format + checkpoint-WAL init (~8s on the first stream-stream join) —
+    // and a bench that times JIT warmup measures the JVM, not the plan.
+    // The timed sf0.1 runs below still pay their full per-run work.
+    // Excluded: queries whose scenario fixture is memoized per-JVM
+    // independent of the data dir (golden/ivm table DML) — warming those
+    // would pre-build the very table scenario the timed run measures.
+    val fixtureCached = Set(
+      "q70_table_golden_state", "q71_table_time_travel", "q72_table_history",
+      "q73_source_time_travel", "q74_table_changes", "q75_table_restore",
+      "q76_incremental_agg", "q100_snapshot_diff")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!fixtureCached(name))
+        try fn(spark, "/root/testdata/sf0.001").count()
+        catch { case _: Throwable => () } // warmup never fails the bench
+    }
 
     // A failed query is recorded as -1 (never a silent ~0s success) and
     // reported loudly on stderr; the JSON also carries the failed names.
