@@ -540,5 +540,51 @@ object Dedup {
          |FROM sh JOIN bench USING (h)
          |WHERE sh.doc_id % 97 != 0
          |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin),
+
+    // ---- Canonical selection: the keep/drop EXECUTION of near-dup dedup -----------
+    // q57 names each near-dup cluster; this picks the winner — keep the
+    // LONGEST doc per cluster (tie → min doc_id), drop the rest. That is
+    // the curation policy pipelines actually run (keep the most complete
+    // variant, not the arbitrary min-id one). Output is the per-doc
+    // verdict: its cluster, the cluster's kept doc, and the keep flag —
+    // `filter($"keep")` IS the deduped corpus. Scale shape: q57's closure
+    // plus one row_number window keyed by cluster_rep (partition size =
+    // cluster size, bounded by near-dup fan-out, not corpus size).
+    "q111_canonical_select" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val edges = lshCandidates(s, dir).filter($"est_jaccard" >= 0.3)
+          .select($"a".as("src"), $"b".as("dst"))
+        val nodes = Tables.documents(s, dir).select($"doc_id".as("id"))
+        val comp = graft.operators.ConnectedComponents.components(nodes, edges)
+          .select($"id".as("doc_id"), $"label".as("cluster_rep"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"cluster_rep").orderBy($"n_chars".desc, $"doc_id")
+        comp.join(Tables.documents(s, dir).select($"doc_id", $"n_chars"), "doc_id")
+          .withColumn("rk", row_number().over(w))
+          .withColumn("keep", $"rk" === 1)
+          .withColumn("kept_doc", first($"doc_id").over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                          org.apache.spark.sql.expressions.Window.currentRow)))
+          .select($"doc_id", $"cluster_rep", $"kept_doc", $"n_chars", $"keep")
+          .orderBy($"doc_id")
+      },
+      s"""WITH RECURSIVE $sqlLshPairs,
+         |edges AS (SELECT a AS src, b AS dst FROM lsh_pairs
+         |          UNION SELECT b, a FROM lsh_pairs),
+         |walk(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id),
+         |comp AS (SELECT id AS doc_id, min(lbl) AS cluster_rep FROM walk GROUP BY 1),
+         |ranked AS (
+         |  SELECT c.doc_id, c.cluster_rep, d.n_chars,
+         |    row_number() OVER (PARTITION BY c.cluster_rep
+         |                       ORDER BY d.n_chars DESC, c.doc_id) AS rk,
+         |    first_value(c.doc_id) OVER (PARTITION BY c.cluster_rep
+         |                                ORDER BY d.n_chars DESC, c.doc_id) AS kept_doc
+         |  FROM comp c JOIN documents d USING (doc_id))
+         |SELECT doc_id, cluster_rep, kept_doc, n_chars, rk = 1 AS keep
+         |FROM ranked ORDER BY doc_id""".stripMargin),
   )
 }

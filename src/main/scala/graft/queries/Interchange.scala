@@ -18,11 +18,11 @@ import org.apache.spark.sql.types._
 object Interchange {
   import Exact._
 
-  /** One JSONL export per (JVM, sfDir). */
+  /** One export per (JVM, format, sfDir). */
   private val exported = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def jsonlDir(s: SparkSession, dir: String): String =
-    exported.computeIfAbsent(dir, _ => {
+    exported.computeIfAbsent(s"json:$dir", _ => {
       val out = graft.Scratch.dir("graft-jsonl-").resolve("events").toString
       Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
@@ -30,9 +30,22 @@ object Interchange {
       out
     })
 
+  private def csvDir(s: SparkSession, dir: String): String =
+    exported.computeIfAbsent(s"csv:$dir", _ => {
+      val out = graft.Scratch.dir("graft-csv-").resolve("customer").toString
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+      out
+    })
+
   private val eventsSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("user_id", LongType),
     StructField("event_type", StringType), StructField("value", DoubleType)))
+
+  private val customerSchema = StructType(Seq(
+    StructField("c_custkey", LongType), StructField("c_name", StringType),
+    StructField("c_acctbal", DoubleType), StructField("c_mktsegment", StringType)))
 
   val all: Seq[(String, Q)] = Seq(
 
@@ -51,5 +64,28 @@ object Interchange {
       s"""SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
          |  ${sqlSumExact("value")} AS sum_value, MIN(event_id) AS min_event
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // ---- CSV source round-trip ---------------------------------------------------
+    // Same posture as q98 for the other ubiquitous text format: export a
+    // customer projection as headered CSV, read it back with an explicit
+    // schema (never inference — a full extra pass at 100 TB), and require
+    // the aggregate over the round-trip to equal the aggregate over the
+    // original parquet (the oracle runs on the ORIGINAL table). Doubles
+    // survive because Spark writes shortest-round-trip representations;
+    // quoting covers embedded delimiters.
+    "q110_csv_roundtrip" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        s.read.schema(customerSchema).option("header", "true").csv(csvDir(s, dir))
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+               countDistinct($"c_custkey").as("n_keys"),
+               sumExact($"c_acctbal").as("sum_bal"),
+               min($"c_name").as("min_name"))
+          .orderBy($"c_mktsegment")
+      },
+      s"""SELECT c_mktsegment, COUNT(*) AS n, COUNT(DISTINCT c_custkey) AS n_keys,
+         |  ${sqlSumExact("c_acctbal")} AS sum_bal, MIN(c_name) AS min_name
+         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
   )
 }

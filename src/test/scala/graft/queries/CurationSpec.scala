@@ -49,6 +49,26 @@ class CurationSpec extends SparkTestBase {
       "hash-keyed contamination must equal the raw-string formulation")
   }
 
+  test("q111: exactly one keep per cluster, and it is the longest (min-id on ties)") {
+    val out = graft.SparkEntry.queries("q111_canonical_select")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_rep"),
+        r.getAs[Long]("kept_doc"), r.getAs[Long]("n_chars"), r.getAs[Boolean]("keep")))
+    assert(out.length === graft.Tables.documents(spark, sfDir).count(),
+      "every document gets a verdict")
+    out.groupBy(_._2).foreach { case (rep, rows) =>
+      val kept = rows.filter(_._5)
+      assert(kept.length === 1, s"cluster $rep: exactly one keep")
+      // the winner is the longest doc, ties broken toward the smaller id
+      val winner = rows.minBy { case (id, _, _, n, _) => (-n, id) }
+      assert(kept.head._1 === winner._1, s"cluster $rep keeps the longest doc")
+      assert(rows.forall(_._3 === winner._1), s"cluster $rep: kept_doc is uniform")
+    }
+    // clusters must agree with q57's closure (same pair graph, same labels)
+    val q57 = graft.SparkEntry.queries("q57_dedup_clusters")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_rep")).toMap
+    assert(out.forall { case (id, rep, _, _, _) => q57(id) === rep })
+  }
+
   test("q105: signals match a plain-Scala recomputation over every document") {
     val out = graft.SparkEntry.queries("q105_repetition_quality")(spark, sfDir)
       .collect().map(r => r.getAs[Long]("doc_id") ->
