@@ -363,5 +363,146 @@ object Events {
         |WINDOW w AS (PARTITION BY user_id ORDER BY floor(epoch(ts))
         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin),
+
+    // ---- Cohort retention (weekly) -----------------------------------------------
+    // The product-analytics staple: users grouped by the week they first
+    // appeared (their cohort), activity counted per whole-week offset from
+    // that cohort. Shape: one window-min on user_id (the natural event
+    // partitioning) to tag every row with its user's cohort week, then one
+    // hash agg on (cohort, offset) — two narrow shuffles, no join-back.
+    // Week arithmetic stays integer-exact cross-engine: both engines
+    // date_trunc to Monday-start weeks, and the offset is an integer
+    // division of epoch-second deltas (exact multiples of 604800 in UTC).
+    "q112_cohort_retention" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id")
+        Tables.events(s, dir)
+          .select($"user_id", $"ts")
+          .withColumn("cohort", date_trunc("week", min($"ts").over(w)))
+          .withColumn("week", date_trunc("week", $"ts"))
+          .groupBy(date_format($"cohort", "yyyy-MM-dd").as("cohort_week"),
+            expr("(cast(week as long) - cast(cohort as long)) div 604800").as("week_offset"))
+          .agg(countDistinct($"user_id").as("n_active"))
+          .orderBy($"cohort_week", $"week_offset")
+      },
+      """WITH c AS (
+        |  SELECT user_id, ts,
+        |    date_trunc('week', min(ts) OVER (PARTITION BY user_id)) AS cohort,
+        |    date_trunc('week', ts) AS week
+        |  FROM events)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+        |  (CAST(epoch(week) AS BIGINT) - CAST(epoch(cohort) AS BIGINT)) // 604800 AS week_offset,
+        |  COUNT(DISTINCT user_id) AS n_active
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // ---- Ordered funnel (signup → view → purchase) ---------------------------------
+    // Stage k is reached only by a stage-(k-1) user with a strictly later
+    // event of stage k's type — the min-timestamp chaining form, which a
+    // naive per-type GROUP BY gets wrong (it ignores order). Three window
+    // mins share ONE user_id shuffle (same partitioning, no ordering
+    // needed); per-user flags then collapse in a single tiny aggregate.
+    // Timestamps compare as raw instants on both engines (events are
+    // minutes apart, so the µs-vs-ns representation gap cannot flip a
+    // strict inequality — same precedent as the q26 as-of join).
+    "q113_funnel_stages" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id")
+        val staged = Tables.events(s, dir)
+          .select($"user_id", $"event_type", $"ts")
+          .withColumn("t1", min(when($"event_type" === "signup", $"ts")).over(w))
+          .withColumn("t2", min(when($"event_type" === "view" && $"ts" > $"t1", $"ts")).over(w))
+          .withColumn("t3", min(when($"event_type" === "purchase" && $"ts" > $"t2", $"ts")).over(w))
+        staged.groupBy($"user_id")
+          .agg(max($"t1").as("t1"), max($"t2").as("t2"), max($"t3").as("t3"))
+          .select(
+            count(when($"t1".isNotNull, 1)).as("s1"),
+            count(when($"t2".isNotNull, 1)).as("s2"),
+            count(when($"t3".isNotNull, 1)).as("s3"))
+          .selectExpr("stack(3, '1_signup', s1, '2_view', s2, '3_purchase', s3) AS (stage, n_users)")
+          .orderBy($"stage")
+      },
+      """WITH s1 AS (
+        |  SELECT user_id, event_type, ts,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t1
+        |  FROM events),
+        |s2 AS (SELECT *, min(CASE WHEN event_type = 'view' AND ts > t1 THEN ts END)
+        |                   OVER (PARTITION BY user_id) AS t2 FROM s1),
+        |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+        |                   OVER (PARTITION BY user_id) AS t3 FROM s2),
+        |u AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3 FROM s3 GROUP BY 1)
+        |SELECT '1_signup' AS stage, COUNT(t1) AS n_users FROM u
+        |UNION ALL SELECT '2_view', COUNT(t2) FROM u
+        |UNION ALL SELECT '3_purchase', COUNT(t3) FROM u
+        |ORDER BY stage""".stripMargin),
+
+    // ---- Last-touch attribution ----------------------------------------------------
+    // Each purchase is credited to the user's most recent PRECEDING
+    // non-purchase event (marketing attribution / feature provenance).
+    // last(ignoreNulls) over an ordered frame ending at -1 excludes the
+    // purchase itself; (ts, event_id) ordering makes the frame total, so
+    // no cross-engine tie exists. One shuffle on user_id + one tiny agg.
+    "q114_last_touch" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, dir)
+          .withColumn("attr",
+            last(when($"event_type" =!= "purchase", $"event_type"), ignoreNulls = true).over(w))
+          .filter($"event_type" === "purchase")
+          .groupBy(coalesce($"attr", lit("none")).as("touch"))
+          .agg(count(lit(1)).as("n_purchases"), sumExact($"value").as("revenue"))
+          .orderBy($"touch")
+      },
+      s"""SELECT COALESCE(attr, 'none') AS touch, COUNT(*) AS n_purchases,
+         |  ${sqlSumExact("value")} AS revenue
+         |FROM (
+         |  SELECT event_type, value,
+         |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr
+         |  FROM events)
+         |WHERE event_type = 'purchase'
+         |GROUP BY 1 ORDER BY touch""".stripMargin),
+
+    // ---- Z-score anomaly detection -------------------------------------------------
+    // Flags events whose value deviates > 3σ from their type's mean — the
+    // monitoring/data-quality outlier gate. Mean and variance come from
+    // decimal-exact SUM and SUM-of-squares (order-independent), so the
+    // derived doubles are bit-identical cross-engine; the remaining
+    // arithmetic ((v-μ)/σ with σ = sqrt(E[x²]−μ²)) is the same IEEE ops in
+    // the same order on both sides, and z is rounded before the filter so
+    // the cut is on the rounded value. Shape: one partial+final agg (5
+    // groups) broadcast back over the scan — no second shuffle.
+    "q115_anomaly_zscore" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val stats = Tables.events(s, dir).groupBy($"event_type").agg(
+            count(lit(1)).cast("double").as("n"),
+            sum(dec($"value")).cast("double").as("sm"),
+            sum(dec($"value") * dec($"value")).cast("double").as("sq"))
+          .withColumn("mean", $"sm" / $"n")
+          .withColumn("sd", sqrt($"sq" / $"n" - $"mean" * $"mean"))
+        Tables.events(s, dir)
+          .join(broadcast(stats), Seq("event_type"))
+          .withColumn("z", round(($"value" - $"mean") / $"sd", 6))
+          .filter(abs($"z") > 3.0d)
+          .select($"event_id", $"event_type", $"value", $"z")
+          .orderBy($"event_id")
+      },
+      """WITH s AS (
+        |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sm,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sq
+        |  FROM events GROUP BY 1),
+        |z AS (
+        |  SELECT event_id, e.event_type, value,
+        |    round((value - sm / n) / sqrt(sq / n - (sm / n) * (sm / n)), 6) AS z
+        |  FROM events e JOIN s USING (event_type))
+        |SELECT event_id, event_type, value, z
+        |FROM z WHERE abs(z) > 3.0 ORDER BY event_id""".stripMargin),
   )
 }

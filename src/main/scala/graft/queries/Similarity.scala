@@ -251,5 +251,80 @@ object Similarity {
         |  round(list_inner_product(v, dv) /
         |        (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(dv, dv))), 6) AS recon_cos
         |FROM dq ORDER BY vec_id""".stripMargin),
+
+    // ---- k-means clustering (2 Lloyd iterations, k=4) ------------------------------
+    // The semantic-clustering primitive behind cluster-balanced sampling
+    // and SemDeDup-style curation: deterministic seeding (vectors 0..k-1),
+    // two unrolled assign→update rounds, then per-cluster size + inertia.
+    // Scale shape per iteration: assignment is a BROADCAST of k centroids
+    // over the vector scan (map-side argmin via min(struct(d2, cid)) with
+    // partial aggregation — one row per vector reaches the shuffle), and
+    // the update is the q52/q53 narrow (cid, dim) decimal-mean shuffle.
+    // Nothing is ever all-pairs; per-iteration cost is O(n·k·dim) map work
+    // + one narrow agg, the textbook distributed-k-means plan.
+    // Determinism: d2 = vv − 2·v·c + cc uses the codegen'd vec_dot (left
+    // fold, same order as DuckDB's list_inner_product); centroid means go
+    // through DECIMAL(25,9) sums; inertia decimal-sums 9dp-rounded d2 —
+    // every double op is the same IEEE op in the same order cross-engine,
+    // so the full clustering (sizes AND inertia) is hash-checked.
+    "q116_kmeans" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.VectorFunctions.vecDot
+        val e = normed(s, dir).select($"vec_id", $"v")
+          .withColumn("vv", vecDot($"v", $"v"))
+        // assign each vector to the nearest centroid (ties → lowest cid)
+        def assign(cents: DataFrame): DataFrame =
+          e.crossJoin(broadcast(cents))
+            .withColumn("d2", $"vv" - lit(2.0) * vecDot($"v", $"c") + $"cc")
+            .groupBy($"vec_id")
+            .agg(min(struct($"d2", $"cid")).as("m"), first($"v").as("v"))
+            .select($"vec_id", $"m.cid".as("cid"), $"m.d2".as("d2"), $"v")
+        // recompute centroids as exact element-wise decimal means
+        def update(assigned: DataFrame): DataFrame =
+          assigned.select($"cid", posexplode($"v"))
+            .groupBy($"cid", $"pos")
+            .agg((sum($"col".cast("decimal(25,9)")).cast("double") / count(lit(1))).as("m"))
+            .groupBy($"cid")
+            .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+            .select($"cid", expr("transform(pm, x -> x.m)").as("c"))
+            .withColumn("cc", vecDot($"c", $"c"))
+        val c0 = e.filter($"vec_id" < 4)
+          .select($"vec_id".as("cid"), $"v".as("c"), $"vv".as("cc"))
+        val a2 = assign(update(assign(c0)))
+        a2.groupBy($"cid")
+          .agg(count(lit(1)).as("n_members"),
+               sum(round($"d2", 9).cast("decimal(25,9)")).cast("double").as("inertia"))
+          .orderBy($"cid")
+      },
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |ev AS (SELECT vec_id, v, list_inner_product(v, v) AS vv FROM e),
+        |c0 AS (SELECT vec_id AS cid, v AS c, list_inner_product(v, v) AS cc
+        |       FROM e WHERE vec_id < 4),
+        |a1 AS (
+        |  SELECT vec_id, v, cid, d2 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM (
+        |      SELECT ev.vec_id, ev.v, c0.cid,
+        |        ev.vv - 2.0 * list_inner_product(ev.v, c0.c) + c0.cc AS d2
+        |      FROM ev CROSS JOIN c0))
+        |  WHERE rn = 1),
+        |d1 AS (SELECT cid, i AS pos, CAST(v[i] AS DECIMAL(25,9)) AS comp
+        |       FROM a1, (SELECT unnest(range(1, 65)) AS i)),
+        |m1 AS (SELECT cid, pos, CAST(SUM(comp) AS DOUBLE) / COUNT(*) AS m
+        |       FROM d1 GROUP BY 1, 2),
+        |c1 AS (SELECT cid, list(m ORDER BY pos) AS c FROM m1 GROUP BY 1),
+        |c1n AS (SELECT cid, c, list_inner_product(c, c) AS cc FROM c1),
+        |a2 AS (
+        |  SELECT vec_id, cid, d2 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM (
+        |      SELECT ev.vec_id, c1n.cid,
+        |        ev.vv - 2.0 * list_inner_product(ev.v, c1n.c) + c1n.cc AS d2
+        |      FROM ev CROSS JOIN c1n))
+        |  WHERE rn = 1)
+        |SELECT cid, COUNT(*) AS n_members,
+        |  CAST(SUM(CAST(round(d2, 9) AS DECIMAL(25,9))) AS DOUBLE) AS inertia
+        |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin),
   )
 }
