@@ -168,6 +168,31 @@ class PlanAuditSpec extends SparkTestBase {
       s"window partitioning must carry through the groupBy, got $exchanges exchanges")
   }
 
+  test("q113: three chained funnel windows share ONE user_id exchange") {
+    val p = plan("q113_funnel_stages")
+    // min-over-partition windows need no sort; the three stage columns must
+    // not each re-shuffle — same partitioning reused across all Window ops
+    val exchanges = "Arguments: hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2,
+      s"funnel must reuse the user_id partitioning, got $exchanges exchanges")
+  }
+
+  test("q115: stats join is broadcast — the event scan never shuffles") {
+    val p = plan("q115_anomaly_zscore")
+    assert(p.contains("BroadcastHashJoin"), "5-group stats must broadcast")
+    // the only hash exchange allowed is the tiny stats aggregation itself
+    val exchanges = "Arguments: hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"got $exchanges hash exchanges")
+  }
+
+  test("q116: k-means assignment broadcasts centroids, never a shuffle join") {
+    val p = plan("q116_kmeans")
+    assert(!p.contains("CartesianProduct"), "assignment must not plan a product")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "k centroids must broadcast against the vector scan")
+    assert(!p.contains("SortMergeJoin"), "no vector-side shuffle join")
+  }
+
   test("no query hot path uses a Scala UDF or collects to the driver") {
     // interpreted ScalaUDF in a plan defeats whole-stage codegen; the two
     // sanctioned custom kernels (vec_dot, hamming) are codegen'd Expressions
