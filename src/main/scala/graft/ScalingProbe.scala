@@ -62,6 +62,22 @@ object ScalingProbe {
           spark.read.parquet(s"$sfDir/$t.parquet")
             .write.mode("overwrite").parquet(s"$dir/$t.parquet")
       }
+      if (!new java.io.File(s"$dir/events.parquet").exists()) {
+        // events: user population grows m× over the SAME time span (the
+        // realistic growth axis — more users, not a longer history), so
+        // window partitions stay per-user-sized and cohort/funnel/
+        // attribution work must grow linearly in users. Read RAW (ts stays
+        // the int64 nanos the loaders expect) so the replica file keeps the
+        // testdata's column shape.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val evs = (0 until m).map { k =>
+          spark.read.parquet(s"$sfDir/events.parquet")
+            .withColumn("event_id", $"event_id" + lit(k.toLong * 10_000_000L))
+            .withColumn("user_id", $"user_id" + lit(k.toLong * 10_000_000L))
+        }
+        evs.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      }
       if (!new java.io.File(s"$dir/documents.parquet").exists()) {
         val docs = Tables.documents(spark, sfDir)
         val vecs = Tables.embeddings(spark, sfDir)
@@ -93,7 +109,10 @@ object ScalingProbe {
                   "q57_dedup_clusters", "q47_range_join", "q59_fuzzy_name_join",
                   "q92_pagerank", "q93_heavy_hitters", "q102_bitset_prune_join",
                   "q104_decontaminate", "q105_repetition_quality",
-                  "q108_pii_scrub", "q109_sequence_packing");
+                  "q108_pii_scrub", "q109_sequence_packing",
+                  "q112_cohort_retention", "q113_funnel_stages", "q114_last_touch",
+                  "q115_anomaly_zscore", "q116_kmeans", "q118_nested_export",
+                  "q119_vocab_oov");
          m <- mults) {
       val dir = replicated(m)
       val t0 = System.nanoTime()

@@ -87,5 +87,39 @@ object Interchange {
       s"""SELECT c_mktsegment, COUNT(*) AS n, COUNT(DISTINCT c_custkey) AS n_keys,
          |  ${sqlSumExact("c_acctbal")} AS sum_bal, MIN(c_name) AS min_name
          |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    // ---- Nested denormalization (order → array<struct> of its line items) --------
+    // The document-oriented export shape: line items nest INSIDE their
+    // order as an array of structs sorted by line number (what a JSON/
+    // training-example emitter produces), then the nested form is consumed
+    // with higher-order functions only — size, an aggregate() lambda over
+    // quantities, the first element after sort. The oracle computes the
+    // same figures from the FLAT join, proving the nesting lossless and
+    // the nested consumption equal to relational aggregation. Scale shape:
+    // collect_list shuffles once on l_orderkey and each array is bounded
+    // by its own order's size (≤7 items) — never a corpus-wide collect;
+    // quantities are integer-valued doubles, so the lambda sums exact
+    // longs (no decimal typing inside the lambda needed).
+    "q118_nested_export" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val nested = Tables.lineitem(s, dir)
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+          .groupBy($"l_orderkey")
+          .agg(array_sort(collect_list(struct($"l_linenumber", $"l_quantity", $"l_extendedprice"))).as("items"))
+        Tables.orders(s, dir)
+          .select($"o_orderkey", $"o_orderstatus")
+          .join(nested, $"o_orderkey" === $"l_orderkey")
+          .select($"o_orderkey", $"o_orderstatus",
+            size($"items").cast("long").as("n_items"),
+            expr("aggregate(items, 0L, (acc, x) -> acc + cast(x.l_quantity as long))").as("sum_qty"),
+            $"items"(0)("l_linenumber").as("first_line"))
+          .orderBy($"o_orderkey")
+      },
+      """SELECT o_orderkey, o_orderstatus, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(min(l_linenumber) AS INTEGER) AS first_line
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2 ORDER BY o_orderkey""".stripMargin),
   )
 }

@@ -250,5 +250,43 @@ object TableQueries {
         |FROM orders
         |WHERE o_custkey <= 120 AND o_totalprice BETWEEN 40000.0 AND 60000.0
         |ORDER BY o_orderkey""".stripMargin),
+
+    // ---- Metadata-only COUNT / MIN / MAX (answered from the log, no scan) ---------
+    // The Delta "metadata-only query" path: the orders table is loaded into
+    // a GraftTable once, then COUNT(*) and column MIN/MAX are answered by
+    // folding add-action footer stats on the DRIVER — zero data files
+    // opened. The oracle runs the same aggregates as a full DuckDB scan of
+    // the original parquet, so the metadata path is proven equal to the
+    // scan it replaces. At 100 TB this is the difference between a
+    // millisecond log fold and a cluster job; correctness holds through
+    // DML because DELETE/OPTIMIZE rewrite stats with the files
+    // (GraftTableSpec asserts count parity after both).
+    "q117_metadata_count" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = cache.computeIfAbsent(s"stats:$dir", _ =>
+          GraftTable.create(s, graft.Scratch.dir("graft-stats-").toString,
+            graft.Tables.orders(s, dir)
+              .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")))
+        val (kLo, kHi) = t.metadataMinMax("o_orderkey").get
+        val (sLo, sHi) = t.metadataMinMax("o_orderstatus").get
+        val (pLo, pHi) = t.metadataMinMax("o_totalprice").get
+        val schema = StructType(Seq(
+          StructField("n_rows", LongType, nullable = false),
+          StructField("min_key", LongType, nullable = false),
+          StructField("max_key", LongType, nullable = false),
+          StructField("min_status", StringType, nullable = false),
+          StructField("max_status", StringType, nullable = false),
+          StructField("min_price", DoubleType, nullable = false),
+          StructField("max_price", DoubleType, nullable = false)))
+        s.createDataFrame(java.util.List.of(Row(
+          t.metadataCount(), kLo.toLong, kHi.toLong, sLo, sHi,
+          pLo.toDouble, pHi.toDouble)), schema)
+      },
+      """SELECT COUNT(*) AS n_rows,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders""".stripMargin),
   )
 }

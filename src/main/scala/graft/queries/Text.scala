@@ -428,5 +428,45 @@ object Text {
         |FROM base JOIN runs ON base.doc_id = runs.doc_id
         |JOIN bigrams ON base.doc_id = bigrams.doc_id
         |ORDER BY base.doc_id""".stripMargin),
+
+    // ---- Vocabulary pruning + per-document OOV rate --------------------------------
+    // The tokenizer-prep gate: fix the vocabulary to the top-V tokens by
+    // corpus frequency (ties → token asc) and measure each document's
+    // out-of-vocabulary rate — the signal that drives vocab sizing and
+    // flags documents a fixed tokenizer would shred into UNKs. Scale
+    // shape: the vocab is top-k of a token aggregate (partial+final agg →
+    // TakeOrdered, never a global sort) and then BROADCASTS against the
+    // per-doc token stream — the corpus shuffles once on (doc_id) counts;
+    // V is a constant (32k-256k in practice), always broadcastable. The
+    // OOV rate is a ratio of exact integer counts.
+    "q119_vocab_oov" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.documents(s, dir)
+          .select($"doc_id", $"lang", explode(split($"text", " ")).as("token"))
+          .filter(length($"token") > 0)
+        val vocab = toks.groupBy($"token").agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"token").limit(20)
+          .select($"token", lit(1).as("in_vocab"))
+        toks.join(broadcast(vocab), Seq("token"), "left")
+          .groupBy($"doc_id", $"lang")
+          .agg(count(lit(1)).as("n_toks"),
+               count(when($"in_vocab".isNull, 1)).as("n_oov"))
+          .withColumn("oov_rate", round($"n_oov".cast("double") / $"n_toks", 6))
+          .orderBy($"doc_id")
+      },
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |t AS (SELECT * FROM toks WHERE length(token) > 0),
+        |vocab AS (
+        |  SELECT token FROM (SELECT token, COUNT(*) AS n FROM t GROUP BY 1)
+        |  ORDER BY n DESC, token LIMIT 20)
+        |SELECT doc_id, lang, COUNT(*) AS n_toks,
+        |  COUNT(CASE WHEN vocab.token IS NULL THEN 1 END) AS n_oov,
+        |  round(CAST(COUNT(CASE WHEN vocab.token IS NULL THEN 1 END) AS DOUBLE)
+        |        / COUNT(*), 6) AS oov_rate
+        |FROM t LEFT JOIN vocab ON t.token = vocab.token
+        |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin),
   )
 }

@@ -78,6 +78,38 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     readFiles(s, prunedFiles(s, pred)).filter(pred)
   }
 
+  /** COUNT(*) answered purely from the transaction log — no data file is
+    * opened (the Delta "metadata-only query" path: every add action carries
+    * its footer row count, so the snapshot total is a driver-side log fold.
+    * At 100 TB this is a millisecond instead of a cluster-wide scan). */
+  def metadataCount(v: Long = latestVersion): Long =
+    snapshotAt(v).files.map(_.numRecords).sum
+
+  /** Column MIN/MAX answered purely from add-action footer stats, as the
+    * stringified stat values the log stores. None when any live file lacks
+    * stats for the column (never guess from partial coverage) — callers
+    * fall back to a scan. Comparison is type-driven: lexicographic for
+    * strings, numeric otherwise (same discipline as DataSkipping). */
+  def metadataMinMax(column: String, v: Long = latestVersion): Option[(String, String)] = {
+    val snap = snapshotAt(v)
+    val isStr = DataType.fromJson(snap.metaData.schemaString).asInstanceOf[StructType]
+      .fields.find(_.name == column).exists(_.dataType == StringType)
+    def cmp(a: String, b: String): Int =
+      if (isStr) a.compareTo(b) else BigDecimal(a).compare(BigDecimal(b))
+    val perFile = snap.files.map { f =>
+      for {
+        lo <- f.minValues.get(column).orElse(f.partitionValues.get(column))
+        hi <- f.maxValues.get(column).orElse(f.partitionValues.get(column))
+      } yield (lo, hi)
+    }
+    if (perFile.isEmpty || perFile.exists(_.isEmpty)) None
+    else {
+      val bounds = perFile.flatten
+      Some((bounds.map(_._1).reduce((a, b) => if (cmp(a, b) <= 0) a else b),
+            bounds.map(_._2).reduce((a, b) => if (cmp(a, b) >= 0) a else b)))
+    }
+  }
+
   /** Commit metadata as a DataFrame, newest-first (api.py:63,75). */
   def history(): DataFrame = {
     val rows = log.commitInfos.reverse.map(c =>

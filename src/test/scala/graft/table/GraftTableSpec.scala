@@ -280,4 +280,31 @@ class GraftTableSpec extends SparkTestBase {
     t.delete("id = 1")
     assert(state(t.versionAsOf(0)) === v0)
   }
+
+  test("metadata-only count/min/max track every DML and match the scan at each version") {
+    val t = GraftTable.create(spark, tmpDir("gt-"),
+      df((1, "James", "Bond"), (2, "Alice", "Rogers"), (3, "Joe", "Bloggs")))
+    t.append(df((10, "Zed", "Last"), (0, "Aaron", "First")))
+    t.delete("id = 2")
+    t.optimize(targetFileBytes = 1024 * 1024)
+    t.merge(df((5, "Mid", "Person")), "t.id = s.id")
+      .whenNotMatchedInsert(Map(
+        "id" -> "s.id", "firstname" -> "s.firstname", "lastname" -> "s.lastname"))
+      .execute()
+    for (v <- 0L to t.latestVersion) {
+      val scan = t.versionAsOf(v)
+      assert(t.metadataCount(v) === scan.count(),
+        s"v$v: metadata count must equal the scan")
+      val (lo, hi) = t.metadataMinMax("id", v).get
+      val minMax = scan.agg(min("id"), max("id")).head()
+      assert(lo.toDouble === minMax.getInt(0).toDouble &&
+             hi.toDouble === minMax.getInt(1).toDouble,
+        s"v$v: metadata id bounds ($lo, $hi) must equal the scan's $minMax")
+      val (slo, shi) = t.metadataMinMax("firstname", v).get
+      val sMinMax = scan.agg(min("firstname"), max("firstname")).head()
+      assert(slo === sMinMax.getString(0) && shi === sMinMax.getString(1),
+        s"v$v: metadata firstname bounds must equal the scan's")
+    }
+    assert(t.metadataMinMax("no_such_column").isEmpty)
+  }
 }
