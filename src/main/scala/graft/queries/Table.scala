@@ -288,5 +288,30 @@ object TableQueries {
         |  min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status,
         |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
         |FROM orders""".stripMargin),
+
+    // ---- Bloom-filter point lookup through the pruned scan -----------------------
+    // The needle-in-100-TB path: orders are REPARTITIONED so every file
+    // spans roughly the full key range — min/max stats prune nothing — and
+    // native parquet bloom filters on o_orderkey (table-property-config,
+    // rebuilt by every DML rewrite) let prunedFiles drop files that
+    // provably lack the probed keys before Spark plans the scan. The
+    // oracle runs the same IN-list on the raw parquet, proving pruning
+    // never drops a matching row; BloomSkippingSpec asserts the files-read
+    // win and the false-positive bound.
+    "q120_bloom_point_lookup" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = cache.computeIfAbsent(s"bloom:$dir", _ =>
+          GraftTable.create(s, graft.Scratch.dir("graft-bloom-").toString,
+            graft.Tables.orders(s, dir)
+              .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+              .repartition(8),
+            bloomFilterOn = Seq("o_orderkey"), bloomNdv = 50000L))
+        t.scan($"o_orderkey".isin(7, 110, 1400))
+          .orderBy($"o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey IN (7, 110, 1400)
+        |ORDER BY o_orderkey""".stripMargin),
   )
 }

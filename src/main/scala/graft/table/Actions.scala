@@ -17,10 +17,14 @@ sealed trait Action
 
 /** Table-wide metadata; the latest metaData in the log wins. `schemaString`
   * is Spark's own StructType JSON (DataType.fromJson round-trips it);
-  * `partitionColumns` fixes the physical layout (Hive-style dirs). */
+  * `partitionColumns` fixes the physical layout (Hive-style dirs);
+  * `properties` carries free-form table configuration (e.g. the bloom-filter
+  * column list) — absent in old logs, defaulting to empty (backward
+  * compatible, same as the Delta protocol's configuration map). */
 final case class MetaData(id: String, schemaString: String, createdTime: Long,
                           partitionColumns: Seq[String] = Nil,
-                          constraints: Map[String, String] = Map.empty) extends Action
+                          constraints: Map[String, String] = Map.empty,
+                          properties: Map[String, String] = Map.empty) extends Action
 
 /** A live data file with footer-derived stats for data skipping.
   * `path` is relative to the table root (may contain partition dirs);
@@ -63,12 +67,13 @@ object Actions {
   def toJson(a: Action): String = {
     val root = mapper.createObjectNode()
     a match {
-      case MetaData(id, schema, created, partCols, constraints) =>
+      case MetaData(id, schema, created, partCols, constraints, properties) =>
         val n = root.putObject("metaData")
         n.put("id", id); n.put("schemaString", schema); n.put("createdTime", created)
         val arr = n.putArray("partitionColumns")
         partCols.foreach(arr.add)
         putMap(n, "constraints", constraints)
+        if (properties.nonEmpty) putMap(n, "properties", properties)
       case AddFile(path, size, mtime, rows, mins, maxs, partVals) =>
         val n = root.putObject("add")
         n.put("path", path); n.put("size", size); n.put("modificationTime", mtime)
@@ -93,7 +98,8 @@ object Actions {
       val partCols = Option(n.get("partitionColumns"))
         .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
       MetaData(n.get("id").asText(), n.get("schemaString").asText(),
-        n.get("createdTime").asLong(), partCols, strMap(n, "constraints"))
+        n.get("createdTime").asLong(), partCols, strMap(n, "constraints"),
+        strMap(n, "properties"))
     } else if (root.has("add")) {
       val n = root.get("add")
       AddFile(n.get("path").asText(), n.get("size").asLong(),

@@ -44,6 +44,27 @@ object DataSkipping {
   def prune(resolvedPred: Expression, files: Seq[AddFile]): Seq[AddFile] =
     files.filter(mayMatch(resolvedPred, _))
 
+  /** Equality probes for bloom-filter skipping: column → candidate values
+    * from top-level `col = v` / `col IN (...)` conjuncts, as raw Catalyst
+    * literal values. Only these shapes can consult a bloom (range predicates
+    * cannot); anything else simply contributes no probe. */
+  def equalityProbes(resolved: Expression): Map[String, Seq[Any]] = {
+    def rawLit(e: Expression): Option[Any] =
+      if (!e.foldable) None
+      else try Option(e.eval(null)) catch { case _: Exception => None }
+    val pairs = splitConjuncts(resolved).flatMap {
+      case EqualTo(a: AttributeReference, l) => rawLit(l).map(v => a.name -> Seq(v))
+      case EqualTo(l, a: AttributeReference) => rawLit(l).map(v => a.name -> Seq(v))
+      case In(a: AttributeReference, vs) if vs.nonEmpty =>
+        val evs = vs.map(rawLit)
+        if (evs.forall(_.isDefined)) Some(a.name -> evs.flatten) else None
+      case _ => None
+    }
+    // several conjuncts on one column union their candidates — the bloom
+    // check stays conservative (exists-semantics can only under-skip)
+    pairs.groupBy(_._1).map { case (n, g) => n -> g.flatMap(_._2).distinct }
+  }
+
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
     case other     => Seq(other)

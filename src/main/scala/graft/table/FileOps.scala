@@ -26,10 +26,12 @@ object FileOps {
     * dirs when `partitionCols` is non-empty), returning AddFiles with footer
     * stats + partition values. Zero-row part files are dropped. */
   def writeDataFiles(df: DataFrame, tablePath: String,
-                     partitionCols: Seq[String] = Nil): Seq[AddFile] = {
+                     partitionCols: Seq[String] = Nil,
+                     writeOptions: Map[String, String] = Map.empty): Seq[AddFile] = {
     val staging = Paths.get(tablePath, s".staging-${UUID.randomUUID()}")
-    val writer = if (partitionCols.nonEmpty) df.write.partitionBy(partitionCols: _*)
-                 else df.write
+    val writer0 = df.write.options(writeOptions)
+    val writer = if (partitionCols.nonEmpty) writer0.partitionBy(partitionCols: _*)
+                 else writer0
     writer.parquet(staging.toString)
     val parts = Files.walk(staging).iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
@@ -108,4 +110,77 @@ object FileOps {
   private def maxOf(a: String, b: String, str: Boolean): String =
     if (str) { if (a >= b) a else b }
     else { if (BigDecimal(a) >= BigDecimal(b)) a else b }
+
+  /** Point-lookup check against the file's native parquet bloom filters
+    * (written via `parquet.bloom.filter.enabled#col` on the table's bloom
+    * columns). `probes` maps column → candidate equality values (Catalyst
+    * internal literals); returns false only when SOME probe column has a
+    * bloom in every row group and NO candidate value can be present —
+    * i.e. the file provably contains no matching row. Conservative on any
+    * gap: missing bloom, unknown physical type, or value-conversion
+    * mismatch keeps the file.
+    *
+    * This runs on the DRIVER over footer metadata only (a few KB per
+    * file), and only for files that survive min/max skipping — the same
+    * cost class as Delta's stats read, and what makes a needle-in-100-TB
+    * point lookup read one file instead of every file whose [min,max]
+    * straddles the key. */
+  def bloomMayMatch(file: Path, probes: Map[String, Seq[Any]]): Boolean = {
+    if (probes.isEmpty) return true
+    val in = HadoopInputFile.fromPath(new HPath(file.toString), new Configuration())
+    val reader = ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      // the file may match iff SOME row group may satisfy ALL probe columns
+      blocks.exists { block =>
+        probes.forall { case (name, values) =>
+          block.getColumns.asScala.find(c =>
+            c.getPath.size == 1 && c.getPath.iterator().next() == name) match {
+            case None => true
+            case Some(chunk) =>
+              val bf = try reader.getBloomFilterDataReader(block).readBloomFilter(chunk)
+                       catch { case _: Exception => null }
+              if (bf == null) true // no bloom written → cannot skip
+              else {
+                val isString = chunk.getPrimitiveType.getLogicalTypeAnnotation != null &&
+                  chunk.getPrimitiveType.getLogicalTypeAnnotation
+                    .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+                values.exists { v =>
+                  hashProbe(bf, chunk.getPrimitiveType.getPrimitiveTypeName, isString, v)
+                    .forall(bf.findHash)
+                }
+              }
+          }
+        }
+      }
+    } finally reader.close()
+  }
+
+  /** Type-faithful bloom hash of a Catalyst literal: the overload must match
+    * the PHYSICAL type parquet hashed at write time. None ⇒ unhashable here
+    * (treat as may-match). */
+  private def hashProbe(bf: org.apache.parquet.column.values.bloomfilter.BloomFilter,
+                        pt: org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName,
+                        isString: Boolean, v: Any): Option[Long] =
+    try pt match {
+      case INT32 => v match {
+        case n: java.lang.Number => Some(bf.hash(n.intValue()))
+        case _ => None
+      }
+      case INT64 => v match {
+        case n: java.lang.Number => Some(bf.hash(n.longValue()))
+        case _ => None
+      }
+      case DOUBLE => v match {
+        case n: java.lang.Number => Some(bf.hash(n.doubleValue()))
+        case _ => None
+      }
+      case FLOAT => v match {
+        case n: java.lang.Number => Some(bf.hash(n.floatValue()))
+        case _ => None
+      }
+      case BINARY if isString =>
+        Some(bf.hash(org.apache.parquet.io.api.Binary.fromString(v.toString)))
+      case _ => None
+    } catch { case _: Exception => None }
 }

@@ -196,7 +196,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       }
     val adds = FileOps.writeDataFiles(
       enforceConstraints(conform(df, s0.schema), s0.metaData), path,
-      s0.metaData.partitionColumns)
+      s0.metaData.partitionColumns, GraftTable.bloomWriteOptions(s0.metaData))
     val metaAction: Seq[Action] =
       if (s0.metaData != s0raw.metaData) Seq(s0.metaData) else Nil
     var attempts = 0
@@ -332,7 +332,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         read(s).repartitionByRange(nOut, clusterBy.map(col): _*)
       } else read(s).repartition(nOut)
     val adds = FileOps.writeDataFiles(reorganized, path,
-      s.metaData.partitionColumns)
+      s.metaData.partitionColumns, GraftTable.bloomWriteOptions(s.metaData))
     val ts = log.nextTimestamp()
     log.commit(s.version + 1,
       Seq(CommitInfo(s.version + 1, ts, "OPTIMIZE",
@@ -351,10 +351,22 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * partition pruning and stats skipping are one mechanism. */
   def prunedFiles(s: Snapshot, pred: Column): Seq[AddFile] = {
     val resolved = DataSkipping.resolve(spark, s.schema, pred)
-    s.files.filter { f =>
+    val statPruned = s.files.filter { f =>
       val widened = f.copy(minValues = f.minValues ++ f.partitionValues,
                            maxValues = f.maxValues ++ f.partitionValues)
       DataSkipping.mayMatch(resolved, widened)
+    }
+    // bloom skipping: equality probes on the table's bloom columns drop
+    // files whose native parquet blooms provably exclude every candidate.
+    // Runs only on min/max survivors and reads footer metadata only.
+    val bloomCols = GraftTable.bloomColumns(s.metaData)
+    if (bloomCols.isEmpty) statPruned
+    else {
+      val probes = DataSkipping.equalityProbes(resolved)
+        .filter { case (c, _) => bloomCols.contains(c) }
+      if (probes.isEmpty) statPruned
+      else statPruned.filter(f =>
+        FileOps.bloomMayMatch(Paths.get(path, f.path), probes))
     }
   }
 
@@ -372,7 +384,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // safe across partition directories
     val touched = s.files.filter(f => touchedNames.contains(fileName(f.path)))
     val keep = readFiles(s, touched).filter(!coalesce(pred, lit(false)))
-    val adds = FileOps.writeDataFiles(keep, path, s.metaData.partitionColumns)
+    val adds = FileOps.writeDataFiles(keep, path, s.metaData.partitionColumns,
+      GraftTable.bloomWriteOptions(s.metaData))
     val deleted = touched.map(_.numRecords).sum - adds.map(_.numRecords).sum
     val ts = log.nextTimestamp()
     log.commit(s.version + 1,
@@ -453,7 +466,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       val inserts = insertRows(src, targetAll, cond, insertValues, schema)
       val out = enforceConstraints(conform(rewritten.unionByName(inserts), schema),
         s.metaData)
-      val adds = FileOps.writeDataFiles(out, path, s.metaData.partitionColumns)
+      val adds = FileOps.writeDataFiles(out, path, s.metaData.partitionColumns,
+        GraftTable.bloomWriteOptions(s.metaData))
       val ts = log.nextTimestamp()
       log.commit(s.version + 1,
         Seq(CommitInfo(s.version + 1, ts, "MERGE",
@@ -465,7 +479,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       val inserts = insertRows(src, targetAll, cond, insertValues, schema)
       val adds = FileOps.writeDataFiles(
         enforceConstraints(conform(inserts, schema), s.metaData), path,
-        s.metaData.partitionColumns)
+        s.metaData.partitionColumns, GraftTable.bloomWriteOptions(s.metaData))
       log.commit(s.version + 1,
         Seq(CommitInfo(s.version + 1, log.nextTimestamp(), "MERGE",
           Map("numTargetFilesRewritten" -> "0",
@@ -505,6 +519,20 @@ final class MergeBuilder private[table] (
 
 object GraftTable {
 
+  /** Columns with native parquet bloom filters, from table properties. */
+  private[table] def bloomColumns(meta: MetaData): Seq[String] =
+    meta.properties.get("bloom.columns").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+  /** Parquet writer options that (re)build bloom filters on every data
+    * write of a bloom-configured table — DML rewrites keep the index. */
+  private[table] def bloomWriteOptions(meta: MetaData): Map[String, String] = {
+    val ndv = meta.properties.getOrElse("bloom.ndv", "100000")
+    bloomColumns(meta).flatMap(c => Seq(
+      s"parquet.bloom.filter.enabled#$c" -> "true",
+      s"parquet.bloom.filter.expected.ndv#$c" -> ndv)).toMap
+  }
+
   /** Load an existing table (reference: DeltaTable.forPath, spark_project.py:27). */
   def forPath(spark: SparkSession, path: String): GraftTable = {
     val t = new GraftTable(spark, path)
@@ -515,17 +543,28 @@ object GraftTable {
   def isGraftTable(path: String): Boolean = new GraftLog(path).exists
 
   /** Create commit 0 from a DataFrame (reference: df.write.format("delta")
-    * .save(path), spark_project.py:36). */
+    * .save(path), spark_project.py:36). `bloomFilterOn` columns get native
+    * parquet bloom filters on every data write (sized for `bloomNdv`
+    * distinct values per file), consulted by point-lookup pruning — the
+    * setting persists in table properties, so DML rewrites keep it. */
   def create(spark: SparkSession, path: String, df: DataFrame,
-             partitionBy: Seq[String] = Nil): GraftTable = {
+             partitionBy: Seq[String] = Nil,
+             bloomFilterOn: Seq[String] = Nil,
+             bloomNdv: Long = 100000L): GraftTable = {
     Files.createDirectories(Paths.get(path))
     val log = new GraftLog(path)
     require(!log.exists, s"$path is already a GraftTable")
     require(partitionBy.forall(df.columns.contains),
       s"partition columns $partitionBy must exist in ${df.columns.toSeq}")
-    val adds = FileOps.writeDataFiles(df, path, partitionBy)
+    require(bloomFilterOn.forall(df.columns.contains),
+      s"bloom columns $bloomFilterOn must exist in ${df.columns.toSeq}")
+    val props =
+      if (bloomFilterOn.isEmpty) Map.empty[String, String]
+      else Map("bloom.columns" -> bloomFilterOn.mkString(","),
+               "bloom.ndv" -> bloomNdv.toString)
     val meta = MetaData(UUID.randomUUID().toString, df.schema.json,
-      System.currentTimeMillis(), partitionBy)
+      System.currentTimeMillis(), partitionBy, Map.empty, props)
+    val adds = FileOps.writeDataFiles(df, path, partitionBy, bloomWriteOptions(meta))
     log.commit(0L, Seq(meta,
       CommitInfo(0L, log.nextTimestamp(), "CREATE",
         Map("numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++ adds)
