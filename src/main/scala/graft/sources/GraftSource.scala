@@ -1,6 +1,6 @@
 package graft.sources
 
-import graft.table.{DataSkipping, GraftTable, Snapshot}
+import graft.table.{GraftTable, Snapshot}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SQLContext}
 import org.apache.spark.sql.functions.{col, lit}
@@ -82,14 +82,10 @@ class GraftRelation(ctx: SQLContext, table: GraftTable, snapshot: Snapshot)
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
     val files = filterColumn(filters) match {
-      case Some(pred) =>
-        val resolved = DataSkipping.resolve(ctx.sparkSession, snapshot.schema, pred)
-        snapshot.files.filter { f =>
-          DataSkipping.mayMatch(resolved,
-            f.copy(minValues = f.minValues ++ f.partitionValues,
-                   maxValues = f.maxValues ++ f.partitionValues))
-        }
-      case None => snapshot.files
+      // one shared pruning path with GraftTable.scan: min/max + partition
+      // stats, then bloom probes for =/IN on the table's bloom columns
+      case Some(pred) => table.prunedFiles(snapshot, pred)
+      case None       => snapshot.files
     }
     val df = table.readFiles(snapshot, files)
     val projected =
