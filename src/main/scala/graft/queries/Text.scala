@@ -468,5 +468,52 @@ object Text {
         |        / COUNT(*), 6) AS oov_rate
         |FROM t LEFT JOIN vocab ON t.token = vocab.token
         |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin),
+
+    // ---- Token co-occurrence with lift (association mining) ------------------------
+    // Which token pairs appear in the same document more often than chance —
+    // the corpus-analysis primitive behind collocation discovery and
+    // topic drift monitoring. lift = P(a,b) / (P(a)·P(b)) computed as
+    // n_both·N / (n_a·n_b): integer counts, one double division, no libm.
+    // Scale shape: pair generation is a self-join WITHIN doc_id (fan-out
+    // bounded by each doc's own distinct-token count squared — per-doc
+    // work, like shingling, never corpus²); the pair aggregate shuffles
+    // fixed-width (a,b) keys, per-token counts broadcast back, and the
+    // top-100 is TakeOrderedAndProject.
+    "q121_cooccurrence" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docToks = Tables.documents(s, dir)
+          .select($"doc_id", explode(array_distinct(split($"text", " "))).as("token"))
+          .filter(length($"token") > 0)
+        val n = Tables.documents(s, dir).agg(count(lit(1)).cast("double").as("n_docs"))
+        val tokDocs = docToks.groupBy($"token").agg(count(lit(1)).as("n_tok"))
+        val pairs = docToks.as("x")
+          .join(docToks.as("y"), $"x.doc_id" === $"y.doc_id" && $"x.token" < $"y.token")
+          .groupBy($"x.token".as("a"), $"y.token".as("b"))
+          .agg(count(lit(1)).as("n_both"))
+        pairs
+          .join(broadcast(tokDocs.select($"token".as("a"), $"n_tok".as("n_a"))), "a")
+          .join(broadcast(tokDocs.select($"token".as("b"), $"n_tok".as("n_b"))), "b")
+          .crossJoin(broadcast(n))
+          .withColumn("lift", round($"n_both" * $"n_docs" / ($"n_a" * $"n_b"), 6))
+          .select($"a", $"b", $"n_both", $"n_a", $"n_b", $"lift")
+          .orderBy($"n_both".desc, $"a", $"b")
+          .limit(100)
+      },
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE length(token) > 0),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+        |tok AS (SELECT token, COUNT(*) AS n_tok FROM dt GROUP BY 1),
+        |pairs AS (
+        |  SELECT x.token AS a, y.token AS b, COUNT(*) AS n_both
+        |  FROM dt x JOIN dt y ON x.doc_id = y.doc_id AND x.token < y.token
+        |  GROUP BY 1, 2)
+        |SELECT a, b, n_both, ta.n_tok AS n_a, tb.n_tok AS n_b,
+        |  round(n_both * n_docs / (ta.n_tok * tb.n_tok), 6) AS lift
+        |FROM pairs JOIN tok ta ON ta.token = a JOIN tok tb ON tb.token = b
+        |CROSS JOIN n
+        |ORDER BY n_both DESC, a, b LIMIT 100""".stripMargin),
   )
 }

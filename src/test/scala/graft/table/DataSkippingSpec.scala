@@ -54,6 +54,35 @@ class DataSkippingSpec extends SparkTestBase {
     }
   }
 
+  test("bloom table: scan ≡ filter over the same seeded predicate mix") {
+    import spark.implicits._
+    // round-robin files (overlapping ranges) + blooms on id and name:
+    // min/max is useless here, so any pruning is the bloom's — and it must
+    // never cost a row on ANY predicate shape, including non-equality ones
+    val df = (0 until 800).map(i => (i, s"name$i", i * 1.5)).toDF("id", "name", "score")
+      .repartition(8)
+    val t = GraftTable.create(spark, tmpDir("skipb-"),
+      df, bloomFilterOn = Seq("id", "name"), bloomNdv = 1000L)
+    def checkB(pred: Column): Unit = {
+      val expected = t.toDF.filter(pred).collect().map(_.getInt(0)).sorted
+      val actual = t.scan(pred).collect().map(_.getInt(0)).sorted
+      assert(actual.toSeq === expected.toSeq, s"pred=$pred")
+    }
+    val rnd = new scala.util.Random(7)
+    (1 to 30).foreach { _ =>
+      val a = rnd.between(-100, 900)
+      val b = rnd.between(-100, 900)
+      val preds = Seq(
+        col("id") === a,
+        col("id").isin(a, b, a + 1),
+        col("name") === s"name$a",
+        col("name") === s"name$a" && col("id") === a,
+        col("id") === a && col("score") > b.toDouble,
+        col("id") > a && col("id") <= b)
+      checkB(preds(rnd.nextInt(preds.size)))
+    }
+  }
+
   test("unskippable shapes keep all files") {
     val s = table.snapshot
     assert(table.prunedFiles(s, col("id") % 2 === 0).size === s.files.size)
