@@ -28,8 +28,21 @@ class ModelCheckSpec extends SparkTestBase {
     d.collect().map(r => r.getInt(0) -> (r.getString(1), r.getString(2))).toMap
 
   test("random op sequences: table == model at head and at every version") {
+    runModelCheck(GraftTable.create(spark, tmpDir("model-"), df(Seq((0, "seed", "row")))))
+  }
+
+  test("random op sequences on a bloom-configured table: DML + point lookups stay exact") {
+    // same random walk, but every data write also builds bloom filters and
+    // each step additionally point-looks-up a random id through the
+    // bloom-pruned scan path — pruning under DML churn must never cost a row
+    runModelCheck(
+      GraftTable.create(spark, tmpDir("model-bloom-"), df(Seq((0, "seed", "row"))),
+        bloomFilterOn = Seq("id", "firstname"), bloomNdv = 1000L),
+      probeLookups = true)
+  }
+
+  private def runModelCheck(t: GraftTable, probeLookups: Boolean = false): Unit = {
     val rnd = new scala.util.Random(2024)
-    val t = GraftTable.create(spark, tmpDir("model-"), df(Seq((0, "seed", "row"))))
     var model = Map(0 -> ("seed", "row"))
     val versions = scala.collection.mutable.ArrayBuffer(model)
     var nextId = 1
@@ -80,6 +93,13 @@ class ModelCheckSpec extends SparkTestBase {
       }
       versions += model
       assert(state(t.toDF) === model, s"HEAD mismatch after step $step")
+      if (probeLookups) {
+        val probe = rnd.nextInt(math.max(1, nextId))
+        val got = t.scan(col("id") === probe).collect()
+          .map(r => r.getInt(0) -> (r.getString(1), r.getString(2))).toMap
+        assert(got === model.filter(_._1 == probe),
+          s"bloom-pruned point lookup of id=$probe diverged after step $step")
+      }
     }
 
     // every historical version must still replay to its recorded model
