@@ -66,6 +66,31 @@ object Streaming {
         |  COUNT(DISTINCT user_id) AS n_rows
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
+    // ---- transformWithState: per-user cumulative stats (modern state API) --------
+    // The Spark-4 arbitrary-state successor to flatMapGroupsWithState:
+    // typed ValueState[UserStats] per user on a RocksDB store, Update-mode
+    // emissions of the running (n_events, total). Because the cumulative
+    // figures are MONOTONE (counts and positive cents only grow), the final
+    // per-user state is max() over all emissions — correct under any
+    // micro-batch split of the replay. Values accumulate as exact cents
+    // (longs), so the stream total equals the batch decimal aggregate
+    // exactly; the oracle is that batch rollup. StreamingSpec drives the
+    // same processor over a 2-batch replay and asserts cross-batch state.
+    "q79_stream_running_stats" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val ev = EventStreams.readEventStream(s, dir)
+          .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+          .as[EventStreams.Event]
+        EventStreams.runUpdateToMemory(s, EventStreams.runningUserStats(ev).toDF)
+          .groupBy($"user_id")
+          .agg(max($"n_events").as("n_events"), max($"total_value").as("total_value"))
+          .orderBy($"user_id")
+      },
+      s"""SELECT user_id, COUNT(*) AS n_events,
+         |  ${sqlSumExact("value")} AS total_value
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+
     "q80_stream_tumbling" -> Q(
       (s, dir) => {
         import s.implicits._

@@ -28,6 +28,82 @@ object EventStreams {
   /** Per-user running session state (public: Spark codegen instantiates it). */
   final case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
 
+  /** transformWithState state/output rows: cents are exact longs, so the
+    * stream's cumulative total matches the batch decimal aggregate bit-
+    * for-bit when divided once at emission. */
+  final case class UserStats(n: Long, cents: Long)
+  final case class UserStatsOut(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Per-user running totals on the MODERN arbitrary-state API
+    * (`transformWithState`, Spark 4): typed `ValueState[UserStats]` per
+    * user from the StatefulProcessorHandle — the successor to
+    * flatMapGroupsWithState, with composable value/list/map state, timers,
+    * TTL, and a RocksDB-backed store. Each batch folds its rows into the
+    * state and emits the user's cumulative figures (Update mode), so
+    * across batches the LAST emission per user is the running total —
+    * the streaming-ingest shape of a per-entity profile/feature store.
+    * State is partitioned by user_id: the same shuffle key as every other
+    * per-user op here, and the store scales out with executors. */
+  final class RunningUserStats
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserStatsOut] {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var st: streaming.ValueState[UserStats] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[UserStats]("stats",
+        Encoders.product[UserStats], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[UserStatsOut] = {
+      var s = if (st.exists()) st.get() else UserStats(0L, 0L)
+      rows.foreach { e =>
+        s = UserStats(s.n + 1, s.cents + math.round(e.value * 100.0))
+      }
+      st.update(s)
+      Iterator.single(UserStatsOut(key, s.n, s.cents / 100.0))
+    }
+  }
+
+  /** Stream of per-user cumulative stats via transformWithState. */
+  def runningUserStats(events: Dataset[Event]): Dataset[UserStatsOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningUserStats,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Run a finite stream in UPDATE mode to a memory sink (for cumulative-
+    * state emissions where each batch re-emits only touched keys). The
+    * state store is pinned to RocksDB for the duration — transformWithState
+    * requires it — and the previous provider is restored after. */
+  def runUpdateToMemory(spark: SparkSession, streamed: DataFrame): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val name = s"graft_stream_${UUID.randomUUID().toString.replace("-", "")}"
+      val chk = scratchDir("graft-stream-tws-")
+      val q = streamed.writeStream
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", chk.resolve("chk").toString)
+        .outputMode(OutputMode.Update())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      deleteRecursively(chk)
+      spark.table(name)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   /** Scratch for streaming checkpoints/sinks (graft.Scratch: tmpfs when
     * available — state-store deltas, WAL offset/commit files and sink
     * output are all fsync'd per micro-batch, and on a disk-backed /tmp

@@ -63,6 +63,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("transformWithState carries typed ValueState across batches (RocksDB store)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val q = runningUserStats(input.toDS()).writeStream.format("memory")
+        .queryName("tws_test").outputMode(OutputMode.Update()).start()
+      try {
+        input.addData(ev(1, 1, 0, 2.50), ev(2, 1, 5, 1.25))
+        q.processAllAvailable()
+        assert(spark.table("tws_test").as[UserStatsOut].collect().toSet ===
+          Set(UserStatsOut(1, 2, 3.75)))
+
+        // second batch: user 1's emission must INCLUDE batch-1 state;
+        // user 2 starts fresh — update mode emits only touched keys
+        input.addData(ev(3, 1, 10, 0.25), ev(4, 2, 0, 9.99))
+        q.processAllAvailable()
+        assert(spark.table("tws_test").as[UserStatsOut].collect().toSet ===
+          Set(UserStatsOut(1, 2, 3.75), UserStatsOut(1, 3, 4.00), UserStatsOut(2, 1, 9.99)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("streaming ingestion into GraftTable: one version per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
