@@ -60,6 +60,16 @@ object TableQueries {
 
   /** Value-table scenario for incremental aggregation: v0 seed, v1 merge
     * (update id=2 to 25, insert id=5), v2 delete id=3. */
+  /** Orders projection loaded into a GraftTable once per (JVM, dir) — the
+    * fixture behind the metadata-stats (q117) and clone (q122) queries. */
+  private def statsTable(s: SparkSession, dir: String): GraftTable =
+    cache.computeIfAbsent(s"stats:$dir", _ => {
+      import s.implicits._
+      GraftTable.create(s, graft.Scratch.dir("graft-stats-").toString,
+        graft.Tables.orders(s, dir)
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice"))
+    })
+
   private[queries] def ivmTable(s: SparkSession): GraftTable =
     cache.computeIfAbsent("ivm", _ => {
       import scala.jdk.CollectionConverters._
@@ -264,10 +274,7 @@ object TableQueries {
     "q117_metadata_count" -> Q(
       (s, dir) => {
         import s.implicits._
-        val t = cache.computeIfAbsent(s"stats:$dir", _ =>
-          GraftTable.create(s, graft.Scratch.dir("graft-stats-").toString,
-            graft.Tables.orders(s, dir)
-              .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")))
+        val t = statsTable(s, dir)
         val (kLo, kHi) = t.metadataMinMax("o_orderkey").get
         val (sLo, sHi) = t.metadataMinMax("o_orderstatus").get
         val (pLo, pHi) = t.metadataMinMax("o_totalprice").get
@@ -313,5 +320,38 @@ object TableQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders WHERE o_orderkey IN (7, 110, 1400)
         |ORDER BY o_orderkey""".stripMargin),
+
+    // ---- Shallow CLONE: zero-copy branch + independent evolution -----------------
+    // Branching a 100 TB table for an experiment must be metadata-only:
+    // the clone's commit 0 references the source's files (no data copied),
+    // then a DELETE evolves only the clone. The output proves all three
+    // properties at once — the SOURCE still counts every order (its
+    // metadata count, untouched by the clone's DML), the CLONE holds
+    // exactly the filtered set (its rows after the delete), and the
+    // clone's own metadata stats reflect its divergent state. The oracle
+    // computes the same three figures from the raw parquet. CloneSpec
+    // covers the file-level guarantees (zero parquet under the clone dir,
+    // vacuum isolation, deep-clone property carry-over).
+    "q122_shallow_clone" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val src = statsTable(s, dir)
+        val c = cache.computeIfAbsent(s"clone:$dir", _ => {
+          val cl = src.cloneTo(graft.Scratch.dir("graft-clone-").toString)
+          cl.delete($"o_totalprice" >= 50000.0)
+          cl
+        })
+        val schema = StructType(Seq(
+          StructField("src_rows", LongType, nullable = false),
+          StructField("clone_rows", LongType, nullable = false),
+          StructField("clone_max_price", DoubleType, nullable = false)))
+        s.createDataFrame(java.util.List.of(Row(
+          src.metadataCount(), c.metadataCount(),
+          c.metadataMinMax("o_totalprice").get._2.toDouble)), schema)
+      },
+      """SELECT (SELECT COUNT(*) FROM orders) AS src_rows,
+        |  COUNT(*) AS clone_rows,
+        |  max(o_totalprice) AS clone_max_price
+        |FROM orders WHERE o_totalprice < 50000.0""".stripMargin),
   )
 }

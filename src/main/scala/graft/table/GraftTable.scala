@@ -48,8 +48,14 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   private[graft] def readFiles(s: Snapshot, files: Seq[AddFile]): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s.schema)
-    else
+    else if (s.metaData.partitionColumns.nonEmpty)
+      // basePath reconstructs partition columns from Hive-style dir names;
+      // it requires every file under the table root
       spark.read.schema(s.schema).option("basePath", path)
+        .parquet(files.map(f => s"$path/${f.path}"): _*)
+    else
+      // no basePath: shallow-clone references ("../src/...") stay readable
+      spark.read.schema(s.schema)
         .parquet(files.map(f => s"$path/${f.path}"): _*)
 
   /** Current-version DataFrame (reference: names_table.toDF(), api.py:74). */
@@ -262,6 +268,45 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       cur.files.filterNot(f => tgtPaths.contains(f.path)).map(f => RemoveFile(f.path, ts)) ++
       tgt.files.filterNot(f => curPaths.contains(f.path))
     log.commit(cur.version + 1, actions)
+  }
+
+  /** CLONE: branch this table's current snapshot into a new table at
+    * `dest` (Delta CLONE semantics). Shallow (default): the clone's commit
+    * 0 REFERENCES the source's data files by relative path — zero data
+    * copied, so branching a 100 TB table is a metadata-only operation;
+    * the clone then evolves independently (its DML writes land under its
+    * own directory, and the source is never mutated — its files only ever
+    * drop out of the clone's log). Deep: data files are copied. The
+    * clone's VACUUM walks only its own directory, so source files are
+    * physically safe from a shallow clone's retention.
+    * Shallow cloning a partitioned table is rejected: partition-value
+    * reconstruction requires files under the table root. */
+  def cloneTo(dest: String, shallow: Boolean = true): GraftTable = {
+    val s = snapshot
+    require(!shallow || s.metaData.partitionColumns.isEmpty,
+      "shallow clone of a partitioned table is not supported (basePath reconstruction)")
+    Files.createDirectories(Paths.get(dest))
+    val destLog = new GraftLog(dest)
+    require(!destLog.exists, s"$dest is already a GraftTable")
+    val adds =
+      if (shallow) {
+        val rel = Paths.get(dest).toAbsolutePath.normalize()
+          .relativize(Paths.get(path).toAbsolutePath.normalize())
+        s.files.map(f => f.copy(path = s"$rel/${f.path}"))
+      } else {
+        s.files.map { f =>
+          Files.createDirectories(Paths.get(dest, f.path).getParent)
+          Files.copy(Paths.get(path, f.path), Paths.get(dest, f.path))
+          f
+        }
+      }
+    val meta = s.metaData.copy(id = UUID.randomUUID().toString,
+      createdTime = System.currentTimeMillis())
+    destLog.commit(0L, Seq(meta,
+      CommitInfo(0L, destLog.nextTimestamp(), "CLONE",
+        Map("sourceTable" -> path, "sourceVersion" -> s.version.toString,
+            "shallow" -> shallow.toString))) ++ adds)
+    new GraftTable(spark, dest)
   }
 
   /** VACUUM: physically delete data files that are no longer referenced by

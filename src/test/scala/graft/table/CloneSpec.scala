@@ -1,0 +1,83 @@
+package graft.table
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** CLONE semantics: a shallow clone is metadata-only (zero data copied),
+  * equals the source at clone time, evolves independently, and can never
+  * mutate or vacuum away the source's files. */
+class CloneSpec extends SparkTestBase {
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType, nullable = false),
+    StructField("v", StringType, nullable = false)))
+
+  private def df(rows: (Int, String)*): DataFrame =
+    spark.createDataFrame(rows.map { case (i, v) => Row(i, v) }.asJava, schema)
+
+  private def ids(d: DataFrame): Set[Int] = d.collect().map(_.getInt(0)).toSet
+
+  test("shallow clone: zero data files copied, content equal at clone time") {
+    val src = GraftTable.create(spark, tmpDir("clone-src-"), df((1, "a"), (2, "b"), (3, "c")))
+    val dest = tmpDir("clone-dst-")
+    val c = src.cloneTo(dest)
+    assert(ids(c.toDF) === Set(1, 2, 3))
+    // metadata-only: no parquet under the clone directory
+    val copied = java.nio.file.Files.walk(java.nio.file.Paths.get(dest))
+      .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    assert(copied === 0, "shallow clone must not copy data files")
+    assert(c.history().head().getString(2) === "CLONE")
+  }
+
+  test("clone evolves independently; source never mutates") {
+    val srcDir = tmpDir("clone-src-")
+    val src = GraftTable.create(spark, srcDir, df((1, "a"), (2, "b"), (3, "c")))
+    val c = src.cloneTo(tmpDir("clone-dst-"))
+    c.append(df((4, "d")))
+    c.delete(col("id") === 1)
+    assert(ids(c.toDF) === Set(2, 3, 4))
+    assert(ids(src.toDF) === Set(1, 2, 3), "source must be untouched by clone DML")
+    // and the other direction: source DML is invisible to the clone
+    src.delete(col("id") === 2)
+    assert(ids(src.toDF) === Set(1, 3))
+    assert(ids(c.toDF) === Set(2, 3, 4),
+      "clone snapshot must pin the files it referenced at clone time")
+  }
+
+  test("vacuum on the clone never deletes source files") {
+    val src = GraftTable.create(spark, tmpDir("clone-src-"), df((1, "a"), (2, "b")))
+    val c = src.cloneTo(tmpDir("clone-dst-"))
+    // rewrite everything in the clone so the source refs become unreferenced
+    c.delete(col("id") === 1)
+    c.optimize(targetFileBytes = 1024 * 1024)
+    assert(c.vacuum() >= 0)
+    assert(ids(src.toDF) === Set(1, 2), "source data must survive clone vacuum")
+    assert(ids(c.toDF) === Set(2))
+  }
+
+  test("deep clone copies files; bloom/constraint properties carry over") {
+    val src = GraftTable.create(spark, tmpDir("clone-src-"),
+      df((1, "a"), (2, "b")), bloomFilterOn = Seq("id"))
+    src.addConstraint("pos", "id > 0")
+    val dest = tmpDir("clone-dst-")
+    val c = src.cloneTo(dest, shallow = false)
+    val copied = java.nio.file.Files.walk(java.nio.file.Paths.get(dest))
+      .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    assert(copied > 0, "deep clone must copy data files")
+    assert(ids(c.toDF) === Set(1, 2))
+    assert(GraftTable.bloomColumns(c.snapshot.metaData) === Seq("id"))
+    intercept[IllegalArgumentException] { c.append(df((-5, "x"))) }
+  }
+
+  test("shallow clone of a partitioned table is rejected") {
+    val src = GraftTable.create(spark, tmpDir("clone-src-"),
+      df((1, "a"), (2, "b")), partitionBy = Seq("v"))
+    intercept[IllegalArgumentException] { src.cloneTo(tmpDir("clone-dst-")) }
+    // deep clone of a partitioned table works
+    val c = src.cloneTo(tmpDir("clone-dst-"), shallow = false)
+    assert(ids(c.toDF) === Set(1, 2))
+  }
+}
