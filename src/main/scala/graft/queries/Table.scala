@@ -353,5 +353,29 @@ object TableQueries {
         |  COUNT(*) AS clone_rows,
         |  max(o_totalprice) AS clone_max_price
         |FROM orders WHERE o_totalprice < 50000.0""".stripMargin),
+
+    // ---- Hive-partitioned table scan (partition pruning as data skipping) --------
+    // Documents land Hive-partitioned by lang (lang=en/... directories);
+    // a scan filtering on the partition column prunes whole directories at
+    // the FILE level (partition values enter pruning as exact min=max
+    // stats) before Spark plans a single split — the coarsest and
+    // cheapest skipping tier at 100 TB, here composed with a row filter
+    // the parquet scan pushes down. Oracle = the same filter on the raw
+    // unpartitioned parquet, proving the partitioned round trip lossless.
+    "q123_partitioned_scan" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = cache.computeIfAbsent(s"part:$dir", _ =>
+          GraftTable.create(s, graft.Scratch.dir("graft-part-").toString,
+            graft.Tables.documents(s, dir)
+              .select($"doc_id", $"lang", $"source", $"n_chars"),
+            partitionBy = Seq("lang")))
+        t.scan($"lang" === "en" && $"n_chars" >= 200)
+          .select($"doc_id", $"lang", $"source", $"n_chars")
+          .orderBy($"doc_id")
+      },
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE lang = 'en' AND n_chars >= 200
+        |ORDER BY doc_id""".stripMargin),
   )
 }

@@ -344,16 +344,21 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * time-travel. */
   def optimize(targetFileBytes: Long = 128L * 1024 * 1024,
                clusterBy: Seq[String] = Nil,
-               zorderBy: Seq[String] = Nil): Unit = {
+               zorderBy: Seq[String] = Nil,
+               where: Option[Column] = None): Unit = {
     require(clusterBy.isEmpty || zorderBy.isEmpty,
       "clusterBy and zorderBy are exclusive")
     val s = snapshot
-    if (s.files.size <= 1 && clusterBy.isEmpty && zorderBy.isEmpty) return
-    val totalBytes = s.files.map(_.size).sum
+    // `where` scopes the rewrite to files that may hold matching rows —
+    // at 100 TB you OPTIMIZE the hot partition after its ingest churn, not
+    // the whole table; out-of-scope files survive byte-identical.
+    val scoped = where.map(prunedFiles(s, _)).getOrElse(s.files)
+    if (scoped.size <= 1 && clusterBy.isEmpty && zorderBy.isEmpty) return
+    val totalBytes = scoped.map(_.size).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val reorganized =
       if (zorderBy.nonEmpty) {
-        val df = read(s)
+        val df = readFiles(s, scoped)
         // 255 interior quantile boundaries per dim → 256 rank-uniform
         // buckets, robust to skew (value-uniform width_bucket is not).
         // approxQuantile is one sampling aggregate over all dims at once.
@@ -374,18 +379,19 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           .sortWithinPartitions("__zv")
           .drop((0 until k).map(j => s"__zb$j") :+ "__zv": _*)
       } else if (clusterBy.nonEmpty) {
-        read(s).repartitionByRange(nOut, clusterBy.map(col): _*)
-      } else read(s).repartition(nOut)
+        readFiles(s, scoped).repartitionByRange(nOut, clusterBy.map(col): _*)
+      } else readFiles(s, scoped).repartition(nOut)
     val adds = FileOps.writeDataFiles(reorganized, path,
       s.metaData.partitionColumns, GraftTable.bloomWriteOptions(s.metaData))
     val ts = log.nextTimestamp()
     log.commit(s.version + 1,
       Seq(CommitInfo(s.version + 1, ts, "OPTIMIZE",
-        Map("numFilesBefore" -> s.files.size.toString,
-            "numFilesAfter" -> adds.size.toString) ++
+        Map("numFilesBefore" -> scoped.size.toString,
+            "numFilesAfter" -> adds.size.toString,
+            "numFilesSkipped" -> (s.files.size - scoped.size).toString) ++
           (if (zorderBy.nonEmpty) Map("zorderBy" -> zorderBy.mkString(","))
            else Map.empty))) ++
-      s.files.map(f => RemoveFile(f.path, ts)) ++ adds)
+      scoped.map(f => RemoveFile(f.path, ts)) ++ adds)
   }
 
   /** DELETE rows matching `pred` (api.py:107). Files with no match survive

@@ -281,6 +281,29 @@ class GraftTableSpec extends SparkTestBase {
     assert(state(t.versionAsOf(0)) === v0)
   }
 
+  test("OPTIMIZE WHERE rewrites only in-scope files; out-of-scope survive byte-identical") {
+    import spark.implicits._
+    val dir = tmpDir("opt-where-")
+    // 8 range-clustered files: ids 0..99 per file, selective min/max stats
+    val t = GraftTable.create(spark, dir,
+      (0 until 800).map(i => (i, s"n$i", s"l$i")).toDF("id", "firstname", "lastname")
+        .repartitionByRange(8, $"id")
+        .select($"id", $"firstname", $"lastname"))
+    val before = t.snapshot.files
+    assert(before.size === 8)
+    t.optimize(targetFileBytes = 10L * 1024 * 1024, where = Some(col("id") < 200))
+    val after = t.snapshot.files
+    // the two low-range files compacted into one; the other six untouched
+    val survivors = after.map(_.path).toSet intersect before.map(_.path).toSet
+    assert(survivors.size === 6, s"expected 6 untouched files, got ${survivors.size}")
+    assert(after.size === 7)
+    // pure reorganization: state identical
+    assert(t.toDF.count() === 800)
+    assert(t.toDF.agg(org.apache.spark.sql.functions.sum($"id")).head().getLong(0)
+      === (0 until 800).map(_.toLong).sum)
+    assert(t.history().head().getAs[Map[String, String]]("operationMetrics")("numFilesSkipped") === "6")
+  }
+
   test("metadata-only count/min/max track every DML and match the scan at each version") {
     val t = GraftTable.create(spark, tmpDir("gt-"),
       df((1, "James", "Bond"), (2, "Alice", "Rogers"), (3, "Joe", "Bloggs")))
