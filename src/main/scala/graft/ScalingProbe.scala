@@ -112,7 +112,7 @@ object ScalingProbe {
                   "q108_pii_scrub", "q109_sequence_packing",
                   "q112_cohort_retention", "q113_funnel_stages", "q114_last_touch",
                   "q115_anomaly_zscore", "q116_kmeans", "q118_nested_export",
-                  "q119_vocab_oov");
+                  "q119_vocab_oov", "q121_cooccurrence");
          m <- mults) {
       val dir = replicated(m)
       val t0 = System.nanoTime()
