@@ -213,11 +213,42 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           CommitInfo(v, log.nextTimestamp(), "WRITE",
             Map("numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
           metaAction ++ adds)
+        autoCompact()
         return
       } catch {
         case e: java.util.ConcurrentModificationException =>
           attempts += 1
           if (attempts >= 10) throw e
+      }
+    }
+  }
+
+  /** SET TBLPROPERTIES: commit a metaData with the property added/updated
+    * (versioned like every other metadata change). */
+  def setProperty(key: String, value: String): Unit = {
+    val s = snapshot
+    val meta = s.metaData.copy(properties = s.metaData.properties + (key -> value))
+    log.commit(s.version + 1, Seq(meta,
+      CommitInfo(s.version + 1, log.nextTimestamp(), "SET TBLPROPERTIES",
+        Map(key -> value))))
+  }
+
+  /** Delta-style auto compaction: when the table property
+    * `autoCompact.maxFiles` is set and a successful append leaves more
+    * live files than that, bin-pack immediately (target size from
+    * `autoCompact.targetBytes`, default 128 MB). Best-effort by design —
+    * losing an OPTIMIZE race to a concurrent writer must never fail the
+    * append that triggered it; the next append retries. This is what
+    * keeps a streaming sink's many small per-batch commits from
+    * accumulating into a small-file problem at 100 TB. */
+  private def autoCompact(): Unit = {
+    val s = snapshot
+    s.metaData.properties.get("autoCompact.maxFiles").map(_.toInt).foreach { maxFiles =>
+      if (s.files.size > maxFiles) {
+        val target = s.metaData.properties.get("autoCompact.targetBytes")
+          .map(_.toLong).getOrElse(128L * 1024 * 1024)
+        try optimize(targetFileBytes = target)
+        catch { case _: java.util.ConcurrentModificationException => () }
       }
     }
   }

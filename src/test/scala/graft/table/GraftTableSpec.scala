@@ -304,6 +304,19 @@ class GraftTableSpec extends SparkTestBase {
     assert(t.history().head().getAs[Map[String, String]]("operationMetrics")("numFilesSkipped") === "6")
   }
 
+  test("auto compaction bounds live file count across many small appends") {
+    val t = GraftTable.create(spark, tmpDir("autoc-"), df((0, "seed", "row")))
+    t.setProperty("autoCompact.maxFiles", "4")
+    (1 to 10).foreach(i => t.append(df((i, s"f$i", s"l$i"))))
+    assert(t.snapshot.files.size <= 5,
+      s"auto compact must bound files, got ${t.snapshot.files.size}")
+    assert(t.toDF.count() === 11)
+    val ops = t.history().collect().map(_.getString(2))
+    assert(ops.contains("OPTIMIZE"), "compactions must appear in history")
+    assert(state(t.versionAsOf(0)) === Set((0, "seed", "row")),
+      "time travel must survive auto compaction")
+  }
+
   test("metadata-only count/min/max track every DML and match the scan at each version") {
     val t = GraftTable.create(spark, tmpDir("gt-"),
       df((1, "James", "Bond"), (2, "Alice", "Rogers"), (3, "Joe", "Bloggs")))
