@@ -193,6 +193,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), "no vector-side shuffle join")
   }
 
+  test("no batch query plans an unbroadcast cartesian product (global sweep)") {
+    // Streaming (q78-q86) and table-scenario queries (q7x/q1xx table/clone/
+    // zorder fixtures) EXECUTE work in their builders, so the sweep covers
+    // the pure relational/pipeline queries — where a regression to
+    // CartesianProduct would silently turn a banded/broadcast design into
+    // an all-pairs scan. Plan construction only; nothing executes.
+    val skip = (name: String) =>
+      name.startsWith("q7") || name.startsWith("q8") ||
+        Set("q106_zorder_scan", "q117_metadata_count", "q120_bloom_point_lookup",
+            "q122_shallow_clone", "q123_partitioned_scan", "q100_snapshot_diff").contains(name)
+    for ((name, _) <- graft.SparkEntry.queries.toSeq.sortBy(_._1) if !skip(name)) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct — an all-pairs scan at 100 TB")
+    }
+  }
+
   test("no query hot path uses a Scala UDF or collects to the driver") {
     // interpreted ScalaUDF in a plan defeats whole-stage codegen; the two
     // sanctioned custom kernels (vec_dot, hamming) are codegen'd Expressions
