@@ -867,5 +867,50 @@ object Relational {
         |WHERE o_custkey IN (SELECT c_custkey FROM customer
         |                    WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 9000)
         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ---- Join/agg key skew profile (the diagnosis BEFORE salting) ------------------
+    // The operator you run before choosing a skew mitigation: the per-key
+    // frequency distribution of a prospective shuffle key. Emits, per key
+    // column: distinct keys, min/median/p99/max per-key rowcounts, and the
+    // heaviest key's share of all rows — share ≥ 1/partitions means one
+    // reducer inherits a straggler and q27's salting (or AQE skew join)
+    // applies. Shape: one partial+final count per key + a tiny percentile
+    // over the COUNTS (bounded by distinct keys, not rows). All figures
+    // are exact-integer-derived; the share is one double division, 6dp.
+    "q124_skew_profile" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        def profile(keyed: org.apache.spark.sql.DataFrame, label: String) = {
+          val counts = keyed.groupBy($"k").agg(count(lit(1)).as("n"))
+          counts.agg(
+              lit(label).as("key_col"),
+              count(lit(1)).as("n_keys"),
+              sum($"n").as("n_rows"),
+              min($"n").as("min_n"),
+              expr("percentile(n, 0.5)").as("med_n"),
+              expr("percentile(n, 0.99)").as("p99_n"),
+              max($"n").as("max_n"))
+            .withColumn("top_share", round($"max_n" / $"n_rows", 6))
+        }
+        profile(Tables.lineitem(s, dir).select($"l_orderkey".as("k")), "l_orderkey")
+          .unionByName(profile(
+            Tables.events(s, dir).select($"user_id".as("k")), "user_id"))
+          .orderBy($"key_col")
+      },
+      """WITH lo AS (SELECT l_orderkey AS k, COUNT(*) AS n FROM lineitem GROUP BY 1),
+        |ev AS (SELECT user_id AS k, COUNT(*) AS n FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT 'l_orderkey' AS key_col, COUNT(*) AS n_keys,
+        |    CAST(SUM(n) AS BIGINT) AS n_rows, MIN(n) AS min_n,
+        |    quantile_cont(n, 0.5) AS med_n, quantile_cont(n, 0.99) AS p99_n,
+        |    MAX(n) AS max_n
+        |  FROM lo
+        |  UNION ALL
+        |  SELECT 'user_id', COUNT(*), CAST(SUM(n) AS BIGINT), MIN(n),
+        |    quantile_cont(n, 0.5), quantile_cont(n, 0.99), MAX(n)
+        |  FROM ev)
+        |SELECT key_col, n_keys, n_rows, min_n, med_n, p99_n, max_n,
+        |  round(max_n / CAST(n_rows AS DOUBLE), 6) AS top_share
+        |FROM p ORDER BY key_col""".stripMargin),
   )
 }
