@@ -468,6 +468,57 @@ object Events {
          |WHERE event_type = 'purchase'
          |GROUP BY 1 ORDER BY touch""".stripMargin),
 
+    // ---- SCD-2 validity-interval join ----------------------------------------------
+    // The slowly-changing-dimension lookup the as-of join (q26) can't
+    // express: each signup OPENS a status period [ts, next-signup), built
+    // with one lead() window, and every purchase lands in the period
+    // covering its timestamp — the bounded-interval variant of temporal
+    // join, with empty periods preserved (LEFT join on the interval
+    // condition, COUNT over the nullable side). Scale shape: the join is
+    // EQUI on user_id with the interval predicate as a post-join filter —
+    // candidate fan-out is purchases × periods of one user, bounded per
+    // key, never cross-user; both sides shuffle once on user_id.
+    "q125_scd2_interval_join" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+        val wp = Window.partitionBy($"user_id").orderBy($"p_from", $"p_id")
+        val periods = ev.filter($"event_type" === "signup")
+          .select($"user_id", $"ts".as("p_from"), $"event_id".as("p_id"))
+          .withColumn("p_to", lead($"p_from", 1).over(wp))
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id".as("b_user"), $"ts".as("b_ts"), $"value")
+        periods.join(purchases,
+            $"user_id" === $"b_user" && $"b_ts" >= $"p_from" &&
+              ($"p_to".isNull || $"b_ts" < $"p_to"), "left")
+          .groupBy($"user_id", $"p_from", $"p_to")
+          .agg(count($"b_ts").as("n_purchases"), sumExact($"value").as("revenue"))
+          .select($"user_id",
+            date_format($"p_from", fmt).as("period_start"),
+            date_format($"p_to", fmt).as("period_end"),
+            $"n_purchases", $"revenue")
+          // period_end tiebreak: two same-second periods of one user stay
+          // in a deterministic order (groups are distinct on (from, to))
+          .orderBy($"user_id", $"period_start", $"period_end")
+      },
+      s"""WITH sp AS (
+         |  SELECT user_id, ts AS p_from, event_id,
+         |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p_to
+         |  FROM events WHERE event_type = 'signup'),
+         |pur AS (SELECT user_id AS b_user, ts AS b_ts, value
+         |        FROM events WHERE event_type = 'purchase'),
+         |g AS (
+         |  SELECT sp.user_id, p_from, p_to,
+         |    COUNT(b_ts) AS n_purchases, ${sqlSumExact("value")} AS revenue
+         |  FROM sp LEFT JOIN pur
+         |    ON b_user = sp.user_id AND b_ts >= p_from
+         |       AND (p_to IS NULL OR b_ts < p_to)
+         |  GROUP BY 1, 2, 3)
+         |SELECT user_id, strftime(p_from, '%Y-%m-%d %H:%M:%S') AS period_start,
+         |  strftime(p_to, '%Y-%m-%d %H:%M:%S') AS period_end,
+         |  n_purchases, revenue
+         |FROM g ORDER BY user_id, period_start""".stripMargin),
+
     // ---- Z-score anomaly detection -------------------------------------------------
     // Flags events whose value deviates > 3σ from their type's mean — the
     // monitoring/data-quality outlier gate. Mean and variance come from
