@@ -66,6 +66,71 @@ object EventStreams {
     }
   }
 
+  /** Timer-driven sessionizer on the modern state API: the piece the
+    * flatMapGroupsWithState sessionizer (below) deliberately leaves open —
+    * its TRAILING session per user sits in state forever on a real stream,
+    * emitted only when a later event happens to arrive. Here an EVENT-TIME
+    * timer at lastTs+gap fires when the WATERMARK passes it, emitting and
+    * evicting the session with no further input for that user — the shape
+    * that bounds state on an unbounded stream. In-batch gap splits emit
+    * immediately (same algebra as `sessionize`); one timer per user is
+    * re-armed per batch (stale timers no-op against the state's current
+    * lastTs). State and timers are partitioned by user_id with RocksDB
+    * backing — per-key work at any scale. */
+  final class TimerSessionizer(gapSeconds: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, SessionOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var st: streaming.ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[SessionOut] = {
+      val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+      var s = if (st.exists()) st.get() else null
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val t = e.ts.getTime
+        if (s == null) s = SessionState(t, t, 1, e.value)
+        else if (t - s.lastTs >= gapSeconds * 1000) {
+          out += SessionOut(key, new java.sql.Timestamp(s.start), s.n, s.total)
+          s = SessionState(t, t, 1, e.value)
+        } else s = SessionState(s.start, t, s.n + 1, s.total + e.value)
+      }
+      if (s != null) {
+        st.update(s)
+        getHandle.registerTimer(s.lastTs + gapSeconds * 1000)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[SessionOut] =
+      if (st.exists()) {
+        val s = st.get()
+        // only a CURRENT timer closes the session — a stale timer from a
+        // batch before more events arrived no-ops
+        if (s.lastTs + gapSeconds * 1000 <= info.getExpiryTimeInMs) {
+          st.clear()
+          Iterator.single(SessionOut(key, new java.sql.Timestamp(s.start), s.n, s.total))
+        } else Iterator.empty
+      } else Iterator.empty
+  }
+
+  /** Watermarked stream of completed sessions: in-batch gap splits emit
+    * immediately; trailing sessions emit when the event-time timer fires. */
+  def timerSessions(events: Dataset[Event], gapSeconds: Long = 1800,
+                    delay: String = "1 second"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .transformWithState(new TimerSessionizer(gapSeconds),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Stream of per-user cumulative stats via transformWithState. */
   def runningUserStats(events: Dataset[Event]): Dataset[UserStatsOut] = {
     import events.sparkSession.implicits._

@@ -93,6 +93,43 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("event-time timer closes the trailing session with no further input for that user") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val q = timerSessions(input.toDS()).writeStream.format("memory")
+        .queryName("timer_sess").outputMode(OutputMode.Append()).start()
+      try {
+        // batch 1: user 1's open session (minutes 60, 65 — past the initial
+        // watermark at epoch 0, which drops rows at/before it); timer armed
+        // at 95min
+        input.addData(ev(1, 1, 60, 1.0), ev(2, 1, 65, 2.0))
+        q.processAllAvailable()
+        assert(spark.table("timer_sess").count() === 0, "open session must not emit yet")
+
+        // batch 2: only OTHER-user traffic advances the watermark past the
+        // timer; batch 3 fires it — user 1's session emits with NO user-1 event
+        input.addData(ev(3, 2, 180, 1.0))
+        q.processAllAvailable()
+        input.addData(ev(4, 2, 181, 1.0))
+        q.processAllAvailable()
+        val emitted = spark.table("timer_sess").as[SessionOut].collect()
+        val u1 = emitted.filter(_.user_id == 1L)
+        assert(u1.length === 1, s"timer must close user 1's trailing session, got ${emitted.toSeq}")
+        assert(u1.head.n_events === 2 && u1.head.session_start.getTime === 60 * 60000L
+          && u1.head.sum_value === 3.0)
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("streaming ingestion into GraftTable: one version per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
