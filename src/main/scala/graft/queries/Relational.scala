@@ -868,6 +868,45 @@ object Relational {
         |                    WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 9000)
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ---- ANSI null-semantics pin ----------------------------------------------------
+    // The null traps engines disagree on in the wild, pinned cross-engine
+    // in one row: NOT IN against a NULL-free subquery is a plain anti
+    // join; the SAME query with one NULL in the subquery returns ZERO rows
+    // (ANSI three-valued logic — x <> NULL is UNKNOWN for every x); the
+    // null-safe comparator (<=> / IS NOT DISTINCT FROM) vs plain equality;
+    // COUNT(col) skipping NULLs vs COUNT(*); AVG over an empty set being
+    // NULL, never 0. A dedup/curation pipeline joins and anti-joins on
+    // nullable keys constantly — these semantics are load-bearing.
+    "q126_null_semantics" -> Q(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+        s.sql("""
+          SELECT
+            (SELECT COUNT(*) FROM orders_v WHERE o_custkey NOT IN
+               (SELECT c_custkey FROM customer_v WHERE c_acctbal > 5000)) AS n_not_in_clean,
+            (SELECT COUNT(*) FROM orders_v WHERE o_custkey NOT IN
+               (SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END
+                FROM customer_v)) AS n_not_in_nullable,
+            (SELECT COUNT(*) FROM orders_v
+             WHERE NOT (nullif(o_orderstatus, 'P') <=> NULL)) AS n_not_p,
+            (SELECT COUNT(nullif(o_orderstatus, 'P')) FROM orders_v) AS n_count_col,
+            (SELECT AVG(CAST(CASE WHEN 1 = 0 THEN 1 END AS DOUBLE))
+             FROM orders_v) AS avg_empty
+        """)
+      },
+      """SELECT
+        |  (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+        |     (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)) AS n_not_in_clean,
+        |  (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+        |     (SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END
+        |      FROM customer)) AS n_not_in_nullable,
+        |  (SELECT COUNT(*) FROM orders
+        |   WHERE NOT (nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM NULL)) AS n_not_p,
+        |  (SELECT COUNT(nullif(o_orderstatus, 'P')) FROM orders) AS n_count_col,
+        |  (SELECT AVG(CAST(CASE WHEN 1 = 0 THEN 1 END AS DOUBLE))
+        |   FROM orders) AS avg_empty""".stripMargin),
+
     // ---- Join/agg key skew profile (the diagnosis BEFORE salting) ------------------
     // The operator you run before choosing a skew mitigation: the per-key
     // frequency distribution of a prospective shuffle key. Emits, per key
