@@ -35,18 +35,19 @@ object Dedup {
   }
 
   /** doc_id + distinct 3-token shingle (order-preserving n-grams). */
-  private def docShingles(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, dir)
-      .select($"doc_id", split($"text", " ").as("toks")) // tokenize once
-      .filter(size($"toks") >= 3)
-      .select($"doc_id",
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    docShinglesOf(Tables.documents(s, dir))
+
+  private def docShinglesOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks")) // tokenize once
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
         explode(array_distinct(
           // shingle i = toks[i..i+2] joined; sequence over 0..n-3
           expr("transform(sequence(0, size(toks) - 3), " +
                "i -> concat_ws(' ', slice(toks, i + 1, 3)))")
         )).as("shingle"))
-  }
 
   private val MinhashK = 32 // 8 bands x 4 rows
   private val Bands = 8
@@ -72,15 +73,25 @@ object Dedup {
     * vocabulary — with unigram sets nearly every doc would collide into
     * every LSH bucket and the candidate join would go quadratic.
     * One narrow shuffle on doc_id; the K mins fold map-side. */
-  private[queries] def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val ph = docShingles(s, dir).withColumn("h", expr(s"${h60("shingle")} % $M1"))
+  private[queries] def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    minhashSignaturesOf(Tables.documents(s, dir))
+
+  private[queries] def minhashSignaturesOf(docs: DataFrame): DataFrame = {
+    val ph = docShinglesOf(docs).withColumn("h", expr(s"${h60("shingle")} % $M1"))
     val sigCols = (0 until MinhashK).map(i =>
       min(expr(s"(h * ${2 * i + 1} + ${1000003L * i}) % $M1")).as(s"h$i"))
-    ph.groupBy($"doc_id")
+    ph.groupBy(col("doc_id"))
       .agg(sigCols.head, sigCols.tail: _*)
-      .select($"doc_id", array((0 until MinhashK).map(i => col(s"h$i")): _*).as("sig"))
+      .select(col("doc_id"), array((0 until MinhashK).map(i => col(s"h$i")): _*).as("sig"))
   }
+
+  /** Banded view of a signature frame: (id, band, band_sig) — the LSH
+    * probe key. Slicing is map-side; the caller joins on (band, band_sig). */
+  private def bandedOf(sigs: DataFrame, idAs: String): DataFrame =
+    sigs.select(col("doc_id").as(idAs),
+        posexplode(expr(s"transform(sequence(0, ${Bands - 1}), " +
+          s"b -> slice(sig, b * $RowsPerBand + 1, $RowsPerBand))")))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_sig"))
 
   /** LSH candidate pairs (a < b) sharing at least one band, with the
     * signature-estimated Jaccard. Pairs travel as bare (a, b) ids through
@@ -121,10 +132,9 @@ object Dedup {
       |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
       |    WHERE len(toks) >= 3))""".stripMargin
 
-  /** DuckDB twin of `lshCandidates.filter(est_jaccard >= 0.3)`, as a CTE
-    * chain ending in `lsh_pairs(a, b, est_jaccard)` — shared by the q42
-    * oracle and q57's component closure over the same pair graph. */
-  private[queries] def sqlLshPairs: String =
+  /** DuckDB CTE chain through `sigl` (per-doc signature list) and `banded`
+    * (per-doc band slices) — the shared prefix of every minhash oracle. */
+  private def sqlSigBanded: String =
     s"""$sqlShingles,
        |ph AS (SELECT doc_id, ${sqlH60("shingle")} % $M1 AS h FROM sh),
        |sig AS (
@@ -133,7 +143,13 @@ object Dedup {
        |sigl AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM sig GROUP BY 1),
        |banded AS (
        |  SELECT doc_id, b, sig[(b*$RowsPerBand+1):(b*$RowsPerBand+$RowsPerBand)] AS bsig
-       |  FROM sigl, (SELECT unnest(range($Bands)) AS b)),
+       |  FROM sigl, (SELECT unnest(range($Bands)) AS b))""".stripMargin
+
+  /** DuckDB twin of `lshCandidates.filter(est_jaccard >= 0.3)`, as a CTE
+    * chain ending in `lsh_pairs(a, b, est_jaccard)` — shared by the q42
+    * oracle and q57's component closure over the same pair graph. */
+  private[queries] def sqlLshPairs: String =
+    s"""$sqlSigBanded,
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM banded x JOIN banded y ON x.b = y.b AND x.bsig = y.bsig
@@ -586,5 +602,54 @@ object Dedup {
          |  FROM comp c JOIN documents d USING (doc_id))
          |SELECT doc_id, cluster_rep, kept_doc, n_chars, rk = 1 AS keep
          |FROM ranked ORDER BY doc_id""".stripMargin),
+
+    // ---- Incremental dedup: probe a PERSISTED signature index ---------------------
+    // The production shape of near-dup dedup: the corpus's minhash
+    // signatures live in a versioned GraftTable (built once — at 100 TB the
+    // index is ~1% of the corpus and is maintained incrementally by the
+    // same append path), and only the INCOMING batch (doc_id % 7 = 3 here)
+    // tokenizes and hashes. The probe is the q42 band join — incoming
+    // bands against index bands — then signature agreement rescoring; the
+    // corpus text is never touched. The oracle recomputes both sides from
+    // raw documents, proving the persisted index equals the from-scratch
+    // computation (signatures survive the table round trip bit-exactly).
+    "q127_incremental_dedup" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val idx = indexCache.computeIfAbsent(dir, _ =>
+          graft.table.GraftTable.create(s,
+            graft.Scratch.dir("graft-sigidx-").toString,
+            minhashSignaturesOf(
+              Tables.documents(s, dir).filter($"doc_id" % 7 =!= 3))))
+        val corpusSigs = idx.toDF
+        val newSigs = minhashSignaturesOf(
+          Tables.documents(s, dir).filter($"doc_id" % 7 === 3))
+        val pairs = bandedOf(newSigs, "new_doc")
+          .join(bandedOf(corpusSigs, "corpus_doc"), Seq("band", "band_sig"))
+          .select($"new_doc", $"corpus_doc").distinct()
+        pairs
+          .join(newSigs.select($"doc_id".as("new_doc"), $"sig".as("sig_n")), "new_doc")
+          .join(corpusSigs.select($"doc_id".as("corpus_doc"), $"sig".as("sig_c")), "corpus_doc")
+          .withColumn("est_jaccard",
+            expr(s"size(filter(zip_with(sig_n, sig_c, (x, y) -> x = y), t -> t)) / cast($MinhashK as double)"))
+          .filter($"est_jaccard" >= 0.3)
+          .select($"new_doc", $"corpus_doc", $"est_jaccard")
+          .orderBy($"new_doc", $"corpus_doc")
+      },
+      s"""WITH $sqlSigBanded,
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS new_doc, y.doc_id AS corpus_doc
+         |  FROM banded x JOIN banded y ON x.b = y.b AND x.bsig = y.bsig
+         |  WHERE x.doc_id % 7 = 3 AND y.doc_id % 7 <> 3)
+         |SELECT new_doc, corpus_doc,
+         |  len([1 FOR k IN range(1, ${MinhashK + 1}) IF sx.sig[k] = sy.sig[k]]) / ${MinhashK}.0 AS est_jaccard
+         |FROM cand JOIN sigl sx ON sx.doc_id = new_doc JOIN sigl sy ON sy.doc_id = corpus_doc
+         |WHERE len([1 FOR k IN range(1, ${MinhashK + 1}) IF sx.sig[k] = sy.sig[k]]) / ${MinhashK}.0 >= 0.3
+         |ORDER BY new_doc, corpus_doc""".stripMargin),
   )
+
+  /** Corpus signature index, one GraftTable per (JVM, dir) — q127's
+    * persisted-index fixture. */
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.table.GraftTable]()
 }

@@ -11,7 +11,8 @@ class AllQueriesSmokeSpec extends SparkTestBase {
     "q06_anti_join",       // every customer may have orders
     "q42_minhash_lsh",     // no near-dups planted in raw testdata
     "q43_ngram_jaccard",   // may have no overlapping shingle pairs
-    "q45_embedding_neardup" // random vectors may all be < threshold
+    "q45_embedding_neardup", // random vectors may all be < threshold
+    "q127_incremental_dedup" // q42's pair universe restricted across the split
   )
 
   graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
