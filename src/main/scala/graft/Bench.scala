@@ -44,7 +44,7 @@ object Bench {
     // the build is not what they time.
     val warmAtBenchSf = Set("q106_zorder_scan", "q117_metadata_count",
                             "q120_bloom_point_lookup", "q122_shallow_clone",
-                            "q123_partitioned_scan")
+                            "q123_partitioned_scan", "q127_incremental_dedup")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!fixtureCached(name))
         try fn(spark, if (warmAtBenchSf(name)) sfDir else "/root/testdata/sf0.001").count()
