@@ -515,5 +515,51 @@ object Text {
         |FROM pairs JOIN tok ta ON ta.token = a JOIN tok tb ON tb.token = b
         |CROSS JOIN n
         |ORDER BY n_both DESC, a, b LIMIT 100""".stripMargin),
+
+    // ---- First-occurrence novelty score --------------------------------------------
+    // Dedup-aware curation signal: a document's novelty is the fraction of
+    // its 4-gram shingles it INTRODUCES to the corpus (first occurrence by
+    // doc_id order). Late near-copies score ~0 even when no exact/banded
+    // dedup caught them; boilerplate-heavy docs score low corpus-wide.
+    // Shape: shingles reduce to fixed-width h60 keys; first-occurrence is
+    // one min-aggregate per shingle (partial+final); attribution is an
+    // equi-join back on the hash — the corpus text crosses the wire once,
+    // as hashes, and the ratio is exact integer counts.
+    "q128_novelty_score" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val sh = Tables.documents(s, dir)
+          .select($"doc_id", $"source", split($"text", " ").as("toks"))
+          .filter(size($"toks") >= 4)
+          .select($"doc_id", $"source",
+            explode(array_distinct(expr(
+              "transform(sequence(0, size(toks) - 4), i -> concat_ws(' ', slice(toks, i + 1, 4)))")))
+              .as("shingle"))
+          .select($"doc_id", $"source",
+            expr("cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)").as("h"))
+        val first = sh.groupBy($"h").agg(min($"doc_id").as("first_doc"))
+        sh.join(first, "h")
+          .groupBy($"doc_id", $"source")
+          .agg(count(lit(1)).as("n_shingles"),
+               count(when($"first_doc" === $"doc_id", 1)).as("n_novel"))
+          .withColumn("novelty", round($"n_novel".cast("double") / $"n_shingles", 6))
+          .orderBy($"doc_id")
+      },
+      """WITH sh AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS h
+        |  FROM (
+        |    SELECT doc_id, source, unnest(list_distinct(shl)) AS shingle FROM (
+        |      SELECT doc_id, source,
+        |        [array_to_string(toks[i:i+3], ' ') FOR i IN range(1, len(toks) - 2)] AS shl
+        |      FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)
+        |      WHERE len(toks) >= 4))),
+        |first AS (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, sh.source, COUNT(*) AS n_shingles,
+        |  COUNT(CASE WHEN first_doc = sh.doc_id THEN 1 END) AS n_novel,
+        |  round(CAST(COUNT(CASE WHEN first_doc = sh.doc_id THEN 1 END) AS DOUBLE)
+        |        / COUNT(*), 6) AS novelty
+        |FROM sh JOIN first USING (h)
+        |GROUP BY sh.doc_id, sh.source ORDER BY sh.doc_id""".stripMargin),
   )
 }
