@@ -112,7 +112,8 @@ object ScalingProbe {
                   "q108_pii_scrub", "q109_sequence_packing",
                   "q112_cohort_retention", "q113_funnel_stages", "q114_last_touch",
                   "q115_anomaly_zscore", "q116_kmeans", "q118_nested_export",
-                  "q119_vocab_oov", "q121_cooccurrence");
+                  "q119_vocab_oov", "q121_cooccurrence", "q127_incremental_dedup",
+                  "q128_novelty_score");
          m <- mults) {
       val dir = replicated(m)
       val t0 = System.nanoTime()

@@ -154,6 +154,26 @@ class ModelCheckSpec extends SparkTestBase {
     assert(errs.size <= 1, "at least one racing DELETE must commit")
   }
 
+  test("concurrent appenders with auto compaction racing: no row lost, files bounded") {
+    val t = GraftTable.create(spark, tmpDir("conc-ac-"), df(Seq((0, "s", "s"))))
+    t.setProperty("autoCompact.maxFiles", "3")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 2).map { w =>
+      new Thread(() => {
+        try (1 to 5).foreach(i => t.append(df(Seq((w * 100 + i, s"f$w$i", s"l$w$i")))))
+        catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"appends must never fail on compaction races: $errs")
+    assert(t.toDF.count() === 11, "every append must survive racing auto compactions")
+    assert(state(t.toDF).keySet ===
+      (Set(0) ++ (1 to 5).flatMap(i => Seq(i, 100 + i)).toSet))
+    // compaction keeps the file count from growing one-per-append
+    assert(t.snapshot.files.size < 10,
+      s"auto compact should bound files, got ${t.snapshot.files.size}")
+  }
+
   test("two concurrent appenders both land via optimistic retry") {
     val t = GraftTable.create(spark, tmpDir("conc-"), df(Seq((0, "s", "s"))))
     val threads = (1 to 4).map { i =>
