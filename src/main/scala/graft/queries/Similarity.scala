@@ -326,5 +326,67 @@ object Similarity {
         |SELECT cid, COUNT(*) AS n_members,
         |  CAST(SUM(CAST(round(d2, 9) AS DECIMAL(25,9))) AS DOUBLE) AS inertia
         |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin),
+
+    // ---- Batch kNN-graph construction (banded candidates, top-3 per vector) -------
+    // The similarity-graph builder semantic dedup and cluster-balanced
+    // sampling consume: for EVERY vector, its top-3 banded candidates by
+    // exact cosine — q50's single-query top-k turned into the all-vectors
+    // batch shape. Candidates come from the q45 sign-bit banding in BOTH
+    // orientations (never all-pairs: fan-out = bucket occupancy), the
+    // rescore is the codegen'd vec_dot, and per-anchor ranking is one
+    // window over the candidate lists (partition size = candidates of one
+    // anchor). Recall matches the banding's guarantee (near-identical
+    // directions); sparse anchors legitimately have < 3 or no edges.
+    "q129_knn_graph" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.VectorFunctions.vecDot
+        val e = graft.Tables.embeddings(s, dir)
+          .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+        val bits = e.withColumn("bits", expr("transform(v, x -> if(x > 0d, 1, 0))"))
+        val banded = bits.select($"vec_id",
+            posexplode(expr("transform(sequence(0, 3), b -> slice(bits, b * 16 + 1, 16))")))
+          .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_bits"))
+        val cand = banded.select($"band", $"band_bits", $"vec_id".as("anchor"))
+          .join(banded.select($"band", $"band_bits", $"vec_id".as("nb")),
+            Seq("band", "band_bits"))
+          .filter($"anchor" =!= $"nb")
+          .select($"anchor", $"nb").distinct()
+        val n = e.withColumn("nrm", sqrt(vecDot($"v", $"v")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"anchor").orderBy($"cos_sim".desc, $"nb")
+        cand
+          .join(n.select($"vec_id".as("anchor"), $"v".as("va"), $"nrm".as("na")), "anchor")
+          .join(n.select($"vec_id".as("nb"), $"v".as("vb"), $"nrm".as("nn")), "nb")
+          .withColumn("cos_sim", round(vecDot($"va", $"vb") / ($"na" * $"nn"), 6))
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 3)
+          .select($"anchor", $"rk".cast("long").as("rk"), $"nb".as("neighbor"), $"cos_sim")
+          .orderBy($"anchor", $"rk")
+      },
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |bits AS (
+        |  SELECT vec_id, list_transform(v, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END) AS b
+        |  FROM e),
+        |banded AS (
+        |  SELECT vec_id, i AS band, array_to_string(b[(i*16+1):(i*16+16)], '') AS bb
+        |  FROM bits, (SELECT unnest(range(4)) AS i)),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS anchor, y.vec_id AS nb
+        |  FROM banded x JOIN banded y ON x.band = y.band AND x.bb = y.bb
+        |  WHERE x.vec_id <> y.vec_id),
+        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+        |scored AS (
+        |  SELECT anchor, nb,
+        |    round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cos_sim
+        |  FROM cand JOIN n x ON x.vec_id = anchor JOIN n y ON y.vec_id = nb),
+        |ranked AS (
+        |  SELECT anchor, nb, cos_sim,
+        |    row_number() OVER (PARTITION BY anchor ORDER BY cos_sim DESC, nb) AS rk
+        |  FROM scored)
+        |SELECT anchor, rk, nb AS neighbor, cos_sim
+        |FROM ranked WHERE rk <= 3 ORDER BY anchor, rk""".stripMargin),
   )
 }

@@ -12,7 +12,8 @@ class AllQueriesSmokeSpec extends SparkTestBase {
     "q42_minhash_lsh",     // no near-dups planted in raw testdata
     "q43_ngram_jaccard",   // may have no overlapping shingle pairs
     "q45_embedding_neardup", // random vectors may all be < threshold
-    "q127_incremental_dedup" // q42's pair universe restricted across the split
+    "q127_incremental_dedup", // q42's pair universe restricted across the split
+    "q129_knn_graph"       // random vectors may share no 16-bit sign band
   )
 
   graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
