@@ -519,6 +519,51 @@ object Events {
          |  n_purchases, revenue
          |FROM g ORDER BY user_id, period_start""".stripMargin),
 
+    // ---- Time-decayed activity score -----------------------------------------------
+    // The recency-weighted feature-store aggregate: each event contributes
+    // value · 0.95^age_days toward its user's score, anchored at the
+    // corpus's last day (data-derived, so the query is deterministic at
+    // every SF). The decay power is an explicit multiplicative fold —
+    // (((1·0.95)·0.95)…) — NOT libm pow(): both engines run the identical
+    // IEEE multiply chain, so weights are bit-equal cross-engine where a
+    // pow() ULP could diverge. The weight then becomes the exact integer
+    // floor(w*1e6) — floor of identical doubles is identical, where a 6dp
+    // round() is NOT (Spark rounds the exact binary expansion, DuckDB
+    // rounds doubles via float multiply; observed 1-ulp flips) — and the
+    // weighted sum runs wholly in decimal*integer arithmetic, divided once
+    // at the end. Shape: one broadcast scalar (max ts), pure map-side
+    // weighting, one partial+final agg on user_id.
+    "q130_decayed_score" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val ref = Tables.events(s, dir).agg(max(to_date($"ts")).as("ref_day"))
+        Tables.events(s, dir)
+          .crossJoin(broadcast(ref))
+          .withColumn("age", datediff($"ref_day", to_date($"ts")))
+          .withColumn("w", expr(
+            "if(age = 0, 1.0d, aggregate(transform(sequence(1, age), x -> 0.95d), 1.0d, (acc, x) -> acc * x))"))
+          .withColumn("w6", floor($"w" * 1e6).cast("long"))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"),
+               (sum(dec($"value") * $"w6").cast("double") / 1e6).as("decayed_score"))
+          .orderBy($"user_id")
+      },
+      """WITH ref AS (SELECT max(CAST(ts AS DATE)) AS ref_day FROM events),
+        |aged AS (
+        |  SELECT user_id, value,
+        |    datediff('day', CAST(ts AS DATE), ref_day) AS age
+        |  FROM events CROSS JOIN ref),
+        |weighted AS (
+        |  SELECT user_id, value,
+        |    CAST(floor((CASE WHEN age = 0 THEN 1.0::DOUBLE
+        |         ELSE list_reduce(list_prepend(1.0::DOUBLE,
+        |                list_transform(range(age), x -> 0.95::DOUBLE)),
+        |              (acc, x) -> acc * x) END) * 1000000.0) AS BIGINT) AS w6
+        |  FROM aged)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2)) * w6) AS DOUBLE) / 1000000.0 AS decayed_score
+        |FROM weighted GROUP BY user_id ORDER BY user_id""".stripMargin),
+
     // ---- Z-score anomaly detection -------------------------------------------------
     // Flags events whose value deviates > 3σ from their type's mean — the
     // monitoring/data-quality outlier gate. Mean and variance come from
