@@ -516,6 +516,55 @@ object Text {
         |CROSS JOIN n
         |ORDER BY n_both DESC, a, b LIMIT 100""".stripMargin),
 
+    // ---- Token-distribution drift (total-variation distance) -----------------------
+    // The train/serve-skew monitor: how far apart are the token
+    // distributions of two corpus slices (even vs odd doc_id here — in
+    // production, yesterday's crawl vs today's), per language. KL needs
+    // log() (engine-specific libm); TOTAL VARIATION distance does not:
+    // TV = Σ|p_i − q_i|/2 = Σ|n_ai·Nb − n_bi·Na| / (2·Na·Nb), whose
+    // numerator is an EXACT integer sum — one double division at the end.
+    // Shape: one token aggregate keyed (lang, token) with conditional
+    // side-counts (no join between the slices), then a per-lang rollup.
+    "q131_distribution_drift" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.documents(s, dir)
+          .select($"lang", ($"doc_id" % 2 === 0).as("side_a"),
+            explode(split($"text", " ")).as("token"))
+          .filter(length($"token") > 0)
+        val counts = toks.groupBy($"lang", $"token")
+          .agg(count(when($"side_a", 1)).as("n_a"),
+               count(when(!$"side_a", 1)).as("n_b"))
+        val totals = counts.groupBy($"lang")
+          .agg(sum($"n_a").as("na"), sum($"n_b").as("nb"),
+               count(lit(1)).as("n_tokens"))
+        counts.join(totals, "lang")
+          .groupBy($"lang", $"na", $"nb", $"n_tokens")
+          .agg(sum(abs($"n_a" * $"nb" - $"n_b" * $"na")).as("num"))
+          .select($"lang", $"na", $"nb", $"n_tokens",
+            round($"num" / (lit(2.0) * $"na" * $"nb"), 6).as("tv_drift"))
+          .orderBy($"lang")
+      },
+      """WITH toks AS (
+        |  SELECT lang, doc_id % 2 = 0 AS side_a, token FROM (
+        |    SELECT lang, doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  WHERE length(token) > 0),
+        |counts AS (
+        |  SELECT lang, token,
+        |    COUNT(CASE WHEN side_a THEN 1 END) AS n_a,
+        |    COUNT(CASE WHEN NOT side_a THEN 1 END) AS n_b
+        |  FROM toks GROUP BY 1, 2),
+        |totals AS (
+        |  SELECT lang, CAST(SUM(n_a) AS BIGINT) AS na,
+        |    CAST(SUM(n_b) AS BIGINT) AS nb, COUNT(*) AS n_tokens
+        |  FROM counts GROUP BY 1)
+        |SELECT c.lang, na, nb, n_tokens,
+        |  round(CAST(SUM(abs(n_a * nb - n_b * na)) AS BIGINT)
+        |        / (CAST(2 AS DOUBLE) * na * nb), 6) AS tv_drift
+        |FROM counts c JOIN totals USING (lang)
+        |GROUP BY c.lang, na, nb, n_tokens ORDER BY c.lang""".stripMargin),
+
     // ---- First-occurrence novelty score --------------------------------------------
     // Dedup-aware curation signal: a document's novelty is the fraction of
     // its 4-gram shingles it INTRODUCES to the corpus (first occurrence by
