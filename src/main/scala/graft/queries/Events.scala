@@ -438,6 +438,53 @@ object Events {
         |UNION ALL SELECT '3_purchase', COUNT(t3) FROM u
         |ORDER BY stage""".stripMargin),
 
+    // ---- Conversion latency distribution (signup → first purchase) -----------------
+    // The time-to-convert percentiles product teams read next to the
+    // funnel: per converting user, seconds from first signup to the first
+    // LATER purchase, summarized as min/median/p90/max over users.
+    // Latencies are integer second differences (both engines floor the
+    // timestamp to epoch seconds — same integer), and the percentile runs
+    // over one value per user (bounded by the user population). Same
+    // single-shuffle window chaining as q113.
+    "q132_conversion_latency" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id")
+        val staged = Tables.events(s, dir)
+          .select($"user_id", $"event_type", $"ts")
+          .withColumn("t1", min(when($"event_type" === "signup", $"ts")).over(w))
+          .withColumn("tp", min(when($"event_type" === "purchase" && $"ts" > $"t1", $"ts")).over(w))
+        staged.groupBy($"user_id")
+          .agg(max($"t1".cast("long")).as("t1s"), max($"tp".cast("long")).as("tps"))
+          .filter($"tps".isNotNull)
+          .select(($"tps" - $"t1s").as("latency_s"))
+          .agg(count(lit(1)).as("n_converted"),
+               min($"latency_s").as("min_s"),
+               expr("percentile(latency_s, 0.5)").as("med_s"),
+               expr("percentile(latency_s, 0.9)").as("p90_s"),
+               max($"latency_s").as("max_s"))
+      },
+      """WITH staged AS (
+        |  SELECT user_id, event_type, ts,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t1
+        |  FROM events),
+        |staged2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t1 THEN ts END)
+        |              OVER (PARTITION BY user_id) AS tp
+        |  FROM staged),
+        |chained AS (
+        |  SELECT user_id,
+        |    max(CAST(floor(epoch(t1)) AS BIGINT)) AS t1s,
+        |    max(CAST(floor(epoch(tp)) AS BIGINT)) AS tps
+        |  FROM staged2 GROUP BY 1),
+        |lat AS (SELECT tps - t1s AS latency_s FROM chained WHERE tps IS NOT NULL)
+        |SELECT COUNT(*) AS n_converted, MIN(latency_s) AS min_s,
+        |  quantile_cont(latency_s, 0.5) AS med_s,
+        |  quantile_cont(latency_s, 0.9) AS p90_s,
+        |  MAX(latency_s) AS max_s
+        |FROM lat""".stripMargin),
+
     // ---- Last-touch attribution ----------------------------------------------------
     // Each purchase is credited to the user's most recent PRECEDING
     // non-purchase event (marketing attribution / feature provenance).
