@@ -93,6 +93,55 @@ class EventAnalyticsSpec extends SparkTestBase {
     assert(out.map(_.getAs[Long]("event_id")).toSet === expected)
   }
 
+  test("q125: SCD-2 periods partition each user's signups; purchases land in covering periods") {
+    val out = graft.SparkEntry.queries("q125_scd2_interval_join")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // one period per signup event, per user
+    val nSignups = events.count(_._3 == "signup")
+    assert(out.length === nSignups, "every signup must open exactly one period")
+    // attributed purchases = purchases at/after their user's first signup
+    val firstSignup = events.filter(_._3 == "signup").groupBy(_._2)
+      .map { case (u, evs) => u -> evs.map(_._4).min }
+    val expected = events.count(e => e._3 == "purchase" &&
+      firstSignup.get(e._2).exists(_ < e._4))
+    assert(out.map(_.getAs[Long]("n_purchases")).sum === expected,
+      "interval join must place each post-signup purchase in exactly one period")
+  }
+
+  test("q130: decayed score equals a serial exact-cents replay") {
+    val out = graft.SparkEntry.queries("q130_decayed_score")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("decayed_score")).toMap
+    val dayMs = 86400000L
+    val refDay = events.map(_._4 / dayMs).max
+    val replay = events.groupBy(_._2).map { case (u, evs) =>
+      val cents = evs.map { e =>
+        val age = (refDay - e._4 / dayMs).toInt
+        var w = 1.0; (1 to age).foreach(_ => w *= 0.95)
+        val w6 = math.floor(w * 1e6).toLong
+        BigDecimal(e._5).setScale(2, BigDecimal.RoundingMode.HALF_UP) * BigDecimal(w6)
+      }.sum
+      u -> (cents.toDouble / 1e6)
+    }
+    assert(out.keySet === replay.keySet)
+    out.foreach { case (u, s) =>
+      assert(math.abs(s - replay(u)) < 1e-9, s"user $u: $s vs ${replay(u)}")
+    }
+  }
+
+  test("q132: conversion latency stats are ordered and match the replayed extremes") {
+    val r = graft.SparkEntry.queries("q132_conversion_latency")(spark, sfDir).head()
+    val (n, mn, med, p90, mx) = (r.getAs[Long]("n_converted"), r.getAs[Long]("min_s"),
+      r.getAs[Double]("med_s"), r.getAs[Double]("p90_s"), r.getAs[Long]("max_s"))
+    assert(mn <= med && med <= p90 && p90 <= mx)
+    // serial replay of the extremes
+    val lats = events.groupBy(_._2).values.flatMap { evs =>
+      val t1 = evs.filter(_._3 == "signup").map(_._4).minOption
+      val tp = t1.flatMap(t => evs.filter(e => e._3 == "purchase" && e._4 > t).map(_._4).minOption)
+      for (a <- t1; b <- tp) yield b / 1000 - a / 1000
+    }.toSeq
+    assert(n === lats.size && mn === lats.min && mx === lats.max)
+  }
+
   test("q116: clusters partition the corpus; Lloyd update never increases inertia") {
     val out = graft.SparkEntry.queries("q116_kmeans")(spark, sfDir).collect()
     val vecs = graft.Tables.embeddings(spark, sfDir)
