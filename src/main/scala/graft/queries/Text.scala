@@ -586,8 +586,11 @@ object Text {
               .as("shingle"))
           .select($"doc_id", $"source",
             expr("cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)").as("h"))
-        val first = sh.groupBy($"h").agg(min($"doc_id").as("first_doc"))
-        sh.join(first, "h")
+        // first-occurrence via a window min over h: the window's hash
+        // partitioning IS the attribution keying, so no aggregate + join-
+        // back re-derives the shingle stream (the q43 plan lesson)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy($"h")
+        sh.withColumn("first_doc", min($"doc_id").over(w))
           .groupBy($"doc_id", $"source")
           .agg(count(lit(1)).as("n_shingles"),
                count(when($"first_doc" === $"doc_id", 1)).as("n_novel"))
