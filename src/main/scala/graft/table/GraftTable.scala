@@ -116,6 +116,26 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     }
   }
 
+  /** DESCRIBE DETAIL: one-row table summary from the log alone — version,
+    * live file count, metadata row count, total bytes, partition columns,
+    * constraint and property counts (the Delta `DESCRIBE DETAIL` surface;
+    * zero data files opened). */
+  def detail(): DataFrame = {
+    val s = snapshot
+    val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("numFiles", LongType, nullable = false),
+      StructField("numRows", LongType, nullable = false),
+      StructField("sizeInBytes", LongType, nullable = false),
+      StructField("partitionColumns", ArrayType(StringType), nullable = false),
+      StructField("numConstraints", IntegerType, nullable = false),
+      StructField("properties", MapType(StringType, StringType), nullable = false)))
+    spark.createDataFrame(java.util.List.of(Row(
+      s.version, s.files.size.toLong, s.files.map(_.numRecords).sum,
+      s.files.map(_.size).sum, s.metaData.partitionColumns,
+      s.metaData.constraints.size, s.metaData.properties)), schema)
+  }
+
   /** Commit metadata as a DataFrame, newest-first (api.py:63,75). */
   def history(): DataFrame = {
     val rows = log.commitInfos.reverse.map(c =>

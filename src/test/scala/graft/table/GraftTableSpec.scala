@@ -304,6 +304,18 @@ class GraftTableSpec extends SparkTestBase {
     assert(t.history().head().getAs[Map[String, String]]("operationMetrics")("numFilesSkipped") === "6")
   }
 
+  test("DESCRIBE DETAIL summarizes the snapshot from the log alone") {
+    val t = golden()
+    t.setProperty("autoCompact.maxFiles", "8")
+    val d = t.detail().head()
+    assert(d.getAs[Long]("version") === t.latestVersion)
+    assert(d.getAs[Long]("numRows") === t.toDF.count())
+    assert(d.getAs[Long]("numFiles") === t.snapshot.files.size.toLong)
+    assert(d.getAs[Long]("sizeInBytes") > 0)
+    assert(d.getAs[Map[String, String]]("properties") ===
+      Map("autoCompact.maxFiles" -> "8"))
+  }
+
   test("auto compaction bounds live file count across many small appends") {
     val t = GraftTable.create(spark, tmpDir("autoc-"), df((0, "seed", "row")))
     t.setProperty("autoCompact.maxFiles", "4")
