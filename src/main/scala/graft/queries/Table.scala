@@ -70,6 +70,58 @@ object TableQueries {
           .select($"o_orderkey", $"o_orderstatus", $"o_totalprice"))
     })
 
+  /** q106's Morton-clustered orders table, memoized per (JVM, dir). */
+  private def zorderTable(s: SparkSession, dir: String): GraftTable =
+    cache.computeIfAbsent(s"zorder:$dir", _ => {
+      import s.implicits._
+      val zt = GraftTable.create(s, graft.Scratch.dir("graft-zorder-").toString,
+        graft.Tables.orders(s, dir)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority"))
+      zt.optimize(targetFileBytes = 256 * 1024,
+        zorderBy = Seq("o_custkey", "o_totalprice"))
+      zt
+    })
+
+  /** q120's bloom-filtered orders table, memoized per (JVM, dir). */
+  private def bloomTable(s: SparkSession, dir: String): GraftTable =
+    cache.computeIfAbsent(s"bloom:$dir", _ => {
+      import s.implicits._
+      GraftTable.create(s, graft.Scratch.dir("graft-bloom-").toString,
+        graft.Tables.orders(s, dir)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .repartition(8),
+        bloomFilterOn = Seq("o_orderkey"), bloomNdv = 50000L)
+    })
+
+  /** q122's diverged shallow clone of statsTable, memoized per (JVM, dir). */
+  private def cloneTable(s: SparkSession, dir: String): GraftTable =
+    cache.computeIfAbsent(s"clone:$dir", _ => {
+      import s.implicits._
+      val cl = statsTable(s, dir).cloneTo(graft.Scratch.dir("graft-clone-").toString)
+      cl.delete($"o_totalprice" >= 50000.0)
+      cl
+    })
+
+  /** q123's Hive-partitioned documents table, memoized per (JVM, dir). */
+  private def partTable(s: SparkSession, dir: String): GraftTable =
+    cache.computeIfAbsent(s"part:$dir", _ => {
+      import s.implicits._
+      GraftTable.create(s, graft.Scratch.dir("graft-part-").toString,
+        graft.Tables.documents(s, dir)
+          .select($"doc_id", $"lang", $"source", $"n_chars"),
+        partitionBy = Seq("lang"))
+    })
+
+  /** Build (and memoize) every per-dir table fixture WITHOUT running the
+    * query that scans it. Bench calls this untimed at the bench SF so the
+    * timed runs measure the pruned scan / metadata fold, not one-time
+    * table maintenance — and, unlike warming the full query, the timed
+    * scan is not a verbatim re-execution of an already-run plan. */
+  def warmFixtures(s: SparkSession, dir: String): Unit = {
+    statsTable(s, dir); zorderTable(s, dir); bloomTable(s, dir)
+    cloneTable(s, dir); partTable(s, dir)
+  }
+
   private[queries] def ivmTable(s: SparkSession): GraftTable =
     cache.computeIfAbsent("ivm", _ => {
       import scala.jdk.CollectionConverters._
@@ -243,14 +295,7 @@ object TableQueries {
     "q106_zorder_scan" -> Q(
       (s, dir) => {
         import s.implicits._
-        val t = cache.computeIfAbsent(s"zorder:$dir", _ => {
-          val zt = GraftTable.create(s, graft.Scratch.dir("graft-zorder-").toString,
-            graft.Tables.orders(s, dir)
-              .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority"))
-          zt.optimize(targetFileBytes = 256 * 1024,
-            zorderBy = Seq("o_custkey", "o_totalprice"))
-          zt
-        })
+        val t = zorderTable(s, dir)
         t.scan($"o_custkey" <= 120 && $"o_totalprice" >= 40000.0 &&
                $"o_totalprice" <= 60000.0)
           .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")
@@ -308,12 +353,7 @@ object TableQueries {
     "q120_bloom_point_lookup" -> Q(
       (s, dir) => {
         import s.implicits._
-        val t = cache.computeIfAbsent(s"bloom:$dir", _ =>
-          GraftTable.create(s, graft.Scratch.dir("graft-bloom-").toString,
-            graft.Tables.orders(s, dir)
-              .select($"o_orderkey", $"o_custkey", $"o_totalprice")
-              .repartition(8),
-            bloomFilterOn = Seq("o_orderkey"), bloomNdv = 50000L))
+        val t = bloomTable(s, dir)
         t.scan($"o_orderkey".isin(7, 110, 1400))
           .orderBy($"o_orderkey")
       },
@@ -336,11 +376,7 @@ object TableQueries {
       (s, dir) => {
         import s.implicits._
         val src = statsTable(s, dir)
-        val c = cache.computeIfAbsent(s"clone:$dir", _ => {
-          val cl = src.cloneTo(graft.Scratch.dir("graft-clone-").toString)
-          cl.delete($"o_totalprice" >= 50000.0)
-          cl
-        })
+        val c = cloneTable(s, dir)
         val schema = StructType(Seq(
           StructField("src_rows", LongType, nullable = false),
           StructField("clone_rows", LongType, nullable = false),
@@ -365,11 +401,7 @@ object TableQueries {
     "q123_partitioned_scan" -> Q(
       (s, dir) => {
         import s.implicits._
-        val t = cache.computeIfAbsent(s"part:$dir", _ =>
-          GraftTable.create(s, graft.Scratch.dir("graft-part-").toString,
-            graft.Tables.documents(s, dir)
-              .select($"doc_id", $"lang", $"source", $"n_chars"),
-            partitionBy = Seq("lang")))
+        val t = partTable(s, dir)
         t.scan($"lang" === "en" && $"n_chars" >= 200)
           .select($"doc_id", $"lang", $"source", $"n_chars")
           .orderBy($"doc_id")

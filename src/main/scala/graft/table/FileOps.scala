@@ -146,7 +146,7 @@ object FileOps {
                   chunk.getPrimitiveType.getLogicalTypeAnnotation
                     .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
                 values.exists { v =>
-                  hashProbe(bf, chunk.getPrimitiveType.getPrimitiveTypeName, isString, v)
+                  hashProbe(bf, chunk.getPrimitiveType, isString, v)
                     .forall(bf.findHash)
                 }
               }
@@ -157,18 +157,44 @@ object FileOps {
   }
 
   /** Type-faithful bloom hash of a Catalyst literal: the overload must match
-    * the PHYSICAL type parquet hashed at write time. None ⇒ unhashable here
-    * (treat as may-match). */
+    * the PHYSICAL type parquet hashed at write time, AND the stored VALUE must
+    * equal the Catalyst value. The second condition is where logical type
+    * annotations matter: an INT64 column annotated TIMESTAMP(MILLIS) stores
+    * millis while the Catalyst literal is micros — hashing micros would make
+    * every probe miss and wrongly prune files that DO contain the key. So for
+    * INT32/INT64 we hash only when the annotation is absent, a plain int, or a
+    * date (Catalyst date literals are the same epoch-day ints parquet stores),
+    * convert timestamps to the stored unit, and return None (may-match) for
+    * anything else (decimal, time, unsigned reinterpretations). */
   private def hashProbe(bf: org.apache.parquet.column.values.bloomfilter.BloomFilter,
-                        pt: org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName,
-                        isString: Boolean, v: Any): Option[Long] =
+                        primType: org.apache.parquet.schema.PrimitiveType,
+                        isString: Boolean, v: Any): Option[Long] = {
+    import LogicalTypeAnnotation._
+    val pt = primType.getPrimitiveTypeName
+    val ann = primType.getLogicalTypeAnnotation
+    def plainInt: Boolean = ann match {
+      case null => true
+      case i: IntLogicalTypeAnnotation => i.isSigned // unsigned reinterprets bits
+      case _: DateLogicalTypeAnnotation => true      // epoch-day int == Catalyst
+      case _ => false
+    }
     try pt match {
       case INT32 => v match {
-        case n: java.lang.Number => Some(bf.hash(n.intValue()))
+        case n: java.lang.Number if plainInt => Some(bf.hash(n.intValue()))
         case _ => None
       }
-      case INT64 => v match {
-        case n: java.lang.Number => Some(bf.hash(n.longValue()))
+      case INT64 => (v, ann) match {
+        case (n: java.lang.Number, ts: TimestampLogicalTypeAnnotation) =>
+          // Catalyst timestamp literals are micros since epoch; convert to
+          // the unit parquet actually stored before hashing.
+          val micros = n.longValue()
+          ts.getUnit match {
+            case TimeUnit.MICROS => Some(bf.hash(micros))
+            case TimeUnit.MILLIS => Some(bf.hash(Math.floorDiv(micros, 1000L)))
+            case TimeUnit.NANOS  => Some(bf.hash(Math.multiplyExact(micros, 1000L)))
+            case _ => None
+          }
+        case (n: java.lang.Number, _) if plainInt => Some(bf.hash(n.longValue()))
         case _ => None
       }
       case DOUBLE => v match {
@@ -183,4 +209,5 @@ object FileOps {
         Some(bf.hash(org.apache.parquet.io.api.Binary.fromString(v.toString)))
       case _ => None
     } catch { case _: Exception => None }
+  }
 }

@@ -261,17 +261,20 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * append that triggered it; the next append retries. This is what
     * keeps a streaming sink's many small per-batch commits from
     * accumulating into a small-file problem at 100 TB. */
-  private def autoCompact(): Unit = {
-    val s = snapshot
-    s.metaData.properties.get("autoCompact.maxFiles").map(_.toInt).foreach { maxFiles =>
-      if (s.files.size > maxFiles) {
-        val target = s.metaData.properties.get("autoCompact.targetBytes")
-          .map(_.toLong).getOrElse(128L * 1024 * 1024)
-        try optimize(targetFileBytes = target)
-        catch { case _: java.util.ConcurrentModificationException => () }
+  private def autoCompact(): Unit =
+    // The WHOLE body is best-effort: a malformed maxFiles/targetBytes
+    // property (NumberFormatException) or an IO error inside optimize()
+    // must not fail an append whose commit already succeeded.
+    try {
+      val s = snapshot
+      s.metaData.properties.get("autoCompact.maxFiles").map(_.toInt).foreach { maxFiles =>
+        if (s.files.size > maxFiles) {
+          val target = s.metaData.properties.get("autoCompact.targetBytes")
+            .map(_.toLong).getOrElse(128L * 1024 * 1024)
+          optimize(targetFileBytes = target)
+        }
       }
-    }
-  }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Change data feed, computed from the log: for each commit in
     * (fromVersion, toVersion], diff the rows of removed vs added files.
@@ -329,7 +332,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * own directory, and the source is never mutated — its files only ever
     * drop out of the clone's log). Deep: data files are copied. The
     * clone's VACUUM walks only its own directory, so source files are
-    * physically safe from a shallow clone's retention.
+    * physically safe from a shallow clone's retention. The hazard runs
+    * the OTHER way (same caveat Delta documents for shallow clones):
+    * VACUUM on the SOURCE — after source DML rewrites its files — deletes
+    * files the shallow clone's log still references and breaks the clone;
+    * the source has no record of who cloned it. Use deep clones when the
+    * source's retention window may outrun the clone's lifetime.
     * Shallow cloning a partitioned table is rejected: partition-value
     * reconstruction requires files under the table root. */
   def cloneTo(dest: String, shallow: Boolean = true): GraftTable = {
