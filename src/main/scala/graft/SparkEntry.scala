@@ -18,7 +18,7 @@ object SparkEntry {
     Relational.all ++ Events.all ++ Text.all ++ Dedup.all ++ Similarity.all ++
       Sampling.all ++ Multimodal.all ++ TableQueries.all ++ Streaming.all ++
       Retrieval.all ++ GraphQueries.all ++ Privacy.all ++ Interchange.all ++
-      DataQuality.all
+      DataQuality.all ++ CatalogQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

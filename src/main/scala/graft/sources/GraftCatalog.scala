@@ -1,0 +1,410 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Collections
+import scala.jdk.CollectionConverters._
+
+import graft.table.{GraftTable, Snapshot}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 catalog: graft tables addressable BY NAME from Spark SQL —
+  * the last line of the reference's session bootstrap not yet mirrored
+  * (spark_project.py:11-13 registers Delta's catalog so `spark.sql` resolves
+  * Delta tables; this is the graft equivalent, built only on the public
+  * `org.apache.spark.sql.connector.catalog` API).
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/data/warehouse")
+  *   spark.sql("CREATE TABLE graft.default.people (id INT, name STRING) USING graft")
+  *   spark.sql("INSERT INTO graft.default.people VALUES (1, 'Ada')")
+  *   spark.sql("SELECT * FROM graft.default.people VERSION AS OF 0")
+  * }}}
+  *
+  * Layout: a MANAGED table `graft.ns.t` lives at `<warehouse>/ns/t`; a table
+  * created with `LOCATION '/path'` (or registered over an existing path
+  * table) is EXTERNAL — a one-line `t._location` pointer file under the
+  * namespace records the path, and DROP removes only the pointer.
+  *
+  * Reads go through the same stats/bloom/partition file-pruning path as
+  * `GraftTable.scan` (ScanBuilder pushes filters + required columns, the
+  * scan itself is a V1Scan so the parquet read reuses the proven relation
+  * machinery); writes are V1 fallback writes committed through the table's
+  * optimistic log protocol — INSERT INTO appends, INSERT OVERWRITE is the
+  * single-commit atomic `overwrite`. SQL time travel (`VERSION AS OF` /
+  * `TIMESTAMP AS OF`) maps to the log's snapshot resolution.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = "graft"
+  private var warehouse: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Paths.get(Option(options.get("warehouse")).getOrElse(
+      graft.Scratch.dir(s"graft-warehouse-").toString))
+    Files.createDirectories(warehouse.resolve("default"))
+  }
+
+  override def name(): String = catalogName
+  override def defaultNamespace(): Array[String] = Array("default")
+
+  private def spark: SparkSession = SparkSession.active
+  private def nsDir(ns: Array[String]): Path = ns.foldLeft(warehouse)(_.resolve(_))
+  private def tableDir(ident: Identifier): Path = nsDir(ident.namespace).resolve(ident.name)
+  private def pointer(ident: Identifier): Path =
+    nsDir(ident.namespace).resolve(ident.name + "._location")
+
+  /** Physical path of `ident`: the external pointer wins, else the managed
+    * directory if it holds a table log. */
+  private def resolvePath(ident: Identifier): Option[String] = {
+    if (Files.isRegularFile(pointer(ident)))
+      Some(Files.readString(pointer(ident)).trim)
+    else {
+      val dir = tableDir(ident).toString
+      if (GraftTable.isGraftTable(dir)) Some(dir) else None
+    }
+  }
+
+  private def fullName(ident: Identifier): String =
+    (catalogName +: ident.namespace :+ ident.name).mkString(".")
+
+  override def tableExists(ident: Identifier): Boolean = resolvePath(ident).isDefined
+
+  override def loadTable(ident: Identifier): Table = resolvePath(ident) match {
+    case Some(p) => new GraftSqlTable(GraftTable.forPath(spark, p), fullName(ident))
+    case None => throw new NoSuchTableException(ident)
+  }
+
+  /** SQL `VERSION AS OF v` — pin the scan to one log version. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = GraftTable.forPath(spark, resolvePath(ident).getOrElse(
+      throw new NoSuchTableException(ident)))
+    new GraftSqlTable(t, fullName(ident), Some(t.snapshotAt(version.toLong)))
+  }
+
+  /** SQL `TIMESTAMP AS OF ts` — Spark hands micros since epoch. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val t = GraftTable.forPath(spark, resolvePath(ident).getOrElse(
+      throw new NoSuchTableException(ident)))
+    new GraftSqlTable(t, fullName(ident),
+      Some(t.snapshotAt(t.versionAt(Math.floorDiv(timestamp, 1000L)))))
+  }
+
+  /** Spark-reserved properties the engine supplies on CREATE — everything
+    * else persists as a graft table property (versioned in the log). */
+  private val reservedProps = Set(
+    TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+    TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+    TableCatalog.PROP_IS_MANAGED_LOCATION, TableCatalog.PROP_TABLE_TYPE,
+    TableCatalog.PROP_COLLATION, "path")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    if (tableExists(ident))
+      throw new TableAlreadyExistsException(ident)
+    if (!namespaceExists(ident.namespace))
+      throw new NoSuchNamespaceException(ident.namespace)
+    val partitionCols = partitions.toSeq.map { t =>
+      require(t.name == "identity",
+        s"graft tables support identity partitioning only, got $t")
+      t.references.head.fieldNames.mkString(".")
+    }
+    val props = properties.asScala.toMap
+    // Spark normalizes LOCATION to a file: URI; the table layer wants a
+    // plain local path.
+    val location = props.get(TableCatalog.PROP_LOCATION).map { loc =>
+      if (loc.startsWith("file:")) Paths.get(java.net.URI.create(loc)).toString else loc
+    }
+    location match {
+      case Some(loc) if GraftTable.isGraftTable(loc) =>
+        // register an EXISTING path table by name (schema comes from its log)
+        Files.writeString(pointer(ident), loc)
+      case other =>
+        require(schema.fields.nonEmpty,
+          s"CREATE TABLE ${fullName(ident)} needs a column list " +
+            "(or a LOCATION holding an existing graft table)")
+        val dir = other.getOrElse(tableDir(ident).toString)
+        val empty = spark.createDataFrame(
+          Collections.emptyList[Row](), schema)
+        val bloomCols = props.get("bloom.columns").toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        val t = GraftTable.create(spark, dir, empty, partitionCols,
+          bloomFilterOn = bloomCols,
+          bloomNdv = props.get("bloom.ndv").map(_.toLong).getOrElse(100000L))
+        props.filterNot { case (k, _) =>
+          reservedProps.contains(k) || k.startsWith(TableCatalog.OPTION_PREFIX) ||
+            k == "bloom.columns" || k == "bloom.ndv"
+        }.foreach { case (k, v) => t.setProperty(k, v) }
+        if (other.isDefined) Files.writeString(pointer(ident), dir)
+    }
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = GraftTable.forPath(spark, resolvePath(ident).getOrElse(
+      throw new NoSuchTableException(ident)))
+    changes.foreach {
+      case set: TableChange.SetProperty => t.setProperty(set.property, set.value)
+      case rm: TableChange.RemoveProperty => t.removeProperty(rm.property)
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change not supported on graft tables: $other")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (Files.isRegularFile(pointer(ident))) { // external: forget, keep data
+      Files.delete(pointer(ident)); true
+    } else if (GraftTable.isGraftTable(tableDir(ident).toString)) {
+      deleteRecursively(tableDir(ident)); true
+    } else false
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent0: Identifier): Unit = {
+    // `RENAME TO gcat.ns.t` reaches us with the catalog name still on the
+    // target's namespace — strip it so both spellings work.
+    val newIdent =
+      if (newIdent0.namespace.headOption.contains(catalogName))
+        Identifier.of(newIdent0.namespace.drop(1), newIdent0.name)
+      else newIdent0
+    if (!tableExists(oldIdent))
+      throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent))
+      throw new TableAlreadyExistsException(newIdent)
+    if (Files.isRegularFile(pointer(oldIdent)))
+      Files.move(pointer(oldIdent), pointer(newIdent))
+    else Files.move(tableDir(oldIdent), tableDir(newIdent))
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Files.list(nsDir(namespace)).iterator().asScala.flatMap { p =>
+      val n = p.getFileName.toString
+      if (n.endsWith("._location"))
+        Some(Identifier.of(namespace, n.stripSuffix("._location")))
+      else if (GraftTable.isGraftTable(p.toString)) Some(Identifier.of(namespace, n))
+      else None
+    }.toArray
+  }
+
+  // ---- namespaces: directories under the warehouse that aren't tables ----
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.nonEmpty && Files.isDirectory(nsDir(namespace)) &&
+      !GraftTable.isGraftTable(nsDir(namespace).toString)
+
+  override def listNamespaces(): Array[Array[String]] =
+    Files.list(warehouse).iterator().asScala
+      .filter(p => Files.isDirectory(p) && !GraftTable.isGraftTable(p.toString))
+      .map(p => Array(p.getFileName.toString)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Files.list(nsDir(namespace)).iterator().asScala
+      .filter(p => Files.isDirectory(p) && !GraftTable.isGraftTable(p.toString))
+      .map(p => namespace :+ p.getFileName.toString).toArray
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    new java.util.HashMap[String, String]()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit =
+    Files.createDirectories(nsDir(namespace))
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    if (!cascade && listTables(namespace).nonEmpty)
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+    deleteRecursively(nsDir(namespace)); true
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}
+
+object GraftCatalog {
+  /** Register (idempotently) a graft catalog on a live session — catalogs
+    * resolve lazily from runtime conf, so no builder-time config is needed. */
+  def register(spark: SparkSession, warehouse: String, name: String = "graft"): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", warehouse)
+  }
+}
+
+/** A graft table surfaced through the DSv2 `Table` interface; `pinned` holds
+  * a time-travel snapshot (reads serve it; writes always target the head). */
+class GraftSqlTable(val table: GraftTable, ident: String,
+    pinned: Option[Snapshot] = None)
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  private def snap: Snapshot = pinned.getOrElse(table.snapshot)
+
+  /** SQL `DELETE FROM` front door: the predicate routes to the table
+    * layer's stats-pruned delete rewrite. Supported iff every filter
+    * translates exactly (delete semantics can't drop a conjunct the way
+    * best-effort pruning can). */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.isEmpty || GraftFilters.toColumnStrict(filters.toSeq).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    table.delete(GraftFilters.toColumnStrict(filters.toSeq).getOrElse(lit(true)))
+
+  override def name(): String = ident
+  override def schema(): StructType = snap.schema
+
+  override def partitioning(): Array[Transform] =
+    snap.metaData.partitionColumns.map(Expressions.identity).toArray
+
+  override def properties(): java.util.Map[String, String] =
+    (snap.metaData.properties ++ Map(
+      TableCatalog.PROP_PROVIDER -> "graft",
+      TableCatalog.PROP_LOCATION -> table.path)).asJava
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.Set.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(table, snap)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(table)
+}
+
+/** Pushdown surface: required columns shrink the read schema; =/range/IN
+  * filters feed the table layer's stats + bloom file pruning. Spark
+  * re-evaluates EVERY filter on the surviving rows (we return the full
+  * array from pushFilters), so pruning can never change results. */
+class GraftScanBuilder(table: GraftTable, snap: Snapshot) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = snap.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => GraftFilters.toColumn(Seq(f)).isDefined)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new GraftV1Scan(table, snap, required, GraftFilters.toColumn(pushed.toSeq))
+}
+
+/** The scan: file pruning + parquet read through the proven V1 relation
+  * machinery (`V1Scan` is the public bridge Spark's own JDBC source uses). */
+class GraftV1Scan(table: GraftTable, snap: Snapshot, required: StructType,
+    prunePred: Option[Column]) extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
+    new GraftV1ScanRelation(ctx, table, snap, required, prunePred).asInstanceOf[T]
+}
+
+class GraftV1ScanRelation(ctx: SQLContext, table: GraftTable, snap: Snapshot,
+    required: StructType, prunePred: Option[Column])
+    extends BaseRelation with TableScan {
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = required
+  override def buildScan(): RDD[Row] = {
+    val files = prunePred match {
+      case Some(p) => table.prunedFiles(snap, p)
+      case None => snap.files
+    }
+    val df = table.readFiles(snap, files)
+    df.select(required.fieldNames.map(col).toIndexedSeq: _*).rdd
+  }
+}
+
+/** V1-fallback write: INSERT INTO appends through the optimistic commit
+  * protocol; INSERT OVERWRITE (truncate) is the atomic single-commit
+  * overwrite. Spark has already validated/cast the query schema. */
+class GraftWriteBuilder(table: GraftTable) extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+      override def insert(data: DataFrame, ignored: Boolean): Unit =
+        if (overwrite) table.overwrite(data) else table.append(data)
+    }
+  }
+}
+
+/** Source-filter → pruning-Column translation, shared by the V1 relation
+  * and the DSv2 scan. Untranslatable filters simply don't prune (Spark
+  * still applies them row-level). */
+object GraftFilters {
+  def toColumn(filters: Seq[Filter]): Option[Column] = {
+    import org.apache.spark.sql.sources._
+    def convert(f: Filter): Option[Column] = f match {
+      case EqualTo(a, v)            => Some(col(a) === lit(v))
+      case GreaterThan(a, v)        => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v)           => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+      case In(a, vs) if vs.nonEmpty => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case And(l, r) => (convert(l), convert(r)) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (a, b)             => a.orElse(b) // one side still prunes
+      }
+      case _ => None
+    }
+    filters.flatMap(convert(_)).reduceOption(_ && _)
+  }
+
+  /** Exact translation for DELETE: every filter must convert (None if any
+    * doesn't), because dropping a conjunct would delete the wrong rows. */
+  def toColumnStrict(filters: Seq[Filter]): Option[Column] = {
+    import org.apache.spark.sql.sources._
+    def convert(f: Filter): Option[Column] = f match {
+      case EqualTo(a, v)            => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v)        => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v)           => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+      case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a)                => Some(col(a).isNull)
+      case IsNotNull(a)             => Some(col(a).isNotNull)
+      case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+      case StringContains(a, v)     => Some(col(a).contains(v))
+      case AlwaysTrue()             => Some(lit(true))
+      case AlwaysFalse()            => Some(lit(false))
+      case And(l, r) => for (a <- convert(l); b <- convert(r)) yield a && b
+      case Or(l, r)  => for (a <- convert(l); b <- convert(r)) yield a || b
+      case Not(c)    => convert(c).map(!_)
+      case _ => None
+    }
+    val converted = filters.map(convert)
+    if (filters.nonEmpty && converted.forall(_.isDefined))
+      Some(converted.flatten.reduce(_ && _))
+    else None
+  }
+}

@@ -243,6 +243,23 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     }
   }
 
+  /** INSERT OVERWRITE / truncating rewrite as ONE atomic commit: every
+    * current file removed and the new rows added in the same version —
+    * readers see the old state or the new state, never the empty middle a
+    * delete-then-append pair would expose. */
+  def overwrite(df: DataFrame): Unit = {
+    val s = snapshot
+    val adds = FileOps.writeDataFiles(
+      enforceConstraints(conform(df, s.schema), s.metaData), path,
+      s.metaData.partitionColumns, GraftTable.bloomWriteOptions(s.metaData))
+    val ts = log.nextTimestamp()
+    log.commit(s.version + 1, Seq(
+      CommitInfo(s.version + 1, ts, "OVERWRITE",
+        Map("numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
+      s.files.map(f => RemoveFile(f.path, ts)) ++ adds)
+    autoCompact()
+  }
+
   /** SET TBLPROPERTIES: commit a metaData with the property added/updated
     * (versioned like every other metadata change). */
   def setProperty(key: String, value: String): Unit = {
@@ -261,6 +278,15 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * append that triggered it; the next append retries. This is what
     * keeps a streaming sink's many small per-batch commits from
     * accumulating into a small-file problem at 100 TB. */
+  /** UNSET TBLPROPERTIES: commit a metaData with the property removed. */
+  def removeProperty(key: String): Unit = {
+    val s = snapshot
+    val meta = s.metaData.copy(properties = s.metaData.properties - key)
+    log.commit(s.version + 1, Seq(meta,
+      CommitInfo(s.version + 1, log.nextTimestamp(), "UNSET TBLPROPERTIES",
+        Map("key" -> key))))
+  }
+
   private def autoCompact(): Unit =
     // The WHOLE body is best-effort: a malformed maxFiles/targetBytes
     // property (NumberFormatException) or an IO error inside optimize()

@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.sources.GraftCatalog
+import graft.table.GraftTable
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** DSv2 TableCatalog surface: name-based SQL create/read/insert/delete,
+  * time travel, CTAS, external-location registration, namespaces, rename,
+  * drop — the SQL front door over the graft table layer. */
+class CatalogSpec extends SparkTestBase {
+
+  private lazy val wh = tmpDir("graft-cat-wh-")
+  private def sql(q: String) = spark.sql(q)
+
+  private lazy val registered: Unit =
+    GraftCatalog.register(spark, wh, name = "gcat")
+
+  test("CREATE TABLE / INSERT INTO / SELECT by name") {
+    registered
+    sql("CREATE TABLE gcat.default.people (id INT, firstname STRING, lastname STRING) USING graft")
+    sql("INSERT INTO gcat.default.people VALUES " +
+      "(1, 'James', 'Bond'), (2, 'Alice', 'Rogers'), (3, 'Joe', 'Bloggs')")
+    val rows = sql("SELECT * FROM gcat.default.people ORDER BY id").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(rows(1).getString(2) == "Rogers")
+    // the managed table physically lives under the warehouse
+    assert(GraftTable.isGraftTable(s"$wh/default/people"))
+  }
+
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF") {
+    registered
+    sql("CREATE TABLE gcat.default.tt (id INT, v STRING) USING graft")
+    sql("INSERT INTO gcat.default.tt VALUES (1, 'one')")          // v1
+    sql("INSERT INTO gcat.default.tt VALUES (2, 'two')")          // v2
+    assert(sql("SELECT * FROM gcat.default.tt VERSION AS OF 1").count() == 1)
+    assert(sql("SELECT * FROM gcat.default.tt VERSION AS OF 2").count() == 2)
+    assert(sql("SELECT * FROM gcat.default.tt").count() == 2)
+    // timestamp of commit 1 resolves to the v1 snapshot
+    val t = GraftTable.forPath(spark, s"$wh/default/tt")
+    val ts1 = new java.sql.Timestamp(t.log.commitInfos(1).timestamp)
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val n = sql(s"SELECT * FROM gcat.default.tt TIMESTAMP AS OF '${fmt.format(ts1)}'").count()
+    assert(n == 1)
+  }
+
+  test("INSERT OVERWRITE is one atomic commit") {
+    registered
+    sql("CREATE TABLE gcat.default.ow (id INT, v STRING) USING graft")
+    sql("INSERT INTO gcat.default.ow VALUES (1, 'a'), (2, 'b')")
+    sql("INSERT OVERWRITE gcat.default.ow VALUES (9, 'z')")
+    val rows = sql("SELECT * FROM gcat.default.ow").collect()
+    assert(rows.toSeq == Seq(Row(9, "z")))
+    val t = GraftTable.forPath(spark, s"$wh/default/ow")
+    val ops = t.history().select("operation").collect().map(_.getString(0)).toSeq
+    assert(ops.head == "OVERWRITE") // newest-first; single commit, no TRUNCATE+WRITE pair
+    assert(t.latestVersion == 2)
+  }
+
+  test("DELETE FROM routes to the table layer's predicate delete") {
+    registered
+    sql("CREATE TABLE gcat.default.del (id INT, v STRING) USING graft")
+    sql("INSERT INTO gcat.default.del VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    sql("DELETE FROM gcat.default.del WHERE id = 2 OR v = 'c'")
+    assert(sql("SELECT id FROM gcat.default.del").collect().map(_.getInt(0)).toSeq == Seq(1))
+    val ops = GraftTable.forPath(spark, s"$wh/default/del")
+      .history().select("operation").collect().map(_.getString(0)).toSeq
+    assert(ops.head == "DELETE")
+  }
+
+  test("CTAS and filter pushdown through the name-based scan") {
+    registered
+    sql(s"CREATE TABLE gcat.default.orders_ctas USING graft AS " +
+      s"SELECT o_orderkey, o_orderstatus, o_totalprice FROM parquet.`$sfDir/orders.parquet`")
+    val direct = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_totalprice") > 100000.0).count()
+    val byName = sql(
+      "SELECT * FROM gcat.default.orders_ctas WHERE o_totalprice > 100000.0").count()
+    assert(byName == direct && byName > 0)
+    // aggregate parity over the full table
+    val s1 = sql("SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM gcat.default.orders_ctas")
+      .head().getDouble(0)
+    val s2 = spark.read.parquet(s"$sfDir/orders.parquet")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")).head().getDouble(0)
+    assert(s1 == s2)
+  }
+
+  test("external LOCATION registers an existing path table; DROP keeps data") {
+    registered
+    val dir = tmpDir("graft-cat-ext-")
+    import spark.implicits._
+    GraftTable.create(spark, dir, Seq((1, "x"), (2, "y")).toDF("id", "v"))
+    sql(s"CREATE TABLE gcat.default.ext USING graft LOCATION '$dir'")
+    assert(sql("SELECT * FROM gcat.default.ext").count() == 2)
+    // writes by name hit the same physical table
+    sql("INSERT INTO gcat.default.ext VALUES (3, 'z')")
+    assert(GraftTable.forPath(spark, dir).toDF.count() == 3)
+    sql("DROP TABLE gcat.default.ext")
+    assert(!spark.catalog.tableExists("gcat.default.ext"))
+    assert(GraftTable.isGraftTable(dir)) // data untouched
+  }
+
+  test("partitioned CREATE TABLE lays out hive dirs") {
+    registered
+    sql("CREATE TABLE gcat.default.plang (doc_id INT, lang STRING) USING graft PARTITIONED BY (lang)")
+    sql("INSERT INTO gcat.default.plang VALUES (1, 'en'), (2, 'fr'), (3, 'en')")
+    assert(Files.isDirectory(Paths.get(s"$wh/default/plang/lang=en")))
+    assert(sql("SELECT doc_id FROM gcat.default.plang WHERE lang = 'en' ORDER BY doc_id")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 3))
+  }
+
+  test("SHOW TABLES / DESCRIBE / namespaces / rename / drop") {
+    registered
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.lab")
+    sql("CREATE TABLE gcat.lab.t1 (id INT) USING graft")
+    val shown = sql("SHOW TABLES IN gcat.lab").collect().map(_.getString(1)).toSeq
+    assert(shown.contains("t1"))
+    val desc = sql("DESCRIBE TABLE gcat.lab.t1").collect().map(_.getString(0)).toSeq
+    assert(desc.contains("id"))
+    val nss = sql("SHOW NAMESPACES IN gcat").collect().map(_.getString(0)).toSeq
+    assert(nss.contains("lab") && nss.contains("default"))
+    sql("ALTER TABLE gcat.lab.t1 RENAME TO gcat.lab.t2")
+    assert(sql("SHOW TABLES IN gcat.lab").collect().map(_.getString(1)).toSeq == Seq("t2"))
+    sql("ALTER TABLE gcat.lab.t2 SET TBLPROPERTIES ('team' = 'graft')")
+    assert(sql("SHOW TBLPROPERTIES gcat.lab.t2").collect()
+      .exists(r => r.getString(0) == "team" && r.getString(1) == "graft"))
+    sql("ALTER TABLE gcat.lab.t2 UNSET TBLPROPERTIES ('team')")
+    assert(!sql("SHOW TBLPROPERTIES gcat.lab.t2").collect().exists(_.getString(0) == "team"))
+    sql("DROP TABLE gcat.lab.t2")
+    sql("DROP NAMESPACE gcat.lab")
+    assert(!sql("SHOW NAMESPACES IN gcat").collect().map(_.getString(0)).toSeq.contains("lab"))
+  }
+
+  test("bloom.columns property at CREATE configures native bloom filters") {
+    registered
+    sql("CREATE TABLE gcat.default.bl (k BIGINT, v STRING) USING graft " +
+      "TBLPROPERTIES ('bloom.columns' = 'k', 'bloom.ndv' = '1000')")
+    sql("INSERT INTO gcat.default.bl SELECT id, CAST(id AS STRING) FROM range(1000)")
+    val t = GraftTable.forPath(spark, s"$wh/default/bl")
+    assert(t.snapshot.metaData.properties.get("bloom.columns").contains("k"))
+    assert(sql("SELECT v FROM gcat.default.bl WHERE k = 77").head().getString(0) == "77")
+  }
+}
