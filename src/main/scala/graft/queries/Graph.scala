@@ -82,7 +82,7 @@ object GraphQueries {
     "q92_pagerank" -> Q(
       (s, dir) => {
         import s.implicits._
-        val edges = Dedup.lshCandidates(s, dir)
+        val edges = Dedup.lshPairGraph(s, dir)
           .filter($"est_jaccard" >= 0.3)
           .select($"a", $"b")
         val nodes = Tables.documents(s, dir).select($"doc_id".as("id"))
