@@ -284,10 +284,11 @@ class GraftSqlTable(val table: GraftTable, ident: String,
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.Set.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(table, snap)
+    new GraftScanBuilder(table, snap,
+      options.asCaseSensitiveMap().asScala.toMap.map { case (k, v) => k.toLowerCase -> v })
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(table)
@@ -297,7 +298,8 @@ class GraftSqlTable(val table: GraftTable, ident: String,
   * filters feed the table layer's stats + bloom file pruning. Spark
   * re-evaluates EVERY filter on the surviving rows (we return the full
   * array from pushFilters), so pruning can never change results. */
-class GraftScanBuilder(table: GraftTable, snap: Snapshot) extends ScanBuilder
+class GraftScanBuilder(table: GraftTable, snap: Snapshot,
+    options: Map[String, String] = Map.empty) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = snap.schema
@@ -313,18 +315,27 @@ class GraftScanBuilder(table: GraftTable, snap: Snapshot) extends ScanBuilder
     required = requiredSchema
 
   override def build(): Scan =
-    new GraftV1Scan(table, snap, required, GraftFilters.toColumn(pushed.toSeq))
+    new GraftV1Scan(table, snap, required, GraftFilters.toColumn(pushed.toSeq), options)
 }
 
 /** The scan: file pruning + parquet read through the proven V1 relation
-  * machinery (`V1Scan` is the public bridge Spark's own JDBC source uses). */
+  * machinery (`V1Scan` is the public bridge Spark's own JDBC source uses).
+  * For `readStream` the same scan serves a `MicroBatchStream` whose
+  * offsets are commit versions (streaming/GraftTableStream.scala). */
 class GraftV1Scan(table: GraftTable, snap: Snapshot, required: StructType,
-    prunePred: Option[Column]) extends V1Scan {
+    prunePred: Option[Column], options: Map[String, String] = Map.empty) extends V1Scan {
 
   override def readSchema(): StructType = required
 
   override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
     new GraftV1ScanRelation(ctx, table, snap, required, prunePred).asInstanceOf[T]
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    graft.streaming.GraftTableStream.validateSchema(required)
+    new graft.streaming.GraftMicroBatchStream(table.path, required,
+      snap.metaData.partitionColumns, options)
+  }
 }
 
 class GraftV1ScanRelation(ctx: SQLContext, table: GraftTable, snap: Snapshot,

@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import graft.table.{GraftTable, Snapshot}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SQLContext}
@@ -24,13 +26,67 @@ import org.apache.spark.sql.types.StructType
   * never change results.
   */
 class GraftSource extends RelationProvider with CreatableRelationProvider
-    with DataSourceRegister {
+    with DataSourceRegister
+    with org.apache.spark.sql.connector.catalog.TableProvider {
 
   override def shortName(): String = "graft"
 
   private def path(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft source requires a path: spark.read.format(\"graft\").load(path)"))
+
+  // ---- DSv2 TableProvider: batch reads resolve through the same
+  // GraftSqlTable as the catalog (pushdown + pruning via the V1Scan
+  // bridge); batch WRITES deliberately stay on the V1 createRelation
+  // below (the table only advertises V1_BATCH_WRITE, so DataFrameWriter
+  // falls back — every SaveMode keeps its proven semantics). The payoff
+  // is `readStream.format("graft")`: the DSv2 path is what makes the
+  // table a streaming SOURCE (MicroBatchStream over commit versions).
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def resolve(options: Map[String, String]): (GraftTable, Snapshot) = {
+    val lower = options.map { case (k, v) => k.toLowerCase -> v }
+    val table = GraftTable.forPath(
+      org.apache.spark.sql.SparkSession.active, path(lower))
+    val snapshot = (lower.get("versionasof"), lower.get("timestampasof")) match {
+      case (Some(v), None) => table.snapshotAt(v.toLong)
+      case (None, Some(ts)) =>
+        table.snapshotAt(table.versionAt(java.sql.Timestamp.valueOf(ts).getTime))
+      case (None, None) => table.snapshot
+      case _ => throw new IllegalArgumentException(
+        "specify at most one of versionAsOf / timestampAsOf")
+    }
+    (table, snapshot)
+  }
+
+  override def inferSchema(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): StructType = {
+    val opts = options.asCaseSensitiveMap().asScala.toMap
+    // A first write probes the provider BEFORE the V1 fallback decision:
+    // a nonexistent path must not throw here (the V1 createRelation below
+    // performs the creation once DataFrameWriter falls back).
+    if (!GraftTable.isGraftTable(path(opts.map { case (k, v) => k.toLowerCase -> v })))
+      new StructType()
+    else resolve(opts)._2.schema
+  }
+
+  override def getTable(schema: StructType,
+      partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.Table = {
+    val opts = properties.asScala.toMap
+    val p = path(opts.map { case (k, v) => k.toLowerCase -> v })
+    if (!GraftTable.isGraftTable(p))
+      // capability-less stub: DataFrameWriter falls back to the V1 write
+      // (which creates the table); reads of a missing table still error.
+      new UncreatedGraftTable(p)
+    else {
+      val (table, snapshot) = resolve(opts)
+      val pin = if (snapshot.version == table.latestVersion) None else Some(snapshot)
+      new GraftSqlTable(table, s"graft.`${table.path}`", pin)
+    }
+  }
 
   override def createRelation(ctx: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
@@ -69,6 +125,18 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     }
     createRelation(ctx, parameters - "partitionBy")
   }
+}
+
+/** Placeholder for a path that is not (yet) a GraftTable: no read/write
+  * capabilities, so `DataFrameWriter.save` falls back to the V1 create
+  * path and reads fail with a clear error. */
+class UncreatedGraftTable(p: String)
+    extends org.apache.spark.sql.connector.catalog.Table {
+  override def name(): String = s"graft.`$p` (not yet created)"
+  override def schema(): StructType = new StructType()
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    java.util.Collections.emptySet()
 }
 
 /** Versioned snapshot exposed as a V1 relation with pruning + skipping. */

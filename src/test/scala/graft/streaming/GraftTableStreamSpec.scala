@@ -1,0 +1,142 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.table.GraftTable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** `readStream.format("graft")`: the table as a streaming SOURCE. Offsets
+  * are commit versions, so batches re-plan identically across restarts —
+  * the properties these tests pin: initial-snapshot load, tail appends,
+  * restart exactly-once, append-only enforcement (and the ignoreChanges
+  * escape), maintenance-commit skipping, partitioned tables. */
+class GraftTableStreamSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def startStream(dir: String, ckpt: String, sink: String,
+      extra: Map[String, String] = Map.empty) = {
+    var r = spark.readStream.format("graft")
+    extra.foreach { case (k, v) => r = r.option(k, v) }
+    r.load(dir).writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+  }
+
+  /** Restart tests need a sink that recovers from a checkpoint (memory
+    * can't): stream to parquet, read the output dir back. Duplicate ids in
+    * the output would prove re-emission, so cumulative contents pin
+    * exactly-once. */
+  private def runToParquet(dir: String, ckpt: String, out: String,
+      extra: Map[String, String] = Map.empty): Unit = {
+    var r = spark.readStream.format("graft")
+    extra.foreach { case (k, v) => r = r.option(k, v) }
+    val q = r.load(dir).writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+  }
+
+  private def outIds(out: String): Seq[Int] =
+    spark.read.parquet(out).collect().map(_.getInt(0)).sorted.toSeq
+
+  test("initial snapshot then appended commits, across separate runs") {
+    val dir = tmpDir("gstream-")
+    val ckpt = tmpDir("gstream-ckpt-")
+    val out = tmpDir("gstream-out-")
+    val t = GraftTable.create(spark, dir, Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    runToParquet(dir, ckpt, out)
+    assert(outIds(out) == Seq(1, 2))
+
+    // two more commits while no stream is running; next run picks up ONLY
+    // them (a re-emitted snapshot would duplicate ids 1/2)
+    t.append(Seq((3, "c")).toDF("id", "v"))
+    t.append(Seq((4, "d")).toDF("id", "v"))
+    runToParquet(dir, ckpt, out)
+    assert(outIds(out) == Seq(1, 2, 3, 4))
+
+    // a third run with nothing new emits nothing (exactly-once via offsets)
+    runToParquet(dir, ckpt, out)
+    assert(outIds(out) == Seq(1, 2, 3, 4))
+  }
+
+  test("startingVersion skips the initial snapshot") {
+    val dir = tmpDir("gstream-sv-")
+    val t = GraftTable.create(spark, dir, Seq((1, "a")).toDF("id", "v")) // v0
+    t.append(Seq((2, "b")).toDF("id", "v")) // v1
+    t.append(Seq((3, "c")).toDF("id", "v")) // v2
+    val q = startStream(dir, tmpDir("gstream-sv-ckpt-"), "gsv",
+      Map("startingVersion" -> "2"))
+    q.awaitTermination(60000)
+    assert(spark.table("gsv").collect().map(_.getInt(0)).toSeq == Seq(3))
+  }
+
+  test("file-rewriting DML aborts the tail; ignoreChanges streams the adds") {
+    val dir = tmpDir("gstream-dml-")
+    val ckpt = tmpDir("gstream-dml-ckpt-")
+    val out = tmpDir("gstream-dml-out-")
+    // one file holding both rows, so the delete REWRITES it (a delete that
+    // only drops whole files adds nothing and has nothing to re-emit)
+    val t = GraftTable.create(spark, dir,
+      Seq((1, "a"), (2, "b")).toDF("id", "v").coalesce(1))
+    runToParquet(dir, ckpt, out) // consume snapshot
+    t.delete(col("id") === 1) // rewrite commit
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runToParquet(dir, ckpt, out)
+    }
+    assert(err.getMessage.contains("ignoreChanges") ||
+      Option(err.getCause).exists(_.getMessage.contains("ignoreChanges")))
+    // same checkpoint, ignoreChanges: the delete's rewritten file re-emits
+    runToParquet(dir, ckpt, out, Map("ignoreChanges" -> "true"))
+    assert(outIds(out) == Seq(1, 2, 2)) // id 2 re-emitted, documented semantic
+  }
+
+  test("OPTIMIZE commits are maintenance, not data") {
+    val dir = tmpDir("gstream-opt-")
+    val ckpt = tmpDir("gstream-opt-ckpt-")
+    val out = tmpDir("gstream-opt-out-")
+    val t = GraftTable.create(spark, dir, Seq((1, "a")).toDF("id", "v"))
+    t.append(Seq((2, "b")).toDF("id", "v"))
+    runToParquet(dir, ckpt, out)
+    t.optimize() // compaction rewrite
+    t.append(Seq((3, "c")).toDF("id", "v"))
+    runToParquet(dir, ckpt, out)
+    // only the post-optimize append arrives; the compaction emits nothing
+    assert(outIds(out) == Seq(1, 2, 3))
+  }
+
+  test("partitioned table: partition column reconstructed from the log") {
+    val dir = tmpDir("gstream-part-")
+    val t = GraftTable.create(spark, dir,
+      Seq((1, "en"), (2, "fr")).toDF("id", "lang"), partitionBy = Seq("lang"))
+    t.append(Seq((3, "en")).toDF("id", "lang"))
+    val q = startStream(dir, tmpDir("gstream-part-ckpt-"), "gp1")
+    q.awaitTermination(60000)
+    val rows = spark.table("gp1").collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq((1, "en"), (2, "fr"), (3, "en")))
+  }
+
+  test("types survive the hand-rolled parquet decode (incl. INT96 timestamps)") {
+    val dir = tmpDir("gstream-types-")
+    val ts = java.sql.Timestamp.valueOf("2026-01-02 03:04:05.123456")
+    val dt = java.sql.Date.valueOf("2026-01-02")
+    val df = Seq((1, 2L, 3.5, 4.5f, true, "s", ts, dt))
+      .toDF("i", "l", "d", "f", "b", "s", "ts", "dt")
+    GraftTable.create(spark, dir, df)
+    val q = startStream(dir, tmpDir("gstream-types-ckpt-"), "gt1")
+    q.awaitTermination(60000)
+    val r = spark.table("gt1").head()
+    assert(r.getInt(0) == 1 && r.getLong(1) == 2L && r.getDouble(2) == 3.5 &&
+      r.getFloat(3) == 4.5f && r.getBoolean(4) && r.getString(5) == "s")
+    assert(r.getTimestamp(6) == ts)
+    assert(r.getDate(7).toString == "2026-01-02")
+  }
+
+  test("batch reads through the DSv2 path keep time-travel parity") {
+    val dir = tmpDir("gstream-tt-")
+    val t = GraftTable.create(spark, dir, Seq((1, "a")).toDF("id", "v"))
+    t.append(Seq((2, "b")).toDF("id", "v"))
+    assert(spark.read.format("graft").option("versionAsOf", 0).load(dir).count() == 1)
+    assert(spark.read.format("graft").load(dir).count() == 2)
+  }
+}
