@@ -90,5 +90,37 @@ object CatalogQueries {
         |  (2, 4, 'New', 'Person'),
         |  (3, 2, 'Alice', 'Rogers'), (3, 4, 'New', 'Person'))
         |AS t(v, id, firstname, lastname) ORDER BY v, id""".stripMargin),
+
+    // ---- The reference's golden DML scenario, driven by PURE SQL ------------------
+    // q70 replays api.py:88-107 through the Scala table API; this replays
+    // the IDENTICAL scenario through nothing but spark.sql statements —
+    // CREATE, seed INSERT, the same MERGE INTO (update one + insert one),
+    // the same DELETE — and must land on the identical final state. MERGE
+    // and UPDATE arrive via SupportsRowLevelOperations (group-based
+    // copy-on-write rewrite, one atomic commit); DELETE via the
+    // translatable-filter fast path. The history tail in the output pins
+    // that each statement became exactly one commit of the right kind.
+    "q136_sql_golden_dml" -> Q(
+      (s, _) => {
+        registered(s)
+        val t = "graft.default.people_dml"
+        cache.computeIfAbsent("people_dml", _ => {
+          s.sql(s"CREATE TABLE $t (id INT, firstname STRING, lastname STRING) USING graft")
+          s.sql(s"INSERT INTO $t VALUES (1, 'James', 'Bond'), " +
+            "(2, 'Alice', 'Rogers'), (3, 'Joe', 'Bloggs')") // v1
+          s.sql(s"""MERGE INTO $t t
+                   |USING (SELECT * FROM VALUES (2, 'Alice', 'Smith'), (4, 'New', 'Person')
+                   |       AS s(id, firstname, lastname)) s
+                   |ON t.id = s.id
+                   |WHEN MATCHED THEN UPDATE SET t.firstname = s.firstname, t.lastname = s.lastname
+                   |WHEN NOT MATCHED THEN INSERT (id, firstname, lastname)
+                   |  VALUES (s.id, s.firstname, s.lastname)""".stripMargin) // v2
+          s.sql(s"DELETE FROM $t WHERE id = 1 OR id = 3") // v3
+          t
+        })
+        s.sql(s"SELECT * FROM $t ORDER BY id")
+      },
+      """SELECT * FROM (VALUES (2, 'Alice', 'Smith'), (4, 'New', 'Person'))
+        |AS t(id, firstname, lastname) ORDER BY id""".stripMargin),
   )
 }

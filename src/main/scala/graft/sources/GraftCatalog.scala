@@ -257,7 +257,25 @@ object GraftCatalog {
   * a time-travel snapshot (reads serve it; writes always target the head). */
 class GraftSqlTable(val table: GraftTable, ident: String,
     pinned: Option[Snapshot] = None)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations {
+
+  /** SQL UPDATE / MERGE INTO (and non-translatable DELETEs): group-based
+    * copy-on-write. Spark scans the affected groups, applies the command's
+    * transformations, and writes the replacement; the commit swaps the
+    * scanned files for the new ones atomically. The scan deliberately has
+    * NO filter pushdown: a group scan must return EVERY row of a scanned
+    * file (a pushed row filter would silently drop the non-matching rows
+    * of rewritten files), so groups = all files — correct first; the
+    * file-pruned fast paths remain `deleteWhere` (translatable DELETEs)
+    * and the native merge()'s touched-file semi-join. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+      override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
+        new GraftRowLevelOperation(table, info.command())
+    }
 
   private def snap: Snapshot = pinned.getOrElse(table.snapshot)
 
@@ -292,6 +310,61 @@ class GraftSqlTable(val table: GraftTable, ident: String,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(table)
+}
+
+/** One SQL row-level command (UPDATE / MERGE / DELETE rewrite): the scan
+  * pins the snapshot it plans, and the write replaces exactly that
+  * snapshot's files with the transformed rows in one atomic commit. */
+class GraftRowLevelOperation(table: GraftTable,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  @volatile private var scanned: Option[Snapshot] = None
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = {
+        val snap = table.snapshot
+        scanned = Some(snap)
+        // the rewrite read path has no V1 fallback — serve a real DSv2
+        // Batch over the snapshot's files with the executor-side parquet
+        // decoder the streaming source already uses
+        new GraftGroupScan(table.path, snap)
+      }
+    }
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+          new GraftGroupBatchWrite(table, () => scanned, info.schema(), cmd.toString)
+      }
+    }
+}
+
+/** Full-snapshot DSv2 batch scan for the row-level rewrite: every file is
+  * one InputPartition, decoded on executors by the same parquet reader the
+  * streaming source uses (streaming/GraftTableStream.scala). */
+class GraftGroupScan(tablePath: String, snap: Snapshot)
+    extends Scan with org.apache.spark.sql.connector.read.Batch {
+
+  graft.streaming.GraftTableStream.validateSchema(snap.schema)
+
+  override def readSchema(): StructType = snap.schema
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+
+  override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] =
+    snap.files.map(f => graft.streaming.GraftFilePartition(
+      java.nio.file.Paths.get(tablePath, f.path).toString,
+      f.partitionValues, f.numRecords)
+        : org.apache.spark.sql.connector.read.InputPartition).toArray
+
+  override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new graft.streaming.GraftParquetReaderFactory(snap.schema,
+      snap.metaData.partitionColumns)
 }
 
 /** Pushdown surface: required columns shrink the read schema; =/range/IN

@@ -1,0 +1,217 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.util.UUID
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import graft.table.{AddFile, FileOps, GraftTable, Snapshot}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Type, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.types._
+
+/** Executor-side parquet write for the SQL row-level rewrite (UPDATE /
+  * MERGE INTO): the DSv2 `BatchWrite` counterpart of the streaming
+  * source's reader — parquet-mr's public Example API, no Spark-internal
+  * writer. Each task writes UUID-named files straight into the table
+  * directory (Hive partition subdirs for partitioned tables — files are
+  * invisible until the commit lands, so no staging is needed), harvests
+  * footer stats into AddFiles, and the driver commits one atomic version:
+  * scanned files removed + written files added. Native bloom filters are
+  * re-enabled per the table's `bloom.columns` property, so DML through
+  * SQL keeps the point-lookup index like every other write path. */
+class GraftGroupBatchWrite(table: GraftTable, scannedSnap: () => Option[Snapshot],
+    schema: StructType, op: String) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val meta = table.snapshot.metaData
+    val bloomNdv = meta.properties.getOrElse("bloom.ndv", "100000").toLong
+    val blooms = meta.properties.get("bloom.columns").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .map(c => c -> bloomNdv).toMap
+    GraftParquetWriterFactory(table.path, schema, meta.partitionColumns, blooms)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val adds = messages.flatMap { case m: GraftWriteMessage => m.adds }.toSeq
+    val snap = scannedSnap().getOrElse(table.snapshot)
+    val constraints = snap.metaData.constraints
+    if (constraints.nonEmpty && adds.nonEmpty) {
+      // CHECK constraints are enforced on every write path; here the rows
+      // were produced by Spark's rewrite plan, so validate the written
+      // files before the commit makes them visible.
+      val spark = table.spark
+      val written = spark.read.schema(snap.schema)
+        .parquet(adds.map(a => s"${table.path}/${a.path}"): _*)
+      constraints.foreach { case (name, expr) =>
+        val bad = written.filter(!org.apache.spark.sql.functions.expr(expr)).count()
+        if (bad > 0) {
+          adds.foreach(a => Files.deleteIfExists(Paths.get(table.path, a.path)))
+          throw new IllegalStateException(
+            s"CHECK constraint $name ($expr) violated by $bad rewritten row(s)")
+        }
+      }
+    }
+    table.commitReplace(snap, snap.files, adds, op)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case m: GraftWriteMessage =>
+        m.adds.foreach(a => Files.deleteIfExists(Paths.get(table.path, a.path)))
+      case _ => ()
+    }
+}
+
+case class GraftWriteMessage(adds: Seq[AddFile]) extends WriterCommitMessage
+
+case class GraftParquetWriterFactory(tablePath: String, schema: StructType,
+    partitionCols: Seq[String], bloomColumns: Map[String, Long])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftParquetDataWriter(tablePath, schema, partitionCols, bloomColumns)
+}
+
+class GraftParquetDataWriter(tablePath: String, schema: StructType,
+    partitionCols: Seq[String], bloomColumns: Map[String, Long])
+    extends DataWriter[InternalRow] {
+
+  private val dataFields = schema.fields.filterNot(f => partitionCols.contains(f.name))
+  private val messageType: MessageType =
+    new MessageType("spark_schema", dataFields.map(parquetType).toSeq.asJava)
+  private val groupFactory = new SimpleGroupFactory(messageType)
+  private val partIdx = partitionCols.map(c => c -> schema.fieldIndex(c)).toMap
+
+  // one open file per partition-value combination this task sees
+  private val writers = mutable.LinkedHashMap[Map[String, String],
+    (ParquetWriter[Group], String)]()
+
+  /** The group-based rewrite prepends metadata columns the logical write
+    * schema doesn't mention (`__row_operation` in the ReplaceData plan);
+    * the table's columns are the TRAILING fields. Resolved from the first
+    * row — the offset is constant for the write. */
+  private var fieldOffset = -1
+  private def ord(row: InternalRow, schemaIndex: Int): Int = {
+    if (fieldOffset < 0) {
+      fieldOffset = row.numFields - schema.fields.length
+      require(fieldOffset >= 0,
+        s"write rows carry ${row.numFields} fields for schema ${schema.fieldNames.mkString(",")}")
+    }
+    fieldOffset + schemaIndex
+  }
+
+  private def parquetType(f: StructField): Type = {
+    val rep = if (f.nullable) Type.Repetition.OPTIONAL else Type.Repetition.REQUIRED
+    val b = f.dataType match {
+      case IntegerType => Types.primitive(PrimitiveTypeName.INT32, rep)
+      case LongType => Types.primitive(PrimitiveTypeName.INT64, rep)
+      case ShortType => Types.primitive(PrimitiveTypeName.INT32, rep)
+        .as(LogicalTypeAnnotation.intType(16, true))
+      case ByteType => Types.primitive(PrimitiveTypeName.INT32, rep)
+        .as(LogicalTypeAnnotation.intType(8, true))
+      case DoubleType => Types.primitive(PrimitiveTypeName.DOUBLE, rep)
+      case FloatType => Types.primitive(PrimitiveTypeName.FLOAT, rep)
+      case BooleanType => Types.primitive(PrimitiveTypeName.BOOLEAN, rep)
+      case StringType => Types.primitive(PrimitiveTypeName.BINARY, rep)
+        .as(LogicalTypeAnnotation.stringType())
+      case BinaryType => Types.primitive(PrimitiveTypeName.BINARY, rep)
+      case DateType => Types.primitive(PrimitiveTypeName.INT32, rep)
+        .as(LogicalTypeAnnotation.dateType())
+      case TimestampType => Types.primitive(PrimitiveTypeName.INT64, rep)
+        .as(LogicalTypeAnnotation.timestampType(true, LogicalTypeAnnotation.TimeUnit.MICROS))
+      case other => throw new UnsupportedOperationException(
+        s"SQL row-level write does not support column type $other (${f.name})")
+    }
+    b.named(f.name)
+  }
+
+  private def open(pv: Map[String, String]): (ParquetWriter[Group], String) = {
+    val dir = partitionCols.map(c =>
+      s"$c=${java.net.URLEncoder.encode(pv(c), "UTF-8")}").mkString("/")
+    val rel = (if (dir.isEmpty) "" else s"$dir/") + s"part-${UUID.randomUUID()}.parquet"
+    Files.createDirectories(Paths.get(tablePath, rel).getParent)
+    var b = ExampleParquetWriter.builder(new HPath(Paths.get(tablePath, rel).toString))
+      .withType(messageType)
+      .withConf(new Configuration())
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+    bloomColumns.foreach { case (c, ndv) =>
+      if (dataFields.exists(_.name == c)) {
+        b = b.withBloomFilterEnabled(c, true).withBloomFilterNDV(c, ndv)
+      }
+    }
+    (b.build(), rel)
+  }
+
+  private def partitionValue(row: InternalRow, c: String): String = {
+    val i = ord(row, partIdx(c))
+    schema.fields(partIdx(c)).dataType match {
+      case StringType => row.getUTF8String(i).toString
+      case IntegerType => row.getInt(i).toString
+      case LongType => row.getLong(i).toString
+      case DoubleType => row.getDouble(i).toString
+      case BooleanType => row.getBoolean(i).toString
+      case DateType => java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString
+      case other => throw new UnsupportedOperationException(
+        s"unsupported partition column type for SQL row-level write: $other")
+    }
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val pv = partitionCols.map(c => c -> partitionValue(row, c)).toMap
+    val (w, _) = writers.getOrElseUpdate(pv, open(pv))
+    w.write(toGroup(row))
+  }
+
+  private def toGroup(row: InternalRow): Group = {
+    val g = groupFactory.newGroup()
+    dataFields.foreach { f =>
+      val i = ord(row, schema.fieldIndex(f.name))
+      if (!row.isNullAt(i)) f.dataType match {
+        case IntegerType => g.add(f.name, row.getInt(i))
+        case LongType => g.add(f.name, row.getLong(i))
+        case ShortType => g.add(f.name, row.getShort(i).toInt)
+        case ByteType => g.add(f.name, row.getByte(i).toInt)
+        case DoubleType => g.add(f.name, row.getDouble(i))
+        case FloatType => g.add(f.name, row.getFloat(i))
+        case BooleanType => g.add(f.name, row.getBoolean(i))
+        case StringType => g.add(f.name, Binary.fromString(row.getUTF8String(i).toString))
+        case BinaryType => g.add(f.name, Binary.fromConstantByteArray(row.getBinary(i)))
+        case DateType => g.add(f.name, row.getInt(i))
+        case TimestampType => g.add(f.name, row.getLong(i)) // micros, as annotated
+        case other => throw new UnsupportedOperationException(s"unsupported type $other")
+      }
+    }
+    g
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val adds = writers.toSeq.flatMap { case (pv, (w, rel)) =>
+      w.close()
+      val abs = Paths.get(tablePath, rel)
+      val (rows, mins, maxs) = FileOps.footerStats(abs)
+      if (rows == 0L) { Files.delete(abs); None }
+      else Some(AddFile(rel, Files.size(abs), System.currentTimeMillis(),
+        rows, mins, maxs, pv))
+    }
+    writers.clear()
+    GraftWriteMessage(adds)
+  }
+
+  override def abort(): Unit = writers.foreach { case (_, (w, rel)) =>
+    try w.close() catch { case _: Exception => () }
+    Files.deleteIfExists(Paths.get(tablePath, rel))
+  }
+
+  override def close(): Unit =
+    writers.foreach { case (_, (w, _)) => try w.close() catch { case _: Exception => () } }
+}

@@ -278,6 +278,22 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * append that triggered it; the next append retries. This is what
     * keeps a streaming sink's many small per-batch commits from
     * accumulating into a small-file problem at 100 TB. */
+  /** Copy-on-write group replacement for SQL row-level commands (UPDATE /
+    * MERGE INTO arrive through `SupportsRowLevelOperations`): swap
+    * `removed` for the already-written `adds` in ONE commit — readers see
+    * old or new state, never a partial rewrite. The data files were
+    * produced executor-side (sources/GraftGroupWrite.scala) and stay
+    * invisible until this commit lands. */
+  private[graft] def commitReplace(s: Snapshot, removed: Seq[AddFile],
+      adds: Seq[AddFile], op: String): Unit = {
+    val ts = log.nextTimestamp()
+    log.commit(s.version + 1, Seq(
+      CommitInfo(s.version + 1, ts, op,
+        Map("numRewrittenFiles" -> removed.size.toString,
+            "numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
+      removed.map(f => RemoveFile(f.path, ts)) ++ adds)
+  }
+
   /** UNSET TBLPROPERTIES: commit a metaData with the property removed. */
   def removeProperty(key: String): Unit = {
     val s = snapshot

@@ -134,6 +134,42 @@ class CatalogSpec extends SparkTestBase {
     assert(!sql("SHOW NAMESPACES IN gcat").collect().map(_.getString(0)).toSeq.contains("lab"))
   }
 
+  test("SQL UPDATE rewrites rows through the row-level operation") {
+    registered
+    sql("CREATE TABLE gcat.default.upd (id INT, v STRING) USING graft")
+    sql("INSERT INTO gcat.default.upd VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    sql("UPDATE gcat.default.upd SET v = 'B' WHERE id = 2")
+    val rows = sql("SELECT * FROM gcat.default.upd ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows == Seq((1, "a"), (2, "B"), (3, "c")))
+    val ops = GraftTable.forPath(spark, s"$wh/default/upd")
+      .history().select("operation").collect().map(_.getString(0)).toSeq
+    assert(ops.head == "UPDATE")
+  }
+
+  test("SQL MERGE INTO reproduces the golden upsert semantics") {
+    registered
+    sql("CREATE TABLE gcat.default.mrg (id INT, firstname STRING, lastname STRING) USING graft")
+    sql("INSERT INTO gcat.default.mrg VALUES " +
+      "(1, 'James', 'Bond'), (2, 'Alice', 'Rogers'), (3, 'Joe', 'Bloggs')")
+    sql("""MERGE INTO gcat.default.mrg t
+          |USING (SELECT * FROM VALUES (2, 'Alice', 'Smith'), (4, 'New', 'Person')
+          |       AS s(id, firstname, lastname)) s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET t.firstname = s.firstname, t.lastname = s.lastname
+          |WHEN NOT MATCHED THEN INSERT (id, firstname, lastname)
+          |  VALUES (s.id, s.firstname, s.lastname)""".stripMargin)
+    val rows = sql("SELECT * FROM gcat.default.mrg ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows == Seq((1, "James", "Bond"), (2, "Alice", "Smith"),
+      (3, "Joe", "Bloggs"), (4, "New", "Person")))
+    // time travel still sees the pre-merge state; history records MERGE
+    assert(sql("SELECT * FROM gcat.default.mrg VERSION AS OF 1").count() == 3)
+    val ops = GraftTable.forPath(spark, s"$wh/default/mrg")
+      .history().select("operation").collect().map(_.getString(0)).toSeq
+    assert(ops.head == "MERGE")
+  }
+
   test("bloom.columns property at CREATE configures native bloom filters") {
     registered
     sql("CREATE TABLE gcat.default.bl (k BIGINT, v STRING) USING graft " +
