@@ -63,20 +63,41 @@ final class GraftLog(val tablePath: String) {
     if (v > 0 && v % checkpointInterval == 0) writeCheckpoint(v)
   }
 
-  /** Checkpoint every N commits: `%020d.checkpoint.json` holds the full
-    * folded snapshot (metaData + live adds), so replay cost is bounded by
-    * the checkpoint interval instead of the table's whole history — the
-    * Delta-protocol answer to unbounded logs. */
+  /** Checkpoint every N commits: the full folded snapshot (metaData +
+    * live adds), so replay cost is bounded by the checkpoint interval
+    * instead of the table's whole history — the Delta-protocol answer to
+    * unbounded logs. Two formats: `%020d.checkpoint.json` (text, one
+    * action per line) while the table is small, `%020d.checkpoint.parquet`
+    * (CheckpointCodec) once the live-file count passes
+    * `parquetCheckpointThreshold` — at millions of files, parsing a JSON
+    * line per file is itself the bottleneck Delta's parquet checkpoints
+    * exist to remove. The table property `checkpoint.format` (json |
+    * parquet) forces either. */
   val checkpointInterval = 10
+
+  /** Live-file count at which checkpoints switch to parquet. */
+  val parquetCheckpointThreshold = 10000
 
   def checkpointFile(v: Long): Path = logDir.resolve(f"$v%020d.checkpoint.json")
 
+  def parquetCheckpointFile(v: Long): Path =
+    logDir.resolve(f"$v%020d.checkpoint.parquet")
+
   def writeCheckpoint(v: Long): Unit = {
     val s = replay(0L, v, None)
-    val body = (s.metaData +: s.files).map(Actions.toJson).mkString("", "\n", "\n")
+    val parquet = s.metaData.properties.get("checkpoint.format") match {
+      case Some("parquet") => true
+      case Some("json") => false
+      case _ => s.files.size >= parquetCheckpointThreshold
+    }
     val tmp = logDir.resolve(s".${java.util.UUID.randomUUID()}.tmp")
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    try Files.move(tmp, checkpointFile(v), java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    if (parquet) CheckpointCodec.write(tmp, s.metaData, s.files)
+    else {
+      val body = (s.metaData +: s.files).map(Actions.toJson).mkString("", "\n", "\n")
+      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    }
+    val target = if (parquet) parquetCheckpointFile(v) else checkpointFile(v)
+    try Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     catch { case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp) }
   }
 
@@ -84,10 +105,22 @@ final class GraftLog(val tablePath: String) {
     if (!Files.isDirectory(logDir)) None
     else Files.list(logDir).iterator().asScala
       .map(_.getFileName.toString)
-      .filter(_.matches("\\d{20}\\.checkpoint\\.json"))
-      .map(_.stripSuffix(".checkpoint.json").toLong)
+      .filter(_.matches("\\d{20}\\.checkpoint\\.(json|parquet)"))
+      .map(_.replaceAll("\\.checkpoint\\.(json|parquet)$", "").toLong)
       .filter(_ <= v)
       .maxOption
+
+  /** Checkpoint state at version cp, whichever format exists (parquet
+    * preferred when both do). */
+  private def readCheckpoint(cp: Long): (MetaData, Seq[AddFile]) =
+    if (Files.exists(parquetCheckpointFile(cp))) CheckpointCodec.read(parquetCheckpointFile(cp))
+    else {
+      val lines = Files.readAllLines(checkpointFile(cp), StandardCharsets.UTF_8)
+        .asScala.filter(_.nonEmpty).map(Actions.fromJson).toSeq
+      val meta = lines.collectFirst { case m: MetaData => m }.getOrElse(
+        throw new IllegalStateException(s"checkpoint $cp of $tablePath lacks metaData"))
+      (meta, lines.collect { case a: AddFile => a })
+    }
 
   /** Replay commits (from..v], optionally seeded from a checkpoint state. */
   private def replay(from: Long, v: Long, seed: Option[Snapshot]): Snapshot = {
@@ -109,11 +142,7 @@ final class GraftLog(val tablePath: String) {
   /** Snapshot at version v: nearest checkpoint ≤ v + tail replay. */
   def snapshotAt(v: Long): Snapshot = latestCheckpointAtOrBefore(v) match {
     case Some(cp) =>
-      val lines = Files.readAllLines(checkpointFile(cp), StandardCharsets.UTF_8)
-        .asScala.filter(_.nonEmpty).map(Actions.fromJson).toSeq
-      val meta = lines.collectFirst { case m: MetaData => m }.getOrElse(
-        throw new IllegalStateException(s"checkpoint $cp of $tablePath lacks metaData"))
-      val files = lines.collect { case a: AddFile => a }
+      val (meta, files) = readCheckpoint(cp)
       if (cp == v) Snapshot(v, meta, files)
       else replay(cp + 1, v, Some(Snapshot(cp, meta, files)))
     case None => replay(0L, v, None)

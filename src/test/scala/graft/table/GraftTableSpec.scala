@@ -182,6 +182,48 @@ class GraftTableSpec extends SparkTestBase {
     assert(state(t.versionAsOf(3)).size === 4) // pre-checkpoint replay path
   }
 
+  test("parquet checkpoints: forced format round-trips the snapshot exactly") {
+    val dir = tmpDir("gt-")
+    val t = GraftTable.create(spark, dir, df((0, "A", "A")))
+    t.setProperty("checkpoint.format", "parquet") // v1
+    (1 to 11).foreach(i => t.append(df((i, s"N$i", s"L$i")))) // v2..v12
+    assert(java.nio.file.Files.exists(t.log.parquetCheckpointFile(10)),
+      "parquet checkpoint at v10")
+    assert(!java.nio.file.Files.exists(t.log.checkpointFile(10)))
+    // a FRESH log (no cached state) must resolve snapshots through the
+    // parquet checkpoint identically to full replay
+    val fresh = new graft.table.GraftLog(dir)
+    val viaCp = fresh.snapshotAt(12)
+    val full = (0L to 12L).foldLeft(Option.empty[graft.table.Snapshot]) {
+      case (_, v) => Some(fresh.snapshotAt(v))
+    }.get
+    assert(viaCp.files.map(_.path).sorted == full.files.map(_.path).sorted)
+    assert(viaCp.metaData == full.metaData)
+    assert(viaCp.files.map(f => (f.path, f.numRecords, f.size, f.minValues,
+      f.maxValues, f.partitionValues)).sortBy(_._1) ==
+      full.files.map(f => (f.path, f.numRecords, f.size, f.minValues,
+        f.maxValues, f.partitionValues)).sortBy(_._1))
+    assert(GraftTable.forPath(spark, dir).toDF.count() === 12)
+    assert(state(GraftTable.forPath(spark, dir).versionAsOf(10)).size === 10)
+  }
+
+  test("parquet checkpoint carries partition values and properties") {
+    val dir = tmpDir("gt-")
+    import spark.implicits._
+    val t = GraftTable.create(spark, dir,
+      Seq((1, "en"), (2, "fr")).toDF("id", "lang"), partitionBy = Seq("lang"))
+    t.setProperty("checkpoint.format", "parquet")
+    t.setProperty("team", "graft")
+    (1 to 9).foreach(i => t.append(Seq((10 + i, "en")).toDF("id", "lang")))
+    assert(java.nio.file.Files.exists(t.log.parquetCheckpointFile(10)))
+    val s = new graft.table.GraftLog(dir).snapshotAt(t.latestVersion)
+    assert(s.metaData.partitionColumns == Seq("lang"))
+    assert(s.metaData.properties.get("team").contains("graft"))
+    assert(s.files.forall(_.partitionValues.contains("lang")))
+    // scan through the restored snapshot still prunes on the partition col
+    assert(GraftTable.forPath(spark, dir).scan($"lang" === "fr").count() === 1)
+  }
+
   test("VACUUM removes orphaned files; retained versions still readable") {
     val dir = tmpDir("gt-")
     val t = GraftTable.create(spark, dir, df((1, "A", "A"), (2, "B", "B")).coalesce(1))
