@@ -194,19 +194,38 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("no batch query plans an unbroadcast cartesian product (global sweep)") {
-    // Streaming (q78-q86) and table-scenario queries (q7x/q1xx table/clone/
-    // zorder fixtures) EXECUTE work in their builders, so the sweep covers
-    // the pure relational/pipeline queries — where a regression to
-    // CartesianProduct would silently turn a banded/broadcast design into
-    // an all-pairs scan. Plan construction only; nothing executes.
+    // Streaming (q78-q86, q135) and table-scenario queries (q7x/q1xx
+    // table/clone/zorder fixtures, q133-q136 SQL DDL/DML) EXECUTE work in
+    // their builders, so the sweep covers the pure relational/pipeline
+    // queries — where a regression to CartesianProduct would silently turn
+    // a banded/broadcast design into an all-pairs scan, and a NEW
+    // BroadcastNestedLoopJoin could hide a non-equi join with a LARGE
+    // broadcast side behind the no-cartesian guard. Plan construction
+    // only; nothing executes.
     val skip = (name: String) =>
       name.startsWith("q7") || name.startsWith("q8") ||
         Set("q106_zorder_scan", "q117_metadata_count", "q120_bloom_point_lookup",
-            "q122_shallow_clone", "q123_partitioned_scan", "q100_snapshot_diff").contains(name)
+            "q122_shallow_clone", "q123_partitioned_scan", "q100_snapshot_diff",
+            "q133_catalog_sql_agg", "q134_sql_time_travel",
+            "q135_stream_table_source", "q136_sql_golden_dml").contains(name)
+    // Audited BNLJ uses, all single-row-scalar or bounded-tiny broadcasts
+    // (formatted plans mention each join node twice — counts are raw
+    // occurrences): q29 25×5-row dims, q36/q91/q121/q130 one-row corpus
+    // scalars, q50/q53 the broadcast query vector, q116 k centroids + n.
+    // Any NEW BNLJ (or an added one in these queries) fails the sweep and
+    // forces a review of what is being broadcast.
+    val bnljAllowed = Map(
+      "q29_edit_distance" -> 2, "q36_tfidf_keywords" -> 2, "q50_knn_brute" -> 2,
+      "q53_ann_ivf" -> 2, "q91_bm25_search" -> 2, "q116_kmeans" -> 4,
+      "q121_cooccurrence" -> 2, "q130_decayed_score" -> 2)
     for ((name, _) <- graft.SparkEntry.queries.toSeq.sortBy(_._1) if !skip(name)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),
         s"$name plans a CartesianProduct — an all-pairs scan at 100 TB")
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      assert(bnlj <= bnljAllowed.getOrElse(name, 0),
+        s"$name plans $bnlj BroadcastNestedLoopJoin mention(s) " +
+          s"(allowed ${bnljAllowed.getOrElse(name, 0)}) — verify the broadcast side is tiny")
     }
   }
 
