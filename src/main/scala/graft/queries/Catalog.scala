@@ -101,26 +101,73 @@ object CatalogQueries {
     // translatable-filter fast path. The history tail in the output pins
     // that each statement became exactly one commit of the right kind.
     "q136_sql_golden_dml" -> Q(
-      (s, _) => {
-        registered(s)
-        val t = "graft.default.people_dml"
-        cache.computeIfAbsent("people_dml", _ => {
-          s.sql(s"CREATE TABLE $t (id INT, firstname STRING, lastname STRING) USING graft")
-          s.sql(s"INSERT INTO $t VALUES (1, 'James', 'Bond'), " +
-            "(2, 'Alice', 'Rogers'), (3, 'Joe', 'Bloggs')") // v1
-          s.sql(s"""MERGE INTO $t t
-                   |USING (SELECT * FROM VALUES (2, 'Alice', 'Smith'), (4, 'New', 'Person')
-                   |       AS s(id, firstname, lastname)) s
-                   |ON t.id = s.id
-                   |WHEN MATCHED THEN UPDATE SET t.firstname = s.firstname, t.lastname = s.lastname
-                   |WHEN NOT MATCHED THEN INSERT (id, firstname, lastname)
-                   |  VALUES (s.id, s.firstname, s.lastname)""".stripMargin) // v2
-          s.sql(s"DELETE FROM $t WHERE id = 1 OR id = 3") // v3
-          t
-        })
-        s.sql(s"SELECT * FROM $t ORDER BY id")
-      },
+      (s, _) => s.sql(s"SELECT * FROM ${goldenDml(s)} ORDER BY id"),
       """SELECT * FROM (VALUES (2, 'Alice', 'Smith'), (4, 'New', 'Person'))
         |AS t(id, firstname, lastname) ORDER BY id""".stripMargin),
+
+    // ---- DESCRIBE HISTORY front door: the graft_history table function -----------
+    // Delta users read a table's operation ledger from SQL; graft_history
+    // (GraftExtensions.scala — injectTableFunction, analysis-time driver
+    // metadata fold) is that front door. The ledger of the q136 scenario
+    // pins that each pure-SQL statement became exactly one commit of the
+    // right operation kind.
+    "q137_sql_history" -> Q(
+      (s, _) => {
+        goldenDml(s)
+        s.sql(s"""SELECT version, operation
+                 |FROM graft_history('${goldenDmlPath(s)}')
+                 |ORDER BY version DESC""".stripMargin)
+      },
+      """SELECT * FROM (VALUES (3, 'DELETE'), (2, 'MERGE'), (1, 'WRITE'), (0, 'CREATE'))
+        |AS t(version, operation) ORDER BY version DESC""".stripMargin),
+
+    // ---- SQL change data feed: the graft_table_changes table function ------------
+    // Delta's table_changes shape over the q136 history: the MERGE's
+    // group-based full rewrite must surface ONLY its semantic deltas
+    // (update = delete-pre + insert-post, plus the insert) — rows merely
+    // rewritten unchanged cancel in the file-diff CDF — and the DELETE's
+    // two removed rows close the feed. Literal-VALUES oracle, q74 pattern.
+    "q138_sql_cdf" -> Q(
+      (s, _) => {
+        goldenDml(s)
+        s.sql(s"""SELECT * FROM graft_table_changes('${goldenDmlPath(s)}', 0, 3)
+                 |ORDER BY _commit_version, _change_type, id""".stripMargin)
+      },
+      """SELECT * FROM (VALUES
+        |  (1, 'James', 'Bond',   'insert', CAST(1 AS BIGINT)),
+        |  (2, 'Alice', 'Rogers', 'insert', CAST(1 AS BIGINT)),
+        |  (3, 'Joe',   'Bloggs', 'insert', CAST(1 AS BIGINT)),
+        |  (2, 'Alice', 'Rogers', 'delete', CAST(2 AS BIGINT)),
+        |  (2, 'Alice', 'Smith',  'insert', CAST(2 AS BIGINT)),
+        |  (4, 'New',   'Person', 'insert', CAST(2 AS BIGINT)),
+        |  (1, 'James', 'Bond',   'delete', CAST(3 AS BIGINT)),
+        |  (3, 'Joe',   'Bloggs', 'delete', CAST(3 AS BIGINT)))
+        |AS t(id, firstname, lastname, _change_type, _commit_version)
+        |ORDER BY _commit_version, _change_type, id""".stripMargin),
   )
+
+  /** The q136 pure-SQL golden scenario, built once per JVM; returns the
+    * catalog NAME (q137/q138 read its metadata surfaces by PATH). */
+  private def goldenDml(s: SparkSession): String = {
+    registered(s)
+    val t = "graft.default.people_dml"
+    cache.computeIfAbsent("people_dml", _ => {
+      s.sql(s"CREATE TABLE $t (id INT, firstname STRING, lastname STRING) USING graft")
+      s.sql(s"INSERT INTO $t VALUES (1, 'James', 'Bond'), " +
+        "(2, 'Alice', 'Rogers'), (3, 'Joe', 'Bloggs')") // v1
+      s.sql(s"""MERGE INTO $t t
+               |USING (SELECT * FROM VALUES (2, 'Alice', 'Smith'), (4, 'New', 'Person')
+               |       AS s(id, firstname, lastname)) s
+               |ON t.id = s.id
+               |WHEN MATCHED THEN UPDATE SET t.firstname = s.firstname, t.lastname = s.lastname
+               |WHEN NOT MATCHED THEN INSERT (id, firstname, lastname)
+               |  VALUES (s.id, s.firstname, s.lastname)""".stripMargin) // v2
+      s.sql(s"DELETE FROM $t WHERE id = 1 OR id = 3") // v3
+      t
+    })
+    t
+  }
+
+  private def goldenDmlPath(s: SparkSession): String =
+    s"${cache.get("warehouse")}/default/people_dml"
 }

@@ -16,7 +16,7 @@ import org.apache.parquet.schema.{GroupType, LogicalTypeAnnotation, MessageType,
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -59,9 +59,44 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
   private var availableNowTarget: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(log.latestVersion)
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    GraftStreamOffset(availableNowTarget.getOrElse(log.latestVersion))
+
+  /** Admission control: `maxFilesPerTrigger` caps each micro-batch's file
+    * count (at commit granularity — offsets are whole versions, and a
+    * batch always advances at least one version so the stream makes
+    * progress). This is what keeps a catch-up read of a long commit
+    * backlog from planning one giant batch. */
+  override def getDefaultReadLimit: ReadLimit =
+    options.get("maxfilespertrigger").map(n => ReadLimit.maxFiles(n.toInt))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cap = availableNowTarget.getOrElse(log.latestVersion)
+    val s = start.asInstanceOf[GraftStreamOffset].version
+    val end = limit match {
+      case mf: ReadMaxFiles =>
+        // count added files per commit (an upper bound for the folded
+        // initial batch); stop before exceeding the cap, take >= 1 version
+        var v = s
+        var total = 0L
+        var stop = false
+        while (!stop && v < cap) {
+          val n = filesAddedIn(v + 1)
+          if (total > 0 && total + n > mf.maxFiles) stop = true
+          else { total += n; v += 1 }
+        }
+        v
+      case _ => cap
+    }
+    GraftStreamOffset(end)
+  }
+
+  private def filesAddedIn(v: Long): Long = {
+    val actions = log.readVersion(v)
+    val op = actions.collectFirst { case c: CommitInfo => c.operation }
+    if (op.exists(nonDataOps.contains)) 0L
+    else actions.count(_.isInstanceOf[AddFile]).toLong
+  }
+
   override def reportLatestOffset(): Offset = GraftStreamOffset(log.latestVersion)
 
   /** Maintenance operations that reorganize files without changing table

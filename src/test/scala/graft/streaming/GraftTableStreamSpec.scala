@@ -132,6 +132,35 @@ class GraftTableStreamSpec extends SparkTestBase {
     assert(r.getDate(7).toString == "2026-01-02")
   }
 
+  test("maxFilesPerTrigger splits the backlog into multiple micro-batches") {
+    val dir = tmpDir("gstream-mft-")
+    val t = GraftTable.create(spark, dir, Seq((1, "a")).toDF("id", "v").coalesce(1))
+    t.append(Seq((2, "b")).toDF("id", "v").coalesce(1))
+    t.append(Seq((3, "c")).toDF("id", "v").coalesce(1))
+    val q = spark.readStream.format("graft")
+      .option("maxFilesPerTrigger", "1")
+      .load(dir).writeStream.format("memory").queryName("gmft")
+      .option("checkpointLocation", tmpDir("gstream-mft-ckpt-"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("gmft").count() == 3)
+    // three 1-file commits at 1 file/trigger → three batches (ids 0..2)
+    val lastBatch = q.lastProgress.batchId
+    assert(lastBatch >= 2, s"expected >=3 micro-batches, last batchId=$lastBatch")
+  }
+
+  test("readStream.table() streams a catalog table by name") {
+    graft.sources.GraftCatalog.register(spark, tmpDir("gstream-cat-wh-"), name = "gsc")
+    spark.sql("CREATE TABLE gsc.default.events (id INT, v STRING) USING graft")
+    spark.sql("INSERT INTO gsc.default.events VALUES (1, 'a'), (2, 'b')")
+    val q = spark.readStream.table("gsc.default.events")
+      .writeStream.format("memory").queryName("gcat_stream")
+      .option("checkpointLocation", tmpDir("gstream-cat-ckpt-"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("gcat_stream").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+  }
+
   test("batch reads through the DSv2 path keep time-travel parity") {
     val dir = tmpDir("gstream-tt-")
     val t = GraftTable.create(spark, dir, Seq((1, "a")).toDF("id", "v"))
