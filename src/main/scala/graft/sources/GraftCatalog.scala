@@ -9,7 +9,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
@@ -258,7 +258,20 @@ object GraftCatalog {
 class GraftSqlTable(val table: GraftTable, ident: String,
     pinned: Option[Snapshot] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
+
+  /** `_file`: which data file a row lives in — the GROUP identity of the
+    * copy-on-write rewrite (Spark's runtime group filter collects the
+    * `_file` values of matching rows and narrows the rewrite scan to
+    * exactly those files), and available to users as a metadata column. */
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(new MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "data file holding the row"
+    })
 
   /** SQL UPDATE / MERGE INTO (and non-translatable DELETEs): group-based
     * copy-on-write. Spark scans the affected groups, applies the command's
@@ -320,8 +333,16 @@ class GraftRowLevelOperation(table: GraftTable,
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
 
   @volatile private var scanned: Option[Snapshot] = None
+  @volatile private var groupScan: Option[GraftGroupScan] = None
 
   override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  /** Ask Spark to carry each row's `_file` through the rewrite plan: the
+    * runtime group filter then narrows the scan (and therefore the commit's
+    * removed set) to the files that actually contain matching rows. */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column("_file"))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
@@ -331,7 +352,9 @@ class GraftRowLevelOperation(table: GraftTable,
         // the rewrite read path has no V1 fallback — serve a real DSv2
         // Batch over the snapshot's files with the executor-side parquet
         // decoder the streaming source already uses
-        new GraftGroupScan(table.path, snap)
+        val s = new GraftGroupScan(table.path, snap)
+        groupScan = Some(s)
+        s
       }
     }
 
@@ -340,30 +363,77 @@ class GraftRowLevelOperation(table: GraftTable,
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-          new GraftGroupBatchWrite(table, () => scanned, info.schema(), cmd.toString)
+          new GraftGroupBatchWrite(table, () => scanned,
+            () => groupScan.map(_.plannedFiles), info.schema(), cmd.toString)
       }
     }
 }
 
-/** Full-snapshot DSv2 batch scan for the row-level rewrite: every file is
-  * one InputPartition, decoded on executors by the same parquet reader the
-  * streaming source uses (streaming/GraftTableStream.scala). */
+/** DSv2 batch scan for the row-level rewrite: every live file is one
+  * InputPartition, decoded on executors by the same parquet reader the
+  * streaming source uses (streaming/GraftTableStream.scala), with each
+  * row's `_file` appended. Implements runtime GROUP filtering: Spark
+  * first finds the `_file` values of rows matching the command's
+  * condition, then calls `filter` with an IN over them — narrowing both
+  * the rewrite read and the commit's removed set to the matched files
+  * (an unmatched MERGE touches nothing instead of rewriting the table). */
 class GraftGroupScan(tablePath: String, snap: Snapshot)
-    extends Scan with org.apache.spark.sql.connector.read.Batch {
+    extends Scan with org.apache.spark.sql.connector.read.Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   graft.streaming.GraftTableStream.validateSchema(snap.schema)
 
-  override def readSchema(): StructType = snap.schema
+  @volatile private var files: Seq[graft.table.AddFile] = snap.files
+
+  /** The files this scan still plans — after runtime filtering, exactly
+    * the groups being replaced. */
+  def plannedFiles: Seq[graft.table.AddFile] = files
+
+  private def absPath(f: graft.table.AddFile): String =
+    java.nio.file.Paths.get(tablePath, f.path).toString
+
+  private val scanSchema: StructType =
+    snap.schema.add(org.apache.spark.sql.types.StructField("_file", org.apache.spark.sql.types.StringType,
+      nullable = false))
+
+  override def readSchema(): StructType = scanSchema
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
 
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column("_file"))
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    predicates.foreach { p =>
+      val onFile = p.children().headOption.exists {
+        case r: NamedReference => r.fieldNames.sameElements(Array("_file"))
+        case _ => false
+      }
+      if (p.name() == "IN" && onFile) {
+        val allowed = p.children().tail.collect {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            String.valueOf(l.value())
+        }.toSet
+        files = files.filter(f => allowed.contains(absPath(f)))
+      } else if (p.name() == "=" && onFile) {
+        val allowed = p.children().tail.collect {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            String.valueOf(l.value())
+        }.toSet
+        files = files.filter(f => allowed.contains(absPath(f)))
+      }
+      // untranslated predicates simply don't narrow — correct, less pruned
+    }
+  }
+
   override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] =
-    snap.files.map(f => graft.streaming.GraftFilePartition(
-      java.nio.file.Paths.get(tablePath, f.path).toString,
-      f.partitionValues, f.numRecords)
+    files.map(f => graft.streaming.GraftFilePartition(
+      absPath(f), f.partitionValues, f.numRecords)
         : org.apache.spark.sql.connector.read.InputPartition).toArray
 
   override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
-    new graft.streaming.GraftParquetReaderFactory(snap.schema,
+    new graft.streaming.GraftParquetReaderFactory(scanSchema,
       snap.metaData.partitionColumns)
 }
 
@@ -421,7 +491,14 @@ class GraftV1ScanRelation(ctx: SQLContext, table: GraftTable, snap: Snapshot,
       case Some(p) => table.prunedFiles(snap, p)
       case None => snap.files
     }
-    val df = table.readFiles(snap, files)
+    val df0 = table.readFiles(snap, files)
+    // `_file` metadata column: which data file holds the row. Normalized
+    // to a plain path (input_file_name returns a file: URI) so values
+    // compare equal with the row-level GraftGroupScan's `_file`.
+    val df = if (required.fieldNames.contains("_file"))
+      df0.withColumn("_file", org.apache.spark.sql.functions.regexp_replace(
+        org.apache.spark.sql.functions.input_file_name(), "^file:/+", "/"))
+    else df0
     df.select(required.fieldNames.map(col).toIndexedSeq: _*).rdd
   }
 }

@@ -31,6 +31,7 @@ import org.apache.spark.sql.types._
   * re-enabled per the table's `bloom.columns` property, so DML through
   * SQL keeps the point-lookup index like every other write path. */
 class GraftGroupBatchWrite(table: GraftTable, scannedSnap: () => Option[Snapshot],
+    plannedFiles: () => Option[Seq[AddFile]],
     schema: StructType, op: String) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -62,7 +63,9 @@ class GraftGroupBatchWrite(table: GraftTable, scannedSnap: () => Option[Snapshot
         }
       }
     }
-    table.commitReplace(snap, snap.files, adds, op)
+    // runtime group filtering narrowed the scan to the matched files —
+    // remove exactly those; unmatched files stay live untouched
+    table.commitReplace(snap, plannedFiles().getOrElse(snap.files), adds, op)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -174,8 +174,10 @@ class GraftParquetReader(part: GraftFilePartition, schema: StructType,
 
   // project the parquet read to the non-partition fields the scan needs
   // that the file actually has (schema evolution: files predating an added
-  // column read it as null, parquet missing-column semantics)
-  private val dataFields = schema.fields.filterNot(f => partitionCols.contains(f.name))
+  // column read it as null, parquet missing-column semantics); `_file` is
+  // a per-file constant (the row's group identity), never in the data
+  private val dataFields = schema.fields
+    .filterNot(f => partitionCols.contains(f.name) || f.name == "_file")
     .filter(f => fileSchema.containsField(f.name))
   private val requested: MessageType = new MessageType(fileSchema.getName,
     dataFields.map(f => fileSchema.getType(fileSchema.getFieldIndex(f.name))): _*)
@@ -223,7 +225,8 @@ class GraftParquetReader(part: GraftFilePartition, schema: StructType,
 
   private def toInternalRow(g: Group): InternalRow = {
     val values = schema.fields.map { f =>
-      if (partitionCols.contains(f.name)) partValues(f.name)
+      if (f.name == "_file") UTF8String.fromString(part.absPath)
+      else if (partitionCols.contains(f.name)) partValues(f.name)
       else if (!requested.containsField(f.name)) null // evolved-in column
       else {
         val idx = requested.getFieldIndex(f.name)

@@ -170,6 +170,44 @@ class CatalogSpec extends SparkTestBase {
     assert(ops.head == "MERGE")
   }
 
+  test("runtime group filtering: UPDATE rewrites only files containing matches") {
+    registered
+    import spark.implicits._
+    // three single-row files via three INSERT commits
+    sql("CREATE TABLE gcat.default.grp (id INT, v STRING) USING graft")
+    sql("INSERT INTO gcat.default.grp VALUES (1, 'a')")
+    sql("INSERT INTO gcat.default.grp VALUES (2, 'b')")
+    sql("INSERT INTO gcat.default.grp VALUES (3, 'c')")
+    val t = GraftTable.forPath(spark, s"$wh/default/grp")
+    val filesBefore = t.snapshot.files.map(_.path).toSet
+    assert(filesBefore.size == 3)
+    sql("UPDATE gcat.default.grp SET v = 'B' WHERE id = 2")
+    // only the file holding id=2 was replaced; the other two survive
+    val commit = t.log.readVersion(t.latestVersion)
+    val removed = commit.collect { case r: graft.table.RemoveFile => r.path }
+    assert(removed.size == 1, s"expected 1 removed file, got $removed")
+    val filesAfter = t.snapshot.files.map(_.path).toSet
+    assert((filesBefore intersect filesAfter).size == 2, "unmatched files must survive")
+    assert(sql("SELECT v FROM gcat.default.grp ORDER BY id").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "B", "c"))
+    // an unmatched MERGE with only a MATCHED clause removes nothing
+    sql("""MERGE INTO gcat.default.grp t
+          |USING (SELECT * FROM VALUES (99, 'zz') AS s(id, v)) s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin)
+    val mergeCommit = t.log.readVersion(t.latestVersion)
+    assert(mergeCommit.collect { case r: graft.table.RemoveFile => r }.isEmpty,
+      "unmatched MERGE must not rewrite any file")
+    assert(sql("SELECT COUNT(*) FROM gcat.default.grp").head().getLong(0) == 3)
+  }
+
+  test("_file metadata column is selectable") {
+    registered
+    sql("CREATE TABLE gcat.default.mf (id INT) USING graft")
+    sql("INSERT INTO gcat.default.mf VALUES (1), (2)")
+    val files = sql("SELECT DISTINCT _file FROM gcat.default.mf").collect()
+    assert(files.nonEmpty && files.forall(_.getString(0).contains("part-")))
+  }
+
   test("bloom.columns property at CREATE configures native bloom filters") {
     registered
     sql("CREATE TABLE gcat.default.bl (k BIGINT, v STRING) USING graft " +
