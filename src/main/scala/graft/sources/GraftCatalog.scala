@@ -44,7 +44,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * single-commit atomic `overwrite`. SQL time travel (`VERSION AS OF` /
   * `TIMESTAMP AS OF`) maps to the log's snapshot resolution.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
+
+  /** Maintenance procedures: `CALL graft.system.optimize/vacuum/restore`
+    * (GraftProcedures.scala) — the statements Delta adds a SQL parser
+    * extension for, served through the public DSv2 procedure API. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(this, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.names.map(n => Identifier.of(namespace, n)).toArray
+    else Array.empty
 
   private var catalogName: String = "graft"
   private var warehouse: Path = _

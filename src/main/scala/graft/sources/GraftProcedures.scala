@@ -1,0 +1,137 @@
+package graft.sources
+
+import graft.table.GraftTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL stored procedures for table MAINTENANCE — the commands Delta
+  * surfaces as custom parsed statements (OPTIMIZE / VACUUM / RESTORE),
+  * expressed through Spark 4's public DSv2 procedure API instead (no
+  * parser extension needed):
+  *
+  * {{{
+  *   CALL graft.system.optimize(`table` => 'default.events', zorder_by => 'a,b')
+  *   CALL graft.system.vacuum(`table` => 'default.events', retain_versions => 2)
+  *   CALL graft.system.restore(`table` => 'default.events', version => 3)
+  * }}}
+  *
+  * `table` accepts a catalog name ("ns.t") or a direct path ("/data/t").
+  * Each procedure returns a one-row metrics result (a `LocalScan` — the
+  * figures come from the driver-side log, no job runs to report them). */
+object GraftProcedures {
+
+  val names: Seq[String] = Seq("optimize", "vacuum", "restore")
+
+  def load(catalog: GraftCatalog, ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"procedures live in the `system` namespace, got ${ident.namespace.mkString(".")}")
+    ident.name.toLowerCase match {
+      case "optimize" => OptimizeProc(catalog)
+      case "vacuum"   => VacuumProc(catalog)
+      case "restore"  => RestoreProc(catalog)
+      case other => throw new IllegalArgumentException(
+        s"unknown procedure graft.system.$other (have: ${names.mkString(", ")})")
+    }
+  }
+
+  /** Resolve the `table` argument: path if it looks like one, else a
+    * (possibly namespace-qualified) name in this catalog. */
+  private def resolve(catalog: GraftCatalog, table: String): GraftTable = {
+    val spark = SparkSession.active
+    if (table.contains("/")) GraftTable.forPath(spark, table)
+    else {
+      val parts = table.split('.')
+      val ident =
+        if (parts.length == 1) Identifier.of(Array("default"), parts(0))
+        else Identifier.of(parts.init, parts.last)
+      catalog.loadTable(ident) match {
+        case g: GraftSqlTable => g.table
+        case other => throw new IllegalArgumentException(s"not a graft table: $other")
+      }
+    }
+  }
+
+  private def row(values: Any*): InternalRow =
+    new GenericInternalRow(values.toArray)
+
+  private def resultScan(schema: StructType, r: InternalRow): java.util.Iterator[Scan] =
+    java.util.List.of[Scan](new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = Array(r)
+    }).iterator()
+
+  private def param(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+  private def paramD(name: String, dt: DataType, default: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  abstract class GraftProc(name0: String) extends UnboundProcedure with BoundProcedure {
+    override def name(): String = name0
+    override def description(): String = s"graft table maintenance: $name0"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+  }
+
+  case class OptimizeProc(catalog: GraftCatalog) extends GraftProc("optimize") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      paramD("target_file_bytes", LongType, (128L * 1024 * 1024).toString),
+      paramD("zorder_by", StringType, "''"),
+      paramD("cluster_by", StringType, "''"))
+
+    private val out = StructType(Seq(
+      StructField("files_before", LongType, nullable = false),
+      StructField("files_after", LongType, nullable = false),
+      StructField("version", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val t = resolve(catalog, input.getUTF8String(0).toString)
+      val target = if (input.isNullAt(1)) 128L * 1024 * 1024 else input.getLong(1)
+      def cols(i: Int): Seq[String] =
+        if (input.isNullAt(i)) Nil
+        else input.getUTF8String(i).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      val before = t.snapshot.files.size.toLong
+      t.optimize(targetFileBytes = target, clusterBy = cols(3), zorderBy = cols(2))
+      val s = t.snapshot
+      resultScan(out, row(before, s.files.size.toLong, s.version))
+    }
+  }
+
+  case class VacuumProc(catalog: GraftCatalog) extends GraftProc("vacuum") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      paramD("retain_versions", IntegerType, "0"))
+
+    private val out = StructType(Seq(
+      StructField("deleted_files", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val t = resolve(catalog, input.getUTF8String(0).toString)
+      val retain = if (input.isNullAt(1)) 0 else input.getInt(1)
+      resultScan(out, row(t.vacuum(retain).toLong))
+    }
+  }
+
+  case class RestoreProc(catalog: GraftCatalog) extends GraftProc("restore") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("version", LongType))
+
+    private val out = StructType(Seq(
+      StructField("restored_to_version", LongType, nullable = false),
+      StructField("head_version", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val t = resolve(catalog, input.getUTF8String(0).toString)
+      val v = input.getLong(1)
+      t.restore(v)
+      resultScan(out, row(v, t.latestVersion))
+    }
+  }
+}

@@ -208,6 +208,32 @@ class CatalogSpec extends SparkTestBase {
     assert(files.nonEmpty && files.forall(_.getString(0).contains("part-")))
   }
 
+  test("CALL graft.system.optimize / vacuum / restore procedures") {
+    registered
+    sql("CREATE TABLE gcat.default.proc (id INT, v STRING) USING graft")
+    (1 to 5).foreach(i => sql(s"INSERT INTO gcat.default.proc VALUES ($i, 'v$i')"))
+    val t = GraftTable.forPath(spark, s"$wh/default/proc")
+    val filesBefore = t.snapshot.files.size
+
+    val opt = sql("CALL gcat.system.optimize(`table` => 'default.proc')").head()
+    assert(opt.getLong(0) == filesBefore && opt.getLong(1) < filesBefore)
+    assert(t.history().select("operation").head().getString(0) == "OPTIMIZE")
+    assert(sql("SELECT COUNT(*) FROM gcat.default.proc").head().getLong(0) == 5)
+
+    // restore to v2 (two inserts in) while its files still exist on disk
+    val res = sql("CALL gcat.system.restore(`table` => 'default.proc', version => 2)").head()
+    assert(res.getLong(0) == 2)
+    assert(sql("SELECT id FROM gcat.default.proc ORDER BY id").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 2))
+
+    // vacuum now drops everything the restored head no longer references
+    // (the compacted file and the later inserts' files)
+    val vac = sql("CALL gcat.system.vacuum(`table` => 'default.proc')").head()
+    assert(vac.getLong(0) > 0)
+    assert(sql("SELECT id FROM gcat.default.proc ORDER BY id").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 2))
+  }
+
   test("bloom.columns property at CREATE configures native bloom filters") {
     registered
     sql("CREATE TABLE gcat.default.bl (k BIGINT, v STRING) USING graft " +
