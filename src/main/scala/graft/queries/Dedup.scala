@@ -663,7 +663,90 @@ object Dedup {
          |FROM cand JOIN sigl sx ON sx.doc_id = new_doc JOIN sigl sy ON sy.doc_id = corpus_doc
          |WHERE len([1 FOR k IN range(1, ${MinhashK + 1}) IF sx.sig[k] = sy.sig[k]]) / ${MinhashK}.0 >= 0.3
          |ORDER BY new_doc, corpus_doc""".stripMargin),
+
+    // ---- STREAMING incremental dedup: the q127 pipeline end-to-end ----------------
+    // The production composition of three round-5 pieces: arrivals land in
+    // a GraftTable over multiple commits (two "days"); a STREAMING read of
+    // that table (`readStream.format("graft")`) feeds foreachBatch, which
+    // (a) minhashes ONLY the micro-batch, (b) probes the persisted corpus
+    // signature index for near-dup pairs, appending them to a results
+    // table, and (c) appends the batch's signatures to a LIVE index — a
+    // shallow CLONE of the corpus index, so the evolving copy is
+    // metadata-only and the original stays pinned for the probe (batch-
+    // split invariance: matches are against the corpus index, so the same
+    // pairs emerge whether AvailableNow drains one commit or five). The
+    // oracle is q127's recomputation from raw documents — the streamed
+    // path must land on the identical pair set. The builder also REQUIRES
+    // the live index to have grown by exactly the arrival count (the
+    // incremental-maintenance invariant), so a silent under-append fails
+    // the query, not just a spec.
+    "q139_stream_incremental_dedup" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val out = streamDedup.computeIfAbsent(dir, _ => {
+          val idx = sigIndex(s, dir)
+          val arrivals = graft.table.GraftTable.create(s,
+            graft.Scratch.dir("graft-arrivals-").toString,
+            Tables.documents(s, dir).filter($"doc_id" % 14 === 3))
+          arrivals.append(Tables.documents(s, dir).filter($"doc_id" % 14 === 10))
+          val liveIdx = idx.cloneTo(graft.Scratch.dir("graft-liveidx-").toString)
+          val pairSchema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("new_doc",
+              Tables.documents(s, dir).schema("doc_id").dataType, nullable = false),
+            org.apache.spark.sql.types.StructField("corpus_doc",
+              Tables.documents(s, dir).schema("doc_id").dataType, nullable = false),
+            org.apache.spark.sql.types.StructField("est_jaccard",
+              org.apache.spark.sql.types.DoubleType, nullable = true)))
+          val results = graft.table.GraftTable.create(s,
+            graft.Scratch.dir("graft-dedup-out-").toString,
+            s.createDataFrame(java.util.Collections.emptyList[
+              org.apache.spark.sql.Row](), pairSchema))
+          val corpusSigs = idx.toDF
+          val chk = graft.Scratch.dir("graft-dedup-chk-")
+          val q = s.readStream.format("graft").load(arrivals.path)
+            .writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              val sigs = minhashSignaturesOf(batch).localCheckpoint(true)
+              val pairs = bandedOf(sigs, "new_doc")
+                .join(bandedOf(corpusSigs, "corpus_doc"), Seq("band", "band_sig"))
+                .select(col("new_doc"), col("corpus_doc")).distinct()
+                .join(sigs.select(col("doc_id").as("new_doc"), col("sig").as("sig_n")), "new_doc")
+                .join(corpusSigs.select(col("doc_id").as("corpus_doc"), col("sig").as("sig_c")), "corpus_doc")
+                .withColumn("est_jaccard",
+                  expr(s"size(filter(zip_with(sig_n, sig_c, (x, y) -> x = y), t -> t)) / cast($MinhashK as double)"))
+                .filter(col("est_jaccard") >= 0.3)
+                .select(col("new_doc"), col("corpus_doc"), col("est_jaccard"))
+              results.append(pairs)
+              liveIdx.append(sigs)
+            }
+            .option("checkpointLocation", chk.resolve("chk").toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          // incremental-maintenance invariant: the live index grew by
+          // exactly the arrivals (metadata-only counts — no scan)
+          val arrivalsN = arrivals.metadataCount()
+          require(liveIdx.metadataCount() == idx.metadataCount() + arrivalsN,
+            s"live index must grow by the $arrivalsN arrivals")
+          results
+        })
+        out.toDF.orderBy($"new_doc", $"corpus_doc")
+      },
+      s"""WITH $sqlSigBanded,
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS new_doc, y.doc_id AS corpus_doc
+         |  FROM banded x JOIN banded y ON x.b = y.b AND x.bsig = y.bsig
+         |  WHERE x.doc_id % 7 = 3 AND y.doc_id % 7 <> 3)
+         |SELECT new_doc, corpus_doc,
+         |  len([1 FOR k IN range(1, ${MinhashK + 1}) IF sx.sig[k] = sy.sig[k]]) / ${MinhashK}.0 AS est_jaccard
+         |FROM cand JOIN sigl sx ON sx.doc_id = new_doc JOIN sigl sy ON sy.doc_id = corpus_doc
+         |WHERE len([1 FOR k IN range(1, ${MinhashK + 1}) IF sx.sig[k] = sy.sig[k]]) / ${MinhashK}.0 >= 0.3
+         |ORDER BY new_doc, corpus_doc""".stripMargin),
   )
+
+  /** q139's drained stream results, one per (JVM, dir). */
+  private val streamDedup =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.table.GraftTable]()
 
   /** Corpus signature index, one GraftTable per (JVM, dir) — q127's
     * persisted-index fixture. */
