@@ -170,6 +170,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     changes.foreach {
       case set: TableChange.SetProperty => t.setProperty(set.property, set.value)
       case rm: TableChange.RemoveProperty => t.removeProperty(rm.property)
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "graft tables support top-level ADD COLUMN only")
+        t.addColumn(add.fieldNames.head, add.dataType)
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change not supported on graft tables: $other")
     }

@@ -294,6 +294,21 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       removed.map(f => RemoveFile(f.path, ts)) ++ adds)
   }
 
+  /** ALTER TABLE ADD COLUMN: additive schema evolution as a metadata-only
+    * commit (the same evolution `append(mergeSchema = true)` performs
+    * implicitly) — existing files read the new column as null via parquet
+    * missing-column semantics, so no data rewrites. The column is forced
+    * nullable for exactly that reason. */
+  def addColumn(name: String, dataType: DataType): Unit = {
+    val s = snapshot
+    require(!s.schema.fieldNames.contains(name), s"column $name already exists")
+    val evolved = StructType(s.schema.fields :+ StructField(name, dataType, nullable = true))
+    log.commit(s.version + 1, Seq(
+      s.metaData.copy(schemaString = evolved.json),
+      CommitInfo(s.version + 1, log.nextTimestamp(), "ADD COLUMNS",
+        Map("column" -> s"$name ${dataType.simpleString}"))))
+  }
+
   /** UNSET TBLPROPERTIES: commit a metaData with the property removed. */
   def removeProperty(key: String): Unit = {
     val s = snapshot

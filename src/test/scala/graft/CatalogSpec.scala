@@ -208,6 +208,23 @@ class CatalogSpec extends SparkTestBase {
     assert(files.nonEmpty && files.forall(_.getString(0).contains("part-")))
   }
 
+  test("ALTER TABLE ADD COLUMN evolves without rewriting files") {
+    registered
+    sql("CREATE TABLE gcat.default.evo (id INT) USING graft")
+    sql("INSERT INTO gcat.default.evo VALUES (1), (2)")
+    val t = GraftTable.forPath(spark, s"$wh/default/evo")
+    val filesBefore = t.snapshot.files.map(_.path).toSet
+    sql("ALTER TABLE gcat.default.evo ADD COLUMN note STRING")
+    assert(t.snapshot.files.map(_.path).toSet == filesBefore, "metadata-only commit")
+    // old rows read the new column as null; new inserts carry it
+    sql("INSERT INTO gcat.default.evo VALUES (3, 'three')")
+    val rows = sql("SELECT id, note FROM gcat.default.evo ORDER BY id").collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)))).toSeq
+    assert(rows == Seq((1, None), (2, None), (3, Some("three"))))
+    // time travel to before the evolution keeps the old schema
+    assert(sql("SELECT * FROM gcat.default.evo VERSION AS OF 1").columns.toSeq == Seq("id"))
+  }
+
   test("CALL graft.system.optimize / vacuum / restore procedures") {
     registered
     sql("CREATE TABLE gcat.default.proc (id INT, v STRING) USING graft")
