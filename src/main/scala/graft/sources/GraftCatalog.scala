@@ -332,14 +332,15 @@ class GraftSqlTable(val table: GraftTable, ident: String,
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.Set.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(table, snap,
       options.asCaseSensitiveMap().asScala.toMap.map { case (k, v) => k.toLowerCase -> v })
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(table)
+    new GraftWriteBuilder(table, info)
 }
 
 /** One SQL row-level command (UPDATE / MERGE / DELETE rewrite): the scan
@@ -520,16 +521,25 @@ class GraftV1ScanRelation(ctx: SQLContext, table: GraftTable, snap: Snapshot,
   }
 }
 
-/** V1-fallback write: INSERT INTO appends through the optimistic commit
-  * protocol; INSERT OVERWRITE (truncate) is the atomic single-commit
-  * overwrite. Spark has already validated/cast the query schema. */
-class GraftWriteBuilder(table: GraftTable) extends WriteBuilder with SupportsTruncate {
+/** Batch writes fall back to V1 (INSERT INTO appends through the
+  * optimistic commit protocol; INSERT OVERWRITE/truncate is the atomic
+  * single-commit overwrite — Spark has already validated/cast the query
+  * schema); `writeStream` gets a real `StreamingWrite` committing one
+  * epoch-identified APPEND per micro-batch. */
+class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation = new InsertableRelation {
       override def insert(data: DataFrame, ignored: Boolean): Unit =
         if (overwrite) table.overwrite(data) else table.append(data)
+    }
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(!overwrite,
+        "graft streaming sink supports Append output mode (complete/update rewrite the table each epoch — use foreachBatch + overwrite for that)")
+      new GraftStreamingWrite(table, info.schema(), info.queryId())
     }
   }
 }

@@ -78,6 +78,53 @@ class GraftGroupBatchWrite(table: GraftTable, scannedSnap: () => Option[Snapshot
 
 case class GraftWriteMessage(adds: Seq[AddFile]) extends WriterCommitMessage
 
+/** `writeStream.format("graft")` / `.toTable("graft.ns.t")`: each epoch's
+  * rows land as one atomic APPEND commit (the micro-batch transaction
+  * Delta's streaming sink performs). Exactly-once across checkpoint
+  * replays: the commit records (queryId, epochId), and a replayed epoch
+  * that already committed is skipped — the idempotent-txn pattern, driver
+  * side. Files are written executor-side by the same parquet-mr writers
+  * the SQL rewrite uses; a failed epoch's files are deleted on abort and
+  * were never visible (nothing references them until the commit). */
+class GraftStreamingWrite(table: GraftTable, schema: StructType, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val meta = table.snapshot.metaData
+    val bloomNdv = meta.properties.getOrElse("bloom.ndv", "100000").toLong
+    val blooms = meta.properties.get("bloom.columns").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .map(c => c -> bloomNdv).toMap
+    GraftStreamingWriterFactory(table.path, schema, meta.partitionColumns, blooms)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val alreadyCommitted = table.log.commitInfos.exists(c =>
+      c.operationMetrics.get("txnAppId").contains(queryId) &&
+        c.operationMetrics.get("epoch").contains(epochId.toString))
+    val adds = messages.flatMap { case m: GraftWriteMessage => m.adds }.toSeq
+    if (alreadyCommitted)
+      adds.foreach(a => Files.deleteIfExists(Paths.get(table.path, a.path)))
+    else table.commitStreamingAppend(adds, queryId, epochId)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case m: GraftWriteMessage =>
+        m.adds.foreach(a => Files.deleteIfExists(Paths.get(table.path, a.path)))
+      case _ => ()
+    }
+}
+
+case class GraftStreamingWriterFactory(tablePath: String, schema: StructType,
+    partitionCols: Seq[String], bloomColumns: Map[String, Long])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftParquetDataWriter(tablePath, schema, partitionCols, bloomColumns)
+}
+
 case class GraftParquetWriterFactory(tablePath: String, schema: StructType,
     partitionCols: Seq[String], bloomColumns: Map[String, Long])
     extends DataWriterFactory {

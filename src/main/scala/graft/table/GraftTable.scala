@@ -309,6 +309,29 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         Map("column" -> s"$name ${dataType.simpleString}"))))
   }
 
+  /** One micro-batch epoch of a streaming write, committed atomically
+    * with its (queryId, epochId) transaction identity — the replay guard
+    * GraftStreamingWrite checks before re-committing an epoch. */
+  private[graft] def commitStreamingAppend(adds: Seq[AddFile],
+      queryId: String, epochId: Long): Unit = {
+    var attempts = 0
+    while (true) {
+      val v = latestVersion + 1
+      try {
+        log.commit(v, Seq(
+          CommitInfo(v, log.nextTimestamp(), "STREAMING UPDATE",
+            Map("numOutputRows" -> adds.map(_.numRecords).sum.toString,
+                "txnAppId" -> queryId, "epoch" -> epochId.toString))) ++ adds)
+        autoCompact()
+        return
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts >= 10) throw e
+      }
+    }
+  }
+
   /** UNSET TBLPROPERTIES: commit a metaData with the property removed. */
   def removeProperty(key: String): Unit = {
     val s = snapshot
