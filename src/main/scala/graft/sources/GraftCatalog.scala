@@ -335,9 +335,21 @@ class GraftSqlTable(val table: GraftTable, ident: String,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(table, snap,
-      options.asCaseSensitiveMap().asScala.toMap.map { case (k, v) => k.toLowerCase -> v })
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val opts = options.asCaseSensitiveMap().asScala.toMap
+      .map { case (k, v) => k.toLowerCase -> v }
+    // option-based time travel on a NAMED table:
+    // spark.read.option("versionAsOf", 3).table("graft.ns.t")
+    val readSnap = (opts.get("versionasof"), opts.get("timestampasof")) match {
+      case (Some(v), None) => table.snapshotAt(v.toLong)
+      case (None, Some(ts)) =>
+        table.snapshotAt(table.versionAt(java.sql.Timestamp.valueOf(ts).getTime))
+      case (None, None) => snap
+      case _ => throw new IllegalArgumentException(
+        "specify at most one of versionAsOf / timestampAsOf")
+    }
+    new GraftScanBuilder(table, readSnap, opts)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(table, info)

@@ -38,6 +38,8 @@ class CatalogSpec extends SparkTestBase {
     assert(sql("SELECT * FROM gcat.default.tt VERSION AS OF 1").count() == 1)
     assert(sql("SELECT * FROM gcat.default.tt VERSION AS OF 2").count() == 2)
     assert(sql("SELECT * FROM gcat.default.tt").count() == 2)
+    // option-based travel on the NAMED table (the reader-API spelling)
+    assert(spark.read.option("versionAsOf", 1).table("gcat.default.tt").count() == 1)
     // timestamp of commit 1 resolves to the v1 snapshot
     val t = GraftTable.forPath(spark, s"$wh/default/tt")
     val ts1 = new java.sql.Timestamp(t.log.commitInfos(1).timestamp)
