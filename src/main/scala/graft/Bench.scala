@@ -78,7 +78,7 @@ object Bench {
       "q80_stream_tumbling", "q81_stream_watermarked", "q82_stream_dedup",
       "q83_stream_stream_join", "q84_stream_static_join", "q85_stream_session",
       "q86_stream_sliding", "q135_stream_table_source",
-      "q139_stream_incremental_dedup")
+      "q139_stream_incremental_dedup", "q140_stream_sink_tumbling")
     val streamingS = results.collect { case (k, v) if v >= 0 && streaming(k) => v }.sum
     val batchS = total - streamingS
     println(s"""{"metric":"total","value":$total,"unit":"sec","batch_s":$batchS,"streaming_fixed_s":$streamingS,"queries":$qs,"errors":$errors,"sf":"$sfDir"}""")

@@ -303,5 +303,46 @@ object Streaming {
       s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
          |  ${sqlSumExact("o_totalprice")} AS total_price
          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // ---- NATIVE graft streaming sink under the oracle -----------------------------
+    // q81's watermarked Append aggregation, but the sink is the TABLE
+    // itself: `writeStream.format("graft")` commits one epoch-identified
+    // version per micro-batch (no foreachBatch, no parquet-dir sink) and
+    // the oracle checks the final TABLE state against the batch answer
+    // under the same watermark cutoff — closing the loop q78 (foreachBatch
+    // upsert) and q135 (streaming SOURCE) leave: graft tables now sit on
+    // BOTH ends of a stream natively.
+    "q140_stream_sink_tumbling" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = sinkTables.computeIfAbsent(dir, _ => {
+          val streamed = EventStreams.watermarkedTumblingCounts(
+            EventStreams.readEventStream(s, dir), delay = "30 minutes")
+          val tbl = graft.table.GraftTable.create(s,
+            graft.Scratch.dir("graft-sinktbl-").toString,
+            s.createDataFrame(java.util.Collections.emptyList[
+              org.apache.spark.sql.Row](), streamed.schema))
+          val chk = graft.Scratch.dir("graft-sinktbl-chk-")
+          val q = streamed.writeStream.format("graft")
+            .option("path", tbl.path)
+            .option("checkpointLocation", chk.resolve("chk").toString)
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          tbl
+        })
+        t.toDF.orderBy($"w_start", $"event_type").limit(500)
+      },
+      s"""WITH m AS (SELECT epoch_ms(max(ts)) - 30 * 60 * 1000 AS wm_ms FROM events)
+         |SELECT strftime(to_timestamp(floor(epoch(ts) / 600) * 600), '%Y-%m-%d %H:%M:%S') AS w_start,
+         |  event_type, COUNT(*) AS n, ${sqlSumExact("value")} AS sum_value
+         |FROM events, m
+         |WHERE (floor(epoch(ts) / 600) * 600 + 600) * 1000 <= wm_ms
+         |GROUP BY 1, 2 ORDER BY w_start, event_type LIMIT 500""".stripMargin),
   )
+
+  /** q140's drained sink tables, one per (JVM, dir). */
+  private val sinkTables =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.table.GraftTable]()
 }
