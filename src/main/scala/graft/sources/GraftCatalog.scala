@@ -64,8 +64,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
-    warehouse = Paths.get(Option(options.get("warehouse")).getOrElse(
-      graft.Scratch.dir(s"graft-warehouse-").toString))
+    warehouse = Paths.get(Option(options.get("warehouse")).getOrElse {
+      // default managed tables to the session's DURABLE Spark warehouse —
+      // tests/bench opt into tmpfs explicitly via the warehouse option
+      // (a silent /dev/shm default would put user tables in RAM)
+      val wh = SparkSession.active.conf.get("spark.sql.warehouse.dir")
+      val plain = if (wh.startsWith("file:")) Paths.get(java.net.URI.create(wh)).toString
+                  else wh
+      Paths.get(plain, "graft").toString
+    })
     Files.createDirectories(warehouse.resolve("default"))
   }
 

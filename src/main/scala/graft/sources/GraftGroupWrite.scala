@@ -100,9 +100,11 @@ class GraftStreamingWrite(table: GraftTable, schema: StructType, queryId: String
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val alreadyCommitted = table.log.commitInfos.exists(c =>
-      c.operationMetrics.get("txnAppId").contains(queryId) &&
-        c.operationMetrics.get("epoch").contains(epochId.toString))
+    // exactly-once epoch guard: the snapshot's folded SetTransaction map
+    // (appId -> latest committed epoch) — O(1) per epoch, bounded by
+    // checkpoints, instead of re-parsing every commit file of the log
+    val alreadyCommitted =
+      table.snapshot.transactions.get(queryId).exists(_ >= epochId)
     val adds = messages.flatMap { case m: GraftWriteMessage => m.adds }.toSeq
     if (alreadyCommitted)
       adds.foreach(a => Files.deleteIfExists(Paths.get(table.path, a.path)))
@@ -186,8 +188,12 @@ class GraftParquetDataWriter(tablePath: String, schema: StructType,
   }
 
   private def open(pv: Map[String, String]): (ParquetWriter[Group], String) = {
+    // Hive-compatible percent-escaping (the SAME function Spark's own file
+    // writer uses) — URLEncoder's '+' for space would read back as a
+    // literal '+' on the basePath partition-reconstruction path.
     val dir = partitionCols.map(c =>
-      s"$c=${java.net.URLEncoder.encode(pv(c), "UTF-8")}").mkString("/")
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .getPartitionPathString(c, pv(c))).mkString("/")
     val rel = (if (dir.isEmpty) "" else s"$dir/") + s"part-${UUID.randomUUID()}.parquet"
     Files.createDirectories(Paths.get(tablePath, rel).getParent)
     var b = ExampleParquetWriter.builder(new HPath(Paths.get(tablePath, rel).toString))

@@ -106,7 +106,11 @@ object GraftProcedures {
   case class VacuumProc(catalog: GraftCatalog) extends GraftProc("vacuum") {
     override def parameters(): Array[ProcedureParameter] = Array(
       param("table", StringType),
-      paramD("retain_versions", IntegerType, "0"))
+      paramD("retain_versions", IntegerType, "0"),
+      // -1: resolve the table's vacuum.retentionMs property (1h fallback);
+      // the age guard keeps uncommitted in-flight executor files safe from
+      // a user-invoked vacuum.
+      paramD("retention_ms", LongType, "-1"))
 
     private val out = StructType(Seq(
       StructField("deleted_files", LongType, nullable = false)))
@@ -114,7 +118,8 @@ object GraftProcedures {
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val t = resolve(catalog, input.getUTF8String(0).toString)
       val retain = if (input.isNullAt(1)) 0 else input.getInt(1)
-      resultScan(out, row(t.vacuum(retain).toLong))
+      val retention = if (input.isNullAt(2)) -1L else input.getLong(2)
+      resultScan(out, row(t.vacuum(retain, retention).toLong))
     }
   }
 

@@ -54,6 +54,13 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
   private val log = new GraftLog(tablePath)
   private val ignoreChanges = options.get("ignorechanges").exists(_.toBoolean)
 
+  /** `startingVersion`: replay the commit TAIL from this version (0 means
+    * "from the very first commit" — the full append history, NOT a folded
+    * snapshot: a rewrite anywhere in the covered range triggers the same
+    * append-only abort as a live rewrite, per the Delta contract). Absent:
+    * the first batch is the folded live snapshot. */
+  private val startingVersion: Option[Long] = options.get("startingversion").map(_.toLong)
+
   /** Trigger.AvailableNow: pin the end version at query start so the run
     * drains exactly the commits that existed then, and stops. */
   private var availableNowTarget: Option[Long] = None
@@ -74,27 +81,59 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
     val s = start.asInstanceOf[GraftStreamOffset].version
     val end = limit match {
       case mf: ReadMaxFiles =>
-        // count added files per commit (an upper bound for the folded
-        // initial batch); stop before exceeding the cap, take >= 1 version
-        var v = s
-        var total = 0L
-        var stop = false
-        while (!stop && v < cap) {
-          val n = filesAddedIn(v + 1)
-          if (total > 0 && total + n > mf.maxFiles) stop = true
-          else { total += n; v += 1 }
+        if (s < 0 && startingVersion.isEmpty) {
+          // initial snapshot batch: size from the FOLDED live-file count
+          // (per-commit add sums overcount files later removed); advance
+          // at least to version 0 so the stream makes progress
+          var v = 0L
+          while (v < cap && liveFileCount(v + 1) <= mf.maxFiles) v += 1
+          v
+        } else {
+          // tail mode: cap the sum of per-commit added files; commits are
+          // immutable, so counts are cached across triggers instead of
+          // re-reading the whole backlog every time (ADVICE r5)
+          var v = s
+          var total = 0L
+          var stop = false
+          while (!stop && v < cap) {
+            val n = filesAddedIn(v + 1)
+            if (total > 0 && total + n > mf.maxFiles) stop = true
+            else { total += n; v += 1 }
+          }
+          v
         }
-        v
       case _ => cap
     }
     GraftStreamOffset(end)
   }
 
-  private def filesAddedIn(v: Long): Long = {
-    val actions = log.readVersion(v)
-    val op = actions.collectFirst { case c: CommitInfo => c.operation }
-    if (op.exists(nonDataOps.contains)) 0L
-    else actions.count(_.isInstanceOf[AddFile]).toLong
+  private val addCountCache = scala.collection.mutable.Map[Long, Long]()
+  private def filesAddedIn(v: Long): Long = synchronized {
+    addCountCache.getOrElseUpdate(v, {
+      val actions = log.readVersion(v)
+      val op = actions.collectFirst { case c: CommitInfo => c.operation }
+      if (op.exists(nonDataOps.contains)) 0L
+      else actions.count(_.isInstanceOf[AddFile]).toLong
+    })
+  }
+
+  /** Exact live-file count after commit v, folded incrementally (adds −
+    * removes per commit; every rewrite pairs its removes with adds, so the
+    * running difference equals the snapshot's live-file count) — O(1)
+    * amortized per trigger vs re-folding the snapshot. */
+  private val liveCountCache = scala.collection.mutable.Map[Long, Long](-1L -> 0L)
+  private def liveFileCount(v: Long): Long = synchronized {
+    if (!liveCountCache.contains(v)) {
+      var base = v - 1
+      while (!liveCountCache.contains(base)) base -= 1
+      (base + 1 to v).foreach { i =>
+        val actions = log.readVersion(i)
+        liveCountCache(i) = liveCountCache(i - 1) +
+          actions.count(_.isInstanceOf[AddFile]) -
+          actions.count(_.isInstanceOf[RemoveFile])
+      }
+    }
+    liveCountCache(v)
   }
 
   override def reportLatestOffset(): Offset = GraftStreamOffset(log.latestVersion)
@@ -105,7 +144,7 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
     "UNSET TBLPROPERTIES", "ADD CONSTRAINT", "DROP CONSTRAINT")
 
   override def initialOffset(): Offset =
-    GraftStreamOffset(options.get("startingversion").map(_.toLong - 1).getOrElse(-1L))
+    GraftStreamOffset(startingVersion.map(_ - 1).getOrElse(-1L))
 
   override def latestOffset(): Offset = GraftStreamOffset(log.latestVersion)
 
@@ -116,7 +155,10 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
     val s = start.asInstanceOf[GraftStreamOffset].version
     val e = end.asInstanceOf[GraftStreamOffset].version
     val files: Seq[AddFile] =
-      if (s < 0) log.snapshotAt(e).files // initial load: the live snapshot
+      // initial load without startingVersion: the folded live snapshot.
+      // With startingVersion (including 0) the TAIL replays from that
+      // commit — rewrite detection applies to the whole covered range.
+      if (s < 0 && startingVersion.isEmpty) log.snapshotAt(e).files
       else ((s + 1) to e).flatMap { v =>
         val actions = log.readVersion(v)
         val op = actions.collectFirst { case c: CommitInfo => c.operation }

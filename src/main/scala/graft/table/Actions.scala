@@ -39,10 +39,42 @@ final case class AddFile(
     numRecords: Long,
     minValues: Map[String, String],
     maxValues: Map[String, String],
-    partitionValues: Map[String, String] = Map.empty) extends Action
+    partitionValues: Map[String, String] = Map.empty,
+    dvPath: Option[String] = None,
+    dvCount: Long = 0L) extends Action {
+  /** Rows served by this file = physical rows minus deletion-vector
+    * tombstones (`numRecords` stays the parquet footer count — min/max
+    * stats remain sound over-approximations under a DV). */
+  def liveRecords: Long = numRecords - dvCount
+}
 
 /** Tombstone: the file is no longer part of the snapshot from this commit. */
 final case class RemoveFile(path: String, deletionTimestamp: Long) extends Action
+
+/** Idempotent-transaction marker (Delta's SetTransaction): the latest
+  * `version` committed by application `appId` folds into the snapshot, so
+  * a streaming sink's exactly-once epoch guard is an O(1) map lookup
+  * instead of a scan of every commit file. */
+final case class Txn(appId: String, version: Long) extends Action
+
+/** Protocol feature gate (the Delta protocol's reader/writer versioning):
+  * a snapshot whose protocol lists a reader feature this build does not
+  * support fails LOUDLY at load instead of silently misreading the table
+  * (e.g. a deletion-vector table opened by a pre-DV reader would
+  * resurrect deleted rows). Feature-enabling operations commit a protocol
+  * upgrade in the same version that first uses the feature. */
+final case class Protocol(minReaderVersion: Int = 1, minWriterVersion: Int = 1,
+    readerFeatures: Seq[String] = Nil, writerFeatures: Seq[String] = Nil) extends Action
+
+object Protocol {
+  /** Features THIS build can read/write correctly. */
+  val supportedReaderFeatures: Set[String] = Set("deletionVectors", "columnMapping")
+  val supportedWriterFeatures: Set[String] = supportedReaderFeatures
+}
+
+/** Named protocol-gate failure: the table requires a capability this
+  * reader predates. */
+final class GraftProtocolException(msg: String) extends RuntimeException(msg)
 
 /** Commit audit record; one per commit, drives history()/timestampAsOf. */
 final case class CommitInfo(
@@ -74,15 +106,27 @@ object Actions {
         partCols.foreach(arr.add)
         putMap(n, "constraints", constraints)
         if (properties.nonEmpty) putMap(n, "properties", properties)
-      case AddFile(path, size, mtime, rows, mins, maxs, partVals) =>
+      case AddFile(path, size, mtime, rows, mins, maxs, partVals, dvPath, dvCount) =>
         val n = root.putObject("add")
         n.put("path", path); n.put("size", size); n.put("modificationTime", mtime)
         n.put("numRecords", rows)
         putMap(n, "minValues", mins); putMap(n, "maxValues", maxs)
         putMap(n, "partitionValues", partVals)
+        dvPath.foreach { p =>
+          val dv = n.putObject("deletionVector")
+          dv.put("path", p); dv.put("cardinality", dvCount)
+        }
       case RemoveFile(path, ts) =>
         val n = root.putObject("remove")
         n.put("path", path); n.put("deletionTimestamp", ts)
+      case Txn(appId, v) =>
+        val n = root.putObject("txn")
+        n.put("appId", appId); n.put("version", v)
+      case Protocol(minR, minW, rFeat, wFeat) =>
+        val n = root.putObject("protocol")
+        n.put("minReaderVersion", minR); n.put("minWriterVersion", minW)
+        val ra = n.putArray("readerFeatures"); rFeat.foreach(ra.add)
+        val wa = n.putArray("writerFeatures"); wFeat.foreach(wa.add)
       case CommitInfo(v, ts, op, metrics) =>
         val n = root.putObject("commitInfo")
         n.put("version", v); n.put("timestamp", ts); n.put("operation", op)
@@ -102,12 +146,26 @@ object Actions {
         strMap(n, "properties"))
     } else if (root.has("add")) {
       val n = root.get("add")
+      val (dvPath, dvCount) = Option(n.get("deletionVector")) match {
+        case Some(dv) => (Some(dv.get("path").asText()), dv.get("cardinality").asLong())
+        case None => (None, 0L)
+      }
       AddFile(n.get("path").asText(), n.get("size").asLong(),
         n.get("modificationTime").asLong(), n.get("numRecords").asLong(),
-        strMap(n, "minValues"), strMap(n, "maxValues"), strMap(n, "partitionValues"))
+        strMap(n, "minValues"), strMap(n, "maxValues"), strMap(n, "partitionValues"),
+        dvPath, dvCount)
     } else if (root.has("remove")) {
       val n = root.get("remove")
       RemoveFile(n.get("path").asText(), n.get("deletionTimestamp").asLong())
+    } else if (root.has("txn")) {
+      val n = root.get("txn")
+      Txn(n.get("appId").asText(), n.get("version").asLong())
+    } else if (root.has("protocol")) {
+      val n = root.get("protocol")
+      def feats(field: String): Seq[String] = Option(n.get(field))
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+      Protocol(n.get("minReaderVersion").asInt(), n.get("minWriterVersion").asInt(),
+        feats("readerFeatures"), feats("writerFeatures"))
     } else if (root.has("commitInfo")) {
       val n = root.get("commitInfo")
       CommitInfo(n.get("version").asLong(), n.get("timestamp").asLong(),

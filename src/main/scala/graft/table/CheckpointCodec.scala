@@ -19,16 +19,16 @@ import org.apache.parquet.io.api.Binary
 import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Type, Types}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 
-/** Parquet encoding of a checkpoint (metaData + live AddFiles) — what a
-  * text-JSON checkpoint becomes once a table has enough files that parsing
-  * a JSON line per file dominates log replay (Delta's checkpoints are
-  * parquet for the same reason). One row per action; the hot per-file
-  * scalars (path, size, numRecords, ...) are typed parquet columns read
-  * without any JSON work, while the small string-map fields (stats,
-  * partition values, table properties) stay JSON-encoded in binary
-  * columns. Written and read with parquet-mr's public Example API —
-  * GraftLog stays free of any SparkSession, so snapshot resolution works
-  * on a bare driver. */
+/** Parquet encoding of a checkpoint (the full folded snapshot: metaData +
+  * live AddFiles + per-app txn versions + protocol) — what a text-JSON
+  * checkpoint becomes once a table has enough files that parsing a JSON
+  * line per file dominates log replay (Delta's checkpoints are parquet for
+  * the same reason). One row per action; the hot per-file scalars (path,
+  * size, numRecords, ...) are typed parquet columns read without any JSON
+  * work, while the small string-map fields (stats, partition values, table
+  * properties) stay JSON-encoded in binary columns. Written and read with
+  * parquet-mr's public Example API — GraftLog stays free of any
+  * SparkSession, so snapshot resolution works on a bare driver. */
 object CheckpointCodec {
 
   private val mapper = new ObjectMapper()
@@ -39,12 +39,13 @@ object CheckpointCodec {
       .as(LogicalTypeAnnotation.stringType()).named(n)
     new MessageType("graft_checkpoint",
       Types.primitive(BINARY, Type.Repetition.REQUIRED)
-        .as(LogicalTypeAnnotation.stringType()).named("kind"), // meta | add
+        .as(LogicalTypeAnnotation.stringType()).named("kind"), // meta | add | txn | protocol
       optStr("path"), optLong("size"), optLong("modificationTime"),
       optLong("numRecords"), optStr("minValues"), optStr("maxValues"),
-      optStr("partitionValues"),
+      optStr("partitionValues"), optStr("dvPath"), optLong("dvCount"),
       optStr("metaId"), optStr("schemaString"), optLong("createdTime"),
-      optStr("partitionColumns"), optStr("constraints"), optStr("properties"))
+      optStr("partitionColumns"), optStr("constraints"), optStr("properties"),
+      optStr("txnAppId"), optLong("txnVersion"), optStr("protocolJson"))
   }
 
   private def jsonMap(m: Map[String, String]): String = {
@@ -67,12 +68,17 @@ object CheckpointCodec {
   private def readSeq(s: String): Seq[String] =
     mapper.readTree(s).elements().asScala.map(_.asText()).toSeq
 
-  def write(file: Path, meta: MetaData, files: Seq[AddFile]): Unit = {
+  def write(file: Path, s: Snapshot): Unit = {
     val factory = new SimpleGroupFactory(schema)
     val w: ParquetWriter[Group] = ExampleParquetWriter.builder(new HPath(file.toString))
       .withType(schema).withConf(new Configuration())
       .withCompressionCodec(CompressionCodecName.SNAPPY).build()
     try {
+      val meta = s.metaData
+      val pg = factory.newGroup()
+      pg.add("kind", "protocol")
+      pg.add("protocolJson", Actions.toJson(s.protocol))
+      w.write(pg)
       val mg = factory.newGroup()
       mg.add("kind", "meta")
       mg.add("metaId", meta.id)
@@ -82,7 +88,14 @@ object CheckpointCodec {
       mg.add("constraints", jsonMap(meta.constraints))
       mg.add("properties", jsonMap(meta.properties))
       w.write(mg)
-      files.foreach { f =>
+      s.transactions.toSeq.sortBy(_._1).foreach { case (appId, tv) =>
+        val tg = factory.newGroup()
+        tg.add("kind", "txn")
+        tg.add("txnAppId", appId)
+        tg.add("txnVersion", tv)
+        w.write(tg)
+      }
+      s.files.foreach { f =>
         val g = factory.newGroup()
         g.add("kind", "add")
         g.add("path", f.path)
@@ -92,23 +105,33 @@ object CheckpointCodec {
         g.add("minValues", jsonMap(f.minValues))
         g.add("maxValues", jsonMap(f.maxValues))
         g.add("partitionValues", jsonMap(f.partitionValues))
+        f.dvPath.foreach { p => g.add("dvPath", p); g.add("dvCount", f.dvCount) }
         w.write(g)
       }
     } finally w.close()
   }
 
-  /** Read a parquet checkpoint back to (metaData, live files). */
-  def read(file: Path): (MetaData, Seq[AddFile]) = {
+  /** Read a parquet checkpoint back to the folded snapshot at `version`. */
+  def read(file: Path, version: Long): Snapshot = {
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new HPath(file.toString), new Configuration()))
     try {
       var meta: Option[MetaData] = None
+      var protocol: Protocol = Protocol()
+      val txns = Map.newBuilder[String, Long]
       val files = Seq.newBuilder[AddFile]
       def str(g: Group, n: String): String = g.getBinary(n, 0).toStringUsingUTF8
+      def opt(g: Group, n: String): Boolean =
+        g.getType.asGroupType().containsField(n) &&
+          g.getFieldRepetitionCount(n) > 0
+      // decode with the FILE's own schema: a checkpoint written before a
+      // column was added (e.g. dvPath) stays readable — absent fields
+      // simply report not-present
+      val fileSchema = reader.getFooter.getFileMetaData.getSchema
       var rg = Option(reader.readNextRowGroup())
       while (rg.isDefined) {
-        val rr = new ColumnIOFactory().getColumnIO(schema)
-          .getRecordReader(rg.get, new GroupRecordConverter(schema))
+        val rr = new ColumnIOFactory().getColumnIO(fileSchema)
+          .getRecordReader(rg.get, new GroupRecordConverter(fileSchema))
         (0L until rg.get.getRowCount).foreach { _ =>
           val g = rr.read()
           str(g, "kind") match {
@@ -119,13 +142,21 @@ object CheckpointCodec {
             case "add" => files += AddFile(
               str(g, "path"), g.getLong("size", 0), g.getLong("modificationTime", 0),
               g.getLong("numRecords", 0), readMap(str(g, "minValues")),
-              readMap(str(g, "maxValues")), readMap(str(g, "partitionValues")))
+              readMap(str(g, "maxValues")), readMap(str(g, "partitionValues")),
+              if (opt(g, "dvPath")) Some(str(g, "dvPath")) else None,
+              if (opt(g, "dvCount")) g.getLong("dvCount", 0) else 0L)
+            case "txn" => txns += str(g, "txnAppId") -> g.getLong("txnVersion", 0)
+            case "protocol" => Actions.fromJson(str(g, "protocolJson")) match {
+              case p: Protocol => protocol = p
+              case _ => ()
+            }
           }
         }
         rg = Option(reader.readNextRowGroup())
       }
-      (meta.getOrElse(throw new IllegalStateException(
-        s"parquet checkpoint $file lacks metaData")), files.result())
+      Snapshot(version, meta.getOrElse(throw new IllegalStateException(
+        s"parquet checkpoint $file lacks metaData")), files.result(),
+        txns.result(), protocol)
     } finally reader.close()
   }
 }

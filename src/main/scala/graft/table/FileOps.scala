@@ -40,8 +40,9 @@ object FileOps {
       val relDir = staging.relativize(part.getParent) // "" or "lang=en/..."
       val partVals = relDir.toString.split('/').filter(_.contains("=")).map { seg =>
         val Array(k, v) = seg.split("=", 2)
-        // partition dir names are URL-encoded by the writer
-        k -> java.net.URLDecoder.decode(v, "UTF-8")
+        // partition dir names carry Spark's Hive-style percent-escaping
+        k -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(v)
       }.toMap
       val relTarget =
         (if (relDir.toString.isEmpty) "" else s"$relDir/") +

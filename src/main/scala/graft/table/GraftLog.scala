@@ -6,9 +6,12 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Snapshot = the table state at one version: last metaData wins, live files
-  * = adds minus removes, replayed over commits 0..version (Delta protocol
-  * semantics — SURVEY.md §2-B.1). */
-final case class Snapshot(version: Long, metaData: MetaData, files: Seq[AddFile]) {
+  * = adds minus removes, latest txn version per appId, last protocol wins —
+  * replayed over commits 0..version (Delta protocol semantics —
+  * SURVEY.md §2-B.1). */
+final case class Snapshot(version: Long, metaData: MetaData, files: Seq[AddFile],
+    transactions: Map[String, Long] = Map.empty,
+    protocol: Protocol = Protocol()) {
   lazy val schema: StructType = DataType.fromJson(metaData.schemaString).asInstanceOf[StructType]
 }
 
@@ -22,7 +25,7 @@ final case class Snapshot(version: Long, metaData: MetaData, files: Seq[AddFile]
 final class GraftLog(val tablePath: String) {
   val logDir: Path = Paths.get(tablePath, "_delta_log")
 
-  def exists: Boolean = Files.isDirectory(logDir) && listVersions.nonEmpty
+  def exists: Boolean = Files.isDirectory(logDir) && Files.exists(versionFile(0L))
 
   def versionFile(v: Long): Path = logDir.resolve(f"$v%020d.json")
 
@@ -34,10 +37,21 @@ final class GraftLog(val tablePath: String) {
       .map(_.stripSuffix(".json").toLong)
       .toSeq.sorted
 
+  /** Latest version WITHOUT listing the log directory: start at the
+    * `_last_checkpoint` pointer (advisory — possibly stale, never wrong)
+    * and probe forward with existence checks. Commit files are created
+    * contiguously, so the walk is O(commits since last checkpoint), not
+    * O(history) — the object-store LIST bottleneck Delta's pointer file
+    * exists to avoid. */
   def latestVersion: Long = {
-    val vs = listVersions
-    require(vs.nonEmpty, s"$tablePath is not a GraftTable: empty ${logDir}")
-    vs.last
+    val start = lastCheckpointPointer.filter(v => Files.exists(versionFile(v)))
+      .getOrElse {
+        require(exists, s"$tablePath is not a GraftTable: empty ${logDir}")
+        0L
+      }
+    var v = start
+    while (Files.exists(versionFile(v + 1))) v += 1
+    v
   }
 
   def readVersion(v: Long): Seq[Action] = {
@@ -64,15 +78,15 @@ final class GraftLog(val tablePath: String) {
   }
 
   /** Checkpoint every N commits: the full folded snapshot (metaData +
-    * live adds), so replay cost is bounded by the checkpoint interval
-    * instead of the table's whole history — the Delta-protocol answer to
-    * unbounded logs. Two formats: `%020d.checkpoint.json` (text, one
-    * action per line) while the table is small, `%020d.checkpoint.parquet`
-    * (CheckpointCodec) once the live-file count passes
-    * `parquetCheckpointThreshold` — at millions of files, parsing a JSON
-    * line per file is itself the bottleneck Delta's parquet checkpoints
-    * exist to remove. The table property `checkpoint.format` (json |
-    * parquet) forces either. */
+    * live adds + txns + protocol), so replay cost is bounded by the
+    * checkpoint interval instead of the table's whole history — the
+    * Delta-protocol answer to unbounded logs. Two formats:
+    * `%020d.checkpoint.json` (text, one action per line) while the table
+    * is small, `%020d.checkpoint.parquet` (CheckpointCodec) once the
+    * live-file count passes `parquetCheckpointThreshold` — at millions of
+    * files, parsing a JSON line per file is itself the bottleneck Delta's
+    * parquet checkpoints exist to remove. The table property
+    * `checkpoint.format` (json | parquet) forces either. */
   val checkpointInterval = 10
 
   /** Live-file count at which checkpoints switch to parquet. */
@@ -83,6 +97,20 @@ final class GraftLog(val tablePath: String) {
   def parquetCheckpointFile(v: Long): Path =
     logDir.resolve(f"$v%020d.checkpoint.parquet")
 
+  /** `_last_checkpoint`: advisory pointer to the newest checkpoint version
+    * — O(1) discovery for both snapshot seeding and latestVersion. Written
+    * atomically AFTER the checkpoint itself; corruption or staleness only
+    * costs the listing fallback, never correctness. */
+  val lastCheckpointFile: Path = logDir.resolve("_last_checkpoint")
+
+  private def lastCheckpointPointer: Option[Long] =
+    try {
+      if (!Files.isRegularFile(lastCheckpointFile)) None
+      else """"version"\s*:\s*(\d+)""".r
+        .findFirstMatchIn(Files.readString(lastCheckpointFile))
+        .map(_.group(1).toLong)
+    } catch { case _: java.io.IOException => None }
+
   def writeCheckpoint(v: Long): Unit = {
     val s = replay(0L, v, None)
     val parquet = s.metaData.properties.get("checkpoint.format") match {
@@ -91,40 +119,62 @@ final class GraftLog(val tablePath: String) {
       case _ => s.files.size >= parquetCheckpointThreshold
     }
     val tmp = logDir.resolve(s".${java.util.UUID.randomUUID()}.tmp")
-    if (parquet) CheckpointCodec.write(tmp, s.metaData, s.files)
+    if (parquet) CheckpointCodec.write(tmp, s)
     else {
-      val body = (s.metaData +: s.files).map(Actions.toJson).mkString("", "\n", "\n")
+      val actions: Seq[Action] =
+        (s.protocol +: s.metaData +: s.files) ++
+          s.transactions.toSeq.sortBy(_._1).map { case (a, tv) => Txn(a, tv) }
+      val body = actions.map(Actions.toJson).mkString("", "\n", "\n")
       Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     }
     val target = if (parquet) parquetCheckpointFile(v) else checkpointFile(v)
-    try Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch { case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp) }
+    try {
+      Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val ptr = logDir.resolve(s".${java.util.UUID.randomUUID()}.ptr.tmp")
+      Files.write(ptr, s"""{"version":$v}""".getBytes(StandardCharsets.UTF_8))
+      Files.move(ptr, lastCheckpointFile,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch { case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp) }
   }
 
-  private def latestCheckpointAtOrBefore(v: Long): Option[Long] =
-    if (!Files.isDirectory(logDir)) None
-    else Files.list(logDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.matches("\\d{20}\\.checkpoint\\.(json|parquet)"))
-      .map(_.replaceAll("\\.checkpoint\\.(json|parquet)$", "").toLong)
-      .filter(_ <= v)
-      .maxOption
+  private def latestCheckpointAtOrBefore(v: Long): Option[Long] = {
+    // fast path: the pointer names a usable checkpoint ≤ v (the common
+    // latest-snapshot read) — no directory listing at all
+    lastCheckpointPointer.filter(cp => cp <= v &&
+      (Files.exists(checkpointFile(cp)) || Files.exists(parquetCheckpointFile(cp))))
+      .orElse {
+        if (!Files.isDirectory(logDir)) None
+        else Files.list(logDir).iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(_.matches("\\d{20}\\.checkpoint\\.(json|parquet)"))
+          .map(_.replaceAll("\\.checkpoint\\.(json|parquet)$", "").toLong)
+          .filter(_ <= v)
+          .maxOption
+      }
+  }
 
   /** Checkpoint state at version cp, whichever format exists (parquet
     * preferred when both do). */
-  private def readCheckpoint(cp: Long): (MetaData, Seq[AddFile]) =
-    if (Files.exists(parquetCheckpointFile(cp))) CheckpointCodec.read(parquetCheckpointFile(cp))
+  private def readCheckpoint(cp: Long): Snapshot =
+    if (Files.exists(parquetCheckpointFile(cp)))
+      CheckpointCodec.read(parquetCheckpointFile(cp), cp)
     else {
       val lines = Files.readAllLines(checkpointFile(cp), StandardCharsets.UTF_8)
         .asScala.filter(_.nonEmpty).map(Actions.fromJson).toSeq
       val meta = lines.collectFirst { case m: MetaData => m }.getOrElse(
         throw new IllegalStateException(s"checkpoint $cp of $tablePath lacks metaData"))
-      (meta, lines.collect { case a: AddFile => a })
+      Snapshot(cp, meta, lines.collect { case a: AddFile => a },
+        lines.collect { case t: Txn => t.appId -> t.version }.toMap,
+        lines.collectFirst { case p: Protocol => p }.getOrElse(Protocol()))
     }
 
   /** Replay commits (from..v], optionally seeded from a checkpoint state. */
   private def replay(from: Long, v: Long, seed: Option[Snapshot]): Snapshot = {
     var meta: Option[MetaData] = seed.map(_.metaData)
+    var protocol: Protocol = seed.map(_.protocol).getOrElse(Protocol())
+    val txns = scala.collection.mutable.Map[String, Long]()
+    seed.foreach(_.transactions.foreach { case (a, tv) => txns(a) = tv })
     val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     seed.foreach(_.files.foreach(a => live(a.path) = a))
     (from to v).foreach { i =>
@@ -132,33 +182,42 @@ final class GraftLog(val tablePath: String) {
         case m: MetaData   => meta = Some(m)
         case a: AddFile    => live(a.path) = a
         case r: RemoveFile => live.remove(r.path)
+        case t: Txn        => txns(t.appId) = t.version
+        case p: Protocol   => protocol = p
         case _: CommitInfo => ()
       }
     }
+    val unsupported = protocol.readerFeatures.filterNot(Protocol.supportedReaderFeatures)
+    if (unsupported.nonEmpty) throw new GraftProtocolException(
+      s"table $tablePath requires reader features ${unsupported.mkString(", ")} " +
+        s"this build does not support (supported: " +
+        s"${Protocol.supportedReaderFeatures.toSeq.sorted.mkString(", ")})")
     Snapshot(v, meta.getOrElse(throw new IllegalStateException(
-      s"no metaData in log of $tablePath")), live.values.toSeq)
+      s"no metaData in log of $tablePath")), live.values.toSeq, txns.toMap, protocol)
   }
 
   /** Snapshot at version v: nearest checkpoint ≤ v + tail replay. */
   def snapshotAt(v: Long): Snapshot = latestCheckpointAtOrBefore(v) match {
     case Some(cp) =>
-      val (meta, files) = readCheckpoint(cp)
-      if (cp == v) Snapshot(v, meta, files)
-      else replay(cp + 1, v, Some(Snapshot(cp, meta, files)))
+      val seed = readCheckpoint(cp)
+      if (cp == v) seed else replay(cp + 1, v, Some(seed))
     case None => replay(0L, v, None)
   }
 
   /** All commitInfo records, one per version, ascending. */
   def commitInfos: Seq[CommitInfo] =
-    listVersions.flatMap(v => readVersion(v).collectFirst { case c: CommitInfo => c })
+    (0L to latestVersion).flatMap(v =>
+      readVersion(v).collectFirst { case c: CommitInfo => c })
 
   /** Strictly-increasing commit timestamp (guards timestampAsOf resolution
     * against clock granularity between rapid commits). Reads only the last
     * commit file, not the whole log. */
   def nextTimestamp(): Long = {
-    val prev = listVersions.lastOption
-      .flatMap(v => readVersion(v).collectFirst { case c: CommitInfo => c.timestamp })
-      .getOrElse(Long.MinValue)
+    val prev =
+      if (!exists) Long.MinValue
+      else readVersion(latestVersion)
+        .collectFirst { case c: CommitInfo => c.timestamp }
+        .getOrElse(Long.MinValue)
     math.max(System.currentTimeMillis(), prev + 1)
   }
 }

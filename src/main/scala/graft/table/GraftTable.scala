@@ -321,7 +321,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         log.commit(v, Seq(
           CommitInfo(v, log.nextTimestamp(), "STREAMING UPDATE",
             Map("numOutputRows" -> adds.map(_.numRecords).sum.toString,
-                "txnAppId" -> queryId, "epoch" -> epochId.toString))) ++ adds)
+                "txnAppId" -> queryId, "epoch" -> epochId.toString)),
+          // SetTransaction: folds into the snapshot so the exactly-once
+          // replay guard is an O(1) lookup, not an O(history) log scan
+          Txn(queryId, epochId)) ++ adds)
         autoCompact()
         return
       } catch {
@@ -451,9 +454,21 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   /** VACUUM: physically delete data files that are no longer referenced by
     * any snapshot version >= `retainVersions` back from latest. Time travel
     * older than the retention window dies (as in Delta); the log itself is
-    * kept (history() still shows all commits). Returns files deleted. */
-  def vacuum(retainVersions: Int = 0): Int = {
+    * kept (history() still shows all commits). Returns files deleted.
+    *
+    * File-age guard (Delta's retention check): unreferenced files whose
+    * mtime is within `retentionMs` are KEPT — executor tasks of an
+    * in-flight rewrite or streaming epoch write uncommitted UUID-named
+    * files directly into the table directory, and a concurrent vacuum
+    * must not delete them before their commit lands. `retentionMs < 0`
+    * (the default) resolves the table property `vacuum.retentionMs`,
+    * falling back to 1 hour; tests/bench pass 0 explicitly. */
+  def vacuum(retainVersions: Int = 0, retentionMs: Long = -1L): Int = {
     val latest = latestVersion
+    val cutoff = System.currentTimeMillis() - (
+      if (retentionMs >= 0) retentionMs
+      else snapshot.metaData.properties.get("vacuum.retentionMs").map(_.toLong)
+        .getOrElse(3600L * 1000))
     val keepFrom = math.max(0L, latest - retainVersions)
     val referenced = (keepFrom to latest)
       .flatMap(v => log.snapshotAt(v).files.map(_.path)).toSet
@@ -462,7 +477,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet")
         && !p.startsWith(root.resolve("_delta_log")))
       .map(p => root.relativize(p).toString).toSeq
-    val orphans = dataFiles.filterNot(referenced.contains)
+    val orphans = dataFiles.filterNot(referenced.contains).filter { f =>
+      try Files.getLastModifiedTime(Paths.get(path, f)).toMillis <= cutoff
+      catch { case _: java.io.IOException => false }
+    }
     orphans.foreach(f => Files.deleteIfExists(Paths.get(path, f)))
     orphans.size
   }

@@ -247,7 +247,7 @@ class CatalogSpec extends SparkTestBase {
 
     // vacuum now drops everything the restored head no longer references
     // (the compacted file and the later inserts' files)
-    val vac = sql("CALL gcat.system.vacuum(`table` => 'default.proc')").head()
+    val vac = sql("CALL gcat.system.vacuum(`table` => 'default.proc', retention_ms => 0)").head()
     assert(vac.getLong(0) > 0)
     assert(sql("SELECT id FROM gcat.default.proc ORDER BY id").collect()
       .map(_.getInt(0)).toSeq == Seq(1, 2))

@@ -229,7 +229,7 @@ class GraftTableSpec extends SparkTestBase {
     val t = GraftTable.create(spark, dir, df((1, "A", "A"), (2, "B", "B")).coalesce(1))
     t.delete("id = 1") // v1 rewrites the only file → v0's file is orphanable
     val v1 = state(t.toDF)
-    val removed = t.vacuum(retainVersions = 0)
+    val removed = t.vacuum(retainVersions = 0, retentionMs = 0)
     assert(removed === 1)
     assert(state(t.toDF) === v1)             // latest unaffected
     intercept[Exception](t.versionAsOf(0).collect()) // v0's data is gone

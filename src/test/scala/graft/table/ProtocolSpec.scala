@@ -1,0 +1,95 @@
+package graft.table
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Protocol feature gating, SetTransaction folding, the `_last_checkpoint`
+  * pointer, and the vacuum retention guard — the round-6 log-layer
+  * hardening (Delta-protocol shapes: Protocol action, txn action,
+  * _last_checkpoint, vacuum file-age check). */
+class ProtocolSpec extends SparkTestBase {
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType, nullable = false),
+    StructField("v", StringType, nullable = false)))
+
+  private def df(rows: (Int, String)*) =
+    spark.createDataFrame(rows.map { case (i, s) => Row(i, s) }.asJava, schema)
+
+  test("unknown reader feature fails loudly with a named error") {
+    val t = GraftTable.create(spark, tmpDir("proto-"), df((1, "a")))
+    // a future build committed a protocol requiring a feature we predate
+    t.log.commit(1L, Seq(
+      Protocol(3, 7, Seq("timeTravelV2Magic"), Seq("timeTravelV2Magic")),
+      CommitInfo(1L, t.log.nextTimestamp(), "UPGRADE", Map.empty)))
+    val e = intercept[GraftProtocolException](t.snapshot)
+    assert(e.getMessage.contains("timeTravelV2Magic"))
+    // version 0 predates the upgrade and still reads fine
+    assert(t.versionAsOf(0).count() == 1)
+  }
+
+  test("supported features pass the gate and survive checkpoints") {
+    val t = GraftTable.create(spark, tmpDir("proto-"), df((1, "a")))
+    t.log.commit(1L, Seq(
+      Protocol(2, 3, Seq("deletionVectors"), Seq("deletionVectors")),
+      CommitInfo(1L, t.log.nextTimestamp(), "UPGRADE", Map.empty)))
+    (2 to 10).foreach(i => t.append(df((i, s"v$i")))) // crosses checkpoint at 10
+    assert(Files.exists(t.log.checkpointFile(10)) ||
+      Files.exists(t.log.parquetCheckpointFile(10)))
+    assert(t.snapshot.protocol.readerFeatures == Seq("deletionVectors"))
+    assert(t.toDF.count() == 10)
+  }
+
+  test("txn actions fold into the snapshot and survive checkpoints") {
+    val t = GraftTable.create(spark, tmpDir("txn-"), df((1, "a")))
+    (0 until 12).foreach { epoch =>
+      val adds = FileOps.writeDataFiles(df((100 + epoch, "s")), t.path)
+      t.commitStreamingAppend(adds, "queryA", epoch.toLong)
+    }
+    assert(t.snapshot.transactions.get("queryA").contains(11L))
+    // checkpoint at v10 exists; a fresh log instance folds from it
+    val fresh = new GraftLog(t.path)
+    assert(fresh.snapshotAt(fresh.latestVersion).transactions("queryA") == 11L)
+    // replayed (already committed) epoch resolves as a no-op guard hit
+    assert(t.snapshot.transactions("queryA") >= 5L)
+  }
+
+  test("_last_checkpoint pointer: O(1) discovery, corruption falls back") {
+    val t = GraftTable.create(spark, tmpDir("ptr-"), df((1, "a")))
+    (2 to 12).foreach(i => t.append(df((i, s"v$i"))))
+    val ptr = t.log.lastCheckpointFile
+    assert(Files.isRegularFile(ptr), "_last_checkpoint written at checkpoint")
+    assert(Files.readString(ptr).contains("\"version\":10"))
+    val withPtr = t.snapshot
+    // corrupt the pointer: snapshot resolution must fall back to listing
+    Files.write(ptr, "garbage".getBytes(StandardCharsets.UTF_8))
+    val fresh = new GraftLog(t.path)
+    assert(fresh.latestVersion == withPtr.version)
+    val without = fresh.snapshotAt(fresh.latestVersion)
+    assert(without.files.map(_.path).toSet == withPtr.files.map(_.path).toSet)
+    // delete it entirely: same answer
+    Files.delete(ptr)
+    assert(new GraftLog(t.path).latestVersion == withPtr.version)
+  }
+
+  test("vacuum retention guard keeps young unreferenced files") {
+    val t = GraftTable.create(spark, tmpDir("vac-"),
+      df((1, "a"), (2, "b")).coalesce(1))
+    t.delete("id = 1") // orphans v0's file
+    // an uncommitted in-flight executor file, just written
+    val inflight = Paths.get(t.path, s"part-${java.util.UUID.randomUUID()}.parquet")
+    Files.write(inflight, Array[Byte](1, 2, 3))
+    // default (1h) retention: nothing young is deleted
+    assert(t.vacuum(retainVersions = 0) == 0)
+    assert(Files.exists(inflight))
+    // explicit zero retention removes both orphans
+    assert(t.vacuum(retainVersions = 0, retentionMs = 0) == 2)
+    assert(!Files.exists(inflight))
+    assert(t.toDF.collect().map(_.getInt(0)).toSet == Set(2))
+  }
+}
