@@ -2,6 +2,8 @@ package graft.queries
 
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import graft.table.GraftTable
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -121,6 +123,26 @@ object TableQueries {
     statsTable(s, dir); zorderTable(s, dir); bloomTable(s, dir)
     cloneTable(s, dir); partTable(s, dir)
   }
+
+  /** q141 fixture: the SAME seed + delete sequence run twice — once
+    * merge-on-read (deletion vectors: deletes commit tombstone sidecars,
+    * zero files rewritten) and once copy-on-write. A marker property on
+    * the CoW twin keeps version numbering aligned. */
+  private def dvDeleteTable(s: SparkSession, dvMode: Boolean): GraftTable =
+    cache.computeIfAbsent(if (dvMode) "dv141" else "cow141", _ => {
+      import scala.jdk.CollectionConverters._
+      val seedSchema = StructType(Seq(
+        StructField("id", IntegerType, nullable = false),
+        StructField("v", StringType, nullable = false)))
+      val seed = s.createDataFrame(
+        (1 to 6).map(i => Row(i, s"v$i")).asJava, seedSchema).repartition(3)
+      val t = GraftTable.create(s, graft.Scratch.dir("graft-dv141-").toString, seed)
+      if (dvMode) t.setProperty("deletionVectors.enabled", "true")
+      else t.setProperty("mode.marker", "cow")
+      t.delete(col("id").isin(2, 5))
+      t.delete(col("id") === 6)
+      t
+    })
 
   private[queries] def ivmTable(s: SparkSession): GraftTable =
     cache.computeIfAbsent("ivm", _ => {
@@ -389,6 +411,47 @@ object TableQueries {
         |  COUNT(*) AS clone_rows,
         |  max(o_totalprice) AS clone_max_price
         |FROM orders WHERE o_totalprice < 50000.0""".stripMargin),
+
+    // ---- Merge-on-read DELETE: deletion-vector vs copy-on-write parity -----------
+    // The same seed + two-delete sequence runs twice: the DV table commits
+    // tombstone sidecars (its delete commits rewrite ZERO files — a 1-row
+    // delete at 100 TB writes kilobytes instead of re-copying 128 MB
+    // files; DeletionVectorSpec pins the file-level facts), the CoW twin
+    // rewrites touched files. The query proves the two MODES are
+    // observationally identical at EVERY version: per version it emits
+    // both row counts, the symmetric-difference count (must be 0), and
+    // the DV table's rewritten-file total (must stay 0). The literal
+    // oracle pins all four columns.
+    "q141_deletion_vectors" -> Q(
+      (s, _) => {
+        val dvT = dvDeleteTable(s, dvMode = true)
+        val cowT = dvDeleteTable(s, dvMode = false)
+        val rewritten = dvT.history()
+          .filter(col("operation") === "DELETE")
+          .select(sum(element_at(col("operationMetrics"), "numRewrittenFiles")
+            .cast(LongType)).as("r"))
+          .head().getLong(0)
+        val rows = (0L to 3L).map { v =>
+          val a = dvT.versionAsOf(v)
+          val b = cowT.versionAsOf(v)
+          Row(v, a.count(), b.count(),
+            a.exceptAll(b).unionAll(b.exceptAll(a)).count(), rewritten)
+        }
+        val schema = StructType(Seq(
+          StructField("version", LongType, nullable = false),
+          StructField("n_dv", LongType, nullable = false),
+          StructField("n_cow", LongType, nullable = false),
+          StructField("n_diff", LongType, nullable = false),
+          StructField("dv_files_rewritten", LongType, nullable = false)))
+        s.createDataFrame(rows.asJava, schema).orderBy("version")
+      },
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(6 AS BIGINT), CAST(6 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), CAST(6 AS BIGINT), CAST(6 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)))
+        |AS t(version, n_dv, n_cow, n_diff, dv_files_rewritten)
+        |ORDER BY version""".stripMargin),
 
     // ---- Hive-partitioned table scan (partition pruning as data skipping) --------
     // Documents land Hive-partitioned by lang (lang=en/... directories);

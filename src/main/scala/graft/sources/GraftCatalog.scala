@@ -466,7 +466,10 @@ class GraftGroupScan(tablePath: String, snap: Snapshot)
 
   override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] =
     files.map(f => graft.streaming.GraftFilePartition(
-      absPath(f), f.partitionValues, f.numRecords)
+      absPath(f), f.partitionValues, f.numRecords,
+      // merge-on-read: the rewrite scan must NOT resurrect tombstoned rows
+      f.dvPath.map(p => java.nio.file.Paths.get(tablePath, p).toString),
+      f.path.substring(f.path.lastIndexOf('/') + 1))
         : org.apache.spark.sql.connector.read.InputPartition).toArray
 
   override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
@@ -528,14 +531,12 @@ class GraftV1ScanRelation(ctx: SQLContext, table: GraftTable, snap: Snapshot,
       case Some(p) => table.prunedFiles(snap, p)
       case None => snap.files
     }
-    val df0 = table.readFiles(snap, files)
-    // `_file` metadata column: which data file holds the row. Normalized
-    // to a plain path (input_file_name returns a file: URI) so values
-    // compare equal with the row-level GraftGroupScan's `_file`.
+    // `_file` metadata column: which data file holds the row, as a plain
+    // path comparable with the row-level GraftGroupScan's `_file` — bound
+    // from parquet's _metadata BEFORE any deletion-vector anti-join.
     val df = if (required.fieldNames.contains("_file"))
-      df0.withColumn("_file", org.apache.spark.sql.functions.regexp_replace(
-        org.apache.spark.sql.functions.input_file_name(), "^file:/+", "/"))
-    else df0
+      table.readFilesWithFileCol(snap, files)
+    else table.readFiles(snap, files)
     df.select(required.fieldNames.map(col).toIndexedSeq: _*).rdd
   }
 }

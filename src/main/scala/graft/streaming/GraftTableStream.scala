@@ -175,7 +175,9 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
       }
     files.map(f => GraftFilePartition(
       Paths.get(tablePath, f.path).toString, f.partitionValues,
-      f.numRecords): InputPartition).toArray
+      f.numRecords,
+      f.dvPath.map(p => Paths.get(tablePath, p).toString),
+      f.path.substring(f.path.lastIndexOf('/') + 1)): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -191,7 +193,8 @@ case class GraftStreamOffset(version: Long) extends Offset {
 }
 
 case class GraftFilePartition(absPath: String,
-    partitionValues: Map[String, String], numRecords: Long) extends InputPartition
+    partitionValues: Map[String, String], numRecords: Long,
+    dvAbsPath: Option[String] = None, fname: String = "") extends InputPartition
 
 /** Decodes one parquet file to InternalRows with parquet-hadoop's Group
   * API (public parquet-mr surface; no Spark-internal reader). Partition
@@ -241,25 +244,44 @@ class GraftParquetReader(part: GraftFilePartition, schema: StructType,
   private var remainingInGroup = rowGroup.map(_.getRowCount).getOrElse(0L)
   private var current: InternalRow = _
 
+  /** Deletion-vector tombstones of THIS file (merge-on-read): loaded once
+    * per partition, applied as a row-index skip while decoding. Null when
+    * the file has no DV. */
+  private val deleted: java.util.BitSet =
+    part.dvAbsPath.map(p => graft.table.FileOps
+      .dvPositions(Paths.get(p), part.fname)).orNull
+  private var rowIdx = -1L
+
   override def next(): Boolean = {
     if (emptyProjection) {
-      if (emptyRemaining == 0) return false
-      emptyRemaining -= 1
-      current = toInternalRow(null)
-      return true
+      while (emptyRemaining > 0) {
+        emptyRemaining -= 1
+        rowIdx += 1
+        if (deleted == null || !deleted.get(rowIdx.toInt)) {
+          current = toInternalRow(null)
+          return true
+        }
+      }
+      return false
     }
-    while (remainingInGroup == 0) {
-      rowGroup = Option(reader.readNextRowGroup())
-      if (rowGroup.isEmpty) return false
-      recordReader = rowGroup.map(rg =>
-        new ColumnIOFactory().getColumnIO(requested)
-          .getRecordReader(rg, new GroupRecordConverter(requested)))
-      remainingInGroup = rowGroup.get.getRowCount
+    while (true) {
+      while (remainingInGroup == 0) {
+        rowGroup = Option(reader.readNextRowGroup())
+        if (rowGroup.isEmpty) return false
+        recordReader = rowGroup.map(rg =>
+          new ColumnIOFactory().getColumnIO(requested)
+            .getRecordReader(rg, new GroupRecordConverter(requested)))
+        remainingInGroup = rowGroup.get.getRowCount
+      }
+      val g = recordReader.get.read()
+      remainingInGroup -= 1
+      rowIdx += 1
+      if (deleted == null || !deleted.get(rowIdx.toInt)) {
+        current = toInternalRow(g)
+        return true
+      }
     }
-    val g = recordReader.get.read()
-    remainingInGroup -= 1
-    current = toInternalRow(g)
-    true
+    false // unreachable
   }
 
   override def get(): InternalRow = current

@@ -112,6 +112,34 @@ object FileOps {
     if (str) { if (a >= b) a else b }
     else { if (BigDecimal(a) >= BigDecimal(b)) a else b }
 
+  /** Load one data file's deletion-vector tombstones from a `_dv/` sidecar
+    * (columns fname/pos, written sorted) as a BitSet over row indexes —
+    * executor-side, parquet-mr only (the custom row-level/streaming
+    * readers can't ride the batch scan's anti-join). A file's positions
+    * are bounded by its row count (~1M for 128 MB), so the bitmap is
+    * ≤ ~128 KB. */
+  def dvPositions(sidecar: Path, fname: String): java.util.BitSet = {
+    val bits = new java.util.BitSet()
+    val in = HadoopInputFile.fromPath(new HPath(sidecar.toString), new Configuration())
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      var rg = Option(reader.readNextRowGroup())
+      while (rg.isDefined) {
+        val rr = new org.apache.parquet.io.ColumnIOFactory().getColumnIO(schema)
+          .getRecordReader(rg.get,
+            new org.apache.parquet.example.data.simple.convert.GroupRecordConverter(schema))
+        (0L until rg.get.getRowCount).foreach { _ =>
+          val g = rr.read()
+          if (g.getBinary("fname", 0).toStringUsingUTF8 == fname)
+            bits.set(g.getLong("pos", 0).toInt)
+        }
+        rg = Option(reader.readNextRowGroup())
+      }
+      bits
+    } finally reader.close()
+  }
+
   /** Point-lookup check against the file's native parquet bloom filters
     * (written via `parquet.bloom.filter.enabled#col` on the table's bloom
     * columns). `probes` maps column → candidate equality values (Catalyst

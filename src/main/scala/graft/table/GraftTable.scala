@@ -42,10 +42,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   /** DataFrame of a snapshot's live files (empty-but-typed when no files). */
   private def read(s: Snapshot): DataFrame = readFiles(s, s.files)
 
-  /** Read a subset of a snapshot's files with the snapshot schema.
+  /** Raw parquet scan of a file subset, no deletion-vector filtering.
     * basePath lets Spark reconstruct partition columns from the Hive-style
     * directory names when the table is partitioned. */
-  private[graft] def readFiles(s: Snapshot, files: Seq[AddFile]): DataFrame =
+  private def readFilesRaw(s: Snapshot, files: Seq[AddFile]): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s.schema)
     else if (s.metaData.partitionColumns.nonEmpty)
@@ -57,6 +57,84 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       // no basePath: shallow-clone references ("../src/...") stay readable
       spark.read.schema(s.schema)
         .parquet(files.map(f => s"$path/${f.path}"): _*)
+
+  /** Read a subset of a snapshot's files with the snapshot schema, with
+    * each file's deletion vector applied (merge-on-read): rows whose
+    * (file, row_index) is tombstoned in the file's DV sidecar are filtered
+    * by an anti-join on parquet's stable `_metadata.row_index` — a
+    * map-side hash probe when the tombstone set broadcasts (the common
+    * case: DVs are deltas, OPTIMIZE rebases them away), a shuffle join
+    * beyond that. Declarative on purpose: Catalyst keeps pushdown and
+    * column pruning on the underlying scan. */
+  private[graft] def readFiles(s: Snapshot, files: Seq[AddFile]): DataFrame =
+    dvEntries(files) match {
+      case None => readFilesRaw(s, files)
+      case Some(dv) => antiJoinDv(readFilesRaw(s, files), dv,
+          files.map(_.dvCount).sum).drop("__fname", "__pos")
+    }
+
+  /** readFiles variant carrying a `_file` column (the row's data file as a
+    * plain absolute path) — the V1 scan's metadata column. Derived from
+    * `_metadata.file_path` BEFORE any DV anti-join: `input_file_name()`
+    * is undefined over a multi-source plan. */
+  private[graft] def readFilesWithFileCol(s: Snapshot, files: Seq[AddFile]): DataFrame =
+    if (files.isEmpty)
+      readFilesRaw(s, files).withColumn("_file", lit(""))
+    else {
+      val base = readFilesRaw(s, files).withColumn("_file",
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+      dvEntries(files) match {
+        case None => base
+        case Some(dv) => antiJoinDv(base, dv, files.map(_.dvCount).sum)
+          .drop("__fname", "__pos")
+      }
+    }
+
+  /** readFiles variant that keeps `__fname`/`__pos` provenance columns —
+    * the DV delete path needs the surviving rows' positions. */
+  private def readFilesMeta(s: Snapshot, files: Seq[AddFile]): DataFrame = {
+    val marked = readFilesRaw(s, files)
+      .withColumn("__fname", col("_metadata.file_name"))
+      .withColumn("__pos", col("_metadata.row_index"))
+    dvEntries(files) match {
+      case None => marked
+      case Some(dv) =>
+        marked.join(maybeBroadcast(dv, files.map(_.dvCount).sum),
+          Seq("__fname", "__pos"), "left_anti")
+    }
+  }
+
+  private def maybeBroadcast(dv: DataFrame, totalTombstones: Long): DataFrame =
+    if (totalTombstones <= 4L * 1000 * 1000) broadcast(dv) else dv
+
+  private def antiJoinDv(base: DataFrame, dv: DataFrame, total: Long): DataFrame =
+    base.withColumn("__fname", col("_metadata.file_name"))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .join(maybeBroadcast(dv, total), Seq("__fname", "__pos"), "left_anti")
+
+  /** Tombstone entries (`__fname`, `__pos`) for the given files, or None
+    * when no file carries a DV. Sidecars are commit-scoped (one file may
+    * hold entries for many data files, and an entry's data file may have
+    * been re-pointed to a NEWER sidecar by a later delete), so entries are
+    * semi-joined against the exact (file, sidecar) pairs the AddFiles
+    * reference — driver-built metadata, broadcast. */
+  private def dvEntries(files: Seq[AddFile]): Option[DataFrame] = {
+    val withDv = files.filter(_.dvPath.isDefined)
+    if (withDv.isEmpty) None
+    else {
+      val refs = withDv.map(f => Row(fileName(f.path), f.dvPath.get)).distinct
+      val refSchema = StructType(Seq(
+        StructField("__fname", StringType, nullable = false),
+        StructField("__src", StringType, nullable = false)))
+      val refsDf = spark.createDataFrame(refs.asJava, refSchema)
+      val entries = withDv.map(_.dvPath.get).distinct.map { p =>
+        spark.read.parquet(s"$path/$p").withColumn("__src", lit(p))
+      }.reduce(_ unionByName _)
+        .withColumnRenamed("fname", "__fname")
+      Some(entries.join(broadcast(refsDf), Seq("__fname", "__src"), "left_semi")
+        .select(col("__fname"), col("pos").as("__pos")))
+    }
+  }
 
   /** Current-version DataFrame (reference: names_table.toDF(), api.py:74). */
   def toDF: DataFrame = read(snapshot)
@@ -89,7 +167,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * its footer row count, so the snapshot total is a driver-side log fold.
     * At 100 TB this is a millisecond instead of a cluster-wide scan). */
   def metadataCount(v: Long = latestVersion): Long =
-    snapshotAt(v).files.map(_.numRecords).sum
+    snapshotAt(v).files.map(_.liveRecords).sum
 
   /** Column MIN/MAX answered purely from add-action footer stats, as the
     * stringified stat values the log stores. None when any live file lacks
@@ -131,7 +209,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       StructField("numConstraints", IntegerType, nullable = false),
       StructField("properties", MapType(StringType, StringType), nullable = false)))
     spark.createDataFrame(java.util.List.of(Row(
-      s.version, s.files.size.toLong, s.files.map(_.numRecords).sum,
+      s.version, s.files.size.toLong, s.files.map(_.liveRecords).sum,
       s.files.map(_.size).sum, s.metaData.partitionColumns,
       s.metaData.constraints.size, s.metaData.properties)), schema)
   }
@@ -261,11 +339,30 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   }
 
   /** SET TBLPROPERTIES: commit a metaData with the property added/updated
-    * (versioned like every other metadata change). */
+    * (versioned like every other metadata change). Enabling a
+    * protocol-gated capability (deletion vectors, column mapping) commits
+    * the protocol upgrade IN THE SAME VERSION — a reader that predates the
+    * feature fails loudly from the first version that could use it. */
   def setProperty(key: String, value: String): Unit = {
     val s = snapshot
     val meta = s.metaData.copy(properties = s.metaData.properties + (key -> value))
-    log.commit(s.version + 1, Seq(meta,
+    val feature: Option[String] = key match {
+      case "deletionVectors.enabled" if value.equalsIgnoreCase("true") =>
+        Some("deletionVectors")
+      case "columnMapping.mode" if value.equalsIgnoreCase("name") =>
+        Some("columnMapping")
+      case _ => None
+    }
+    val upgrade: Seq[Action] = feature match {
+      case Some(f) if !s.protocol.readerFeatures.contains(f) =>
+        Seq(s.protocol.copy(
+          minReaderVersion = math.max(s.protocol.minReaderVersion, 2),
+          minWriterVersion = math.max(s.protocol.minWriterVersion, 2),
+          readerFeatures = s.protocol.readerFeatures :+ f,
+          writerFeatures = (s.protocol.writerFeatures :+ f).distinct))
+      case _ => Nil
+    }
+    log.commit(s.version + 1, upgrade ++ Seq(meta,
       CommitInfo(s.version + 1, log.nextTimestamp(), "SET TBLPROPERTIES",
         Map(key -> value))))
   }
@@ -434,11 +531,17 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       if (shallow) {
         val rel = Paths.get(dest).toAbsolutePath.normalize()
           .relativize(Paths.get(path).toAbsolutePath.normalize())
-        s.files.map(f => f.copy(path = s"$rel/${f.path}"))
+        s.files.map(f => f.copy(path = s"$rel/${f.path}",
+          dvPath = f.dvPath.map(p => s"$rel/$p")))
       } else {
         s.files.map { f =>
           Files.createDirectories(Paths.get(dest, f.path).getParent)
           Files.copy(Paths.get(path, f.path), Paths.get(dest, f.path))
+          f.dvPath.foreach { p =>
+            Files.createDirectories(Paths.get(dest, p).getParent)
+            if (!Files.exists(Paths.get(dest, p)))
+              Files.copy(Paths.get(path, p), Paths.get(dest, p))
+          }
           f
         }
       }
@@ -471,7 +574,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         .getOrElse(3600L * 1000))
     val keepFrom = math.max(0L, latest - retainVersions)
     val referenced = (keepFrom to latest)
-      .flatMap(v => log.snapshotAt(v).files.map(_.path)).toSet
+      .flatMap(v => log.snapshotAt(v).files
+        .flatMap(f => f.path +: f.dvPath.toSeq)).toSet
     val root = Paths.get(path)
     val dataFiles = Files.walk(root).iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet")
@@ -510,7 +614,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // at 100 TB you OPTIMIZE the hot partition after its ingest churn, not
     // the whole table; out-of-scope files survive byte-identical.
     val scoped = where.map(prunedFiles(s, _)).getOrElse(s.files)
-    if (scoped.size <= 1 && clusterBy.isEmpty && zorderBy.isEmpty) return
+    // a single file still rebases if it carries a deletion vector —
+    // OPTIMIZE is the DV purge path (merge-on-read debt repayment)
+    if (scoped.size <= 1 && scoped.forall(_.dvPath.isEmpty) &&
+        clusterBy.isEmpty && zorderBy.isEmpty) return
     val totalBytes = scoped.map(_.size).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val reorganized =
@@ -578,20 +685,83 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     }
   }
 
-  def delete(pred: Column): Long = {
-    val s = snapshot
+  /** Is merge-on-read DELETE active? (table property, protocol-gated) */
+  private def dvEnabled(meta: MetaData): Boolean =
+    meta.properties.get("deletionVectors.enabled").exists(_.equalsIgnoreCase("true"))
+
+  /** Merge-on-read DELETE: instead of rewriting every touched file
+    * copy-on-write, commit a tombstone sidecar listing the deleted
+    * (file, row_index) positions and re-add the SAME data files pointing
+    * at it — a 1-row delete on a 100 TB table writes kilobytes, not a
+    * 128 MB rewrite. Prior tombstones of the touched files ride into the
+    * new sidecar (one live sidecar per file), so scans resolve exactly one
+    * DV per file; OPTIMIZE rebases files and purges DVs. */
+  private def deleteWithDv(s: Snapshot, pred: Column): Long = {
     val candidates = prunedFiles(s, pred)
     if (candidates.isEmpty) { commitNoop(s, "DELETE"); return 0L }
-    val cand = readFiles(s, candidates)
-    val touchedNames = cand.filter(pred)
-      .select(input_file_name().as("f")).distinct().collect()
-      .map(r => fileName(r.getString(0))).toSet
+    // positions of matching rows, with existing DVs already applied (a
+    // re-delete of a tombstoned row must not double-count)
+    val newPos = readFilesMeta(s, candidates)
+      .filter(coalesce(pred, lit(false)))
+      .select(col("__fname"), col("__pos"))
+    val perFileNew = newPos.groupBy("__fname").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (perFileNew.isEmpty) { commitNoop(s, "DELETE"); return 0L }
+    val touched = s.files.filter(f => perFileNew.contains(fileName(f.path)))
+    // prior tombstones of touched files merge into the new sidecar; new
+    // positions are disjoint from prior ones by construction
+    val allPos = dvEntries(touched).map(_.unionByName(newPos)).getOrElse(newPos)
+    val rel = writeDvSidecar(allPos)
+    val deleted = perFileNew.values.sum
+    val ts = log.nextTimestamp()
+    log.commit(s.version + 1,
+      Seq(CommitInfo(s.version + 1, ts, "DELETE",
+        Map("numDeletedRows" -> deleted.toString,
+            "numRewrittenFiles" -> "0",
+            "numDeletionVectors" -> touched.size.toString))) ++
+      touched.map(f => RemoveFile(f.path, ts)) ++
+      touched.map(f => f.copy(dvPath = Some(rel),
+        dvCount = f.dvCount + perFileNew(fileName(f.path)))))
+    deleted
+  }
+
+  /** Write tombstone entries as ONE `_dv/` parquet sidecar (fname, pos),
+    * sorted for locality; returns the table-relative path. Tombstone sets
+    * are delta-sized (bounded by rows deleted since the last OPTIMIZE), so
+    * a single sorted file is the right shape. */
+  private def writeDvSidecar(entries: DataFrame): String = {
+    val staging = Paths.get(path, s".dvstage-${UUID.randomUUID()}")
+    entries.select(col("__fname").as("fname"), col("__pos").cast(LongType).as("pos"))
+      .repartition(1).sortWithinPartitions("fname", "pos")
+      .write.parquet(staging.toString)
+    val part = Files.walk(staging).iterator().asScala
+      .find(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("empty DV sidecar write"))
+    val rel = s"_dv/dv-${UUID.randomUUID()}.parquet"
+    Files.createDirectories(Paths.get(path, "_dv"))
+    Files.move(part, Paths.get(path, rel))
+    Files.walk(staging).iterator().asScala.toSeq.reverse.foreach(p =>
+      try Files.deleteIfExists(p) catch { case _: Exception => () })
+    rel
+  }
+
+  def delete(pred: Column): Long = {
+    val s = snapshot
+    if (dvEnabled(s.metaData)) return deleteWithDv(s, pred)
+    val candidates = prunedFiles(s, pred)
+    if (candidates.isEmpty) { commitNoop(s, "DELETE"); return 0L }
+    // provenance via _metadata (not input_file_name): stays defined when a
+    // file's deletion vector turns the read into a multi-source plan
+    val touchedNames = readFilesMeta(s, candidates).filter(pred)
+      .select(col("__fname")).distinct().collect()
+      .map(_.getString(0)).toSet
     if (touchedNames.isEmpty) { commitNoop(s, "DELETE"); return 0L }
 
     // part-file names are UUID-unique per table, so name-level matching is
     // safe across partition directories
     val touched = s.files.filter(f => touchedNames.contains(fileName(f.path)))
-    val keep = readFiles(s, touched).filter(!coalesce(pred, lit(false)))
+    val keep = readFilesMeta(s, touched).filter(!coalesce(pred, lit(false)))
+      .drop("__fname", "__pos")
     val adds = FileOps.writeDataFiles(keep, path, s.metaData.partitionColumns,
       GraftTable.bloomWriteOptions(s.metaData))
     val deleted = touched.map(_.numRecords).sum - adds.map(_.numRecords).sum
@@ -636,8 +806,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val targetAll = read(s).alias(targetAlias)
     val touchedPaths =
       if (s.files.isEmpty) Set.empty[String]
-      else targetAll
-        .withColumn("__file", input_file_name())
+      else readFilesWithFileCol(s, s.files)
+        .withColumnRenamed("_file", "__file")
         .alias(targetAlias)
         .join(src, cond, "inner")
         .select(col("__file")).distinct().collect().map(r => fileName(r.getString(0))).toSet
