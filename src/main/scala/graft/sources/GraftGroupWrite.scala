@@ -102,9 +102,19 @@ class GraftStreamingWrite(table: GraftTable, schema: StructType, queryId: String
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     // exactly-once epoch guard: the snapshot's folded SetTransaction map
     // (appId -> latest committed epoch) — O(1) per epoch, bounded by
-    // checkpoints, instead of re-parsing every commit file of the log
+    // checkpoints, instead of re-parsing every commit file of the log.
+    // Tables written before Txn actions existed recorded (txnAppId, epoch)
+    // only in commitInfo operationMetrics — when the map has no entry for
+    // this query, fall back to that scan ONCE (a restart on a legacy table
+    // must not re-commit its last epoch); every new commit writes a Txn,
+    // so the fallback stops firing after the first post-upgrade epoch.
     val alreadyCommitted =
-      table.snapshot.transactions.get(queryId).exists(_ >= epochId)
+      table.snapshot.transactions.get(queryId) match {
+        case Some(last) => last >= epochId
+        case None => table.log.commitInfos.exists(c =>
+          c.operationMetrics.get("txnAppId").contains(queryId) &&
+          c.operationMetrics.get("epoch").exists(_.toLong >= epochId))
+      }
     val adds = messages.flatMap { case m: GraftWriteMessage => m.adds }.toSeq
     if (alreadyCommitted)
       adds.foreach(a => Files.deleteIfExists(Paths.get(table.path, a.path)))

@@ -187,20 +187,29 @@ final class GraftLog(val tablePath: String) {
         case _: CommitInfo => ()
       }
     }
+    gateReaderFeatures(protocol)
+    Snapshot(v, meta.getOrElse(throw new IllegalStateException(
+      s"no metaData in log of $tablePath")), live.values.toSeq, txns.toMap, protocol)
+  }
+
+  /** The unsupported-reader-feature gate. Applied to EVERY snapshot this
+    * log hands out — both the replay path and the checkpoint-seed fast
+    * path (a version that coincides with a checkpoint, e.g. one written by
+    * a future writer, must not bypass the gate and silently misread). */
+  private def gateReaderFeatures(protocol: Protocol): Unit = {
     val unsupported = protocol.readerFeatures.filterNot(Protocol.supportedReaderFeatures)
     if (unsupported.nonEmpty) throw new GraftProtocolException(
       s"table $tablePath requires reader features ${unsupported.mkString(", ")} " +
         s"this build does not support (supported: " +
         s"${Protocol.supportedReaderFeatures.toSeq.sorted.mkString(", ")})")
-    Snapshot(v, meta.getOrElse(throw new IllegalStateException(
-      s"no metaData in log of $tablePath")), live.values.toSeq, txns.toMap, protocol)
   }
 
   /** Snapshot at version v: nearest checkpoint ≤ v + tail replay. */
   def snapshotAt(v: Long): Snapshot = latestCheckpointAtOrBefore(v) match {
     case Some(cp) =>
       val seed = readCheckpoint(cp)
-      if (cp == v) seed else replay(cp + 1, v, Some(seed))
+      if (cp == v) { gateReaderFeatures(seed.protocol); seed }
+      else replay(cp + 1, v, Some(seed))
     case None => replay(0L, v, None)
   }
 

@@ -65,13 +65,14 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * map-side hash probe when the tombstone set broadcasts (the common
     * case: DVs are deltas, OPTIMIZE rebases them away), a shuffle join
     * beyond that. Declarative on purpose: Catalyst keeps pushdown and
-    * column pruning on the underlying scan. */
+    * column pruning on the underlying scan.
+    *
+    * The scan SPLITS on DV presence: only files that actually carry a
+    * deletion vector pay the anti-join; DV-free files scan raw and union
+    * in. At 100 TB with one tombstoned file, the other 99.99% of the table
+    * must not pay a per-row hash probe on a string file-name key. */
   private[graft] def readFiles(s: Snapshot, files: Seq[AddFile]): DataFrame =
-    dvEntries(files) match {
-      case None => readFilesRaw(s, files)
-      case Some(dv) => antiJoinDv(readFilesRaw(s, files), dv,
-          files.map(_.dvCount).sum).drop("__fname", "__pos")
-    }
+    splitOnDv(files, readFilesRaw(s, _))
 
   /** readFiles variant carrying a `_file` column (the row's data file as a
     * plain absolute path) — the V1 scan's metadata column. Derived from
@@ -80,32 +81,46 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   private[graft] def readFilesWithFileCol(s: Snapshot, files: Seq[AddFile]): DataFrame =
     if (files.isEmpty)
       readFilesRaw(s, files).withColumn("_file", lit(""))
-    else {
-      val base = readFilesRaw(s, files).withColumn("_file",
-        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
-      dvEntries(files) match {
-        case None => base
-        case Some(dv) => antiJoinDv(base, dv, files.map(_.dvCount).sum)
-          .drop("__fname", "__pos")
-      }
-    }
+    else
+      splitOnDv(files, fs => readFilesRaw(s, fs).withColumn("_file",
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/")))
 
   /** readFiles variant that keeps `__fname`/`__pos` provenance columns —
     * the DV delete path needs the surviving rows' positions. */
   private def readFilesMeta(s: Snapshot, files: Seq[AddFile]): DataFrame = {
-    val marked = readFilesRaw(s, files)
+    def marked(fs: Seq[AddFile]): DataFrame = readFilesRaw(s, fs)
       .withColumn("__fname", col("_metadata.file_name"))
       .withColumn("__pos", col("_metadata.row_index"))
-    dvEntries(files) match {
-      case None => marked
-      case Some(dv) =>
-        marked.join(maybeBroadcast(dv, files.map(_.dvCount).sum),
-          Seq("__fname", "__pos"), "left_anti")
+    val (withDv, noDv) = files.partition(_.dvPath.isDefined)
+    if (withDv.isEmpty) marked(files)
+    else {
+      val filtered = marked(withDv).join(
+        maybeBroadcast(dvEntries(withDv).get, withDv.map(_.dvCount).sum),
+        Seq("__fname", "__pos"), "left_anti")
+      if (noDv.isEmpty) filtered else marked(noDv).unionByName(filtered)
     }
   }
 
+  /** Scan `files` via `scan`, anti-joining ONLY the subset that carries a
+    * deletion vector; DV-free files union in raw (plan has no join). */
+  private def splitOnDv(files: Seq[AddFile], scan: Seq[AddFile] => DataFrame): DataFrame = {
+    val (withDv, noDv) = files.partition(_.dvPath.isDefined)
+    if (withDv.isEmpty) scan(files)
+    else {
+      val filtered = antiJoinDv(scan(withDv), dvEntries(withDv).get,
+        withDv.map(_.dvCount).sum).drop("__fname", "__pos")
+      if (noDv.isEmpty) filtered else scan(noDv).unionByName(filtered)
+    }
+  }
+
+  /** Broadcast the tombstone set only while its estimated SIZE stays inside
+    * sane broadcast territory (~56 bytes per (fname, pos) row, 64 MB cap ≈
+    * 1.2M tombstones) — a row-count threshold alone would happily ship
+    * hundreds of MB to the driver and every executor. Beyond the cap the
+    * anti-join falls back to a shuffle join, which is the right plan for a
+    * tombstone set that large anyway. */
   private def maybeBroadcast(dv: DataFrame, totalTombstones: Long): DataFrame =
-    if (totalTombstones <= 4L * 1000 * 1000) broadcast(dv) else dv
+    if (totalTombstones * 56L <= 64L * 1024 * 1024) broadcast(dv) else dv
 
   private def antiJoinDv(base: DataFrame, dv: DataFrame, total: Long): DataFrame =
     base.withColumn("__fname", col("_metadata.file_name"))
@@ -492,15 +507,25 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   def restore(version: Long): Unit = {
     val cur = snapshot
     val tgt = snapshotAt(version)
-    val curPaths = cur.files.map(_.path).toSet
+    val curByPath = cur.files.map(f => f.path -> f).toMap
     val tgtPaths = tgt.files.map(_.path).toSet
     val ts = log.nextTimestamp()
+    // Files present in both snapshots still differ if their deletion-vector
+    // state changed (a DV delete re-adds the SAME path with a new
+    // dvPath/dvCount) — restore must revert that too, or deleted rows stay
+    // dead after restoring to a pre-delete version. Remove-then-re-add the
+    // target's AddFile (replay applies actions in order, so the re-add
+    // wins and the target's DV pointer is what the restored HEAD sees).
+    val dvChanged = tgt.files.filter(f => curByPath.get(f.path)
+      .exists(c => c.dvPath != f.dvPath || c.dvCount != f.dvCount))
     val actions =
       Seq(CommitInfo(cur.version + 1, ts, "RESTORE",
         Map("restoredVersion" -> version.toString))) ++
       (if (tgt.metaData != cur.metaData) Seq(tgt.metaData) else Nil) ++
       cur.files.filterNot(f => tgtPaths.contains(f.path)).map(f => RemoveFile(f.path, ts)) ++
-      tgt.files.filterNot(f => curPaths.contains(f.path))
+      dvChanged.map(f => RemoveFile(f.path, ts)) ++
+      dvChanged ++
+      tgt.files.filterNot(f => curByPath.contains(f.path))
     log.commit(cur.version + 1, actions)
   }
 
@@ -695,10 +720,17 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * at it — a 1-row delete on a 100 TB table writes kilobytes, not a
     * 128 MB rewrite. Prior tombstones of the touched files ride into the
     * new sidecar (one live sidecar per file), so scans resolve exactly one
-    * DV per file; OPTIMIZE rebases files and purges DVs. */
-  private def deleteWithDv(s: Snapshot, pred: Column): Long = {
+    * DV per file; OPTIMIZE rebases files and purges DVs.
+    *
+    * Returns None when the resulting tombstone set would exceed
+    * `deletionVectors.maxTombstones` (default 4M) — a DELETE matching
+    * billions of rows must not funnel through the single-task sidecar
+    * write, and a tombstone set that large makes every subsequent read
+    * worse than the rewrite it avoided; the caller falls back to
+    * copy-on-write (the same trade Delta makes). */
+  private def deleteWithDv(s: Snapshot, pred: Column): Option[Long] = {
     val candidates = prunedFiles(s, pred)
-    if (candidates.isEmpty) { commitNoop(s, "DELETE"); return 0L }
+    if (candidates.isEmpty) { commitNoop(s, "DELETE"); return Some(0L) }
     // positions of matching rows, with existing DVs already applied (a
     // re-delete of a tombstoned row must not double-count)
     val newPos = readFilesMeta(s, candidates)
@@ -706,8 +738,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       .select(col("__fname"), col("__pos"))
     val perFileNew = newPos.groupBy("__fname").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (perFileNew.isEmpty) { commitNoop(s, "DELETE"); return 0L }
+    if (perFileNew.isEmpty) { commitNoop(s, "DELETE"); return Some(0L) }
     val touched = s.files.filter(f => perFileNew.contains(fileName(f.path)))
+    val maxTombstones = s.metaData.properties
+      .get("deletionVectors.maxTombstones").map(_.toLong).getOrElse(4L * 1000 * 1000)
+    if (perFileNew.values.sum + touched.map(_.dvCount).sum > maxTombstones)
+      return None
     // prior tombstones of touched files merge into the new sidecar; new
     // positions are disjoint from prior ones by construction
     val allPos = dvEntries(touched).map(_.unionByName(newPos)).getOrElse(newPos)
@@ -722,13 +758,15 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       touched.map(f => RemoveFile(f.path, ts)) ++
       touched.map(f => f.copy(dvPath = Some(rel),
         dvCount = f.dvCount + perFileNew(fileName(f.path)))))
-    deleted
+    Some(deleted)
   }
 
   /** Write tombstone entries as ONE `_dv/` parquet sidecar (fname, pos),
     * sorted for locality; returns the table-relative path. Tombstone sets
-    * are delta-sized (bounded by rows deleted since the last OPTIMIZE), so
-    * a single sorted file is the right shape. */
+    * are delta-sized — bounded by rows deleted since the last OPTIMIZE and
+    * hard-capped by `deletionVectors.maxTombstones` (deleteWithDv falls
+    * back to copy-on-write beyond it) — so a single sorted file is the
+    * right shape and the repartition(1) funnel is bounded. */
   private def writeDvSidecar(entries: DataFrame): String = {
     val staging = Paths.get(path, s".dvstage-${UUID.randomUUID()}")
     entries.select(col("__fname").as("fname"), col("__pos").cast(LongType).as("pos"))
@@ -747,7 +785,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
 
   def delete(pred: Column): Long = {
     val s = snapshot
-    if (dvEnabled(s.metaData)) return deleteWithDv(s, pred)
+    if (dvEnabled(s.metaData)) deleteWithDv(s, pred) match {
+      case Some(n) => return n
+      case None    => () // tombstone cap exceeded — fall through to CoW
+    }
     val candidates = prunedFiles(s, pred)
     if (candidates.isEmpty) { commitNoop(s, "DELETE"); return 0L }
     // provenance via _metadata (not input_file_name): stays defined when a

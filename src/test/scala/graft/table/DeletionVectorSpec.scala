@@ -158,6 +158,51 @@ class DeletionVectorSpec extends SparkTestBase {
     assert(got == Set(2, 3, 5, 6), s"streaming snapshot served $got")
   }
 
+  test("RESTORE to a pre-delete version resurrects DV-deleted rows") {
+    val t = dvTable("dv-restore-") // v0 create, v1 enable DVs
+    t.delete(col("id") === 4)      // v2: DV delete, same data files re-added
+    assert(ids(t.toDF) == Set(1, 2, 3, 5, 6))
+    t.restore(1)                   // v3: HEAD must equal v1 — all six rows
+    assert(ids(t.toDF) == Set(1, 2, 3, 4, 5, 6),
+      "restore must revert deletion-vector state, not just file membership")
+    assert(t.snapshot.files.forall(_.dvPath.isEmpty))
+    // restoring forward to the post-delete version re-applies the DV
+    t.restore(2)
+    assert(ids(t.toDF) == Set(1, 2, 3, 5, 6))
+    assert(t.snapshot.files.map(_.dvCount).sum == 1)
+  }
+
+  test("DV-free files skip the anti-join (scan splits on DV presence)") {
+    val t = dvTable("dv-split-")
+    t.delete(col("id") === 4) // exactly one of three files gets a DV
+    val s = t.snapshot
+    val (withDv, noDv) = s.files.partition(_.dvPath.isDefined)
+    assert(withDv.size == 1 && noDv.size == 2)
+    // full scan: exactly ONE anti-join branch, unioned with a raw scan
+    val plan = t.toDF.queryExecution.executedPlan.toString
+    assert("LeftAnti".r.findAllIn(plan).size == 1, s"plan:\n$plan")
+    assert(plan.contains("Union"), s"plan:\n$plan")
+    // a scan over only the DV-free subset has no join at all
+    val rawPlan = t.readFiles(s, noDv).queryExecution.executedPlan.toString
+    assert(!rawPlan.contains("Join"), s"DV-free subset must scan raw:\n$rawPlan")
+    assert(ids(t.toDF) == Set(1, 2, 3, 5, 6))
+  }
+
+  test("DELETE beyond deletionVectors.maxTombstones falls back to copy-on-write") {
+    val t = dvTable("dv-cap-")
+    t.setProperty("deletionVectors.maxTombstones", "1")
+    assert(t.delete(col("id") === 1) == 1) // 1 tombstone: at the cap, DV path
+    assert(t.snapshot.files.exists(_.dvPath.isDefined))
+    // 2 new tombstones exceed the cap: copy-on-write, existing DVs honored
+    assert(t.delete(col("id").isin(2, 3)) == 2)
+    val metrics = t.history().select("operationMetrics").head()
+      .getMap[String, String](0)
+    assert(!metrics.get("numRewrittenFiles").contains("0"),
+      s"expected a CoW rewrite, got $metrics")
+    assert(ids(t.toDF) == Set(4, 5, 6))
+    assert(t.metadataCount() == 3)
+  }
+
   test("shallow clone carries deletion vectors") {
     val t = GraftTable.create(spark, tmpDir("dv-clsrc-"), seed6())
     t.setProperty("deletionVectors.enabled", "true")

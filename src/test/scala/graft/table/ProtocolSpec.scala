@@ -77,6 +77,43 @@ class ProtocolSpec extends SparkTestBase {
     assert(new GraftLog(t.path).latestVersion == withPtr.version)
   }
 
+  test("reader-feature gate fires on the checkpoint-seed fast path too") {
+    val t = GraftTable.create(spark, tmpDir("proto-cp-"), df((1, "a")))
+    val snap0 = t.log.snapshotAt(0)
+    val bad = Protocol(3, 7, Seq("v2CheckpointMagic"), Seq("v2CheckpointMagic"))
+    t.log.commit(1L, Seq(bad,
+      CommitInfo(1L, t.log.nextTimestamp(), "UPGRADE", Map.empty)))
+    // a foreign/future writer checkpointed AT v1 and left the pointer —
+    // snapshotAt(1) then returns the checkpoint seed directly (cp == v)
+    // and must still be gated, not silently misread
+    val lines = (bad +: snap0.metaData +: snap0.files).map(Actions.toJson)
+    Files.write(t.log.checkpointFile(1),
+      lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(t.log.lastCheckpointFile,
+      """{"version":1}""".getBytes(StandardCharsets.UTF_8))
+    val fresh = new GraftLog(t.path)
+    val e = intercept[GraftProtocolException](fresh.snapshotAt(1))
+    assert(e.getMessage.contains("v2CheckpointMagic"))
+  }
+
+  test("streaming epoch guard falls back to commitInfo metrics on legacy tables") {
+    val t = GraftTable.create(spark, tmpDir("legacy-txn-"), df((1, "a")))
+    // a legacy streaming epoch: (txnAppId, epoch) recorded ONLY in
+    // commitInfo operationMetrics — no Txn action (pre-round-6 format)
+    val adds = FileOps.writeDataFiles(df((2, "b")), t.path)
+    t.log.commit(1L, Seq(CommitInfo(1L, t.log.nextTimestamp(), "STREAMING UPDATE",
+      Map("numOutputRows" -> "1", "txnAppId" -> "legacyQuery", "epoch" -> "7")) ) ++ adds)
+    assert(t.snapshot.transactions.get("legacyQuery").isEmpty)
+    val w = new graft.sources.GraftStreamingWrite(t, schema, "legacyQuery")
+    // replaying epoch 7 after a restart must be skipped, not re-committed
+    w.commit(7L, Array(graft.sources.GraftWriteMessage(Nil)))
+    assert(t.latestVersion == 1L, "replayed legacy epoch must not re-commit")
+    // the next epoch commits normally and writes the Txn action
+    w.commit(8L, Array(graft.sources.GraftWriteMessage(Nil)))
+    assert(t.latestVersion == 2L)
+    assert(t.snapshot.transactions.get("legacyQuery").contains(8L))
+  }
+
   test("vacuum retention guard keeps young unreferenced files") {
     val t = GraftTable.create(spark, tmpDir("vac-"),
       df((1, "a"), (2, "b")).coalesce(1))
