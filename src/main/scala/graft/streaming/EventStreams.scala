@@ -177,22 +177,22 @@ object EventStreams {
   private def scratchDir(prefix: String): java.nio.file.Path =
     graft.Scratch.dir(prefix)
 
-  /** File-source stream of the events table (schema fixed up front, as any
-    * production stream does; ts arrives as raw nanos — see Tables.events). */
+  /** File-source stream of the events table. A file stream needs its schema
+    * up front; hard-coding one is how a silent fixture re-type corrupts
+    * every downstream timestamp (a user LongType schema reads µs int64
+    * "successfully" and a nanos decode shrinks it 1000×). So the stream's
+    * schema is DERIVED from the batch loader's footer-resolved schema and
+    * `ts` goes through the same type-adaptive decode — batch and stream
+    * can't disagree. The batch probe also runs its once-per-path sanity
+    * assertion on the decoded range. */
   def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-    spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.Tables.events(spark, sfDir) // runs the once-per-path decode sanity probe
+    val rawSchema = graft.Tables.eventsRaw(spark, sfDir).schema
+    graft.Tables.decodeEventTs(
+      spark.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
   }
 
   /** Tumbling 10-minute counts per event type — identical expression tree to
