@@ -144,6 +144,35 @@ object TableQueries {
       t
     })
 
+  /** q142 fixture: one MERGE wielding the FULL clause set — conditional
+    * matched delete, matched update, insert, and both NOT MATCHED BY
+    * SOURCE actions — the DeltaMergeBuilder surface beyond the golden
+    * upsert (reference stack, invoked at api.py:92-102). */
+  private def mergeClausesTable(s: SparkSession): GraftTable =
+    cache.computeIfAbsent("mergeclauses", _ => {
+      import scala.jdk.CollectionConverters._
+      val schema = StructType(Seq(
+        StructField("id", IntegerType, nullable = false),
+        StructField("status", StringType, nullable = false),
+        StructField("v", IntegerType, nullable = false)))
+      val seed = s.createDataFrame(Seq(
+        Row(1, "live", 10), Row(2, "dead", 20), Row(3, "live", 30), Row(4, "live", 40)
+      ).asJava, schema)
+      val t = GraftTable.create(s, graft.Scratch.dir("graft-mrgfull-").toString, seed)
+      val src = s.createDataFrame(Seq(
+        Row(1, "live", 11), Row(2, "x", 0), Row(5, "new", 50)
+      ).asJava, schema)
+      t.merge(src, "t.id = s.id")
+        .whenMatchedDelete("t.status = 'dead'")      // id 2 tombstoned
+        .whenMatchedUpdate(Map("v" -> "s.v"))        // id 1 → 11
+        .whenNotMatchedInsert(Map(
+          "id" -> "s.id", "status" -> "s.status", "v" -> "s.v")) // id 5 inserted
+        .whenNotMatchedBySourceDelete("t.v = 30")    // id 3 swept
+        .whenNotMatchedBySourceUpdate(Map("status" -> "'stale'")) // id 4 marked
+        .execute()
+      t
+    })
+
   private[queries] def ivmTable(s: SparkSession): GraftTable =
     cache.computeIfAbsent("ivm", _ => {
       import scala.jdk.CollectionConverters._
@@ -452,6 +481,28 @@ object TableQueries {
         |  (CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)))
         |AS t(version, n_dv, n_cow, n_diff, dv_files_rewritten)
         |ORDER BY version""".stripMargin),
+
+    // ---- Full MERGE clause set in ONE atomic commit ------------------------------
+    // Conditional WHEN MATCHED DELETE, ordered matched clauses, WHEN NOT
+    // MATCHED BY SOURCE update+delete — the complete DeltaMergeBuilder
+    // clause surface the reference's stack exposes, all landing as one
+    // version. The output carries the final state plus the head version
+    // (must be 1: seed + a single MERGE commit) and the literal oracle
+    // pins every row each clause produced. Scale shape: the rewrite is
+    // file-scoped exactly like the plain upsert — clause conditions
+    // narrow the touched-file set, and by-source actions run in the same
+    // single left-outer pass (no per-clause scans).
+    "q142_merge_clauses" -> Q(
+      (s, _) => {
+        import s.implicits._
+        val t = mergeClausesTable(s)
+        t.toDF.withColumn("head_version", lit(t.latestVersion)).orderBy($"id")
+      },
+      """SELECT * FROM (VALUES
+        |  (1, 'live',  11, CAST(1 AS BIGINT)),
+        |  (4, 'stale', 40, CAST(1 AS BIGINT)),
+        |  (5, 'new',   50, CAST(1 AS BIGINT)))
+        |AS t(id, status, v, head_version) ORDER BY id""".stripMargin),
 
     // ---- Hive-partitioned table scan (partition pruning as data skipping) --------
     // Documents land Hive-partitioned by lang (lang=en/... directories);

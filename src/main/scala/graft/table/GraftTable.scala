@@ -833,7 +833,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
 
   private[table] def executeMerge(
       source: DataFrame, condition: String, targetAlias: String, sourceAlias: String,
-      updateSet: Option[Map[String, String]], insertValues: Option[Map[String, String]]): Unit = {
+      matchedClauses: Seq[MergeClause.Matched],
+      insertClauses: Seq[MergeClause.NotMatchedInsert],
+      bySourceClauses: Seq[MergeClause.BySource]): Unit = {
     val s = snapshot
     val schema = s.schema
     val cond = expr(condition)
@@ -841,48 +843,105 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val srcCols = schema.fieldNames.toSeq
     val srcMark = s"__${sourceAlias}_present"
     val src = source.alias(sourceAlias)
-
-    // Phase 1: which target files contain matched rows? (semi-join on the
-    // merge condition — only these files are rewritten.)
     val targetAll = read(s).alias(targetAlias)
-    val touchedPaths =
-      if (s.files.isEmpty) Set.empty[String]
-      else readFilesWithFileCol(s, s.files)
-        .withColumnRenamed("_file", "__file")
-        .alias(targetAlias)
-        .join(src, cond, "inner")
-        .select(col("__file")).distinct().collect().map(r => fileName(r.getString(0))).toSet
-    val touched = s.files.filter(f => touchedPaths.contains(fileName(f.path)))
 
-    // Duplicate-source-match guard (Delta semantics): >1 source row matching
-    // one target row is an error, not a nondeterministic update.
+    def cc(c: Option[String]): Column = c.map(expr).getOrElse(lit(true))
+    def mCond(m: MergeClause.Matched): Option[String] = m match {
+      case MergeClause.MatchedUpdate(c, _) => c
+      case MergeClause.MatchedDelete(c)    => c
+    }
+    def bCond(b: MergeClause.BySource): Option[String] = b match {
+      case MergeClause.BySourceUpdate(c, _) => c
+      case MergeClause.BySourceDelete(c)    => c
+    }
+
+    // Phase 1: which target files contain AFFECTED rows? A row is affected
+    // when it matches and some matched clause's condition holds, or — with
+    // NOT MATCHED BY SOURCE clauses — when it matches nothing and some
+    // by-source clause's condition holds. Only those files are rewritten:
+    // per-clause conditions narrow the rewrite set, exactly like Delta's
+    // touched-file inner join. Without by-source clauses this stays an
+    // inner (semi-shaped) join; with them it has to be a left-outer probe
+    // of every file (match status is what the clauses dispatch on).
+    val touched: Seq[AddFile] =
+      if (s.files.isEmpty || (matchedClauses.isEmpty && bySourceClauses.isEmpty)) Nil
+      else {
+        val withFile = readFilesWithFileCol(s, s.files)
+          .withColumnRenamed("_file", "__file")
+          .alias(targetAlias)
+        val names: Set[String] =
+          if (bySourceClauses.isEmpty) {
+            val affected = matchedClauses.map(m => cc(mCond(m))).reduce(_ || _)
+            withFile.join(src, cond, "inner").filter(affected)
+              .select(col("__file")).distinct().collect()
+              .map(r => fileName(r.getString(0))).toSet
+          } else {
+            val joined = withFile.join(src.withColumn(srcMark, lit(true)), cond, "left_outer")
+            val matchedPred = col(srcMark).isNotNull
+            val mAff =
+              if (matchedClauses.isEmpty) lit(false)
+              else matchedPred && matchedClauses.map(m => cc(mCond(m))).reduce(_ || _)
+            val bAff = !matchedPred && bySourceClauses.map(b => cc(bCond(b))).reduce(_ || _)
+            joined.filter(mAff || bAff).select(col("__file")).distinct().collect()
+              .map(r => fileName(r.getString(0))).toSet
+          }
+        s.files.filter(f => names.contains(fileName(f.path)))
+      }
+
     if (touched.nonEmpty) {
       val t = readFiles(s, touched)
         .withColumn("__tid", monotonically_increasing_id())
         .localCheckpoint(true) // pin row ids: same ids in guard and rewrite
         .alias(targetAlias)
-      val dup = t.join(src, cond, "inner")
-        .groupBy(col("__tid")).count().filter(col("count") > 1).limit(1).count()
-      if (dup > 0) throw new IllegalStateException(
-        "MERGE failed: multiple source rows matched the same target row")
+      // Duplicate-source-match guard (Delta semantics): >1 source row
+      // matching one target row is an error, not a nondeterministic
+      // update/delete. Only relevant when matched clauses exist.
+      if (matchedClauses.nonEmpty) {
+        val dup = t.join(src, cond, "inner")
+          .groupBy(col("__tid")).count().filter(col("count") > 1).limit(1).count()
+        if (dup > 0) throw new IllegalStateException(
+          "MERGE failed: multiple source rows matched the same target row")
+      }
 
-      // Phase 2a: rewrite touched files — matched rows updated, others kept.
+      // Phase 2a: rewrite touched files. Each row takes the FIRST clause
+      // whose condition holds for its match status (Delta's clause-order
+      // semantics): matched clauses get action ids 0..m-1, by-source
+      // clauses m..m+b-1, -1 = keep as-is. Delete actions filter the row
+      // out; update actions drive per-column when-chains. All of it is one
+      // codegen'd projection — no per-clause passes over the data.
       val joined = t.join(src.withColumn(srcMark, lit(true)), cond, "left_outer")
-      val matched = col(srcMark).isNotNull
-      val rewritten = joined.select(srcCols.map { c =>
-        updateSet match {
-          case Some(set) =>
-            set.get(c) match {
-              case Some(e) => when(matched, expr(e)).otherwise(col(s"$targetAlias.$c")).as(c)
-              case None    => col(s"$targetAlias.$c").as(c)
-            }
-          case None => col(s"$targetAlias.$c").as(c)
-        }
+      val matchedPred = col(srcMark).isNotNull
+      var chain: Column = null
+      def addCase(pred: Column, idx: Int): Unit =
+        chain = if (chain == null) when(pred, lit(idx)) else chain.when(pred, lit(idx))
+      matchedClauses.zipWithIndex.foreach { case (m, i) =>
+        addCase(matchedPred && cc(mCond(m)), i) }
+      bySourceClauses.zipWithIndex.foreach { case (b, j) =>
+        addCase(!matchedPred && cc(bCond(b)), matchedClauses.size + j) }
+      val action = (if (chain == null) lit(-1) else chain.otherwise(lit(-1)))
+
+      val deleteIds: Seq[Int] =
+        matchedClauses.zipWithIndex.collect { case (MergeClause.MatchedDelete(_), i) => i } ++
+        bySourceClauses.zipWithIndex.collect {
+          case (MergeClause.BySourceDelete(_), j) => matchedClauses.size + j }
+      val updateSets: Seq[(Int, Map[String, String])] =
+        matchedClauses.zipWithIndex.collect {
+          case (MergeClause.MatchedUpdate(_, set), i) => (i, set) } ++
+        bySourceClauses.zipWithIndex.collect {
+          case (MergeClause.BySourceUpdate(_, set), j) => (matchedClauses.size + j, set) }
+
+      val acted = joined.withColumn("__action", action)
+        .filter(if (deleteIds.isEmpty) lit(true) else !col("__action").isin(deleteIds: _*))
+      val rewritten = acted.select(srcCols.map { c =>
+        var e: Column = col(s"$targetAlias.$c")
+        updateSets.foreach { case (i, set) =>
+          set.get(c).foreach(u => e = when(col("__action") === i, expr(u)).otherwise(e)) }
+        e.as(c)
       }: _*)
 
       // Phase 2b: inserts — source rows matching NOTHING in the whole table
       // (any match would have made its file touched; see class doc).
-      val inserts = insertRows(src, targetAll, cond, insertValues, schema)
+      val inserts = insertRows(src, targetAll, cond, insertClauses, schema)
       val out = enforceConstraints(conform(rewritten.unionByName(inserts), schema),
         s.metaData)
       val adds = FileOps.writeDataFiles(out, path, s.metaData.partitionColumns,
@@ -894,8 +953,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
               "numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
         touched.map(f => RemoveFile(f.path, ts)) ++ adds)
     } else {
-      // No matches at all: pure insert path.
-      val inserts = insertRows(src, targetAll, cond, insertValues, schema)
+      // No affected target rows: pure insert path.
+      val inserts = insertRows(src, targetAll, cond, insertClauses, schema)
       val adds = FileOps.writeDataFiles(
         enforceConstraints(conform(inserts, schema), s.metaData), path,
         s.metaData.partitionColumns, GraftTable.bloomWriteOptions(s.metaData))
@@ -906,34 +965,78 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     }
   }
 
-  /** Source rows with no match in the target, projected via insertValues. */
+  /** Source rows with no match in the target, dispatched to the first
+    * insert clause whose condition holds (conditions see source columns,
+    * e.g. "s.country = 'US'"); rows satisfying no clause are dropped. */
   private def insertRows(src: DataFrame, targetAll: DataFrame, cond: Column,
-      insertValues: Option[Map[String, String]], schema: StructType): DataFrame = {
+      insertClauses: Seq[MergeClause.NotMatchedInsert], schema: StructType): DataFrame = {
+    if (insertClauses.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    insertClauses.foreach(ic =>
+      require(schema.fieldNames.forall(ic.values.contains),
+        s"whenNotMatchedInsert must set every column: ${schema.fieldNames.mkString(", ")}"))
     val unmatched = src.join(targetAll, cond, "left_anti")
-    insertValues match {
-      case Some(vals) =>
-        require(schema.fieldNames.forall(vals.contains),
-          s"whenNotMatchedInsert must set every column: ${schema.fieldNames.mkString(", ")}")
-        unmatched.select(schema.fieldNames.map(c => expr(vals(c)).as(c)).toSeq: _*)
-      case None =>
-        // no insert clause: contribute nothing
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    }
+    var chain: Column = null
+    insertClauses.zipWithIndex.foreach { case (ic, i) =>
+      val pred = ic.cond.map(expr).getOrElse(lit(true))
+      chain = if (chain == null) when(pred, lit(i)) else chain.when(pred, lit(i)) }
+    val withA = unmatched.withColumn("__iact", chain.otherwise(lit(-1)))
+      .filter(col("__iact") >= 0)
+    insertClauses.zipWithIndex.map { case (ic, i) =>
+      withA.filter(col("__iact") === i)
+        .select(schema.fieldNames.map(c => expr(ic.values(c)).as(c)).toSeq: _*)
+    }.reduce(_ unionByName _)
   }
 }
 
+/** MERGE clause ADT — the full DeltaMergeBuilder clause set the reference's
+  * stack exposes (invoked at api.py:92-102): multiple WHEN MATCHED clauses
+  * (update/delete, each optionally conditional), multiple conditional
+  * WHEN NOT MATCHED inserts, and WHEN NOT MATCHED BY SOURCE update/delete. */
+object MergeClause {
+  sealed trait Matched
+  final case class MatchedUpdate(cond: Option[String], set: Map[String, String]) extends Matched
+  final case class MatchedDelete(cond: Option[String]) extends Matched
+  final case class NotMatchedInsert(cond: Option[String], values: Map[String, String])
+  sealed trait BySource
+  final case class BySourceUpdate(cond: Option[String], set: Map[String, String]) extends BySource
+  final case class BySourceDelete(cond: Option[String]) extends BySource
+}
+
 /** Fluent MERGE clause builder (shape of api.py:92-102). Column expressions
-  * are SQL strings and may reference both aliases, e.g. "s.firstname". */
+  * and clause conditions are SQL strings and may reference both aliases,
+  * e.g. "s.firstname" / "t.balance < 0". Clauses apply in the order they
+  * were added: each row takes the first applicable one. */
 final class MergeBuilder private[table] (
     table: GraftTable, source: DataFrame, condition: String,
     targetAlias: String, sourceAlias: String) {
-  private var updateSet: Option[Map[String, String]] = None
-  private var insertValues: Option[Map[String, String]] = None
+  private val matched = scala.collection.mutable.ArrayBuffer[MergeClause.Matched]()
+  private val inserts = scala.collection.mutable.ArrayBuffer[MergeClause.NotMatchedInsert]()
+  private val bySource = scala.collection.mutable.ArrayBuffer[MergeClause.BySource]()
 
-  def whenMatchedUpdate(set: Map[String, String]): MergeBuilder = { updateSet = Some(set); this }
-  def whenNotMatchedInsert(values: Map[String, String]): MergeBuilder = { insertValues = Some(values); this }
+  def whenMatchedUpdate(set: Map[String, String]): MergeBuilder = {
+    matched += MergeClause.MatchedUpdate(None, set); this }
+  def whenMatchedUpdate(condition: String, set: Map[String, String]): MergeBuilder = {
+    matched += MergeClause.MatchedUpdate(Some(condition), set); this }
+  def whenMatchedDelete(): MergeBuilder = {
+    matched += MergeClause.MatchedDelete(None); this }
+  def whenMatchedDelete(condition: String): MergeBuilder = {
+    matched += MergeClause.MatchedDelete(Some(condition)); this }
+  def whenNotMatchedInsert(values: Map[String, String]): MergeBuilder = {
+    inserts += MergeClause.NotMatchedInsert(None, values); this }
+  def whenNotMatchedInsert(condition: String, values: Map[String, String]): MergeBuilder = {
+    inserts += MergeClause.NotMatchedInsert(Some(condition), values); this }
+  def whenNotMatchedBySourceUpdate(set: Map[String, String]): MergeBuilder = {
+    bySource += MergeClause.BySourceUpdate(None, set); this }
+  def whenNotMatchedBySourceUpdate(condition: String, set: Map[String, String]): MergeBuilder = {
+    bySource += MergeClause.BySourceUpdate(Some(condition), set); this }
+  def whenNotMatchedBySourceDelete(): MergeBuilder = {
+    bySource += MergeClause.BySourceDelete(None); this }
+  def whenNotMatchedBySourceDelete(condition: String): MergeBuilder = {
+    bySource += MergeClause.BySourceDelete(Some(condition)); this }
   def execute(): Unit =
-    table.executeMerge(source, condition, targetAlias, sourceAlias, updateSet, insertValues)
+    table.executeMerge(source, condition, targetAlias, sourceAlias,
+      matched.toSeq, inserts.toSeq, bySource.toSeq)
 }
 
 object GraftTable {

@@ -165,6 +165,32 @@ class CatalogSpec extends SparkTestBase {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
     assert(rows == Seq((1, "James", "Bond"), (2, "Alice", "Smith"),
       (3, "Joe", "Bloggs"), (4, "New", "Person")))
+  }
+
+  test("SQL MERGE INTO: DELETE, conditional clauses, and NOT MATCHED BY SOURCE") {
+    registered
+    sql("CREATE TABLE gcat.default.mrgfull (id INT, status STRING, v INT) USING graft")
+    sql("INSERT INTO gcat.default.mrgfull VALUES " +
+      "(1, 'live', 10), (2, 'dead', 20), (3, 'live', 30), (4, 'live', 40)")
+    // source covers 1 (update), 2 (conditional delete), 5 (insert);
+    // rows 3 and 4 are not matched by source: 3 deleted by condition,
+    // 4 swept into 'stale' by the by-source update
+    sql("""MERGE INTO gcat.default.mrgfull t
+          |USING (SELECT * FROM VALUES (1, 'live', 11), (2, 'x', 0), (5, 'new', 50)
+          |       AS s(id, status, v)) s
+          |ON t.id = s.id
+          |WHEN MATCHED AND t.status = 'dead' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET t.v = s.v
+          |WHEN NOT MATCHED THEN INSERT (id, status, v) VALUES (s.id, s.status, s.v)
+          |WHEN NOT MATCHED BY SOURCE AND t.v = 30 THEN DELETE
+          |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET t.status = 'stale'""".stripMargin)
+    val rows = sql("SELECT * FROM gcat.default.mrgfull ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+    assert(rows == Seq((1, "live", 11), (4, "stale", 40), (5, "new", 50)))
+    // one atomic commit for the whole statement
+    val t = GraftTable.forPath(spark, s"$wh/default/mrgfull")
+    assert(t.history().select("operation").collect().map(_.getString(0)).toSeq
+      .count(_ == "MERGE") == 1)
     // time travel still sees the pre-merge state; history records MERGE
     assert(sql("SELECT * FROM gcat.default.mrg VERSION AS OF 1").count() == 3)
     val ops = GraftTable.forPath(spark, s"$wh/default/mrg")

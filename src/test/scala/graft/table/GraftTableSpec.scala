@@ -397,4 +397,72 @@ class GraftTableSpec extends SparkTestBase {
     }
     assert(t.metadataMinMax("no_such_column").isEmpty)
   }
+
+  test("MERGE: whenMatchedDelete removes matched rows; conditional variant scopes it") {
+    val t = GraftTable.create(spark, tmpDir("gt-"),
+      df((1, "A", "B"), (2, "C", "D"), (3, "E", "F")))
+    t.merge(df((1, "x", "x"), (2, "keep", "x")), "t.id = s.id")
+      .whenMatchedDelete("s.firstname = 'x'")
+      .execute()
+    assert(state(t.toDF) === Set((2, "C", "D"), (3, "E", "F")),
+      "only the match whose clause condition held is deleted")
+    t.merge(df((2, "any", "any")), "t.id = s.id")
+      .whenMatchedDelete()
+      .execute()
+    assert(state(t.toDF) === Set((3, "E", "F")))
+  }
+
+  test("MERGE: clause order — first applicable matched clause wins") {
+    val t = GraftTable.create(spark, tmpDir("gt-"),
+      df((1, "old", "B"), (2, "fresh", "D")))
+    t.merge(df((1, "s1", "s1"), (2, "s2", "s2")), "t.id = s.id")
+      .whenMatchedDelete("t.firstname = 'old'")
+      .whenMatchedUpdate(Map("firstname" -> "s.firstname"))
+      .whenNotMatchedInsert(Map(
+        "id" -> "s.id", "firstname" -> "s.firstname", "lastname" -> "s.lastname"))
+      .execute()
+    assert(state(t.toDF) === Set((2, "s2", "D")),
+      "row 1 takes the delete clause; row 2 falls through to the update")
+  }
+
+  test("MERGE: whenNotMatchedBySource update and delete target unmatched rows only") {
+    val t = GraftTable.create(spark, tmpDir("gt-"),
+      df((1, "A", "B"), (2, "C", "D"), (3, "stale", "F")))
+    t.merge(df((1, "u", "u")), "t.id = s.id")
+      .whenMatchedUpdate(Map("firstname" -> "s.firstname"))
+      .whenNotMatchedBySourceDelete("t.firstname = 'stale'")
+      .whenNotMatchedBySourceUpdate(Map("lastname" -> "'unseen'"))
+      .execute()
+    assert(state(t.toDF) === Set((1, "u", "B"), (2, "C", "unseen")),
+      "matched row updated, stale unmatched row deleted, other unmatched row marked")
+  }
+
+  test("MERGE: multiple conditional insert clauses dispatch in order; no-clause rows drop") {
+    val t = GraftTable.create(spark, tmpDir("gt-"), df((1, "A", "B")))
+    t.merge(df((2, "hi", "x"), (3, "lo", "x"), (4, "skip", "x")), "t.id = s.id")
+      .whenNotMatchedInsert("s.firstname = 'hi'",
+        Map("id" -> "s.id", "firstname" -> "'first'", "lastname" -> "s.lastname"))
+      .whenNotMatchedInsert("s.firstname <> 'skip'",
+        Map("id" -> "s.id", "firstname" -> "'second'", "lastname" -> "s.lastname"))
+      .execute()
+    assert(state(t.toDF) ===
+      Set((1, "A", "B"), (2, "first", "x"), (3, "second", "x")),
+      "row 2 takes clause 1, row 3 falls to clause 2, row 4 matches no clause")
+  }
+
+  test("MERGE: conditional matched clause leaves files with only unaffected matches untouched") {
+    val dir = tmpDir("gt-")
+    val t = GraftTable.create(spark, dir, df((1, "A", "A"), (2, "B", "B")).coalesce(1))
+    t.append(df((3, "C", "C"), (4, "D", "D")).coalesce(1))
+    val before = t.snapshot.files.map(_.path).toSet
+    // both files have matches, but the clause condition only affects id=1
+    t.merge(df((1, "A2", "A2"), (3, "C2", "C2")), "t.id = s.id")
+      .whenMatchedUpdate("s.firstname = 'A2'", Map("firstname" -> "s.firstname"))
+      .execute()
+    val after = t.snapshot.files.map(_.path).toSet
+    assert(after.intersect(before).size === 1,
+      "the id-3/4 file has no affected row and must survive untouched")
+    assert(state(t.toDF) ===
+      Set((1, "A2", "A"), (2, "B", "B"), (3, "C", "C"), (4, "D", "D")))
+  }
 }

@@ -56,7 +56,10 @@ class ModelCheckSpec extends SparkTestBase {
           t.append(df(rows))
           model = model ++ rows.map(r => r._1 -> (r._2, r._3))
 
-        case 1 => // merge: update some existing + insert some new
+        case 1 => // merge: update some existing + insert some new, randomly
+          // through one of three clause shapes (plain upsert / upsert with
+          // conditional tombstone deletes / source-sync with by-source
+          // delete) — the full DeltaMergeBuilder clause set under churn
           val existing = model.keys.toSeq.sorted.take(rnd.nextInt(3))
             .map(id => (id, s"u$step-$id", s"v$step-$id"))
           val fresh = (0 until rnd.nextInt(2)).map { _ =>
@@ -64,12 +67,37 @@ class ModelCheckSpec extends SparkTestBase {
           }
           val src = existing ++ fresh
           if (src.nonEmpty) {
-            t.merge(df(src), "t.id = s.id")
-              .whenMatchedUpdate(Map("firstname" -> "s.firstname", "lastname" -> "s.lastname"))
-              .whenNotMatchedInsert(Map(
-                "id" -> "s.id", "firstname" -> "s.firstname", "lastname" -> "s.lastname"))
-              .execute()
-            model = model ++ src.map(r => r._1 -> (r._2, r._3))
+            val upserted = src.map(r => r._1 -> (r._2, r._3))
+            rnd.nextInt(3) match {
+              case 0 => // plain upsert
+                t.merge(df(src), "t.id = s.id")
+                  .whenMatchedUpdate(Map("firstname" -> "s.firstname", "lastname" -> "s.lastname"))
+                  .whenNotMatchedInsert(Map(
+                    "id" -> "s.id", "firstname" -> "s.firstname", "lastname" -> "s.lastname"))
+                  .execute()
+                model = model ++ upserted
+              case 1 => // tombstone upsert: even matched ids delete, odd update
+                t.merge(df(src), "t.id = s.id")
+                  .whenMatchedDelete("s.id % 2 = 0")
+                  .whenMatchedUpdate(Map("firstname" -> "s.firstname", "lastname" -> "s.lastname"))
+                  .whenNotMatchedInsert(Map(
+                    "id" -> "s.id", "firstname" -> "s.firstname", "lastname" -> "s.lastname"))
+                  .execute()
+                val (dead, live) = existing.partition(_._1 % 2 == 0)
+                model = model -- dead.map(_._1)
+                model = model ++ (live ++ fresh).map(r => r._1 -> (r._2, r._3))
+              case 2 => // source-sync: upsert + by-source delete above a cutoff
+                val cutoff = math.max(0, nextId - 1 - rnd.nextInt(5))
+                t.merge(df(src), "t.id = s.id")
+                  .whenMatchedUpdate(Map("firstname" -> "s.firstname", "lastname" -> "s.lastname"))
+                  .whenNotMatchedInsert(Map(
+                    "id" -> "s.id", "firstname" -> "s.firstname", "lastname" -> "s.lastname"))
+                  .whenNotMatchedBySourceDelete(s"t.id >= $cutoff")
+                  .execute()
+                val srcIds = src.map(_._1).toSet
+                model = model.filter { case (id, _) => srcIds.contains(id) || id < cutoff }
+                model = model ++ upserted
+            }
           } else {
             val r = (nextId, s"f$nextId", s"l$nextId"); nextId += 1
             t.append(df(Seq(r)))
@@ -91,7 +119,12 @@ class ModelCheckSpec extends SparkTestBase {
           t.restore(target)
           model = versions(target)
       }
-      versions += model
+      // OPTIMIZE legitimately skips the commit when ≤1 un-vectored file is
+      // in scope — versions maps table version → model, so only record one
+      // entry when a commit actually landed (state is unchanged either way)
+      if (t.latestVersion == versions.size) versions += model
+      else assert(t.latestVersion === versions.size - 1,
+        s"step $step: latestVersion ${t.latestVersion} vs ${versions.size - 1} expected")
       assert(state(t.toDF) === model, s"HEAD mismatch after step $step")
       if (probeLookups) {
         val probe = rnd.nextInt(math.max(1, nextId))
