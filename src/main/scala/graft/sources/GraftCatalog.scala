@@ -473,8 +473,11 @@ class GraftGroupScan(tablePath: String, snap: Snapshot)
         : org.apache.spark.sql.connector.read.InputPartition).toArray
 
   override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    // columnar is scan-uniform: one DV-carrying file anywhere in the
+    // snapshot drops the rewrite scan to the (DV-skipping) row path
     new graft.streaming.GraftParquetReaderFactory(scanSchema,
-      snap.metaData.partitionColumns)
+      snap.metaData.partitionColumns,
+      snap.files.forall(_.dvPath.isEmpty))
 }
 
 /** Pushdown surface: required columns shrink the read schema; =/range/IN

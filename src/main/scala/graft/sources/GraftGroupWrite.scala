@@ -8,14 +8,8 @@ import scala.jdk.CollectionConverters._
 import graft.table.{AddFile, FileOps, GraftTable, Snapshot}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HPath}
-import org.apache.parquet.example.data.Group
-import org.apache.parquet.example.data.simple.SimpleGroupFactory
 import org.apache.parquet.hadoop.ParquetWriter
-import org.apache.parquet.hadoop.example.ExampleParquetWriter
 import org.apache.parquet.hadoop.metadata.CompressionCodecName
-import org.apache.parquet.io.api.Binary
-import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Type, Types}
-import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
 import org.apache.spark.sql.types._
@@ -149,14 +143,12 @@ class GraftParquetDataWriter(tablePath: String, schema: StructType,
     extends DataWriter[InternalRow] {
 
   private val dataFields = schema.fields.filterNot(f => partitionCols.contains(f.name))
-  private val messageType: MessageType =
-    new MessageType("spark_schema", dataFields.map(parquetType).toSeq.asJava)
-  private val groupFactory = new SimpleGroupFactory(messageType)
+  private val dataSchema = StructType(dataFields)
   private val partIdx = partitionCols.map(c => c -> schema.fieldIndex(c)).toMap
 
   // one open file per partition-value combination this task sees
   private val writers = mutable.LinkedHashMap[Map[String, String],
-    (ParquetWriter[Group], String)]()
+    (ParquetWriter[InternalRow], String)]()
 
   /** The group-based rewrite prepends metadata columns the logical write
     * schema doesn't mention (`__row_operation` in the ReplaceData plan);
@@ -172,32 +164,41 @@ class GraftParquetDataWriter(tablePath: String, schema: StructType,
     fieldOffset + schemaIndex
   }
 
-  private def parquetType(f: StructField): Type = {
-    val rep = if (f.nullable) Type.Repetition.OPTIONAL else Type.Repetition.REQUIRED
-    val b = f.dataType match {
-      case IntegerType => Types.primitive(PrimitiveTypeName.INT32, rep)
-      case LongType => Types.primitive(PrimitiveTypeName.INT64, rep)
-      case ShortType => Types.primitive(PrimitiveTypeName.INT32, rep)
-        .as(LogicalTypeAnnotation.intType(16, true))
-      case ByteType => Types.primitive(PrimitiveTypeName.INT32, rep)
-        .as(LogicalTypeAnnotation.intType(8, true))
-      case DoubleType => Types.primitive(PrimitiveTypeName.DOUBLE, rep)
-      case FloatType => Types.primitive(PrimitiveTypeName.FLOAT, rep)
-      case BooleanType => Types.primitive(PrimitiveTypeName.BOOLEAN, rep)
-      case StringType => Types.primitive(PrimitiveTypeName.BINARY, rep)
-        .as(LogicalTypeAnnotation.stringType())
-      case BinaryType => Types.primitive(PrimitiveTypeName.BINARY, rep)
-      case DateType => Types.primitive(PrimitiveTypeName.INT32, rep)
-        .as(LogicalTypeAnnotation.dateType())
-      case TimestampType => Types.primitive(PrimitiveTypeName.INT64, rep)
-        .as(LogicalTypeAnnotation.timestampType(true, LogicalTypeAnnotation.TimeUnit.MICROS))
-      case other => throw new UnsupportedOperationException(
-        s"SQL row-level write does not support column type $other (${f.name})")
-    }
-    b.named(f.name)
+  /** Incoming-row view exposing exactly the data columns in file order:
+    * ParquetWriteSupport consumes ordinals 0..n-1 of the write schema, the
+    * incoming rewrite rows interleave partition columns and may carry
+    * leading metadata fields. Built on the first write (needs fieldOffset). */
+  private var projected: graft.streaming.RemappedRow = _
+
+  /** Spark's own parquet WriteSupport (ParquetWriteSupport): InternalRow
+    * goes straight into the parquet column writers — no per-row Group
+    * materialization, the same encode path a batch `df.write.parquet`
+    * uses — wrapped in a plain parquet-mr ParquetWriter for executor-side
+    * UUID-named file writes. */
+  private class RowWriterBuilder(p: HPath)
+      extends ParquetWriter.Builder[InternalRow, RowWriterBuilder](p) {
+    override def getWriteSupport(conf: Configuration)
+        : org.apache.parquet.hadoop.api.WriteSupport[InternalRow] =
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+    override def self(): RowWriterBuilder = this
   }
 
-  private def open(pv: Map[String, String]): (ParquetWriter[Group], String) = {
+  private def writeConf(): Configuration = {
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+    import org.apache.spark.sql.internal.SQLConf
+    val conf = new Configuration()
+    ParquetWriteSupport.setSchema(dataSchema, conf)
+    conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, "false")
+    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
+    conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "false")
+    conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key, "false")
+    conf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, "UTC")
+    conf
+  }
+
+  private def open(pv: Map[String, String]): (ParquetWriter[InternalRow], String) = {
     // Hive-compatible percent-escaping (the SAME function Spark's own file
     // writer uses) — URLEncoder's '+' for space would read back as a
     // literal '+' on the basePath partition-reconstruction path.
@@ -206,9 +207,8 @@ class GraftParquetDataWriter(tablePath: String, schema: StructType,
         .getPartitionPathString(c, pv(c))).mkString("/")
     val rel = (if (dir.isEmpty) "" else s"$dir/") + s"part-${UUID.randomUUID()}.parquet"
     Files.createDirectories(Paths.get(tablePath, rel).getParent)
-    var b = ExampleParquetWriter.builder(new HPath(Paths.get(tablePath, rel).toString))
-      .withType(messageType)
-      .withConf(new Configuration())
+    var b = new RowWriterBuilder(new HPath(Paths.get(tablePath, rel).toString))
+      .withConf(writeConf())
       .withCompressionCodec(CompressionCodecName.SNAPPY)
     bloomColumns.foreach { case (c, ndv) =>
       if (dataFields.exists(_.name == c)) {
@@ -235,29 +235,11 @@ class GraftParquetDataWriter(tablePath: String, schema: StructType,
   override def write(row: InternalRow): Unit = {
     val pv = partitionCols.map(c => c -> partitionValue(row, c)).toMap
     val (w, _) = writers.getOrElseUpdate(pv, open(pv))
-    w.write(toGroup(row))
-  }
-
-  private def toGroup(row: InternalRow): Group = {
-    val g = groupFactory.newGroup()
-    dataFields.foreach { f =>
-      val i = ord(row, schema.fieldIndex(f.name))
-      if (!row.isNullAt(i)) f.dataType match {
-        case IntegerType => g.add(f.name, row.getInt(i))
-        case LongType => g.add(f.name, row.getLong(i))
-        case ShortType => g.add(f.name, row.getShort(i).toInt)
-        case ByteType => g.add(f.name, row.getByte(i).toInt)
-        case DoubleType => g.add(f.name, row.getDouble(i))
-        case FloatType => g.add(f.name, row.getFloat(i))
-        case BooleanType => g.add(f.name, row.getBoolean(i))
-        case StringType => g.add(f.name, Binary.fromString(row.getUTF8String(i).toString))
-        case BinaryType => g.add(f.name, Binary.fromConstantByteArray(row.getBinary(i)))
-        case DateType => g.add(f.name, row.getInt(i))
-        case TimestampType => g.add(f.name, row.getLong(i)) // micros, as annotated
-        case other => throw new UnsupportedOperationException(s"unsupported type $other")
-      }
+    if (projected == null) {
+      val map = dataFields.map(f => ord(row, schema.fieldIndex(f.name)))
+      projected = new graft.streaming.RemappedRow(map, dataSchema)
     }
-    g
+    w.write(projected.set(row))
   }
 
   override def commit(): WriterCommitMessage = {

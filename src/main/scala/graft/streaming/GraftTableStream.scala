@@ -173,6 +173,7 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
           actions.collect { case a: AddFile => a }
         }
       }
+    plannedHasDv = files.exists(_.dvPath.nonEmpty)
     files.map(f => GraftFilePartition(
       Paths.get(tablePath, f.path).toString, f.partitionValues,
       f.numRecords,
@@ -180,8 +181,15 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
       f.path.substring(f.path.lastIndexOf('/') + 1)): InputPartition).toArray
   }
 
+  /** Columnar hand-off is a SCAN-uniform decision (Spark refuses mixed
+    * row/columnar partitions): any DV-carrying file in the planned batch
+    * drops the whole batch to the row path (the DV row-index skip). */
+  @volatile private var plannedHasDv = false
+
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftParquetReaderFactory(schema, partitionCols)
+    // evaluated AFTER planInputPartitions (Spark materializes the
+    // partitions before asking the factory about columnar support)
+    new GraftParquetReaderFactory(schema, partitionCols, !plannedHasDv)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -192,151 +200,169 @@ case class GraftStreamOffset(version: Long) extends Offset {
   override def json(): String = s"""{"version":$version}"""
 }
 
+/** One file to decode. `constOverrides` are extra per-partition constant
+  * columns (name → string value, cast by the reader to the schema type) —
+  * the CDF stream uses them for `_change_type`/`_commit_version`.
+  * `partitionColsInFile` marks files (CDC sidecars) that store the table's
+  * partition columns as ordinary data columns instead of Hive paths. */
 case class GraftFilePartition(absPath: String,
     partitionValues: Map[String, String], numRecords: Long,
-    dvAbsPath: Option[String] = None, fname: String = "") extends InputPartition
+    dvAbsPath: Option[String] = None, fname: String = "",
+    constOverrides: Seq[(String, String)] = Nil,
+    partitionColsInFile: Boolean = false) extends InputPartition
 
-/** Decodes one parquet file to InternalRows with parquet-hadoop's Group
-  * API (public parquet-mr surface; no Spark-internal reader). Partition
-  * columns come from the AddFile's partition values (they are not stored
-  * in the file). Supports the flat column types graft tables write;
-  * nested types are rejected at stream construction. */
-class GraftParquetReaderFactory(schema: StructType, partitionCols: Seq[String])
+/** Decodes table files with Spark's VECTORIZED parquet reader — the same
+  * columnar decoder the batch parquet scan uses (column-at-a-time page
+  * decode into ColumnVectors, no per-row object materialization). Two
+  * hand-off shapes:
+  *
+  *  - COLUMNAR (`supportColumnarReads`): whole `ColumnarBatch`es flow into
+  *    the scan exec — zero row conversion. Available when the file carries
+  *    no deletion vector and the scan schema's constant columns (partition
+  *    values + `_file`) trail the data columns (the vectorized reader
+  *    appends constants after the file's columns).
+  *  - ROW: the reader's batch-backed row cursor, still vectorized page
+  *    decode underneath. Used when a DV row-index skip must interleave
+  *    (merge-on-read) or the scan schema interleaves constant columns
+  *    (a `RemappedRow` view restores the requested field order — O(1),
+  *    no copy).
+  *
+  * Partition columns come from the AddFile's partition values (they are
+  * not stored in the file); evolved-in columns a file predates decode as
+  * null vectors (parquet missing-column semantics). Flat primitive
+  * schemas only — validated at stream construction. */
+class GraftParquetReaderFactory(schema: StructType, partitionCols: Seq[String],
+    columnarOk: Boolean = true)
     extends PartitionReaderFactory {
+
+  /** Per-partition column layout: which of the scan schema's fields are
+    * decoded from the file vs supplied as constants (Hive partition
+    * values, `_file`, and any per-partition overrides). Batch layout =
+    * dataFields ++ constFields; when that equals `schema` order (constants
+    * trail) rows/batches need no remap at all. */
+  private case class Layout(dataFields: Array[StructField],
+      constFields: Array[StructField], remap: Array[Int], trailing: Boolean)
+
+  private def layoutFor(p: GraftFilePartition): Layout = {
+    val overrideKeys = p.constOverrides.map(_._1).toSet
+    val constName: String => Boolean = n =>
+      overrideKeys.contains(n) || n == "_file" ||
+        (!p.partitionColsInFile && partitionCols.contains(n))
+    val dataFields  = schema.fields.filterNot(f => constName(f.name))
+    val constFields = schema.fields.filter(f => constName(f.name))
+    val batchOrder = (dataFields ++ constFields).map(_.name)
+    Layout(dataFields, constFields,
+      schema.fields.map(f => batchOrder.indexOf(f.name)),
+      schema.fields.map(_.name).sameElements(batchOrder))
+  }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = {
+    val p = partition.asInstanceOf[GraftFilePartition]
+    columnarOk && p.dvAbsPath.isEmpty && layoutFor(p).trailing
+  }
+
+  private def openVectorized(p: GraftFilePartition, lay: Layout)
+      : org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader = {
+    import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, ParquetWriteSupport, VectorizedParquetRecordReader}
+    import org.apache.spark.sql.internal.SQLConf
+    val conf = new Configuration()
+    val dataSchema = StructType(lay.dataFields)
+    // the same read-path conf Spark's ParquetFileFormat sets: requested
+    // schema + the semantics flags the schema converter consults
+    conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, dataSchema.json)
+    ParquetWriteSupport.setSchema(dataSchema, conf)
+    conf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key, false)
+    conf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, true)
+    conf.setBoolean(SQLConf.CASE_SENSITIVE.key, false)
+    conf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, true)
+    conf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, false)
+    conf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, "UTC")
+    // mapred.FileSplit (extends the mapreduce one) — the concrete class
+    // Spark's reader base casts the split to
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      new HPath(p.absPath), 0, Long.MaxValue, Array.empty[String])
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    // graft data files are written by Spark with CORRECTED (proleptic
+    // Gregorian) datetimes — no rebase, no INT96 conversion zone
+    val rdr = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
+    try {
+      rdr.initialize(split, ctx)
+      rdr.initBatch(StructType(lay.constFields), constRow(p, lay))
+      rdr
+    } catch { case e: Throwable => rdr.close(); throw e }
+  }
+
+  /** Per-file constant column values, Catalyst-encoded. */
+  private def constRow(p: GraftFilePartition, lay: Layout): InternalRow = {
+    val overrides = p.constOverrides.toMap
+    new GenericInternalRow(lay.constFields.map { f =>
+      if (overrides.contains(f.name)) castPartitionValue(overrides(f.name), f.dataType)
+      else if (f.name == "_file") UTF8String.fromString(p.absPath)
+      else castPartitionValue(p.partitionValues(f.name), f.dataType)
+    }.asInstanceOf[Array[Any]])
+  }
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[GraftFilePartition]
+    val rdr = openVectorized(p, layoutFor(p))
+    rdr.enableReturningBatches()
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      override def next(): Boolean = rdr.nextBatch()
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = rdr.resultBatch()
+      override def close(): Unit = rdr.close()
+    }
+  }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftFilePartition]
-    new GraftParquetReader(p, schema, partitionCols)
-  }
-}
-
-class GraftParquetReader(part: GraftFilePartition, schema: StructType,
-    partitionCols: Seq[String]) extends PartitionReader[InternalRow] {
-
-  private val reader = ParquetFileReader.open(
-    HadoopInputFile.fromPath(new HPath(part.absPath), new Configuration()))
-  private val fileSchema: MessageType = reader.getFooter.getFileMetaData.getSchema
-
-  // project the parquet read to the non-partition fields the scan needs
-  // that the file actually has (schema evolution: files predating an added
-  // column read it as null, parquet missing-column semantics); `_file` is
-  // a per-file constant (the row's group identity), never in the data
-  private val dataFields = schema.fields
-    .filterNot(f => partitionCols.contains(f.name) || f.name == "_file")
-    .filter(f => fileSchema.containsField(f.name))
-  private val requested: MessageType = new MessageType(fileSchema.getName,
-    dataFields.map(f => fileSchema.getType(fileSchema.getFieldIndex(f.name))): _*)
-  // empty projection (count over partition cols only): emit bare rows by count
-  private val emptyProjection = dataFields.isEmpty
-  private var emptyRemaining = part.numRecords
-  if (!emptyProjection) reader.setRequestedSchema(requested)
-
-  // constant partition-column values for every row of this file
-  private val partValues: Map[String, Any] = schema.fields
-    .filter(f => partitionCols.contains(f.name))
-    .map(f => f.name -> castPartitionValue(part.partitionValues(f.name), f.dataType))
-    .toMap
-
-  private var rowGroup = Option(reader.readNextRowGroup())
-  private var recordReader = rowGroup.map(rg =>
-    new ColumnIOFactory().getColumnIO(requested)
-      .getRecordReader(rg, new GroupRecordConverter(requested)))
-  private var remainingInGroup = rowGroup.map(_.getRowCount).getOrElse(0L)
-  private var current: InternalRow = _
-
-  /** Deletion-vector tombstones of THIS file (merge-on-read): loaded once
-    * per partition, applied as a row-index skip while decoding. Null when
-    * the file has no DV. */
-  private val deleted: java.util.BitSet =
-    part.dvAbsPath.map(p => graft.table.FileOps
-      .dvPositions(Paths.get(p), part.fname)).orNull
-  private var rowIdx = -1L
-
-  override def next(): Boolean = {
-    if (emptyProjection) {
-      while (emptyRemaining > 0) {
-        emptyRemaining -= 1
-        rowIdx += 1
-        if (deleted == null || !deleted.get(rowIdx.toInt)) {
-          current = toInternalRow(null)
-          return true
-        }
-      }
-      return false
-    }
-    while (true) {
-      while (remainingInGroup == 0) {
-        rowGroup = Option(reader.readNextRowGroup())
-        if (rowGroup.isEmpty) return false
-        recordReader = rowGroup.map(rg =>
-          new ColumnIOFactory().getColumnIO(requested)
-            .getRecordReader(rg, new GroupRecordConverter(requested)))
-        remainingInGroup = rowGroup.get.getRowCount
-      }
-      val g = recordReader.get.read()
-      remainingInGroup -= 1
-      rowIdx += 1
-      if (deleted == null || !deleted.get(rowIdx.toInt)) {
-        current = toInternalRow(g)
-        return true
-      }
-    }
-    false // unreachable
-  }
-
-  override def get(): InternalRow = current
-  override def close(): Unit = reader.close()
-
-  private def toInternalRow(g: Group): InternalRow = {
-    val values = schema.fields.map { f =>
-      if (f.name == "_file") UTF8String.fromString(part.absPath)
-      else if (partitionCols.contains(f.name)) partValues(f.name)
-      else if (!requested.containsField(f.name)) null // evolved-in column
-      else {
-        val idx = requested.getFieldIndex(f.name)
-        if (g.getFieldRepetitionCount(idx) == 0) null
-        else convert(g, idx, requested.getType(idx), f.dataType)
-      }
-    }
-    new GenericInternalRow(values.asInstanceOf[Array[Any]])
-  }
-
-  private def convert(g: Group, idx: Int, pt: Type, dt: DataType): Any = dt match {
-    case IntegerType => g.getInteger(idx, 0)
-    case LongType => g.getLong(idx, 0)
-    case ShortType => g.getInteger(idx, 0).toShort
-    case ByteType => g.getInteger(idx, 0).toByte
-    case DoubleType => g.getDouble(idx, 0)
-    case FloatType => g.getFloat(idx, 0)
-    case BooleanType => g.getBoolean(idx, 0)
-    case StringType => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
-    case BinaryType => g.getBinary(idx, 0).getBytes
-    case DateType => g.getInteger(idx, 0) // epoch days, stored as-is
-    case TimestampType =>
-      pt.asPrimitiveType().getPrimitiveTypeName.name() match {
-        case "INT96" => int96ToMicros(g.getInt96(idx, 0).getBytes)
-        case _ => // INT64 with a timestamp annotation: normalize to micros
-          val raw = g.getLong(idx, 0)
-          pt.getLogicalTypeAnnotation match {
-            case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-              ts.getUnit match {
-                case LogicalTypeAnnotation.TimeUnit.MILLIS => raw * 1000L
-                case LogicalTypeAnnotation.TimeUnit.NANOS  => raw / 1000L
-                case _ => raw
-              }
-            case _ => raw
+    val lay = layoutFor(p)
+    // count-only projection over constants (no data columns): synthesize
+    // rows from the AddFile's row count — zero file IO
+    if (lay.dataFields.isEmpty && lay.constFields.nonEmpty || schema.isEmpty) {
+      val deleted = p.dvAbsPath.map(d =>
+        graft.table.FileOps.dvPositions(Paths.get(d), p.fname)).orNull
+      val row = constRow(p, lay)
+      val out = if (lay.trailing) row else new RemappedRow(lay.remap, schema).set(row)
+      return new PartitionReader[InternalRow] {
+        private var remaining = p.numRecords
+        private var rowIdx = -1L
+        override def next(): Boolean = {
+          while (remaining > 0) {
+            remaining -= 1; rowIdx += 1
+            if (deleted == null || !deleted.get(rowIdx.toInt)) return true
           }
+          false
+        }
+        override def get(): InternalRow = out
+        override def close(): Unit = ()
       }
-    case other => throw new UnsupportedOperationException(
-      s"graft streaming source does not support column type $other")
-  }
-
-  /** INT96: 8 bytes little-endian nanos-of-day + 4 bytes Julian day. */
-  private def int96ToMicros(bytes: Array[Byte]): Long = {
-    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    val nanosOfDay = buf.getLong
-    val julianDay = buf.getInt
-    (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
+    }
+    val rdr = openVectorized(p, lay)
+    /** DV tombstones of THIS file (merge-on-read), applied as a row-index
+      * skip over the vectorized cursor. Null when the file has no DV. */
+    val deleted = p.dvAbsPath.map(d =>
+      graft.table.FileOps.dvPositions(Paths.get(d), p.fname)).orNull
+    val wrapper = if (lay.trailing) null else new RemappedRow(lay.remap, schema)
+    new PartitionReader[InternalRow] {
+      private var rowIdx = -1L
+      override def next(): Boolean = {
+        while (rdr.nextKeyValue()) {
+          rowIdx += 1
+          if (deleted == null || !deleted.get(rowIdx.toInt)) return true
+        }
+        false
+      }
+      override def get(): InternalRow = {
+        val r = rdr.getCurrentValue.asInstanceOf[InternalRow]
+        if (wrapper == null) r else wrapper.set(r)
+      }
+      override def close(): Unit = rdr.close()
+    }
   }
 
   private def castPartitionValue(v: String, dt: DataType): Any = dt match {
@@ -348,6 +374,56 @@ class GraftParquetReader(part: GraftFilePartition, schema: StructType,
     case DateType => java.time.LocalDate.parse(v).toEpochDay.toInt
     case other => throw new UnsupportedOperationException(
       s"unsupported partition column type for streaming: $other")
+  }
+}
+
+/** Zero-copy field-order view: presents an underlying row whose columns
+  * are laid out batch-style (data ++ constants) in the scan schema's
+  * requested order. Read-only; `copy()` materializes. */
+final class RemappedRow(map: Array[Int], schema: StructType) extends InternalRow {
+  private var row: InternalRow = _
+  def set(r: InternalRow): RemappedRow = { row = r; this }
+
+  override def numFields: Int = map.length
+  override def isNullAt(i: Int): Boolean = row.isNullAt(map(i))
+  override def getBoolean(i: Int): Boolean = row.getBoolean(map(i))
+  override def getByte(i: Int): Byte = row.getByte(map(i))
+  override def getShort(i: Int): Short = row.getShort(map(i))
+  override def getInt(i: Int): Int = row.getInt(map(i))
+  override def getLong(i: Int): Long = row.getLong(map(i))
+  override def getFloat(i: Int): Float = row.getFloat(map(i))
+  override def getDouble(i: Int): Double = row.getDouble(map(i))
+  override def getDecimal(i: Int, precision: Int, scale: Int): org.apache.spark.sql.types.Decimal =
+    row.getDecimal(map(i), precision, scale)
+  override def getUTF8String(i: Int): UTF8String = row.getUTF8String(map(i))
+  override def getBinary(i: Int): Array[Byte] = row.getBinary(map(i))
+  override def getInterval(i: Int): org.apache.spark.unsafe.types.CalendarInterval =
+    row.getInterval(map(i))
+  override def getVariant(i: Int): org.apache.spark.unsafe.types.VariantVal =
+    row.getVariant(map(i))
+  override def getGeometry(i: Int): org.apache.spark.unsafe.types.GeometryVal =
+    row.getGeometry(map(i))
+  override def getGeography(i: Int): org.apache.spark.unsafe.types.GeographyVal =
+    row.getGeography(map(i))
+  override def getStruct(i: Int, numFields: Int): InternalRow = row.getStruct(map(i), numFields)
+  override def getArray(i: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    row.getArray(map(i))
+  override def getMap(i: Int): org.apache.spark.sql.catalyst.util.MapData = row.getMap(map(i))
+  override def get(i: Int, dataType: DataType): AnyRef = row.get(map(i), dataType)
+  override def setNullAt(i: Int): Unit =
+    throw new UnsupportedOperationException("RemappedRow is read-only")
+  override def update(i: Int, value: Any): Unit =
+    throw new UnsupportedOperationException("RemappedRow is read-only")
+  override def copy(): InternalRow = {
+    val values = new Array[Any](map.length)
+    var i = 0
+    while (i < map.length) {
+      values(i) =
+        if (isNullAt(i)) null
+        else InternalRow.copyValue(get(i, schema.fields(i).dataType))
+      i += 1
+    }
+    new GenericInternalRow(values)
   }
 }
 

@@ -51,6 +51,13 @@ final case class AddFile(
 /** Tombstone: the file is no longer part of the snapshot from this commit. */
 final case class RemoveFile(path: String, deletionTimestamp: Long) extends Action
 
+/** Change-data file (Delta's AddCDCFile): a `_cdc/` parquet holding THIS
+  * commit's row-level deltas (full rows + `_change_type`), written by DML
+  * when `changeDataFeed.enabled` is set. Not part of the snapshot state —
+  * the fold ignores it; `changes()` and the CDF stream read it instead of
+  * re-diffing the commit's files. */
+final case class CdcFile(path: String, numRecords: Long) extends Action
+
 /** Idempotent-transaction marker (Delta's SetTransaction): the latest
   * `version` committed by application `appId` folds into the snapshot, so
   * a streaming sink's exactly-once epoch guard is an O(1) map lookup
@@ -68,7 +75,7 @@ final case class Protocol(minReaderVersion: Int = 1, minWriterVersion: Int = 1,
 
 object Protocol {
   /** Features THIS build can read/write correctly. */
-  val supportedReaderFeatures: Set[String] = Set("deletionVectors", "columnMapping")
+  val supportedReaderFeatures: Set[String] = Set("deletionVectors", "columnMapping", "changeDataFeed")
   val supportedWriterFeatures: Set[String] = supportedReaderFeatures
 }
 
@@ -119,6 +126,9 @@ object Actions {
       case RemoveFile(path, ts) =>
         val n = root.putObject("remove")
         n.put("path", path); n.put("deletionTimestamp", ts)
+      case CdcFile(path, rows) =>
+        val n = root.putObject("cdc")
+        n.put("path", path); n.put("numRecords", rows)
       case Txn(appId, v) =>
         val n = root.putObject("txn")
         n.put("appId", appId); n.put("version", v)
@@ -157,6 +167,9 @@ object Actions {
     } else if (root.has("remove")) {
       val n = root.get("remove")
       RemoveFile(n.get("path").asText(), n.get("deletionTimestamp").asLong())
+    } else if (root.has("cdc")) {
+      val n = root.get("cdc")
+      CdcFile(n.get("path").asText(), n.get("numRecords").asLong())
     } else if (root.has("txn")) {
       val n = root.get("txn")
       Txn(n.get("appId").asText(), n.get("version").asLong())

@@ -185,6 +185,7 @@ final class GraftLog(val tablePath: String) {
         case t: Txn        => txns(t.appId) = t.version
         case p: Protocol   => protocol = p
         case _: CommitInfo => ()
+        case _: CdcFile    => () // per-commit change data, not snapshot state
       }
     }
     gateReaderFeatures(protocol)

@@ -345,11 +345,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val adds = FileOps.writeDataFiles(
       enforceConstraints(conform(df, s.schema), s.metaData), path,
       s.metaData.partitionColumns, GraftTable.bloomWriteOptions(s.metaData))
+    val cdc = writeCdcFiles(s, cdcDiff(s, read(s), readFiles(s, adds)))
     val ts = log.nextTimestamp()
     log.commit(s.version + 1, Seq(
       CommitInfo(s.version + 1, ts, "OVERWRITE",
         Map("numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
-      s.files.map(f => RemoveFile(f.path, ts)) ++ adds)
+      s.files.map(f => RemoveFile(f.path, ts)) ++ adds ++ cdc)
     autoCompact()
   }
 
@@ -366,6 +367,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         Some("deletionVectors")
       case "columnMapping.mode" if value.equalsIgnoreCase("name") =>
         Some("columnMapping")
+      case "changeDataFeed.enabled" if value.equalsIgnoreCase("true") =>
+        Some("changeDataFeed")
       case _ => None
     }
     val upgrade: Seq[Action] = feature match {
@@ -398,12 +401,13 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * invisible until this commit lands. */
   private[graft] def commitReplace(s: Snapshot, removed: Seq[AddFile],
       adds: Seq[AddFile], op: String): Unit = {
+    val cdc = writeCdcFiles(s, cdcDiff(s, readFiles(s, removed), readFiles(s, adds)))
     val ts = log.nextTimestamp()
     log.commit(s.version + 1, Seq(
       CommitInfo(s.version + 1, ts, op,
         Map("numRewrittenFiles" -> removed.size.toString,
             "numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
-      removed.map(f => RemoveFile(f.path, ts)) ++ adds)
+      removed.map(f => RemoveFile(f.path, ts)) ++ adds ++ cdc)
   }
 
   /** ALTER TABLE ADD COLUMN: additive schema evolution as a metadata-only
@@ -482,23 +486,44 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * overhead — the right trade for occasional consumers.) */
   def changes(fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion, s"empty range: ($fromVersion, $toVersion]")
-    val frames = ((fromVersion + 1) to toVersion).map { v =>
+    val frames = ((fromVersion + 1) to toVersion).map(changesOf)
+    frames.reduce(_ unionByName _)
+  }
+
+  /** One commit's row-level deltas. Three tiers, cheapest first:
+    *  - commits that wrote `_cdc/` sidecars (CDF-enabled DML) read them
+    *    back directly — O(changes) IO, no diffing;
+    *  - pure-add commits derive inserts from the added files — no
+    *    exceptAll (nothing to cancel against);
+    *  - legacy rewrite commits (pre-CDF) fall back to the two-snapshot
+    *    multiset file-diff. */
+  private[graft] def changesOf(v: Long): DataFrame = {
+    val actions = log.readVersion(v)
+    val cur = log.snapshotAt(v)
+    val cdcFiles = actions.collect { case c: CdcFile => c }
+    val addedFiles = actions.collect { case a: AddFile => a }
+    val removePaths = actions.collect { case r: RemoveFile => r.path }
+    if (cdcFiles.nonEmpty) {
+      val cdcSchema = cur.schema.add(StructField("_change_type", StringType, nullable = false))
+      spark.read.schema(cdcSchema)
+        .parquet(cdcFiles.map(c => Paths.get(path, c.path).toString): _*)
+        .withColumn("_commit_version", lit(v))
+    } else if (removePaths.isEmpty) {
+      readFiles(cur, addedFiles)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(v))
+    } else {
       val prev = log.snapshotAt(v - 1).files.map(f => f.path -> f).toMap
-      val cur = log.snapshotAt(v)
-      val actions = log.readVersion(v)
-      val addedFiles = actions.collect { case a: AddFile => a }
-      val removedFiles = actions.collect { case r: RemoveFile => prev(r.path) }
+      val removedFiles = removePaths.map(prev)
       val added =
         if (addedFiles.isEmpty) readFiles(cur, Nil) else readFiles(cur, addedFiles)
-      val removed =
-        if (removedFiles.isEmpty) readFiles(cur, Nil) else readFiles(cur, removedFiles)
+      val removed = readFiles(cur, removedFiles)
       added.exceptAll(removed)
         .withColumn("_change_type", lit("insert"))
         .unionByName(removed.exceptAll(added)
           .withColumn("_change_type", lit("delete")))
         .withColumn("_commit_version", lit(v))
     }
-    frames.reduce(_ unionByName _)
   }
 
   /** RESTORE: make the table's HEAD equal an earlier version, as one new
@@ -518,6 +543,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // wins and the target's DV pointer is what the restored HEAD sees).
     val dvChanged = tgt.files.filter(f => curByPath.get(f.path)
       .exists(c => c.dvPath != f.dvPath || c.dvCount != f.dvCount))
+    val removedFiles = cur.files.filterNot(f => tgtPaths.contains(f.path)) ++
+      dvChanged.map(f => curByPath(f.path))
+    val addedFiles = dvChanged ++ tgt.files.filterNot(f => curByPath.contains(f.path))
+    val cdc = writeCdcFiles(cur,
+      cdcDiff(cur, readFiles(cur, removedFiles), readFiles(tgt, addedFiles)))
     val actions =
       Seq(CommitInfo(cur.version + 1, ts, "RESTORE",
         Map("restoredVersion" -> version.toString))) ++
@@ -525,7 +555,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       cur.files.filterNot(f => tgtPaths.contains(f.path)).map(f => RemoveFile(f.path, ts)) ++
       dvChanged.map(f => RemoveFile(f.path, ts)) ++
       dvChanged ++
-      tgt.files.filterNot(f => curByPath.contains(f.path))
+      tgt.files.filterNot(f => curByPath.contains(f.path)) ++ cdc
     log.commit(cur.version + 1, actions)
   }
 
@@ -598,9 +628,13 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       else snapshot.metaData.properties.get("vacuum.retentionMs").map(_.toLong)
         .getOrElse(3600L * 1000))
     val keepFrom = math.max(0L, latest - retainVersions)
-    val referenced = (keepFrom to latest)
+    val referenced = ((keepFrom to latest)
       .flatMap(v => log.snapshotAt(v).files
-        .flatMap(f => f.path +: f.dvPath.toSeq)).toSet
+        .flatMap(f => f.path +: f.dvPath.toSeq)) ++
+      // change-data sidecars belong to COMMITS, not snapshots: keep those
+      // of every retained version so changes()/CDF streams stay readable
+      (keepFrom to latest)
+        .flatMap(v => log.readVersion(v).collect { case c: CdcFile => c.path })).toSet
     val root = Paths.get(path)
     val dataFiles = Files.walk(root).iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet")
@@ -714,6 +748,53 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   private def dvEnabled(meta: MetaData): Boolean =
     meta.properties.get("deletionVectors.enabled").exists(_.equalsIgnoreCase("true"))
 
+  /** Is change-data-feed capture active? (table property, protocol-gated —
+    * Delta's delta.enableChangeDataFeed) */
+  private def cdfEnabled(meta: MetaData): Boolean =
+    meta.properties.get("changeDataFeed.enabled").exists(_.equalsIgnoreCase("true"))
+
+  /** The commit's row-level deltas as a tagged frame: BEFORE vs AFTER
+    * contents of the touched file set, multiset-diffed so rows merely
+    * carried between files during a rewrite cancel — only real changes
+    * remain (the same algebra the legacy `changes()` file-diff applies at
+    * read time, here paid ONCE at write time). */
+  private def cdcDiff(s: Snapshot, oldRows: DataFrame, newRows: DataFrame): DataFrame = {
+    val cols = s.schema.fieldNames.map(col).toSeq
+    val o = oldRows.select(cols: _*)
+    val n = newRows.select(cols: _*)
+    n.exceptAll(o).withColumn("_change_type", lit("insert"))
+      .unionByName(o.exceptAll(n).withColumn("_change_type", lit("delete")))
+  }
+
+  /** Write a commit's change rows as `_cdc/` parquet sidecars (distributed
+    * write — executors produce the files, sized by the change volume, not
+    * the table) and return the CdcFile actions to ride in the commit.
+    * No-op (Nil) when CDF is off or the diff is empty. Callers invoke this
+    * BEFORE log.commit so the files exist when the commit makes them
+    * visible; an abandoned staging dir from a failed commit is swept by
+    * vacuum like any unreferenced file. */
+  private def writeCdcFiles(s: Snapshot, change: DataFrame): Seq[CdcFile] = {
+    if (!cdfEnabled(s.metaData)) return Nil
+    val staging = Paths.get(path, s".cdcstage-${UUID.randomUUID()}")
+    change.write.parquet(staging.toString)
+    Files.createDirectories(Paths.get(path, "_cdc"))
+    val parts = Files.walk(staging).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .toSeq
+    val actions = parts.flatMap { p =>
+      val (rows, _, _) = FileOps.footerStats(p)
+      if (rows == 0L) None
+      else {
+        val rel = s"_cdc/cdc-${UUID.randomUUID()}.parquet"
+        Files.move(p, Paths.get(path, rel))
+        Some(CdcFile(rel, rows))
+      }
+    }
+    Files.walk(staging).iterator().asScala.toSeq.reverse.foreach(p =>
+      try Files.deleteIfExists(p) catch { case _: Exception => () })
+    actions
+  }
+
   /** Merge-on-read DELETE: instead of rewriting every touched file
     * copy-on-write, commit a tombstone sidecar listing the deleted
     * (file, row_index) positions and re-add the SAME data files pointing
@@ -749,15 +830,18 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val allPos = dvEntries(touched).map(_.unionByName(newPos)).getOrElse(newPos)
     val rel = writeDvSidecar(allPos)
     val deleted = perFileNew.values.sum
+    val reAdds = touched.map(f => f.copy(dvPath = Some(rel),
+      dvCount = f.dvCount + perFileNew(fileName(f.path))))
+    // old DV state vs new DV state of the same files: the diff is exactly
+    // the newly tombstoned rows, emitted as deletes
+    val cdc = writeCdcFiles(s, cdcDiff(s, readFiles(s, touched), readFiles(s, reAdds)))
     val ts = log.nextTimestamp()
     log.commit(s.version + 1,
       Seq(CommitInfo(s.version + 1, ts, "DELETE",
         Map("numDeletedRows" -> deleted.toString,
             "numRewrittenFiles" -> "0",
             "numDeletionVectors" -> touched.size.toString))) ++
-      touched.map(f => RemoveFile(f.path, ts)) ++
-      touched.map(f => f.copy(dvPath = Some(rel),
-        dvCount = f.dvCount + perFileNew(fileName(f.path)))))
+      touched.map(f => RemoveFile(f.path, ts)) ++ reAdds ++ cdc)
     Some(deleted)
   }
 
@@ -806,12 +890,13 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val adds = FileOps.writeDataFiles(keep, path, s.metaData.partitionColumns,
       GraftTable.bloomWriteOptions(s.metaData))
     val deleted = touched.map(_.numRecords).sum - adds.map(_.numRecords).sum
+    val cdc = writeCdcFiles(s, cdcDiff(s, readFiles(s, touched), readFiles(s, adds)))
     val ts = log.nextTimestamp()
     log.commit(s.version + 1,
       Seq(CommitInfo(s.version + 1, ts, "DELETE",
         Map("numDeletedRows" -> deleted.toString,
             "numRewrittenFiles" -> touched.size.toString))) ++
-      touched.map(f => RemoveFile(f.path, ts)) ++ adds)
+      touched.map(f => RemoveFile(f.path, ts)) ++ adds ++ cdc)
     deleted
   }
 
@@ -946,12 +1031,13 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         s.metaData)
       val adds = FileOps.writeDataFiles(out, path, s.metaData.partitionColumns,
         GraftTable.bloomWriteOptions(s.metaData))
+      val cdc = writeCdcFiles(s, cdcDiff(s, readFiles(s, touched), readFiles(s, adds)))
       val ts = log.nextTimestamp()
       log.commit(s.version + 1,
         Seq(CommitInfo(s.version + 1, ts, "MERGE",
           Map("numTargetFilesRewritten" -> touched.size.toString,
               "numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
-        touched.map(f => RemoveFile(f.path, ts)) ++ adds)
+        touched.map(f => RemoveFile(f.path, ts)) ++ adds ++ cdc)
     } else {
       // No affected target rows: pure insert path.
       val inserts = insertRows(src, targetAll, cond, insertClauses, schema)
