@@ -340,7 +340,68 @@ object Streaming {
          |FROM events, m
          |WHERE (floor(epoch(ts) / 600) * 600 + 600) * 1000 <= wm_ms
          |GROUP BY 1, 2 ORDER BY w_start, event_type LIMIT 500""".stripMargin),
+
+    // ---- STREAMING change data feed ----------------------------------------------
+    // `readStream.option("readChangeFeed")` over the golden DML scenario
+    // with CDF enabled: DML commits wrote `_cdc/` row-delta sidecars, and
+    // the stream tails them per commit — REWRITE commits feed the stream
+    // (plain table streaming aborts on them). The drained feed must equal
+    // q74's batch `changes()` semantics exactly, pinned by the same
+    // literal-VALUES oracle. Scale shape: each micro-batch plans only the
+    // commit's sidecar files (sized by changes, not by table); nothing is
+    // ever diffed at read time.
+    "q143_stream_cdf" -> Q(
+      (s, _) => {
+        import s.implicits._
+        val fed = cdfFeeds.computeIfAbsent("golden", _ => {
+          val t = graft.table.GraftTable.create(s,
+            graft.Scratch.dir("graft-cdf143-").toString,
+            s.createDataFrame(java.util.List.of(
+              org.apache.spark.sql.Row(1, "James", "Bond"),
+              org.apache.spark.sql.Row(2, "Alice", "Rogers"),
+              org.apache.spark.sql.Row(3, "Joe", "Bloggs")),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("id",
+                  org.apache.spark.sql.types.IntegerType, nullable = false),
+                org.apache.spark.sql.types.StructField("firstname",
+                  org.apache.spark.sql.types.StringType, nullable = false),
+                org.apache.spark.sql.types.StructField("lastname",
+                  org.apache.spark.sql.types.StringType, nullable = false)))))
+          t.setProperty("changeDataFeed.enabled", "true")
+          t.merge(s.createDataFrame(java.util.List.of(
+              org.apache.spark.sql.Row(2, "Alice", "Smith"),
+              org.apache.spark.sql.Row(4, "New", "Person")), t.snapshot.schema),
+              "t.id = s.id")
+            .whenMatchedUpdate(Map("firstname" -> "s.firstname", "lastname" -> "s.lastname"))
+            .whenNotMatchedInsert(Map(
+              "id" -> "s.id", "firstname" -> "s.firstname", "lastname" -> "s.lastname"))
+            .execute()
+          t.delete(col("id").isin(1, 3))
+          val feed = s.readStream.format("graft")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", 2)
+            .load(t.path)
+          val q = feed.writeStream.format("memory").queryName("graft_cdf143")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          s.table("graft_cdf143")
+        })
+        fed.orderBy($"_commit_version", $"_change_type", $"id")
+      },
+      """SELECT * FROM (VALUES
+        |  (2, 'Alice', 'Rogers', 'delete', CAST(2 AS BIGINT)),
+        |  (2, 'Alice', 'Smith',  'insert', CAST(2 AS BIGINT)),
+        |  (4, 'New',   'Person', 'insert', CAST(2 AS BIGINT)),
+        |  (1, 'James', 'Bond',   'delete', CAST(3 AS BIGINT)),
+        |  (3, 'Joe',   'Bloggs', 'delete', CAST(3 AS BIGINT)))
+        |AS t(id, firstname, lastname, _change_type, _commit_version)
+        |ORDER BY _commit_version, _change_type, id""".stripMargin),
   )
+
+  /** q143's drained CDF feed, memoized per JVM. */
+  private val cdfFeeds =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
 
   /** q140's drained sink tables, one per (JVM, dir). */
   private val sinkTables =

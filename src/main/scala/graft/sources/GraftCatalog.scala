@@ -280,9 +280,16 @@ object GraftCatalog {
 /** A graft table surfaced through the DSv2 `Table` interface; `pinned` holds
   * a time-travel snapshot (reads serve it; writes always target the head). */
 class GraftSqlTable(val table: GraftTable, ident: String,
-    pinned: Option[Snapshot] = None)
+    pinned: Option[Snapshot] = None, cdf: Boolean = false)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations with SupportsMetadataColumns {
+
+  /** CDF read surface (`readChangeFeed`): table columns + change metadata. */
+  private def cdfSchema: StructType = StructType(snap.schema.fields ++ Seq(
+    org.apache.spark.sql.types.StructField("_change_type",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("_commit_version",
+      org.apache.spark.sql.types.LongType, nullable = false)))
 
   /** `_file`: which data file a row lives in — the GROUP identity of the
     * copy-on-write rewrite (Spark's runtime group filter collects the
@@ -327,7 +334,7 @@ class GraftSqlTable(val table: GraftTable, ident: String,
     table.delete(GraftFilters.toColumnStrict(filters.toSeq).getOrElse(lit(true)))
 
   override def name(): String = ident
-  override def schema(): StructType = snap.schema
+  override def schema(): StructType = if (cdf) cdfSchema else snap.schema
 
   override def partitioning(): Array[Transform] =
     snap.metaData.partitionColumns.map(Expressions.identity).toArray
@@ -338,13 +345,18 @@ class GraftSqlTable(val table: GraftTable, ident: String,
       TableCatalog.PROP_LOCATION -> table.path)).asJava
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.Set.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+    if (cdf) java.util.Set.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    else java.util.Set.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val opts = options.asCaseSensitiveMap().asScala.toMap
       .map { case (k, v) => k.toLowerCase -> v }
+    if (cdf)
+      return new ScanBuilder {
+        override def build(): Scan = new GraftCdfScan(table, snap, cdfSchema, opts)
+      }
     // option-based time travel on a NAMED table:
     // spark.read.option("versionAsOf", 3).table("graft.ns.t")
     val readSnap = (opts.get("versionasof"), opts.get("timestampasof")) match {
@@ -522,6 +534,34 @@ class GraftV1Scan(table: GraftTable, snap: Snapshot, required: StructType,
     new graft.streaming.GraftMicroBatchStream(table.path, required,
       snap.metaData.partitionColumns, options)
   }
+}
+
+/** Change-data-feed scan: batch reads serve `table.changes()` over the
+  * requested version range; `readStream` serves the CDF micro-batch mode
+  * (per-commit deltas from `_cdc/` sidecars / added files). */
+class GraftCdfScan(table: GraftTable, snap: Snapshot, cdfSchema: StructType,
+    options: Map[String, String]) extends V1Scan {
+
+  override def readSchema(): StructType = cdfSchema
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = ctx
+      override def schema: StructType = cdfSchema
+      override def buildScan(): RDD[Row] = {
+        // Delta's batch CDF contract: startingVersion's own changes are
+        // included; endingVersion defaults to the pinned snapshot's head
+        val from = options.get("startingversion").map(_.toLong).getOrElse(0L)
+        val to = options.get("endingversion").map(_.toLong).getOrElse(snap.version)
+        table.changes(from - 1, to)
+          .select(cdfSchema.fieldNames.map(col).toIndexedSeq: _*).rdd
+      }
+    }.asInstanceOf[T]
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new graft.streaming.GraftMicroBatchStream(table.path, cdfSchema,
+      snap.metaData.partitionColumns, options + ("readchangefeed" -> "true"))
 }
 
 class GraftV1ScanRelation(ctx: SQLContext, table: GraftTable, snap: Snapshot,

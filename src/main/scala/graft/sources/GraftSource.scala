@@ -68,7 +68,17 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     // performs the creation once DataFrameWriter falls back).
     if (!GraftTable.isGraftTable(path(opts.map { case (k, v) => k.toLowerCase -> v })))
       new StructType()
-    else resolve(opts)._2.schema
+    else {
+      val base = resolve(opts)._2.schema
+      val cdf = opts.exists { case (k, v) =>
+        k.equalsIgnoreCase("readChangeFeed") && v.toBoolean }
+      if (!cdf) base
+      else StructType(base.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    }
   }
 
   override def getTable(schema: StructType,
@@ -84,7 +94,9 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     else {
       val (table, snapshot) = resolve(opts)
       val pin = if (snapshot.version == table.latestVersion) None else Some(snapshot)
-      new GraftSqlTable(table, s"graft.`${table.path}`", pin)
+      val cdf = opts.exists { case (k, v) =>
+        k.equalsIgnoreCase("readChangeFeed") && v.toBoolean }
+      new GraftSqlTable(table, s"graft.`${table.path}`", pin, cdf)
     }
   }
 

@@ -54,6 +54,14 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
   private val log = new GraftLog(tablePath)
   private val ignoreChanges = options.get("ignorechanges").exists(_.toBoolean)
 
+  /** Change-data-feed mode (`readChangeFeed`): instead of table rows, the
+    * stream emits row-level deltas (`_change_type`, `_commit_version`) —
+    * per commit, either the `_cdc/` sidecars CDF-enabled DML wrote, or the
+    * added files as inserts for pure-append commits. Rewrite commits FEED
+    * the stream (their sidecars carry the deltas) instead of aborting it;
+    * only a rewrite that predates `changeDataFeed.enabled` errors. */
+  private val cdfMode = options.get("readchangefeed").exists(_.toBoolean)
+
   /** `startingVersion`: replay the commit TAIL from this version (0 means
     * "from the very first commit" — the full append history, NOT a folded
     * snapshot: a rewrite anywhere in the covered range triggers the same
@@ -154,6 +162,7 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftStreamOffset].version
     val e = end.asInstanceOf[GraftStreamOffset].version
+    if (cdfMode) return planCdfPartitions(s, e)
     val files: Seq[AddFile] =
       // initial load without startingVersion: the folded live snapshot.
       // With startingVersion (including 0) the TAIL replays from that
@@ -173,7 +182,7 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
           actions.collect { case a: AddFile => a }
         }
       }
-    plannedHasDv = files.exists(_.dvPath.nonEmpty)
+    plannedColumnarOk = files.forall(_.dvPath.isEmpty)
     files.map(f => GraftFilePartition(
       Paths.get(tablePath, f.path).toString, f.partitionValues,
       f.numRecords,
@@ -181,15 +190,58 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
       f.path.substring(f.path.lastIndexOf('/') + 1)): InputPartition).toArray
   }
 
+  /** CDF planning: the initial batch (no startingVersion) emits the folded
+    * snapshot as inserts stamped with the snapshot version; each tailed
+    * commit emits its `_cdc/` sidecars when present (rewrites), else its
+    * added files as inserts (appends). All constants ride as per-partition
+    * overrides decoded by the shared reader factory. */
+  private def planCdfPartitions(s: Long, e: Long): Array[InputPartition] = {
+    val parts = scala.collection.mutable.ArrayBuffer[GraftFilePartition]()
+    def insertParts(files: Seq[AddFile], v: Long): Unit = files.foreach { f =>
+      parts += GraftFilePartition(
+        Paths.get(tablePath, f.path).toString, f.partitionValues, f.numRecords,
+        f.dvPath.map(p => Paths.get(tablePath, p).toString),
+        f.path.substring(f.path.lastIndexOf('/') + 1),
+        constOverrides = Seq("_change_type" -> "insert", "_commit_version" -> v.toString))
+    }
+    if (s < 0 && startingVersion.isEmpty) insertParts(log.snapshotAt(e).files, e)
+    else ((s + 1) to e).foreach { v =>
+      val actions = log.readVersion(v)
+      val op = actions.collectFirst { case c: CommitInfo => c.operation }
+      if (!op.exists(nonDataOps.contains)) {
+        val cdc = actions.collect { case c: graft.table.CdcFile => c }
+        val adds = actions.collect { case a: AddFile => a }
+        val removes = actions.collect { case r: RemoveFile => r }
+        if (cdc.nonEmpty) cdc.foreach { c =>
+          parts += GraftFilePartition(
+            Paths.get(tablePath, c.path).toString, Map.empty, c.numRecords, None,
+            c.path.substring(c.path.lastIndexOf('/') + 1),
+            constOverrides = Seq("_commit_version" -> v.toString),
+            partitionColsInFile = true)
+        }
+        else if (removes.isEmpty) insertParts(adds, v)
+        else throw new IllegalStateException(
+          s"commit $v of $tablePath rewrites files without change data " +
+            s"(${op.getOrElse("?")}); set changeDataFeed.enabled=true before " +
+            "row-level DML so the change feed can stream its deltas")
+      }
+    }
+    plannedColumnarOk = parts.forall(_.dvAbsPath.isEmpty) &&
+      parts.map(p => (p.constOverrides.map(_._1), p.partitionColsInFile))
+        .distinct.size <= 1
+    parts.toArray.map(p => p: InputPartition)
+  }
+
   /** Columnar hand-off is a SCAN-uniform decision (Spark refuses mixed
-    * row/columnar partitions): any DV-carrying file in the planned batch
-    * drops the whole batch to the row path (the DV row-index skip). */
-  @volatile private var plannedHasDv = false
+    * row/columnar partitions): any DV-carrying file — or, in CDF mode,
+    * a batch mixing sidecar and add-file layouts — drops the whole batch
+    * to the row path. */
+  @volatile private var plannedColumnarOk = true
 
   override def createReaderFactory(): PartitionReaderFactory =
     // evaluated AFTER planInputPartitions (Spark materializes the
     // partitions before asking the factory about columnar support)
-    new GraftParquetReaderFactory(schema, partitionCols, !plannedHasDv)
+    new GraftParquetReaderFactory(schema, partitionCols, plannedColumnarOk)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

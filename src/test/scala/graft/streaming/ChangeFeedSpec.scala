@@ -1,0 +1,144 @@
+package graft.streaming
+
+import scala.jdk.CollectionConverters._
+
+import graft.SparkTestBase
+import graft.table.{CdcFile, GraftTable}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Change-data-feed: commit-time `_cdc/` sidecars (Delta's AddCDCFile
+  * shape), the batch `readChangeFeed` relation, and the CDF STREAM — the
+  * rewrite-commits-feed-the-stream behavior plain table streaming can't
+  * offer (it aborts on rewrites). */
+class ChangeFeedSpec extends SparkTestBase {
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType, nullable = false),
+    StructField("firstname", StringType, nullable = false),
+    StructField("lastname", StringType, nullable = false)))
+
+  private def df(rows: (Int, String, String)*): DataFrame =
+    spark.createDataFrame(
+      rows.map { case (i, f, l) => Row(i, f, l) }.asJava, schema)
+
+  /** Golden DML scenario with CDF on from birth: v0 seed, v1 SET
+    * TBLPROPERTIES, v2 merge, v3 delete. */
+  private def goldenCdf(): GraftTable = {
+    val t = GraftTable.create(spark, tmpDir("cdf-"),
+      df((1, "James", "Bond"), (2, "Alice", "Rogers"), (3, "Joe", "Bloggs")))
+    t.setProperty("changeDataFeed.enabled", "true")
+    t.merge(df((2, "Alice", "Smith"), (4, "New", "Person")), "t.id = s.id")
+      .whenMatchedUpdate(Map("firstname" -> "s.firstname", "lastname" -> "s.lastname"))
+      .whenNotMatchedInsert(Map(
+        "id" -> "s.id", "firstname" -> "s.firstname", "lastname" -> "s.lastname"))
+      .execute()
+    t.delete(col("id").isin(1, 3))
+    t
+  }
+
+  private def canon(d: DataFrame): Set[(Int, String, String, String, Long)] =
+    d.select("id", "firstname", "lastname", "_change_type", "_commit_version")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSet
+
+  test("DML on a CDF table writes _cdc sidecars; changes() reads them back") {
+    val t = goldenCdf()
+    val mergeActions = t.log.readVersion(2)
+    val deleteActions = t.log.readVersion(3)
+    assert(mergeActions.exists(_.isInstanceOf[CdcFile]),
+      "MERGE on a CDF table must commit cdc sidecars")
+    assert(deleteActions.exists(_.isInstanceOf[CdcFile]),
+      "DELETE on a CDF table must commit cdc sidecars")
+    // sidecar tier == the semantic deltas the file-diff tier pins in q74
+    assert(canon(t.changes(1, 3)) === Set(
+      (2, "Alice", "Rogers", "delete", 2L),
+      (2, "Alice", "Smith", "insert", 2L),
+      (4, "New", "Person", "insert", 2L),
+      (1, "James", "Bond", "delete", 3L),
+      (3, "Joe", "Bloggs", "delete", 3L)))
+  }
+
+  test("batch readChangeFeed relation serves the version range") {
+    val t = goldenCdf()
+    val feed = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", 2)
+      .load(t.path)
+    assert(feed.columns.takeRight(2).toSeq === Seq("_change_type", "_commit_version"))
+    assert(canon(feed) === canon(t.changes(1, 3)))
+    val tail = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", 3).option("endingVersion", 3)
+      .load(t.path)
+    assert(canon(tail) === canon(t.changes(2, 3)))
+  }
+
+  test("CDF stream tails rewrite commits instead of aborting; equals batch changes()") {
+    val t = goldenCdf()
+    val out = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", 2)
+      .load(t.path)
+    val name = "cdf_stream_tail"
+    val q = out.writeStream.format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(canon(spark.table(name)) === canon(t.changes(1, 3)),
+      "streamed deltas must equal the batch change feed")
+    // new commits continue the feed across a second run
+    t.delete(col("id") === 4)
+    val q2 = out.writeStream.format("memory").queryName(name + "2")
+      .option("checkpointLocation", q.recentProgress.head.sources.head.description match {
+        case _ => tmpDir("cdf-chk-") // fresh checkpoint: re-drain from startingVersion
+      })
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(canon(spark.table(name + "2")) === canon(t.changes(1, 4)))
+  }
+
+  test("CDF stream initial snapshot (no startingVersion) emits state as inserts") {
+    val t = goldenCdf()
+    val out = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .load(t.path)
+    val name = "cdf_stream_snap"
+    val q = out.writeStream.format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(canon(spark.table(name)) === Set(
+      (2, "Alice", "Smith", "insert", 3L),
+      (4, "New", "Person", "insert", 3L)))
+  }
+
+  test("rewrite commits without change data abort the CDF stream loudly") {
+    val t = GraftTable.create(spark, tmpDir("cdf-off-"),
+      df((1, "A", "B"), (2, "C", "D")))
+    t.delete(col("id") === 1) // rewrite with CDF off: no sidecar
+    val out = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", 1)
+      .load(t.path)
+    val q = out.writeStream.format("memory").queryName("cdf_stream_abort")
+      .trigger(Trigger.AvailableNow()).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(e.getMessage.contains("changeDataFeed") ||
+      Option(e.getCause).exists(_.getMessage.contains("changeDataFeed")))
+  }
+
+  test("vacuum keeps cdc sidecars of retained commits") {
+    val t = goldenCdf()
+    val cdcPaths = (2L to 3L).flatMap(v =>
+      t.log.readVersion(v).collect { case c: CdcFile => c.path })
+    assert(cdcPaths.nonEmpty)
+    t.vacuum(retainVersions = 10, retentionMs = 0L)
+    cdcPaths.foreach(p =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(t.path, p)),
+        s"vacuum must keep retained commit's cdc sidecar $p"))
+  }
+}
