@@ -504,6 +504,45 @@ object TableQueries {
         |  (5, 'new',   50, CAST(1 AS BIGINT)))
         |AS t(id, status, v, head_version) ORDER BY id""".stripMargin),
 
+    // ---- Column mapping: RENAME / DROP COLUMN as metadata-only commits -----------
+    // `columnMapping.mode = name` pins each field's PHYSICAL parquet name
+    // in the schema metadata, so renames rebind only the logical name and
+    // drops merely unbind (zero data files touched at any table size — the
+    // output pins that with files_touched=0 across the whole evolution).
+    // A re-ADD of a dropped name binds a FRESH physical column, so the old
+    // data cannot resurrect (its v column reads null). Time travel to the
+    // pre-evolution version still serves the original schema. The protocol
+    // gate (Actions.scala) makes pre-mapping readers fail loudly instead
+    // of misreading physical-named files.
+    "q144_column_mapping" -> Q(
+      (s, _) => {
+        import s.implicits._
+        val t = cache.computeIfAbsent("colmap", _ => {
+          val schema = StructType(Seq(
+            StructField("id", IntegerType, nullable = false),
+            StructField("label", StringType, nullable = false),
+            StructField("v", IntegerType, nullable = false)))
+          val tt = GraftTable.create(s, graft.Scratch.dir("graft-colmap-").toString,
+            s.createDataFrame(java.util.List.of(
+              Row(1, "a", 10), Row(2, "b", 20), Row(3, "c", 30)), schema))
+          tt.setProperty("columnMapping.mode", "name")
+          tt.renameColumn("v", "points")   // metadata-only
+          tt.dropColumn("label")           // metadata-only
+          tt.addColumn("v", IntegerType)   // fresh physical name — no resurrection
+          tt
+        })
+        val untouched = t.snapshot.files.map(_.path).toSet ==
+          t.log.snapshotAt(0).files.map(_.path).toSet
+        t.toDF
+          .withColumn("files_touched", lit(if (untouched) 0 else 1))
+          .withColumn("v_is_null", $"v".isNull)
+          .select($"id", $"points", $"files_touched", $"v_is_null")
+          .orderBy($"id")
+      },
+      """SELECT * FROM (VALUES
+        |  (1, 10, 0, TRUE), (2, 20, 0, TRUE), (3, 30, 0, TRUE))
+        |AS t(id, points, files_touched, v_is_null) ORDER BY id""".stripMargin),
+
     // ---- Hive-partitioned table scan (partition pruning as data skipping) --------
     // Documents land Hive-partitioned by lang (lang=en/... directories);
     // a scan filtering on the partition column prunes whole directories at

@@ -181,6 +181,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(add.fieldNames.length == 1,
           "graft tables support top-level ADD COLUMN only")
         t.addColumn(add.fieldNames.head, add.dataType)
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames.length == 1,
+          "graft tables support top-level RENAME COLUMN only")
+        t.renameColumn(rn.fieldNames.head, rn.newName)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          "graft tables support top-level DROP COLUMN only")
+        t.dropColumn(del.fieldNames.head)
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change not supported on graft tables: $other")
     }

@@ -46,8 +46,11 @@ class GraftGroupBatchWrite(table: GraftTable, scannedSnap: () => Option[Snapshot
       // were produced by Spark's rewrite plan, so validate the written
       // files before the commit makes them visible.
       val spark = table.spark
-      val written = spark.read.schema(snap.schema)
+      val written = spark.read
+        .schema(graft.table.ColumnMapping.physicalSchema(snap.schema))
         .parquet(adds.map(a => s"${table.path}/${a.path}"): _*)
+        .select(snap.schema.fields.map(f => org.apache.spark.sql.functions
+          .col(graft.table.ColumnMapping.physicalName(f)).as(f.name)).toSeq: _*)
       constraints.foreach { case (name, expr) =>
         val bad = written.filter(!org.apache.spark.sql.functions.expr(expr)).count()
         if (bad > 0) {
@@ -143,8 +146,12 @@ class GraftParquetDataWriter(tablePath: String, schema: StructType,
     extends DataWriter[InternalRow] {
 
   private val dataFields = schema.fields.filterNot(f => partitionCols.contains(f.name))
-  private val dataSchema = StructType(dataFields)
+  /** Files spell columns by their PHYSICAL names under column mapping. */
+  private val dataSchema =
+    graft.table.ColumnMapping.physicalSchema(StructType(dataFields))
   private val partIdx = partitionCols.map(c => c -> schema.fieldIndex(c)).toMap
+  private def physPart(c: String): String =
+    graft.table.ColumnMapping.physicalOf(schema, c)
 
   // one open file per partition-value combination this task sees
   private val writers = mutable.LinkedHashMap[Map[String, String],
@@ -204,14 +211,15 @@ class GraftParquetDataWriter(tablePath: String, schema: StructType,
     // literal '+' on the basePath partition-reconstruction path.
     val dir = partitionCols.map(c =>
       org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .getPartitionPathString(c, pv(c))).mkString("/")
+        .getPartitionPathString(physPart(c), pv(c))).mkString("/")
     val rel = (if (dir.isEmpty) "" else s"$dir/") + s"part-${UUID.randomUUID()}.parquet"
     Files.createDirectories(Paths.get(tablePath, rel).getParent)
     var b = new RowWriterBuilder(new HPath(Paths.get(tablePath, rel).toString))
       .withConf(writeConf())
       .withCompressionCodec(CompressionCodecName.SNAPPY)
-    bloomColumns.foreach { case (c, ndv) =>
-      if (dataFields.exists(_.name == c)) {
+    bloomColumns.foreach { case (c0, ndv) =>
+      val c = graft.table.ColumnMapping.physicalOf(schema, c0)
+      if (dataSchema.fieldNames.contains(c)) {
         b = b.withBloomFilterEnabled(c, true).withBloomFilterNDV(c, ndv)
       }
     }

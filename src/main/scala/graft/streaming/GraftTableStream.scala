@@ -318,7 +318,10 @@ class GraftParquetReaderFactory(schema: StructType, partitionCols: Seq[String],
     import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, ParquetWriteSupport, VectorizedParquetRecordReader}
     import org.apache.spark.sql.internal.SQLConf
     val conf = new Configuration()
-    val dataSchema = StructType(lay.dataFields)
+    // under column mapping the parquet columns carry PHYSICAL names; the
+    // requested schema must ask for them (output stays positional, so the
+    // logical scan schema is untouched)
+    val dataSchema = graft.table.ColumnMapping.physicalSchema(StructType(lay.dataFields))
     // the same read-path conf Spark's ParquetFileFormat sets: requested
     // schema + the semantics flags the schema converter consults
     conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,

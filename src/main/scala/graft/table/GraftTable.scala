@@ -45,18 +45,30 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   /** Raw parquet scan of a file subset, no deletion-vector filtering.
     * basePath lets Spark reconstruct partition columns from the Hive-style
     * directory names when the table is partitioned. */
-  private def readFilesRaw(s: Snapshot, files: Seq[AddFile]): DataFrame =
+  private def readFilesRaw(s: Snapshot, files: Seq[AddFile]): DataFrame = {
+    // under column mapping the FILES carry physical column names; the scan
+    // reads them and toLogical() renames at the end of each read helper
+    val physSchema = ColumnMapping.physicalSchema(s.schema)
     if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s.schema)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], physSchema)
     else if (s.metaData.partitionColumns.nonEmpty)
       // basePath reconstructs partition columns from Hive-style dir names;
       // it requires every file under the table root
-      spark.read.schema(s.schema).option("basePath", path)
+      spark.read.schema(physSchema).option("basePath", path)
         .parquet(files.map(f => s"$path/${f.path}"): _*)
     else
       // no basePath: shallow-clone references ("../src/...") stay readable
-      spark.read.schema(s.schema)
+      spark.read.schema(physSchema)
         .parquet(files.map(f => s"$path/${f.path}"): _*)
+  }
+
+  /** Rename a physical-named frame back to the snapshot's logical names
+    * (identity — and zero plan nodes — when mapping is inactive), keeping
+    * any provenance columns the caller added. */
+  private def toLogical(s: Snapshot, df: DataFrame, keep: Seq[String] = Nil): DataFrame =
+    if (!ColumnMapping.active(s.schema)) df
+    else df.select(s.schema.fields.map(f =>
+      col(ColumnMapping.physicalName(f)).as(f.name)).toSeq ++ keep.map(col): _*)
 
   /** Read a subset of a snapshot's files with the snapshot schema, with
     * each file's deletion vector applied (merge-on-read): rows whose
@@ -72,7 +84,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * in. At 100 TB with one tombstoned file, the other 99.99% of the table
     * must not pay a per-row hash probe on a string file-name key. */
   private[graft] def readFiles(s: Snapshot, files: Seq[AddFile]): DataFrame =
-    splitOnDv(files, readFilesRaw(s, _))
+    toLogical(s, splitOnDv(files, readFilesRaw(s, _)))
 
   /** readFiles variant carrying a `_file` column (the row's data file as a
     * plain absolute path) — the V1 scan's metadata column. Derived from
@@ -80,10 +92,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * is undefined over a multi-source plan. */
   private[graft] def readFilesWithFileCol(s: Snapshot, files: Seq[AddFile]): DataFrame =
     if (files.isEmpty)
-      readFilesRaw(s, files).withColumn("_file", lit(""))
+      toLogical(s, readFilesRaw(s, files).withColumn("_file", lit("")), Seq("_file"))
     else
-      splitOnDv(files, fs => readFilesRaw(s, fs).withColumn("_file",
-        regexp_replace(col("_metadata.file_path"), "^file:/+", "/")))
+      toLogical(s, splitOnDv(files, fs => readFilesRaw(s, fs).withColumn("_file",
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))), Seq("_file"))
 
   /** readFiles variant that keeps `__fname`/`__pos` provenance columns —
     * the DV delete path needs the surviving rows' positions. */
@@ -92,13 +104,15 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       .withColumn("__fname", col("_metadata.file_name"))
       .withColumn("__pos", col("_metadata.row_index"))
     val (withDv, noDv) = files.partition(_.dvPath.isDefined)
-    if (withDv.isEmpty) marked(files)
-    else {
-      val filtered = marked(withDv).join(
-        maybeBroadcast(dvEntries(withDv).get, withDv.map(_.dvCount).sum),
-        Seq("__fname", "__pos"), "left_anti")
-      if (noDv.isEmpty) filtered else marked(noDv).unionByName(filtered)
-    }
+    val out =
+      if (withDv.isEmpty) marked(files)
+      else {
+        val filtered = marked(withDv).join(
+          maybeBroadcast(dvEntries(withDv).get, withDv.map(_.dvCount).sum),
+          Seq("__fname", "__pos"), "left_anti")
+        if (noDv.isEmpty) filtered else marked(noDv).unionByName(filtered)
+      }
+    toLogical(s, out, Seq("__fname", "__pos"))
   }
 
   /** Scan `files` via `scan`, anti-joining ONLY the subset that carries a
@@ -305,6 +319,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         val existing = s0raw.schema.fieldNames.toSet
         val newFields = df.schema.fields.filterNot(f => existing.contains(f.name))
           .map(_.copy(nullable = true))
+          .map(f => if (columnMappingEnabled(s0raw.metaData))
+            ColumnMapping.withPhysical(f, s"col-${UUID.randomUUID()}") else f)
         if (newFields.isEmpty) s0raw
         else {
           require(s0raw.schema.fieldNames.forall(df.columns.contains),
@@ -313,9 +329,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           s0raw.copy(metaData = s0raw.metaData.copy(schemaString = evolved.json))
         }
       }
-    val adds = FileOps.writeDataFiles(
-      enforceConstraints(conform(df, s0.schema), s0.metaData), path,
-      s0.metaData.partitionColumns, GraftTable.bloomWriteOptions(s0.metaData))
+    val adds = writeDataMapped(
+      enforceConstraints(conform(df, s0.schema), s0.metaData), s0.metaData)
     val metaAction: Seq[Action] =
       if (s0.metaData != s0raw.metaData) Seq(s0.metaData) else Nil
     var attempts = 0
@@ -342,9 +357,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * delete-then-append pair would expose. */
   def overwrite(df: DataFrame): Unit = {
     val s = snapshot
-    val adds = FileOps.writeDataFiles(
-      enforceConstraints(conform(df, s.schema), s.metaData), path,
-      s.metaData.partitionColumns, GraftTable.bloomWriteOptions(s.metaData))
+    val adds = writeDataMapped(
+      enforceConstraints(conform(df, s.schema), s.metaData), s.metaData)
     val cdc = writeCdcFiles(s, cdcDiff(s, read(s), readFiles(s, adds)))
     val ts = log.nextTimestamp()
     log.commit(s.version + 1, Seq(
@@ -418,11 +432,79 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   def addColumn(name: String, dataType: DataType): Unit = {
     val s = snapshot
     require(!s.schema.fieldNames.contains(name), s"column $name already exists")
-    val evolved = StructType(s.schema.fields :+ StructField(name, dataType, nullable = true))
+    // under column mapping a NEW column gets a fresh physical name — if a
+    // column of this logical name was ever dropped, its physical data
+    // must not resurrect into the successor
+    val field0 = StructField(name, dataType, nullable = true)
+    val field =
+      if (columnMappingEnabled(s.metaData))
+        ColumnMapping.withPhysical(field0, s"col-${UUID.randomUUID()}")
+      else field0
+    val evolved = StructType(s.schema.fields :+ field)
     log.commit(s.version + 1, Seq(
       s.metaData.copy(schemaString = evolved.json),
       CommitInfo(s.version + 1, log.nextTimestamp(), "ADD COLUMNS",
         Map("column" -> s"$name ${dataType.simpleString}"))))
+  }
+
+  private def columnMappingEnabled(meta: MetaData): Boolean =
+    meta.properties.get("columnMapping.mode").exists(_.equalsIgnoreCase("name"))
+
+  /** ALTER TABLE RENAME COLUMN: metadata-only under column mapping — the
+    * field keeps its PHYSICAL parquet name (pinned on first rename if it
+    * was still implicit) and only the logical binding changes; zero data
+    * files move at any table size. Time travel to pre-rename versions
+    * reads the old metaData and therefore the old logical name. Requires
+    * `columnMapping.mode = name` (the protocol-gated feature — a reader
+    * that predates it fails loudly instead of misreading the files). */
+  def renameColumn(oldName: String, newName: String): Unit = {
+    val s = snapshot
+    require(columnMappingEnabled(s.metaData),
+      "RENAME COLUMN requires columnMapping.mode = name " +
+        "(setProperty(\"columnMapping.mode\", \"name\") — protocol-gated)")
+    require(s.schema.fieldNames.contains(oldName), s"no such column: $oldName")
+    require(!s.schema.fieldNames.contains(newName), s"column $newName already exists")
+    val evolved = StructType(s.schema.fields.map { f =>
+      if (f.name != oldName) f
+      else ColumnMapping.withPhysical(f, ColumnMapping.physicalName(f))
+        .copy(name = newName)
+    })
+    val parts = s.metaData.partitionColumns.map(c => if (c == oldName) newName else c)
+    val constraintHit = s.metaData.constraints.find(_._2.contains(oldName))
+    require(constraintHit.isEmpty,
+      s"cannot rename $oldName: referenced by CHECK constraint ${constraintHit.get._1}")
+    log.commit(s.version + 1, Seq(
+      s.metaData.copy(schemaString = evolved.json, partitionColumns = parts),
+      CommitInfo(s.version + 1, log.nextTimestamp(), "RENAME COLUMN",
+        Map("from" -> oldName, "to" -> newName))))
+  }
+
+  /** ALTER TABLE DROP COLUMN: metadata-only under column mapping — the
+    * physical column stays in every existing file, simply unbound (and a
+    * later ADD COLUMN of the same name binds a fresh physical name, so
+    * the dropped data never resurrects). */
+  def dropColumn(name: String): Unit = {
+    val s = snapshot
+    require(columnMappingEnabled(s.metaData),
+      "DROP COLUMN requires columnMapping.mode = name " +
+        "(setProperty(\"columnMapping.mode\", \"name\") — protocol-gated)")
+    require(s.schema.fieldNames.contains(name), s"no such column: $name")
+    require(s.schema.fields.length > 1, "cannot drop the only column")
+    require(!s.metaData.partitionColumns.contains(name),
+      s"cannot drop partition column $name")
+    val constraintHit = s.metaData.constraints.find(_._2.contains(name))
+    require(constraintHit.isEmpty,
+      s"cannot drop $name: referenced by CHECK constraint ${constraintHit.get._1}")
+    val bloomHit = GraftTable.bloomColumns(s.metaData).contains(name)
+    val meta0 = s.metaData.copy(
+      schemaString = StructType(s.schema.fields.filterNot(_.name == name)).json)
+    val meta =
+      if (!bloomHit) meta0
+      else meta0.copy(properties = meta0.properties + ("bloom.columns" ->
+        GraftTable.bloomColumns(meta0).filterNot(_ == name).mkString(",")))
+    log.commit(s.version + 1, Seq(meta,
+      CommitInfo(s.version + 1, log.nextTimestamp(), "DROP COLUMNS",
+        Map("column" -> name))))
   }
 
   /** One micro-batch epoch of a streaming write, committed atomically
@@ -704,8 +786,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       } else if (clusterBy.nonEmpty) {
         readFiles(s, scoped).repartitionByRange(nOut, clusterBy.map(col): _*)
       } else readFiles(s, scoped).repartition(nOut)
-    val adds = FileOps.writeDataFiles(reorganized, path,
-      s.metaData.partitionColumns, GraftTable.bloomWriteOptions(s.metaData))
+    val adds = writeDataMapped(reorganized, s.metaData)
     val ts = log.nextTimestamp()
     log.commit(s.version + 1,
       Seq(CommitInfo(s.version + 1, ts, "OPTIMIZE",
@@ -725,9 +806,18 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * partition pruning and stats skipping are one mechanism. */
   def prunedFiles(s: Snapshot, pred: Column): Seq[AddFile] = {
     val resolved = DataSkipping.resolve(spark, s.schema, pred)
+    // under column mapping stats/partition keys are physical — translate
+    // through the CURRENT mapping (strict: stale physical keys of dropped
+    // columns don't translate and so can never prune a same-named
+    // successor column)
+    val mapped = ColumnMapping.active(s.schema)
+    val p2l = if (mapped) ColumnMapping.physToLog(s.schema) else Map.empty[String, String]
+    def logicalKeys(m: Map[String, String]): Map[String, String] =
+      if (!mapped) m else m.flatMap { case (k, v) => p2l.get(k).map(_ -> v) }
     val statPruned = s.files.filter { f =>
-      val widened = f.copy(minValues = f.minValues ++ f.partitionValues,
-                           maxValues = f.maxValues ++ f.partitionValues)
+      val widened = f.copy(
+        minValues = logicalKeys(f.minValues) ++ logicalKeys(f.partitionValues),
+        maxValues = logicalKeys(f.maxValues) ++ logicalKeys(f.partitionValues))
       DataSkipping.mayMatch(resolved, widened)
     }
     // bloom skipping: equality probes on the table's bloom columns drop
@@ -738,9 +828,35 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     else {
       val probes = DataSkipping.equalityProbes(resolved)
         .filter { case (c, _) => bloomCols.contains(c) }
+        .map { case (c, v) => ColumnMapping.physicalOf(s.schema, c) -> v }
       if (probes.isEmpty) statPruned
       else statPruned.filter(f =>
         FileOps.bloomMayMatch(Paths.get(path, f.path), probes))
+    }
+  }
+
+  /** Write data files under column mapping: the frame (logical names, in
+    * snapshot-schema order) is renamed to physical names, partition dirs
+    * and bloom options follow the physical spelling, and the harvested
+    * AddFile stats come back keyed physical (translated back to logical
+    * at prune time via the then-current mapping). Identity — straight
+    * through to FileOps — when mapping is inactive. */
+  private def writeDataMapped(df: DataFrame, meta: MetaData): Seq[AddFile] = {
+    val schema = org.apache.spark.sql.types.DataType.fromJson(meta.schemaString)
+      .asInstanceOf[StructType]
+    if (!ColumnMapping.active(schema))
+      FileOps.writeDataFiles(df, path, meta.partitionColumns,
+        GraftTable.bloomWriteOptions(meta))
+    else {
+      val renamed = df.select(schema.fields.map(f =>
+        col(f.name).as(ColumnMapping.physicalName(f))).toSeq: _*)
+      val physParts = meta.partitionColumns.map(ColumnMapping.physicalOf(schema, _))
+      val physBloomMeta = meta.copy(properties = meta.properties ++
+        meta.properties.get("bloom.columns").map(cols => "bloom.columns" ->
+          cols.split(",").map(_.trim).filter(_.nonEmpty)
+            .map(ColumnMapping.physicalOf(schema, _)).mkString(",")))
+      FileOps.writeDataFiles(renamed, path, physParts,
+        GraftTable.bloomWriteOptions(physBloomMeta))
     }
   }
 
@@ -887,8 +1003,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val touched = s.files.filter(f => touchedNames.contains(fileName(f.path)))
     val keep = readFilesMeta(s, touched).filter(!coalesce(pred, lit(false)))
       .drop("__fname", "__pos")
-    val adds = FileOps.writeDataFiles(keep, path, s.metaData.partitionColumns,
-      GraftTable.bloomWriteOptions(s.metaData))
+    val adds = writeDataMapped(keep, s.metaData)
     val deleted = touched.map(_.numRecords).sum - adds.map(_.numRecords).sum
     val cdc = writeCdcFiles(s, cdcDiff(s, readFiles(s, touched), readFiles(s, adds)))
     val ts = log.nextTimestamp()
@@ -1029,8 +1144,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       val inserts = insertRows(src, targetAll, cond, insertClauses, schema)
       val out = enforceConstraints(conform(rewritten.unionByName(inserts), schema),
         s.metaData)
-      val adds = FileOps.writeDataFiles(out, path, s.metaData.partitionColumns,
-        GraftTable.bloomWriteOptions(s.metaData))
+      val adds = writeDataMapped(out, s.metaData)
       val cdc = writeCdcFiles(s, cdcDiff(s, readFiles(s, touched), readFiles(s, adds)))
       val ts = log.nextTimestamp()
       log.commit(s.version + 1,
@@ -1041,9 +1155,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     } else {
       // No affected target rows: pure insert path.
       val inserts = insertRows(src, targetAll, cond, insertClauses, schema)
-      val adds = FileOps.writeDataFiles(
-        enforceConstraints(conform(inserts, schema), s.metaData), path,
-        s.metaData.partitionColumns, GraftTable.bloomWriteOptions(s.metaData))
+      val adds = writeDataMapped(
+        enforceConstraints(conform(inserts, schema), s.metaData), s.metaData)
       log.commit(s.version + 1,
         Seq(CommitInfo(s.version + 1, log.nextTimestamp(), "MERGE",
           Map("numTargetFilesRewritten" -> "0",
