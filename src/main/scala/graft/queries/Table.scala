@@ -173,6 +173,32 @@ object TableQueries {
       t
     })
 
+  /** q145 fixture: the SAME upsert sequence (two merge-updates + a
+    * tombstoning merge-delete) run twice — merge-on-read (DV) vs
+    * copy-on-write — for per-version observational parity. */
+  private def dvMergeTable(s: SparkSession, dvMode: Boolean): GraftTable =
+    cache.computeIfAbsent(if (dvMode) "dv145" else "cow145", _ => {
+      import scala.jdk.CollectionConverters._
+      val schema = StructType(Seq(
+        StructField("id", IntegerType, nullable = false),
+        StructField("v", StringType, nullable = false)))
+      val seed = s.createDataFrame(
+        (1 to 6).map(i => Row(i, s"v$i")).asJava, schema).repartition(3)
+      val t = GraftTable.create(s, graft.Scratch.dir("graft-dv145-").toString, seed)
+      if (dvMode) t.setProperty("deletionVectors.enabled", "true")
+      else t.setProperty("mode.marker", "cow")
+      def upsert(src: Seq[(Int, String)], deleteCond: String): Unit =
+        t.merge(s.createDataFrame(
+            src.map { case (i, v) => Row(i, v) }.asJava, schema), "t.id = s.id")
+          .whenMatchedDelete(deleteCond)
+          .whenMatchedUpdate(Map("v" -> "s.v"))
+          .whenNotMatchedInsert(Map("id" -> "s.id", "v" -> "s.v"))
+          .execute()
+      upsert(Seq(2 -> "two", 7 -> "seven"), "s.id = 99") // v2: update + insert
+      upsert(Seq(4 -> "four", 6 -> "gone"), "s.id = 6")  // v3: update + delete
+      t
+    })
+
   private[queries] def ivmTable(s: SparkSession): GraftTable =
     cache.computeIfAbsent("ivm", _ => {
       import scala.jdk.CollectionConverters._
@@ -503,6 +529,46 @@ object TableQueries {
         |  (4, 'stale', 40, CAST(1 AS BIGINT)),
         |  (5, 'new',   50, CAST(1 AS BIGINT)))
         |AS t(id, status, v, head_version) ORDER BY id""".stripMargin),
+
+    // ---- Merge-on-read MERGE: deletion-vector upsert vs copy-on-write parity -----
+    // q141's proof extended from DELETE to the full upsert: the same merge
+    // sequence (conditional delete + update + insert clauses) runs on a DV
+    // table and a CoW twin. The DV table's merges tombstone the affected
+    // pre-image positions and APPEND only the post-images — zero files
+    // rewritten across the whole history (pinned per row) — while staying
+    // observationally identical to the CoW twin at EVERY version. At
+    // 100 TB this is the difference between kilobytes of sidecar + the new
+    // rows and a 128 MB rewrite per touched file, per upsert batch.
+    "q145_dv_merge" -> Q(
+      (s, _) => {
+        val dvT = dvMergeTable(s, dvMode = true)
+        val cowT = dvMergeTable(s, dvMode = false)
+        val rewritten = dvT.history()
+          .filter(col("operation") === "MERGE")
+          .select(sum(element_at(col("operationMetrics"), "numTargetFilesRewritten")
+            .cast(LongType)).as("r"))
+          .head().getLong(0)
+        val rows = (0L to 3L).map { v =>
+          val a = dvT.versionAsOf(v)
+          val b = cowT.versionAsOf(v)
+          Row(v, a.count(), b.count(),
+            a.exceptAll(b).unionAll(b.exceptAll(a)).count(), rewritten)
+        }
+        val schema = StructType(Seq(
+          StructField("version", LongType, nullable = false),
+          StructField("n_dv", LongType, nullable = false),
+          StructField("n_cow", LongType, nullable = false),
+          StructField("n_diff", LongType, nullable = false),
+          StructField("dv_files_rewritten", LongType, nullable = false)))
+        s.createDataFrame(rows.asJava, schema).orderBy("version")
+      },
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(6 AS BIGINT), CAST(6 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), CAST(6 AS BIGINT), CAST(6 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), CAST(7 AS BIGINT), CAST(7 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), CAST(6 AS BIGINT), CAST(6 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)))
+        |AS t(version, n_dv, n_cow, n_diff, dv_files_rewritten)
+        |ORDER BY version""".stripMargin),
 
     // ---- Column mapping: RENAME / DROP COLUMN as metadata-only commits -----------
     // `columnMapping.mode = name` pins each field's PHYSICAL parquet name

@@ -1089,7 +1089,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       }
 
     if (touched.nonEmpty) {
-      val t = readFiles(s, touched)
+      // __fname/__pos provenance rides along for the merge-on-read path
+      // (tombstoning needs the affected rows' positions); the CoW path
+      // simply never selects them
+      val t = readFilesMeta(s, touched)
         .withColumn("__tid", monotonically_increasing_id())
         .localCheckpoint(true) // pin row ids: same ids in guard and rewrite
         .alias(targetAlias)
@@ -1130,9 +1133,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         bySourceClauses.zipWithIndex.collect {
           case (MergeClause.BySourceUpdate(_, set), j) => (matchedClauses.size + j, set) }
 
-      val acted = joined.withColumn("__action", action)
-        .filter(if (deleteIds.isEmpty) lit(true) else !col("__action").isin(deleteIds: _*))
-      val rewritten = acted.select(srcCols.map { c =>
+      val withAction = joined.withColumn("__action", action)
+      def postImage(d: DataFrame): DataFrame = d.select(srcCols.map { c =>
         var e: Column = col(s"$targetAlias.$c")
         updateSets.foreach { case (i, set) =>
           set.get(c).foreach(u => e = when(col("__action") === i, expr(u)).otherwise(e)) }
@@ -1141,17 +1143,61 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
 
       // Phase 2b: inserts — source rows matching NOTHING in the whole table
       // (any match would have made its file touched; see class doc).
-      val inserts = insertRows(src, targetAll, cond, insertClauses, schema)
-      val out = enforceConstraints(conform(rewritten.unionByName(inserts), schema),
-        s.metaData)
-      val adds = writeDataMapped(out, s.metaData)
-      val cdc = writeCdcFiles(s, cdcDiff(s, readFiles(s, touched), readFiles(s, adds)))
-      val ts = log.nextTimestamp()
-      log.commit(s.version + 1,
-        Seq(CommitInfo(s.version + 1, ts, "MERGE",
-          Map("numTargetFilesRewritten" -> touched.size.toString,
-              "numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
-        touched.map(f => RemoveFile(f.path, ts)) ++ adds ++ cdc)
+      lazy val inserts = insertRows(src, targetAll, cond, insertClauses, schema)
+
+      // Merge-on-read (deletionVectors.enabled): instead of rewriting the
+      // touched files, TOMBSTONE exactly the affected rows' positions and
+      // APPEND the replacement rows (update post-images + inserts) as new
+      // files — a 10-row upsert into a 100 TB table writes kilobytes of
+      // sidecar plus the new rows, never a 128 MB rewrite. Same tombstone
+      // cap and copy-on-write fallback as the DV DELETE path.
+      val dvDone = dvEnabled(s.metaData) && {
+        val affected = withAction.filter(col("__action") >= 0)
+          .localCheckpoint(true) // one pass feeds tombstones AND post-images
+        val perFile = affected.groupBy("__fname").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val maxTombstones = s.metaData.properties
+          .get("deletionVectors.maxTombstones").map(_.toLong).getOrElse(4L * 1000 * 1000)
+        if (perFile.values.sum + touched.map(_.dvCount).sum > maxTombstones) false
+        else {
+          val tombstones = affected.select(col("__fname"), col("__pos"))
+          val allPos = dvEntries(touched).map(_.unionByName(tombstones)).getOrElse(tombstones)
+          val rel = writeDvSidecar(allPos)
+          val replacement = postImage(affected.filter(
+            if (deleteIds.isEmpty) lit(true) else !col("__action").isin(deleteIds: _*)))
+          val out = enforceConstraints(
+            conform(replacement.unionByName(inserts), schema), s.metaData)
+          val adds = writeDataMapped(out, s.metaData)
+          val reAdds = touched.map(f => f.copy(dvPath = Some(rel),
+            dvCount = f.dvCount + perFile.getOrElse(fileName(f.path), 0L)))
+          val cdc = writeCdcFiles(s, cdcDiff(s,
+            readFiles(s, touched), readFiles(s, reAdds ++ adds)))
+          val ts = log.nextTimestamp()
+          log.commit(s.version + 1,
+            Seq(CommitInfo(s.version + 1, ts, "MERGE",
+              Map("numTargetFilesRewritten" -> "0",
+                  "numDeletionVectors" -> touched.size.toString,
+                  "numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
+            touched.map(f => RemoveFile(f.path, ts)) ++ reAdds ++ adds ++ cdc)
+          true
+        }
+      }
+
+      if (!dvDone) {
+        val acted = withAction
+          .filter(if (deleteIds.isEmpty) lit(true) else !col("__action").isin(deleteIds: _*))
+        val rewritten = postImage(acted)
+        val out = enforceConstraints(conform(rewritten.unionByName(inserts), schema),
+          s.metaData)
+        val adds = writeDataMapped(out, s.metaData)
+        val cdc = writeCdcFiles(s, cdcDiff(s, readFiles(s, touched), readFiles(s, adds)))
+        val ts = log.nextTimestamp()
+        log.commit(s.version + 1,
+          Seq(CommitInfo(s.version + 1, ts, "MERGE",
+            Map("numTargetFilesRewritten" -> touched.size.toString,
+                "numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
+          touched.map(f => RemoveFile(f.path, ts)) ++ adds ++ cdc)
+      }
     } else {
       // No affected target rows: pure insert path.
       val inserts = insertRows(src, targetAll, cond, insertClauses, schema)

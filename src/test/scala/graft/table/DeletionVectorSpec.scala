@@ -61,7 +61,8 @@ class DeletionVectorSpec extends SparkTestBase {
       t.delete(col("id").isin(2, 5))
       t.delete(col("id") === 6)
       // native MERGE over a DV'd target: matched rows update without
-      // resurrecting tombstoned ones; its rewrite purges the file's DV
+      // resurrecting tombstoned ones — merge-on-read tombstones the
+      // pre-image position and appends the post-image as a new file
       t.merge(df((3, "three"), (5, "ghost")), "t.id = s.id")
         .whenMatchedUpdate(Map("v" -> "s.v"))
         .whenNotMatchedInsert(Map("id" -> "s.id", "v" -> "s.v"))
@@ -210,5 +211,44 @@ class DeletionVectorSpec extends SparkTestBase {
     val c = t.cloneTo(tmpDir("dv-cldst-"))
     assert(ids(c.toDF) == Set(1, 2, 3, 4, 5))
     assert(c.metadataCount() == 5)
+  }
+
+  test("merge-on-read MERGE: zero rewrites, tombstoned pre-images, appended post-images") {
+    val t = dvTable("dv-mor-")
+    val before = dataFiles(t)
+    // updates ids 2 and 4 (different files), deletes id 6, inserts id 9
+    t.merge(df((2, "TWO"), (4, "FOUR"), (6, "x"), (9, "nine")), "t.id = s.id")
+      .whenMatchedDelete("s.id = 6")
+      .whenMatchedUpdate(Map("v" -> "s.v"))
+      .whenNotMatchedInsert(Map("id" -> "s.id", "v" -> "s.v"))
+      .execute()
+    // every original data file survives; only new files appended
+    assert(dataFiles(t).intersect(before) == before,
+      "merge-on-read MERGE must not rewrite any touched file")
+    val metrics = t.history().select("operationMetrics").head()
+      .getMap[String, String](0)
+    assert(metrics.get("numTargetFilesRewritten").contains("0"))
+    assert(metrics.get("numDeletionVectors").exists(_.toInt > 0))
+    // content is the upsert result: 2/4 updated, 6 gone, 9 inserted
+    assert(t.toDF.collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set((1, "v1"), (2, "TWO"), (3, "v3"), (4, "FOUR"), (5, "v5"), (9, "nine")))
+    // pre-merge version still serves the original rows
+    assert(ids(t.versionAsOf(1)) == Set(1, 2, 3, 4, 5, 6))
+    // affected rows tombstoned: dv counts cover the two updates + delete
+    assert(t.snapshot.files.map(_.dvCount).sum == 3)
+  }
+
+  test("merge-on-read MERGE beyond the tombstone cap falls back to copy-on-write") {
+    val t = dvTable("dv-mor-cap-")
+    t.setProperty("deletionVectors.maxTombstones", "1")
+    val before = dataFiles(t)
+    t.merge(df((2, "TWO"), (4, "FOUR")), "t.id = s.id")
+      .whenMatchedUpdate(Map("v" -> "s.v"))
+      .execute()
+    assert(dataFiles(t).intersect(before) != before,
+      "beyond the cap the merge must rewrite copy-on-write")
+    assert(t.snapshot.files.forall(_.dvPath.isEmpty))
+    assert(t.toDF.collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      .contains((2, "TWO")))
   }
 }
