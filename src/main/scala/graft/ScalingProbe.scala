@@ -66,12 +66,11 @@ object ScalingProbe {
         // events: user population grows m× over the SAME time span (the
         // realistic growth axis — more users, not a longer history), so
         // window partitions stay per-user-sized and cohort/funnel/
-        // attribution work must grow linearly in users. Read RAW (ts stays
-        // the int64 nanos the loaders expect) so the replica file keeps the
-        // testdata's column shape.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // attribution work must grow linearly in users. Read RAW so the
+        // replica keeps the testdata's physical column shape, whatever ts
+        // type this generation carries (Tables.events adapts on read).
         val evs = (0 until m).map { k =>
-          spark.read.parquet(s"$sfDir/events.parquet")
+          graft.Tables.eventsRaw(spark, sfDir)
             .withColumn("event_id", $"event_id" + lit(k.toLong * 10_000_000L))
             .withColumn("user_id", $"user_id" + lit(k.toLong * 10_000_000L))
         }

@@ -29,13 +29,15 @@ final class GraftLog(val tablePath: String) {
 
   def versionFile(v: Long): Path = logDir.resolve(f"$v%020d.json")
 
-  def listVersions: Seq[Long] =
+  def listVersions: Seq[Long] = {
+    listingCount += 1
     if (!Files.isDirectory(logDir)) Seq.empty
     else Files.list(logDir).iterator().asScala
       .map(_.getFileName.toString)
       .filter(_.matches("\\d{20}\\.json"))
       .map(_.stripSuffix(".json").toLong)
       .toSeq.sorted
+  }
 
   /** Latest version WITHOUT listing the log directory: start at the
     * `_last_checkpoint` pointer (advisory — possibly stale, never wrong)
@@ -138,19 +140,28 @@ final class GraftLog(val tablePath: String) {
     } catch { case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp) }
   }
 
+  private def checkpointExistsAt(cp: Long): Boolean =
+    Files.exists(checkpointFile(cp)) || Files.exists(parquetCheckpointFile(cp))
+
+  /** Directory listings performed by this log instance — object-store LIST
+    * calls are the scaling hazard the `_last_checkpoint` pointer and the
+    * aligned probing below exist to avoid; a spec counts this stays 0 on
+    * the snapshot/time-travel paths. */
+  private[table] var listingCount: Int = 0
+
   private def latestCheckpointAtOrBefore(v: Long): Option[Long] = {
     // fast path: the pointer names a usable checkpoint ≤ v (the common
     // latest-snapshot read) — no directory listing at all
-    lastCheckpointPointer.filter(cp => cp <= v &&
-      (Files.exists(checkpointFile(cp)) || Files.exists(parquetCheckpointFile(cp))))
+    lastCheckpointPointer.filter(cp => cp <= v && checkpointExistsAt(cp))
       .orElse {
-        if (!Files.isDirectory(logDir)) None
-        else Files.list(logDir).iterator().asScala
-          .map(_.getFileName.toString)
-          .filter(_.matches("\\d{20}\\.checkpoint\\.(json|parquet)"))
-          .map(_.replaceAll("\\.checkpoint\\.(json|parquet)$", "").toLong)
-          .filter(_ <= v)
-          .maxOption
+        // time travel below the pointer: checkpoints land only at
+        // multiples of checkpointInterval (commit() writes them there), so
+        // probe the aligned versions backwards — O(v / interval) existence
+        // checks worst case, first probe hits in the common case, and no
+        // directory LIST either way
+        var cp = (v / checkpointInterval) * checkpointInterval
+        while (cp > 0 && !checkpointExistsAt(cp)) cp -= checkpointInterval
+        if (cp > 0) Some(cp) else None
       }
   }
 

@@ -129,4 +129,23 @@ class ProtocolSpec extends SparkTestBase {
     assert(!Files.exists(inflight))
     assert(t.toDF.collect().map(_.getInt(0)).toSet == Set(2))
   }
+
+  test("snapshot load, time travel, and vacuum do zero log-directory listings") {
+    // object-store shape: discovery rides the _last_checkpoint pointer and
+    // aligned existence probes — an S3-style LIST call never happens on
+    // the read path, no matter how long the history is
+    val t = GraftTable.create(spark, tmpDir("nolist-"), df(1 -> "a"))
+    (2 to 25).foreach(i => t.append(df(i -> "x"))) // checkpoints at 10 and 20
+    val fresh = new GraftLog(t.path)
+    assert(fresh.latestVersion == 24L)
+    fresh.snapshotAt(24)        // head: pointer fast path
+    fresh.snapshotAt(15)        // time travel below the pointer: aligned probe
+    fresh.snapshotAt(3)         // before any checkpoint: full replay, still no LIST
+    assert(fresh.listingCount == 0,
+      s"log read paths performed ${fresh.listingCount} directory listing(s)")
+    val t2 = GraftTable.forPath(spark, t.path)
+    t2.vacuum(retainVersions = 2, retentionMs = 0)
+    assert(t2.log.listingCount == 0,
+      "vacuum's log-side discovery must not list the log directory")
+  }
 }
