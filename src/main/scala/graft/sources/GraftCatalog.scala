@@ -402,14 +402,30 @@ class GraftRowLevelOperation(table: GraftTable,
     Array(Expressions.column("_file"))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder with SupportsPushDownFilters {
+      // PRUNE-ONLY pushdown: no filter is ever accepted (Spark re-applies
+      // every one row-level — a group scan must return EVERY row of a
+      // scanned file), but translatable predicates narrow WHICH FILES the
+      // scan plans via stats/bloom skipping. Sound because pruning
+      // over-approximates: a file without a possible match can contain no
+      // matched group, so dropping it changes neither the group-filter
+      // query nor the rewrite. On a selective UPDATE/DELETE this is the
+      // difference between scanning the table once to find touched files
+      // and scanning only the stat-surviving slice.
+      private var prunePred: Option[Column] = None
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        prunePred = GraftFilters.toColumn(filters.toSeq)
+        filters
+      }
+      override def pushedFilters(): Array[Filter] = Array.empty
       override def build(): Scan = {
         val snap = table.snapshot
         scanned = Some(snap)
         // the rewrite read path has no V1 fallback — serve a real DSv2
         // Batch over the snapshot's files with the executor-side parquet
         // decoder the streaming source already uses
-        val s = new GraftGroupScan(table.path, snap)
+        val s = new GraftGroupScan(table.path, snap,
+          prunePred.map(pr => table.prunedFiles(snap, pr)))
         groupScan = Some(s)
         s
       }
@@ -434,13 +450,18 @@ class GraftRowLevelOperation(table: GraftTable,
   * condition, then calls `filter` with an IN over them — narrowing both
   * the rewrite read and the commit's removed set to the matched files
   * (an unmatched MERGE touches nothing instead of rewriting the table). */
-class GraftGroupScan(tablePath: String, snap: Snapshot)
+class GraftGroupScan(tablePath: String, snap: Snapshot,
+    prunedInit: Option[Seq[graft.table.AddFile]] = None)
     extends Scan with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   graft.streaming.GraftTableStream.validateSchema(snap.schema)
 
-  @volatile private var files: Seq[graft.table.AddFile] = snap.files
+  // seeded from stat/bloom pruning of the command predicate when one
+  // translated — files that provably hold no match can hold no rewrite
+  // group either
+  @volatile private var files: Seq[graft.table.AddFile] =
+    prunedInit.getOrElse(snap.files)
 
   /** The files this scan still plans — after runtime filtering, exactly
     * the groups being replaced. */

@@ -228,6 +228,34 @@ class CatalogSpec extends SparkTestBase {
     assert(sql("SELECT COUNT(*) FROM gcat.default.grp").head().getLong(0) == 3)
   }
 
+  test("group-scan file pruning: a selective UPDATE never scans provably unmatched files") {
+    registered
+    // three files with DISJOINT id ranges (stats prune on id), 1000 rows each
+    sql("CREATE TABLE gcat.default.grppr (id INT, v STRING) USING graft")
+    (0 until 3).foreach { b =>
+      val lo = b * 1000
+      sql(s"INSERT INTO gcat.default.grppr SELECT id, 'x' FROM range($lo, ${lo + 1000}) AS t(id)")
+    }
+    val reads = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        reads.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      sql("UPDATE gcat.default.grppr SET v = 'y' WHERE id = 1500")
+      // listener events are async; give the bus a moment to drain
+      Thread.sleep(2000)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the command runs two scans (runtime group filter + rewrite); both
+    // must plan only the single stat-matching 1000-row file — without
+    // predicate-driven pruning the group filter alone reads all 3000
+    assert(reads.get() <= 2200,
+      s"UPDATE scanned ${reads.get()} rows; pruning should bound it by ~2 x 1000")
+    assert(sql("SELECT v FROM gcat.default.grppr WHERE id = 1500").head().getString(0) == "y")
+    assert(sql("SELECT COUNT(*) FROM gcat.default.grppr WHERE v = 'y'").head().getLong(0) == 1)
+  }
+
   test("_file metadata column is selectable") {
     registered
     sql("CREATE TABLE gcat.default.mf (id INT) USING graft")
