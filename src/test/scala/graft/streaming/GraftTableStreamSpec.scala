@@ -168,4 +168,42 @@ class GraftTableStreamSpec extends SparkTestBase {
     assert(spark.read.format("graft").option("versionAsOf", 0).load(dir).count() == 1)
     assert(spark.read.format("graft").load(dir).count() == 2)
   }
+
+  test("vectorized factory hands off whole ColumnarBatches for DV-free files") {
+    val dir = tmpDir("gstream-col-")
+    val t = graft.table.GraftTable.create(spark, dir,
+      (1 to 5000).map(i => (i.toLong, s"v$i", i * 1.5)).toDF("id", "v", "x"))
+    val stream = new GraftMicroBatchStream(dir, t.snapshot.schema,
+      Nil, Map.empty)
+    val parts = stream.planInputPartitions(
+      GraftStreamOffset(-1), GraftStreamOffset(t.latestVersion))
+    val rf = stream.createReaderFactory()
+    assert(parts.nonEmpty && parts.forall(rf.supportColumnarReads),
+      "DV-free unpartitioned files must take the columnar path")
+    val total = parts.map { p =>
+      val r = rf.createColumnarReader(p)
+      var rows = 0L
+      try while (r.next()) rows += r.get().numRows() finally r.close()
+      rows
+    }.sum
+    assert(total == 5000L, s"columnar batches carried $total rows")
+    // a DV on any planned file drops the BATCH (scan-uniform) to rows
+    t.setProperty("deletionVectors.enabled", "true")
+    t.delete(org.apache.spark.sql.functions.col("id") === 1L)
+    val stream2 = new GraftMicroBatchStream(dir, t.snapshot.schema, Nil, Map.empty)
+    val parts2 = stream2.planInputPartitions(
+      GraftStreamOffset(-1), GraftStreamOffset(t.latestVersion))
+    val rf2 = stream2.createReaderFactory()
+    assert(parts2.exists(p =>
+      p.asInstanceOf[GraftFilePartition].dvAbsPath.isDefined))
+    assert(parts2.forall(p => !rf2.supportColumnarReads(p)),
+      "a DV in the planned batch must drop every partition to the row path")
+    val rowTotal = parts2.map { p =>
+      val r = rf2.createReader(p)
+      var rows = 0L
+      try while (r.next()) rows += 1 finally r.close()
+      rows
+    }.sum
+    assert(rowTotal == 4999L, "row path must apply the DV skip")
+  }
 }
