@@ -92,9 +92,8 @@ class ChangeFeedSpec extends SparkTestBase {
     // new commits continue the feed across a second run
     t.delete(col("id") === 4)
     val q2 = out.writeStream.format("memory").queryName(name + "2")
-      .option("checkpointLocation", q.recentProgress.head.sources.head.description match {
-        case _ => tmpDir("cdf-chk-") // fresh checkpoint: re-drain from startingVersion
-      })
+      // fresh checkpoint: re-drain the whole feed from startingVersion
+      .option("checkpointLocation", tmpDir("cdf-chk-"))
       .trigger(Trigger.AvailableNow()).start()
     q2.awaitTermination()
     assert(canon(spark.table(name + "2")) === canon(t.changes(1, 4)))
