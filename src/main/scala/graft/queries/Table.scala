@@ -218,6 +218,32 @@ object TableQueries {
       t
     })
 
+  /** Per-version observational parity of two tables as ONE Spark plan:
+    * every version's snapshot is tagged and unioned, so the counts and the
+    * multiset symmetric difference (exceptAll keys on the version column
+    * too) compute in a single pass instead of a driver loop of per-version
+    * jobs — the shape that holds when "versions" are billions of rows. */
+  private def versionParity(s: SparkSession, a: GraftTable, b: GraftTable,
+      maxV: Long, rewritten: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast => _, _}
+    def tagged(t: GraftTable): DataFrame =
+      (0L to maxV).map(v => t.versionAsOf(v).withColumn("version", lit(v)))
+        .reduce(_ unionByName _)
+    val ta = tagged(a)
+    val tb = tagged(b)
+    val na = ta.groupBy("version").agg(count(lit(1)).as("n_dv"))
+    val nb = tb.groupBy("version").agg(count(lit(1)).as("n_cow"))
+    val diff = ta.exceptAll(tb).unionByName(tb.exceptAll(ta))
+      .groupBy("version").agg(count(lit(1)).as("n_diff"))
+    na.join(nb, "version")
+      .join(diff, Seq("version"), "left_outer")
+      .na.fill(0L, Seq("n_diff"))
+      .withColumn("dv_files_rewritten", lit(rewritten))
+      .select(col("version"), col("n_dv"), col("n_cow"), col("n_diff"),
+        col("dv_files_rewritten"))
+      .orderBy("version")
+  }
+
   val all: Seq[(String, Q)] = Seq(
 
     // ---- Final state after seed + MERGE + DELETE ------------------------------
@@ -486,19 +512,7 @@ object TableQueries {
           .select(sum(element_at(col("operationMetrics"), "numRewrittenFiles")
             .cast(LongType)).as("r"))
           .head().getLong(0)
-        val rows = (0L to 3L).map { v =>
-          val a = dvT.versionAsOf(v)
-          val b = cowT.versionAsOf(v)
-          Row(v, a.count(), b.count(),
-            a.exceptAll(b).unionAll(b.exceptAll(a)).count(), rewritten)
-        }
-        val schema = StructType(Seq(
-          StructField("version", LongType, nullable = false),
-          StructField("n_dv", LongType, nullable = false),
-          StructField("n_cow", LongType, nullable = false),
-          StructField("n_diff", LongType, nullable = false),
-          StructField("dv_files_rewritten", LongType, nullable = false)))
-        s.createDataFrame(rows.asJava, schema).orderBy("version")
+        versionParity(s, dvT, cowT, 3L, rewritten)
       },
       """SELECT * FROM (VALUES
         |  (CAST(0 AS BIGINT), CAST(6 AS BIGINT), CAST(6 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
@@ -548,19 +562,7 @@ object TableQueries {
           .select(sum(element_at(col("operationMetrics"), "numTargetFilesRewritten")
             .cast(LongType)).as("r"))
           .head().getLong(0)
-        val rows = (0L to 3L).map { v =>
-          val a = dvT.versionAsOf(v)
-          val b = cowT.versionAsOf(v)
-          Row(v, a.count(), b.count(),
-            a.exceptAll(b).unionAll(b.exceptAll(a)).count(), rewritten)
-        }
-        val schema = StructType(Seq(
-          StructField("version", LongType, nullable = false),
-          StructField("n_dv", LongType, nullable = false),
-          StructField("n_cow", LongType, nullable = false),
-          StructField("n_diff", LongType, nullable = false),
-          StructField("dv_files_rewritten", LongType, nullable = false)))
-        s.createDataFrame(rows.asJava, schema).orderBy("version")
+        versionParity(s, dvT, cowT, 3L, rewritten)
       },
       """SELECT * FROM (VALUES
         |  (CAST(0 AS BIGINT), CAST(6 AS BIGINT), CAST(6 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
