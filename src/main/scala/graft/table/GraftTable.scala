@@ -1043,7 +1043,6 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val srcCols = schema.fieldNames.toSeq
     val srcMark = s"__${sourceAlias}_present"
     val src = source.alias(sourceAlias)
-    val targetAll = read(s).alias(targetAlias)
 
     def cc(c: Option[String]): Column = c.map(expr).getOrElse(lit(true))
     def mCond(m: MergeClause.Matched): Option[String] = m match {
@@ -1054,6 +1053,24 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       case MergeClause.BySourceUpdate(c, _) => c
       case MergeClause.BySourceDelete(c)    => c
     }
+
+    // Source-key file pruning (Delta's merge source-stats pruning): for
+    // each `t.col = s.col` equi-conjunct of the condition, the source's
+    // actual [min, max] per key bounds which target files can contain a
+    // match — a 10-row upsert into a 100 TB table stat-prunes the
+    // touched-file scan AND the insert anti-join to the overlapping
+    // slice instead of scanning the table. Sound because stats pruning
+    // over-approximates; inapplicable (None) when no equi-conjunct
+    // translates or the source is empty.
+    val srcKeyPrune: Option[Column] =
+      if (bySourceClauses.nonEmpty) None // unmatched rows live in ANY file
+      else mergeSourcePrunePred(source, condition, targetAlias, sourceAlias)
+    val prunedTargetFiles: Seq[AddFile] =
+      srcKeyPrune.map(prunedFiles(s, _)).getOrElse(s.files)
+    // the insert anti-join probes the same pruned slice: a target row in a
+    // pruned-out file provably matches no source row, so it can't
+    // disqualify an insert
+    val targetAll = readFiles(s, prunedTargetFiles).alias(targetAlias)
 
     // Phase 1: which target files contain AFFECTED rows? A row is affected
     // when it matches and some matched clause's condition holds, or — with
@@ -1066,7 +1083,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val touched: Seq[AddFile] =
       if (s.files.isEmpty || (matchedClauses.isEmpty && bySourceClauses.isEmpty)) Nil
       else {
-        val withFile = readFilesWithFileCol(s, s.files)
+        val withFile = readFilesWithFileCol(s, prunedTargetFiles)
           .withColumnRenamed("_file", "__file")
           .alias(targetAlias)
         val names: Set[String] =
@@ -1208,6 +1225,49 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           Map("numTargetFilesRewritten" -> "0",
               "numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++ adds)
     }
+  }
+
+  /** Range predicate over TARGET columns from the source's actual key
+    * bounds: for every `t.col = s.col` equi-conjunct of the merge
+    * condition, one pass over the (small) source yields [min, max] per
+    * key, and files whose stats exclude every range provably contain no
+    * match. None when no conjunct translates, a bound is null/absent, or
+    * the source is empty (empty source ⇒ callers see zero matches via the
+    * join anyway). */
+  private def mergeSourcePrunePred(source: DataFrame, condition: String,
+      targetAlias: String, sourceAlias: String): Option[Column] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And => CatAnd, EqualTo => CatEq, Expression}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case CatAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other        => Seq(other)
+    }
+    def pair(a: UnresolvedAttribute, b: UnresolvedAttribute): Option[(String, String)] =
+      (a.nameParts, b.nameParts) match {
+        case (Seq(t, tc), Seq(ss, sc))
+          if t.equalsIgnoreCase(targetAlias) && ss.equalsIgnoreCase(sourceAlias) =>
+          Some(tc -> sc)
+        case (Seq(ss, sc), Seq(t, tc))
+          if t.equalsIgnoreCase(targetAlias) && ss.equalsIgnoreCase(sourceAlias) =>
+          Some(tc -> sc)
+        case _ => None
+      }
+    val pairs = conjuncts(
+      spark.sessionState.sqlParser.parseExpression(condition)).flatMap {
+      case CatEq(a: UnresolvedAttribute, b: UnresolvedAttribute) => pair(a, b)
+      case _ => Nil
+    }.distinct
+    if (pairs.isEmpty) return None
+    try {
+      val aggs = pairs.flatMap { case (_, sc) =>
+        Seq(min(col(sc)).as(s"__lo_$sc"), max(col(sc)).as(s"__hi_$sc")) }
+      val row = source.agg(aggs.head, aggs.tail: _*).head()
+      val preds = pairs.zipWithIndex.map { case ((tc, _), i) =>
+        if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) return None
+        col(tc).between(lit(row.get(2 * i)), lit(row.get(2 * i + 1)))
+      }
+      Some(preds.reduce(_ && _))
+    } catch { case _: Exception => None } // never fail a merge over pruning
   }
 
   /** Source rows with no match in the target, dispatched to the first

@@ -450,6 +450,39 @@ class GraftTableSpec extends SparkTestBase {
       "row 2 takes clause 1, row 3 falls to clause 2, row 4 matches no clause")
   }
 
+  test("MERGE: source-key stats pruning bounds the touched-file scan") {
+    // three files with disjoint 1000-row id ranges; the upsert's keys live
+    // in ONE file — phase 1 and the insert anti-join must scan only the
+    // stat-overlapping slice, never the whole table
+    val dir = tmpDir("gt-prune-")
+    val rows = (0 until 3000).map(i => (i, s"f$i", s"l$i"))
+    val t = GraftTable.create(spark, dir, df(rows.slice(0, 1000): _*).coalesce(1))
+    t.append(df(rows.slice(1000, 2000): _*).coalesce(1))
+    t.append(df(rows.slice(2000, 3000): _*).coalesce(1))
+    val reads = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        reads.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      t.merge(df((1500, "U", "U"), (1501, "V", "V")), "t.id = s.id")
+        .whenMatchedUpdate(Map("firstname" -> "s.firstname"))
+        .whenNotMatchedInsert(Map(
+          "id" -> "s.id", "firstname" -> "s.firstname", "lastname" -> "s.lastname"))
+        .execute()
+      Thread.sleep(2000) // listener events are async
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // five passes (phase-1 scan, checkpoint build, dup guard, rewrite,
+    // insert anti-join) touch only the middle file ⇒ ~5000 rows; without
+    // source-key pruning phase 1 and the anti-join read all 3000 each
+    // (~9000 total)
+    assert(reads.get() <= 6000,
+      s"merge scanned ${reads.get()} rows; source-key pruning should bound it")
+    assert(state(t.toDF).size === 3000)
+    assert(state(t.toDF).contains((1500, "U", "l1500")))
+  }
+
   test("MERGE: conditional matched clause leaves files with only unaffected matches untouched") {
     val dir = tmpDir("gt-")
     val t = GraftTable.create(spark, dir, df((1, "A", "A"), (2, "B", "B")).coalesce(1))
