@@ -44,7 +44,13 @@ object Tables {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
       s.read.parquet(path)
     } catch {
-      case _: Exception =>
+      // ONLY the nanos-footer refusal triggers the legacy reread — a missing
+      // file, corrupt footer, or permission error must surface as itself,
+      // not resurface confusingly under the legacy conf. The conf has to
+      // STAY set for the returned frame (schema conversion re-runs per file
+      // at execution), which is why it is flipped, not scoped-and-restored.
+      case e: Exception if Option(e.getMessage).exists(m =>
+          m.contains("PARQUET_TYPE_ILLEGAL") || m.contains("TIMESTAMP(NANOS")) =>
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         s.read.parquet(path)
     }

@@ -209,9 +209,12 @@ class GraftParquetDataWriter(tablePath: String, schema: StructType,
     // Hive-compatible percent-escaping (the SAME function Spark's own file
     // writer uses) — URLEncoder's '+' for space would read back as a
     // literal '+' on the basePath partition-reconstruction path.
+    // pv is keyed by PHYSICAL name — the one key space every write path
+    // stores in AddFile.partitionValues (it matches the directory names);
+    // readers translate to logical via the schema's mapping metadata.
     val dir = partitionCols.map(c =>
       org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .getPartitionPathString(physPart(c), pv(c))).mkString("/")
+        .getPartitionPathString(physPart(c), pv(physPart(c)))).mkString("/")
     val rel = (if (dir.isEmpty) "" else s"$dir/") + s"part-${UUID.randomUUID()}.parquet"
     Files.createDirectories(Paths.get(tablePath, rel).getParent)
     var b = new RowWriterBuilder(new HPath(Paths.get(tablePath, rel).toString))
@@ -241,7 +244,7 @@ class GraftParquetDataWriter(tablePath: String, schema: StructType,
   }
 
   override def write(row: InternalRow): Unit = {
-    val pv = partitionCols.map(c => c -> partitionValue(row, c)).toMap
+    val pv = partitionCols.map(c => physPart(c) -> partitionValue(row, c)).toMap
     val (w, _) = writers.getOrElseUpdate(pv, open(pv))
     if (projected == null) {
       val map = dataFields.map(f => ord(row, schema.fieldIndex(f.name)))

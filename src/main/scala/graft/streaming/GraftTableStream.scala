@@ -318,10 +318,17 @@ class GraftParquetReaderFactory(schema: StructType, partitionCols: Seq[String],
     import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, ParquetWriteSupport, VectorizedParquetRecordReader}
     import org.apache.spark.sql.internal.SQLConf
     val conf = new Configuration()
-    // under column mapping the parquet columns carry PHYSICAL names; the
+    // under column mapping the parquet DATA files carry PHYSICAL names; the
     // requested schema must ask for them (output stays positional, so the
-    // logical scan schema is untouched)
-    val dataSchema = graft.table.ColumnMapping.physicalSchema(StructType(lay.dataFields))
+    // logical scan schema is untouched). CDC sidecars are the exception:
+    // writeCdcFiles emits them from a LOGICAL-named frame, so their
+    // partitions (partitionColsInFile) must request logical names or a
+    // renamed column silently decodes as null.
+    val dataSchema =
+      if (p.partitionColsInFile)
+        StructType(lay.dataFields.map(f =>
+          f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+      else graft.table.ColumnMapping.physicalSchema(StructType(lay.dataFields))
     // the same read-path conf Spark's ParquetFileFormat sets: requested
     // schema + the semantics flags the schema converter consults
     conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
@@ -357,7 +364,14 @@ class GraftParquetReaderFactory(schema: StructType, partitionCols: Seq[String],
     new GenericInternalRow(lay.constFields.map { f =>
       if (overrides.contains(f.name)) castPartitionValue(overrides(f.name), f.dataType)
       else if (f.name == "_file") UTF8String.fromString(p.absPath)
-      else castPartitionValue(p.partitionValues(f.name), f.dataType)
+      else {
+        // AddFile.partitionValues is keyed by PHYSICAL name on every write
+        // path (it mirrors the Hive directory names); fall back to the
+        // logical name for files logged before the key space was unified.
+        val phys = graft.table.ColumnMapping.physicalName(f)
+        val v = p.partitionValues.getOrElse(phys, p.partitionValues(f.name))
+        castPartitionValue(v, f.dataType)
+      }
     }.asInstanceOf[Array[Any]])
   }
 

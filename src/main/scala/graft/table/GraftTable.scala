@@ -628,8 +628,29 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val removedFiles = cur.files.filterNot(f => tgtPaths.contains(f.path)) ++
       dvChanged.map(f => curByPath(f.path))
     val addedFiles = dvChanged ++ tgt.files.filterNot(f => curByPath.contains(f.path))
-    val cdc = writeCdcFiles(cur,
-      cdcDiff(cur, readFiles(cur, removedFiles), readFiles(tgt, addedFiles)))
+    // A restore across a schema-change boundary diffs frames with DIFFERENT
+    // logical schemas (the removed files read with cur's, the re-added with
+    // tgt's). The sidecar is read back with the POST-restore schema (= tgt's),
+    // so conform both frames to it, matching columns by PHYSICAL name (a
+    // rename boundary keeps the data paired) and null-filling columns the
+    // source frame predates. Identity when the schemas agree.
+    def conformTo(df: DataFrame, from: StructType): DataFrame = {
+      val byPhys = from.fields.map(f => ColumnMapping.physicalName(f) -> f.name).toMap
+      df.select(tgt.schema.fields.map { f =>
+        byPhys.get(ColumnMapping.physicalName(f)) match {
+          case Some(src) => col(src).cast(f.dataType).as(f.name)
+          case None      => lit(null).cast(f.dataType).as(f.name)
+        }
+      }.toSeq: _*)
+    }
+    val cdc =
+      if (cur.schema == tgt.schema)
+        writeCdcFiles(cur,
+          cdcDiff(cur, readFiles(cur, removedFiles), readFiles(tgt, addedFiles)))
+      else
+        writeCdcFiles(cur, cdcDiff(tgt,
+          conformTo(readFiles(cur, removedFiles), cur.schema),
+          conformTo(readFiles(tgt, addedFiles), tgt.schema)))
     val actions =
       Seq(CommitInfo(cur.version + 1, ts, "RESTORE",
         Map("restoredVersion" -> version.toString))) ++
@@ -1150,7 +1171,18 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         bySourceClauses.zipWithIndex.collect {
           case (MergeClause.BySourceUpdate(_, set), j) => (matchedClauses.size + j, set) }
 
-      val withAction = joined.withColumn("__action", action)
+      // NMBS-only merges (no matched clauses) legally allow multiple source
+      // rows to match one target row — the matched row is kept as-is, so
+      // there is no ambiguity and Delta does not error. But the left_outer
+      // rewrite join still emits one copy per source match (all with
+      // __action = -1 and identical target columns); collapse to one copy
+      // per pinned row id or the rewrite silently duplicates rows. When
+      // matched clauses exist the guard above already rejected multi-match,
+      // so the dedup (a shuffle) is skipped there.
+      val withAction = {
+        val wa = joined.withColumn("__action", action)
+        if (matchedClauses.isEmpty) wa.dropDuplicates("__tid") else wa
+      }
       def postImage(d: DataFrame): DataFrame = d.select(srcCols.map { c =>
         var e: Column = col(s"$targetAlias.$c")
         updateSets.foreach { case (i, set) =>

@@ -91,6 +91,49 @@ class ColumnMappingSpec extends SparkTestBase {
     assert(t.snapshot.protocol.readerFeatures.contains("columnMapping"))
   }
 
+  test("CDF stream decodes sidecars by LOGICAL name after a rename") {
+    // _cdc sidecars are written from logical-named frames; the streaming
+    // CDF reader must not ask the parquet footer for the PHYSICAL name of
+    // a renamed column (it would silently decode null).
+    val t = mapped()
+    t.setProperty("changeDataFeed.enabled", "true")
+    t.renameColumn("name", "label")
+    val deleteV = t.latestVersion + 1
+    t.delete(col("id") === 2)
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", deleteV.toString)
+      .load(t.path)
+      .writeStream.format("memory").queryName("cm_cdf_stream")
+      .option("checkpointLocation", tmpDir("cm-cdf-ckpt-"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("cm_cdf_stream")
+      .filter(col("_change_type") === "delete").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("label") === "b",
+      "renamed column must decode its sidecar values, not null")
+  }
+
+  test("partition-value key space survives a partition-column rename (stream read)") {
+    // AddFile.partitionValues is keyed by PHYSICAL name on every write
+    // path; the streaming reader translates the LOGICAL schema field back
+    // to that key — a renamed partition column must reconstruct, not throw.
+    val dir = tmpDir("cm-part-")
+    val t = GraftTable.create(spark, dir,
+      df((1, "a", 10), (2, "b", 20)), partitionBy = Seq("score"))
+    t.setProperty("columnMapping.mode", "name")
+    t.renameColumn("score", "points")
+    t.append(df((3, "c", 30)).toDF("id", "name", "points"))
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName("cm_part_stream")
+      .option("checkpointLocation", tmpDir("cm-part-ckpt-"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("cm_part_stream").select("id", "points").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet === Set((1, 10), (2, 20), (3, 30)))
+  }
+
   test("MERGE and SQL row-level DML work through renamed columns") {
     val t = mapped()
     t.renameColumn("name", "label")

@@ -277,6 +277,27 @@ class GraftTableSpec extends SparkTestBase {
     assert(state(t.toDF) === v1.filterNot(_._1 == 4))
   }
 
+  test("RESTORE across an ADD COLUMN boundary works on a CDF-enabled table") {
+    // The CDC diff spans two snapshots with DIFFERENT schemas; the sidecar
+    // must conform to the post-restore schema instead of erroring on the
+    // column the target version predates.
+    val t = GraftTable.create(spark, tmpDir("gt-cdfres-"), df((1, "A", "B")))
+    t.setProperty("changeDataFeed.enabled", "true")
+    val v = t.latestVersion
+    t.addColumn("extra", IntegerType)
+    t.append(spark.createDataFrame(
+      Seq(Row(2, "C", "D", 7)).asJava,
+      schema.add(StructField("extra", IntegerType, nullable = true))))
+    t.restore(v)
+    assert(t.toDF.columns.toSeq === Seq("id", "firstname", "lastname"))
+    assert(state(t.toDF) === Set((1, "A", "B")))
+    // the restore's change rows carry the restored (3-column) schema
+    val restoreV = t.latestVersion
+    val ch = t.changes(restoreV - 1, restoreV).collect()
+    assert(ch.map(r => (r.getInt(0), r.getAs[String]("_change_type"))).toSet ===
+      Set((2, "delete")))
+  }
+
   test("schema evolution: mergeSchema append adds nullable columns") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmpDir("gt-"), df((1, "A", "B")))
@@ -435,6 +456,20 @@ class GraftTableSpec extends SparkTestBase {
       .execute()
     assert(state(t.toDF) === Set((1, "u", "B"), (2, "C", "unseen")),
       "matched row updated, stale unmatched row deleted, other unmatched row marked")
+  }
+
+  test("MERGE: NMBS-only merge with multi-matching source keeps one copy per target row") {
+    // No matched clauses + multiple source rows matching one target row:
+    // Delta does NOT error (the matched row is untouched) — but the
+    // left_outer rewrite join emits one copy per match; the rewrite must
+    // collapse them or it silently duplicates rows.
+    val t = GraftTable.create(spark, tmpDir("gt-"),
+      df((1, "kept", "row"), (2, "stale", "row")).repartition(1))
+    t.merge(df((1, "m1", "x"), (1, "m2", "x")), "t.id = s.id")
+      .whenNotMatchedBySourceDelete()
+      .execute()
+    assert(t.toDF.count() === 1, "matched row must survive exactly once")
+    assert(state(t.toDF) === Set((1, "kept", "row")))
   }
 
   test("MERGE: multiple conditional insert clauses dispatch in order; no-clause rows drop") {
