@@ -333,22 +333,16 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       enforceConstraints(conform(df, s0.schema), s0.metaData), s0.metaData)
     val metaAction: Seq[Action] =
       if (s0.metaData != s0raw.metaData) Seq(s0.metaData) else Nil
-    var attempts = 0
-    while (true) {
-      val v = latestVersion + 1
-      try {
-        log.commit(v, Seq(
-          CommitInfo(v, log.nextTimestamp(), "WRITE",
-            Map("numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
-          metaAction ++ adds)
-        autoCompact()
-        return
-      } catch {
-        case e: java.util.ConcurrentModificationException =>
-          attempts += 1
-          if (attempts >= 10) throw e
-      }
-    }
+    // blind append: reads nothing, removes nothing — rebases past any data
+    // commit; only a concurrent metadata/protocol change conflicts (the
+    // rows were conformed to a schema that no longer governs)
+    commitDml(s0raw,
+      TxnInfo(readWholeTable = false, None, Set.empty, Set.empty),
+      (v, ts) => Seq(
+        CommitInfo(v, ts, "WRITE",
+          Map("numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
+        metaAction ++ adds)
+    autoCompact()
   }
 
   /** INSERT OVERWRITE / truncating rewrite as ONE atomic commit: every
@@ -360,11 +354,16 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val adds = writeDataMapped(
       enforceConstraints(conform(df, s.schema), s.metaData), s.metaData)
     val cdc = writeCdcFiles(s, cdcDiff(s, read(s), readFiles(s, adds)))
-    val ts = log.nextTimestamp()
-    log.commit(s.version + 1, Seq(
-      CommitInfo(s.version + 1, ts, "OVERWRITE",
-        Map("numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
-      s.files.map(f => RemoveFile(f.path, ts)) ++ adds ++ cdc)
+    // overwrite logically replaces EVERYTHING as of its snapshot — a
+    // concurrent append would be silently erased by a rebase, so it
+    // conflicts (readWholeTable)
+    commitDml(s,
+      TxnInfo(readWholeTable = true, None,
+        s.files.map(_.path).toSet, s.files.map(_.path).toSet),
+      (v, ts) => Seq(
+        CommitInfo(v, ts, "OVERWRITE",
+          Map("numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
+        s.files.map(f => RemoveFile(f.path, ts)) ++ adds ++ cdc)
     autoCompact()
   }
 
@@ -416,12 +415,18 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   private[graft] def commitReplace(s: Snapshot, removed: Seq[AddFile],
       adds: Seq[AddFile], op: String): Unit = {
     val cdc = writeCdcFiles(s, cdcDiff(s, readFiles(s, removed), readFiles(s, adds)))
-    val ts = log.nextTimestamp()
-    log.commit(s.version + 1, Seq(
-      CommitInfo(s.version + 1, ts, op,
-        Map("numRewrittenFiles" -> removed.size.toString,
-            "numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
-      removed.map(f => RemoveFile(f.path, ts)) ++ adds ++ cdc)
+    // the SQL rewrite's runtime group filter isn't recoverable here as a
+    // Column, so classify conservatively: the whole table was readable by
+    // the rewrite plan (appends conflict), and the replaced files are both
+    // read and removed
+    commitDml(s,
+      TxnInfo(readWholeTable = true, None,
+        removed.map(_.path).toSet, removed.map(_.path).toSet),
+      (v, ts) => Seq(
+        CommitInfo(v, ts, op,
+          Map("numRewrittenFiles" -> removed.size.toString,
+              "numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
+        removed.map(f => RemoveFile(f.path, ts)) ++ adds ++ cdc)
   }
 
   /** ALTER TABLE ADD COLUMN: additive schema evolution as a metadata-only
@@ -512,25 +517,16 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * GraftStreamingWrite checks before re-committing an epoch. */
   private[graft] def commitStreamingAppend(adds: Seq[AddFile],
       queryId: String, epochId: Long): Unit = {
-    var attempts = 0
-    while (true) {
-      val v = latestVersion + 1
-      try {
-        log.commit(v, Seq(
-          CommitInfo(v, log.nextTimestamp(), "STREAMING UPDATE",
-            Map("numOutputRows" -> adds.map(_.numRecords).sum.toString,
-                "txnAppId" -> queryId, "epoch" -> epochId.toString)),
-          // SetTransaction: folds into the snapshot so the exactly-once
-          // replay guard is an O(1) lookup, not an O(history) log scan
-          Txn(queryId, epochId)) ++ adds)
-        autoCompact()
-        return
-      } catch {
-        case e: java.util.ConcurrentModificationException =>
-          attempts += 1
-          if (attempts >= 10) throw e
-      }
-    }
+    commitDmlAt(latestVersion, snapshot,
+      TxnInfo(readWholeTable = false, None, Set.empty, Set.empty),
+      (v, ts) => Seq(
+        CommitInfo(v, ts, "STREAMING UPDATE",
+          Map("numOutputRows" -> adds.map(_.numRecords).sum.toString,
+              "txnAppId" -> queryId, "epoch" -> epochId.toString)),
+        // SetTransaction: folds into the snapshot so the exactly-once
+        // replay guard is an O(1) lookup, not an O(history) log scan
+        Txn(queryId, epochId)) ++ adds)
+    autoCompact()
   }
 
   /** UNSET TBLPROPERTIES: commit a metaData with the property removed. */
@@ -616,7 +612,6 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val tgt = snapshotAt(version)
     val curByPath = cur.files.map(f => f.path -> f).toMap
     val tgtPaths = tgt.files.map(_.path).toSet
-    val ts = log.nextTimestamp()
     // Files present in both snapshots still differ if their deletion-vector
     // state changed (a DV delete re-adds the SAME path with a new
     // dvPath/dvCount) — restore must revert that too, or deleted rows stay
@@ -651,15 +646,20 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         writeCdcFiles(cur, cdcDiff(tgt,
           conformTo(readFiles(cur, removedFiles), cur.schema),
           conformTo(readFiles(tgt, addedFiles), tgt.schema)))
-    val actions =
-      Seq(CommitInfo(cur.version + 1, ts, "RESTORE",
-        Map("restoredVersion" -> version.toString))) ++
-      (if (tgt.metaData != cur.metaData) Seq(tgt.metaData) else Nil) ++
-      cur.files.filterNot(f => tgtPaths.contains(f.path)).map(f => RemoveFile(f.path, ts)) ++
-      dvChanged.map(f => RemoveFile(f.path, ts)) ++
-      dvChanged ++
-      tgt.files.filterNot(f => curByPath.contains(f.path)) ++ cdc
-    log.commit(cur.version + 1, actions)
+    // restore resets the WHOLE table to the target snapshot — a rebase
+    // past any concurrent change would silently erase it, so everything
+    // conflicts (readWholeTable + full remove set)
+    commitDml(cur,
+      TxnInfo(readWholeTable = true, None,
+        cur.files.map(_.path).toSet, removedFiles.map(_.path).toSet),
+      (v, ts) =>
+        Seq(CommitInfo(v, ts, "RESTORE",
+          Map("restoredVersion" -> version.toString))) ++
+        (if (tgt.metaData != cur.metaData) Seq(tgt.metaData) else Nil) ++
+        cur.files.filterNot(f => tgtPaths.contains(f.path)).map(f => RemoveFile(f.path, ts)) ++
+        dvChanged.map(f => RemoveFile(f.path, ts)) ++
+        dvChanged ++
+        tgt.files.filterNot(f => curByPath.contains(f.path)) ++ cdc)
   }
 
   /** CLONE: branch this table's current snapshot into a new table at
@@ -808,15 +808,20 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         readFiles(s, scoped).repartitionByRange(nOut, clusterBy.map(col): _*)
       } else readFiles(s, scoped).repartition(nOut)
     val adds = writeDataMapped(reorganized, s.metaData)
-    val ts = log.nextTimestamp()
-    log.commit(s.version + 1,
-      Seq(CommitInfo(s.version + 1, ts, "OPTIMIZE",
-        Map("numFilesBefore" -> scoped.size.toString,
-            "numFilesAfter" -> adds.size.toString,
-            "numFilesSkipped" -> (s.files.size - scoped.size).toString) ++
-          (if (zorderBy.nonEmpty) Map("zorderBy" -> zorderBy.mkString(","))
-           else Map.empty))) ++
-      scoped.map(f => RemoveFile(f.path, ts)) ++ adds)
+    // pure reorganization of exactly `scoped`: concurrent appends never
+    // conflict (Delta's dataChange=false leniency) — only a writer that
+    // removed one of our input files does
+    commitDml(s,
+      TxnInfo(readWholeTable = false, None,
+        scoped.map(_.path).toSet, scoped.map(_.path).toSet),
+      (v, ts) =>
+        Seq(CommitInfo(v, ts, "OPTIMIZE",
+          Map("numFilesBefore" -> scoped.size.toString,
+              "numFilesAfter" -> adds.size.toString,
+              "numFilesSkipped" -> (s.files.size - scoped.size).toString) ++
+            (if (zorderBy.nonEmpty) Map("zorderBy" -> zorderBy.mkString(","))
+             else Map.empty))) ++
+        scoped.map(f => RemoveFile(f.path, ts)) ++ adds)
   }
 
   /** DELETE rows matching `pred` (api.py:107). Files with no match survive
@@ -825,7 +830,14 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   /** Files of `s` that may contain rows matching `pred`. Partition values
     * enter the same pruning as exact (min = max = value) stats, so
     * partition pruning and stats skipping are one mechanism. */
-  def prunedFiles(s: Snapshot, pred: Column): Seq[AddFile] = {
+  def prunedFiles(s: Snapshot, pred: Column): Seq[AddFile] =
+    pruneCandidates(s, pred, s.files)
+
+  /** `prunedFiles` over an explicit candidate list — the conflict checker
+    * probes a WINNING commit's added files against this txn's read
+    * predicate with exactly the pruning semantics the read used. */
+  private def pruneCandidates(s: Snapshot, pred: Column,
+      candidates: Seq[AddFile]): Seq[AddFile] = {
     val resolved = DataSkipping.resolve(spark, s.schema, pred)
     // under column mapping stats/partition keys are physical — translate
     // through the CURRENT mapping (strict: stale physical keys of dropped
@@ -835,7 +847,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val p2l = if (mapped) ColumnMapping.physToLog(s.schema) else Map.empty[String, String]
     def logicalKeys(m: Map[String, String]): Map[String, String] =
       if (!mapped) m else m.flatMap { case (k, v) => p2l.get(k).map(_ -> v) }
-    val statPruned = s.files.filter { f =>
+    val statPruned = candidates.filter { f =>
       val widened = f.copy(
         minValues = logicalKeys(f.minValues) ++ logicalKeys(f.partitionValues),
         maxValues = logicalKeys(f.maxValues) ++ logicalKeys(f.partitionValues))
@@ -853,6 +865,87 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       if (probes.isEmpty) statPruned
       else statPruned.filter(f =>
         FileOps.bloomMayMatch(Paths.get(path, f.path), probes))
+    }
+  }
+
+  /** Commit with Delta-style logical conflict resolution (VLDB 2020 §3.2):
+    * losing the physical commit race is NOT an error by itself. The loser
+    * reads every winning commit in (its snapshot, new head], classifies it
+    * against what this transaction read and removes, and either
+    *
+    *  - REBASES: no logical overlap (the winner appended files disjoint
+    *    from our read predicate, or touched files we neither read nor
+    *    remove) — re-commit the SAME actions at the new head; the rewrite
+    *    stays valid because nothing it depended on changed; or
+    *  - THROWS a typed [[GraftConcurrentWriteException]] subclass naming
+    *    exactly what conflicted.
+    *
+    * `mkActions(version, timestamp)` rebuilds the action list for the
+    * attempted version (CommitInfo / RemoveFile embed both). The data
+    * files were already written and stay invisible until a commit lands,
+    * so rebasing costs one log read per winning commit — no data work. */
+  private[table] def commitDml(s: Snapshot, info: TxnInfo,
+      mkActions: (Long, Long) => Seq[Action]): Unit =
+    commitDmlAt(s.version, s, info, mkActions)
+
+  /** As commitDml, but the snapshot (needed only to resolve the read
+    * predicate against winner files when a race is actually LOST) is
+    * by-name — the streaming epoch hot path passes `snapshot` without
+    * paying a log fold on the common no-race commit. */
+  private[table] def commitDmlAt(baseVersion: Long, snap: => Snapshot, info: TxnInfo,
+      mkActions: (Long, Long) => Seq[Action]): Unit = {
+    lazy val s = snap
+    var base = baseVersion
+    var attempts = 0
+    while (true) {
+      try {
+        log.commit(base + 1, mkActions(base + 1, log.nextTimestamp()))
+        return
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          val head = latestVersion
+          ((base + 1) to head).foreach(w => classifyWinner(s, w, info))
+          // all winners disjoint — rebase and retry (bounded: a writer
+          // that loses 10 straight races is livelocked, surface it)
+          if (attempts >= 10) throw e
+          base = head
+      }
+    }
+  }
+
+  /** One winning commit vs this transaction: throw the first applicable
+    * typed conflict, or return (disjoint — safe to rebase past). */
+  private[table] def classifyWinner(s: Snapshot, w: Long, info: TxnInfo): Unit = {
+    val actions = log.readVersion(w)
+    val op = actions.collectFirst { case c: CommitInfo => c.operation }.getOrElse("?")
+    if (actions.exists(_.isInstanceOf[Protocol]))
+      throw new ProtocolChangedException(
+        s"commit $w of $path upgraded the table protocol during this transaction")
+    if (actions.exists(_.isInstanceOf[MetaData]))
+      throw new MetadataChangedException(
+        s"commit $w of $path ($op) changed table metadata during this transaction")
+    val wRemoves = actions.collect { case r: RemoveFile => r.path }.toSet
+    val dd = wRemoves.intersect(info.removes)
+    if (dd.nonEmpty)
+      throw new ConcurrentDeleteDeleteException(
+        s"commit $w of $path ($op) removed ${dd.size} file(s) this transaction " +
+          s"also removes (e.g. ${dd.head})")
+    val dr = wRemoves.intersect(info.readFiles)
+    if (dr.nonEmpty)
+      throw new ConcurrentDeleteReadException(
+        s"commit $w of $path ($op) removed ${dr.size} file(s) this transaction " +
+          s"read (e.g. ${dr.head})")
+    val wAdds = actions.collect { case a: AddFile => a }
+    if (wAdds.nonEmpty) {
+      val conflicting =
+        if (info.readWholeTable) wAdds
+        else info.readPredicate
+          .map(p => pruneCandidates(s, p, wAdds)).getOrElse(Nil)
+      if (conflicting.nonEmpty)
+        throw new ConcurrentAppendException(
+          s"commit $w of $path ($op) added ${conflicting.size} file(s) this " +
+            "transaction's read should have seen")
     }
   }
 
@@ -972,13 +1065,15 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // old DV state vs new DV state of the same files: the diff is exactly
     // the newly tombstoned rows, emitted as deletes
     val cdc = writeCdcFiles(s, cdcDiff(s, readFiles(s, touched), readFiles(s, reAdds)))
-    val ts = log.nextTimestamp()
-    log.commit(s.version + 1,
-      Seq(CommitInfo(s.version + 1, ts, "DELETE",
-        Map("numDeletedRows" -> deleted.toString,
-            "numRewrittenFiles" -> "0",
-            "numDeletionVectors" -> touched.size.toString))) ++
-      touched.map(f => RemoveFile(f.path, ts)) ++ reAdds ++ cdc)
+    commitDml(s,
+      TxnInfo(readWholeTable = false, Some(pred),
+        candidates.map(_.path).toSet, touched.map(_.path).toSet),
+      (v, ts) =>
+        Seq(CommitInfo(v, ts, "DELETE",
+          Map("numDeletedRows" -> deleted.toString,
+              "numRewrittenFiles" -> "0",
+              "numDeletionVectors" -> touched.size.toString))) ++
+        touched.map(f => RemoveFile(f.path, ts)) ++ reAdds ++ cdc)
     Some(deleted)
   }
 
@@ -1027,12 +1122,14 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val adds = writeDataMapped(keep, s.metaData)
     val deleted = touched.map(_.numRecords).sum - adds.map(_.numRecords).sum
     val cdc = writeCdcFiles(s, cdcDiff(s, readFiles(s, touched), readFiles(s, adds)))
-    val ts = log.nextTimestamp()
-    log.commit(s.version + 1,
-      Seq(CommitInfo(s.version + 1, ts, "DELETE",
-        Map("numDeletedRows" -> deleted.toString,
-            "numRewrittenFiles" -> touched.size.toString))) ++
-      touched.map(f => RemoveFile(f.path, ts)) ++ adds ++ cdc)
+    commitDml(s,
+      TxnInfo(readWholeTable = false, Some(pred),
+        candidates.map(_.path).toSet, touched.map(_.path).toSet),
+      (v, ts) =>
+        Seq(CommitInfo(v, ts, "DELETE",
+          Map("numDeletedRows" -> deleted.toString,
+              "numRewrittenFiles" -> touched.size.toString))) ++
+        touched.map(f => RemoveFile(f.path, ts)) ++ adds ++ cdc)
     deleted
   }
 
@@ -1221,13 +1318,13 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
             dvCount = f.dvCount + perFile.getOrElse(fileName(f.path), 0L)))
           val cdc = writeCdcFiles(s, cdcDiff(s,
             readFiles(s, touched), readFiles(s, reAdds ++ adds)))
-          val ts = log.nextTimestamp()
-          log.commit(s.version + 1,
-            Seq(CommitInfo(s.version + 1, ts, "MERGE",
-              Map("numTargetFilesRewritten" -> "0",
-                  "numDeletionVectors" -> touched.size.toString,
-                  "numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
-            touched.map(f => RemoveFile(f.path, ts)) ++ reAdds ++ adds ++ cdc)
+          commitDml(s, mergeTxnInfo(srcKeyPrune, prunedTargetFiles, touched),
+            (v, ts) =>
+              Seq(CommitInfo(v, ts, "MERGE",
+                Map("numTargetFilesRewritten" -> "0",
+                    "numDeletionVectors" -> touched.size.toString,
+                    "numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
+              touched.map(f => RemoveFile(f.path, ts)) ++ reAdds ++ adds ++ cdc)
           true
         }
       }
@@ -1240,24 +1337,36 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           s.metaData)
         val adds = writeDataMapped(out, s.metaData)
         val cdc = writeCdcFiles(s, cdcDiff(s, readFiles(s, touched), readFiles(s, adds)))
-        val ts = log.nextTimestamp()
-        log.commit(s.version + 1,
-          Seq(CommitInfo(s.version + 1, ts, "MERGE",
-            Map("numTargetFilesRewritten" -> touched.size.toString,
-                "numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
-          touched.map(f => RemoveFile(f.path, ts)) ++ adds ++ cdc)
+        commitDml(s, mergeTxnInfo(srcKeyPrune, prunedTargetFiles, touched),
+          (v, ts) =>
+            Seq(CommitInfo(v, ts, "MERGE",
+              Map("numTargetFilesRewritten" -> touched.size.toString,
+                  "numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
+            touched.map(f => RemoveFile(f.path, ts)) ++ adds ++ cdc)
       }
     } else {
       // No affected target rows: pure insert path.
       val inserts = insertRows(src, targetAll, cond, insertClauses, schema)
       val adds = writeDataMapped(
         enforceConstraints(conform(inserts, schema), s.metaData), s.metaData)
-      log.commit(s.version + 1,
-        Seq(CommitInfo(s.version + 1, log.nextTimestamp(), "MERGE",
-          Map("numTargetFilesRewritten" -> "0",
-              "numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++ adds)
+      commitDml(s, mergeTxnInfo(srcKeyPrune, prunedTargetFiles, Nil),
+        (v, ts) =>
+          Seq(CommitInfo(v, ts, "MERGE",
+            Map("numTargetFilesRewritten" -> "0",
+                "numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++ adds)
     }
   }
+
+  /** A MERGE's read domain for conflict classification: with source-key
+    * pruning, the txn provably read only files overlapping the source's
+    * key range — concurrent appends OUTSIDE that range rebase cleanly
+    * (the 100-TB shape: trickle upserts + streaming ingest co-exist).
+    * Without a prune predicate the merge read the whole table (match
+    * discovery + the insert anti-join), so any append conflicts. */
+  private def mergeTxnInfo(srcKeyPrune: Option[Column],
+      prunedTargetFiles: Seq[AddFile], touched: Seq[AddFile]): TxnInfo =
+    TxnInfo(readWholeTable = srcKeyPrune.isEmpty, srcKeyPrune,
+      prunedTargetFiles.map(_.path).toSet, touched.map(_.path).toSet)
 
   /** Range predicate over TARGET columns from the source's actual key
     * bounds: for every `t.col = s.col` equi-conjunct of the merge
