@@ -611,6 +611,88 @@ object TableQueries {
         |  (1, 10, 0, TRUE), (2, 20, 0, TRUE), (3, 30, 0, TRUE))
         |AS t(id, points, files_touched, v_is_null) ORDER BY id""".stripMargin),
 
+    // ---- MERGE schema evolution (withSchemaEvolution / autoMerge) ----------------
+    // The reference's exact upsert path grown one capability: a source
+    // carrying a column the target lacks evolves the schema IN the merge
+    // commit (new field nullable; delta-spark's autoMerge on api.py:92-102).
+    // Rows the merge didn't rewrite read the new column as null straight
+    // from the pre-evolution files — no rewrite beyond the touched set,
+    // which is what makes evolution free at 100 TB. Output pins the final
+    // state (nulls included), that ONE commit did it (head_version), and
+    // time travel to the pre-merge version still serves the old schema
+    // (old_cols).
+    "q146_merge_schema_evolution" -> Q(
+      (s, _) => {
+        import s.implicits._
+        val t = cache.computeIfAbsent("mrgevo", _ => {
+          val schema = StructType(Seq(
+            StructField("id", IntegerType, nullable = false),
+            StructField("name", StringType, nullable = false)))
+          val tt = GraftTable.create(s, graft.Scratch.dir("graft-mrgevo-").toString,
+            s.createDataFrame(java.util.List.of(
+              Row(1, "ann"), Row(2, "bob"), Row(3, "cat")), schema))
+          val srcSchema = schema.add(StructField("score", IntegerType, nullable = true))
+          val src = s.createDataFrame(java.util.List.of(
+            Row(2, "bob2", 20), Row(4, "dan", 40)), srcSchema)
+          tt.merge(src, "t.id = s.id")
+            .withSchemaEvolution()
+            .whenMatchedUpdate(Map("name" -> "s.name", "score" -> "s.score"))
+            .whenNotMatchedInsert(Map(
+              "id" -> "s.id", "name" -> "s.name", "score" -> "s.score"))
+            .execute()
+          tt
+        })
+        val oldCols = t.versionAsOf(t.latestVersion - 1).columns.length
+        t.toDF
+          .withColumn("head_version", lit(t.latestVersion))
+          .withColumn("old_cols", lit(oldCols))
+          .orderBy($"id")
+      },
+      """SELECT * FROM (VALUES
+        |  (1, 'ann',  CAST(NULL AS INTEGER), CAST(1 AS BIGINT), 2),
+        |  (2, 'bob2', 20,                    CAST(1 AS BIGINT), 2),
+        |  (3, 'cat',  CAST(NULL AS INTEGER), CAST(1 AS BIGINT), 2),
+        |  (4, 'dan',  40,                    CAST(1 AS BIGINT), 2))
+        |AS t(id, name, score, head_version, old_cols) ORDER BY id""".stripMargin),
+
+    // ---- replaceWhere: predicate-scoped overwrite (partition backfill) -----------
+    // The standard 100-TB backfill idiom: recompute ONE lang partition
+    // (here: re-tag every en doc's source as 'backfill') and swap it in as
+    // a single predicate-scoped OVERWRITE commit. Out-of-scope partitions
+    // are never read or rewritten — their AddFile actions survive the
+    // commit untouched (pinned by untouched_ok) — so the cost scales with
+    // the backfilled slice, not the table. Oracle = the same replacement
+    // expressed over the raw parquet.
+    "q147_replace_where" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = cache.computeIfAbsent(s"rw:$dir", _ => {
+          val tt = GraftTable.create(s, graft.Scratch.dir("graft-rw-").toString,
+            graft.Tables.documents(s, dir)
+              .select($"doc_id", $"lang", $"source", $"n_chars"),
+            partitionBy = Seq("lang"))
+          val beforeOther = tt.snapshot.files
+            .filterNot(_.partitionValues("lang") == "en").map(f => f.path -> f).toMap
+          val backfill = graft.Tables.documents(s, dir)
+            .filter($"lang" === "en")
+            .select($"doc_id", $"lang", lit("backfill").as("source"), $"n_chars")
+          tt.overwriteWhere($"lang" === "en", backfill)
+          val afterOther = tt.snapshot.files
+            .filterNot(_.partitionValues("lang") == "en").map(f => f.path -> f).toMap
+          require(beforeOther == afterOther,
+            "replaceWhere must leave out-of-scope partitions' files untouched")
+          tt
+        })
+        t.toDF.groupBy($"lang", $"source")
+          .agg(count(lit(1)).as("n"), sum($"n_chars").as("chars"))
+          .orderBy($"lang", $"source")
+      },
+      """SELECT lang,
+        |       CASE WHEN lang = 'en' THEN 'backfill' ELSE source END AS source,
+        |       count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |GROUP BY 1, 2 ORDER BY lang, source""".stripMargin),
+
     // ---- Hive-partitioned table scan (partition pruning as data skipping) --------
     // Documents land Hive-partitioned by lang (lang=en/... directories);
     // a scan filtering on the partition column prunes whole directories at

@@ -367,6 +367,86 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     autoCompact()
   }
 
+  /** Predicate-scoped overwrite (Delta's `replaceWhere`): atomically
+    * replace exactly the rows matching `pred` with `df`'s rows, in one
+    * commit. The standard backfill idiom on partitioned 100-TB tables —
+    * recompute one partition (or any stats-prunable slice) while every
+    * out-of-scope file survives BYTE-IDENTICAL: untouched files are never
+    * read, rewritten, or moved; files mixing in- and out-of-scope rows are
+    * rewritten keeping their out-of-scope rows.
+    *
+    * Every replacement row must itself satisfy `pred` (enforced, as Delta
+    * does) — otherwise "replace WHERE lang='en'" could smuggle rows into
+    * partitions the predicate promised not to touch. */
+  def overwriteWhere(pred: Column, df: DataFrame): Unit = {
+    val s = snapshot
+    val conformed = enforceConstraints(conform(df, s.schema), s.metaData)
+    val escapees = conformed.filter(!coalesce(pred, lit(false))).limit(1).count()
+    require(escapees == 0,
+      s"replaceWhere: replacement rows must all satisfy the predicate $pred")
+    val candidates = prunedFiles(s, pred)
+    // files with at least one matching row are replaced; their non-matching
+    // rows (partial overlap) are carried into the rewrite
+    val touchedNames = readFilesMeta(s, candidates).filter(pred)
+      .select(col("__fname")).distinct().collect().map(_.getString(0)).toSet
+    val touched = s.files.filter(f => touchedNames.contains(fileName(f.path)))
+    val carried = readFilesMeta(s, touched).filter(!coalesce(pred, lit(false)))
+      .drop("__fname", "__pos")
+    val adds = writeDataMapped(carried.unionByName(conformed), s.metaData)
+    val cdc = writeCdcFiles(s, cdcDiff(s, readFiles(s, touched), readFiles(s, adds)))
+    commitDml(s,
+      TxnInfo(readWholeTable = false, Some(pred),
+        candidates.map(_.path).toSet, touched.map(_.path).toSet),
+      (v, ts) => Seq(
+        CommitInfo(v, ts, "OVERWRITE",
+          Map("predicate" -> pred.toString,
+              "numRewrittenFiles" -> touched.size.toString,
+              "numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
+        touched.map(f => RemoveFile(f.path, ts)) ++ adds ++ cdc)
+    autoCompact()
+  }
+
+  /** Dynamic partition overwrite: atomically replace exactly the
+    * partitions `df` carries rows for (Spark's
+    * `partitionOverwriteMode=dynamic` semantics on a partitioned table).
+    * Partitions absent from `df` survive byte-identical. The distinct
+    * partition-combo collect is bounded by the partitions being written,
+    * not table size. */
+  def overwritePartitions(df: DataFrame): Unit = {
+    val s = snapshot
+    val parts = s.metaData.partitionColumns
+    require(parts.nonEmpty, "dynamic partition overwrite requires a partitioned table")
+    val conformed = enforceConstraints(conform(df, s.schema), s.metaData)
+    val comboRows = conformed.select(parts.map(col): _*).distinct().collect()
+    val combos = comboRows
+      .map(r => parts.zipWithIndex.map { case (c, i) => c -> String.valueOf(r.get(i)) }.toMap)
+      .toSet
+    // AddFile.partitionValues is keyed by PHYSICAL name; compare through
+    // the current mapping
+    val physOf = parts.map(c => c -> ColumnMapping.physicalOf(s.schema, c)).toMap
+    val touched = s.files.filter(f =>
+      combos.contains(parts.map(c => c -> f.partitionValues(physOf(c))).toMap))
+    val adds = writeDataMapped(conformed, s.metaData)
+    val cdc = writeCdcFiles(s, cdcDiff(s, readFiles(s, touched), readFiles(s, adds)))
+    // conflict domain = the replaced partitions: a racing append INTO one
+    // of them would be silently erased by a rebase, so it must conflict;
+    // appends into other partitions rebase cleanly
+    val comboPred = comboRows
+      .map(r => parts.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }
+        .reduce(_ && _))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    commitDml(s,
+      TxnInfo(readWholeTable = false, Some(comboPred),
+        touched.map(_.path).toSet, touched.map(_.path).toSet),
+      (v, ts) => Seq(
+        CommitInfo(v, ts, "OVERWRITE",
+          Map("partitions" -> combos.size.toString,
+              "numRewrittenFiles" -> touched.size.toString,
+              "numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
+        touched.map(f => RemoveFile(f.path, ts)) ++ adds ++ cdc)
+    autoCompact()
+  }
+
   /** SET TBLPROPERTIES: commit a metaData with the property added/updated
     * (versioned like every other metadata change). Enabling a
     * protocol-gated capability (deletion vectors, column mapping) commits
@@ -1153,9 +1233,43 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       source: DataFrame, condition: String, targetAlias: String, sourceAlias: String,
       matchedClauses: Seq[MergeClause.Matched],
       insertClauses: Seq[MergeClause.NotMatchedInsert],
-      bySourceClauses: Seq[MergeClause.BySource]): Unit = {
-    val s = snapshot
+      bySourceClauses: Seq[MergeClause.BySource],
+      schemaEvolution: Boolean = false): Unit = {
+    val s0 = snapshot
+    // withSchemaEvolution (Delta's autoMerge on the reference's upsert
+    // path, api.py:92-102): source columns the target lacks become new
+    // NULLABLE fields in the SAME commit — existing files read them as
+    // null (parquet missing-column semantics), so no data rewrites beyond
+    // what the merge itself touches. Under column mapping a new field gets
+    // a fresh physical name, exactly as ADD COLUMN does.
+    val s =
+      if (!schemaEvolution) s0
+      else {
+        val existing = s0.schema.fieldNames.toSet
+        val newFields = source.schema.fields.filterNot(f => existing.contains(f.name))
+          .map(_.copy(nullable = true))
+          .map(f => if (columnMappingEnabled(s0.metaData))
+            ColumnMapping.withPhysical(f, s"col-${UUID.randomUUID()}") else f)
+        if (newFields.isEmpty) s0
+        else s0.copy(metaData = s0.metaData.copy(
+          schemaString = StructType(s0.schema.fields ++ newFields).json))
+      }
+    val metaActions: Seq[Action] =
+      if (s.metaData != s0.metaData) Seq(s.metaData) else Nil
     val schema = s.schema
+    // every SET / insert-values key must name a table column (post
+    // evolution) — a typo'd or unevolved column must fail loudly, not be
+    // silently dropped from the projection
+    val known = schema.fieldNames.toSet
+    val setKeys =
+      matchedClauses.collect { case MergeClause.MatchedUpdate(_, set) => set.keys }.flatten ++
+      bySourceClauses.collect { case MergeClause.BySourceUpdate(_, set) => set.keys }.flatten ++
+      insertClauses.flatMap(_.values.keys)
+    setKeys.filterNot(known.contains).headOption.foreach(k =>
+      throw new IllegalArgumentException(
+        s"MERGE references unknown column '$k' (table columns: " +
+          s"${schema.fieldNames.mkString(", ")}); use withSchemaEvolution() " +
+          "to add new source columns"))
     val cond = expr(condition)
 
     val srcCols = schema.fieldNames.toSeq
@@ -1324,6 +1438,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
                 Map("numTargetFilesRewritten" -> "0",
                     "numDeletionVectors" -> touched.size.toString,
                     "numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
+              metaActions ++
               touched.map(f => RemoveFile(f.path, ts)) ++ reAdds ++ adds ++ cdc)
           true
         }
@@ -1342,6 +1457,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
             Seq(CommitInfo(v, ts, "MERGE",
               Map("numTargetFilesRewritten" -> touched.size.toString,
                   "numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
+            metaActions ++
             touched.map(f => RemoveFile(f.path, ts)) ++ adds ++ cdc)
       }
     } else {
@@ -1353,7 +1469,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         (v, ts) =>
           Seq(CommitInfo(v, ts, "MERGE",
             Map("numTargetFilesRewritten" -> "0",
-                "numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++ adds)
+                "numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
+          metaActions ++ adds)
     }
   }
 
@@ -1459,6 +1576,11 @@ final class MergeBuilder private[table] (
   private val matched = scala.collection.mutable.ArrayBuffer[MergeClause.Matched]()
   private val inserts = scala.collection.mutable.ArrayBuffer[MergeClause.NotMatchedInsert]()
   private val bySource = scala.collection.mutable.ArrayBuffer[MergeClause.BySource]()
+  private var evolve = false
+
+  /** Delta's `withSchemaEvolution` / autoMerge: source columns the target
+    * lacks are added as nullable fields in the merge's own commit. */
+  def withSchemaEvolution(): MergeBuilder = { evolve = true; this }
 
   def whenMatchedUpdate(set: Map[String, String]): MergeBuilder = {
     matched += MergeClause.MatchedUpdate(None, set); this }
@@ -1482,7 +1604,7 @@ final class MergeBuilder private[table] (
     bySource += MergeClause.BySourceDelete(Some(condition)); this }
   def execute(): Unit =
     table.executeMerge(source, condition, targetAlias, sourceAlias,
-      matched.toSeq, inserts.toSeq, bySource.toSeq)
+      matched.toSeq, inserts.toSeq, bySource.toSeq, evolve)
 }
 
 object GraftTable {

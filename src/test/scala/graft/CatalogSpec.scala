@@ -167,6 +167,38 @@ class CatalogSpec extends SparkTestBase {
       (3, "Joe", "Bloggs"), (4, "New", "Person")))
   }
 
+  test("SQL MERGE INTO works on a table evolved by a builder MERGE") {
+    registered
+    sql("CREATE TABLE gcat.default.mrgevo (id INT, name STRING) USING graft")
+    sql("INSERT INTO gcat.default.mrgevo VALUES (1, 'a'), (2, 'b')")
+    val t = graft.table.GraftTable.forPath(spark, s"$wh/default/mrgevo")
+    val srcSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.IntegerType, nullable = true)))
+    t.merge(spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(2, "b2", 20)), srcSchema),
+        "t.id = s.id")
+      .withSchemaEvolution()
+      .whenMatchedUpdate(Map("name" -> "s.name", "score" -> "s.score"))
+      .execute()
+    // the catalog serves the evolved schema, and SQL MERGE writes through it
+    sql("""MERGE INTO gcat.default.mrgevo t
+          |USING (SELECT * FROM VALUES (1, 'a1', 11), (3, 'c', 33)
+          |       AS s(id, name, score)) s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET t.name = s.name, t.score = s.score
+          |WHEN NOT MATCHED THEN INSERT (id, name, score)
+          |  VALUES (s.id, s.name, s.score)""".stripMargin)
+    val rows = sql("SELECT * FROM gcat.default.mrgevo ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2))).toSeq
+    assert(rows == Seq((1, "a1", 11), (2, "b2", 20), (3, "c", 33)))
+  }
+
   test("SQL MERGE INTO: DELETE, conditional clauses, and NOT MATCHED BY SOURCE") {
     registered
     sql("CREATE TABLE gcat.default.mrgfull (id INT, status STRING, v INT) USING graft")

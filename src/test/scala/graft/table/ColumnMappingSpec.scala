@@ -134,6 +134,30 @@ class ColumnMappingSpec extends SparkTestBase {
       .map(r => (r.getInt(0), r.getInt(1))).toSet === Set((1, 10), (2, 20), (3, 30)))
   }
 
+  test("MERGE schema evolution under column mapping binds a fresh physical name") {
+    val t = mapped()
+    t.renameColumn("score", "points")
+    val srcSchema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("name", StringType, nullable = false),
+      StructField("points", IntegerType, nullable = false),
+      StructField("score", IntegerType, nullable = true))) // re-uses the OLD logical name
+    val src = spark.createDataFrame(
+      Seq(Row(2, "b2", 21, 99)).asJava, srcSchema)
+    t.merge(src, "t.id = s.id")
+      .withSchemaEvolution()
+      .whenMatchedUpdate(Map("name" -> "s.name", "points" -> "s.points",
+        "score" -> "s.score"))
+      .execute()
+    val rows = t.toDF.orderBy("id").collect()
+    assert(t.toDF.columns.toSeq === Seq("id", "name", "points", "score"))
+    // the NEW "score" must not resurrect the old physical column's data:
+    // untouched rows read null, the merged row reads the source value
+    assert(rows.map(r => if (r.isNullAt(3)) None else Some(r.getInt(3))).toSeq ===
+      Seq(None, Some(99), None))
+    assert(rows.map(_.getInt(2)).toSeq === Seq(10, 21, 30), "points keeps old data")
+  }
+
   test("MERGE and SQL row-level DML work through renamed columns") {
     val t = mapped()
     t.renameColumn("name", "label")

@@ -277,6 +277,37 @@ class GraftTableSpec extends SparkTestBase {
     assert(state(t.toDF) === v1.filterNot(_._1 == 4))
   }
 
+  test("MERGE schema evolution: new source column lands in the merge commit") {
+    val t = GraftTable.create(spark, tmpDir("gt-evo-"),
+      df((1, "A", "B"), (2, "C", "D")))
+    val srcSchema = schema.add(StructField("age", IntegerType, nullable = true))
+    val src = spark.createDataFrame(
+      Seq(Row(2, "C2", "D2", 22), Row(9, "N", "P", 99)).asJava, srcSchema)
+    // without the flag: schema enforcement rejects the unknown column
+    intercept[IllegalArgumentException] {
+      t.merge(src, "t.id = s.id")
+        .whenMatchedUpdate(Map("firstname" -> "s.firstname", "age" -> "s.age"))
+        .execute()
+    }
+    t.merge(src, "t.id = s.id")
+      .withSchemaEvolution()
+      .whenMatchedUpdate(Map(
+        "firstname" -> "s.firstname", "lastname" -> "s.lastname", "age" -> "s.age"))
+      .whenNotMatchedInsert(Map("id" -> "s.id", "firstname" -> "s.firstname",
+        "lastname" -> "s.lastname", "age" -> "s.age"))
+      .execute()
+    assert(t.toDF.columns.toSeq === Seq("id", "firstname", "lastname", "age"))
+    val byId = t.toDF.collect().map(r => r.getInt(0) ->
+      (r.getString(1), if (r.isNullAt(3)) None else Some(r.getInt(3)))).toMap
+    assert(byId === Map(
+      1 -> ("A", None),          // untouched row reads null from old file
+      2 -> ("C2", Some(22)),     // updated with the evolved column
+      9 -> ("N", Some(99))))     // inserted with the evolved column
+    // one commit did it; time travel pre-merge serves the old schema
+    assert(t.versionAsOf(t.latestVersion - 1).columns.toSeq ===
+      Seq("id", "firstname", "lastname"))
+  }
+
   test("RESTORE across an ADD COLUMN boundary works on a CDF-enabled table") {
     // The CDC diff spans two snapshots with DIFFERENT schemas; the sidecar
     // must conform to the post-restore schema instead of erroring on the

@@ -143,6 +143,35 @@ class ModelCheckSpec extends SparkTestBase {
     assert(t.history().count() === versions.size)
   }
 
+  test("schema evolution mid-history: every version replays with its own schema") {
+    val t = GraftTable.create(spark, tmpDir("model-evo-"),
+      df(Seq((0, "s", "r"), (1, "a", "b"))))
+    val evoSchema = schema.add(StructField("age", IntegerType, nullable = true))
+    def df4(rows: Seq[(Int, String, String, Any)]): DataFrame =
+      spark.createDataFrame(rows.map { case (i, f, l, a) => Row(i, f, l, a) }.asJava, evoSchema)
+    // v1: evolving merge (update 1, insert 2, both with age)
+    t.merge(df4(Seq((1, "a1", "b1", 11), (2, "c", "d", 22))), "t.id = s.id")
+      .withSchemaEvolution()
+      .whenMatchedUpdate(Map("firstname" -> "s.firstname",
+        "lastname" -> "s.lastname", "age" -> "s.age"))
+      .whenNotMatchedInsert(Map("id" -> "s.id", "firstname" -> "s.firstname",
+        "lastname" -> "s.lastname", "age" -> "s.age"))
+      .execute()
+    // v2, v3: ordinary DML on the evolved table
+    t.delete(col("id") === 0)
+    t.append(df4(Seq((3, "e", "f", null))))
+    def st4(v: Long): Set[(Int, String, String, Option[Int])] =
+      t.versionAsOf(v).collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)))).toSet
+    assert(t.versionAsOf(0).columns.length === 3, "pre-evolution schema intact")
+    assert(state(t.versionAsOf(0)) === Map(0 -> ("s", "r"), 1 -> ("a", "b")))
+    assert(st4(1) === Set((0, "s", "r", None), (1, "a1", "b1", Some(11)),
+      (2, "c", "d", Some(22))))
+    assert(st4(2) === Set((1, "a1", "b1", Some(11)), (2, "c", "d", Some(22))))
+    assert(st4(3) === Set((1, "a1", "b1", Some(11)), (2, "c", "d", Some(22)),
+      (3, "e", "f", None)))
+  }
+
   test("stale non-append writer gets ConcurrentModificationException; winner's state intact") {
     val t = GraftTable.create(spark, tmpDir("conc-dml-"),
       df(Seq((0, "s", "s"), (1, "a", "a"), (2, "b", "b"))))

@@ -73,6 +73,52 @@ class PartitionedTableSpec extends SparkTestBase {
     assert(state(t.versionAsOf(0)).size === 4)
   }
 
+  test("replaceWhere backfills one partition; others survive byte-identical") {
+    val t = freshTable()
+    val before = t.snapshot.files.map(f => f.path -> f).toMap
+    t.overwriteWhere(col("lang") === "en",
+      df((10, "A", "en"), (11, "B", "en")))
+    assert(state(t.toDF) ===
+      Set((10, "A", "en"), (11, "B", "en"), (3, "c", "de"), (4, "d", "fr")))
+    // out-of-scope files: same paths, same bytes, never rewritten
+    val after = t.snapshot.files.map(f => f.path -> f).toMap
+    val untouched = before.keys.filterNot(_.startsWith("lang=en")).toSet
+    assert(untouched.subsetOf(after.keySet), "non-en files must survive in the log")
+    untouched.foreach { p =>
+      assert(after(p) === before(p), s"$p must be the SAME AddFile action") }
+    // replacement rows escaping the predicate are rejected up front
+    intercept[IllegalArgumentException] {
+      t.overwriteWhere(col("lang") === "en", df((12, "x", "de")))
+    }
+    // the history records a single predicate-scoped OVERWRITE
+    assert(t.history().select("operation").first().getString(0) === "OVERWRITE")
+  }
+
+  test("replaceWhere carries non-matching rows of partially-overlapping files") {
+    // unpartitioned table, one file mixing in- and out-of-scope rows
+    val t = GraftTable.create(spark, tmpDir("pt-rw-"),
+      df((1, "a", "en"), (2, "b", "de")).repartition(1))
+    t.overwriteWhere(col("lang") === "en", df((9, "z", "en")))
+    assert(state(t.toDF) === Set((9, "z", "en"), (2, "b", "de")),
+      "the de row must be carried through the rewrite")
+  }
+
+  test("dynamic partition overwrite replaces exactly the partitions written") {
+    val t = freshTable()
+    val before = t.snapshot.files.map(f => f.path -> f).toMap
+    t.overwritePartitions(df((20, "x", "en"), (21, "y", "fr")))
+    assert(state(t.toDF) ===
+      Set((20, "x", "en"), (21, "y", "fr"), (3, "c", "de")))
+    val after = t.snapshot.files.map(f => f.path -> f).toMap
+    val deFiles = before.keys.filter(_.startsWith("lang=de")).toSet
+    deFiles.foreach { p =>
+      assert(after(p) === before(p), s"$p (untouched partition) must survive") }
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmpDir("pt-np-"), df((1, "a", "en")))
+        .overwritePartitions(df((2, "b", "en")))
+    }
+  }
+
   test("append routes rows into partition dirs; special chars decode") {
     val dir = tmpDir("pt-")
     val t = GraftTable.create(spark, dir, df((1, "a", "with space")), Seq("lang"))
