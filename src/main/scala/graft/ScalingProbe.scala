@@ -16,7 +16,64 @@ import org.apache.spark.sql.functions._
   * Prints one line per (query, m) with rows + seconds.
   */
 object ScalingProbe {
+
+  /** Snapshot-fold scale probe: a SYNTHETIC log with `n` live files (no
+    * data files needed — the fold never opens them), timing the paths a
+    * 100k-file table exercises on every read: JSON tail replay, parquet
+    * checkpoint write, checkpoint-seeded snapshot, zero-listing
+    * latestVersion. Usage: tools/run.sh graft.ScalingProbe log [nFiles].
+    * Runs on a bare JVM — no SparkSession — exactly like GraftLog. */
+  private def runLogProbe(n: Int): Unit = {
+    import graft.table._
+    val dir = java.nio.file.Files.createTempDirectory("graft-logprobe-").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    val now = System.currentTimeMillis()
+    def addFile(i: Int): AddFile = AddFile(
+      f"part-$i%07d-xxxxxxxx.parquet", 128L * 1024 * 1024, now, 1000000L,
+      Map("id" -> (i * 1000L).toString, "v" -> "aaaa"),
+      Map("id" -> ((i + 1) * 1000L).toString, "v" -> "zzzz"))
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"""LOGPROBE {"step":"$label","n":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.3f}""")
+      r
+    }
+    val log = new GraftLog(dir)
+    val meta = MetaData(java.util.UUID.randomUUID().toString, schema.json, now, Nil,
+      Map.empty, Map.empty)
+    timed("commit0_json_write") {
+      log.commit(0L, Seq(meta,
+        CommitInfo(0L, log.nextTimestamp(), "CONVERT", Map.empty)) ++
+        (0 until n).map(addFile))
+    }
+    (1 to 9).foreach { v =>
+      log.commit(v, Seq(CommitInfo(v, log.nextTimestamp(), "WRITE", Map.empty)) ++
+        (0 until 10).map(i => addFile(n + v * 10 + i)))
+    }
+    val s9 = timed("json_replay_snapshot") { new GraftLog(dir).snapshotAt(9L) }
+    require(s9.files.size == n + 90, s"fold lost files: ${s9.files.size}")
+    // commit 10 crosses the checkpoint interval: writes the parquet
+    // checkpoint (file count >= parquetCheckpointThreshold)
+    timed("commit10_with_checkpoint_write") {
+      log.commit(10L, Seq(CommitInfo(10L, log.nextTimestamp(), "WRITE", Map.empty)) ++
+        (0 until 10).map(i => addFile(n + 100 + i)))
+    }
+    val s10 = timed("checkpoint_seeded_snapshot") { new GraftLog(dir).snapshotAt(10L) }
+    require(s10.files.size == n + 100, s"checkpoint lost files: ${s10.files.size}")
+    timed("checkpoint_seeded_snapshot_2nd") { new GraftLog(dir).snapshotAt(10L) }
+    timed("latest_version_probe") { new GraftLog(dir).latestVersion }
+    // cleanup: the synthetic log is multi-MB, not worth keeping
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("log")) {
+      runLogProbe(args.drop(1).headOption.map(_.toInt).getOrElse(100000))
+      return
+    }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mults = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 2, 4, 8)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

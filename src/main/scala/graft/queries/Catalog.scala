@@ -140,19 +140,26 @@ object CatalogQueries {
     "q138_sql_cdf" -> Q(
       (s, _) => {
         goldenDml(s)
-        s.sql(s"""SELECT * FROM graft_table_changes('${goldenDmlPath(s)}', 0, 3)
+        // `_commit_timestamp` is wall-clock — assert it equals the commit's
+        // history timestamp (deterministic) instead of selecting it raw
+        s.sql(s"""SELECT c.id, c.firstname, c.lastname, c._change_type,
+                 |       c._commit_version,
+                 |       c._commit_timestamp = h.timestamp AS ts_ok
+                 |FROM graft_table_changes('${goldenDmlPath(s)}', 0, 3) c
+                 |JOIN graft_history('${goldenDmlPath(s)}') h
+                 |  ON c._commit_version = h.version
                  |ORDER BY _commit_version, _change_type, id""".stripMargin)
       },
       """SELECT * FROM (VALUES
-        |  (1, 'James', 'Bond',   'insert', CAST(1 AS BIGINT)),
-        |  (2, 'Alice', 'Rogers', 'insert', CAST(1 AS BIGINT)),
-        |  (3, 'Joe',   'Bloggs', 'insert', CAST(1 AS BIGINT)),
-        |  (2, 'Alice', 'Rogers', 'delete', CAST(2 AS BIGINT)),
-        |  (2, 'Alice', 'Smith',  'insert', CAST(2 AS BIGINT)),
-        |  (4, 'New',   'Person', 'insert', CAST(2 AS BIGINT)),
-        |  (1, 'James', 'Bond',   'delete', CAST(3 AS BIGINT)),
-        |  (3, 'Joe',   'Bloggs', 'delete', CAST(3 AS BIGINT)))
-        |AS t(id, firstname, lastname, _change_type, _commit_version)
+        |  (1, 'James', 'Bond',   'insert', CAST(1 AS BIGINT), TRUE),
+        |  (2, 'Alice', 'Rogers', 'insert', CAST(1 AS BIGINT), TRUE),
+        |  (3, 'Joe',   'Bloggs', 'insert', CAST(1 AS BIGINT), TRUE),
+        |  (2, 'Alice', 'Rogers', 'delete', CAST(2 AS BIGINT), TRUE),
+        |  (2, 'Alice', 'Smith',  'insert', CAST(2 AS BIGINT), TRUE),
+        |  (4, 'New',   'Person', 'insert', CAST(2 AS BIGINT), TRUE),
+        |  (1, 'James', 'Bond',   'delete', CAST(3 AS BIGINT), TRUE),
+        |  (3, 'Joe',   'Bloggs', 'delete', CAST(3 AS BIGINT), TRUE))
+        |AS t(id, firstname, lastname, _change_type, _commit_version, ts_ok)
         |ORDER BY _commit_version, _change_type, id""".stripMargin),
   )
 

@@ -387,15 +387,21 @@ object Streaming {
           q.awaitTermination()
           s.table("graft_cdf143")
         })
-        fed.orderBy($"_commit_version", $"_change_type", $"id")
+        // sidecar tier: the MERGE's update arrives as a PAIRED
+        // update_preimage/update_postimage (Delta's CDF representation);
+        // `_commit_timestamp` presence is pinned here, its equality with
+        // history() by q74/q138
+        fed.select($"id", $"firstname", $"lastname", $"_change_type",
+            $"_commit_version", $"_commit_timestamp".isNotNull.as("has_ts"))
+          .orderBy($"_commit_version", $"_change_type", $"id")
       },
       """SELECT * FROM (VALUES
-        |  (2, 'Alice', 'Rogers', 'delete', CAST(2 AS BIGINT)),
-        |  (2, 'Alice', 'Smith',  'insert', CAST(2 AS BIGINT)),
-        |  (4, 'New',   'Person', 'insert', CAST(2 AS BIGINT)),
-        |  (1, 'James', 'Bond',   'delete', CAST(3 AS BIGINT)),
-        |  (3, 'Joe',   'Bloggs', 'delete', CAST(3 AS BIGINT)))
-        |AS t(id, firstname, lastname, _change_type, _commit_version)
+        |  (2, 'Alice', 'Rogers', 'update_preimage',  CAST(2 AS BIGINT), TRUE),
+        |  (2, 'Alice', 'Smith',  'update_postimage', CAST(2 AS BIGINT), TRUE),
+        |  (4, 'New',   'Person', 'insert', CAST(2 AS BIGINT), TRUE),
+        |  (1, 'James', 'Bond',   'delete', CAST(3 AS BIGINT), TRUE),
+        |  (3, 'Joe',   'Bloggs', 'delete', CAST(3 AS BIGINT), TRUE))
+        |AS t(id, firstname, lastname, _change_type, _commit_version, has_ts)
         |ORDER BY _commit_version, _change_type, id""".stripMargin),
   )
 

@@ -296,16 +296,26 @@ object TableQueries {
     "q74_table_changes" -> Q(
       (s, _) => {
         import s.implicits._
-        golden(s).changes(0, 2)
+        val t = golden(s)
+        // `_commit_timestamp` parity (Delta's CDF column): wall-clock values
+        // can't be pinned literally, so assert them EQUAL to the history()
+        // timestamp of the same commit — one broadcast join, deterministic.
+        val hist = t.history().select($"version", $"timestamp".as("__hts"))
+        t.changes(0, 2)
+          .join(org.apache.spark.sql.functions.broadcast(hist),
+            $"_commit_version" === $"version")
+          .withColumn("ts_ok", $"_commit_timestamp" === $"__hts")
+          .select($"id", $"firstname", $"lastname", $"_change_type",
+            $"_commit_version", $"ts_ok")
           .orderBy($"_commit_version", $"_change_type", $"id")
       },
       """SELECT * FROM (VALUES
-        |  (2, 'Alice', 'Rogers', 'delete', CAST(1 AS BIGINT)),
-        |  (2, 'Alice', 'Smith',  'insert', CAST(1 AS BIGINT)),
-        |  (4, 'New',   'Person', 'insert', CAST(1 AS BIGINT)),
-        |  (1, 'James', 'Bond',   'delete', CAST(2 AS BIGINT)),
-        |  (3, 'Joe',   'Bloggs', 'delete', CAST(2 AS BIGINT)))
-        |AS t(id, firstname, lastname, _change_type, _commit_version)
+        |  (2, 'Alice', 'Rogers', 'delete', CAST(1 AS BIGINT), TRUE),
+        |  (2, 'Alice', 'Smith',  'insert', CAST(1 AS BIGINT), TRUE),
+        |  (4, 'New',   'Person', 'insert', CAST(1 AS BIGINT), TRUE),
+        |  (1, 'James', 'Bond',   'delete', CAST(2 AS BIGINT), TRUE),
+        |  (3, 'Joe',   'Bloggs', 'delete', CAST(2 AS BIGINT), TRUE))
+        |AS t(id, firstname, lastname, _change_type, _commit_version, ts_ok)
         |ORDER BY _commit_version, _change_type, id""".stripMargin),
 
     // ---- RESTORE: head rolled back to v1 as a forward commit ---------------------
@@ -347,10 +357,14 @@ object TableQueries {
           .agg(count(lit(1)).as("n"), sum($"value").as("sv"))
         // changes(from, to) diffs snapshots — exclusive of `from` (q74's
         // pinned semantic), so the deltas on top of the v0 base are (0, 2)
+        // adds: insert | update_postimage; retracts: delete | update_preimage
+        // (CDF-enabled tables pair updates; the legacy diff tier emits
+        // delete+insert — the fold handles both)
+        val isAdd = $"_change_type".isin("insert", "update_postimage")
         val deltas = t.changes(0, 2)
           .select($"category",
-            when($"_change_type" === "insert", lit(1L)).otherwise(lit(-1L)).as("n"),
-            when($"_change_type" === "insert", $"value".cast("long"))
+            when(isAdd, lit(1L)).otherwise(lit(-1L)).as("n"),
+            when(isAdd, $"value".cast("long"))
               .otherwise(-$"value".cast("long")).as("sv"))
         base.unionByName(deltas)
           .groupBy($"category")
@@ -692,6 +706,33 @@ object TableQueries {
         |       count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents
         |GROUP BY 1, 2 ORDER BY lang, source""".stripMargin),
+
+    // ---- CONVERT TO GRAFT: in-place parquet import, then DML ---------------------
+    // The onramp every user with existing data needs (Delta's CONVERT TO
+    // DELTA): commit 0 REFERENCES the existing parquet files where they
+    // are — no rewrite, no move; stats come from an O(files) footer
+    // harvest, so converting 100 TB is a metadata operation. The converted
+    // directory is immediately a full table: the query DELETEs through it
+    // and reads the head state, pinning that DML and time travel work on
+    // imported data. Oracle = the same filter over the raw parquet.
+    "q148_convert_parquet" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = cache.computeIfAbsent(s"conv:$dir", _ => {
+          val target = graft.Scratch.dir("graft-conv-")
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(dir, "nation.parquet"),
+            target.resolve("nation.parquet"))
+          val tt = GraftTable.convert(s, target.toString)
+          tt.delete($"n_regionkey" === 2)
+          tt
+        })
+        t.toDF
+          .withColumn("head_version", lit(t.latestVersion))
+          .orderBy($"n_nationkey")
+      },
+      """SELECT *, CAST(1 AS BIGINT) AS head_version FROM nation
+        |WHERE n_regionkey <> 2 ORDER BY n_nationkey""".stripMargin),
 
     // ---- Hive-partitioned table scan (partition pruning as data skipping) --------
     // Documents land Hive-partitioned by lang (lang=en/... directories);

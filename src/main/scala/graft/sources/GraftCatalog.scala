@@ -297,7 +297,9 @@ class GraftSqlTable(val table: GraftTable, ident: String,
     org.apache.spark.sql.types.StructField("_change_type",
       org.apache.spark.sql.types.StringType, nullable = false),
     org.apache.spark.sql.types.StructField("_commit_version",
-      org.apache.spark.sql.types.LongType, nullable = false)))
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("_commit_timestamp",
+      org.apache.spark.sql.types.TimestampType, nullable = true)))
 
   /** `_file`: which data file a row lives in — the GROUP identity of the
     * copy-on-write rewrite (Spark's runtime group filter collects the

@@ -77,7 +77,9 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
         org.apache.spark.sql.types.StructField("_change_type",
           org.apache.spark.sql.types.StringType, nullable = false),
         org.apache.spark.sql.types.StructField("_commit_version",
-          org.apache.spark.sql.types.LongType, nullable = false)))
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("_commit_timestamp",
+          org.apache.spark.sql.types.TimestampType, nullable = true)))
     }
   }
 

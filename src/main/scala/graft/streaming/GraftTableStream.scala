@@ -197,17 +197,22 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
     * overrides decoded by the shared reader factory. */
   private def planCdfPartitions(s: Long, e: Long): Array[InputPartition] = {
     val parts = scala.collection.mutable.ArrayBuffer[GraftFilePartition]()
+    def tsOf(v: Long): String = log.readVersion(v)
+      .collectFirst { case c: CommitInfo => c.timestamp }.getOrElse(0L).toString
     def insertParts(files: Seq[AddFile], v: Long): Unit = files.foreach { f =>
       parts += GraftFilePartition(
         Paths.get(tablePath, f.path).toString, f.partitionValues, f.numRecords,
         f.dvPath.map(p => Paths.get(tablePath, p).toString),
         f.path.substring(f.path.lastIndexOf('/') + 1),
-        constOverrides = Seq("_change_type" -> "insert", "_commit_version" -> v.toString))
+        constOverrides = Seq("_change_type" -> "insert", "_commit_version" -> v.toString,
+          "_commit_timestamp" -> tsOf(v)))
     }
     if (s < 0 && startingVersion.isEmpty) insertParts(log.snapshotAt(e).files, e)
     else ((s + 1) to e).foreach { v =>
       val actions = log.readVersion(v)
       val op = actions.collectFirst { case c: CommitInfo => c.operation }
+      val commitTs = actions.collectFirst { case c: CommitInfo => c.timestamp }
+        .getOrElse(0L).toString
       if (!op.exists(nonDataOps.contains)) {
         val cdc = actions.collect { case c: graft.table.CdcFile => c }
         val adds = actions.collect { case a: AddFile => a }
@@ -216,7 +221,8 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
           parts += GraftFilePartition(
             Paths.get(tablePath, c.path).toString, Map.empty, c.numRecords, None,
             c.path.substring(c.path.lastIndexOf('/') + 1),
-            constOverrides = Seq("_commit_version" -> v.toString),
+            constOverrides = Seq("_commit_version" -> v.toString,
+              "_commit_timestamp" -> commitTs),
             partitionColsInFile = true)
         }
         else if (removes.isEmpty) insertParts(adds, v)
@@ -436,6 +442,8 @@ class GraftParquetReaderFactory(schema: StructType, partitionCols: Seq[String],
 
   private def castPartitionValue(v: String, dt: DataType): Any = dt match {
     case StringType => UTF8String.fromString(v)
+    // CDF `_commit_timestamp` rides as epoch-millis; InternalRow wants µs
+    case TimestampType => v.toLong * 1000L
     case IntegerType => v.toInt
     case LongType => v.toLong
     case DoubleType => v.toDouble

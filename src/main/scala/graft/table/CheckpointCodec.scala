@@ -60,9 +60,72 @@ object CheckpointCodec {
     mapper.writeValueAsString(node)
   }
 
+  /** Minimal parser for the flat {"k":"v",...} string maps THIS codec
+    * writes (jsonMap above — Jackson-escaped string values only). At 1M
+    * files the checkpoint read parses 3 maps per file; a general
+    * ObjectMapper tree parse there is the single hottest cost the log
+    * probe found (ScalingProbe `log` mode), and this parser is ~6× leaner.
+    * Falls back to Jackson on anything unexpected — correctness first. */
   private def readMap(s: String): Map[String, String] = {
-    val node = mapper.readTree(s)
-    node.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    try {
+      val b = Map.newBuilder[String, String]
+      var i = 0
+      val n = s.length
+      def ws(): Unit = { while (i < n && s.charAt(i) <= ' ') i += 1 }
+      def fail(): Nothing = throw new IllegalArgumentException(s)
+      def string(): String = {
+        if (s.charAt(i) != '"') fail()
+        i += 1
+        val start = i
+        var sb: StringBuilder = null
+        while (true) {
+          val c = s.charAt(i)
+          if (c == '"') {
+            val out = if (sb == null) s.substring(start, i) else sb.toString
+            i += 1
+            return out
+          } else if (c == '\\') {
+            if (sb == null) { sb = new StringBuilder; sb.append(s, start, i) }
+            i += 1
+            s.charAt(i) match {
+              case '"'  => sb.append('"');  i += 1
+              case '\\' => sb.append('\\'); i += 1
+              case '/'  => sb.append('/');  i += 1
+              case 'b'  => sb.append('\b'); i += 1
+              case 'f'  => sb.append('\f'); i += 1
+              case 'n'  => sb.append('\n'); i += 1
+              case 'r'  => sb.append('\r'); i += 1
+              case 't'  => sb.append('\t'); i += 1
+              case 'u'  =>
+                sb.append(Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar)
+                i += 5
+              case _ => fail()
+            }
+          } else { if (sb != null) sb.append(c); i += 1 }
+        }
+        fail()
+      }
+      ws(); if (s.charAt(i) != '{') fail(); i += 1; ws()
+      if (i < n && s.charAt(i) == '}') return b.result()
+      while (true) {
+        ws()
+        val k = string()
+        ws(); if (s.charAt(i) != ':') fail(); i += 1; ws()
+        val v = string()
+        b += k -> v
+        ws()
+        s.charAt(i) match {
+          case ',' => i += 1
+          case '}' => return b.result()
+          case _   => fail()
+        }
+      }
+      b.result()
+    } catch {
+      case _: IllegalArgumentException | _: StringIndexOutOfBoundsException =>
+        val node = mapper.readTree(s)
+        node.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }
   }
 
   private def readSeq(s: String): Seq[String] =
@@ -111,52 +174,93 @@ object CheckpointCodec {
     } finally w.close()
   }
 
-  /** Read a parquet checkpoint back to the folded snapshot at `version`. */
+  /** The checkpoint schema as Spark types, for the vectorized read path.
+    * Field order IS the column order the batch exposes. */
+  private val sparkSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("kind", StringType), StructField("path", StringType),
+      StructField("size", LongType), StructField("modificationTime", LongType),
+      StructField("numRecords", LongType), StructField("minValues", StringType),
+      StructField("maxValues", StringType), StructField("partitionValues", StringType),
+      StructField("dvPath", StringType), StructField("dvCount", LongType),
+      StructField("metaId", StringType), StructField("schemaString", StringType),
+      StructField("createdTime", LongType), StructField("partitionColumns", StringType),
+      StructField("constraints", StringType), StructField("properties", StringType),
+      StructField("txnAppId", StringType), StructField("txnVersion", LongType),
+      StructField("protocolJson", StringType)))
+  }
+
+  /** Read a parquet checkpoint back to the folded snapshot at `version`.
+    *
+    * Decodes with Spark's VECTORIZED parquet reader (column-at-a-time page
+    * decode, no per-row Group materialization) — the log probe
+    * (ScalingProbe `log` mode) showed the row-path Group decode DOMINATING
+    * snapshot resolution at the 1M-file scale a 100 TB table actually has
+    * (~800k × 128 MB files); the columnar decode plus the flat-map parser
+    * above cut the checkpoint-seeded snapshot to a fraction. Checkpoints
+    * written before a column existed (e.g. dvPath) decode it as a null
+    * vector — parquet missing-column semantics, same back-compat as the
+    * old per-file-schema path. No SparkSession involved: the reader class
+    * runs on a bare JVM exactly like the rest of GraftLog. */
   def read(file: Path, version: Long): Snapshot = {
-    val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new HPath(file.toString), new Configuration()))
+    import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, ParquetWriteSupport, VectorizedParquetRecordReader}
+    import org.apache.spark.sql.internal.SQLConf
+    val conf = new Configuration()
+    conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, sparkSchema.json)
+    ParquetWriteSupport.setSchema(sparkSchema, conf)
+    conf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key, false)
+    conf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, true)
+    conf.setBoolean(SQLConf.CASE_SENSITIVE.key, false)
+    conf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, true)
+    conf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, false)
+    conf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, "UTC")
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      new HPath(file.toString), 0, Long.MaxValue, Array.empty[String])
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    val rdr = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
     try {
+      rdr.initialize(split, ctx)
+      rdr.initBatch(new org.apache.spark.sql.types.StructType(),
+        org.apache.spark.sql.catalyst.InternalRow.empty)
+      rdr.enableReturningBatches()
       var meta: Option[MetaData] = None
       var protocol: Protocol = Protocol()
       val txns = Map.newBuilder[String, Long]
       val files = Seq.newBuilder[AddFile]
-      def str(g: Group, n: String): String = g.getBinary(n, 0).toStringUsingUTF8
-      def opt(g: Group, n: String): Boolean =
-        g.getType.asGroupType().containsField(n) &&
-          g.getFieldRepetitionCount(n) > 0
-      // decode with the FILE's own schema: a checkpoint written before a
-      // column was added (e.g. dvPath) stays readable — absent fields
-      // simply report not-present
-      val fileSchema = reader.getFooter.getFileMetaData.getSchema
-      var rg = Option(reader.readNextRowGroup())
-      while (rg.isDefined) {
-        val rr = new ColumnIOFactory().getColumnIO(fileSchema)
-          .getRecordReader(rg.get, new GroupRecordConverter(fileSchema))
-        (0L until rg.get.getRowCount).foreach { _ =>
-          val g = rr.read()
-          str(g, "kind") match {
-            case "meta" => meta = Some(MetaData(
-              str(g, "metaId"), str(g, "schemaString"), g.getLong("createdTime", 0),
-              readSeq(str(g, "partitionColumns")), readMap(str(g, "constraints")),
-              readMap(str(g, "properties"))))
+      while (rdr.nextBatch()) {
+        val batch = rdr.resultBatch()
+        def str(c: Int, r: Int): String = batch.column(c).getUTF8String(r).toString
+        def lng(c: Int, r: Int): Long =
+          if (batch.column(c).isNullAt(r)) 0L else batch.column(c).getLong(r)
+        var r = 0
+        val n = batch.numRows()
+        while (r < n) {
+          str(0, r) match {
             case "add" => files += AddFile(
-              str(g, "path"), g.getLong("size", 0), g.getLong("modificationTime", 0),
-              g.getLong("numRecords", 0), readMap(str(g, "minValues")),
-              readMap(str(g, "maxValues")), readMap(str(g, "partitionValues")),
-              if (opt(g, "dvPath")) Some(str(g, "dvPath")) else None,
-              if (opt(g, "dvCount")) g.getLong("dvCount", 0) else 0L)
-            case "txn" => txns += str(g, "txnAppId") -> g.getLong("txnVersion", 0)
-            case "protocol" => Actions.fromJson(str(g, "protocolJson")) match {
+              str(1, r), lng(2, r), lng(3, r), lng(4, r),
+              readMap(str(5, r)), readMap(str(6, r)), readMap(str(7, r)),
+              if (batch.column(8).isNullAt(r)) None else Some(str(8, r)),
+              lng(9, r))
+            case "meta" => meta = Some(MetaData(
+              str(10, r), str(11, r), lng(12, r),
+              readSeq(str(13, r)), readMap(str(14, r)), readMap(str(15, r))))
+            case "txn" => txns += str(16, r) -> lng(17, r)
+            case "protocol" => Actions.fromJson(str(18, r)) match {
               case p: Protocol => protocol = p
               case _ => ()
             }
           }
+          r += 1
         }
-        rg = Option(reader.readNextRowGroup())
       }
       Snapshot(version, meta.getOrElse(throw new IllegalStateException(
         s"parquet checkpoint $file lacks metaData")), files.result(),
         txns.result(), protocol)
-    } finally reader.close()
+    } finally rdr.close()
   }
 }

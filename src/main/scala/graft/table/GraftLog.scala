@@ -56,11 +56,29 @@ final class GraftLog(val tablePath: String) {
     v
   }
 
-  def readVersion(v: Long): Seq[Action] = {
-    val f = versionFile(v)
-    require(Files.exists(f), s"version $v does not exist for table $tablePath")
-    Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
-      .filter(_.nonEmpty).map(Actions.fromJson)
+  /** Parsed-actions cache: commit files are created CREATE_NEW and never
+    * rewritten (VACUUM removes data files, not log files), so a parsed
+    * version can be cached forever — bounded LRU so a long history doesn't
+    * pin the heap. DML paths read the same commits repeatedly (snapshot
+    * fold, conflict classification, CDC planning, nextTimestamp); this
+    * turns those re-reads into map hits. */
+  private val actionCache =
+    new java.util.LinkedHashMap[Long, Seq[Action]](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[Long, Seq[Action]]): Boolean =
+        size > 256
+    }
+
+  def readVersion(v: Long): Seq[Action] = synchronized {
+    val cached = actionCache.get(v)
+    if (cached != null) cached
+    else {
+      val f = versionFile(v)
+      require(Files.exists(f), s"version $v does not exist for table $tablePath")
+      val parsed = Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
+        .filter(_.nonEmpty).map(Actions.fromJson)
+      actionCache.put(v, parsed)
+      parsed
+    }
   }
 
   /** Atomically create commit `v`. Throws if `v` already exists (lost race —
@@ -216,13 +234,31 @@ final class GraftLog(val tablePath: String) {
         s"${Protocol.supportedReaderFeatures.toSeq.sorted.mkString(", ")})")
   }
 
+  /** Folded snapshots are as immutable as the commits they fold — cache
+    * the last few (DML reads its snapshot several times per operation:
+    * pruning, rewrite, CDC, conflict info). Small bound: at large file
+    * counts a Snapshot's file list is the dominant driver-memory object. */
+  private val snapshotCache =
+    new java.util.LinkedHashMap[Long, Snapshot](4, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[Long, Snapshot]): Boolean =
+        size > 4
+    }
+
   /** Snapshot at version v: nearest checkpoint ≤ v + tail replay. */
-  def snapshotAt(v: Long): Snapshot = latestCheckpointAtOrBefore(v) match {
-    case Some(cp) =>
-      val seed = readCheckpoint(cp)
-      if (cp == v) { gateReaderFeatures(seed.protocol); seed }
-      else replay(cp + 1, v, Some(seed))
-    case None => replay(0L, v, None)
+  def snapshotAt(v: Long): Snapshot = synchronized {
+    val cached = snapshotCache.get(v)
+    if (cached != null) { gateReaderFeatures(cached.protocol); cached }
+    else {
+      val snap = latestCheckpointAtOrBefore(v) match {
+        case Some(cp) =>
+          val seed = readCheckpoint(cp)
+          if (cp == v) { gateReaderFeatures(seed.protocol); seed }
+          else replay(cp + 1, v, Some(seed))
+        case None => replay(0L, v, None)
+      }
+      snapshotCache.put(v, snap)
+      snap
+    }
   }
 
   /** All commitInfo records, one per version, ascending. */

@@ -393,7 +393,13 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val carried = readFilesMeta(s, touched).filter(!coalesce(pred, lit(false)))
       .drop("__fname", "__pos")
     val adds = writeDataMapped(carried.unionByName(conformed), s.metaData)
-    val cdc = writeCdcFiles(s, cdcDiff(s, readFiles(s, touched), readFiles(s, adds)))
+    // operator-level CDC: replaced rows (= matching rows of touched files)
+    // as deletes, the replacement frame as inserts; carried rows are
+    // unchanged and emit nothing
+    val cdc = writeCdcFiles(s,
+      readFilesMeta(s, touched).filter(pred).drop("__fname", "__pos")
+        .withColumn("_change_type", lit("delete"))
+        .unionByName(conformed.withColumn("_change_type", lit("insert"))))
     commitDml(s,
       TxnInfo(readWholeTable = false, Some(pred),
         candidates.map(_.path).toSet, touched.map(_.path).toSet),
@@ -427,7 +433,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val touched = s.files.filter(f =>
       combos.contains(parts.map(c => c -> f.partitionValues(physOf(c))).toMap))
     val adds = writeDataMapped(conformed, s.metaData)
-    val cdc = writeCdcFiles(s, cdcDiff(s, readFiles(s, touched), readFiles(s, adds)))
+    // operator-level CDC: every row of a replaced partition is deleted,
+    // every replacement row inserted
+    val cdc = writeCdcFiles(s,
+      readFiles(s, touched).withColumn("_change_type", lit("delete"))
+        .unionByName(conformed.withColumn("_change_type", lit("insert"))))
     // conflict domain = the replaced partitions: a racing append INTO one
     // of them would be silently erased by a rebase, so it must conflict;
     // appends into other partitions rebase cleanly
@@ -658,29 +668,31 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   private[graft] def changesOf(v: Long): DataFrame = {
     val actions = log.readVersion(v)
     val cur = log.snapshotAt(v)
+    val commitTs = actions.collectFirst { case c: CommitInfo => c.timestamp }
+      .map(new Timestamp(_)).orNull
     val cdcFiles = actions.collect { case c: CdcFile => c }
     val addedFiles = actions.collect { case a: AddFile => a }
     val removePaths = actions.collect { case r: RemoveFile => r.path }
+    def stamp(df: DataFrame): DataFrame = df
+      .withColumn("_commit_version", lit(v))
+      .withColumn("_commit_timestamp", lit(commitTs))
     if (cdcFiles.nonEmpty) {
       val cdcSchema = cur.schema.add(StructField("_change_type", StringType, nullable = false))
-      spark.read.schema(cdcSchema)
-        .parquet(cdcFiles.map(c => Paths.get(path, c.path).toString): _*)
-        .withColumn("_commit_version", lit(v))
+      stamp(spark.read.schema(cdcSchema)
+        .parquet(cdcFiles.map(c => Paths.get(path, c.path).toString): _*))
     } else if (removePaths.isEmpty) {
-      readFiles(cur, addedFiles)
-        .withColumn("_change_type", lit("insert"))
-        .withColumn("_commit_version", lit(v))
+      stamp(readFiles(cur, addedFiles)
+        .withColumn("_change_type", lit("insert")))
     } else {
       val prev = log.snapshotAt(v - 1).files.map(f => f.path -> f).toMap
       val removedFiles = removePaths.map(prev)
       val added =
         if (addedFiles.isEmpty) readFiles(cur, Nil) else readFiles(cur, addedFiles)
       val removed = readFiles(cur, removedFiles)
-      added.exceptAll(removed)
+      stamp(added.exceptAll(removed)
         .withColumn("_change_type", lit("insert"))
         .unionByName(removed.exceptAll(added)
-          .withColumn("_change_type", lit("delete")))
-        .withColumn("_commit_version", lit(v))
+          .withColumn("_change_type", lit("delete"))))
     }
   }
 
@@ -1142,9 +1154,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val deleted = perFileNew.values.sum
     val reAdds = touched.map(f => f.copy(dvPath = Some(rel),
       dvCount = f.dvCount + perFileNew(fileName(f.path))))
-    // old DV state vs new DV state of the same files: the diff is exactly
-    // the newly tombstoned rows, emitted as deletes
-    val cdc = writeCdcFiles(s, cdcDiff(s, readFiles(s, touched), readFiles(s, reAdds)))
+    // operator-level CDC: the newly tombstoned rows are exactly the
+    // matched rows — tag them directly
+    val cdc = writeCdcFiles(s, readFilesMeta(s, touched)
+      .filter(coalesce(pred, lit(false))).drop("__fname", "__pos")
+      .withColumn("_change_type", lit("delete")))
     commitDml(s,
       TxnInfo(readWholeTable = false, Some(pred),
         candidates.map(_.path).toSet, touched.map(_.path).toSet),
@@ -1201,7 +1215,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       .drop("__fname", "__pos")
     val adds = writeDataMapped(keep, s.metaData)
     val deleted = touched.map(_.numRecords).sum - adds.map(_.numRecords).sum
-    val cdc = writeCdcFiles(s, cdcDiff(s, readFiles(s, touched), readFiles(s, adds)))
+    // operator-level CDC: the deleted rows ARE the matched rows — tag them
+    // directly instead of re-reading and multiset-diffing the rewrite
+    val cdc = writeCdcFiles(s, readFilesMeta(s, touched)
+      .filter(coalesce(pred, lit(false))).drop("__fname", "__pos")
+      .withColumn("_change_type", lit("delete")))
     commitDml(s,
       TxnInfo(readWholeTable = false, Some(pred),
         candidates.map(_.path).toSet, touched.map(_.path).toSet),
@@ -1401,6 +1419,28 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         e.as(c)
       }: _*)
 
+      val deletePred: Column =
+        if (deleteIds.isEmpty) lit(false) else col("__action").isin(deleteIds: _*)
+
+      /** Operator-level CDC (Delta's write-time capture): the merge KNOWS
+        * each affected row's action, so updates emit PAIRED
+        * `update_preimage`/`update_postimage` rows, deletes their
+        * pre-image, inserts their rows — no multiset diffing and no second
+        * read of the touched files (the legacy file-diff tier keeps the
+        * delete+insert representation for pre-CDF commits). */
+      def mergeCdc(affected: DataFrame, ins: DataFrame): DataFrame = {
+        val pre = affected
+          .select(srcCols.map(c => col(s"$targetAlias.$c").as(c)) :+
+            deletePred.as("__del"): _*)
+          .withColumn("_change_type",
+            when(col("__del"), lit("delete")).otherwise(lit("update_preimage")))
+          .drop("__del")
+        val post = postImage(affected.filter(!deletePred))
+          .withColumn("_change_type", lit("update_postimage"))
+        pre.unionByName(post)
+          .unionByName(ins.withColumn("_change_type", lit("insert")))
+      }
+
       // Phase 2b: inserts — source rows matching NOTHING in the whole table
       // (any match would have made its file touched; see class doc).
       lazy val inserts = insertRows(src, targetAll, cond, insertClauses, schema)
@@ -1430,8 +1470,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           val adds = writeDataMapped(out, s.metaData)
           val reAdds = touched.map(f => f.copy(dvPath = Some(rel),
             dvCount = f.dvCount + perFile.getOrElse(fileName(f.path), 0L)))
-          val cdc = writeCdcFiles(s, cdcDiff(s,
-            readFiles(s, touched), readFiles(s, reAdds ++ adds)))
+          val cdc = writeCdcFiles(s, mergeCdc(affected, inserts))
           commitDml(s, mergeTxnInfo(srcKeyPrune, prunedTargetFiles, touched),
             (v, ts) =>
               Seq(CommitInfo(v, ts, "MERGE",
@@ -1451,7 +1490,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         val out = enforceConstraints(conform(rewritten.unionByName(inserts), schema),
           s.metaData)
         val adds = writeDataMapped(out, s.metaData)
-        val cdc = writeCdcFiles(s, cdcDiff(s, readFiles(s, touched), readFiles(s, adds)))
+        val cdc = writeCdcFiles(s,
+          mergeCdc(withAction.filter(col("__action") >= 0), inserts))
         commitDml(s, mergeTxnInfo(srcKeyPrune, prunedTargetFiles, touched),
           (v, ts) =>
             Seq(CommitInfo(v, ts, "MERGE",
@@ -1664,4 +1704,59 @@ object GraftTable {
   /** Create-if-absent with seed rows (spark_project.py:17-38). */
   def createIfAbsent(spark: SparkSession, path: String, seed: => DataFrame): GraftTable =
     if (isGraftTable(path)) forPath(spark, path) else create(spark, path, seed)
+
+  /** CONVERT TO GRAFT (Delta's CONVERT TO DELTA): import an existing
+    * parquet directory IN PLACE as commit 0 — every user with existing
+    * data's onramp. No file is rewritten, moved, or even fully read:
+    * commit 0 simply REFERENCES the files, harvesting row counts and
+    * min/max skipping stats from the footers (metadata-only — O(files)
+    * footer reads, so converting 100 TB costs seconds, not a rewrite).
+    * Hive-style `col=value` partition directories are detected from the
+    * file paths; the partition columns must appear in the inferred schema
+    * (Spark's partition-column inference supplies them). After conversion
+    * the directory is a full GraftTable — DML, time travel (from v0),
+    * streaming all apply. */
+  def convert(spark: SparkSession, path: String): GraftTable = {
+    val log = new GraftLog(path)
+    require(!log.exists, s"$path is already a GraftTable")
+    val root = Paths.get(path)
+    require(Files.isDirectory(root), s"$path is not a directory")
+    val files = Files.walk(root).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet")
+        && !p.getFileName.toString.startsWith(".")
+        && !root.relativize(p).toString.contains("_delta_log"))
+      .toSeq.sortBy(_.toString)
+    require(files.nonEmpty, s"no parquet files under $path to convert")
+    // schema (incl. partition columns) by Spark's own inference
+    val df = spark.read.parquet(path)
+    val schema = df.schema
+    def partitionValuesOf(rel: String): Seq[(String, String)] =
+      rel.split('/').dropRight(1).toSeq.filter(_.contains("=")).map { seg =>
+        val i = seg.indexOf('=')
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(seg.take(i)) ->
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(seg.drop(i + 1))
+      }
+    val partitionBy = partitionValuesOf(root.relativize(files.head).toString).map(_._1)
+    require(partitionBy.forall(schema.fieldNames.contains),
+      s"partition directories $partitionBy not reflected in inferred schema " +
+        s"${schema.fieldNames.toSeq} — pass a basePath-readable layout")
+    val adds = files.map { p =>
+      val rel = root.relativize(p).toString
+      val pv = partitionValuesOf(rel)
+      require(pv.map(_._1) == partitionBy,
+        s"inconsistent partition layout at $rel (expected columns $partitionBy)")
+      val (rows, mins, maxs) = FileOps.footerStats(p)
+      AddFile(rel, Files.size(p), Files.getLastModifiedTime(p).toMillis,
+        rows, mins, maxs, pv.toMap)
+    }
+    val meta = MetaData(UUID.randomUUID().toString, schema.json,
+      System.currentTimeMillis(), partitionBy, Map.empty, Map.empty)
+    log.commit(0L, Seq(meta,
+      CommitInfo(0L, log.nextTimestamp(), "CONVERT",
+        Map("numFiles" -> adds.size.toString,
+            "numRows" -> adds.map(_.numRecords).sum.toString))) ++ adds)
+    new GraftTable(spark, path)
+  }
 }

@@ -53,13 +53,22 @@ class ChangeFeedSpec extends SparkTestBase {
       "MERGE on a CDF table must commit cdc sidecars")
     assert(deleteActions.exists(_.isInstanceOf[CdcFile]),
       "DELETE on a CDF table must commit cdc sidecars")
-    // sidecar tier == the semantic deltas the file-diff tier pins in q74
+    // sidecar tier: the MERGE's update is a PAIRED
+    // update_preimage/update_postimage (Delta's representation); deletes
+    // and inserts keep their plain types
     assert(canon(t.changes(1, 3)) === Set(
-      (2, "Alice", "Rogers", "delete", 2L),
-      (2, "Alice", "Smith", "insert", 2L),
+      (2, "Alice", "Rogers", "update_preimage", 2L),
+      (2, "Alice", "Smith", "update_postimage", 2L),
       (4, "New", "Person", "insert", 2L),
       (1, "James", "Bond", "delete", 3L),
       (3, "Joe", "Bloggs", "delete", 3L)))
+    // _commit_timestamp parity: every change row carries its commit's
+    // history() timestamp
+    val hist = t.history().collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    t.changes(1, 3).select("_commit_version", "_commit_timestamp").collect()
+      .foreach(r => assert(r.getTimestamp(1) === hist(r.getLong(0)),
+        s"_commit_timestamp must equal history() for v${r.getLong(0)}"))
   }
 
   test("batch readChangeFeed relation serves the version range") {
@@ -68,7 +77,8 @@ class ChangeFeedSpec extends SparkTestBase {
       .option("readChangeFeed", "true")
       .option("startingVersion", 2)
       .load(t.path)
-    assert(feed.columns.takeRight(2).toSeq === Seq("_change_type", "_commit_version"))
+    assert(feed.columns.takeRight(3).toSeq ===
+      Seq("_change_type", "_commit_version", "_commit_timestamp"))
     assert(canon(feed) === canon(t.changes(1, 3)))
     val tail = spark.read.format("graft")
       .option("readChangeFeed", "true")

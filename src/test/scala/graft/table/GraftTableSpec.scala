@@ -329,6 +329,41 @@ class GraftTableSpec extends SparkTestBase {
       Set((2, "delete")))
   }
 
+  test("CONVERT: in-place import of a parquet dir, then DML on the result") {
+    import spark.implicits._
+    val dir = tmpDir("gt-conv-")
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+      .repartition(2).write.mode("append").parquet(dir)
+    val namesBefore = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".parquet")).toSet
+    val t = GraftTable.convert(spark, dir)
+    // zero rewrites: commit 0 references the files where they are
+    assert(t.snapshot.files.map(_.path).toSet === namesBefore)
+    assert(t.toDF.collect().map(r => (r.getInt(0), r.getString(1))).toSet ===
+      Set((1, "a"), (2, "b"), (3, "c")))
+    assert(t.metadataCount() === 3, "footer stats harvested into the log")
+    // the converted table is a full GraftTable: DML + time travel work
+    t.delete(col("id") === 2)
+    assert(t.toDF.count() === 2)
+    assert(t.versionAsOf(0).count() === 3)
+    intercept[IllegalArgumentException](GraftTable.convert(spark, dir))
+  }
+
+  test("CONVERT detects Hive partition directories") {
+    import spark.implicits._
+    val dir = tmpDir("gt-convp-")
+    Seq((1, "en"), (2, "en"), (3, "de")).toDF("id", "lang")
+      .write.mode("append").partitionBy("lang").parquet(dir)
+    val t = GraftTable.convert(spark, dir)
+    assert(t.snapshot.metaData.partitionColumns === Seq("lang"))
+    assert(t.snapshot.files.forall(_.partitionValues.contains("lang")))
+    // partition pruning works straight off the converted log
+    val enFiles = t.prunedFiles(t.snapshot, col("lang") === "en")
+    assert(enFiles.forall(_.partitionValues("lang") == "en"))
+    assert(t.scan(col("lang") === "en").count() === 2)
+  }
+
   test("schema evolution: mergeSchema append adds nullable columns") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmpDir("gt-"), df((1, "A", "B")))
