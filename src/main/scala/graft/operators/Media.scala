@@ -21,11 +21,31 @@ import org.apache.spark.sql.functions._
   * a fraction of the input bytes. Partition sizing comes from the scan
   * (spark.sql.files.maxPartitionBytes), which bounds decoder memory.
   */
+/** The pluggable codec seam: a REAL decoder (libjpeg / ffmpeg / an FFI
+  * model handle) drops in as one instance of this trait — `open()` runs
+  * once per partition before the first row (native contexts are expensive),
+  * `decode` once per row, `close()` when the partition stream is exhausted.
+  * Instances must be Serializable (they ship to executors) and must not
+  * retain the payload after returning — the map-side-only guarantee
+  * (payload bytes never cross a shuffle) is asserted by a listener-counted
+  * spec (MediaSpec), not left to convention. */
+trait MediaCodec extends Serializable {
+  def open(): Unit = ()
+  def decode(payload: Array[Byte]): Array[Float]
+  def close(): Unit = ()
+}
+
 object Media {
 
   final case class MediaRow(doc_id: Long, payload: Array[Byte], lang: String)
   final case class MediaFeatures(doc_id: Long, lang: String,
                                  features: Array[Float], n_bytes: Int)
+
+  /** The deterministic stand-in codec (no media libraries in this
+    * container) as a [[MediaCodec]]. */
+  object StubCodec extends MediaCodec {
+    override def decode(payload: Array[Byte]): Array[Float] = decodeStub(payload)
+  }
 
   /** Documents as a typed media Dataset (payload = UTF-8 bytes; stands in
     * for image/audio blobs). */
@@ -53,14 +73,26 @@ object Media {
     bins
   }
 
-  /** Decode a partition stream with one codec init per partition. */
-  def decode(rows: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  /** Decode a partition stream with one codec open/close per partition
+    * (default: the stub). The iterator stays lazy — a partition is never
+    * materialized — and `close()` fires when the stream drains. */
+  def decode(rows: Dataset[MediaRow],
+             codec: MediaCodec = StubCodec): Dataset[MediaFeatures] = {
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>
-      // per-partition init happens HERE (a real codec would open its
-      // native context once); the iterator keeps the stream lazy
-      val codec: Array[Byte] => Array[Float] = decodeStub
-      it.map(r => MediaFeatures(r.doc_id, r.lang, codec(r.payload), r.payload.length))
+      codec.open()
+      new Iterator[MediaFeatures] {
+        private var closed = false
+        override def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h && !closed) { closed = true; codec.close() }
+          h
+        }
+        override def next(): MediaFeatures = {
+          val r = it.next()
+          MediaFeatures(r.doc_id, r.lang, codec.decode(r.payload), r.payload.length)
+        }
+      }
     }
   }
 

@@ -707,6 +707,40 @@ object TableQueries {
         |FROM documents
         |GROUP BY 1, 2 ORDER BY lang, source""".stripMargin),
 
+    // ---- Native UPDATE: predicate update, file-scoped CoW ------------------------
+    // DeltaTable.update parity through the native API (SQL UPDATE rides
+    // Spark's group rewrite; this is the driver-side builder twin): one
+    // projection rewrites only the stats-pruned-then-provenance-narrowed
+    // touched files — `when(pred, setExpr).otherwise(col)` per column —
+    // so a selective update on a 100 TB table rewrites its slice, never
+    // the table. Oracle = the same CASE over the raw rows.
+    "q149_native_update" -> Q(
+      (s, _) => {
+        import s.implicits._
+        val t = cache.computeIfAbsent("nupd", _ => {
+          val schema = StructType(Seq(
+            StructField("id", IntegerType, nullable = false),
+            StructField("status", StringType, nullable = false),
+            StructField("v", IntegerType, nullable = false)))
+          val tt = GraftTable.create(s, graft.Scratch.dir("graft-nupd-").toString,
+            s.createDataFrame(java.util.List.of(
+              Row(1, "live", 10), Row(2, "dead", 20), Row(3, "live", 30),
+              Row(4, "hold", 40)), schema))
+          val n = tt.update("status = 'live'",
+            Map("v" -> "v * 2", "status" -> "'boosted'"))
+          require(n == 2, s"expected 2 updated rows, got $n")
+          tt
+        })
+        t.toDF.withColumn("head_version", lit(t.latestVersion)).orderBy($"id")
+      },
+      """SELECT id,
+        |       CASE WHEN status = 'live' THEN 'boosted' ELSE status END AS status,
+        |       CASE WHEN status = 'live' THEN v * 2 ELSE v END AS v,
+        |       CAST(1 AS BIGINT) AS head_version
+        |FROM (VALUES (1, 'live', 10), (2, 'dead', 20), (3, 'live', 30),
+        |             (4, 'hold', 40)) AS t(id, status, v)
+        |ORDER BY id""".stripMargin),
+
     // ---- CONVERT TO GRAFT: in-place parquet import, then DML ---------------------
     // The onramp every user with existing data needs (Delta's CONVERT TO
     // DELTA): commit 0 REFERENCES the existing parquet files where they

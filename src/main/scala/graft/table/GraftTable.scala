@@ -345,6 +345,46 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     autoCompact()
   }
 
+  /** Idempotent batch append (Delta's `txnAppId`/`txnVersion` options —
+    * the foreachBatch exactly-once pattern): if `(appId, version)` is at
+    * or below the app's last committed transaction, the append is SKIPPED
+    * (a replayed batch must not double-write); otherwise the commit
+    * carries a Txn action folding into the snapshot for the O(1) replay
+    * guard. Returns true when rows were written. */
+  def appendIdempotent(df: DataFrame, appId: String, version: Long): Boolean = {
+    val s0 = snapshot
+    if (s0.transactions.get(appId).exists(_ >= version)) return false
+    val adds = writeDataMapped(
+      enforceConstraints(conform(df, s0.schema), s0.metaData), s0.metaData)
+    val info = TxnInfo(readWholeTable = false, None, Set.empty, Set.empty)
+    var base = s0.version
+    var attempts = 0
+    while (true) {
+      try {
+        log.commit(base + 1, Seq(
+          CommitInfo(base + 1, log.nextTimestamp(), "WRITE",
+            Map("numOutputRows" -> adds.map(_.numRecords).sum.toString,
+                "txnAppId" -> appId, "epoch" -> version.toString)),
+          Txn(appId, version)) ++ adds)
+        return true
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          val head = latestVersion
+          ((base + 1) to head).foreach(w => classifyWinner(s0, w, info))
+          // a concurrent replay of the SAME app may have landed this epoch
+          // while we raced — skip instead of double-writing
+          if (log.snapshotAt(head).transactions.get(appId).exists(_ >= version)) {
+            adds.foreach(a => Files.deleteIfExists(Paths.get(path, a.path)))
+            return false
+          }
+          if (attempts >= 10) throw e
+          base = head
+      }
+    }
+    false
+  }
+
   /** INSERT OVERWRITE / truncating rewrite as ONE atomic commit: every
     * current file removed and the new rows added in the same version —
     * readers see the old state or the new state, never the empty middle a
@@ -1095,7 +1135,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * BEFORE log.commit so the files exist when the commit makes them
     * visible; an abandoned staging dir from a failed commit is swept by
     * vacuum like any unreferenced file. */
-  private def writeCdcFiles(s: Snapshot, change: DataFrame): Seq[CdcFile] = {
+  private def writeCdcFiles(s: Snapshot, change: => DataFrame): Seq[CdcFile] = {
     if (!cdfEnabled(s.metaData)) return Nil
     val staging = Paths.get(path, s".cdcstage-${UUID.randomUUID()}")
     change.write.parquet(staging.toString)
@@ -1234,6 +1274,102 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   /** DELETE with a SQL predicate string (reference passes strings, api.py:107). */
   def delete(predicate: String): Long = delete(expr(predicate))
 
+  /** UPDATE rows matching `pred`, setting columns per `set` (SQL
+    * expressions over the row's current values — `"v" -> "v + 1"`). The
+    * native twin of SQL UPDATE / DeltaTable.update:
+    *  - copy-on-write: touched files (stats-pruned, then provenance-
+    *    narrowed to files with >= 1 match) rewrite in ONE projection —
+    *    `when(pred, setExpr).otherwise(col)` per column; untouched files
+    *    survive byte-identical;
+    *  - merge-on-read (deletionVectors.enabled): the matched rows'
+    *    positions tombstone and only the post-images append — kilobytes,
+    *    not rewrites (same cap + CoW fallback as DELETE/MERGE);
+    *  - CDC captures PAIRED update_preimage/update_postimage rows.
+    * Returns rows updated. */
+  def update(pred: Column, set: Map[String, String]): Long = {
+    val s = snapshot
+    require(set.nonEmpty, "UPDATE requires at least one SET column")
+    set.keys.foreach(k => require(s.schema.fieldNames.contains(k),
+      s"UPDATE SET references unknown column '$k'"))
+    val candidates = prunedFiles(s, pred)
+    if (candidates.isEmpty) { commitNoop(s, "UPDATE"); return 0L }
+    val matched = readFilesMeta(s, candidates).filter(coalesce(pred, lit(false)))
+    def postImage(rows: DataFrame): DataFrame = rows.select(
+      s.schema.fieldNames.map(c =>
+        set.get(c).map(u => expr(u).cast(s.schema(c).dataType).as(c))
+          .getOrElse(col(c))).toSeq: _*)
+    lazy val cdc = writeCdcFiles(s,
+      matched.drop("__fname", "__pos")
+        .withColumn("_change_type", lit("update_preimage"))
+        .unionByName(postImage(matched.drop("__fname", "__pos"))
+          .withColumn("_change_type", lit("update_postimage"))))
+
+    if (dvEnabled(s.metaData)) {
+      val affected = matched.localCheckpoint(true)
+      val perFile = affected.groupBy("__fname").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (perFile.isEmpty) { commitNoop(s, "UPDATE"); return 0L }
+      val touched = s.files.filter(f => perFile.contains(fileName(f.path)))
+      val maxTombstones = s.metaData.properties
+        .get("deletionVectors.maxTombstones").map(_.toLong).getOrElse(4L * 1000 * 1000)
+      if (perFile.values.sum + touched.map(_.dvCount).sum <= maxTombstones) {
+        val tombstones = affected.select(col("__fname"), col("__pos"))
+        val allPos = dvEntries(touched).map(_.unionByName(tombstones)).getOrElse(tombstones)
+        val rel = writeDvSidecar(allPos)
+        val adds = writeDataMapped(enforceConstraints(
+          conform(postImage(affected.drop("__fname", "__pos")), s.schema),
+          s.metaData), s.metaData)
+        val reAdds = touched.map(f => f.copy(dvPath = Some(rel),
+          dvCount = f.dvCount + perFile(fileName(f.path))))
+        val updated = perFile.values.sum
+        val cdcFiles = cdc
+        commitDml(s,
+          TxnInfo(readWholeTable = false, Some(pred),
+            candidates.map(_.path).toSet, touched.map(_.path).toSet),
+          (v, ts) =>
+            Seq(CommitInfo(v, ts, "UPDATE",
+              Map("numUpdatedRows" -> updated.toString,
+                  "numRewrittenFiles" -> "0",
+                  "numDeletionVectors" -> touched.size.toString))) ++
+            touched.map(f => RemoveFile(f.path, ts)) ++ reAdds ++ adds ++ cdcFiles)
+        return updated
+      }
+      // cap exceeded — fall through to copy-on-write
+    }
+
+    val touchedNames = matched.select(col("__fname")).distinct().collect()
+      .map(_.getString(0)).toSet
+    if (touchedNames.isEmpty) { commitNoop(s, "UPDATE"); return 0L }
+    val touched = s.files.filter(f => touchedNames.contains(fileName(f.path)))
+    // one projection rewrites the touched files: matching rows take their
+    // SET expressions, the rest pass through
+    val rewritten = readFilesMeta(s, touched).drop("__fname", "__pos")
+      .select(s.schema.fieldNames.map { c =>
+        set.get(c) match {
+          case Some(u) => when(coalesce(pred, lit(false)),
+            expr(u).cast(s.schema(c).dataType)).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }.toSeq: _*)
+    val adds = writeDataMapped(
+      enforceConstraints(conform(rewritten, s.schema), s.metaData), s.metaData)
+    val updated = readFilesMeta(s, touched).filter(coalesce(pred, lit(false))).count()
+    val cdcFiles = cdc
+    commitDml(s,
+      TxnInfo(readWholeTable = false, Some(pred),
+        candidates.map(_.path).toSet, touched.map(_.path).toSet),
+      (v, ts) =>
+        Seq(CommitInfo(v, ts, "UPDATE",
+          Map("numUpdatedRows" -> updated.toString,
+              "numRewrittenFiles" -> touched.size.toString))) ++
+        touched.map(f => RemoveFile(f.path, ts)) ++ adds ++ cdcFiles)
+    updated
+  }
+
+  /** UPDATE with a SQL predicate string. */
+  def update(predicate: String, set: Map[String, String]): Long =
+    update(expr(predicate), set)
+
   private def commitNoop(s: Snapshot, op: String): Unit =
     log.commit(s.version + 1, Seq(CommitInfo(s.version + 1, log.nextTimestamp(), op,
       Map("numDeletedRows" -> "0", "numRewrittenFiles" -> "0"))))
@@ -1359,9 +1495,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       // __fname/__pos provenance rides along for the merge-on-read path
       // (tombstoning needs the affected rows' positions); the CoW path
       // simply never selects them
-      val t = readFilesMeta(s, touched)
+      // pin row ids with an eager checkpoint ONLY when the dup-match guard
+      // will re-evaluate the frame in a separate job; NMBS-only merges run
+      // a single job, where monotonically_increasing_id is consistent
+      val tBase = readFilesMeta(s, touched)
         .withColumn("__tid", monotonically_increasing_id())
-        .localCheckpoint(true) // pin row ids: same ids in guard and rewrite
+      val t = (if (matchedClauses.nonEmpty) tBase.localCheckpoint(true) else tBase)
         .alias(targetAlias)
       // Duplicate-source-match guard (Delta semantics): >1 source row
       // matching one target row is an error, not a nondeterministic

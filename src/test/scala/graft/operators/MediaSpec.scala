@@ -37,6 +37,52 @@ class MediaSpec extends SparkTestBase {
     assert(!agg.schema.fields.exists(_.dataType.typeName == "binary"))
   }
 
+  test("codec seam: bytes touched exactly once, payloads never cross the shuffle") {
+    import spark.implicits._
+    val rows = Media.mediaDataset(spark, sfDir)
+    val totalPayloadBytes = rows.select(sum(length($"payload"))).head().getLong(0)
+    val featureRows = rows.count()
+    assert(totalPayloadBytes > 100000L, "fixture must carry real payload volume")
+
+    // bytes-touched accumulator INSIDE the codec seam + a listener counting
+    // what actually crosses the shuffle — the map-side-only guarantee is
+    // measured, not assumed
+    val touched = spark.sparkContext.longAccumulator("media-bytes-touched")
+    val countingCodec = new MediaCodec {
+      override def decode(p: Array[Byte]): Array[Float] = {
+        touched.add(p.length); Media.decodeStub(p)
+      }
+    }
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val agg = Media.decode(rows, countingCodec)
+        .groupBy($"lang").agg(count(lit(1)).as("n"),
+          avg(element_at($"features", 3)).as("avg_bin3"))
+      assert(agg.collect().map(_.getLong(1)).sum === featureRows)
+      // listener events are async — wait for the counters to settle
+      val deadline = System.currentTimeMillis() + 10000
+      var last = -1L
+      while (System.currentTimeMillis() < deadline &&
+             (shuffleBytes.get() != last || last == 0L)) {
+        last = shuffleBytes.get(); Thread.sleep(300)
+      }
+      assert(touched.value === totalPayloadBytes,
+        "every payload byte decoded exactly once — no re-decode, none skipped")
+      assert(shuffleBytes.get() > 0, "the aggregation must actually shuffle")
+      assert(shuffleBytes.get() < totalPayloadBytes / 10,
+        s"shuffle carried ${shuffleBytes.get()} bytes for $totalPayloadBytes " +
+          "payload bytes — payloads must stay map-side")
+      assert(shuffleBytes.get() <= featureRows * 200,
+        "shuffled volume must scale with (narrow) feature rows, not payloads")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("resize pools 16-dim features to 4 dims preserving mass") {
     import spark.implicits._
     val feats = Media.decode(Media.mediaDataset(spark, sfDir))

@@ -329,6 +329,61 @@ class GraftTableSpec extends SparkTestBase {
       Set((2, "delete")))
   }
 
+  test("idempotent append: replayed (appId, version) writes exactly once") {
+    val t = GraftTable.create(spark, tmpDir("gt-idem-"), df((0, "s", "r")))
+    assert(t.appendIdempotent(df((1, "a", "b")), "job-1", 1L) === true)
+    // replay of the same epoch: skipped, no rows, no commit
+    val vAfter = t.latestVersion
+    assert(t.appendIdempotent(df((1, "a", "b")), "job-1", 1L) === false)
+    assert(t.latestVersion === vAfter, "skipped replay must not commit")
+    // next epoch and a different app both land
+    assert(t.appendIdempotent(df((2, "c", "d")), "job-1", 2L) === true)
+    assert(t.appendIdempotent(df((3, "e", "f")), "job-2", 1L) === true)
+    assert(state(t.toDF).map(_._1) === Set(0, 1, 2, 3))
+    // the txn map folds into the snapshot (checkpoint-compatible guard)
+    assert(t.snapshot.transactions === Map("job-1" -> 2L, "job-2" -> 1L))
+  }
+
+  test("UPDATE: native predicate update rewrites only touched files") {
+    val t = GraftTable.create(spark, tmpDir("gt-upd-"),
+      df((1, "A", "B"), (2, "C", "D")).repartition(1))
+    t.append(df((3, "E", "F")).repartition(1))
+    val before = t.snapshot.files.map(_.path).toSet
+    val n = t.update(col("id") === 1, Map("firstname" -> "'A2'", "lastname" -> "upper(lastname)"))
+    assert(n === 1)
+    assert(state(t.toDF) === Set((1, "A2", "B"), (2, "C", "D"), (3, "E", "F")))
+    // the file holding id=3 must survive untouched
+    val after = t.snapshot.files.map(_.path).toSet
+    assert((before intersect after).nonEmpty, "unmatched file must survive")
+    // unknown SET column fails loudly; no-match predicate is a clean no-op
+    intercept[IllegalArgumentException](t.update(col("id") === 1, Map("nope" -> "'x'")))
+    assert(t.update(col("id") === 99, Map("firstname" -> "'z'")) === 0L)
+    assert(t.history().select("operation").first().getString(0) === "UPDATE")
+  }
+
+  test("UPDATE: merge-on-read DV mode appends post-images, rewrites nothing") {
+    val t = GraftTable.create(spark, tmpDir("gt-upd-dv-"),
+      df((1, "A", "B"), (2, "C", "D"), (3, "E", "F")).repartition(1))
+    t.setProperty("deletionVectors.enabled", "true")
+    t.setProperty("changeDataFeed.enabled", "true")
+    val dataBefore = t.snapshot.files.map(_.path).toSet
+    val v = t.latestVersion
+    val n = t.update(col("id") <= 2, Map("lastname" -> "'X'"))
+    assert(n === 2)
+    assert(state(t.toDF) === Set((1, "A", "X"), (2, "C", "X"), (3, "E", "F")))
+    // zero rewrites: the original file re-added with a DV + a post-image file
+    val metrics = t.history().filter(col("operation") === "UPDATE")
+      .select("operationMetrics").first().getMap[String, String](0)
+    assert(metrics("numRewrittenFiles") === "0")
+    assert(t.snapshot.files.map(_.path).toSet.intersect(dataBefore) === dataBefore,
+      "original data files stay live (tombstoned, not rewritten)")
+    // CDC: paired update images
+    val ch = t.changes(v, v + 1).collect()
+      .map(r => (r.getInt(0), r.getAs[String]("_change_type"))).toSet
+    assert(ch === Set((1, "update_preimage"), (1, "update_postimage"),
+      (2, "update_preimage"), (2, "update_postimage")))
+  }
+
   test("CONVERT: in-place import of a parquet dir, then DML on the result") {
     import spark.implicits._
     val dir = tmpDir("gt-conv-")
