@@ -26,7 +26,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * figures come from the driver-side log, no job runs to report them). */
 object GraftProcedures {
 
-  val names: Seq[String] = Seq("optimize", "vacuum", "restore")
+  val names: Seq[String] = Seq("optimize", "vacuum", "restore", "convert")
 
   def load(catalog: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.sameElements(Array("system")),
@@ -35,6 +35,7 @@ object GraftProcedures {
       case "optimize" => OptimizeProc(catalog)
       case "vacuum"   => VacuumProc(catalog)
       case "restore"  => RestoreProc(catalog)
+      case "convert"  => ConvertProc(catalog)
       case other => throw new IllegalArgumentException(
         s"unknown procedure graft.system.$other (have: ${names.mkString(", ")})")
     }
@@ -120,6 +121,25 @@ object GraftProcedures {
       val retain = if (input.isNullAt(1)) 0 else input.getInt(1)
       val retention = if (input.isNullAt(2)) -1L else input.getLong(2)
       resultScan(out, row(t.vacuum(retain, retention).toLong))
+    }
+  }
+
+  /** `CALL graft.system.convert(path => '/data/existing-parquet')` —
+    * Delta's CONVERT TO DELTA as a procedure: in-place import of a
+    * parquet directory as commit 0 (files referenced where they are,
+    * footer-harvested stats, Hive partition dirs auto-detected). */
+  case class ConvertProc(catalog: GraftCatalog) extends GraftProc("convert") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("path", StringType))
+
+    private val out = StructType(Seq(
+      StructField("num_files", LongType, nullable = false),
+      StructField("num_rows", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val t = GraftTable.convert(SparkSession.active, input.getUTF8String(0).toString)
+      val s = t.snapshot
+      resultScan(out, row(s.files.size.toLong, s.files.map(_.numRecords).sum))
     }
   }
 

@@ -133,11 +133,26 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
       case SaveMode.Overwrite =>
         if (exists) {
           val t = GraftTable.forPath(ctx.sparkSession, p)
-          t.delete(lit(true)) // truncate as one commit
-          t.append(data)
+          val caseMap = parameters.map { case (k, v) => k.toLowerCase -> v }
+          val dynamic = caseMap.get("partitionoverwritemode")
+            .orElse(Option(ctx.sparkSession.conf
+              .get("spark.sql.sources.partitionOverwriteMode", "static")))
+            .exists(_.equalsIgnoreCase("dynamic"))
+          caseMap.get("replacewhere") match {
+            // Delta's replaceWhere writer option: predicate-scoped atomic
+            // overwrite instead of a truncate
+            case Some(pred) =>
+              t.overwriteWhere(org.apache.spark.sql.functions.expr(pred), data)
+            case None
+                if dynamic && t.snapshot.metaData.partitionColumns.nonEmpty =>
+              t.overwritePartitions(data)
+            // full truncating rewrite as ONE atomic commit — readers see
+            // old or new state, never the empty middle
+            case None => t.overwrite(data)
+          }
         } else GraftTable.create(ctx.sparkSession, p, data)
     }
-    createRelation(ctx, parameters - "partitionBy")
+    createRelation(ctx, parameters - "partitionBy" - "replaceWhere" - "partitionOverwriteMode")
   }
 }
 

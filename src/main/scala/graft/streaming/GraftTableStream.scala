@@ -66,8 +66,25 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
     * "from the very first commit" — the full append history, NOT a folded
     * snapshot: a rewrite anywhere in the covered range triggers the same
     * append-only abort as a live rewrite, per the Delta contract). Absent:
-    * the first batch is the folded live snapshot. */
-  private val startingVersion: Option[Long] = options.get("startingversion").map(_.toLong)
+    * the first batch is the folded live snapshot. `startingTimestamp`
+    * (exclusive with it) resolves to the first commit at or after the
+    * instant — Delta's option pair, same "yyyy-MM-dd HH:mm:ss" format as
+    * the batch timestampAsOf. */
+  private val startingVersion: Option[Long] = {
+    val byVersion = options.get("startingversion").map(_.toLong)
+    val byTs = options.get("startingtimestamp").map { ts =>
+      require(byVersion.isEmpty,
+        "specify at most one of startingVersion / startingTimestamp")
+      val ms = java.sql.Timestamp.valueOf(ts).getTime
+      val first = (0L to log.latestVersion).find { v =>
+        log.readVersion(v).collectFirst { case c: CommitInfo => c.timestamp }
+          .exists(_ >= ms)
+      }
+      first.getOrElse(throw new IllegalArgumentException(
+        s"startingTimestamp $ts is after the last commit of $tablePath"))
+    }
+    byVersion.orElse(byTs)
+  }
 
   /** Trigger.AvailableNow: pin the end version at query start so the run
     * drains exactly the commits that existed then, and stops. */

@@ -339,6 +339,20 @@ class CatalogSpec extends SparkTestBase {
       .map(_.getInt(0)).toSeq == Seq(1, 2))
   }
 
+  test("CALL graft.system.convert imports a parquet dir in place") {
+    registered
+    import spark.implicits._
+    val dir = tmpDir("cat-conv-")
+    Seq((1, "a"), (2, "b")).toDF("id", "v")
+      .write.mode("append").parquet(dir)
+    val res = sql(s"CALL gcat.system.convert(path => '$dir')").head()
+    assert(res.getLong(0) >= 1 && res.getLong(1) == 2)
+    // the converted dir reads as a graft table (incl. through the source)
+    assert(spark.read.format("graft").load(dir).count() == 2)
+    assert(GraftTable.forPath(spark, dir).history()
+      .select("operation").first().getString(0) == "CONVERT")
+  }
+
   test("bloom.columns property at CREATE configures native bloom filters") {
     registered
     sql("CREATE TABLE gcat.default.bl (k BIGINT, v STRING) USING graft " +

@@ -35,9 +35,37 @@ class GraftSourceSpec extends SparkTestBase {
 
     df((7, "z")).write.format("graft").mode(SaveMode.Overwrite).save(dir)
     assert(ids(spark.read.format("graft").load(dir)) === Set(7))
-    // overwrite is versioned: history keeps the truncate + append commits
     val t = GraftTable.forPath(spark, dir)
-    assert(ids(t.versionAsOf(1)) === Set(1, 2, 3))
+    // overwrite is ONE atomic commit (readers never see the empty middle),
+    // and versioned: pre-overwrite state still time-travels
+    assert(t.history().select("operation").first().getString(0) === "OVERWRITE")
+    assert(ids(t.versionAsOf(t.latestVersion - 1)) === Set(1, 2, 3))
+  }
+
+  test("writer replaceWhere option scopes the overwrite; dynamic mode replaces partitions") {
+    val dir = tmpDir("src-rw-")
+    val part = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("lang", StringType, nullable = false)))
+    def pdf(rows: (Int, String)*): DataFrame =
+      spark.createDataFrame(rows.map { case (i, l) => Row(i, l) }.asJava, part)
+    GraftTable.create(spark, dir,
+      pdf((1, "en"), (2, "de"), (3, "fr")), partitionBy = Seq("lang"))
+
+    // replaceWhere: only the en slice is replaced
+    pdf((10, "en"), (11, "en")).write.format("graft")
+      .mode(SaveMode.Overwrite).option("replaceWhere", "lang = 'en'").save(dir)
+    assert(ids(spark.read.format("graft").load(dir)) === Set(10, 11, 2, 3))
+    // escaping rows are rejected before any commit
+    intercept[IllegalArgumentException] {
+      pdf((12, "de")).write.format("graft")
+        .mode(SaveMode.Overwrite).option("replaceWhere", "lang = 'en'").save(dir)
+    }
+
+    // dynamic partition overwrite: exactly the partitions written replace
+    pdf((20, "de")).write.format("graft")
+      .mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic").save(dir)
+    assert(ids(spark.read.format("graft").load(dir)) === Set(10, 11, 20, 3))
   }
 
   test("versionAsOf / timestampAsOf options time travel (reference read shape)") {

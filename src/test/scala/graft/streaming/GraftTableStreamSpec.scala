@@ -105,6 +105,29 @@ class GraftTableStreamSpec extends SparkTestBase {
     assert(outIds(out) == Seq(1, 2, 3))
   }
 
+  test("startingTimestamp starts the tail at the first commit at/after the instant") {
+    val dir = tmpDir("gstream-ts-")
+    val t = GraftTable.create(spark, dir, Seq((1, "a")).toDF("id", "v"))
+    t.append(Seq((2, "b")).toDF("id", "v"))
+    // the cut point: commits strictly before this instant are excluded
+    val cut = t.log.commitInfos.last.timestamp + 1
+    t.append(Seq((3, "c")).toDF("id", "v"))
+    t.append(Seq((4, "d")).toDF("id", "v"))
+    // Timestamp.toString keeps millis ("....sss"), which valueOf re-parses
+    val cutStr = new java.sql.Timestamp(cut).toString
+    val q = startStream(dir, tmpDir("gstream-ts-ckpt-"), "gts1",
+      Map("startingTimestamp" -> cutStr))
+    q.awaitTermination(60000)
+    val got = spark.table("gts1").collect().map(_.getInt(0)).toSet
+    assert(got === Set(3, 4), s"only commits at/after the instant stream, got $got")
+    intercept[Exception] {
+      spark.readStream.format("graft")
+        .option("startingTimestamp", "2099-01-01 00:00:00")
+        .load(dir).writeStream.format("memory").queryName("gts2")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+  }
+
   test("partitioned table: partition column reconstructed from the log") {
     val dir = tmpDir("gstream-part-")
     val t = GraftTable.create(spark, dir,
