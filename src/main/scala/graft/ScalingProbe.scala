@@ -69,9 +69,69 @@ object ScalingProbe {
       .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
   }
 
+  /** DML fixed-cost probe: the golden scenario (create → MERGE → DELETE →
+    * reads) step-timed with a Spark job counter — separates driver-side log
+    * work from per-job scheduling overhead. The q70-q75 bench numbers ARE
+    * these steps; when the family creeps round-over-round this says which
+    * step and whether it grew jobs or per-job time.
+    * Usage: tools/run.sh graft.ScalingProbe dml [reps]. */
+  private def runDmlProbe(reps: Int): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    })
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("firstname", StringType, nullable = false),
+      StructField("lastname", StringType, nullable = false)))
+    def timed[A](label: String)(f: => A): A = {
+      val j0 = jobs.get(); val t0 = System.nanoTime(); val r = f
+      println(f"""DMLPROBE {"step":"$label","sec":${(System.nanoTime() - t0) / 1e9}%.3f,"jobs":${jobs.get() - j0}}""")
+      r
+    }
+    for (rep <- 1 to reps) {
+      println(s"--- rep $rep ---")
+      val dir = Scratch.dir("graft-dmlprobe-").toString
+      val seed = spark.createDataFrame(java.util.List.of(
+        Row(1, "James", "Bond"), Row(2, "Alice", "Rogers"), Row(3, "Joe", "Bloggs")), schema)
+      val t = timed("create")(graft.table.GraftTable.create(spark, dir, seed))
+      val updates = spark.createDataFrame(java.util.List.of(
+        Row(2, "Alice", "Smith"), Row(4, "New", "Person")), schema)
+      timed("merge") {
+        t.merge(updates, "t.id = s.id")
+          .whenMatchedUpdate(Map("firstname" -> "s.firstname", "lastname" -> "s.lastname"))
+          .whenNotMatchedInsert(Map("id" -> "s.id", "firstname" -> "s.firstname",
+                                    "lastname" -> "s.lastname"))
+          .execute()
+      }
+      timed("delete")(t.delete(col("id").isin(1, 3)))
+      timed("read_head")(t.toDF.count())
+      timed("read_v1")(t.versionAsOf(1).count())
+      timed("history")(t.history().count())
+      timed("changes")(t.changes(0, 2).count())
+      timed("restore")(t.restore(1))
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("log")) {
       runLogProbe(args.drop(1).headOption.map(_.toInt).getOrElse(100000))
+      return
+    }
+    if (args.headOption.contains("dml")) {
+      runDmlProbe(args.drop(1).headOption.map(_.toInt).getOrElse(3))
       return
     }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

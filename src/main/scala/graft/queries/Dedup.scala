@@ -703,6 +703,7 @@ object Dedup {
               org.apache.spark.sql.Row](), pairSchema))
           val corpusSigs = idx.toDF
           val chk = graft.Scratch.dir("graft-dedup-chk-")
+          graft.streaming.EventStreams.scopedStreamRun(s) {
           val q = s.readStream.format("graft").load(arrivals.path)
             .writeStream
             .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
@@ -723,6 +724,7 @@ object Dedup {
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
           q.awaitTermination()
+          }
           // incremental-maintenance invariant: the live index grew by
           // exactly the arrivals (metadata-only counts — no scan)
           val arrivalsN = arrivals.metadataCount()

@@ -69,17 +69,19 @@ object Streaming {
         val stream = EventStreams.streamingFirstTouch(
           EventStreams.readEventStream(s, dir))
         val chk = graft.Scratch.dir("graft-upsert-chk-")
-        val q = stream.writeStream
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            t.merge(batch, "t.user_id = s.user_id AND t.event_type = s.event_type")
-              .whenNotMatchedInsert(Map(
-                "user_id" -> "s.user_id", "event_type" -> "s.event_type"))
-              .execute()
-          }
-          .option("checkpointLocation", chk.resolve("chk").toString)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        EventStreams.scopedStreamRun(s) {
+          val q = stream.writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              t.merge(batch, "t.user_id = s.user_id AND t.event_type = s.event_type")
+                .whenNotMatchedInsert(Map(
+                  "user_id" -> "s.user_id", "event_type" -> "s.event_type"))
+                .execute()
+            }
+            .option("checkpointLocation", chk.resolve("chk").toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         t.toDF.groupBy($"event_type")
           .agg(countDistinct($"user_id").as("n_users"),
                count(lit(1)).as("n_rows"))
@@ -323,13 +325,15 @@ object Streaming {
             s.createDataFrame(java.util.Collections.emptyList[
               org.apache.spark.sql.Row](), streamed.schema))
           val chk = graft.Scratch.dir("graft-sinktbl-chk-")
-          val q = streamed.writeStream.format("graft")
-            .option("path", tbl.path)
-            .option("checkpointLocation", chk.resolve("chk").toString)
-            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
+          EventStreams.scopedStreamRun(s) {
+            val q = streamed.writeStream.format("graft")
+              .option("path", tbl.path)
+              .option("checkpointLocation", chk.resolve("chk").toString)
+              .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+          }
           tbl
         })
         t.toDF.orderBy($"w_start", $"event_type").limit(500)
@@ -381,10 +385,12 @@ object Streaming {
             .option("readChangeFeed", "true")
             .option("startingVersion", 2)
             .load(t.path)
-          val q = feed.writeStream.format("memory").queryName("graft_cdf143")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
+          EventStreams.scopedStreamRun(s) {
+            val q = feed.writeStream.format("memory").queryName("graft_cdf143")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+          }
           s.table("graft_cdf143")
         })
         // sidecar tier: the MERGE's update arrives as a PAIRED

@@ -1463,54 +1463,62 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // NOT MATCHED BY SOURCE clauses — when it matches nothing and some
     // by-source clause's condition holds. Only those files are rewritten:
     // per-clause conditions narrow the rewrite set, exactly like Delta's
-    // touched-file inner join. Without by-source clauses this stays an
-    // inner (semi-shaped) join; with them it has to be a left-outer probe
-    // of every file (match status is what the clauses dispatch on).
+    // touched-file inner join. The duplicate-source-match guard (Delta
+    // semantics: >1 source row matching one target row of a rewritten file
+    // is an error, not a nondeterministic update) rides the SAME pass as a
+    // per-(file, row) match count — one job finds the touched set AND
+    // proves match uniqueness, instead of a discovery join plus a separate
+    // guard join over an eagerly checkpointed rewrite frame. Without
+    // by-source clauses this stays an inner join; with them it has to be a
+    // left-outer probe (match status is what the clauses dispatch on).
     val touched: Seq[AddFile] =
       if (s.files.isEmpty || (matchedClauses.isEmpty && bySourceClauses.isEmpty)) Nil
       else {
-        val withFile = readFilesWithFileCol(s, prunedTargetFiles)
-          .withColumnRenamed("_file", "__file")
-          .alias(targetAlias)
-        val names: Set[String] =
+        val metaT = readFilesMeta(s, prunedTargetFiles).alias(targetAlias)
+        val perFile: Array[org.apache.spark.sql.Row] =
           if (bySourceClauses.isEmpty) {
             val affected = matchedClauses.map(m => cc(mCond(m))).reduce(_ || _)
-            withFile.join(src, cond, "inner").filter(affected)
-              .select(col("__file")).distinct().collect()
-              .map(r => fileName(r.getString(0))).toSet
+            metaT.join(src, cond, "inner")
+              .groupBy(col("__fname"), col("__pos"))
+              .agg(count(lit(1)).as("__n"),
+                   max(when(affected, 1).otherwise(0)).as("__aff"))
+              .groupBy(col("__fname"))
+              .agg(max(col("__n")).as("__mx"), max(col("__aff")).as("__aff"))
+              .collect()
           } else {
-            val joined = withFile.join(src.withColumn(srcMark, lit(true)), cond, "left_outer")
+            val joined = metaT.join(src.withColumn(srcMark, lit(true)), cond, "left_outer")
             val matchedPred = col(srcMark).isNotNull
             val mAff =
               if (matchedClauses.isEmpty) lit(false)
               else matchedPred && matchedClauses.map(m => cc(mCond(m))).reduce(_ || _)
             val bAff = !matchedPred && bySourceClauses.map(b => cc(bCond(b))).reduce(_ || _)
-            joined.filter(mAff || bAff).select(col("__file")).distinct().collect()
-              .map(r => fileName(r.getString(0))).toSet
+            joined
+              .groupBy(col("__fname"), col("__pos"))
+              .agg(sum(when(matchedPred, 1).otherwise(0)).as("__n"),
+                   max(when(mAff || bAff, 1).otherwise(0)).as("__aff"))
+              .groupBy(col("__fname"))
+              .agg(max(col("__n")).as("__mx"), max(col("__aff")).as("__aff"))
+              .collect()
           }
-        s.files.filter(f => names.contains(fileName(f.path)))
+        val touchedNames = perFile.filter(_.getAs[Int]("__aff") == 1)
+          .map(_.getAs[String]("__fname")).toSet
+        if (matchedClauses.nonEmpty && perFile.exists(r =>
+            touchedNames.contains(r.getAs[String]("__fname")) &&
+            r.getAs[Long]("__mx") > 1))
+          throw new IllegalStateException(
+            "MERGE failed: multiple source rows matched the same target row")
+        s.files.filter(f => touchedNames.contains(fileName(f.path)))
       }
 
     if (touched.nonEmpty) {
       // __fname/__pos provenance rides along for the merge-on-read path
       // (tombstoning needs the affected rows' positions); the CoW path
-      // simply never selects them
-      // pin row ids with an eager checkpoint ONLY when the dup-match guard
-      // will re-evaluate the frame in a separate job; NMBS-only merges run
-      // a single job, where monotonically_increasing_id is consistent
-      val tBase = readFilesMeta(s, touched)
+      // simply never selects them. __tid pins row identity for the
+      // NMBS-only copy collapse — copies of one target row share an id
+      // within any single job, which is all dropDuplicates needs.
+      val t = readFilesMeta(s, touched)
         .withColumn("__tid", monotonically_increasing_id())
-      val t = (if (matchedClauses.nonEmpty) tBase.localCheckpoint(true) else tBase)
         .alias(targetAlias)
-      // Duplicate-source-match guard (Delta semantics): >1 source row
-      // matching one target row is an error, not a nondeterministic
-      // update/delete. Only relevant when matched clauses exist.
-      if (matchedClauses.nonEmpty) {
-        val dup = t.join(src, cond, "inner")
-          .groupBy(col("__tid")).count().filter(col("count") > 1).limit(1).count()
-        if (dup > 0) throw new IllegalStateException(
-          "MERGE failed: multiple source rows matched the same target row")
-      }
 
       // Phase 2a: rewrite touched files. Each row takes the FIRST clause
       // whose condition holds for its match status (Delta's clause-order
