@@ -104,6 +104,19 @@ object TableQueries {
       cl
     })
 
+  /** q150's generated-column table: events partitioned by a day column the
+    * table computes itself (`GENERATED ALWAYS AS cast(date_trunc ...)`),
+    * memoized per (JVM, dir). */
+  private def genTable(s: SparkSession, dir: String): GraftTable =
+    cache.computeIfAbsent(s"gen:$dir", _ => {
+      import s.implicits._
+      GraftTable.create(s, graft.Scratch.dir("graft-gencol-").toString,
+        graft.Tables.events(s, dir)
+          .select($"event_id", $"ts", $"user_id", $"event_type", $"value"),
+        partitionBy = Seq("day"),
+        generated = Map("day" -> "cast(date_trunc('DAY', ts) as date)"))
+    })
+
   /** q123's Hive-partitioned documents table, memoized per (JVM, dir). */
   private def partTable(s: SparkSession, dir: String): GraftTable =
     cache.computeIfAbsent(s"part:$dir", _ => {
@@ -767,6 +780,44 @@ object TableQueries {
       },
       """SELECT *, CAST(1 AS BIGINT) AS head_version FROM nation
         |WHERE n_regionkey <> 2 ORDER BY n_nationkey""".stripMargin),
+
+    // ---- Generated columns: GENERATED ALWAYS AS + day-partitioned events ---------
+    // The canonical 100-TB time-partitioned table: the writer supplies raw
+    // events and the TABLE computes `day = cast(date_trunc('DAY', ts) as
+    // date)` (expression pinned in the schema's field metadata), partitions
+    // by it, and recomputes it on every later write path. The query filters
+    // on RAW ts — no day predicate anywhere — and still scans only the
+    // matching day partitions, because every file carries ts min/max footer
+    // stats (the fixture REQUIREs files were pruned). Delta needs dedicated
+    // partition-filter generation for this; here it falls out of per-file
+    // stats. Oracle = the same cutoff over the raw parquet, integer-second
+    // arithmetic on both sides so the cut agrees exactly.
+    "q150_generated_partition" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import graft.queries.Exact
+        val t = genTable(s, dir)
+        val b = graft.Tables.events(s, dir)
+          .agg(min($"ts").as("lo"), max($"ts").as("hi")).head()
+        val loSec = b.getTimestamp(0).getTime / 1000
+        val hiSec = b.getTimestamp(1).getTime / 1000
+        val cut = new Timestamp((loSec + (hiSec - loSec) / 4) * 1000)
+        val snap = t.snapshot
+        val pruned = t.prunedFiles(snap, $"ts" < lit(cut))
+        require(pruned.size < snap.files.size,
+          s"ts predicate must prune day partitions (${pruned.size} of ${snap.files.size})")
+        t.scan($"ts" < lit(cut))
+          .groupBy(date_format($"day", "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n"), Exact.sumExact($"value").as("sum_value"))
+          .orderBy($"day")
+      },
+      s"""WITH b AS (SELECT epoch_us(min(ts)) // 1000000 AS lo,
+         |                  epoch_us(max(ts)) // 1000000 AS hi FROM events)
+         |SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         |  COUNT(*) AS n, ${Exact.sqlSumExact("value")} AS sum_value
+         |FROM events, b
+         |WHERE ts < to_timestamp(lo + (hi - lo) // 4)
+         |GROUP BY 1 ORDER BY day""".stripMargin),
 
     // ---- Hive-partitioned table scan (partition pruning as data skipping) --------
     // Documents land Hive-partitioned by lang (lang=en/... directories);

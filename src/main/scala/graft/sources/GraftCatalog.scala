@@ -391,6 +391,18 @@ class GraftRowLevelOperation(table: GraftTable,
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
 
+  // SQL UPDATE/MERGE rewrite rows through Spark's group plan, which carries
+  // a generated column's OLD value past a change to its base columns — the
+  // group write cannot re-run generation expressions, so refuse loudly.
+  // DELETE only drops rows (values pass through unchanged) and stays open;
+  // the native API (GraftTable.update/merge) recomputes via conform().
+  if (cmd != org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE) {
+    val gen = graft.table.GeneratedColumns.names(table.snapshot.schema)
+    require(gen.isEmpty,
+      s"SQL $cmd cannot maintain generated columns ${gen.toSeq.sorted.mkString(", ")}; " +
+        "use the native GraftTable.update/merge API (they recompute generated columns)")
+  }
+
   @volatile private var scanned: Option[Snapshot] = None
   @volatile private var groupScan: Option[GraftGroupScan] = None
 

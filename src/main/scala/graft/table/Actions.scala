@@ -74,9 +74,11 @@ final case class Protocol(minReaderVersion: Int = 1, minWriterVersion: Int = 1,
     readerFeatures: Seq[String] = Nil, writerFeatures: Seq[String] = Nil) extends Action
 
 object Protocol {
-  /** Features THIS build can read/write correctly. */
+  /** Features THIS build can read/write correctly. `generatedColumns` is
+    * writer-only (readers see plain materialized data; only writers must
+    * honor the generation rule), mirroring the Delta feature split. */
   val supportedReaderFeatures: Set[String] = Set("deletionVectors", "columnMapping", "changeDataFeed")
-  val supportedWriterFeatures: Set[String] = supportedReaderFeatures
+  val supportedWriterFeatures: Set[String] = supportedReaderFeatures + "generatedColumns"
 }
 
 /** Named protocol-gate failure: the table requires a capability this

@@ -86,6 +86,7 @@ object DataSkipping {
            _: DoubleType | _: FloatType | _: DecimalType =>
         Some(Left(BigDecimal(v.toString)))
       case _: TimestampType => Some(Left(BigDecimal(v.toString))) // micros
+      case _: DateType      => Some(Left(BigDecimal(v.toString))) // epoch days
       case _: StringType    => Some(Right(v.toString))
       case _                => None
     }

@@ -32,7 +32,18 @@ object FileOps {
     val writer0 = df.write.options(writeOptions)
     val writer = if (partitionCols.nonEmpty) writer0.partitionBy(partitionCols: _*)
                  else writer0
-    writer.parquet(staging.toString)
+    // Timestamps land as INT64 micros, not Spark's INT96 default: INT96 is
+    // deprecated and carries NO footer min/max, so a time-range predicate
+    // over INT96 files could never data-skip — the one stat a
+    // time-partitioned 100 TB table lives by. DataSkipping already compares
+    // timestamp stats as micros; this makes every write produce them.
+    // (Session conf, scoped: the parquet source has no per-write option.)
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val sess = df.sparkSession
+    val prevTs = sess.conf.get(tsKey)
+    sess.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try writer.parquet(staging.toString)
+    finally sess.conf.set(tsKey, prevTs)
     val parts = Files.walk(staging).iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
       .toSeq.sortBy(_.toString)

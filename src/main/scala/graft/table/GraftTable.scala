@@ -100,6 +100,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   /** readFiles variant that keeps `__fname`/`__pos` provenance columns —
     * the DV delete path needs the surviving rows' positions. */
   private def readFilesMeta(s: Snapshot, files: Seq[AddFile]): DataFrame = {
+    if (files.isEmpty)
+      return toLogical(s, readFilesRaw(s, files)
+        .withColumn("__fname", lit(""))
+        .withColumn("__pos", lit(0L)), Seq("__fname", "__pos"))
     def marked(fs: Seq[AddFile]): DataFrame = readFilesRaw(s, fs)
       .withColumn("__fname", col("_metadata.file_name"))
       .withColumn("__pos", col("_metadata.row_index"))
@@ -257,13 +261,21 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
 
   /** Align df to the table schema: same columns (by name, in order), cast to
     * the table's types. Rejects missing/extra columns — schema enforcement
-    * on write (SURVEY.md §2-B.7). */
+    * on write (SURVEY.md §2-B.7). Generated columns are the one exception:
+    * a writer may omit them, and either way the engine (re)computes them
+    * from their declared expressions so the generation invariant holds by
+    * construction on every write path (see GeneratedColumns). */
   private def conform(df: DataFrame, schema: StructType): DataFrame = {
+    val generated = GeneratedColumns.names(schema)
     val have = df.columns.toSet
     val want = schema.fieldNames.toSet
-    require(have == want,
-      s"schema mismatch: table has ${want.toSeq.sorted}, write has ${have.toSeq.sorted}")
-    df.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    require((have -- want).isEmpty,
+      s"schema mismatch: write has extra columns ${(have -- want).toSeq.sorted} " +
+        s"(table has ${want.toSeq.sorted})")
+    require((want -- have -- generated).isEmpty,
+      s"schema mismatch: write lacks columns ${(want -- have -- generated).toSeq.sorted}")
+    GeneratedColumns.fill(df, schema)
+      .select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
   }
 
   /** Enforce the table's CHECK constraints on rows about to be written
@@ -979,10 +991,27 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val p2l = if (mapped) ColumnMapping.physToLog(s.schema) else Map.empty[String, String]
     def logicalKeys(m: Map[String, String]): Map[String, String] =
       if (!mapped) m else m.flatMap { case (k, v) => p2l.get(k).map(_ -> v) }
+    // partition DIRECTORY values are Hive display strings; footer stats and
+    // predicate literals compare in the column's STORED form (dates as
+    // epoch days, timestamps as micros) — re-encode before they enter
+    // pruning, dropping any value that doesn't parse (conservative: an
+    // absent stat never skips)
+    val fieldType = s.schema.fields.map(f => f.name -> f.dataType).toMap
+    def statEncode(m: Map[String, String]): Map[String, String] =
+      m.flatMap { case (k, v) =>
+        fieldType.get(k) match {
+          case Some(_: org.apache.spark.sql.types.DateType) =>
+            scala.util.Try(java.time.LocalDate.parse(v).toEpochDay.toString)
+              .toOption.map(k -> _)
+          case Some(_: org.apache.spark.sql.types.TimestampType) =>
+            None // dir strings carry no zone; never guess micros
+          case _ => Some(k -> v)
+        }
+      }
     val statPruned = candidates.filter { f =>
       val widened = f.copy(
-        minValues = logicalKeys(f.minValues) ++ logicalKeys(f.partitionValues),
-        maxValues = logicalKeys(f.maxValues) ++ logicalKeys(f.partitionValues))
+        minValues = logicalKeys(f.minValues) ++ statEncode(logicalKeys(f.partitionValues)),
+        maxValues = logicalKeys(f.maxValues) ++ statEncode(logicalKeys(f.partitionValues)))
       DataSkipping.mayMatch(resolved, widened)
     }
     // bloom skipping: equality probes on the table's bloom columns drop
@@ -1017,8 +1046,23 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * files were already written and stay invisible until a commit lands,
     * so rebasing costs one log read per winning commit — no data work. */
   private[table] def commitDml(s: Snapshot, info: TxnInfo,
-      mkActions: (Long, Long) => Seq[Action]): Unit =
+      mkActions: (Long, Long) => Seq[Action]): Unit = {
+    gateWriterFeatures(s.protocol)
     commitDmlAt(s.version, s, info, mkActions)
+  }
+
+  /** Writer-feature gate (the write-side twin of GraftLog's reader gate): a
+    * table whose protocol lists a writerFeature this build does not
+    * implement must not be written — e.g. a generated-columns table written
+    * by a writer that ignores the generation rule would silently break the
+    * column invariant for every later reader. */
+  private def gateWriterFeatures(protocol: Protocol): Unit = {
+    val unsupported = protocol.writerFeatures.filterNot(Protocol.supportedWriterFeatures)
+    if (unsupported.nonEmpty) throw new GraftProtocolException(
+      s"table $path requires writer features ${unsupported.mkString(", ")} " +
+        s"this build does not support (supported: " +
+        s"${Protocol.supportedWriterFeatures.toSeq.sorted.mkString(", ")})")
+  }
 
   /** As commitDml, but the snapshot (needed only to resolve the read
     * predicate against winner files when a race is actually LOST) is
@@ -1291,6 +1335,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     require(set.nonEmpty, "UPDATE requires at least one SET column")
     set.keys.foreach(k => require(s.schema.fieldNames.contains(k),
       s"UPDATE SET references unknown column '$k'"))
+    set.keys.find(GeneratedColumns.names(s.schema).contains).foreach(k =>
+      throw new IllegalArgumentException(
+        s"UPDATE cannot set generated column '$k' — it is always computed " +
+          "from its generation expression"))
     val candidates = prunedFiles(s, pred)
     if (candidates.isEmpty) { commitNoop(s, "UPDATE"); return 0L }
     val matched = readFilesMeta(s, candidates).filter(coalesce(pred, lit(false)))
@@ -1337,9 +1385,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       // cap exceeded — fall through to copy-on-write
     }
 
-    val touchedNames = matched.select(col("__fname")).distinct().collect()
-      .map(_.getString(0)).toSet
-    if (touchedNames.isEmpty) { commitNoop(s, "UPDATE"); return 0L }
+    // one pass yields the touched-file set AND the matched-row count — no
+    // second scan for the numUpdatedRows metric
+    val perFileTouched = matched.groupBy(col("__fname")).count().collect()
+    if (perFileTouched.isEmpty) { commitNoop(s, "UPDATE"); return 0L }
+    val touchedNames = perFileTouched.map(_.getString(0)).toSet
     val touched = s.files.filter(f => touchedNames.contains(fileName(f.path)))
     // one projection rewrites the touched files: matching rows take their
     // SET expressions, the rest pass through
@@ -1353,7 +1403,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       }.toSeq: _*)
     val adds = writeDataMapped(
       enforceConstraints(conform(rewritten, s.schema), s.metaData), s.metaData)
-    val updated = readFilesMeta(s, touched).filter(coalesce(pred, lit(false))).count()
+    val updated = perFileTouched.map(_.getLong(1)).sum
     val cdcFiles = cdc
     commitDml(s,
       TxnInfo(readWholeTable = false, Some(pred),
@@ -1424,6 +1474,16 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         s"MERGE references unknown column '$k' (table columns: " +
           s"${schema.fieldNames.mkString(", ")}); use withSchemaEvolution() " +
           "to add new source columns"))
+    // generated columns cannot be SET directly (Delta parity) — they are
+    // recomputed from their expressions on every rewritten/inserted row
+    val generatedCols = GeneratedColumns.names(schema)
+    val updateKeys =
+      matchedClauses.collect { case MergeClause.MatchedUpdate(_, set) => set.keys }.flatten ++
+      bySourceClauses.collect { case MergeClause.BySourceUpdate(_, set) => set.keys }.flatten
+    updateKeys.find(generatedCols.contains).foreach(k =>
+      throw new IllegalArgumentException(
+        s"MERGE cannot update generated column '$k' — it is always computed " +
+          "from its generation expression"))
     val cond = expr(condition)
 
     val srcCols = schema.fieldNames.toSeq
@@ -1472,7 +1532,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // by-source clauses this stays an inner join; with them it has to be a
     // left-outer probe (match status is what the clauses dispatch on).
     val touched: Seq[AddFile] =
-      if (s.files.isEmpty || (matchedClauses.isEmpty && bySourceClauses.isEmpty)) Nil
+      if (s.files.isEmpty || prunedTargetFiles.isEmpty ||
+          (matchedClauses.isEmpty && bySourceClauses.isEmpty)) Nil
       else {
         val metaT = readFilesMeta(s, prunedTargetFiles).alias(targetAlias)
         val perFile: Array[org.apache.spark.sql.Row] =
@@ -1706,7 +1767,40 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     try {
       val aggs = pairs.flatMap { case (_, sc) =>
         Seq(min(col(sc)).as(s"__lo_$sc"), max(col(sc)).as(s"__hi_$sc")) }
-      val row = source.agg(aggs.head, aggs.tail: _*).head()
+      // a LocalRelation source (the reference's exact upsert shape — rows
+      // built in memory, api.py:91) folds its min/max on the driver with no
+      // Spark job; distributed sources pay the one-pass aggregate
+      val localRows: Option[Seq[Row]] = source.queryExecution.optimizedPlan match {
+        case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+            if lr.data.length <= 100000 =>
+          val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+            .encoderFor(lr.schema)
+          val de = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(enc)
+            .resolveAndBind(lr.output).createDeserializer()
+          Some(lr.data.map(de(_)))
+        case _ => None
+      }
+      val row: Row = localRows match {
+        case Some(rows) if rows.nonEmpty =>
+          val vals = pairs.flatMap { case (_, sc) =>
+            val i = source.schema.fieldIndex(sc)
+            val vs = rows.map(_.get(i)).filter(_ != null)
+            if (vs.isEmpty) Seq(null, null)
+            // only Comparable key types fold driver-side — anything else
+            // (arrays, structs) must NOT get a made-up ordering: a wrong
+            // bound would unsoundly prune files that hold real matches.
+            // Bailing to None merely disables pruning (over-approximates).
+            else if (!vs.forall(_.isInstanceOf[Comparable[_]])) return None
+            else {
+              implicit val ord: Ordering[Any] =
+                (a: Any, b: Any) => a.asInstanceOf[Comparable[Any]].compareTo(b)
+              Seq(vs.min, vs.max)
+            }
+          }
+          Row.fromSeq(vals)
+        case Some(_) => return None // empty source — no pruning needed
+        case None => source.agg(aggs.head, aggs.tail: _*).head()
+      }
       val preds = pairs.zipWithIndex.map { case ((tc, _), i) =>
         if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) return None
         col(tc).between(lit(row.get(2 * i)), lit(row.get(2 * i + 1)))
@@ -1722,9 +1816,13 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       insertClauses: Seq[MergeClause.NotMatchedInsert], schema: StructType): DataFrame = {
     if (insertClauses.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    // generated columns may be omitted from insert values — conform()
+    // computes them from their expressions over the inserted row
+    val generatedCols = GeneratedColumns.names(schema)
     insertClauses.foreach(ic =>
-      require(schema.fieldNames.forall(ic.values.contains),
-        s"whenNotMatchedInsert must set every column: ${schema.fieldNames.mkString(", ")}"))
+      require(schema.fieldNames.filterNot(generatedCols.contains).forall(ic.values.contains),
+        "whenNotMatchedInsert must set every non-generated column: " +
+          schema.fieldNames.filterNot(generatedCols.contains).mkString(", ")))
     val unmatched = src.join(targetAll, cond, "left_anti")
     var chain: Column = null
     insertClauses.zipWithIndex.foreach { case (ic, i) =>
@@ -1734,7 +1832,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       .filter(col("__iact") >= 0)
     insertClauses.zipWithIndex.map { case (ic, i) =>
       withA.filter(col("__iact") === i)
-        .select(schema.fieldNames.map(c => expr(ic.values(c)).as(c)).toSeq: _*)
+        .select(schema.fieldNames.map(c => ic.values.get(c)
+          .map(v => expr(v).as(c))
+          .getOrElse(lit(null).cast(schema(c).dataType).as(c))).toSeq: _*)
     }.reduce(_ unionByName _)
   }
 }
@@ -1827,22 +1927,43 @@ object GraftTable {
   def create(spark: SparkSession, path: String, df: DataFrame,
              partitionBy: Seq[String] = Nil,
              bloomFilterOn: Seq[String] = Nil,
-             bloomNdv: Long = 100000L): GraftTable = {
+             bloomNdv: Long = 100000L,
+             generated: Map[String, String] = Map.empty): GraftTable = {
     Files.createDirectories(Paths.get(path))
     val log = new GraftLog(path)
     require(!log.exists, s"$path is already a GraftTable")
-    require(partitionBy.forall(df.columns.contains),
-      s"partition columns $partitionBy must exist in ${df.columns.toSeq}")
+    // generated columns (GENERATED ALWAYS AS): computed over the seed frame
+    // here and by conform() on every later write; the expression is pinned
+    // into the field's schema metadata so it travels with schemaString
+    generated.keys.foreach(g => require(!df.columns.contains(g),
+      s"generated column '$g' must not be supplied by the seed frame"))
+    val dfGen = generated.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, expr(e)) }
+    val schema = StructType(dfGen.schema.fields.map { f =>
+      generated.get(f.name) match {
+        case Some(e) => f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putString(GeneratedColumns.MetadataKey, e).build())
+        case None => f
+      }
+    })
+    require(partitionBy.forall(schema.fieldNames.contains),
+      s"partition columns $partitionBy must exist in ${schema.fieldNames.toSeq}")
     require(bloomFilterOn.forall(df.columns.contains),
       s"bloom columns $bloomFilterOn must exist in ${df.columns.toSeq}")
     val props =
       if (bloomFilterOn.isEmpty) Map.empty[String, String]
       else Map("bloom.columns" -> bloomFilterOn.mkString(","),
                "bloom.ndv" -> bloomNdv.toString)
-    val meta = MetaData(UUID.randomUUID().toString, df.schema.json,
+    val meta = MetaData(UUID.randomUUID().toString, schema.json,
       System.currentTimeMillis(), partitionBy, Map.empty, props)
-    val adds = FileOps.writeDataFiles(df, path, partitionBy, bloomWriteOptions(meta))
-    log.commit(0L, Seq(meta,
+    // writer-only protocol feature: readers see plain materialized data, but
+    // a writer that ignored the generation rule would break the invariant —
+    // gate it like Delta does (generatedColumns is a writerFeature)
+    val protocolAction: Seq[Action] =
+      if (generated.isEmpty) Nil
+      else Seq(Protocol(minReaderVersion = 1, minWriterVersion = 2,
+        writerFeatures = Seq("generatedColumns")))
+    val adds = FileOps.writeDataFiles(dfGen, path, partitionBy, bloomWriteOptions(meta))
+    log.commit(0L, protocolAction ++ Seq(meta,
       CommitInfo(0L, log.nextTimestamp(), "CREATE",
         Map("numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++ adds)
     new GraftTable(spark, path)
