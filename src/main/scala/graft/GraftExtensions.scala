@@ -66,5 +66,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         t.changes(longAt(children, 1, usage), longAt(children, 2, usage))
           .queryExecution.analyzed
       }))
+    // DESCRIBE DETAIL front door: one-row table summary from the log alone
+    // (version, files, rows, bytes, partition columns — zero data files
+    // opened), Delta's `DESCRIBE DETAIL` as a TVF.
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_detail"),
+      new ExpressionInfo(classOf[graft.table.GraftTable].getName, "graft_detail"),
+      { children =>
+        val usage = "graft_detail('/table/path')"
+        val t = graft.table.GraftTable.forPath(
+          org.apache.spark.sql.SparkSession.active, strAt(children, 0, usage))
+        t.detail().queryExecution.analyzed
+      }))
   }
 }

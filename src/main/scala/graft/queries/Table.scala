@@ -819,6 +819,39 @@ object TableQueries {
          |WHERE ts < to_timestamp(lo + (hi - lo) // 4)
          |GROUP BY 1 ORDER BY day""".stripMargin),
 
+    // ---- Identity column: GENERATED ALWAYS AS IDENTITY ---------------------------
+    // Engine-assigned surrogate keys: nation seeds the table (the writer
+    // never supplies row_id), region rows append later, and the engine
+    // allocates every id above the committed high-water mark with ZERO
+    // extra jobs (sparse monotone allocation; frontier read back from
+    // footer stats). The ids themselves are engine-chosen, so the oracle
+    // pins the INVARIANTS a surrogate key owes you: one id per row (count
+    // distinct == count), nothing below the declared start, and every
+    // appended row allocated strictly after every seed row.
+    "q151_identity_column" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = cache.computeIfAbsent(s"ident:$dir", _ => {
+          val tt = GraftTable.create(s, graft.Scratch.dir("graft-ident-").toString,
+            graft.Tables.nation(s, dir).select($"n_nationkey", $"n_name"),
+            identity = Map("row_id" -> (1L, 1L)))
+          tt.append(graft.Tables.region(s, dir)
+            .select($"r_regionkey".as("n_nationkey"), $"r_name".as("n_name")))
+          tt
+        })
+        val isRegion = $"n_name".isin(
+          "AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+        t.toDF.agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct($"row_id").as("n_ids"),
+          (min($"row_id") >= 1L).as("ids_ge_start"),
+          (min(when(isRegion, $"row_id")) >
+            max(when(!isRegion, $"row_id"))).as("append_after_seed"))
+      },
+      """SELECT CAST((SELECT COUNT(*) FROM nation) + (SELECT COUNT(*) FROM region) AS BIGINT) AS n_rows,
+        |       CAST((SELECT COUNT(*) FROM nation) + (SELECT COUNT(*) FROM region) AS BIGINT) AS n_ids,
+        |       TRUE AS ids_ge_start, TRUE AS append_after_seed""".stripMargin),
+
     // ---- Hive-partitioned table scan (partition pruning as data skipping) --------
     // Documents land Hive-partitioned by lang (lang=en/... directories);
     // a scan filtering on the partition column prunes whole directories at

@@ -397,10 +397,11 @@ class GraftRowLevelOperation(table: GraftTable,
   // DELETE only drops rows (values pass through unchanged) and stays open;
   // the native API (GraftTable.update/merge) recomputes via conform().
   if (cmd != org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE) {
-    val gen = graft.table.GeneratedColumns.names(table.snapshot.schema)
+    val gen = graft.table.GeneratedColumns.names(table.snapshot.schema) ++
+      graft.table.IdentityColumns.names(table.snapshot.schema)
     require(gen.isEmpty,
-      s"SQL $cmd cannot maintain generated columns ${gen.toSeq.sorted.mkString(", ")}; " +
-        "use the native GraftTable.update/merge API (they recompute generated columns)")
+      s"SQL $cmd cannot maintain generated/identity columns ${gen.toSeq.sorted.mkString(", ")}; " +
+        "use the native GraftTable.update/merge API (they recompute/assign them)")
   }
 
   @volatile private var scanned: Option[Snapshot] = None

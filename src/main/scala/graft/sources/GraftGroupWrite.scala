@@ -89,11 +89,13 @@ class GraftStreamingWrite(table: GraftTable, schema: StructType, queryId: String
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
     // the sink's executor-side writers persist the stream's rows verbatim —
-    // they cannot (re)compute generation expressions, so refuse loudly
-    // rather than break the invariant; foreachBatch + append conforms
-    val gen = graft.table.GeneratedColumns.names(table.snapshot.schema)
+    // they cannot (re)compute generation expressions or allocate identity
+    // ids, so refuse loudly rather than break the invariant; foreachBatch
+    // + append conforms/assigns
+    val gen = graft.table.GeneratedColumns.names(table.snapshot.schema) ++
+      graft.table.IdentityColumns.names(table.snapshot.schema)
     require(gen.isEmpty,
-      s"streaming sink cannot maintain generated columns ${gen.toSeq.sorted.mkString(", ")}; " +
+      s"streaming sink cannot maintain generated/identity columns ${gen.toSeq.sorted.mkString(", ")}; " +
         "stream via foreachBatch { (batch, _) => table.append(batch) } instead")
     val meta = table.snapshot.metaData
     val bloomNdv = meta.properties.getOrElse("bloom.ndv", "100000").toLong

@@ -26,7 +26,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * figures come from the driver-side log, no job runs to report them). */
 object GraftProcedures {
 
-  val names: Seq[String] = Seq("optimize", "vacuum", "restore", "convert")
+  val names: Seq[String] =
+    Seq("optimize", "vacuum", "restore", "convert", "generate_manifest")
 
   def load(catalog: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.sameElements(Array("system")),
@@ -36,6 +37,7 @@ object GraftProcedures {
       case "vacuum"   => VacuumProc(catalog)
       case "restore"  => RestoreProc(catalog)
       case "convert"  => ConvertProc(catalog)
+      case "generate_manifest" => GenerateManifestProc(catalog)
       case other => throw new IllegalArgumentException(
         s"unknown procedure graft.system.$other (have: ${names.mkString(", ")})")
     }
@@ -140,6 +142,23 @@ object GraftProcedures {
       val t = GraftTable.convert(SparkSession.active, input.getUTF8String(0).toString)
       val s = t.snapshot
       resultScan(out, row(s.files.size.toLong, s.files.map(_.numRecords).sum))
+    }
+  }
+
+  /** `CALL graft.system.generate_manifest(`table` => ...)` — Delta's
+    * GENERATE symlink_format_manifest: per-partition text manifests of the
+    * current snapshot's files for Hive-symlink readers (Presto/Trino). */
+  case class GenerateManifestProc(catalog: GraftCatalog)
+      extends GraftProc("generate_manifest") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType))
+
+    private val out = StructType(Seq(
+      StructField("manifests_written", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val t = resolve(catalog, input.getUTF8String(0).toString)
+      resultScan(out, row(t.generateManifest().toLong))
     }
   }
 

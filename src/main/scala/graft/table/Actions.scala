@@ -78,7 +78,8 @@ object Protocol {
     * writer-only (readers see plain materialized data; only writers must
     * honor the generation rule), mirroring the Delta feature split. */
   val supportedReaderFeatures: Set[String] = Set("deletionVectors", "columnMapping", "changeDataFeed")
-  val supportedWriterFeatures: Set[String] = supportedReaderFeatures + "generatedColumns"
+  val supportedWriterFeatures: Set[String] =
+    supportedReaderFeatures + "generatedColumns" + "identityColumns"
 }
 
 /** Named protocol-gate failure: the table requires a capability this

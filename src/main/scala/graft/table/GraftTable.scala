@@ -247,6 +247,40 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       s.metaData.constraints.size, s.metaData.properties)), schema)
   }
 
+  /** GENERATE symlink_format_manifest (Delta parity): write text manifests
+    * under `_symlink_format_manifest/` listing the CURRENT snapshot's live
+    * data files as absolute `file:` URIs — the onramp for engines that read
+    * Hive symlink tables (Presto/Trino/Athena) without understanding the
+    * log. Partitioned tables get one manifest per partition directory
+    * (mirroring the Hive layout those engines expect); the whole export is
+    * a driver-side metadata fold — zero data files opened at any table
+    * size. Stale manifests of partitions that no longer exist are removed.
+    * Returns the number of manifest files written. */
+  def generateManifest(): Int = {
+    val s = snapshot
+    val root = Paths.get(path, "_symlink_format_manifest")
+    // clear previous export so dropped partitions don't leave stale lists
+    if (Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    val byDir = s.files.groupBy(f =>
+      f.path.lastIndexOf('/') match {
+        case -1 => ""
+        case i  => f.path.substring(0, i)
+      })
+    byDir.foreach { case (dir, files) =>
+      val out = if (dir.isEmpty) root.resolve("manifest")
+                else root.resolve(dir).resolve("manifest")
+      Files.createDirectories(out.getParent)
+      val lines = files.map(f =>
+        Paths.get(path, f.path).toUri.toString).sorted.mkString("", "\n", "\n")
+      Files.write(out, lines.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    byDir.size
+  }
+
   /** Commit metadata as a DataFrame, newest-first (api.py:63,75). */
   def history(): DataFrame = {
     val rows = log.commitInfos.reverse.map(c =>
@@ -341,13 +375,23 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           s0raw.copy(metaData = s0raw.metaData.copy(schemaString = evolved.json))
         }
       }
+    // identity columns: GENERATED ALWAYS — reject supplied values, assign
+    // fresh ids above the frontier, and advance it in this same commit
+    IdentityColumns.names(s0.schema).foreach(n => require(!df.columns.contains(n),
+      s"identity column '$n' is GENERATED ALWAYS — it cannot be supplied by a write"))
+    val dfA = IdentityColumns.assign(df, s0.schema, s0.metaData.properties)
     val adds = writeDataMapped(
-      enforceConstraints(conform(df, s0.schema), s0.metaData), s0.metaData)
+      enforceConstraints(conform(dfA, s0.schema), s0.metaData), s0.metaData)
+    val metaBumped = IdentityColumns
+      .bumpedProps(s0.metaData.properties, s0.schema, adds)
+      .map(p => s0.metaData.copy(properties = p)).getOrElse(s0.metaData)
     val metaAction: Seq[Action] =
-      if (s0.metaData != s0raw.metaData) Seq(s0.metaData) else Nil
+      if (metaBumped != s0raw.metaData) Seq(metaBumped) else Nil
     // blind append: reads nothing, removes nothing — rebases past any data
     // commit; only a concurrent metadata/protocol change conflicts (the
-    // rows were conformed to a schema that no longer governs)
+    // rows were conformed to a schema that no longer governs). An identity
+    // frontier bump is itself a metadata change, so two identity appends
+    // can never both rebase from one frontier (one gets MetadataChanged).
     commitDml(s0raw,
       TxnInfo(readWholeTable = false, None, Set.empty, Set.empty),
       (v, ts) => Seq(
@@ -367,7 +411,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val s0 = snapshot
     if (s0.transactions.get(appId).exists(_ >= version)) return false
     val adds = writeDataMapped(
-      enforceConstraints(conform(df, s0.schema), s0.metaData), s0.metaData)
+      enforceConstraints(conform(assignIdentity(df, s0), s0.schema), s0.metaData),
+      s0.metaData)
     val info = TxnInfo(readWholeTable = false, None, Set.empty, Set.empty)
     var base = s0.version
     var attempts = 0
@@ -377,7 +422,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           CommitInfo(base + 1, log.nextTimestamp(), "WRITE",
             Map("numOutputRows" -> adds.map(_.numRecords).sum.toString,
                 "txnAppId" -> appId, "epoch" -> version.toString)),
-          Txn(appId, version)) ++ adds)
+          Txn(appId, version)) ++ identityMeta(s0, adds) ++ adds)
         return true
       } catch {
         case e: java.util.ConcurrentModificationException =>
@@ -404,7 +449,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   def overwrite(df: DataFrame): Unit = {
     val s = snapshot
     val adds = writeDataMapped(
-      enforceConstraints(conform(df, s.schema), s.metaData), s.metaData)
+      enforceConstraints(conform(assignIdentity(df, s), s.schema), s.metaData),
+      s.metaData)
     val cdc = writeCdcFiles(s, cdcDiff(s, read(s), readFiles(s, adds)))
     // overwrite logically replaces EVERYTHING as of its snapshot — a
     // concurrent append would be silently erased by a rebase, so it
@@ -415,9 +461,23 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       (v, ts) => Seq(
         CommitInfo(v, ts, "OVERWRITE",
           Map("numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
+        identityMeta(s, adds) ++
         s.files.map(f => RemoveFile(f.path, ts)) ++ adds ++ cdc)
     autoCompact()
   }
+
+  /** ALWAYS-generated identity handling shared by the overwrite family:
+    * reject writer-supplied values, assign above the frontier. */
+  private def assignIdentity(df: DataFrame, s: Snapshot): DataFrame = {
+    IdentityColumns.names(s.schema).foreach(n => require(!df.columns.contains(n),
+      s"identity column '$n' is GENERATED ALWAYS — it cannot be supplied by a write"))
+    IdentityColumns.assign(df, s.schema, s.metaData.properties)
+  }
+
+  /** Identity-frontier bump as a commit action (empty when nothing moved). */
+  private def identityMeta(s: Snapshot, adds: Seq[AddFile]): Seq[Action] =
+    IdentityColumns.bumpedProps(s.metaData.properties, s.schema, adds)
+      .map(p => s.metaData.copy(properties = p)).toSeq
 
   /** Predicate-scoped overwrite (Delta's `replaceWhere`): atomically
     * replace exactly the rows matching `pred` with `df`'s rows, in one
@@ -432,7 +492,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * partitions the predicate promised not to touch. */
   def overwriteWhere(pred: Column, df: DataFrame): Unit = {
     val s = snapshot
-    val conformed = enforceConstraints(conform(df, s.schema), s.metaData)
+    val conformed = enforceConstraints(conform(assignIdentity(df, s), s.schema), s.metaData)
     val escapees = conformed.filter(!coalesce(pred, lit(false))).limit(1).count()
     require(escapees == 0,
       s"replaceWhere: replacement rows must all satisfy the predicate $pred")
@@ -460,6 +520,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           Map("predicate" -> pred.toString,
               "numRewrittenFiles" -> touched.size.toString,
               "numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
+        identityMeta(s, adds) ++
         touched.map(f => RemoveFile(f.path, ts)) ++ adds ++ cdc)
     autoCompact()
   }
@@ -474,7 +535,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val s = snapshot
     val parts = s.metaData.partitionColumns
     require(parts.nonEmpty, "dynamic partition overwrite requires a partitioned table")
-    val conformed = enforceConstraints(conform(df, s.schema), s.metaData)
+    val conformed = enforceConstraints(conform(assignIdentity(df, s), s.schema), s.metaData)
     val comboRows = conformed.select(parts.map(col): _*).distinct().collect()
     val combos = comboRows
       .map(r => parts.zipWithIndex.map { case (c, i) => c -> String.valueOf(r.get(i)) }.toMap)
@@ -505,6 +566,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           Map("partitions" -> combos.size.toString,
               "numRewrittenFiles" -> touched.size.toString,
               "numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
+        identityMeta(s, adds) ++
         touched.map(f => RemoveFile(f.path, ts)) ++ adds ++ cdc)
     autoCompact()
   }
@@ -1339,6 +1401,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       throw new IllegalArgumentException(
         s"UPDATE cannot set generated column '$k' — it is always computed " +
           "from its generation expression"))
+    set.keys.find(IdentityColumns.names(s.schema).contains).foreach(k =>
+      throw new IllegalArgumentException(
+        s"UPDATE cannot set identity column '$k' — it is GENERATED ALWAYS " +
+          "and assigned by the engine"))
     val candidates = prunedFiles(s, pred)
     if (candidates.isEmpty) { commitNoop(s, "UPDATE"); return 0L }
     val matched = readFilesMeta(s, candidates).filter(coalesce(pred, lit(false)))
@@ -1458,8 +1524,14 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         else s0.copy(metaData = s0.metaData.copy(
           schemaString = StructType(s0.schema.fields ++ newFields).json))
       }
-    val metaActions: Seq[Action] =
-      if (s.metaData != s0.metaData) Seq(s.metaData) else Nil
+    // final metaData for a merge commit: the (possibly evolved) schema plus
+    // any identity-frontier bump derived from the commit's own AddFiles
+    def metaActions(adds: Seq[AddFile]): Seq[Action] = {
+      val bumped = IdentityColumns
+        .bumpedProps(s.metaData.properties, s.schema, adds)
+        .map(p => s.metaData.copy(properties = p)).getOrElse(s.metaData)
+      if (bumped != s0.metaData) Seq(bumped) else Nil
+    }
     val schema = s.schema
     // every SET / insert-values key must name a table column (post
     // evolution) — a typo'd or unevolved column must fail loudly, not be
@@ -1475,8 +1547,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           s"${schema.fieldNames.mkString(", ")}); use withSchemaEvolution() " +
           "to add new source columns"))
     // generated columns cannot be SET directly (Delta parity) — they are
-    // recomputed from their expressions on every rewritten/inserted row
+    // recomputed from their expressions on every rewritten/inserted row;
+    // identity columns cannot be named ANYWHERE (GENERATED ALWAYS)
     val generatedCols = GeneratedColumns.names(schema)
+    val identityCols = IdentityColumns.names(schema)
     val updateKeys =
       matchedClauses.collect { case MergeClause.MatchedUpdate(_, set) => set.keys }.flatten ++
       bySourceClauses.collect { case MergeClause.BySourceUpdate(_, set) => set.keys }.flatten
@@ -1484,6 +1558,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       throw new IllegalArgumentException(
         s"MERGE cannot update generated column '$k' — it is always computed " +
           "from its generation expression"))
+    (updateKeys ++ insertClauses.flatMap(_.values.keys)).find(identityCols.contains)
+      .foreach(k => throw new IllegalArgumentException(
+        s"MERGE cannot set identity column '$k' — it is GENERATED ALWAYS " +
+          "and assigned by the engine"))
     val cond = expr(condition)
 
     val srcCols = schema.fieldNames.toSeq
@@ -1651,7 +1729,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
 
       // Phase 2b: inserts — source rows matching NOTHING in the whole table
       // (any match would have made its file touched; see class doc).
-      lazy val inserts = insertRows(src, targetAll, cond, insertClauses, schema)
+      // Identity columns get fresh ids here, never on the rewrite side
+      // (rewritten rows keep their existing ids).
+      lazy val inserts = IdentityColumns.assign(
+        insertRows(src, targetAll, cond, insertClauses, schema),
+        schema, s.metaData.properties)
 
       // Merge-on-read (deletionVectors.enabled): instead of rewriting the
       // touched files, TOMBSTONE exactly the affected rows' positions and
@@ -1685,7 +1767,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
                 Map("numTargetFilesRewritten" -> "0",
                     "numDeletionVectors" -> touched.size.toString,
                     "numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
-              metaActions ++
+              metaActions(adds) ++
               touched.map(f => RemoveFile(f.path, ts)) ++ reAdds ++ adds ++ cdc)
           true
         }
@@ -1705,12 +1787,14 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
             Seq(CommitInfo(v, ts, "MERGE",
               Map("numTargetFilesRewritten" -> touched.size.toString,
                   "numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
-            metaActions ++
+            metaActions(adds) ++
             touched.map(f => RemoveFile(f.path, ts)) ++ adds ++ cdc)
       }
     } else {
       // No affected target rows: pure insert path.
-      val inserts = insertRows(src, targetAll, cond, insertClauses, schema)
+      val inserts = IdentityColumns.assign(
+        insertRows(src, targetAll, cond, insertClauses, schema),
+        schema, s.metaData.properties)
       val adds = writeDataMapped(
         enforceConstraints(conform(inserts, schema), s.metaData), s.metaData)
       commitDml(s, mergeTxnInfo(srcKeyPrune, prunedTargetFiles, Nil),
@@ -1718,7 +1802,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           Seq(CommitInfo(v, ts, "MERGE",
             Map("numTargetFilesRewritten" -> "0",
                 "numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
-          metaActions ++ adds)
+          metaActions(adds) ++ adds)
     }
   }
 
@@ -1816,13 +1900,14 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       insertClauses: Seq[MergeClause.NotMatchedInsert], schema: StructType): DataFrame = {
     if (insertClauses.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    // generated columns may be omitted from insert values — conform()
-    // computes them from their expressions over the inserted row
-    val generatedCols = GeneratedColumns.names(schema)
+    // generated/identity columns may be omitted from insert values — the
+    // engine computes/assigns them (conform() fills generated; the merge
+    // assigns identity on the inserts frame)
+    val autoCols = GeneratedColumns.names(schema) ++ IdentityColumns.names(schema)
     insertClauses.foreach(ic =>
-      require(schema.fieldNames.filterNot(generatedCols.contains).forall(ic.values.contains),
+      require(schema.fieldNames.filterNot(autoCols.contains).forall(ic.values.contains),
         "whenNotMatchedInsert must set every non-generated column: " +
-          schema.fieldNames.filterNot(generatedCols.contains).mkString(", ")))
+          schema.fieldNames.filterNot(autoCols.contains).mkString(", ")))
     val unmatched = src.join(targetAll, cond, "left_anti")
     var chain: Column = null
     insertClauses.zipWithIndex.foreach { case (ic, i) =>
@@ -1928,7 +2013,8 @@ object GraftTable {
              partitionBy: Seq[String] = Nil,
              bloomFilterOn: Seq[String] = Nil,
              bloomNdv: Long = 100000L,
-             generated: Map[String, String] = Map.empty): GraftTable = {
+             generated: Map[String, String] = Map.empty,
+             identity: Map[String, (Long, Long)] = Map.empty): GraftTable = {
     Files.createDirectories(Paths.get(path))
     val log = new GraftLog(path)
     require(!log.exists, s"$path is already a GraftTable")
@@ -1937,12 +2023,27 @@ object GraftTable {
     // into the field's schema metadata so it travels with schemaString
     generated.keys.foreach(g => require(!df.columns.contains(g),
       s"generated column '$g' must not be supplied by the seed frame"))
+    // identity columns (GENERATED ALWAYS AS IDENTITY): engine-assigned
+    identity.foreach { case (n, (_, step)) =>
+      require(!df.columns.contains(n),
+        s"identity column '$n' must not be supplied by the seed frame")
+      require(step > 0, s"identity column '$n': step must be positive")
+    }
     val dfGen = generated.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, expr(e)) }
-    val schema = StructType(dfGen.schema.fields.map { f =>
-      generated.get(f.name) match {
-        case Some(e) => f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+    val dfId = identity.foldLeft(dfGen) { case (d, (n, (start, step))) =>
+      d.withColumn(n, IdentityColumns.assignExpr(
+        IdentityColumns.Spec(n, start, step), start - step))
+    }
+    val schema = StructType(dfId.schema.fields.map { f =>
+      (generated.get(f.name), identity.get(f.name)) match {
+        case (Some(e), _) => f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f.metadata).putString(GeneratedColumns.MetadataKey, e).build())
-        case None => f
+        case (_, Some((start, step))) => f.copy(nullable = false,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong(IdentityColumns.StartKey, start)
+            .putLong(IdentityColumns.StepKey, step).build())
+        case _ => f
       }
     })
     require(partitionBy.forall(schema.fieldNames.contains),
@@ -1953,16 +2054,23 @@ object GraftTable {
       if (bloomFilterOn.isEmpty) Map.empty[String, String]
       else Map("bloom.columns" -> bloomFilterOn.mkString(","),
                "bloom.ndv" -> bloomNdv.toString)
-    val meta = MetaData(UUID.randomUUID().toString, schema.json,
-      System.currentTimeMillis(), partitionBy, Map.empty, props)
-    // writer-only protocol feature: readers see plain materialized data, but
-    // a writer that ignored the generation rule would break the invariant —
-    // gate it like Delta does (generatedColumns is a writerFeature)
+    // writer-only protocol features: readers see plain materialized data,
+    // but a writer that ignored the generation/allocation rule would break
+    // the invariant — gate them like Delta does (both are writerFeatures)
+    val writerFeats =
+      (if (generated.nonEmpty) Seq("generatedColumns") else Nil) ++
+      (if (identity.nonEmpty) Seq("identityColumns") else Nil)
     val protocolAction: Seq[Action] =
-      if (generated.isEmpty) Nil
+      if (writerFeats.isEmpty) Nil
       else Seq(Protocol(minReaderVersion = 1, minWriterVersion = 2,
-        writerFeatures = Seq("generatedColumns")))
-    val adds = FileOps.writeDataFiles(dfGen, path, partitionBy, bloomWriteOptions(meta))
+        writerFeatures = writerFeats))
+    val meta0 = MetaData(UUID.randomUUID().toString, schema.json,
+      System.currentTimeMillis(), partitionBy, Map.empty, props)
+    val adds = FileOps.writeDataFiles(dfId, path, partitionBy, bloomWriteOptions(meta0))
+    // the identity frontier advances in the SAME commit that allocated it,
+    // read from the written files' footer stats — no counting job
+    val meta = IdentityColumns.bumpedProps(props, schema, adds)
+      .map(p => meta0.copy(properties = p)).getOrElse(meta0)
     log.commit(0L, protocolAction ++ Seq(meta,
       CommitInfo(0L, log.nextTimestamp(), "CREATE",
         Map("numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++ adds)

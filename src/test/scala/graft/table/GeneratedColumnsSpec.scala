@@ -122,7 +122,7 @@ class GeneratedColumnsSpec extends SparkTestBase {
     val e = intercept[IllegalArgumentException](
       new graft.sources.GraftRowLevelOperation(t,
         org.apache.spark.sql.connector.write.RowLevelOperation.Command.UPDATE))
-    assert(e.getMessage.contains("generated columns"))
+    assert(e.getMessage.contains("generated"))
     // DELETE stays open (values pass through unchanged)
     new graft.sources.GraftRowLevelOperation(t,
       org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE)
