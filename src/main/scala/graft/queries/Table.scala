@@ -134,7 +134,7 @@ object TableQueries {
     * scan is not a verbatim re-execution of an already-run plan. */
   def warmFixtures(s: SparkSession, dir: String): Unit = {
     statsTable(s, dir); zorderTable(s, dir); bloomTable(s, dir)
-    cloneTable(s, dir); partTable(s, dir)
+    cloneTable(s, dir); partTable(s, dir); genTable(s, dir)
   }
 
   /** q141 fixture: the SAME seed + delete sequence run twice — once

@@ -613,5 +613,56 @@ object Text {
         |        / COUNT(*), 6) AS novelty
         |FROM sh JOIN first USING (h)
         |GROUP BY sh.doc_id, sh.source ORDER BY sh.doc_id""".stripMargin),
+
+    // ---- Exact cross-document substring duplication -------------------------------
+    // The exact-substring dedup gate (Lee et al. 2021, "Deduplicating
+    // Training Data Makes Language Models Better"): a document's
+    // dup_fraction is the share of its 20-token windows that appear
+    // verbatim in at least one OTHER document — the signal that catches
+    // quoted boilerplate and mirrored passages that doc-level near-dup
+    // (q42/q45) scores too low to kill. Shape: windows reduce to h60 keys
+    // (the corpus text crosses the wire once, as hashes); "appears in
+    // another doc" is min(doc_id)≠max(doc_id) over one hash-partitioned
+    // window — no distinct-count, no self-join, no candidate explosion;
+    // per-doc ratios are exact integer counts with one division at the end.
+    "q152_substring_dup" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val W = 20
+        val wins = Tables.documents(s, dir)
+          .select($"doc_id", split($"text", " ").as("toks"))
+          .filter(size($"toks") >= W)
+          .select($"doc_id", explode(expr(
+            s"transform(sequence(0, size(toks) - $W), i -> concat_ws(' ', slice(toks, i + 1, $W)))"))
+            .as("win"))
+          .select($"doc_id",
+            expr("cast(conv(substring(md5(win), 1, 15), 16, 10) as bigint)").as("h"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy($"h")
+        wins
+          .withColumn("cross_dup", min($"doc_id").over(w) =!= max($"doc_id").over(w))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_windows"),
+               count(when($"cross_dup", 1)).as("n_dup"))
+          .withColumn("dup_fraction", round($"n_dup".cast("double") / $"n_windows", 6))
+          .withColumn("keep", $"dup_fraction" < 0.5)
+          .orderBy($"doc_id")
+      },
+      """WITH wins AS (
+        |  SELECT doc_id, CAST(('0x' || substring(md5(win), 1, 15)) AS BIGINT) AS h
+        |  FROM (
+        |    SELECT doc_id,
+        |      unnest([array_to_string(toks[i:i+19], ' ') FOR i IN range(1, len(toks) - 18)]) AS win
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |    WHERE len(toks) >= 20)),
+        |marked AS (
+        |  SELECT doc_id,
+        |    min(doc_id) OVER (PARTITION BY h) <> max(doc_id) OVER (PARTITION BY h) AS cross_dup
+        |  FROM wins)
+        |SELECT doc_id, COUNT(*) AS n_windows,
+        |  COUNT(CASE WHEN cross_dup THEN 1 END) AS n_dup,
+        |  round(CAST(COUNT(CASE WHEN cross_dup THEN 1 END) AS DOUBLE) / COUNT(*), 6) AS dup_fraction,
+        |  round(CAST(COUNT(CASE WHEN cross_dup THEN 1 END) AS DOUBLE) / COUNT(*), 6) < 0.5 AS keep
+        |FROM marked
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
   )
 }
