@@ -852,6 +852,33 @@ object TableQueries {
         |       CAST((SELECT COUNT(*) FROM nation) + (SELECT COUNT(*) FROM region) AS BIGINT) AS n_ids,
         |       TRUE AS ids_ge_start, TRUE AS append_after_seed""".stripMargin),
 
+    // ---- COPY INTO: idempotent landing-directory ingestion -----------------------
+    // The scheduled-ingestion onramp: every source file loads exactly once
+    // however often the command re-runs (each ingested file is a Txn
+    // action folding into the snapshot — the skip check is an O(1) map
+    // probe, no history rescan). The fixture REQUIREs the second run
+    // ingests zero rows; the oracle pins the table state == the raw source.
+    "q153_copy_into" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = cache.computeIfAbsent(s"copy:$dir", _ => {
+          val landing = graft.Scratch.dir("graft-landing-")
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(dir, "region.parquet"),
+            landing.resolve("region.parquet"))
+          val tt = GraftTable.create(s, graft.Scratch.dir("graft-copyinto-").toString,
+            s.createDataFrame(java.util.Collections.emptyList[Row](),
+              graft.Tables.region(s, dir).schema))
+          val first = tt.copyInto(landing.toString)
+          require(first > 0, "COPY INTO must ingest the landed file")
+          require(tt.copyInto(landing.toString) == 0L,
+            "a re-run must ingest nothing (idempotence)")
+          tt
+        })
+        t.toDF.orderBy($"r_regionkey")
+      },
+      "SELECT * FROM region ORDER BY r_regionkey"),
+
     // ---- Hive-partitioned table scan (partition pruning as data skipping) --------
     // Documents land Hive-partitioned by lang (lang=en/... directories);
     // a scan filtering on the partition column prunes whole directories at

@@ -442,6 +442,64 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     false
   }
 
+  /** COPY INTO (Delta/Databricks parity): idempotently ingest data files
+    * from a directory — each source file loads EXACTLY ONCE, however many
+    * times the command re-runs, because every ingested file is recorded as
+    * a `Txn` action (`copyInto:<absolute path>` keyed by mtime) that folds
+    * into the snapshot: the skip check is an O(1) map probe, no re-listing
+    * of history. A file that CHANGES (newer mtime) re-ingests, matching
+    * COPY INTO's modified-file semantics. The scheduled-ingestion onramp:
+    * point it at a landing directory and re-run forever.
+    * Supports parquet (schema from footers) and csv/json (table schema).
+    * Returns rows ingested (0 when everything was already loaded). */
+  def copyInto(sourceDir: String, format: String = "parquet"): Long = {
+    val s0 = snapshot
+    val ext = format.toLowerCase match {
+      case "parquet" => ".parquet"
+      case "csv"     => ".csv"
+      case "json" | "jsonl" => ".json"
+      case other => throw new IllegalArgumentException(s"COPY INTO: unsupported format $other")
+    }
+    import scala.jdk.CollectionConverters._
+    val src = Paths.get(sourceDir)
+    require(Files.isDirectory(src), s"COPY INTO: $sourceDir is not a directory")
+    val candidates = Files.walk(src).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(ext)
+        && !p.getFileName.toString.startsWith("."))
+      .toSeq.sortBy(_.toString)
+    def txnKey(p: java.nio.file.Path): String =
+      s"copyInto:${p.toAbsolutePath.normalize()}"
+    val pending = candidates.filter(p =>
+      !s0.transactions.get(txnKey(p))
+        .exists(_ >= Files.getLastModifiedTime(p).toMillis))
+    if (pending.isEmpty) return 0L
+    val reader = format.toLowerCase match {
+      case "parquet" => spark.read
+      case "csv" => spark.read.option("header", "true")
+        .schema(StructType(s0.schema.fields.filterNot(f =>
+          GeneratedColumns.names(s0.schema).contains(f.name) ||
+          IdentityColumns.names(s0.schema).contains(f.name))))
+      case _ => spark.read.schema(StructType(s0.schema.fields.filterNot(f =>
+          GeneratedColumns.names(s0.schema).contains(f.name) ||
+          IdentityColumns.names(s0.schema).contains(f.name))))
+    }
+    val df = reader.format(if (format == "jsonl") "json" else format)
+      .load(pending.map(_.toString): _*)
+    val adds = writeDataMapped(
+      enforceConstraints(conform(assignIdentity(df, s0), s0.schema), s0.metaData),
+      s0.metaData)
+    val txns = pending.map(p => Txn(txnKey(p), Files.getLastModifiedTime(p).toMillis))
+    commitDml(s0,
+      TxnInfo(readWholeTable = false, None, Set.empty, Set.empty),
+      (v, ts) => Seq(
+        CommitInfo(v, ts, "COPY INTO",
+          Map("numSourceFiles" -> pending.size.toString,
+              "numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
+        identityMeta(s0, adds) ++ txns ++ adds)
+    autoCompact()
+    adds.map(_.numRecords).sum
+  }
+
   /** INSERT OVERWRITE / truncating rewrite as ONE atomic commit: every
     * current file removed and the new rows added in the same version —
     * readers see the old state or the new state, never the empty middle a
@@ -813,6 +871,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   /** RESTORE: make the table's HEAD equal an earlier version, as one new
     * commit (Delta RESTORE semantics — history moves forward, nothing is
     * erased, and the restore itself can be time-traveled away from). */
+  /** RESTORE to the version current at `ts` (Delta's RESTORE ... TO
+    * TIMESTAMP AS OF) — same resolution rule as time-travel reads. */
+  def restore(ts: Timestamp): Unit = restore(versionAt(ts.getTime))
+
   def restore(version: Long): Unit = {
     val cur = snapshot
     val tgt = snapshotAt(version)
@@ -884,8 +946,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * source's retention window may outrun the clone's lifetime.
     * Shallow cloning a partitioned table is rejected: partition-value
     * reconstruction requires files under the table root. */
-  def cloneTo(dest: String, shallow: Boolean = true): GraftTable = {
-    val s = snapshot
+  def cloneTo(dest: String, shallow: Boolean = true,
+              asOfVersion: Option[Long] = None): GraftTable = {
+    // CLONE ... VERSION AS OF: branch an EARLIER snapshot — reproduce an
+    // experiment against last week's table without restoring the source
+    val s = asOfVersion.map(snapshotAt).getOrElse(snapshot)
     require(!shallow || s.metaData.partitionColumns.isEmpty,
       "shallow clone of a partitioned table is not supported (basePath reconstruction)")
     Files.createDirectories(Paths.get(dest))
@@ -931,6 +996,18 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * (the default) resolves the table property `vacuum.retentionMs`,
     * falling back to 1 hour; tests/bench pass 0 explicitly. */
   def vacuum(retainVersions: Int = 0, retentionMs: Long = -1L): Int = {
+    val orphans = vacuumOrphans(retainVersions, retentionMs)
+    orphans.foreach(f => Files.deleteIfExists(Paths.get(path, f)))
+    orphans.size
+  }
+
+  /** VACUUM DRY RUN (Delta parity): the files a `vacuum` with the same
+    * arguments WOULD delete, without deleting anything — the audit step
+    * before an irreversible retention sweep on a 100 TB table. */
+  def vacuumDryRun(retainVersions: Int = 0, retentionMs: Long = -1L): Seq[String] =
+    vacuumOrphans(retainVersions, retentionMs)
+
+  private def vacuumOrphans(retainVersions: Int, retentionMs: Long): Seq[String] = {
     val latest = latestVersion
     val cutoff = System.currentTimeMillis() - (
       if (retentionMs >= 0) retentionMs
@@ -949,12 +1026,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet")
         && !p.startsWith(root.resolve("_delta_log")))
       .map(p => root.relativize(p).toString).toSeq
-    val orphans = dataFiles.filterNot(referenced.contains).filter { f =>
+    dataFiles.filterNot(referenced.contains).filter { f =>
       try Files.getLastModifiedTime(Paths.get(path, f)).toMillis <= cutoff
       catch { case _: java.io.IOException => false }
     }
-    orphans.foreach(f => Files.deleteIfExists(Paths.get(path, f)))
-    orphans.size
   }
 
   /** OPTIMIZE: bin-pack the current live files into ~`targetFileBytes`
