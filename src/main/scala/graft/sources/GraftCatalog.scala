@@ -565,9 +565,29 @@ class GraftScanBuilder(table: GraftTable, snap: Snapshot,
   * For `readStream` the same scan serves a `MicroBatchStream` whose
   * offsets are commit versions (streaming/GraftTableStream.scala). */
 class GraftV1Scan(table: GraftTable, snap: Snapshot, required: StructType,
-    prunePred: Option[Column], options: Map[String, String] = Map.empty) extends V1Scan {
+    prunePred: Option[Column], options: Map[String, String] = Map.empty) extends V1Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Log-derived size/row statistics (the numbers Delta reports from its
+    * snapshot): with them, Catalyst's join planning can auto-broadcast a
+    * small (or well-pruned) graft table — without them every graft scan
+    * sizes as `defaultSizeInBytes` and a dimension-table join that should
+    * broadcast becomes a 100-TB shuffle. Pruning first: a selective
+    * predicate shrinks the estimate to the surviving files. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val files = prunePred match {
+      case Some(p) => scala.util.Try(table.prunedFiles(snap, p)).getOrElse(snap.files)
+      case None => snap.files
+    }
+    val bytes = files.map(_.size).sum
+    val rows = files.map(_.liveRecords).sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
+  }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
     new GraftV1ScanRelation(ctx, table, snap, required, prunePred).asInstanceOf[T]
@@ -613,6 +633,16 @@ class GraftV1ScanRelation(ctx: SQLContext, table: GraftTable, snap: Snapshot,
     extends BaseRelation with TableScan {
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = required
+  // log-derived size (pruned): lets Catalyst auto-broadcast small scans
+  // through the V1 bridge too — BaseRelation otherwise defaults to
+  // spark.sql.defaultSizeInBytes (effectively "never broadcast")
+  override def sizeInBytes: Long = {
+    val files = prunePred match {
+      case Some(p) => scala.util.Try(table.prunedFiles(snap, p)).getOrElse(snap.files)
+      case None => snap.files
+    }
+    files.map(_.size).sum
+  }
   override def buildScan(): RDD[Row] = {
     val files = prunePred match {
       case Some(p) => table.prunedFiles(snap, p)

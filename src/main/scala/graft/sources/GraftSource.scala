@@ -176,6 +176,11 @@ class GraftRelation(ctx: SQLContext, table: GraftTable, snapshot: Snapshot)
 
   override def schema: StructType = snapshot.schema
 
+  // log-derived size: lets Catalyst auto-broadcast a small graft table in
+  // a join (BaseRelation's default is spark.sql.defaultSizeInBytes —
+  // effectively "never broadcast")
+  override def sizeInBytes: Long = snapshot.files.map(_.size).sum
+
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
     val files = filterColumn(filters) match {

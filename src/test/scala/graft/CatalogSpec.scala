@@ -353,6 +353,27 @@ class CatalogSpec extends SparkTestBase {
       .select("operation").first().getString(0) == "CONVERT")
   }
 
+  test("log-derived statistics auto-broadcast a small graft table in SQL joins") {
+    registered
+    import spark.implicits._
+    sql("CREATE TABLE gcat.default.dim (k BIGINT, name STRING) USING graft")
+    sql("INSERT INTO gcat.default.dim SELECT id, CAST(id AS STRING) FROM range(50)")
+    (0L until 20000L).map(i => (i % 50, i)).toDF("k", "x")
+      .createOrReplaceTempView("fact_stats_test")
+    val joined = sql(
+      "SELECT f.k, d.name FROM fact_stats_test f JOIN gcat.default.dim d ON f.k = d.k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"a 50-row graft dim must broadcast (stats reported from the log):\n$plan")
+    assert(joined.count() == 20000L)
+    // the DSv2 scan reports the snapshot's exact rows/bytes
+    val t = GraftTable.forPath(spark, s"$wh/default/dim")
+    val stats = new graft.sources.GraftV1Scan(t, t.snapshot, t.snapshot.schema, None)
+      .estimateStatistics()
+    assert(stats.numRows().getAsLong == 50L)
+    assert(stats.sizeInBytes().getAsLong == t.snapshot.files.map(_.size).sum)
+  }
+
   test("bloom.columns property at CREATE configures native bloom filters") {
     registered
     sql("CREATE TABLE gcat.default.bl (k BIGINT, v STRING) USING graft " +
