@@ -525,11 +525,17 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   }
 
   /** ALWAYS-generated identity handling shared by the overwrite family:
-    * reject writer-supplied values, assign above the frontier. */
+    * reject writer-supplied values, assign above the frontier. When CDF is
+    * on, PIN the assigned frame — the data write and the CDC sidecar write
+    * are separate jobs, and monotonically_increasing_id would otherwise
+    * hand the sidecar different ids than the data it describes. */
   private def assignIdentity(df: DataFrame, s: Snapshot): DataFrame = {
-    IdentityColumns.names(s.schema).foreach(n => require(!df.columns.contains(n),
+    val idCols = IdentityColumns.names(s.schema)
+    idCols.foreach(n => require(!df.columns.contains(n),
       s"identity column '$n' is GENERATED ALWAYS — it cannot be supplied by a write"))
-    IdentityColumns.assign(df, s.schema, s.metaData.properties)
+    val assigned = IdentityColumns.assign(df, s.schema, s.metaData.properties)
+    if (idCols.nonEmpty && cdfEnabled(s.metaData)) assigned.localCheckpoint(true)
+    else assigned
   }
 
   /** Identity-frontier bump as a commit action (empty when nothing moved). */
@@ -1805,10 +1811,18 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       // Phase 2b: inserts — source rows matching NOTHING in the whole table
       // (any match would have made its file touched; see class doc).
       // Identity columns get fresh ids here, never on the rewrite side
-      // (rewritten rows keep their existing ids).
-      lazy val inserts = IdentityColumns.assign(
-        insertRows(src, targetAll, cond, insertClauses, schema),
-        schema, s.metaData.properties)
+      // (rewritten rows keep their existing ids). With CDF on, the frame
+      // is PINNED: the data write and the CDC sidecar write are separate
+      // jobs, and monotonically_increasing_id would otherwise assign the
+      // sidecar DIFFERENT ids than the data it claims to describe.
+      lazy val inserts = {
+        val assigned = IdentityColumns.assign(
+          insertRows(src, targetAll, cond, insertClauses, schema),
+          schema, s.metaData.properties)
+        if (IdentityColumns.names(schema).nonEmpty && cdfEnabled(s.metaData))
+          assigned.localCheckpoint(true)
+        else assigned
+      }
 
       // Merge-on-read (deletionVectors.enabled): instead of rewriting the
       // touched files, TOMBSTONE exactly the affected rows' positions and

@@ -95,6 +95,30 @@ class IdentityColumnsSpec extends SparkTestBase {
         "what makes a concurrent allocation a typed MetadataChanged conflict")
   }
 
+  test("with CDF on, change rows carry the SAME ids as the written data") {
+    val t = mk()
+    t.setProperty("changeDataFeed.enabled", "true")
+    t.merge(df(("x", 10)), "t.name = s.name")
+      .whenMatchedUpdate(Map("v" -> "s.v"))
+      .whenNotMatchedInsert(Map("name" -> "s.name", "v" -> "s.v"))
+      .execute()
+    val v = t.latestVersion
+    val dataId = t.toDF.filter(col("name") === "x").select("row_id").head().getLong(0)
+    val cdcId = t.changes(v - 1, v)
+      .filter(col("_change_type") === "insert" && col("name") === "x")
+      .select("row_id").head().getLong(0)
+    assert(cdcId == dataId,
+      "the CDC sidecar must describe the ids that were actually written")
+    // replaceWhere path too
+    t.overwriteWhere(col("name") === "x", df(("x", 99)))
+    val v2 = t.latestVersion
+    val dataId2 = t.toDF.filter(col("name") === "x").select("row_id").head().getLong(0)
+    val cdcId2 = t.changes(v2 - 1, v2)
+      .filter(col("_change_type") === "insert" && col("name") === "x")
+      .select("row_id").head().getLong(0)
+    assert(cdcId2 == dataId2)
+  }
+
   test("streaming sink refuses identity tables") {
     val t = mk()
     val e = intercept[IllegalArgumentException](
