@@ -75,17 +75,24 @@ object Media {
 
   /** Decode a partition stream with one codec open/close per partition
     * (default: the stub). The iterator stays lazy — a partition is never
-    * materialized — and `close()` fires when the stream drains. */
+    * materialized. `close()` is bound to TASK COMPLETION, not iterator
+    * drain: a downstream limit/take that stops consuming early, or an
+    * exception inside decode, would otherwise leak the native context a
+    * real FFI codec holds (the drain-time close stays as a fast path so
+    * well-behaved partitions release the context immediately). */
   def decode(rows: Dataset[MediaRow],
              codec: MediaCodec = StubCodec): Dataset[MediaFeatures] = {
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>
       codec.open()
+      var closed = false
+      def closeOnce(): Unit = if (!closed) { closed = true; codec.close() }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
       new Iterator[MediaFeatures] {
-        private var closed = false
         override def hasNext: Boolean = {
           val h = it.hasNext
-          if (!h && !closed) { closed = true; codec.close() }
+          if (!h) closeOnce()
           h
         }
         override def next(): MediaFeatures = {

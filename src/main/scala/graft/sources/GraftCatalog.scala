@@ -576,18 +576,22 @@ class GraftV1Scan(table: GraftTable, snap: Snapshot, required: StructType,
     * sizes as `defaultSizeInBytes` and a dimension-table join that should
     * broadcast becomes a 100-TB shuffle. Pruning first: a selective
     * predicate shrinks the estimate to the surviving files. */
-  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+  // memoized: Catalyst consults statistics repeatedly during join
+  // planning, and pruning is an analyzer round-trip + O(files) fold —
+  // snapshot and predicate are fixed per scan instance
+  private lazy val stats: (Long, Long) = {
     val files = prunePred match {
       case Some(p) => scala.util.Try(table.prunedFiles(snap, p)).getOrElse(snap.files)
       case None => snap.files
     }
-    val bytes = files.map(_.size).sum
-    val rows = files.map(_.liveRecords).sum
-    new org.apache.spark.sql.connector.read.Statistics {
-      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
-      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
-    }
+    (files.map(_.size).sum, files.map(_.liveRecords).sum)
   }
+
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(stats._1)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(stats._2)
+    }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
     new GraftV1ScanRelation(ctx, table, snap, required, prunePred).asInstanceOf[T]
@@ -635,8 +639,10 @@ class GraftV1ScanRelation(ctx: SQLContext, table: GraftTable, snap: Snapshot,
   override def schema: StructType = required
   // log-derived size (pruned): lets Catalyst auto-broadcast small scans
   // through the V1 bridge too — BaseRelation otherwise defaults to
-  // spark.sql.defaultSizeInBytes (effectively "never broadcast")
-  override def sizeInBytes: Long = {
+  // spark.sql.defaultSizeInBytes (effectively "never broadcast").
+  // Memoized: planning consults it repeatedly, pruning costs an analyzer
+  // round-trip + O(files) fold.
+  override lazy val sizeInBytes: Long = {
     val files = prunePred match {
       case Some(p) => scala.util.Try(table.prunedFiles(snap, p)).getOrElse(snap.files)
       case None => snap.files

@@ -97,6 +97,9 @@ class GraftStreamingWrite(table: GraftTable, schema: StructType, queryId: String
     require(gen.isEmpty,
       s"streaming sink cannot maintain generated/identity columns ${gen.toSeq.sorted.mkString(", ")}; " +
         "stream via foreachBatch { (batch, _) => table.append(batch) } instead")
+    // writer-feature gate, once per stream start (the per-epoch commit
+    // path deliberately skips the snapshot fold)
+    table.gateWrite()
     val meta = table.snapshot.metaData
     val bloomNdv = meta.properties.getOrElse("bloom.ndv", "100000").toLong
     val blooms = meta.properties.get("bloom.columns").toSeq

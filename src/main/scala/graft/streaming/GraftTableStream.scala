@@ -76,12 +76,11 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
       require(byVersion.isEmpty,
         "specify at most one of startingVersion / startingTimestamp")
       val ms = java.sql.Timestamp.valueOf(ts).getTime
-      val first = (0L to log.latestVersion).find { v =>
-        log.readVersion(v).collectFirst { case c: CommitInfo => c.timestamp }
-          .exists(_ >= ms)
-      }
-      first.getOrElse(throw new IllegalArgumentException(
-        s"startingTimestamp $ts is after the last commit of $tablePath"))
+      // commit timestamps are monotone — binary search reads O(log
+      // history) commit files at stream start, not the whole log
+      log.firstVersionAtOrAfter(ms).getOrElse(
+        throw new IllegalArgumentException(
+          s"startingTimestamp $ts is after the last commit of $tablePath"))
     }
     byVersion.orElse(byTs)
   }

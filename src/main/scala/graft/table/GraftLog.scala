@@ -266,6 +266,39 @@ final class GraftLog(val tablePath: String) {
     (0L to latestVersion).flatMap(v =>
       readVersion(v).collectFirst { case c: CommitInfo => c })
 
+  private def tsOf(v: Long): Long =
+    readVersion(v).collectFirst { case c: CommitInfo => c.timestamp }
+      .getOrElse(Long.MinValue)
+
+  /** Earliest version whose commit timestamp is >= `ms`, or None when the
+    * instant is past the last commit. Commit timestamps are strictly
+    * increasing (nextTimestamp), so this binary-searches the log reading
+    * O(log history) commit files — a 100k-commit table resolves a
+    * timestamp in ~17 file reads, not 100k. */
+  def firstVersionAtOrAfter(ms: Long): Option[Long] = {
+    val last = latestVersion
+    if (last < 0 || tsOf(last) < ms) return None
+    var lo = 0L; var hi = last
+    while (lo < hi) {
+      val mid = (lo + hi) / 2
+      if (tsOf(mid) >= ms) hi = mid else lo = mid + 1
+    }
+    Some(lo)
+  }
+
+  /** Latest version with commit timestamp <= `ms` (the timestampAsOf
+    * resolution rule), or None when `ms` predates commit 0. */
+  def lastVersionAtOrBefore(ms: Long): Option[Long] = {
+    val last = latestVersion
+    if (last < 0 || tsOf(0L) > ms) return None
+    var lo = 0L; var hi = last
+    while (lo < hi) {
+      val mid = (lo + hi + 1) / 2
+      if (tsOf(mid) <= ms) lo = mid else hi = mid - 1
+    }
+    Some(lo)
+  }
+
   /** Strictly-increasing commit timestamp (guards timestampAsOf resolution
     * against clock granularity between rapid commits). Reads only the last
     * commit file, not the whole log. */

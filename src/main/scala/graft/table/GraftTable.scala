@@ -179,13 +179,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * error if the instant predates commit 0 (api.py:80 semantics). */
   def timestampAsOf(ts: Timestamp): DataFrame = versionAsOf(versionAt(ts.getTime))
 
-  def versionAt(epochMillis: Long): Long = {
-    val infos = log.commitInfos
-    val at = infos.filter(_.timestamp <= epochMillis)
-    require(at.nonEmpty,
-      s"Cannot time travel to $epochMillis: earliest commit of $path is at ${infos.head.timestamp}")
-    at.map(_.version).max
-  }
+  def versionAt(epochMillis: Long): Long =
+    // binary search over the monotone commit timestamps — O(log history)
+    // commit-file reads, not a full log parse
+    log.lastVersionAtOrBefore(epochMillis).getOrElse(
+      throw new IllegalArgumentException(
+        s"Cannot time travel to $epochMillis: it predates commit 0 of $path"))
 
   /** Filtered scan with file-level data skipping: files whose min/max stats
     * exclude `pred` are never given to Spark. Result is identical to
@@ -409,6 +408,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * guard. Returns true when rows were written. */
   def appendIdempotent(df: DataFrame, appId: String, version: Long): Boolean = {
     val s0 = snapshot
+    gateWriterFeatures(s0.protocol)
     if (s0.transactions.get(appId).exists(_ >= version)) return false
     val adds = writeDataMapped(
       enforceConstraints(conform(assignIdentity(df, s0), s0.schema), s0.metaData),
@@ -489,15 +489,42 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       enforceConstraints(conform(assignIdentity(df, s0), s0.schema), s0.metaData),
       s0.metaData)
     val txns = pending.map(p => Txn(txnKey(p), Files.getLastModifiedTime(p).toMillis))
-    commitDml(s0,
-      TxnInfo(readWholeTable = false, None, Set.empty, Set.empty),
-      (v, ts) => Seq(
-        CommitInfo(v, ts, "COPY INTO",
-          Map("numSourceFiles" -> pending.size.toString,
-              "numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
-        identityMeta(s0, adds) ++ txns ++ adds)
-    autoCompact()
-    adds.map(_.numRecords).sum
+    val info = TxnInfo(readWholeTable = false, None, Set.empty, Set.empty)
+    gateWriterFeatures(s0.protocol)
+    var base = s0.version
+    var attempts = 0
+    while (attempts < 10) {
+      try {
+        log.commit(base + 1, Seq(
+          CommitInfo(base + 1, log.nextTimestamp(), "COPY INTO",
+            Map("numSourceFiles" -> pending.size.toString,
+                "numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
+          identityMeta(s0, adds) ++ txns ++ adds)
+        autoCompact()
+        return adds.map(_.numRecords).sum
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          val head = latestVersion
+          ((base + 1) to head).foreach(w => classifyWinner(s0, w, info))
+          // a CONCURRENT copyInto may have won the race with some (or all)
+          // of our source files — blindly rebasing would ingest them twice.
+          // Re-probe the folded ledger exactly like appendIdempotent: if
+          // any pending file is now covered, drop our staged files and
+          // restart from the new ledger (the recursive run re-lists and
+          // ingests only what is still missing).
+          val ledger = log.snapshotAt(head).transactions
+          val covered = pending.exists(p => ledger.get(txnKey(p))
+            .exists(_ >= Files.getLastModifiedTime(p).toMillis))
+          if (covered) {
+            adds.foreach(a => Files.deleteIfExists(Paths.get(path, a.path)))
+            return copyInto(sourceDir, format)
+          }
+          if (attempts >= 10) throw e
+          base = head
+      }
+    }
+    0L
   }
 
   /** INSERT OVERWRITE / truncating rewrite as ONE atomic commit: every
@@ -600,16 +627,16 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val parts = s.metaData.partitionColumns
     require(parts.nonEmpty, "dynamic partition overwrite requires a partitioned table")
     val conformed = enforceConstraints(conform(assignIdentity(df, s), s.schema), s.metaData)
-    val comboRows = conformed.select(parts.map(col): _*).distinct().collect()
-    val combos = comboRows
-      .map(r => parts.zipWithIndex.map { case (c, i) => c -> String.valueOf(r.get(i)) }.toMap)
-      .toSet
-    // AddFile.partitionValues is keyed by PHYSICAL name; compare through
-    // the current mapping
-    val physOf = parts.map(c => c -> ColumnMapping.physicalOf(s.schema, c)).toMap
-    val touched = s.files.filter(f =>
-      combos.contains(parts.map(c => c -> f.partitionValues(physOf(c))).toMap))
     val adds = writeDataMapped(conformed, s.metaData)
+    // which partitions does the frame carry? Derived from the WRITTEN
+    // files' own partitionValues — the same Hive directory encoding the
+    // existing files use, so null (`__HIVE_DEFAULT_PARTITION__`) and
+    // formatted timestamp/date values match EXACTLY by construction.
+    // (A driver-side re-formatting of collected row values disagreed for
+    // null and timestamp partitions, leaving the old generation alive
+    // beside the new one.) The set is bounded by the partitions written.
+    val combos = adds.map(_.partitionValues).toSet
+    val touched = s.files.filter(f => combos.contains(f.partitionValues))
     // operator-level CDC: every row of a replaced partition is deleted,
     // every replacement row inserted
     val cdc = writeCdcFiles(s,
@@ -617,10 +644,16 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         .unionByName(conformed.withColumn("_change_type", lit("insert"))))
     // conflict domain = the replaced partitions: a racing append INTO one
     // of them would be silently erased by a rebase, so it must conflict;
-    // appends into other partitions rebase cleanly
-    val comboPred = comboRows
-      .map(r => parts.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }
-        .reduce(_ && _))
+    // appends into other partitions rebase cleanly. Null partitions match
+    // via isNull (an equality literal would never be true).
+    val physOf = parts.map(c => c -> ColumnMapping.physicalOf(s.schema, c)).toMap
+    val default = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .DEFAULT_PARTITION_NAME
+    val comboPred = combos.toSeq
+      .map(pv => parts.map { c =>
+        val v = pv(physOf(c))
+        if (v == default) col(c).isNull else col(c) === lit(v)
+      }.reduce(_ && _))
       .reduceOption(_ || _).getOrElse(lit(false))
     commitDml(s,
       TxnInfo(readWholeTable = false, Some(comboPred),
@@ -746,6 +779,20 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val constraintHit = s.metaData.constraints.find(_._2.contains(oldName))
     require(constraintHit.isEmpty,
       s"cannot rename $oldName: referenced by CHECK constraint ${constraintHit.get._1}")
+    // identity columns: the frontier property and footer-stat harvest are
+    // keyed by name — a rename would silently reset the allocation frontier
+    // and re-issue already-used ids. Refuse until key migration exists.
+    require(!IdentityColumns.names(s.schema).contains(oldName),
+      s"cannot rename identity column $oldName (allocation frontier is keyed by name)")
+    // generation expressions reference base columns by name: renaming a
+    // referenced column would brick every later write (unresolvable
+    // expression) or, after a same-named re-add, silently null the
+    // generated values. Delta blocks this too. Word-boundary match keeps
+    // `ts` from matching `tsx`.
+    val genHit = GeneratedColumns.of(s.schema).find { case (_, e) =>
+      s"\\b${java.util.regex.Pattern.quote(oldName)}\\b".r.findFirstIn(e).isDefined }
+    require(genHit.isEmpty,
+      s"cannot rename $oldName: referenced by generated column ${genHit.get._1}'s expression")
     log.commit(s.version + 1, Seq(
       s.metaData.copy(schemaString = evolved.json, partitionColumns = parts),
       CommitInfo(s.version + 1, log.nextTimestamp(), "RENAME COLUMN",
@@ -768,6 +815,13 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val constraintHit = s.metaData.constraints.find(_._2.contains(name))
     require(constraintHit.isEmpty,
       s"cannot drop $name: referenced by CHECK constraint ${constraintHit.get._1}")
+    // dropping a generation-expression base column would brick every later
+    // write (the expression no longer resolves) — same guard as rename
+    val genHit = GeneratedColumns.of(s.schema).find { case (g, e) =>
+      g != name &&
+        s"\\b${java.util.regex.Pattern.quote(name)}\\b".r.findFirstIn(e).isDefined }
+    require(genHit.isEmpty,
+      s"cannot drop $name: referenced by generated column ${genHit.get._1}'s expression")
     val bloomHit = GraftTable.bloomColumns(s.metaData).contains(name)
     val meta0 = s.metaData.copy(
       schemaString = StructType(s.schema.fields.filterNot(_.name == name)).json)
@@ -1199,6 +1253,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * implement must not be written — e.g. a generated-columns table written
     * by a writer that ignores the generation rule would silently break the
     * column invariant for every later reader. */
+  /** Streaming-sink entry: gate once at writer-factory creation (the
+    * per-epoch commit path deliberately avoids a snapshot fold). */
+  private[graft] def gateWrite(): Unit = gateWriterFeatures(snapshot.protocol)
+
   private def gateWriterFeatures(protocol: Protocol): Unit = {
     val unsupported = protocol.writerFeatures.filterNot(Protocol.supportedWriterFeatures)
     if (unsupported.nonEmpty) throw new GraftProtocolException(
@@ -1567,9 +1625,15 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   def update(predicate: String, set: Map[String, String]): Long =
     update(expr(predicate), set)
 
+  /** Record a DML that matched nothing as a commit (history parity with
+    * Delta's zero-row operations). Reads nothing, removes nothing — routed
+    * through the resolver so a lost race against a concurrent writer
+    * rebases trivially instead of surfacing a raw
+    * ConcurrentModificationException. */
   private def commitNoop(s: Snapshot, op: String): Unit =
-    log.commit(s.version + 1, Seq(CommitInfo(s.version + 1, log.nextTimestamp(), op,
-      Map("numDeletedRows" -> "0", "numRewrittenFiles" -> "0"))))
+    commitDml(s, TxnInfo(readWholeTable = false, None, Set.empty, Set.empty),
+      (v, ts) => Seq(CommitInfo(v, ts, op,
+        Map("numDeletedRows" -> "0", "numRewrittenFiles" -> "0"))))
 
   private def fileName(uri: String): String = uri.substring(uri.lastIndexOf('/') + 1)
 
