@@ -129,6 +129,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     TableCatalog.PROP_IS_MANAGED_LOCATION, TableCatalog.PROP_TABLE_TYPE,
     TableCatalog.PROP_COLLATION, "path")
 
+  /** Spark 4 parses `GENERATED ALWAYS AS (expr)` / `GENERATED ALWAYS AS
+    * IDENTITY (START WITH s INCREMENT BY t)` natively once the catalog
+    * declares the capabilities — the clauses arrive on the v2 Column
+    * objects and route into the same engine metadata the TBLPROPERTIES
+    * spelling (`'generated.<col>'` / `'identity.<col>'`) sets. */
+  override def capabilities(): java.util.Set[TableCatalogCapability] =
+    java.util.EnumSet.of(
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val props = new java.util.HashMap[String, String](properties)
+    columns.foreach { c =>
+      Option(c.generationExpression()).foreach(e =>
+        props.put(s"generated.${c.name}", e))
+      Option(c.identityColumnSpec()).foreach { sp =>
+        require(!sp.isAllowExplicitInsert,
+          "GENERATED BY DEFAULT AS IDENTITY is not supported — use GENERATED ALWAYS")
+        props.put(s"identity.${c.name}", s"${sp.getStart},${sp.getStep}")
+      }
+    }
+    val schema = StructType(columns.map { c =>
+      val md = Option(c.metadataInJSON())
+        .map(org.apache.spark.sql.types.Metadata.fromJson)
+        .getOrElse(org.apache.spark.sql.types.Metadata.empty)
+      org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable, md)
+    })
+    createTable(ident, schema, partitions, props)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
     if (tableExists(ident))
@@ -155,16 +189,48 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"CREATE TABLE ${fullName(ident)} needs a column list " +
             "(or a LOCATION holding an existing graft table)")
         val dir = other.getOrElse(tableDir(ident).toString)
+        // SQL front door for engine-maintained columns, since Spark's
+        // generic parser has no GENERATED AS clause (Delta extends the
+        // parser; we ride TBLPROPERTIES):
+        //   TBLPROPERTIES('generated.day' = "cast(date_trunc('DAY', ts) as date)",
+        //                 'identity.row_id' = '100,1')   -- start[,step]
+        // The named columns must appear in the column list; they are
+        // stripped from the seed frame (the engine computes/assigns them)
+        // and their declared types must match what the expression yields.
+        val generated = props.collect {
+          case (k, v) if k.startsWith("generated.") => k.stripPrefix("generated.") -> v }
+        val identity = props.collect {
+          case (k, v) if k.startsWith("identity.") =>
+            val parts = v.split(',').map(_.trim.toLong)
+            k.stripPrefix("identity.") ->
+              (parts(0), if (parts.length > 1) parts(1) else 1L) }
+        (generated.keySet ++ identity.keySet).foreach(c =>
+          require(schema.fieldNames.contains(c),
+            s"generated/identity column '$c' must appear in the column list"))
+        val seedSchema = StructType(schema.fields.filterNot(f =>
+          generated.contains(f.name) || identity.contains(f.name)))
         val empty = spark.createDataFrame(
-          Collections.emptyList[Row](), schema)
+          Collections.emptyList[Row](), seedSchema)
         val bloomCols = props.get("bloom.columns").toSeq
           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
         val t = GraftTable.create(spark, dir, empty, partitionCols,
           bloomFilterOn = bloomCols,
-          bloomNdv = props.get("bloom.ndv").map(_.toLong).getOrElse(100000L))
+          bloomNdv = props.get("bloom.ndv").map(_.toLong).getOrElse(100000L),
+          generated = generated, identity = identity)
+        generated.keys.foreach { c =>
+          val computed = t.snapshot.schema(c).dataType
+          val declared = schema(c).dataType
+          require(computed == declared,
+            s"generated column '$c' declared ${declared.simpleString} but its " +
+              s"expression yields ${computed.simpleString}")
+        }
+        identity.keys.foreach(c => require(
+          schema(c).dataType == org.apache.spark.sql.types.LongType,
+          s"identity column '$c' must be declared BIGINT"))
         props.filterNot { case (k, _) =>
           reservedProps.contains(k) || k.startsWith(TableCatalog.OPTION_PREFIX) ||
-            k == "bloom.columns" || k == "bloom.ndv"
+            k == "bloom.columns" || k == "bloom.ndv" ||
+            k.startsWith("generated.") || k.startsWith("identity.")
         }.foreach { case (k, v) => t.setProperty(k, v) }
         if (other.isDefined) Files.writeString(pointer(ident), dir)
     }
@@ -175,6 +241,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val t = GraftTable.forPath(spark, resolvePath(ident).getOrElse(
       throw new NoSuchTableException(ident)))
     changes.foreach {
+      // CHECK constraints through SQL (no generic ALTER ... ADD CONSTRAINT
+      // in Spark's parser): SET TBLPROPERTIES('constraint.<name>' = '<expr>')
+      // routes through addConstraint — existing rows validate first, and
+      // the constraint lands in metaData.constraints where every write
+      // enforces it (a plain property would be dead configuration).
+      case set: TableChange.SetProperty if set.property.startsWith("constraint.") =>
+        t.addConstraint(set.property.stripPrefix("constraint."), set.value)
+      case rm: TableChange.RemoveProperty if rm.property.startsWith("constraint.") =>
+        t.dropConstraint(rm.property.stripPrefix("constraint."))
       case set: TableChange.SetProperty => t.setProperty(set.property, set.value)
       case rm: TableChange.RemoveProperty => t.removeProperty(rm.property)
       case add: TableChange.AddColumn =>

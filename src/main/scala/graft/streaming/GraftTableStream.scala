@@ -100,12 +100,20 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
     options.get("maxfilespertrigger").map(n => ReadLimit.maxFiles(n.toInt))
       .getOrElse(ReadLimit.allAvailable())
 
+  /** `maxBytesPerTrigger`: the byte-denominated twin of maxFilesPerTrigger
+    * (file counts under-measure when file sizes vary 100×). Applied inside
+    * latestOffset — Spark's ReadLimit vocabulary has no maxBytes, so the
+    * cap composes with whatever ReadLimit is in force (min of both ends). */
+  private val maxBytesPerTrigger: Option[Long] =
+    options.get("maxbytespertrigger").map(_.toLong)
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val cap = availableNowTarget.getOrElse(log.latestVersion)
     val s = start.asInstanceOf[GraftStreamOffset].version
-    val end = limit match {
+    val initial = s < 0 && startingVersion.isEmpty
+    val fileEnd = limit match {
       case mf: ReadMaxFiles =>
-        if (s < 0 && startingVersion.isEmpty) {
+        if (initial) {
           // initial snapshot batch: size from the FOLDED live-file count
           // (per-commit add sums overcount files later removed); advance
           // at least to version 0 so the stream makes progress
@@ -128,7 +136,62 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
         }
       case _ => cap
     }
+    val end = maxBytesPerTrigger match {
+      case None => fileEnd
+      case Some(maxB) =>
+        val byteEnd =
+          if (initial) {
+            var v = 0L
+            while (v < cap && liveByteCount(v + 1) <= maxB) v += 1
+            v
+          } else {
+            var v = s
+            var total = 0L
+            var stop = false
+            while (!stop && v < cap) {
+              val b = bytesAddedIn(v + 1)
+              if (total > 0 && total + b > maxB) stop = true
+              else { total += b; v += 1 }
+            }
+            v
+          }
+        math.min(fileEnd, byteEnd)
+    }
     GraftStreamOffset(end)
+  }
+
+  private val byteCountCache = scala.collection.mutable.Map[Long, Long]()
+  private def bytesAddedIn(v: Long): Long = synchronized {
+    byteCountCache.getOrElseUpdate(v, {
+      val actions = log.readVersion(v)
+      val op = actions.collectFirst { case c: CommitInfo => c.operation }
+      if (op.exists(nonDataOps.contains)) 0L
+      else actions.collect { case a: AddFile => a.size }.sum
+    })
+  }
+
+  /** Live BYTES after commit v, folded strictly forward once (a path→size
+    * map resolves removed files' sizes; re-adds replace) — the byte twin
+    * of liveFileCount for sizing the initial snapshot batch. */
+  private val liveBytesCache = scala.collection.mutable.Map[Long, Long](-1L -> 0L)
+  private val liveSizeByPath = scala.collection.mutable.Map[String, Long]()
+  private var bytesFrontier = -1L
+  private def liveByteCount(v: Long): Long = synchronized {
+    while (bytesFrontier < v) {
+      val nv = bytesFrontier + 1
+      var running = liveBytesCache(bytesFrontier)
+      log.readVersion(nv).foreach {
+        case r: RemoveFile =>
+          liveSizeByPath.remove(r.path).foreach(sz => running -= sz)
+        case a: AddFile =>
+          liveSizeByPath.put(a.path, a.size).foreach(old => running -= old)
+          running += a.size
+        case _ => ()
+      }
+      liveBytesCache(nv) = running
+      bytesFrontier = nv
+    }
+    liveBytesCache(v)
   }
 
   private val addCountCache = scala.collection.mutable.Map[Long, Long]()

@@ -374,11 +374,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           s0raw.copy(metaData = s0raw.metaData.copy(schemaString = evolved.json))
         }
       }
-    // identity columns: GENERATED ALWAYS — reject supplied values, assign
-    // fresh ids above the frontier, and advance it in this same commit
-    IdentityColumns.names(s0.schema).foreach(n => require(!df.columns.contains(n),
-      s"identity column '$n' is GENERATED ALWAYS — it cannot be supplied by a write"))
-    val dfA = IdentityColumns.assign(df, s0.schema, s0.metaData.properties)
+    // identity columns: GENERATED ALWAYS — reject explicit values (all-null
+    // means "assign": the SQL-INSERT default-filled shape), assign fresh
+    // ids above the frontier, and advance it in this same commit
+    val dfA = assignIdentity(df, s0)
     val adds = writeDataMapped(
       enforceConstraints(conform(dfA, s0.schema), s0.metaData), s0.metaData)
     val metaBumped = IdentityColumns
@@ -558,8 +557,16 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * hand the sidecar different ids than the data it describes. */
   private def assignIdentity(df: DataFrame, s: Snapshot): DataFrame = {
     val idCols = IdentityColumns.names(s.schema)
-    idCols.foreach(n => require(!df.columns.contains(n),
-      s"identity column '$n' is GENERATED ALWAYS — it cannot be supplied by a write"))
+    // an all-null identity column means "assign for me" — the shape SQL
+    // INSERT produces after the analyzer fills the column's NULL default;
+    // any NON-null value is an explicit supply, which GENERATED ALWAYS
+    // rejects (Delta's exact UX)
+    idCols.filter(df.columns.contains).foreach { n =>
+      val explicit = df.filter(col(n).isNotNull).limit(1).count()
+      require(explicit == 0,
+        s"identity column '$n' is GENERATED ALWAYS — explicit values are not " +
+          "supported (omit the column or insert NULL)")
+    }
     val assigned = IdentityColumns.assign(df, s.schema, s.metaData.properties)
     if (idCols.nonEmpty && cdfEnabled(s.metaData)) assigned.localCheckpoint(true)
     else assigned
@@ -2187,15 +2194,22 @@ object GraftTable {
       d.withColumn(n, IdentityColumns.assignExpr(
         IdentityColumns.Spec(n, start, step), start - step))
     }
+    // auto (engine-maintained) columns are declared NULLABLE with a NULL
+    // SQL default: that lets `INSERT INTO t (other, cols)` analyze — the
+    // analyzer fills NULL, the engine replaces it with the computed /
+    // assigned value. The physical data is never null.
+    def withNullDefault(b: org.apache.spark.sql.types.MetadataBuilder) =
+      b.putString("CURRENT_DEFAULT", "NULL").putString("EXISTS_DEFAULT", "NULL")
     val schema = StructType(dfId.schema.fields.map { f =>
       (generated.get(f.name), identity.get(f.name)) match {
-        case (Some(e), _) => f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-          .withMetadata(f.metadata).putString(GeneratedColumns.MetadataKey, e).build())
-        case (_, Some((start, step))) => f.copy(nullable = false,
-          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        case (Some(e), _) => f.copy(nullable = true,
+          metadata = withNullDefault(new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putString(GeneratedColumns.MetadataKey, e)).build())
+        case (_, Some((start, step))) => f.copy(nullable = true,
+          metadata = withNullDefault(new org.apache.spark.sql.types.MetadataBuilder()
             .withMetadata(f.metadata)
             .putLong(IdentityColumns.StartKey, start)
-            .putLong(IdentityColumns.StepKey, step).build())
+            .putLong(IdentityColumns.StepKey, step)).build())
         case _ => f
       }
     })

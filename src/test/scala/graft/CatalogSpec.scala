@@ -374,6 +374,45 @@ class CatalogSpec extends SparkTestBase {
     assert(stats.sizeInBytes().getAsLong == t.snapshot.files.map(_.size).sum)
   }
 
+  test("generated/identity columns declare through native CREATE TABLE syntax") {
+    registered
+    // Spark 4 parses both clauses once the catalog declares the
+    // capabilities; INSERT omitting the engine-maintained columns works
+    // because they carry a NULL SQL default the engine then replaces
+    sql("CREATE TABLE gcat.default.genid (" +
+      "row_id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1000 INCREMENT BY 1), " +
+      "ts TIMESTAMP, v INT, " +
+      "day DATE GENERATED ALWAYS AS (CAST(date_trunc('DAY', ts) AS DATE))" +
+      ") USING graft")
+    sql("INSERT INTO gcat.default.genid (ts, v) " +
+      "VALUES (timestamp'2024-05-01 10:00:00', 1), (timestamp'2024-05-02 11:00:00', 2)")
+    val rows = sql("SELECT row_id, CAST(day AS STRING) AS day FROM gcat.default.genid ORDER BY day")
+      .collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("2024-05-01", "2024-05-02"))
+    assert(rows.map(_.getLong(0)).distinct.length == 2)
+    assert(rows.map(_.getLong(0)).forall(_ >= 1000L))
+    // the declarations live in the schema, not as dead properties
+    val t = GraftTable.forPath(spark, s"$wh/default/genid")
+    assert(graft.table.GeneratedColumns.names(t.snapshot.schema) == Set("day"))
+    assert(graft.table.IdentityColumns.of(t.snapshot.schema) ==
+      Seq(graft.table.IdentityColumns.Spec("row_id", 1000L, 1L)))
+  }
+
+  test("CHECK constraints add/drop through SET/UNSET TBLPROPERTIES") {
+    registered
+    sql("CREATE TABLE gcat.default.chk (id INT, v INT) USING graft")
+    sql("INSERT INTO gcat.default.chk VALUES (1, 5)")
+    sql("ALTER TABLE gcat.default.chk SET TBLPROPERTIES ('constraint.v_pos' = 'v > 0')")
+    val t = GraftTable.forPath(spark, s"$wh/default/chk")
+    assert(t.snapshot.metaData.constraints.get("v_pos").contains("v > 0"))
+    // enforced on write, not stored as a dead property
+    val e = intercept[Exception](sql("INSERT INTO gcat.default.chk VALUES (2, -1)"))
+    assert(e.getMessage.contains("v_pos"))
+    sql("ALTER TABLE gcat.default.chk UNSET TBLPROPERTIES ('constraint.v_pos')")
+    sql("INSERT INTO gcat.default.chk VALUES (2, -1)") // now allowed
+    assert(sql("SELECT count(*) FROM gcat.default.chk").head().getLong(0) == 2)
+  }
+
   test("bloom.columns property at CREATE configures native bloom filters") {
     registered
     sql("CREATE TABLE gcat.default.bl (k BIGINT, v STRING) USING graft " +

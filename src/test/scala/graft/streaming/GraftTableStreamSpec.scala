@@ -172,6 +172,24 @@ class GraftTableStreamSpec extends SparkTestBase {
     assert(lastBatch >= 2, s"expected >=3 micro-batches, last batchId=$lastBatch")
   }
 
+  test("maxBytesPerTrigger splits the backlog by byte volume") {
+    val dir = tmpDir("gstream-mbt-")
+    val t = GraftTable.create(spark, dir, Seq((1, "a")).toDF("id", "v").coalesce(1))
+    t.append(Seq((2, "b")).toDF("id", "v").coalesce(1))
+    t.append(Seq((3, "c")).toDF("id", "v").coalesce(1))
+    // each commit's file is a few hundred bytes — a 1-byte cap forces one
+    // commit per micro-batch (a batch always advances at least one version)
+    val q = spark.readStream.format("graft")
+      .option("maxBytesPerTrigger", "1")
+      .load(dir).writeStream.format("memory").queryName("gmbt")
+      .option("checkpointLocation", tmpDir("gstream-mbt-ckpt-"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("gmbt").count() == 3)
+    assert(q.lastProgress.batchId >= 2,
+      s"expected >=3 micro-batches, last batchId=${q.lastProgress.batchId}")
+  }
+
   test("readStream.table() streams a catalog table by name") {
     graft.sources.GraftCatalog.register(spark, tmpDir("gstream-cat-wh-"), name = "gsc")
     spark.sql("CREATE TABLE gsc.default.events (id INT, v STRING) USING graft")
