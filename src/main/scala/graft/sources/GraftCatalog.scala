@@ -138,7 +138,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     java.util.EnumSet.of(
       TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
       TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
-      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   override def createTable(ident: Identifier,
       columns: Array[org.apache.spark.sql.connector.catalog.Column],
@@ -252,6 +253,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         t.dropConstraint(rm.property.stripPrefix("constraint."))
       case set: TableChange.SetProperty => t.setProperty(set.property, set.value)
       case rm: TableChange.RemoveProperty => t.removeProperty(rm.property)
+      // native `ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)` (Spark 4
+      // constraint DDL; the capability above opts in): only CHECK is
+      // enforceable write-side, the informational kinds are rejected
+      case ac: TableChange.AddConstraint => ac.constraint() match {
+        case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          t.addConstraint(chk.name, chk.predicateSql())
+        case other => throw new UnsupportedOperationException(
+          s"graft tables support CHECK constraints only, got ${other.toDDL}")
+      }
+      case dc: TableChange.DropConstraint =>
+        if (!dc.ifExists || t.snapshot.metaData.constraints.contains(dc.name))
+          t.dropConstraint(dc.name)
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
           "graft tables support top-level ADD COLUMN only")
@@ -366,6 +379,16 @@ class GraftSqlTable(val table: GraftTable, ident: String,
     pinned: Option[Snapshot] = None, cdf: Boolean = false)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations with SupportsMetadataColumns {
+
+  /** CHECK constraints surfaced through the v2 Table API (DESCRIBE shows
+    * them; Spark's constraint framework reads them back). */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    snap.metaData.constraints.map { case (n, e) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(n).predicateSql(e).build()
+        : org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
 
   /** CDF read surface (`readChangeFeed`): table columns + change metadata. */
   private def cdfSchema: StructType = StructType(snap.schema.fields ++ Seq(

@@ -398,19 +398,25 @@ class CatalogSpec extends SparkTestBase {
       Seq(graft.table.IdentityColumns.Spec("row_id", 1000L, 1L)))
   }
 
-  test("CHECK constraints add/drop through SET/UNSET TBLPROPERTIES") {
+  test("CHECK constraints through native ADD/DROP CONSTRAINT DDL and TBLPROPERTIES") {
     registered
     sql("CREATE TABLE gcat.default.chk (id INT, v INT) USING graft")
     sql("INSERT INTO gcat.default.chk VALUES (1, 5)")
-    sql("ALTER TABLE gcat.default.chk SET TBLPROPERTIES ('constraint.v_pos' = 'v > 0')")
+    // native Spark 4 constraint DDL (SUPPORT_TABLE_CONSTRAINT capability)
+    sql("ALTER TABLE gcat.default.chk ADD CONSTRAINT v_pos CHECK (v > 0)")
     val t = GraftTable.forPath(spark, s"$wh/default/chk")
-    assert(t.snapshot.metaData.constraints.get("v_pos").contains("v > 0"))
+    assert(t.snapshot.metaData.constraints.get("v_pos").exists(_.contains("v > 0")))
     // enforced on write, not stored as a dead property
     val e = intercept[Exception](sql("INSERT INTO gcat.default.chk VALUES (2, -1)"))
     assert(e.getMessage.contains("v_pos"))
-    sql("ALTER TABLE gcat.default.chk UNSET TBLPROPERTIES ('constraint.v_pos')")
+    sql("ALTER TABLE gcat.default.chk DROP CONSTRAINT v_pos")
     sql("INSERT INTO gcat.default.chk VALUES (2, -1)") // now allowed
     assert(sql("SELECT count(*) FROM gcat.default.chk").head().getLong(0) == 2)
+    // the TBLPROPERTIES spelling routes to the same machinery
+    sql("ALTER TABLE gcat.default.chk SET TBLPROPERTIES ('constraint.id_pos' = 'id > 0')")
+    assert(GraftTable.forPath(spark, s"$wh/default/chk")
+      .snapshot.metaData.constraints.get("id_pos").contains("id > 0"))
+    sql("ALTER TABLE gcat.default.chk UNSET TBLPROPERTIES ('constraint.id_pos')")
   }
 
   test("bloom.columns property at CREATE configures native bloom filters") {
