@@ -664,5 +664,90 @@ object Text {
         |  round(CAST(COUNT(CASE WHEN cross_dup THEN 1 END) AS DOUBLE) / COUNT(*), 6) < 0.5 AS keep
         |FROM marked
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // ---- Final curation verdict: integer-weighted signal ensemble ----------------
+    // The LAST gate of a curation pipeline: every upstream signal —
+    // length band, type-token ratio, stopword presence (language-ness),
+    // token repetition, cross-doc 20-token window duplication (q152's
+    // signal, recomputed inline) — votes with an integer weight and the
+    // verdict is a threshold on the exact integer score. The fastText-
+    // quality-filter shape with a transparent linear model: every
+    // comparison is integer-scaled (never a float ratio), so the score is
+    // bit-identical on any engine. Scale: each signal is one pass; the
+    // only shuffles are the window-hash partition and the per-doc joins.
+    "q154_curation_verdict" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val W = 20
+        val base = Tables.documents(s, dir)
+          .select($"doc_id", split($"text", " ").as("t"))
+          .select($"doc_id",
+            size($"t").cast("long").as("n_tokens"),
+            size(array_distinct($"t")).cast("long").as("n_distinct"),
+            (size(array_intersect($"t", typedLit(stopwords))) > 0).cast("int")
+              .as("has_stop"))
+        val winAgg = Tables.documents(s, dir)
+          .select($"doc_id", split($"text", " ").as("toks"))
+          .filter(size($"toks") >= W)
+          .select($"doc_id", explode(expr(
+            s"transform(sequence(0, size(toks) - $W), i -> concat_ws(' ', slice(toks, i + 1, $W)))"))
+            .as("win"))
+          .select($"doc_id",
+            expr("cast(conv(substring(md5(win), 1, 15), 16, 10) as bigint)").as("h"))
+          .withColumn("cross_dup",
+            min($"doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy($"h")) =!=
+            max($"doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy($"h")))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_windows"), count(when($"cross_dup", 1)).as("n_dup"))
+        base.join(winAgg, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_windows", "n_dup"))
+          .withColumn("score",
+            when($"n_tokens" >= 20 && $"n_tokens" <= 10000, 2).otherwise(0) +
+            when($"n_distinct" * 100 >= $"n_tokens" * 35, 2).otherwise(0) +
+            $"has_stop" +
+            when(($"n_tokens" - $"n_distinct") * 100 <= $"n_tokens" * 30, 2).otherwise(0) +
+            when($"n_windows" === 0 || $"n_dup" * 100 <= $"n_windows" * 50, 2).otherwise(0))
+          .withColumn("keep", $"score" >= 7)
+          .select($"doc_id", $"n_tokens", $"score", $"keep")
+          .orderBy($"doc_id")
+      },
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |    CASE WHEN len(list_intersect(list_distinct(string_split(text, ' ')),
+        |         ['the','a','of','and','to','in'])) > 0 THEN 1 ELSE 0 END AS has_stop
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, CAST(('0x' || substring(md5(win), 1, 15)) AS BIGINT) AS h
+        |  FROM (
+        |    SELECT doc_id,
+        |      unnest([array_to_string(toks[i:i+19], ' ') FOR i IN range(1, len(toks) - 18)]) AS win
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |    WHERE len(toks) >= 20)),
+        |winagg AS (
+        |  SELECT doc_id, COUNT(*) AS n_windows,
+        |    COUNT(CASE WHEN cross_dup THEN 1 END) AS n_dup
+        |  FROM (SELECT doc_id,
+        |          min(doc_id) OVER (PARTITION BY h) <> max(doc_id) OVER (PARTITION BY h) AS cross_dup
+        |        FROM wins)
+        |  GROUP BY doc_id)
+        |SELECT base.doc_id, n_tokens,
+        |  (CASE WHEN n_tokens >= 20 AND n_tokens <= 10000 THEN 2 ELSE 0 END +
+        |   CASE WHEN n_distinct * 100 >= n_tokens * 35 THEN 2 ELSE 0 END +
+        |   has_stop +
+        |   CASE WHEN (n_tokens - n_distinct) * 100 <= n_tokens * 30 THEN 2 ELSE 0 END +
+        |   CASE WHEN COALESCE(n_windows, 0) = 0
+        |        OR COALESCE(n_dup, 0) * 100 <= COALESCE(n_windows, 0) * 50
+        |        THEN 2 ELSE 0 END) AS score,
+        |  (CASE WHEN n_tokens >= 20 AND n_tokens <= 10000 THEN 2 ELSE 0 END +
+        |   CASE WHEN n_distinct * 100 >= n_tokens * 35 THEN 2 ELSE 0 END +
+        |   has_stop +
+        |   CASE WHEN (n_tokens - n_distinct) * 100 <= n_tokens * 30 THEN 2 ELSE 0 END +
+        |   CASE WHEN COALESCE(n_windows, 0) = 0
+        |        OR COALESCE(n_dup, 0) * 100 <= COALESCE(n_windows, 0) * 50
+        |        THEN 2 ELSE 0 END) >= 7 AS keep
+        |FROM base LEFT JOIN winagg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
   )
 }
