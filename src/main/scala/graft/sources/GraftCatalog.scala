@@ -156,10 +156,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
     }
     val schema = StructType(columns.map { c =>
-      val md = Option(c.metadataInJSON())
-        .map(org.apache.spark.sql.types.Metadata.fromJson)
-        .getOrElse(org.apache.spark.sql.types.Metadata.empty)
-      org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable, md)
+      val b = new org.apache.spark.sql.types.MetadataBuilder()
+      Option(c.metadataInJSON()).foreach(j =>
+        b.withMetadata(org.apache.spark.sql.types.Metadata.fromJson(j)))
+      // a user-declared DEFAULT arrives on Column.defaultValue(), not in
+      // metadataInJSON — dropping it would silently discard the clause the
+      // SUPPORT_COLUMN_DEFAULT_VALUE capability promised to honor
+      Option(c.defaultValue()).flatMap(dv => Option(dv.getSql)).foreach { sql =>
+        b.putString("CURRENT_DEFAULT", sql)
+        b.putString("EXISTS_DEFAULT", sql)
+      }
+      Option(c.comment()).foreach(cm => b.putString("comment", cm))
+      org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable, b.build())
     })
     createTable(ident, schema, partitions, props)
   }
@@ -212,27 +220,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           generated.contains(f.name) || identity.contains(f.name)))
         val empty = spark.createDataFrame(
           Collections.emptyList[Row](), seedSchema)
+        // validate BEFORE commit 0 lands — a post-create failure would
+        // orphan the table directory and brick the corrected retry with
+        // TableAlreadyExistsException
+        generated.foreach { case (c, e) =>
+          val computed = empty.withColumn(c, org.apache.spark.sql.functions.expr(e))
+            .schema(c).dataType
+          require(computed == schema(c).dataType,
+            s"generated column '$c' declared ${schema(c).dataType.simpleString} " +
+              s"but its expression yields ${computed.simpleString}")
+        }
+        identity.keys.foreach(c => require(
+          schema(c).dataType == org.apache.spark.sql.types.LongType,
+          s"identity column '$c' must be declared BIGINT"))
         val bloomCols = props.get("bloom.columns").toSeq
           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
         val t = GraftTable.create(spark, dir, empty, partitionCols,
           bloomFilterOn = bloomCols,
           bloomNdv = props.get("bloom.ndv").map(_.toLong).getOrElse(100000L),
           generated = generated, identity = identity)
-        generated.keys.foreach { c =>
-          val computed = t.snapshot.schema(c).dataType
-          val declared = schema(c).dataType
-          require(computed == declared,
-            s"generated column '$c' declared ${declared.simpleString} but its " +
-              s"expression yields ${computed.simpleString}")
-        }
-        identity.keys.foreach(c => require(
-          schema(c).dataType == org.apache.spark.sql.types.LongType,
-          s"identity column '$c' must be declared BIGINT"))
         props.filterNot { case (k, _) =>
           reservedProps.contains(k) || k.startsWith(TableCatalog.OPTION_PREFIX) ||
             k == "bloom.columns" || k == "bloom.ndv" ||
             k.startsWith("generated.") || k.startsWith("identity.")
-        }.foreach { case (k, v) => t.setProperty(k, v) }
+        }.foreach {
+          // a constraint declared at CREATE must land in
+          // metaData.constraints (enforced on write), not as a dead
+          // same-named property UNSET can never remove
+          case (k, v) if k.startsWith("constraint.") =>
+            t.addConstraint(k.stripPrefix("constraint."), v)
+          case (k, v) => t.setProperty(k, v)
+        }
         if (other.isDefined) Files.writeString(pointer(ident), dir)
     }
     loadTable(ident)

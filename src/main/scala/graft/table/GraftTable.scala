@@ -413,32 +413,19 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       enforceConstraints(conform(assignIdentity(df, s0), s0.schema), s0.metaData),
       s0.metaData)
     val info = TxnInfo(readWholeTable = false, None, Set.empty, Set.empty)
-    var base = s0.version
-    var attempts = 0
-    while (true) {
-      try {
-        log.commit(base + 1, Seq(
-          CommitInfo(base + 1, log.nextTimestamp(), "WRITE",
-            Map("numOutputRows" -> adds.map(_.numRecords).sum.toString,
-                "txnAppId" -> appId, "epoch" -> version.toString)),
-          Txn(appId, version)) ++ identityMeta(s0, adds) ++ adds)
-        return true
-      } catch {
-        case e: java.util.ConcurrentModificationException =>
-          attempts += 1
-          val head = latestVersion
-          ((base + 1) to head).foreach(w => classifyWinner(s0, w, info))
-          // a concurrent replay of the SAME app may have landed this epoch
-          // while we raced — skip instead of double-writing
-          if (log.snapshotAt(head).transactions.get(appId).exists(_ >= version)) {
-            adds.foreach(a => Files.deleteIfExists(Paths.get(path, a.path)))
-            return false
-          }
-          if (attempts >= 10) throw e
-          base = head
-      }
-    }
-    false
+    val committed = commitDmlAt(s0.version, s0, info,
+      (v, ts) => Seq(
+        CommitInfo(v, ts, "WRITE",
+          Map("numOutputRows" -> adds.map(_.numRecords).sum.toString,
+              "txnAppId" -> appId, "epoch" -> version.toString)),
+        Txn(appId, version)) ++ identityMeta(s0, adds) ++ adds,
+      // a concurrent replay of the SAME app may have landed this epoch
+      // while we raced — skip instead of double-writing
+      onRaceRecheck = head =>
+        log.snapshotAt(head).transactions.get(appId).exists(_ >= version))
+    if (!committed)
+      adds.foreach(a => Files.deleteIfExists(Paths.get(path, a.path)))
+    committed
   }
 
   /** COPY INTO (Delta/Databricks parity): idempotently ingest data files
@@ -490,40 +477,27 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val txns = pending.map(p => Txn(txnKey(p), Files.getLastModifiedTime(p).toMillis))
     val info = TxnInfo(readWholeTable = false, None, Set.empty, Set.empty)
     gateWriterFeatures(s0.protocol)
-    var base = s0.version
-    var attempts = 0
-    while (attempts < 10) {
-      try {
-        log.commit(base + 1, Seq(
-          CommitInfo(base + 1, log.nextTimestamp(), "COPY INTO",
-            Map("numSourceFiles" -> pending.size.toString,
-                "numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
-          identityMeta(s0, adds) ++ txns ++ adds)
-        autoCompact()
-        return adds.map(_.numRecords).sum
-      } catch {
-        case e: java.util.ConcurrentModificationException =>
-          attempts += 1
-          val head = latestVersion
-          ((base + 1) to head).foreach(w => classifyWinner(s0, w, info))
-          // a CONCURRENT copyInto may have won the race with some (or all)
-          // of our source files — blindly rebasing would ingest them twice.
-          // Re-probe the folded ledger exactly like appendIdempotent: if
-          // any pending file is now covered, drop our staged files and
-          // restart from the new ledger (the recursive run re-lists and
-          // ingests only what is still missing).
-          val ledger = log.snapshotAt(head).transactions
-          val covered = pending.exists(p => ledger.get(txnKey(p))
-            .exists(_ >= Files.getLastModifiedTime(p).toMillis))
-          if (covered) {
-            adds.foreach(a => Files.deleteIfExists(Paths.get(path, a.path)))
-            return copyInto(sourceDir, format)
-          }
-          if (attempts >= 10) throw e
-          base = head
-      }
+    val committed = commitDmlAt(s0.version, s0, info,
+      (v, ts) => Seq(
+        CommitInfo(v, ts, "COPY INTO",
+          Map("numSourceFiles" -> pending.size.toString,
+              "numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
+        identityMeta(s0, adds) ++ txns ++ adds,
+      // a CONCURRENT copyInto may have won the race with some (or all) of
+      // our source files — blindly rebasing would ingest them twice. Abort
+      // when any pending file is now covered by the folded ledger; the
+      // recursive retry re-lists and ingests only what is still missing.
+      onRaceRecheck = head => {
+        val ledger = log.snapshotAt(head).transactions
+        pending.exists(p => ledger.get(txnKey(p))
+          .exists(_ >= Files.getLastModifiedTime(p).toMillis))
+      })
+    if (!committed) {
+      adds.foreach(a => Files.deleteIfExists(Paths.get(path, a.path)))
+      return copyInto(sourceDir, format)
     }
-    0L
+    autoCompact()
+    adds.map(_.numRecords).sum
   }
 
   /** INSERT OVERWRITE / truncating rewrite as ONE atomic commit: every
@@ -560,14 +534,20 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // an all-null identity column means "assign for me" — the shape SQL
     // INSERT produces after the analyzer fills the column's NULL default;
     // any NON-null value is an explicit supply, which GENERATED ALWAYS
-    // rejects (Delta's exact UX)
-    idCols.filter(df.columns.contains).foreach { n =>
-      val explicit = df.filter(col(n).isNotNull).limit(1).count()
-      require(explicit == 0,
-        s"identity column '$n' is GENERATED ALWAYS — explicit values are not " +
-          "supported (omit the column or insert NULL)")
+    // rejects (Delta's exact UX). The rejection rides the assign
+    // projection itself (raise_error on a non-null input) — a separate
+    // pre-count would re-evaluate the whole input frame per write.
+    val assigned = IdentityColumns.of(s.schema).foldLeft(df) { (d, spec) =>
+      val fresh = IdentityColumns.assignExpr(spec,
+        IdentityColumns.hwm(s.metaData.properties, spec))
+      if (!d.columns.contains(spec.name)) d.withColumn(spec.name, fresh)
+      else d.withColumn(spec.name,
+        when(col(spec.name).isNotNull,
+          expr(s"raise_error('identity column ${spec.name} is GENERATED ALWAYS" +
+            " — explicit values are not supported (omit the column or insert" +
+            " NULL)')").cast(org.apache.spark.sql.types.LongType))
+          .otherwise(fresh))
     }
-    val assigned = IdentityColumns.assign(df, s.schema, s.metaData.properties)
     if (idCols.nonEmpty && cdfEnabled(s.metaData)) assigned.localCheckpoint(true)
     else assigned
   }
@@ -763,6 +743,17 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   private def columnMappingEnabled(meta: MetaData): Boolean =
     meta.properties.get("columnMapping.mode").exists(_.equalsIgnoreCase("name"))
 
+  /** Column names a generation expression references, from the PARSED
+    * expression tree (unparseable ⇒ treat every name as referenced —
+    * conservative: the guard then blocks the rename/drop). */
+  private def generationRefs(exprStr: String): Seq[String] =
+    try {
+      spark.sessionState.sqlParser.parseExpression(exprStr).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.head
+      }
+    } catch { case _: Exception => snapshot.schema.fieldNames.toSeq }
+
   /** ALTER TABLE RENAME COLUMN: metadata-only under column mapping — the
     * field keeps its PHYSICAL parquet name (pinned on first rename if it
     * was still implicit) and only the logical binding changes; zero data
@@ -794,10 +785,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // generation expressions reference base columns by name: renaming a
     // referenced column would brick every later write (unresolvable
     // expression) or, after a same-named re-add, silently null the
-    // generated values. Delta blocks this too. Word-boundary match keeps
-    // `ts` from matching `tsx`.
-    val genHit = GeneratedColumns.of(s.schema).find { case (_, e) =>
-      s"\\b${java.util.regex.Pattern.quote(oldName)}\\b".r.findFirstIn(e).isDefined }
+    // generated values. Delta blocks this too. References come from the
+    // PARSED expression (case-insensitive, like Spark's resolution) — a
+    // raw-text match would miss `TS` vs `ts` and false-match type names
+    // or string literals.
+    val genHit = GeneratedColumns.of(s.schema)
+      .find { case (_, e) => generationRefs(e).exists(_.equalsIgnoreCase(oldName)) }
     require(genHit.isEmpty,
       s"cannot rename $oldName: referenced by generated column ${genHit.get._1}'s expression")
     log.commit(s.version + 1, Seq(
@@ -825,8 +818,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // dropping a generation-expression base column would brick every later
     // write (the expression no longer resolves) — same guard as rename
     val genHit = GeneratedColumns.of(s.schema).find { case (g, e) =>
-      g != name &&
-        s"\\b${java.util.regex.Pattern.quote(name)}\\b".r.findFirstIn(e).isDefined }
+      g != name && generationRefs(e).exists(_.equalsIgnoreCase(name)) }
     require(genHit.isEmpty,
       s"cannot drop $name: referenced by generated column ${genHit.get._1}'s expression")
     val bloomHit = GraftTable.bloomColumns(s.metaData).contains(name)
@@ -1275,27 +1267,37 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   /** As commitDml, but the snapshot (needed only to resolve the read
     * predicate against winner files when a race is actually LOST) is
     * by-name — the streaming epoch hot path passes `snapshot` without
-    * paying a log fold on the common no-race commit. */
+    * paying a log fold on the common no-race commit.
+    *
+    * `onRaceRecheck` runs after each lost race's winners classify as
+    * disjoint, with the new head version: returning true ABORTS the commit
+    * (returns false to the caller, who cleans up its staged files) — the
+    * hook idempotent writers (appendIdempotent, copyInto) use to re-probe
+    * their ledgers instead of blindly rebasing into a double-write.
+    * Returns true when the commit landed. */
   private[table] def commitDmlAt(baseVersion: Long, snap: => Snapshot, info: TxnInfo,
-      mkActions: (Long, Long) => Seq[Action]): Unit = {
+      mkActions: (Long, Long) => Seq[Action],
+      onRaceRecheck: Long => Boolean = _ => false): Boolean = {
     lazy val s = snap
     var base = baseVersion
     var attempts = 0
     while (true) {
       try {
         log.commit(base + 1, mkActions(base + 1, log.nextTimestamp()))
-        return
+        return true
       } catch {
         case e: java.util.ConcurrentModificationException =>
           attempts += 1
           val head = latestVersion
           ((base + 1) to head).foreach(w => classifyWinner(s, w, info))
+          if (onRaceRecheck(head)) return false
           // all winners disjoint — rebase and retry (bounded: a writer
           // that loses 10 straight races is livelocked, surface it)
           if (attempts >= 10) throw e
           base = head
       }
     }
+    true
   }
 
   /** One winning commit vs this transaction: throw the first applicable

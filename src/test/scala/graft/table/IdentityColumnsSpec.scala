@@ -49,9 +49,17 @@ class IdentityColumnsSpec extends SparkTestBase {
     val after = ids(t)
     assert(after.distinct.size == 5)
     assert((after.toSet -- before.toSet).forall(_ > before.max))
-    val e = intercept[IllegalArgumentException](
+    // the rejection rides the write projection (raise_error on a non-null
+    // input — no separate validation pass), so it surfaces as the write
+    // job's failure
+    val e = intercept[Exception](
       t.append(df(("x", 9)).withColumn("row_id", lit(1L))))
-    assert(e.getMessage.contains("GENERATED ALWAYS"))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("GENERATED ALWAYS")))
+    // an all-null column means "assign" (the SQL default-filled shape)
+    t.append(df(("y", 7)).withColumn("row_id", lit(null).cast("long")))
+    assert(ids(t).distinct.size == 6)
   }
 
   test("MERGE inserts get fresh ids; matched rows keep theirs; naming the column fails") {
