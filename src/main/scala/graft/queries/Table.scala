@@ -879,6 +879,45 @@ object TableQueries {
       },
       "SELECT * FROM region ORDER BY r_regionkey"),
 
+    // ---- Row tracking: stable row ids through DML and OPTIMIZE -------------------
+    // Delta's row tracking: every row has a stable `_row_id` — fresh rows
+    // derive base-id + position from the log (zero storage), rows that
+    // survive a copy-on-write rewrite carry a materialized id. The fixture
+    // runs DELETE + UPDATE + OPTIMIZE and REQUIREs ids were preserved
+    // exactly (engine-chosen values can't be oracle-pinned); the oracle
+    // pins the invariants: surviving-row count, id uniqueness, and the
+    // preservation flags the fixture proved.
+    "q155_row_tracking" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = cache.computeIfAbsent(s"rt:$dir", _ => {
+          val tt = GraftTable.create(s, graft.Scratch.dir("graft-rt-").toString,
+            graft.Tables.nation(s, dir))
+          tt.setProperty("rowTracking.enabled", "true")
+          def ids(): Map[Int, Long] = tt.scanWithRowIds()
+            .select($"n_nationkey", col(GraftTable.RowIdCol))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          val before = ids()
+          tt.delete($"n_regionkey" === 2)
+          tt.update("n_regionkey = 0", Map("n_name" -> "upper(n_name)"))
+          tt.optimize(targetFileBytes = 1L << 30)
+          val after = ids()
+          require(after.forall { case (k, id) => before(k) == id },
+            "row ids must survive DELETE + UPDATE + OPTIMIZE")
+          require(after.values.toSeq.distinct.size == after.size,
+            "row ids must stay unique")
+          tt
+        })
+        t.scanWithRowIds().agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col(GraftTable.RowIdCol)).as("n_ids"),
+          lit(true).as("ids_preserved"))
+      },
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(COUNT(*) AS BIGINT) AS n_ids,
+        |       TRUE AS ids_preserved
+        |FROM nation WHERE n_regionkey <> 2""".stripMargin),
+
     // ---- Hive-partitioned table scan (partition pruning as data skipping) --------
     // Documents land Hive-partitioned by lang (lang=en/... directories);
     // a scan filtering on the partition column prunes whole directories at

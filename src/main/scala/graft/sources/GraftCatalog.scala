@@ -519,6 +519,12 @@ class GraftRowLevelOperation(table: GraftTable,
       s"SQL $cmd cannot maintain generated/identity columns ${gen.toSeq.sorted.mkString(", ")}; " +
         "use the native GraftTable.update/merge API (they recompute/assign them)")
   }
+  // the SQL group rewrite re-writes whole files through Spark's plan and
+  // cannot materialize row ids — ANY rewrite (incl. DELETE's carried rows)
+  // would silently re-identify surviving rows
+  require(!table.rowTrackingEnabled(table.snapshot.metaData),
+    s"SQL $cmd cannot preserve row ids (rowTracking.enabled); " +
+      "use the native GraftTable.delete/update/merge API")
 
   @volatile private var scanned: Option[Snapshot] = None
   @volatile private var groupScan: Option[GraftGroupScan] = None

@@ -97,6 +97,9 @@ class GraftStreamingWrite(table: GraftTable, schema: StructType, queryId: String
     require(gen.isEmpty,
       s"streaming sink cannot maintain generated/identity columns ${gen.toSeq.sorted.mkString(", ")}; " +
         "stream via foreachBatch { (batch, _) => table.append(batch) } instead")
+    require(!table.rowTrackingEnabled(table.snapshot.metaData),
+      "streaming sink cannot allocate row ids (rowTracking.enabled); " +
+        "stream via foreachBatch { (batch, _) => table.append(batch) } instead")
     // writer-feature gate, once per stream start (the per-epoch commit
     // path deliberately skips the snapshot fold)
     table.gateWrite()

@@ -41,7 +41,8 @@ final case class AddFile(
     maxValues: Map[String, String],
     partitionValues: Map[String, String] = Map.empty,
     dvPath: Option[String] = None,
-    dvCount: Long = 0L) extends Action {
+    dvCount: Long = 0L,
+    baseRowId: Option[Long] = None) extends Action {
   /** Rows served by this file = physical rows minus deletion-vector
     * tombstones (`numRecords` stays the parquet footer count — min/max
     * stats remain sound over-approximations under a DV). */
@@ -77,7 +78,8 @@ object Protocol {
   /** Features THIS build can read/write correctly. `generatedColumns` is
     * writer-only (readers see plain materialized data; only writers must
     * honor the generation rule), mirroring the Delta feature split. */
-  val supportedReaderFeatures: Set[String] = Set("deletionVectors", "columnMapping", "changeDataFeed")
+  val supportedReaderFeatures: Set[String] =
+    Set("deletionVectors", "columnMapping", "changeDataFeed", "rowTracking")
   val supportedWriterFeatures: Set[String] =
     supportedReaderFeatures + "generatedColumns" + "identityColumns"
 }
@@ -116,7 +118,7 @@ object Actions {
         partCols.foreach(arr.add)
         putMap(n, "constraints", constraints)
         if (properties.nonEmpty) putMap(n, "properties", properties)
-      case AddFile(path, size, mtime, rows, mins, maxs, partVals, dvPath, dvCount) =>
+      case AddFile(path, size, mtime, rows, mins, maxs, partVals, dvPath, dvCount, baseRowId) =>
         val n = root.putObject("add")
         n.put("path", path); n.put("size", size); n.put("modificationTime", mtime)
         n.put("numRecords", rows)
@@ -126,6 +128,7 @@ object Actions {
           val dv = n.putObject("deletionVector")
           dv.put("path", p); dv.put("cardinality", dvCount)
         }
+        baseRowId.foreach(b => n.put("baseRowId", b))
       case RemoveFile(path, ts) =>
         val n = root.putObject("remove")
         n.put("path", path); n.put("deletionTimestamp", ts)
@@ -166,7 +169,7 @@ object Actions {
       AddFile(n.get("path").asText(), n.get("size").asLong(),
         n.get("modificationTime").asLong(), n.get("numRecords").asLong(),
         strMap(n, "minValues"), strMap(n, "maxValues"), strMap(n, "partitionValues"),
-        dvPath, dvCount)
+        dvPath, dvCount, Option(n.get("baseRowId")).map(_.asLong()))
     } else if (root.has("remove")) {
       val n = root.get("remove")
       RemoveFile(n.get("path").asText(), n.get("deletionTimestamp").asLong())

@@ -45,7 +45,8 @@ object CheckpointCodec {
       optStr("partitionValues"), optStr("dvPath"), optLong("dvCount"),
       optStr("metaId"), optStr("schemaString"), optLong("createdTime"),
       optStr("partitionColumns"), optStr("constraints"), optStr("properties"),
-      optStr("txnAppId"), optLong("txnVersion"), optStr("protocolJson"))
+      optStr("txnAppId"), optLong("txnVersion"), optStr("protocolJson"),
+      optLong("baseRowId"))
   }
 
   private def jsonMap(m: Map[String, String]): String = {
@@ -169,6 +170,7 @@ object CheckpointCodec {
         g.add("maxValues", jsonMap(f.maxValues))
         g.add("partitionValues", jsonMap(f.partitionValues))
         f.dvPath.foreach { p => g.add("dvPath", p); g.add("dvCount", f.dvCount) }
+        f.baseRowId.foreach(b => g.add("baseRowId", b))
         w.write(g)
       }
     } finally w.close()
@@ -188,7 +190,7 @@ object CheckpointCodec {
       StructField("createdTime", LongType), StructField("partitionColumns", StringType),
       StructField("constraints", StringType), StructField("properties", StringType),
       StructField("txnAppId", StringType), StructField("txnVersion", LongType),
-      StructField("protocolJson", StringType)))
+      StructField("protocolJson", StringType), StructField("baseRowId", LongType)))
   }
 
   /** Read a parquet checkpoint back to the folded snapshot at `version`.
@@ -245,7 +247,8 @@ object CheckpointCodec {
               str(1, r), lng(2, r), lng(3, r), lng(4, r),
               readMap(str(5, r)), readMap(str(6, r)), readMap(str(7, r)),
               if (batch.column(8).isNullAt(r)) None else Some(str(8, r)),
-              lng(9, r))
+              lng(9, r),
+              if (batch.column(19).isNullAt(r)) None else Some(batch.column(19).getLong(r)))
             case "meta" => meta = Some(MetaData(
               str(10, r), str(11, r), lng(12, r),
               readSeq(str(13, r)), readMap(str(14, r)), readMap(str(15, r))))

@@ -45,10 +45,17 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   /** Raw parquet scan of a file subset, no deletion-vector filtering.
     * basePath lets Spark reconstruct partition columns from the Hive-style
     * directory names when the table is partitioned. */
-  private def readFilesRaw(s: Snapshot, files: Seq[AddFile]): DataFrame = {
+  private def readFilesRaw(s: Snapshot, files: Seq[AddFile],
+      withMaterializedRowId: Boolean = false): DataFrame = {
     // under column mapping the FILES carry physical column names; the scan
-    // reads them and toLogical() renames at the end of each read helper
-    val physSchema = ColumnMapping.physicalSchema(s.schema)
+    // reads them and toLogical() renames at the end of each read helper.
+    // With row tracking, the materialized `_row_id` column joins the read
+    // schema — files written before it exists read null (parquet
+    // missing-column semantics), exactly the fresh-row case.
+    val physSchema0 = ColumnMapping.physicalSchema(s.schema)
+    val physSchema =
+      if (!withMaterializedRowId) physSchema0
+      else physSchema0.add(StructField(GraftTable.RowIdCol, LongType, nullable = true))
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], physSchema)
     else if (s.metaData.partitionColumns.nonEmpty)
@@ -100,13 +107,16 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   /** readFiles variant that keeps `__fname`/`__pos` provenance columns —
     * the DV delete path needs the surviving rows' positions. */
   private def readFilesMeta(s: Snapshot, files: Seq[AddFile]): DataFrame = {
+    val rt = rowTrackingEnabled(s.metaData)
+    val rid = if (rt) Seq(GraftTable.RowIdCol) else Nil
     if (files.isEmpty)
-      return toLogical(s, readFilesRaw(s, files)
+      return toLogical(s, readFilesRaw(s, files, withMaterializedRowId = rt)
         .withColumn("__fname", lit(""))
-        .withColumn("__pos", lit(0L)), Seq("__fname", "__pos"))
-    def marked(fs: Seq[AddFile]): DataFrame = readFilesRaw(s, fs)
-      .withColumn("__fname", col("_metadata.file_name"))
-      .withColumn("__pos", col("_metadata.row_index"))
+        .withColumn("__pos", lit(0L)), Seq("__fname", "__pos") ++ rid)
+    def marked(fs: Seq[AddFile]): DataFrame =
+      readFilesRaw(s, fs, withMaterializedRowId = rt)
+        .withColumn("__fname", col("_metadata.file_name"))
+        .withColumn("__pos", col("_metadata.row_index"))
     val (withDv, noDv) = files.partition(_.dvPath.isDefined)
     val out =
       if (withDv.isEmpty) marked(files)
@@ -116,7 +126,34 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           Seq("__fname", "__pos"), "left_anti")
         if (noDv.isEmpty) filtered else marked(noDv).unionByName(filtered)
       }
-    toLogical(s, out, Seq("__fname", "__pos"))
+    // resolve each row's STABLE id: materialized (survived a rewrite) or
+    // baseRowId + physical position (born in this file). The base map is
+    // bounded by file count and broadcasts.
+    val withId =
+      if (!rt) out
+      else {
+        val baseDf = broadcast(spark.createDataFrame(
+          files.map(f => Row(fileName(f.path), f.baseRowId.map(Long.box).orNull)).asJava,
+          StructType(Seq(
+            StructField("__bfname", StringType, nullable = false),
+            StructField("__base", LongType, nullable = true)))))
+        out.join(baseDf, col("__fname") === col("__bfname"), "left")
+          .withColumn(GraftTable.RowIdCol,
+            coalesce(col(GraftTable.RowIdCol), col("__base") + col("__pos")))
+          .drop("__bfname", "__base")
+      }
+    toLogical(s, withId, Seq("__fname", "__pos") ++ rid)
+  }
+
+  /** Rows of the current snapshot with their stable `_row_id` (requires
+    * `rowTracking.enabled`): ids survive copy-on-write DELETE/UPDATE/MERGE
+    * and OPTIMIZE (materialized into the rewritten files) and are
+    * position-derived for fresh rows — Delta's row tracking surface. */
+  def scanWithRowIds(): DataFrame = {
+    val s = snapshot
+    require(rowTrackingEnabled(s.metaData),
+      "row ids require setProperty(\"rowTracking.enabled\", \"true\")")
+    readFilesMeta(s, s.files).drop("__fname", "__pos")
   }
 
   /** Scan `files` via `scan`, anti-joining ONLY the subset that carries a
@@ -298,9 +335,16 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * a writer may omit them, and either way the engine (re)computes them
     * from their declared expressions so the generation invariant holds by
     * construction on every write path (see GeneratedColumns). */
-  private def conform(df: DataFrame, schema: StructType): DataFrame = {
+  private def conform(df: DataFrame, schema: StructType,
+      keepRowId: Boolean = false): DataFrame = {
     val generated = GeneratedColumns.names(schema)
-    val have = df.columns.toSet
+    // internal rewrite frames carry the materialized row-id through the
+    // projection (keepRowId); a USER write with a `_row_id` column still
+    // rejects as an extra column — row ids are engine-assigned, never
+    // supplied
+    val rid = if (keepRowId && df.columns.contains(GraftTable.RowIdCol))
+      Seq(col(GraftTable.RowIdCol)) else Nil
+    val have = df.columns.toSet -- (if (keepRowId) Set(GraftTable.RowIdCol) else Set.empty)
     val want = schema.fieldNames.toSet
     require((have -- want).isEmpty,
       s"schema mismatch: write has extra columns ${(have -- want).toSeq.sorted} " +
@@ -308,7 +352,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     require((want -- have -- generated).isEmpty,
       s"schema mismatch: write lacks columns ${(want -- have -- generated).toSeq.sorted}")
     GeneratedColumns.fill(df, schema)
-      .select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+      .select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq ++ rid: _*)
   }
 
   /** Enforce the table's CHECK constraints on rows about to be written
@@ -378,11 +422,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // means "assign": the SQL-INSERT default-filled shape), assign fresh
     // ids above the frontier, and advance it in this same commit
     val dfA = assignIdentity(df, s0)
-    val adds = writeDataMapped(
-      enforceConstraints(conform(dfA, s0.schema), s0.metaData), s0.metaData)
-    val metaBumped = IdentityColumns
-      .bumpedProps(s0.metaData.properties, s0.schema, adds)
-      .map(p => s0.metaData.copy(properties = p)).getOrElse(s0.metaData)
+    val adds = stampRowIds(s0, writeDataMapped(
+      enforceConstraints(conform(dfA, s0.schema), s0.metaData), s0.metaData))
+    val metaBumped = s0.metaData.copy(
+      properties = advancedProps(s0.metaData, s0.schema, adds))
     val metaAction: Seq[Action] =
       if (metaBumped != s0raw.metaData) Seq(metaBumped) else Nil
     // blind append: reads nothing, removes nothing — rebases past any data
@@ -409,9 +452,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val s0 = snapshot
     gateWriterFeatures(s0.protocol)
     if (s0.transactions.get(appId).exists(_ >= version)) return false
-    val adds = writeDataMapped(
+    val adds = stampRowIds(s0, writeDataMapped(
       enforceConstraints(conform(assignIdentity(df, s0), s0.schema), s0.metaData),
-      s0.metaData)
+      s0.metaData))
     val info = TxnInfo(readWholeTable = false, None, Set.empty, Set.empty)
     val committed = commitDmlAt(s0.version, s0, info,
       (v, ts) => Seq(
@@ -471,9 +514,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     }
     val df = reader.format(if (format == "jsonl") "json" else format)
       .load(pending.map(_.toString): _*)
-    val adds = writeDataMapped(
+    val adds = stampRowIds(s0, writeDataMapped(
       enforceConstraints(conform(assignIdentity(df, s0), s0.schema), s0.metaData),
-      s0.metaData)
+      s0.metaData))
     val txns = pending.map(p => Txn(txnKey(p), Files.getLastModifiedTime(p).toMillis))
     val info = TxnInfo(readWholeTable = false, None, Set.empty, Set.empty)
     gateWriterFeatures(s0.protocol)
@@ -506,9 +549,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * delete-then-append pair would expose. */
   def overwrite(df: DataFrame): Unit = {
     val s = snapshot
-    val adds = writeDataMapped(
+    val adds = stampRowIds(s, writeDataMapped(
       enforceConstraints(conform(assignIdentity(df, s), s.schema), s.metaData),
-      s.metaData)
+      s.metaData))
     val cdc = writeCdcFiles(s, cdcDiff(s, read(s), readFiles(s, adds)))
     // overwrite logically replaces EVERYTHING as of its snapshot — a
     // concurrent append would be silently erased by a rebase, so it
@@ -552,10 +595,52 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     else assigned
   }
 
-  /** Identity-frontier bump as a commit action (empty when nothing moved). */
-  private def identityMeta(s: Snapshot, adds: Seq[AddFile]): Seq[Action] =
-    IdentityColumns.bumpedProps(s.metaData.properties, s.schema, adds)
-      .map(p => s.metaData.copy(properties = p)).toSeq
+  // ---- row tracking (Delta parity: stable row ids) ---------------------------
+  // `rowTracking.enabled`: every row has a STABLE `_row_id` — fresh rows
+  // get baseRowId(file) + physical position (zero storage: derived from
+  // the AddFile and the parquet row index), and rows that survive a
+  // copy-on-write rewrite carry their id in a MATERIALIZED `_row_id`
+  // column of the new file. Reads coalesce(materialized, base + pos).
+  private[graft] def rowTrackingEnabled(meta: MetaData): Boolean =
+    meta.properties.get("rowTracking.enabled").exists(_.equalsIgnoreCase("true"))
+
+  /** Stamp fresh base row ids onto a commit's new AddFiles, allocating
+    * sequentially above the snapshot's high-water mark. Re-added files
+    * (DV re-adds, RESTORE, CLONE) keep the base id they already carry. */
+  private def stampRowIds(s: Snapshot, adds: Seq[AddFile]): Seq[AddFile] =
+    if (!rowTrackingEnabled(s.metaData)) adds
+    else {
+      var hwm = s.metaData.properties.get(GraftTable.RowIdHwmKey)
+        .map(_.toLong).getOrElse(-1L)
+      adds.map { a =>
+        val base = hwm + 1
+        hwm += a.numRecords
+        a.copy(baseRowId = Some(base))
+      }
+    }
+
+  /** Properties advanced by a commit's adds: identity frontiers + the
+    * row-id high-water mark. ONE MetaData action carries all of them —
+    * last-meta-wins replay would drop one of two separate actions. */
+  private def advancedProps(meta: MetaData, schema: StructType,
+      adds: Seq[AddFile]): Map[String, String] = {
+    val p1 = IdentityColumns.bumpedProps(meta.properties, schema, adds)
+      .getOrElse(meta.properties)
+    if (!rowTrackingEnabled(meta)) p1
+    else {
+      val cur = p1.get(GraftTable.RowIdHwmKey).map(_.toLong).getOrElse(-1L)
+      val next = adds.flatMap(a => a.baseRowId.map(_ + a.numRecords - 1))
+        .foldLeft(cur)(math.max)
+      if (next > cur) p1 + (GraftTable.RowIdHwmKey -> next.toString) else p1
+    }
+  }
+
+  /** Engine-property bump (identity frontiers, row-id hwm) as a commit
+    * action (empty when nothing moved). */
+  private def identityMeta(s: Snapshot, adds: Seq[AddFile]): Seq[Action] = {
+    val p = advancedProps(s.metaData, s.schema, adds)
+    if (p != s.metaData.properties) Seq(s.metaData.copy(properties = p)) else Nil
+  }
 
   /** Predicate-scoped overwrite (Delta's `replaceWhere`): atomically
     * replace exactly the rows matching `pred` with `df`'s rows, in one
@@ -580,9 +665,15 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val touchedNames = readFilesMeta(s, candidates).filter(pred)
       .select(col("__fname")).distinct().collect().map(_.getString(0)).toSet
     val touched = s.files.filter(f => touchedNames.contains(fileName(f.path)))
+    // carried (out-of-scope) rows keep their materialized row ids; the
+    // replacement frame is all-fresh (null ids for the union)
     val carried = readFilesMeta(s, touched).filter(!coalesce(pred, lit(false)))
       .drop("__fname", "__pos")
-    val adds = writeDataMapped(carried.unionByName(conformed), s.metaData)
+    val conformedR =
+      if (carried.columns.contains(GraftTable.RowIdCol))
+        conformed.withColumn(GraftTable.RowIdCol, lit(null).cast(LongType))
+      else conformed
+    val adds = stampRowIds(s, writeDataMapped(carried.unionByName(conformedR), s.metaData))
     // operator-level CDC: replaced rows (= matching rows of touched files)
     // as deletes, the replacement frame as inserts; carried rows are
     // unchanged and emit nothing
@@ -614,7 +705,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val parts = s.metaData.partitionColumns
     require(parts.nonEmpty, "dynamic partition overwrite requires a partitioned table")
     val conformed = enforceConstraints(conform(assignIdentity(df, s), s.schema), s.metaData)
-    val adds = writeDataMapped(conformed, s.metaData)
+    val adds = stampRowIds(s, writeDataMapped(conformed, s.metaData))
     // which partitions does the frame carry? Derived from the WRITTEN
     // files' own partitionValues — the same Hive directory encoding the
     // existing files use, so null (`__HIVE_DEFAULT_PARTITION__`) and
@@ -670,6 +761,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         Some("columnMapping")
       case "changeDataFeed.enabled" if value.equalsIgnoreCase("true") =>
         Some("changeDataFeed")
+      case "rowTracking.enabled" if value.equalsIgnoreCase("true") =>
+        Some("rowTracking")
       case _ => None
     }
     val upgrade: Seq[Action] = feature match {
@@ -681,9 +774,24 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           writerFeatures = (s.protocol.writerFeatures :+ f).distinct))
       case _ => Nil
     }
-    log.commit(s.version + 1, upgrade ++ Seq(meta,
+    // enabling row tracking BACKFILLS the live files in the same commit:
+    // every AddFile re-commits with a fresh base row id (metadata-only —
+    // O(files), no data touched) so existing rows have ids from version
+    // enablement onward, Delta's backfill semantics
+    val (backfill, metaFinal): (Seq[Action], MetaData) =
+      if (feature.contains("rowTracking") &&
+          !rowTrackingEnabled(s.metaData)) {
+        var hwm = -1L
+        val stamped = s.files.map { f =>
+          val base = hwm + 1; hwm += f.numRecords; f.copy(baseRowId = Some(base))
+        }
+        (stamped,
+         meta.copy(properties = meta.properties +
+           (GraftTable.RowIdHwmKey -> hwm.toString)))
+      } else (Nil, meta)
+    log.commit(s.version + 1, upgrade ++ Seq(metaFinal,
       CommitInfo(s.version + 1, log.nextTimestamp(), "SET TBLPROPERTIES",
-        Map(key -> value))))
+        Map(key -> value))) ++ backfill)
   }
 
   /** Delta-style auto compaction: when the table property
@@ -1122,9 +1230,15 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         clusterBy.isEmpty && zorderBy.isEmpty) return
     val totalBytes = scoped.map(_.size).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    // under row tracking the reorganization carries every row's resolved
+    // id and the rewrite materializes it — OPTIMIZE moves rows between
+    // files without changing their identity
+    def readScoped(): DataFrame =
+      if (!rowTrackingEnabled(s.metaData)) readFiles(s, scoped)
+      else readFilesMeta(s, scoped).drop("__fname", "__pos")
     val reorganized =
       if (zorderBy.nonEmpty) {
-        val df = readFiles(s, scoped)
+        val df = readScoped()
         // 255 interior quantile boundaries per dim → 256 rank-uniform
         // buckets, robust to skew (value-uniform width_bucket is not).
         // approxQuantile is one sampling aggregate over all dims at once.
@@ -1145,9 +1259,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           .sortWithinPartitions("__zv")
           .drop((0 until k).map(j => s"__zb$j") :+ "__zv": _*)
       } else if (clusterBy.nonEmpty) {
-        readFiles(s, scoped).repartitionByRange(nOut, clusterBy.map(col): _*)
-      } else readFiles(s, scoped).repartition(nOut)
-    val adds = writeDataMapped(reorganized, s.metaData)
+        readScoped().repartitionByRange(nOut, clusterBy.map(col): _*)
+      } else readScoped().repartition(nOut)
+    val adds = stampRowIds(s, writeDataMapped(reorganized, s.metaData))
     // pure reorganization of exactly `scoped`: concurrent appends never
     // conflict (Delta's dataChange=false leniency) — only a writer that
     // removed one of our input files does
@@ -1161,6 +1275,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
               "numFilesSkipped" -> (s.files.size - scoped.size).toString) ++
             (if (zorderBy.nonEmpty) Map("zorderBy" -> zorderBy.mkString(","))
              else Map.empty))) ++
+        identityMeta(s, adds) ++
         scoped.map(f => RemoveFile(f.path, ts)) ++ adds)
   }
 
@@ -1348,8 +1463,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       FileOps.writeDataFiles(df, path, meta.partitionColumns,
         GraftTable.bloomWriteOptions(meta))
     else {
+      // the materialized row-id column (row tracking) is not part of the
+      // logical schema but must land in the file under its fixed name
+      val rid = if (df.columns.contains(GraftTable.RowIdCol))
+        Seq(col(GraftTable.RowIdCol)) else Nil
       val renamed = df.select(schema.fields.map(f =>
-        col(f.name).as(ColumnMapping.physicalName(f))).toSeq: _*)
+        col(f.name).as(ColumnMapping.physicalName(f))).toSeq ++ rid: _*)
       val physParts = meta.partitionColumns.map(ColumnMapping.physicalOf(schema, _))
       val physBloomMeta = meta.copy(properties = meta.properties ++
         meta.properties.get("bloom.columns").map(cols => "bloom.columns" ->
@@ -1505,14 +1624,18 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // part-file names are UUID-unique per table, so name-level matching is
     // safe across partition directories
     val touched = s.files.filter(f => touchedNames.contains(fileName(f.path)))
+    // with row tracking, `keep` carries each surviving row's `_row_id`
+    // (readFilesMeta resolves it) and the rewrite MATERIALIZES it into the
+    // new files — the id survives the copy-on-write
     val keep = readFilesMeta(s, touched).filter(!coalesce(pred, lit(false)))
       .drop("__fname", "__pos")
-    val adds = writeDataMapped(keep, s.metaData)
+    val adds = stampRowIds(s, writeDataMapped(keep, s.metaData))
     val deleted = touched.map(_.numRecords).sum - adds.map(_.numRecords).sum
     // operator-level CDC: the deleted rows ARE the matched rows — tag them
     // directly instead of re-reading and multiset-diffing the rewrite
     val cdc = writeCdcFiles(s, readFilesMeta(s, touched)
       .filter(coalesce(pred, lit(false))).drop("__fname", "__pos")
+      .drop(GraftTable.RowIdCol)
       .withColumn("_change_type", lit("delete")))
     commitDml(s,
       TxnInfo(readWholeTable = false, Some(pred),
@@ -1521,6 +1644,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         Seq(CommitInfo(v, ts, "DELETE",
           Map("numDeletedRows" -> deleted.toString,
               "numRewrittenFiles" -> touched.size.toString))) ++
+        identityMeta(s, adds) ++
         touched.map(f => RemoveFile(f.path, ts)) ++ adds ++ cdc)
     deleted
   }
@@ -1556,14 +1680,20 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val candidates = prunedFiles(s, pred)
     if (candidates.isEmpty) { commitNoop(s, "UPDATE"); return 0L }
     val matched = readFilesMeta(s, candidates).filter(coalesce(pred, lit(false)))
+    // with row tracking, post-images CARRY the updated row's id (rewritten
+    // or appended files materialize it — an UPDATE changes values, never
+    // identity)
     def postImage(rows: DataFrame): DataFrame = rows.select(
       s.schema.fieldNames.map(c =>
         set.get(c).map(u => expr(u).cast(s.schema(c).dataType).as(c))
-          .getOrElse(col(c))).toSeq: _*)
+          .getOrElse(col(c))).toSeq ++
+      (if (rows.columns.contains(GraftTable.RowIdCol))
+         Seq(col(GraftTable.RowIdCol)) else Nil): _*)
     lazy val cdc = writeCdcFiles(s,
-      matched.drop("__fname", "__pos")
+      matched.drop("__fname", "__pos").drop(GraftTable.RowIdCol)
         .withColumn("_change_type", lit("update_preimage"))
         .unionByName(postImage(matched.drop("__fname", "__pos"))
+          .drop(GraftTable.RowIdCol)
           .withColumn("_change_type", lit("update_postimage"))))
 
     if (dvEnabled(s.metaData)) {
@@ -1578,9 +1708,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         val tombstones = affected.select(col("__fname"), col("__pos"))
         val allPos = dvEntries(touched).map(_.unionByName(tombstones)).getOrElse(tombstones)
         val rel = writeDvSidecar(allPos)
-        val adds = writeDataMapped(enforceConstraints(
-          conform(postImage(affected.drop("__fname", "__pos")), s.schema),
-          s.metaData), s.metaData)
+        val adds = stampRowIds(s, writeDataMapped(enforceConstraints(
+          conform(postImage(affected.drop("__fname", "__pos")), s.schema,
+            keepRowId = true),
+          s.metaData), s.metaData))
         val reAdds = touched.map(f => f.copy(dvPath = Some(rel),
           dvCount = f.dvCount + perFile(fileName(f.path))))
         val updated = perFile.values.sum
@@ -1593,6 +1724,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
               Map("numUpdatedRows" -> updated.toString,
                   "numRewrittenFiles" -> "0",
                   "numDeletionVectors" -> touched.size.toString))) ++
+            identityMeta(s, adds) ++
             touched.map(f => RemoveFile(f.path, ts)) ++ reAdds ++ adds ++ cdcFiles)
         return updated
       }
@@ -1606,17 +1738,22 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val touchedNames = perFileTouched.map(_.getString(0)).toSet
     val touched = s.files.filter(f => touchedNames.contains(fileName(f.path)))
     // one projection rewrites the touched files: matching rows take their
-    // SET expressions, the rest pass through
-    val rewritten = readFilesMeta(s, touched).drop("__fname", "__pos")
+    // SET expressions, the rest pass through (and every row keeps its
+    // materialized row id under row tracking)
+    val toRewrite = readFilesMeta(s, touched).drop("__fname", "__pos")
+    val rewritten = toRewrite
       .select(s.schema.fieldNames.map { c =>
         set.get(c) match {
           case Some(u) => when(coalesce(pred, lit(false)),
             expr(u).cast(s.schema(c).dataType)).otherwise(col(c)).as(c)
           case None => col(c)
         }
-      }.toSeq: _*)
-    val adds = writeDataMapped(
-      enforceConstraints(conform(rewritten, s.schema), s.metaData), s.metaData)
+      }.toSeq ++
+      (if (toRewrite.columns.contains(GraftTable.RowIdCol))
+         Seq(col(GraftTable.RowIdCol)) else Nil): _*)
+    val adds = stampRowIds(s, writeDataMapped(
+      enforceConstraints(conform(rewritten, s.schema, keepRowId = true),
+        s.metaData), s.metaData))
     val updated = perFileTouched.map(_.getLong(1)).sum
     val cdcFiles = cdc
     commitDml(s,
@@ -1626,6 +1763,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         Seq(CommitInfo(v, ts, "UPDATE",
           Map("numUpdatedRows" -> updated.toString,
               "numRewrittenFiles" -> touched.size.toString))) ++
+        identityMeta(s, adds) ++
         touched.map(f => RemoveFile(f.path, ts)) ++ adds ++ cdcFiles)
     updated
   }
@@ -1852,12 +1990,15 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         val wa = joined.withColumn("__action", action)
         if (matchedClauses.isEmpty) wa.dropDuplicates("__tid") else wa
       }
+      // row tracking: a rewritten/updated row KEEPS its id — the target
+      // side's resolved `_row_id` rides the post-image into the new file
+      val rtEnabled = rowTrackingEnabled(s.metaData)
       def postImage(d: DataFrame): DataFrame = d.select(srcCols.map { c =>
         var e: Column = col(s"$targetAlias.$c")
         updateSets.foreach { case (i, set) =>
           set.get(c).foreach(u => e = when(col("__action") === i, expr(u)).otherwise(e)) }
         e.as(c)
-      }: _*)
+      } ++ (if (rtEnabled) Seq(col(GraftTable.RowIdCol)) else Nil): _*)
 
       val deletePred: Column =
         if (deleteIds.isEmpty) lit(false) else col("__action").isin(deleteIds: _*)
@@ -1876,9 +2017,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
             when(col("__del"), lit("delete")).otherwise(lit("update_preimage")))
           .drop("__del")
         val post = postImage(affected.filter(!deletePred))
+          .drop(GraftTable.RowIdCol)
           .withColumn("_change_type", lit("update_postimage"))
         pre.unionByName(post)
-          .unionByName(ins.withColumn("_change_type", lit("insert")))
+          .unionByName(ins.drop(GraftTable.RowIdCol)
+            .withColumn("_change_type", lit("insert")))
       }
 
       // Phase 2b: inserts — source rows matching NOTHING in the whole table
@@ -1892,9 +2035,14 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         val assigned = IdentityColumns.assign(
           insertRows(src, targetAll, cond, insertClauses, schema),
           schema, s.metaData.properties)
-        if (IdentityColumns.names(schema).nonEmpty && cdfEnabled(s.metaData))
-          assigned.localCheckpoint(true)
+        // fresh rows carry no materialized id (read side derives base+pos);
+        // the null column only exists so the union with post-images aligns
+        val withRid = if (rtEnabled)
+          assigned.withColumn(GraftTable.RowIdCol, lit(null).cast(LongType))
         else assigned
+        if (IdentityColumns.names(schema).nonEmpty && cdfEnabled(s.metaData))
+          withRid.localCheckpoint(true)
+        else withRid
       }
 
       // Merge-on-read (deletionVectors.enabled): instead of rewriting the
@@ -1918,8 +2066,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           val replacement = postImage(affected.filter(
             if (deleteIds.isEmpty) lit(true) else !col("__action").isin(deleteIds: _*)))
           val out = enforceConstraints(
-            conform(replacement.unionByName(inserts), schema), s.metaData)
-          val adds = writeDataMapped(out, s.metaData)
+            conform(replacement.unionByName(inserts), schema, keepRowId = true),
+            s.metaData)
+          val adds = stampRowIds(s, writeDataMapped(out, s.metaData))
           val reAdds = touched.map(f => f.copy(dvPath = Some(rel),
             dvCount = f.dvCount + perFile.getOrElse(fileName(f.path), 0L)))
           val cdc = writeCdcFiles(s, mergeCdc(affected, inserts))
@@ -1939,9 +2088,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         val acted = withAction
           .filter(if (deleteIds.isEmpty) lit(true) else !col("__action").isin(deleteIds: _*))
         val rewritten = postImage(acted)
-        val out = enforceConstraints(conform(rewritten.unionByName(inserts), schema),
+        val out = enforceConstraints(
+          conform(rewritten.unionByName(inserts), schema, keepRowId = true),
           s.metaData)
-        val adds = writeDataMapped(out, s.metaData)
+        val adds = stampRowIds(s, writeDataMapped(out, s.metaData))
         val cdc = writeCdcFiles(s,
           mergeCdc(withAction.filter(col("__action") >= 0), inserts))
         commitDml(s, mergeTxnInfo(srcKeyPrune, prunedTargetFiles, touched),
@@ -1957,8 +2107,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       val inserts = IdentityColumns.assign(
         insertRows(src, targetAll, cond, insertClauses, schema),
         schema, s.metaData.properties)
-      val adds = writeDataMapped(
-        enforceConstraints(conform(inserts, schema), s.metaData), s.metaData)
+      val adds = stampRowIds(s, writeDataMapped(
+        enforceConstraints(conform(inserts, schema), s.metaData), s.metaData))
       commitDml(s, mergeTxnInfo(srcKeyPrune, prunedTargetFiles, Nil),
         (v, ts) =>
           Seq(CommitInfo(v, ts, "MERGE",
@@ -2142,6 +2292,12 @@ final class MergeBuilder private[table] (
 }
 
 object GraftTable {
+  /** Name of both the materialized row-id column inside rewritten data
+    * files and the row-id output column of `scanWithRowIds`. */
+  val RowIdCol = "_row_id"
+  /** Table property holding the highest allocated row id. */
+  val RowIdHwmKey = "rowTracking.rowIdHighWaterMark"
+
 
   /** Columns with native parquet bloom filters, from table properties. */
   private[table] def bloomColumns(meta: MetaData): Seq[String] =
