@@ -605,17 +605,21 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     meta.properties.get("rowTracking.enabled").exists(_.equalsIgnoreCase("true"))
 
   /** Stamp fresh base row ids onto a commit's new AddFiles, allocating
-    * sequentially above the snapshot's high-water mark. Re-added files
-    * (DV re-adds, RESTORE, CLONE) keep the base id they already carry. */
+    * sequentially above the snapshot's high-water mark. Files already
+    * carrying a base id (DV re-adds, RESTORE, CLONE) keep it — their rows
+    * were identified when the file was first added. */
   private def stampRowIds(s: Snapshot, adds: Seq[AddFile]): Seq[AddFile] =
     if (!rowTrackingEnabled(s.metaData)) adds
     else {
       var hwm = s.metaData.properties.get(GraftTable.RowIdHwmKey)
         .map(_.toLong).getOrElse(-1L)
       adds.map { a =>
-        val base = hwm + 1
-        hwm += a.numRecords
-        a.copy(baseRowId = Some(base))
+        if (a.baseRowId.isDefined) a
+        else {
+          val base = hwm + 1
+          hwm += a.numRecords
+          a.copy(baseRowId = Some(base))
+        }
       }
     }
 
@@ -679,6 +683,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // unchanged and emit nothing
     val cdc = writeCdcFiles(s,
       readFilesMeta(s, touched).filter(pred).drop("__fname", "__pos")
+        .drop(GraftTable.RowIdCol)
         .withColumn("_change_type", lit("delete"))
         .unionByName(conformed.withColumn("_change_type", lit("insert"))))
     commitDml(s,
@@ -775,14 +780,22 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       case _ => Nil
     }
     // enabling row tracking BACKFILLS the live files in the same commit:
-    // every AddFile re-commits with a fresh base row id (metadata-only —
-    // O(files), no data touched) so existing rows have ids from version
-    // enablement onward, Delta's backfill semantics
+    // AddFiles lacking a base id re-commit with a fresh one (metadata-only
+    // — O(files), no data touched) so existing rows have ids from
+    // enablement onward, Delta's backfill semantics. Re-enablement RESUMES
+    // from the preserved high-water mark and leaves already-stamped files
+    // (and any materialized ids inside rewritten files) untouched — a
+    // reset to -1 would re-issue ids that still live in materialized
+    // columns.
     val (backfill, metaFinal): (Seq[Action], MetaData) =
       if (feature.contains("rowTracking") &&
           !rowTrackingEnabled(s.metaData)) {
-        var hwm = -1L
-        val stamped = s.files.map { f =>
+        require(!s.schema.fieldNames.contains(GraftTable.RowIdCol),
+          s"cannot enable row tracking: the table already has a column " +
+            s"named ${GraftTable.RowIdCol}")
+        var hwm = s.metaData.properties.get(GraftTable.RowIdHwmKey)
+          .map(_.toLong).getOrElse(-1L)
+        val stamped = s.files.filter(_.baseRowId.isEmpty).map { f =>
           val base = hwm + 1; hwm += f.numRecords; f.copy(baseRowId = Some(base))
         }
         (stamped,
@@ -1261,7 +1274,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       } else if (clusterBy.nonEmpty) {
         readScoped().repartitionByRange(nOut, clusterBy.map(col): _*)
       } else readScoped().repartition(nOut)
-    val adds = stampRowIds(s, writeDataMapped(reorganized, s.metaData))
+    // a reorganization's rows ALL carry materialized ids, so no bases are
+    // allocated and no hwm MetaData bump is emitted — OPTIMIZE keeps its
+    // concurrent-append leniency on row-tracking tables
+    val adds = writeDataMapped(reorganized, s.metaData)
     // pure reorganization of exactly `scoped`: concurrent appends never
     // conflict (Delta's dataChange=false leniency) — only a writer that
     // removed one of our input files does
@@ -1571,6 +1587,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // matched rows — tag them directly
     val cdc = writeCdcFiles(s, readFilesMeta(s, touched)
       .filter(coalesce(pred, lit(false))).drop("__fname", "__pos")
+      .drop(GraftTable.RowIdCol)
       .withColumn("_change_type", lit("delete")))
     commitDml(s,
       TxnInfo(readWholeTable = false, Some(pred),
@@ -1629,7 +1646,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // new files — the id survives the copy-on-write
     val keep = readFilesMeta(s, touched).filter(!coalesce(pred, lit(false)))
       .drop("__fname", "__pos")
-    val adds = stampRowIds(s, writeDataMapped(keep, s.metaData))
+    // every surviving row carries a materialized id, so the new files need
+    // no base allocation (and therefore no hwm bump — the commit stays
+    // metadata-conflict-free for concurrent writers)
+    val adds = writeDataMapped(keep, s.metaData)
     val deleted = touched.map(_.numRecords).sum - adds.map(_.numRecords).sum
     // operator-level CDC: the deleted rows ARE the matched rows — tag them
     // directly instead of re-reading and multiset-diffing the rewrite
@@ -1708,10 +1728,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         val tombstones = affected.select(col("__fname"), col("__pos"))
         val allPos = dvEntries(touched).map(_.unionByName(tombstones)).getOrElse(tombstones)
         val rel = writeDvSidecar(allPos)
-        val adds = stampRowIds(s, writeDataMapped(enforceConstraints(
+        // post-images all carry their materialized id — no base allocation
+        val adds = writeDataMapped(enforceConstraints(
           conform(postImage(affected.drop("__fname", "__pos")), s.schema,
             keepRowId = true),
-          s.metaData), s.metaData))
+          s.metaData), s.metaData)
         val reAdds = touched.map(f => f.copy(dvPath = Some(rel),
           dvCount = f.dvCount + perFile(fileName(f.path))))
         val updated = perFile.values.sum
@@ -1751,9 +1772,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       }.toSeq ++
       (if (toRewrite.columns.contains(GraftTable.RowIdCol))
          Seq(col(GraftTable.RowIdCol)) else Nil): _*)
-    val adds = stampRowIds(s, writeDataMapped(
+    // rewritten rows all carry materialized ids — no base allocation
+    val adds = writeDataMapped(
       enforceConstraints(conform(rewritten, s.schema, keepRowId = true),
-        s.metaData), s.metaData))
+        s.metaData), s.metaData)
     val updated = perFileTouched.map(_.getLong(1)).sum
     val cdcFiles = cdc
     commitDml(s,
@@ -1817,11 +1839,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           schemaString = StructType(s0.schema.fields ++ newFields).json))
       }
     // final metaData for a merge commit: the (possibly evolved) schema plus
-    // any identity-frontier bump derived from the commit's own AddFiles
+    // identity-frontier and row-id high-water-mark bumps derived from the
+    // commit's own AddFiles (advancedProps covers BOTH — a merge that only
+    // bumped identity would let the next append re-allocate its row ids)
     def metaActions(adds: Seq[AddFile]): Seq[Action] = {
-      val bumped = IdentityColumns
-        .bumpedProps(s.metaData.properties, s.schema, adds)
-        .map(p => s.metaData.copy(properties = p)).getOrElse(s.metaData)
+      val bumped = s.metaData.copy(
+        properties = advancedProps(s.metaData, s.schema, adds))
       if (bumped != s0.metaData) Seq(bumped) else Nil
     }
     val schema = s.schema
@@ -1998,7 +2021,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         updateSets.foreach { case (i, set) =>
           set.get(c).foreach(u => e = when(col("__action") === i, expr(u)).otherwise(e)) }
         e.as(c)
-      } ++ (if (rtEnabled) Seq(col(GraftTable.RowIdCol)) else Nil): _*)
+      } ++ (if (rtEnabled)
+          // TARGET-qualified: the merge SOURCE may itself carry a _row_id
+          // column (e.g. another table's scanWithRowIds output)
+          Seq(col(s"$targetAlias.${GraftTable.RowIdCol}").as(GraftTable.RowIdCol))
+        else Nil): _*)
 
       val deletePred: Column =
         if (deleteIds.isEmpty) lit(false) else col("__action").isin(deleteIds: _*)

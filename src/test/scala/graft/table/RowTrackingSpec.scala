@@ -104,6 +104,46 @@ class RowTrackingSpec extends SparkTestBase {
     assert(idsByKey(reloaded) == before)
   }
 
+  test("MERGE commits its id allocation: a following append cannot collide") {
+    val t = mk()
+    t.merge(df((9, "i"), (10, "j")), "t.k = s.k")
+      .whenMatchedUpdate(Map("v" -> "s.v"))
+      .whenNotMatchedInsert(Map("k" -> "s.k", "v" -> "s.v"))
+      .execute()
+    t.append(df((11, "k")))
+    val ids = idsByKey(t)
+    assert(ids.size == 6 && ids.values.toSeq.distinct.size == 6,
+      s"merge must bump the hwm so append allocates fresh ids: $ids")
+  }
+
+  test("replaceWhere works with row tracking + CDF; carried rows keep ids") {
+    val t = mk()
+    t.setProperty("changeDataFeed.enabled", "true")
+    val before = idsByKey(t)
+    t.overwriteWhere(col("k") === 2, df((2, "B2")))
+    val after = idsByKey(t)
+    assert(after.keySet == Set(1, 2, 3))
+    assert(after(1) == before(1) && after(3) == before(3))
+    assert(after.values.toSeq.distinct.size == 3)
+    // CDC sidecars stay engine-column-free
+    val v = t.latestVersion
+    assert(!t.changes(v - 1, v).columns.contains(GraftTable.RowIdCol))
+  }
+
+  test("re-enablement resumes the frontier — ids never re-issue") {
+    val t = mk()
+    t.delete(col("k") === 2) // rewrite: materialized ids in the new file
+    val before = idsByKey(t)
+    t.setProperty("rowTracking.enabled", "false")
+    t.setProperty("rowTracking.enabled", "true")
+    val after = idsByKey(t)
+    assert(after == before, "re-enabling must not reset the frontier")
+    t.append(df((7, "g")))
+    val ids = idsByKey(t)
+    assert(ids.values.toSeq.distinct.size == ids.size)
+    assert(ids(7) > before.values.max)
+  }
+
   test("streaming sink and SQL rewrites refuse row-tracking tables") {
     val t = mk()
     val se = intercept[IllegalArgumentException](
