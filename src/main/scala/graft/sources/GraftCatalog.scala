@@ -421,14 +421,25 @@ class GraftSqlTable(val table: GraftTable, ident: String,
     * copy-on-write rewrite (Spark's runtime group filter collects the
     * `_file` values of matching rows and narrows the rewrite scan to
     * exactly those files), and available to users as a metadata column. */
-  override def metadataColumns(): Array[MetadataColumn] =
-    Array(new MetadataColumn {
+  override def metadataColumns(): Array[MetadataColumn] = {
+    val file: MetadataColumn = new MetadataColumn {
       override def name(): String = "_file"
       override def dataType(): org.apache.spark.sql.types.DataType =
         org.apache.spark.sql.types.StringType
       override def isNullable: Boolean = false
       override def comment(): String = "data file holding the row"
-    })
+    }
+    // row tracking: `SELECT _row_id, ... FROM t` serves the stable id
+    val rowId: MetadataColumn = new MetadataColumn {
+      override def name(): String = GraftTable.RowIdCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "stable row id (rowTracking.enabled)"
+    }
+    if (table.rowTrackingEnabled(snap.metaData)) Array(file, rowId)
+    else Array(file)
+  }
 
   /** SQL UPDATE / MERGE INTO (and non-translatable DELETEs): group-based
     * copy-on-write. Spark scans the affected groups, applies the command's
@@ -779,9 +790,16 @@ class GraftV1ScanRelation(ctx: SQLContext, table: GraftTable, snap: Snapshot,
     // `_file` metadata column: which data file holds the row, as a plain
     // path comparable with the row-level GraftGroupScan's `_file` — bound
     // from parquet's _metadata BEFORE any deletion-vector anti-join.
-    val df = if (required.fieldNames.contains("_file"))
-      table.readFilesWithFileCol(snap, files)
-    else table.readFiles(snap, files)
+    // `_row_id` (row tracking): the stable id, resolved the same way
+    // scanWithRowIds does.
+    val wantsFile = required.fieldNames.contains("_file")
+    val wantsRowId = required.fieldNames.contains(GraftTable.RowIdCol)
+    require(!(wantsFile && wantsRowId),
+      "_file and _row_id cannot be combined in one scan")
+    val df =
+      if (wantsRowId) table.readFilesWithIds(snap, files)
+      else if (wantsFile) table.readFilesWithFileCol(snap, files)
+      else table.readFiles(snap, files)
     df.select(required.fieldNames.map(col).toIndexedSeq: _*).rdd
   }
 }

@@ -156,6 +156,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     readFilesMeta(s, s.files).drop("__fname", "__pos")
   }
 
+  /** `scanWithRowIds` over an explicit file subset — the SQL metadata
+    * column's read path (the catalog relation prunes files first). */
+  private[graft] def readFilesWithIds(s: Snapshot, files: Seq[AddFile]): DataFrame =
+    readFilesMeta(s, files).drop("__fname", "__pos")
+
   /** Scan `files` via `scan`, anti-joining ONLY the subset that carries a
     * deletion vector; DV-free files union in raw (plan has no join). */
   private def splitOnDv(files: Seq[AddFile], scan: Seq[AddFile] => DataFrame): DataFrame = {

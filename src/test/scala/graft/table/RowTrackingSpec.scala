@@ -144,6 +144,21 @@ class RowTrackingSpec extends SparkTestBase {
     assert(ids(7) > before.values.max)
   }
 
+  test("_row_id serves as a SQL metadata column through the catalog") {
+    graft.sources.GraftCatalog.register(spark, tmpDir("rt-wh-"), name = "rtc")
+    val t = mk()
+    spark.sql(s"CREATE TABLE rtc.default.rt USING graft LOCATION '${t.path}'")
+    val rows = spark.sql(
+      s"SELECT k, ${GraftTable.RowIdCol} FROM rtc.default.rt ORDER BY k")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows == idsByKey(t))
+    t.delete(col("k") === 2)
+    val after = spark.sql(
+      s"SELECT k, ${GraftTable.RowIdCol} FROM rtc.default.rt ORDER BY k")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(after == rows - 2, "SQL-served ids must survive the rewrite")
+  }
+
   test("streaming sink and SQL rewrites refuse row-tracking tables") {
     val t = mk()
     val se = intercept[IllegalArgumentException](
