@@ -86,7 +86,10 @@ object GraftProcedures {
       param("table", StringType),
       paramD("target_file_bytes", LongType, (128L * 1024 * 1024).toString),
       paramD("zorder_by", StringType, "''"),
-      paramD("cluster_by", StringType, "''"))
+      paramD("cluster_by", StringType, "''"),
+      // scope the rewrite to files that may hold matching rows — at 100 TB
+      // you OPTIMIZE the hot partition after its ingest churn
+      paramD("where", StringType, "''"))
 
     private val out = StructType(Seq(
       StructField("files_before", LongType, nullable = false),
@@ -99,8 +102,13 @@ object GraftProcedures {
       def cols(i: Int): Seq[String] =
         if (input.isNullAt(i)) Nil
         else input.getUTF8String(i).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      val where =
+        if (input.isNullAt(4)) None
+        else Some(input.getUTF8String(4).toString.trim).filter(_.nonEmpty)
+          .map(org.apache.spark.sql.functions.expr)
       val before = t.snapshot.files.size.toLong
-      t.optimize(targetFileBytes = target, clusterBy = cols(3), zorderBy = cols(2))
+      t.optimize(targetFileBytes = target, clusterBy = cols(3), zorderBy = cols(2),
+        where = where)
       val s = t.snapshot
       resultScan(out, row(before, s.files.size.toLong, s.version))
     }
@@ -113,16 +121,23 @@ object GraftProcedures {
       // -1: resolve the table's vacuum.retentionMs property (1h fallback);
       // the age guard keeps uncommitted in-flight executor files safe from
       // a user-invoked vacuum.
-      paramD("retention_ms", LongType, "-1"))
+      paramD("retention_ms", LongType, "-1"),
+      // dry run: report what WOULD be deleted, delete nothing — the audit
+      // step before an irreversible retention sweep
+      paramD("dry_run", BooleanType, "false"))
 
     private val out = StructType(Seq(
-      StructField("deleted_files", LongType, nullable = false)))
+      StructField("deleted_files", LongType, nullable = false),
+      StructField("dry_run", BooleanType, nullable = false)))
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val t = resolve(catalog, input.getUTF8String(0).toString)
       val retain = if (input.isNullAt(1)) 0 else input.getInt(1)
       val retention = if (input.isNullAt(2)) -1L else input.getLong(2)
-      resultScan(out, row(t.vacuum(retain, retention).toLong))
+      val dry = !input.isNullAt(3) && input.getBoolean(3)
+      val n = if (dry) t.vacuumDryRun(retain, retention).size
+              else t.vacuum(retain, retention)
+      resultScan(out, row(n.toLong, dry))
     }
   }
 

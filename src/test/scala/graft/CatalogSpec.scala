@@ -331,12 +331,30 @@ class CatalogSpec extends SparkTestBase {
     assert(sql("SELECT id FROM gcat.default.proc ORDER BY id").collect()
       .map(_.getInt(0)).toSeq == Seq(1, 2))
 
+    // dry run first: same figure, nothing deleted
+    val dry = sql("CALL gcat.system.vacuum(`table` => 'default.proc', " +
+      "retention_ms => 0, dry_run => true)").head()
+    assert(dry.getLong(0) > 0 && dry.getBoolean(1))
+    assert(sql("SELECT COUNT(*) FROM gcat.default.proc").head().getLong(0) == 2)
     // vacuum now drops everything the restored head no longer references
     // (the compacted file and the later inserts' files)
     val vac = sql("CALL gcat.system.vacuum(`table` => 'default.proc', retention_ms => 0)").head()
-    assert(vac.getLong(0) > 0)
+    assert(vac.getLong(0) == dry.getLong(0) && !vac.getBoolean(1))
     assert(sql("SELECT id FROM gcat.default.proc ORDER BY id").collect()
       .map(_.getInt(0)).toSeq == Seq(1, 2))
+  }
+
+  test("CALL optimize with a where predicate compacts only the matching slice") {
+    registered
+    sql("CREATE TABLE gcat.default.scopt (id INT, grp STRING) USING graft")
+    (1 to 4).foreach(i =>
+      sql(s"INSERT INTO gcat.default.scopt VALUES ($i, '${if (i <= 2) "a" else "b"}')"))
+    val t = GraftTable.forPath(spark, s"$wh/default/scopt")
+    val before = t.snapshot.files.map(_.path).toSet
+    sql("CALL gcat.system.optimize(`table` => 'default.scopt', `where` => \"grp = 'a'\")")
+    val after = t.snapshot.files.map(_.path).toSet
+    assert((before -- after).nonEmpty, "the 'a' slice must compact")
+    assert(sql("SELECT COUNT(*) FROM gcat.default.scopt").head().getLong(0) == 4)
   }
 
   test("CALL graft.system.convert imports a parquet dir in place") {
