@@ -112,6 +112,28 @@ class GraftStreamingWrite(table: GraftTable, schema: StructType, queryId: String
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    // the factory-time guards (generated/identity/rowTracking + writer
+    // features) re-check at EVERY epoch commit against the current head
+    // snapshot — a mid-stream ALTER that enables row tracking or adds a
+    // generated/identity column must fail the stream loudly, not commit
+    // epochs whose rows lack row-id stamps / identity values. The snapshot
+    // is the same (LRU-cached) fold the exactly-once probe below already
+    // needs, so this costs no extra log work.
+    val headMeta = table.snapshot.metaData
+    val genNow = graft.table.GeneratedColumns.names(table.snapshot.schema) ++
+      graft.table.IdentityColumns.names(table.snapshot.schema)
+    if (genNow.nonEmpty || table.rowTrackingEnabled(headMeta)) {
+      messages.foreach {
+        case m: GraftWriteMessage =>
+          m.adds.foreach(a => Files.deleteIfExists(Paths.get(table.path, a.path)))
+        case _ => ()
+      }
+      throw new IllegalStateException(
+        "graft streaming sink: table evolved mid-stream to require " +
+          "engine-maintained columns (generated/identity/rowTracking) — " +
+          "restart the stream via foreachBatch { (b, _) => table.append(b) }")
+    }
+    table.gateWrite()
     // exactly-once epoch guard: the snapshot's folded SetTransaction map
     // (appId -> latest committed epoch) — O(1) per epoch, bounded by
     // checkpoints, instead of re-parsing every commit file of the log.

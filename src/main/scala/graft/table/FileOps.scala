@@ -22,6 +22,40 @@ import org.apache.spark.sql.DataFrame
   */
 object FileOps {
 
+  /** Per-session reference-counted flip of the parquet output-timestamp
+    * conf. Concurrent writers on ONE SparkSession share the SQLConf, so a
+    * naive set/write/restore races: another thread's write could be
+    * planned after the restore and land INT96 (no footer stats → no time
+    * skipping), or observe a mid-flip value and write footer stats
+    * DataSkipping would compare under the wrong unit. The guard keeps the
+    * conf at TIMESTAMP_MICROS for as long as ANY write is in flight and
+    * restores the session default only when the last writer exits — no
+    * writer ever observes a mid-flip value, and writes stay fully
+    * concurrent (the lock covers only the enter/exit bookkeeping, never
+    * the write job itself). WeakHashMap so dropped sessions don't pin. */
+  private val TsKey = "spark.sql.parquet.outputTimestampType"
+  private final class TsGuard { var depth = 0; var prev: String = null }
+  private val tsGuards =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, TsGuard]()
+
+  private def enterMicros(sess: org.apache.spark.sql.SparkSession): Unit =
+    tsGuards.synchronized {
+      var g = tsGuards.get(sess)
+      if (g == null) { g = new TsGuard; tsGuards.put(sess, g) }
+      if (g.depth == 0) {
+        g.prev = sess.conf.get(TsKey)
+        sess.conf.set(TsKey, "TIMESTAMP_MICROS")
+      }
+      g.depth += 1
+    }
+
+  private def exitMicros(sess: org.apache.spark.sql.SparkSession): Unit =
+    tsGuards.synchronized {
+      val g = tsGuards.get(sess)
+      g.depth -= 1
+      if (g.depth == 0) sess.conf.set(TsKey, g.prev)
+    }
+
   /** Write `df` as parquet files inside `tablePath` (Hive-style partition
     * dirs when `partitionCols` is non-empty), returning AddFiles with footer
     * stats + partition values. Zero-row part files are dropped. */
@@ -37,13 +71,13 @@ object FileOps {
     // over INT96 files could never data-skip — the one stat a
     // time-partitioned 100 TB table lives by. DataSkipping already compares
     // timestamp stats as micros; this makes every write produce them.
-    // (Session conf, scoped: the parquet source has no per-write option.)
-    val tsKey = "spark.sql.parquet.outputTimestampType"
+    // (Session conf, scoped via a ref-counted guard: the parquet source has
+    // no per-write option, and ParquetFileFormat.prepareWrite overwrites any
+    // option from SQLConf, so the session conf is the only lever.)
     val sess = df.sparkSession
-    val prevTs = sess.conf.get(tsKey)
-    sess.conf.set(tsKey, "TIMESTAMP_MICROS")
+    enterMicros(sess)
     try writer.parquet(staging.toString)
-    finally sess.conf.set(tsKey, prevTs)
+    finally exitMicros(sess)
     val parts = Files.walk(staging).iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
       .toSeq.sortBy(_.toString)

@@ -300,24 +300,46 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   def generateManifest(): Int = {
     val s = snapshot
     val root = Paths.get(path, "_symlink_format_manifest")
-    // clear previous export so dropped partitions don't leave stale lists
-    if (Files.exists(root)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
-    }
     val byDir = s.files.groupBy(f =>
       f.path.lastIndexOf('/') match {
         case -1 => ""
         case i  => f.path.substring(0, i)
       })
+    // External symlink readers are the feature's audience, so they must
+    // never observe a missing or truncated manifest: each manifest writes
+    // to a temp name and MOVEs into place (old or new listing, never a
+    // hole), and stale partition directories are pruned only AFTER every
+    // fresh manifest is live. A crash mid-export leaves the previous
+    // export fully readable.
     byDir.foreach { case (dir, files) =>
       val out = if (dir.isEmpty) root.resolve("manifest")
                 else root.resolve(dir).resolve("manifest")
       Files.createDirectories(out.getParent)
       val lines = files.map(f =>
         Paths.get(path, f.path).toUri.toString).sorted.mkString("", "\n", "\n")
-      Files.write(out, lines.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val tmp = out.resolveSibling(s".manifest-${UUID.randomUUID()}.tmp")
+      Files.write(tmp, lines.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try Files.move(tmp, out, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(tmp, out, java.nio.file.StandardCopyOption.REPLACE_EXISTING) }
+    }
+    // prune manifests of partitions that no longer exist (walk bottom-up so
+    // emptied directories delete after their contents)
+    if (Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      val live = byDir.keySet.map(dir =>
+        (if (dir.isEmpty) root.resolve("manifest")
+         else root.resolve(dir).resolve("manifest")).normalize())
+      Files.walk(root).iterator().asScala.toSeq.reverse.foreach { p =>
+        if (Files.isRegularFile(p) && !live.contains(p.normalize()))
+          Files.deleteIfExists(p)
+        else if (Files.isDirectory(p) && p != root) {
+          val st = Files.list(p)
+          val empty = try !st.iterator().hasNext finally st.close()
+          if (empty) Files.deleteIfExists(p)
+        }
+      }
     }
     byDir.size
   }
@@ -488,7 +510,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * Returns rows ingested (0 when everything was already loaded). */
   def copyInto(sourceDir: String, format: String = "parquet"): Long = {
     val s0 = snapshot
-    val ext = format.toLowerCase match {
+    // writer-feature gate BEFORE any file is written — a gated protocol
+    // must not orphan already-ingested data files in the table directory
+    gateWriterFeatures(s0.protocol)
+    val fmt = format.toLowerCase
+    val ext = fmt match {
       case "parquet" => ".parquet"
       case "csv"     => ".csv"
       case "json" | "jsonl" => ".json"
@@ -507,7 +533,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       !s0.transactions.get(txnKey(p))
         .exists(_ >= Files.getLastModifiedTime(p).toMillis))
     if (pending.isEmpty) return 0L
-    val reader = format.toLowerCase match {
+    val reader = fmt match {
       case "parquet" => spark.read
       case "csv" => spark.read.option("header", "true")
         .schema(StructType(s0.schema.fields.filterNot(f =>
@@ -517,14 +543,13 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           GeneratedColumns.names(s0.schema).contains(f.name) ||
           IdentityColumns.names(s0.schema).contains(f.name))))
     }
-    val df = reader.format(if (format == "jsonl") "json" else format)
+    val df = reader.format(if (fmt == "jsonl") "json" else fmt)
       .load(pending.map(_.toString): _*)
     val adds = stampRowIds(s0, writeDataMapped(
       enforceConstraints(conform(assignIdentity(df, s0), s0.schema), s0.metaData),
       s0.metaData))
     val txns = pending.map(p => Txn(txnKey(p), Files.getLastModifiedTime(p).toMillis))
     val info = TxnInfo(readWholeTable = false, None, Set.empty, Set.empty)
-    gateWriterFeatures(s0.protocol)
     val committed = commitDmlAt(s0.version, s0, info,
       (v, ts) => Seq(
         CommitInfo(v, ts, "COPY INTO",
@@ -542,7 +567,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       })
     if (!committed) {
       adds.foreach(a => Files.deleteIfExists(Paths.get(path, a.path)))
-      return copyInto(sourceDir, format)
+      return copyInto(sourceDir, fmt)
     }
     autoCompact()
     adds.map(_.numRecords).sum

@@ -61,6 +61,16 @@ object IdentityColumns {
   def bumpedProps(props: Map[String, String], schema: StructType,
       adds: Seq[AddFile]): Option[Map[String, String]] = {
     val moved = of(schema).flatMap { spec =>
+      // an identity append whose data file lacks a max footer stat would
+      // silently skip the frontier bump and the NEXT append would re-issue
+      // the same ids — fail loudly instead (int64 footer stats are always
+      // written by parquet-mr; absence means a corrupted/foreign file)
+      val statless = adds.filter(a =>
+        a.numRecords > 0 && !a.maxValues.contains(spec.name))
+      require(statless.isEmpty,
+        s"identity column '${spec.name}': data file(s) " +
+          s"${statless.map(_.path).mkString(", ")} carry rows but no max " +
+          "footer stat — cannot advance the identity frontier safely")
       val seen = adds.flatMap(_.maxValues.get(spec.name))
         .flatMap(v => scala.util.Try(v.toLong).toOption)
       if (seen.isEmpty) None
