@@ -9,12 +9,12 @@ import org.apache.spark.sql.functions._
   * initialized ONCE per partition, not once per row, and rows are processed
   * as a stream (never materializing a partition in memory).
   *
-  * THE CODEC IS A DETERMINISTIC STUB (this container ships no image/audio
-  * libraries): `decodeStub` "decodes" a payload into a fixed-shape feature
-  * vector from its bytes. Everything around it is the real production
-  * plumbing — typed schema in/out, per-partition init, streaming iterator,
-  * fixed feature shape — so a real decoder drops in by replacing one
-  * function.
+  * Two codecs ride the seam: [[Media.ImageIoCodec]] REALLY decodes
+  * PNG/BMP/GIF/JPEG payloads via the JDK's javax.imageio (no external
+  * libraries needed), and `decodeStub` is a deterministic byte-histogram
+  * stand-in for media formats the JDK can't parse (audio/video).
+  * Everything around the codec is the production plumbing — typed schema
+  * in/out, per-partition init, streaming iterator, fixed feature shape.
   *
   * 100-TB notes: decode is map-only (no shuffle sees the payload); the
   * output row is narrow (id + 16 floats + meta), so downstream aggs shuffle
@@ -45,6 +45,69 @@ object Media {
     * container) as a [[MediaCodec]]. */
   object StubCodec extends MediaCodec {
     override def decode(payload: Array[Byte]): Array[Float] = decodeStub(payload)
+  }
+
+  /** A REAL image codec on the seam — `javax.imageio` ships with the JDK
+    * (PNG / BMP / GIF / JPEG readers), zero external dependencies. decode()
+    * parses the actual image bytes and pools the pixels to a 4×4 luminance
+    * grid (16 floats — the seam's fixed feature shape, the
+    * resize-to-fixed-dims step of an image pipeline). ImageIO's disk cache
+    * is disabled once per partition in open(): decoding from byte arrays
+    * must never touch executor-local disk. */
+  object ImageIoCodec extends MediaCodec {
+    override def open(): Unit = javax.imageio.ImageIO.setUseCache(false)
+    override def decode(payload: Array[Byte]): Array[Float] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, "payload is not a decodable image (PNG/BMP/GIF/JPEG)")
+      val grid = 4
+      val sums = new Array[Float](grid * grid)
+      val counts = new Array[Int](grid * grid)
+      val (w, h) = (img.getWidth, img.getHeight)
+      var y = 0
+      while (y < h) {
+        val gy = y * grid / h
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (0.299f * ((rgb >> 16) & 0xFF) +
+                     0.587f * ((rgb >> 8) & 0xFF) +
+                     0.114f * (rgb & 0xFF)) / 255f
+          val cell = gy * grid + x * grid / w
+          sums(cell) += lum
+          counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var c = 0
+      while (c < sums.length) {
+        if (counts(c) > 0) sums(c) /= counts(c)
+        c += 1
+      }
+      sums
+    }
+  }
+
+  /** A deterministic in-memory PNG (left half black, right half at
+    * `rightGray`) — real image bytes for exercising [[ImageIoCodec]]
+    * without any fixture files. Runs fine executor-side (BufferedImage is
+    * headless-safe). */
+  def syntheticPng(w: Int, h: Int, rightGray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = if (x < w / 2) 0 else rightGray
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   /** Documents as a typed media Dataset (payload = UTF-8 bytes; stands in

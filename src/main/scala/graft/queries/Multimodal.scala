@@ -77,5 +77,36 @@ object Multimodal {
         |SELECT lang, byte // 16 AS bin, COUNT(*) AS n_bytes_in_bin
         |FROM bytes WHERE byte // 16 IN (6, 7)
         |GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin),
+
+    // ---- REAL image decode (javax.imageio on the codec seam) ---------------------
+    // Not a stub: each row's payload is a genuine PNG (generated
+    // executor-side, left half black / right half gray g=30·doc_id), and
+    // graft.operators.Media.ImageIoCodec parses the actual pixels into a
+    // 4×4 luminance grid inside the mapPartitions seam — one codec open
+    // per partition, payloads never crossing a shuffle (MediaSpec measures
+    // that). The output pins the decoded geometry as booleans (exact-black
+    // left half, uniform right half at the encoded gray), which the oracle
+    // states literally.
+    "q158_image_decode" -> Q(
+      (s, _) => {
+        import s.implicits._
+        import graft.operators.Media
+        val rows = s.range(1, 9).map(i => Media.MediaRow(
+          i, Media.syntheticPng(64, 64, (i * 30 % 256).toInt),
+          if (i % 2 == 0) "en" else "de"))
+        Media.decode(rows, Media.ImageIoCodec).map { f =>
+          val gray = (f.doc_id * 30 % 256).toInt
+          val left = f.features.zipWithIndex.filter(_._2 % 4 < 2).map(_._1)
+          val right = f.features.zipWithIndex.filter(_._2 % 4 >= 2).map(_._1)
+          (f.doc_id, gray,
+            left.forall(_ == 0f),
+            right.forall(v => math.abs(v - gray / 255f) < 1e-3))
+        }.toDF("doc_id", "gray", "left_black", "right_uniform")
+          .orderBy($"doc_id")
+      },
+      """SELECT CAST(i AS BIGINT) AS doc_id, i * 30 AS gray,
+        |       TRUE AS left_black, TRUE AS right_uniform
+        |FROM (VALUES (1), (2), (3), (4), (5), (6), (7), (8)) AS t(i)
+        |ORDER BY doc_id""".stripMargin),
   )
 }

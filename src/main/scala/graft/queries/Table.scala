@@ -143,7 +143,8 @@ object TableQueries {
     // never executes the returned lazy frame, so the timed scan is still
     // the plan's first execution at this SF.
     Seq("q151_identity_column", "q147_replace_where", "q148_convert_parquet",
-        "q153_copy_into", "q155_row_tracking").foreach { q =>
+        "q153_copy_into", "q155_row_tracking", "q156_notnull_invariant",
+        "q157_type_widening").foreach { q =>
       try { graft.SparkEntry.queries(q)(s, dir); () }
       catch { case _: Throwable => () }
     }
@@ -929,6 +930,91 @@ object TableQueries {
         |       CAST(COUNT(*) AS BIGINT) AS n_ids,
         |       TRUE AS ids_preserved
         |FROM nation WHERE n_regionkey <> 2""".stripMargin),
+
+    // ---- NOT NULL column invariants (Delta "Column Invariants") ------------------
+    // The reference's own schema is all nullable=False (spark_project.py:
+    // 29-33) and delta-spark enforces it on every write; this pins the
+    // graft equivalent end-to-end: the declaration survives the log
+    // round-trip (a fresh forPath sees nullable=false), a null write is
+    // REJECTED before any commit lands, and ALTER COLUMN DROP NOT NULL is
+    // the escape hatch after which the null legally writes. Enforcement
+    // rides the conform projection inside the write job — one codegen'd
+    // CASE WHEN, no extra validation pass at any scale.
+    "q156_notnull_invariant" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = cache.computeIfAbsent(s"nn:$dir", _ => {
+          val src = graft.Tables.nation(s, dir)
+            .select($"n_nationkey", $"n_name", $"n_regionkey")
+          val strict = StructType(src.schema.fields.map(_.copy(nullable = false)))
+          val tt = GraftTable.create(s, graft.Scratch.dir("graft-nn-").toString,
+            s.createDataFrame(src.collectAsList(), strict))
+          // round-trip: a fresh reader sees the declared nullability
+          val reloaded = GraftTable.forPath(s, tt.path)
+          require(reloaded.snapshot.schema.fields.forall(!_.nullable),
+            "NOT NULL declaration must survive the log round-trip")
+          val v0 = tt.latestVersion
+          val rejected =
+            try { tt.append(s.createDataFrame(java.util.List.of(
+                Row(null, "GHOST", 0)), StructType(strict.fields.map(
+                  _.copy(nullable = true))))); false }
+            catch { case _: Exception => true }
+          require(rejected && tt.latestVersion == v0,
+            "a null into a NOT NULL column must reject before any commit")
+          // escape hatch: relax ONE column, then the null writes
+          tt.setNullability("n_regionkey", nullable = true)
+          tt.append(s.createDataFrame(java.util.List.of(
+            Row(990, "NULLHOME", null)), StructType(strict.fields.map(
+              _.copy(nullable = true)))))
+          tt
+        })
+        t.toDF.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when($"n_regionkey".isNull, 1L).otherwise(0L)).as("n_null_region"),
+          lit(true).as("null_write_rejected"))
+      },
+      """SELECT CAST(COUNT(*) + 1 AS BIGINT) AS n_rows,
+        |       CAST(1 AS BIGINT) AS n_null_region,
+        |       TRUE AS null_write_rejected
+        |FROM nation""".stripMargin),
+
+    // ---- Type widening: ALTER COLUMN TYPE as a metadata-only commit --------------
+    // The schema-lifecycle step on an unrewritable table: INT → BIGINT by
+    // committing only a MetaData action — the fixture REQUIREs the live
+    // file set is byte-identical across the widen — and files written
+    // under the narrow type keep reading through the wider scan schema
+    // (the parquet vectorized reader upcasts int32→int64 natively). The
+    // post-widen append carries values beyond Int.MaxValue; the oracle
+    // aggregates the union of both eras in DuckDB.
+    "q157_type_widening" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = cache.computeIfAbsent(s"tw:$dir", _ => {
+          val narrow = graft.Tables.nation(s, dir)
+            .select($"n_nationkey".cast("int").as("k"),
+                    $"n_regionkey".cast("int").as("v"))
+          val tt = GraftTable.create(s, graft.Scratch.dir("graft-tw-").toString, narrow)
+          val filesBefore = tt.snapshot.files.map(_.path).toSet
+          tt.alterColumnType("v", org.apache.spark.sql.types.LongType)
+          require(tt.snapshot.files.map(_.path).toSet == filesBefore,
+            "type widening must not rewrite any data file")
+          // wide era: values only BIGINT can hold
+          tt.append(graft.Tables.nation(s, dir)
+            .select(($"n_nationkey" + 1000).cast("int").as("k"),
+                    ($"n_regionkey" + lit(10000000000L)).as("v")))
+          tt
+        })
+        t.toDF.agg(
+          sum($"v").as("sum_v"),
+          count(lit(1)).as("n_rows"),
+          max($"v").as("max_v"))
+      },
+      """SELECT CAST(SUM(v) AS BIGINT) AS sum_v,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(MAX(v) AS BIGINT) AS max_v
+        |FROM (SELECT CAST(n_regionkey AS BIGINT) AS v FROM nation
+        |      UNION ALL
+        |      SELECT n_regionkey + 10000000000 FROM nation)""".stripMargin),
 
     // ---- Hive-partitioned table scan (partition pruning as data skipping) --------
     // Documents land Hive-partitioned by lang (lang=en/... directories);

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 import java.util.Collections
 import scala.jdk.CollectionConverters._
 
-import graft.table.{GraftTable, Snapshot}
+import graft.table.{AddFile, FileOps, GraftTable, Snapshot}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
@@ -45,7 +45,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `TIMESTAMP AS OF`) maps to the log's snapshot resolution.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with StagingTableCatalog {
 
   /** Maintenance procedures: `CALL graft.system.optimize/vacuum/restore`
     * (GraftProcedures.scala) — the statements Delta adds a SQL parser
@@ -256,6 +256,63 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
+  // ---- StagingTableCatalog: atomic CREATE/REPLACE TABLE AS SELECT ----------
+  // Spark routes `CREATE TABLE ... AS SELECT` / `REPLACE TABLE ... AS
+  // SELECT` / `CREATE OR REPLACE TABLE ... AS SELECT` through stage* when
+  // the catalog implements the staging protocol, making the whole
+  // statement ATOMIC: the query writes its data files into the table
+  // directory first (invisible — nothing references them until a commit
+  // lands), and commitStagedChanges() then publishes ONE log version. A
+  // failure at ANY point before that commit leaves the previous table
+  // fully intact and readable (abortStagedChanges deletes the orphaned
+  // files); there is no window where the old table is gone and the new
+  // one isn't ready — the failure mode a non-atomic drop-then-create
+  // REPLACE exposes. History and time travel across a replace boundary
+  // are preserved: the log keeps every prior commit.
+
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, allowExisting = false, requireExisting = false)
+
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, allowExisting = true, requireExisting = true)
+
+  override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, allowExisting = true, requireExisting = false)
+
+  private def stage(ident: Identifier, info: TableInfo,
+      allowExisting: Boolean, requireExisting: Boolean): StagedTable = {
+    val exists = tableExists(ident)
+    if (exists && !allowExisting) throw new TableAlreadyExistsException(ident)
+    if (!exists && requireExisting) throw new NoSuchTableException(ident)
+    if (!namespaceExists(ident.namespace))
+      throw new NoSuchNamespaceException(ident.namespace)
+    val props = info.properties.asScala.toMap
+    require(!props.keys.exists(k =>
+        k.startsWith("generated.") || k.startsWith("identity.")),
+      "staged CREATE/REPLACE ... AS SELECT does not support generated/" +
+        "identity columns — CREATE the table first, then INSERT")
+    val partitionCols = info.partitions.toSeq.map { t =>
+      require(t.name == "identity",
+        s"graft tables support identity partitioning only, got $t")
+      t.references.head.fieldNames.mkString(".")
+    }
+    val location = props.get(TableCatalog.PROP_LOCATION).map { loc =>
+      if (loc.startsWith("file:")) Paths.get(java.net.URI.create(loc)).toString else loc
+    }
+    val dir = resolvePath(ident)
+      .orElse(location)
+      .getOrElse(tableDir(ident).toString)
+    val tableProps = props.filterNot { case (k, _) =>
+      reservedProps.contains(k) || k.startsWith(TableCatalog.OPTION_PREFIX)
+    }
+    new GraftStagedTable(spark, this, ident, dir, info.schema(),
+      partitionCols, tableProps, exists)
+  }
+
+  private[sources] def registerExternal(ident: Identifier, dir: String): Unit =
+    if (!Paths.get(dir).normalize().equals(tableDir(ident).normalize()))
+      Files.writeString(pointer(ident), dir)
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = GraftTable.forPath(spark, resolvePath(ident).getOrElse(
       throw new NoSuchTableException(ident)))
@@ -291,6 +348,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(rn.fieldNames.length == 1,
           "graft tables support top-level RENAME COLUMN only")
         t.renameColumn(rn.fieldNames.head, rn.newName)
+      // ALTER COLUMN ... TYPE: metadata-only type WIDENING (narrowing
+      // rejects inside alterColumnType)
+      case ut: TableChange.UpdateColumnType =>
+        require(ut.fieldNames.length == 1,
+          "graft tables support top-level ALTER COLUMN TYPE only")
+        t.alterColumnType(ut.fieldNames.head, ut.newDataType)
+      // ALTER COLUMN ... SET / DROP NOT NULL: SET validates existing rows
+      case un: TableChange.UpdateColumnNullability =>
+        require(un.fieldNames.length == 1,
+          "graft tables support top-level ALTER COLUMN nullability only")
+        t.setNullability(un.fieldNames.head, un.nullable)
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames.length == 1,
           "graft tables support top-level DROP COLUMN only")
@@ -481,11 +549,17 @@ class GraftSqlTable(val table: GraftTable, ident: String,
       TableCatalog.PROP_PROVIDER -> "graft",
       TableCatalog.PROP_LOCATION -> table.path)).asJava
 
+  // AUTOMATIC_SCHEMA_EVOLUTION opts into Spark 4's `MERGE INTO ... WITH
+  // SCHEMA EVOLUTION`: the analyzer (ResolveMergeIntoSchemaEvolution)
+  // derives the source-only columns as AddColumn changes, routes them
+  // through the catalog's alterTable (an additive metadata-only commit
+  // here), and re-resolves the merge against the evolved schema — the SQL
+  // spelling of the native API's withSchemaEvolution().
   override def capabilities(): java.util.Set[TableCapability] =
     if (cdf) java.util.Set.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
     else java.util.Set.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val opts = options.asCaseSensitiveMap().asScala.toMap
@@ -877,5 +951,62 @@ object GraftFilters {
     if (filters.nonEmpty && converted.forall(_.isDefined))
       Some(converted.flatten.reduce(_ && _))
     else None
+  }
+}
+
+/** The staged table handed back from stageCreate/stageReplace: Spark runs
+  * the CTAS/RTAS query as a write INTO this object, then calls
+  * commitStagedChanges — only that call publishes anything. The data files
+  * land in the (eventual) table directory up front, invisible until the
+  * single atomic log commit: commit 0 for a staged CREATE, or a
+  * REPLACE commit (new MetaData + remove-all + adds) on the existing log
+  * for a staged REPLACE. abortStagedChanges deletes the staged files and
+  * leaves the previous table byte-identical. */
+class GraftStagedTable(spark: SparkSession, catalog: GraftCatalog,
+    ident: Identifier, dir: String, declaredSchema: StructType,
+    partitionCols: Seq[String], props: Map[String, String],
+    replacesExisting: Boolean)
+    extends StagedTable with SupportsWrite {
+
+  private val staged = scala.collection.mutable.ArrayBuffer[AddFile]()
+
+  override def name(): String = ident.toString
+  override def schema(): StructType = declaredSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      // RTAS plans arrive as truncate-then-write; the staged commit IS the
+      // truncation, so the flag needs no separate handling
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+          override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+            Files.createDirectories(Paths.get(dir))
+            val aligned = data.select(declaredSchema.fields.map(f =>
+              col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+            staged.synchronized {
+              staged ++= FileOps.writeDataFiles(aligned, dir, partitionCols)
+            }
+          }
+        }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val adds = staged.synchronized(staged.toSeq)
+    if (replacesExisting)
+      GraftTable.forPath(spark, dir)
+        .commitReplaceTable(adds, declaredSchema, partitionCols, props)
+    else
+      GraftTable.createStaged(spark, dir, declaredSchema, partitionCols, props, adds)
+    catalog.registerExternal(ident, dir)
+  }
+
+  override def abortStagedChanges(): Unit = {
+    val adds = staged.synchronized { val a = staged.toSeq; staged.clear(); a }
+    adds.foreach(a => Files.deleteIfExists(Paths.get(dir, a.path)))
   }
 }

@@ -34,7 +34,9 @@ class GraftGroupBatchWrite(table: GraftTable, scannedSnap: () => Option[Snapshot
     val blooms = meta.properties.get("bloom.columns").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
       .map(c => c -> bloomNdv).toMap
-    GraftParquetWriterFactory(table.path, schema, meta.partitionColumns, blooms)
+    GraftParquetWriterFactory(table.path,
+      GraftWriteSchemas.withTableNullability(schema, table.snapshot.schema),
+      meta.partitionColumns, blooms)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -75,6 +77,17 @@ class GraftGroupBatchWrite(table: GraftTable, scannedSnap: () => Option[Snapshot
 
 case class GraftWriteMessage(adds: Seq[AddFile]) extends WriterCommitMessage
 
+object GraftWriteSchemas {
+  /** The V2 write info hands the QUERY's schema, which Spark marks
+    * all-nullable for most sources — the TABLE's nullability is the
+    * invariant the executor-side writers must enforce, so overlay it by
+    * field name before building a writer factory. */
+  def withTableNullability(write: StructType, table: StructType): StructType =
+    StructType(write.fields.map(f =>
+      table.find(_.name == f.name)
+        .map(tf => f.copy(nullable = tf.nullable)).getOrElse(f)))
+}
+
 /** `writeStream.format("graft")` / `.toTable("graft.ns.t")`: each epoch's
   * rows land as one atomic APPEND commit (the micro-batch transaction
   * Delta's streaming sink performs). Exactly-once across checkpoint
@@ -108,7 +121,9 @@ class GraftStreamingWrite(table: GraftTable, schema: StructType, queryId: String
     val blooms = meta.properties.get("bloom.columns").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
       .map(c => c -> bloomNdv).toMap
-    GraftStreamingWriterFactory(table.path, schema, meta.partitionColumns, blooms)
+    GraftStreamingWriterFactory(table.path,
+      GraftWriteSchemas.withTableNullability(schema, table.snapshot.schema),
+      meta.partitionColumns, blooms)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -280,7 +295,22 @@ class GraftParquetDataWriter(tablePath: String, schema: StructType,
     }
   }
 
+  // NOT NULL column invariant on the raw executor-side write path (the
+  // batch paths enforce it in the conform projection; these rows bypass
+  // conform) — index check per row, no boxing
+  private val notNullIdx =
+    schema.fields.zipWithIndex.collect { case (f, i) if !f.nullable => (f.name, i) }
+
   override def write(row: InternalRow): Unit = {
+    var i = 0
+    while (i < notNullIdx.length) {
+      val (name, si) = notNullIdx(i)
+      if (row.isNullAt(ord(row, si)))
+        throw new IllegalStateException(
+          s"NOT NULL constraint violated: column '$name' " +
+            "(declared nullable = false) received a null")
+      i += 1
+    }
     val pv = partitionCols.map(c => physPart(c) -> partitionValue(row, c)).toMap
     val (w, _) = writers.getOrElseUpdate(pv, open(pv))
     if (projected == null) {

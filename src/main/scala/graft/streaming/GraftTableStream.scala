@@ -4,7 +4,7 @@ import java.nio.file.Paths
 
 import scala.jdk.CollectionConverters._
 
-import graft.table.{AddFile, CommitInfo, GraftLog, RemoveFile}
+import graft.table.{AddFile, CommitInfo, GraftLog, MetaData, RemoveFile}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.parquet.example.data.Group
@@ -53,6 +53,32 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
 
   private val log = new GraftLog(tablePath)
   private val ignoreChanges = options.get("ignorechanges").exists(_.toBoolean)
+
+  /** Mid-stream schema evolution fails the batch and resumes on restart
+    * (Delta's contract): the stream's read schema is PINNED at query start
+    * — serving later files through it would silently project away an added
+    * column (or keep emitting a renamed column under its stale name), so a
+    * commit BEYOND the head-at-creation whose MetaData carries a different
+    * schema aborts loudly; a restarted query re-resolves the table, adopts
+    * the new schema, and the same commit (now ≤ the new creation head)
+    * replays cleanly. Historical replay across old schema boundaries stays
+    * legal: files written under a narrower schema read through the current
+    * one (missing column → null; column mapping pins physical names, so a
+    * past rename can never misbind). Property-only MetaData commits
+    * (identity frontiers, tblproperties) share the schemaString and pass. */
+  private val creationHead = log.latestVersion
+  private val creationSchemaJson =
+    if (creationHead < 0) "" else log.snapshotAt(creationHead).metaData.schemaString
+
+  private def failOnMidStreamEvolution(v: Long, actions: Seq[graft.table.Action]): Unit =
+    if (v > creationHead) actions.foreach {
+      case m: MetaData if m.schemaString != creationSchemaJson =>
+        throw new IllegalStateException(
+          s"schema of $tablePath changed at version $v while the stream was " +
+            "running; restart the query to adopt the new schema " +
+            "(streams pin their schema at start — Delta-parity fail-and-resume)")
+      case _ => ()
+    }
 
   /** Change-data-feed mode (`readChangeFeed`): instead of table rows, the
     * stream emits row-level deltas (`_change_type`, `_commit_version`) —
@@ -246,9 +272,16 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
       // initial load without startingVersion: the folded live snapshot.
       // With startingVersion (including 0) the TAIL replays from that
       // commit — rewrite detection applies to the whole covered range.
-      if (s < 0 && startingVersion.isEmpty) log.snapshotAt(e).files
+      if (s < 0 && startingVersion.isEmpty) {
+        // a schema change racing between stream creation and the first
+        // batch must fail the same way a tailed one does
+        ((creationHead + 1) to e).foreach(v =>
+          failOnMidStreamEvolution(v, log.readVersion(v)))
+        log.snapshotAt(e).files
+      }
       else ((s + 1) to e).flatMap { v =>
         val actions = log.readVersion(v)
+        failOnMidStreamEvolution(v, actions)
         val op = actions.collectFirst { case c: CommitInfo => c.operation }
         if (op.exists(nonDataOps.contains)) Nil
         else {
@@ -289,6 +322,7 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
     if (s < 0 && startingVersion.isEmpty) insertParts(log.snapshotAt(e).files, e)
     else ((s + 1) to e).foreach { v =>
       val actions = log.readVersion(v)
+      failOnMidStreamEvolution(v, actions)
       val op = actions.collectFirst { case c: CommitInfo => c.operation }
       val commitTs = actions.collectFirst { case c: CommitInfo => c.timestamp }
         .getOrElse(0L).toString

@@ -361,7 +361,19 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * on write (SURVEY.md §2-B.7). Generated columns are the one exception:
     * a writer may omit them, and either way the engine (re)computes them
     * from their declared expressions so the generation invariant holds by
-    * construction on every write path (see GeneratedColumns). */
+    * construction on every write path (see GeneratedColumns).
+    *
+    * Data-quality invariants ride the same projection (Delta's "Column
+    * Invariants" + ANSI store assignment, enforced at RUNTIME inside the
+    * write job — codegen'd CASE WHEN per guarded column, no extra pass):
+    *   - a value the cast cannot represent raises instead of silently
+    *     becoming null (the non-ANSI `Cast` footgun: "12x" → int);
+    *   - a null (or null'd cast) bound for a `nullable = false` column
+    *     raises instead of committing — every write path funnels through
+    *     here (append, overwrite, MERGE images, UPDATE, COPY INTO, SQL
+    *     group write), so a NOT NULL table can never hold a null.
+    * `ALTER COLUMN ... DROP NOT NULL` (setNullability) is the escape
+    * hatch; SET NOT NULL validates existing rows first. */
   private def conform(df: DataFrame, schema: StructType,
       keepRowId: Boolean = false): DataFrame = {
     val generated = GeneratedColumns.names(schema)
@@ -378,8 +390,31 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         s"(table has ${want.toSeq.sorted})")
     require((want -- have -- generated).isEmpty,
       s"schema mismatch: write lacks columns ${(want -- have -- generated).toSeq.sorted}")
-    GeneratedColumns.fill(df, schema)
-      .select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq ++ rid: _*)
+    val filled = GeneratedColumns.fill(df, schema)
+    val srcType = filled.schema.fields.map(f => f.name -> f.dataType).toMap
+    filled.select(schema.fields.map { f =>
+      val raw = col(f.name)
+      val casted = raw.cast(f.dataType)
+      val safeCast =
+        if (srcType.get(f.name).contains(f.dataType)) raw
+        else when(raw.isNotNull && casted.isNull, raise_error(concat(
+          lit(s"cannot write column '${f.name}': value '"), raw.cast(StringType),
+          lit(s"' is not castable to ${f.dataType.simpleString}"))).cast(f.dataType))
+          .otherwise(casted)
+      // a provably non-null source (same type, source field non-nullable)
+      // needs no runtime guard — keeps the common typed-append projection
+      // guard-free in codegen
+      val srcNonNull = filled.schema.fields
+        .exists(s => s.name == f.name && !s.nullable) &&
+        srcType.get(f.name).contains(f.dataType)
+      val guarded =
+        if (f.nullable || srcNonNull) safeCast
+        else when(safeCast.isNull, raise_error(lit(
+          s"NOT NULL constraint violated: column '${f.name}' " +
+            s"(declared nullable = false) received a null")).cast(f.dataType))
+          .otherwise(safeCast)
+      guarded.as(f.name)
+    }.toSeq ++ rid: _*)
   }
 
   /** Enforce the table's CHECK constraints on rows about to be written
@@ -868,6 +903,39 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         removed.map(f => RemoveFile(f.path, ts)) ++ adds ++ cdc)
   }
 
+  /** Atomic REPLACE TABLE (AS SELECT) commit: ONE log version carries the
+    * fresh MetaData (new table id — a replace is a new logical table, as
+    * in Delta), a RemoveFile for every currently-live data file, and the
+    * staged AddFiles. Readers see the old table or the new one, never an
+    * empty or mixed middle; the staged files were written into the table
+    * directory ahead of time and stay invisible until this lands. History
+    * and time travel across the replace boundary are preserved (the log
+    * keeps every prior commit). A concurrent winner is superseded: REPLACE
+    * semantically reads-and-rewrites the whole table, so the loop
+    * recomputes the head's live set and retries — bounded by contention,
+    * never re-running the (already written) query. */
+  private[graft] def commitReplaceTable(adds: Seq[AddFile],
+      newSchema: StructType, partitionCols: Seq[String],
+      props: Map[String, String]): Unit = {
+    gateWriterFeatures(snapshot.protocol)
+    var done = false
+    while (!done) {
+      val s = snapshot
+      val v = s.version + 1
+      val ts = log.nextTimestamp()
+      val meta = MetaData(UUID.randomUUID().toString, newSchema.json,
+        System.currentTimeMillis(), partitionCols, Map.empty, props)
+      try {
+        log.commit(v, Seq(meta,
+          CommitInfo(v, ts, "REPLACE TABLE AS SELECT",
+            Map("numRemovedFiles" -> s.files.size.toString,
+                "numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
+          s.files.map(f => RemoveFile(f.path, ts)) ++ adds)
+        done = true
+      } catch { case _: java.util.ConcurrentModificationException => () }
+    }
+  }
+
   /** ALTER TABLE ADD COLUMN: additive schema evolution as a metadata-only
     * commit (the same evolution `append(mergeSchema = true)` performs
     * implicitly) — existing files read the new column as null via parquet
@@ -889,6 +957,67 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       s.metaData.copy(schemaString = evolved.json),
       CommitInfo(s.version + 1, log.nextTimestamp(), "ADD COLUMNS",
         Map("column" -> s"$name ${dataType.simpleString}"))))
+  }
+
+  /** ALTER TABLE ... ALTER COLUMN ... SET / DROP NOT NULL. DROP NOT NULL
+    * (tighten → relax) is metadata-only — always safe, the escape hatch
+    * from the write-time invariant. SET NOT NULL validates EXISTING rows
+    * first (one stats-assisted counting job: files whose footer stats
+    * prove zero nulls could skip, but null counts aren't harvested yet,
+    * so it scans the column — still a single-column scan, pruned to live
+    * files) and then commits the tightened schema; every later write
+    * enforces it in the conform projection. */
+  def setNullability(name: String, nullable: Boolean): Unit = {
+    val s = snapshot
+    val idx = s.schema.fieldNames.indexOf(name)
+    require(idx >= 0, s"no such column: $name")
+    val f = s.schema.fields(idx)
+    if (f.nullable == nullable) return
+    if (!nullable) {
+      val nulls = read(s).filter(col(name).isNull).limit(1).count()
+      require(nulls == 0,
+        s"cannot SET NOT NULL on '$name': existing rows contain nulls")
+    }
+    val evolved = StructType(s.schema.fields.updated(idx, f.copy(nullable = nullable)))
+    log.commit(s.version + 1, Seq(
+      s.metaData.copy(schemaString = evolved.json),
+      CommitInfo(s.version + 1, log.nextTimestamp(), "ALTER COLUMN",
+        Map("column" -> name,
+            "nullability" -> (if (nullable) "DROP NOT NULL" else "SET NOT NULL")))))
+  }
+
+  /** ALTER TABLE ... ALTER COLUMN ... TYPE — type WIDENING as a
+    * metadata-only commit (Delta's type-widening table feature): the
+    * schema changes, zero data files rewrite, and files written under the
+    * narrower type keep reading through the scan's declared schema (the
+    * parquet vectorized reader upcasts int32→int64, int32/int64→double,
+    * float→double, and decimal precision natively — verified by
+    * TypeWideningSpec). Narrowing, and any conversion the reader cannot
+    * serve, rejects loudly: on an unrewritable 100 TB table the ONLY
+    * affordable type lifecycle is the widening lattice below.
+    * Generated/identity columns are pinned (their types are part of the
+    * engine contract). */
+  def alterColumnType(name: String, newType: DataType): Unit = {
+    val s = snapshot
+    val idx = s.schema.fieldNames.indexOf(name)
+    require(idx >= 0, s"no such column: $name")
+    val f = s.schema.fields(idx)
+    if (f.dataType == newType) return
+    require(!GeneratedColumns.names(s.schema).contains(name),
+      s"cannot retype generated column '$name' (its expression pins the type)")
+    require(!IdentityColumns.names(s.schema).contains(name),
+      s"cannot retype identity column '$name' (identity is BIGINT by contract)")
+    require(GraftTable.isWidening(f.dataType, newType),
+      s"ALTER COLUMN TYPE on '$name': ${f.dataType.simpleString} → " +
+        s"${newType.simpleString} is not a supported widening " +
+        "(byte/short/int→{short,int,long,double}, float→double, " +
+        "decimal precision/scale growth); narrowing requires a rewrite")
+    val evolved = StructType(s.schema.fields.updated(idx, f.copy(dataType = newType)))
+    log.commit(s.version + 1, Seq(
+      s.metaData.copy(schemaString = evolved.json),
+      CommitInfo(s.version + 1, log.nextTimestamp(), "ALTER COLUMN",
+        Map("column" -> name,
+            "type" -> s"${f.dataType.simpleString} -> ${newType.simpleString}"))))
   }
 
   private def columnMappingEnabled(meta: MetaData): Boolean =
@@ -1204,8 +1333,32 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * files directly into the table directory, and a concurrent vacuum
     * must not delete them before their commit lands. `retentionMs < 0`
     * (the default) resolves the table property `vacuum.retentionMs`,
-    * falling back to 1 hour; tests/bench pass 0 explicitly. */
+    * falling back to 1 hour.
+    *
+    * Minimum-retention safety check (Delta parity): a retention below
+    * `vacuum.minRetentionMs` (default 7 days, Delta's 168 h) REFUSES to
+    * run unless the table property `vacuum.retentionDurationCheck` is
+    * 'false' — on a shared table, an aggressive vacuum deletes files an
+    * in-flight reader, a long time-travel query, or a lagging streaming
+    * source still references. Dry-run is exempt (auditing is always
+    * safe); tests/bench opt out explicitly via the property. */
   def vacuum(retainVersions: Int = 0, retentionMs: Long = -1L): Int = {
+    val props = snapshot.metaData.properties
+    val checkEnabled =
+      !props.get("vacuum.retentionDurationCheck").exists(_.equalsIgnoreCase("false"))
+    if (checkEnabled) {
+      val effective =
+        if (retentionMs >= 0) retentionMs
+        else props.get("vacuum.retentionMs").map(_.toLong).getOrElse(3600L * 1000)
+      val minMs = props.get("vacuum.minRetentionMs").map(_.toLong)
+        .getOrElse(7L * 24 * 3600 * 1000)
+      require(effective >= minMs,
+        s"vacuum retention ${effective}ms is below the minimum ${minMs}ms — " +
+          "files an in-flight reader or lagging stream still references " +
+          "could be deleted. Raise retentionMs, lower the table property " +
+          "'vacuum.minRetentionMs', or set " +
+          "'vacuum.retentionDurationCheck' = 'false' to override")
+    }
     val orphans = vacuumOrphans(retainVersions, retentionMs)
     orphans.foreach(f => Files.deleteIfExists(Paths.get(path, f)))
     orphans.size
@@ -2355,6 +2508,26 @@ object GraftTable {
   /** Table property holding the highest allocated row id. */
   val RowIdHwmKey = "rowTracking.rowIdHighWaterMark"
 
+  /** The widening lattice `alterColumnType` accepts: exactly the
+    * conversions the parquet VECTORIZED reader can serve when old files
+    * carry the narrower physical type (so the widen stays metadata-only).
+    * Mirrors Delta's type-widening feature matrix for integral/floating
+    * types plus decimal growth. */
+  private[graft] def isWidening(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | DoubleType) => true
+      // long→double is deliberately absent: doubles hold only 53 mantissa
+      // bits, so the conversion silently corrupts large longs
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        // every narrow value must be exactly representable: integer digits
+        // and fractional digits both grow (or stay)
+        t.scale >= f.scale && (t.precision - t.scale) >= (f.precision - f.scale)
+      case _ => false
+    }
+
 
   /** Columns with native parquet bloom filters, from table properties. */
   private[table] def bloomColumns(meta: MetaData): Seq[String] =
@@ -2455,6 +2628,24 @@ object GraftTable {
       .map(p => meta0.copy(properties = p)).getOrElse(meta0)
     log.commit(0L, protocolAction ++ Seq(meta,
       CommitInfo(0L, log.nextTimestamp(), "CREATE",
+        Map("numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++ adds)
+    new GraftTable(spark, path)
+  }
+
+  /** Commit 0 for a STAGED create (CTAS through the catalog's staging
+    * protocol): the data files were already written into `path` by the
+    * query's write — invisible until this single commit registers table
+    * metadata and adds together. A failed CTAS never reaches here, so no
+    * half-created table is ever visible. */
+  private[graft] def createStaged(spark: SparkSession, path: String,
+      schema: StructType, partitionCols: Seq[String],
+      props: Map[String, String], adds: Seq[AddFile]): GraftTable = {
+    val log = new GraftLog(path)
+    require(!log.exists, s"$path is already a GraftTable")
+    val meta = MetaData(UUID.randomUUID().toString, schema.json,
+      System.currentTimeMillis(), partitionCols, Map.empty, props)
+    log.commit(0L, Seq(meta,
+      CommitInfo(0L, log.nextTimestamp(), "CREATE TABLE AS SELECT",
         Map("numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++ adds)
     new GraftTable(spark, path)
   }

@@ -331,6 +331,9 @@ class CatalogSpec extends SparkTestBase {
     assert(sql("SELECT id FROM gcat.default.proc ORDER BY id").collect()
       .map(_.getInt(0)).toSeq == Seq(1, 2))
 
+    // aggressive retention needs the explicit opt-out (safety check)
+    sql("ALTER TABLE gcat.default.proc SET TBLPROPERTIES(" +
+      "'vacuum.retentionDurationCheck' = 'false')")
     // dry run first: same figure, nothing deleted
     val dry = sql("CALL gcat.system.vacuum(`table` => 'default.proc', " +
       "retention_ms => 0, dry_run => true)").head()

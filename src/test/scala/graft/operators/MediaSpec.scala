@@ -83,6 +83,111 @@ class MediaSpec extends SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  // ---- real image decode on the seam (javax.imageio, JDK-native) ----------
+
+  /** An in-memory PNG: left half black, right half at the given gray
+    * level — known luminance per 4×4 grid cell, so the decoded features
+    * are exactly predictable. */
+  private def png(w: Int, h: Int, rightGray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = if (x < w / 2) 0 else rightGray
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("ImageIoCodec decodes real PNG pixels into the expected luminance grid") {
+    import spark.implicits._
+    val rows = spark.createDataset(Seq(
+      Media.MediaRow(1L, png(64, 64, 255), "en"),
+      Media.MediaRow(2L, png(64, 64, 128), "de")))
+    val feats = Media.decode(rows, Media.ImageIoCodec)
+      .collect().map(f => f.doc_id -> f.features).toMap
+    // left two grid columns pure black (0), right two at gray/255
+    val f1 = feats(1L)
+    assert(f1.length == 16)
+    (0 until 16).foreach { c =>
+      val expected = if (c % 4 < 2) 0f else 1f
+      assert(math.abs(f1(c) - expected) < 1e-3,
+        s"cell $c: got ${f1(c)}, want $expected")
+    }
+    val f2 = feats(2L)
+    (0 until 16).foreach { c =>
+      val expected = if (c % 4 < 2) 0f else 128f / 255f
+      assert(math.abs(f2(c) - expected) < 1e-3)
+    }
+  }
+
+  test("real decode keeps the map-side-only guarantee: pixels never shuffle") {
+    import spark.implicits._
+    // 200 real PNGs generated EXECUTOR-side after the only shuffle (a
+    // repartition of bare ids) — payload bytes must never cross a wire.
+    // Per-pixel noise keeps the PNGs poorly compressible (~20KB each) so
+    // payload volume dwarfs the narrow aggregation shuffle.
+    val rows = spark.range(1, 201).repartition(4).map { i =>
+      val img = new java.awt.image.BufferedImage(
+        96, 96, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 96) {
+        var x = 0
+        while (x < 96) {
+          val g = (x * 31 + y * 17 + i.toInt * 7) % 256
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      Media.MediaRow(i, out.toByteArray, if (i % 2 == 0) "en" else "de")
+    }
+    val totalPayloadBytes = rows.select(sum(length($"payload"))).head().getLong(0)
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val agg = Media.decode(rows, Media.ImageIoCodec)
+        .groupBy($"lang").agg(count(lit(1)).as("n"),
+          avg(element_at($"features", 16)).as("avg_right"))
+      val counts = agg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts("en") == 100 && counts("de") == 100)
+      val deadline = System.currentTimeMillis() + 10000
+      var last = -1L
+      while (System.currentTimeMillis() < deadline &&
+             (shuffleBytes.get() != last || last == 0L)) {
+        last = shuffleBytes.get(); Thread.sleep(300)
+      }
+      assert(shuffleBytes.get() > 0, "the aggregation must actually shuffle")
+      assert(shuffleBytes.get() < totalPayloadBytes / 10,
+        s"shuffle carried ${shuffleBytes.get()} of $totalPayloadBytes " +
+          "payload bytes — real decoded pixels must stay map-side")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("a non-image payload fails the real codec loudly") {
+    import spark.implicits._
+    val rows = spark.createDataset(Seq(
+      Media.MediaRow(1L, "not an image".getBytes, "en")))
+    val ex = intercept[Exception](Media.decode(rows, Media.ImageIoCodec).collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("not a decodable image")))
+  }
+
   test("resize pools 16-dim features to 4 dims preserving mass") {
     import spark.implicits._
     val feats = Media.decode(Media.mediaDataset(spark, sfDir))

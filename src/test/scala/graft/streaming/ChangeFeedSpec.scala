@@ -145,6 +145,7 @@ class ChangeFeedSpec extends SparkTestBase {
     val cdcPaths = (2L to 3L).flatMap(v =>
       t.log.readVersion(v).collect { case c: CdcFile => c.path })
     assert(cdcPaths.nonEmpty)
+    t.setProperty("vacuum.retentionDurationCheck", "false")
     t.vacuum(retainVersions = 10, retentionMs = 0L)
     cdcPaths.foreach(p =>
       assert(java.nio.file.Files.exists(java.nio.file.Paths.get(t.path, p)),

@@ -247,4 +247,64 @@ class GraftTableStreamSpec extends SparkTestBase {
     }.sum
     assert(rowTotal == 4999L, "row path must apply the DV skip")
   }
+
+  // ---- schema evolution while a stream is live (Delta fail-and-resume) -----
+
+  private def streamFailure(body: => Unit): Seq[String] = {
+    val ex = intercept[Exception](body)
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    messages(ex)
+  }
+
+  test("mid-stream ADD COLUMN fails the batch; a restart adopts the new schema") {
+    val dir = tmpDir("gs-evo-")
+    val ckpt = tmpDir("gs-evo-ckpt-")
+    val out = tmpDir("gs-evo-out-")
+    val t = GraftTable.create(spark, dir, Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    assert(outIds(out) == Seq(1, 2))
+    // the table evolves UNDER the live stream — its pinned schema would
+    // silently project the new column away, so the batch must fail
+    t.addColumn("extra", org.apache.spark.sql.types.IntegerType)
+    t.append(Seq((3, "c", 7)).toDF("id", "v", "extra"))
+    val msgs = streamFailure(q.processAllAvailable())
+    assert(msgs.exists(_.contains("changed at version")),
+      s"expected the evolution abort, got: ${msgs.take(3).mkString(" | ")}")
+    q.stop()
+    // restart = a fresh source instance: it re-resolves the table, adopts
+    // the evolved schema, and replays the SAME commit cleanly
+    runToParquet(dir, ckpt, out)
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.select("id").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
+    assert(merged.filter(col("id") === 3).select("extra").head().getInt(0) == 7)
+  }
+
+  test("mid-stream RENAME under column mapping fails instead of misbinding") {
+    val dir = tmpDir("gs-ren-")
+    val ckpt = tmpDir("gs-ren-ckpt-")
+    val out = tmpDir("gs-ren-out-")
+    val t = GraftTable.create(spark, dir, Seq((1, "a")).toDF("id", "v"))
+    t.setProperty("columnMapping.mode", "name")
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    assert(outIds(out) == Seq(1))
+    t.renameColumn("v", "w")
+    t.append(Seq((2, "b")).toDF("id", "w"))
+    // the stream pinned logical name `v`; emitting the renamed column
+    // under the stale name would be a silent misbind — fail instead
+    val msgs = streamFailure(q.processAllAvailable())
+    assert(msgs.exists(_.contains("changed at version")),
+      s"expected the evolution abort, got: ${msgs.take(3).mkString(" | ")}")
+    q.stop()
+    runToParquet(dir, ckpt, out)
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.select("id").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    assert(merged.columns.contains("w"))
+  }
 }

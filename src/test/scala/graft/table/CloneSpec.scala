@@ -53,6 +53,7 @@ class CloneSpec extends SparkTestBase {
     // rewrite everything in the clone so the source refs become unreferenced
     c.delete(col("id") === 1)
     c.optimize(targetFileBytes = 1024 * 1024)
+    c.setProperty("vacuum.retentionDurationCheck", "false")
     assert(c.vacuum(retentionMs = 0) >= 0)
     assert(ids(src.toDF) === Set(1, 2), "source data must survive clone vacuum")
     assert(ids(c.toDF) === Set(2))

@@ -85,6 +85,7 @@ class CopyIntoSpec extends SparkTestBase {
     listed.foreach(f =>
       assert(java.nio.file.Files.exists(java.nio.file.Paths.get(t.path, f)),
         "dry run must not delete"))
+    t.setProperty("vacuum.retentionDurationCheck", "false")
     val deleted = t.vacuum(retainVersions = 0, retentionMs = 0L)
     assert(deleted == listed.size)
     listed.foreach(f =>

@@ -110,6 +110,7 @@ class DeletionVectorSpec extends SparkTestBase {
     // sidecar is unreferenced by the head; retained versions still use it
     assert(ids(t.versionAsOf(2)) == Set(2, 3, 4, 5))
     // vacuum with no retained versions can collect it
+    t.setProperty("vacuum.retentionDurationCheck", "false")
     t.vacuum(retainVersions = 0, retentionMs = 0)
     val dvDir = Paths.get(t.path, "_dv")
     assert(!Files.exists(dvDir) ||
@@ -120,6 +121,7 @@ class DeletionVectorSpec extends SparkTestBase {
   test("vacuum keeps sidecars referenced by retained versions") {
     val t = dvTable("dv-vac-")
     t.delete(col("id") === 3)
+    t.setProperty("vacuum.retentionDurationCheck", "false")
     assert(t.vacuum(retainVersions = 5, retentionMs = 0) == 0)
     assert(ids(t.toDF) == Set(1, 2, 4, 5, 6))
   }

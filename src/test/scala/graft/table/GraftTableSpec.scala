@@ -229,12 +229,13 @@ class GraftTableSpec extends SparkTestBase {
     val t = GraftTable.create(spark, dir, df((1, "A", "A"), (2, "B", "B")).coalesce(1))
     t.delete("id = 1") // v1 rewrites the only file → v0's file is orphanable
     val v1 = state(t.toDF)
+    t.setProperty("vacuum.retentionDurationCheck", "false")
     val removed = t.vacuum(retainVersions = 0, retentionMs = 0)
     assert(removed === 1)
     assert(state(t.toDF) === v1)             // latest unaffected
     intercept[Exception](t.versionAsOf(0).collect()) // v0's data is gone
-    // history still lists all commits
-    assert(t.history().count() === 2)
+    // history still lists all commits (create, delete, the opt-out property)
+    assert(t.history().count() === 3)
   }
 
   test("CHECK constraints: enforced on append and merge, versioned add/drop") {

@@ -121,6 +121,12 @@ class ProtocolSpec extends SparkTestBase {
     // an uncommitted in-flight executor file, just written
     val inflight = Paths.get(t.path, s"part-${java.util.UUID.randomUUID()}.parquet")
     Files.write(inflight, Array[Byte](1, 2, 3))
+    // the minimum-retention safety check refuses an aggressive vacuum
+    // until the table explicitly opts out (Delta parity)
+    val guard = intercept[IllegalArgumentException](
+      t.vacuum(retainVersions = 0, retentionMs = 0))
+    assert(guard.getMessage.contains("below the minimum"))
+    t.setProperty("vacuum.retentionDurationCheck", "false")
     // default (1h) retention: nothing young is deleted
     assert(t.vacuum(retainVersions = 0) == 0)
     assert(Files.exists(inflight))
@@ -144,6 +150,7 @@ class ProtocolSpec extends SparkTestBase {
     assert(fresh.listingCount == 0,
       s"log read paths performed ${fresh.listingCount} directory listing(s)")
     val t2 = GraftTable.forPath(spark, t.path)
+    t2.setProperty("vacuum.retentionDurationCheck", "false")
     t2.vacuum(retainVersions = 2, retentionMs = 0)
     assert(t2.log.listingCount == 0,
       "vacuum's log-side discovery must not list the log directory")
