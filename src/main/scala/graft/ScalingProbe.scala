@@ -125,9 +125,103 @@ object ScalingProbe {
     spark.stop()
   }
 
+  /** Contention probe (round-10 brief): N writers × M commits racing on
+    * ONE table, in two modes —
+    *   - `blind`: disjoint appends; every lost race REBASES (no logical
+    *     conflict), so all N×M commits must land. The printed
+    *     `readsPerCommit` is the storage-level commit-file reads per
+    *     landed commit (GraftLog.uncachedVersionReads summed over every
+    *     writer's own log instance): the rebase loop reads only the
+    *     WINNER commits between its base and the new head — O(winners),
+    *     never a full log re-read — so the figure stays a small constant
+    *     as M grows instead of growing with history length.
+    *   - `identity`: the same race on an identity-column table, where a
+    *     winner's frontier bump is a MetaData action and every loser gets
+    *     a typed MetadataChangedException; the probe retries at the API
+    *     level (as a real writer would) and then PROVES the frontier
+    *     serialized: all N×M×rows ids distinct.
+    * Usage: tools/run.sh graft.ScalingProbe contention [writers] [commits]
+    */
+  private def runContentionProbe(writers: Int, commitsEach: Int): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("w", IntegerType, nullable = false)))
+
+    def race(label: String, dir: String, identityMode: Boolean): Unit = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val reads = new java.util.concurrent.atomic.AtomicLong()
+      val retries = new java.util.concurrent.atomic.AtomicLong()
+      val t0 = System.nanoTime()
+      val futures = (0 until writers).map { w =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            // each writer is its own "driver": own GraftTable, own log
+            val t = graft.table.GraftTable.forPath(spark, dir)
+            start.await()
+            (1 to commitsEach).foreach { i =>
+              val df = spark.createDataFrame(java.util.List.of(
+                Row(w * 1000000L + i, w)), schema)
+              var landed = false
+              while (!landed) {
+                try { t.append(df); landed = true }
+                catch {
+                  case _: graft.table.GraftConcurrentWriteException =>
+                    retries.incrementAndGet() // identity mode: typed conflict, re-read + retry
+                }
+              }
+            }
+            reads.addAndGet(t.log.uncachedVersionReads.toLong)
+          }
+        })
+      }
+      start.countDown()
+      futures.foreach(_.get(600, java.util.concurrent.TimeUnit.SECONDS))
+      pool.shutdown()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val t = graft.table.GraftTable.forPath(spark, dir)
+      val landed = t.latestVersion
+      val nRows = t.toDF.count()
+      val distinctIds = if (!identityMode) -1L
+        else t.toDF.select("rid").distinct().count()
+      println(f"""CONTENTION {"mode":"$label","writers":$writers,"commitsEach":$commitsEach,"versions":$landed,"rows":$nRows,"distinctIds":$distinctIds,"apiRetries":${retries.get()},"readsPerCommit":${reads.get().toDouble / math.max(1, landed)}%.1f,"sec":$sec%.2f}""")
+      require(nRows == writers.toLong * commitsEach,
+        s"$label: expected ${writers * commitsEach} rows, got $nRows")
+      if (identityMode) require(distinctIds == nRows,
+        s"$label: identity ids collided under contention ($distinctIds of $nRows)")
+    }
+
+    val blindDir = Scratch.dir("graft-contend-blind-").toString
+    graft.table.GraftTable.create(spark, blindDir,
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), schema))
+    race("blind", blindDir, identityMode = false)
+
+    val idDir = Scratch.dir("graft-contend-id-").toString
+    graft.table.GraftTable.create(spark, idDir,
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), schema),
+      identity = Map("rid" -> (1L, 1L)))
+    race("identity", idDir, identityMode = true)
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("log")) {
       runLogProbe(args.drop(1).headOption.map(_.toInt).getOrElse(100000))
+      return
+    }
+    if (args.headOption.contains("contention")) {
+      runContentionProbe(
+        args.drop(1).headOption.map(_.toInt).getOrElse(8),
+        args.drop(2).headOption.map(_.toInt).getOrElse(10))
       return
     }
     if (args.headOption.contains("dml")) {

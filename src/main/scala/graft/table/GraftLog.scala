@@ -72,6 +72,7 @@ final class GraftLog(val tablePath: String) {
     val cached = actionCache.get(v)
     if (cached != null) cached
     else {
+      uncachedVersionReads += 1
       val f = versionFile(v)
       require(Files.exists(f), s"version $v does not exist for table $tablePath")
       val parsed = Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
@@ -86,14 +87,26 @@ final class GraftLog(val tablePath: String) {
   def commit(v: Long, actions: Seq[Action]): Unit = {
     Files.createDirectories(logDir)
     val body = actions.map(Actions.toJson).mkString("", "\n", "\n")
-    try
-      Files.write(versionFile(v), body.getBytes(StandardCharsets.UTF_8),
-        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    // ATOMIC publish-or-fail: a direct CREATE_NEW write makes the version
+    // file VISIBLE WHILE EMPTY — a concurrent reader probing latestVersion
+    // in that window folds a truncated commit (dropping, e.g., an identity
+    // frontier bump → silent duplicate ids; found by ScalingProbe's
+    // contention mode) and poisons its immutable action cache with it.
+    // Instead the body lands fully in a temp file and createLink publishes
+    // it: hard-link creation is a single atomic filesystem op that fails
+    // with FileAlreadyExists when the version was won by another writer —
+    // the compare-and-swap the commit protocol needs (a Files.move without
+    // REPLACE_EXISTING is check-then-act and can silently OVERWRITE the
+    // winner under a race; with REPLACE_EXISTING it always would).
+    val tmp = logDir.resolve(s".${java.util.UUID.randomUUID()}.commit.tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    try Files.createLink(versionFile(v), tmp)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(
           s"concurrent commit: version $v already exists in $tablePath")
     }
+    finally Files.deleteIfExists(tmp)
     if (v > 0 && v % checkpointInterval == 0) writeCheckpoint(v)
   }
 
@@ -132,7 +145,12 @@ final class GraftLog(val tablePath: String) {
     } catch { case _: java.io.IOException => None }
 
   def writeCheckpoint(v: Long): Unit = {
-    val s = replay(0L, v, None)
+    // fold via snapshotAt: seeds from the newest checkpoint ≤ v and
+    // replays only the tail — a full replay(0, v) here would re-read the
+    // ENTIRE log every checkpointInterval commits, quadratic total work
+    // over a long-lived table's life (measured: ScalingProbe contention
+    // readsPerCommit grew with history before this)
+    val s = snapshotAt(v)
     val parquet = s.metaData.properties.get("checkpoint.format") match {
       case Some("parquet") => true
       case Some("json") => false
@@ -166,6 +184,12 @@ final class GraftLog(val tablePath: String) {
     * aligned probing below exist to avoid; a spec counts this stays 0 on
     * the snapshot/time-travel paths. */
   private[table] var listingCount: Int = 0
+
+  /** Commit files actually read from storage by this instance (cache
+    * misses only) — the observable proving a conflict rebase costs
+    * O(winner commits), never a full log re-read (ScalingProbe's
+    * contention mode reports reads-per-commit under N racing writers). */
+  private[graft] var uncachedVersionReads: Int = 0
 
   private def latestCheckpointAtOrBefore(v: Long): Option[Long] = {
     // fast path: the pointer names a usable checkpoint ≤ v (the common

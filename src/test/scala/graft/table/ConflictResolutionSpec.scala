@@ -190,4 +190,66 @@ class ConflictResolutionSpec extends SparkTestBase {
     val expected = Set("seed" -> 0) ++ (1 to perSide).map("internal" -> _)
     assert(rows === expected, "victim rows gone, all appends intact")
   }
+
+  test("N-writer contention: every blind append lands exactly once") {
+    import spark.implicits._
+    val dir = tmpDir("contend-")
+    GraftTable.create(spark, dir, Seq((0L, -1)).toDF("k", "w"))
+    val writers = 6; val each = 5
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val fs = (0 until writers).map { w =>
+      pool.submit(new Runnable { override def run(): Unit = {
+        val t = GraftTable.forPath(spark, dir) // own instance = own "driver"
+        start.await()
+        (1 to each).foreach(i =>
+          t.append(Seq((w * 1000L + i, w)).toDF("k", "w")))
+      }})
+    }
+    start.countDown()
+    fs.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    val t = GraftTable.forPath(spark, dir)
+    assert(t.latestVersion == writers * each,
+      "every append must land as its own commit (rebase, not loss)")
+    assert(t.toDF.count() == writers * each + 1)
+    assert(t.toDF.select("k").distinct().count() == writers * each + 1,
+      "no append may double-commit under contention")
+  }
+
+  test("N-writer identity contention: the frontier serializes, ids stay unique") {
+    import spark.implicits._
+    val dir = tmpDir("contend-id-")
+    GraftTable.create(spark, dir,
+      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("w",
+            org.apache.spark.sql.types.IntegerType)))),
+      identity = Map("rid" -> (1L, 1L)))
+    val writers = 6; val each = 4
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val retries = new java.util.concurrent.atomic.AtomicInteger
+    val fs = (0 until writers).map { w =>
+      pool.submit(new Runnable { override def run(): Unit = {
+        val t = GraftTable.forPath(spark, dir)
+        start.await()
+        (1 to each).foreach { _ =>
+          var landed = false
+          while (!landed)
+            try { t.append(Seq(w).toDF("w")); landed = true }
+            catch { case _: GraftConcurrentWriteException =>
+              retries.incrementAndGet() } // typed loser: re-read frontier, retry
+        }
+      }})
+    }
+    start.countDown()
+    fs.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    val t = GraftTable.forPath(spark, dir)
+    val n = writers * each
+    assert(t.toDF.count() == n)
+    assert(t.toDF.select("rid").distinct().count() == n,
+      s"identity ids collided under contention (${retries.get()} retries)")
+  }
 }
