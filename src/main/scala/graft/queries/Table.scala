@@ -144,7 +144,7 @@ object TableQueries {
     // the plan's first execution at this SF.
     Seq("q151_identity_column", "q147_replace_where", "q148_convert_parquet",
         "q153_copy_into", "q155_row_tracking", "q156_notnull_invariant",
-        "q157_type_widening").foreach { q =>
+        "q157_type_widening", "q159_null_skipping").foreach { q =>
       try { graft.SparkEntry.queries(q)(s, dir); () }
       catch { case _: Throwable => () }
     }
@@ -1015,6 +1015,42 @@ object TableQueries {
         |FROM (SELECT CAST(n_regionkey AS BIGINT) AS v FROM nation
         |      UNION ALL
         |      SELECT n_regionkey + 10000000000 FROM nation)""".stripMargin),
+
+    // ---- Null-count data skipping (IS NULL / IS NOT NULL file pruning) -----------
+    // Footer null counts ride every AddFile (and the parquet checkpoint):
+    // a file whose footer proves zero nulls never serves IS NULL, an
+    // all-null file never serves IS NOT NULL or any comparison — the
+    // third skipping tier next to min/max and blooms, and what makes
+    // "find the unscored documents" O(files-with-gaps) instead of a full
+    // scan at 100 TB. The fixture REQUIREs the pruning actually happened;
+    // the oracle pins the surviving rows.
+    "q159_null_skipping" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = cache.computeIfAbsent(s"ns:$dir", _ => {
+          val docs = graft.Tables.documents(s, dir).select($"doc_id", $"n_chars")
+          val scored = docs.filter($"doc_id" % 3 =!= 0)
+            .withColumn("score", ($"n_chars" % 97).cast("int"))
+          val unscored = docs.filter($"doc_id" % 3 === 0)
+            .withColumn("score", lit(null).cast("int"))
+          val tt = GraftTable.create(s, graft.Scratch.dir("graft-ns-").toString,
+            scored.coalesce(1))
+          tt.append(unscored.coalesce(1))
+          val nullFiles = tt.prunedFiles(tt.snapshot, $"score".isNull)
+          val valFiles = tt.prunedFiles(tt.snapshot, $"score".isNotNull)
+          require(nullFiles.size == 1 && valFiles.size == 1,
+            s"null-count stats must prune to one file each way " +
+              s"(got ${nullFiles.size}/${valFiles.size} of ${tt.snapshot.files.size})")
+          tt
+        })
+        t.scan($"score".isNull)
+          .groupBy().agg(
+            count(lit(1)).as("n_unscored"),
+            sum($"n_chars").as("chars_unscored"))
+      },
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_unscored,
+        |       CAST(SUM(n_chars) AS BIGINT) AS chars_unscored
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin),
 
     // ---- Hive-partitioned table scan (partition pruning as data skipping) --------
     // Documents land Hive-partitioned by lang (lang=en/... directories);

@@ -324,10 +324,10 @@ class GraftParquetDataWriter(tablePath: String, schema: StructType,
     val adds = writers.toSeq.flatMap { case (pv, (w, rel)) =>
       w.close()
       val abs = Paths.get(tablePath, rel)
-      val (rows, mins, maxs) = FileOps.footerStats(abs)
+      val (rows, mins, maxs, nulls) = FileOps.footerStats(abs)
       if (rows == 0L) { Files.delete(abs); None }
       else Some(AddFile(rel, Files.size(abs), System.currentTimeMillis(),
-        rows, mins, maxs, pv))
+        rows, mins, maxs, pv, nullCounts = nulls))
     }
     writers.clear()
     GraftWriteMessage(adds)

@@ -27,7 +27,8 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftProcedures {
 
   val names: Seq[String] =
-    Seq("optimize", "vacuum", "restore", "convert", "generate_manifest")
+    Seq("optimize", "vacuum", "restore", "convert", "generate_manifest",
+        "cleanup_logs")
 
   def load(catalog: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.sameElements(Array("system")),
@@ -38,6 +39,7 @@ object GraftProcedures {
       case "restore"  => RestoreProc(catalog)
       case "convert"  => ConvertProc(catalog)
       case "generate_manifest" => GenerateManifestProc(catalog)
+      case "cleanup_logs" => CleanupLogsProc(catalog)
       case other => throw new IllegalArgumentException(
         s"unknown procedure graft.system.$other (have: ${names.mkString(", ")})")
     }
@@ -138,6 +140,25 @@ object GraftProcedures {
       val n = if (dry) t.vacuumDryRun(retain, retention).size
               else t.vacuum(retain, retention)
       resultScan(out, row(n.toLong, dry))
+    }
+  }
+
+  /** `CALL graft.system.cleanup_logs(`table` => ..., retention_ms => ...)`
+    * — Delta's metadata cleanup (logRetentionDuration): prune commit and
+    * checkpoint files older than the retention window up to the newest
+    * in-window checkpoint; time travel older than retention dies. */
+  case class CleanupLogsProc(catalog: GraftCatalog) extends GraftProc("cleanup_logs") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      paramD("retention_ms", LongType, "-1")) // -1: table's log.retentionMs / 30d
+
+    private val out = StructType(Seq(
+      StructField("deleted_files", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val t = resolve(catalog, input.getUTF8String(0).toString)
+      val retention = if (input.isNullAt(1)) -1L else input.getLong(1)
+      resultScan(out, row(t.cleanupExpiredLogs(retention).toLong))
     }
   }
 

@@ -42,7 +42,12 @@ final case class AddFile(
     partitionValues: Map[String, String] = Map.empty,
     dvPath: Option[String] = None,
     dvCount: Long = 0L,
-    baseRowId: Option[Long] = None) extends Action {
+    baseRowId: Option[Long] = None,
+    /** Per-column null counts from the parquet footers (absent = unknown,
+      * never assumed): powers IS [NOT] NULL file skipping and the
+      * stats-only SET NOT NULL validation. Sound over-approximation under
+      * a deletion vector, like min/max. */
+    nullCounts: Map[String, Long] = Map.empty) extends Action {
   /** Rows served by this file = physical rows minus deletion-vector
     * tombstones (`numRecords` stays the parquet footer count — min/max
     * stats remain sound over-approximations under a DV). */
@@ -118,12 +123,16 @@ object Actions {
         partCols.foreach(arr.add)
         putMap(n, "constraints", constraints)
         if (properties.nonEmpty) putMap(n, "properties", properties)
-      case AddFile(path, size, mtime, rows, mins, maxs, partVals, dvPath, dvCount, baseRowId) =>
+      case AddFile(path, size, mtime, rows, mins, maxs, partVals, dvPath, dvCount, baseRowId, nullCounts) =>
         val n = root.putObject("add")
         n.put("path", path); n.put("size", size); n.put("modificationTime", mtime)
         n.put("numRecords", rows)
         putMap(n, "minValues", mins); putMap(n, "maxValues", maxs)
         putMap(n, "partitionValues", partVals)
+        if (nullCounts.nonEmpty) {
+          val nc = n.putObject("nullCounts")
+          nullCounts.toSeq.sortBy(_._1).foreach { case (k, v) => nc.put(k, v) }
+        }
         dvPath.foreach { p =>
           val dv = n.putObject("deletionVector")
           dv.put("path", p); dv.put("cardinality", dvCount)
@@ -166,10 +175,13 @@ object Actions {
         case Some(dv) => (Some(dv.get("path").asText()), dv.get("cardinality").asLong())
         case None => (None, 0L)
       }
+      val nullCounts = Option(n.get("nullCounts")).map { nc =>
+        nc.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+      }.getOrElse(Map.empty[String, Long])
       AddFile(n.get("path").asText(), n.get("size").asLong(),
         n.get("modificationTime").asLong(), n.get("numRecords").asLong(),
         strMap(n, "minValues"), strMap(n, "maxValues"), strMap(n, "partitionValues"),
-        dvPath, dvCount, Option(n.get("baseRowId")).map(_.asLong()))
+        dvPath, dvCount, Option(n.get("baseRowId")).map(_.asLong()), nullCounts)
     } else if (root.has("remove")) {
       val n = root.get("remove")
       RemoveFile(n.get("path").asText(), n.get("deletionTimestamp").asLong())

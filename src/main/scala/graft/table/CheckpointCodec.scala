@@ -46,7 +46,7 @@ object CheckpointCodec {
       optStr("metaId"), optStr("schemaString"), optLong("createdTime"),
       optStr("partitionColumns"), optStr("constraints"), optStr("properties"),
       optStr("txnAppId"), optLong("txnVersion"), optStr("protocolJson"),
-      optLong("baseRowId"))
+      optLong("baseRowId"), optStr("nullCounts"))
   }
 
   private def jsonMap(m: Map[String, String]): String = {
@@ -171,6 +171,8 @@ object CheckpointCodec {
         g.add("partitionValues", jsonMap(f.partitionValues))
         f.dvPath.foreach { p => g.add("dvPath", p); g.add("dvCount", f.dvCount) }
         f.baseRowId.foreach(b => g.add("baseRowId", b))
+        if (f.nullCounts.nonEmpty)
+          g.add("nullCounts", jsonMap(f.nullCounts.map { case (k, v) => k -> v.toString }))
         w.write(g)
       }
     } finally w.close()
@@ -190,7 +192,8 @@ object CheckpointCodec {
       StructField("createdTime", LongType), StructField("partitionColumns", StringType),
       StructField("constraints", StringType), StructField("properties", StringType),
       StructField("txnAppId", StringType), StructField("txnVersion", LongType),
-      StructField("protocolJson", StringType), StructField("baseRowId", LongType)))
+      StructField("protocolJson", StringType), StructField("baseRowId", LongType),
+      StructField("nullCounts", StringType)))
   }
 
   /** Read a parquet checkpoint back to the folded snapshot at `version`.
@@ -248,7 +251,9 @@ object CheckpointCodec {
               readMap(str(5, r)), readMap(str(6, r)), readMap(str(7, r)),
               if (batch.column(8).isNullAt(r)) None else Some(str(8, r)),
               lng(9, r),
-              if (batch.column(19).isNullAt(r)) None else Some(batch.column(19).getLong(r)))
+              if (batch.column(19).isNullAt(r)) None else Some(batch.column(19).getLong(r)),
+              if (batch.column(20).isNullAt(r)) Map.empty
+              else readMap(str(20, r)).map { case (k, v) => k -> v.toLong })
             case "meta" => meta = Some(MetaData(
               str(10, r), str(11, r), lng(12, r),
               readSeq(str(13, r)), readMap(str(14, r)), readMap(str(15, r))))

@@ -2,7 +2,8 @@ package graft.table
 
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo,
-  Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+  Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan,
+  LessThanOrEqual}
 import org.apache.spark.sql.catalyst.plans.logical.Filter
 import org.apache.spark.sql.types._
 
@@ -121,27 +122,38 @@ object DataSkipping {
     def attrLit(a: Expression, l: Expression): Option[(String, Ord)] =
       for { n <- attrName(a); v <- litValue(l) } yield (n, v)
 
+    // null-count tier (independent of min/max): a file whose footer proves
+    // zero nulls can't serve IS NULL; all-null can't serve IS NOT NULL —
+    // and an all-null column can't match ANY comparison either, so the
+    // value checks compose it in. Absent count → unknown → keep.
+    def nullCount(name: String): Option[Long] = f.nullCounts.get(name)
+    def allNull(name: String): Boolean = nullCount(name).contains(f.numRecords)
+    def checkNN(name: String, v: Ord, op: (Int, Int) => Boolean): Boolean =
+      !allNull(name) && check(name, v, op)
+
     c match {
+      case IsNull(a) => attrName(a).forall(n => !nullCount(n).contains(0L))
+      case IsNotNull(a) => attrName(a).forall(n => !allNull(n))
       case EqualTo(a, l) => (attrLit(a, l) orElse attrLit(l, a)).forall {
-        case (n, v) => check(n, v, (cl, ch) => cl <= 0 && ch >= 0) }
+        case (n, v) => checkNN(n, v, (cl, ch) => cl <= 0 && ch >= 0) }
       case GreaterThan(a, l) if attrLit(a, l).isDefined =>          // col > v
-        attrLit(a, l).forall { case (n, v) => check(n, v, (_, ch) => ch > 0) }
+        attrLit(a, l).forall { case (n, v) => checkNN(n, v, (_, ch) => ch > 0) }
       case GreaterThan(l, a) if attrLit(a, l).isDefined =>          // v > col ⇔ col < v
-        attrLit(a, l).forall { case (n, v) => check(n, v, (cl, _) => cl < 0) }
+        attrLit(a, l).forall { case (n, v) => checkNN(n, v, (cl, _) => cl < 0) }
       case GreaterThanOrEqual(a, l) if attrLit(a, l).isDefined =>   // col >= v
-        attrLit(a, l).forall { case (n, v) => check(n, v, (_, ch) => ch >= 0) }
+        attrLit(a, l).forall { case (n, v) => checkNN(n, v, (_, ch) => ch >= 0) }
       case GreaterThanOrEqual(l, a) if attrLit(a, l).isDefined =>   // v >= col ⇔ col <= v
-        attrLit(a, l).forall { case (n, v) => check(n, v, (cl, _) => cl <= 0) }
+        attrLit(a, l).forall { case (n, v) => checkNN(n, v, (cl, _) => cl <= 0) }
       case LessThan(a, l) if attrLit(a, l).isDefined =>             // col < v
-        attrLit(a, l).forall { case (n, v) => check(n, v, (cl, _) => cl < 0) }
+        attrLit(a, l).forall { case (n, v) => checkNN(n, v, (cl, _) => cl < 0) }
       case LessThan(l, a) if attrLit(a, l).isDefined =>             // v < col ⇔ col > v
-        attrLit(a, l).forall { case (n, v) => check(n, v, (_, ch) => ch > 0) }
+        attrLit(a, l).forall { case (n, v) => checkNN(n, v, (_, ch) => ch > 0) }
       case LessThanOrEqual(a, l) if attrLit(a, l).isDefined =>      // col <= v
-        attrLit(a, l).forall { case (n, v) => check(n, v, (cl, _) => cl <= 0) }
+        attrLit(a, l).forall { case (n, v) => checkNN(n, v, (cl, _) => cl <= 0) }
       case LessThanOrEqual(l, a) if attrLit(a, l).isDefined =>      // v <= col ⇔ col >= v
-        attrLit(a, l).forall { case (n, v) => check(n, v, (_, ch) => ch >= 0) }
+        attrLit(a, l).forall { case (n, v) => checkNN(n, v, (_, ch) => ch >= 0) }
       case In(a, vs) if attrName(a).isDefined && vs.nonEmpty && vs.forall(litValue(_).isDefined) =>
-        vs.exists(v => check(attrName(a).get, litValue(v).get, (cl, ch) => cl <= 0 && ch >= 0))
+        vs.exists(v => checkNN(attrName(a).get, litValue(v).get, (cl, ch) => cl <= 0 && ch >= 0))
       case _ => true // unknown shape → cannot skip
     }
   }

@@ -95,10 +95,11 @@ object FileOps {
       val target = Paths.get(tablePath, relTarget)
       Files.createDirectories(target.getParent)
       Files.move(part, target)
-      val (rows, mins, maxs) = footerStats(target)
+      val (rows, mins, maxs, nulls) = footerStats(target)
       if (rows == 0L) { Files.delete(target); None }
       else Some(AddFile(relTarget, Files.size(target),
-        System.currentTimeMillis(), rows, mins, maxs, partVals))
+        System.currentTimeMillis(), rows, mins, maxs, partVals,
+        nullCounts = nulls))
     }
     // best-effort cleanup of the staging dir (_SUCCESS, .crc, ...)
     Files.walk(staging).iterator().asScala.toSeq.reverse.foreach(p =>
@@ -109,7 +110,7 @@ object FileOps {
   /** Row count + min/max per top-level primitive column from the parquet
     * footer. Only stat types with a total order both here and in predicate
     * literals are kept: int32/int64/float/double and UTF-8 binary. */
-  def footerStats(file: Path): (Long, Map[String, String], Map[String, String]) = {
+  def footerStats(file: Path): (Long, Map[String, String], Map[String, String], Map[String, Long]) = {
     val in = HadoopInputFile.fromPath(new HPath(file.toString), new Configuration())
     val reader = ParquetFileReader.open(in)
     try {
@@ -118,6 +119,20 @@ object FileOps {
       val mins = scala.collection.mutable.Map[String, String]()
       val maxs = scala.collection.mutable.Map[String, String]()
       val undecided = scala.collection.mutable.Set[String]()
+      // null counts track independently of min/max: an all-null column has
+      // no min/max but a perfectly valid (and useful) null count; a single
+      // row group without the stat poisons the column to "unknown"
+      val nulls = scala.collection.mutable.Map[String, Long]()
+      val nullsUnknown = scala.collection.mutable.Set[String]()
+      for (block <- blocks; col <- block.getColumns.asScala) {
+        if (col.getPath.size == 1) {
+          val name = col.getPath.iterator().next()
+          val st = col.getStatistics
+          if (st != null && !st.isEmpty && st.isNumNullsSet && !nullsUnknown(name))
+            nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
+          else { nullsUnknown += name; nulls.remove(name) }
+        }
+      }
       for (block <- blocks; col <- block.getColumns.asScala) {
         if (col.getPath.size == 1) {
           val name = col.getPath.iterator().next()
@@ -145,7 +160,7 @@ object FileOps {
           }
         }
       }
-      (rows, mins.toMap, maxs.toMap)
+      (rows, mins.toMap, maxs.toMap, nulls.toMap)
     } finally reader.close()
   }
 

@@ -25,9 +25,49 @@ final case class Snapshot(version: Long, metaData: MetaData, files: Seq[AddFile]
 final class GraftLog(val tablePath: String) {
   val logDir: Path = Paths.get(tablePath, "_delta_log")
 
-  def exists: Boolean = Files.isDirectory(logDir) && Files.exists(versionFile(0L))
+  def exists: Boolean =
+    Files.isDirectory(logDir) && Files.exists(versionFile(earliestVersion))
 
   def versionFile(v: Long): Path = logDir.resolve(f"$v%020d.json")
+
+  /** Earliest commit file still on disk: 0 unless `cleanupExpiredLogs`
+    * pruned history, in which case the `_log_start` pointer (written
+    * atomically at cleanup) names the retention boundary — zero-listing,
+    * like `_last_checkpoint`. Time travel below it fails with
+    * version-does-not-exist, the documented retention contract. */
+  private val logStartFile: Path = logDir.resolve("_log_start")
+  def earliestVersion: Long =
+    if (!Files.exists(logStartFile)) 0L
+    else try Files.readString(logStartFile).trim.toLong
+    catch { case _: Exception => 0L }
+
+  /** Delete commit + checkpoint files whose versions predate the newest
+    * checkpoint at or before `cutoffTs` (Delta's metadata cleanup /
+    * logRetentionDuration): every retained version still folds (the
+    * boundary checkpoint is the replay seed), the log stops growing
+    * without bound at one commit file per write forever, and time travel
+    * older than the retention window dies — the same trade VACUUM makes
+    * for data files. Returns the number of files removed. */
+  def cleanupExpiredLogs(cutoffTs: Long): Int = {
+    val boundaryVersion = lastVersionAtOrBefore(cutoffTs).getOrElse(return 0)
+    val cp = latestCheckpointAtOrBefore(boundaryVersion).getOrElse(return 0)
+    val first = earliestVersion
+    if (cp <= first) return 0
+    // publish the new start BEFORE deleting: a concurrent reader either
+    // sees the old start (files still present) or the new one
+    val tmp = logDir.resolve(s".${java.util.UUID.randomUUID()}.start.tmp")
+    Files.write(tmp, cp.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, logStartFile,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    var removed = 0
+    (first until cp).foreach { v =>
+      if (Files.deleteIfExists(versionFile(v))) removed += 1
+      if (Files.deleteIfExists(checkpointFile(v))) removed += 1
+      if (Files.deleteIfExists(parquetCheckpointFile(v))) removed += 1
+    }
+    removed
+  }
 
   def listVersions: Seq[Long] = {
     listingCount += 1
@@ -287,7 +327,7 @@ final class GraftLog(val tablePath: String) {
 
   /** All commitInfo records, one per version, ascending. */
   def commitInfos: Seq[CommitInfo] =
-    (0L to latestVersion).flatMap(v =>
+    (earliestVersion to latestVersion).flatMap(v =>
       readVersion(v).collectFirst { case c: CommitInfo => c })
 
   private def tsOf(v: Long): Long =
@@ -302,7 +342,7 @@ final class GraftLog(val tablePath: String) {
   def firstVersionAtOrAfter(ms: Long): Option[Long] = {
     val last = latestVersion
     if (last < 0 || tsOf(last) < ms) return None
-    var lo = 0L; var hi = last
+    var lo = earliestVersion; var hi = last
     while (lo < hi) {
       val mid = (lo + hi) / 2
       if (tsOf(mid) >= ms) hi = mid else lo = mid + 1
@@ -314,8 +354,8 @@ final class GraftLog(val tablePath: String) {
     * resolution rule), or None when `ms` predates commit 0. */
   def lastVersionAtOrBefore(ms: Long): Option[Long] = {
     val last = latestVersion
-    if (last < 0 || tsOf(0L) > ms) return None
-    var lo = 0L; var hi = last
+    if (last < 0 || tsOf(earliestVersion) > ms) return None
+    var lo = earliestVersion; var hi = last
     while (lo < hi) {
       val mid = (lo + hi + 1) / 2
       if (tsOf(mid) <= ms) lo = mid else hi = mid - 1

@@ -974,9 +974,17 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val f = s.schema.fields(idx)
     if (f.nullable == nullable) return
     if (!nullable) {
-      val nulls = read(s).filter(col(name).isNull).limit(1).count()
-      require(nulls == 0,
-        s"cannot SET NOT NULL on '$name': existing rows contain nulls")
+      // stats fast path: when every live file's footer PROVES zero nulls
+      // (nullCounts harvested at write time; under column mapping the stat
+      // keys are physical), the validation is a metadata fold — no scan.
+      // DVs only remove rows, so a physical zero-null proof stays sound.
+      val statKey = ColumnMapping.physicalOf(s.schema, name)
+      val provenClean = s.files.forall(_.nullCounts.get(statKey).contains(0L))
+      if (!provenClean) {
+        val nulls = read(s).filter(col(name).isNull).limit(1).count()
+        require(nulls == 0,
+          s"cannot SET NOT NULL on '$name': existing rows contain nulls")
+      }
     }
     val evolved = StructType(s.schema.fields.updated(idx, f.copy(nullable = nullable)))
     log.commit(s.version + 1, Seq(
@@ -1364,6 +1372,23 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     orphans.size
   }
 
+  /** Metadata cleanup (Delta's `logRetentionDuration`, default 30 days):
+    * prune commit/checkpoint files older than the retention window, up to
+    * the newest checkpoint inside it — the log stops growing one file per
+    * write FOREVER (a 100 TB table writing every minute accumulates half a
+    * million log files a year; the fold doesn't pay for them thanks to
+    * checkpoints, but LIST/storage does). Every retained version still
+    * folds from the boundary checkpoint; time travel older than retention
+    * dies, like VACUUM for data files. Resolves `log.retentionMs` when the
+    * argument is negative. Returns files removed. */
+  def cleanupExpiredLogs(retentionMs: Long = -1L): Int = {
+    val retention =
+      if (retentionMs >= 0) retentionMs
+      else snapshot.metaData.properties.get("log.retentionMs").map(_.toLong)
+        .getOrElse(30L * 24 * 3600 * 1000)
+    log.cleanupExpiredLogs(System.currentTimeMillis() - retention)
+  }
+
   /** VACUUM DRY RUN (Delta parity): the files a `vacuum` with the same
     * arguments WOULD delete, without deleting anything — the audit step
     * before an irreversible retention sweep on a 100 TB table. */
@@ -1521,7 +1546,13 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val statPruned = candidates.filter { f =>
       val widened = f.copy(
         minValues = logicalKeys(f.minValues) ++ statEncode(logicalKeys(f.partitionValues)),
-        maxValues = logicalKeys(f.maxValues) ++ statEncode(logicalKeys(f.partitionValues)))
+        maxValues = logicalKeys(f.maxValues) ++ statEncode(logicalKeys(f.partitionValues)),
+        // partition columns are never null on disk (Hive layout) but their
+        // dir value can be the null marker — only footer-backed null
+        // counts enter pruning, translated to logical names
+        nullCounts =
+          (if (!mapped) f.nullCounts
+           else f.nullCounts.flatMap { case (k, v) => p2l.get(k).map(_ -> v) }))
       DataSkipping.mayMatch(resolved, widened)
     }
     // bloom skipping: equality probes on the table's bloom columns drop
@@ -1716,7 +1747,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
       .toSeq
     val actions = parts.flatMap { p =>
-      val (rows, _, _) = FileOps.footerStats(p)
+      val (rows, _, _, _) = FileOps.footerStats(p)
       if (rows == 0L) None
       else {
         val rel = s"_cdc/cdc-${UUID.randomUUID()}.parquet"
@@ -2696,9 +2727,9 @@ object GraftTable {
       val pv = partitionValuesOf(rel)
       require(pv.map(_._1) == partitionBy,
         s"inconsistent partition layout at $rel (expected columns $partitionBy)")
-      val (rows, mins, maxs) = FileOps.footerStats(p)
+      val (rows, mins, maxs, nulls) = FileOps.footerStats(p)
       AddFile(rel, Files.size(p), Files.getLastModifiedTime(p).toMillis,
-        rows, mins, maxs, pv.toMap)
+        rows, mins, maxs, pv.toMap, nullCounts = nulls)
     }
     val meta = MetaData(UUID.randomUUID().toString, schema.json,
       System.currentTimeMillis(), partitionBy, Map.empty, Map.empty)

@@ -146,4 +146,54 @@ class DataSkippingSpec extends SparkTestBase {
     assert(zt.scan(col("x") === 17 && col("y") === 3).collect()
       .map(_.getInt(0)).toSeq === Seq(3 * 64 + 17))
   }
+
+  test("null counts land in the log and prune IS NULL / IS NOT NULL") {
+    import spark.implicits._
+    val dir = tmpDir("skip-null-")
+    // file 1: no nulls; file 2: all-null v; file 3: mixed
+    val t = GraftTable.create(spark, dir,
+      Seq((1, Some(10)), (2, Some(20))).toDF("id", "v").coalesce(1))
+    t.append(Seq((3, None: Option[Int]), (4, None)).toDF("id", "v").coalesce(1))
+    t.append(Seq((5, Some(50)), (6, None)).toDF("id", "v").coalesce(1))
+    val files = t.snapshot.files
+    assert(files.size == 3)
+    assert(files.flatMap(_.nullCounts.get("v")).sorted == Seq(0L, 1L, 2L))
+    // IS NULL skips the zero-null file; IS NOT NULL skips the all-null one
+    assert(t.prunedFiles(t.snapshot, col("v").isNull).size == 2)
+    assert(t.prunedFiles(t.snapshot, col("v").isNotNull).size == 2)
+    // an all-null file can't match any comparison either
+    assert(t.prunedFiles(t.snapshot, col("v") > 0).size == 2)
+    // correctness: scan ≡ filter on all three shapes
+    Seq(col("v").isNull, col("v").isNotNull, col("v") > 15).foreach { p =>
+      assert(t.scan(p).collect().map(_.getInt(0)).sorted.toSeq ==
+        t.toDF.filter(p).collect().map(_.getInt(0)).sorted.toSeq, s"pred=$p")
+    }
+    // null counts survive the parquet checkpoint round-trip
+    t.setProperty("checkpoint.format", "parquet")
+    (1 to 10).foreach(i => t.append(Seq((100 + i, Some(i))).toDF("id", "v")))
+    val reloaded = GraftTable.forPath(spark, dir)
+    assert(reloaded.snapshot.files.flatMap(_.nullCounts.get("v")).count(_ > 0) == 2)
+    assert(reloaded.prunedFiles(reloaded.snapshot, col("v").isNull).size == 2)
+  }
+
+  test("SET NOT NULL validates from stats alone when footers prove zero nulls") {
+    import spark.implicits._
+    val dir = tmpDir("skip-nn-")
+    val t = GraftTable.create(spark, dir,
+      Seq((1, Some(10)), (2, Some(20))).toDF("id", "v"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      t.setNullability("v", nullable = false)
+      Thread.sleep(500) // let any (unexpected) job-start events drain
+      assert(jobs.get() == 0,
+        s"stats prove zero nulls — SET NOT NULL must not launch a scan (${jobs.get()} jobs)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(!t.snapshot.schema("v").nullable)
+  }
 }

@@ -1,0 +1,87 @@
+package graft.table
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Metadata cleanup (`cleanupExpiredLogs`): the log must not grow one file
+  * per write forever. Pruning keeps every version from the boundary
+  * checkpoint forward fully readable (snapshot, time travel, history,
+  * timestamp resolution) and kills older time travel — the same retention
+  * trade VACUUM makes for data files. */
+class LogRetentionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def build(n: Int): GraftTable = {
+    val t = GraftTable.create(spark, tmpDir("logret-"),
+      Seq((0, "seed")).toDF("id", "v"))
+    (1 to n).foreach(i => t.append(Seq((i, s"row$i")).toDF("id", "v")))
+    t
+  }
+
+  test("prunes to the newest in-retention checkpoint; everything after still works") {
+    val t = build(25) // versions 0..25, checkpoints at 10 and 20
+    val removed = t.cleanupExpiredLogs(retentionMs = 0)
+    assert(removed > 0)
+    assert(t.log.earliestVersion == 20)
+    (0L until 20L).foreach(v =>
+      assert(!Files.exists(t.log.versionFile(v)), s"commit $v must be pruned"))
+    // fresh reader: head fold, tail time travel, history, ts search all live
+    val fresh = GraftTable.forPath(spark, t.path)
+    assert(fresh.toDF.count() == 26)
+    assert(fresh.versionAsOf(22).count() == 23)
+    assert(fresh.versionAsOf(20).count() == 21)
+    assert(fresh.history().count() == 6) // 20..25
+    // pruned versions are gone, loudly
+    intercept[Exception](fresh.versionAsOf(5).collect())
+    // and the table still writes + reads normally afterwards
+    fresh.append(Seq((99, "after")).toDF("id", "v"))
+    assert(fresh.toDF.count() == 27)
+  }
+
+  test("no checkpoint inside retention -> nothing pruned") {
+    val t = build(5) // only commits 0..5, no checkpoint yet
+    assert(t.cleanupExpiredLogs(retentionMs = 0) == 0)
+    assert(t.log.earliestVersion == 0)
+    assert(t.versionAsOf(0).count() == 1)
+  }
+
+  test("retention window keeps recent history") {
+    val t = build(25)
+    // everything is younger than an hour — nothing may be pruned
+    assert(t.cleanupExpiredLogs(retentionMs = 3600L * 1000) == 0)
+    assert(t.versionAsOf(0).count() == 1)
+  }
+
+  test("CALL graft.system.cleanup_logs prunes through SQL") {
+    val t = build(25)
+    val cat = "lrcat"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmpDir("lr-wh-"))
+    try {
+      val r = spark.sql(
+        s"CALL $cat.system.cleanup_logs(`table` => '${t.path}', retention_ms => 0)").head()
+      assert(r.getLong(0) > 0)
+      assert(t.log.earliestVersion == 20)
+      assert(GraftTable.forPath(spark, t.path).toDF.count() == 26)
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  test("timestamp resolution clamps to the pruned boundary") {
+    val t = build(25)
+    val bornTs = t.history().orderBy(col("version"))
+      .select("timestamp").head().getTimestamp(0).getTime
+    t.cleanupExpiredLogs(retentionMs = 0)
+    val fresh = GraftTable.forPath(spark, t.path)
+    // an instant before the boundary resolves to no version below it
+    val resolved = fresh.versionAt(
+      fresh.history().orderBy(col("version").desc)
+        .select("timestamp").head().getTimestamp(0).getTime)
+    assert(resolved >= 20)
+    assert(bornTs > 0)
+  }
+}
