@@ -28,7 +28,7 @@ object GraftProcedures {
 
   val names: Seq[String] =
     Seq("optimize", "vacuum", "restore", "convert", "generate_manifest",
-        "cleanup_logs")
+        "cleanup_logs", "clone")
 
   def load(catalog: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.sameElements(Array("system")),
@@ -40,6 +40,7 @@ object GraftProcedures {
       case "convert"  => ConvertProc(catalog)
       case "generate_manifest" => GenerateManifestProc(catalog)
       case "cleanup_logs" => CleanupLogsProc(catalog)
+      case "clone" => CloneProc(catalog)
       case other => throw new IllegalArgumentException(
         s"unknown procedure graft.system.$other (have: ${names.mkString(", ")})")
     }
@@ -159,6 +160,31 @@ object GraftProcedures {
       val t = resolve(catalog, input.getUTF8String(0).toString)
       val retention = if (input.isNullAt(1)) -1L else input.getLong(1)
       resultScan(out, row(t.cleanupExpiredLogs(retention).toLong))
+    }
+  }
+
+  /** `CALL graft.system.clone(`table` => ..., target => '/path',
+    * version => n?)` — Delta's SHALLOW CLONE as a procedure: a new table
+    * whose commit 0 references the source's data files in place (zero
+    * copy at any size), optionally pinned to a historical version. */
+  case class CloneProc(catalog: GraftCatalog) extends GraftProc("clone") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("target", StringType),
+      paramD("version", LongType, "-1")) // -1: clone the head
+
+    private val out = StructType(Seq(
+      StructField("cloned_version", LongType, nullable = false),
+      StructField("target_path", StringType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val t = resolve(catalog, input.getUTF8String(0).toString)
+      val target = input.getUTF8String(1).toString
+      val v = if (input.isNullAt(2) || input.getLong(2) < 0) t.latestVersion
+              else input.getLong(2)
+      t.cloneTo(target, asOfVersion = Some(v))
+      resultScan(out, row(v,
+        org.apache.spark.unsafe.types.UTF8String.fromString(target)))
     }
   }
 

@@ -3,7 +3,7 @@ package graft.table
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo,
   Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan,
-  LessThanOrEqual}
+  LessThanOrEqual, Literal, StartsWith}
 import org.apache.spark.sql.catalyst.plans.logical.Filter
 import org.apache.spark.sql.types._
 
@@ -134,6 +134,25 @@ object DataSkipping {
     c match {
       case IsNull(a) => attrName(a).forall(n => !nullCount(n).contains(0L))
       case IsNotNull(a) => attrName(a).forall(n => !allNull(n))
+      // col LIKE 'p%': matching strings form the interval [p, pNext) where
+      // pNext = p with its last char incremented — skip when the file's
+      // string range provably misses it (the log-prefix / path-prefix
+      // query shape). Last char at Char.MaxValue → no upper bound, only
+      // the lower check applies.
+      case StartsWith(a, Literal(pfx, StringType)) if pfx != null =>
+        attrName(a).forall { n =>
+          if (allNull(n)) false
+          else {
+            val p = pfx.toString
+            val upper: Option[String] =
+              if (p.isEmpty || p.last == Char.MaxValue) None
+              else Some(p.init + (p.last + 1).toChar)
+            val geLower = check(n, Right(p), (_, ch) => ch >= 0)   // max >= p
+            val ltUpper = upper.forall(u =>
+              check(n, Right(u), (cl, _) => cl < 0))               // min < pNext
+            geLower && ltUpper
+          }
+        }
       case EqualTo(a, l) => (attrLit(a, l) orElse attrLit(l, a)).forall {
         case (n, v) => checkNN(n, v, (cl, ch) => cl <= 0 && ch >= 0) }
       case GreaterThan(a, l) if attrLit(a, l).isDefined =>          // col > v

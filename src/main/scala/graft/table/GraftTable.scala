@@ -418,16 +418,24 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   }
 
   /** Enforce the table's CHECK constraints on rows about to be written
-    * (Delta-style write-time data quality). One counting job per write;
-    * a violation aborts before any commit is attempted. */
-  private def enforceConstraints(df: DataFrame, meta: MetaData): DataFrame = {
-    meta.constraints.foreach { case (name, exprStr) =>
-      val violations = df.filter(!coalesce(expr(exprStr), lit(false))).limit(1).count()
-      require(violations == 0,
-        s"CHECK constraint '$name' ($exprStr) violated by write to $path")
+    * (Delta-style write-time data quality), INSIDE the write projection —
+    * a lazy CASE WHEN per constraint that raises on the first violating
+    * row (Delta's CheckDeltaInvariant shape). Zero extra jobs: the old
+    * pre-count re-executed the ENTIRE input plan once per constraint (for
+    * a MERGE, the join itself — twice the work at any scale); now the
+    * check rides the single write pass and a violation fails the write
+    * job before its commit is attempted (staged files are cleaned by the
+    * caller's failure path / vacuum, and were never visible). */
+  private def enforceConstraints(df: DataFrame, meta: MetaData): DataFrame =
+    meta.constraints.foldLeft(df) { case (d, (name, exprStr)) =>
+      d.filter(
+        when(coalesce(expr(exprStr), lit(false)), lit(true))
+          .otherwise(raise_error(concat(
+            lit(s"CHECK constraint '$name' ($exprStr) violated by write to " +
+              s"$path — row: "),
+            to_json(struct(df.columns.map(col).toIndexedSeq: _*))))
+            .cast("boolean")))
     }
-    df
-  }
 
   /** ADD CONSTRAINT: validates all existing rows first, then commits the
     * new metaData (constraint enforcement history is itself versioned). */
@@ -1459,14 +1467,30 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       else readFilesMeta(s, scoped).drop("__fname", "__pos")
     val reorganized =
       if (zorderBy.nonEmpty) {
-        val df = readScoped()
+        val df0 = readScoped()
+        val k = zorderBy.size
+        // STRING dims ride the same quantile/bucket machinery through an
+        // order-preserving numeric proxy: the first 7 characters encode
+        // base-257 (codepoints clamped to 256 — 257^7 < 2^63), so
+        // lexicographic order on realistic ASCII-ish prefixes becomes
+        // numeric order. The proxy only shapes the LAYOUT — correctness
+        // never depends on it (same rows, one commit) and DataSkipping
+        // prunes on the real string min/max stats the clustered files get.
+        val df = zorderBy.zipWithIndex.foldLeft(df0) { case (d, (c, j)) =>
+          if (d.schema(c).dataType == StringType)
+            d.withColumn(s"__zp$j", expr(
+              s"aggregate(transform(sequence(1, 7), i -> " +
+                s"least(coalesce(ascii(substring(`$c`, i, 1)), -1) + 1, 256)), " +
+                "0L, (acc, x) -> acc * 257L + x)"))
+          else d.withColumn(s"__zp$j", col(c))
+        }
+        val proxyCols = (0 until k).map(j => s"__zp$j")
         // 255 interior quantile boundaries per dim → 256 rank-uniform
         // buckets, robust to skew (value-uniform width_bucket is not).
         // approxQuantile is one sampling aggregate over all dims at once.
         val probs = (1 until 256).map(_ / 256.0).toArray
-        val bounds = df.stat.approxQuantile(zorderBy.toArray, probs, 0.01)
-        val k = zorderBy.size
-        val bucketed = zorderBy.zipWithIndex.foldLeft(df) { case (d, (c, j)) =>
+        val bounds = df.stat.approxQuantile(proxyCols.toArray, probs, 0.01)
+        val bucketed = proxyCols.zipWithIndex.foldLeft(df) { case (d, (c, j)) =>
           val bArr = bounds(j).map(v => s"cast($v as double)").mkString("array(", ",", ")")
           // bucket = #boundaries <= value (0..255); nulls land in bucket 0
           d.withColumn(s"__zb$j",
@@ -1478,7 +1502,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         bucketed.withColumn("__zv", expr(zTerms.mkString(" + ")))
           .repartitionByRange(nOut, col("__zv"))
           .sortWithinPartitions("__zv")
-          .drop((0 until k).map(j => s"__zb$j") :+ "__zv": _*)
+          .drop((0 until k).flatMap(j => Seq(s"__zb$j", s"__zp$j")) :+ "__zv": _*)
       } else if (clusterBy.nonEmpty) {
         readScoped().repartitionByRange(nOut, clusterBy.map(col): _*)
       } else readScoped().repartition(nOut)

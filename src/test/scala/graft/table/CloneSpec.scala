@@ -70,7 +70,11 @@ class CloneSpec extends SparkTestBase {
     assert(copied > 0, "deep clone must copy data files")
     assert(ids(c.toDF) === Set(1, 2))
     assert(GraftTable.bloomColumns(c.snapshot.metaData) === Seq("id"))
-    intercept[IllegalArgumentException] { c.append(df((-5, "x"))) }
+    val ex = intercept[Exception] { c.append(df((-5, "x"))) }
+    def msgs(th: Throwable): Seq[String] =
+      if (th == null) Nil else Option(th.getMessage).toSeq ++ msgs(th.getCause)
+    assert(msgs(ex).exists(_.contains("pos")),
+      s"carried constraint must reject the write: ${msgs(ex).mkString(" | ")}")
   }
 
   test("shallow clone of a partitioned table is rejected") {

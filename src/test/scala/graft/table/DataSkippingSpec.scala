@@ -147,6 +147,45 @@ class DataSkippingSpec extends SparkTestBase {
       .map(_.getInt(0)).toSeq === Seq(3 * 64 + 17))
   }
 
+  test("LIKE 'prefix%' prunes on string min/max ranges") {
+    import spark.implicits._
+    // three files with disjoint name ranges: [apple..avocado], [banana..blueberry], [cherry..citrus]
+    val t = GraftTable.create(spark, tmpDir("skip-sw-"),
+      Seq((1, "apple"), (2, "avocado")).toDF("id", "name").coalesce(1))
+    t.append(Seq((3, "banana"), (4, "blueberry")).toDF("id", "name").coalesce(1))
+    t.append(Seq((5, "cherry"), (6, "citrus")).toDF("id", "name").coalesce(1))
+    assert(t.prunedFiles(t.snapshot, col("name").startsWith("b")).size == 1)
+    assert(t.prunedFiles(t.snapshot, col("name").startsWith("blue")).size == 1)
+    assert(t.prunedFiles(t.snapshot, col("name").startsWith("z")).isEmpty)
+    // boundary prefix straddling two files keeps both ("a" vs "b" split)
+    assert(t.prunedFiles(t.snapshot, col("name").startsWith("")).size == 3)
+    // correctness: scan ≡ filter
+    Seq("b", "blue", "a", "cit", "zzz", "").foreach { p =>
+      val pred = col("name").startsWith(p)
+      assert(t.scan(pred).collect().map(_.getInt(0)).sorted.toSeq ==
+        t.toDF.filter(pred).collect().map(_.getInt(0)).sorted.toSeq, s"prefix=$p")
+    }
+  }
+
+  test("ZORDER over a string dimension clusters it for point-lookup pruning") {
+    import spark.implicits._
+    val langs = Seq("en", "de", "fr", "es", "it", "pt", "nl", "pl")
+    // row-major interleave: before optimize, every file spans all langs
+    val df = (0 until 4096).map(i => (i, langs(i % 8), i / 8)).toDF("id", "lang", "n")
+    val t = GraftTable.create(spark, tmpDir("zstr-"), df.coalesce(1))
+    t.optimize(targetFileBytes = 1024, zorderBy = Seq("lang", "n"))
+    assert(t.snapshot.files.size >= 8)
+    def frac(pred: Column): Double =
+      t.prunedFiles(t.snapshot, pred).size.toDouble / t.snapshot.files.size
+    // string dim prunes via the real string min/max stats of clustered files
+    assert(frac(col("lang") === "en") < 0.6, s"lang slice read ${frac(col("lang") === "en")}")
+    assert(frac(col("n") === 100) < 0.6, s"n slice read ${frac(col("n") === 100)}")
+    // correctness: reorganization only
+    assert(t.toDF.count() === 4096)
+    assert(t.scan(col("lang") === "de" && col("n") === 5).collect()
+      .map(_.getInt(0)).toSeq === Seq(5 * 8 + 1))
+  }
+
   test("null counts land in the log and prune IS NULL / IS NOT NULL") {
     import spark.implicits._
     val dir = tmpDir("skip-null-")

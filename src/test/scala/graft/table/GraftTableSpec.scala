@@ -243,17 +243,23 @@ class GraftTableSpec extends SparkTestBase {
     t.addConstraint("pos_id", "id > 0")
     // valid write passes
     t.append(df((2, "C", "D")))
-    // violating append aborts BEFORE committing
+    // violating append aborts the write job (in-projection raise, no
+    // pre-count pass) BEFORE any commit lands
     val vBefore = t.latestVersion
-    intercept[IllegalArgumentException](t.append(df((-5, "X", "X"))))
+    val ex1 = intercept[Exception](t.append(df((-5, "X", "X"))))
+    def messages(th: Throwable): Seq[String] =
+      if (th == null) Nil else Option(th.getMessage).toSeq ++ messages(th.getCause)
+    assert(messages(ex1).exists(_.contains("pos_id")))
     assert(t.latestVersion === vBefore)
     // violating merge insert aborts
-    intercept[IllegalArgumentException] {
+    val ex2 = intercept[Exception] {
       t.merge(df((-7, "Y", "Y")), "t.id = s.id")
         .whenNotMatchedInsert(Map(
           "id" -> "s.id", "firstname" -> "s.firstname", "lastname" -> "s.lastname"))
         .execute()
     }
+    assert(messages(ex2).exists(_.contains("pos_id")))
+    assert(t.latestVersion === vBefore)
     // cannot add a constraint existing rows violate
     intercept[IllegalArgumentException](t.addConstraint("impossible", "id > 100"))
     // drop re-opens the gate

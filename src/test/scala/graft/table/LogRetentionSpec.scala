@@ -71,6 +71,28 @@ class LogRetentionSpec extends SparkTestBase {
     }
   }
 
+  test("CALL graft.system.clone branches a version as a zero-copy table") {
+    val t = build(3) // versions 0..3
+    val cat = "clcat"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmpDir("cl-wh-"))
+    try {
+      val dest = tmpDir("cl-dest-") + "/t"
+      val r = spark.sql(s"CALL $cat.system.clone(`table` => '${t.path}', " +
+        s"target => '$dest', version => 2)").head()
+      assert(r.getLong(0) == 2 && r.getString(1) == dest)
+      val c = GraftTable.forPath(spark, dest)
+      assert(c.toDF.count() == 3) // seed + rows 1..2
+      // diverge the clone; source untouched
+      c.append(Seq((77, "clone-only")).toDF("id", "v"))
+      assert(c.toDF.count() == 4 && t.toDF.count() == 4) // t has rows 0..3
+      assert(t.toDF.filter(col("id") === 77).count() == 0)
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
   test("timestamp resolution clamps to the pruned boundary") {
     val t = build(25)
     val bornTs = t.history().orderBy(col("version"))
