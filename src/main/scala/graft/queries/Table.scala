@@ -144,7 +144,8 @@ object TableQueries {
     // the plan's first execution at this SF.
     Seq("q151_identity_column", "q147_replace_where", "q148_convert_parquet",
         "q153_copy_into", "q155_row_tracking", "q156_notnull_invariant",
-        "q157_type_widening", "q159_null_skipping").foreach { q =>
+        "q157_type_widening", "q159_null_skipping",
+        "q160_prefix_skipping").foreach { q =>
       try { graft.SparkEntry.queries(q)(s, dir); () }
       catch { case _: Throwable => () }
     }
@@ -1051,6 +1052,39 @@ object TableQueries {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_unscored,
         |       CAST(SUM(n_chars) AS BIGINT) AS chars_unscored
         |FROM documents WHERE doc_id % 3 = 0""".stripMargin),
+
+    // ---- prefix-predicate (LIKE 'p%') file skipping ------------------------------
+    // Documents land range-clustered by source, so each file carries a
+    // disjoint string range; `source LIKE 'src1%'` then prunes whole
+    // files from the log's string min/max stats alone — the [p, pNext)
+    // interval check (pNext = prefix with last char bumped). The log-path
+    // / URL-prefix / language-tag shape at 100 TB: the scan plans only
+    // the files whose string range can match. Fixture REQUIREs pruning
+    // fired; the DuckDB LIKE twin pins the surviving rows.
+    "q160_prefix_skipping" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = cache.computeIfAbsent(s"pfx:$dir", _ => {
+          val docs = graft.Tables.documents(s, dir)
+            .select($"doc_id", $"source", $"n_chars")
+          val tt = GraftTable.create(s, graft.Scratch.dir("graft-pfx-").toString,
+            docs.repartitionByRange(4, $"source"))
+          val kept = tt.prunedFiles(tt.snapshot, $"source".startsWith("src1"))
+          require(kept.size < tt.snapshot.files.size,
+            s"prefix predicate must prune at least one file " +
+              s"(kept ${kept.size} of ${tt.snapshot.files.size})")
+          tt
+        })
+        t.scan($"source".startsWith("src1"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+               sum($"n_chars").as("chars"))
+          .orderBy($"source")
+      },
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE source LIKE 'src1%'
+        |GROUP BY source ORDER BY source""".stripMargin),
 
     // ---- Hive-partitioned table scan (partition pruning as data skipping) --------
     // Documents land Hive-partitioned by lang (lang=en/... directories);
