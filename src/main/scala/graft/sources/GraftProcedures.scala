@@ -28,7 +28,7 @@ object GraftProcedures {
 
   val names: Seq[String] =
     Seq("optimize", "vacuum", "restore", "convert", "generate_manifest",
-        "cleanup_logs", "clone")
+        "cleanup_logs", "clone", "fsck")
 
   def load(catalog: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.sameElements(Array("system")),
@@ -41,6 +41,7 @@ object GraftProcedures {
       case "generate_manifest" => GenerateManifestProc(catalog)
       case "cleanup_logs" => CleanupLogsProc(catalog)
       case "clone" => CloneProc(catalog)
+      case "fsck" => FsckProc(catalog)
       case other => throw new IllegalArgumentException(
         s"unknown procedure graft.system.$other (have: ${names.mkString(", ")})")
     }
@@ -66,10 +67,10 @@ object GraftProcedures {
   private def row(values: Any*): InternalRow =
     new GenericInternalRow(values.toArray)
 
-  private def resultScan(schema: StructType, r: InternalRow): java.util.Iterator[Scan] =
+  private def resultScan(schema: StructType, rs: InternalRow*): java.util.Iterator[Scan] =
     java.util.List.of[Scan](new LocalScan {
       override def readSchema(): StructType = schema
-      override def rows(): Array[InternalRow] = Array(r)
+      override def rows(): Array[InternalRow] = rs.toArray
     }).iterator()
 
   private def param(name: String, dt: DataType): ProcedureParameter =
@@ -114,6 +115,28 @@ object GraftProcedures {
         where = where)
       val s = t.snapshot
       resultScan(out, row(before, s.files.size.toLong, s.version))
+    }
+  }
+
+  /** `CALL graft.system.fsck(`table` => ..., dry_run => true|false)` —
+    * FSCK REPAIR TABLE: drop log entries whose physical data file (or DV
+    * sidecar) is missing so the table reads again; dry_run audits without
+    * committing. One row per missing file. */
+  case class FsckProc(catalog: GraftCatalog) extends GraftProc("fsck") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      paramD("dry_run", BooleanType, "false"))
+
+    private val out = StructType(Seq(
+      StructField("missing_file", StringType, nullable = false),
+      StructField("repaired", BooleanType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val t = resolve(catalog, input.getUTF8String(0).toString)
+      val dry = !input.isNullAt(1) && input.getBoolean(1)
+      val missing = t.fsck(dryRun = dry)
+      resultScan(out, missing.map(m => row(
+        org.apache.spark.unsafe.types.UTF8String.fromString(m), !dry)): _*)
     }
   }
 

@@ -86,7 +86,8 @@ object Protocol {
   val supportedReaderFeatures: Set[String] =
     Set("deletionVectors", "columnMapping", "changeDataFeed", "rowTracking")
   val supportedWriterFeatures: Set[String] =
-    supportedReaderFeatures + "generatedColumns" + "identityColumns"
+    supportedReaderFeatures + "generatedColumns" + "identityColumns" +
+      "appendOnly"
 }
 
 /** Named protocol-gate failure: the table requires a capability this

@@ -622,6 +622,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * delete-then-append pair would expose. */
   def overwrite(df: DataFrame): Unit = {
     val s = snapshot
+    requireNotAppendOnly(s.metaData, "OVERWRITE")
     val adds = stampRowIds(s, writeDataMapped(
       enforceConstraints(conform(assignIdentity(df, s), s.schema), s.metaData),
       s.metaData))
@@ -732,6 +733,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * partitions the predicate promised not to touch. */
   def overwriteWhere(pred: Column, df: DataFrame): Unit = {
     val s = snapshot
+    requireNotAppendOnly(s.metaData, "replaceWhere OVERWRITE")
     val conformed = enforceConstraints(conform(assignIdentity(df, s), s.schema), s.metaData)
     val escapees = conformed.filter(!coalesce(pred, lit(false))).limit(1).count()
     require(escapees == 0,
@@ -780,6 +782,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * not table size. */
   def overwritePartitions(df: DataFrame): Unit = {
     val s = snapshot
+    requireNotAppendOnly(s.metaData, "dynamic partition OVERWRITE")
     val parts = s.metaData.partitionColumns
     require(parts.nonEmpty, "dynamic partition overwrite requires a partitioned table")
     val conformed = enforceConstraints(conform(assignIdentity(df, s), s.schema), s.metaData)
@@ -843,13 +846,25 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         Some("rowTracking")
       case _ => None
     }
-    val upgrade: Seq[Action] = feature match {
-      case Some(f) if !s.protocol.readerFeatures.contains(f) =>
+    // writer-only protocol features: readers are unaffected (the data is
+    // plain), but a writer that ignored the property would break the
+    // contract — appendOnly's whole point is that a foreign writer can't
+    // delete what it doesn't know is immutable.
+    val writerOnly: Option[String] = key match {
+      case "appendOnly" if value.equalsIgnoreCase("true") => Some("appendOnly")
+      case _ => None
+    }
+    val upgrade: Seq[Action] = (feature, writerOnly) match {
+      case (Some(f), _) if !s.protocol.readerFeatures.contains(f) =>
         Seq(s.protocol.copy(
           minReaderVersion = math.max(s.protocol.minReaderVersion, 2),
           minWriterVersion = math.max(s.protocol.minWriterVersion, 2),
           readerFeatures = s.protocol.readerFeatures :+ f,
           writerFeatures = (s.protocol.writerFeatures :+ f).distinct))
+      case (_, Some(f)) if !s.protocol.writerFeatures.contains(f) =>
+        Seq(s.protocol.copy(
+          minWriterVersion = math.max(s.protocol.minWriterVersion, 2),
+          writerFeatures = s.protocol.writerFeatures :+ f))
       case _ => Nil
     }
     // enabling row tracking BACKFILLS the live files in the same commit:
@@ -1232,6 +1247,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
 
   def restore(version: Long): Unit = {
     val cur = snapshot
+    requireNotAppendOnly(cur.metaData, "RESTORE")
     val tgt = snapshotAt(version)
     val curByPath = cur.files.map(f => f.path -> f).toMap
     val tgtPaths = tgt.files.map(_.path).toSet
@@ -1336,6 +1352,43 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         Map("sourceTable" -> path, "sourceVersion" -> s.version.toString,
             "shallow" -> shallow.toString))) ++ adds)
     new GraftTable(spark, dest)
+  }
+
+  /** FSCK REPAIR TABLE: drop log entries whose physical data file (or
+    * deletion-vector sidecar — without it, tombstoned rows would
+    * resurrect) has gone missing, so scans stop dying on files an
+    * external actor deleted out from under the log. The existence probe
+    * is DISTRIBUTED — one task batch over the file list, O(files/cores)
+    * metadata calls, never a driver loop over millions of files.
+    * `dryRun` reports without committing. Returns the missing file paths.
+    * The repair commits RemoveFiles under the normal conflict protocol
+    * (a concurrent rewrite of the same files conflicts; disjoint commits
+    * rebase). Data in the removed files is lost — that is the point:
+    * FSCK converts a broken table into a readable one, loudly. */
+  def fsck(dryRun: Boolean = false): Seq[String] = {
+    val s = snapshot
+    val root = path
+    import spark.implicits._
+    val entries = s.files.map(f => (f.path, f.dvPath))
+    val missing: Seq[String] =
+      if (entries.isEmpty) Nil
+      else spark.createDataset(entries)
+        .mapPartitions { it =>
+          it.filter { case (p, dv) =>
+            !Files.exists(Paths.get(root, p)) ||
+              dv.exists(d => !Files.exists(Paths.get(root, d)))
+          }.map(_._1)
+        }.collect().toSeq.sorted
+    if (missing.isEmpty || dryRun) return missing
+    val gone = missing.toSet
+    commitDml(s,
+      TxnInfo(readWholeTable = false, readPredicate = None,
+        readFiles = gone, removes = gone),
+      (v, ts) => Seq(
+        CommitInfo(v, ts, "FSCK",
+          Map("numRemovedFiles" -> missing.size.toString))) ++
+        missing.map(RemoveFile(_, ts)))
+    missing
   }
 
   /** VACUUM: physically delete data files that are no longer referenced by
@@ -1861,8 +1914,23 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     rel
   }
 
+  /** Delta's `delta.appendOnly`: with TBLPROPERTIES `appendOnly = 'true'`
+    * every operation that removes or modifies committed rows refuses —
+    * the audit-log / event-stream contract (downstream consumers may
+    * assume immutability). Appends, OPTIMIZE (reorganization, same rows),
+    * insert-only MERGE, and metadata DDL stay legal; UNSET TBLPROPERTIES
+    * is the explicit escape hatch. Gated as a writerFeature so a foreign
+    * writer that predates the property fails loudly instead of deleting. */
+  private def requireNotAppendOnly(meta: MetaData, op: String): Unit =
+    if (GraftTable.isAppendOnly(meta))
+      throw new UnsupportedOperationException(
+        s"$op is not allowed on append-only table $path (TBLPROPERTIES " +
+          "'appendOnly' = 'true'); ALTER TABLE ... UNSET TBLPROPERTIES " +
+          "('appendOnly') re-enables destructive writes")
+
   def delete(pred: Column): Long = {
     val s = snapshot
+    requireNotAppendOnly(s.metaData, "DELETE")
     if (dvEnabled(s.metaData)) deleteWithDv(s, pred) match {
       case Some(n) => return n
       case None    => () // tombstone cap exceeded — fall through to CoW
@@ -1924,6 +1992,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * Returns rows updated. */
   def update(pred: Column, set: Map[String, String]): Long = {
     val s = snapshot
+    requireNotAppendOnly(s.metaData, "UPDATE")
     require(set.nonEmpty, "UPDATE requires at least one SET column")
     set.keys.foreach(k => require(s.schema.fieldNames.contains(k),
       s"UPDATE SET references unknown column '$k'"))
@@ -2058,6 +2127,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       bySourceClauses: Seq[MergeClause.BySource],
       schemaEvolution: Boolean = false): Unit = {
     val s0 = snapshot
+    if (matchedClauses.nonEmpty || bySourceClauses.nonEmpty)
+      requireNotAppendOnly(s0.metaData,
+        "MERGE with update/delete clauses")
     // withSchemaEvolution (Delta's autoMerge on the reference's upsert
     // path, api.py:92-102): source columns the target lacks become new
     // NULLABLE fields in the SAME commit — existing files read them as
@@ -2557,6 +2629,10 @@ final class MergeBuilder private[table] (
 }
 
 object GraftTable {
+  /** True when the table declares `appendOnly = 'true'`. */
+  private[graft] def isAppendOnly(meta: MetaData): Boolean =
+    meta.properties.get("appendOnly").exists(_.equalsIgnoreCase("true"))
+
   /** Name of both the materialized row-id column inside rewritten data
     * files and the row-id output column of `scanWithRowIds`. */
   val RowIdCol = "_row_id"
