@@ -63,6 +63,20 @@ object ScalingProbe {
     require(s10.files.size == n + 100, s"checkpoint lost files: ${s10.files.size}")
     timed("checkpoint_seeded_snapshot_2nd") { new GraftLog(dir).snapshotAt(10L) }
     timed("latest_version_probe") { new GraftLog(dir).latestVersion }
+    // MULTIPART twin: same table, checkpoint.partSize forces parts —
+    // concurrent encode/decode vs the single-file figures above
+    log.commit(11L, Seq(
+      s10.metaData.copy(properties = s10.metaData.properties +
+        ("checkpoint.partSize" -> (n / 4 + 1).toString)),
+      CommitInfo(11L, log.nextTimestamp(), "SET TBLPROPERTIES", Map.empty)))
+    (12 to 19).foreach { v =>
+      log.commit(v, Seq(CommitInfo(v, log.nextTimestamp(), "WRITE", Map.empty)))
+    }
+    timed("commit20_with_multipart_checkpoint_write") {
+      log.commit(20L, Seq(CommitInfo(20L, log.nextTimestamp(), "WRITE", Map.empty)))
+    }
+    val s20 = timed("multipart_seeded_snapshot") { new GraftLog(dir).snapshotAt(20L) }
+    require(s20.files.size == n + 100, s"multipart checkpoint lost files: ${s20.files.size}")
     // cleanup: the synthetic log is multi-MB, not worth keeping
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala

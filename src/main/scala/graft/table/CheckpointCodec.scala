@@ -132,34 +132,44 @@ object CheckpointCodec {
   private def readSeq(s: String): Seq[String] =
     mapper.readTree(s).elements().asScala.map(_.asText()).toSeq
 
-  def write(file: Path, s: Snapshot): Unit = {
+  def write(file: Path, s: Snapshot): Unit = writePart(file, Some(s), s.files)
+
+  /** One checkpoint part: the header (protocol + metaData + txns — part 0
+    * of a multipart checkpoint, or the whole of a single-file one) plus a
+    * slice of the live AddFiles. Multipart checkpoints exist because a
+    * single-threaded 1M-row parquet write is the measured bottleneck of
+    * `writeCheckpoint` at the file count a 100 TB table actually has —
+    * slices write CONCURRENTLY. */
+  def writePart(file: Path, header: Option[Snapshot], files: Seq[AddFile]): Unit = {
     val factory = new SimpleGroupFactory(schema)
     val w: ParquetWriter[Group] = ExampleParquetWriter.builder(new HPath(file.toString))
       .withType(schema).withConf(new Configuration())
       .withCompressionCodec(CompressionCodecName.SNAPPY).build()
     try {
-      val meta = s.metaData
-      val pg = factory.newGroup()
-      pg.add("kind", "protocol")
-      pg.add("protocolJson", Actions.toJson(s.protocol))
-      w.write(pg)
-      val mg = factory.newGroup()
-      mg.add("kind", "meta")
-      mg.add("metaId", meta.id)
-      mg.add("schemaString", meta.schemaString)
-      mg.add("createdTime", meta.createdTime)
-      mg.add("partitionColumns", jsonSeq(meta.partitionColumns))
-      mg.add("constraints", jsonMap(meta.constraints))
-      mg.add("properties", jsonMap(meta.properties))
-      w.write(mg)
-      s.transactions.toSeq.sortBy(_._1).foreach { case (appId, tv) =>
-        val tg = factory.newGroup()
-        tg.add("kind", "txn")
-        tg.add("txnAppId", appId)
-        tg.add("txnVersion", tv)
-        w.write(tg)
+      header.foreach { s =>
+        val meta = s.metaData
+        val pg = factory.newGroup()
+        pg.add("kind", "protocol")
+        pg.add("protocolJson", Actions.toJson(s.protocol))
+        w.write(pg)
+        val mg = factory.newGroup()
+        mg.add("kind", "meta")
+        mg.add("metaId", meta.id)
+        mg.add("schemaString", meta.schemaString)
+        mg.add("createdTime", meta.createdTime)
+        mg.add("partitionColumns", jsonSeq(meta.partitionColumns))
+        mg.add("constraints", jsonMap(meta.constraints))
+        mg.add("properties", jsonMap(meta.properties))
+        w.write(mg)
+        s.transactions.toSeq.sortBy(_._1).foreach { case (appId, tv) =>
+          val tg = factory.newGroup()
+          tg.add("kind", "txn")
+          tg.add("txnAppId", appId)
+          tg.add("txnVersion", tv)
+          w.write(tg)
+        }
       }
-      s.files.foreach { f =>
+      files.foreach { f =>
         val g = factory.newGroup()
         g.add("kind", "add")
         g.add("path", f.path)
@@ -208,7 +218,30 @@ object CheckpointCodec {
     * vector — parquet missing-column semantics, same back-compat as the
     * old per-file-schema path. No SparkSession involved: the reader class
     * runs on a bare JVM exactly like the rest of GraftLog. */
-  def read(file: Path, version: Long): Snapshot = {
+  def read(file: Path, version: Long): Snapshot = readMulti(Seq(file), version)
+
+  /** Assemble the snapshot from one or many checkpoint part files. Parts
+    * decode CONCURRENTLY (one vectorized reader per part on its own
+    * thread — the same parallelism the write side gets), then merge:
+    * exactly one part carries the header, every part contributes adds. */
+  def readMulti(parts: Seq[Path], version: Long): Snapshot = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val decoded =
+      if (parts.size == 1) Seq(readPart(parts.head))
+      else Await.result(Future.sequence(
+        parts.map(p => Future(readPart(p)))), Duration.Inf)
+    val meta = decoded.flatMap(_._1).headOption.getOrElse(
+      throw new IllegalStateException(
+        s"parquet checkpoint ${parts.head} lacks metaData"))
+    val protocol = decoded.flatMap(_._2).headOption.getOrElse(Protocol())
+    Snapshot(version, meta, decoded.flatMap(_._4),
+      decoded.flatMap(_._3).toMap, protocol)
+  }
+
+  private def readPart(file: Path): (Option[MetaData], Option[Protocol],
+      Seq[(String, Long)], Seq[AddFile]) = {
     import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, ParquetWriteSupport, VectorizedParquetRecordReader}
     import org.apache.spark.sql.internal.SQLConf
     val conf = new Configuration()
@@ -234,8 +267,8 @@ object CheckpointCodec {
         org.apache.spark.sql.catalyst.InternalRow.empty)
       rdr.enableReturningBatches()
       var meta: Option[MetaData] = None
-      var protocol: Protocol = Protocol()
-      val txns = Map.newBuilder[String, Long]
+      var protocol: Option[Protocol] = None
+      val txns = Seq.newBuilder[(String, Long)]
       val files = Seq.newBuilder[AddFile]
       while (rdr.nextBatch()) {
         val batch = rdr.resultBatch()
@@ -259,16 +292,14 @@ object CheckpointCodec {
               readSeq(str(13, r)), readMap(str(14, r)), readMap(str(15, r))))
             case "txn" => txns += str(16, r) -> lng(17, r)
             case "protocol" => Actions.fromJson(str(18, r)) match {
-              case p: Protocol => protocol = p
+              case p: Protocol => protocol = Some(p)
               case _ => ()
             }
           }
           r += 1
         }
       }
-      Snapshot(version, meta.getOrElse(throw new IllegalStateException(
-        s"parquet checkpoint $file lacks metaData")), files.result(),
-        txns.result(), protocol)
+      (meta, protocol, txns.result(), files.result())
     } finally rdr.close()
   }
 }

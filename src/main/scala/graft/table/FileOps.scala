@@ -119,6 +119,7 @@ object FileOps {
       val mins = scala.collection.mutable.Map[String, String]()
       val maxs = scala.collection.mutable.Map[String, String]()
       val undecided = scala.collection.mutable.Set[String]()
+      val stringCols = scala.collection.mutable.Set[String]()
       // null counts track independently of min/max: an all-null column has
       // no min/max but a perfectly valid (and useful) null count; a single
       // row group without the stat poisons the column to "unknown"
@@ -152,6 +153,7 @@ object FileOps {
             }
             mm match {
               case Some((lo, hi)) =>
+                if (isString) stringCols += name
                 mins(name) = mins.get(name).map(m => minOf(m, lo, isString || pt.getPrimitiveTypeName == BINARY)).getOrElse(lo)
                 maxs(name) = maxs.get(name).map(m => maxOf(m, hi, isString || pt.getPrimitiveTypeName == BINARY)).getOrElse(hi)
               case None =>
@@ -160,8 +162,39 @@ object FileOps {
           }
         }
       }
+      // Long-string stats TRUNCATE before entering the log (Delta's
+      // dataSkippingStringPrefixLength shape): a document-text column must
+      // not put kilobytes of min/max into EVERY AddFile — at millions of
+      // files that bloats the log/checkpoint by orders of magnitude and
+      // every snapshot fold pays it. A 32-char prefix keeps the bounds
+      // sound: prefix(min) <= min, and max's prefix with its last
+      // non-￿ char incremented-and-cut is > max (pruning only ever
+      // widens). If no char can be incremented (astronomically unlikely),
+      // the column's stats drop entirely — DataSkipping treats absent
+      // bounds as "keep".
+      for (name <- stringCols) {
+        mins.get(name).filter(_.length > StatsTruncateLen)
+          .foreach(m => mins(name) = m.substring(0, StatsTruncateLen))
+        maxs.get(name).filter(_.length > StatsTruncateLen).foreach { m =>
+          truncateUpper(m) match {
+            case Some(u) => maxs(name) = u
+            case None    => mins.remove(name); maxs.remove(name)
+          }
+        }
+      }
       (rows, mins.toMap, maxs.toMap, nulls.toMap)
     } finally reader.close()
+  }
+
+  /** Max length of a string min/max stat persisted into the log. */
+  val StatsTruncateLen = 32
+
+  /** Sound UPPER bound for any string with prefix `s.take(len)`: the
+    * prefix with its rightmost incrementable char bumped, rest cut. */
+  private[table] def truncateUpper(s: String, len: Int = StatsTruncateLen): Option[String] = {
+    val p = s.substring(0, len)
+    val i = p.lastIndexWhere(_ != Char.MaxValue)
+    if (i < 0) None else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
   }
 
   private def minOf(a: String, b: String, str: Boolean): String =

@@ -65,6 +65,7 @@ final class GraftLog(val tablePath: String) {
       if (Files.deleteIfExists(versionFile(v))) removed += 1
       if (Files.deleteIfExists(checkpointFile(v))) removed += 1
       if (Files.deleteIfExists(parquetCheckpointFile(v))) removed += 1
+      multipartFiles(v).foreach(p => if (Files.deleteIfExists(p)) removed += 1)
     }
     removed
   }
@@ -170,19 +171,64 @@ final class GraftLog(val tablePath: String) {
   def parquetCheckpointFile(v: Long): Path =
     logDir.resolve(f"$v%020d.checkpoint.parquet")
 
+  /** Part `i` of an `n`-part multipart parquet checkpoint (Delta's classic
+    * multipart naming): at the file count a 100 TB table has, one
+    * single-threaded parquet write/read is the measured bottleneck of
+    * checkpointing — parts encode and decode concurrently. */
+  def multipartCheckpointFile(v: Long, i: Int, n: Int): Path =
+    logDir.resolve(f"$v%020d.checkpoint.$i%010d.$n%010d.parquet")
+
+  /** Default max AddFiles per checkpoint part (property
+    * `checkpoint.partSize` overrides). */
+  val checkpointPartSize = 250000
+
+  /** The complete, validated part set of a multipart checkpoint at `cp`,
+    * or Nil (absent / torn — caller falls back to an older seed + replay,
+    * which is always correct). Fast path: the `_last_checkpoint` pointer
+    * carries `parts`, so the common read constructs the names directly —
+    * the directory LISTING happens only on the rare below-pointer time
+    * travel. */
+  private def multipartFiles(cp: Long): Seq[Path] = {
+    lastCheckpointInfo match {
+      case Some((v, parts)) if v == cp && parts > 1 =>
+        val named = (0 until parts).map(i => multipartCheckpointFile(cp, i, parts))
+        if (named.forall(Files.exists(_))) return named
+      case _ => ()
+    }
+    if (!Files.isDirectory(logDir)) return Nil
+    listingCount += 1
+    val stream = Files.newDirectoryStream(logDir, f"$cp%020d.checkpoint.*.*.parquet")
+    val found = try stream.iterator().asScala.toSeq finally stream.close()
+    val valid = found.filter(
+      _.getFileName.toString.matches("\\d{20}\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet"))
+    valid.headOption.map(_.getFileName.toString.split('.')(3).toInt) match {
+      case Some(n) =>
+        val named = (0 until n).map(i => multipartCheckpointFile(cp, i, n))
+        if (valid.size == n && named.forall(Files.exists(_))) named else Nil
+      case None => Nil
+    }
+  }
+
   /** `_last_checkpoint`: advisory pointer to the newest checkpoint version
     * — O(1) discovery for both snapshot seeding and latestVersion. Written
     * atomically AFTER the checkpoint itself; corruption or staleness only
     * costs the listing fallback, never correctness. */
   val lastCheckpointFile: Path = logDir.resolve("_last_checkpoint")
 
-  private def lastCheckpointPointer: Option[Long] =
+  private def lastCheckpointInfo: Option[(Long, Int)] =
     try {
       if (!Files.isRegularFile(lastCheckpointFile)) None
-      else """"version"\s*:\s*(\d+)""".r
-        .findFirstMatchIn(Files.readString(lastCheckpointFile))
-        .map(_.group(1).toLong)
+      else {
+        val body = Files.readString(lastCheckpointFile)
+        """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(body).map { m =>
+          val parts = """"parts"\s*:\s*(\d+)""".r.findFirstMatchIn(body)
+            .map(_.group(1).toInt).getOrElse(1)
+          (m.group(1).toLong, parts)
+        }
+      }
     } catch { case _: java.io.IOException => None }
+
+  private def lastCheckpointPointer: Option[Long] = lastCheckpointInfo.map(_._1)
 
   def writeCheckpoint(v: Long): Unit = {
     // fold via snapshotAt: seeds from the newest checkpoint ≤ v and
@@ -196,6 +242,38 @@ final class GraftLog(val tablePath: String) {
       case Some("json") => false
       case _ => s.files.size >= parquetCheckpointThreshold
     }
+    val partSize = s.metaData.properties.get("checkpoint.partSize")
+      .flatMap(p => scala.util.Try(p.toInt).toOption).filter(_ > 0)
+      .getOrElse(checkpointPartSize)
+    val nParts = if (parquet) ((s.files.size + partSize - 1) / partSize).max(1) else 1
+    if (nParts > 1) {
+      // MULTIPART: slices encode concurrently (the single-threaded 1M-row
+      // parquet write was the measured bottleneck — ScalingProbe `log`),
+      // land fully in tmp files, then move into place part by part; the
+      // pointer (with `parts`) publishes LAST, so a crash mid-move leaves
+      // at worst an incomplete part set that multipartFiles treats as
+      // absent and cleanup removes. A lost checkpoint race deletes our
+      // tmps and keeps the winner's files.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val slices = s.files.grouped(partSize).toSeq
+      val staged = slices.zipWithIndex.map { case (slice, i) =>
+        (logDir.resolve(s".${java.util.UUID.randomUUID()}.cp$i.tmp"),
+         multipartCheckpointFile(v, i, slices.size),
+         if (i == 0) Some(s) else None, slice)
+      }
+      Await.result(Future.traverse(staged) { case (tmp, _, hdr, slice) =>
+        Future(CheckpointCodec.writePart(tmp, hdr, slice))
+      }, Duration.Inf)
+      try {
+        staged.foreach { case (tmp, target, _, _) =>
+          Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE) }
+        publishPointer(v, slices.size)
+      } catch { case _: java.nio.file.FileAlreadyExistsException =>
+        staged.foreach(t => Files.deleteIfExists(t._1)) }
+      return
+    }
     val tmp = logDir.resolve(s".${java.util.UUID.randomUUID()}.tmp")
     if (parquet) CheckpointCodec.write(tmp, s)
     else {
@@ -208,16 +286,23 @@ final class GraftLog(val tablePath: String) {
     val target = if (parquet) parquetCheckpointFile(v) else checkpointFile(v)
     try {
       Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      val ptr = logDir.resolve(s".${java.util.UUID.randomUUID()}.ptr.tmp")
-      Files.write(ptr, s"""{"version":$v}""".getBytes(StandardCharsets.UTF_8))
-      Files.move(ptr, lastCheckpointFile,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      publishPointer(v, 1)
     } catch { case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp) }
   }
 
+  private def publishPointer(v: Long, parts: Int): Unit = {
+    val ptr = logDir.resolve(s".${java.util.UUID.randomUUID()}.ptr.tmp")
+    val body = if (parts > 1) s"""{"version":$v,"parts":$parts}"""
+               else s"""{"version":$v}"""
+    Files.write(ptr, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(ptr, lastCheckpointFile,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   private def checkpointExistsAt(cp: Long): Boolean =
-    Files.exists(checkpointFile(cp)) || Files.exists(parquetCheckpointFile(cp))
+    Files.exists(checkpointFile(cp)) || Files.exists(parquetCheckpointFile(cp)) ||
+      multipartFiles(cp).nonEmpty
 
   /** Directory listings performed by this log instance — object-store LIST
     * calls are the scaling hazard the `_last_checkpoint` pointer and the
@@ -252,6 +337,8 @@ final class GraftLog(val tablePath: String) {
   private def readCheckpoint(cp: Long): Snapshot =
     if (Files.exists(parquetCheckpointFile(cp)))
       CheckpointCodec.read(parquetCheckpointFile(cp), cp)
+    else if (multipartFiles(cp).nonEmpty)
+      CheckpointCodec.readMulti(multipartFiles(cp), cp)
     else {
       val lines = Files.readAllLines(checkpointFile(cp), StandardCharsets.UTF_8)
         .asScala.filter(_.nonEmpty).map(Actions.fromJson).toSeq

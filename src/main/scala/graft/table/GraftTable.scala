@@ -263,8 +263,16 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     if (perFile.isEmpty || perFile.exists(_.isEmpty)) None
     else {
       val bounds = perFile.flatten
-      Some((bounds.map(_._1).reduce((a, b) => if (cmp(a, b) <= 0) a else b),
-            bounds.map(_._2).reduce((a, b) => if (cmp(a, b) >= 0) a else b)))
+      // string stats at the truncation length may be TRUNCATED (FileOps
+      // caps them at 32 chars so document-length values never bloat the
+      // log) — then they are honest BOUNDS but not exact extrema, and a
+      // metadata-only MIN/MAX must refuse rather than serve a prefix as
+      // the answer. Numeric stats are always exact.
+      val maybeTruncated = isStr && bounds.exists { case (lo, hi) =>
+        lo.length >= FileOps.StatsTruncateLen || hi.length >= FileOps.StatsTruncateLen }
+      if (maybeTruncated) None
+      else Some((bounds.map(_._1).reduce((a, b) => if (cmp(a, b) <= 0) a else b),
+                 bounds.map(_._2).reduce((a, b) => if (cmp(a, b) >= 0) a else b)))
     }
   }
 

@@ -186,6 +186,38 @@ class DataSkippingSpec extends SparkTestBase {
       .map(_.getInt(0)).toSeq === Seq(5 * 8 + 1))
   }
 
+  test("long-string stats truncate to 32 chars in the log; pruning stays sound") {
+    import spark.implicits._
+    // three files of 100-char strings with disjoint prefixes
+    val mk = (p: String) => (0 until 20).map(i => (p.head - 'a') * 20 + i ->
+      (p * 5 + f"$i%02d" + "x" * 88).take(100))
+    val t = GraftTable.create(spark, tmpDir("skip-trunc-"),
+      mk("aaaa").toDF("id", "t").coalesce(1))
+    t.append(mk("mmmm").toDF("id", "t").coalesce(1))
+    t.append(mk("zzzz").toDF("id", "t").coalesce(1))
+    val files = t.snapshot.files
+    // the log never carries the full 100-char values
+    assert(files.forall(f => f.minValues("t").length <= 32 &&
+      f.maxValues("t").length <= 32), "string stats must be truncated")
+    // truncated max remains a strict upper bound for every row in the file
+    val realMax = t.toDF.agg(max($"t")).head().getString(0)
+    assert(files.map(_.maxValues("t")).max > realMax.take(32))
+    // pruning still fires across disjoint prefixes...
+    assert(t.prunedFiles(t.snapshot, $"t".startsWith("mmmm")).size == 1)
+    assert(t.prunedFiles(t.snapshot, $"t" === ("mmmm" * 5 + "07" + "x" * 88).take(100)).size == 1)
+    // ...and scan ≡ filter on equality, range, and prefix over long strings
+    Seq($"t" === ("aaaa" * 5 + "03" + "x" * 88).take(100),
+        $"t" > ("mmmm" * 8).take(32), $"t".startsWith("zzzz"),
+        $"t" <= "b").foreach { pred =>
+      assert(t.scan(pred).collect().map(_.getInt(0)).sorted.toSeq ==
+        t.toDF.filter(pred).collect().map(_.getInt(0)).sorted.toSeq, s"pred=$pred")
+    }
+    // a metadata-only MIN/MAX must refuse a possibly-truncated bound
+    // (a prefix is not the extremum) but still serve exact numeric stats
+    assert(t.metadataMinMax("t").isEmpty)
+    assert(t.metadataMinMax("id").contains(("0", "519")))
+  }
+
   test("null counts land in the log and prune IS NULL / IS NOT NULL") {
     import spark.implicits._
     val dir = tmpDir("skip-null-")

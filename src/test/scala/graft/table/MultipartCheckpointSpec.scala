@@ -1,0 +1,71 @@
+package graft.table
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Multipart parquet checkpoints (Delta's classic parts scheme): above
+  * `checkpoint.partSize` live files, the checkpoint lands as N part files
+  * written and read CONCURRENTLY — the single-threaded 1M-row parquet
+  * encode was the measured bottleneck of checkpointing at real file
+  * counts. The `_last_checkpoint` pointer carries `parts` so the common
+  * read constructs part names with zero listing; a torn part set is
+  * treated as absent (fold falls back to an older seed — always correct). */
+class MultipartCheckpointSpec extends SparkTestBase {
+
+  private def build(dir: String): GraftTable = {
+    import spark.implicits._
+    val t = GraftTable.create(spark, dir, Seq((0, "seed")).toDF("id", "v").coalesce(1))
+    t.setProperty("checkpoint.format", "parquet")   // v1
+    t.setProperty("checkpoint.partSize", "3")       // v2
+    (1 to 8).foreach(i =>                            // v3..v10
+      t.append(Seq((i, s"row$i")).toDF("id", "v").coalesce(1)))
+    t
+  }
+
+  test("checkpoint splits into parts; fresh log folds the same snapshot") {
+    val dir = tmpDir("mpcp-")
+    val t = build(dir)
+    assert(t.latestVersion === 10L)
+    val log = new GraftLog(dir)
+    // v10 checkpoint: 9 files / partSize 3 = 3 parts, no single-file twin
+    val parts = (0 until 3).map(i => log.multipartCheckpointFile(10, i, 3))
+    assert(parts.forall(Files.exists(_)), s"expected 3 parts at v10")
+    assert(!Files.exists(log.parquetCheckpointFile(10)))
+    assert(Files.readString(log.lastCheckpointFile)
+      .contains(""""version":10,"parts":3"""))
+    // a FRESH log (no caches) seeds from the multipart checkpoint
+    val s = new GraftLog(dir).snapshotAt(10L)
+    assert(s.files.size === 9)
+    assert(s.metaData.properties("checkpoint.partSize") === "3")
+    val t2 = GraftTable.forPath(spark, dir)
+    assert(t2.toDF.count() === 9)
+    assert(t2.toDF.agg(sum(col("id"))).head().getLong(0) === 36L)
+  }
+
+  test("time travel across and below a multipart checkpoint") {
+    val dir = tmpDir("mpcp-tt-")
+    val t = build(dir)
+    assert(t.versionAsOf(10).count() === 9)
+    assert(t.versionAsOf(5).count() === 4)  // seed + rows 1..3
+    // a torn part set is ignored: delete one part, fold still correct
+    val log = new GraftLog(dir)
+    Files.delete(log.multipartCheckpointFile(10, 1, 3))
+    val s = new GraftLog(dir).snapshotAt(10L)
+    assert(s.files.size === 9, "torn multipart must fall back, not misfold")
+  }
+
+  test("log retention cleanup removes expired multipart parts") {
+    val dir = tmpDir("mpcp-clean-")
+    val t = build(dir)
+    (9 to 18).foreach(i =>                           // v11..v20: next checkpoint
+      t.append(spark.range(1).selectExpr(s"cast($i as int) as id", "'x' as v").coalesce(1)))
+    val log = new GraftLog(dir)
+    assert((0 until 7).exists(i => Files.exists(log.multipartCheckpointFile(20, i, 7))))
+    t.cleanupExpiredLogs(retentionMs = 0L)
+    // v10's parts are expired history now
+    assert((0 until 3).forall(i => !Files.exists(log.multipartCheckpointFile(10, i, 3))))
+    // head still reads fine
+    assert(GraftTable.forPath(spark, dir).toDF.count() === 19)
+  }
+}
