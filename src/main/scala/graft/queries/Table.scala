@@ -145,7 +145,8 @@ object TableQueries {
     Seq("q151_identity_column", "q147_replace_where", "q148_convert_parquet",
         "q153_copy_into", "q155_row_tracking", "q156_notnull_invariant",
         "q157_type_widening", "q159_null_skipping",
-        "q160_prefix_skipping").foreach { q =>
+        "q160_prefix_skipping", "q161_fsck_repair",
+        "q162_dynamic_file_pruning").foreach { q =>
       try { graft.SparkEntry.queries(q)(s, dir); () }
       catch { case _: Throwable => () }
     }
@@ -1085,6 +1086,72 @@ object TableQueries {
         |       CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents WHERE source LIKE 'src1%'
         |GROUP BY source ORDER BY source""".stripMargin),
+
+    // ---- Dynamic file pruning: fact scan driven by a dim join's keys -------------
+    // The incremental-reprocessing shape at 100 TB: "re-aggregate the fact
+    // rows for THIS window's orders" must read the files that window
+    // landed in, not the table. The fact table is range-clustered by
+    // l_orderkey; the build side (a keyrange + price filter on orders)
+    // collects like a broadcast and prunes fact files through the IN
+    // machinery (min/max, then blooms). Fixture REQUIREs a strict subset
+    // of files was read; the oracle is the plain SQL join.
+    "q162_dynamic_file_pruning" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = cache.computeIfAbsent(s"dfp:$dir", _ => {
+          val li = graft.Tables.lineitem(s, dir)
+            .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+          GraftTable.create(s, graft.Scratch.dir("graft-dfp-").toString,
+            li.repartitionByRange(8, $"l_orderkey"))
+        })
+        val keys = graft.Tables.orders(s, dir)
+          .filter($"o_orderkey".between(1000, 3000) && $"o_totalprice" > 150000.0)
+          .select($"o_orderkey".as("l_orderkey"))
+        val kept = t.prunedFiles(t.snapshot, $"l_orderkey".between(1000, 3000))
+        require(kept.size < t.snapshot.files.size,
+          s"key window must prune files (kept ${kept.size} of ${t.snapshot.files.size})")
+        t.scanForKeys("l_orderkey", keys)
+          .join(broadcast(keys), "l_orderkey")
+          .groupBy().agg(
+            count(lit(1)).as("n_items"),
+            sum(graft.queries.Exact.discPrice($"l_extendedprice", $"l_discount"))
+              .cast("double").as("revenue"))
+      },
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(${graft.queries.Exact.sqlDiscPrice("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderkey BETWEEN 1000 AND 3000 AND o_totalprice > 150000.0""".stripMargin),
+
+    // ---- FSCK repair: reading through an externally-broken table -----------------
+    // Four files land by doc_id residue; the residue-0 file's parquet is
+    // deleted BEHIND the log's back (the external-actor failure mode),
+    // fsck drops exactly that entry, and the scan serves the survivors —
+    // the DuckDB twin is the residue filter. The fixture REQUIREs the
+    // repair removed exactly one file.
+    "q161_fsck_repair" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = cache.computeIfAbsent(s"fsck:$dir", _ => {
+          val docs = graft.Tables.documents(s, dir).select($"doc_id", $"n_chars")
+          val tt = GraftTable.create(s, graft.Scratch.dir("graft-fsck-").toString,
+            docs.filter($"doc_id" % 4 === 0).coalesce(1))
+          (1 to 3).foreach(k => tt.append(docs.filter($"doc_id" % 4 === k).coalesce(1)))
+          val victim = tt.snapshot.files.minBy(_.minValues("doc_id").toLong)
+          java.nio.file.Files.delete(java.nio.file.Paths.get(tt.path, victim.path))
+          val repaired = tt.fsck()
+          require(repaired == Seq(victim.path),
+            s"fsck must repair exactly the broken file, got $repaired")
+          tt
+        })
+        t.toDF.groupBy().agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("chars"),
+          min($"doc_id").as("first_doc"))
+      },
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        |FROM documents WHERE doc_id % 4 <> 0""".stripMargin),
 
     // ---- Hive-partitioned table scan (partition pruning as data skipping) --------
     // Documents land Hive-partitioned by lang (lang=en/... directories);

@@ -236,6 +236,25 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     readFiles(s, prunedFiles(s, pred)).filter(pred)
   }
 
+  /** Dynamic file pruning (Delta's DFP): scan only the files that can
+    * serve a JOIN against a small build side. The build side's DISTINCT
+    * keys collect to the driver — bounded like a broadcast (`maxKeys`
+    * caps it; a bigger build side falls back to the full scan, exactly
+    * when DFP would stop paying anyway) — and prune fact files through
+    * the ordinary IN machinery: min/max ranges first, parquet blooms for
+    * scattered keys. The 100-TB shape this serves is incremental
+    * reprocessing: "join the fact table to this ingest window's keys"
+    * reads the handful of files that window landed in, not the table. */
+  def scanForKeys(column: String, keys: DataFrame, maxKeys: Int = 100000): DataFrame = {
+    require(snapshot.schema.fieldNames.contains(column),
+      s"scanForKeys: unknown column '$column'")
+    val vals = keys.select(col(column)).where(col(column).isNotNull)
+      .distinct().limit(maxKeys + 1).collect().map(_.get(0)).toSeq
+    if (vals.size > maxKeys) toDF
+    else if (vals.isEmpty) toDF.limit(0)
+    else scan(col(column).isInCollection(vals))
+  }
+
   /** COUNT(*) answered purely from the transaction log — no data file is
     * opened (the Delta "metadata-only query" path: every add action carries
     * its footer row count, so the snapshot total is a driver-side log fold.
