@@ -49,10 +49,15 @@ final class GraftLog(val tablePath: String) {
     * older than the retention window dies — the same trade VACUUM makes
     * for data files. Returns the number of files removed. */
   def cleanupExpiredLogs(cutoffTs: Long): Int = {
-    val boundaryVersion = lastVersionAtOrBefore(cutoffTs).getOrElse(return 0)
-    val cp = latestCheckpointAtOrBefore(boundaryVersion).getOrElse(return 0)
+    // stray staging files (".<uuid>...tmp") are crash leftovers: every
+    // normal path deletes its tmp in `finally`, so anything old enough to
+    // predate the cutoff can only be debris from a killed writer — sweep
+    // it here (cleanup already owns a listing; nothing else ever will)
+    var removed = sweepStaleTmp(cutoffTs)
+    val boundaryVersion = lastVersionAtOrBefore(cutoffTs).getOrElse(return removed)
+    val cp = latestCheckpointAtOrBefore(boundaryVersion).getOrElse(return removed)
     val first = earliestVersion
-    if (cp <= first) return 0
+    if (cp <= first) return removed
     // publish the new start BEFORE deleting: a concurrent reader either
     // sees the old start (files still present) or the new one
     val tmp = logDir.resolve(s".${java.util.UUID.randomUUID()}.start.tmp")
@@ -60,7 +65,6 @@ final class GraftLog(val tablePath: String) {
     Files.move(tmp, logStartFile,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    var removed = 0
     (first until cp).foreach { v =>
       if (Files.deleteIfExists(versionFile(v))) removed += 1
       if (Files.deleteIfExists(checkpointFile(v))) removed += 1
@@ -68,6 +72,17 @@ final class GraftLog(val tablePath: String) {
       multipartFiles(v).foreach(p => if (Files.deleteIfExists(p)) removed += 1)
     }
     removed
+  }
+
+  private def sweepStaleTmp(cutoffTs: Long): Int = {
+    if (!Files.isDirectory(logDir)) return 0
+    listingCount += 1
+    val stream = Files.newDirectoryStream(logDir, ".*.tmp")
+    val stale = try stream.iterator().asScala.toSeq finally stream.close()
+    stale.count { p =>
+      try Files.getLastModifiedTime(p).toMillis < cutoffTs && Files.deleteIfExists(p)
+      catch { case _: java.io.IOException => false } // racing writer's live tmp
+    }
   }
 
   def listVersions: Seq[Long] = {

@@ -93,6 +93,21 @@ class LogRetentionSpec extends SparkTestBase {
     }
   }
 
+  test("cleanup sweeps crash-stranded staging tmps, never a live one") {
+    val t = build(12) // crosses a checkpoint so cleanup has work
+    val logDir = t.log.logDir
+    val stale = logDir.resolve(".dead-writer.commit.tmp")
+    val fresh = logDir.resolve(".live-writer.commit.tmp")
+    java.nio.file.Files.write(stale, "torn".getBytes)
+    java.nio.file.Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600_000L))
+    java.nio.file.Files.write(fresh, "in-flight".getBytes)
+    t.cleanupExpiredLogs(retentionMs = 60_000L)
+    assert(!java.nio.file.Files.exists(stale), "hour-old tmp is crash debris")
+    assert(java.nio.file.Files.exists(fresh), "a recent tmp may be a live commit")
+    java.nio.file.Files.delete(fresh)
+  }
+
   test("timestamp resolution clamps to the pruned boundary") {
     val t = build(25)
     val bornTs = t.history().orderBy(col("version"))
