@@ -60,10 +60,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_table_changes"),
       new ExpressionInfo(classOf[graft.table.GraftTable].getName, "graft_table_changes"),
       { children =>
-        val usage = "graft_table_changes('/table/path', fromVersion, toVersion)"
+        val usage = "graft_table_changes('/table/path', fromVersion|'fromTs', toVersion|'toTs')"
         val t = graft.table.GraftTable.forPath(
           org.apache.spark.sql.SparkSession.active, strAt(children, 0, usage))
-        t.changes(longAt(children, 1, usage), longAt(children, 2, usage))
+        // Delta's table_changes accepts versions OR timestamp strings;
+        // timestamps resolve through the log's O(log n) binary search to
+        // the inclusive window [fromTs, toTs]: every commit at/after
+        // fromTs up to the last commit at/before toTs. (Version bounds
+        // keep their established (from, to] shape — q138 — so the
+        // timestamp form subtracts one from the resolved start.)
+        def bound(i: Int, isFrom: Boolean): Long = litAt(children, i, usage) match {
+          case n: java.lang.Number => n.longValue()
+          case s =>
+            val ms = java.sql.Timestamp.valueOf(String.valueOf(s)).getTime
+            if (isFrom) t.log.firstVersionAtOrAfter(ms).map(_ - 1).getOrElse(
+              throw new IllegalArgumentException(
+                s"no commits at or after '$s' in ${t.path}"))
+            else t.versionAt(ms)
+        }
+        t.changes(bound(1, isFrom = true), bound(2, isFrom = false))
           .queryExecution.analyzed
       }))
     // DESCRIBE DETAIL front door: one-row table summary from the log alone

@@ -449,4 +449,29 @@ class CatalogSpec extends SparkTestBase {
     assert(t.snapshot.metaData.properties.get("bloom.columns").contains("k"))
     assert(sql("SELECT v FROM gcat.default.bl WHERE k = 77").head().getString(0) == "77")
   }
+
+  test("graft_table_changes accepts timestamp bounds (Delta table_changes parity)") {
+    import spark.implicits._
+    val dir = tmpDir("cdf-ts-")
+    val t = graft.table.GraftTable.create(spark,
+      dir, Seq((1, "a")).toDF("id", "v"))
+    t.append(Seq((2, "b")).toDF("id", "v"))   // v1
+    t.append(Seq((3, "c")).toDF("id", "v"))   // v2
+    val ts = t.history().orderBy(col("version"))
+      .select(col("timestamp").cast("string")).collect().map(_.getString(0))
+    // version bounds are (from, to]; ts bounds are the INCLUSIVE
+    // [fromTs, toTs] — Delta's table_changes shape — so [ts(v1), ts(v2)]
+    // equals the version window (0, 2]
+    val byVersion = spark.sql(
+      s"SELECT id, _change_type, _commit_version FROM graft_table_changes('$dir', 0, 2)")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    val byTs = spark.sql(
+      s"SELECT id, _change_type, _commit_version FROM graft_table_changes('$dir', '${ts(1)}', '${ts(2)}')")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(byTs.toSeq === byVersion.toSeq)
+    assert(byTs.map(_._3).toSet === Set(1L, 2L))
+    // a start past the last commit must refuse loudly, never misresolve
+    intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_table_changes('$dir', '2999-01-01 00:00:00', '2999-01-02 00:00:00')").collect())
+  }
 }
