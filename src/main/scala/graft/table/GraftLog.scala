@@ -69,7 +69,9 @@ final class GraftLog(val tablePath: String) {
       if (Files.deleteIfExists(versionFile(v))) removed += 1
       if (Files.deleteIfExists(checkpointFile(v))) removed += 1
       if (Files.deleteIfExists(parquetCheckpointFile(v))) removed += 1
-      multipartFiles(v).foreach(p => if (Files.deleteIfExists(p)) removed += 1)
+      val parts = multipartFiles(v)
+      parts.foreach(p => if (Files.deleteIfExists(p)) removed += 1)
+      if (parts.nonEmpty && Files.deleteIfExists(multipartManifestFile(v))) removed += 1
     }
     removed
   }
@@ -79,10 +81,25 @@ final class GraftLog(val tablePath: String) {
     listingCount += 1
     val stream = Files.newDirectoryStream(logDir, ".*.tmp")
     val stale = try stream.iterator().asScala.toSeq finally stream.close()
-    stale.count { p =>
+    val tmps = stale.count { p =>
       try Files.getLastModifiedTime(p).toMillis < cutoffTs && Files.deleteIfExists(p)
       catch { case _: java.io.IOException => false } // racing writer's live tmp
     }
+    // manifest-less multipart parts are debris from a crash between the
+    // part moves and the manifest publish — invisible to every reader,
+    // reclaimed here once old enough to predate the cutoff
+    listingCount += 1
+    val ps = Files.newDirectoryStream(logDir, "*.checkpoint.*.parquet")
+    val parts = try ps.iterator().asScala.toSeq finally ps.close()
+    val orphans = parts
+      .filter(_.getFileName.toString.matches("\\d{20}\\.checkpoint\\.\\d{10}\\.parquet"))
+      .count { p =>
+        val v = p.getFileName.toString.take(20).toLong
+        try !Files.isRegularFile(multipartManifestFile(v)) &&
+          Files.getLastModifiedTime(p).toMillis < cutoffTs && Files.deleteIfExists(p)
+        catch { case _: java.io.IOException => false }
+      }
+    tmps + orphans
   }
 
   def listVersions: Seq[Long] = {
@@ -186,12 +203,20 @@ final class GraftLog(val tablePath: String) {
   def parquetCheckpointFile(v: Long): Path =
     logDir.resolve(f"$v%020d.checkpoint.parquet")
 
-  /** Part `i` of an `n`-part multipart parquet checkpoint (Delta's classic
-    * multipart naming): at the file count a 100 TB table has, one
-    * single-threaded parquet write/read is the measured bottleneck of
-    * checkpointing — parts encode and decode concurrently. */
-  def multipartCheckpointFile(v: Long, i: Int, n: Int): Path =
-    logDir.resolve(f"$v%020d.checkpoint.$i%010d.$n%010d.parquet")
+  /** Part `i` of a multipart parquet checkpoint: at the file count a
+    * 100 TB table has, one single-threaded parquet write/read is the
+    * measured bottleneck of checkpointing — parts encode and decode
+    * concurrently. */
+  def multipartCheckpointFile(v: Long, i: Int): Path =
+    logDir.resolve(f"$v%020d.checkpoint.$i%010d.parquet")
+
+  /** Manifest naming the part count, written atomically AFTER every part
+    * landed — so its existence IS the multipart checkpoint's existence
+    * (one stat, ZERO directory listing, the same discipline as
+    * `_last_checkpoint`), and a crash mid-publish leaves invisible part
+    * debris, never a torn checkpoint. */
+  def multipartManifestFile(v: Long): Path =
+    logDir.resolve(f"$v%020d.checkpoint.manifest")
 
   /** Default max AddFiles per checkpoint part (property
     * `checkpoint.partSize` overrides). */
@@ -199,28 +224,18 @@ final class GraftLog(val tablePath: String) {
 
   /** The complete, validated part set of a multipart checkpoint at `cp`,
     * or Nil (absent / torn — caller falls back to an older seed + replay,
-    * which is always correct). Fast path: the `_last_checkpoint` pointer
-    * carries `parts`, so the common read constructs the names directly —
-    * the directory LISTING happens only on the rare below-pointer time
-    * travel. */
+    * which is always correct). Listing-free: the manifest names n. */
   private def multipartFiles(cp: Long): Seq[Path] = {
-    lastCheckpointInfo match {
-      case Some((v, parts)) if v == cp && parts > 1 =>
-        val named = (0 until parts).map(i => multipartCheckpointFile(cp, i, parts))
-        if (named.forall(Files.exists(_))) return named
-      case _ => ()
-    }
-    if (!Files.isDirectory(logDir)) return Nil
-    listingCount += 1
-    val stream = Files.newDirectoryStream(logDir, f"$cp%020d.checkpoint.*.*.parquet")
-    val found = try stream.iterator().asScala.toSeq finally stream.close()
-    val valid = found.filter(
-      _.getFileName.toString.matches("\\d{20}\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet"))
-    valid.headOption.map(_.getFileName.toString.split('.')(3).toInt) match {
-      case Some(n) =>
-        val named = (0 until n).map(i => multipartCheckpointFile(cp, i, n))
-        if (valid.size == n && named.forall(Files.exists(_))) named else Nil
-      case None => Nil
+    val mf = multipartManifestFile(cp)
+    if (!Files.isRegularFile(mf)) return Nil
+    val n = try """"parts"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(Files.readString(mf)).map(_.group(1).toInt)
+    catch { case _: java.io.IOException => None }
+    n match {
+      case Some(k) if k > 0 =>
+        val named = (0 until k).map(i => multipartCheckpointFile(cp, i))
+        if (named.forall(Files.exists(_))) named else Nil
+      case _ => Nil
     }
   }
 
@@ -275,7 +290,7 @@ final class GraftLog(val tablePath: String) {
       val slices = s.files.grouped(partSize).toSeq
       val staged = slices.zipWithIndex.map { case (slice, i) =>
         (logDir.resolve(s".${java.util.UUID.randomUUID()}.cp$i.tmp"),
-         multipartCheckpointFile(v, i, slices.size),
+         multipartCheckpointFile(v, i),
          if (i == 0) Some(s) else None, slice)
       }
       Await.result(Future.traverse(staged) { case (tmp, _, hdr, slice) =>
@@ -284,6 +299,13 @@ final class GraftLog(val tablePath: String) {
       try {
         staged.foreach { case (tmp, target, _, _) =>
           Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE) }
+        // the manifest publishes LAST: until it lands the parts are
+        // invisible debris, never a torn checkpoint
+        val mf = logDir.resolve(s".${java.util.UUID.randomUUID()}.mf.tmp")
+        Files.write(mf, s"""{"parts":${slices.size}}"""
+          .getBytes(StandardCharsets.UTF_8))
+        Files.move(mf, multipartManifestFile(v),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         publishPointer(v, slices.size)
       } catch { case _: java.nio.file.FileAlreadyExistsException =>
         staged.foreach(t => Files.deleteIfExists(t._1)) }

@@ -29,9 +29,10 @@ class MultipartCheckpointSpec extends SparkTestBase {
     assert(t.latestVersion === 10L)
     val log = new GraftLog(dir)
     // v10 checkpoint: 9 files / partSize 3 = 3 parts, no single-file twin
-    val parts = (0 until 3).map(i => log.multipartCheckpointFile(10, i, 3))
+    val parts = (0 until 3).map(i => log.multipartCheckpointFile(10, i))
     assert(parts.forall(Files.exists(_)), s"expected 3 parts at v10")
     assert(!Files.exists(log.parquetCheckpointFile(10)))
+    assert(Files.readString(log.multipartManifestFile(10)).contains(""""parts":3"""))
     assert(Files.readString(log.lastCheckpointFile)
       .contains(""""version":10,"parts":3"""))
     // a FRESH log (no caches) seeds from the multipart checkpoint
@@ -50,7 +51,7 @@ class MultipartCheckpointSpec extends SparkTestBase {
     assert(t.versionAsOf(5).count() === 4)  // seed + rows 1..3
     // a torn part set is ignored: delete one part, fold still correct
     val log = new GraftLog(dir)
-    Files.delete(log.multipartCheckpointFile(10, 1, 3))
+    Files.delete(log.multipartCheckpointFile(10, 1))
     val s = new GraftLog(dir).snapshotAt(10L)
     assert(s.files.size === 9, "torn multipart must fall back, not misfold")
   }
@@ -61,10 +62,11 @@ class MultipartCheckpointSpec extends SparkTestBase {
     (9 to 18).foreach(i =>                           // v11..v20: next checkpoint
       t.append(spark.range(1).selectExpr(s"cast($i as int) as id", "'x' as v").coalesce(1)))
     val log = new GraftLog(dir)
-    assert((0 until 7).exists(i => Files.exists(log.multipartCheckpointFile(20, i, 7))))
+    assert((0 until 7).exists(i => Files.exists(log.multipartCheckpointFile(20, i))))
     t.cleanupExpiredLogs(retentionMs = 0L)
     // v10's parts are expired history now
-    assert((0 until 3).forall(i => !Files.exists(log.multipartCheckpointFile(10, i, 3))))
+    assert((0 until 3).forall(i => !Files.exists(log.multipartCheckpointFile(10, i))))
+    assert(!Files.exists(log.multipartManifestFile(10)))
     // head still reads fine
     assert(GraftTable.forPath(spark, dir).toDF.count() === 19)
   }
