@@ -88,6 +88,89 @@ object Media {
     }
   }
 
+  /** A REAL audio codec on the seam: RIFF/WAVE PCM16-mono parse with zero
+    * dependencies (the header layout is a public fixed format; no JDK
+    * media classes needed). decode() validates the container, streams the
+    * samples once, and emits the fixed 16-float feature shape:
+    * [0] sample rate, [1] sample count, [2] peak |amplitude| (int16
+    * units), [3] sign-flip (zero-crossing) count, [4..15] per-segment mean
+    * |amplitude| over 12 equal time slices (the fixed-window audio
+    * featurizer shape). Non-WAV / non-PCM16-mono payloads fail loudly. */
+  object WavCodec extends MediaCodec {
+    override def decode(payload: Array[Byte]): Array[Float] = {
+      val b = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val a = new Array[Byte](4); b.get(a); new String(a, "US-ASCII")
+      }
+      require(tag() == "RIFF", "payload is not a RIFF container")
+      b.getInt // riff size
+      require(tag() == "WAVE", "RIFF payload is not WAVE")
+      require(tag() == "fmt ", "WAVE payload lacks fmt chunk")
+      val fmtSize = b.getInt
+      val audioFormat = b.getShort
+      val channels = b.getShort
+      val sampleRate = b.getInt
+      b.getInt; b.getShort // byte rate, block align
+      val bits = b.getShort
+      require(audioFormat == 1 && channels == 1 && bits == 16,
+        s"only PCM16 mono supported (format=$audioFormat ch=$channels bits=$bits)")
+      b.position(b.position() + (fmtSize - 16))
+      require(tag() == "data", "WAVE payload lacks data chunk")
+      val dataSize = b.getInt
+      val n = dataSize / 2
+      val out = new Array[Float](16)
+      out(0) = sampleRate.toFloat
+      out(1) = n.toFloat
+      var peak = 0; var flips = 0; var prevSign = 0
+      val segSum = new Array[Long](12); val segN = new Array[Int](12)
+      var i = 0
+      while (i < n) {
+        val s = b.getShort.toInt
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        val sign = Integer.signum(s)
+        if (sign != 0 && prevSign != 0 && sign != prevSign) flips += 1
+        if (sign != 0) prevSign = sign
+        val seg = (i.toLong * 12 / n).toInt
+        segSum(seg) += a; segN(seg) += 1
+        i += 1
+      }
+      out(2) = peak.toFloat
+      out(3) = flips.toFloat
+      var k = 0
+      while (k < 12) {
+        if (segN(k) > 0) out(4 + k) = segSum(k).toFloat / segN(k)
+        k += 1
+      }
+      out
+    }
+  }
+
+  /** A deterministic in-memory PCM16-mono WAV carrying a square wave:
+    * sample_i = ±ampQ, flipping sign every `halfPeriod` samples — real
+    * audio bytes whose decoded features are CLOSED-FORM (peak = ampQ,
+    * sign flips = (n-1) / halfPeriod), so an oracle can state them
+    * literally. Runs fine executor-side (pure byte assembly). */
+  def syntheticWav(sampleRate: Int, nSamples: Int, ampQ: Int, halfPeriod: Int): Array[Byte] = {
+    require(ampQ > 0 && ampQ <= Short.MaxValue && halfPeriod > 0)
+    val dataSize = nSamples * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < nSamples) {
+      val v = if ((i / halfPeriod) % 2 == 0) ampQ else -ampQ
+      b.putShort(v.toShort)
+      i += 1
+    }
+    b.array()
+  }
+
   /** A deterministic in-memory PNG (left half black, right half at
     * `rightGray`) — real image bytes for exercising [[ImageIoCodec]]
     * without any fixture files. Runs fine executor-side (BufferedImage is

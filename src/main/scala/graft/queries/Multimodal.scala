@@ -108,5 +108,43 @@ object Multimodal {
         |       TRUE AS left_black, TRUE AS right_uniform
         |FROM (VALUES (1), (2), (3), (4), (5), (6), (7), (8)) AS t(i)
         |ORDER BY doc_id""".stripMargin),
+
+    // ---- REAL audio decode (RIFF/WAVE PCM16 parse on the codec seam) -------------
+    // Each row's payload is a genuine WAV file (44-byte RIFF header +
+    // PCM16 samples, assembled executor-side) carrying a square wave with
+    // id-derived rate / length / amplitude / period; Media.WavCodec
+    // parses the actual container and samples inside the mapPartitions
+    // seam. A square wave makes every decoded feature CLOSED-FORM —
+    // peak = amplitude, sign flips = (n-1) / halfPeriod — so the oracle
+    // computes the same integers from the same id arithmetic.
+    "q163_audio_decode" -> Q(
+      (s, _) => {
+        import s.implicits._
+        import graft.operators.Media
+        val rows = s.range(1, 17).map { i =>
+          val rate = 8000 + (i % 4).toInt * 4000
+          val n = 1600 + (i % 3).toInt * 800
+          val amp = 1000 + (i % 7).toInt * 3000
+          val hp = 2 + (i % 5).toInt
+          Media.MediaRow(i, Media.syntheticWav(rate, n, amp, hp),
+            if (i % 2 == 0) "en" else "de")
+        }
+        Media.decode(rows, Media.WavCodec).map { f =>
+          val (rate, n) = (f.features(0).toInt, f.features(1).toInt)
+          (f.doc_id, rate, n,
+            f.features(2).toInt,            // peak amplitude
+            f.features(3).toLong,           // sign flips
+            n * 1000 / rate)                // duration ms, integer floor
+        }.toDF("doc_id", "rate", "n_samples", "peak", "flips", "duration_ms")
+          .orderBy($"doc_id")
+      },
+      """SELECT CAST(i AS BIGINT) AS doc_id,
+        |  8000 + (i % 4) * 4000 AS rate,
+        |  1600 + (i % 3) * 800 AS n_samples,
+        |  1000 + (i % 7) * 3000 AS peak,
+        |  CAST((1600 + (i % 3) * 800 - 1) // (2 + i % 5) AS BIGINT) AS flips,
+        |  CAST((1600 + (i % 3) * 800) * 1000 // (8000 + (i % 4) * 4000) AS INTEGER) AS duration_ms
+        |FROM (SELECT unnest(range(1, 17)) AS i)
+        |ORDER BY doc_id""".stripMargin),
   )
 }

@@ -210,4 +210,26 @@ class MediaSpec extends SparkTestBase {
     assert(frames.length === expected)
     assert(frames.forall(_.getInt(2) <= 32))
   }
+
+  test("WavCodec parses a real RIFF/PCM16 container to closed-form features") {
+    val wav = Media.syntheticWav(sampleRate = 16000, nSamples = 3200,
+      ampQ = 12345, halfPeriod = 4)
+    val f = Media.WavCodec.decode(wav)
+    assert(f(0) === 16000f && f(1) === 3200f)
+    assert(f(2) === 12345f, "peak of a square wave is its amplitude")
+    assert(f(3) === ((3200 - 1) / 4).toFloat, "one sign flip per half period")
+    // every time segment of a square wave has mean |amplitude| == amp
+    assert((4 until 16).forall(i => f(i) === 12345f))
+  }
+
+  test("WavCodec refuses non-WAV and non-PCM16 payloads loudly") {
+    intercept[IllegalArgumentException](
+      Media.WavCodec.decode("not audio at all".getBytes))
+    intercept[IllegalArgumentException](
+      Media.WavCodec.decode(Media.syntheticPng(8, 8, 100)))
+    // a stereo header is structurally valid RIFF but unsupported
+    val mono = Media.syntheticWav(8000, 100, 1000, 2)
+    mono(22) = 2 // channels field in the fmt chunk
+    intercept[IllegalArgumentException](Media.WavCodec.decode(mono))
+  }
 }
