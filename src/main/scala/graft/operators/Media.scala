@@ -146,6 +146,79 @@ object Media {
     }
   }
 
+  /** A REAL video codec on the seam: a length-prefixed frame container
+    * ("GVID" magic + frame count, then per frame a 4-byte length + genuine
+    * PNG bytes) is parsed frame by frame, every `stride`-th frame REALLY
+    * decodes through javax.imageio, and the features pool temporally:
+    * [0] container frame count, [1] frames actually decoded,
+    * [2..15] mean luminance (0-255) of the first 14 sampled frames.
+    * The video shape that matters at 100 TB: the payload is touched once,
+    * frames the stride skips are never even decompressed, and only the
+    * narrow pooled features leave the map side. */
+  final case class VideoCodec(stride: Int = 2) extends MediaCodec {
+    require(stride > 0)
+    override def open(): Unit = javax.imageio.ImageIO.setUseCache(false)
+    override def decode(payload: Array[Byte]): Array[Float] = {
+      val b = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.BIG_ENDIAN)
+      val magic = new Array[Byte](4); b.get(magic)
+      require(new String(magic, "US-ASCII") == "GVID",
+        "payload is not a GVID frame container")
+      val nFrames = b.getInt
+      val out = new Array[Float](16)
+      out(0) = nFrames.toFloat
+      var j = 0; var sampled = 0
+      while (j < nFrames) {
+        val len = b.getInt
+        if (j % stride == 0) {
+          val frame = new Array[Byte](len); b.get(frame)
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
+          require(img != null, s"frame $j is not a decodable image")
+          var sum = 0.0; var px = 0
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sum += 0.299 * ((rgb >> 16) & 0xFF) +
+                     0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+              px += 1; x += 1
+            }
+            y += 1
+          }
+          if (sampled < 14) out(2 + sampled) = (sum / px).toFloat
+          sampled += 1
+        } else b.position(b.position() + len) // skipped frames never decode
+        j += 1
+      }
+      out(1) = sampled.toFloat
+      out
+    }
+  }
+
+  /** A deterministic in-memory GVID container of `grays.size` uniform-gray
+    * PNG frames — real video-ish bytes whose sampled-frame luminances are
+    * the gray values themselves (closed-form oracle). */
+  def syntheticVideo(w: Int, h: Int, grays: Seq[Int]): Array[Byte] = {
+    val frames = grays.map { g =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, (g << 16) | (g << 8) | g); x += 1 }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val total = 8 + frames.map(_.length + 4).sum
+    val b = java.nio.ByteBuffer.allocate(total).order(java.nio.ByteOrder.BIG_ENDIAN)
+    b.put("GVID".getBytes("US-ASCII")).putInt(frames.size)
+    frames.foreach(f => b.putInt(f.length).put(f))
+    b.array()
+  }
+
   /** A deterministic in-memory PCM16-mono WAV carrying a square wave:
     * sample_i = ±ampQ, flipping sign every `halfPeriod` samples — real
     * audio bytes whose decoded features are CLOSED-FORM (peak = ampQ,

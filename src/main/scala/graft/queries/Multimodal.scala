@@ -5,13 +5,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (north-star surface): media payloads are
-  * opaque `binary` columns with typed metadata alongside. The container has
-  * no image/audio codecs, so DECODE IS A DETERMINISTIC STUB — a byte
-  * histogram standing in for "decoded features" — but everything Spark-side
-  * is real: schema (binary + struct metadata), per-row feature extraction
-  * with higher-order functions, fixed-shape feature vectors, partitioned
-  * scans. graft.operators.Media adds the mapPartitions batch-decode path
-  * (the shape a JNI/FFI codec would slot into) with the same stub.
+  * opaque `binary` columns with typed metadata alongside. All THREE
+  * modalities now carry REAL decoders on the codec seam with zero external
+  * dependencies — images via javax.imageio (q158), audio via a RIFF/WAVE
+  * PCM16 parse (q163), video via a frame container whose sampled frames
+  * really decode (q164) — while q60/q61 keep the byte-histogram stub as
+  * the baseline shape. Everything Spark-side is real either way: schema
+  * (binary + struct metadata), per-row feature extraction, fixed-shape
+  * feature vectors, the mapPartitions batch-decode path a JNI/FFI codec
+  * slots into (graft.operators.Media).
   *
   * The synthetic payload is the document text encoded as UTF-8 — giving a
   * real variable-length binary column whose derived stats (length, sha256)
@@ -145,6 +147,37 @@ object Multimodal {
         |  CAST((1600 + (i % 3) * 800 - 1) // (2 + i % 5) AS BIGINT) AS flips,
         |  CAST((1600 + (i % 3) * 800) * 1000 // (8000 + (i % 4) * 4000) AS INTEGER) AS duration_ms
         |FROM (SELECT unnest(range(1, 17)) AS i)
+        |ORDER BY doc_id""".stripMargin),
+
+    // ---- REAL video decode (frame container + stride sampling) -------------------
+    // Each payload is a GVID container of 6 genuine uniform-gray PNG
+    // frames (gray_j = (20·id + 30·j) mod 256); Media.VideoCodec(stride=2)
+    // parses the container, decodes ONLY frames 0/2/4 through
+    // javax.imageio (skipped frames are never decompressed), and pools
+    // per-frame mean luminance. Uniform frames make the features
+    // closed-form: sampled luminance j == its gray value — stated
+    // literally by the oracle.
+    "q164_video_decode" -> Q(
+      (s, _) => {
+        import s.implicits._
+        import graft.operators.Media
+        val rows = s.range(1, 9).map { i =>
+          val grays = (0 until 6).map(j => ((20 * i + 30 * j) % 256).toInt)
+          Media.MediaRow(i, Media.syntheticVideo(32, 24, grays),
+            if (i % 2 == 0) "en" else "de")
+        }
+        Media.decode(rows, Media.VideoCodec(stride = 2)).map { f =>
+          (f.doc_id, f.features(0).toInt, f.features(1).toInt,
+            math.round(f.features(2)), math.round(f.features(3)),
+            math.round(f.features(4)))
+        }.toDF("doc_id", "n_frames", "n_sampled", "lum0", "lum2", "lum4")
+          .orderBy($"doc_id")
+      },
+      """SELECT CAST(i AS BIGINT) AS doc_id, 6 AS n_frames, 3 AS n_sampled,
+        |  CAST((20 * i) % 256 AS INTEGER) AS lum0,
+        |  CAST((20 * i + 60) % 256 AS INTEGER) AS lum2,
+        |  CAST((20 * i + 120) % 256 AS INTEGER) AS lum4
+        |FROM (SELECT unnest(range(1, 9)) AS i)
         |ORDER BY doc_id""".stripMargin),
   )
 }

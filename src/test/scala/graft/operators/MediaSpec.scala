@@ -232,4 +232,17 @@ class MediaSpec extends SparkTestBase {
     mono(22) = 2 // channels field in the fmt chunk
     intercept[IllegalArgumentException](Media.WavCodec.decode(mono))
   }
+
+  test("VideoCodec samples and really decodes every stride-th frame") {
+    val vid = Media.syntheticVideo(16, 16, Seq(10, 60, 110, 160, 210, 250))
+    val f = Media.VideoCodec(stride = 2).decode(vid)
+    assert(f(0) === 6f && f(1) === 3f)
+    assert(math.round(f(2)) === 10 && math.round(f(3)) === 110 &&
+      math.round(f(4)) === 210, "sampled frames are 0, 2, 4")
+    // stride 1 decodes everything
+    val all = Media.VideoCodec(stride = 1).decode(vid)
+    assert(all(1) === 6f && math.round(all(7)) === 250)
+    intercept[IllegalArgumentException](
+      Media.VideoCodec().decode("not a video".getBytes))
+  }
 }
