@@ -749,5 +749,28 @@ object Text {
         |        THEN 2 ELSE 0 END) >= 7 AS keep
         |FROM base LEFT JOIN winagg USING (doc_id)
         |ORDER BY doc_id""".stripMargin),
+
+    // ---- REAL BPE training (distributed pair counting) ---------------------------
+    // Not the regex stand-in: graft.operators.Bpe learns actual byte-pair
+    // merges — every round one corpus-wide Spark aggregation counts
+    // adjacent token pairs, the driver takes the argmax (ties to the
+    // lexicographically smallest pair), a map-side pass merges it
+    // everywhere. On the pinned corpus {"abab", "abcd"} the whole merge
+    // sequence is hand-derivable, so the oracle states it literally:
+    // (a,b) x3 first; then the 1-count ties resolve (ab,ab) < (ab,c) <
+    // (c,d); training stops when no pair remains (4 merges, not 10).
+    // BpeSpec runs the same trainer on real documents and pins
+    // decode(encode(x)) == x plus determinism.
+    "q165_bpe_merges" -> Q(
+      (s, _) => {
+        import s.implicits._
+        val merges = graft.operators.Bpe.train(
+          Seq("abab", "abcd").toDS(), numMerges = 10)
+        merges.map(m => (m.rank, m.left, m.right))
+          .toDF("rank", "l", "r").orderBy($"rank")
+      },
+      """SELECT * FROM (VALUES
+        |  (1, 'a', 'b'), (2, 'ab', 'ab'), (3, 'ab', 'c'), (4, 'abc', 'd'))
+        |AS t(rank, l, r) ORDER BY rank""".stripMargin),
   )
 }

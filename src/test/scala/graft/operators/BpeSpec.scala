@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Real BPE on the real corpus: the distributed trainer learns merges
+  * whose application is lossless (decode == concat), deterministic, and
+  * actually compresses the token stream. */
+class BpeSpec extends SparkTestBase {
+
+  private val testSf = "/root/testdata/sf0.001"
+
+  test("classic corpus learns the hand-derivable merge sequence") {
+    import spark.implicits._
+    val merges = Bpe.train(Seq("aaabdaaabac").toDS(), numMerges = 3)
+    // pairs of "aaabdaaabac": (a,a) x4 wins; then "aa,ab..." rounds follow
+    assert(merges.head.left == "a" && merges.head.right == "a")
+    assert(merges.map(_.rank) == (1 to merges.length))
+  }
+
+  test("documents corpus: roundtrip lossless, deterministic, compressive") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, testSf)
+      .select($"doc_id", $"text").limit(80).cache()
+    val corpus = docs.select($"text").as[String]
+    val merges = Bpe.train(corpus, numMerges = 24)
+    assert(merges.length == 24, "a text corpus must sustain 24 merges")
+    // determinism: an independent training run learns the identical table
+    assert(Bpe.train(corpus, numMerges = 24) == merges)
+    // apply map-side; decode == concatenation must reproduce every text
+    val toks = Bpe.tokenize(docs.toDF(), "doc_id", "text", merges)
+    val joined = toks.join(docs, "doc_id")
+    import org.apache.spark.sql.functions._
+    val broken = joined.filter(concat_ws("", col("tokens")) =!= col("text")).count()
+    assert(broken == 0, "decode(encode(x)) must equal x for every document")
+    // merges exist because pairs repeat — the stream must shrink vs chars
+    val sums = joined.agg(sum(col("n_tokens")), sum(length(col("text")))).head()
+    assert(sums.getLong(0) < sums.getLong(1),
+      s"BPE must compress: ${sums.getLong(0)} tokens vs ${sums.getLong(1)} chars")
+    docs.unpersist()
+  }
+}
