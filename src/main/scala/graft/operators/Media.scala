@@ -105,18 +105,30 @@ object Media {
       require(tag() == "RIFF", "payload is not a RIFF container")
       b.getInt // riff size
       require(tag() == "WAVE", "RIFF payload is not WAVE")
-      require(tag() == "fmt ", "WAVE payload lacks fmt chunk")
-      val fmtSize = b.getInt
-      val audioFormat = b.getShort
-      val channels = b.getShort
-      val sampleRate = b.getInt
-      b.getInt; b.getShort // byte rate, block align
-      val bits = b.getShort
-      require(audioFormat == 1 && channels == 1 && bits == 16,
-        s"only PCM16 mono supported (format=$audioFormat ch=$channels bits=$bits)")
-      b.position(b.position() + (fmtSize - 16))
-      require(tag() == "data", "WAVE payload lacks data chunk")
-      val dataSize = b.getInt
+      // standard RIFF walk: real encoders interleave LIST/INFO/fact chunks
+      // between fmt and data — skip what we don't parse, in order
+      var sampleRate = 0; var dataSize = -1; var fmtSeen = false
+      while (dataSize < 0) {
+        require(b.remaining >= 8, "WAVE payload lacks a data chunk")
+        val id = tag(); val size = b.getInt
+        id match {
+          case "fmt " =>
+            val audioFormat = b.getShort
+            val channels = b.getShort
+            sampleRate = b.getInt
+            b.getInt; b.getShort // byte rate, block align
+            val bits = b.getShort
+            require(audioFormat == 1 && channels == 1 && bits == 16,
+              s"only PCM16 mono supported (format=$audioFormat ch=$channels bits=$bits)")
+            b.position(b.position() + (size - 16))
+            fmtSeen = true
+          case "data" =>
+            require(fmtSeen, "WAVE data chunk precedes fmt")
+            dataSize = size
+          case _ =>
+            b.position(b.position() + size + (size & 1)) // chunks pad to even
+        }
+      }
       val n = dataSize / 2
       val out = new Array[Float](16)
       out(0) = sampleRate.toFloat

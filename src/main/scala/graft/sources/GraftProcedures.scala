@@ -144,7 +144,7 @@ object GraftProcedures {
     override def parameters(): Array[ProcedureParameter] = Array(
       param("table", StringType),
       paramD("retain_versions", IntegerType, "0"),
-      // -1: resolve the table's vacuum.retentionMs property (1h fallback);
+      // -1: resolve the table's vacuum.retentionMs property (7d fallback);
       // the age guard keeps uncommitted in-flight executor files safe from
       // a user-invoked vacuum.
       paramD("retention_ms", LongType, "-1"),

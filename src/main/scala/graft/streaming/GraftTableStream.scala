@@ -319,7 +319,14 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
         constOverrides = Seq("_change_type" -> "insert", "_commit_version" -> v.toString,
           "_commit_timestamp" -> tsOf(v)))
     }
-    if (s < 0 && startingVersion.isEmpty) insertParts(log.snapshotAt(e).files, e)
+    if (s < 0 && startingVersion.isEmpty) {
+      // same creation-race guard as the main source's initial load: a
+      // schema change landing between stream creation and the first batch
+      // must fail loudly, not serve evolved files through the pinned schema
+      ((creationHead + 1) to e).foreach(v =>
+        failOnMidStreamEvolution(v, log.readVersion(v)))
+      insertParts(log.snapshotAt(e).files, e)
+    }
     else ((s + 1) to e).foreach { v =>
       val actions = log.readVersion(v)
       failOnMidStreamEvolution(v, actions)

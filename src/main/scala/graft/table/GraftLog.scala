@@ -78,11 +78,16 @@ final class GraftLog(val tablePath: String) {
 
   private def sweepStaleTmp(cutoffTs: Long): Int = {
     if (!Files.isDirectory(logDir)) return 0
+    // debris floor INDEPENDENT of the caller's log-retention argument: a
+    // retention-0 cleanup must never reap the tmp a concurrent writer is
+    // between write and createLink on, or a just-moved part ahead of its
+    // manifest — anything under an hour old could be a live publish
+    val debrisCutoff = math.min(cutoffTs, System.currentTimeMillis() - 3600L * 1000)
     listingCount += 1
     val stream = Files.newDirectoryStream(logDir, ".*.tmp")
     val stale = try stream.iterator().asScala.toSeq finally stream.close()
     val tmps = stale.count { p =>
-      try Files.getLastModifiedTime(p).toMillis < cutoffTs && Files.deleteIfExists(p)
+      try Files.getLastModifiedTime(p).toMillis < debrisCutoff && Files.deleteIfExists(p)
       catch { case _: java.io.IOException => false } // racing writer's live tmp
     }
     // manifest-less multipart parts are debris from a crash between the
@@ -96,7 +101,7 @@ final class GraftLog(val tablePath: String) {
       .count { p =>
         val v = p.getFileName.toString.take(20).toLong
         try !Files.isRegularFile(multipartManifestFile(v)) &&
-          Files.getLastModifiedTime(p).toMillis < cutoffTs && Files.deleteIfExists(p)
+          Files.getLastModifiedTime(p).toMillis < debrisCutoff && Files.deleteIfExists(p)
         catch { case _: java.io.IOException => false }
       }
     tmps + orphans
@@ -119,10 +124,14 @@ final class GraftLog(val tablePath: String) {
     * O(history) — the object-store LIST bottleneck Delta's pointer file
     * exists to avoid. */
   def latestVersion: Long = {
+    // the no-pointer fallback starts at earliestVersion, NOT 0: after
+    // cleanupExpiredLogs pruned old commits, a lost/corrupt pointer must
+    // still find the head (probing from 0 would stop at the pruned gap
+    // and declare an intact table unreadable)
     val start = lastCheckpointPointer.filter(v => Files.exists(versionFile(v)))
       .getOrElse {
         require(exists, s"$tablePath is not a GraftTable: empty ${logDir}")
-        0L
+        earliestVersion
       }
     var v = start
     while (Files.exists(versionFile(v + 1))) v += 1
@@ -245,20 +254,13 @@ final class GraftLog(val tablePath: String) {
     * costs the listing fallback, never correctness. */
   val lastCheckpointFile: Path = logDir.resolve("_last_checkpoint")
 
-  private def lastCheckpointInfo: Option[(Long, Int)] =
+  private def lastCheckpointPointer: Option[Long] =
     try {
       if (!Files.isRegularFile(lastCheckpointFile)) None
-      else {
-        val body = Files.readString(lastCheckpointFile)
-        """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(body).map { m =>
-          val parts = """"parts"\s*:\s*(\d+)""".r.findFirstMatchIn(body)
-            .map(_.group(1).toInt).getOrElse(1)
-          (m.group(1).toLong, parts)
-        }
-      }
+      else """"version"\s*:\s*(\d+)""".r
+        .findFirstMatchIn(Files.readString(lastCheckpointFile))
+        .map(_.group(1).toLong)
     } catch { case _: java.io.IOException => None }
-
-  private def lastCheckpointPointer: Option[Long] = lastCheckpointInfo.map(_._1)
 
   def writeCheckpoint(v: Long): Unit = {
     // fold via snapshotAt: seeds from the newest checkpoint ≤ v and
@@ -374,9 +376,13 @@ final class GraftLog(val tablePath: String) {
   private def readCheckpoint(cp: Long): Snapshot =
     if (Files.exists(parquetCheckpointFile(cp)))
       CheckpointCodec.read(parquetCheckpointFile(cp), cp)
-    else if (multipartFiles(cp).nonEmpty)
-      CheckpointCodec.readMulti(multipartFiles(cp), cp)
     else {
+      val parts = multipartFiles(cp)
+      if (parts.nonEmpty) CheckpointCodec.readMulti(parts, cp)
+      else readJsonCheckpointTail(cp)
+    }
+
+  private def readJsonCheckpointTail(cp: Long): Snapshot = {
       val lines = Files.readAllLines(checkpointFile(cp), StandardCharsets.UTF_8)
         .asScala.filter(_.nonEmpty).map(Actions.fromJson).toSeq
       val meta = lines.collectFirst { case m: MetaData => m }.getOrElse(

@@ -968,6 +968,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       newSchema: StructType, partitionCols: Seq[String],
       props: Map[String, String]): Unit = {
     gateWriterFeatures(snapshot.protocol)
+    // REPLACE drops every committed row — the exact thing appendOnly
+    // forbids; unset the property first (the same escape hatch as DML)
+    requireNotAppendOnly(snapshot.metaData, "REPLACE TABLE AS SELECT")
     var done = false
     while (!done) {
       val s = snapshot
@@ -1429,7 +1432,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * files directly into the table directory, and a concurrent vacuum
     * must not delete them before their commit lands. `retentionMs < 0`
     * (the default) resolves the table property `vacuum.retentionMs`,
-    * falling back to 1 hour.
+    * falling back to 7 days — the same value as the minimum-retention
+    * floor, so default-args vacuum is always self-consistent.
     *
     * Minimum-retention safety check (Delta parity): a retention below
     * `vacuum.minRetentionMs` (default 7 days, Delta's 168 h) REFUSES to
@@ -1445,7 +1449,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     if (checkEnabled) {
       val effective =
         if (retentionMs >= 0) retentionMs
-        else props.get("vacuum.retentionMs").map(_.toLong).getOrElse(3600L * 1000)
+        else props.get("vacuum.retentionMs").map(_.toLong)
+          .getOrElse(7L * 24 * 3600 * 1000) // default == the minimum: self-consistent defaults (Delta parity)
       val minMs = props.get("vacuum.minRetentionMs").map(_.toLong)
         .getOrElse(7L * 24 * 3600 * 1000)
       require(effective >= minMs,
@@ -1488,7 +1493,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val cutoff = System.currentTimeMillis() - (
       if (retentionMs >= 0) retentionMs
       else snapshot.metaData.properties.get("vacuum.retentionMs").map(_.toLong)
-        .getOrElse(3600L * 1000))
+        .getOrElse(7L * 24 * 3600 * 1000))
     val keepFrom = math.max(0L, latest - retainVersions)
     val referenced = ((keepFrom to latest)
       .flatMap(v => log.snapshotAt(v).files

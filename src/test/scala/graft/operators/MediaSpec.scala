@@ -222,6 +222,19 @@ class MediaSpec extends SparkTestBase {
     assert((4 until 16).forall(i => f(i) === 12345f))
   }
 
+  test("WavCodec skips intermediate RIFF chunks (LIST/fact) like real encoders emit") {
+    val base = Media.syntheticWav(8000, 100, 5000, 2)
+    // splice a LIST chunk between fmt and data: RIFF(12) + fmt(8+16) = 36
+    val info = "INFOisft".getBytes("US-ASCII") // 8 bytes of payload
+    val out = java.nio.ByteBuffer.allocate(base.length + 8 + info.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put(base, 0, 36)
+    out.put("LIST".getBytes("US-ASCII")).putInt(info.length).put(info)
+    out.put(base, 36, base.length - 36)
+    val f = Media.WavCodec.decode(out.array())
+    assert(f(0) === 8000f && f(1) === 100f && f(2) === 5000f)
+  }
+
   test("WavCodec refuses non-WAV and non-PCM16 payloads loudly") {
     intercept[IllegalArgumentException](
       Media.WavCodec.decode("not audio at all".getBytes))

@@ -59,6 +59,14 @@ class AppendOnlySpec extends SparkTestBase {
     }
   }
 
+  test("REPLACE TABLE AS SELECT refuses on an append-only table") {
+    val t = mk()
+    intercept[UnsupportedOperationException] {
+      t.commitReplaceTable(Nil, t.snapshot.schema, Nil, Map.empty)
+    }
+    assert(t.toDF.count() === 2, "no rows may be dropped")
+  }
+
   test("writer feature gates foreign writers; UNSET is the escape hatch") {
     val t = mk()
     assert(t.snapshot.protocol.writerFeatures.contains("appendOnly"))

@@ -100,12 +100,22 @@ class LogRetentionSpec extends SparkTestBase {
     val fresh = logDir.resolve(".live-writer.commit.tmp")
     java.nio.file.Files.write(stale, "torn".getBytes)
     java.nio.file.Files.setLastModifiedTime(stale,
-      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600_000L))
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 7200_000L))
     java.nio.file.Files.write(fresh, "in-flight".getBytes)
     t.cleanupExpiredLogs(retentionMs = 60_000L)
     assert(!java.nio.file.Files.exists(stale), "hour-old tmp is crash debris")
     assert(java.nio.file.Files.exists(fresh), "a recent tmp may be a live commit")
     java.nio.file.Files.delete(fresh)
+  }
+
+  test("a lost _last_checkpoint after cleanup still resolves the head") {
+    val t = build(25)
+    t.cleanupExpiredLogs(retentionMs = 0) // earliest = 20
+    Files.delete(t.log.lastCheckpointFile) // the documented always-safe loss
+    val fresh = GraftTable.forPath(spark, t.path)
+    assert(fresh.latestVersion == 25,
+      "pointer loss must fall back to earliestVersion, not version 0")
+    assert(fresh.toDF.count() == 26)
   }
 
   test("timestamp resolution clamps to the pruned boundary") {

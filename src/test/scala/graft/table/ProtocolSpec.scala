@@ -126,8 +126,12 @@ class ProtocolSpec extends SparkTestBase {
     val guard = intercept[IllegalArgumentException](
       t.vacuum(retainVersions = 0, retentionMs = 0))
     assert(guard.getMessage.contains("below the minimum"))
+    // default-args vacuum is SELF-CONSISTENT: the 7d fallback satisfies
+    // the 7d minimum, so it runs without opt-outs (and deletes nothing
+    // young) — Delta's defaults behave identically
+    assert(t.vacuum() == 0)
     t.setProperty("vacuum.retentionDurationCheck", "false")
-    // default (1h) retention: nothing young is deleted
+    // default (7d) retention: nothing young is deleted
     assert(t.vacuum(retainVersions = 0) == 0)
     assert(Files.exists(inflight))
     // explicit zero retention removes both orphans
