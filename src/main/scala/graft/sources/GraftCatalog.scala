@@ -363,6 +363,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(del.fieldNames.length == 1,
           "graft tables support top-level DROP COLUMN only")
         t.dropColumn(del.fieldNames.head)
+      // ALTER COLUMN ... SET / DROP DEFAULT: metadata-only, future writes
+      case ud: TableChange.UpdateColumnDefaultValue =>
+        require(ud.fieldNames.length == 1,
+          "graft tables support top-level ALTER COLUMN DEFAULT only")
+        t.setColumnDefault(ud.fieldNames.head,
+          Option(ud.newCurrentDefault()).flatMap(d => Option(d.getSql)))
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change not supported on graft tables: $other")
     }

@@ -1047,6 +1047,33 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
             "nullability" -> (if (nullable) "DROP NOT NULL" else "SET NOT NULL")))))
   }
 
+  /** ALTER COLUMN ... SET / DROP DEFAULT — metadata-only. Spark's
+    * two-key contract: `CURRENT_DEFAULT` is what FUTURE writes that omit
+    * the column receive (changes with SET DEFAULT), `EXISTS_DEFAULT` is
+    * what rows written BEFORE the column existed read (fixed at ADD
+    * COLUMN; never touched here) — so altering a default can never
+    * rewrite or reinterpret a single existing row. */
+  def setColumnDefault(name: String, sql: Option[String]): Unit = {
+    val s = snapshot
+    val idx = s.schema.fieldNames.indexOf(name)
+    require(idx >= 0, s"no such column: $name")
+    val f = s.schema.fields(idx)
+    require(!f.metadata.contains(GeneratedColumns.MetadataKey) &&
+      !f.metadata.contains(IdentityColumns.StartKey),
+      s"column '$name' is generated/identity — its value is always engine-assigned")
+    val mb = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+    sql match {
+      case Some(q) => mb.putString("CURRENT_DEFAULT", q)
+      case None    => mb.remove("CURRENT_DEFAULT")
+    }
+    val evolved = StructType(s.schema.fields.updated(idx, f.copy(metadata = mb.build())))
+    log.commit(s.version + 1, Seq(
+      s.metaData.copy(schemaString = evolved.json),
+      CommitInfo(s.version + 1, log.nextTimestamp(), "ALTER COLUMN",
+        Map("column" -> name,
+            "default" -> sql.getOrElse("DROP DEFAULT")))))
+  }
+
   /** ALTER TABLE ... ALTER COLUMN ... TYPE — type WIDENING as a
     * metadata-only commit (Delta's type-widening table feature): the
     * schema changes, zero data files rewrite, and files written under the

@@ -474,4 +474,24 @@ class CatalogSpec extends SparkTestBase {
     intercept[Exception](spark.sql(
       s"SELECT * FROM graft_table_changes('$dir', '2999-01-01 00:00:00', '2999-01-02 00:00:00')").collect())
   }
+
+  test("ALTER COLUMN SET / DROP DEFAULT changes future writes only") {
+    registered
+    sql("CREATE TABLE gcat.default.defs (id INT, status STRING DEFAULT 'new') USING graft")
+    sql("INSERT INTO gcat.default.defs (id) VALUES (1)")
+    sql("ALTER TABLE gcat.default.defs ALTER COLUMN status SET DEFAULT 'active'")
+    sql("INSERT INTO gcat.default.defs (id) VALUES (2)")
+    val rows = sql("SELECT id, status FROM gcat.default.defs ORDER BY id").collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq ===
+      Seq((1, "new"), (2, "active")),
+      "existing rows keep their written value; only future writes see the new default")
+    sql("ALTER TABLE gcat.default.defs ALTER COLUMN status DROP DEFAULT")
+    sql("INSERT INTO gcat.default.defs VALUES (3, 'explicit')")
+    assert(sql("SELECT status FROM gcat.default.defs WHERE id = 3").head().getString(0)
+      === "explicit")
+    // the change is a versioned metadata commit like any other DDL
+    assert(sql("SELECT operation FROM graft_history('" + wh + "/default/defs') " +
+      "ORDER BY version DESC LIMIT 3").collect().map(_.getString(0))
+      .contains("ALTER COLUMN"))
+  }
 }
