@@ -369,6 +369,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "graft tables support top-level ALTER COLUMN DEFAULT only")
         t.setColumnDefault(ud.fieldNames.head,
           Option(ud.newCurrentDefault()).flatMap(d => Option(d.getSql)))
+      // ALTER COLUMN ... COMMENT: metadata-only documentation
+      case uc: TableChange.UpdateColumnComment =>
+        require(uc.fieldNames.length == 1,
+          "graft tables support top-level ALTER COLUMN COMMENT only")
+        t.setColumnComment(uc.fieldNames.head, Option(uc.newComment()))
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change not supported on graft tables: $other")
     }

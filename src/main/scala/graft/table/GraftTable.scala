@@ -1074,6 +1074,26 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
             "default" -> sql.getOrElse("DROP DEFAULT")))))
   }
 
+  /** ALTER COLUMN ... COMMENT — column documentation as a versioned
+    * metadata commit (Spark's standard `comment` field-metadata key, so
+    * DESCRIBE shows it). */
+  def setColumnComment(name: String, comment: Option[String]): Unit = {
+    val s = snapshot
+    val idx = s.schema.fieldNames.indexOf(name)
+    require(idx >= 0, s"no such column: $name")
+    val f = s.schema.fields(idx)
+    val mb = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+    comment match {
+      case Some(c) => mb.putString("comment", c)
+      case None    => mb.remove("comment")
+    }
+    val evolved = StructType(s.schema.fields.updated(idx, f.copy(metadata = mb.build())))
+    log.commit(s.version + 1, Seq(
+      s.metaData.copy(schemaString = evolved.json),
+      CommitInfo(s.version + 1, log.nextTimestamp(), "ALTER COLUMN",
+        Map("column" -> name, "comment" -> comment.getOrElse("")))))
+  }
+
   /** ALTER TABLE ... ALTER COLUMN ... TYPE — type WIDENING as a
     * metadata-only commit (Delta's type-widening table feature): the
     * schema changes, zero data files rewrite, and files written under the

@@ -494,4 +494,13 @@ class CatalogSpec extends SparkTestBase {
       "ORDER BY version DESC LIMIT 3").collect().map(_.getString(0))
       .contains("ALTER COLUMN"))
   }
+
+  test("ALTER COLUMN COMMENT lands in the versioned schema") {
+    registered
+    sql("CREATE TABLE gcat.default.cmts (id INT, score DOUBLE) USING graft")
+    sql("ALTER TABLE gcat.default.cmts ALTER COLUMN score COMMENT 'model quality signal'")
+    val desc = sql("DESCRIBE gcat.default.cmts").collect()
+      .map(r => (r.getString(0), r.getString(2))).toMap
+    assert(desc("score") == "model quality signal")
+  }
 }
