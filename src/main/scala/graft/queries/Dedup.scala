@@ -529,6 +529,54 @@ object Dedup {
          |  COUNT(*) OVER (PARTITION BY cluster_rep) AS cluster_size
          |FROM comp ORDER BY vec_id""".stripMargin),
 
+    // ---- Leakage-safe train/eval split (cluster-aware assignment) -----------------
+    // Random per-document splits LEAK: a near-duplicate pair lands one
+    // copy in train and one in eval, and the benchmark measures
+    // memorization. The safe split assigns whole NEAR-DUP CLUSTERS: every
+    // vector takes its cluster representative's id, and the split is a
+    // deterministic function of THAT (rep % 10 -> 80/10/10) — so
+    // near-duplicates co-assign by construction. Scale shape: the cluster
+    // pass is q97's banded pair graph + label propagation (never
+    // all-pairs); assignment itself is a map-side projection. The oracle
+    // replays the identical recursive closure and modulo in DuckDB.
+    "q166_leakage_safe_split" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val edges = embPairGraph(s, dir).select($"a".as("src"), $"b".as("dst"))
+        val nodes = Tables.embeddings(s, dir).select($"vec_id".as("id"))
+        val assigned = graft.operators.ConnectedComponents.components(nodes, edges)
+          .select($"id".as("vec_id"), $"label".as("cluster_rep"))
+          .withColumn("split",
+            when($"cluster_rep" % 10 < 8, "train")
+              .when($"cluster_rep" % 10 === 8, "valid")
+              .otherwise("test"))
+        // the no-straddle property is structural (split is a function of
+        // cluster_rep); the aggregate pins the full assignment
+        assigned.groupBy($"split")
+          .agg(count(lit(1)).as("n_docs"),
+               countDistinct($"cluster_rep").as("n_clusters"),
+               sum($"vec_id").as("id_sum"))
+          .orderBy($"split")
+      },
+      s"""WITH RECURSIVE $sqlEmbPairs,
+         |edges AS (SELECT a AS src, b AS dst FROM emb_pairs
+         |          UNION SELECT b, a FROM emb_pairs),
+         |walk(id, lbl) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id),
+         |comp AS (SELECT id AS vec_id, min(lbl) AS cluster_rep FROM walk GROUP BY 1),
+         |assigned AS (
+         |  SELECT vec_id, cluster_rep,
+         |    CASE WHEN cluster_rep % 10 < 8 THEN 'train'
+         |         WHEN cluster_rep % 10 = 8 THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM comp)
+         |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(DISTINCT cluster_rep) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(vec_id) AS BIGINT) AS id_sum
+         |FROM assigned GROUP BY split ORDER BY split""".stripMargin),
+
     // ---- Benchmark decontamination: n-gram overlap vs an eval set -----------------
     // The train/eval contamination check every LLM data pipeline runs
     // before training: flag corpus documents sharing any 4-token shingle
