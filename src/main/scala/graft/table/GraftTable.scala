@@ -246,13 +246,66 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * reprocessing: "join the fact table to this ingest window's keys"
     * reads the handful of files that window landed in, not the table. */
   def scanForKeys(column: String, keys: DataFrame, maxKeys: Int = 100000): DataFrame = {
-    require(snapshot.schema.fieldNames.contains(column),
+    val s = snapshot
+    require(s.schema.fieldNames.contains(column),
       s"scanForKeys: unknown column '$column'")
     val vals = keys.select(col(column)).where(col(column).isNotNull)
       .distinct().limit(maxKeys + 1).collect().map(_.get(0)).toSeq
-    if (vals.size > maxKeys) toDF
-    else if (vals.isEmpty) toDF.limit(0)
-    else scan(col(column).isInCollection(vals))
+    if (vals.size > maxKeys) return toDF
+    if (vals.isEmpty) return toDF.limit(0)
+    // Small key sets ride the full IN machinery (min/max + parquet
+    // blooms). Big ones would make DataSkipping's per-file ∃-key loop
+    // O(files × keys) — at 1M files × 100k keys that is the driver
+    // becoming the bottleneck — so they range-prune with ONE binary
+    // search per file over the sorted keys (O(files · log keys)); the
+    // per-row filter stays an InSet hash probe either way.
+    val keep: Seq[AddFile] =
+      if (vals.size <= 256) prunedFiles(s, col(column).isInCollection(vals))
+      else sortedKeyPrune(s, column, vals).getOrElse(s.files)
+    readFiles(s, keep).filter(col(column).isInCollection(vals))
+  }
+
+  /** Files whose [min, max] stat interval contains at least one of the
+    * sorted keys — None when the column's type or stats can't support the
+    * comparison (caller keeps all files: pruning is only ever an
+    * optimization). */
+  private def sortedKeyPrune(s: Snapshot, column: String,
+      vals: Seq[Any]): Option[Seq[AddFile]] = {
+    val statKey = ColumnMapping.physicalOf(s.schema, column)
+    val isStr = s.schema.fields.find(_.name == column).exists(_.dataType == StringType)
+    def ord(v: String): Option[Either[BigDecimal, String]] =
+      if (isStr) Some(Right(v))
+      else scala.util.Try(Left(BigDecimal(v))).toOption
+    val sorted: Array[Either[BigDecimal, String]] = {
+      val converted = vals.map(v => ord(String.valueOf(v)))
+      if (converted.exists(_.isEmpty)) return None
+      val arr = converted.flatten.toArray
+      scala.util.Sorting.stableSort(arr, (a: Either[BigDecimal, String],
+          b: Either[BigDecimal, String]) => (a, b) match {
+        case (Left(x), Left(y))   => x < y
+        case (Right(x), Right(y)) => x < y
+        case _                    => false
+      })
+      arr
+    }
+    def le(a: Either[BigDecimal, String], b: Either[BigDecimal, String]): Boolean =
+      (a, b) match {
+        case (Left(x), Left(y))   => x <= y
+        case (Right(x), Right(y)) => x <= y
+        case _                    => true
+      }
+    Some(s.files.filter { f =>
+      (for { lo <- f.minValues.get(statKey).flatMap(ord)
+             hi <- f.maxValues.get(statKey).flatMap(ord) } yield {
+        // first key >= lo, via binary search; file survives if it's <= hi
+        var b = 0; var e = sorted.length
+        while (b < e) {
+          val m = (b + e) >>> 1
+          if (le(lo, sorted(m))) e = m else b = m + 1
+        }
+        b < sorted.length && le(sorted(b), hi)
+      }).getOrElse(true) // no stats → keep
+    })
   }
 
   /** COUNT(*) answered purely from the transaction log — no data file is

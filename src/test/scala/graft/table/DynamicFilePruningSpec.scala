@@ -39,4 +39,17 @@ class DynamicFilePruningSpec extends SparkTestBase {
     assert(fact.scanForKeys("k", withNull).collect().map(_.getInt(0)).toSeq === Seq(7))
     intercept[IllegalArgumentException](fact.scanForKeys("nope", big))
   }
+
+  test("large key sets range-prune with sorted binary search, same rows") {
+    import spark.implicits._
+    // > 256 keys forces the O(files * log keys) path; keys cluster in one
+    // range slice so pruning still fires
+    val keyVals = (1000 until 1400)
+    val keys = keyVals.toDF("k")
+    val got = fact.scanForKeys("k", keys).collect().map(_.getInt(0)).sorted.toSeq
+    assert(got === keyVals.toSeq, "large-key path must return exactly the matching rows")
+    // and a scattered large key set (every 7th id) still returns exact rows
+    val scattered = (0 until 4000 by 7).toDF("k")
+    assert(fact.scanForKeys("k", scattered).count() === (0 until 4000 by 7).size)
+  }
 }
