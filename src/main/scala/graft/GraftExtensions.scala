@@ -34,6 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // metadata-only COUNT(*): answer an unfiltered global count over a
+    // graft relation from the transaction log (zero files, zero jobs)
+    ext.injectOptimizerRule(session => graft.plans.MetadataOnlyCount(session))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),

@@ -146,7 +146,7 @@ object TableQueries {
         "q153_copy_into", "q155_row_tracking", "q156_notnull_invariant",
         "q157_type_widening", "q159_null_skipping",
         "q160_prefix_skipping", "q161_fsck_repair",
-        "q162_dynamic_file_pruning").foreach { q =>
+        "q162_dynamic_file_pruning", "q167_metadata_count").foreach { q =>
       try { graft.SparkEntry.queries(q)(s, dir); () }
       catch { case _: Throwable => () }
     }
@@ -1121,6 +1121,28 @@ object TableQueries {
         |  CAST(SUM(${graft.queries.Exact.sqlDiscPrice("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderkey BETWEEN 1000 AND 3000 AND o_totalprice > 150000.0""".stripMargin),
+
+    // ---- Metadata-only COUNT(*) through the Catalyst rule ------------------------
+    // SELECT COUNT(*) over a graft relation folds from the transaction
+    // log — the optimized plan is a LocalRelation, zero data files
+    // opened, zero Spark jobs (plans.MetadataOnlyCount, Delta's
+    // metadata-only query). The fixture REQUIREs the rewrite actually
+    // fired; the oracle counts the raw parquet.
+    "q167_metadata_count" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = cache.computeIfAbsent(s"moc:$dir", _ =>
+          GraftTable.create(s, graft.Scratch.dir("graft-moc-").toString,
+            graft.Tables.lineitem(s, dir).select($"l_orderkey", $"l_quantity")))
+        val df = s.read.format("graft").load(t.path)
+          .groupBy().agg(count(lit(1)).as("n_rows"))
+        require(df.queryExecution.optimizedPlan.collectLeaves().forall(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+          s"metadata-only count must rewrite to LocalRelation:\n" +
+            df.queryExecution.optimizedPlan)
+        df
+      },
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem"),
 
     // ---- FSCK repair: reading through an externally-broken table -----------------
     // Four files land by doc_id residue; the residue-0 file's parquet is

@@ -539,6 +539,15 @@ class GraftSqlTable(val table: GraftTable, ident: String,
 
   private def snap: Snapshot = pinned.getOrElse(table.snapshot)
 
+  /** The metadata-only COUNT(*) rewrite (plans.MetadataOnlyCount) may
+    * serve this relation from the log: not a CDF relation (its rows are
+    * commit deltas, not the snapshot). Pinned time travel composes. */
+  private[graft] def supportsMetadataCount: Boolean = !cdf
+
+  /** Live row total from the log alone: footer row counts minus
+    * deletion-vector tombstones, per AddFile — zero files opened. */
+  private[graft] def metadataRowCount: Long = snap.files.map(_.liveRecords).sum
+
   /** SQL `DELETE FROM` front door: the predicate routes to the table
     * layer's stats-pruned delete rewrite. Supported iff every filter
     * translates exactly (delete semantics can't drop a conjunct the way

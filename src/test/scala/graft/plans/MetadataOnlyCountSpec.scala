@@ -1,0 +1,89 @@
+package graft.plans
+
+import graft.SparkTestBase
+import graft.table.GraftTable
+import org.apache.spark.sql.functions._
+
+/** The metadata-only COUNT(*) rule: a bare global count over a graft
+  * relation folds from the log (LocalRelation in the optimized plan, zero
+  * Spark jobs), stays exact under deletion vectors and time travel, and
+  * never fires where it would be unsound (filters, grouping, CDF). */
+class MetadataOnlyCountSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def jobsDuring[A](f: => A): (A, Int) = {
+    val n = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val r = f
+      Thread.sleep(300) // listener events are async; jobs post well within this
+      (r, n.get())
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  private lazy val path: String = {
+    val t = GraftTable.create(spark, tmpDir("moc-"),
+      (1 to 100).map(i => (i, s"v$i")).toDF("id", "v").coalesce(2))
+    t.append((101 to 120).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    t.path
+  }
+
+  test("bare COUNT(*) folds from the log: LocalRelation plan, zero jobs") {
+    val df = spark.read.format("graft").load(path).groupBy().count()
+    val optimized = df.queryExecution.optimizedPlan
+    assert(optimized.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      s"expected a LocalRelation-only plan, got:\n$optimized")
+    val (rows, jobs) = jobsDuring(df.collect())
+    assert(rows.head.getLong(0) === 120L)
+    assert(jobs === 0, s"metadata count must run zero Spark jobs, ran $jobs")
+    // SQL spelling through the catalog hits the same rule
+    spark.conf.set("spark.sql.catalog.mocat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.mocat.warehouse", tmpDir("moc-wh-"))
+    try {
+      spark.sql(s"CREATE TABLE mocat.default.moc USING graft LOCATION '$path'")
+      val sdf = spark.sql("SELECT COUNT(*) FROM mocat.default.moc")
+      assert(sdf.queryExecution.optimizedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+      assert(sdf.head().getLong(0) === 120L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.mocat")
+      spark.conf.unset("spark.sql.catalog.mocat.warehouse")
+    }
+  }
+
+  test("exact under deletion vectors and time travel") {
+    val t = GraftTable.forPath(spark, path)
+    val vBefore = t.latestVersion
+    t.setProperty("deletionVectors.enabled", "true")
+    t.delete(col("id") <= 10) // merge-on-read: tombstones only
+    val df = spark.read.format("graft").load(path).groupBy().count()
+    assert(df.head().getLong(0) === 110L,
+      "log-folded count must subtract DV tombstones")
+    val tt = spark.read.format("graft").option("versionAsOf", vBefore)
+      .load(path).groupBy().count()
+    assert(tt.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+    assert(tt.head().getLong(0) === 120L, "pinned snapshot counts its own era")
+  }
+
+  test("never fires where it would be unsound; opt-out honored") {
+    val r = spark.read.format("graft").load(path)
+    def hasScanLeaf(df: org.apache.spark.sql.DataFrame): Boolean =
+      !df.queryExecution.optimizedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    assert(hasScanLeaf(r.filter(col("id") > 150).groupBy().count()),
+      "filtered count must scan")
+    assert(r.filter(col("id") > 150).count() === 0L)
+    assert(hasScanLeaf(r.groupBy(col("v")).count()), "grouped count must scan")
+    assert(hasScanLeaf(r.groupBy().agg(count(lit(1)), sum(col("id")))),
+      "mixed aggregates must scan")
+    spark.conf.set("spark.graft.metadataOnlyCount", "false")
+    try assert(hasScanLeaf(r.groupBy().count()), "opt-out must disable the rule")
+    finally spark.conf.unset("spark.graft.metadataOnlyCount")
+  }
+}
