@@ -2,44 +2,88 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
-/** `SELECT COUNT(*) FROM graft_table` answered from the transaction log —
-  * zero data files opened, zero Spark jobs (Delta's metadata-only query
-  * optimization, here as a Catalyst `Rule[LogicalPlan]` injected through
-  * `SparkSessionExtensions`).
+/** `SELECT COUNT(*) / MIN(col) / MAX(col) FROM graft_table` answered from
+  * the transaction log — zero data files opened, zero Spark jobs (Delta's
+  * metadata-only query optimization, here as a Catalyst
+  * `Rule[LogicalPlan]` injected through `SparkSessionExtensions`).
   *
-  * Every AddFile carries its footer row count and its deletion-vector
-  * tombstone count, so the snapshot's live total is a driver-side fold —
-  * at 100 TB the difference between a millisecond and a cluster-wide
-  * scan. The rewrite fires ONLY on the exact sound shape: a global
-  * aggregate whose every expression is an undistincted, unfiltered
-  * `count(1)` / `count(*)` directly over a bare graft relation (no
-  * Filter below — a filtered count must scan; no CDF relation — its row
-  * multiset is commit deltas, not the snapshot; grouping or any other
-  * aggregate disables it). Time travel composes: a pinned relation
-  * counts its pinned snapshot. `spark.graft.metadataOnlyCount` = false
-  * opts out. */
+  * Every AddFile carries its footer row count, per-column min/max, and
+  * its deletion-vector tombstone count, so these aggregates are a
+  * driver-side fold — at 100 TB the difference between a millisecond and
+  * a cluster-wide scan. The rewrite fires ONLY on the sound shape:
+  *
+  *  - a GLOBAL aggregate (no grouping) whose every expression is an
+  *    undistincted, unfiltered `count(*)`, `min(col)`, or `max(col)`
+  *    over a bare graft relation — no Filter below (a filtered aggregate
+  *    must scan; row-preserving Projects look through), no CDF relation
+  *    (its row multiset is commit deltas, not the snapshot);
+  *  - COUNT is always exact from the log (`liveRecords` subtracts DV
+  *    tombstones);
+  *  - MIN/MAX additionally require: ZERO deletion vectors in the
+  *    snapshot (a tombstoned row could BE the extremum — stats are only
+  *    over-approximations under a DV), complete stats on every file, a
+  *    directly supported stat type, and — for strings — bounds below the
+  *    truncation length (a truncated stat is a bound, not an extremum;
+  *    `metadataMinMax` refuses those). Any doubt → no rewrite, the scan
+  *    answers.
+  *
+  * Time travel composes: a pinned relation folds its pinned snapshot.
+  * `spark.graft.metadataOnlyCount` = false opts out. */
 case class MetadataOnlyCount(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  private def isCountStar(e: org.apache.spark.sql.catalyst.expressions.NamedExpression): Boolean =
-    e match {
-      case Alias(AggregateExpression(Count(Seq(Literal(1, _))), Complete, false, None, _), _) => true
-      case _ => false
-    }
+  private sealed trait MetaAgg
+  private case object CountStar extends MetaAgg
+  private final case class MinOf(col: String, dt: DataType) extends MetaAgg
+  private final case class MaxOf(col: String, dt: DataType) extends MetaAgg
+
+  /** Stat strings convert to InternalRow values exactly for these types
+    * (decimals carry a scale the raw stat string lacks — excluded). */
+  private def statType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | StringType | DateType | TimestampType => true
+    case _ => false
+  }
+
+  private def classify(e: NamedExpression): Option[MetaAgg] = e match {
+    case Alias(AggregateExpression(Count(Seq(Literal(1, _))), Complete, false, None, _), _) =>
+      Some(CountStar)
+    case Alias(AggregateExpression(Min(a: AttributeReference), Complete, false, None, _), _)
+        if statType(a.dataType) => Some(MinOf(a.name, a.dataType))
+    case Alias(AggregateExpression(Max(a: AttributeReference), Complete, false, None, _), _)
+        if statType(a.dataType) => Some(MaxOf(a.name, a.dataType))
+    case _ => None
+  }
+
+  private def decode(v: String, dt: DataType): Any = dt match {
+    case ByteType      => v.toByte
+    case ShortType     => v.toShort
+    case IntegerType   => v.toInt
+    case LongType      => v.toLong
+    case FloatType     => v.toFloat
+    case DoubleType    => v.toDouble
+    case StringType    => UTF8String.fromString(v)
+    case DateType      => v.toInt   // epoch days (INT32 stat)
+    case TimestampType => v.toLong  // epoch micros (INT64 stat)
+    case other => throw new IllegalStateException(s"unexpected stat type $other")
+  }
 
   /** The relation under the aggregate, looking through Projects — a
-    * Project is 1:1 on rows, so it never changes a count; anything else
-    * (Filter, Generate, joins...) disqualifies the rewrite. The optimizer
-    * interleaves this rule with ColumnPruning, which wraps the relation
-    * in a pruning Project mid-batch. */
+    * Project is 1:1 on rows and passes attributes through unchanged, so
+    * it never changes these aggregates; anything else (Filter, Generate,
+    * joins...) disqualifies the rewrite. The optimizer interleaves this
+    * rule with ColumnPruning, which wraps the relation in a pruning
+    * Project mid-batch. */
   private def bareRelation(p: LogicalPlan): Option[DataSourceV2Relation] = p match {
     case r: DataSourceV2Relation => Some(r)
-    case org.apache.spark.sql.catalyst.plans.logical.Project(_, child) => bareRelation(child)
+    case Project(_, child) => bareRelation(child)
     case _ => None
   }
 
@@ -47,13 +91,30 @@ case class MetadataOnlyCount(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!spark.conf.get("spark.graft.metadataOnlyCount", "true").toBoolean) return plan
     plan.transformUp {
       case agg @ Aggregate(Nil, exprs, child, _)
-          if exprs.nonEmpty && exprs.forall(isCountStar) &&
+          if exprs.nonEmpty && exprs.forall(classify(_).isDefined) &&
             bareRelation(child).exists(r =>
               r.table.isInstanceOf[graft.sources.GraftSqlTable] &&
               r.table.asInstanceOf[graft.sources.GraftSqlTable].supportsMetadataCount) =>
-        val n = bareRelation(child).get.table
-          .asInstanceOf[graft.sources.GraftSqlTable].metadataRowCount
-        LocalRelation(agg.output, Seq(InternalRow.fromSeq(exprs.map(_ => n))))
+        val t = bareRelation(child).get.table.asInstanceOf[graft.sources.GraftSqlTable]
+        val metas = exprs.map(e => classify(e).get)
+        val needsMinMax = metas.exists(!_.isInstanceOf[CountStar.type])
+        // any decode surprise (e.g. a formatted partition-value stat where
+        // a raw numeric was expected) → no rewrite, the scan answers
+        val answered: Option[Seq[Any]] = scala.util.Try {
+          if (needsMinMax && !t.supportsMetadataMinMax) None
+          else {
+            val vals = metas.map {
+              case CountStar => Some(t.metadataRowCount: Any)
+              case MinOf(c, dt) => t.metadataExtremes(c).map(b => decode(b._1, dt))
+              case MaxOf(c, dt) => t.metadataExtremes(c).map(b => decode(b._2, dt))
+            }
+            if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None
+          }
+        }.toOption.flatten
+        answered match {
+          case Some(row) => LocalRelation(agg.output, Seq(InternalRow.fromSeq(row)))
+          case None      => agg // incomplete/unsound stats: the scan answers
+        }
     }
   }
 }

@@ -548,6 +548,17 @@ class GraftSqlTable(val table: GraftTable, ident: String,
     * deletion-vector tombstones, per AddFile — zero files opened. */
   private[graft] def metadataRowCount: Long = snap.files.map(_.liveRecords).sum
 
+  /** MIN/MAX from the log is sound only when NO file carries a deletion
+    * vector: a tombstoned row could be the extremum, and per-file stats
+    * are over-approximations under a DV. */
+  private[graft] def supportsMetadataMinMax: Boolean =
+    supportsMetadataCount && snap.files.forall(f => f.dvPath.isEmpty && f.dvCount == 0L)
+
+  /** Exact column extremes from the log (refuses on incomplete stats or
+    * possibly-truncated string bounds — see metadataMinMaxOf). */
+  private[graft] def metadataExtremes(column: String): Option[(String, String)] =
+    GraftTable.metadataMinMaxOf(snap, column)
+
   /** SQL `DELETE FROM` front door: the predicate routes to the table
     * layer's stats-pruned delete rewrite. Supported iff every filter
     * translates exactly (delete semantics can't drop a conjunct the way

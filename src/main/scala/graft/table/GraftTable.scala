@@ -320,33 +320,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * stats for the column (never guess from partial coverage) — callers
     * fall back to a scan. Comparison is type-driven: lexicographic for
     * strings, numeric otherwise (same discipline as DataSkipping). */
-  def metadataMinMax(column: String, v: Long = latestVersion): Option[(String, String)] = {
-    val snap = snapshotAt(v)
-    val isStr = DataType.fromJson(snap.metaData.schemaString).asInstanceOf[StructType]
-      .fields.find(_.name == column).exists(_.dataType == StringType)
-    def cmp(a: String, b: String): Int =
-      if (isStr) a.compareTo(b) else BigDecimal(a).compare(BigDecimal(b))
-    val perFile = snap.files.map { f =>
-      for {
-        lo <- f.minValues.get(column).orElse(f.partitionValues.get(column))
-        hi <- f.maxValues.get(column).orElse(f.partitionValues.get(column))
-      } yield (lo, hi)
-    }
-    if (perFile.isEmpty || perFile.exists(_.isEmpty)) None
-    else {
-      val bounds = perFile.flatten
-      // string stats at the truncation length may be TRUNCATED (FileOps
-      // caps them at 32 chars so document-length values never bloat the
-      // log) — then they are honest BOUNDS but not exact extrema, and a
-      // metadata-only MIN/MAX must refuse rather than serve a prefix as
-      // the answer. Numeric stats are always exact.
-      val maybeTruncated = isStr && bounds.exists { case (lo, hi) =>
-        lo.length >= FileOps.StatsTruncateLen || hi.length >= FileOps.StatsTruncateLen }
-      if (maybeTruncated) None
-      else Some((bounds.map(_._1).reduce((a, b) => if (cmp(a, b) <= 0) a else b),
-                 bounds.map(_._2).reduce((a, b) => if (cmp(a, b) >= 0) a else b)))
-    }
-  }
+  def metadataMinMax(column: String, v: Long = latestVersion): Option[(String, String)] =
+    GraftTable.metadataMinMaxOf(snapshotAt(v), column)
 
   /** DESCRIBE DETAIL: one-row table summary from the log alone — version,
     * live file count, metadata row count, total bytes, partition columns,
@@ -2761,6 +2736,36 @@ final class MergeBuilder private[table] (
 }
 
 object GraftTable {
+  /** Snapshot-based core of `metadataMinMax` (shared with the
+    * metadata-only aggregate rule, which folds a PINNED snapshot). */
+  private[graft] def metadataMinMaxOf(snap: Snapshot, column: String): Option[(String, String)] = {
+    val isStr = DataType.fromJson(snap.metaData.schemaString).asInstanceOf[StructType]
+      .fields.find(_.name == column).exists(_.dataType == StringType)
+    def cmp(a: String, b: String): Int =
+      if (isStr) a.compareTo(b) else BigDecimal(a).compare(BigDecimal(b))
+    val perFile = snap.files.map { f =>
+      for {
+        lo <- f.minValues.get(column).orElse(f.partitionValues.get(column))
+        hi <- f.maxValues.get(column).orElse(f.partitionValues.get(column))
+      } yield (lo, hi)
+    }
+    if (perFile.isEmpty || perFile.exists(_.isEmpty)) None
+    else {
+      val bounds = perFile.flatten
+      // string stats at the truncation length may be TRUNCATED (FileOps
+      // caps them at 32 chars so document-length values never bloat the
+      // log) — then they are honest BOUNDS but not exact extrema, and a
+      // metadata-only MIN/MAX must refuse rather than serve a prefix as
+      // the answer. Numeric stats are always exact.
+      val maybeTruncated = isStr && bounds.exists { case (lo, hi) =>
+        lo.length >= FileOps.StatsTruncateLen || hi.length >= FileOps.StatsTruncateLen }
+      if (maybeTruncated) None
+      else Some((bounds.map(_._1).reduce((a, b) => if (cmp(a, b) <= 0) a else b),
+                 bounds.map(_._2).reduce((a, b) => if (cmp(a, b) >= 0) a else b)))
+    }
+  }
+
+
   /** True when the table declares `appendOnly = 'true'`. */
   private[graft] def isAppendOnly(meta: MetaData): Boolean =
     meta.properties.get("appendOnly").exists(_.equalsIgnoreCase("true"))

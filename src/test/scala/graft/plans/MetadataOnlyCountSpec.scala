@@ -86,4 +86,38 @@ class MetadataOnlyCountSpec extends SparkTestBase {
     try assert(hasScanLeaf(r.groupBy().count()), "opt-out must disable the rule")
     finally spark.conf.unset("spark.graft.metadataOnlyCount")
   }
+
+  test("MIN/MAX fold from stats; DVs and truncated strings disable them") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("mocmm-"),
+      (1 to 50).map(i => (i, i * 1.5, s"name$i")).toDF("id", "score", "name")
+        .coalesce(2))
+    val r = spark.read.format("graft").load(t.path)
+    def isLocal(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    val mm = r.groupBy().agg(min(col("id")), max(col("id")),
+      min(col("score")), max(col("score")), max(col("name")), count(lit(1)))
+    assert(isLocal(mm), s"min/max must fold from stats:\n${mm.queryExecution.optimizedPlan}")
+    val row = mm.head()
+    assert(row.getInt(0) === 1 && row.getInt(1) === 50)
+    assert(row.getDouble(2) === 1.5 && row.getDouble(3) === 75.0)
+    assert(row.getString(4) === "name9") // lexicographic max
+    assert(row.getLong(5) === 50L)
+    // a deletion vector could hide the extremum: min/max must scan again
+    t.setProperty("deletionVectors.enabled", "true")
+    t.delete(col("id") === 50)
+    val afterDv = spark.read.format("graft").load(t.path)
+      .groupBy().agg(max(col("id")))
+    assert(!isLocal(afterDv), "min/max over DV files must scan")
+    assert(afterDv.head().getInt(0) === 49)
+    // ...while bare COUNT(*) stays metadata-only (liveRecords is exact)
+    assert(isLocal(spark.read.format("graft").load(t.path).groupBy().count()))
+    // long strings truncate in the log -> max(name) must scan, not serve a prefix
+    val t2 = GraftTable.create(spark, tmpDir("mocmm2-"),
+      Seq((1, "z" * 40), (2, "a" * 40)).toDF("id", "t").coalesce(1))
+    val longStr = spark.read.format("graft").load(t2.path).groupBy().agg(max(col("t")))
+    assert(!isLocal(longStr), "possibly-truncated string stats must not serve MIN/MAX")
+    assert(longStr.head().getString(0) === "z" * 40)
+  }
 }
