@@ -77,6 +77,15 @@ object ScalingProbe {
     }
     val s20 = timed("multipart_seeded_snapshot") { new GraftLog(dir).snapshotAt(20L) }
     require(s20.files.size == n + 100, s"multipart checkpoint lost files: ${s20.files.size}")
+    // dynamic-file-pruning driver cost at the design point: 100k build-side
+    // keys against every file's [min, max] — the sorted binary-search path
+    // (O(files · log keys); the naive per-file ∃-key loop would be
+    // O(files · keys), ~400× the comparisons here)
+    val keys: Seq[Any] = (0 until 100000).map(i => Long.box(i * 37L))
+    val kept = timed("dfp_prune_100k_keys") {
+      GraftTable.sortedKeyPruneOf(s20, "id", keys).map(_.size).getOrElse(-1)
+    }
+    require(kept >= 0, "sortedKeyPruneOf must support the numeric id column")
     // cleanup: the synthetic log is multi-MB, not worth keeping
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala

@@ -265,48 +265,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     readFiles(s, keep).filter(col(column).isInCollection(vals))
   }
 
-  /** Files whose [min, max] stat interval contains at least one of the
-    * sorted keys — None when the column's type or stats can't support the
-    * comparison (caller keeps all files: pruning is only ever an
-    * optimization). */
   private def sortedKeyPrune(s: Snapshot, column: String,
-      vals: Seq[Any]): Option[Seq[AddFile]] = {
-    val statKey = ColumnMapping.physicalOf(s.schema, column)
-    val isStr = s.schema.fields.find(_.name == column).exists(_.dataType == StringType)
-    def ord(v: String): Option[Either[BigDecimal, String]] =
-      if (isStr) Some(Right(v))
-      else scala.util.Try(Left(BigDecimal(v))).toOption
-    val sorted: Array[Either[BigDecimal, String]] = {
-      val converted = vals.map(v => ord(String.valueOf(v)))
-      if (converted.exists(_.isEmpty)) return None
-      val arr = converted.flatten.toArray
-      scala.util.Sorting.stableSort(arr, (a: Either[BigDecimal, String],
-          b: Either[BigDecimal, String]) => (a, b) match {
-        case (Left(x), Left(y))   => x < y
-        case (Right(x), Right(y)) => x < y
-        case _                    => false
-      })
-      arr
-    }
-    def le(a: Either[BigDecimal, String], b: Either[BigDecimal, String]): Boolean =
-      (a, b) match {
-        case (Left(x), Left(y))   => x <= y
-        case (Right(x), Right(y)) => x <= y
-        case _                    => true
-      }
-    Some(s.files.filter { f =>
-      (for { lo <- f.minValues.get(statKey).flatMap(ord)
-             hi <- f.maxValues.get(statKey).flatMap(ord) } yield {
-        // first key >= lo, via binary search; file survives if it's <= hi
-        var b = 0; var e = sorted.length
-        while (b < e) {
-          val m = (b + e) >>> 1
-          if (le(lo, sorted(m))) e = m else b = m + 1
-        }
-        b < sorted.length && le(sorted(b), hi)
-      }).getOrElse(true) // no stats → keep
-    })
-  }
+      vals: Seq[Any]): Option[Seq[AddFile]] =
+    GraftTable.sortedKeyPruneOf(s, column, vals)
+
 
   /** COUNT(*) answered purely from the transaction log — no data file is
     * opened (the Delta "metadata-only query" path: every add action carries
@@ -2736,6 +2698,50 @@ final class MergeBuilder private[table] (
 }
 
 object GraftTable {
+  /** Files whose [min, max] stat interval contains at least one of the
+    * sorted keys — None when the column's type or stats can't support the
+    * comparison (caller keeps all files: pruning is only ever an
+    * optimization). O(files · log keys); ScalingProbe `log` mode measures
+    * it at the 1M-file × 100k-key design point. */
+  private[graft] def sortedKeyPruneOf(s: Snapshot, column: String,
+      vals: Seq[Any]): Option[Seq[AddFile]] = {
+    val statKey = ColumnMapping.physicalOf(s.schema, column)
+    val isStr = s.schema.fields.find(_.name == column).exists(_.dataType == StringType)
+    def ord(v: String): Option[Either[BigDecimal, String]] =
+      if (isStr) Some(Right(v))
+      else scala.util.Try(Left(BigDecimal(v))).toOption
+    val sorted: Array[Either[BigDecimal, String]] = {
+      val converted = vals.map(v => ord(String.valueOf(v)))
+      if (converted.exists(_.isEmpty)) return None
+      val arr = converted.flatten.toArray
+      scala.util.Sorting.stableSort(arr, (a: Either[BigDecimal, String],
+          b: Either[BigDecimal, String]) => (a, b) match {
+        case (Left(x), Left(y))   => x < y
+        case (Right(x), Right(y)) => x < y
+        case _                    => false
+      })
+      arr
+    }
+    def le(a: Either[BigDecimal, String], b: Either[BigDecimal, String]): Boolean =
+      (a, b) match {
+        case (Left(x), Left(y))   => x <= y
+        case (Right(x), Right(y)) => x <= y
+        case _                    => true
+      }
+    Some(s.files.filter { f =>
+      (for { lo <- f.minValues.get(statKey).flatMap(ord)
+             hi <- f.maxValues.get(statKey).flatMap(ord) } yield {
+        // first key >= lo, via binary search; file survives if it's <= hi
+        var b = 0; var e = sorted.length
+        while (b < e) {
+          val m = (b + e) >>> 1
+          if (le(lo, sorted(m))) e = m else b = m + 1
+        }
+        b < sorted.length && le(sorted(b), hi)
+      }).getOrElse(true) // no stats → keep
+    })
+  }
+
   /** Snapshot-based core of `metadataMinMax` (shared with the
     * metadata-only aggregate rule, which folds a PINNED snapshot). */
   private[graft] def metadataMinMaxOf(snap: Snapshot, column: String): Option[(String, String)] = {
