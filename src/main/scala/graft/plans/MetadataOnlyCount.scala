@@ -23,17 +23,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - a GLOBAL aggregate (no grouping) whose every expression is an
   *    undistincted, unfiltered `count(*)`, `min(col)`, or `max(col)`
   *    over a bare graft relation — no Filter below (a filtered aggregate
-  *    must scan; row-preserving Projects look through), no CDF relation
+  *    must scan; row-preserving Projects look through, but every min/max
+  *    attribute must bind BY exprId to the relation's own output, so an
+  *    alias shadowing a column name never misbinds), no CDF relation
   *    (its row multiset is commit deltas, not the snapshot);
+  *  - ONE snapshot is captured for the whole rewrite — counts and
+  *    extremes can never mix versions under a racing commit;
   *  - COUNT is always exact from the log (`liveRecords` subtracts DV
   *    tombstones);
   *  - MIN/MAX additionally require: ZERO deletion vectors in the
   *    snapshot (a tombstoned row could BE the extremum — stats are only
-  *    over-approximations under a DV), complete stats on every file, a
+  *    over-approximations under a DV), complete stats on every file
+  *    (null-partition files are known all-null and skip exactly), a
   *    directly supported stat type, and — for strings — bounds below the
-  *    truncation length (a truncated stat is a bound, not an extremum;
-  *    `metadataMinMax` refuses those). Any doubt → no rewrite, the scan
-  *    answers.
+  *    truncation length (a truncated stat is a bound, not an extremum).
+  *    Any doubt → no rewrite, the scan answers.
   *
   * Time travel composes: a pinned relation folds its pinned snapshot.
   * `spark.graft.metadataOnlyCount` = false opts out. */
@@ -41,8 +45,8 @@ case class MetadataOnlyCount(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private sealed trait MetaAgg
   private case object CountStar extends MetaAgg
-  private final case class MinOf(col: String, dt: DataType) extends MetaAgg
-  private final case class MaxOf(col: String, dt: DataType) extends MetaAgg
+  private final case class MinOf(attr: AttributeReference) extends MetaAgg
+  private final case class MaxOf(attr: AttributeReference) extends MetaAgg
 
   /** Stat strings convert to InternalRow values exactly for these types
     * (decimals carry a scale the raw stat string lacks — excluded). */
@@ -56,9 +60,9 @@ case class MetadataOnlyCount(spark: SparkSession) extends Rule[LogicalPlan] {
     case Alias(AggregateExpression(Count(Seq(Literal(1, _))), Complete, false, None, _), _) =>
       Some(CountStar)
     case Alias(AggregateExpression(Min(a: AttributeReference), Complete, false, None, _), _)
-        if statType(a.dataType) => Some(MinOf(a.name, a.dataType))
+        if statType(a.dataType) => Some(MinOf(a))
     case Alias(AggregateExpression(Max(a: AttributeReference), Complete, false, None, _), _)
-        if statType(a.dataType) => Some(MaxOf(a.name, a.dataType))
+        if statType(a.dataType) => Some(MaxOf(a))
     case _ => None
   }
 
@@ -76,11 +80,11 @@ case class MetadataOnlyCount(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** The relation under the aggregate, looking through Projects — a
-    * Project is 1:1 on rows and passes attributes through unchanged, so
-    * it never changes these aggregates; anything else (Filter, Generate,
-    * joins...) disqualifies the rewrite. The optimizer interleaves this
-    * rule with ColumnPruning, which wraps the relation in a pruning
-    * Project mid-batch. */
+    * Project is 1:1 on rows, so it never changes these aggregates; the
+    * optimizer interleaves this rule with ColumnPruning, which wraps the
+    * relation in a pruning Project mid-batch. Attribute IDENTITY is
+    * checked separately: every min/max attr must be in the relation's own
+    * output (a Project alias with a shadowing name must not misbind). */
   private def bareRelation(p: LogicalPlan): Option[DataSourceV2Relation] = p match {
     case r: DataSourceV2Relation => Some(r)
     case Project(_, child) => bareRelation(child)
@@ -95,22 +99,36 @@ case class MetadataOnlyCount(spark: SparkSession) extends Rule[LogicalPlan] {
             bareRelation(child).exists(r =>
               r.table.isInstanceOf[graft.sources.GraftSqlTable] &&
               r.table.asInstanceOf[graft.sources.GraftSqlTable].supportsMetadataCount) =>
-        val t = bareRelation(child).get.table.asInstanceOf[graft.sources.GraftSqlTable]
+        val rel = bareRelation(child).get
+        val t = rel.table.asInstanceOf[graft.sources.GraftSqlTable]
         val metas = exprs.map(e => classify(e).get)
-        val needsMinMax = metas.exists(!_.isInstanceOf[CountStar.type])
-        // any decode surprise (e.g. a formatted partition-value stat where
-        // a raw numeric was expected) → no rewrite, the scan answers
-        val answered: Option[Seq[Any]] = scala.util.Try {
-          if (needsMinMax && !t.supportsMetadataMinMax) None
-          else {
-            val vals = metas.map {
-              case CountStar => Some(t.metadataRowCount: Any)
-              case MinOf(c, dt) => t.metadataExtremes(c).map(b => decode(b._1, dt))
-              case MaxOf(c, dt) => t.metadataExtremes(c).map(b => decode(b._2, dt))
+        val relIds = rel.output.map(_.exprId).toSet
+        val boundOk = metas.forall {
+          case MinOf(a) => relIds.contains(a.exprId)
+          case MaxOf(a) => relIds.contains(a.exprId)
+          case CountStar => true
+        }
+        // ONE snapshot for the entire answer; per-column folds memoized
+        // (min(a), max(a) share one pass over the file list)
+        val answered: Option[Seq[Any]] =
+          if (!boundOk) None
+          else scala.util.Try {
+            val sn = t.metadataSnapshot
+            val needsMinMax = metas.exists(!_.isInstanceOf[CountStar.type])
+            val dvFree = sn.files.forall(f => f.dvPath.isEmpty && f.dvCount == 0L)
+            if (needsMinMax && !dvFree) None
+            else {
+              val extremes = scala.collection.mutable.Map[String, Option[(String, String)]]()
+              def boundsOf(c: String) = extremes.getOrElseUpdate(c,
+                graft.table.GraftTable.metadataMinMaxOf(sn, c))
+              val vals = metas.map {
+                case CountStar => Some(sn.files.map(_.liveRecords).sum: Any)
+                case MinOf(a) => boundsOf(a.name).map(b => decode(b._1, a.dataType))
+                case MaxOf(a) => boundsOf(a.name).map(b => decode(b._2, a.dataType))
+              }
+              if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None
             }
-            if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None
-          }
-        }.toOption.flatten
+          }.toOption.flatten
         answered match {
           case Some(row) => LocalRelation(agg.output, Seq(InternalRow.fromSeq(row)))
           case None      => agg // incomplete/unsound stats: the scan answers

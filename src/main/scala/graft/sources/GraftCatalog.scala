@@ -544,20 +544,11 @@ class GraftSqlTable(val table: GraftTable, ident: String,
     * commit deltas, not the snapshot). Pinned time travel composes. */
   private[graft] def supportsMetadataCount: Boolean = !cdf
 
-  /** Live row total from the log alone: footer row counts minus
-    * deletion-vector tombstones, per AddFile — zero files opened. */
-  private[graft] def metadataRowCount: Long = snap.files.map(_.liveRecords).sum
-
-  /** MIN/MAX from the log is sound only when NO file carries a deletion
-    * vector: a tombstoned row could be the extremum, and per-file stats
-    * are over-approximations under a DV. */
-  private[graft] def supportsMetadataMinMax: Boolean =
-    supportsMetadataCount && snap.files.forall(f => f.dvPath.isEmpty && f.dvCount == 0L)
-
-  /** Exact column extremes from the log (refuses on incomplete stats or
-    * possibly-truncated string bounds — see metadataMinMaxOf). */
-  private[graft] def metadataExtremes(column: String): Option[(String, String)] =
-    GraftTable.metadataMinMaxOf(snap, column)
+  /** ONE snapshot for the whole metadata-only aggregate: the rule must
+    * never mix counts and extremes from different versions (a racing DV
+    * delete between per-call `snap` resolutions would defeat the DV
+    * guard), so it captures this once and folds everything from it. */
+  private[graft] def metadataSnapshot: Snapshot = snap
 
   /** SQL `DELETE FROM` front door: the predicate routes to the table
     * layer's stats-pruned delete rewrite. Supported iff every filter

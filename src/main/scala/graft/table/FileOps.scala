@@ -177,7 +177,12 @@ object FileOps {
           .foreach(m => mins(name) = m.substring(0, StatsTruncateLen))
         maxs.get(name).filter(_.length > StatsTruncateLen).foreach { m =>
           truncateUpper(m) match {
-            case Some(u) => maxs(name) = u
+            // pad to the truncation length: a widened bound must stay
+            // DETECTABLE as widened (metadataMinMax refuses length >= 32)
+            // even when the increment position cut it short; appending
+            // padding keeps it an upper bound (equal-prefix-longer sorts
+            // higher), so pruning soundness is unchanged
+            case Some(u) => maxs(name) = u.padTo(StatsTruncateLen, ' ')
             case None    => mins.remove(name); maxs.remove(name)
           }
         }

@@ -2729,8 +2729,11 @@ object GraftTable {
         case _                    => true
       }
     Some(s.files.filter { f =>
-      (for { lo <- f.minValues.get(statKey).flatMap(ord)
-             hi <- f.maxValues.get(statKey).flatMap(ord) } yield {
+      // partition values join as exact min=max bounds (keys are non-null,
+      // so a null-partition sentinel can only ever prune — correctly: all
+      // of that file's rows are null for the column)
+      (for { lo <- f.minValues.get(statKey).orElse(f.partitionValues.get(statKey)).flatMap(ord)
+             hi <- f.maxValues.get(statKey).orElse(f.partitionValues.get(statKey)).flatMap(ord) } yield {
         // first key >= lo, via binary search; file survives if it's <= hi
         var b = 0; var e = sorted.length
         while (b < e) {
@@ -2745,19 +2748,33 @@ object GraftTable {
   /** Snapshot-based core of `metadataMinMax` (shared with the
     * metadata-only aggregate rule, which folds a PINNED snapshot). */
   private[graft] def metadataMinMaxOf(snap: Snapshot, column: String): Option[(String, String)] = {
-    val isStr = DataType.fromJson(snap.metaData.schemaString).asInstanceOf[StructType]
-      .fields.find(_.name == column).exists(_.dataType == StringType)
+    val schema = DataType.fromJson(snap.metaData.schemaString).asInstanceOf[StructType]
+    val isStr = schema.fields.find(_.name == column).exists(_.dataType == StringType)
+    // stats (and partition values) are keyed by PHYSICAL name under
+    // column mapping — a logical-name lookup would bind a dropped
+    // column's stale stats to a same-named successor
+    val statKey = ColumnMapping.physicalOf(schema, column)
     def cmp(a: String, b: String): Int =
       if (isStr) a.compareTo(b) else BigDecimal(a).compare(BigDecimal(b))
-    val perFile = snap.files.map { f =>
-      for {
-        lo <- f.minValues.get(column).orElse(f.partitionValues.get(column))
-        hi <- f.maxValues.get(column).orElse(f.partitionValues.get(column))
-      } yield (lo, hi)
+    val sentinel = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .DEFAULT_PARTITION_NAME
+    // per file: None = unknown (refuse the whole fold — the file might
+    // hold the extremum), Some(None) = KNOWN all-null for this column
+    // (the null-partition sentinel — SQL MIN/MAX ignores nulls, so the
+    // file contributes nothing, exactly), Some(bounds) = usable.
+    val perFile: Seq[Option[Option[(String, String)]]] = snap.files.map { f =>
+      (f.minValues.get(statKey), f.maxValues.get(statKey),
+        f.partitionValues.get(statKey)) match {
+        case (Some(lo), Some(hi), _) => Some(Some((lo, hi)))
+        case (_, _, Some(pv)) =>
+          if (pv == sentinel) Some(None) else Some(Some((pv, pv)))
+        case _ => None
+      }
     }
-    if (perFile.isEmpty || perFile.exists(_.isEmpty)) None
+    if (perFile.isEmpty || perFile.exists(_.isEmpty) ||
+        perFile.forall(_.contains(None))) None
     else {
-      val bounds = perFile.flatten
+      val bounds = perFile.flatten.flatten
       // string stats at the truncation length may be TRUNCATED (FileOps
       // caps them at 32 chars so document-length values never bloat the
       // log) — then they are honest BOUNDS but not exact extrema, and a

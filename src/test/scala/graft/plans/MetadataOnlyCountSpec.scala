@@ -120,4 +120,31 @@ class MetadataOnlyCountSpec extends SparkTestBase {
     assert(!isLocal(longStr), "possibly-truncated string stats must not serve MIN/MAX")
     assert(longStr.head().getString(0) === "z" * 40)
   }
+
+  test("review regressions: shadowing alias and null partitions never misbind") {
+    import spark.implicits._
+    def isLocal(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    // an alias that SHADOWS a real column name: min/max must follow the
+    // alias (scan), never the same-named stored column's stats
+    val t = GraftTable.create(spark, tmpDir("moc-shadow-"),
+      Seq(("a", "x", "zzz"), ("b", "y", "qqq")).toDF("a", "b", "c"))
+    val r = spark.read.format("graft").load(t.path)
+    val shadowed = r.select(concat(col("a"), col("b")).as("c"))
+      .groupBy().agg(min(col("c")), max(col("c")))
+    val row = shadowed.head()
+    assert((row.getString(0), row.getString(1)) === ("ax", "by"),
+      "aggregate must bind to the alias, not the stored column c")
+    // null partition: MIN over the partition column ignores the null
+    // partition's sentinel instead of serving it as a value
+    val p = GraftTable.create(spark, tmpDir("moc-nullpart-"),
+      Seq((1, Some("a")), (2, Some("b")), (3, None: Option[String]))
+        .toDF("id", "part"), partitionBy = Seq("part"))
+    val pr = spark.read.format("graft").load(p.path).groupBy()
+      .agg(min(col("part")).as("mn"), max(col("part")).as("mx"))
+    assert(isLocal(pr), "known-all-null partition files skip exactly")
+    assert((pr.head().getString(0), pr.head().getString(1)) === ("a", "b"),
+      "the __HIVE_DEFAULT_PARTITION__ sentinel is not a value")
+  }
 }

@@ -52,4 +52,17 @@ class DynamicFilePruningSpec extends SparkTestBase {
     val scattered = (0 until 4000 by 7).toDF("k")
     assert(fact.scanForKeys("k", scattered).count() === (0 until 4000 by 7).size)
   }
+
+  test("large key sets prune on PARTITION columns too (partitionValues as bounds)") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("dfp-part-"),
+      (0 until 2000).map(i => (i, i % 10)).toDF("id", "bucket"),
+      partitionBy = Seq("bucket"))
+    // 300 keys (> 256: the sorted-binary-search path) hitting 1 of 10 partitions
+    val keys = Seq.fill(300)(7).zipWithIndex.map(_._1).toDF("bucket")
+    val pruned = GraftTable.sortedKeyPruneOf(t.snapshot, "bucket", (0 until 300).map(_ => 7))
+    assert(pruned.exists(_.size < t.snapshot.files.size),
+      "partition values must serve as bounds on the large-key path")
+    assert(t.scanForKeys("bucket", keys).count() === 200)
+  }
 }
