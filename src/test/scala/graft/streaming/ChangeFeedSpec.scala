@@ -109,6 +109,23 @@ class ChangeFeedSpec extends SparkTestBase {
     assert(canon(spark.table(name + "2")) === canon(t.changes(1, 4)))
   }
 
+  test("CDF stream composes with startingTimestamp (first commit at/after)") {
+    val t = goldenCdf()
+    // resolve the instant of commit 2 from history, start the feed there
+    val ts2 = t.history().orderBy(col("version"))
+      .select(col("timestamp").cast("string")).collect()(2).getString(0)
+    val out = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", ts2)
+      .load(t.path)
+    val name = "cdf_stream_ts"
+    val q = out.writeStream.format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(canon(spark.table(name)) === canon(t.changes(1, 3)),
+      "startingTimestamp must begin the feed at the resolved commit")
+  }
+
   test("CDF stream initial snapshot (no startingVersion) emits state as inserts") {
     val t = goldenCdf()
     val out = spark.readStream.format("graft")
