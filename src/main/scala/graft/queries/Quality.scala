@@ -45,15 +45,19 @@ object DataQuality {
             sum(($"n_chars" =!= length($"text")).cast("long")).as("len_v"))
           .select(lit("documents_nchars_consistent").as("check_name"),
             $"n".as("n_checked"), $"len_v".as("n_violations"))
-        // FK orphans: broadcast the key side, count anti-join survivors
+        // FK orphans via anti-join. NO broadcast hint on the key side:
+        // orders/customer keys grow LINEARLY with the corpus (billions of
+        // rows at 100 TB) — a forced hint OOMs instead of degrading.
+        // Catalyst auto-broadcasts while the side is under the threshold
+        // and falls back to a shuffled anti-join beyond it.
         val fkLi = Tables.lineitem(s, dir).join(
-            broadcast(Tables.orders(s, dir).select($"o_orderkey")),
+            Tables.orders(s, dir).select($"o_orderkey"),
             $"l_orderkey" === $"o_orderkey", "left_anti")
           .agg(count(lit(1)).as("n_violations"))
           .select(lit("lineitem_fk_orders").as("check_name"),
             lit(null).cast("long").as("n_checked"), $"n_violations")
         val fkOrd = Tables.orders(s, dir).join(
-            broadcast(Tables.customer(s, dir).select($"c_custkey")),
+            Tables.customer(s, dir).select($"c_custkey"),
             $"o_custkey" === $"c_custkey", "left_anti")
           .agg(count(lit(1)).as("n_violations"))
           .select(lit("orders_fk_customer").as("check_name"),

@@ -88,7 +88,13 @@ object Text {
         val toks = docs.select($"doc_id", $"lang", explode(split($"text", " ")).as("token"))
         val profile = toks.groupBy($"token", $"lang".as("plang"))
           .agg(count(lit(1)).as("w"))
-        val scored = toks.join(broadcast(profile), "token")
+        // NO broadcast hint on the profile: its cardinality is the corpus
+        // VOCABULARY × langs, which grows with the corpus (URLs, typos,
+        // numerals — 10⁸⁺ tokens at web scale). A forced hint would OOM
+        // the executors building the hash relation instead of degrading;
+        // a plain equi-join lets Catalyst auto-broadcast only while the
+        // side is genuinely under the threshold, shuffling otherwise.
+        val scored = toks.join(profile, "token")
           .groupBy($"doc_id", $"lang", $"plang")
           .agg(sum($"w").as("score"))
         val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"plang")
@@ -176,7 +182,9 @@ object Text {
         val df_ = tf.groupBy($"token").agg(count(lit(1)).as("df"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy($"doc_id").orderBy($"score".desc, $"token")
-        tf.join(broadcast(df_), "token")
+        // df_ is vocabulary-sized — never force-broadcast it (see q32);
+        // nDf is a single row, always safe to broadcast.
+        tf.join(df_, "token")
           .crossJoin(broadcast(nDf))
           .withColumn("score", $"tf" * $"n_total" / $"df")
           .withColumn("rn", row_number().over(w))
@@ -494,9 +502,11 @@ object Text {
           .join(docToks.as("y"), $"x.doc_id" === $"y.doc_id" && $"x.token" < $"y.token")
           .groupBy($"x.token".as("a"), $"y.token".as("b"))
           .agg(count(lit(1)).as("n_both"))
+        // tokDocs is vocabulary-sized — never force-broadcast it (see
+        // q32); n is a single row, always safe.
         pairs
-          .join(broadcast(tokDocs.select($"token".as("a"), $"n_tok".as("n_a"))), "a")
-          .join(broadcast(tokDocs.select($"token".as("b"), $"n_tok".as("n_b"))), "b")
+          .join(tokDocs.select($"token".as("a"), $"n_tok".as("n_a")), "a")
+          .join(tokDocs.select($"token".as("b"), $"n_tok".as("n_b")), "b")
           .crossJoin(broadcast(n))
           .withColumn("lift", round($"n_both" * $"n_docs" / ($"n_a" * $"n_b"), 6))
           .select($"a", $"b", $"n_both", $"n_a", $"n_b", $"lift")

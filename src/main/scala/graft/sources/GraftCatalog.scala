@@ -1007,10 +1007,20 @@ class GraftStagedTable(spark: SparkSession, catalog: GraftCatalog,
         override def toInsertableRelation: InsertableRelation = new InsertableRelation {
           override def insert(data: DataFrame, overwrite: Boolean): Unit = {
             Files.createDirectories(Paths.get(dir))
-            val aligned = data.select(declaredSchema.fields.map(f =>
-              col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+            // the SAME guarded projection every other write path funnels
+            // through (GraftTable.conform): a plain cast here would let a
+            // CTAS whose aligned cast nulls or wraps values commit
+            // silently, breaking the table's write-invariant contract
+            // (safe cast + NOT NULL raise). CHECK constraints declared at
+            // CREATE time (constraint.* props) gate the staged rows too.
+            val aligned = GraftTable.guardedProjection(data, declaredSchema)
+            val checks = props.collect {
+              case (k, v) if k.startsWith("constraint.") =>
+                k.stripPrefix("constraint.") -> v
+            }
+            val checked = GraftTable.constrained(aligned, checks, dir)
             staged.synchronized {
-              staged ++= FileOps.writeDataFiles(aligned, dir, partitionCols)
+              staged ++= FileOps.writeDataFiles(checked, dir, partitionCols)
             }
           }
         }

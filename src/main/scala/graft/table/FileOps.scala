@@ -144,8 +144,44 @@ object FileOps {
           } else {
             val isString = pt.getLogicalTypeAnnotation != null &&
               pt.getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+            // INT32/INT64 stats are raw storage values — sound to compare
+            // only when the logical annotation says the storage value IS
+            // the Catalyst value (plain signed int, epoch-day date), or
+            // after normalizing timestamps to the micros DataSkipping
+            // compares against (hashProbe below does the same for blooms).
+            // A convert()-imported foreign file can carry MILLIS/NANOS;
+            // recording those raw would let skipping unsoundly prune
+            // matching files and MetadataOnlyCount serve 1000×-off MIN/MAX.
+            // Anything else (decimal, time, unsigned) → no stats.
+            import LogicalTypeAnnotation._
+            val ann = pt.getLogicalTypeAnnotation
+            def plainInt: Boolean = ann match {
+              case null => true
+              case i: IntLogicalTypeAnnotation => i.isSigned
+              case _: DateLogicalTypeAnnotation => true
+              case _ => false
+            }
+            def toMicros(raw: Long, u: TimeUnit): Option[Long] = u match {
+              case TimeUnit.MICROS => Some(raw)
+              case TimeUnit.MILLIS => Some(Math.multiplyExact(raw, 1000L))
+              case TimeUnit.NANOS  => Some(Math.floorDiv(raw, 1000L))
+              case _ => None
+            }
             val mm: Option[(String, String)] = pt.getPrimitiveTypeName match {
-              case INT32 | INT64 | FLOAT | DOUBLE =>
+              case INT32 if plainInt =>
+                Some((st.genericGetMin.toString, st.genericGetMax.toString))
+              case INT64 => ann match {
+                case ts: TimestampLogicalTypeAnnotation =>
+                  try for {
+                    lo <- toMicros(st.genericGetMin.asInstanceOf[java.lang.Long], ts.getUnit)
+                    hi <- toMicros(st.genericGetMax.asInstanceOf[java.lang.Long], ts.getUnit)
+                  } yield (lo.toString, hi.toString)
+                  catch { case _: ArithmeticException => None } // micros overflow
+                case _ if plainInt =>
+                  Some((st.genericGetMin.toString, st.genericGetMax.toString))
+                case _ => None
+              }
+              case FLOAT | DOUBLE =>
                 Some((st.genericGetMin.toString, st.genericGetMax.toString))
               case BINARY if isString =>
                 Some((st.minAsString, st.maxAsString))

@@ -39,7 +39,15 @@ final class GraftLog(val tablePath: String) {
   def earliestVersion: Long =
     if (!Files.exists(logStartFile)) 0L
     else try Files.readString(logStartFile).trim.toLong
-    catch { case _: Exception => 0L }
+    catch { case _: Exception =>
+      // a present-but-unreadable pointer on a CLEANED log must not fall
+      // back to 0: version 0's commit file is deleted, so exists /
+      // latestVersion would probe it and declare an intact table
+      // unreadable — the very corruption this fallback exists to survive.
+      // Recover the true floor from the commit files themselves (one
+      // listing, corrupt-pointer path only — never the hot path).
+      listVersions.minOption.getOrElse(0L)
+    }
 
   /** Delete commit + checkpoint files whose versions predate the newest
     * checkpoint at or before `cutoffTs` (Delta's metadata cleanup /

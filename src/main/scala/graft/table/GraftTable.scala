@@ -384,7 +384,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * Invariants" + ANSI store assignment, enforced at RUNTIME inside the
     * write job — codegen'd CASE WHEN per guarded column, no extra pass):
     *   - a value the cast cannot represent raises instead of silently
-    *     becoming null (the non-ANSI `Cast` footgun: "12x" → int);
+    *     becoming null OR wrapping (the non-ANSI `Cast` footguns:
+    *     "12x" → int null, 300 → tinyint 44) — enforced via `try_cast`
+    *     (ANSI evaluation, null where ANSI would raise) + raise-on-null;
     *   - a null (or null'd cast) bound for a `nullable = false` column
     *     raises instead of committing — every write path funnels through
     *     here (append, overwrite, MERGE images, UPDATE, COPY INTO, SQL
@@ -408,30 +410,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     require((want -- have -- generated).isEmpty,
       s"schema mismatch: write lacks columns ${(want -- have -- generated).toSeq.sorted}")
     val filled = GeneratedColumns.fill(df, schema)
-    val srcType = filled.schema.fields.map(f => f.name -> f.dataType).toMap
-    filled.select(schema.fields.map { f =>
-      val raw = col(f.name)
-      val casted = raw.cast(f.dataType)
-      val safeCast =
-        if (srcType.get(f.name).contains(f.dataType)) raw
-        else when(raw.isNotNull && casted.isNull, raise_error(concat(
-          lit(s"cannot write column '${f.name}': value '"), raw.cast(StringType),
-          lit(s"' is not castable to ${f.dataType.simpleString}"))).cast(f.dataType))
-          .otherwise(casted)
-      // a provably non-null source (same type, source field non-nullable)
-      // needs no runtime guard — keeps the common typed-append projection
-      // guard-free in codegen
-      val srcNonNull = filled.schema.fields
-        .exists(s => s.name == f.name && !s.nullable) &&
-        srcType.get(f.name).contains(f.dataType)
-      val guarded =
-        if (f.nullable || srcNonNull) safeCast
-        else when(safeCast.isNull, raise_error(lit(
-          s"NOT NULL constraint violated: column '${f.name}' " +
-            s"(declared nullable = false) received a null")).cast(f.dataType))
-          .otherwise(safeCast)
-      guarded.as(f.name)
-    }.toSeq ++ rid: _*)
+    GraftTable.guardedProjection(filled, schema, rid)
   }
 
   /** Enforce the table's CHECK constraints on rows about to be written
@@ -444,15 +423,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * job before its commit is attempted (staged files are cleaned by the
     * caller's failure path / vacuum, and were never visible). */
   private def enforceConstraints(df: DataFrame, meta: MetaData): DataFrame =
-    meta.constraints.foldLeft(df) { case (d, (name, exprStr)) =>
-      d.filter(
-        when(coalesce(expr(exprStr), lit(false)), lit(true))
-          .otherwise(raise_error(concat(
-            lit(s"CHECK constraint '$name' ($exprStr) violated by write to " +
-              s"$path — row: "),
-            to_json(struct(df.columns.map(col).toIndexedSeq: _*))))
-            .cast("boolean")))
-    }
+    GraftTable.constrained(df, meta.constraints, path)
 
   /** ADD CONSTRAINT: validates all existing rows first, then commits the
     * new metaData (constraint enforcement history is itself versioned). */
@@ -966,8 +937,13 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       val s = snapshot
       val v = s.version + 1
       val ts = log.nextTimestamp()
+      // constraint.* props land in metaData.constraints (enforced on
+      // every later write), not as dead same-named properties — same
+      // split the non-staged CREATE path performs via addConstraint
+      val (chk, plain) = props.partition(_._1.startsWith("constraint."))
       val meta = MetaData(UUID.randomUUID().toString, newSchema.json,
-        System.currentTimeMillis(), partitionCols, Map.empty, props)
+        System.currentTimeMillis(), partitionCols,
+        chk.map { case (k, v2) => k.stripPrefix("constraint.") -> v2 }, plain)
       try {
         log.commit(v, Seq(meta,
           CommitInfo(v, ts, "REPLACE TABLE AS SELECT",
@@ -1531,7 +1507,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       if (retentionMs >= 0) retentionMs
       else snapshot.metaData.properties.get("vacuum.retentionMs").map(_.toLong)
         .getOrElse(7L * 24 * 3600 * 1000))
-    val keepFrom = math.max(0L, latest - retainVersions)
+    // clamp to the log's retention floor: after cleanupExpiredLogs pruned
+    // history, a retainVersions spanning the pruned boundary must vacuum
+    // the range that still EXISTS, not abort on a deleted version
+    val keepFrom = math.max(log.earliestVersion, latest - retainVersions)
     val referenced = ((keepFrom to latest)
       .flatMap(v => log.snapshotAt(v).files
         .flatMap(f => f.path +: f.dvPath.toSeq)) ++
@@ -2698,6 +2677,60 @@ final class MergeBuilder private[table] (
 }
 
 object GraftTable {
+  /** The guarded per-column write projection EVERY write path funnels
+    * through — instance writes via conform(), staged CTAS/RTAS writes via
+    * GraftStagedTable (which has no table instance yet). `filled` must
+    * already contain every schema column (generated columns filled by the
+    * caller). The write-invariant contract:
+    *   - try_cast evaluates with ANSI semantics and yields null where
+    *     ANSI cast would RAISE — un-parseable strings AND numeric
+    *     overflow both surface as null and trip the raise (a plain
+    *     non-ANSI cast silently WRAPS overflow: 300 → tinyint 44);
+    *   - a null (or null'd cast) bound for a nullable=false column
+    *     raises instead of committing. */
+  private[graft] def guardedProjection(filled: DataFrame, schema: StructType,
+      extra: Seq[Column] = Nil): DataFrame = {
+    val srcType = filled.schema.fields.map(f => f.name -> f.dataType).toMap
+    filled.select(schema.fields.map { f =>
+      val raw = col(f.name)
+      val casted = raw.try_cast(f.dataType)
+      val safeCast =
+        if (srcType.get(f.name).contains(f.dataType)) raw
+        else when(raw.isNotNull && casted.isNull, raise_error(concat(
+          lit(s"cannot write column '${f.name}': value '"), raw.cast(StringType),
+          lit(s"' is not castable to ${f.dataType.simpleString}"))).cast(f.dataType))
+          .otherwise(casted)
+      // a provably non-null source (same type, source field non-nullable)
+      // needs no runtime guard — keeps the common typed-append projection
+      // guard-free in codegen
+      val srcNonNull = filled.schema.fields
+        .exists(s => s.name == f.name && !s.nullable) &&
+        srcType.get(f.name).contains(f.dataType)
+      val guarded =
+        if (f.nullable || srcNonNull) safeCast
+        else when(safeCast.isNull, raise_error(lit(
+          s"NOT NULL constraint violated: column '${f.name}' " +
+            s"(declared nullable = false) received a null")).cast(f.dataType))
+          .otherwise(safeCast)
+      guarded.as(f.name)
+    }.toSeq ++ extra: _*)
+  }
+
+  /** CHECK-constraint enforcement fused into the write pass (lazy CASE
+    * WHEN per constraint, raises on the first violating row) — shared by
+    * instance writes (enforceConstraints) and staged CTAS/RTAS writes. */
+  private[graft] def constrained(df: DataFrame,
+      constraints: Map[String, String], pathLabel: String): DataFrame =
+    constraints.foldLeft(df) { case (d, (name, exprStr)) =>
+      d.filter(
+        when(coalesce(expr(exprStr), lit(false)), lit(true))
+          .otherwise(raise_error(concat(
+            lit(s"CHECK constraint '$name' ($exprStr) violated by write to " +
+              s"$pathLabel — row: "),
+            to_json(struct(df.columns.map(col).toIndexedSeq: _*))))
+            .cast("boolean")))
+    }
+
   /** Files whose [min, max] stat interval contains at least one of the
     * sorted keys — None when the column's type or stats can't support the
     * comparison (caller keeps all files: pruning is only ever an
@@ -2933,8 +2966,11 @@ object GraftTable {
       props: Map[String, String], adds: Seq[AddFile]): GraftTable = {
     val log = new GraftLog(path)
     require(!log.exists, s"$path is already a GraftTable")
+    // constraint.* props → metaData.constraints (see commitReplaceTable)
+    val (chk, plain) = props.partition(_._1.startsWith("constraint."))
     val meta = MetaData(UUID.randomUUID().toString, schema.json,
-      System.currentTimeMillis(), partitionCols, Map.empty, props)
+      System.currentTimeMillis(), partitionCols,
+      chk.map { case (k, v) => k.stripPrefix("constraint.") -> v }, plain)
     log.commit(0L, Seq(meta,
       CommitInfo(0L, log.nextTimestamp(), "CREATE TABLE AS SELECT",
         Map("numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++ adds)

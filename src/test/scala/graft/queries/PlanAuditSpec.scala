@@ -229,6 +229,75 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("no query force-broadcasts a corpus-derived aggregate (global sweep)") {
+    // An explicit broadcast() hint removes Catalyst's ability to fall back
+    // to a shuffle join: if the hinted side grows with the corpus (a token
+    // vocabulary, a fact-table key set), executors OOM building the hash
+    // relation at 100 TB instead of degrading. The sweep walks every
+    // ANALYZED plan: a BROADCAST ResolvedHint whose subtree contains a
+    // GROUPED aggregate must be provably bounded — by maxRows (scalar
+    // aggs, limits/top-k), or by an IN-literal filter on the grouping key
+    // (e.g. q91's 3 fixed query terms), or carry an audited whitelist
+    // entry explaining why its cardinality does NOT scale with the corpus.
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val skip = (name: String) =>
+      name.startsWith("q7") || name.startsWith("q8") ||
+        Set("q106_zorder_scan", "q117_metadata_count", "q120_bloom_point_lookup",
+            "q122_shallow_clone", "q123_partitioned_scan", "q100_snapshot_diff",
+            "q133_catalog_sql_agg", "q134_sql_time_travel",
+            "q135_stream_table_source", "q136_sql_golden_dml").contains(name)
+    // Audited: hinted sides whose cardinality is fixed by the PROBLEM, not
+    // the corpus — reviewed per entry; a new query landing here needs the
+    // same justification.
+    val whitelist = Map(
+      // benchmark-membership shingle sets: bounded by the (fixed) eval
+      // benchmark suite, not the growing training corpus
+      "q104_decontaminate" -> "fixed benchmark shingle set",
+      "q152_substring_dup" -> "fixed benchmark shingle set",
+      // distinct(key % 65536): ≤64Ki rows by modulus construction, a
+      // bound the plan's maxRows cannot see — independent of fact size
+      "q102_bitset_prune_join" -> "bit-set bounded by modulus (≤64Ki)",
+      // per-event-type stats: bounded by the event-type DOMAIN (an
+      // enumerated handful of categories), not by event volume
+      "q115_anomaly_zscore" -> "grouped on a fixed categorical domain",
+      // centroid tables: grouped on cid/label drawn from a fixed k (a
+      // clustering PARAMETER) — k rows regardless of corpus size
+      "q116_kmeans" -> "k centroids, k fixed by the algorithm",
+      )
+    def boundedByInFilter(agg: Aggregate): Boolean = {
+      val groupCols = agg.groupingExpressions.flatMap(_.references).map(_.name).toSet
+      agg.child.collect { case f: Filter => f.condition }.exists(c =>
+        c.find {
+          case In(a: AttributeReference, list) =>
+            list.size <= 16 && groupCols.contains(a.name)
+          case _ => false
+        }.isDefined)
+    }
+    for ((name, _) <- graft.SparkEntry.queries.toSeq.sortBy(_._1) if !skip(name)) {
+      val analyzed = graft.SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.analyzed
+      val offenders = analyzed.collect {
+        case h: ResolvedHint
+          if h.hints.strategy.exists(_.toString.equalsIgnoreCase("broadcast")) &&
+            !h.child.maxRows.exists(_ <= 100000) =>
+          h.child.collect {
+            // distinct() is a Deduplicate in the analyzed plan (the
+            // optimizer later rewrites it to an Aggregate) — both are
+            // corpus-cardinality aggregates when unbounded
+            case a: Aggregate if a.groupingExpressions.nonEmpty &&
+              !boundedByInFilter(a) => a: LogicalPlan
+            case d: Deduplicate => d: LogicalPlan
+          }
+      }.flatten
+      assert(offenders.isEmpty || whitelist.contains(name),
+        s"$name force-broadcasts a grouped aggregate with unbounded " +
+          s"cardinality — at 100 TB this OOMs instead of degrading to a " +
+          s"shuffle join. Drop the hint or cap the side:\n" +
+          offenders.map(_.simpleString(3)).mkString("\n"))
+    }
+  }
+
   test("no query hot path uses a Scala UDF or collects to the driver") {
     // interpreted ScalaUDF in a plan defeats whole-stage codegen; the two
     // sanctioned custom kernels (vec_dot, hamming) are codegen'd Expressions
