@@ -24,7 +24,12 @@ import org.apache.spark.sql.functions._
   * pair strings, never documents) + a 1-row collect; applying is
   * embarrassingly parallel. `cache()` on the evolving token corpus keeps
   * rounds from replaying the whole merge history (the plan would
-  * otherwise deepen linearly with rounds).
+  * otherwise deepen linearly with rounds). For production vocab sizes the
+  * O(numMerges)-job loop is the wrong shape — `trainHistogram` is the
+  * production path: ONE corpus pass builds the (word, count) histogram,
+  * and the whole merge loop runs driver-side on that vocab-bounded table
+  * (Sennrich 2016's actual procedure), proven bit-identical to the
+  * distributed word-level trainer by BpeSpec.
   */
 object Bpe {
 
@@ -52,7 +57,25 @@ object Bpe {
   def train(corpus: Dataset[String], numMerges: Int): Seq[Merge] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    var toks: Dataset[Seq[String]] = corpus.map(t => seed(t): Seq[String]).cache()
+    trainLoop(corpus.map(t => seed(t): Seq[String]), numMerges)
+  }
+
+  /** Distributed word-level trainer: merges never cross a whitespace
+    * boundary (Sennrich's formulation — each word occurrence is its own
+    * sequence). Still O(numMerges) Spark aggregations; exists as the
+    * reference computation the histogram trainer below is proven
+    * bit-identical to (BpeSpec). */
+  def trainWords(corpus: Dataset[String], numMerges: Int): Seq[Merge] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    trainLoop(corpus.flatMap(_.split(' ').iterator.filter(_.nonEmpty)
+      .map(w => seed(w): Seq[String]).toSeq), numMerges)
+  }
+
+  private def trainLoop(seqs: Dataset[Seq[String]], numMerges: Int): Seq[Merge] = {
+    val spark = seqs.sparkSession
+    import spark.implicits._
+    var toks = seqs.cache()
     toks.count() // materialize the seed before the loop mutates lineage
     val merges = Seq.newBuilder[Merge]
     var rank = 1
@@ -76,6 +99,62 @@ object Bpe {
       }
     }
     toks.unpersist()
+    merges.result()
+  }
+
+  /** PRODUCTION training shape (Sennrich et al. 2016's actual procedure):
+    * ONE corpus pass collects the (word, count) histogram — vocab-bounded,
+    * safe to hold driver-side — and the entire merge loop runs on the
+    * histogram with occurrence counts as weights. Job count drops from
+    * O(numMerges) corpus-wide aggregations (50k sequential Spark jobs for
+    * a 50k vocab) to O(1) corpus passes; each driver round touches only
+    * the distinct-word table, not the corpus. Bit-identical to
+    * `trainWords` by BpeSpec — same pair counts (a pair's corpus count is
+    * Σ per-word count × word frequency), same argmax, same tie-break. */
+  def trainHistogram(corpus: Dataset[String], numMerges: Int): Seq[Merge] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val histo = corpus.flatMap(_.split(' ').iterator.filter(_.nonEmpty).toSeq)
+      .groupBy($"value").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect()
+    trainFromHistogram(histo.toSeq, numMerges)
+  }
+
+  /** Driver-side merge loop over a weighted word histogram. The
+    * tie-break comparator matches Spark's string ordering exactly
+    * (unsigned UTF-8 bytes), so the result is bit-identical to the
+    * distributed trainer even on non-ASCII vocabularies where UTF-16
+    * code-unit order (plain String.compareTo) diverges. */
+  def trainFromHistogram(histo: Seq[(String, Long)], numMerges: Int): Seq[Merge] = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    def lt(a: String, b: String): Boolean =
+      java.util.Arrays.compareUnsigned(a.getBytes(UTF_8), b.getBytes(UTF_8)) < 0
+    var words: Array[(IndexedSeq[String], Long)] =
+      histo.map { case (w, c) => (seed(w), c) }.toArray
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((toks, c) <- words; i <- 0 until toks.length - 1)
+        counts.updateWith((toks(i), toks(i + 1)))(v => Some(v.getOrElse(0L) + c))
+      if (counts.isEmpty) done = true
+      else {
+        val (l, r) = counts.foldLeft(("", "", Long.MinValue)) {
+          case (best @ (bl, br, bn), ((cl, cr), cn)) =>
+            if (cn > bn || (cn == bn &&
+                (lt(cl, bl) || (cl == bl && lt(cr, br))))) (cl, cr, cn)
+            else best
+        } match { case (bl, br, _) => (bl, br) }
+        merges += Merge(rank, l, r)
+        words = words.map { case (toks, c) =>
+          if (toks.indices.exists(i => i + 1 < toks.length &&
+              toks(i) == l && toks(i + 1) == r)) (mergeOnce(toks, l, r), c)
+          else (toks, c)
+        }
+        rank += 1
+      }
+    }
     merges.result()
   }
 

@@ -38,4 +38,47 @@ class BpeSpec extends SparkTestBase {
       s"BPE must compress: ${sums.getLong(0)} tokens vs ${sums.getLong(1)} chars")
     docs.unpersist()
   }
+
+  test("histogram trainer is bit-identical to the distributed word trainer") {
+    import spark.implicits._
+    // pinned corpus: repeated words force weighted pair counts, a shared
+    // top pair forces the tie-break, multi-space forces empty-token filter
+    val corpus = Seq(
+      "low low low lower lowest", "new newer newest  new",
+      "wide wider widest low", "er er er est").toDS()
+    val dist = Bpe.trainWords(corpus, numMerges = 16)
+    val histo = Bpe.trainHistogram(corpus, numMerges = 16)
+    assert(histo == dist, s"histogram merges diverged:\n$histo\nvs\n$dist")
+  }
+
+  test("histogram trainer matches distributed on real documents") {
+    import spark.implicits._
+    val corpus = graft.Tables.documents(spark, testSf)
+      .select($"text").as[String].limit(60).cache()
+    val dist = Bpe.trainWords(corpus, numMerges = 12)
+    val histo = Bpe.trainHistogram(corpus, numMerges = 12)
+    assert(histo == dist)
+    assert(histo.length == 12)
+    corpus.unpersist()
+  }
+
+  test("histogram training runs O(1) Spark jobs regardless of merge count") {
+    import spark.implicits._
+    val corpus = graft.Tables.documents(spark, testSf)
+      .select($"text").as[String].limit(60)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Bpe.trainHistogram(corpus, numMerges = 48)
+      Thread.sleep(300) // listener events are async; jobs post well within this
+      // one histogram collect (+ possibly an AQE sub-job) — NOT one per
+      // merge; the distributed loop would have run ≥48 jobs here
+      assert(jobs.get() <= 4,
+        s"histogram training must be O(1) corpus passes, ran ${jobs.get()} jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
