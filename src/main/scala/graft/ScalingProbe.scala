@@ -236,9 +236,71 @@ object ScalingProbe {
     spark.stop()
   }
 
+  /** Vacuum-listing probe (round-11 brief): a synthetic table with `n`
+    * PHYSICAL files (empty parquet names — vacuum only lists and stats)
+    * spread over 64 directories, half referenced by the log and half
+    * orphaned with old mtimes. Times vacuumDryRun, whose listing is a
+    * distributed per-directory job anti-joined against the referenced set
+    * — the driver never walks the n-file tree itself.
+    * Usage: tools/run.sh graft.ScalingProbe vacuum [nFiles]. */
+  private def runVacuumProbe(n: Int): Unit = {
+    import graft.table._
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = Scratch.dir("graft-vacprobe-").toString
+    val root = java.nio.file.Paths.get(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType)))
+    val now = System.currentTimeMillis()
+    val old = java.nio.file.attribute.FileTime.fromMillis(now - 30L * 24 * 3600 * 1000)
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"""VACPROBE {"step":"$label","n":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.3f}""")
+      r
+    }
+    timed("create_physical_files") {
+      (0 until 64).foreach(b => java.nio.file.Files.createDirectories(root.resolve(s"b$b")))
+      (0 until n).foreach { i =>
+        val q = root.resolve(f"b${i % 64}%d/part-$i%07d.parquet")
+        java.nio.file.Files.createFile(q)
+        java.nio.file.Files.setLastModifiedTime(q, old)
+      }
+    }
+    val log = new GraftLog(dir)
+    val meta = MetaData(java.util.UUID.randomUUID().toString, schema.json, now,
+      Nil, Map.empty, Map("vacuum.retentionDurationCheck" -> "false"))
+    timed("commit_referenced_half") {
+      log.commit(0L, Seq(meta,
+        CommitInfo(0L, log.nextTimestamp(), "CONVERT", Map.empty)) ++
+        (0 until n by 2).map(i => AddFile(
+          f"b${i % 64}%d/part-$i%07d.parquet", 1024L, now, 10L,
+          Map.empty, Map.empty)))
+    }
+    val t = GraftTable.forPath(spark, dir)
+    val orphans = timed("vacuum_dryrun_distributed_listing") {
+      t.vacuumDryRun(retainVersions = 0, retentionMs = 0L)
+    }
+    require(orphans.size == n / 2,
+      s"expected ${n / 2} orphans, got ${orphans.size}")
+    val deleted = timed("vacuum_delete") {
+      t.vacuum(retainVersions = 0, retentionMs = 0L)
+    }
+    require(deleted == n / 2, s"expected ${n / 2} deleted, got $deleted")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("log")) {
       runLogProbe(args.drop(1).headOption.map(_.toInt).getOrElse(100000))
+      return
+    }
+    if (args.headOption.contains("vacuum")) {
+      runVacuumProbe(args.drop(1).headOption.map(_.toInt).getOrElse(100000))
       return
     }
     if (args.headOption.contains("contention")) {

@@ -146,7 +146,8 @@ object TableQueries {
         "q153_copy_into", "q155_row_tracking", "q156_notnull_invariant",
         "q157_type_widening", "q159_null_skipping",
         "q160_prefix_skipping", "q161_fsck_repair",
-        "q162_dynamic_file_pruning", "q167_metadata_count").foreach { q =>
+        "q162_dynamic_file_pruning", "q167_metadata_count",
+        "q168_variant_props").foreach { q =>
       try { graft.SparkEntry.queries(q)(s, dir); () }
       catch { case _: Throwable => () }
     }
@@ -1194,5 +1195,48 @@ object TableQueries {
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE lang = 'en' AND n_chars >= 200
         |ORDER BY doc_id""".stripMargin),
+
+    // ---- VARIANT ingestion (Spark 4 parse_json → variant_get) --------------------
+    // events.props ingests ONCE as a VARIANT column (parse_json) instead of
+    // being re-parsed from its JSON string on every query (q24's shape) —
+    // the modern semi-structured path the pipeline's JSON props live on.
+    // The table feature is protocol-gated as Delta gates variantType: the
+    // commit that first carries a variant schema auto-upgrades the protocol
+    // (GraftLog.ensureSchemaFeatures), so a foreign build that cannot
+    // decode the parquet variant group refuses at the reader gate instead
+    // of misreading. Shredded-vs-string parity is pinned by the oracle:
+    // the variant path (sum_k/min_k/max_k/n_k) and the string path
+    // (sum_k_str, over the SAME stored rows) hash against one DuckDB
+    // json_extract expression.
+    "q168_variant_props" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = cache.computeIfAbsent(s"variant:$dir", _ => {
+          val tt = GraftTable.create(s,
+            graft.Scratch.dir("graft-variant-").toString,
+            graft.Tables.events(s, dir)
+              .select($"event_id", $"event_type", $"props",
+                parse_json($"props").as("props_v")))
+          require(tt.snapshot.protocol.readerFeatures.contains("variantType"),
+            "a variant schema must protocol-gate the variantType feature")
+          tt
+        })
+        t.toDF
+          .withColumn("k", variant_get($"props_v", "$.k", "long"))
+          .withColumn("k_str", get_json_object($"props", "$.k").cast("long"))
+          .groupBy($"event_type")
+          .agg(sum($"k").as("sum_k"), min($"k").as("min_k"),
+               max($"k").as("max_k"), count($"k").as("n_k"),
+               sum($"k_str").as("sum_k_str"))
+          .orderBy($"event_type")
+      },
+      """SELECT event_type,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k,
+        |  MAX(k) AS max_k, COUNT(k) AS n_k,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k_str
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
   )
 }

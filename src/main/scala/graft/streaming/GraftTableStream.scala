@@ -192,7 +192,15 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
       val actions = log.readVersion(v)
       val op = actions.collectFirst { case c: CommitInfo => c.operation }
       if (op.exists(nonDataOps.contains)) 0L
-      else actions.collect { case a: AddFile => a.size }.sum
+      else {
+        // CDF admission sizes what the batch will actually READ: a commit
+        // with `_cdc/` sidecars plans those, not its add files (a
+        // pre-round-11 sidecar logged size 0 — degrades toward file-count
+        // caps for that commit, and progress is still ≥1 commit/trigger)
+        val cdc = actions.collect { case c: graft.table.CdcFile => c }
+        if (cdfMode && cdc.nonEmpty) cdc.map(_.size).sum
+        else actions.collect { case a: AddFile => a.size }.sum
+      }
     })
   }
 
@@ -226,7 +234,14 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
       val actions = log.readVersion(v)
       val op = actions.collectFirst { case c: CommitInfo => c.operation }
       if (op.exists(nonDataOps.contains)) 0L
-      else actions.count(_.isInstanceOf[AddFile]).toLong
+      else {
+        // CDF mode: the batch plans the commit's `_cdc/` sidecars when
+        // present (rewrites), else its add files (appends) — size the cap
+        // on what planInputPartitions will emit
+        val cdc = actions.count(_.isInstanceOf[graft.table.CdcFile]).toLong
+        if (cdfMode && cdc > 0) cdc
+        else actions.count(_.isInstanceOf[AddFile]).toLong
+      }
     })
   }
 

@@ -47,7 +47,11 @@ final case class AddFile(
       * never assumed): powers IS [NOT] NULL file skipping and the
       * stats-only SET NOT NULL validation. Sound over-approximation under
       * a deletion vector, like min/max. */
-    nullCounts: Map[String, Long] = Map.empty) extends Action {
+    nullCounts: Map[String, Long] = Map.empty,
+    /** Free-form file tags (Delta's AddFile.tags). `clustered` records the
+      * clustering spec the file was written under — incremental OPTIMIZE
+      * skips files whose tag matches the table's current clustering. */
+    tags: Map[String, String] = Map.empty) extends Action {
   /** Rows served by this file = physical rows minus deletion-vector
     * tombstones (`numRecords` stays the parquet footer count — min/max
     * stats remain sound over-approximations under a DV). */
@@ -62,7 +66,8 @@ final case class RemoveFile(path: String, deletionTimestamp: Long) extends Actio
   * when `changeDataFeed.enabled` is set. Not part of the snapshot state —
   * the fold ignores it; `changes()` and the CDF stream read it instead of
   * re-diffing the commit's files. */
-final case class CdcFile(path: String, numRecords: Long) extends Action
+final case class CdcFile(path: String, numRecords: Long,
+    size: Long = 0L) extends Action
 
 /** Idempotent-transaction marker (Delta's SetTransaction): the latest
   * `version` committed by application `appId` folds into the snapshot, so
@@ -84,7 +89,8 @@ object Protocol {
     * writer-only (readers see plain materialized data; only writers must
     * honor the generation rule), mirroring the Delta feature split. */
   val supportedReaderFeatures: Set[String] =
-    Set("deletionVectors", "columnMapping", "changeDataFeed", "rowTracking")
+    Set("deletionVectors", "columnMapping", "changeDataFeed", "rowTracking",
+      "variantType")
   val supportedWriterFeatures: Set[String] =
     supportedReaderFeatures + "generatedColumns" + "identityColumns" +
       "appendOnly"
@@ -124,12 +130,13 @@ object Actions {
         partCols.foreach(arr.add)
         putMap(n, "constraints", constraints)
         if (properties.nonEmpty) putMap(n, "properties", properties)
-      case AddFile(path, size, mtime, rows, mins, maxs, partVals, dvPath, dvCount, baseRowId, nullCounts) =>
+      case AddFile(path, size, mtime, rows, mins, maxs, partVals, dvPath, dvCount, baseRowId, nullCounts, tags) =>
         val n = root.putObject("add")
         n.put("path", path); n.put("size", size); n.put("modificationTime", mtime)
         n.put("numRecords", rows)
         putMap(n, "minValues", mins); putMap(n, "maxValues", maxs)
         putMap(n, "partitionValues", partVals)
+        if (tags.nonEmpty) putMap(n, "tags", tags)
         if (nullCounts.nonEmpty) {
           val nc = n.putObject("nullCounts")
           nullCounts.toSeq.sortBy(_._1).foreach { case (k, v) => nc.put(k, v) }
@@ -142,9 +149,9 @@ object Actions {
       case RemoveFile(path, ts) =>
         val n = root.putObject("remove")
         n.put("path", path); n.put("deletionTimestamp", ts)
-      case CdcFile(path, rows) =>
+      case CdcFile(path, rows, size) =>
         val n = root.putObject("cdc")
-        n.put("path", path); n.put("numRecords", rows)
+        n.put("path", path); n.put("numRecords", rows); n.put("size", size)
       case Txn(appId, v) =>
         val n = root.putObject("txn")
         n.put("appId", appId); n.put("version", v)
@@ -182,13 +189,17 @@ object Actions {
       AddFile(n.get("path").asText(), n.get("size").asLong(),
         n.get("modificationTime").asLong(), n.get("numRecords").asLong(),
         strMap(n, "minValues"), strMap(n, "maxValues"), strMap(n, "partitionValues"),
-        dvPath, dvCount, Option(n.get("baseRowId")).map(_.asLong()), nullCounts)
+        dvPath, dvCount, Option(n.get("baseRowId")).map(_.asLong()), nullCounts,
+        strMap(n, "tags"))
     } else if (root.has("remove")) {
       val n = root.get("remove")
       RemoveFile(n.get("path").asText(), n.get("deletionTimestamp").asLong())
     } else if (root.has("cdc")) {
       val n = root.get("cdc")
-      CdcFile(n.get("path").asText(), n.get("numRecords").asLong())
+      // size is absent in pre-round-11 logs — 0 degrades byte-capped CDF
+      // admission to file-count caps for those commits, never an error
+      CdcFile(n.get("path").asText(), n.get("numRecords").asLong(),
+        Option(n.get("size")).map(_.asLong()).getOrElse(0L))
     } else if (root.has("txn")) {
       val n = root.get("txn")
       Txn(n.get("appId").asText(), n.get("version").asLong())

@@ -46,7 +46,7 @@ object CheckpointCodec {
       optStr("metaId"), optStr("schemaString"), optLong("createdTime"),
       optStr("partitionColumns"), optStr("constraints"), optStr("properties"),
       optStr("txnAppId"), optLong("txnVersion"), optStr("protocolJson"),
-      optLong("baseRowId"), optStr("nullCounts"))
+      optLong("baseRowId"), optStr("nullCounts"), optStr("tags"))
   }
 
   private def jsonMap(m: Map[String, String]): String = {
@@ -183,6 +183,7 @@ object CheckpointCodec {
         f.baseRowId.foreach(b => g.add("baseRowId", b))
         if (f.nullCounts.nonEmpty)
           g.add("nullCounts", jsonMap(f.nullCounts.map { case (k, v) => k -> v.toString }))
+        if (f.tags.nonEmpty) g.add("tags", jsonMap(f.tags))
         w.write(g)
       }
     } finally w.close()
@@ -203,7 +204,7 @@ object CheckpointCodec {
       StructField("constraints", StringType), StructField("properties", StringType),
       StructField("txnAppId", StringType), StructField("txnVersion", LongType),
       StructField("protocolJson", StringType), StructField("baseRowId", LongType),
-      StructField("nullCounts", StringType)))
+      StructField("nullCounts", StringType), StructField("tags", StringType)))
   }
 
   /** Read a parquet checkpoint back to the folded snapshot at `version`.
@@ -286,7 +287,8 @@ object CheckpointCodec {
               lng(9, r),
               if (batch.column(19).isNullAt(r)) None else Some(batch.column(19).getLong(r)),
               if (batch.column(20).isNullAt(r)) Map.empty
-              else readMap(str(20, r)).map { case (k, v) => k -> v.toLong })
+              else readMap(str(20, r)).map { case (k, v) => k -> v.toLong },
+              if (batch.column(21).isNullAt(r)) Map.empty else readMap(str(21, r)))
             case "meta" => meta = Some(MetaData(
               str(10, r), str(11, r), lng(12, r),
               readSeq(str(13, r)), readMap(str(14, r)), readMap(str(15, r))))

@@ -17,16 +17,21 @@ final case class Snapshot(version: Long, metaData: MetaData, files: Seq[AddFile]
 
 /** The `_delta_log/` of a GraftTable: numbered JSON commit files.
   *
-  * Commit N is `_delta_log/%020d.json`. Atomicity/mutual exclusion comes from
-  * CREATE_NEW file creation: exactly one writer can create version N (POSIX
-  * O_EXCL — sufficient on local/HDFS-like stores; an object store would need
-  * a LogStore with a putIfAbsent primitive, as public Delta does).
+  * Commit N is `_delta_log/%020d.json`. Every storage touch — reads,
+  * existence probes, listings, and above all the atomic publish that
+  * makes version N's commit file the mutual-exclusion lock — rides the
+  * [[LogStore]] seam; [[PosixLogStore]] (hard-link CAS) is the default,
+  * and an object-store deployment plugs its putIfAbsent shim in here (the
+  * contract is documented on the trait, public Delta's LogStore shape).
+  * A store that silently violates the contract is caught by the commit
+  * path's read-back verification, not by corrupt tables downstream.
   */
-final class GraftLog(val tablePath: String) {
+final class GraftLog(val tablePath: String,
+    val store: LogStore = PosixLogStore) {
   val logDir: Path = Paths.get(tablePath, "_delta_log")
 
   def exists: Boolean =
-    Files.isDirectory(logDir) && Files.exists(versionFile(earliestVersion))
+    store.isDirectory(logDir) && store.exists(versionFile(earliestVersion))
 
   def versionFile(v: Long): Path = logDir.resolve(f"$v%020d.json")
 
@@ -37,8 +42,8 @@ final class GraftLog(val tablePath: String) {
     * version-does-not-exist, the documented retention contract. */
   private val logStartFile: Path = logDir.resolve("_log_start")
   def earliestVersion: Long =
-    if (!Files.exists(logStartFile)) 0L
-    else try Files.readString(logStartFile).trim.toLong
+    if (!store.exists(logStartFile)) 0L
+    else try store.readString(logStartFile).trim.toLong
     catch { case _: Exception =>
       // a present-but-unreadable pointer on a CLEANED log must not fall
       // back to 0: version 0's commit file is deleted, so exists /
@@ -69,47 +74,43 @@ final class GraftLog(val tablePath: String) {
     // publish the new start BEFORE deleting: a concurrent reader either
     // sees the old start (files still present) or the new one
     val tmp = logDir.resolve(s".${java.util.UUID.randomUUID()}.start.tmp")
-    Files.write(tmp, cp.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, logStartFile,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    store.writeTmp(tmp, cp.toString.getBytes(StandardCharsets.UTF_8))
+    store.publishOverwrite(tmp, logStartFile)
     (first until cp).foreach { v =>
-      if (Files.deleteIfExists(versionFile(v))) removed += 1
-      if (Files.deleteIfExists(checkpointFile(v))) removed += 1
-      if (Files.deleteIfExists(parquetCheckpointFile(v))) removed += 1
+      if (store.deleteIfExists(versionFile(v))) removed += 1
+      if (store.deleteIfExists(checkpointFile(v))) removed += 1
+      if (store.deleteIfExists(parquetCheckpointFile(v))) removed += 1
       val parts = multipartFiles(v)
-      parts.foreach(p => if (Files.deleteIfExists(p)) removed += 1)
-      if (parts.nonEmpty && Files.deleteIfExists(multipartManifestFile(v))) removed += 1
+      parts.foreach(p => if (store.deleteIfExists(p)) removed += 1)
+      if (parts.nonEmpty && store.deleteIfExists(multipartManifestFile(v))) removed += 1
     }
     removed
   }
 
   private def sweepStaleTmp(cutoffTs: Long): Int = {
-    if (!Files.isDirectory(logDir)) return 0
+    if (!store.isDirectory(logDir)) return 0
     // debris floor INDEPENDENT of the caller's log-retention argument: a
     // retention-0 cleanup must never reap the tmp a concurrent writer is
     // between write and createLink on, or a just-moved part ahead of its
     // manifest — anything under an hour old could be a live publish
     val debrisCutoff = math.min(cutoffTs, System.currentTimeMillis() - 3600L * 1000)
     listingCount += 1
-    val stream = Files.newDirectoryStream(logDir, ".*.tmp")
-    val stale = try stream.iterator().asScala.toSeq finally stream.close()
+    val stale = store.list(logDir, ".*.tmp")
     val tmps = stale.count { p =>
-      try Files.getLastModifiedTime(p).toMillis < debrisCutoff && Files.deleteIfExists(p)
+      try store.mtimeMs(p) < debrisCutoff && store.deleteIfExists(p)
       catch { case _: java.io.IOException => false } // racing writer's live tmp
     }
     // manifest-less multipart parts are debris from a crash between the
     // part moves and the manifest publish — invisible to every reader,
     // reclaimed here once old enough to predate the cutoff
     listingCount += 1
-    val ps = Files.newDirectoryStream(logDir, "*.checkpoint.*.parquet")
-    val parts = try ps.iterator().asScala.toSeq finally ps.close()
+    val parts = store.list(logDir, "*.checkpoint.*.parquet")
     val orphans = parts
       .filter(_.getFileName.toString.matches("\\d{20}\\.checkpoint\\.\\d{10}\\.parquet"))
       .count { p =>
         val v = p.getFileName.toString.take(20).toLong
-        try !Files.isRegularFile(multipartManifestFile(v)) &&
-          Files.getLastModifiedTime(p).toMillis < debrisCutoff && Files.deleteIfExists(p)
+        try !store.isRegularFile(multipartManifestFile(v)) &&
+          store.mtimeMs(p) < debrisCutoff && store.deleteIfExists(p)
         catch { case _: java.io.IOException => false }
       }
     tmps + orphans
@@ -117,12 +118,12 @@ final class GraftLog(val tablePath: String) {
 
   def listVersions: Seq[Long] = {
     listingCount += 1
-    if (!Files.isDirectory(logDir)) Seq.empty
-    else Files.list(logDir).iterator().asScala
+    if (!store.isDirectory(logDir)) Seq.empty
+    else store.list(logDir, "*.json")
       .map(_.getFileName.toString)
       .filter(_.matches("\\d{20}\\.json"))
       .map(_.stripSuffix(".json").toLong)
-      .toSeq.sorted
+      .sorted
   }
 
   /** Latest version WITHOUT listing the log directory: start at the
@@ -136,13 +137,13 @@ final class GraftLog(val tablePath: String) {
     // cleanupExpiredLogs pruned old commits, a lost/corrupt pointer must
     // still find the head (probing from 0 would stop at the pruned gap
     // and declare an intact table unreadable)
-    val start = lastCheckpointPointer.filter(v => Files.exists(versionFile(v)))
+    val start = lastCheckpointPointer.filter(v => store.exists(versionFile(v)))
       .getOrElse {
         require(exists, s"$tablePath is not a GraftTable: empty ${logDir}")
         earliestVersion
       }
     var v = start
-    while (Files.exists(versionFile(v + 1))) v += 1
+    while (store.exists(versionFile(v + 1))) v += 1
     v
   }
 
@@ -164,8 +165,8 @@ final class GraftLog(val tablePath: String) {
     else {
       uncachedVersionReads += 1
       val f = versionFile(v)
-      require(Files.exists(f), s"version $v does not exist for table $tablePath")
-      val parsed = Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
+      require(store.exists(f), s"version $v does not exist for table $tablePath")
+      val parsed = store.readLines(f)
         .filter(_.nonEmpty).map(Actions.fromJson)
       actionCache.put(v, parsed)
       parsed
@@ -174,29 +175,83 @@ final class GraftLog(val tablePath: String) {
 
   /** Atomically create commit `v`. Throws if `v` already exists (lost race —
     * caller re-resolves the latest version and retries or aborts). */
-  def commit(v: Long, actions: Seq[Action]): Unit = {
-    Files.createDirectories(logDir)
+  /** Schema-driven protocol auto-upgrade (Delta's feature-on-first-use
+    * semantics, centralized so EVERY path that commits a MetaData — create,
+    * staged CTAS/RTAS, REPLACE, ADD COLUMNS, mergeSchema writes, MERGE
+    * schema evolution — is covered): a schema that contains a VARIANT
+    * column requires the `variantType` reader feature, so a foreign build
+    * that cannot decode the parquet variant group refuses the table at the
+    * gate instead of misreading it. */
+  private def ensureSchemaFeatures(v: Long, actions: Seq[Action]): Seq[Action] = {
+    def hasVariant(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.VariantType => true
+      case s: StructType => s.fields.exists(f => hasVariant(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasVariant(a.elementType)
+      case m: org.apache.spark.sql.types.MapType =>
+        hasVariant(m.keyType) || hasVariant(m.valueType)
+      case _ => false
+    }
+    val needs = actions.exists {
+      // cheap substring pre-filter before parsing the schema JSON
+      case m: MetaData => m.schemaString.contains("\"variant\"") &&
+        hasVariant(DataType.fromJson(m.schemaString))
+      case _ => false
+    }
+    if (!needs) return actions
+    val base = actions.collectFirst { case p: Protocol => p }
+      .getOrElse(if (v == 0) Protocol() else snapshotAt(v - 1).protocol)
+    if (base.readerFeatures.contains("variantType")) actions
+    else {
+      val up = base.copy(
+        minReaderVersion = math.max(base.minReaderVersion, 2),
+        minWriterVersion = math.max(base.minWriterVersion, 2),
+        readerFeatures = base.readerFeatures :+ "variantType",
+        writerFeatures = (base.writerFeatures :+ "variantType").distinct)
+      up +: actions.filterNot(_.isInstanceOf[Protocol])
+    }
+  }
+
+  def commit(v: Long, actions0: Seq[Action]): Unit = {
+    store.createDirectories(logDir)
+    val actions = ensureSchemaFeatures(v, actions0)
     val body = actions.map(Actions.toJson).mkString("", "\n", "\n")
     // ATOMIC publish-or-fail: a direct CREATE_NEW write makes the version
     // file VISIBLE WHILE EMPTY — a concurrent reader probing latestVersion
     // in that window folds a truncated commit (dropping, e.g., an identity
     // frontier bump → silent duplicate ids; found by ScalingProbe's
     // contention mode) and poisons its immutable action cache with it.
-    // Instead the body lands fully in a temp file and createLink publishes
-    // it: hard-link creation is a single atomic filesystem op that fails
-    // with FileAlreadyExists when the version was won by another writer —
-    // the compare-and-swap the commit protocol needs (a Files.move without
-    // REPLACE_EXISTING is check-then-act and can silently OVERWRITE the
-    // winner under a race; with REPLACE_EXISTING it always would).
+    // Instead the body lands fully in a temp file and the store publishes
+    // it under the LogStore putIfAbsent contract: exactly one writer wins
+    // version v, losers get FileAlreadyExists (the compare-and-swap the
+    // commit protocol needs; PosixLogStore uses hard-link creation).
     val tmp = logDir.resolve(s".${java.util.UUID.randomUUID()}.commit.tmp")
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    try Files.createLink(versionFile(v), tmp)
+    store.writeTmp(tmp, body.getBytes(StandardCharsets.UTF_8))
+    try store.publishIfAbsent(tmp, versionFile(v))
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(
           s"concurrent commit: version $v already exists in $tablePath")
     }
-    finally Files.deleteIfExists(tmp)
+    finally store.deleteIfExists(tmp)
+    // Read-back verification: a store that VIOLATES the putIfAbsent
+    // contract (non-atomic rename that lets a racing loser overwrite the
+    // winner; publish whose visibility is lost) must surface as a typed
+    // concurrency error here, never as a silently corrupted log. On a
+    // conforming store this read is a page-cache hit that pre-seeds the
+    // action cache the next snapshot fold would pay for anyway.
+    val back = try store.readLines(versionFile(v)) catch {
+      case e: Exception => throw new java.util.ConcurrentModificationException(
+        s"commit $v of $tablePath is not readable after publish — the " +
+          s"LogStore lost the write (read-after-publish visibility " +
+          s"violated): $e")
+    }
+    if (back != body.linesIterator.toSeq)
+      throw new java.util.ConcurrentModificationException(
+        s"commit $v of $tablePath does not contain this writer's actions " +
+          "after publish — the LogStore's publishIfAbsent is not atomic " +
+          "(a concurrent writer overwrote the commit); see the LogStore " +
+          "contract for what an object store must provide")
+    synchronized { actionCache.put(v, actions) }
     if (v > 0 && v % checkpointInterval == 0) writeCheckpoint(v)
   }
 
@@ -244,14 +299,14 @@ final class GraftLog(val tablePath: String) {
     * which is always correct). Listing-free: the manifest names n. */
   private def multipartFiles(cp: Long): Seq[Path] = {
     val mf = multipartManifestFile(cp)
-    if (!Files.isRegularFile(mf)) return Nil
+    if (!store.isRegularFile(mf)) return Nil
     val n = try """"parts"\s*:\s*(\d+)""".r
-      .findFirstMatchIn(Files.readString(mf)).map(_.group(1).toInt)
+      .findFirstMatchIn(store.readString(mf)).map(_.group(1).toInt)
     catch { case _: java.io.IOException => None }
     n match {
       case Some(k) if k > 0 =>
         val named = (0 until k).map(i => multipartCheckpointFile(cp, i))
-        if (named.forall(Files.exists(_))) named else Nil
+        if (named.forall(store.exists(_))) named else Nil
       case _ => Nil
     }
   }
@@ -264,9 +319,9 @@ final class GraftLog(val tablePath: String) {
 
   private def lastCheckpointPointer: Option[Long] =
     try {
-      if (!Files.isRegularFile(lastCheckpointFile)) None
+      if (!store.isRegularFile(lastCheckpointFile)) None
       else """"version"\s*:\s*(\d+)""".r
-        .findFirstMatchIn(Files.readString(lastCheckpointFile))
+        .findFirstMatchIn(store.readString(lastCheckpointFile))
         .map(_.group(1).toLong)
     } catch { case _: java.io.IOException => None }
 
@@ -308,17 +363,17 @@ final class GraftLog(val tablePath: String) {
       }, Duration.Inf)
       try {
         staged.foreach { case (tmp, target, _, _) =>
-          Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE) }
+          store.publishIfAbsent(tmp, target) }
         // the manifest publishes LAST: until it lands the parts are
         // invisible debris, never a torn checkpoint
         val mf = logDir.resolve(s".${java.util.UUID.randomUUID()}.mf.tmp")
-        Files.write(mf, s"""{"parts":${slices.size}}"""
+        store.writeTmp(mf, s"""{"parts":${slices.size}}"""
           .getBytes(StandardCharsets.UTF_8))
-        Files.move(mf, multipartManifestFile(v),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        try store.publishIfAbsent(mf, multipartManifestFile(v))
+        finally store.deleteIfExists(mf)
         publishPointer(v, slices.size)
-      } catch { case _: java.nio.file.FileAlreadyExistsException =>
-        staged.foreach(t => Files.deleteIfExists(t._1)) }
+      } catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      finally staged.foreach(t => store.deleteIfExists(t._1))
       return
     }
     val tmp = logDir.resolve(s".${java.util.UUID.randomUUID()}.tmp")
@@ -328,27 +383,26 @@ final class GraftLog(val tablePath: String) {
         (s.protocol +: s.metaData +: s.files) ++
           s.transactions.toSeq.sortBy(_._1).map { case (a, tv) => Txn(a, tv) }
       val body = actions.map(Actions.toJson).mkString("", "\n", "\n")
-      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+      store.writeTmp(tmp, body.getBytes(StandardCharsets.UTF_8))
     }
     val target = if (parquet) parquetCheckpointFile(v) else checkpointFile(v)
     try {
-      Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      store.publishIfAbsent(tmp, target)
       publishPointer(v, 1)
-    } catch { case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp) }
+    } catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    finally store.deleteIfExists(tmp)
   }
 
   private def publishPointer(v: Long, parts: Int): Unit = {
     val ptr = logDir.resolve(s".${java.util.UUID.randomUUID()}.ptr.tmp")
     val body = if (parts > 1) s"""{"version":$v,"parts":$parts}"""
                else s"""{"version":$v}"""
-    Files.write(ptr, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(ptr, lastCheckpointFile,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    store.writeTmp(ptr, body.getBytes(StandardCharsets.UTF_8))
+    store.publishOverwrite(ptr, lastCheckpointFile)
   }
 
   private def checkpointExistsAt(cp: Long): Boolean =
-    Files.exists(checkpointFile(cp)) || Files.exists(parquetCheckpointFile(cp)) ||
+    store.exists(checkpointFile(cp)) || store.exists(parquetCheckpointFile(cp)) ||
       multipartFiles(cp).nonEmpty
 
   /** Directory listings performed by this log instance — object-store LIST
@@ -382,7 +436,7 @@ final class GraftLog(val tablePath: String) {
   /** Checkpoint state at version cp, whichever format exists (parquet
     * preferred when both do). */
   private def readCheckpoint(cp: Long): Snapshot =
-    if (Files.exists(parquetCheckpointFile(cp)))
+    if (store.exists(parquetCheckpointFile(cp)))
       CheckpointCodec.read(parquetCheckpointFile(cp), cp)
     else {
       val parts = multipartFiles(cp)
@@ -391,8 +445,8 @@ final class GraftLog(val tablePath: String) {
     }
 
   private def readJsonCheckpointTail(cp: Long): Snapshot = {
-      val lines = Files.readAllLines(checkpointFile(cp), StandardCharsets.UTF_8)
-        .asScala.filter(_.nonEmpty).map(Actions.fromJson).toSeq
+      val lines = store.readLines(checkpointFile(cp))
+        .filter(_.nonEmpty).map(Actions.fromJson)
       val meta = lines.collectFirst { case m: MetaData => m }.getOrElse(
         throw new IllegalStateException(s"checkpoint $cp of $tablePath lacks metaData"))
       Snapshot(cp, meta, lines.collect { case a: AddFile => a },

@@ -1511,22 +1511,57 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // history, a retainVersions spanning the pruned boundary must vacuum
     // the range that still EXISTS, not abort on a deleted version
     val keepFrom = math.max(log.earliestVersion, latest - retainVersions)
-    val referenced = ((keepFrom to latest)
-      .flatMap(v => log.snapshotAt(v).files
-        .flatMap(f => f.path +: f.dvPath.toSeq)) ++
-      // change-data sidecars belong to COMMITS, not snapshots: keep those
-      // of every retained version so changes()/CDF streams stay readable
-      (keepFrom to latest)
-        .flatMap(v => log.readVersion(v).collect { case c: CdcFile => c.path })).toSet
+    // Referenced = ONE snapshot fold at the retention floor (itself seeded
+    // from the nearest checkpoint) + every file ADDED by a later retained
+    // commit: a file referenced by ANY retained snapshot is either live at
+    // keepFrom or added after it. The old shape folded a full snapshot PER
+    // retained version — O(retained × fold) log reads for the same set.
+    val referenced = (
+      log.snapshotAt(keepFrom).files.flatMap(f => f.path +: f.dvPath.toSeq) ++
+      (keepFrom to latest).flatMap(v => log.readVersion(v).flatMap {
+        case a: AddFile if v > keepFrom => a.path +: a.dvPath.toSeq
+        // change-data sidecars belong to COMMITS, not snapshots: keep
+        // those of every retained version (keepFrom's own included) so
+        // changes()/CDF streams stay readable
+        case c: CdcFile => Seq(c.path)
+        case _ => Nil
+      })).toSet
+    // Distributed listing (the FSCK shape): the driver enumerates only
+    // DIRECTORIES (partition dirs — thousands at most); executors list
+    // each directory's files and stat mtimes, so the 1M-file metadata
+    // round-trips spread over the cluster instead of serializing on the
+    // driver. Candidates anti-join the referenced set as datasets — no
+    // driver-side membership loop over the full listing.
     val root = Paths.get(path)
-    val dataFiles = Files.walk(root).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet")
-        && !p.startsWith(root.resolve("_delta_log")))
-      .map(p => root.relativize(p).toString).toSeq
-    dataFiles.filterNot(referenced.contains).filter { f =>
-      try Files.getLastModifiedTime(Paths.get(path, f)).toMillis <= cutoff
-      catch { case _: java.io.IOException => false }
+    val rootStr = path
+    val dirs: Seq[String] = {
+      val b = Seq.newBuilder[String]
+      def rec(d: java.nio.file.Path): Unit = {
+        b += root.relativize(d).toString
+        val st = Files.newDirectoryStream(d)
+        try st.iterator().asScala.foreach { p =>
+          if (Files.isDirectory(p) && p.getFileName.toString != "_delta_log") rec(p)
+        } finally st.close()
+      }
+      rec(root)
+      b.result()
     }
+    import spark.implicits._
+    val listed = spark.createDataset(dirs).flatMap { rel =>
+      val rootP = Paths.get(rootStr)
+      val d = rootP.resolve(rel)
+      val st = Files.newDirectoryStream(d)
+      try st.iterator().asScala.flatMap { p =>
+        if (Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+          Some((rootP.relativize(p).toString,
+            try Files.getLastModifiedTime(p).toMillis
+            catch { case _: java.io.IOException => Long.MaxValue }))
+        else None
+      }.toList finally st.close()
+    }.toDF("path", "mtime")
+    listed.join(referenced.toSeq.toDF("path"), Seq("path"), "left_anti")
+      .filter(col("mtime") <= cutoff)
+      .select("path").as[String].collect().toSeq.sorted
   }
 
   /** OPTIMIZE: bin-pack the current live files into ~`targetFileBytes`
@@ -1550,14 +1585,48 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     require(clusterBy.isEmpty || zorderBy.isEmpty,
       "clusterBy and zorderBy are exclusive")
     val s = snapshot
+    // INCREMENTAL CLUSTERING (the Delta liquid-clustering direction): with
+    // the table properties `clustering.columns` (+ optional
+    // `clustering.curve` = zorder | range; default zorder for 2+ columns)
+    // set, a bare OPTIMIZE maintains the declared clustering
+    // incrementally — files already written under the CURRENT spec (their
+    // `clustered` tag matches) are skipped byte-identical, and only
+    // violating files (new appends since the last OPTIMIZE, DV-carrying
+    // files, pre-clustering leftovers) rewrite. On a growing 100 TB table
+    // this is the difference between maintenance costing O(new data) and
+    // the full re-cluster per pass that makes teams stop running it.
+    // Changing the property re-clusters everything once (no tag matches).
+    val propCols = s.metaData.properties.get("clustering.columns")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val incremental =
+      clusterBy.isEmpty && zorderBy.isEmpty && propCols.nonEmpty
+    val (cCols, zCols) =
+      if (!incremental) (clusterBy, zorderBy)
+      else s.metaData.properties.get("clustering.curve") match {
+        case Some("range") => (propCols, Nil)
+        case Some("zorder") => (Nil, propCols)
+        case _ => if (propCols.size >= 2) (Nil, propCols) else (propCols, Nil)
+      }
+    /** The clustering spec a rewritten file is stamped with — and the tag
+      * an incremental pass treats as "already conforming". */
+    val clusterSpec: Option[String] =
+      if (zCols.nonEmpty) Some(s"zorder(${zCols.mkString(",")})")
+      else if (cCols.nonEmpty) Some(s"range(${cCols.mkString(",")})")
+      else None
     // `where` scopes the rewrite to files that may hold matching rows —
     // at 100 TB you OPTIMIZE the hot partition after its ingest churn, not
     // the whole table; out-of-scope files survive byte-identical.
-    val scoped = where.map(prunedFiles(s, _)).getOrElse(s.files)
+    val inScope = where.map(prunedFiles(s, _)).getOrElse(s.files)
+    val scoped =
+      if (!incremental) inScope
+      else inScope.filterNot(f =>
+        f.dvPath.isEmpty && f.tags.get("clustered") == clusterSpec)
+    val clusteredSkipped = inScope.size - scoped.size
+    if (incremental && scoped.isEmpty) return
     // a single file still rebases if it carries a deletion vector —
     // OPTIMIZE is the DV purge path (merge-on-read debt repayment)
     if (scoped.size <= 1 && scoped.forall(_.dvPath.isEmpty) &&
-        clusterBy.isEmpty && zorderBy.isEmpty) return
+        cCols.isEmpty && zCols.isEmpty) return
     val totalBytes = scoped.map(_.size).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     // under row tracking the reorganization carries every row's resolved
@@ -1567,9 +1636,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       if (!rowTrackingEnabled(s.metaData)) readFiles(s, scoped)
       else readFilesMeta(s, scoped).drop("__fname", "__pos")
     val reorganized =
-      if (zorderBy.nonEmpty) {
+      if (zCols.nonEmpty) {
         val df0 = readScoped()
-        val k = zorderBy.size
+        val k = zCols.size
         // STRING dims ride the same quantile/bucket machinery through an
         // order-preserving numeric proxy: the first 7 characters encode
         // base-257 (codepoints clamped to 256 — 257^7 < 2^63), so
@@ -1577,7 +1646,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         // numeric order. The proxy only shapes the LAYOUT — correctness
         // never depends on it (same rows, one commit) and DataSkipping
         // prunes on the real string min/max stats the clustered files get.
-        val df = zorderBy.zipWithIndex.foldLeft(df0) { case (d, (c, j)) =>
+        val df = zCols.zipWithIndex.foldLeft(df0) { case (d, (c, j)) =>
           if (d.schema(c).dataType == StringType)
             d.withColumn(s"__zp$j", expr(
               s"aggregate(transform(sequence(1, 7), i -> " +
@@ -1604,13 +1673,17 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           .repartitionByRange(nOut, col("__zv"))
           .sortWithinPartitions("__zv")
           .drop((0 until k).flatMap(j => Seq(s"__zb$j", s"__zp$j")) :+ "__zv": _*)
-      } else if (clusterBy.nonEmpty) {
-        readScoped().repartitionByRange(nOut, clusterBy.map(col): _*)
+      } else if (cCols.nonEmpty) {
+        readScoped().repartitionByRange(nOut, cCols.map(col): _*)
       } else readScoped().repartition(nOut)
     // a reorganization's rows ALL carry materialized ids, so no bases are
     // allocated and no hwm MetaData bump is emitted — OPTIMIZE keeps its
     // concurrent-append leniency on row-tracking tables
     val adds = writeDataMapped(reorganized, s.metaData)
+      // stamp clustered outputs with the spec so the NEXT incremental pass
+      // can prove they conform and leave them byte-identical
+      .map(a => clusterSpec.fold(a)(sp => a.copy(tags =
+        a.tags + ("clustered" -> sp))))
     // pure reorganization of exactly `scoped`: concurrent appends never
     // conflict (Delta's dataChange=false leniency) — only a writer that
     // removed one of our input files does
@@ -1622,7 +1695,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           Map("numFilesBefore" -> scoped.size.toString,
               "numFilesAfter" -> adds.size.toString,
               "numFilesSkipped" -> (s.files.size - scoped.size).toString) ++
-            (if (zorderBy.nonEmpty) Map("zorderBy" -> zorderBy.mkString(","))
+            (if (incremental)
+               Map("numClusteredFilesSkipped" -> clusteredSkipped.toString)
+             else Map.empty) ++
+            (if (zCols.nonEmpty) Map("zorderBy" -> zCols.mkString(","))
              else Map.empty))) ++
         identityMeta(s, adds) ++
         scoped.map(f => RemoveFile(f.path, ts)) ++ adds)
@@ -1876,8 +1952,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       if (rows == 0L) None
       else {
         val rel = s"_cdc/cdc-${UUID.randomUUID()}.parquet"
-        Files.move(p, Paths.get(path, rel))
-        Some(CdcFile(rel, rows))
+        val target = Paths.get(path, rel)
+        Files.move(p, target)
+        // size feeds the CDF stream's maxBytesPerTrigger admission
+        Some(CdcFile(rel, rows, Files.size(target)))
       }
     }
     Files.walk(staging).iterator().asScala.toSeq.reverse.foreach(p =>

@@ -1,0 +1,111 @@
+package graft.table
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Storage seam for the commit log — the shape of public Delta's
+  * `io.delta.storage.LogStore`: every read, existence probe, listing and,
+  * critically, every PUBLISH the log performs goes through this trait, so
+  * porting the table format to a new storage system means implementing
+  * ONE small interface instead of auditing the commit protocol.
+  *
+  * The contract an implementation MUST honor:
+  *
+  *  1. **Mutual-exclusion publish** — `publishIfAbsent(src, dst)` makes
+  *     the fully-written `src` visible at `dst` and throws
+  *     `FileAlreadyExistsException` when `dst` already exists. Of N
+  *     concurrent publishers of the same `dst`, EXACTLY ONE succeeds, and
+  *     no reader may ever observe a partial `dst` (publish is
+  *     all-or-nothing, never a create-then-fill). This putIfAbsent is the
+  *     primitive optimistic concurrency rests on: version N's commit file
+  *     is the lock.
+  *  2. **Read-after-publish visibility** — once a publish returns,
+  *     subsequent `exists`/`readLines`/`list` calls (from any process)
+  *     see it. A store with delayed LIST visibility must compensate
+  *     (Delta's S3 single-writer LogStore keeps a recent-writes cache).
+  *  3. `publishOverwrite` need only be atomic (readers see the old or the
+  *     new content, never torn) — it serves only ADVISORY pointers
+  *     (`_last_checkpoint`, `_log_start`) whose staleness is safe by
+  *     design.
+  *
+  * POSIX and HDFS-class filesystems satisfy (1) natively — O_EXCL create
+  * or hard-link CAS ([[PosixLogStore]] below). S3-class object stores
+  * have no native putIfAbsent across writers and need a shim: a
+  * conditional PUT (If-None-Match), or an external mutex row — exactly
+  * the S3DynamoDBLogStore arrangement public Delta documents. The commit
+  * path additionally READS BACK every published commit and fails loudly
+  * on a mismatch, so a store that silently violates (1) or (2) surfaces
+  * as a typed concurrency error, not a corrupt table (LogStoreSpec).
+  *
+  * Parquet checkpoint payloads are written to tmp paths by
+  * [[CheckpointCodec]] directly (bulk data-plane IO, same as Delta) —
+  * only their PUBLISH rides this seam, which is where atomicity lives.
+  */
+trait LogStore {
+  /** All lines of `p` (no trailing-newline entry). */
+  def readLines(p: Path): Seq[String]
+
+  /** Whole content of small pointer files. */
+  def readString(p: Path): String
+
+  /** Stage bytes at a private tmp path (not yet visible to readers). */
+  def writeTmp(p: Path, bytes: Array[Byte]): Unit
+
+  /** Publish `src` at `dst`; throws
+    * [[java.nio.file.FileAlreadyExistsException]] if `dst` exists.
+    * `src` survives — the caller deletes it (in `finally`). */
+  def publishIfAbsent(src: Path, dst: Path): Unit
+
+  /** Atomically replace `dst` with `src` (advisory pointers only). */
+  def publishOverwrite(src: Path, dst: Path): Unit
+
+  def exists(p: Path): Boolean
+  def isRegularFile(p: Path): Boolean
+  def isDirectory(p: Path): Boolean
+
+  /** Entries of `dir` matching `glob` (non-recursive). */
+  def list(dir: Path, glob: String): Seq[Path]
+
+  def deleteIfExists(p: Path): Boolean
+  def mtimeMs(p: Path): Long
+  def createDirectories(p: Path): Unit
+}
+
+/** The local-filesystem LogStore: hard-link creation is the
+  * compare-and-swap (a single atomic filesystem op that fails with
+  * FileAlreadyExists when another writer won — a `Files.move` without
+  * REPLACE_EXISTING would be check-then-act and can silently overwrite
+  * the winner under a race), ATOMIC_MOVE serves pointer replacement.
+  * Correct on POSIX and HDFS-like stores; see the trait scaladoc for what
+  * an object store needs instead. */
+object PosixLogStore extends LogStore {
+  import java.nio.charset.StandardCharsets.UTF_8
+
+  override def readLines(p: Path): Seq[String] =
+    Files.readAllLines(p, UTF_8).asScala.toSeq
+
+  override def readString(p: Path): String = Files.readString(p)
+
+  override def writeTmp(p: Path, bytes: Array[Byte]): Unit =
+    Files.write(p, bytes)
+
+  override def publishIfAbsent(src: Path, dst: Path): Unit =
+    Files.createLink(dst, src)
+
+  override def publishOverwrite(src: Path, dst: Path): Unit =
+    Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+
+  override def exists(p: Path): Boolean = Files.exists(p)
+  override def isRegularFile(p: Path): Boolean = Files.isRegularFile(p)
+  override def isDirectory(p: Path): Boolean = Files.isDirectory(p)
+
+  override def list(dir: Path, glob: String): Seq[Path] = {
+    val st = Files.newDirectoryStream(dir, glob)
+    try st.iterator().asScala.toSeq finally st.close()
+  }
+
+  override def deleteIfExists(p: Path): Boolean = Files.deleteIfExists(p)
+  override def mtimeMs(p: Path): Long = Files.getLastModifiedTime(p).toMillis
+  override def createDirectories(p: Path): Unit = { Files.createDirectories(p); () }
+}

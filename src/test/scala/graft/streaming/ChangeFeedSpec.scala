@@ -140,6 +140,33 @@ class ChangeFeedSpec extends SparkTestBase {
       (4, "New", "Person", "insert", 3L)))
   }
 
+  test("rate-limited CDF tail drains a multi-commit backlog in >1 batch") {
+    val t = goldenCdf() // v2 merge + v3 delete, each with _cdc sidecars
+    t.append(df((7, "Extra", "Row")))               // v4: plain append
+    t.delete(col("id") === 7)                       // v5: rewrite w/ sidecar
+    def drain(name: String, opts: Map[String, String]): Long = {
+      val out = opts.foldLeft(spark.readStream.format("graft")
+          .option("readChangeFeed", "true").option("startingVersion", 1)) {
+        case (r, (k, v)) => r.option(k, v) }.load(t.path)
+      val q = out.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", tmpDir(s"cdf-adm-$name-"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // integrity: the rate-limited drain re-assembles the exact feed
+      assert(canon(spark.table(name)) === canon(t.changes(1, 5)),
+        s"$name: rate-limited CDF drain must equal the batch change feed")
+      q.lastProgress.batchId
+    }
+    // unlimited: AvailableNow drains the whole backlog in one batch
+    assert(drain("cdf_adm_all", Map.empty) == 0L)
+    // 1 file/trigger: 4 delta-carrying commits → ≥4 micro-batches (a
+    // commit's sidecars stay whole — offsets are commit versions)
+    assert(drain("cdf_adm_files", Map("maxFilesPerTrigger" -> "1")) >= 3L)
+    // 1 byte/trigger: every sidecar exceeds it → one commit per batch,
+    // exercising the CdcFile.size admission path
+    assert(drain("cdf_adm_bytes", Map("maxBytesPerTrigger" -> "1")) >= 3L)
+  }
+
   test("rewrite commits without change data abort the CDF stream loudly") {
     val t = GraftTable.create(spark, tmpDir("cdf-off-"),
       df((1, "A", "B"), (2, "C", "D")))

@@ -147,6 +147,55 @@ class DataSkippingSpec extends SparkTestBase {
       .map(_.getInt(0)).toSeq === Seq(3 * 64 + 17))
   }
 
+  test("incremental clustering: second OPTIMIZE touches only the new files") {
+    import spark.implicits._
+    def grid = (0 until 4096).map(i => (i, i % 64, i / 64)).toDF("id", "x", "y")
+    val t = GraftTable.create(spark, tmpDir("zinc-"), grid.coalesce(1))
+    t.setProperty("clustering.columns", "x,y")
+    // first pass: full re-cluster, outputs tagged with the spec
+    t.optimize(targetFileBytes = 1024)
+    val firstPass = t.snapshot.files
+    assert(firstPass.forall(_.tags.get("clustered").contains("zorder(x,y)")),
+      "clustered outputs must carry the spec tag")
+    // a checkpoint-seeded fold must preserve the tags (else the next pass
+    // re-clusters everything): force one by crossing the interval
+    (1 to 10).foreach(_ => t.setProperty("noise", java.util.UUID.randomUUID().toString))
+    assert(new GraftLog(t.path).snapshotAt(t.latestVersion).files
+      .forall(_.tags.contains("clustered")), "tags must survive checkpoints")
+
+    t.append((4096 until 4608).map(i => (i, i % 64, i / 64))
+      .toDF("id", "x", "y").coalesce(1))
+    val beforeSecond = t.snapshot.files
+    t.optimize(targetFileBytes = 1024)
+    val afterSecond = t.snapshot.files
+    // every first-pass file is byte-identical (same path, never rewritten)
+    val firstPaths = firstPass.map(_.path).toSet
+    assert(firstPaths.subsetOf(afterSecond.map(_.path).toSet),
+      "an incremental pass must leave conforming files untouched")
+    // only the new append rewrote
+    val rewritten = beforeSecond.map(_.path).toSet -- afterSecond.map(_.path).toSet
+    assert(rewritten.nonEmpty && rewritten.forall(!firstPaths.contains(_)),
+      s"only the appended files may rewrite, rewrote $rewritten")
+    // metrics record the skipped conforming files
+    val metrics = t.history().orderBy(col("version").desc)
+      .select("operation", "operationMetrics").head()
+    assert(metrics.getString(0) == "OPTIMIZE")
+    assert(metrics.getMap[String, String](1)
+      .get("numClusteredFilesSkipped").exists(_.toInt == firstPass.size))
+    // pruning still fires on BOTH z dimensions after the incremental pass
+    def frac(pred: Column): Double =
+      t.prunedFiles(t.snapshot, pred).size.toDouble / t.snapshot.files.size
+    assert(frac(col("x") === 17) < 0.6, "x must stay prunable")
+    assert(frac(col("y") === 17) < 0.8, "y must stay prunable")
+    // correctness: same rows, new rows included
+    assert(t.toDF.count() === 4608)
+    assert(t.scan(col("id") === 4200).collect().map(_.getInt(0)).toSeq === Seq(4200))
+    // a third bare OPTIMIZE with nothing new is a no-op commit-wise
+    val v = t.latestVersion
+    t.optimize(targetFileBytes = 1024)
+    assert(t.latestVersion == v, "nothing to re-cluster → no commit")
+  }
+
   test("LIKE 'prefix%' prunes on string min/max ranges") {
     import spark.implicits._
     // three files with disjoint name ranges: [apple..avocado], [banana..blueberry], [cherry..citrus]

@@ -1,0 +1,82 @@
+package graft.table
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** VARIANT columns (Spark 4 parse_json / variant_get) in graft tables,
+  * protocol-gated as Delta gates the variantType table feature: the
+  * commit that FIRST carries a variant schema upgrades the protocol in
+  * that same commit (no window where a foreign reader could misread), and
+  * the generic reader gate refuses the table on any build whose supported
+  * feature set lacks variantType. */
+class VariantSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("creating a variant table gates the protocol in commit 0") {
+    val t = GraftTable.create(spark, tmpDir("variant-create-"),
+      Seq((1L, """{"k":7,"s":"x"}"""), (2L, """{"k":9}"""))
+        .toDF("id", "js").withColumn("v", parse_json($"js")))
+    val p = t.snapshot.protocol
+    assert(p.readerFeatures.contains("variantType"))
+    assert(p.writerFeatures.contains("variantType"))
+    assert(p.minReaderVersion >= 2 && p.minWriterVersion >= 2)
+    // the upgrade rides commit 0 itself — not a follow-up commit
+    assert(t.latestVersion == 0L)
+  }
+
+  test("variant values round-trip through the log and match the string path") {
+    val dir = tmpDir("variant-rt-")
+    GraftTable.create(spark, dir,
+      Seq((1L, """{"k":7,"nested":{"a":1}}"""), (2L, """{"k":9,"nested":{"a":2}}"""),
+          (3L, """{"s":"no k"}"""))
+        .toDF("id", "js").withColumn("v", parse_json($"js")))
+    // a FRESH handle (cold caches): schema survives the schemaString
+    // round-trip and the files decode through the normal batch scan
+    val back = GraftTable.forPath(spark, dir).toDF
+    assert(back.schema("v").dataType == VariantType)
+    val rows = back
+      .select($"id",
+        variant_get($"v", "$.k", "long").as("kv"),
+        get_json_object($"js", "$.k").cast("long").as("ks"),
+        variant_get($"v", "$.nested.a", "long").as("na"))
+      .orderBy($"id").collect()
+    assert(rows.map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(3)))).toSeq ==
+      Seq((1L, Some(7L), Some(1L)), (2L, Some(9L), Some(2L)), (3L, None, None)))
+    // shredded-vs-string parity, row by row
+    rows.foreach(r => assert(r.get(1) == r.get(2),
+      s"variant_get and get_json_object diverged on id ${r.getLong(0)}"))
+  }
+
+  test("schema evolution into variant upgrades the protocol in the same commit") {
+    val t = GraftTable.create(spark, tmpDir("variant-evolve-"),
+      Seq((1L, "a")).toDF("id", "s"))
+    assert(!t.snapshot.protocol.readerFeatures.contains("variantType"))
+    t.addColumn("v", VariantType)
+    val s = t.snapshot
+    assert(s.protocol.readerFeatures.contains("variantType"),
+      "ADD COLUMNS of a variant column must gate the feature")
+    // the SAME commit carries both the evolved schema and the upgrade
+    val actions = t.log.readVersion(s.version)
+    assert(actions.exists(_.isInstanceOf[Protocol]))
+    assert(actions.collectFirst { case m: MetaData => m }
+      .exists(_.schemaString.contains("\"variant\"")))
+  }
+
+  test("a protocol requiring an unknown reader feature refuses loudly") {
+    // the refusal a pre-variant build gives a variant table is the generic
+    // reader gate; pin it with a feature no build supports
+    val dir = tmpDir("variant-foreign-")
+    val t = GraftTable.create(spark, dir, Seq((1L, "a")).toDF("id", "s"))
+    val s = t.snapshot
+    t.log.commit(s.version + 1, Seq(
+      Protocol(minReaderVersion = 2, minWriterVersion = 2,
+        readerFeatures = Seq("variantTypeV9"),
+        writerFeatures = Seq("variantTypeV9")),
+      CommitInfo(s.version + 1, t.log.nextTimestamp(), "UPGRADE", Map.empty)))
+    val e = intercept[GraftProtocolException] {
+      GraftTable.forPath(spark, dir).toDF.count()
+    }
+    assert(e.getMessage.contains("variantTypeV9"))
+  }
+}
