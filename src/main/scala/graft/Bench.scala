@@ -80,9 +80,12 @@ object Bench {
     for (rep <- 1 to reps; (name, fn) <- ordered
          if rep == 1 || !fixtureCached(name))
       samples(name) = timeOnce(name, fn) :: samples.getOrElse(name, Nil)
+    // ANY failed rep marks the query failed (-1, errors list, exit 1) —
+    // min-over-successes would silently greenlight an intermittent
+    // regression that the single-run contract used to surface
     val results = ordered.map { case (name, _) =>
-      val ok = samples(name).filter(_ >= 0)
-      name -> (if (ok.isEmpty) -1.0 else ok.min)
+      val reps0 = samples(name)
+      name -> (if (reps0.exists(_ < 0)) -1.0 else reps0.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -120,24 +120,45 @@ object Bpe {
     trainFromHistogram(histo.toSeq, numMerges)
   }
 
-  /** Driver-side merge loop over a weighted word histogram. The
-    * tie-break comparator matches Spark's string ordering exactly
-    * (unsigned UTF-8 bytes), so the result is bit-identical to the
-    * distributed trainer even on non-ASCII vocabularies where UTF-16
-    * code-unit order (plain String.compareTo) diverges. */
+  /** Driver-side merge loop over a weighted word histogram, with
+    * INCREMENTAL pair-count maintenance (Sennrich's actual loop shape):
+    * the pair-count table builds once, and each merge touches only the
+    * words that CONTAIN the merged pair (found via a pair→words index) —
+    * subtracting their old adjacent pairs and adding the new ones. Per
+    * round that is O(distinct pairs) for the argmax + O(touched tokens)
+    * for the update, NOT a rescan of the whole histogram; 50k merges over
+    * a web-scale vocabulary stay driver-tractable. The tie-break
+    * comparator matches Spark's string ordering exactly (unsigned UTF-8
+    * bytes), so the result is bit-identical to the distributed trainer
+    * even on non-ASCII vocabularies where UTF-16 code-unit order (plain
+    * String.compareTo) diverges. */
   def trainFromHistogram(histo: Seq[(String, Long)], numMerges: Int): Seq[Merge] = {
     import java.nio.charset.StandardCharsets.UTF_8
+    import scala.collection.mutable
     def lt(a: String, b: String): Boolean =
       java.util.Arrays.compareUnsigned(a.getBytes(UTF_8), b.getBytes(UTF_8)) < 0
-    var words: Array[(IndexedSeq[String], Long)] =
+    val words: Array[(IndexedSeq[String], Long)] =
       histo.map { case (w, c) => (seed(w), c) }.toArray
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    // pair → indices of words where the pair OCCURRED at some point; grows
+    // only (a merge can remove occurrences elsewhere in a word) — probes
+    // re-check actual containment, so staleness is an over-approximation
+    val index = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def adjust(wi: Int, toks: IndexedSeq[String], c: Long, sign: Long): Unit = {
+      var i = 0
+      while (i + 1 < toks.length) {
+        val p = (toks(i), toks(i + 1))
+        val n = counts.getOrElse(p, 0L) + sign * c
+        if (n <= 0L) counts.remove(p) else counts(p) = n
+        if (sign > 0L) index.getOrElseUpdate(p, mutable.Set.empty) += wi
+        i += 1
+      }
+    }
+    words.zipWithIndex.foreach { case ((toks, c), wi) => adjust(wi, toks, c, 1L) }
     val merges = Seq.newBuilder[Merge]
     var rank = 1
     var done = false
     while (rank <= numMerges && !done) {
-      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      for ((toks, c) <- words; i <- 0 until toks.length - 1)
-        counts.updateWith((toks(i), toks(i + 1)))(v => Some(v.getOrElse(0L) + c))
       if (counts.isEmpty) done = true
       else {
         val (l, r) = counts.foldLeft(("", "", Long.MinValue)) {
@@ -147,10 +168,16 @@ object Bpe {
             else best
         } match { case (bl, br, _) => (bl, br) }
         merges += Merge(rank, l, r)
-        words = words.map { case (toks, c) =>
-          if (toks.indices.exists(i => i + 1 < toks.length &&
-              toks(i) == l && toks(i + 1) == r)) (mergeOnce(toks, l, r), c)
-          else (toks, c)
+        index.getOrElse((l, r), mutable.Set.empty).toSeq.sorted.foreach { wi =>
+          val (toks, c) = words(wi)
+          val has = toks.indices.exists(i => i + 1 < toks.length &&
+            toks(i) == l && toks(i + 1) == r)
+          if (has) {
+            adjust(wi, toks, c, -1L)
+            val merged = mergeOnce(toks, l, r)
+            words(wi) = (merged, c)
+            adjust(wi, merged, c, 1L)
+          }
         }
         rank += 1
       }

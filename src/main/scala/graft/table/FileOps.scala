@@ -164,7 +164,10 @@ object FileOps {
             def toMicros(raw: Long, u: TimeUnit): Option[Long] = u match {
               case TimeUnit.MICROS => Some(raw)
               case TimeUnit.MILLIS => Some(Math.multiplyExact(raw, 1000L))
-              case TimeUnit.NANOS  => Some(Math.floorDiv(raw, 1000L))
+              // NANOS: the only way Spark materializes a NANOS column is as
+              // LongType holding RAW NANOS (legacy nanosAsLong conf) — there
+              // is no readable representation for which a micros
+              // normalization is correct, so record no stats at all
               case _ => None
             }
             val mm: Option[(String, String)] = pt.getPrimitiveTypeName match {

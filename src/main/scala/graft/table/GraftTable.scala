@@ -1605,7 +1605,13 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       else s.metaData.properties.get("clustering.curve") match {
         case Some("range") => (propCols, Nil)
         case Some("zorder") => (Nil, propCols)
-        case _ => if (propCols.size >= 2) (Nil, propCols) else (propCols, Nil)
+        // an unrecognized curve must raise, not silently fall through to
+        // the default: the table would be quietly maintained under a
+        // DIFFERENT clustering than the user declared, and every later
+        // pass would skip the mis-clustered files as "conforming"
+        case Some(other) => throw new IllegalArgumentException(
+          s"unknown clustering.curve '$other' (supported: zorder, range)")
+        case None => if (propCols.size >= 2) (Nil, propCols) else (propCols, Nil)
       }
     /** The clustering spec a rewritten file is stamped with — and the tag
       * an incremental pass treats as "already conforming". */

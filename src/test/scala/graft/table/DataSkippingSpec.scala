@@ -194,6 +194,11 @@ class DataSkippingSpec extends SparkTestBase {
     val v = t.latestVersion
     t.optimize(targetFileBytes = 1024)
     assert(t.latestVersion == v, "nothing to re-cluster → no commit")
+    // an unrecognized curve raises instead of silently maintaining a
+    // DIFFERENT clustering than the one declared
+    t.setProperty("clustering.curve", "hilbert")
+    val e = intercept[IllegalArgumentException] { t.optimize() }
+    assert(e.getMessage.contains("hilbert"))
   }
 
   test("LIKE 'prefix%' prunes on string min/max ranges") {
