@@ -194,11 +194,17 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
       if (op.exists(nonDataOps.contains)) 0L
       else {
         // CDF admission sizes what the batch will actually READ: a commit
-        // with `_cdc/` sidecars plans those, not its add files (a
-        // pre-round-11 sidecar logged size 0 — degrades toward file-count
-        // caps for that commit, and progress is still ≥1 commit/trigger)
+        // with `_cdc/` sidecars plans those, not its add files. A legacy
+        // sidecar (logged before sizes existed) deserializes to size 0 —
+        // summing zeros would FAIL OPEN (the byte loop would admit the
+        // whole backlog in one batch), so an unknown-size commit costs a
+        // large sentinel instead: it still rides the ≥1-commit/trigger
+        // progress guarantee, and nothing else joins its batch.
         val cdc = actions.collect { case c: graft.table.CdcFile => c }
-        if (cdfMode && cdc.nonEmpty) cdc.map(_.size).sum
+        if (cdfMode && cdc.nonEmpty) {
+          val sz = cdc.map(_.size).sum
+          if (sz == 0L) Long.MaxValue / 4 else sz
+        }
         else actions.collect { case a: AddFile => a.size }.sum
       }
     })

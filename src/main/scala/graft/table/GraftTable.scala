@@ -1698,9 +1698,13 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         scoped.map(_.path).toSet, scoped.map(_.path).toSet),
       (v, ts) =>
         Seq(CommitInfo(v, ts, "OPTIMIZE",
+          // the two skip metrics are DISJOINT: numFilesSkipped keeps its
+          // pre-round-11 meaning (out of `where` scope only) and
+          // numClusteredFilesSkipped counts conforming clustered files —
+          // summing them never double-counts
           Map("numFilesBefore" -> scoped.size.toString,
               "numFilesAfter" -> adds.size.toString,
-              "numFilesSkipped" -> (s.files.size - scoped.size).toString) ++
+              "numFilesSkipped" -> (s.files.size - inScope.size).toString) ++
             (if (incremental)
                Map("numClusteredFilesSkipped" -> clusteredSkipped.toString)
              else Map.empty) ++
