@@ -63,6 +63,33 @@ class VariantSpec extends SparkTestBase {
       .exists(_.schemaString.contains("\"variant\"")))
   }
 
+  test("appends to a variant table flow through conform unharmed") {
+    val dir = tmpDir("variant-append-")
+    val t = GraftTable.create(spark, dir,
+      Seq((1L, """{"k":7}""")).toDF("id", "js").withColumn("v", parse_json($"js")))
+    t.append(Seq((2L, """{"k":9}""")).toDF("id", "js")
+      .withColumn("v", parse_json($"js")))
+    val got = t.toDF.select($"id", variant_get($"v", "$.k", "long").as("k"))
+      .orderBy($"id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 7L), (2L, 9L)))
+  }
+
+  test("streaming a variant table through the graft source") {
+    val dir = tmpDir("variant-stream-")
+    GraftTable.create(spark, dir,
+      Seq((1L, """{"k":7}"""), (2L, """{"k":9}"""))
+        .toDF("id", "js").withColumn("v", parse_json($"js")))
+    val q = spark.readStream.format("graft").load(dir)
+      .select($"id", variant_get($"v", "$.k", "long").as("k"))
+      .writeStream.format("memory").queryName("variant_stream")
+      .option("checkpointLocation", tmpDir("variant-stream-ckpt-"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("variant_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, 7L), (2L, 9L)))
+  }
+
   test("a protocol requiring an unknown reader feature refuses loudly") {
     // the refusal a pre-variant build gives a variant table is the generic
     // reader gate; pin it with a feature no build supports
