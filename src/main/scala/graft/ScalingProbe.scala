@@ -294,6 +294,43 @@ object ScalingProbe {
     spark.stop()
   }
 
+  /** Incremental-clustering probe (round-11 brief): times the first full
+    * clustering pass vs the maintenance pass after a small append on a
+    * `clustering.columns` table — the evidence that maintenance costs
+    * O(new data), not O(table). Usage:
+    * tools/run.sh graft.ScalingProbe cluster [baseRows] [appendRows]. */
+  private def runClusterProbe(baseRows: Int, appendRows: Int): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"""CLUSTERPROBE {"step":"$label","base":$baseRows,"append":$appendRows,"sec":${(System.nanoTime() - t0) / 1e9}%.3f}""")
+      r
+    }
+    val t = graft.table.GraftTable.create(spark,
+      Scratch.dir("graft-clusterprobe-").toString,
+      (0 until baseRows).map(i => (i.toLong, i % 1000, i / 1000))
+        .toDF("id", "x", "y").repartition(8))
+    t.setProperty("clustering.columns", "x,y")
+    timed("first_full_cluster")(t.optimize(targetFileBytes = 1 << 20))
+    val nAfterFirst = t.snapshot.files.size
+    t.append((baseRows until baseRows + appendRows)
+      .map(i => (i.toLong, i % 1000, i / 1000)).toDF("id", "x", "y").coalesce(1))
+    timed("incremental_maintenance")(t.optimize(targetFileBytes = 1 << 20))
+    val m = t.history().orderBy(org.apache.spark.sql.functions.col("version").desc)
+      .select("operationMetrics").head().getMap[String, String](0)
+    println(s"""CLUSTERPROBE {"step":"metrics","skipped":${m.getOrElse("numClusteredFilesSkipped", "?")},"filesAfterFirst":$nAfterFirst}""")
+    require(m.get("numClusteredFilesSkipped").exists(_.toInt == nAfterFirst),
+      "the maintenance pass must skip every first-pass file")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("log")) {
       runLogProbe(args.drop(1).headOption.map(_.toInt).getOrElse(100000))
@@ -301,6 +338,12 @@ object ScalingProbe {
     }
     if (args.headOption.contains("vacuum")) {
       runVacuumProbe(args.drop(1).headOption.map(_.toInt).getOrElse(100000))
+      return
+    }
+    if (args.headOption.contains("cluster")) {
+      runClusterProbe(
+        args.drop(1).headOption.map(_.toInt).getOrElse(2000000),
+        args.drop(2).headOption.map(_.toInt).getOrElse(50000))
       return
     }
     if (args.headOption.contains("contention")) {

@@ -1474,7 +1474,19 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           "'vacuum.retentionDurationCheck' = 'false' to override")
     }
     val orphans = vacuumOrphans(retainVersions, retentionMs)
-    orphans.foreach(f => Files.deleteIfExists(Paths.get(path, f)))
+    // the deletes distribute too once the orphan list is large — on an
+    // object store each delete is a round-trip, and a million serialized
+    // on the driver is the slow half of the sweep (the same reason the
+    // listing went distributed); a small list stays a driver loop (no job
+    // scheduling overhead for the common case)
+    if (orphans.size > 1024) {
+      import spark.implicits._
+      val root = path
+      spark.createDataset(orphans).foreachPartition {
+        (it: Iterator[String]) =>
+          it.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
+      }
+    } else orphans.foreach(f => Files.deleteIfExists(Paths.get(path, f)))
     orphans.size
   }
 
