@@ -93,7 +93,10 @@ object GraftProcedures {
       paramD("cluster_by", StringType, "''"),
       // scope the rewrite to files that may hold matching rows — at 100 TB
       // you OPTIMIZE the hot partition after its ingest churn
-      paramD("where", StringType, "''"))
+      paramD("where", StringType, "''"),
+      // Delta's `OPTIMIZE t FULL`: on a clustering-property table,
+      // re-cluster every in-scope file, conforming or not
+      paramD("full", BooleanType, "false"))
 
     private val out = StructType(Seq(
       StructField("files_before", LongType, nullable = false),
@@ -111,8 +114,9 @@ object GraftProcedures {
         else Some(input.getUTF8String(4).toString.trim).filter(_.nonEmpty)
           .map(org.apache.spark.sql.functions.expr)
       val before = t.snapshot.files.size.toLong
+      val full = !input.isNullAt(5) && input.getBoolean(5)
       t.optimize(targetFileBytes = target, clusterBy = cols(3), zorderBy = cols(2),
-        where = where)
+        where = where, full = full)
       val s = t.snapshot
       resultScan(out, row(before, s.files.size.toLong, s.version))
     }

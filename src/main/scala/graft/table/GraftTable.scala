@@ -1593,7 +1593,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   def optimize(targetFileBytes: Long = 128L * 1024 * 1024,
                clusterBy: Seq[String] = Nil,
                zorderBy: Seq[String] = Nil,
-               where: Option[Column] = None): Unit = {
+               where: Option[Column] = None,
+               /** Delta's `OPTIMIZE t FULL`: re-cluster EVERY in-scope file
+                 * under the declared clustering, conforming or not — the
+                 * escape hatch when incremental cube boundaries have
+                 * drifted from the data distribution. */
+               full: Boolean = false): Unit = {
     require(clusterBy.isEmpty || zorderBy.isEmpty,
       "clusterBy and zorderBy are exclusive")
     val s = snapshot
@@ -1636,7 +1641,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // the whole table; out-of-scope files survive byte-identical.
     val inScope = where.map(prunedFiles(s, _)).getOrElse(s.files)
     val scoped =
-      if (!incremental) inScope
+      if (!incremental || full) inScope
       else inScope.filterNot(f =>
         f.dvPath.isEmpty && f.tags.get("clustered") == clusterSpec)
     val clusteredSkipped = inScope.size - scoped.size

@@ -199,6 +199,14 @@ class DataSkippingSpec extends SparkTestBase {
     t.setProperty("clustering.curve", "hilbert")
     val e = intercept[IllegalArgumentException] { t.optimize() }
     assert(e.getMessage.contains("hilbert"))
+    t.setProperty("clustering.curve", "zorder")
+    // OPTIMIZE FULL re-clusters EVERYTHING, conforming files included —
+    // the escape hatch when incremental cube boundaries drift
+    val beforeFull = t.snapshot.files.map(_.path).toSet
+    t.optimize(targetFileBytes = 1024, full = true)
+    assert(t.snapshot.files.map(_.path).toSet.intersect(beforeFull).isEmpty,
+      "FULL must rewrite every file")
+    assert(t.toDF.count() === 4608)
   }
 
   test("LIKE 'prefix%' prunes on string min/max ranges") {
