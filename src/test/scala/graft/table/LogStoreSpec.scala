@@ -75,6 +75,66 @@ class LogStoreSpec extends SparkTestBase {
       s"expected the lost-visibility diagnostic, got: ${e.getMessage}")
   }
 
+  test("a NON-posix store (plain writes + external mutex) carries checkpoints and cleanup") {
+    // The S3DynamoDBLogStore arrangement, in miniature: the store has NO
+    // atomic filesystem primitive — publishes are plain copy-then-delete
+    // writes — and mutual exclusion comes from EXTERNAL coordination (here
+    // an in-process lock table keyed by destination, standing in for the
+    // DynamoDB mutex row / conditional PUT). If GraftLog leaned on any
+    // posix atomicity beyond the LogStore contract, this store would
+    // corrupt checkpointed folds or cleanup — the cycle below crosses two
+    // checkpoint intervals, a multipart checkpoint, and a log cleanup.
+    val published = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val store = new DelegatingStore {
+      override def publishIfAbsent(src: Path, dst: Path): Unit = {
+        // external mutex: first claimant of this dst wins, everyone else
+        // gets the contract's FileAlreadyExists — no filesystem CAS at all
+        if (!published.add(dst.toString) || Files.exists(dst))
+          throw new java.nio.file.FileAlreadyExistsException(dst.toString)
+        Files.copy(src, dst) // plain write; atomicity comes from the mutex
+      }
+      override def publishOverwrite(src: Path, dst: Path): Unit = {
+        Files.copy(src, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        Files.deleteIfExists(src)
+      }
+      override def deleteIfExists(p: Path): Boolean = {
+        published.remove(p.toString); super.deleteIfExists(p)
+      }
+    }
+    val dir = tmpDir("logstore-s3ish-")
+    val log = new GraftLog(dir, store)
+    log.commit(0L, seedActions(log))
+    // cross two checkpoint intervals (writeCheckpoint publishes through
+    // the store), then force a MULTIPART checkpoint via partSize
+    (1 to 9).foreach(v => log.commit(v, Seq(
+      CommitInfo(v, log.nextTimestamp(), "WRITE", Map.empty),
+      AddFile(s"part-$v.parquet", 10L, v, 1L, Map.empty, Map.empty))))
+    log.commit(10L, Seq(CommitInfo(10L, log.nextTimestamp(), "WRITE", Map.empty)))
+    val meta10 = log.snapshotAt(10L).metaData
+    log.commit(11L, Seq(
+      meta10.copy(properties = meta10.properties +
+        ("checkpoint.partSize" -> "3", "checkpoint.format" -> "parquet")),
+      CommitInfo(11L, log.nextTimestamp(), "SET TBLPROPERTIES", Map.empty)))
+    (12 to 20).foreach(v => log.commit(v, Seq(
+      CommitInfo(v, log.nextTimestamp(), "WRITE", Map.empty))))
+    // fresh instance folds from the multipart checkpoint through the store
+    val replay = new GraftLog(dir, store)
+    assert(replay.snapshotAt(20L).files.size == 9)
+    assert(replay.snapshotAt(5L).files.size == 5, "time travel intact")
+    // cleanup publishes _log_start via publishOverwrite and deletes
+    // through the store; the table stays fully readable after
+    assert(log.cleanupExpiredLogs(System.currentTimeMillis() + 1000) > 0)
+    val after = new GraftLog(dir, store)
+    assert(after.earliestVersion > 0)
+    assert(after.snapshotAt(after.latestVersion).files.size == 9)
+    // and the external mutex still rejects a duplicate version
+    intercept[java.util.ConcurrentModificationException] {
+      new GraftLog(dir, store).commit(after.latestVersion,
+        Seq(CommitInfo(after.latestVersion, 999L, "WRITE", Map.empty)))
+    }
+  }
+
   test("a conforming custom store carries the full commit/fold cycle") {
     val publishes = new java.util.concurrent.atomic.AtomicInteger
     val reads = new java.util.concurrent.atomic.AtomicInteger
