@@ -236,6 +236,38 @@ class ModelCheckSpec extends SparkTestBase {
       s"auto compact should bound files, got ${t.snapshot.files.size}")
   }
 
+  test("incremental clustering OPTIMIZE composes with concurrent appends") {
+    // an incremental maintenance pass reads only the files it rewrites
+    // (never the whole table), so appends racing it must BOTH land —
+    // Delta's dataChange=false leniency — and the appended rows stay
+    // unclustered until the NEXT pass picks them up by their missing tag
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("conc-clust-"),
+      (0 until 4096).map(i => (i, s"f$i", s"l$i")).toDF("id", "firstname", "lastname")
+        .repartition(4))
+    t.setProperty("clustering.columns", "id")
+    t.optimize(targetFileBytes = 64 * 1024) // first full pass, all tagged
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val appender = new Thread(() => {
+      try (0 until 5).foreach(k => t.append(
+        (0 until 50).map(i => (10000 + k * 100 + i, "a", "b"))
+          .toDF("id", "firstname", "lastname").coalesce(1)))
+      catch { case e: Throwable => errs.add(e) }
+    })
+    val optimizer = new Thread(() => {
+      try (0 until 3).foreach(_ => t.optimize(targetFileBytes = 64 * 1024))
+      catch { case e: Throwable => errs.add(e) }
+    })
+    appender.start(); optimizer.start()
+    appender.join(); optimizer.join()
+    assert(errs.isEmpty, s"appends and incremental OPTIMIZE must compose: $errs")
+    assert(t.toDF.count() === 4096 + 250, "no appended row may be lost")
+    // one final pass leaves the table fully conforming
+    t.optimize(targetFileBytes = 64 * 1024)
+    assert(t.snapshot.files.forall(_.tags.contains("clustered")))
+    assert(t.scan(col("id") === 10000).count() === 1)
+  }
+
   test("two concurrent appenders both land via optimistic retry") {
     val t = GraftTable.create(spark, tmpDir("conc-"), df(Seq((0, "s", "s"))))
     val threads = (1 to 4).map { i =>
