@@ -196,4 +196,20 @@ class SoundnessR11Spec extends SparkTestBase {
     val ex = intercept[Exception](guarded.collect())
     assert(raisedMessages(ex).exists(_.contains("not castable")))
   }
+
+  test("convert distributes the footer harvest beyond the small-table threshold") {
+    val dir = tmpDir("convbig-")
+    // 300 files crosses the 256-file threshold → the executor-job branch
+    spark.range(3000).selectExpr("id", "id * 2 as v").repartition(300)
+      .write.mode("overwrite").parquet(dir)
+    val t = GraftTable.convert(spark, dir)
+    assert(t.snapshot.files.size >= 257, "need the distributed branch")
+    assert(t.toDF.count() == 3000)
+    // every file harvested full stats through the job
+    assert(t.snapshot.files.forall(f =>
+      f.numRecords > 0 && f.minValues.contains("id") && f.nullCounts.contains("id")))
+    // and skipping works off those stats immediately
+    assert(t.prunedFiles(t.snapshot, org.apache.spark.sql.functions.col("id") === 7L)
+      .size < t.snapshot.files.size)
+  }
 }
