@@ -20,7 +20,10 @@ import org.apache.spark.sql.DataFrame
   * runs over any store with rename — the log, not the file system, provides
   * atomicity (files are invisible until their commit lands).
   */
-object FileOps {
+// Serializable: the distributed footer harvest in writeDataFiles ships a
+// closure over this module's methods to executors (deserializes back to
+// the singleton — no state crosses the wire)
+object FileOps extends Serializable {
 
   /** Per-session reference-counted flip of the parquet output-timestamp
     * conf. Concurrent writers on ONE SparkSession share the SQLConf, so a
@@ -81,7 +84,12 @@ object FileOps {
     val parts = Files.walk(staging).iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
       .toSeq.sortBy(_.toString)
-    val adds = parts.flatMap { part =>
+    // move first (cheap metadata renames), then harvest footer stats — an
+    // executor job beyond a small-commit threshold: stats are one file
+    // open + footer parse PER FILE, and a large initial load writing
+    // thousands of files must not serialize those round-trips on the
+    // driver (the same shape CONVERT's harvest uses)
+    val moved: Seq[(String, Map[String, String])] = parts.map { part =>
       val relDir = staging.relativize(part.getParent) // "" or "lang=en/..."
       val partVals = relDir.toString.split('/').filter(_.contains("=")).map { seg =>
         val Array(k, v) = seg.split("=", 2)
@@ -95,9 +103,29 @@ object FileOps {
       val target = Paths.get(tablePath, relTarget)
       Files.createDirectories(target.getParent)
       Files.move(part, target)
-      val (rows, mins, maxs, nulls) = footerStats(target)
-      if (rows == 0L) { Files.delete(target); None }
-      else Some(AddFile(relTarget, Files.size(target),
+      (relTarget, partVals)
+    }
+    val root = tablePath
+    def harvest(rel: String): (String, Long, Long, Map[String, String],
+        Map[String, String], Map[String, Long]) = {
+      val p = Paths.get(root, rel)
+      val (rows, mins, maxs, nulls) = footerStats(p)
+      (rel, rows, Files.size(p), mins, maxs, nulls)
+    }
+    val statsByRel: Map[String, (Long, Long, Map[String, String],
+        Map[String, String], Map[String, Long])] =
+      (if (moved.size <= 256) moved.map { case (rel, _) => harvest(rel) }
+       else {
+         import df.sparkSession.implicits._
+         df.sparkSession.createDataset(moved.map(_._1))
+           .mapPartitions(_.map(harvest)).collect().toSeq
+       }).map { case (rel, rows, size, mins, maxs, nulls) =>
+        rel -> ((rows, size, mins, maxs, nulls))
+      }.toMap
+    val adds = moved.flatMap { case (relTarget, partVals) =>
+      val (rows, size, mins, maxs, nulls) = statsByRel(relTarget)
+      if (rows == 0L) { Files.delete(Paths.get(tablePath, relTarget)); None }
+      else Some(AddFile(relTarget, size,
         System.currentTimeMillis(), rows, mins, maxs, partVals,
         nullCounts = nulls))
     }

@@ -197,6 +197,15 @@ class SoundnessR11Spec extends SparkTestBase {
     assert(raisedMessages(ex).exists(_.contains("not castable")))
   }
 
+  test("large writes distribute their footer harvest (301-file create)") {
+    val t = GraftTable.create(spark, tmpDir("wrbig-"),
+      spark.range(3010).selectExpr("id", "id * 3 as w").repartition(301))
+    assert(t.snapshot.files.size >= 257, "need the distributed harvest branch")
+    assert(t.toDF.count() == 3010)
+    assert(t.snapshot.files.forall(f =>
+      f.numRecords > 0 && f.minValues.contains("id") && f.nullCounts.contains("id")))
+  }
+
   test("convert distributes the footer harvest beyond the small-table threshold") {
     val dir = tmpDir("convbig-")
     // 300 files crosses the 256-file threshold → the executor-job branch
