@@ -105,23 +105,12 @@ object FileOps extends Serializable {
       Files.move(part, target)
       (relTarget, partVals)
     }
-    val root = tablePath
-    def harvest(rel: String): (String, Long, Long, Map[String, String],
-        Map[String, String], Map[String, Long]) = {
-      val p = Paths.get(root, rel)
-      val (rows, mins, maxs, nulls) = footerStats(p)
-      (rel, rows, Files.size(p), mins, maxs, nulls)
-    }
     val statsByRel: Map[String, (Long, Long, Map[String, String],
         Map[String, String], Map[String, Long])] =
-      (if (moved.size <= 256) moved.map { case (rel, _) => harvest(rel) }
-       else {
-         import df.sparkSession.implicits._
-         df.sparkSession.createDataset(moved.map(_._1))
-           .mapPartitions(_.map(harvest)).collect().toSeq
-       }).map { case (rel, rows, size, mins, maxs, nulls) =>
-        rel -> ((rows, size, mins, maxs, nulls))
-      }.toMap
+      harvestStats(df.sparkSession, tablePath, moved.map(_._1))
+        .map { case (rel, rows, size, mins, maxs, nulls) =>
+          rel -> ((rows, size, mins, maxs, nulls))
+        }.toMap
     val adds = moved.flatMap { case (relTarget, partVals) =>
       val (rows, size, mins, maxs, nulls) = statsByRel(relTarget)
       if (rows == 0L) { Files.delete(Paths.get(tablePath, relTarget)); None }
@@ -135,11 +124,44 @@ object FileOps extends Serializable {
     adds
   }
 
+  /** Footer stats for a relative file list under `root` — THE shared
+    * distributed-harvest shape (writeDataFiles for large commits,
+    * GraftTable.convert for large imports): per-file footer open+parse
+    * round-trips must not serialize on the driver at 1M-file scale, so
+    * beyond a small threshold the harvest runs as one executor job. The
+    * root ships as an ABSOLUTE path (executors may have a different
+    * working directory), and one Hadoop Configuration serves each
+    * partition (a fresh one per file would re-parse the default XML
+    * resources — a large fraction of per-file cost at the motivating
+    * scale). Small lists keep the no-job driver loop. */
+  def harvestStats(spark: org.apache.spark.sql.SparkSession, root: String,
+      rels: Seq[String]): Seq[(String, Long, Long, Map[String, String],
+      Map[String, String], Map[String, Long])] = {
+    val absRoot = Paths.get(root).toAbsolutePath.toString
+    def one(conf: Configuration)(rel: String): (String, Long, Long,
+        Map[String, String], Map[String, String], Map[String, Long]) = {
+      val p = Paths.get(absRoot, rel)
+      val (rows, mins, maxs, nulls) = footerStats(p, conf)
+      (rel, rows, Files.size(p), mins, maxs, nulls)
+    }
+    if (rels.size <= 256) { val conf = new Configuration(); rels.map(one(conf)) }
+    else {
+      import spark.implicits._
+      spark.createDataset(rels).mapPartitions { it =>
+        val conf = new Configuration()
+        it.map(one(conf))
+      }.collect().toSeq.sortBy(_._1)
+    }
+  }
+
   /** Row count + min/max per top-level primitive column from the parquet
     * footer. Only stat types with a total order both here and in predicate
     * literals are kept: int32/int64/float/double and UTF-8 binary. */
-  def footerStats(file: Path): (Long, Map[String, String], Map[String, String], Map[String, Long]) = {
-    val in = HadoopInputFile.fromPath(new HPath(file.toString), new Configuration())
+  def footerStats(file: Path): (Long, Map[String, String], Map[String, String], Map[String, Long]) =
+    footerStats(file, new Configuration())
+
+  def footerStats(file: Path, conf: Configuration): (Long, Map[String, String], Map[String, String], Map[String, Long]) = {
+    val in = HadoopInputFile.fromPath(new HPath(file.toString), conf)
     val reader = ParquetFileReader.open(in)
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq

@@ -3124,35 +3124,26 @@ object GraftTable {
       s"partition directories $partitionBy not reflected in inferred schema " +
         s"${schema.fieldNames.toSeq} — pass a basePath-readable layout")
     val rels = files.map(p => root.relativize(p).toString)
-    rels.foreach { rel =>
-      require(partitionValuesOf(rel).map(_._1) == partitionBy,
+    // one partition-values pass serves both the layout validation and the
+    // AddFiles below
+    val pvByRel: Map[String, Map[String, String]] = rels.map { rel =>
+      val pv = partitionValuesOf(rel)
+      require(pv.map(_._1) == partitionBy,
         s"inconsistent partition layout at $rel (expected columns $partitionBy)")
-    }
+      rel -> pv.toMap
+    }.toMap
     // The footer harvest is the expensive half of CONVERT — one file open
     // + footer parse PER FILE. Serialized on the driver that is the
     // hour-long wall a 1M-file import hits (each read is a round-trip on
-    // an object store), so beyond a small-table threshold the harvest runs
-    // as one executor job over the file list (the FSCK/vacuum shape);
-    // results come back as narrow stat tuples, never data. Small imports
-    // keep the no-job driver loop.
-    val rootStr = path
-    def harvest(rel: String): (String, Long, Long, Long, Map[String, String],
-        Map[String, String], Map[String, Long]) = {
-      val p = Paths.get(rootStr, rel)
-      val (rows, mins, maxs, nulls) = FileOps.footerStats(p)
-      (rel, Files.size(p), Files.getLastModifiedTime(p).toMillis,
-        rows, mins, maxs, nulls)
-    }
-    val harvested =
-      if (rels.size <= 256) rels.map(harvest)
-      else {
-        import spark.implicits._
-        spark.createDataset(rels).mapPartitions(_.map(harvest))
-          .collect().toSeq.sortBy(_._1)
-      }
-    val adds = harvested.map { case (rel, size, mtime, rows, mins, maxs, nulls) =>
-      AddFile(rel, size, mtime, rows, mins, maxs,
-        partitionValuesOf(rel).toMap, nullCounts = nulls)
+    // an object store), so FileOps.harvestStats runs it as one executor
+    // job beyond the small-table threshold; results come back as narrow
+    // stat tuples, never data. (mtime is not part of the shared tuple —
+    // AddFile.modificationTime is audit metadata, the commit time serves.)
+    val now = System.currentTimeMillis()
+    val adds = FileOps.harvestStats(spark, path, rels).map {
+      case (rel, rows, size, mins, maxs, nulls) =>
+        AddFile(rel, size, now, rows, mins, maxs,
+          pvByRel(rel), nullCounts = nulls)
     }
     val meta = MetaData(UUID.randomUUID().toString, schema.json,
       System.currentTimeMillis(), partitionBy, Map.empty, Map.empty)
