@@ -167,6 +167,44 @@ class ChangeFeedSpec extends SparkTestBase {
     assert(drain("cdf_adm_bytes", Map("maxBytesPerTrigger" -> "1")) >= 3L)
   }
 
+  test("byte-capped CDF tail over a LEGACY log (no sidecar sizes) stays rate-limited") {
+    // pre-round-11 logs carry CdcFile entries without a size field; a
+    // byte-denominated cap must not FAIL OPEN over them (all-zero sums
+    // would admit the whole backlog in one batch) — the unknown-size
+    // sentinel keeps one such commit per trigger
+    val t = goldenCdf()
+    t.append(df((7, "Extra", "Row")))
+    t.delete(col("id") === 7)
+    // simulate the legacy log: strip "size" from every cdc action
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(java.nio.file.Paths.get(t.path, "_delta_log"))
+      .iterator().asScala.filter(_.getFileName.toString.endsWith(".json"))
+      .foreach { p =>
+        val body = java.nio.file.Files.readString(p)
+        if (body.contains("\"cdc\"")) java.nio.file.Files.writeString(p,
+          // only cdc lines lose their size — AddFile sizes must survive
+          body.linesIterator.map(l =>
+            if (l.contains("\"cdc\"")) l.replaceAll(""","size":\d+""", "")
+            else l).mkString("", "\n", "\n"))
+      }
+    val fresh = GraftTable.forPath(spark, t.path) // cold caches re-parse
+    assert(fresh.log.readVersion(2).collect { case c: CdcFile => c }
+      .forall(_.size == 0L), "fixture must present the legacy size-0 shape")
+    val out = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", 1)
+      .option("maxBytesPerTrigger", "1")
+      .load(t.path)
+    val q = out.writeStream.format("memory").queryName("cdf_legacy_bytes")
+      .option("checkpointLocation", tmpDir("cdf-legacy-ckpt-"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(canon(spark.table("cdf_legacy_bytes")) === canon(fresh.changes(1, 5)),
+      "rate-limited legacy drain must reassemble the exact feed")
+    assert(q.lastProgress.batchId >= 3L,
+      s"legacy size-0 sidecars must not collapse the backlog into one " +
+        s"batch, got batchId=${q.lastProgress.batchId}")
+  }
+
   test("rewrite commits without change data abort the CDF stream loudly") {
     val t = GraftTable.create(spark, tmpDir("cdf-off-"),
       df((1, "A", "B"), (2, "C", "D")))
