@@ -209,6 +209,34 @@ class DataSkippingSpec extends SparkTestBase {
     assert(t.toDF.count() === 4608)
   }
 
+  test("incremental clustering composes with Hive partitioning") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("zinc-part-"),
+      (0 until 4096).map(i => (i, i % 4, i % 64, i / 64))
+        .toDF("id", "p", "x", "y").coalesce(1),
+      partitionBy = Seq("p"))
+    t.setProperty("clustering.columns", "x,y")
+    t.optimize(targetFileBytes = 1024)
+    val firstPass = t.snapshot.files
+    assert(firstPass.forall(f => f.tags.contains("clustered") &&
+      f.partitionValues.contains("p")),
+      "clustered outputs must keep their Hive partition values")
+    t.append((4096 until 4352).map(i => (i, i % 4, i % 64, i / 64))
+      .toDF("id", "p", "x", "y").coalesce(1))
+    t.optimize(targetFileBytes = 1024)
+    // conforming files survive byte-identical, inside their partitions
+    assert(firstPass.map(_.path).toSet
+      .subsetOf(t.snapshot.files.map(_.path).toSet))
+    // partition pruning AND z-dim pruning both still fire
+    def frac(pred: Column): Double =
+      t.prunedFiles(t.snapshot, pred).size.toDouble / t.snapshot.files.size
+    assert(frac(col("p") === 1) <= 0.3, "partition pruning must fire")
+    assert(frac(col("x") === 17) < 0.7, "z-dim pruning must fire")
+    assert(t.toDF.count() === 4352)
+    assert(t.scan(col("p") === 1 && col("x") === 17 && col("y") === 3)
+      .collect().map(_.getInt(0)).toSeq.sorted.nonEmpty)
+  }
+
   test("LIKE 'prefix%' prunes on string min/max ranges") {
     import spark.implicits._
     // three files with disjoint name ranges: [apple..avocado], [banana..blueberry], [cherry..citrus]
