@@ -1640,11 +1640,20 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // at 100 TB you OPTIMIZE the hot partition after its ingest churn, not
     // the whole table; out-of-scope files survive byte-identical.
     val inScope = where.map(prunedFiles(s, _)).getOrElse(s.files)
-    val scoped =
+    val scoped0 =
       if (!incremental || full) inScope
       else inScope.filterNot(f =>
         f.dvPath.isEmpty && f.tags.get("clustered") == clusterSpec)
-    val clusteredSkipped = inScope.size - scoped.size
+    // bare bin-pack (no clustering anywhere): only files BELOW the target
+    // size participate — Delta's minFileSize semantics. Re-packing files
+    // already at target would make every maintenance pass a full table
+    // rewrite at 100 TB; right-sized files survive byte-identical. A
+    // DV-carrying file always participates (OPTIMIZE is the DV purge
+    // path), and `full = true` forces everything in.
+    val scoped =
+      if (cCols.nonEmpty || zCols.nonEmpty || full) scoped0
+      else scoped0.filter(f => f.size < targetFileBytes || f.dvPath.isDefined)
+    val clusteredSkipped = inScope.size - scoped0.size
     if (incremental && scoped.isEmpty) return
     // a single file still rebases if it carries a deletion vector —
     // OPTIMIZE is the DV purge path (merge-on-read debt repayment)

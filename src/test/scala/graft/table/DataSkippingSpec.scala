@@ -209,6 +209,29 @@ class DataSkippingSpec extends SparkTestBase {
     assert(t.toDF.count() === 4608)
   }
 
+  test("bare OPTIMIZE compacts only under-sized files (minFileSize semantics)") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("binpack-"),
+      (0 until 4096).map(i => (i, s"payload-$i")).toDF("id", "v").coalesce(1))
+    val big = t.snapshot.files
+    assert(big.size == 1 && big.head.size > 4096)
+    // several small appends — the compaction candidates
+    (0 until 4).foreach(k => t.append(
+      Seq((10000 + k, "s")).toDF("id", "v").coalesce(1)))
+    // a target below the big file's size: it must survive byte-identical
+    // while the 4 small files compact into one
+    t.optimize(targetFileBytes = 4096)
+    val after = t.snapshot.files
+    assert(after.map(_.path).contains(big.head.path),
+      "a right-sized file must never rewrite in a bare bin-pack")
+    assert(after.size == 2, s"4 small files should compact to 1, got ${after.size}")
+    assert(t.toDF.count() === 4100)
+    // nothing left under target → the next pass is a no-op commit-wise
+    val v = t.latestVersion
+    t.optimize(targetFileBytes = 4096)
+    assert(t.latestVersion == v)
+  }
+
   test("incremental clustering composes with Hive partitioning") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmpDir("zinc-part-"),
