@@ -1644,15 +1644,18 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       if (!incremental || full) inScope
       else inScope.filterNot(f =>
         f.dvPath.isEmpty && f.tags.get("clustered") == clusterSpec)
-    // bare bin-pack (no clustering anywhere): only files BELOW the target
-    // size participate — Delta's minFileSize semantics. Re-packing files
-    // already at target would make every maintenance pass a full table
-    // rewrite at 100 TB; right-sized files survive byte-identical. A
+    // bare bin-pack (no clustering anywhere): only files below HALF the
+    // target participate (minFileSize = target/2 — Delta's hysteresis).
+    // Re-packing right-sized files would make every maintenance pass a
+    // full table rewrite at 100 TB, and a threshold AT target would never
+    // converge: compaction re-encodes smaller than the sum of its inputs,
+    // so outputs just under target would re-admit forever. The half-target
+    // gap means an output between target/2 and target is final. A
     // DV-carrying file always participates (OPTIMIZE is the DV purge
     // path), and `full = true` forces everything in.
     val scoped =
       if (cCols.nonEmpty || zCols.nonEmpty || full) scoped0
-      else scoped0.filter(f => f.size < targetFileBytes || f.dvPath.isDefined)
+      else scoped0.filter(f => f.size < targetFileBytes / 2 || f.dvPath.isDefined)
     val clusteredSkipped = inScope.size - scoped0.size
     if (incremental && scoped.isEmpty) return
     // a single file still rebases if it carries a deletion vector —
@@ -1660,7 +1663,18 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     if (scoped.size <= 1 && scoped.forall(_.dvPath.isEmpty) &&
         cCols.isEmpty && zCols.isEmpty) return
     val totalBytes = scoped.map(_.size).sum
-    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    // Output sizing differs by mode. Clustered: ceil — target is an UPPER
+    // bound on file size, granularity matters more than fill. Bare
+    // bin-pack: FLOOR — outputs average at/above target, and with the
+    // half-target admission gap above even a re-encode shrink leaves them
+    // outside the candidate set, so compaction reaches a fixed point.
+    // Ceil + an at-target threshold would emit sub-target files that
+    // re-compact into themselves forever — unbounded write amplification
+    // on an autoCompact streaming sink.
+    val nOut =
+      if (cCols.isEmpty && zCols.isEmpty && !full)
+        math.max(1, (totalBytes / targetFileBytes).toInt)
+      else math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     // under row tracking the reorganization carries every row's resolved
     // id and the rewrite materializes it — OPTIMIZE moves rows between
     // files without changing their identity
@@ -1724,15 +1738,19 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         scoped.map(_.path).toSet, scoped.map(_.path).toSet),
       (v, ts) =>
         Seq(CommitInfo(v, ts, "OPTIMIZE",
-          // the two skip metrics are DISJOINT: numFilesSkipped keeps its
-          // pre-round-11 meaning (out of `where` scope only) and
-          // numClusteredFilesSkipped counts conforming clustered files —
-          // summing them never double-counts
+          // the skip metrics PARTITION the untouched file set (summing
+          // never double-counts): numFilesSkipped = out of `where` scope,
+          // numClusteredFilesSkipped = conforming clustered files,
+          // numSizeSkipped = right-sized survivors of a bare bin-pack —
+          // so s.files.size == before + the skips, auditable per commit
           Map("numFilesBefore" -> scoped.size.toString,
               "numFilesAfter" -> adds.size.toString,
               "numFilesSkipped" -> (s.files.size - inScope.size).toString) ++
             (if (incremental)
                Map("numClusteredFilesSkipped" -> clusteredSkipped.toString)
+             else Map.empty) ++
+            (if (scoped0.size != scoped.size)
+               Map("numSizeSkipped" -> (scoped0.size - scoped.size).toString)
              else Map.empty) ++
             (if (zCols.nonEmpty) Map("zorderBy" -> zCols.mkString(","))
              else Map.empty))) ++
