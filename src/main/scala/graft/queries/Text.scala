@@ -25,6 +25,33 @@ object Text {
   private val bpeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[graft.operators.Bpe.Merge]]()
 
+  /** Capped participating (doc_id, token) set for co-occurrence pair
+    * generation (q121). Two bounds compose BEFORE the within-doc self-join:
+    *  - top-V corpus vocabulary by document frequency (ties → token asc),
+    *    the q119 shape — long-tail junk tokens never generate pairs;
+    *  - per-document top-K of the surviving tokens (corpus df desc, token
+    *    asc — deterministic because tokens are distinct within a doc), so a
+    *    single pathological document emits at most K·(K−1)/2 pairs into its
+    *    task instead of its own distinct-vocab squared.
+    * No broadcast hint on the vocab (corpus-derived — see q32); Catalyst
+    * auto-broadcasts only while it is genuinely small.
+    */
+  private[queries] def cooccurrenceParticipants(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      topV: Int = 10000, perDocK: Int = 512): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val docToks = Tables.documents(s, dir)
+      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("token"))
+      .filter(length($"token") > 0)
+    val tokDocs = docToks.groupBy($"token").agg(count(lit(1)).as("n_tok"))
+    val vocab = tokDocs.orderBy($"n_tok".desc, $"token").limit(topV)
+    val byDf = Window.partitionBy($"doc_id").orderBy($"n_tok".desc, $"token")
+    docToks.join(vocab, Seq("token"))
+      .withColumn("rk", row_number().over(byDf))
+      .filter($"rk" <= perDocK)
+      .select($"doc_id", $"token")
+  }
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
   val all: Seq[(String, Q)] = Seq(
@@ -485,11 +512,17 @@ object Text {
     // the corpus-analysis primitive behind collocation discovery and
     // topic drift monitoring. lift = P(a,b) / (P(a)·P(b)) computed as
     // n_both·N / (n_a·n_b): integer counts, one double division, no libm.
-    // Scale shape: pair generation is a self-join WITHIN doc_id (fan-out
-    // bounded by each doc's own distinct-token count squared — per-doc
-    // work, like shingling, never corpus²); the pair aggregate shuffles
-    // fixed-width (a,b) keys, per-token counts broadcast back, and the
-    // top-100 is TakeOrderedAndProject.
+    // Scale shape: pair generation is a self-join WITHIN doc_id, and
+    // participation is CAPPED twice before any pair is emitted — only the
+    // top-V corpus vocabulary by document frequency participates (the
+    // q119 shape; rare junk tokens never pair), and within each document
+    // only the top-K participating tokens (by corpus df desc, token asc)
+    // survive, so one book-length document can emit at most K·(K−1)/2
+    // pairs into its task instead of its own distinct-vocab². The pair
+    // aggregate shuffles fixed-width (a,b) keys, per-token counts join
+    // back (auto-broadcast while small), and the top-100 is
+    // TakeOrderedAndProject. Lift denominators stay the TRUE corpus df,
+    // uncapped — the cap bounds candidate generation, not the statistic.
     "q121_cooccurrence" -> Q(
       (s, dir) => {
         import s.implicits._
@@ -498,8 +531,15 @@ object Text {
           .filter(length($"token") > 0)
         val n = Tables.documents(s, dir).agg(count(lit(1)).cast("double").as("n_docs"))
         val tokDocs = docToks.groupBy($"token").agg(count(lit(1)).as("n_tok"))
-        val pairs = docToks.as("x")
-          .join(docToks.as("y"), $"x.doc_id" === $"y.doc_id" && $"x.token" < $"y.token")
+        // Participation caps: V = top-10000 vocab, K = 512 tokens per doc
+        // (cooccurrenceParticipants above). Both are generous next to the
+        // synthetic corpus (vocab ≪ V, doc distinct-tokens ≪ K) so the
+        // oracle result is unchanged; at web scale they bound the
+        // single-task fan-out a pathological document could otherwise
+        // create.
+        val part = cooccurrenceParticipants(s, dir)
+        val pairs = part.as("x")
+          .join(part.as("y"), $"x.doc_id" === $"y.doc_id" && $"x.token" < $"y.token")
           .groupBy($"x.token".as("a"), $"y.token".as("b"))
           .agg(count(lit(1)).as("n_both"))
         // tokDocs is vocabulary-sized — never force-broadcast it (see
@@ -519,9 +559,17 @@ object Text {
         |  WHERE length(token) > 0),
         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
         |tok AS (SELECT token, COUNT(*) AS n_tok FROM dt GROUP BY 1),
+        |vocab AS (SELECT token, n_tok FROM tok ORDER BY n_tok DESC, token LIMIT 10000),
+        |part AS (
+        |  SELECT doc_id, token FROM (
+        |    SELECT dt.doc_id, dt.token,
+        |      row_number() OVER (PARTITION BY dt.doc_id
+        |                         ORDER BY v.n_tok DESC, dt.token) AS rk
+        |    FROM dt JOIN vocab v ON dt.token = v.token)
+        |  WHERE rk <= 512),
         |pairs AS (
         |  SELECT x.token AS a, y.token AS b, COUNT(*) AS n_both
-        |  FROM dt x JOIN dt y ON x.doc_id = y.doc_id AND x.token < y.token
+        |  FROM part x JOIN part y ON x.doc_id = y.doc_id AND x.token < y.token
         |  GROUP BY 1, 2)
         |SELECT a, b, n_both, ta.n_tok AS n_a, tb.n_tok AS n_b,
         |  round(n_both * n_docs / (ta.n_tok * tb.n_tok), 6) AS lift
