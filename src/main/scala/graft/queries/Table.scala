@@ -117,6 +117,54 @@ object TableQueries {
         generated = Map("day" -> "cast(date_trunc('DAY', ts) as date)"))
     })
 
+  /** q169's co-partitioned fact pair: doc metadata and doc token counts,
+    * both Hive-partitioned on `lang`, memoized per (JVM, dir). The build
+    * also pins the storage-partitioned-join plan ONCE per fixture: with
+    * broadcast disabled and co-partition matching relaxed, the raw
+    * fact-fact join on (lang, doc_id) and the per-lang rollup join must
+    * both execute with ZERO exchange of any kind (the confs are scoped —
+    * saved and restored — so nothing leaks into later queries). */
+  private def spjTables(s: SparkSession, dir: String): (GraftTable, GraftTable) = {
+    val built = cache.computeIfAbsent(s"spjA:$dir", _ => {
+      import s.implicits._
+      val docs = graft.Tables.documents(s, dir)
+      val a = GraftTable.create(s, graft.Scratch.dir("graft-spj-a-").toString,
+        docs.select($"doc_id", $"lang", $"n_chars"), partitionBy = Seq("lang"))
+      val b = GraftTable.create(s, graft.Scratch.dir("graft-spj-b-").toString,
+        docs.select($"doc_id", $"lang",
+          size(split($"text", " ")).cast("long").as("n_tokens")),
+        partitionBy = Seq("lang"))
+      cache.put(s"spjB:$dir", b)
+      val saved = Seq("spark.sql.requireAllClusterKeysForCoPartition",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k =>
+        k -> scala.util.Try(s.conf.get(k)).toOption.flatMap(Option(_)))
+      try {
+        s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        val da = s.read.format("graft").load(a.path)
+        val db = s.read.format("graft").load(b.path)
+        val fact = da.join(db, Seq("lang", "doc_id"))
+        fact.collect()
+        val factPlan = fact.queryExecution.executedPlan.toString
+        require(!factPlan.contains("Exchange") && factPlan.contains("SortMergeJoin"),
+          s"co-partitioned fact-fact join must plan zero shuffle:\n${factPlan.take(1000)}")
+        val rollup = da.groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+          .join(db.groupBy($"lang").agg(sum($"n_tokens").as("toks")), Seq("lang"))
+        rollup.collect()
+        val rollupPlan = rollup.queryExecution.executedPlan.toString
+        require(!rollupPlan.contains("Exchange"),
+          s"per-partition rollup join must plan zero exchange:\n${rollupPlan.take(1000)}")
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
+      a
+    })
+    (built, cache.get(s"spjB:$dir"))
+  }
+
   /** q123's Hive-partitioned documents table, memoized per (JVM, dir). */
   private def partTable(s: SparkSession, dir: String): GraftTable =
     cache.computeIfAbsent(s"part:$dir", _ => {
@@ -134,7 +182,7 @@ object TableQueries {
     * scan is not a verbatim re-execution of an already-run plan. */
   def warmFixtures(s: SparkSession, dir: String): Unit = {
     statsTable(s, dir); zorderTable(s, dir); bloomTable(s, dir)
-    cloneTable(s, dir); partTable(s, dir); genTable(s, dir)
+    cloneTable(s, dir); partTable(s, dir); genTable(s, dir); spjTables(s, dir)
     // round-9 per-dir scenario tables (identity, replaceWhere backfill,
     // convert, copy-into, row tracking): their builds are one-time table
     // maintenance, amortized over every later read in production — the
@@ -1238,5 +1286,41 @@ object TableQueries {
         |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // ---- Storage-partitioned join (zero-shuffle fact-fact) -----------------------
+    // Two graft tables Hive-partitioned on the same key join WITHOUT any
+    // shuffle: the DSv2 scan reports KeyGroupedPartitioning over the
+    // partition columns (GraftKeyGroupedScan), so Catalyst zips matching
+    // partition-value groups into co-located tasks — Spark 4's SPJ path,
+    // the single largest saving on a 100-TB fact-fact join. The fixture
+    // REQUIREs the pinned plans once per (JVM, dir): the raw (lang,
+    // doc_id) join and this rollup join both execute with zero exchange
+    // (broadcast disabled for the pin, confs scoped + restored). The
+    // returned query is the rollup join: per-lang aggregates of BOTH
+    // fact tables compute exchange-free on the storage partitioning and
+    // join on the partition key under fully ambient confs.
+    "q169_spj_rollup_join" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val (a, b) = spjTables(s, dir)
+        val da = s.read.format("graft").load(a.path)
+        val db = s.read.format("graft").load(b.path)
+        da.groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+          .join(db.groupBy($"lang").agg(sum($"n_tokens").as("sum_tokens")),
+            Seq("lang"))
+          .orderBy($"lang")
+      },
+      """WITH a AS (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents GROUP BY lang),
+        |b AS (
+        |  SELECT lang,
+        |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+        |  FROM documents GROUP BY lang)
+        |SELECT a.lang, n_docs, sum_chars, sum_tokens
+        |FROM a JOIN b ON a.lang = b.lang
+        |ORDER BY a.lang""".stripMargin),
   )
 }

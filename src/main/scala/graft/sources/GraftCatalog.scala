@@ -785,8 +785,30 @@ class GraftScanBuilder(table: GraftTable, snap: Snapshot,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new GraftV1Scan(table, snap, required, GraftFilters.toColumn(pushed.toSeq), options)
+  /** Partitioned tables with native-reader-compatible projections serve the
+    * key-grouped DSv2 batch (storage-partitioned joins + exchange-free
+    * same-key aggregation); everything else keeps the V1 bridge. Both paths
+    * share the pruning and the log-derived statistics, and Spark re-applies
+    * every pushed filter row-level either way, so the choice can affect
+    * only the plan shape, never results. `spark.graft.spj.enabled=false`
+    * (or Spark's own v2-bucketing switch) restores the V1 path wholesale. */
+  override def build(): Scan = {
+    val prune = GraftFilters.toColumn(pushed.toSeq)
+    val conf = org.apache.spark.sql.SparkSession.active.sessionState.conf
+    val spjOk =
+      snap.metaData.partitionColumns.nonEmpty &&
+        conf.getConfString("spark.graft.spj.enabled", "true").toBoolean &&
+        conf.getConfString("spark.sql.sources.v2.bucketing.enabled", "true").toBoolean &&
+        !required.fieldNames.contains("_file") &&
+        !required.fieldNames.contains(graft.table.GraftTable.RowIdCol) &&
+        scala.util.Try(graft.streaming.GraftTableStream
+          .validateSchema(required)).isSuccess &&
+        snap.metaData.partitionColumns.forall(c =>
+          graft.streaming.GraftTableStream
+            .partitionKeyTypeSupported(snap.schema(c).dataType))
+    if (spjOk) new GraftKeyGroupedScan(table, snap, required, prune, options)
+    else new GraftV1Scan(table, snap, required, prune, options)
+  }
 }
 
 /** The scan: file pruning + parquet read through the proven V1 relation

@@ -51,7 +51,8 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
     partitionCols: Seq[String], options: Map[String, String])
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
-  private val log = new GraftLog(tablePath)
+  // streaming source log: same conf-selected store as the batch table layer
+  private val log = new GraftLog(tablePath, graft.table.LogStore.resolveActive())
   private val ignoreChanges = options.get("ignorechanges").exists(_.toBoolean)
 
   /** Mid-stream schema evolution fails the batch and resumes on restart
@@ -455,8 +456,17 @@ class GraftParquetReaderFactory(schema: StructType, partitionCols: Seq[String],
       schema.fields.map(_.name).sameElements(batchOrder))
   }
 
+  /** The SPJ scan wraps file partitions with their partition key
+    * (sources.GraftKeyedFilePartition); decode the underlying file either
+    * way. */
+  private def unwrap(partition: InputPartition): GraftFilePartition =
+    partition match {
+      case k: graft.sources.GraftKeyedFilePartition => k.file
+      case p: GraftFilePartition => p
+    }
+
   override def supportColumnarReads(partition: InputPartition): Boolean = {
-    val p = partition.asInstanceOf[GraftFilePartition]
+    val p = unwrap(partition)
     columnarOk && p.dvAbsPath.isEmpty && layoutFor(p).trailing
   }
 
@@ -524,7 +534,7 @@ class GraftParquetReaderFactory(schema: StructType, partitionCols: Seq[String],
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val p = partition.asInstanceOf[GraftFilePartition]
+    val p = unwrap(partition)
     val rdr = openVectorized(p, layoutFor(p))
     rdr.enableReturningBatches()
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
@@ -535,7 +545,7 @@ class GraftParquetReaderFactory(schema: StructType, partitionCols: Seq[String],
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftFilePartition]
+    val p = unwrap(partition)
     val lay = layoutFor(p)
     // count-only projection over constants (no data columns): synthesize
     // rows from the AddFile's row count — zero file IO
@@ -581,18 +591,8 @@ class GraftParquetReaderFactory(schema: StructType, partitionCols: Seq[String],
     }
   }
 
-  private def castPartitionValue(v: String, dt: DataType): Any = dt match {
-    case StringType => UTF8String.fromString(v)
-    // CDF `_commit_timestamp` rides as epoch-millis; InternalRow wants µs
-    case TimestampType => v.toLong * 1000L
-    case IntegerType => v.toInt
-    case LongType => v.toLong
-    case DoubleType => v.toDouble
-    case BooleanType => v.toBoolean
-    case DateType => java.time.LocalDate.parse(v).toEpochDay.toInt
-    case other => throw new UnsupportedOperationException(
-      s"unsupported partition column type for streaming: $other")
-  }
+  private def castPartitionValue(v: String, dt: DataType): Any =
+    GraftTableStream.castPartitionValue(v, dt)
 }
 
 /** Zero-copy field-order view: presents an underlying row whose columns
@@ -646,6 +646,31 @@ final class RemappedRow(map: Array[Int], schema: StructType) extends InternalRow
 }
 
 object GraftTableStream {
+  /** Hive partition value (string) → Catalyst-encoded value of the column's
+    * type. Shared by the reader factory's constant row and the key-grouped
+    * scan's driver-side `HasPartitionKey` rows — both MUST encode
+    * identically or storage-partitioned join key grouping would diverge
+    * from the decoded column values. */
+  def castPartitionValue(v: String, dt: DataType): Any = dt match {
+    case StringType => UTF8String.fromString(v)
+    // CDF `_commit_timestamp` rides as epoch-millis; InternalRow wants µs
+    case TimestampType => v.toLong * 1000L
+    case IntegerType => v.toInt
+    case LongType => v.toLong
+    case DoubleType => v.toDouble
+    case BooleanType => v.toBoolean
+    case DateType => java.time.LocalDate.parse(v).toEpochDay.toInt
+    case other => throw new UnsupportedOperationException(
+      s"unsupported partition column type for streaming: $other")
+  }
+
+  /** Types castPartitionValue can encode — the SPJ eligibility probe. */
+  def partitionKeyTypeSupported(dt: DataType): Boolean = dt match {
+    case StringType | TimestampType | IntegerType | LongType | DoubleType |
+         BooleanType | DateType => true
+    case _ => false
+  }
+
   /** Flat-schema validation at stream construction — fail fast, not on an
     * executor mid-batch. */
   def validateSchema(schema: StructType): Unit = schema.fields.foreach { f =>

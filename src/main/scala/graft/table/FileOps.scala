@@ -105,17 +105,17 @@ object FileOps extends Serializable {
       Files.move(part, target)
       (relTarget, partVals)
     }
-    val statsByRel: Map[String, (Long, Long, Map[String, String],
+    val statsByRel: Map[String, (Long, Long, Long, Map[String, String],
         Map[String, String], Map[String, Long])] =
       harvestStats(df.sparkSession, tablePath, moved.map(_._1))
-        .map { case (rel, rows, size, mins, maxs, nulls) =>
-          rel -> ((rows, size, mins, maxs, nulls))
+        .map { case (rel, rows, size, mtime, mins, maxs, nulls) =>
+          rel -> ((rows, size, mtime, mins, maxs, nulls))
         }.toMap
     val adds = moved.flatMap { case (relTarget, partVals) =>
-      val (rows, size, mins, maxs, nulls) = statsByRel(relTarget)
+      val (rows, size, mtime, mins, maxs, nulls) = statsByRel(relTarget)
       if (rows == 0L) { Files.delete(Paths.get(tablePath, relTarget)); None }
       else Some(AddFile(relTarget, size,
-        System.currentTimeMillis(), rows, mins, maxs, partVals,
+        mtime, rows, mins, maxs, partVals,
         nullCounts = nulls))
     }
     // best-effort cleanup of the staging dir (_SUCCESS, .crc, ...)
@@ -133,16 +133,34 @@ object FileOps extends Serializable {
     * working directory), and one Hadoop Configuration serves each
     * partition (a fresh one per file would re-parse the default XML
     * resources — a large fraction of per-file cost at the motivating
-    * scale). Small lists keep the no-job driver loop. */
+    * scale). Small lists keep the no-job driver loop.
+    *
+    * DEPLOYMENT REQUIREMENT — shared filesystem: the executor closure
+    * touches the data plane through `java.nio.Files` (and the
+    * Hadoop-wrapped local path), so every executor must see `root` at the
+    * same path the driver does — a POSIX/NFS/FUSE-mounted shared
+    * filesystem, the same assumption Spark's own `file:` scheme reads
+    * make. This is a DATA-plane constraint only and is deliberately
+    * narrower than the log's [[LogStore]] seam: commit ATOMICITY rides the
+    * LogStore; the harvest is plain bulk reads, where Delta likewise goes
+    * straight to the filesystem API. An object-store deployment mounts
+    * (s3-fuse/NFS gateways) or swaps this one function for its native
+    * client — the signature (rel → narrow stat tuple) is the seam.
+    * `GraftTable.vacuum`'s distributed listing/delete shares the same
+    * requirement. */
   def harvestStats(spark: org.apache.spark.sql.SparkSession, root: String,
-      rels: Seq[String]): Seq[(String, Long, Long, Map[String, String],
+      rels: Seq[String]): Seq[(String, Long, Long, Long, Map[String, String],
       Map[String, String], Map[String, Long])] = {
     val absRoot = Paths.get(root).toAbsolutePath.toString
-    def one(conf: Configuration)(rel: String): (String, Long, Long,
+    def one(conf: Configuration)(rel: String): (String, Long, Long, Long,
         Map[String, String], Map[String, String], Map[String, Long]) = {
       val p = Paths.get(absRoot, rel)
       val (rows, mins, maxs, nulls) = footerStats(p, conf)
-      (rel, rows, Files.size(p), mins, maxs, nulls)
+      // real mtime rides along (one extra stat in the same executor pass):
+      // CONVERT records each imported file's actual modification time, the
+      // audit metadata reference Delta keeps — never a synthetic commit-time
+      (rel, rows, Files.size(p), Files.getLastModifiedTime(p).toMillis,
+        mins, maxs, nulls)
     }
     if (rels.size <= 256) { val conf = new Configuration(); rels.map(one(conf)) }
     else {

@@ -233,24 +233,35 @@ final class GraftLog(val tablePath: String,
           s"concurrent commit: version $v already exists in $tablePath")
     }
     finally store.deleteIfExists(tmp)
-    // Read-back verification: a store that VIOLATES the putIfAbsent
-    // contract (non-atomic rename that lets a racing loser overwrite the
-    // winner; publish whose visibility is lost) must surface as a typed
-    // concurrency error here, never as a silently corrupted log. On a
-    // conforming store this read is a page-cache hit that pre-seeds the
-    // action cache the next snapshot fold would pay for anyway.
-    val back = try store.readLines(versionFile(v)) catch {
-      case e: Exception => throw new java.util.ConcurrentModificationException(
-        s"commit $v of $tablePath is not readable after publish — the " +
-          s"LogStore lost the write (read-after-publish visibility " +
-          s"violated): $e")
+    // Read-back verification — only for stores that ask for it
+    // (verifyAfterPublish; default true, PosixLogStore's hard-link CAS
+    // opts out): a store that VIOLATES the putIfAbsent contract
+    // (non-atomic rename that lets a racing loser overwrite the winner;
+    // publish whose visibility is lost) must surface as a typed
+    // concurrency error here, never as a silently corrupted log. The
+    // compare is a content DIGEST, not the full line sequence — at
+    // 1M-AddFile commits the body must not materialize twice.
+    if (store.verifyAfterPublish) {
+      val back = try store.readLines(versionFile(v)) catch {
+        case e: Exception => throw new java.util.ConcurrentModificationException(
+          s"commit $v of $tablePath is not readable after publish — the " +
+            s"LogStore lost the write (read-after-publish visibility " +
+            s"violated): $e")
+      }
+      def digest(lines: Iterator[String]): Array[Byte] = {
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        lines.foreach { l =>
+          md.update(l.getBytes(StandardCharsets.UTF_8)); md.update('\n'.toByte)
+        }
+        md.digest()
+      }
+      if (!java.util.Arrays.equals(digest(back.iterator), digest(body.linesIterator)))
+        throw new java.util.ConcurrentModificationException(
+          s"commit $v of $tablePath does not contain this writer's actions " +
+            "after publish — the LogStore's publishIfAbsent is not atomic " +
+            "(a concurrent writer overwrote the commit); see the LogStore " +
+            "contract for what an object store must provide")
     }
-    if (back != body.linesIterator.toSeq)
-      throw new java.util.ConcurrentModificationException(
-        s"commit $v of $tablePath does not contain this writer's actions " +
-          "after publish — the LogStore's publishIfAbsent is not atomic " +
-          "(a concurrent writer overwrote the commit); see the LogStore " +
-          "contract for what an object store must provide")
     synchronized { actionCache.put(v, actions) }
     if (v > 0 && v % checkpointInterval == 0) writeCheckpoint(v)
   }
@@ -362,18 +373,29 @@ final class GraftLog(val tablePath: String,
         Future(CheckpointCodec.writePart(tmp, hdr, slice))
       }, Duration.Inf)
       try {
+        // Per-part publish tolerates FileAlreadyExists and KEEPS GOING:
+        // part contents are deterministic for (version, partSize) — the
+        // fold order and the metadata-resolved partSize are fixed at v —
+        // so an existing part IS this part, left by a crashed earlier
+        // attempt of this version's checkpoint. Abandoning on the first
+        // collision (the old behavior) made a crash-then-retry unable to
+        // ever COMPLETE a partially-published checkpoint: the survivor
+        // parts blocked re-publish, the manifest never landed, and the
+        // version's checkpoint stayed permanently incomplete debris.
         staged.foreach { case (tmp, target, _, _) =>
-          store.publishIfAbsent(tmp, target) }
+          try store.publishIfAbsent(tmp, target)
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        }
         // the manifest publishes LAST: until it lands the parts are
         // invisible debris, never a torn checkpoint
         val mf = logDir.resolve(s".${java.util.UUID.randomUUID()}.mf.tmp")
         store.writeTmp(mf, s"""{"parts":${slices.size}}"""
           .getBytes(StandardCharsets.UTF_8))
         try store.publishIfAbsent(mf, multipartManifestFile(v))
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
         finally store.deleteIfExists(mf)
         publishPointer(v, slices.size)
-      } catch { case _: java.nio.file.FileAlreadyExistsException => () }
-      finally staged.foreach(t => store.deleteIfExists(t._1))
+      } finally staged.foreach(t => store.deleteIfExists(t._1))
       return
     }
     val tmp = logDir.resolve(s".${java.util.UUID.randomUUID()}.tmp")

@@ -26,7 +26,7 @@ import org.apache.spark.sql.types._
   */
 final class GraftTable private (val spark: SparkSession, val path: String) {
 
-  val log = new GraftLog(path)
+  val log = new GraftLog(path, LogStore.resolve(spark))
 
   def latestVersion: Long = log.latestVersion
 
@@ -1368,7 +1368,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     require(!shallow || s.metaData.partitionColumns.isEmpty,
       "shallow clone of a partitioned table is not supported (basePath reconstruction)")
     Files.createDirectories(Paths.get(dest))
-    val destLog = new GraftLog(dest)
+    val destLog = new GraftLog(dest, LogStore.resolve(spark))
     require(!destLog.exists, s"$dest is already a GraftTable")
     val adds =
       if (shallow) {
@@ -1544,6 +1544,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // round-trips spread over the cluster instead of serializing on the
     // driver. Candidates anti-join the referenced set as datasets — no
     // driver-side membership loop over the full listing.
+    // DEPLOYMENT REQUIREMENT — shared filesystem: the executor-side
+    // list/stat/delete closures use java.nio.Files directly, so every
+    // executor must see the table root at the driver's path (POSIX/NFS/
+    // FUSE mount). Data-plane-only constraint, same as
+    // FileOps.harvestStats (see its scaladoc); commit atomicity still
+    // rides the LogStore seam.
     val root = Paths.get(path)
     val rootStr = path
     val dirs: Seq[String] = {
@@ -1576,8 +1582,18 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       .select("path").as[String].collect().toSeq.sorted
   }
 
-  /** OPTIMIZE: bin-pack the current live files into ~`targetFileBytes`
-    * files; with `clusterBy` set, range-cluster rows so each output file
+  /** OPTIMIZE: bin-pack the current live files toward `targetFileBytes`.
+    * Bare bin-pack output sizing is a BAND, not a point: floor sizing
+    * (`nOut = floor(total/target)`) makes the average output land in
+    * [target, 2×target) — the deliberate convergence tradeoff. Treating
+    * target as a strict upper bound (ceil) plus the half-target admission
+    * gate would emit sub-target files that re-admit and re-compact into
+    * themselves forever (unbounded write amplification on an autoCompact
+    * sink); the band costs at most one extra target-width of file size
+    * and buys a fixed point on pass two. Clustered modes keep ceil —
+    * there, target IS an upper bound, because granularity (narrow key
+    * ranges per file) matters more than fill.
+    * With `clusterBy` set, range-cluster rows so each output file
     * covers a narrow key range — that is what makes the footer min/max
     * stats selective and turns DataSkipping into real I/O elimination.
     * With `zorderBy` (2+ numeric columns), rows order along a Z
@@ -3006,7 +3022,8 @@ object GraftTable {
     t
   }
 
-  def isGraftTable(path: String): Boolean = new GraftLog(path).exists
+  def isGraftTable(path: String): Boolean =
+    new GraftLog(path, LogStore.resolveActive()).exists
 
   /** Create commit 0 from a DataFrame (reference: df.write.format("delta")
     * .save(path), spark_project.py:36). `bloomFilterOn` columns get native
@@ -3020,7 +3037,7 @@ object GraftTable {
              generated: Map[String, String] = Map.empty,
              identity: Map[String, (Long, Long)] = Map.empty): GraftTable = {
     Files.createDirectories(Paths.get(path))
-    val log = new GraftLog(path)
+    val log = new GraftLog(path, LogStore.resolve(spark))
     require(!log.exists, s"$path is already a GraftTable")
     // generated columns (GENERATED ALWAYS AS): computed over the seed frame
     // here and by conform() on every later write; the expression is pinned
@@ -3096,7 +3113,7 @@ object GraftTable {
   private[graft] def createStaged(spark: SparkSession, path: String,
       schema: StructType, partitionCols: Seq[String],
       props: Map[String, String], adds: Seq[AddFile]): GraftTable = {
-    val log = new GraftLog(path)
+    val log = new GraftLog(path, LogStore.resolve(spark))
     require(!log.exists, s"$path is already a GraftTable")
     // constraint.* props → metaData.constraints (see commitReplaceTable)
     val (chk, plain) = props.partition(_._1.startsWith("constraint."))
@@ -3125,7 +3142,7 @@ object GraftTable {
     * the directory is a full GraftTable — DML, time travel (from v0),
     * streaming all apply. */
   def convert(spark: SparkSession, path: String): GraftTable = {
-    val log = new GraftLog(path)
+    val log = new GraftLog(path, LogStore.resolve(spark))
     require(!log.exists, s"$path is already a GraftTable")
     val root = Paths.get(path)
     require(Files.isDirectory(root), s"$path is not a directory")
@@ -3164,12 +3181,13 @@ object GraftTable {
     // hour-long wall a 1M-file import hits (each read is a round-trip on
     // an object store), so FileOps.harvestStats runs it as one executor
     // job beyond the small-table threshold; results come back as narrow
-    // stat tuples, never data. (mtime is not part of the shared tuple —
-    // AddFile.modificationTime is audit metadata, the commit time serves.)
-    val now = System.currentTimeMillis()
+    // stat tuples, never data. Each imported file keeps its REAL
+    // modification time (harvested alongside size in the same pass) —
+    // the audit metadata Delta's CONVERT records, never a synthetic
+    // uniform commit-time stamp.
     val adds = FileOps.harvestStats(spark, path, rels).map {
-      case (rel, rows, size, mins, maxs, nulls) =>
-        AddFile(rel, size, now, rows, mins, maxs,
+      case (rel, rows, size, mtime, mins, maxs, nulls) =>
+        AddFile(rel, size, mtime, rows, mins, maxs,
           pvByRel(rel), nullCounts = nulls)
     }
     val meta = MetaData(UUID.randomUUID().toString, schema.json,

@@ -69,6 +69,65 @@ trait LogStore {
   def deleteIfExists(p: Path): Boolean
   def mtimeMs(p: Path): Long
   def createDirectories(p: Path): Unit
+
+  /** Whether the commit path must read back each just-published commit and
+    * verify its content digest (the belt-and-suspenders check that turns a
+    * contract-violating store into a typed concurrency error instead of a
+    * corrupt table). Defaults to true — any external/object-store
+    * implementation keeps the verification. A store whose
+    * `publishIfAbsent` is a SINGLE proven-atomic filesystem primitive with
+    * POSIX visibility (hard-link CAS, O_EXCL create) may override to false
+    * and skip the extra read: at the 1M-AddFile commits the design
+    * targets, re-reading every commit body doubles commit I/O — and on a
+    * remote store it is a full extra round-trip per commit. */
+  def verifyAfterPublish: Boolean = true
+}
+
+object LogStore {
+  /** Conf key naming the LogStore implementation — the deployment lever
+    * public Delta exposes as `spark.delta.logStore.class`. The value is a
+    * fully-qualified Scala `object` or zero-arg-constructor class
+    * implementing [[LogStore]]; unset/empty selects [[PosixLogStore]]. */
+  val ConfKey = "spark.graft.logStore.class"
+
+  // one instance per class name per JVM: stores are stateless seams, and
+  // table caches key off the store's identity being stable
+  private val instances =
+    new java.util.concurrent.ConcurrentHashMap[String, LogStore]()
+
+  /** The session-selected store. Resolution happens at TABLE LOAD
+    * (`GraftTable.forPath` / catalog load / create): a misconfigured class
+    * fails loudly here, never mid-commit with a half-staged tmp file. */
+  def resolve(spark: org.apache.spark.sql.SparkSession): LogStore = {
+    val name = spark.conf.get(ConfKey, "")
+    if (name == null || name.isEmpty) PosixLogStore
+    else instances.computeIfAbsent(name, instantiate)
+  }
+
+  /** Best-effort resolve when no session is reachable (static probes like
+    * `GraftTable.isGraftTable`): the active session's conf if one exists,
+    * else the POSIX default. */
+  def resolveActive(): LogStore =
+    scala.util.Try(org.apache.spark.sql.SparkSession.active).toOption
+      .map(resolve).getOrElse(PosixLogStore)
+
+  private def instantiate(name: String): LogStore =
+    try {
+      // a Scala `object` compiles to <name>$ with a MODULE$ singleton;
+      // accept the plain name, the $-suffixed name, or a zero-arg class
+      def moduleOf(cls: Class[_]): Option[LogStore] =
+        scala.util.Try(cls.getField("MODULE$").get(null)
+          .asInstanceOf[LogStore]).toOption
+      val asObject = scala.util.Try(Class.forName(name + "$")).toOption
+        .flatMap(moduleOf)
+        .orElse(scala.util.Try(Class.forName(name)).toOption.flatMap(moduleOf))
+      asObject.getOrElse(Class.forName(name).getDeclaredConstructor()
+        .newInstance().asInstanceOf[LogStore])
+    } catch {
+      case e: Throwable => throw new IllegalArgumentException(
+        s"$ConfKey=$name is not a loadable LogStore (need a Scala object " +
+          s"or a zero-arg class implementing graft.table.LogStore): $e", e)
+    }
 }
 
 /** The local-filesystem LogStore: hard-link creation is the
@@ -108,4 +167,8 @@ object PosixLogStore extends LogStore {
   override def deleteIfExists(p: Path): Boolean = Files.deleteIfExists(p)
   override def mtimeMs(p: Path): Long = Files.getLastModifiedTime(p).toMillis
   override def createDirectories(p: Path): Unit = { Files.createDirectories(p); () }
+
+  /** Hard-link creation IS the atomicity proof (one kernel op, POSIX
+    * read-after-publish visibility) — no second read per commit. */
+  override def verifyAfterPublish: Boolean = false
 }

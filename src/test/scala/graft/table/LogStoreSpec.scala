@@ -165,4 +165,94 @@ class LogStoreSpec extends SparkTestBase {
         CommitInfo(1L, 999L, "WRITE", Map.empty)))
     }
   }
+
+  test("conf-pluggable store: spark.graft.logStore.class loads through forPath AND the catalog") {
+    ConfSelectedStore.publishes.set(0)
+    spark.conf.set(graft.table.LogStore.ConfKey,
+      "graft.table.ConfSelectedStore")
+    try {
+      import spark.implicits._
+      // native API: create + load resolve the conf-selected store
+      val dir = tmpDir("logstore-conf-") + "/t"
+      val t = GraftTable.create(spark, dir, Seq((1L, "a")).toDF("id", "v"))
+      assert(ConfSelectedStore.publishes.get() > 0,
+        "create() must commit through the conf-selected store")
+      val before = ConfSelectedStore.publishes.get()
+      GraftTable.forPath(spark, dir).append(Seq((2L, "b")).toDF("id", "v"))
+      assert(ConfSelectedStore.publishes.get() > before,
+        "forPath() must commit through the conf-selected store")
+      assert(t.versionAsOf(0).count() === 1 && t.toDF.count() === 2)
+      // catalog front door: CREATE/INSERT via SQL also ride the store
+      graft.sources.GraftCatalog.register(spark, tmpDir("logstore-conf-wh-"),
+        name = "lscat")
+      val mid = ConfSelectedStore.publishes.get()
+      spark.sql("CREATE TABLE lscat.default.conf_t (id BIGINT, v STRING) USING graft")
+      spark.sql("INSERT INTO lscat.default.conf_t VALUES (1, 'x')")
+      assert(ConfSelectedStore.publishes.get() > mid,
+        "catalog DDL/DML must commit through the conf-selected store")
+      assert(spark.sql("SELECT count(*) FROM lscat.default.conf_t")
+        .head().getLong(0) === 1L)
+    } finally spark.conf.unset(graft.table.LogStore.ConfKey)
+  }
+
+  test("misconfigured logStore class fails loudly at load, never mid-commit") {
+    spark.conf.set(graft.table.LogStore.ConfKey, "no.such.StoreClass")
+    try {
+      import spark.implicits._
+      val e = intercept[IllegalArgumentException] {
+        GraftTable.create(spark, tmpDir("logstore-bad-") + "/t",
+          Seq((1L, "a")).toDF("id", "v"))
+      }
+      assert(e.getMessage.contains("no.such.StoreClass"))
+      assert(e.getMessage.contains(graft.table.LogStore.ConfKey))
+    } finally spark.conf.unset(graft.table.LogStore.ConfKey)
+  }
+
+  test("verifyAfterPublish=false skips the read-back (no doubled commit I/O)") {
+    // A store that proves its own atomicity (posix hard-link CAS) opts out
+    // of read-back verification: at 1M-AddFile commits the extra read
+    // doubles commit I/O, and on a remote store it is a full round-trip
+    // per commit. The commit path must not touch readLines at all.
+    val reads = new java.util.concurrent.atomic.AtomicInteger
+    val store = new DelegatingStore {
+      override val verifyAfterPublish: Boolean = false
+      override def readLines(p: Path): Seq[String] = {
+        reads.incrementAndGet(); super.readLines(p)
+      }
+    }
+    val log = new GraftLog(tmpDir("logstore-noverify-"), store)
+    log.commit(0L, seedActions(log))
+    assert(reads.get() == 0,
+      s"commit with verifyAfterPublish=false must not re-read, saw ${reads.get()}")
+    // and the default PosixLogStore declares the opt-out
+    assert(!PosixLogStore.verifyAfterPublish)
+    // a verifying store (the trait default) still reads back and detects
+    assert(new DelegatingStore().verifyAfterPublish)
+  }
+}
+
+/** Top-level so `Class.forName` can load it from the conf value: a
+  * conforming store (posix delegation) that counts its publishes. */
+class ConfSelectedStore extends LogStore {
+  import ConfSelectedStore.publishes
+  override def readLines(p: Path): Seq[String] = PosixLogStore.readLines(p)
+  override def readString(p: Path): String = PosixLogStore.readString(p)
+  override def writeTmp(p: Path, bytes: Array[Byte]): Unit =
+    PosixLogStore.writeTmp(p, bytes)
+  override def publishIfAbsent(src: Path, dst: Path): Unit = {
+    publishes.incrementAndGet(); PosixLogStore.publishIfAbsent(src, dst)
+  }
+  override def publishOverwrite(src: Path, dst: Path): Unit =
+    PosixLogStore.publishOverwrite(src, dst)
+  override def exists(p: Path): Boolean = PosixLogStore.exists(p)
+  override def isRegularFile(p: Path): Boolean = PosixLogStore.isRegularFile(p)
+  override def isDirectory(p: Path): Boolean = PosixLogStore.isDirectory(p)
+  override def list(dir: Path, glob: String): Seq[Path] = PosixLogStore.list(dir, glob)
+  override def deleteIfExists(p: Path): Boolean = PosixLogStore.deleteIfExists(p)
+  override def mtimeMs(p: Path): Long = PosixLogStore.mtimeMs(p)
+  override def createDirectories(p: Path): Unit = PosixLogStore.createDirectories(p)
+}
+
+object ConfSelectedStore {
+  val publishes = new java.util.concurrent.atomic.AtomicInteger
 }

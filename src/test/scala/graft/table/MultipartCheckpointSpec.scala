@@ -70,4 +70,24 @@ class MultipartCheckpointSpec extends SparkTestBase {
     // head still reads fine
     assert(GraftTable.forPath(spark, dir).toDF.count() === 19)
   }
+  test("a crashed multipart publish completes on retry instead of abandoning") {
+    val dir = tmpDir("mpcp-retry-")
+    build(dir)
+    // simulate the crash: version 10's checkpoint half-published — the
+    // manifest and one part are gone, two survivor parts remain on disk
+    val log = new GraftLog(dir)
+    Files.delete(log.multipartManifestFile(10))
+    Files.delete(log.multipartCheckpointFile(10, 1))
+    assert(Files.exists(log.multipartCheckpointFile(10, 0)),
+      "survivor parts stay — the exact state that used to block completion")
+    // retry: survivor parts must be tolerated (contents are deterministic
+    // for a given version), the missing part re-published, and the
+    // manifest must LAND — never permanently-incomplete debris
+    log.writeCheckpoint(10)
+    assert(Files.exists(log.multipartManifestFile(10)))
+    assert((0 until 3).forall(i => Files.exists(log.multipartCheckpointFile(10, i))))
+    // a FRESH log folds from the completed checkpoint
+    val s = new GraftLog(dir).snapshotAt(10L)
+    assert(s.files.size === 9)
+  }
 }
