@@ -195,7 +195,7 @@ object TableQueries {
         "q157_type_widening", "q159_null_skipping",
         "q160_prefix_skipping", "q161_fsck_repair",
         "q162_dynamic_file_pruning", "q167_metadata_count",
-        "q168_variant_props").foreach { q =>
+        "q168_variant_props", "q170_variant_skipping").foreach { q =>
       try { graft.SparkEntry.queries(q)(s, dir); () }
       catch { case _: Throwable => () }
     }
@@ -1322,5 +1322,49 @@ object TableQueries {
         |SELECT a.lang, n_docs, sum_chars, sum_tokens
         |FROM a JOIN b ON a.lang = b.lang
         |ORDER BY a.lang""".stripMargin),
+
+    // ---- VARIANT shred stats: data-skipping on a variant path -------------------
+    // q168 stores props as VARIANT; without shredding a `variant_get`
+    // predicate re-evaluates per row and can NEVER file-skip (variant
+    // columns carry no min/max). With `variant.shred.paths` declared,
+    // every write materializes `try_variant_get(props_v, '$.k', 'long')`
+    // as a typed sibling column in the file, the footer harvest records
+    // its min/max under the shred stat key, and a try_variant_get
+    // predicate prunes files like any primitive column. The fixture
+    // range-lays-out k across 8 files and REQUIREs the predicate actually
+    // pruned; the oracle replays the filter through DuckDB json_extract.
+    // TRY semantics both sides — strict variant_get never prunes (it may
+    // throw on rows a skip would silence; DataSkipping.attrName).
+    "q170_variant_skipping" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = cache.computeIfAbsent(s"variant-shred:$dir", _ => {
+          val seed = graft.Tables.events(s, dir)
+            .withColumn("__k", get_json_object($"props", "$.k").cast("long"))
+            .repartitionByRange(8, $"__k")
+            .select($"event_id", $"event_type", parse_json($"props").as("props_v"))
+          val tt = GraftTable.create(s,
+            graft.Scratch.dir("graft-variant-shred-").toString, seed.limit(0))
+          tt.setProperty("variant.shred.paths", "props_v:$.k:long")
+          tt.append(seed)
+          val pred = expr("try_variant_get(props_v, '$.k', 'long') >= 90")
+          val snap = tt.snapshot
+          val pruned = tt.prunedFiles(snap, pred)
+          require(snap.files.size >= 8 && pruned.size < snap.files.size,
+            s"variant shred stats must file-skip: ${pruned.size}/${snap.files.size}")
+          tt
+        })
+        t.scan(expr("try_variant_get(props_v, '$.k', 'long') >= 90"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+               sum(expr("try_variant_get(props_v, '$.k', 'long')")).as("sum_k"))
+          .orderBy($"event_type")
+      },
+      """SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |WHERE k >= 90
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
   )
 }

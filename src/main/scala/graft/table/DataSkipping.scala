@@ -71,9 +71,28 @@ object DataSkipping {
     case other     => Seq(other)
   }
 
+  /** Stat key of a declared variant shred target (`variant.shred.paths`):
+    * the name of the typed sibling column the write path materializes, so
+    * its footer min/max/null-count land in AddFile stats under this key. */
+  def shredStatName(col: String, path: String, dt: DataType): String =
+    s"__shred_${col}_${path.replaceAll("[^A-Za-z0-9]", "_")}_${dt.typeName}"
+
   private def attrName(e: Expression): Option[String] = e match {
     case a: AttributeReference => Some(a.name)
-    case _                     => None
+    // try_variant_get over a declared shred path reads the shredded
+    // column's stats. ONLY try semantics (failOnError = false): the stats
+    // were computed with try_variant_get, and skipping a file that a
+    // STRICT variant_get would have thrown a cast error on would silence
+    // the error — so strict gets never prune. Type is part of the key:
+    // a '$.k' read as long and as string are different stats.
+    case vg: org.apache.spark.sql.catalyst.expressions.variant.VariantGet
+        if !vg.failOnError =>
+      (vg.child, vg.path) match {
+        case (a: AttributeReference, Literal(p, StringType)) if p != null =>
+          Some(shredStatName(a.name, p.toString, vg.dataType))
+        case _ => None
+      }
+    case _ => None
   }
 
   /** Foldable side of a comparison as an ordered value:

@@ -1951,17 +1951,40 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     }
   }
 
+  /** VARIANT shredding (the Delta variant-shredding direction): for each
+    * `variant.shred.paths` declaration `column:$.path:type`, every data
+    * write materializes `try_variant_get(column, path, type)` as a typed
+    * sibling column IN THE FILE (not in the logical schema), so the
+    * ordinary footer harvest records its min/max/null-count and a
+    * `try_variant_get` predicate can data-skip files — without this, a
+    * variant predicate re-evaluates per row and can never prune.
+    * TRY semantics on both sides by design: stats ignore uncastable
+    * values, and only `failOnError = false` gets consult them at prune
+    * time (DataSkipping.attrName), so strict `variant_get` queries —
+    * which may throw on malformed rows a skip would silence — never
+    * prune. Files written before the declaration simply lack the stat
+    * (kept, never skipped — conservative). */
+  private def withShredColumns(df: DataFrame, meta: MetaData): DataFrame =
+    GraftTable.shredSpecs(meta).foldLeft(df) { case (d, (c, p, dt)) =>
+      if (!d.columns.contains(c)) d
+      else d.withColumn(DataSkipping.shredStatName(c, p, dt),
+        expr(s"try_variant_get(`$c`, '$p', '${dt.sql}')"))
+    }
+
   /** Write data files under column mapping: the frame (logical names, in
     * snapshot-schema order) is renamed to physical names, partition dirs
     * and bloom options follow the physical spelling, and the harvested
     * AddFile stats come back keyed physical (translated back to logical
     * at prune time via the then-current mapping). Identity — straight
-    * through to FileOps — when mapping is inactive. */
+    * through to FileOps — when mapping is inactive. Variant shred columns
+    * ride only the UNMAPPED path: under column mapping a logical rename
+    * would leave stale logical-named shred stats behind, so prune-time
+    * key translation drops them and the write skips them. */
   private def writeDataMapped(df: DataFrame, meta: MetaData): Seq[AddFile] = {
     val schema = org.apache.spark.sql.types.DataType.fromJson(meta.schemaString)
       .asInstanceOf[StructType]
     if (!ColumnMapping.active(schema))
-      FileOps.writeDataFiles(df, path, meta.partitionColumns,
+      FileOps.writeDataFiles(withShredColumns(df, meta), path, meta.partitionColumns,
         GraftTable.bloomWriteOptions(meta))
     else {
       // the materialized row-id column (row tracking) is not part of the
@@ -3000,6 +3023,26 @@ object GraftTable {
       case _ => false
     }
 
+
+  /** Parsed `variant.shred.paths` table property: `column:$.path:type`
+    * triples (comma-separated), each declaring a hot variant path whose
+    * typed projection every write materializes as a shredded sibling
+    * column for file-skipping stats. The type parses through Spark's SQL
+    * parser so the stat key uses the CANONICAL type name — the same one a
+    * query-side `try_variant_get`'s target type resolves to. A malformed
+    * entry fails the WRITE loudly (never silently un-shredded). */
+  private[table] def shredSpecs(meta: MetaData)
+      : Seq[(String, String, org.apache.spark.sql.types.DataType)] =
+    meta.properties.get("variant.shred.paths").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).map { spec =>
+        spec.split(":") match {
+          case Array(c, p, t) =>
+            (c, p, org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parseDataType(t))
+          case _ => throw new IllegalArgumentException(
+            s"variant.shred.paths entry '$spec' must be column:$$.path:type")
+        }
+      }
 
   /** Columns with native parquet bloom filters, from table properties. */
   private[table] def bloomColumns(meta: MetaData): Seq[String] =

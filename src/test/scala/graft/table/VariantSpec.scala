@@ -106,4 +106,42 @@ class VariantSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("variantTypeV9"))
   }
+  test("shred stats prune files, survive the parquet checkpoint, and strict gets never prune") {
+    val dir = tmpDir("variant-shred-")
+    val t = GraftTable.create(spark, dir,
+      Seq.empty[(Long, String)].toDF("id", "js")
+        .withColumn("v", parse_json($"js")).select($"id", $"v"))
+    t.setProperty("variant.shred.paths", "v:$.k:long")
+    t.setProperty("checkpoint.format", "json")
+    // 12 appends (crosses the checkpoint interval), each a narrow k range
+    (0 until 12).foreach { i =>
+      t.append(Seq((i * 10L, s"""{\"k\":${i * 10}}"""),
+                   (i * 10L + 9, s"""{\"k\":${i * 10 + 9}}"""))
+        .toDF("id", "js").coalesce(1)
+        .withColumn("v", parse_json($"js")).select($"id", $"v"))
+    }
+    val pred = expr("try_variant_get(v, '$.k', 'long') >= 100")
+    val snap = t.snapshot
+    assert(snap.files.size === 12)
+    val pruned = t.prunedFiles(snap, pred)
+    assert(pruned.size === 2, s"expected 2 surviving files, got ${pruned.size}")
+    // answers agree with the unpruned read (skipping is I/O-only)
+    assert(t.scan(pred).count() ===
+      t.toDF.filter(pred).count())
+    // a FRESH log folding through the checkpoint keeps the shred stats
+    val t2 = GraftTable.forPath(spark, dir)
+    assert(t2.log.snapshotAt(t2.latestVersion).files
+      .forall(_.minValues.keys.exists(_.startsWith("__shred_"))),
+      "shred stats must round-trip the checkpoint")
+    assert(t2.prunedFiles(t2.snapshot, pred).size === 2)
+    // STRICT variant_get must never consult shred stats (try-semantics
+    // stats could silence a cast error a strict read would throw)
+    val strict = expr("variant_get(v, '$.k', 'long') >= 100")
+    assert(t2.prunedFiles(t2.snapshot, strict).size === 12,
+      "strict variant_get must not prune")
+    // a type-mismatched try get reads DIFFERENT stats (type is in the key)
+    val otherType = expr("try_variant_get(v, '$.k', 'string') >= '100'")
+    assert(t2.prunedFiles(t2.snapshot, otherType).size === 12,
+      "a differently-typed get must not reuse the long stats")
+  }
 }
