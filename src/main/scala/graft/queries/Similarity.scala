@@ -327,6 +327,162 @@ object Similarity {
         |  CAST(SUM(CAST(round(d2, 9) AS DECIMAL(25,9))) AS DOUBLE) AS inertia
         |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin),
 
+    // ---- IVF-PQ ANN (product quantization + asymmetric distance + rerank) ---------
+    // The 100-TB embedding-store shape: int8 scalar quantization (q95) is
+    // 4×; IVF-PQ is 32×+ — vectors live as M=4 one-byte codes (one per
+    // 16-dim subspace) in label-partitioned inverted lists, candidates
+    // score WITHOUT touching the float vectors (asymmetric distance:
+    // query-vs-codeword lookup table, K×M=16 doubles broadcast), and only
+    // the top-C make the exact rerank. Codebooks train per subspace with
+    // one deterministic Lloyd step (seeds = subvectors of vec_id 0..3 —
+    // the q116 machinery, sliced): assignment argmin ties → lowest code,
+    // means through the DECIMAL(25,9) discipline, so training, encoding,
+    // the ADC estimates (decimal-summed LUT entries — order-free), and
+    // the rerank are ALL bit-identical in DuckDB — the full index is
+    // oracle-checked, recall is spec-checked (recall@10 vs q50).
+    // Scale: training/encoding are one narrow (vec, sub) shuffle; the
+    // LUT is O(K·M); candidate scoring is a broadcast-LUT map over the
+    // probed lists only; rerank reads C=25 float vectors, not the corpus.
+    "q172_ann_ivf_pq" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.VectorFunctions.vecDot
+        val e = normed(s, dir)
+        // subvectors: 4 × 16-dim slices per vector
+        val sub = e.select($"vec_id", posexplode(expr(
+            "transform(sequence(0, 3), m -> slice(v, m * 16 + 1, 16))")))
+          .select($"vec_id", $"pos".as("sub"), $"col".as("sv"))
+        val seeds = sub.filter($"vec_id" < 4)
+          .select($"sub", $"vec_id".cast("int").as("code"), $"sv".as("cw"))
+        // one Lloyd step: assign all subvectors to seed codewords ...
+        val assigned = sub.join(broadcast(seeds), Seq("sub"))
+          .withColumn("d2",
+            vecDot($"sv", $"sv") - lit(2.0) * vecDot($"sv", $"cw") +
+              vecDot($"cw", $"cw"))
+          .groupBy($"vec_id", $"sub")
+          .agg(min(struct($"d2", $"code")).as("m"), first($"sv").as("sv"))
+          .select($"vec_id", $"sub", $"m.code".as("code"), $"sv")
+        // ... then re-center: exact decimal element-wise means per code
+        val codebook = assigned.select($"sub", $"code", posexplode($"sv"))
+          .groupBy($"sub", $"code", $"pos")
+          .agg((sum($"col".cast("decimal(25,9)")).cast("double") /
+            count(lit(1))).as("m"))
+          .groupBy($"sub", $"code")
+          .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+          .select($"sub", $"code", expr("transform(pm, x -> x.m)").as("cw"))
+          .withColumn("cc", vecDot($"cw", $"cw"))
+        // PQ encode: each vector's nearest trained codeword per subspace
+        val codes = sub.join(broadcast(codebook), Seq("sub"))
+          .withColumn("d2",
+            vecDot($"sv", $"sv") - lit(2.0) * vecDot($"sv", $"cw") + $"cc")
+          .groupBy($"vec_id", $"sub")
+          .agg(min(struct($"d2", $"code")).as("m"))
+          .select($"vec_id", $"sub", $"m.code".as("code"))
+        // IVF coarse layer: label centroids (q53's), probe top-2 for recall
+        val centroids = e.select($"label", posexplode($"v"))
+          .groupBy($"label", $"pos")
+          .agg((sum($"col".cast("decimal(25,9)")).cast("double") /
+            count(lit(1))).as("m"))
+          .groupBy($"label").agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+          .select($"label".as("c_label"), expr("transform(pm, x -> x.m)").as("centroid"))
+        val q = e.filter($"vec_id" === 0).select($"v".as("qv"), $"nrm".as("qn"))
+        val probes = centroids.crossJoin(broadcast(q))
+          .withColumn("cd", vecDot($"centroid", $"qv"))
+          .orderBy($"cd".desc, $"c_label").limit(2)
+          .select($"c_label")
+        // asymmetric-distance LUT: ||q_m − cw||² per (subspace, code)
+        val qsub = e.filter($"vec_id" === 0)
+          .select(posexplode(expr(
+            "transform(sequence(0, 3), m -> slice(v, m * 16 + 1, 16))")))
+          .select($"pos".as("sub"), $"col".as("qsv"))
+        val lut = codebook.join(broadcast(qsub), Seq("sub"))
+          .select($"sub", $"code",
+            (vecDot($"qsv", $"qsv") - lit(2.0) * vecDot($"qsv", $"cw") + $"cc")
+              .as("pd"))
+        // candidates: probed lists only; ADC estimate = exact decimal sum
+        // of the 4 LUT entries (order-free), then top-C=25 by (est, vec_id)
+        val cand = e.filter($"vec_id" =!= 0)
+          .join(broadcast(probes), $"label" === $"c_label")
+          .select($"vec_id")
+          .join(codes, "vec_id")
+          .join(broadcast(lut), Seq("sub", "code"))
+          .groupBy($"vec_id")
+          .agg(sum(round($"pd", 9).cast("decimal(25,9)")).cast("double").as("est"))
+          .orderBy($"est", $"vec_id").limit(25)
+        // exact rerank of the survivors — 25 float vectors, not the corpus
+        cand.join(e, "vec_id")
+          .crossJoin(broadcast(q))
+          .withColumn("cos_sim", round(vecDot($"v", $"qv") / ($"nrm" * $"qn"), 6))
+          .select($"vec_id", $"label", round($"est", 6).as("adc_est"), $"cos_sim")
+          .orderBy($"cos_sim".desc, $"vec_id")
+          .limit(10)
+      },
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+        |sub AS (
+        |  SELECT vec_id, m.m AS sub, v[(m.m*16+1):(m.m*16+16)] AS sv
+        |  FROM e, (SELECT unnest(range(4)) AS m) m),
+        |seeds AS (SELECT sub, CAST(vec_id AS INTEGER) AS code, sv AS cw
+        |          FROM sub WHERE vec_id < 4),
+        |a1 AS (
+        |  SELECT vec_id, sub, code, sv FROM (
+        |    SELECT s.vec_id, s.sub, d.code, s.sv,
+        |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+        |                         ORDER BY list_inner_product(s.sv, s.sv)
+        |                           - 2.0 * list_inner_product(s.sv, d.cw)
+        |                           + list_inner_product(d.cw, d.cw), d.code) AS rn
+        |    FROM sub s JOIN seeds d ON s.sub = d.sub)
+        |  WHERE rn = 1),
+        |cbm AS (
+        |  SELECT sub, code, i AS pos, CAST(SUM(CAST(sv[i] AS DECIMAL(25,9))) AS DOUBLE)
+        |         / COUNT(*) AS m
+        |  FROM a1, (SELECT unnest(range(1, 17)) AS i)
+        |  GROUP BY 1, 2, 3),
+        |cb AS (SELECT sub, code, list(m ORDER BY pos) AS cw FROM cbm GROUP BY 1, 2),
+        |cbn AS (SELECT sub, code, cw, list_inner_product(cw, cw) AS cc FROM cb),
+        |codes AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT s.vec_id, s.sub, c.code,
+        |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+        |                         ORDER BY list_inner_product(s.sv, s.sv)
+        |                           - 2.0 * list_inner_product(s.sv, c.cw) + c.cc,
+        |                         c.code) AS rn
+        |    FROM sub s JOIN cbn c ON s.sub = c.sub)
+        |  WHERE rn = 1),
+        |cm AS (
+        |  SELECT label, i AS pos, CAST(SUM(CAST(v[i] AS DECIMAL(25,9))) AS DOUBLE)
+        |         / COUNT(*) AS m
+        |  FROM e, (SELECT unnest(range(1, 65)) AS i) GROUP BY 1, 2),
+        |cent AS (SELECT label AS c_label, list(m ORDER BY pos) AS centroid
+        |         FROM cm GROUP BY 1),
+        |q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = 0),
+        |probes AS (
+        |  SELECT c_label FROM cent, q
+        |  ORDER BY list_inner_product(centroid, qv) DESC, c_label LIMIT 2),
+        |qsub AS (
+        |  SELECT m.m AS sub, qv[(m.m*16+1):(m.m*16+16)] AS qsv
+        |  FROM q, (SELECT unnest(range(4)) AS m) m),
+        |lut AS (
+        |  SELECT c.sub, c.code,
+        |    list_inner_product(s.qsv, s.qsv) - 2.0 * list_inner_product(s.qsv, c.cw)
+        |      + c.cc AS pd
+        |  FROM cbn c JOIN qsub s ON c.sub = s.sub),
+        |cand AS (
+        |  SELECT n.vec_id,
+        |    CAST(SUM(CAST(round(l.pd, 9) AS DECIMAL(25,9))) AS DOUBLE) AS est
+        |  FROM n JOIN probes p ON n.label = p.c_label
+        |  JOIN codes k ON k.vec_id = n.vec_id
+        |  JOIN lut l ON l.sub = k.sub AND l.code = k.code
+        |  WHERE n.vec_id <> 0
+        |  GROUP BY n.vec_id
+        |  ORDER BY est, n.vec_id LIMIT 25)
+        |SELECT n.vec_id, n.label, round(cand.est, 6) AS adc_est,
+        |  round(list_inner_product(n.v, q.qv) / (n.nrm * q.qn), 6) AS cos_sim
+        |FROM cand JOIN n ON n.vec_id = cand.vec_id, q
+        |ORDER BY cos_sim DESC, n.vec_id LIMIT 10""".stripMargin),
+
     // ---- Batch kNN-graph construction (banded candidates, top-3 per vector) -------
     // The similarity-graph builder semantic dedup and cluster-balanced
     // sampling consume: for EVERY vector, its top-3 banded candidates by

@@ -726,6 +726,76 @@ object Text {
         |FROM marked
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    // ---- Exact substring dedup EXECUTION (Lee et al. 2021 removal) ---------------
+    // q152 SCORES cross-doc 20-token window duplication; this operator
+    // REMOVES the duplicated spans and emits cleaned text — the step that
+    // made substring dedup famous ("Deduplicating Training Data Makes
+    // Language Models Better"). Keep-first policy: a window whose hash
+    // also appears in a SMALLER doc_id is a duplicate HERE; every token
+    // position it covers is stripped, the first occurrence survives
+    // verbatim. Scale shape: windows reduce to h60 keys exactly as q152;
+    // the only fan-out is per-duplicated-window ×W positions (bounded by
+    // doc length, never corpus-sized); removal positions aggregate to ONE
+    // array per affected doc and the strip itself is a MAP-SIDE array
+    // filter over the untouched corpus — unaffected docs never shuffle
+    // their text. Output carries md5(cleaned) so the oracle hash-compares
+    // full reconstructed text without shipping it.
+    "q171_substring_dedup_rewrite" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val W = 20
+        val toks = Tables.documents(s, dir)
+          .select($"doc_id", split($"text", " ").as("t"))
+        val wins = toks.filter(size($"t") >= W)
+          .select($"doc_id", posexplode(expr(
+            s"transform(sequence(0, size(t) - $W), i -> concat_ws(' ', slice(t, i + 1, $W)))")))
+          .select($"doc_id", $"pos".as("w0"),
+            expr("cast(conv(substring(md5(col), 1, 15), 16, 10) as bigint)").as("h"))
+        val first = wins.groupBy($"h").agg(min($"doc_id").as("first_doc"))
+        val rem = wins.join(first, "h").filter($"doc_id" > $"first_doc")
+          .select($"doc_id", explode(sequence($"w0", $"w0" + (W - 1))).as("p"))
+          .distinct()
+        val remArr = rem.groupBy($"doc_id")
+          .agg(collect_set($"p").as("rm"))
+        toks.join(remArr, Seq("doc_id"), "left")
+          .withColumn("rm", coalesce($"rm", expr("array()").cast("array<int>")))
+          .withColumn("kept", expr(
+            "filter(transform(t, (tok, i) -> struct(i as i, tok as tok)), " +
+              "s -> NOT array_contains(rm, s.i))"))
+          .select($"doc_id",
+            size($"t").cast("long").as("n_tokens"),
+            size($"kept").cast("long").as("n_kept"),
+            when(size($"kept") > 0,
+              md5(expr("concat_ws(' ', transform(kept, s -> s.tok))")))
+              .as("cleaned_md5"))
+          .orderBy($"doc_id")
+      },
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |wins AS (
+        |  SELECT toks.doc_id, u.i - 1 AS w0,
+        |    CAST(('0x' || substring(md5(array_to_string(t[u.i:u.i+19], ' ')), 1, 15)) AS BIGINT) AS h
+        |  FROM toks, UNNEST(range(1, len(t) - 18)) AS u(i)
+        |  WHERE len(t) >= 20),
+        |first AS (SELECT h, MIN(doc_id) AS first_doc FROM wins GROUP BY h),
+        |rem AS (
+        |  SELECT DISTINCT d.doc_id, p.pos FROM (
+        |    SELECT w.doc_id, w.w0 FROM wins w JOIN first f ON w.h = f.h
+        |    WHERE w.doc_id > f.first_doc) d,
+        |  UNNEST(range(d.w0, d.w0 + 20)) AS p(pos)),
+        |allpos AS (
+        |  SELECT toks.doc_id, u.i - 1 AS pos, t[u.i] AS token
+        |  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)),
+        |kept AS (
+        |  SELECT a.doc_id, a.pos, a.token
+        |  FROM allpos a LEFT JOIN rem r ON a.doc_id = r.doc_id AND a.pos = r.pos
+        |  WHERE r.pos IS NULL)
+        |SELECT toks.doc_id, CAST(len(toks.t) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(k.token) AS BIGINT) AS n_kept,
+        |  md5(string_agg(k.token, ' ' ORDER BY k.pos)) AS cleaned_md5
+        |FROM toks LEFT JOIN kept k ON toks.doc_id = k.doc_id
+        |GROUP BY toks.doc_id, len(toks.t)
+        |ORDER BY toks.doc_id""".stripMargin),
+
     // ---- Final curation verdict: integer-weighted signal ensemble ----------------
     // The LAST gate of a curation pipeline: every upstream signal —
     // length band, type-token ratio, stopword presence (language-ness),

@@ -181,6 +181,29 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(ivfRecall >= 0.8, s"q53 IVF recall@10 $ivfRecall < 0.8")
   }
 
+  test("IVF-PQ recall@10 vs brute force on planted neighbors: q172 >= 0.8") {
+    val brute = graft.SparkEntry.queries("q50_knn_brute")(spark, annRecallDir)
+      .collect().map(_.getLong(0)).toSet
+    val pq = graft.SparkEntry.queries("q172_ann_ivf_pq")(spark, annRecallDir)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (pq & brute).size / 10.0
+    info(s"recall@10: ivf-pq=$recall")
+    assert(recall >= 0.8, s"q172 IVF-PQ recall@10 $recall < 0.8")
+  }
+
+  test("q172 ADC estimates order consistently with exact distance on the rerank set") {
+    import spark.implicits._
+    // the asymmetric estimate ranks candidates BEFORE the exact rerank; on
+    // the natural corpus the final top-10 must be exactly the cosine-best
+    // of the 25 ADC survivors — i.e. the rerank is a true exact pass
+    val out = graft.SparkEntry.queries("q172_ann_ivf_pq")(spark, sfDir).collect()
+    assert(out.length === 10)
+    val sims = out.map(_.getAs[Double]("cos_sim")).toSeq
+    assert(sims === sims.sorted.reverse, "rerank output must be cosine-descending")
+    // ADC is an L2 estimate over PQ codes: every emitted estimate is finite
+    assert(out.forall(r => !r.getAs[Double]("adc_est").isNaN))
+  }
+
   test("q52 centroid stats are stable across runs") {
     val a = graft.SparkEntry.queries("q52_label_centroids")(spark, sfDir).collect()
     val b = graft.SparkEntry.queries("q52_label_centroids")(spark, sfDir).collect()
