@@ -951,5 +951,71 @@ object Relational {
         |SELECT key_col, n_keys, n_rows, min_n, med_n, p99_n, max_n,
         |  round(max_n / CAST(n_rows AS DOUBLE), 6) AS top_share
         |FROM p ORDER BY key_col""".stripMargin),
+
+    // ---- EXISTS / NOT EXISTS through the SQL front door ---------------------------
+    // The three-valued-logic-safe twin of q17's IN subqueries: EXISTS
+    // ignores NULLs in the inner relation (where NOT IN famously returns
+    // zero rows on one inner NULL — q126's lesson), so it is the shape
+    // production SQL should reach for. Catalyst plans both as semi/anti
+    // joins — no per-row subquery re-execution; the anti side shuffles on
+    // the same key as the semi side, so at 100 TB both ride one exchange
+    // pattern instead of a correlated loop.
+    "q174_exists_subquery" -> Q(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+        s.sql("""
+          SELECT c_custkey, c_mktsegment
+          FROM customer_v c
+          WHERE EXISTS (SELECT 1 FROM orders_v o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND CAST(o.o_totalprice AS DECIMAL(18,2)) > 100000.00)
+            AND NOT EXISTS (SELECT 1 FROM orders_v o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_orderstatus = 'F')
+          ORDER BY c_custkey""")
+      },
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND CAST(o.o_totalprice AS DECIMAL(18,2)) > 100000.00)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin),
+
+    // ---- LATERAL subquery (top-2 orders per customer via SQL) ---------------------
+    // The SQL spelling of per-group top-k: a correlated LATERAL derived
+    // table with ORDER BY ... LIMIT 2 per outer row. Catalyst de-correlates
+    // this into a window/limit over the joined relation rather than
+    // re-running the subquery per customer — the plan a 100-TB per-entity
+    // top-k needs. Prices compare as DECIMAL(18,2) (the Exact discipline),
+    // ties break on o_orderkey, so the kept set is deterministic.
+    "q175_lateral_topk" -> Q(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+        s.sql("""
+          SELECT c.c_custkey, t.o_orderkey,
+                 CAST(t.top_price AS DOUBLE) AS top_price
+          FROM customer_v c JOIN LATERAL (
+            SELECT o_orderkey,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS top_price
+            FROM orders_v o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY top_price DESC, o_orderkey
+            LIMIT 2) t
+          ORDER BY c_custkey, top_price DESC, o_orderkey""")
+      },
+      """SELECT c.c_custkey, t.o_orderkey, t.top_price
+        |FROM customer c JOIN LATERAL (
+        |  SELECT o_orderkey,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS top_price
+        |  FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY top_price DESC, o_orderkey
+        |  LIMIT 2) t ON TRUE
+        |ORDER BY c_custkey, top_price DESC, o_orderkey""".stripMargin),
   )
 }

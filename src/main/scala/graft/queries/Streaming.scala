@@ -195,6 +195,50 @@ object Streaming {
         |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800 * 1000000
         |ORDER BY 1, 2, 3, 4, 5""".stripMargin),
 
+    // ---- Stream-stream LEFT OUTER join (watermark-gated null padding) --------------
+    // The outer variant of q83 — the semantics users get wrong: matched
+    // pairs emit as soon as both rows are in state (inner behavior), but a
+    // click with NO purchase in its 30-minute window emits null-padded
+    // ONLY once the global watermark (min over both sides' max event time,
+    // minus the 30-minute delay) passes the click's entire join range —
+    // before that Spark cannot know a matching purchase won't still
+    // arrive. AvailableNow's trailing no-data batch finalizes eviction, so
+    // the emitted set is a pure function of the input and the DuckDB twin
+    // replays it exactly: inner matches UNION ALL null-padded clicks whose
+    // join window closed under the final watermark. Clicks still inside
+    // the watermark horizon are withheld — the twin must NOT emit them.
+    "q173_stream_left_outer_join" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val src = EventStreams.readEventStream(s, dir)
+        val joined = EventStreams.clickPurchaseJoin(src, src, "leftOuter")
+        EventStreams.runAppendToFiles(s, joined)
+          .orderBy($"user_id", $"c_us", $"p_us", $"c_value", $"p_value")
+      },
+      """WITH c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(epoch_us(ts)) FROM c),
+        |                    (SELECT max(epoch_us(ts)) FROM p))
+        |         - 1800 * 1000000 AS wm_us),
+        |matched AS (
+        |  SELECT c.user_id, epoch_us(c.ts) AS c_us, epoch_us(p.ts) AS p_us,
+        |    c.value AS c_value, p.value AS p_value
+        |  FROM c JOIN p ON c.user_id = p.user_id
+        |    AND epoch_us(p.ts) >= epoch_us(c.ts)
+        |    AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800 * 1000000),
+        |unmatched AS (
+        |  SELECT c.user_id, epoch_us(c.ts) AS c_us, CAST(NULL AS BIGINT) AS p_us,
+        |    c.value AS c_value, CAST(NULL AS DOUBLE) AS p_value
+        |  FROM c, wm
+        |  WHERE NOT EXISTS (
+        |      SELECT 1 FROM p WHERE p.user_id = c.user_id
+        |        AND epoch_us(p.ts) >= epoch_us(c.ts)
+        |        AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800 * 1000000)
+        |    AND epoch_us(c.ts) + 1800 * 1000000 < wm.wm_us)
+        |SELECT * FROM matched
+        |UNION ALL SELECT * FROM unmatched
+        |ORDER BY 1, 2, 3, 4, 5""".stripMargin),
+
     // ---- Stream-static broadcast enrichment ---------------------------------------
     // The stream joins a small static dimension (event_type -> category,
     // an in-memory relation — §2-A.5 shape) under a broadcast hint, then

@@ -333,7 +333,8 @@ object EventStreams {
     * microsecond epochs (`unix_micros`): Spark reads the nanos testdata at
     * µs, DuckDB at ns, and `epoch_us` on the oracle side applies the same
     * floor — removing the sub-µs representation gap from the compare. */
-  def clickPurchaseJoin(clickSrc: DataFrame, purchaseSrc: DataFrame): DataFrame = {
+  def clickPurchaseJoin(clickSrc: DataFrame, purchaseSrc: DataFrame,
+                        joinType: String = "inner"): DataFrame = {
     val clicks = clickSrc.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("c_ts"), col("value").as("c_value"))
       .withWatermark("c_ts", "30 minutes")
@@ -343,7 +344,8 @@ object EventStreams {
     clicks.join(purchases,
         col("user_id") === col("p_user") &&
         col("p_ts") >= col("c_ts") &&
-        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+        joinType)
       .select(col("user_id"),
         unix_micros(col("c_ts")).as("c_us"), unix_micros(col("p_ts")).as("p_us"),
         col("c_value"), col("p_value"))

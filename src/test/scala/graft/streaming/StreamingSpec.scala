@@ -192,4 +192,40 @@ class StreamingSpec extends SparkTestBase {
       assert(rows.head.getAs[Double]("p_value") === 5.0)
     } finally q.stop()
   }
+
+  test("left outer stream-stream join: unmatched row emits ONLY after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = clickPurchaseJoin(clicks.toDF(), purchases.toDF(), "leftOuter")
+    val q = joined.writeStream.format("memory")
+      .queryName("ssj_outer_test").outputMode(OutputMode.Append()).start()
+    try {
+      val t0 = 1704067200000L
+      // a click with NO purchase ever — the outer row under test — plus a
+      // matched pair so the inner behavior is visible in the same run
+      clicks.addData(
+        Event(1, new java.sql.Timestamp(t0), 7, "click", 1.0, "{}"),
+        Event(2, new java.sql.Timestamp(t0), 8, "click", 2.0, "{}"))
+      purchases.addData(
+        Event(3, new java.sql.Timestamp(t0 + 10 * 60000L), 8, "purchase", 5.0, "{}"))
+      q.processAllAvailable()
+      val afterB1 = spark.table("ssj_outer_test").collect()
+      assert(afterB1.length === 1 && afterB1.head.getAs[Long]("user_id") === 8L,
+        "matched pair emits immediately; the unmatched click must NOT null-pad " +
+          "while a matching purchase could still arrive")
+      // advance BOTH watermarks past the click's entire join range
+      // (c_ts + 30 min) + 30 min delay → watermark beyond eviction point
+      val far = t0 + 100 * 60000L
+      clicks.addData(Event(4, new java.sql.Timestamp(far), 9, "click", 3.0, "{}"))
+      purchases.addData(Event(5, new java.sql.Timestamp(far), 9, "purchase", 6.0, "{}"))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_outer_test").collect()
+      val outer = rows.filter(_.isNullAt(rows.head.fieldIndex("p_us")))
+      assert(outer.length === 1, s"exactly the evicted unmatched click null-pads: ${rows.toSeq}")
+      assert(outer.head.getAs[Long]("user_id") === 7L)
+      assert(outer.head.getAs[Double]("c_value") === 1.0)
+    } finally q.stop()
+  }
 }
