@@ -356,8 +356,11 @@ object ScalingProbe {
       runDmlProbe(args.drop(1).headOption.map(_.toInt).getOrElse(3))
       return
     }
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val mults = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 2, 4, 8)
+    val chainMode = args.headOption.contains("dedup-chain")
+    val posArgs = if (chainMode) args.drop(1) else args
+    val sfDir = posArgs.headOption.getOrElse("/root/testdata/sf0.1")
+    val mults = if (posArgs.length > 1) posArgs.drop(1).map(_.toInt).toSeq
+                else Seq(1, 2, 4, 8)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -440,6 +443,47 @@ object ScalingProbe {
 
     // warmup
     Tables.documents(spark, sfDir).groupBy($"lang").count().collect()
+
+    if (chainMode) {
+      // The production dedup CHAIN, staged: q42 builds (and persists) the
+      // MinHash-LSH pair graph, q57 runs the transitive closure over it,
+      // q111 selects canonicals from the clusters. Per-stage wall-clock
+      // gives the cost CURVE; ConnectedComponents.lastRounds gives the
+      // closure-round curve. Replicas are content-disjoint, so component
+      // DIAMETERS cannot grow with m — the probe REQUIREs the round count
+      // stays flat (log-diameter convergence, the 100-TB property: data
+      // volume scales the per-round shuffles, never the round COUNT).
+      var baseRounds = -1
+      for (m <- mults) {
+        val dir = replicated(m)
+        def stage(label: String)(f: => Long): Unit = {
+          val t0 = System.nanoTime()
+          val rows = f
+          val sec = (System.nanoTime() - t0) / 1e9
+          val rounds =
+            if (label == "q57_closure")
+              graft.operators.ConnectedComponents.lastRounds.get(): Int
+            else -1
+          println(f"""CHAIN {"stage":"$label","m":$m,"rows":$rows,"sec":$sec%.2f,"rounds":$rounds}""")
+          if (label == "q57_closure") {
+            require(rounds >= 1 && rounds <= 8,
+              s"closure must converge in log-diameter rounds, took $rounds")
+            if (baseRounds < 0) baseRounds = rounds
+            require(rounds <= baseRounds + 1,
+              s"round count must stay flat across replication: $rounds at ${m}x " +
+                s"vs $baseRounds at ${mults.head}x — diameter is leaking with volume")
+          }
+        }
+        stage("q42_pair_graph") {
+          SparkEntry.queries("q42_minhash_lsh")(spark, dir).count() }
+        stage("q57_closure") {
+          SparkEntry.queries("q57_dedup_clusters")(spark, dir).count() }
+        stage("q111_canonical") {
+          SparkEntry.queries("q111_canonical_select")(spark, dir).count() }
+      }
+      spark.stop()
+      return
+    }
 
     // q91 is excluded: replication suffixes every token, so the literal
     // BM25 query terms vanish from the replicated vocabulary (0-row probe)

@@ -30,6 +30,12 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Rounds the most recent `components` call on this thread took to
+    * converge — read by ScalingProbe's dedup-chain mode to pin the
+    * closure-round CURVE (pointer jumping ⇒ rounds track log(component
+    * diameter), which must stay flat when replicas are content-disjoint). */
+  val lastRounds: ThreadLocal[Int] = ThreadLocal.withInitial(() => 0)
+
   /** Labels each node with the minimum node id of its component.
     * `nodes`: one column `id`; `edges`: columns `src`, `dst` (any
     * orientation — symmetrized here). Returns (id, label).
@@ -75,6 +81,7 @@ object ConnectedComponents {
       it += 1
       mark(s"round $it changed=$changed:", tRound)
     }
+    lastRounds.set(it)
     nodes.select($"id").join(labels, Seq("id"), "left")
       .select($"id", coalesce($"label", $"id").as("label"))
   }

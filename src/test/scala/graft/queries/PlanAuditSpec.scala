@@ -217,7 +217,10 @@ class PlanAuditSpec extends SparkTestBase {
     val bnljAllowed = Map(
       "q29_edit_distance" -> 2, "q36_tfidf_keywords" -> 2, "q50_knn_brute" -> 2,
       "q53_ann_ivf" -> 2, "q91_bm25_search" -> 2, "q116_kmeans" -> 4,
-      "q121_cooccurrence" -> 2, "q130_decayed_score" -> 2)
+      "q121_cooccurrence" -> 2, "q130_decayed_score" -> 2,
+      // q172: the 1-row query vector broadcasts twice (probe selection +
+      // exact rerank) — each printed twice in the formatted plan
+      "q172_ann_ivf_pq" -> 4)
     for ((name, _) <- graft.SparkEntry.queries.toSeq.sortBy(_._1) if !skip(name)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),
@@ -264,6 +267,9 @@ class PlanAuditSpec extends SparkTestBase {
       // centroid tables: grouped on cid/label drawn from a fixed k (a
       // clustering PARAMETER) — k rows regardless of corpus size
       "q116_kmeans" -> "k centroids, k fixed by the algorithm",
+      // PQ codebook + ADC lookup table: grouped on (sub, code), K×M = 16
+      // rows fixed by the ALGORITHM's parameters — never corpus-sized
+      "q172_ann_ivf_pq" -> "K x M codebook/LUT, both fixed by the algorithm",
       )
     def boundedByInFilter(agg: Aggregate): Boolean = {
       val groupCols = agg.groupingExpressions.flatMap(_.references).map(_.name).toSet
