@@ -34,6 +34,79 @@ object Similarity {
 
   private val Planes = 6 // 64 buckets
 
+  /** PQ training + encoding shared by q172 (in-query) and q176 (persisted
+    * index table): M=4 × 16-dim subspaces, K=4 codewords per subspace from
+    * one deterministic Lloyd step (seeds = subvectors of vec_id 0..3),
+    * means through the DECIMAL(25,9) discipline — bit-identical to the
+    * DuckDB oracle's replay. */
+  private[queries] def pqSubvectors(e: DataFrame): DataFrame = {
+    val s = e.sparkSession; import s.implicits._
+    e.select($"vec_id", posexplode(expr(
+        "transform(sequence(0, 3), m -> slice(v, m * 16 + 1, 16))")))
+      .select($"vec_id", $"pos".as("sub"), $"col".as("sv"))
+  }
+
+  private[queries] def pqCodebook(e: DataFrame): DataFrame = {
+    val s = e.sparkSession; import s.implicits._
+    import graft.functions.VectorFunctions.vecDot
+    val sub = pqSubvectors(e)
+    val seeds = sub.filter($"vec_id" < 4)
+      .select($"sub", $"vec_id".cast("int").as("code"), $"sv".as("cw"))
+    val assigned = sub.join(broadcast(seeds), Seq("sub"))
+      .withColumn("d2",
+        vecDot($"sv", $"sv") - lit(2.0) * vecDot($"sv", $"cw") +
+          vecDot($"cw", $"cw"))
+      .groupBy($"vec_id", $"sub")
+      .agg(min(struct($"d2", $"code")).as("m"), first($"sv").as("sv"))
+      .select($"vec_id", $"sub", $"m.code".as("code"), $"sv")
+    assigned.select($"sub", $"code", posexplode($"sv"))
+      .groupBy($"sub", $"code", $"pos")
+      .agg((sum($"col".cast("decimal(25,9)")).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy($"sub", $"code")
+      .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+      .select($"sub", $"code", expr("transform(pm, x -> x.m)").as("cw"))
+      .withColumn("cc", vecDot($"cw", $"cw"))
+  }
+
+  /** PQ codes per (vec_id, sub) against a trained codebook. */
+  private[queries] def pqEncode(e: DataFrame, codebook: DataFrame): DataFrame = {
+    val s = e.sparkSession; import s.implicits._
+    import graft.functions.VectorFunctions.vecDot
+    pqSubvectors(e).join(broadcast(codebook), Seq("sub"))
+      .withColumn("d2",
+        vecDot($"sv", $"sv") - lit(2.0) * vecDot($"sv", $"cw") + $"cc")
+      .groupBy($"vec_id", $"sub")
+      .agg(min(struct($"d2", $"code")).as("m"))
+      .select($"vec_id", $"sub", $"m.code".as("code"))
+  }
+
+  /** IVF coarse centroids: exact decimal element-wise mean per label. */
+  private[queries] def ivfCentroids(e: DataFrame): DataFrame = {
+    val s = e.sparkSession; import s.implicits._
+    e.select($"label", posexplode($"v"))
+      .groupBy($"label", $"pos")
+      .agg((sum($"col".cast("decimal(25,9)")).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy($"label").agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+      .select($"label".as("c_label"), expr("transform(pm, x -> x.m)").as("centroid"))
+  }
+
+  /** Asymmetric-distance lookup table for the query vector: per (sub,
+    * code), the L2 distance ||q_m − cw||². K×M rows — always broadcast. */
+  private[queries] def pqLut(e: DataFrame, codebook: DataFrame): DataFrame = {
+    val s = e.sparkSession; import s.implicits._
+    import graft.functions.VectorFunctions.vecDot
+    val qsub = e.filter($"vec_id" === 0)
+      .select(posexplode(expr(
+        "transform(sequence(0, 3), m -> slice(v, m * 16 + 1, 16))")))
+      .select($"pos".as("sub"), $"col".as("qsv"))
+    codebook.join(broadcast(qsub), Seq("sub"))
+      .select($"sub", $"code",
+        (vecDot($"qsv", $"qsv") - lit(2.0) * vecDot($"qsv", $"cw") + $"cc")
+          .as("pd"))
+  }
+
   /** Sign-bit bucket id from `Planes` pseudo-random hyperplanes.
     * Plane p's d-th component is ±1 from bit 15 of a classic LCG of the
     * flat index p*64+d — deterministic, computed inline per row (nothing
@@ -49,6 +122,80 @@ object Similarity {
              (x, d) -> if((shiftright((1103515245L * (p * 64 + d) + 12345L) % 2147483648L, 15) & 1) = 0, x, -x)),
            0d, (acc, x) -> acc + x) > 0d, shiftleft(1, p), 0)),
       0, (acc, x) -> acc + x)""")
+
+  /** q176's persisted index table, one per (JVM, testdata dir). */
+  private val pqIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.table.GraftTable]()
+
+  /** The DuckDB replay of the full IVF-PQ pipeline — shared by q172 (the
+    * in-query pipeline) and q176 (the persisted index probe): both compute
+    * the same top-10, so one oracle hash-checks both plans. */
+  private val ivfPqOracleSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      |sub AS (
+      |  SELECT vec_id, m.m AS sub, v[(m.m*16+1):(m.m*16+16)] AS sv
+      |  FROM e, (SELECT unnest(range(4)) AS m) m),
+      |seeds AS (SELECT sub, CAST(vec_id AS INTEGER) AS code, sv AS cw
+      |          FROM sub WHERE vec_id < 4),
+      |a1 AS (
+      |  SELECT vec_id, sub, code, sv FROM (
+      |    SELECT s.vec_id, s.sub, d.code, s.sv,
+      |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+      |                         ORDER BY list_inner_product(s.sv, s.sv)
+      |                           - 2.0 * list_inner_product(s.sv, d.cw)
+      |                           + list_inner_product(d.cw, d.cw), d.code) AS rn
+      |    FROM sub s JOIN seeds d ON s.sub = d.sub)
+      |  WHERE rn = 1),
+      |cbm AS (
+      |  SELECT sub, code, i AS pos, CAST(SUM(CAST(sv[i] AS DECIMAL(25,9))) AS DOUBLE)
+      |         / COUNT(*) AS m
+      |  FROM a1, (SELECT unnest(range(1, 17)) AS i)
+      |  GROUP BY 1, 2, 3),
+      |cb AS (SELECT sub, code, list(m ORDER BY pos) AS cw FROM cbm GROUP BY 1, 2),
+      |cbn AS (SELECT sub, code, cw, list_inner_product(cw, cw) AS cc FROM cb),
+      |codes AS (
+      |  SELECT vec_id, sub, code FROM (
+      |    SELECT s.vec_id, s.sub, c.code,
+      |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+      |                         ORDER BY list_inner_product(s.sv, s.sv)
+      |                           - 2.0 * list_inner_product(s.sv, c.cw) + c.cc,
+      |                         c.code) AS rn
+      |    FROM sub s JOIN cbn c ON s.sub = c.sub)
+      |  WHERE rn = 1),
+      |cm AS (
+      |  SELECT label, i AS pos, CAST(SUM(CAST(v[i] AS DECIMAL(25,9))) AS DOUBLE)
+      |         / COUNT(*) AS m
+      |  FROM e, (SELECT unnest(range(1, 65)) AS i) GROUP BY 1, 2),
+      |cent AS (SELECT label AS c_label, list(m ORDER BY pos) AS centroid
+      |         FROM cm GROUP BY 1),
+      |q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = 0),
+      |probes AS (
+      |  SELECT c_label FROM cent, q
+      |  ORDER BY list_inner_product(centroid, qv) DESC, c_label LIMIT 2),
+      |qsub AS (
+      |  SELECT m.m AS sub, qv[(m.m*16+1):(m.m*16+16)] AS qsv
+      |  FROM q, (SELECT unnest(range(4)) AS m) m),
+      |lut AS (
+      |  SELECT c.sub, c.code,
+      |    list_inner_product(s.qsv, s.qsv) - 2.0 * list_inner_product(s.qsv, c.cw)
+      |      + c.cc AS pd
+      |  FROM cbn c JOIN qsub s ON c.sub = s.sub),
+      |cand AS (
+      |  SELECT n.vec_id,
+      |    CAST(SUM(CAST(round(l.pd, 9) AS DECIMAL(25,9))) AS DOUBLE) AS est
+      |  FROM n JOIN probes p ON n.label = p.c_label
+      |  JOIN codes k ON k.vec_id = n.vec_id
+      |  JOIN lut l ON l.sub = k.sub AND l.code = k.code
+      |  WHERE n.vec_id <> 0
+      |  GROUP BY n.vec_id
+      |  ORDER BY est, n.vec_id LIMIT 25)
+      |SELECT n.vec_id, n.label, round(cand.est, 6) AS adc_est,
+      |  round(list_inner_product(n.v, q.qv) / (n.nrm * q.qn), 6) AS cos_sim
+      |FROM cand JOIN n ON n.vec_id = cand.vec_id, q
+      |ORDER BY cos_sim DESC, n.vec_id LIMIT 10""".stripMargin
 
   val all: Seq[(String, Q)] = Seq(
 
@@ -348,57 +495,17 @@ object Similarity {
         import s.implicits._
         import graft.functions.VectorFunctions.vecDot
         val e = normed(s, dir)
-        // subvectors: 4 × 16-dim slices per vector
-        val sub = e.select($"vec_id", posexplode(expr(
-            "transform(sequence(0, 3), m -> slice(v, m * 16 + 1, 16))")))
-          .select($"vec_id", $"pos".as("sub"), $"col".as("sv"))
-        val seeds = sub.filter($"vec_id" < 4)
-          .select($"sub", $"vec_id".cast("int").as("code"), $"sv".as("cw"))
-        // one Lloyd step: assign all subvectors to seed codewords ...
-        val assigned = sub.join(broadcast(seeds), Seq("sub"))
-          .withColumn("d2",
-            vecDot($"sv", $"sv") - lit(2.0) * vecDot($"sv", $"cw") +
-              vecDot($"cw", $"cw"))
-          .groupBy($"vec_id", $"sub")
-          .agg(min(struct($"d2", $"code")).as("m"), first($"sv").as("sv"))
-          .select($"vec_id", $"sub", $"m.code".as("code"), $"sv")
-        // ... then re-center: exact decimal element-wise means per code
-        val codebook = assigned.select($"sub", $"code", posexplode($"sv"))
-          .groupBy($"sub", $"code", $"pos")
-          .agg((sum($"col".cast("decimal(25,9)")).cast("double") /
-            count(lit(1))).as("m"))
-          .groupBy($"sub", $"code")
-          .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
-          .select($"sub", $"code", expr("transform(pm, x -> x.m)").as("cw"))
-          .withColumn("cc", vecDot($"cw", $"cw"))
-        // PQ encode: each vector's nearest trained codeword per subspace
-        val codes = sub.join(broadcast(codebook), Seq("sub"))
-          .withColumn("d2",
-            vecDot($"sv", $"sv") - lit(2.0) * vecDot($"sv", $"cw") + $"cc")
-          .groupBy($"vec_id", $"sub")
-          .agg(min(struct($"d2", $"code")).as("m"))
-          .select($"vec_id", $"sub", $"m.code".as("code"))
+        val codebook = pqCodebook(e)
+        val codes = pqEncode(e, codebook)
         // IVF coarse layer: label centroids (q53's), probe top-2 for recall
-        val centroids = e.select($"label", posexplode($"v"))
-          .groupBy($"label", $"pos")
-          .agg((sum($"col".cast("decimal(25,9)")).cast("double") /
-            count(lit(1))).as("m"))
-          .groupBy($"label").agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
-          .select($"label".as("c_label"), expr("transform(pm, x -> x.m)").as("centroid"))
+        val centroids = ivfCentroids(e)
         val q = e.filter($"vec_id" === 0).select($"v".as("qv"), $"nrm".as("qn"))
         val probes = centroids.crossJoin(broadcast(q))
           .withColumn("cd", vecDot($"centroid", $"qv"))
           .orderBy($"cd".desc, $"c_label").limit(2)
           .select($"c_label")
         // asymmetric-distance LUT: ||q_m − cw||² per (subspace, code)
-        val qsub = e.filter($"vec_id" === 0)
-          .select(posexplode(expr(
-            "transform(sequence(0, 3), m -> slice(v, m * 16 + 1, 16))")))
-          .select($"pos".as("sub"), $"col".as("qsv"))
-        val lut = codebook.join(broadcast(qsub), Seq("sub"))
-          .select($"sub", $"code",
-            (vecDot($"qsv", $"qsv") - lit(2.0) * vecDot($"qsv", $"cw") + $"cc")
-              .as("pd"))
+        val lut = pqLut(e, codebook)
         // candidates: probed lists only; ADC estimate = exact decimal sum
         // of the 4 LUT entries (order-free), then top-C=25 by (est, vec_id)
         val cand = e.filter($"vec_id" =!= 0)
@@ -417,71 +524,67 @@ object Similarity {
           .orderBy($"cos_sim".desc, $"vec_id")
           .limit(10)
       },
-      """WITH e AS (
-        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, label, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
-        |sub AS (
-        |  SELECT vec_id, m.m AS sub, v[(m.m*16+1):(m.m*16+16)] AS sv
-        |  FROM e, (SELECT unnest(range(4)) AS m) m),
-        |seeds AS (SELECT sub, CAST(vec_id AS INTEGER) AS code, sv AS cw
-        |          FROM sub WHERE vec_id < 4),
-        |a1 AS (
-        |  SELECT vec_id, sub, code, sv FROM (
-        |    SELECT s.vec_id, s.sub, d.code, s.sv,
-        |      row_number() OVER (PARTITION BY s.vec_id, s.sub
-        |                         ORDER BY list_inner_product(s.sv, s.sv)
-        |                           - 2.0 * list_inner_product(s.sv, d.cw)
-        |                           + list_inner_product(d.cw, d.cw), d.code) AS rn
-        |    FROM sub s JOIN seeds d ON s.sub = d.sub)
-        |  WHERE rn = 1),
-        |cbm AS (
-        |  SELECT sub, code, i AS pos, CAST(SUM(CAST(sv[i] AS DECIMAL(25,9))) AS DOUBLE)
-        |         / COUNT(*) AS m
-        |  FROM a1, (SELECT unnest(range(1, 17)) AS i)
-        |  GROUP BY 1, 2, 3),
-        |cb AS (SELECT sub, code, list(m ORDER BY pos) AS cw FROM cbm GROUP BY 1, 2),
-        |cbn AS (SELECT sub, code, cw, list_inner_product(cw, cw) AS cc FROM cb),
-        |codes AS (
-        |  SELECT vec_id, sub, code FROM (
-        |    SELECT s.vec_id, s.sub, c.code,
-        |      row_number() OVER (PARTITION BY s.vec_id, s.sub
-        |                         ORDER BY list_inner_product(s.sv, s.sv)
-        |                           - 2.0 * list_inner_product(s.sv, c.cw) + c.cc,
-        |                         c.code) AS rn
-        |    FROM sub s JOIN cbn c ON s.sub = c.sub)
-        |  WHERE rn = 1),
-        |cm AS (
-        |  SELECT label, i AS pos, CAST(SUM(CAST(v[i] AS DECIMAL(25,9))) AS DOUBLE)
-        |         / COUNT(*) AS m
-        |  FROM e, (SELECT unnest(range(1, 65)) AS i) GROUP BY 1, 2),
-        |cent AS (SELECT label AS c_label, list(m ORDER BY pos) AS centroid
-        |         FROM cm GROUP BY 1),
-        |q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = 0),
-        |probes AS (
-        |  SELECT c_label FROM cent, q
-        |  ORDER BY list_inner_product(centroid, qv) DESC, c_label LIMIT 2),
-        |qsub AS (
-        |  SELECT m.m AS sub, qv[(m.m*16+1):(m.m*16+16)] AS qsv
-        |  FROM q, (SELECT unnest(range(4)) AS m) m),
-        |lut AS (
-        |  SELECT c.sub, c.code,
-        |    list_inner_product(s.qsv, s.qsv) - 2.0 * list_inner_product(s.qsv, c.cw)
-        |      + c.cc AS pd
-        |  FROM cbn c JOIN qsub s ON c.sub = s.sub),
-        |cand AS (
-        |  SELECT n.vec_id,
-        |    CAST(SUM(CAST(round(l.pd, 9) AS DECIMAL(25,9))) AS DOUBLE) AS est
-        |  FROM n JOIN probes p ON n.label = p.c_label
-        |  JOIN codes k ON k.vec_id = n.vec_id
-        |  JOIN lut l ON l.sub = k.sub AND l.code = k.code
-        |  WHERE n.vec_id <> 0
-        |  GROUP BY n.vec_id
-        |  ORDER BY est, n.vec_id LIMIT 25)
-        |SELECT n.vec_id, n.label, round(cand.est, 6) AS adc_est,
-        |  round(list_inner_product(n.v, q.qv) / (n.nrm * q.qn), 6) AS cos_sim
-        |FROM cand JOIN n ON n.vec_id = cand.vec_id, q
-        |ORDER BY cos_sim DESC, n.vec_id LIMIT 10""".stripMargin),
+      ivfPqOracleSql),
+
+    // ---- Persisted IVF-PQ index table + partition-pruned probe --------------------
+    // q172 trains and encodes per query; a 100-TB deployment trains ONCE
+    // and stores the codes as a TABLE — this operator materializes the
+    // index as a graft table Hive-partitioned by the IVF list (label),
+    // with the M=4 PQ codes as flat int columns, and serves the probe by
+    // PARTITION PRUNING: the query's top-2 centroid lists resolve to 2
+    // partition values, `prunedFiles` drops every other list's files
+    // (REQUIREd on each probe), and only the surviving lists' codes meet
+    // the broadcast ADC lookup table. This is q53's scale claim ("at
+    // scale the lists are Hive partitions and probing is partition
+    // pruning") made real — and the same answer as q172's in-query
+    // pipeline, hash-checked against the identical DuckDB replay.
+    "q176_pq_index_probe" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.VectorFunctions.vecDot
+        val e = normed(s, dir)
+        val t = pqIndexCache.computeIfAbsent(dir, _ => {
+          val codes = pqEncode(e, pqCodebook(e))
+          val wide = codes.groupBy($"vec_id").agg(
+            max(when($"sub" === 0, $"code")).as("c0"),
+            max(when($"sub" === 1, $"code")).as("c1"),
+            max(when($"sub" === 2, $"code")).as("c2"),
+            max(when($"sub" === 3, $"code")).as("c3"))
+          graft.table.GraftTable.create(s,
+            graft.Scratch.dir("graft-pq-index-").toString,
+            Tables.embeddings(s, dir).select($"vec_id", $"label").join(wide, "vec_id"),
+            partitionBy = Seq("label"))
+        })
+        val codebook = pqCodebook(e)
+        val q = e.filter($"vec_id" === 0).select($"v".as("qv"), $"nrm".as("qn"))
+        // top-2 IVF lists collect to the driver (2 ints — bounded like a
+        // broadcast) and become partition-pruning literals
+        val probeLabels = ivfCentroids(e).crossJoin(broadcast(q))
+          .withColumn("cd", vecDot($"centroid", $"qv"))
+          .orderBy($"cd".desc, $"c_label").limit(2)
+          .select($"c_label").collect().map(_.getInt(0)).toSeq
+        val snap = t.snapshot
+        val pred = $"label".isin(probeLabels: _*)
+        val pruned = t.prunedFiles(snap, pred)
+        require(pruned.size < snap.files.size,
+          s"IVF probe must partition-prune the index: ${pruned.size}/${snap.files.size}")
+        val lut = pqLut(e, codebook)
+        val cand = t.scan(pred)
+          .filter($"vec_id" =!= 0)
+          .select($"vec_id", posexplode(array($"c0", $"c1", $"c2", $"c3")))
+          .select($"vec_id", $"pos".as("sub"), $"col".as("code"))
+          .join(broadcast(lut), Seq("sub", "code"))
+          .groupBy($"vec_id")
+          .agg(sum(round($"pd", 9).cast("decimal(25,9)")).cast("double").as("est"))
+          .orderBy($"est", $"vec_id").limit(25)
+        cand.join(e, "vec_id")
+          .crossJoin(broadcast(q))
+          .withColumn("cos_sim", round(vecDot($"v", $"qv") / ($"nrm" * $"qn"), 6))
+          .select($"vec_id", $"label", round($"est", 6).as("adc_est"), $"cos_sim")
+          .orderBy($"cos_sim".desc, $"vec_id")
+          .limit(10)
+      },
+      ivfPqOracleSql),
 
     // ---- Batch kNN-graph construction (banded candidates, top-3 per vector) -------
     // The similarity-graph builder semantic dedup and cluster-balanced

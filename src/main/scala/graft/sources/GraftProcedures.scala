@@ -28,7 +28,7 @@ object GraftProcedures {
 
   val names: Seq[String] =
     Seq("optimize", "vacuum", "restore", "convert", "generate_manifest",
-        "cleanup_logs", "clone", "fsck")
+        "cleanup_logs", "clone", "fsck", "help")
 
   def load(catalog: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.sameElements(Array("system")),
@@ -42,6 +42,7 @@ object GraftProcedures {
       case "cleanup_logs" => CleanupLogsProc(catalog)
       case "clone" => CloneProc(catalog)
       case "fsck" => FsckProc(catalog)
+      case "help" => HelpProc(catalog)
       case other => throw new IllegalArgumentException(
         s"unknown procedure graft.system.$other (have: ${names.mkString(", ")})")
     }
@@ -175,6 +176,69 @@ object GraftProcedures {
     * — Delta's metadata cleanup (logRetentionDuration): prune commit and
     * checkpoint files older than the retention window up to the newest
     * in-window checkpoint; time travel older than retention dies. */
+  /** `CALL graft.system.help()` — the deployment-facing documentation
+    * surface: every procedure, session conf, and table property the engine
+    * reads, each with a one-line description. Optional `topic` substring
+    * filter. Static driver-side rows — no table, no job. */
+  case class HelpProc(catalog: GraftCatalog) extends GraftProc("help") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      paramD("topic", StringType, "''"))
+
+    private val out = StructType(Seq(
+      StructField("kind", StringType, nullable = false),
+      StructField("name", StringType, nullable = false),
+      StructField("description", StringType, nullable = false)))
+
+    private val entries: Seq[(String, String, String)] = Seq(
+      ("procedure", "optimize",
+        "bin-pack small files (target_file_bytes; outputs land in [target, 2x target) for convergence); cluster_by/zorder_by re-cluster; full => true rewrites everything; where scopes files"),
+      ("procedure", "vacuum",
+        "delete unreferenced data files past retention (retain_versions / retention_ms; dry_run => true lists only); listing/stat/delete distribute past 1024 candidates"),
+      ("procedure", "restore", "roll the table head back to an earlier version as a NEW commit"),
+      ("procedure", "convert", "import an existing parquet directory as commit 0 (footer-stat harvest distributes; real file mtimes recorded)"),
+      ("procedure", "generate_manifest", "write a symlink-format manifest of the current snapshot"),
+      ("procedure", "cleanup_logs", "drop expired commit files behind the checkpoint floor (log.retentionMs)"),
+      ("procedure", "clone", "shallow clone: new table referencing the source's files in place, optionally at an older version"),
+      ("procedure", "fsck", "verify data files against the log; repair => true drops dangling references"),
+      ("procedure", "help", "this listing (topic => substring filter)"),
+      ("conf", "spark.graft.logStore.class",
+        "LogStore implementation for the commit log (Scala object or zero-arg class); default PosixLogStore; resolved at table load — object stores plug a putIfAbsent shim here"),
+      ("conf", "spark.graft.spj.enabled",
+        "storage-partitioned joins: partitioned tables serve a KeyGroupedPartitioning DSv2 scan so co-partitioned fact joins plan zero shuffle; default true; false restores the V1 scan wholesale"),
+      ("conf", "spark.sql.sources.v2.bucketing.enabled",
+        "Spark's SPJ master switch (default true in Spark 4); joining on (partKey, extraKey) additionally wants spark.sql.requireAllClusterKeysForCoPartition=false"),
+      ("property", "deletionVectors.enabled",
+        "merge-on-read DML: DELETE/UPDATE/MERGE commit tombstone sidecars instead of rewriting files; OPTIMIZE purges the debt"),
+      ("property", "changeDataFeed.enabled",
+        "capture row-level change feeds (_cdc sidecars); read via table_changes / readChangeFeed"),
+      ("property", "clustering.columns",
+        "declared clustering (+ clustering.curve = zorder|range): bare OPTIMIZE maintains it incrementally, skipping conforming files"),
+      ("property", "variant.shred.paths",
+        "column:$.path:type triples: writes materialize try_variant_get as typed stat columns so try_variant_get predicates data-skip files"),
+      ("property", "bloom.columns",
+        "native parquet bloom filters on these columns (+ bloom.ndv); =/IN predicates consult them for file skipping"),
+      ("property", "checkpoint.format",
+        "json | parquet (+ checkpoint.partSize): checkpoint encoding; multipart parquet parts encode concurrently"),
+      ("property", "log.retentionMs", "commit-file retention for cleanup_logs (default 30 days)"),
+      ("property", "vacuum.retentionMs", "data-file retention for vacuum (default 7 days)"),
+      ("property", "rowTracking.enabled", "stable row ids materialized through rewrites; SELECT _row_id"),
+      ("property", "columnMapping.mode", "name-based column mapping: RENAME/DROP COLUMN without rewriting data"),
+      ("property", "appendOnly", "reject deletes/updates/truncates at the commit gate"))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val topic =
+        if (input.numFields < 1 || input.isNullAt(0)) ""
+        else input.getUTF8String(0).toString.toLowerCase
+      val rows = entries.filter { case (k, n, d) =>
+        topic.isEmpty || s"$k $n $d".toLowerCase.contains(topic)
+      }.map { case (k, n, d) =>
+        row(UTF8String.fromString(k), UTF8String.fromString(n),
+          UTF8String.fromString(d))
+      }
+      resultScan(out, rows: _*)
+    }
+  }
+
   case class CleanupLogsProc(catalog: GraftCatalog) extends GraftProc("cleanup_logs") {
     override def parameters(): Array[ProcedureParameter] = Array(
       param("table", StringType),

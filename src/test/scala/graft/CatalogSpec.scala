@@ -360,6 +360,21 @@ class CatalogSpec extends SparkTestBase {
     assert(sql("SELECT COUNT(*) FROM gcat.default.scopt").head().getLong(0) == 4)
   }
 
+  test("CALL graft.system.help lists procedures, confs, and table properties") {
+    registered
+    val all = sql("CALL gcat.system.help()").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(all.contains(("procedure", "optimize")))
+    assert(all.contains(("conf", "spark.graft.logStore.class")),
+      "the pluggable-LogStore conf must be CALL-visible")
+    assert(all.contains(("conf", "spark.graft.spj.enabled")))
+    assert(all.contains(("property", "variant.shred.paths")))
+    // topic filter narrows by substring across kind/name/description
+    val filtered = sql("CALL gcat.system.help(topic => 'logstore')").collect()
+    assert(filtered.length >= 1 &&
+      filtered.forall(_.getString(1).toLowerCase.contains("logstore")))
+  }
+
   test("CALL graft.system.convert imports a parquet dir in place") {
     registered
     import spark.implicits._

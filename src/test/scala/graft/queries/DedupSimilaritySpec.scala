@@ -204,6 +204,20 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(out.forall(r => !r.getAs[Double]("adc_est").isNaN))
   }
 
+  test("q176 persisted index probe equals the in-query IVF-PQ pipeline exactly") {
+    def rows(name: String, dir: String) =
+      graft.SparkEntry.queries(name)(spark, dir).collect().map(_.toString).toSeq
+    assert(rows("q176_pq_index_probe", sfDir) === rows("q172_ann_ivf_pq", sfDir),
+      "the materialized index must answer identically to per-query training")
+    // planted-neighbor recall rides the same index path
+    val brute = graft.SparkEntry.queries("q50_knn_brute")(spark, annRecallDir)
+      .collect().map(_.getLong(0)).toSet
+    val idx = graft.SparkEntry.queries("q176_pq_index_probe")(spark, annRecallDir)
+      .collect().map(_.getLong(0)).toSet
+    assert((idx & brute).size / 10.0 >= 0.8,
+      s"index-probe recall@10 ${(idx & brute).size / 10.0} < 0.8")
+  }
+
   test("q52 centroid stats are stable across runs") {
     val a = graft.SparkEntry.queries("q52_label_centroids")(spark, sfDir).collect()
     val b = graft.SparkEntry.queries("q52_label_centroids")(spark, sfDir).collect()

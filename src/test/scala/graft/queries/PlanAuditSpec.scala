@@ -220,7 +220,10 @@ class PlanAuditSpec extends SparkTestBase {
       "q121_cooccurrence" -> 2, "q130_decayed_score" -> 2,
       // q172: the 1-row query vector broadcasts twice (probe selection +
       // exact rerank) — each printed twice in the formatted plan
-      "q172_ann_ivf_pq" -> 4)
+      "q172_ann_ivf_pq" -> 4,
+      // q176: probe labels resolve to literals in the builder, so only
+      // the rerank's 1-row query-vector broadcast remains
+      "q176_pq_index_probe" -> 2)
     for ((name, _) <- graft.SparkEntry.queries.toSeq.sortBy(_._1) if !skip(name)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),
@@ -270,6 +273,7 @@ class PlanAuditSpec extends SparkTestBase {
       // PQ codebook + ADC lookup table: grouped on (sub, code), K×M = 16
       // rows fixed by the ALGORITHM's parameters — never corpus-sized
       "q172_ann_ivf_pq" -> "K x M codebook/LUT, both fixed by the algorithm",
+      "q176_pq_index_probe" -> "K x M ADC lookup table, fixed by the algorithm",
       )
     def boundedByInFilter(agg: Aggregate): Boolean = {
       val groupCols = agg.groupingExpressions.flatMap(_.references).map(_.name).toSet
