@@ -905,5 +905,86 @@ object Text {
       """SELECT * FROM (VALUES
         |  (1, 'a', 'b'), (2, 'ab', 'ab'), (3, 'ab', 'c'), (4, 'abc', 'd'))
         |AS t(rank, l, r) ORDER BY rank""".stripMargin),
+
+    // ---- BPE ENCODE at corpus scale (the tokenizer APPLY step) --------------------
+    // q165 trains; this applies — the production tokenize pass that turns
+    // text into token counts. Work is VOCAB-bounded, not corpus-bounded:
+    // each DISTINCT word encodes once (the q119 discipline) and per-doc
+    // counts come from a join back to the word stream, so a 100-TB corpus
+    // pays O(vocab) encode work plus one narrow join. Encoding itself is
+    // pure codegen'd string expressions — no UDF: the tokenization state
+    // is a -delimited string ("ab"), each merge
+    // (l, r) applies as replace(state, "␁l␁r␁", "␁lr␁") repeated to a
+    // fixpoint (adjacent occurrences share the middle delimiter, so one
+    // replace pass merges alternate pairs — log2(maxWordLen) passes
+    // suffice; extra passes are no-ops). Merge application is pass-based
+    // leftmost-greedy — deterministic and IDENTICAL in both engines,
+    // which is what the oracle checks (DuckDB replays the same passes via
+    // a recursive CTE that iterates each merge's replace to ITS fixpoint).
+    // Merges are q165's pinned table, so the oracle can state them as
+    // literal VALUES.
+    "q177_bpe_encode" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val D = "\u0001" // delimiter outside the corpus alphabet
+        val merges = Seq(("a", "b"), ("ab", "ab"), ("ab", "c"), ("abc", "d"))
+        val docw = Tables.documents(s, dir)
+          .select($"doc_id", explode(split($"text", " ")).as("w"))
+          .filter(length($"w") > 0)
+        val seed = concat(lit(D), regexp_replace($"w", "(.)", "$1" + D))
+        val encoded = merges.foldLeft(seed) { case (st, (l, r)) =>
+          val pat = lit(s"$D$l$D$r$D"); val rep = lit(s"$D$l$r$D")
+          // fixpoint: 24 plain-replace passes cover words far beyond this
+          // corpus's lengths (each pass merges alternate members of an
+          // adjacent chain, so passes needed tracks log2(word length)); a
+          // no-op pass is one scan of an already-merged short string
+          (1 to 24).foldLeft(st)((acc, _) => replace(acc, pat, rep))
+        }
+        val tokw = docw.select($"w").distinct()
+          .withColumn("enc", encoded)
+          .select($"w",
+            expr("size(filter(split(enc, '\\u0001'), x -> x != ''))")
+              .cast("long").as("n_tok"))
+        // vocab-sized join back — never force-broadcast (q32 rule)
+        docw.join(tokw, "w")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_words"),
+               sum($"n_tok").as("n_bpe_tokens"),
+               max($"n_tok").as("max_word_tokens"))
+          .orderBy($"doc_id")
+      },
+      """WITH RECURSIVE
+        |words AS (
+        |  SELECT DISTINCT w FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) > 0),
+        |m(mr, pat, rep) AS (VALUES
+        |  (1, chr(1)||'a'||chr(1)||'b'||chr(1), chr(1)||'ab'||chr(1)),
+        |  (2, chr(1)||'ab'||chr(1)||'ab'||chr(1), chr(1)||'abab'||chr(1)),
+        |  (3, chr(1)||'ab'||chr(1)||'c'||chr(1), chr(1)||'abc'||chr(1)),
+        |  (4, chr(1)||'abc'||chr(1)||'d'||chr(1), chr(1)||'abcd'||chr(1))),
+        |enc(w, s, r) AS (
+        |  SELECT w, chr(1) || regexp_replace(w, '(.)', '\1' || chr(1), 'g'), 1
+        |  FROM words
+        |  UNION ALL
+        |  SELECT w,
+        |    CASE WHEN rep_s <> s THEN rep_s ELSE s END,
+        |    CASE WHEN rep_s <> s THEN r ELSE r + 1 END
+        |  FROM (SELECT e.w, e.s, e.r, replace(e.s, m.pat, m.rep) AS rep_s
+        |        FROM enc e JOIN m ON m.mr = e.r
+        |        WHERE e.r <= 4)),
+        |tokw AS (
+        |  SELECT w,
+        |    CAST(len(list_filter(string_split(s, chr(1)), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM enc WHERE r = 5),
+        |d AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) > 0)
+        |SELECT d.doc_id, COUNT(*) AS n_words,
+        |  CAST(SUM(t.n_tok) AS BIGINT) AS n_bpe_tokens,
+        |  MAX(t.n_tok) AS max_word_tokens
+        |FROM d JOIN tokw t ON d.w = t.w
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
   )
 }

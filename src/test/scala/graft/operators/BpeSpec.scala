@@ -81,4 +81,25 @@ class BpeSpec extends SparkTestBase {
         s"histogram training must be O(1) corpus passes, ran ${jobs.get()} jobs")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+  test("q177 corpus encode: planted words tokenize to the hand-derived counts") {
+    import spark.implicits._
+    val dir = tmpDir("planted-bpe-")
+    // pinned merges: (a,b) (ab,ab) (ab,c) (abc,d) — hand-encodable words:
+    // abab->[abab]=1, abcd->[abcd]=1, xabay->[x,ab,a,y]=4, aaaa->[a,a,a,a]=4,
+    // ababababab->[abab,ab,abab]=3 (pass-based leftmost-greedy application)
+    val text = "abab abcd xabay aaaa ababababab"
+    val docs = graft.Tables.documents(spark, sfDir)
+    docs.unionByName(Seq((96001L, text, "en", "srcBpe", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val r = graft.SparkEntry.queries("q177_bpe_encode")(spark, dir)
+      .filter($"doc_id" === 96001L).head()
+    assert(r.getAs[Long]("n_words") === 5L)
+    assert(r.getAs[Long]("n_bpe_tokens") === (1L + 1 + 4 + 4 + 3))
+    assert(r.getAs[Long]("max_word_tokens") === 4L)
+    // corpus-wide sanity on the real sfDir: every word yields >= 1 token
+    // and no more tokens than characters
+    val all = graft.SparkEntry.queries("q177_bpe_encode")(spark, sfDir).collect()
+    assert(all.forall(x => x.getAs[Long]("n_bpe_tokens") >= x.getAs[Long]("n_words")))
+  }
 }
