@@ -221,6 +221,8 @@ object GraftProcedures {
         "json | parquet (+ checkpoint.partSize): checkpoint encoding; multipart parquet parts encode concurrently"),
       ("property", "log.retentionMs", "commit-file retention for cleanup_logs (default 30 days)"),
       ("property", "vacuum.retentionMs", "data-file retention for vacuum (default 7 days)"),
+      ("property", "optimizeWrite.enabled",
+        "pre-shuffle partitioned writes on the partition columns: one file per partition value instead of tasks x values"),
       ("property", "rowTracking.enabled", "stable row ids materialized through rewrites; SELECT _row_id"),
       ("property", "columnMapping.mode", "name-based column mapping: RENAME/DROP COLUMN without rewriting data"),
       ("property", "appendOnly", "reject deletes/updates/truncates at the commit gate"))

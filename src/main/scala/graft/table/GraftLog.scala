@@ -214,7 +214,6 @@ final class GraftLog(val tablePath: String,
   def commit(v: Long, actions0: Seq[Action]): Unit = {
     store.createDirectories(logDir)
     val actions = ensureSchemaFeatures(v, actions0)
-    val body = actions.map(Actions.toJson).mkString("", "\n", "\n")
     // ATOMIC publish-or-fail: a direct CREATE_NEW write makes the version
     // file VISIBLE WHILE EMPTY — a concurrent reader probing latestVersion
     // in that window folds a truncated commit (dropping, e.g., an identity
@@ -224,8 +223,10 @@ final class GraftLog(val tablePath: String,
     // it under the LogStore putIfAbsent contract: exactly one writer wins
     // version v, losers get FileAlreadyExists (the compare-and-swap the
     // commit protocol needs; PosixLogStore uses hard-link creation).
+    // The body STREAMS line by line — a 1M-AddFile commit is a GB-scale
+    // document and must never materialize as one driver-side string.
     val tmp = logDir.resolve(s".${java.util.UUID.randomUUID()}.commit.tmp")
-    store.writeTmp(tmp, body.getBytes(StandardCharsets.UTF_8))
+    store.writeTmpLines(tmp, actions.iterator.map(Actions.toJson))
     try store.publishIfAbsent(tmp, versionFile(v))
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -255,7 +256,8 @@ final class GraftLog(val tablePath: String,
         }
         md.digest()
       }
-      if (!java.util.Arrays.equals(digest(back.iterator), digest(body.linesIterator)))
+      if (!java.util.Arrays.equals(digest(back.iterator),
+          digest(actions.iterator.map(Actions.toJson))))
         throw new java.util.ConcurrentModificationException(
           s"commit $v of $tablePath does not contain this writer's actions " +
             "after publish — the LogStore's publishIfAbsent is not atomic " +

@@ -1971,6 +1971,20 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         expr(s"try_variant_get(`$c`, '$p', '${dt.sql}')"))
     }
 
+  /** Delta's OPTIMIZED WRITES (`optimizeWrite.enabled`): pre-shuffle the
+    * frame on the partition columns before a partitioned write, so each
+    * partition VALUE is written by one task instead of by every input
+    * task. Without it, a T-task write into P partition values emits up to
+    * T×P files — the small-file explosion that makes teams run OPTIMIZE
+    * constantly; with it, P files. The trade is one extra shuffle per
+    * write and potential skew onto hot partition values (why it is a
+    * property, not the default — Delta ships the same switch). */
+  private def withOptimizedWrite(df: DataFrame, meta: MetaData): DataFrame =
+    if (meta.partitionColumns.nonEmpty &&
+        meta.properties.get("optimizeWrite.enabled").exists(_.equalsIgnoreCase("true")))
+      df.repartition(meta.partitionColumns.map(col): _*)
+    else df
+
   /** Write data files under column mapping: the frame (logical names, in
     * snapshot-schema order) is renamed to physical names, partition dirs
     * and bloom options follow the physical spelling, and the harvested
@@ -1980,7 +1994,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * ride only the UNMAPPED path: under column mapping a logical rename
     * would leave stale logical-named shred stats behind, so prune-time
     * key translation drops them and the write skips them. */
-  private def writeDataMapped(df: DataFrame, meta: MetaData): Seq[AddFile] = {
+  private def writeDataMapped(df0: DataFrame, meta: MetaData): Seq[AddFile] = {
+    val df = withOptimizedWrite(df0, meta)
     val schema = org.apache.spark.sql.types.DataType.fromJson(meta.schemaString)
       .asInstanceOf[StructType]
     if (!ColumnMapping.active(schema))

@@ -51,6 +51,23 @@ trait LogStore {
   /** Stage bytes at a private tmp path (not yet visible to readers). */
   def writeTmp(p: Path, bytes: Array[Byte]): Unit
 
+  /** Stage newline-terminated lines at a private tmp path WITHOUT
+    * materializing the whole body: a 1M-AddFile commit is a GB-scale
+    * document, and the default commit path must stream it to storage, not
+    * hold it twice (string + bytes) on the driver. The DEFAULT buffers
+    * through a local filesystem stream — correct wherever tmp paths are
+    * posix-reachable (the same assumption `writeTmp`'s default users
+    * make); a remote/object-store implementation overrides this with its
+    * own staging primitive (multipart upload, local spool + PUT). */
+  def writeTmpLines(p: Path, lines: Iterator[String]): Unit = {
+    val out = new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(p))
+    try lines.foreach { l =>
+      out.write(l.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.write('\n')
+    } finally out.close()
+  }
+
   /** Publish `src` at `dst`; throws
     * [[java.nio.file.FileAlreadyExistsException]] if `dst` exists.
     * `src` survives — the caller deletes it (in `finally`). */

@@ -128,4 +128,23 @@ class PartitionedTableSpec extends SparkTestBase {
     assert(state(t.toDF) === Set((1, "a", "with space"), (2, "b", "en/us")))
     assert(state(t.scan(col("lang") === "en/us")) === Set((2, "b", "en/us")))
   }
+  test("optimizeWrite.enabled: a many-task partitioned append lands one file per partition value") {
+    import spark.implicits._
+    val rows = (0 until 4000).map(i => (i.toLong, s"g${i % 5}", i * 1.0))
+    // WITHOUT the property: every input task writes into every value's dir
+    val plain = GraftTable.create(spark, tmpDir("optw-off-"),
+      rows.toDF("id", "grp", "v").repartition(8), partitionBy = Seq("grp"))
+    assert(plain.snapshot.files.size > 5,
+      s"fixture: an 8-task write must fan out past 5 files, got ${plain.snapshot.files.size}")
+    // WITH it: the pre-shuffle collapses each value to one writer task
+    val t = GraftTable.create(spark, tmpDir("optw-on-"),
+      rows.toDF("id", "grp", "v").limit(0), partitionBy = Seq("grp"))
+    t.setProperty("optimizeWrite.enabled", "true")
+    t.append(rows.toDF("id", "grp", "v").repartition(8))
+    assert(t.snapshot.files.size === 5,
+      s"optimized write must emit one file per partition value, got ${t.snapshot.files.size}")
+    assert(t.toDF.count() === 4000L)
+    // stats/pruning intact after the pre-shuffle
+    assert(t.prunedFiles(t.snapshot, $"grp" === "g3").size === 1)
+  }
 }
