@@ -664,9 +664,13 @@ object GraftTableStream {
       s"unsupported partition column type for streaming: $other")
   }
 
-  /** Types castPartitionValue can encode — the SPJ eligibility probe. */
+  /** Types the SPJ scan can decode into partition keys. TimestampType is
+    * deliberately absent even though castPartitionValue handles it: that
+    * path expects CDF's epoch-millis constants, while Hive partition DIRS
+    * carry formatted timestamp strings — a timestamp-partitioned table
+    * must keep the V1 scan rather than fail at key decode. */
   def partitionKeyTypeSupported(dt: DataType): Boolean = dt match {
-    case StringType | TimestampType | IntegerType | LongType | DoubleType |
+    case StringType | IntegerType | LongType | DoubleType |
          BooleanType | DateType => true
     case _ => false
   }

@@ -128,6 +128,26 @@ class StoragePartitionedJoinSpec extends SparkTestBase {
     }
   }
 
+  test("time travel rides the key-grouped scan: versionAsOf serves the pinned snapshot") {
+    import spark.implicits._
+    val pt = tmpDir("spj-tt-") + "/t"
+    val t = GraftTable.create(spark, pt,
+      graft.Tables.documents(spark, sfDir).select($"doc_id", $"lang", $"n_chars"),
+      partitionBy = Seq("lang"))
+    val v0 = t.toDF.count()
+    t.delete($"doc_id" % 2 === 0)
+    val old = spark.read.format("graft").option("versionAsOf", 0).load(pt)
+    assert(old.queryExecution.executedPlan.toString.contains("BatchScan"),
+      "a pinned partitioned read still plans the key-grouped scan")
+    assert(old.count() === v0, "versionAsOf must serve the pre-delete snapshot")
+    assert(spark.read.format("graft").load(pt).count() < v0)
+    // and the pinned snapshot still groups by key (exchange-free agg)
+    val agg = old.groupBy($"lang").agg(sum($"n_chars"))
+    agg.collect()
+    assert(!agg.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"))
+  }
+
   test("ineligible shapes fall back to the V1 bridge: unpartitioned + _file projection") {
     import spark.implicits._
     val pu = tmpDir("spj-flat-") + "/t"
