@@ -148,6 +148,28 @@ class StoragePartitionedJoinSpec extends SparkTestBase {
       .contains("Exchange hashpartitioning"))
   }
 
+  test("schema evolution decodes through the key-grouped scan: pre-evolution files read null") {
+    import spark.implicits._
+    val pe = tmpDir("spj-evo-") + "/t"
+    val t = GraftTable.create(spark, pe,
+      Seq((1L, "en", 10L), (2L, "fr", 20L)).toDF("doc_id", "lang", "n_chars"),
+      partitionBy = Seq("lang"))
+    t.append(Seq((3L, "en", 30L, 0.9), (4L, "fr", 40L, 0.4))
+      .toDF("doc_id", "lang", "n_chars", "quality"), mergeSchema = true)
+    val df = spark.read.format("graft").load(pe)
+    assert(df.queryExecution.executedPlan.toString.contains("BatchScan"),
+      "the evolved partitioned table still serves the key-grouped scan")
+    val got = df.select($"doc_id", $"quality").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got === Map(1L -> None, 2L -> None, 3L -> Some(0.9), 4L -> Some(0.4)),
+      "files written before the evolution must decode the new column as null")
+    // and the evolved column aggregates exchange-free on the partition key
+    val agg = df.groupBy($"lang").agg(count($"quality").as("n"))
+    assert(agg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("en" -> 1L, "fr" -> 1L))
+  }
+
   test("ineligible shapes fall back to the V1 bridge: unpartitioned + _file projection") {
     import spark.implicits._
     val pu = tmpDir("spj-flat-") + "/t"
