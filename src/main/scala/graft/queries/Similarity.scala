@@ -586,6 +586,130 @@ object Similarity {
       },
       ivfPqOracleSql),
 
+    // ---- Residual IVF-PQ (Jégou et al. 2011's actual formulation) -----------------
+    // q172/q176 quantize RAW vectors; production IVF-PQ quantizes the
+    // RESIDUAL v − centroid(list): residuals are centered near zero, so a
+    // K-codeword budget spends itself on local structure instead of
+    // re-describing the coarse cell — the accuracy step that makes PQ
+    // usable at small K. The ADC table becomes PER PROBED LIST (the
+    // query's residual differs per centroid): nprobe × K × M = 32
+    // doubles, still always broadcast. Everything stays deterministic
+    // (decimal centroid/codebook means, IEEE-identical residual
+    // subtractions, decimal-summed estimates), so the full residual
+    // pipeline is oracle-checked like q172.
+    "q178_ann_ivf_pq_residual" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.VectorFunctions.vecDot
+        val e = normed(s, dir)
+        val cent = ivfCentroids(e)
+        // residual frame: v := v − centroid(own label)
+        val rFrame = e.join(cent, $"label" === $"c_label")
+          .select($"vec_id",
+            expr("zip_with(v, centroid, (x, c) -> x - c)").as("v"))
+        val codebook = pqCodebook(rFrame)
+        val codes = pqEncode(rFrame, codebook)
+        val q = e.filter($"vec_id" === 0).select($"v".as("qv"), $"nrm".as("qn"))
+        val probes = cent.crossJoin(broadcast(q))
+          .withColumn("cd", vecDot($"centroid", $"qv"))
+          .orderBy($"cd".desc, $"c_label").limit(2)
+          .select($"c_label", $"centroid")
+        // per-list ADC tables over the query's residual vs THAT centroid
+        val qres = broadcast(probes).crossJoin(broadcast(q))
+          .select($"c_label", posexplode(expr(
+            "transform(sequence(0, 3), m -> " +
+              "slice(zip_with(qv, centroid, (x, c) -> x - c), m * 16 + 1, 16))")))
+          .select($"c_label", $"pos".as("sub"), $"col".as("qsv"))
+        val lut = codebook.join(broadcast(qres), Seq("sub"))
+          .select($"c_label", $"sub", $"code",
+            (vecDot($"qsv", $"qsv") - lit(2.0) * vecDot($"qsv", $"cw") + $"cc")
+              .as("pd"))
+        val cand = e.filter($"vec_id" =!= 0)
+          .join(broadcast(probes.select($"c_label")), $"label" === $"c_label")
+          .select($"vec_id", $"label")
+          .join(codes, "vec_id")
+          .join(broadcast(lut),
+            $"label" === lut("c_label") && codes("sub") === lut("sub") &&
+              codes("code") === lut("code"))
+          .groupBy($"vec_id")
+          .agg(sum(round($"pd", 9).cast("decimal(25,9)")).cast("double").as("est"))
+          .orderBy($"est", $"vec_id").limit(25)
+        cand.join(e, "vec_id")
+          .crossJoin(broadcast(q))
+          .withColumn("cos_sim", round(vecDot($"v", $"qv") / ($"nrm" * $"qn"), 6))
+          .select($"vec_id", $"label", round($"est", 6).as("adc_est"), $"cos_sim")
+          .orderBy($"cos_sim".desc, $"vec_id")
+          .limit(10)
+      },
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+        |cm AS (
+        |  SELECT label, i AS pos, CAST(SUM(CAST(v[i] AS DECIMAL(25,9))) AS DOUBLE)
+        |         / COUNT(*) AS m
+        |  FROM e, (SELECT unnest(range(1, 65)) AS i) GROUP BY 1, 2),
+        |cent AS (SELECT label AS c_label, list(m ORDER BY pos) AS centroid
+        |         FROM cm GROUP BY 1),
+        |rsub AS (
+        |  SELECT e.vec_id, m.m AS sub,
+        |    [e.v[i] - c.centroid[i] FOR i IN range(m.m*16+1, m.m*16+17)] AS sv
+        |  FROM e JOIN cent c ON e.label = c.c_label,
+        |       (SELECT unnest(range(4)) AS m) m),
+        |seeds AS (SELECT sub, CAST(vec_id AS INTEGER) AS code, sv AS cw
+        |          FROM rsub WHERE vec_id < 4),
+        |a1 AS (
+        |  SELECT vec_id, sub, code, sv FROM (
+        |    SELECT s.vec_id, s.sub, d.code, s.sv,
+        |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+        |                         ORDER BY list_inner_product(s.sv, s.sv)
+        |                           - 2.0 * list_inner_product(s.sv, d.cw)
+        |                           + list_inner_product(d.cw, d.cw), d.code) AS rn
+        |    FROM rsub s JOIN seeds d ON s.sub = d.sub)
+        |  WHERE rn = 1),
+        |cbm AS (
+        |  SELECT sub, code, i AS pos, CAST(SUM(CAST(sv[i] AS DECIMAL(25,9))) AS DOUBLE)
+        |         / COUNT(*) AS m
+        |  FROM a1, (SELECT unnest(range(1, 17)) AS i)
+        |  GROUP BY 1, 2, 3),
+        |cb AS (SELECT sub, code, list(m ORDER BY pos) AS cw FROM cbm GROUP BY 1, 2),
+        |cbn AS (SELECT sub, code, cw, list_inner_product(cw, cw) AS cc FROM cb),
+        |codes AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT s.vec_id, s.sub, c.code,
+        |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+        |                         ORDER BY list_inner_product(s.sv, s.sv)
+        |                           - 2.0 * list_inner_product(s.sv, c.cw) + c.cc,
+        |                         c.code) AS rn
+        |    FROM rsub s JOIN cbn c ON s.sub = c.sub)
+        |  WHERE rn = 1),
+        |q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = 0),
+        |probes AS (
+        |  SELECT c_label, centroid FROM cent, q
+        |  ORDER BY list_inner_product(centroid, qv) DESC, c_label LIMIT 2),
+        |qres AS (
+        |  SELECT p.c_label, m.m AS sub,
+        |    [q.qv[i] - p.centroid[i] FOR i IN range(m.m*16+1, m.m*16+17)] AS qsv
+        |  FROM probes p, q, (SELECT unnest(range(4)) AS m) m),
+        |lut AS (
+        |  SELECT s.c_label, c.sub, c.code,
+        |    list_inner_product(s.qsv, s.qsv) - 2.0 * list_inner_product(s.qsv, c.cw)
+        |      + c.cc AS pd
+        |  FROM cbn c JOIN qres s ON c.sub = s.sub),
+        |cand AS (
+        |  SELECT n.vec_id,
+        |    CAST(SUM(CAST(round(l.pd, 9) AS DECIMAL(25,9))) AS DOUBLE) AS est
+        |  FROM n JOIN probes p ON n.label = p.c_label
+        |  JOIN codes k ON k.vec_id = n.vec_id
+        |  JOIN lut l ON l.c_label = n.label AND l.sub = k.sub AND l.code = k.code
+        |  WHERE n.vec_id <> 0
+        |  GROUP BY n.vec_id
+        |  ORDER BY est, n.vec_id LIMIT 25)
+        |SELECT n.vec_id, n.label, round(cand.est, 6) AS adc_est,
+        |  round(list_inner_product(n.v, q.qv) / (n.nrm * q.qn), 6) AS cos_sim
+        |FROM cand JOIN n ON n.vec_id = cand.vec_id, q
+        |ORDER BY cos_sim DESC, n.vec_id LIMIT 10""".stripMargin),
+
     // ---- Batch kNN-graph construction (banded candidates, top-3 per vector) -------
     // The similarity-graph builder semantic dedup and cluster-balanced
     // sampling consume: for EVERY vector, its top-3 banded candidates by

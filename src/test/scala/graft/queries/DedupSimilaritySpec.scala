@@ -218,6 +218,18 @@ class DedupSimilaritySpec extends SparkTestBase {
       s"index-probe recall@10 ${(idx & brute).size / 10.0} < 0.8")
   }
 
+  test("residual IVF-PQ: recall@10 >= 0.8 on planted neighbors, rerank ordered") {
+    val brute = graft.SparkEntry.queries("q50_knn_brute")(spark, annRecallDir)
+      .collect().map(_.getLong(0)).toSet
+    val res = graft.SparkEntry.queries("q178_ann_ivf_pq_residual")(spark, annRecallDir)
+      .collect()
+    val recall = (res.map(_.getLong(0)).toSet & brute).size / 10.0
+    info(s"recall@10: residual-ivf-pq=$recall")
+    assert(recall >= 0.8, s"q178 recall@10 $recall < 0.8")
+    val sims = res.map(_.getAs[Double]("cos_sim")).toSeq
+    assert(sims === sims.sorted.reverse)
+  }
+
   test("q52 centroid stats are stable across runs") {
     val a = graft.SparkEntry.queries("q52_label_centroids")(spark, sfDir).collect()
     val b = graft.SparkEntry.queries("q52_label_centroids")(spark, sfDir).collect()

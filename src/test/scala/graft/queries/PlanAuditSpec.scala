@@ -223,7 +223,11 @@ class PlanAuditSpec extends SparkTestBase {
       "q172_ann_ivf_pq" -> 4,
       // q176: probe labels resolve to literals in the builder, so only
       // the rerank's 1-row query-vector broadcast remains
-      "q176_pq_index_probe" -> 2)
+      "q176_pq_index_probe" -> 2,
+      // q178: 1-row query vector broadcasts against centroid selection,
+      // the per-probe residual slices (probes × q, ≤2 rows), and the
+      // rerank — all problem-bounded singles/pairs, each printed twice
+      "q178_ann_ivf_pq_residual" -> 8)
     for ((name, _) <- graft.SparkEntry.queries.toSeq.sortBy(_._1) if !skip(name)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),
@@ -274,6 +278,7 @@ class PlanAuditSpec extends SparkTestBase {
       // rows fixed by the ALGORITHM's parameters — never corpus-sized
       "q172_ann_ivf_pq" -> "K x M codebook/LUT, both fixed by the algorithm",
       "q176_pq_index_probe" -> "K x M ADC lookup table, fixed by the algorithm",
+      "q178_ann_ivf_pq_residual" -> "nprobe x K x M residual ADC tables, fixed by the algorithm",
       )
     def boundedByInFilter(agg: Aggregate): Boolean = {
       val groupCols = agg.groupingExpressions.flatMap(_.references).map(_.name).toSet
