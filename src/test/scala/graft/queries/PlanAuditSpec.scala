@@ -193,6 +193,39 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), "no vector-side shuffle join")
   }
 
+  test("q171: span removal strips map-side — the corpus text never shuffles for the strip") {
+    val p = plan("q171_substring_dedup_rewrite")
+    assert(!p.contains("CartesianProduct"))
+    // the removal-array join back to the corpus must be a broadcast (the
+    // affected-doc array set is small; a corpus-side shuffle would ship
+    // every document's full text just to strip a few)
+    assert(p.contains("BroadcastHashJoin LeftOuter"),
+      s"removal arrays must broadcast against the corpus:\n${p.take(1200)}")
+  }
+
+  test("q177: vocab-bounded encode — distinct-word agg + one join back, no corpus-side encode") {
+    val p = plan("q177_bpe_encode")
+    assert(!p.contains("CartesianProduct"))
+    // encode work rides the DISTINCT-word aggregate subtree; the corpus
+    // side only joins the per-word token counts back
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "per-word token counts must join back to the word stream")
+    val exchanges = "Arguments: hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 3, s"vocab agg + doc agg only, got $exchanges exchanges")
+  }
+
+  test("q172/q178: PQ candidate scoring never shuffles the float vectors") {
+    for (q <- Seq("q172_ann_ivf_pq", "q178_ann_ivf_pq_residual")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a product")
+      // the LUT joins must be broadcast — K×M(×nprobe) rows; a shuffled
+      // LUT join would reshuffle the candidate codes for 32 doubles
+      assert(p.contains("BroadcastHashJoin"), s"$q: the ADC LUT must broadcast")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q must not sort-merge anything — every join side is tiny or broadcast")
+    }
+  }
+
   test("no batch query plans an unbroadcast cartesian product (global sweep)") {
     // Streaming (q78-q86, q135) and table-scenario queries (q7x/q1xx
     // table/clone/zorder fixtures, q133-q136 SQL DDL/DML) EXECUTE work in
