@@ -626,6 +626,70 @@ object Dedup {
          |WHERE sh.doc_id % 97 != 0
          |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin),
 
+    // ---- Decontamination EXECUTION (remove + retention report) --------------------
+    // q104 FLAGS contaminated docs; this REMOVES them and reports what a
+    // curation run actually ships: per-source kept/dropped counts and the
+    // retention rate after benchmark decontamination. Benchmark docs
+    // themselves are excluded from the shipped corpus too (eval data must
+    // never train). Scale shape: q104's broadcast-bench shingle probe
+    // names the contaminated ids (bounded by contamination, not corpus);
+    // the rewrite is one anti-join + a per-source aggregate — the corpus
+    // shuffles once on source, never on shingles.
+    "q179_decontaminate_rewrite" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        def shingles(docFilter: Column) = Tables.documents(s, dir)
+          .filter(docFilter)
+          .select($"doc_id", split($"text", " ").as("toks"))
+          .filter(size($"toks") >= 4)
+          .select($"doc_id",
+            explode(array_distinct(
+              expr("transform(sequence(0, size(toks) - 4), " +
+                   "i -> concat_ws(' ', slice(toks, i + 1, 4)))"))).as("shingle"))
+          .select($"doc_id", expr(h60("shingle")).as("h"))
+        val bench = shingles($"doc_id" % 97 === 0).select($"h").distinct()
+        val contaminated = shingles($"doc_id" % 97 =!= 0)
+          .join(broadcast(bench), "h")
+          .select($"doc_id").distinct()
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id", $"source", $"n_chars")
+        val shipped = docs.filter($"doc_id" % 97 =!= 0)
+          .join(contaminated, Seq("doc_id"), "left_anti")
+        docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+          .join(shipped.groupBy($"source")
+            .agg(count(lit(1)).as("n_kept"),
+                 sum($"n_chars").as("kept_chars")), Seq("source"), "left")
+          .na.fill(0L, Seq("n_kept", "kept_chars"))
+          .withColumn("n_dropped", $"n_docs" - $"n_kept")
+          .withColumn("retention", round($"n_kept".cast("double") / $"n_docs", 6))
+          .orderBy($"source")
+      },
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, ${sqlH60("s")} AS h
+         |  FROM (SELECT doc_id,
+         |          unnest([array_to_string(t[i:i+3], ' ') FOR i IN range(1, len(t) - 2)]) AS s
+         |        FROM toks WHERE len(t) >= 4)),
+         |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0),
+         |contaminated AS (
+         |  SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (h)
+         |  WHERE sh.doc_id % 97 != 0),
+         |shipped AS (
+         |  SELECT d.doc_id, d.source, d.n_chars FROM documents d
+         |  WHERE d.doc_id % 97 != 0
+         |    AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id)),
+         |per_source AS (
+         |  SELECT source, COUNT(*) AS n_kept,
+         |    CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+         |  FROM shipped GROUP BY source)
+         |SELECT d.source, COUNT(*) AS n_docs,
+         |  COALESCE(MAX(p.n_kept), 0) AS n_kept,
+         |  COALESCE(MAX(p.kept_chars), 0) AS kept_chars,
+         |  COUNT(*) - COALESCE(MAX(p.n_kept), 0) AS n_dropped,
+         |  round(CAST(COALESCE(MAX(p.n_kept), 0) AS DOUBLE) / COUNT(*), 6) AS retention
+         |FROM documents d LEFT JOIN per_source p ON d.source = p.source
+         |GROUP BY d.source ORDER BY d.source""".stripMargin),
+
     // ---- Canonical selection: the keep/drop EXECUTION of near-dup dedup -----------
     // q57 names each near-dup cluster; this picks the winner — keep the
     // LONGEST doc per cluster (tie → min doc_id), drop the rest. That is

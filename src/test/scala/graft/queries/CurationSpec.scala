@@ -49,6 +49,29 @@ class CurationSpec extends SparkTestBase {
       "hash-keyed contamination must equal the raw-string formulation")
   }
 
+  test("q179: removal agrees with q104's flags — contaminated and benchmark docs never ship") {
+    import spark.implicits._
+    val flagged = graft.SparkEntry.queries("q104_decontaminate")(spark, sfDir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val out = graft.SparkEntry.queries("q179_decontaminate_rewrite")(spark, sfDir)
+      .collect()
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val perSource = docs.groupBy(_._2)
+    out.foreach { r =>
+      val src = r.getAs[String]("source")
+      val ids = perSource(src).map(_._1)
+      val expectKept = ids.count(id => id % 97 != 0 && !flagged.contains(id))
+      assert(r.getAs[Long]("n_docs") === ids.length.toLong, s"$src doc count")
+      assert(r.getAs[Long]("n_kept") === expectKept.toLong,
+        s"$src: kept must equal non-benchmark non-flagged docs")
+      assert(r.getAs[Long]("n_dropped") === ids.length - expectKept)
+    }
+    // something must actually drop: sf0.001 plants contamination + bench docs
+    assert(out.map(_.getAs[Long]("n_dropped")).sum > 0)
+  }
+
   test("q111: exactly one keep per cluster, and it is the longest (min-id on ties)") {
     val out = graft.SparkEntry.queries("q111_canonical_select")(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_rep"),

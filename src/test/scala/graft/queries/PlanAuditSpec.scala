@@ -298,6 +298,7 @@ class PlanAuditSpec extends SparkTestBase {
       // benchmark suite, not the growing training corpus
       "q104_decontaminate" -> "fixed benchmark shingle set",
       "q152_substring_dup" -> "fixed benchmark shingle set",
+      "q179_decontaminate_rewrite" -> "fixed benchmark shingle set",
       // distinct(key % 65536): ≤64Ki rows by modulus construction, a
       // bound the plan's maxRows cannot see — independent of fact size
       "q102_bitset_prune_join" -> "bit-set bounded by modulus (≤64Ki)",
