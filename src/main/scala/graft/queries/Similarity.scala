@@ -565,9 +565,17 @@ object Similarity {
           .select($"c_label").collect().map(_.getInt(0)).toSeq
         val snap = t.snapshot
         val pred = $"label".isin(probeLabels: _*)
+        // the pin runs on EVERY probe (it sits outside the index cache, so a
+        // pruning regression surfaces on cache-hit runs too), and checks the
+        // surviving files belong ONLY to the probed lists — not merely that
+        // some file was dropped
         val pruned = t.prunedFiles(snap, pred)
-        require(pruned.size < snap.files.size,
-          s"IVF probe must partition-prune the index: ${pruned.size}/${snap.files.size}")
+        val probeSet = probeLabels.map(_.toString).toSet
+        require(pruned.size < snap.files.size &&
+            pruned.forall(_.partitionValues.get("label").exists(probeSet)),
+          s"IVF probe must prune to exactly the probed lists $probeSet: " +
+            s"${pruned.size}/${snap.files.size} files, partitions " +
+            pruned.flatMap(_.partitionValues.get("label")).distinct.sorted)
         val lut = pqLut(e, codebook)
         val cand = t.scan(pred)
           .filter($"vec_id" =!= 0)

@@ -30,6 +30,8 @@ object TableQueries {
   /** Golden table memoized per JVM: q70/q71/q72 share one build (the
     * scenario is deterministic, so rebuilding per query is pure waste). */
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, GraftTable]()
+  private val spjPairCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (GraftTable, GraftTable)]()
 
   private def golden(s: SparkSession): GraftTable =
     cache.computeIfAbsent("golden", _ => buildGolden(s))
@@ -124,8 +126,12 @@ object TableQueries {
     * fact-fact join on (lang, doc_id) and the per-lang rollup join must
     * both execute with ZERO exchange of any kind (the confs are scoped —
     * saved and restored — so nothing leaks into later queries). */
-  private def spjTables(s: SparkSession, dir: String): (GraftTable, GraftTable) = {
-    val built = cache.computeIfAbsent(s"spjA:$dir", _ => {
+  private def spjTables(s: SparkSession, dir: String): (GraftTable, GraftTable) =
+    // The pair lives in its own map under ONE key: a nested cache.put into
+    // `cache` from inside its own computeIfAbsent mapping would violate the
+    // ConcurrentHashMap contract (recursive update) whenever the two keys
+    // hash to the same bin.
+    spjPairCache.computeIfAbsent(s"spj:$dir", _ => {
       import s.implicits._
       val docs = graft.Tables.documents(s, dir)
       val a = GraftTable.create(s, graft.Scratch.dir("graft-spj-a-").toString,
@@ -134,7 +140,6 @@ object TableQueries {
         docs.select($"doc_id", $"lang",
           size(split($"text", " ")).cast("long").as("n_tokens")),
         partitionBy = Seq("lang"))
-      cache.put(s"spjB:$dir", b)
       val saved = Seq("spark.sql.requireAllClusterKeysForCoPartition",
         "spark.sql.autoBroadcastJoinThreshold",
         "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k =>
@@ -160,10 +165,8 @@ object TableQueries {
         case (k, Some(v)) => s.conf.set(k, v)
         case (k, None)    => s.conf.unset(k)
       }
-      a
+      (a, b)
     })
-    (built, cache.get(s"spjB:$dir"))
-  }
 
   /** q123's Hive-partitioned documents table, memoized per (JVM, dir). */
   private def partTable(s: SparkSession, dir: String): GraftTable =

@@ -376,17 +376,38 @@ final class GraftLog(val tablePath: String,
       }, Duration.Inf)
       try {
         // Per-part publish tolerates FileAlreadyExists and KEEPS GOING:
-        // part contents are deterministic for (version, partSize) — the
-        // fold order and the metadata-resolved partSize are fixed at v —
-        // so an existing part IS this part, left by a crashed earlier
-        // attempt of this version's checkpoint. Abandoning on the first
-        // collision (the old behavior) made a crash-then-retry unable to
-        // ever COMPLETE a partially-published checkpoint: the survivor
-        // parts blocked re-publish, the manifest never landed, and the
-        // version's checkpoint stayed permanently incomplete debris.
+        // an existing part is normally this part, left by a crashed
+        // earlier attempt of this version's checkpoint (fold order and
+        // the metadata-resolved partSize are fixed at v). Abandoning on
+        // the first collision (the old behavior) made a crash-then-retry
+        // unable to ever COMPLETE a partially-published checkpoint. But
+        // that determinism is VERIFIED, not assumed: a survivor whose
+        // byte digest differs from our staged part (non-deterministic
+        // encode, torn write) is deleted and republished — silently
+        // keeping it would publish a manifest over mixed-attempt parts,
+        // an undetected torn checkpoint with duplicated/missing AddFiles.
+        def sha(p: Path): Array[Byte] =
+          java.security.MessageDigest.getInstance("SHA-256")
+            .digest(Files.readAllBytes(p))
         staged.foreach { case (tmp, target, _, _) =>
-          try store.publishIfAbsent(tmp, target)
-          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+          var attempts = 0
+          var done = false
+          while (!done) {
+            try { store.publishIfAbsent(tmp, target); done = true }
+            catch {
+              case e: java.nio.file.FileAlreadyExistsException =>
+                if (java.util.Arrays.equals(sha(target), sha(tmp))) done = true
+                else {
+                  attempts += 1
+                  if (attempts > 2) throw new IllegalStateException(
+                    s"checkpoint part $target keeps reappearing with " +
+                      "different content — a concurrent writer is producing " +
+                      "non-identical parts for this version; abandoning " +
+                      "before a torn manifest can land", e)
+                  store.deleteIfExists(target)
+                }
+            }
+          }
         }
         // the manifest publishes LAST: until it lands the parts are
         // invisible debris, never a torn checkpoint

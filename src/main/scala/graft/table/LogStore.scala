@@ -51,21 +51,21 @@ trait LogStore {
   /** Stage bytes at a private tmp path (not yet visible to readers). */
   def writeTmp(p: Path, bytes: Array[Byte]): Unit
 
-  /** Stage newline-terminated lines at a private tmp path WITHOUT
-    * materializing the whole body: a 1M-AddFile commit is a GB-scale
-    * document, and the default commit path must stream it to storage, not
-    * hold it twice (string + bytes) on the driver. The DEFAULT buffers
-    * through a local filesystem stream — correct wherever tmp paths are
-    * posix-reachable (the same assumption `writeTmp`'s default users
-    * make); a remote/object-store implementation overrides this with its
-    * own staging primitive (multipart upload, local spool + PUT). */
+  /** Stage newline-terminated lines at a private tmp path. The DEFAULT
+    * buffers the body and delegates to `writeTmp` — correctness-first: a
+    * custom store that only implements the required primitives still
+    * stages through ITS OWN tmp path, never silently through the local
+    * filesystem. Stores that can do better override: [[PosixLogStore]]
+    * streams straight to a file handle (a 1M-AddFile commit is a GB-scale
+    * document the driver should not hold twice), and an object store
+    * would spool to multipart upload. */
   def writeTmpLines(p: Path, lines: Iterator[String]): Unit = {
-    val out = new java.io.BufferedOutputStream(
-      java.nio.file.Files.newOutputStream(p))
-    try lines.foreach { l =>
-      out.write(l.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      out.write('\n')
-    } finally out.close()
+    val buf = new java.io.ByteArrayOutputStream()
+    lines.foreach { l =>
+      buf.write(l.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      buf.write('\n')
+    }
+    writeTmp(p, buf.toByteArray)
   }
 
   /** Publish `src` at `dst`; throws
@@ -164,6 +164,17 @@ object PosixLogStore extends LogStore {
 
   override def writeTmp(p: Path, bytes: Array[Byte]): Unit =
     Files.write(p, bytes)
+
+  /** Stream lines straight to the file — never materialize a GB-scale
+    * commit body on the driver (the trait default buffers for stores
+    * whose only staging primitive is byte-array `writeTmp`). */
+  override def writeTmpLines(p: Path, lines: Iterator[String]): Unit = {
+    val out = new java.io.BufferedOutputStream(Files.newOutputStream(p))
+    try lines.foreach { l =>
+      out.write(l.getBytes(UTF_8))
+      out.write('\n')
+    } finally out.close()
+  }
 
   override def publishIfAbsent(src: Path, dst: Path): Unit =
     Files.createLink(dst, src)
