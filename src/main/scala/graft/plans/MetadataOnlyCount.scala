@@ -122,7 +122,11 @@ case class MetadataOnlyCount(spark: SparkSession) extends Rule[LogicalPlan] {
               def boundsOf(c: String) = extremes.getOrElseUpdate(c,
                 graft.table.GraftTable.metadataMinMaxOf(sn, c))
               val vals = metas.map {
-                case CountStar => Some(sn.files.map(_.liveRecords).sum: Any)
+                // a foreign (delta-spark) add without stats parses as
+                // numRecords = -1 — unknown, so the scan must answer
+                case CountStar if sn.files.forall(_.numRecords >= 0) =>
+                  Some(sn.files.map(_.liveRecords).sum: Any)
+                case CountStar => None
                 case MinOf(a) => boundsOf(a.name).map(b => decode(b._1, a.dataType))
                 case MaxOf(a) => boundsOf(a.name).map(b => decode(b._2, a.dataType))
               }

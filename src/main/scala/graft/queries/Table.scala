@@ -168,6 +168,99 @@ object TableQueries {
       (a, b)
     })
 
+  /** q180's FOREIGN table: a transaction log in the genuine delta-spark 1.0
+    * shape (nested `stats` JSON strings, `dataChange`, metaData `format`
+    * block + `configuration`, versionless commitInfo — exactly what the
+    * reference writes via `df.write.format("delta")`, spark_project.py:36)
+    * hand-authored over nation-derived parquet, memoized per (JVM, dir).
+    * Commit 0 lands a low-region file and a high-region file; commit 1
+    * DELETEs odd nation keys from the low-region file the Delta way
+    * (remove + rewritten add). The build REQUIREs (a) delta-string stats
+    * drive file pruning, and (b) the foreign provenance is detected — a
+    * write attempt refuses with the migration hint instead of appending
+    * graft actions to a Delta log. */
+  private def deltaInteropTable(s: SparkSession, dir: String): GraftTable =
+    cache.computeIfAbsent(s"deltaInterop:$dir", _ => {
+      import s.implicits._
+      import java.nio.file.{Files, Paths}
+      val root = graft.Scratch.dir("graft-delta-interop-").toString
+      val nation = graft.Tables.nation(s, dir)
+      val lo = nation.filter($"n_regionkey" < 2)
+      val hi = nation.filter($"n_regionkey" >= 2)
+      val loKeep = lo.filter($"n_nationkey" % 2 === 0)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      def writeOne(rel: String, df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val stage = Files.createTempDirectory("graft-delta-stage-")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = Files.list(stage).toArray.map(_.toString)
+          .filter(_.endsWith(".parquet")).head
+        val target = Paths.get(root, rel)
+        Files.createDirectories(target.getParent)
+        Files.move(Paths.get(part), target)
+        (Files.size(target), Files.getLastModifiedTime(target).toMillis)
+      }
+      def statsOf(df: org.apache.spark.sql.DataFrame): String = {
+        val r = df.agg(count(lit(1)),
+          min($"n_nationkey".cast("long")), max($"n_nationkey".cast("long")),
+          min($"n_regionkey".cast("long")), max($"n_regionkey".cast("long"))).head
+        val st = mapper.createObjectNode()
+        st.put("numRecords", r.getLong(0))
+        val mn = st.putObject("minValues")
+        mn.put("n_nationkey", r.getLong(1)); mn.put("n_regionkey", r.getLong(3))
+        val mx = st.putObject("maxValues")
+        mx.put("n_nationkey", r.getLong(2)); mx.put("n_regionkey", r.getLong(4))
+        val nc = st.putObject("nullCount")
+        nc.put("n_nationkey", 0L); nc.put("n_regionkey", 0L)
+        mapper.writeValueAsString(st)
+      }
+      def addLine(rel: String, sz: Long, mt: Long, st: String): String = {
+        val n = mapper.createObjectNode(); val a = n.putObject("add")
+        a.put("path", rel); a.putObject("partitionValues")
+        a.put("size", sz); a.put("modificationTime", mt)
+        a.put("dataChange", true); a.put("stats", st) // Jackson escapes the nested JSON
+        mapper.writeValueAsString(n)
+      }
+      def infoLine(ts: Long, op: String): String =
+        s"""{"commitInfo":{"timestamp":$ts,"operation":"$op","operationParameters":{},"isBlindAppend":false,"operationMetrics":{}}}"""
+      def metaLine(): String = {
+        val n = mapper.createObjectNode(); val m = n.putObject("metaData")
+        m.put("id", "9f2b7c1e-delta-interop")
+        val f = m.putObject("format"); f.put("provider", "parquet"); f.putObject("options")
+        m.put("schemaString", nation.schema.json)
+        m.putArray("partitionColumns"); m.putObject("configuration")
+        m.put("createdTime", 1619112344000L)
+        mapper.writeValueAsString(n)
+      }
+      def commitFile(v: Long, lines: Seq[String]): Unit = {
+        val logDir = Paths.get(root, "_delta_log")
+        Files.createDirectories(logDir)
+        Files.write(logDir.resolve(f"$v%020d.json"),
+          lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+      }
+      val (s1, m1) = writeOne("part-00000-lo-c000.snappy.parquet", lo)
+      val (s2, m2) = writeOne("part-00001-hi-c000.snappy.parquet", hi)
+      val (s3, m3) = writeOne("part-00002-lokeep-c000.snappy.parquet", loKeep)
+      commitFile(0, Seq(infoLine(1619112345000L, "WRITE"),
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        metaLine(),
+        addLine("part-00000-lo-c000.snappy.parquet", s1, m1, statsOf(lo)),
+        addLine("part-00001-hi-c000.snappy.parquet", s2, m2, statsOf(hi))))
+      commitFile(1, Seq(infoLine(1619112346000L, "DELETE"),
+        s"""{"remove":{"path":"part-00000-lo-c000.snappy.parquet","deletionTimestamp":1619112346000,"dataChange":true,"extendedFileMetadata":true,"partitionValues":{},"size":$s1}}""",
+        addLine("part-00002-lokeep-c000.snappy.parquet", s3, m3, statsOf(loKeep))))
+      val t = GraftTable.forPath(s, root)
+      val snap = t.snapshot
+      require(snap.files.size == 2, s"delta fold must keep 2 files, got ${snap.files.size}")
+      val pruned = t.prunedFiles(snap, $"n_regionkey" >= 2)
+      require(pruned.map(_.path) == Seq("part-00001-hi-c000.snappy.parquet"),
+        s"delta nested-string stats must prune the low-region file: ${pruned.map(_.path)}")
+      val refusal = scala.util.Try(t.delete($"n_regionkey" >= 0))
+      require(refusal.failed.toOption.exists(
+          _.isInstanceOf[graft.table.GraftProtocolException]),
+        s"write to a foreign delta log must refuse, got $refusal")
+      t
+    })
+
   /** q123's Hive-partitioned documents table, memoized per (JVM, dir). */
   private def partTable(s: SparkSession, dir: String): GraftTable =
     cache.computeIfAbsent(s"part:$dir", _ => {
@@ -1369,5 +1462,27 @@ object TableQueries {
         |      FROM events)
         |WHERE k >= 90
         |GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // ---- Read-interop with REAL delta-spark logs ---------------------------------
+    // The reference's own storage format (spark_project.py:36 writes
+    // delta-1.0 tables): a hand-authored genuine Delta log — nested stats
+    // strings, dataChange, format block, versionless commitInfo — read
+    // TRANSPARENTLY through the same forPath/snapshot/scan machinery as
+    // native tables. The fixture REQUIREs delta-string stats prune and
+    // that writes refuse (foreign logs are read-only); the query folds the
+    // post-DELETE snapshot and is oracle-checked against DuckDB replaying
+    // the same delete predicate over the source parquet.
+    "q180_delta_interop" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = deltaInteropTable(s, dir)
+        t.toDF.groupBy($"n_regionkey")
+          .agg(count(lit(1)).as("n"),
+               sum($"n_nationkey".cast("long")).as("sum_key"))
+          .orderBy($"n_regionkey")
+      },
+      """SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+        |FROM nation WHERE n_regionkey >= 2 OR n_nationkey % 2 = 0
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
   )
 }

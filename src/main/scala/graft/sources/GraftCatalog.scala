@@ -841,7 +841,11 @@ class GraftV1Scan(table: GraftTable, snap: Snapshot, required: StructType,
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(stats._1)
-      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(stats._2)
+      override def numRows(): java.util.OptionalLong =
+        // stats-less foreign adds (numRecords = -1) poison the sum —
+        // report "unknown" rather than a wrong row count to the optimizer
+        if (snap.files.exists(_.numRecords < 0)) java.util.OptionalLong.empty()
+        else java.util.OptionalLong.of(stats._2)
     }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =

@@ -109,7 +109,10 @@ class GraftKeyGroupedScan(table: GraftTable, snap: Snapshot,
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(stats._1)
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.of(stats._2)
+        // stats-less foreign adds (numRecords = -1) poison the sum —
+        // report "unknown" rather than a wrong row count to the optimizer
+        if (files.exists(_.numRecords < 0)) java.util.OptionalLong.empty()
+        else java.util.OptionalLong.of(stats._2)
     }
 
   override def description(): String =

@@ -555,7 +555,12 @@ class GraftParquetReaderFactory(schema: StructType, partitionCols: Seq[String],
       val row = constRow(p, lay)
       val out = if (lay.trailing) row else new RemappedRow(lay.remap, schema).set(row)
       return new PartitionReader[InternalRow] {
-        private var remaining = p.numRecords
+        // a foreign (delta-spark) add without stats carries numRecords = -1
+        // (unknown): recover the true count from the parquet footer —
+        // executor-side, one footer read, only on the stats-less path
+        private var remaining =
+          if (p.numRecords >= 0) p.numRecords
+          else graft.table.FileOps.footerStats(Paths.get(p.absPath))._1
         private var rowIdx = -1L
         override def next(): Boolean = {
           while (remaining > 0) {

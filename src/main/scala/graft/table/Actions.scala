@@ -90,15 +90,34 @@ object Protocol {
     * honor the generation rule), mirroring the Delta feature split. */
   val supportedReaderFeatures: Set[String] =
     Set("deletionVectors", "columnMapping", "changeDataFeed", "rowTracking",
-      "variantType")
+      "variantType",
+      // Foreign (delta-spark) reader features this build reads correctly:
+      // timestamp_ntz is Spark-native parquet; v2 checkpoints are simply
+      // never consulted (foreign checkpoint decode falls back to full JSON
+      // replay); vacuumProtocolCheck constrains VACUUM, which refuses on
+      // foreign tables wholesale. Foreign deletionVectors / columnMapping
+      // remain refused by their PRECISE gates (the DV descriptor parse and
+      // the delta.columnMapping.mode configuration check) — feature-name
+      // acceptance here lets a table that merely DECLARES them read fine
+      // when no DV / no mapped column actually exists.
+      "timestampNtz", "v2Checkpoint", "vacuumProtocolCheck")
   val supportedWriterFeatures: Set[String] =
-    supportedReaderFeatures + "generatedColumns" + "identityColumns" +
-      "appendOnly"
+    // NOT derived from the reader set: the foreign-read-only features
+    // (timestampNtz, v2Checkpoint, vacuumProtocolCheck) are readable but
+    // this build must never claim to WRITE a table that requires them
+    Set("deletionVectors", "columnMapping", "changeDataFeed", "rowTracking",
+      "variantType", "generatedColumns", "identityColumns", "appendOnly")
 }
 
 /** Named protocol-gate failure: the table requires a capability this
   * reader predates. */
 final class GraftProtocolException(msg: String) extends RuntimeException(msg)
+
+/** A recognized-but-irrelevant action from a foreign (delta-spark) log —
+  * e.g. `domainMetadata`, which carries engine-private clustering state a
+  * plain reader is explicitly allowed to ignore. Never written by graft;
+  * the fold skips it. */
+case object IgnoredAction extends Action
 
 /** Commit audit record; one per commit, drives history()/timestampAsOf. */
 final case class CommitInfo(
@@ -110,9 +129,18 @@ final case class CommitInfo(
 object Actions {
   private val mapper = new ObjectMapper()
 
+  /** Properties marker injected into the folded metaData of a table whose
+    * log was written by REAL delta-spark (detected by action shape, never
+    * declared): read paths work transparently, write paths refuse —
+    * appending graft-format actions to a genuine Delta log would leave a
+    * mixed history neither engine can replay. */
+  val DeltaReadMarker = "graft.compat.deltaRead"
+
   private def strMap(node: JsonNode, field: String): Map[String, String] =
     Option(node.get(field)).map { m =>
-      m.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+      m.properties().asScala
+        .filterNot(_.getValue.isNull) // Delta writes null partition values as JSON null
+        .map(e => e.getKey -> e.getValue.asText()).toMap
     }.getOrElse(Map.empty)
 
   private def putMap(node: ObjectNode, field: String, m: Map[String, String]): Unit = {
@@ -164,8 +192,63 @@ object Actions {
         val n = root.putObject("commitInfo")
         n.put("version", v); n.put("timestamp", ts); n.put("operation", op)
         putMap(n, "operationMetrics", metrics)
+      case IgnoredAction =>
+        throw new IllegalStateException(
+          "IgnoredAction is a foreign-log parse artifact and is never written")
     }
     mapper.writeValueAsString(root)
+  }
+
+  /** Flatten a (possibly nested) Delta stats object into dotted string
+    * keys: `{"a":{"b":1}}` → `"a.b" -> "1"`. Nested keys never match a
+    * top-level attribute in DataSkipping, so they degrade to "cannot
+    * skip" — conservative, never wrong. Null stat entries (Delta writes
+    * them for all-null files) are dropped (= unknown). */
+  private def flatten(node: JsonNode, prefix: String,
+      out: scala.collection.mutable.Map[String, String]): Unit =
+    node.properties().asScala.foreach { e =>
+      val key = if (prefix.isEmpty) e.getKey else s"$prefix.${e.getKey}"
+      val v = e.getValue
+      if (v.isObject) flatten(v, key, out)
+      else if (!v.isNull && !v.isArray) out(key) = v.asText()
+    }
+
+  /** A REAL delta-spark `add` (spark_project.py:36 writes these): stats
+    * live in a nested JSON STRING (`stats`), `dataChange` is present,
+    * `numRecords` is not top-level, nullCount is singular, and the path is
+    * URI-encoded. Folded into graft's AddFile so every downstream consumer
+    * (snapshot, pruning, scan) works unchanged. Missing stats → numRecords
+    * = -1, the "unknown" sentinel metadata-only answers must refuse. */
+  private def deltaAdd(n: JsonNode): AddFile = {
+    Option(n.get("deletionVector")).foreach { dv =>
+      if (dv.has("storageType")) throw new GraftProtocolException(
+        "this Delta table carries REAL Delta deletion vectors " +
+          "(add.deletionVector.storageType) — a format this reader does not " +
+          "decode; compact the table with delta-spark (REORG PURGE) before " +
+          "opening it here")
+    }
+    val rawPath = n.get("path").asText()
+    val path = try new java.net.URI(rawPath).getPath catch {
+      case _: java.net.URISyntaxException => rawPath
+    }
+    var numRecords = -1L
+    val mins = scala.collection.mutable.Map[String, String]()
+    val maxs = scala.collection.mutable.Map[String, String]()
+    val nulls = scala.collection.mutable.Map[String, String]()
+    Option(n.get("stats")).filter(s => s.isTextual && !s.asText().isEmpty)
+      .foreach { s =>
+        val st = mapper.readTree(s.asText())
+        Option(st.get("numRecords")).foreach(r => numRecords = r.asLong())
+        Option(st.get("minValues")).foreach(flatten(_, "", mins))
+        Option(st.get("maxValues")).foreach(flatten(_, "", maxs))
+        Option(st.get("nullCount")).foreach(flatten(_, "", nulls))
+      }
+    AddFile(path, n.get("size").asLong(), n.get("modificationTime").asLong(),
+      numRecords, mins.toMap, maxs.toMap, strMap(n, "partitionValues"),
+      None, 0L, Option(n.get("baseRowId")).map(_.asLong()),
+      nulls.flatMap { case (k, v) =>
+        scala.util.Try(v.toLong).toOption.map(k -> _) }.toMap,
+      strMap(n, "tags"))
   }
 
   def fromJson(line: String): Action = {
@@ -174,11 +257,25 @@ object Actions {
       val n = root.get("metaData")
       val partCols = Option(n.get("partitionColumns"))
         .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
-      MetaData(n.get("id").asText(), n.get("schemaString").asText(),
+      if (n.has("format") || n.has("configuration")) {
+        // REAL Delta metaData: table configuration lives in `configuration`,
+        // a `format` block names the file provider, createdTime is optional.
+        // The marker property makes the foreign provenance visible to every
+        // consumer of the folded snapshot (write refusal, feature gates).
+        val fmt = Option(n.get("format")).flatMap(f => Option(f.get("provider")))
+          .map(_.asText()).getOrElse("parquet")
+        if (!fmt.equalsIgnoreCase("parquet")) throw new GraftProtocolException(
+          s"Delta table format.provider=$fmt is not readable (parquet only)")
+        MetaData(n.get("id").asText(), n.get("schemaString").asText(),
+          Option(n.get("createdTime")).map(_.asLong()).getOrElse(0L), partCols,
+          Map.empty, strMap(n, "configuration") + (DeltaReadMarker -> "true"))
+      } else MetaData(n.get("id").asText(), n.get("schemaString").asText(),
         n.get("createdTime").asLong(), partCols, strMap(n, "constraints"),
         strMap(n, "properties"))
     } else if (root.has("add")) {
       val n = root.get("add")
+      if (n.has("dataChange") || n.has("stats") || !n.has("numRecords"))
+        return deltaAdd(n)
       val (dvPath, dvCount) = Option(n.get("deletionVector")) match {
         case Some(dv) => (Some(dv.get("path").asText()), dv.get("cardinality").asLong())
         case None => (None, 0L)
@@ -193,12 +290,24 @@ object Actions {
         strMap(n, "tags"))
     } else if (root.has("remove")) {
       val n = root.get("remove")
-      RemoveFile(n.get("path").asText(), n.get("deletionTimestamp").asLong())
+      // Delta removes URI-encode the path like adds, and may omit the
+      // deletionTimestamp (the spec makes it optional)
+      val rawPath = n.get("path").asText()
+      val path =
+        if (n.has("dataChange") || !n.has("deletionTimestamp"))
+          try new java.net.URI(rawPath).getPath catch {
+            case _: java.net.URISyntaxException => rawPath
+          }
+        else rawPath
+      RemoveFile(path,
+        Option(n.get("deletionTimestamp")).map(_.asLong()).getOrElse(0L))
     } else if (root.has("cdc")) {
       val n = root.get("cdc")
       // size is absent in pre-round-11 logs — 0 degrades byte-capped CDF
-      // admission to file-count caps for those commits, never an error
-      CdcFile(n.get("path").asText(), n.get("numRecords").asLong(),
+      // admission to file-count caps for those commits, never an error.
+      // Delta cdc actions carry no numRecords at all — same degradation.
+      CdcFile(n.get("path").asText(),
+        Option(n.get("numRecords")).map(_.asLong()).getOrElse(0L),
         Option(n.get("size")).map(_.asLong()).getOrElse(0L))
     } else if (root.has("txn")) {
       val n = root.get("txn")
@@ -211,8 +320,16 @@ object Actions {
         feats("readerFeatures"), feats("writerFeatures"))
     } else if (root.has("commitInfo")) {
       val n = root.get("commitInfo")
-      CommitInfo(n.get("version").asLong(), n.get("timestamp").asLong(),
-        n.get("operation").asText(), strMap(n, "operationMetrics"))
+      // Delta commitInfo has no version field (the commit FILE names the
+      // version) — -1 here, patched to the file's version by readVersion
+      CommitInfo(Option(n.get("version")).map(_.asLong()).getOrElse(-1L),
+        n.get("timestamp").asLong(),
+        Option(n.get("operation")).map(_.asText()).getOrElse("UNKNOWN"),
+        strMap(n, "operationMetrics"))
+    } else if (root.has("domainMetadata")) {
+      // Delta domain metadata (clustering domains etc.): engine-private
+      // state the protocol allows a reader to skip
+      IgnoredAction
     } else {
       throw new IllegalArgumentException(s"unknown action: $line")
     }

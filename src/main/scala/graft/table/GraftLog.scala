@@ -168,6 +168,12 @@ final class GraftLog(val tablePath: String,
       require(store.exists(f), s"version $v does not exist for table $tablePath")
       val parsed = store.readLines(f)
         .filter(_.nonEmpty).map(Actions.fromJson)
+        .map {
+          // a Delta commitInfo names no version (the commit FILE does) —
+          // patch it here so history()/time travel see real versions
+          case c: CommitInfo if c.version < 0 => c.copy(version = v)
+          case a => a
+        }
       actionCache.put(v, parsed)
       parsed
     }
@@ -211,7 +217,29 @@ final class GraftLog(val tablePath: String,
     }
   }
 
+  /** True when the log was written by REAL delta-spark, probed from the
+    * raw text of the earliest retained commit: `dataChange` appears in
+    * every Delta add/remove and is never written by graft, and only Delta
+    * metaData carries a `format` provider block. Evaluated lazily at the
+    * FIRST commit attempt (a not-yet-existing table is graft's own by
+    * construction) and memoized — one extra read per log instance, never
+    * per commit. */
+  private lazy val foreignDeltaLog: Boolean =
+    exists && {
+      try store.readLines(versionFile(earliestVersion)).exists(l =>
+        l.contains("\"dataChange\"") ||
+          (l.contains("\"metaData\"") && l.contains("\"provider\"")))
+      catch { case _: Exception => false }
+    }
+
   def commit(v: Long, actions0: Seq[Action]): Unit = {
+    // Foreign Delta logs are READ-ONLY: appending graft-format actions
+    // would leave a mixed history that neither delta-spark nor this
+    // reader could replay coherently. Refuse with the migration path.
+    if (v > 0 && foreignDeltaLog) throw new GraftProtocolException(
+      s"$tablePath is a Delta table written by delta-spark — graft reads " +
+        "it transparently but will not append to its log; copy it into a " +
+        "graft table (GraftTable.create from a read of this path) to write")
     store.createDirectories(logDir)
     val actions = ensureSchemaFeatures(v, actions0)
     // ATOMIC publish-or-fail: a direct CREATE_NEW write makes the version
@@ -516,11 +544,29 @@ final class GraftLog(val tablePath: String,
         case p: Protocol   => protocol = p
         case _: CommitInfo => ()
         case _: CdcFile    => () // per-commit change data, not snapshot state
+        case IgnoredAction => () // foreign engine-private state, skippable
       }
     }
     gateReaderFeatures(protocol)
-    Snapshot(v, meta.getOrElse(throw new IllegalStateException(
-      s"no metaData in log of $tablePath")), live.values.toSeq, txns.toMap, protocol)
+    val m = meta.getOrElse(throw new IllegalStateException(
+      s"no metaData in log of $tablePath"))
+    gateForeignMetadata(m)
+    Snapshot(v, m, live.values.toSeq, txns.toMap, protocol)
+  }
+
+  /** Feature gate driven by the table CONFIGURATION of a foreign Delta
+    * log: column mapping rewrites every physical column name via
+    * `delta.columnMapping.*` schema metadata this reader does not apply —
+    * opening such a table would project garbage, so refuse loudly. Only
+    * foreign tables carry these keys (graft's own column mapping uses its
+    * own property and IS applied). */
+  private def gateForeignMetadata(meta: MetaData): Unit = {
+    val mode = meta.properties.get("delta.columnMapping.mode")
+      .filterNot(m => m.isEmpty || m.equalsIgnoreCase("none"))
+    if (mode.isDefined) throw new GraftProtocolException(
+      s"table $tablePath is a Delta table with columnMapping.mode=" +
+        s"${mode.get} — physical column names are remapped via Delta " +
+        "schema metadata this reader does not decode")
   }
 
   /** The unsupported-reader-feature gate. Applied to EVERY snapshot this
@@ -528,6 +574,12 @@ final class GraftLog(val tablePath: String,
     * path (a version that coincides with a checkpoint, e.g. one written by
     * a future writer, must not bypass the gate and silently misread). */
   private def gateReaderFeatures(protocol: Protocol): Unit = {
+    // Delta reader versions 1-3 are understood (v2's column mapping and
+    // v3's feature list are gated by name below / by configuration); a
+    // higher version promises semantics this reader cannot even enumerate
+    if (protocol.minReaderVersion > 3) throw new GraftProtocolException(
+      s"table $tablePath requires protocol minReaderVersion=" +
+        s"${protocol.minReaderVersion}; this reader supports up to 3")
     val unsupported = protocol.readerFeatures.filterNot(Protocol.supportedReaderFeatures)
     if (unsupported.nonEmpty) throw new GraftProtocolException(
       s"table $tablePath requires reader features ${unsupported.mkString(", ")} " +
@@ -548,13 +600,35 @@ final class GraftLog(val tablePath: String,
   /** Snapshot at version v: nearest checkpoint ≤ v + tail replay. */
   def snapshotAt(v: Long): Snapshot = synchronized {
     val cached = snapshotCache.get(v)
-    if (cached != null) { gateReaderFeatures(cached.protocol); cached }
+    if (cached != null) {
+      gateReaderFeatures(cached.protocol)
+      gateForeignMetadata(cached.metaData)
+      cached
+    }
     else {
       val snap = latestCheckpointAtOrBefore(v) match {
         case Some(cp) =>
-          val seed = readCheckpoint(cp)
-          if (cp == v) { gateReaderFeatures(seed.protocol); seed }
-          else replay(cp + 1, v, Some(seed))
+          // A checkpoint written by a FOREIGN writer (delta-spark's parquet
+          // checkpoints share graft's file naming but not its schema) fails
+          // decode; the seed is only ever an optimization, so fall back to
+          // a full JSON replay when the commit files still reach back to
+          // version 0 — and fail loudly (not confusingly mid-parquet-parse)
+          // when retention already pruned them.
+          scala.util.Try(readCheckpoint(cp)) match {
+            case scala.util.Success(seed) =>
+              if (cp == v) {
+                gateReaderFeatures(seed.protocol)
+                gateForeignMetadata(seed.metaData)
+                seed
+              } else replay(cp + 1, v, Some(seed))
+            case scala.util.Failure(e: GraftProtocolException) => throw e
+            case scala.util.Failure(e) if earliestVersion == 0L =>
+              replay(0L, v, None)
+            case scala.util.Failure(e) => throw new GraftProtocolException(
+              s"checkpoint $cp of $tablePath is not in graft format (a " +
+                "foreign Delta checkpoint?) and the JSON commits before it " +
+                s"were already cleaned up — cannot fold version $v: $e")
+          }
         case None => replay(0L, v, None)
       }
       snapshotCache.put(v, snap)

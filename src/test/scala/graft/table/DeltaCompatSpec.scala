@@ -1,0 +1,273 @@
+package graft.table
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Read-interop with REAL delta-spark transaction logs.
+  *
+  * The reference's on-disk tables are genuine Delta tables
+  * (spark_project.py:36 `df.write.format("delta")`; Dockerfile:10 pins
+  * delta-core 1.0.0), whose log actions differ from graft's in exactly the
+  * ways these fixtures exercise: stats live in a nested JSON STRING on the
+  * add (`stats`), `dataChange` is present, metaData carries a `format`
+  * block and a `configuration` map, commitInfo names no version, and paths
+  * are URI-encoded. Every log here is HAND-AUTHORED byte-for-byte in the
+  * delta-1.0 JSON shape (no delta jar exists in this environment — which
+  * also proves the reader needs none).
+  */
+class DeltaCompatSpec extends SparkTestBase {
+
+  /** Write `rows` as ONE parquet file at tablePath/relPath, returning
+    * (size, mtime). Spark writes into a temp dir; the single part file
+    * moves to the requested name — delta logs reference exact file names. */
+  private def dataFile(tablePath: String, relPath: String,
+      df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val stage = tmpDir("delta-stage-")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = Files.list(Paths.get(stage)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    val target = Paths.get(tablePath, relPath)
+    Files.createDirectories(target.getParent)
+    Files.move(Paths.get(part), target, StandardCopyOption.REPLACE_EXISTING)
+    (Files.size(target), Files.getLastModifiedTime(target).toMillis)
+  }
+
+  private def commit(tablePath: String, v: Long, lines: Seq[String]): Unit = {
+    val logDir = Paths.get(tablePath, "_delta_log")
+    Files.createDirectories(logDir)
+    Files.write(logDir.resolve(f"$v%020d.json"),
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+  }
+
+  /** A Delta `stats` value: the nested-JSON-string form delta-spark writes. */
+  private def stats(numRecords: Long, mins: Map[String, Any],
+      maxs: Map[String, Any], nulls: Map[String, Long]): String = {
+    def lit(v: Any): String = v match {
+      case s: String => "\"" + s + "\""
+      case other => other.toString
+    }
+    def obj(m: Map[String, Any]): String =
+      m.map { case (k, v) => s""""$k":${lit(v)}""" }.mkString("{", ",", "}")
+    val body = s"""{"numRecords":$numRecords,"minValues":${obj(mins)},""" +
+      s""""maxValues":${obj(maxs)},"nullCount":${obj(nulls.map { case (k, v) => k -> (v: Any) })}}"""
+    body.replace("\\", "\\\\").replace("\"", "\\\"")
+  }
+
+  private val idSchema =
+    """{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},{\"name\":\"s\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}}]}"""
+
+  private def metaData(schema: String, partitionColumns: Seq[String] = Nil,
+      configuration: Map[String, String] = Map.empty): String = {
+    val conf = configuration.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    s"""{"metaData":{"id":"11111111-2222-3333-4444-555555555555","format":{"provider":"parquet","options":{}},"schemaString":"$schema","partitionColumns":[${partitionColumns.map("\"" + _ + "\"").mkString(",")}],"configuration":$conf,"createdTime":1619112344000}}"""
+  }
+
+  private def add(path: String, size: Long, mtime: Long,
+      statsStr: Option[String], partitionValues: Map[String, String] = Map.empty): String = {
+    val pv = partitionValues.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val st = statsStr.map(s => s""","stats":"$s"""").getOrElse("")
+    s"""{"add":{"path":"$path","partitionValues":$pv,"size":$size,"modificationTime":$mtime,"dataChange":true$st}}"""
+  }
+
+  private def commitInfo(ts: Long, op: String): String =
+    s"""{"commitInfo":{"timestamp":$ts,"operation":"$op","operationParameters":{"mode":"Append"},"isBlindAppend":true,"operationMetrics":{"numFiles":"1"}}}"""
+
+  private def df(range: Range) = {
+    import spark.implicits._
+    range.map(i => (i.toLong, s"row$i")).toDF("id", "s")
+  }
+
+  // ---------------------------------------------------------------------------
+
+  test("genuine delta-1.0 log: snapshot, version/timestamp travel, history") {
+    val dir = tmpDir("delta-compat-")
+    val (sz1, mt1) = dataFile(dir, "part-00000-aaa-c000.snappy.parquet", df(0 until 5))
+    val (sz2, mt2) = dataFile(dir, "part-00001-bbb-c000.snappy.parquet", df(5 until 10))
+    val (sz3, mt3) = dataFile(dir, "part-00002-ccc-c000.snappy.parquet", df(10 until 15))
+    commit(dir, 0, Seq(
+      commitInfo(1619112345000L, "WRITE"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaData(idSchema),
+      add("part-00000-aaa-c000.snappy.parquet", sz1, mt1,
+        Some(stats(5, Map("id" -> 0, "s" -> "row0"), Map("id" -> 4, "s" -> "row4"),
+          Map("id" -> 0L, "s" -> 0L)))),
+      add("part-00001-bbb-c000.snappy.parquet", sz2, mt2,
+        Some(stats(5, Map("id" -> 5, "s" -> "row5"), Map("id" -> 9, "s" -> "row9"),
+          Map("id" -> 0L, "s" -> 0L))))))
+    commit(dir, 1, Seq(
+      commitInfo(1619112346000L, "DELETE"),
+      """{"remove":{"path":"part-00001-bbb-c000.snappy.parquet","deletionTimestamp":1619112346000,"dataChange":true,"extendedFileMetadata":true,"partitionValues":{},"size":""" + sz2 + "}}",
+      add("part-00002-ccc-c000.snappy.parquet", sz3, mt3,
+        Some(stats(5, Map("id" -> 10, "s" -> "row10"), Map("id" -> 14, "s" -> "row14"),
+          Map("id" -> 0L, "s" -> 0L))))))
+
+    val t = GraftTable.forPath(spark, dir)
+    assert(t.latestVersion === 1L)
+    // latest = first file + third file: ids 0-4 ∪ 10-14
+    assert(t.toDF.select("id").collect().map(_.getLong(0)).sorted
+      === ((0L until 5L) ++ (10L until 15L)).toArray)
+    // versionAsOf 0 = ids 0-9
+    assert(t.versionAsOf(0).count() === 10L)
+    // timestamp travel between the two commits lands on version 0
+    assert(t.timestampAsOf(new java.sql.Timestamp(1619112345500L)).count() === 10L)
+    // history carries the patched versions and the Delta operation names
+    val hist = t.history().select("version", "operation").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hist === Map(0L -> "WRITE", 1L -> "DELETE"))
+  }
+
+  test("delta stats prune files; stats-less adds degrade to scan, not to a wrong count") {
+    val dir = tmpDir("delta-compat-stats-")
+    val (sz1, mt1) = dataFile(dir, "part-00000-aaa-c000.snappy.parquet", df(0 until 5))
+    val (sz2, mt2) = dataFile(dir, "part-00001-bbb-c000.snappy.parquet", df(5 until 10))
+    commit(dir, 0, Seq(
+      commitInfo(1619112345000L, "WRITE"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaData(idSchema),
+      add("part-00000-aaa-c000.snappy.parquet", sz1, mt1,
+        Some(stats(5, Map("id" -> 0), Map("id" -> 4), Map("id" -> 0L)))),
+      // second file ships NO stats at all (delta allows it)
+      add("part-00001-bbb-c000.snappy.parquet", sz2, mt2, None)))
+    val t = GraftTable.forPath(spark, dir)
+    val snap = t.snapshot
+    // pruning: id > 100 drops the stats-carrying file, keeps the unknown one
+    val pruned = t.prunedFiles(snap, col("id") > 100L)
+    assert(pruned.map(_.path) === Seq("part-00001-bbb-c000.snappy.parquet"))
+    // the stats-less add parses as numRecords = -1 (unknown) ...
+    assert(snap.files.find(_.path.contains("00001")).get.numRecords === -1L)
+    // ... and count(*) is still exact — the scan answers, never the log
+    assert(t.toDF.count() === 10L)
+    assert(t.scan(col("id") < 7L).count() === 7L)
+  }
+
+  test("partitioned delta table: URI-encoded paths decode, partition dirs reconstruct") {
+    import spark.implicits._
+    val dir = tmpDir("delta-compat-part-")
+    val dfa = Seq((1L, "x")).toDF("id", "s")
+    val dfb = Seq((2L, "y"), (3L, "z")).toDF("id", "s")
+    val (sz1, mt1) = dataFile(dir, "p=a b/part-00000-aaa-c000.snappy.parquet", dfa.drop("s"))
+    val (sz2, mt2) = dataFile(dir, "p=q/part-00001-bbb-c000.snappy.parquet", dfb.drop("s"))
+    val schema =
+      """{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},{\"name\":\"p\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}}]}"""
+    commit(dir, 0, Seq(
+      commitInfo(1619112345000L, "WRITE"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaData(schema, partitionColumns = Seq("p")),
+      // the space in the dir URI-encodes as %20, exactly as delta writes it
+      add("p=a%20b/part-00000-aaa-c000.snappy.parquet", sz1, mt1,
+        Some(stats(1, Map("id" -> 1), Map("id" -> 1), Map("id" -> 0L))),
+        partitionValues = Map("p" -> "a b")),
+      add("p=q/part-00001-bbb-c000.snappy.parquet", sz2, mt2,
+        Some(stats(2, Map("id" -> 2), Map("id" -> 3), Map("id" -> 0L))),
+        partitionValues = Map("p" -> "q"))))
+    val t = GraftTable.forPath(spark, dir)
+    assert(t.snapshot.files.map(_.path).toSet ===
+      Set("p=a b/part-00000-aaa-c000.snappy.parquet",
+          "p=q/part-00001-bbb-c000.snappy.parquet"))
+    val rows = t.toDF.select($"id", $"p").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows === Map(1L -> "a b", 2L -> "q", 3L -> "q"))
+  }
+
+  test("foreign features refuse loudly; ignorable ones don't") {
+    val dir = tmpDir("delta-compat-gate-")
+    val (sz1, mt1) = dataFile(dir, "part-00000-aaa-c000.snappy.parquet", df(0 until 3))
+
+    // real Delta deletion vector on the add → refuse at parse, named error
+    commit(dir, 0, Seq(
+      commitInfo(1619112345000L, "WRITE"),
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      metaData(idSchema),
+      s"""{"add":{"path":"part-00000-aaa-c000.snappy.parquet","partitionValues":{},"size":$sz1,"modificationTime":$mt1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"ab^-aqEH.-t@S}K{vb[*k^","offset":4,"sizeInBytes":40,"cardinality":6}}}"""))
+    val e1 = intercept[GraftProtocolException] {
+      GraftTable.forPath(spark, dir).toDF.collect()
+    }
+    assert(e1.getMessage.contains("deletion vectors"))
+
+    // columnMapping.mode=name in the configuration → refuse at the gate
+    val dir2 = tmpDir("delta-compat-gate2-")
+    dataFile(dir2, "part-00000-aaa-c000.snappy.parquet", df(0 until 3))
+    commit(dir2, 0, Seq(
+      commitInfo(1619112345000L, "WRITE"),
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaData(idSchema, configuration = Map(
+        "delta.columnMapping.mode" -> "name",
+        "delta.columnMapping.maxColumnId" -> "2"))))
+    val e2 = intercept[GraftProtocolException] {
+      GraftTable.forPath(spark, dir2).snapshot
+    }
+    assert(e2.getMessage.contains("columnMapping"))
+
+    // minReaderVersion past 3 → refuse
+    val dir3 = tmpDir("delta-compat-gate3-")
+    dataFile(dir3, "part-00000-aaa-c000.snappy.parquet", df(0 until 3))
+    commit(dir3, 0, Seq(
+      commitInfo(1619112345000L, "WRITE"),
+      """{"protocol":{"minReaderVersion":4,"minWriterVersion":7}}""",
+      metaData(idSchema)))
+    intercept[GraftProtocolException] {
+      GraftTable.forPath(spark, dir3).snapshot
+    }
+
+    // declared-but-unused safe features + domainMetadata lines read fine
+    val dir4 = tmpDir("delta-compat-gate4-")
+    val (sz4, mt4) = dataFile(dir4, "part-00000-aaa-c000.snappy.parquet", df(0 until 3))
+    commit(dir4, 0, Seq(
+      commitInfo(1619112345000L, "WRITE"),
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz","v2Checkpoint"],"writerFeatures":["timestampNtz","v2Checkpoint"]}}""",
+      metaData(idSchema),
+      """{"domainMetadata":{"domain":"delta.clustering","configuration":"{}","removed":false}}""",
+      add("part-00000-aaa-c000.snappy.parquet", sz4, mt4,
+        Some(stats(3, Map("id" -> 0), Map("id" -> 2), Map("id" -> 0L))))))
+    assert(GraftTable.forPath(spark, dir4).toDF.count() === 3L)
+  }
+
+  test("foreign delta logs are read-only: every write path refuses with the migration hint") {
+    val dir = tmpDir("delta-compat-ro-")
+    val (sz1, mt1) = dataFile(dir, "part-00000-aaa-c000.snappy.parquet", df(0 until 5))
+    commit(dir, 0, Seq(
+      commitInfo(1619112345000L, "WRITE"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaData(idSchema),
+      add("part-00000-aaa-c000.snappy.parquet", sz1, mt1,
+        Some(stats(5, Map("id" -> 0), Map("id" -> 4), Map("id" -> 0L))))))
+    val t = GraftTable.forPath(spark, dir)
+    val e = intercept[GraftProtocolException] { t.delete(col("id") === 1L) }
+    assert(e.getMessage.contains("delta-spark") && e.getMessage.contains("read"))
+    // the refused write left the table fully intact and readable
+    assert(t.toDF.count() === 5L)
+    // ... and the documented migration path works: copy into a graft table
+    val migrated = GraftTable.create(spark, tmpDir("delta-compat-migrated-"), t.toDF)
+    migrated.delete(col("id") === 1L)
+    assert(migrated.toDF.count() === 4L)
+  }
+
+  test("a foreign (non-graft) checkpoint is ignored: full JSON replay folds the table") {
+    import spark.implicits._
+    val dir = tmpDir("delta-compat-cp-")
+    val (sz1, mt1) = dataFile(dir, "part-00000-aaa-c000.snappy.parquet", df(0 until 5))
+    commit(dir, 0, Seq(
+      commitInfo(1619112345000L, "WRITE"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaData(idSchema),
+      add("part-00000-aaa-c000.snappy.parquet", sz1, mt1,
+        Some(stats(5, Map("id" -> 0), Map("id" -> 4), Map("id" -> 0L))))))
+    // a DELTA-format checkpoint parquet (nested action structs — not
+    // graft's codec schema) plus the _last_checkpoint pointer delta writes
+    val cpDf = Seq(("part-00000-aaa-c000.snappy.parquet", 5L))
+      .toDF("path", "numRecords")
+      .select(struct($"path", $"numRecords").as("add"))
+    val cpStage = tmpDir("delta-cp-stage-")
+    cpDf.coalesce(1).write.mode("overwrite").parquet(cpStage)
+    val part = Files.list(Paths.get(cpStage)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    Files.move(Paths.get(part),
+      Paths.get(dir, "_delta_log", f"${0L}%020d.checkpoint.parquet"))
+    Files.write(Paths.get(dir, "_delta_log", "_last_checkpoint"),
+      """{"version":0,"size":1}""".getBytes("UTF-8"))
+    // decode of the foreign checkpoint fails internally; the fold falls
+    // back to the JSON commits and still answers correctly
+    assert(GraftTable.forPath(spark, dir).toDF.count() === 5L)
+  }
+}
