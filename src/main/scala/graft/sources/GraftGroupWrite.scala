@@ -40,8 +40,11 @@ class GraftGroupBatchWrite(table: GraftTable, scannedSnap: () => Option[Snapshot
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val adds = messages.flatMap { case m: GraftWriteMessage => m.adds }.toSeq
     val snap = scannedSnap().getOrElse(table.snapshot)
+    // stats-column cap: executors harvest every footer column in their one
+    // pass; the driver drops the log's share here (dataSkipping.numIndexedCols)
+    val adds = FileOps.capAddStats(snap.metaData,
+      messages.flatMap { case m: GraftWriteMessage => m.adds }.toSeq)
     val constraints = snap.metaData.constraints
     if (constraints.nonEmpty && adds.nonEmpty) {
       // CHECK constraints are enforced on every write path; here the rows
@@ -164,7 +167,8 @@ class GraftStreamingWrite(table: GraftTable, schema: StructType, queryId: String
           c.operationMetrics.get("txnAppId").contains(queryId) &&
           c.operationMetrics.get("epoch").exists(_.toLong >= epochId))
       }
-    val adds = messages.flatMap { case m: GraftWriteMessage => m.adds }.toSeq
+    val adds = FileOps.capAddStats(headMeta,
+      messages.flatMap { case m: GraftWriteMessage => m.adds }.toSeq)
     if (alreadyCommitted)
       adds.foreach(a => Files.deleteIfExists(Paths.get(table.path, a.path)))
     else table.commitStreamingAppend(adds, queryId, epochId)

@@ -25,6 +25,54 @@ import org.apache.spark.sql.DataFrame
 // the singleton — no state crosses the wire)
 object FileOps extends Serializable {
 
+  /** Table property capping how many leading schema columns carry min/max/
+    * null-count stats in the log — Delta's `dataSkippingNumIndexedCols`,
+    * same default (32). Without a cap, a 1,000-column feature table puts
+    * ~3,000 stat entries into EVERY AddFile: at 1M files that is the log
+    * bloat the 32-char string truncation exists to prevent, arriving by
+    * column count instead of value width. Negative = index every column. */
+  val NumIndexedColsProp = "dataSkipping.numIndexedCols"
+  val NumIndexedColsDefault = 32
+
+  /** Stat keys the cap keeps for `meta`, or None = keep everything.
+    * First-N schema columns plus the columns pruning lives by regardless
+    * of position — partition and clustering columns — in both logical and
+    * physical (column-mapping) spellings; `__shred_*` keys (variant shred
+    * stats, materialized expressly for skipping) are always kept by
+    * [[capAddStats]] itself. */
+  private def statKeepSet(meta: MetaData): Option[Set[String]] = {
+    val n = meta.properties.get(NumIndexedColsProp)
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .getOrElse(NumIndexedColsDefault)
+    if (n < 0) return None
+    val schema =
+      try org.apache.spark.sql.types.DataType.fromJson(meta.schemaString)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      catch { case _: Exception => return None } // unparseable → no capping
+    val firstN = schema.fields.take(n)
+    val cluster = meta.properties.get("clustering.columns").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val always = (meta.partitionColumns ++ cluster).flatMap(c =>
+      Seq(c) ++ schema.fields.find(_.name == c).map(ColumnMapping.physicalName))
+    Some((firstN.map(_.name) ++ firstN.map(ColumnMapping.physicalName) ++
+      always).toSet)
+  }
+
+  /** Apply the stats-column cap to freshly-harvested AddFiles. Driver-side
+    * and O(files × stat entries) — the harvest itself still reads every
+    * footer column (one pass, no extra IO); only what the LOG records is
+    * capped. Dropping a stat can only disable skipping on that column
+    * (conservative), never mis-prune. */
+  def capAddStats(meta: MetaData, adds: Seq[AddFile]): Seq[AddFile] =
+    statKeepSet(meta) match {
+      case None => adds
+      case Some(keep) =>
+        def f[V](m: Map[String, V]): Map[String, V] =
+          m.filter { case (k, _) => keep(k) || k.startsWith("__shred_") }
+        adds.map(a => a.copy(minValues = f(a.minValues),
+          maxValues = f(a.maxValues), nullCounts = f(a.nullCounts)))
+    }
+
   /** Per-session reference-counted flip of the parquet output-timestamp
     * conf. Concurrent writers on ONE SparkSession share the SQLConf, so a
     * naive set/write/restore races: another thread's write could be

@@ -949,7 +949,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           CommitInfo(v, ts, "REPLACE TABLE AS SELECT",
             Map("numRemovedFiles" -> s.files.size.toString,
                 "numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
-          s.files.map(f => RemoveFile(f.path, ts)) ++ adds)
+          s.files.map(f => RemoveFile(f.path, ts)) ++
+          FileOps.capAddStats(meta, adds))
         done = true
       } catch { case _: java.util.ConcurrentModificationException => () }
     }
@@ -1994,7 +1995,13 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * ride only the UNMAPPED path: under column mapping a logical rename
     * would leave stale logical-named shred stats behind, so prune-time
     * key translation drops them and the write skips them. */
-  private def writeDataMapped(df0: DataFrame, meta: MetaData): Seq[AddFile] = {
+  private def writeDataMapped(df0: DataFrame, meta: MetaData): Seq[AddFile] =
+    // stats-column cap (dataSkipping.numIndexedCols) applies to every
+    // batch write funneling through here — the harvest reads all footer
+    // columns in its one pass; only what the LOG records is capped
+    FileOps.capAddStats(meta, writeDataMappedUncapped(df0, meta))
+
+  private def writeDataMappedUncapped(df0: DataFrame, meta: MetaData): Seq[AddFile] = {
     val df = withOptimizedWrite(df0, meta)
     val schema = org.apache.spark.sql.types.DataType.fromJson(meta.schemaString)
       .asInstanceOf[StructType]
@@ -3152,11 +3159,14 @@ object GraftTable {
         writerFeatures = writerFeats))
     val meta0 = MetaData(UUID.randomUUID().toString, schema.json,
       System.currentTimeMillis(), partitionBy, Map.empty, props)
-    val adds = FileOps.writeDataFiles(dfId, path, partitionBy, bloomWriteOptions(meta0))
+    val addsRaw = FileOps.writeDataFiles(dfId, path, partitionBy, bloomWriteOptions(meta0))
     // the identity frontier advances in the SAME commit that allocated it,
-    // read from the written files' footer stats — no counting job
-    val meta = IdentityColumns.bumpedProps(props, schema, adds)
+    // read from the written files' footer stats — no counting job. The
+    // frontier reads the UNCAPPED harvest (the identity column may sit past
+    // the stats-column cap); only what the log records is capped below.
+    val meta = IdentityColumns.bumpedProps(props, schema, addsRaw)
       .map(p => meta0.copy(properties = p)).getOrElse(meta0)
+    val adds = FileOps.capAddStats(meta, addsRaw)
     log.commit(0L, protocolAction ++ Seq(meta,
       CommitInfo(0L, log.nextTimestamp(), "CREATE",
         Map("numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++ adds)
@@ -3180,7 +3190,8 @@ object GraftTable {
       chk.map { case (k, v) => k.stripPrefix("constraint.") -> v }, plain)
     log.commit(0L, Seq(meta,
       CommitInfo(0L, log.nextTimestamp(), "CREATE TABLE AS SELECT",
-        Map("numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++ adds)
+        Map("numOutputRows" -> adds.map(_.numRecords).sum.toString))) ++
+      FileOps.capAddStats(meta, adds))
     new GraftTable(spark, path)
   }
 
@@ -3243,13 +3254,14 @@ object GraftTable {
     // modification time (harvested alongside size in the same pass) —
     // the audit metadata Delta's CONVERT records, never a synthetic
     // uniform commit-time stamp.
-    val adds = FileOps.harvestStats(spark, path, rels).map {
+    val adds0 = FileOps.harvestStats(spark, path, rels).map {
       case (rel, rows, size, mtime, mins, maxs, nulls) =>
         AddFile(rel, size, mtime, rows, mins, maxs,
           pvByRel(rel), nullCounts = nulls)
     }
     val meta = MetaData(UUID.randomUUID().toString, schema.json,
       System.currentTimeMillis(), partitionBy, Map.empty, Map.empty)
+    val adds = FileOps.capAddStats(meta, adds0)
     log.commit(0L, Seq(meta,
       CommitInfo(0L, log.nextTimestamp(), "CONVERT",
         Map("numFiles" -> adds.size.toString,

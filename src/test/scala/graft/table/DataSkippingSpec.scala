@@ -407,4 +407,55 @@ class DataSkippingSpec extends SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(listener)
     assert(!t.snapshot.schema("v").nullable)
   }
+
+  test("stats-column cap: first N schema columns + partition column, nothing else") {
+    import spark.implicits._
+    val dir = tmpDir("skip-cap-")
+    // 40 value columns + a partition column at the END of the schema: past
+    // the default cap of 32, so only the always-kept rule can index it
+    val wide = spark.range(0, 20).select(
+      (col("id") % 2).cast("string").as("p") +:
+        (0 until 40).map(i => (col("id") * (i + 1)).as(s"c$i")): _*)
+    val t = GraftTable.create(spark, dir,
+      wide.select((0 until 40).map(i => col(s"c$i")) :+ col("p"): _*),
+      partitionBy = Seq("p"))
+    val f = t.snapshot.files.head
+    val statCols = f.minValues.keySet
+    // exactly the first 32 schema columns; c32..c39 dropped
+    assert(statCols === (0 until 32).map(i => s"c$i").toSet,
+      s"default cap must keep the first 32 schema columns, got $statCols")
+    assert(f.nullCounts.keySet === statCols)
+    // pruning on an indexed column still fires; an un-indexed predicate
+    // keeps every file (conservative — never mis-prunes)
+    assert(t.prunedFiles(t.snapshot, col("c0") > 1000L).isEmpty)
+    assert(t.prunedFiles(t.snapshot, col("c39") > 1000L).size ===
+      t.snapshot.files.size)
+    // ... and the un-indexed predicate still answers correctly via scan
+    assert(t.scan(col("c39") > 1000L).count() ===
+      t.toDF.filter(col("c39") > 1000L).count())
+  }
+
+  test("stats-column cap: property-tunable, 0 keeps none, -1 keeps all; checkpoint intact") {
+    import spark.implicits._
+    val dir = tmpDir("skip-cap2-")
+    val df3 = spark.range(0, 10).select(col("id").as("a"),
+      (col("id") * 2).as("b"), (col("id") * 3).as("c"))
+    val t = GraftTable.create(spark, dir, df3.limit(0))
+    t.setProperty(FileOps.NumIndexedColsProp, "1")
+    t.append(df3)
+    assert(t.snapshot.files.last.minValues.keySet === Set("a"))
+    t.setProperty(FileOps.NumIndexedColsProp, "-1")
+    t.append(df3)
+    assert(t.snapshot.files.last.minValues.keySet === Set("a", "b", "c"))
+    t.setProperty(FileOps.NumIndexedColsProp, "0")
+    t.append(df3)
+    assert(t.snapshot.files.last.minValues.isEmpty)
+    // capped stats survive a checkpoint-seeded fold unchanged
+    t.setProperty("checkpoint.format", "parquet")
+    (1 to 10).foreach(_ => t.append(df3.limit(1)))
+    val reloaded = GraftTable.forPath(spark, dir)
+    val byKeys = reloaded.snapshot.files.map(_.minValues.keySet)
+    assert(byKeys.contains(Set("a")) && byKeys.contains(Set("a", "b", "c")))
+    assert(reloaded.toDF.count() === 40L)
+  }
 }
