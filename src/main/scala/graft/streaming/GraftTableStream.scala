@@ -658,8 +658,27 @@ object GraftTableStream {
     * from the decoded column values. */
   def castPartitionValue(v: String, dt: DataType): Any = dt match {
     case StringType => UTF8String.fromString(v)
-    // CDF `_commit_timestamp` rides as epoch-millis; InternalRow wants µs
-    case TimestampType => v.toLong * 1000L
+    // Two producers feed timestamp decode, with disjoint encodings: CDF
+    // `_commit_timestamp` constants ship epoch-MILLIS digit strings, and
+    // Hive partition DIRS ship the formatted form Spark writes
+    // ("2021-04-01 12:00:00[.SSSSSS]", session-timezone — the colon
+    // percent-escaping is already undone by the dir-name unescape). Pure
+    // digits are unambiguously millis (a formatted timestamp always
+    // carries '-' and ':'); anything else parses as the Hive form with
+    // Spark's own parser, the same one the V1 basePath inference uses —
+    // so SPJ keys and V1 reads of one table can never disagree.
+    case TimestampType =>
+      if (v.nonEmpty && v.forall(_.isDigit)) v.toLong * 1000L
+      else {
+        val zone = scala.util.Try(
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(
+            org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+          .getOrElse(java.time.ZoneId.systemDefault())
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .stringToTimestamp(UTF8String.fromString(v), zone)
+          .getOrElse(throw new IllegalArgumentException(
+            s"cannot parse timestamp partition value '$v'"))
+      }
     case IntegerType => v.toInt
     case LongType => v.toLong
     case DoubleType => v.toDouble
@@ -669,14 +688,13 @@ object GraftTableStream {
       s"unsupported partition column type for streaming: $other")
   }
 
-  /** Types the SPJ scan can decode into partition keys. TimestampType is
-    * deliberately absent even though castPartitionValue handles it: that
-    * path expects CDF's epoch-millis constants, while Hive partition DIRS
-    * carry formatted timestamp strings — a timestamp-partitioned table
-    * must keep the V1 scan rather than fail at key decode. */
+  /** Types the SPJ scan can decode into partition keys — including
+    * TimestampType since the decoder above learned the Hive dir form: an
+    * event-time-partitioned fact table (the most common partitioning
+    * scheme of all) gets the zero-shuffle fact-fact join path. */
   def partitionKeyTypeSupported(dt: DataType): Boolean = dt match {
     case StringType | IntegerType | LongType | DoubleType |
-         BooleanType | DateType => true
+         BooleanType | DateType | TimestampType => true
     case _ => false
   }
 

@@ -170,6 +170,43 @@ class StoragePartitionedJoinSpec extends SparkTestBase {
       Map("en" -> 1L, "fr" -> 1L))
   }
 
+  test("timestamp partition keys: event-time fact-fact join plans zero shuffle, V1 parity") {
+    import spark.implicits._
+    // hour-truncated event time as the partition key — the Hive dirs carry
+    // formatted timestamps ("ts_h=2024-01-01 07%3A00%3A00"), the round-12
+    // exclusion this decoder now serves
+    val ev = graft.Tables.events(spark, sfDir)
+      .withColumn("ts_h", date_trunc("HOUR", $"ts"))
+    val pt1 = tmpDir("spj-ts-a-") + "/t"
+    val pt2 = tmpDir("spj-ts-b-") + "/t"
+    GraftTable.create(spark, pt1,
+      ev.select($"event_id", $"ts_h", $"value"), partitionBy = Seq("ts_h"))
+    GraftTable.create(spark, pt2,
+      ev.select($"event_id", $"ts_h", $"user_id"), partitionBy = Seq("ts_h"))
+    val ta = spark.read.format("graft").load(pt1)
+    val tb = spark.read.format("graft").load(pt2)
+    withConfs(
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val joined = ta.join(tb, Seq("ts_h", "event_id"))
+      val p = executed(joined)
+      assert(p.contains("BatchScan"), "timestamp keys must now take the SPJ scan")
+      assert(!p.contains("Exchange"),
+        s"event-time co-partitioned join must not shuffle:\n${p.take(1500)}")
+    }
+    // parity: the SPJ read of the timestamp key equals the V1 read exactly
+    def rows(df: DataFrame) = df.select($"event_id", $"ts_h", $"value")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    val spj = rows(ta)
+    withConfs("spark.graft.spj.enabled" -> "false") {
+      assert(!ta.queryExecution.executedPlan.toString.contains("BatchScan"))
+      assert(rows(ta).sameElements(spj),
+        "SPJ and V1 timestamp partition decode must agree exactly")
+    }
+  }
+
   test("ineligible shapes fall back to the V1 bridge: unpartitioned + _file projection") {
     import spark.implicits._
     val pu = tmpDir("spj-flat-") + "/t"
