@@ -261,6 +261,30 @@ object TableQueries {
       t
     })
 
+  /** q181's nested-evolution table, memoized per (JVM, dir): created with
+    * `meta = struct(lang, source)` over even doc_ids, then
+    * `addColumn("meta.n_chars", long)` — a METADATA-ONLY commit — and an
+    * append of odd doc_ids carrying the evolved shape. Old files read
+    * `meta.n_chars` as null (parquet missing-column semantics reach inside
+    * structs), so the query sees both generations through one schema. */
+  private def nestedEvoTable(s: SparkSession, dir: String): GraftTable =
+    cache.computeIfAbsent(s"nestedEvo:$dir", _ => {
+      import s.implicits._
+      val docs = graft.Tables.documents(s, dir)
+      val t = GraftTable.create(s, graft.Scratch.dir("graft-nested-evo-").toString,
+        docs.filter($"doc_id" % 2 === 0)
+          .select($"doc_id", struct($"lang", $"source").as("meta")))
+      val vCreate = t.latestVersion
+      t.addColumn("meta.n_chars", org.apache.spark.sql.types.LongType)
+      require(t.snapshotAt(t.latestVersion).files.map(_.path).toSet ==
+          t.snapshotAt(vCreate).files.map(_.path).toSet,
+        "nested ADD COLUMN must be metadata-only (no file rewrites)")
+      t.append(docs.filter($"doc_id" % 2 === 1)
+        .select($"doc_id", struct($"lang", $"source",
+          $"n_chars".cast("long").as("n_chars")).as("meta")))
+      t
+    })
+
   /** q123's Hive-partitioned documents table, memoized per (JVM, dir). */
   private def partTable(s: SparkSession, dir: String): GraftTable =
     cache.computeIfAbsent(s"part:$dir", _ => {
@@ -1484,5 +1508,27 @@ object TableQueries {
       """SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
         |FROM nation WHERE n_regionkey >= 2 OR n_nationkey % 2 = 0
         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
+
+    // ---- Nested-struct schema evolution ------------------------------------------
+    // addColumn("meta.n_chars", long) as a metadata-only commit (the
+    // fixture REQUIREs zero file rewrites), old files reading the nested
+    // field as null; the query folds both generations through the evolved
+    // schema and is oracle-checked against DuckDB reconstructing the same
+    // two-generation view from the source parquet.
+    "q181_nested_evolution" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = nestedEvoTable(s, dir)
+        t.toDF
+          .groupBy($"meta.lang".as("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+               count($"meta.n_chars").as("n_with_chars"),
+               sum($"meta.n_chars").as("sum_chars"))
+          .orderBy($"lang")
+      },
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  COUNT(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_with_chars,
+        |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
   )
 }

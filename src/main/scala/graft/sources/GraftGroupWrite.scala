@@ -54,8 +54,8 @@ class GraftGroupBatchWrite(table: GraftTable, scannedSnap: () => Option[Snapshot
       val written = spark.read
         .schema(graft.table.ColumnMapping.physicalSchema(snap.schema))
         .parquet(adds.map(a => s"${table.path}/${a.path}"): _*)
-        .select(snap.schema.fields.map(f => org.apache.spark.sql.functions
-          .col(graft.table.ColumnMapping.physicalName(f)).as(f.name)).toSeq: _*)
+        .select(snap.schema.fields
+          .map(graft.table.ColumnMapping.logicalColumn).toSeq: _*)
       constraints.foreach { case (name, expr) =>
         val bad = written.filter(!org.apache.spark.sql.functions.expr(expr)).count()
         if (bad > 0) {

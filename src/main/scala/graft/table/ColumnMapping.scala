@@ -1,6 +1,9 @@
 package graft.table
 
-import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StructField, StructType}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, Metadata,
+  MetadataBuilder, StructField, StructType}
 
 /** Column mapping (Delta's `columnMapping.mode = name`): each field's
   * PHYSICAL parquet column name is pinned in the field metadata, so the
@@ -10,6 +13,12 @@ import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StructField, Struc
   * fresh physical name, so dropped data can never resurrect). Absent
   * metadata means physical == logical (every pre-mapping file ever
   * written), which keeps enabling the feature a pure metadata operation.
+  *
+  * NESTED fields participate too (added by nested schema evolution): the
+  * physical schema renames recursively, and the logical⇄physical
+  * translation of a struct column is a single positional CAST — struct
+  * casts rename field-by-field in declaration order, so one plan node
+  * translates an arbitrarily deep column.
   *
   * Reference: the Delta protocol's columnMapping table feature — the
   * reference's tables (delta 1.0.0) predate it, but its stack grew into
@@ -21,16 +30,50 @@ object ColumnMapping {
   def physicalName(f: StructField): String =
     if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey) else f.name
 
-  /** Any field whose physical name diverges from its logical name? While
-    * false (including always for pre-mapping tables), every translation
-    * below is the identity and costs nothing. */
+  /** Any field whose physical name diverges from its logical name —
+    * including nested ones? While false (including always for pre-mapping
+    * tables), every translation below is the identity and costs nothing. */
   def active(schema: StructType): Boolean =
-    schema.fields.exists(f => physicalName(f) != f.name)
+    schema.fields.exists(f => physicalName(f) != f.name || nestedActive(f.dataType))
 
-  /** The schema as the parquet files spell it. */
+  /** Divergence strictly BELOW a field: a nested field somewhere in `dt`
+    * carries a physical name different from its logical one. */
+  def nestedActive(dt: DataType): Boolean = dt match {
+    case s: StructType => s.fields.exists(f =>
+      physicalName(f) != f.name || nestedActive(f.dataType))
+    case a: ArrayType => nestedActive(a.elementType)
+    case m: MapType => nestedActive(m.keyType) || nestedActive(m.valueType)
+    case _ => false
+  }
+
+  /** `dt` with every nested field under its PHYSICAL name, metadata
+    * stripped — the spelling the parquet files use. */
+  def physicalType(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(name = physicalName(f), dataType = physicalType(f.dataType),
+        metadata = Metadata.empty)))
+    case a: ArrayType => a.copy(elementType = physicalType(a.elementType))
+    case m: MapType => m.copy(keyType = physicalType(m.keyType),
+      valueType = physicalType(m.valueType))
+    case other => other
+  }
+
+  /** `dt` with logical names everywhere and mapping metadata stripped —
+    * the clean target type for logical-side casts. */
+  def cleanType(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = cleanType(f.dataType), metadata = Metadata.empty)))
+    case a: ArrayType => a.copy(elementType = cleanType(a.elementType))
+    case m: MapType => m.copy(keyType = cleanType(m.keyType),
+      valueType = cleanType(m.valueType))
+    case other => other
+  }
+
+  /** The schema as the parquet files spell it (recursive). */
   def physicalSchema(schema: StructType): StructType =
     StructType(schema.fields.map(f =>
-      f.copy(name = physicalName(f), metadata = Metadata.empty)))
+      f.copy(name = physicalName(f),
+        dataType = physicalType(f.dataType), metadata = Metadata.empty)))
 
   def physicalOf(schema: StructType, logical: String): String =
     schema.fields.find(_.name == logical).map(physicalName).getOrElse(logical)
@@ -40,6 +83,22 @@ object ColumnMapping {
     * dropped column's stats or data binding to a same-named successor. */
   def physToLog(schema: StructType): Map[String, String] =
     schema.fields.map(f => physicalName(f) -> f.name).toMap
+
+  /** Read field `f` from a physically-named frame back under its logical
+    * name and (positionally cast) logical nested names. */
+  def logicalColumn(f: StructField): Column = {
+    val c = col(physicalName(f))
+    if (nestedActive(f.dataType)) c.cast(cleanType(f.dataType)).as(f.name)
+    else c.as(f.name)
+  }
+
+  /** Write field `f` from a logically-named frame out under its physical
+    * name and (positionally cast) physical nested names. */
+  def physicalColumn(f: StructField): Column = {
+    val c = col(f.name)
+    if (nestedActive(f.dataType)) c.cast(physicalType(f.dataType)).as(physicalName(f))
+    else c.as(physicalName(f))
+  }
 
   /** Stamp `f` with an explicit physical name (no-op key update if equal). */
   def withPhysical(f: StructField, physical: String): StructField =

@@ -74,8 +74,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * any provenance columns the caller added. */
   private def toLogical(s: Snapshot, df: DataFrame, keep: Seq[String] = Nil): DataFrame =
     if (!ColumnMapping.active(s.schema)) df
-    else df.select(s.schema.fields.map(f =>
-      col(ColumnMapping.physicalName(f)).as(f.name)).toSeq ++ keep.map(col): _*)
+    else df.select(s.schema.fields.map(ColumnMapping.logicalColumn).toSeq ++
+      keep.map(col): _*)
 
   /** Read a subset of a snapshot's files with the snapshot schema, with
     * each file's deletion vector applied (merge-on-read): rows whose
@@ -463,16 +463,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val s0 =
       if (!mergeSchema) s0raw
       else {
-        val existing = s0raw.schema.fieldNames.toSet
-        val newFields = df.schema.fields.filterNot(f => existing.contains(f.name))
-          .map(_.copy(nullable = true))
-          .map(f => if (columnMappingEnabled(s0raw.metaData))
-            ColumnMapping.withPhysical(f, s"col-${UUID.randomUUID()}") else f)
-        if (newFields.isEmpty) s0raw
+        val evolved = GraftTable.mergedSchema(s0raw.schema, df.schema,
+          columnMappingEnabled(s0raw.metaData))
+        if (evolved == s0raw.schema) s0raw
         else {
           require(s0raw.schema.fieldNames.forall(df.columns.contains),
             "mergeSchema append must still supply every existing column")
-          val evolved = StructType(s0raw.schema.fields ++ newFields)
           s0raw.copy(metaData = s0raw.metaData.copy(schemaString = evolved.json))
         }
       }
@@ -959,20 +955,39 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   /** ALTER TABLE ADD COLUMN: additive schema evolution as a metadata-only
     * commit (the same evolution `append(mergeSchema = true)` performs
     * implicitly) — existing files read the new column as null via parquet
-    * missing-column semantics, so no data rewrites. The column is forced
-    * nullable for exactly that reason. */
+    * missing-column semantics (nested fields included), so no data
+    * rewrites. The column is forced nullable for exactly that reason.
+    *
+    * Dotted names address INSIDE structs, Delta's `a.b.c` convention: the
+    * outer segments must already exist as struct columns; the leaf is
+    * appended to the innermost struct. Under column mapping the new leaf
+    * gets a fresh physical name — so a re-added nested field can never
+    * resurrect a dropped field's physical data — exactly as at top level. */
   def addColumn(name: String, dataType: DataType): Unit = {
     val s = snapshot
-    require(!s.schema.fieldNames.contains(name), s"column $name already exists")
     // under column mapping a NEW column gets a fresh physical name — if a
     // column of this logical name was ever dropped, its physical data
     // must not resurrect into the successor
-    val field0 = StructField(name, dataType, nullable = true)
-    val field =
+    def fresh(f: StructField): StructField =
       if (columnMappingEnabled(s.metaData))
-        ColumnMapping.withPhysical(field0, s"col-${UUID.randomUUID()}")
-      else field0
-    val evolved = StructType(s.schema.fields :+ field)
+        ColumnMapping.withPhysical(f, s"col-${UUID.randomUUID()}")
+      else f
+    def insert(st: StructType, path: List[String]): StructType = path match {
+      case leaf :: Nil =>
+        require(!st.fieldNames.contains(leaf), s"column $name already exists")
+        StructType(st.fields :+ fresh(StructField(leaf, dataType, nullable = true)))
+      case head :: rest =>
+        val idx = st.fieldNames.indexOf(head)
+        require(idx >= 0, s"no such column: $head (adding $name)")
+        st.fields(idx).dataType match {
+          case inner: StructType => StructType(st.fields.updated(idx,
+            st.fields(idx).copy(dataType = insert(inner, rest))))
+          case other => throw new IllegalArgumentException(
+            s"column $head is ${other.simpleString}, not a struct (adding $name)")
+        }
+      case Nil => throw new IllegalArgumentException(s"empty column name")
+    }
+    val evolved = insert(s.schema, name.split('.').toList)
     log.commit(s.version + 1, Seq(
       s.metaData.copy(schemaString = evolved.json),
       CommitInfo(s.version + 1, log.nextTimestamp(), "ADD COLUMNS",
@@ -2013,8 +2028,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       // logical schema but must land in the file under its fixed name
       val rid = if (df.columns.contains(GraftTable.RowIdCol))
         Seq(col(GraftTable.RowIdCol)) else Nil
-      val renamed = df.select(schema.fields.map(f =>
-        col(f.name).as(ColumnMapping.physicalName(f))).toSeq ++ rid: _*)
+      val renamed = df.select(
+        schema.fields.map(ColumnMapping.physicalColumn).toSeq ++ rid: _*)
       val physParts = meta.partitionColumns.map(ColumnMapping.physicalOf(schema, _))
       val physBloomMeta = meta.copy(properties = meta.properties ++
         meta.properties.get("bloom.columns").map(cols => "bloom.columns" ->
@@ -2380,14 +2395,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val s =
       if (!schemaEvolution) s0
       else {
-        val existing = s0.schema.fieldNames.toSet
-        val newFields = source.schema.fields.filterNot(f => existing.contains(f.name))
-          .map(_.copy(nullable = true))
-          .map(f => if (columnMappingEnabled(s0.metaData))
-            ColumnMapping.withPhysical(f, s"col-${UUID.randomUUID()}") else f)
-        if (newFields.isEmpty) s0
-        else s0.copy(metaData = s0.metaData.copy(
-          schemaString = StructType(s0.schema.fields ++ newFields).json))
+        val evolved = GraftTable.mergedSchema(s0.schema, source.schema,
+          columnMappingEnabled(s0.metaData))
+        if (evolved == s0.schema) s0
+        else s0.copy(metaData = s0.metaData.copy(schemaString = evolved.json))
       }
     // final metaData for a merge commit: the (possibly evolved) schema plus
     // identity-frontier and row-id high-water-mark bumps derived from the
@@ -2881,11 +2892,70 @@ object GraftTable {
     *     non-ANSI cast silently WRAPS overflow: 300 → tinyint 44);
     *   - a null (or null'd cast) bound for a nullable=false column
     *     raises instead of committing. */
+  /** Additive schema merge for mergeSchema/autoMerge writes, RECURSIVE
+    * into structs (Delta's autoMerge adds fields INSIDE structs too):
+    * fields the table lacks append as nullable — at top level or inside
+    * any struct — with a fresh physical name under column mapping;
+    * existing fields always keep the table's type (evolution is additive,
+    * never a retype; a genuine type conflict surfaces in the write
+    * projection's guarded cast, loudly). */
+  private[table] def mergedSchema(table: StructType, incoming: StructType,
+      mapping: Boolean): StructType = {
+    val kept = table.fields.map { tf =>
+      incoming.fields.find(_.name == tf.name) match {
+        case Some(inf) => (tf.dataType, inf.dataType) match {
+          case (ts: StructType, is: StructType) =>
+            tf.copy(dataType = mergedSchema(ts, is, mapping))
+          case _ => tf
+        }
+        case None => tf
+      }
+    }
+    val added = incoming.fields.filterNot(f => table.fieldNames.contains(f.name))
+      .map(_.copy(nullable = true))
+      .map(f => if (mapping) ColumnMapping.withPhysical(f, s"col-${UUID.randomUUID()}")
+                else f)
+    StructType(kept ++ added)
+  }
+
+  /** Align a written struct column to an EVOLVED table struct type: nested
+    * fields the source lacks fill with null (in place, preserving field
+    * order), recursively and through arrays — the nested twin of "absent
+    * top-level column reads null". Extra nested fields in the source
+    * reject, mirroring conform's top-level extra-column check. A null
+    * struct stays null (never becomes a struct of nulls). Identity — zero
+    * plan nodes — when the shapes already agree. */
+  private def alignNested(c: Column, src: DataType, dst: DataType): Column =
+    (src, dst) match {
+      case (s: StructType, d: StructType)
+          if ColumnMapping.cleanType(s) != ColumnMapping.cleanType(d) =>
+        val extra = s.fieldNames.toSet -- d.fieldNames.toSet
+        require(extra.isEmpty,
+          s"schema mismatch: write has extra nested fields ${extra.toSeq.sorted}")
+        val rebuilt = struct(d.fields.map { df =>
+          s.fields.find(_.name == df.name) match {
+            case Some(sf) =>
+              alignNested(c.getField(df.name), sf.dataType, df.dataType).as(df.name)
+            case None =>
+              lit(null).cast(ColumnMapping.cleanType(df.dataType)).as(df.name)
+          }
+        }.toSeq: _*)
+        when(c.isNull, lit(null).cast(ColumnMapping.cleanType(d)))
+          .otherwise(rebuilt)
+      case (a: ArrayType, b: ArrayType) =>
+        if (ColumnMapping.cleanType(a) == ColumnMapping.cleanType(b)) c
+        else transform(c, x => alignNested(x, a.elementType, b.elementType))
+      case _ => c
+    }
+
   private[graft] def guardedProjection(filled: DataFrame, schema: StructType,
       extra: Seq[Column] = Nil): DataFrame = {
     val srcType = filled.schema.fields.map(f => f.name -> f.dataType).toMap
     filled.select(schema.fields.map { f =>
-      val raw = col(f.name)
+      val raw = srcType.get(f.name) match {
+        case Some(st) => alignNested(col(f.name), st, f.dataType)
+        case None => col(f.name)
+      }
       val casted = raw.try_cast(f.dataType)
       val safeCast =
         if (srcType.get(f.name).contains(f.dataType)) raw
