@@ -239,6 +239,62 @@ object Streaming {
         |UNION ALL SELECT * FROM unmatched
         |ORDER BY 1, 2, 3, 4, 5""".stripMargin),
 
+    // ---- Stream-stream FULL OUTER join (both sides watermark-evicted) -------------
+    // q83 inner, q173 left outer — this is the remaining sibling, with
+    // BOTH sides null-padding on watermark eviction: an unmatched click
+    // emits (c, null) once the watermark passes its whole join range
+    // (c_us + 30min < wm, as in q173), and an unmatched purchase emits
+    // (null, p) once no eligible click can still arrive — matching clicks
+    // need c_ts ∈ [p_ts − 30min, p_ts], and new rows below the watermark
+    // are late-dropped, so the purchase finalizes once p_us < wm. The
+    // user_id column coalesces across sides (a purchase-only row has no
+    // click-side key). AvailableNow's trailing no-data batch finalizes
+    // both evictions, so the emitted set is a pure function of the input
+    // and the DuckDB twin replays it exactly: inner matches UNION ALL
+    // closed-window unmatched clicks UNION ALL closed-window unmatched
+    // purchases, each side's cutoff stated explicitly.
+    "q182_stream_full_outer_join" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val src = EventStreams.readEventStream(s, dir)
+        val joined = EventStreams.clickPurchaseJoin(src, src, "fullOuter")
+        EventStreams.runAppendToFiles(s, joined)
+          .orderBy($"user_id", $"c_us", $"p_us", $"c_value", $"p_value")
+      },
+      """WITH c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(epoch_us(ts)) FROM c),
+        |                    (SELECT max(epoch_us(ts)) FROM p))
+        |         - 1800 * 1000000 AS wm_us),
+        |matched AS (
+        |  SELECT c.user_id, epoch_us(c.ts) AS c_us, epoch_us(p.ts) AS p_us,
+        |    c.value AS c_value, p.value AS p_value
+        |  FROM c JOIN p ON c.user_id = p.user_id
+        |    AND epoch_us(p.ts) >= epoch_us(c.ts)
+        |    AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800 * 1000000),
+        |c_unmatched AS (
+        |  SELECT c.user_id, epoch_us(c.ts) AS c_us, CAST(NULL AS BIGINT) AS p_us,
+        |    c.value AS c_value, CAST(NULL AS DOUBLE) AS p_value
+        |  FROM c, wm
+        |  WHERE NOT EXISTS (
+        |      SELECT 1 FROM p WHERE p.user_id = c.user_id
+        |        AND epoch_us(p.ts) >= epoch_us(c.ts)
+        |        AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800 * 1000000)
+        |    AND epoch_us(c.ts) + 1800 * 1000000 < wm.wm_us),
+        |p_unmatched AS (
+        |  SELECT p.user_id, CAST(NULL AS BIGINT) AS c_us, epoch_us(p.ts) AS p_us,
+        |    CAST(NULL AS DOUBLE) AS c_value, p.value AS p_value
+        |  FROM p, wm
+        |  WHERE NOT EXISTS (
+        |      SELECT 1 FROM c WHERE c.user_id = p.user_id
+        |        AND epoch_us(p.ts) >= epoch_us(c.ts)
+        |        AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800 * 1000000)
+        |    AND epoch_us(p.ts) < wm.wm_us)
+        |SELECT * FROM matched
+        |UNION ALL SELECT * FROM c_unmatched
+        |UNION ALL SELECT * FROM p_unmatched
+        |ORDER BY 1, 2, 3, 4, 5""".stripMargin),
+
     // ---- Stream-static broadcast enrichment ---------------------------------------
     // The stream joins a small static dimension (event_type -> category,
     // an in-memory relation — §2-A.5 shape) under a broadcast hint, then

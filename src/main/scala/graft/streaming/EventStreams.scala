@@ -346,7 +346,10 @@ object EventStreams {
         col("p_ts") >= col("c_ts") &&
         col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
         joinType)
-      .select(col("user_id"),
+      // coalesce: a purchase-only row (full outer eviction) has no
+      // click-side key; for inner/leftOuter the left key is always set
+      // and the coalesce is a no-op
+      .select(coalesce(col("user_id"), col("p_user")).as("user_id"),
         unix_micros(col("c_ts")).as("c_us"), unix_micros(col("p_ts")).as("p_us"),
         col("c_value"), col("p_value"))
   }
