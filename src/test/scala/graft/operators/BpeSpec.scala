@@ -102,4 +102,56 @@ class BpeSpec extends SparkTestBase {
     val all = graft.SparkEntry.queries("q177_bpe_encode")(spark, sfDir).collect()
     assert(all.forall(x => x.getAs[Long]("n_bpe_tokens") >= x.getAs[Long]("n_words")))
   }
+
+  test("LEARNED table drives the codegen'd encode end-to-end: train → encode → decode == identity") {
+    // q177 encodes with a PINNED 4-merge table (oracle determinism); the
+    // production tokenize path is trainHistogram's LEARNED table feeding
+    // the same replace-to-fixpoint expression chain — this closes that
+    // composition: train on the corpus, encode the corpus with the learned
+    // merges through the codegen'd chain (no UDF), and prove the encode is
+    // lossless and compressive.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, testSf)
+      .select($"doc_id", $"text").limit(80).cache()
+    val merges = Bpe.trainHistogram(docs.select($"text").as[String], numMerges = 16)
+    assert(merges.nonEmpty && merges.map(_.rank) == (1 to merges.length))
+    val D = ""
+    // learned tokens must be delimiter-free or the expression encoding is unsound
+    assert(merges.forall(m => !m.left.contains(D) && !m.right.contains(D)))
+    val docw = docs
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+    val seed = concat(lit(D), regexp_replace($"w", "(.)", "$1" + D))
+    // 8 fixpoint passes cover 2^8-token words — far past this corpus; the
+    // pass count is kept low because each (merge, pass) nests one replace
+    // node and Catalyst's column conversion recurses over the whole tree
+    val encoded = merges.foldLeft(seed) { case (st, m) =>
+      val pat = lit(s"$D${m.left}$D${m.right}$D"); val rep = lit(s"$D${m.left}${m.right}$D")
+      (1 to 8).foldLeft(st)((acc, _) => replace(acc, pat, rep))
+    }
+    val tokw = docw.select($"w").distinct()
+      .withColumn("enc", encoded)
+      .withColumn("toks", expr("filter(split(enc, '\\u0001'), x -> x != '')"))
+    // decode == identity: concatenating a word's BPE tokens reproduces it
+    val broken = tokw.filter(concat_ws("", $"toks") =!= $"w").count()
+    assert(broken === 0L, "learned-table expression encode must be lossless")
+    // expression encode ≡ the reference encode (Bpe.tokenize's merge loop)
+    // per distinct word
+    val wordDf = tokw.select($"w")
+      .withColumn("wid", monotonically_increasing_id())
+    val ref = Bpe.tokenize(wordDf, "wid", "w", merges)
+      .join(wordDf, "wid")
+      .select($"w", $"n_tokens".cast("long")).as[(String, Long)].collect().toMap
+    val exprCounts = tokw.select($"w", size($"toks").cast("long")).as[(String, Long)]
+      .collect().toMap
+    assert(exprCounts == ref,
+      "codegen'd replace-chain must agree with the reference merge loop per word")
+    // the learned merges actually compress the token stream
+    val sums = docw.join(tokw, "w")
+      .agg(sum(size($"toks")).cast("long"), sum(length($"w")).cast("long")).head()
+    assert(sums.getLong(0) < sums.getLong(1),
+      s"learned BPE must compress: ${sums.getLong(0)} tokens vs ${sums.getLong(1)} chars")
+    docs.unpersist()
+  }
 }
