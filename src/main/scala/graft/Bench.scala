@@ -53,6 +53,7 @@ object Bench {
       graft.queries.Dedup.warmFixtures(spark, sfDir)
       graft.queries.Streaming.warmFixtures(spark, sfDir)
       graft.queries.CatalogQueries.warmFixtures(spark, sfDir)
+      graft.queries.Text.warmFixtures(spark, sfDir)
     } catch { case _: Throwable => () }
 
     // A failed query is recorded as -1 (never a silent ~0s success) and

@@ -303,6 +303,7 @@ object TableQueries {
   def warmFixtures(s: SparkSession, dir: String): Unit = {
     statsTable(s, dir); zorderTable(s, dir); bloomTable(s, dir)
     cloneTable(s, dir); partTable(s, dir); genTable(s, dir); spjTables(s, dir)
+    deltaInteropTable(s, dir); nestedEvoTable(s, dir)
     // round-9 per-dir scenario tables (identity, replaceWhere backfill,
     // convert, copy-into, row tracking): their builds are one-time table
     // maintenance, amortized over every later read in production — the

@@ -42,7 +42,14 @@ final class GraftLog(val tablePath: String,
     * version-does-not-exist, the documented retention contract. */
   private val logStartFile: Path = logDir.resolve("_log_start")
   def earliestVersion: Long =
-    if (!store.exists(logStartFile)) 0L
+    if (!store.exists(logStartFile)) {
+      // No retention pointer: 0 for every graft table (cleanup always
+      // writes `_log_start`). A FOREIGN delta log cleaned by delta-spark
+      // has no pointer AND no version-0 JSON — recover the floor from the
+      // commit files themselves (one listing, foreign-cleaned path only).
+      if (store.exists(versionFile(0L))) 0L
+      else listVersions.minOption.getOrElse(0L)
+    }
     else try store.readString(logStartFile).trim.toLong
     catch { case _: Exception =>
       // a present-but-unreadable pointer on a CLEANED log must not fall
@@ -476,7 +483,11 @@ final class GraftLog(val tablePath: String,
 
   private def checkpointExistsAt(cp: Long): Boolean =
     store.exists(checkpointFile(cp)) || store.exists(parquetCheckpointFile(cp)) ||
-      multipartFiles(cp).nonEmpty
+      multipartFiles(cp).nonEmpty ||
+      // a delta-spark MULTI-part checkpoint has neither graft name nor a
+      // manifest; without recognizing it here a checkpoint-only foreign
+      // log would replay from a version-0 JSON that no longer exists
+      deltaCheckpointFiles(cp).nonEmpty
 
   /** Directory listings performed by this log instance — object-store LIST
     * calls are the scaling hazard the `_last_checkpoint` pointer and the
@@ -504,6 +515,24 @@ final class GraftLog(val tablePath: String,
         while (cp > 0 && !checkpointExistsAt(cp)) cp -= checkpointInterval
         if (cp > 0) Some(cp) else None
       }
+  }
+
+  /** The delta-spark checkpoint file set at `cp`: the single
+    * `%020d.checkpoint.parquet` (same name graft uses — the content, not
+    * the name, decides the codec) or delta's multi-part
+    * `%020d.checkpoint.%010d.%010d.parquet` naming (part i of n, no
+    * manifest — one listing resolves the set). */
+  private def deltaCheckpointFiles(cp: Long): Seq[Path] = {
+    val single = parquetCheckpointFile(cp)
+    if (store.isRegularFile(single)) Seq(single)
+    else {
+      listingCount += 1
+      if (!store.isDirectory(logDir)) Nil
+      else store.list(logDir, f"$cp%020d.checkpoint.*.parquet")
+        .filter(_.getFileName.toString
+          .matches("\\d{20}\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet"))
+        .sortBy(_.getFileName.toString)
+    }
   }
 
   /** Checkpoint state at version cp, whichever format exists (parquet
@@ -622,12 +651,29 @@ final class GraftLog(val tablePath: String,
                 seed
               } else replay(cp + 1, v, Some(seed))
             case scala.util.Failure(e: GraftProtocolException) => throw e
-            case scala.util.Failure(e) if earliestVersion == 0L =>
-              replay(0L, v, None)
-            case scala.util.Failure(e) => throw new GraftProtocolException(
-              s"checkpoint $cp of $tablePath is not in graft format (a " +
-                "foreign Delta checkpoint?) and the JSON commits before it " +
-                s"were already cleaned up — cannot fold version $v: $e")
+            case scala.util.Failure(e) =>
+              // graft codec refused — a REAL delta-spark checkpoint shares
+              // the file naming but not the layout; decode it through the
+              // compat reader, and only when that too fails fall back to a
+              // full JSON replay (commits intact) or a named error.
+              scala.util.Try(DeltaCheckpointCompat.read(
+                  deltaCheckpointFiles(cp), cp)) match {
+                case scala.util.Success(seed) =>
+                  if (cp == v) {
+                    gateReaderFeatures(seed.protocol)
+                    gateForeignMetadata(seed.metaData)
+                    seed
+                  } else replay(cp + 1, v, Some(seed))
+                case scala.util.Failure(e2: GraftProtocolException) => throw e2
+                case scala.util.Failure(_) if earliestVersion == 0L =>
+                  replay(0L, v, None)
+                case scala.util.Failure(e2) => throw new GraftProtocolException(
+                  s"checkpoint $cp of $tablePath decodes as neither a graft " +
+                    "checkpoint nor a Delta 1.x single/multi-part parquet " +
+                    "checkpoint (a v2 checkpoint with sidecars?), and the " +
+                    "JSON commits before it were already cleaned up — " +
+                    s"cannot fold version $v: graft codec: $e; delta: $e2")
+              }
           }
         case None => replay(0L, v, None)
       }

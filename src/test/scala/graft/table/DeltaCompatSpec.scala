@@ -243,6 +243,82 @@ class DeltaCompatSpec extends SparkTestBase {
     assert(migrated.toDF.count() === 4L)
   }
 
+  /** Write delta-checkpoint rows (single-action JSON lines → parquet with
+    * one nullable struct column per action — the real delta layout) and
+    * move the part files to the given names under _delta_log. */
+  private def deltaCheckpoint(dir: String, actionLines: Seq[String],
+      names: Seq[String]): Unit = {
+    import spark.implicits._
+    val stage = tmpDir("delta-cp-auth-")
+    spark.read.json(actionLines.toDS).repartition(names.size)
+      .write.mode("overwrite").parquet(stage)
+    val parts = Files.list(Paths.get(stage)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).sorted
+    assert(parts.length == names.length)
+    parts.zip(names).foreach { case (p, n) =>
+      Files.move(Paths.get(p), Paths.get(dir, "_delta_log", n),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  test("checkpoint-only delta log (JSON commits cleaned) folds through the compat reader") {
+    val dir = tmpDir("delta-compat-cponly-")
+    Files.createDirectories(Paths.get(dir, "_delta_log"))
+    val (sz1, mt1) = dataFile(dir, "part-00000-aaa-c000.snappy.parquet", df(0 until 5))
+    val (sz2, mt2) = dataFile(dir, "part-00001-bbb-c000.snappy.parquet", df(5 until 10))
+    // delta's metadata cleanup deleted JSONs 0-10; the version-10
+    // checkpoint parquet is the only seed, and commit 11 appends a file
+    deltaCheckpoint(dir, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"abc","format":{"provider":"parquet"},"schemaString":"$idSchema","partitionColumns":[],"configuration":{"k":"v"},"createdTime":1619112344000}}""",
+      add("part-00000-aaa-c000.snappy.parquet", sz1, mt1,
+        Some(stats(5, Map("id" -> 0), Map("id" -> 4), Map("id" -> 0L))))),
+      Seq(f"${10L}%020d.checkpoint.parquet"))
+    Files.write(Paths.get(dir, "_delta_log", "_last_checkpoint"),
+      """{"version":10,"size":3}""".getBytes("UTF-8"))
+    commit(dir, 11, Seq(
+      commitInfo(1619112399000L, "WRITE"),
+      add("part-00001-bbb-c000.snappy.parquet", sz2, mt2,
+        Some(stats(5, Map("id" -> 5), Map("id" -> 9), Map("id" -> 0L))))))
+
+    val t = GraftTable.forPath(spark, dir)
+    assert(t.latestVersion === 11L)
+    assert(t.toDF.count() === 10L)
+    // the checkpoint version itself time-travels; configuration flowed
+    // through, with the foreign marker attached
+    val s10 = t.snapshotAt(10L)
+    assert(s10.files.map(_.path) === Seq("part-00000-aaa-c000.snappy.parquet"))
+    assert(s10.metaData.properties.get("k").contains("v"))
+    assert(s10.metaData.properties.contains(Actions.DeltaReadMarker))
+    assert(t.versionAsOf(10L).count() === 5L)
+    // versions below the cleaned horizon stay unreachable, loudly
+    intercept[Exception](t.versionAsOf(3L).count())
+    // ... and the foreign log is still read-only
+    intercept[GraftProtocolException](t.delete(col("id") >= 0L))
+  }
+
+  test("multi-part delta checkpoint (part-of-n naming, no manifest) folds too") {
+    val dir = tmpDir("delta-compat-cpmulti-")
+    Files.createDirectories(Paths.get(dir, "_delta_log"))
+    val (sz1, mt1) = dataFile(dir, "part-00000-aaa-c000.snappy.parquet", df(0 until 4))
+    val (sz2, mt2) = dataFile(dir, "part-00001-bbb-c000.snappy.parquet", df(4 until 9))
+    deltaCheckpoint(dir, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"abc","format":{"provider":"parquet"},"schemaString":"$idSchema","partitionColumns":[],"configuration":{},"createdTime":1619112344000}}""",
+      add("part-00000-aaa-c000.snappy.parquet", sz1, mt1,
+        Some(stats(4, Map("id" -> 0), Map("id" -> 3), Map("id" -> 0L)))),
+      add("part-00001-bbb-c000.snappy.parquet", sz2, mt2,
+        Some(stats(5, Map("id" -> 4), Map("id" -> 8), Map("id" -> 0L))))),
+      Seq(f"${20L}%020d.checkpoint.${1}%010d.${2}%010d.parquet",
+        f"${20L}%020d.checkpoint.${2}%010d.${2}%010d.parquet"))
+    Files.write(Paths.get(dir, "_delta_log", "_last_checkpoint"),
+      """{"version":20,"size":4,"parts":2}""".getBytes("UTF-8"))
+    commit(dir, 21, Seq(commitInfo(1619112400000L, "OPTIMIZE")))
+    val t = GraftTable.forPath(spark, dir)
+    assert(t.latestVersion === 21L)
+    assert(t.toDF.count() === 9L)
+  }
+
   test("a foreign (non-graft) checkpoint is ignored: full JSON replay folds the table") {
     import spark.implicits._
     val dir = tmpDir("delta-compat-cp-")
