@@ -217,3 +217,16 @@ class GraftRelation(ctx: SQLContext, table: GraftTable, snapshot: Snapshot)
     cols.reduceOption(_ && _)
   }
 }
+
+/** `format("delta")` — the literal spelling the reference uses
+  * (api.py:77-80 reads, spark_project.py:36 writes). No Delta jar exists
+  * in this environment, so the short name is free; registering the graft
+  * source under it lets REFERENCE CODE RUN VERBATIM: reads (with
+  * versionAsOf/timestampAsOf options) of both graft-written tables and
+  * real delta-spark logs (the round-13 read-interop), writes that create/
+  * append GRAFT tables on fresh paths, and `readStream` tailing. Writes
+  * to a REAL delta-spark log still refuse through the foreign-log gate —
+  * this alias changes spelling, never semantics. */
+class GraftDeltaSource extends GraftSource {
+  override def shortName(): String = "delta"
+}

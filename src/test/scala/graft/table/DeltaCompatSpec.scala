@@ -319,6 +319,37 @@ class DeltaCompatSpec extends SparkTestBase {
     assert(t.toDF.count() === 9L)
   }
 
+  test("format(\"delta\") alias: the reference's verbatim API runs against graft") {
+    // no delta jar exists here, so the short name is free — the reference's
+    // exact call shapes (spark_project.py:36 write, api.py:77-80 reads)
+    // resolve to the graft source
+    val dir = tmpDir("delta-alias-") + "/t"
+    df(0 until 6).write.format("delta").save(dir)
+    assert(GraftTable.isGraftTable(dir), "format(\"delta\") write must create a graft table")
+    df(6 until 9).write.format("delta").mode("append").save(dir)
+    assert(spark.read.format("delta").load(dir).count() === 9L)
+    assert(spark.read.format("delta").option("versionAsOf", 0).load(dir).count() === 6L)
+    // full circle: the alias reads a REAL delta-spark log transparently...
+    val foreign = tmpDir("delta-alias-foreign-")
+    val (sz1, mt1) = dataFile(foreign, "part-00000-aaa-c000.snappy.parquet", df(0 until 4))
+    commit(foreign, 0, Seq(
+      commitInfo(1619112345000L, "WRITE"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaData(idSchema),
+      add("part-00000-aaa-c000.snappy.parquet", sz1, mt1,
+        Some(stats(4, Map("id" -> 0), Map("id" -> 3), Map("id" -> 0L))))))
+    assert(spark.read.format("delta").load(foreign).count() === 4L)
+    // ... and still refuses to APPEND into one (the foreign-log gate holds
+    // regardless of spelling)
+    val e = intercept[Exception] {
+      df(100 until 103).write.format("delta").mode("append").save(foreign)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(e).exists(_.isInstanceOf[GraftProtocolException]),
+      s"foreign append must refuse through the gate, got $e")
+  }
+
   test("a foreign (non-graft) checkpoint is ignored: full JSON replay folds the table") {
     import spark.implicits._
     val dir = tmpDir("delta-compat-cp-")
