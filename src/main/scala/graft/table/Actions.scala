@@ -228,6 +228,12 @@ object Actions {
           "opening it here")
     }
     val rawPath = n.get("path").asText()
+    // Delta permits ABSOLUTE URIs here (external locations, some clones);
+    // URI.getPath would silently strip the scheme+authority and misresolve
+    // against the table root — refuse loudly instead
+    if (rawPath.contains("://")) throw new GraftProtocolException(
+      s"Delta add references an absolute file URI ($rawPath) — only " +
+        "table-relative paths are readable")
     val path = try new java.net.URI(rawPath).getPath catch {
       case _: java.net.URISyntaxException => rawPath
     }
