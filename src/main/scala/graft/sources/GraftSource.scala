@@ -219,14 +219,33 @@ class GraftRelation(ctx: SQLContext, table: GraftTable, snapshot: Snapshot)
 }
 
 /** `format("delta")` — the literal spelling the reference uses
-  * (api.py:77-80 reads, spark_project.py:36 writes). No Delta jar exists
-  * in this environment, so the short name is free; registering the graft
-  * source under it lets REFERENCE CODE RUN VERBATIM: reads (with
+  * (api.py:77-80 reads, spark_project.py:36 writes). Registering the
+  * graft source under it lets REFERENCE CODE RUN VERBATIM: reads (with
   * versionAsOf/timestampAsOf options) of both graft-written tables and
   * real delta-spark logs (the round-13 read-interop), writes that create/
   * append GRAFT tables on fresh paths, and `readStream` tailing. Writes
   * to a REAL delta-spark log still refuse through the foreign-log gate —
-  * this alias changes spelling, never semantics. */
+  * this alias changes spelling, never semantics.
+  *
+  * If REAL delta-spark is ALSO on the classpath, the alias yields: two
+  * DataSourceRegister providers answering one short name would make
+  * Spark throw "Multiple sources found" on every `format("delta")` call,
+  * converting a working Delta deployment into a broken one. Probing for
+  * Delta's provider class at registration time keeps exactly one owner
+  * of the name in either world — graft alone: alias active; graft beside
+  * delta-spark: delta-spark keeps its name, graft stays reachable as
+  * `format("graft")`. */
 class GraftDeltaSource extends GraftSource {
-  override def shortName(): String = "delta"
+  override def shortName(): String =
+    if (GraftDeltaSource.realDeltaPresent) "graft-delta-shadowed"
+    else "delta"
+}
+
+object GraftDeltaSource {
+  private lazy val realDeltaPresent: Boolean =
+    try {
+      Class.forName("org.apache.spark.sql.delta.sources.DeltaDataSource",
+        false, Thread.currentThread().getContextClassLoader)
+      true
+    } catch { case _: Throwable => false }
 }

@@ -136,11 +136,43 @@ object Actions {
     * mixed history neither engine can replay. */
   val DeltaReadMarker = "graft.compat.deltaRead"
 
+  /** Node-level Delta-shape probe over one raw log line — the SAME
+    * criteria [[fromJson]] dispatches on (add with `dataChange`/`stats`/no
+    * top-level `numRecords`; metaData with a `format` or `configuration`
+    * block). Parsing, not substring matching: a graft table whose SCHEMA
+    * has a column literally named `dataChange` puts that string inside
+    * minValues/maxValues, where a raw `contains` probe would false-positive
+    * and brick the table read-only. */
+  def isDeltaShaped(line: String): Boolean = {
+    val root = try mapper.readTree(line) catch { case _: Exception => return false }
+    val add = root.get("add")
+    val md = root.get("metaData")
+    (add != null && !add.isNull &&
+      (add.has("dataChange") || add.has("stats") || !add.has("numRecords"))) ||
+    (md != null && !md.isNull && (md.has("format") || md.has("configuration")))
+  }
+
   private def strMap(node: JsonNode, field: String): Map[String, String] =
     Option(node.get(field)).map { m =>
       m.properties().asScala
-        .filterNot(_.getValue.isNull) // Delta writes null partition values as JSON null
+        .filterNot(_.getValue.isNull) // null config/tag entries carry nothing
         .map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty)
+
+  /** Partition values of a FOREIGN Delta add: Delta serializes a null
+    * partition value as JSON null, where native graft files carry Hive's
+    * `__HIVE_DEFAULT_PARTITION__` sentinel. Mapping (never dropping) keeps
+    * the key present — the SPJ key decoder and the streaming const-row
+    * reader look partition columns up by key and must not throw on a
+    * null-partitioned foreign file. */
+  private def partMap(node: JsonNode): Map[String, String] =
+    Option(node.get("partitionValues")).map { m =>
+      m.properties().asScala.map { e =>
+        e.getKey -> (if (e.getValue.isNull)
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .DEFAULT_PARTITION_NAME
+        else e.getValue.asText())
+      }.toMap
     }.getOrElse(Map.empty)
 
   private def putMap(node: ObjectNode, field: String, m: Map[String, String]): Unit = {
@@ -228,11 +260,17 @@ object Actions {
           "opening it here")
     }
     val rawPath = n.get("path").asText()
-    // Delta permits ABSOLUTE URIs here (external locations, some clones);
-    // URI.getPath would silently strip the scheme+authority and misresolve
-    // against the table root — refuse loudly instead
-    if (rawPath.contains("://")) throw new GraftProtocolException(
-      s"Delta add references an absolute file URI ($rawPath) — only " +
+    // Delta permits ABSOLUTE paths here (external locations, some clones),
+    // in every spelling: scheme+authority (s3a://bucket/x), scheme-only
+    // (file:/x — a form delta writers do produce), bare absolute (/x), and
+    // opaque URIs (a:b). URI.getPath would silently strip the scheme (or
+    // return null for opaque forms) and misresolve against the table
+    // root — refuse every absolute/opaque form loudly instead.
+    val absolute = rawPath.startsWith("/") ||
+      (try new java.net.URI(rawPath).isAbsolute
+       catch { case _: java.net.URISyntaxException => false })
+    if (absolute) throw new GraftProtocolException(
+      s"Delta add references an absolute file path/URI ($rawPath) — only " +
         "table-relative paths are readable")
     val path = try new java.net.URI(rawPath).getPath catch {
       case _: java.net.URISyntaxException => rawPath
@@ -250,7 +288,7 @@ object Actions {
         Option(st.get("nullCount")).foreach(flatten(_, "", nulls))
       }
     AddFile(path, n.get("size").asLong(), n.get("modificationTime").asLong(),
-      numRecords, mins.toMap, maxs.toMap, strMap(n, "partitionValues"),
+      numRecords, mins.toMap, maxs.toMap, partMap(n),
       None, 0L, Option(n.get("baseRowId")).map(_.asLong()),
       nulls.flatMap { case (k, v) =>
         scala.util.Try(v.toLong).toOption.map(k -> _) }.toMap,

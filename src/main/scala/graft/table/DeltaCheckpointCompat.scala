@@ -31,6 +31,24 @@ object DeltaCheckpointCompat {
     * path — forPath/catalog/queries all run inside one). */
   def read(files: Seq[Path], cp: Long): Snapshot = {
     require(files.nonEmpty, s"no delta checkpoint files for version $cp")
+    // Multi-part completeness: each part's filename encodes (part i OF n).
+    // A lost part — or an eventually-consistent object-store LIST that
+    // returned a partial set — must fail HERE, loudly: folding the
+    // surviving parts would silently drop AddFiles and serve partial
+    // query results as if they were the table.
+    val MultiPart = """\d{20}\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+    val parts = files.flatMap(_.getFileName.toString match {
+      case MultiPart(i, n) => Some(i.toLong -> n.toLong)
+      case _ => None
+    })
+    if (parts.nonEmpty) {
+      val ns = parts.map(_._2).distinct
+      require(ns.size == 1 && parts.map(_._1).sorted == (1L to ns.head),
+        s"delta multi-part checkpoint $cp is incomplete: found parts " +
+          s"${parts.map(_._1).sorted.mkString(",")} of ${ns.mkString("/")} — " +
+          "refusing to fold a partial file set (missing parts would " +
+          "silently drop live files)")
+    }
     val spark = org.apache.spark.sql.SparkSession.active
     val actions = spark.read.parquet(files.map(_.toString): _*)
       .toJSON.collect().iterator

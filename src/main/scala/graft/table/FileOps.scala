@@ -52,7 +52,10 @@ object FileOps extends Serializable {
     val firstN = schema.fields.take(n)
     val cluster = meta.properties.get("clustering.columns").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-    val always = (meta.partitionColumns ++ cluster).flatMap(c =>
+    // identity columns always keep their max stat: bumpedProps REQUIREs it
+    // to advance the allocation frontier — capping it would brick appends
+    val identity = IdentityColumns.names(schema).toSeq
+    val always = (meta.partitionColumns ++ cluster ++ identity).flatMap(c =>
       Seq(c) ++ schema.fields.find(_.name == c).map(ColumnMapping.physicalName))
     Some((firstN.map(_.name) ++ firstN.map(ColumnMapping.physicalName) ++
       always).toSet)

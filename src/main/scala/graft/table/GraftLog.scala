@@ -31,9 +31,60 @@ final class GraftLog(val tablePath: String,
   val logDir: Path = Paths.get(tablePath, "_delta_log")
 
   def exists: Boolean =
-    store.isDirectory(logDir) && store.exists(versionFile(earliestVersion))
+    store.isDirectory(logDir) &&
+      (store.exists(versionFile(earliestVersion)) || checkpointOnly)
+
+  /** True for a foreign Delta log whose EVERY JSON commit was deleted by
+    * delta-spark's metadata cleanup (a valid post-cleanup Delta state):
+    * only the checkpoint parquet (+ `_last_checkpoint`) survives. Such a
+    * log must still read (the checkpoint IS the snapshot) and must refuse
+    * graft writes — `GraftTable.create` inside a live Delta table would
+    * let a later graft VACUUM delete Delta's live data files. */
+  @volatile private var checkpointOnlyCache = false
+  private def checkpointOnly: Boolean = checkpointOnlyCache || {
+    val r = !store.exists(versionFile(earliestVersion)) &&
+      recoveredFloor.exists(checkpointExistsAt)
+    if (r) checkpointOnlyCache = true // a JSON commit never reappears below the floor
+    r
+  }
 
   def versionFile(v: Long): Path = logDir.resolve(f"$v%020d.json")
+
+  /** Retention floor recovered by inspection for logs with no `_log_start`
+    * and no version-0 JSON (foreign-cleaned Delta logs): the minimum
+    * surviving JSON commit, else the newest Delta checkpoint version
+    * (fully-cleaned checkpoint-only log). MEMOIZED once found — the floor
+    * only moves at cleanup (which rewrites the pointers this fallback
+    * substitutes for), and without memoization every exists/latestVersion
+    * call would re-LIST the directory: object-store LIST multiplication on
+    * the hot read path. Never memoized while nothing is found, so a table
+    * created later still probes fresh. */
+  @volatile private var recoveredFloorCache: Option[Long] = None
+  private def recoveredFloor: Option[Long] = {
+    val c = recoveredFloorCache
+    if (c.isDefined) c
+    else {
+      val f = listVersions.minOption.orElse(newestCheckpointByListing)
+      if (f.isDefined) recoveredFloorCache = f
+      f
+    }
+  }
+
+  /** Newest checkpoint version on disk, pointer first, one listing as the
+    * fallback (lost `_last_checkpoint`) — only consulted off the recovered
+    * floor path, never per-read. */
+  private def newestCheckpointByListing: Option[Long] =
+    lastCheckpointPointer.filter(checkpointExistsAt).orElse {
+      if (!store.isDirectory(logDir)) None
+      else {
+        listingCount += 1
+        store.list(logDir, "*.checkpoint*.parquet")
+          .map(_.getFileName.toString)
+          .flatMap(n => "^(\\d{20})\\.checkpoint".r
+            .findFirstMatchIn(n).map(_.group(1).toLong))
+          .maxOption
+      }
+    }
 
   /** Earliest commit file still on disk: 0 unless `cleanupExpiredLogs`
     * pruned history, in which case the `_log_start` pointer (written
@@ -46,9 +97,10 @@ final class GraftLog(val tablePath: String,
       // No retention pointer: 0 for every graft table (cleanup always
       // writes `_log_start`). A FOREIGN delta log cleaned by delta-spark
       // has no pointer AND no version-0 JSON — recover the floor from the
-      // commit files themselves (one listing, foreign-cleaned path only).
+      // commit files themselves (memoized single listing, foreign-cleaned
+      // path only).
       if (store.exists(versionFile(0L))) 0L
-      else listVersions.minOption.getOrElse(0L)
+      else recoveredFloor.getOrElse(0L)
     }
     else try store.readString(logStartFile).trim.toLong
     catch { case _: Exception =>
@@ -57,8 +109,8 @@ final class GraftLog(val tablePath: String,
       // latestVersion would probe it and declare an intact table
       // unreadable — the very corruption this fallback exists to survive.
       // Recover the true floor from the commit files themselves (one
-      // listing, corrupt-pointer path only — never the hot path).
-      listVersions.minOption.getOrElse(0L)
+      // memoized listing, corrupt-pointer path only — never the hot path).
+      recoveredFloor.getOrElse(0L)
     }
 
   /** Delete commit + checkpoint files whose versions predate the newest
@@ -144,7 +196,11 @@ final class GraftLog(val tablePath: String,
     // cleanupExpiredLogs pruned old commits, a lost/corrupt pointer must
     // still find the head (probing from 0 would stop at the pruned gap
     // and declare an intact table unreadable)
-    val start = lastCheckpointPointer.filter(v => store.exists(versionFile(v)))
+    // the pointer is usable when its commit JSON survives OR (checkpoint-
+    // only foreign log) the checkpoint itself does — the fold then seeds
+    // from the checkpoint with zero commits to replay
+    val start = lastCheckpointPointer
+      .filter(v => store.exists(versionFile(v)) || checkpointExistsAt(v))
       .getOrElse {
         require(exists, s"$tablePath is not a GraftTable: empty ${logDir}")
         earliestVersion
@@ -225,17 +281,21 @@ final class GraftLog(val tablePath: String,
   }
 
   /** True when the log was written by REAL delta-spark, probed from the
-    * raw text of the earliest retained commit: `dataChange` appears in
-    * every Delta add/remove and is never written by graft, and only Delta
-    * metaData carries a `format` provider block. Evaluated lazily at the
-    * FIRST commit attempt (a not-yet-existing table is graft's own by
-    * construction) and memoized — one extra read per log instance, never
-    * per commit. */
+    * earliest retained commit via [[Actions.isDeltaShaped]] — the SAME
+    * node-level criteria the parser dispatches on (add carrying
+    * `dataChange`/nested `stats`/no top-level `numRecords`; metaData with
+    * a `format`/`configuration` block). Node-level, never substring: a
+    * graft column literally NAMED `dataChange` lands inside min/max stat
+    * maps and must not flip its own table read-only. A checkpoint-only
+    * foreign log (Delta metadata cleanup can delete every JSON commit) is
+    * detected by the surviving Delta checkpoint parquet itself. Evaluated
+    * lazily at the FIRST commit attempt (a not-yet-existing table is
+    * graft's own by construction) and memoized — one extra read per log
+    * instance, never per commit. */
   private lazy val foreignDeltaLog: Boolean =
     exists && {
-      try store.readLines(versionFile(earliestVersion)).exists(l =>
-        l.contains("\"dataChange\"") ||
-          (l.contains("\"metaData\"") && l.contains("\"provider\"")))
+      try checkpointOnly ||
+        store.readLines(versionFile(earliestVersion)).exists(Actions.isDeltaShaped)
       catch { case _: Exception => false }
     }
 
@@ -243,7 +303,11 @@ final class GraftLog(val tablePath: String,
     // Foreign Delta logs are READ-ONLY: appending graft-format actions
     // would leave a mixed history that neither delta-spark nor this
     // reader could replay coherently. Refuse with the migration path.
-    if (v > 0 && foreignDeltaLog) throw new GraftProtocolException(
+    // Checked at EVERY version including 0 — a checkpoint-only foreign
+    // log (all JSONs cleaned) leaves 0.json free, and a graft create
+    // landing there would put graft data (and a later graft VACUUM)
+    // inside a live Delta table. A truly fresh directory probes false.
+    if (foreignDeltaLog) throw new GraftProtocolException(
       s"$tablePath is a Delta table written by delta-spark — graft reads " +
         "it transparently but will not append to its log; copy it into a " +
         "graft table (GraftTable.create from a read of this path) to write")
@@ -423,7 +487,7 @@ final class GraftLog(val tablePath: String,
         // an undetected torn checkpoint with duplicated/missing AddFiles.
         def sha(p: Path): Array[Byte] =
           java.security.MessageDigest.getInstance("SHA-256")
-            .digest(Files.readAllBytes(p))
+            .digest(store.readBytes(p)) // through the seam — the part may not be a local file
         staged.foreach { case (tmp, target, _, _) =>
           var attempts = 0
           var done = false
@@ -431,7 +495,15 @@ final class GraftLog(val tablePath: String,
             try { store.publishIfAbsent(tmp, target); done = true }
             catch {
               case e: java.nio.file.FileAlreadyExistsException =>
-                if (java.util.Arrays.equals(sha(target), sha(tmp))) done = true
+                // a concurrent non-identical checkpointer can DELETE the
+                // survivor between our failed publish and the digest read
+                // (its own mismatch handling) — treat a vanished target as
+                // "slot free again" and retry the publish
+                val same =
+                  try java.util.Arrays.equals(sha(target), sha(tmp))
+                  catch { case _: java.nio.file.NoSuchFileException |
+                               _: java.io.FileNotFoundException => false }
+                if (same) done = true
                 else {
                   attempts += 1
                   if (attempts > 2) throw new IllegalStateException(
@@ -515,6 +587,11 @@ final class GraftLog(val tablePath: String,
         while (cp > 0 && !checkpointExistsAt(cp)) cp -= checkpointInterval
         if (cp > 0) Some(cp) else None
       }
+      // checkpoint-only foreign log with a LOST pointer: the recovered
+      // floor IS a checkpoint (checkpointOnly proved it) — without this a
+      // pointer-less cleaned Delta table at an interval-unaligned version
+      // would fall to a version-0 replay that cannot exist
+      .orElse(if (checkpointOnly) recoveredFloor.filter(_ <= v) else None)
   }
 
   /** The delta-spark checkpoint file set at `cp`: the single
@@ -682,9 +759,12 @@ final class GraftLog(val tablePath: String,
     }
   }
 
-  /** All commitInfo records, one per version, ascending. */
+  /** All commitInfo records, one per version, ascending. Empty for a
+    * checkpoint-only foreign log — no commit files survive, so there is
+    * no history to report (delta-spark says the same after cleanup). */
   def commitInfos: Seq[CommitInfo] =
-    (earliestVersion to latestVersion).flatMap(v =>
+    if (!store.exists(versionFile(earliestVersion))) Seq.empty
+    else (earliestVersion to latestVersion).flatMap(v =>
       readVersion(v).collectFirst { case c: CommitInfo => c })
 
   private def tsOf(v: Long): Long =
@@ -698,6 +778,9 @@ final class GraftLog(val tablePath: String,
     * timestamp in ~17 file reads, not 100k. */
   def firstVersionAtOrAfter(ms: Long): Option[Long] = {
     val last = latestVersion
+    // checkpoint-only foreign log: no commitInfo survives anywhere — no
+    // timestamp can resolve (same contract as delta-spark post-cleanup)
+    if (!store.exists(versionFile(earliestVersion))) return None
     if (last < 0 || tsOf(last) < ms) return None
     var lo = earliestVersion; var hi = last
     while (lo < hi) {
@@ -711,6 +794,7 @@ final class GraftLog(val tablePath: String,
     * resolution rule), or None when `ms` predates commit 0. */
   def lastVersionAtOrBefore(ms: Long): Option[Long] = {
     val last = latestVersion
+    if (!store.exists(versionFile(earliestVersion))) return None
     if (last < 0 || tsOf(earliestVersion) > ms) return None
     var lo = earliestVersion; var hi = last
     while (lo < hi) {
@@ -725,7 +809,7 @@ final class GraftLog(val tablePath: String,
     * commit file, not the whole log. */
   def nextTimestamp(): Long = {
     val prev =
-      if (!exists) Long.MinValue
+      if (!exists || !store.exists(versionFile(latestVersion))) Long.MinValue
       else readVersion(latestVersion)
         .collectFirst { case c: CommitInfo => c.timestamp }
         .getOrElse(Long.MinValue)

@@ -3079,8 +3079,14 @@ object GraftTable {
       val maybeTruncated = isStr && bounds.exists { case (lo, hi) =>
         lo.length >= FileOps.StatsTruncateLen || hi.length >= FileOps.StatsTruncateLen }
       if (maybeTruncated) None
-      else Some((bounds.map(_._1).reduce((a, b) => if (cmp(a, b) <= 0) a else b),
-                 bounds.map(_._2).reduce((a, b) => if (cmp(a, b) >= 0) a else b)))
+      // foreign Delta stats serialize timestamps/dates as ISO strings, not
+      // the epoch numbers native harvests write — BigDecimal(a) would throw
+      // out of the documented None-means-fall-back-to-a-scan contract, so
+      // any non-comparable stat value degrades the whole fold to None
+      else scala.util.Try(
+        Some((bounds.map(_._1).reduce((a, b) => if (cmp(a, b) <= 0) a else b),
+              bounds.map(_._2).reduce((a, b) => if (cmp(a, b) >= 0) a else b))))
+        .getOrElse(None)
     }
   }
 

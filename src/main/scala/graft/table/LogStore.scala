@@ -48,6 +48,14 @@ trait LogStore {
   /** Whole content of small pointer files. */
   def readString(p: Path): String
 
+  /** Whole BINARY content — used by the multipart-checkpoint retry to
+    * digest-compare a surviving published part against the staged bytes.
+    * The default reads the local filesystem, correct wherever the log
+    * paths are POSIX-readable (local, NFS, fuse-mounted stores); an
+    * object-store implementation whose paths are not locally readable
+    * must override this alongside its other read primitives. */
+  def readBytes(p: Path): Array[Byte] = java.nio.file.Files.readAllBytes(p)
+
   /** Stage bytes at a private tmp path (not yet visible to readers). */
   def writeTmp(p: Path, bytes: Array[Byte]): Unit
 

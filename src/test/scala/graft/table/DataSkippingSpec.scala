@@ -458,4 +458,23 @@ class DataSkippingSpec extends SparkTestBase {
     assert(byKeys.contains(Set("a")) && byKeys.contains(Set("a", "b", "c")))
     assert(reloaded.toDF.count() === 40L)
   }
+
+  test("stats-column cap never caps an identity column: appends keep advancing the frontier") {
+    import spark.implicits._
+    val dir = tmpDir("skip-cap-identity-")
+    // identity column LAST in the schema and a cap of 1: without the
+    // always-keep rule its max stat would be stripped from the log and
+    // IdentityColumns.bumpedProps would refuse every subsequent append
+    val seed = spark.range(0, 5).select(col("id").as("a"), (col("id") * 2).as("b"))
+    val t = GraftTable.create(spark, dir, seed, identity = Map("rid" -> (1L, 1L)))
+    t.setProperty(FileOps.NumIndexedColsProp, "1")
+    t.append(seed)
+    t.append(seed) // the second append re-reads the frontier the first advanced
+    val f = t.snapshot.files.last
+    assert(f.minValues.keySet === Set("a", "rid"),
+      s"identity column must survive the cap, got ${f.minValues.keySet}")
+    val rids = t.toDF.select("rid").collect().map(_.getLong(0))
+    assert(rids.length === 15 && rids.distinct.length === 15,
+      "identity values must stay unique across capped appends")
+  }
 }

@@ -377,4 +377,132 @@ class DeltaCompatSpec extends SparkTestBase {
     // back to the JSON commits and still answers correctly
     assert(GraftTable.forPath(spark, dir).toDF.count() === 5L)
   }
+
+  test("FULLY-cleaned delta log (zero JSON commits) reads from the checkpoint; create refuses") {
+    val dir = tmpDir("delta-compat-zerojson-")
+    Files.createDirectories(Paths.get(dir, "_delta_log"))
+    val (sz1, mt1) = dataFile(dir, "part-00000-aaa-c000.snappy.parquet", df(0 until 7))
+    // delta metadata cleanup on an idle table deletes EVERY JSON commit —
+    // a valid Delta state: checkpoint parquet + _last_checkpoint survive
+    deltaCheckpoint(dir, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"abc","format":{"provider":"parquet"},"schemaString":"$idSchema","partitionColumns":[],"configuration":{},"createdTime":1619112344000}}""",
+      add("part-00000-aaa-c000.snappy.parquet", sz1, mt1,
+        Some(stats(7, Map("id" -> 0), Map("id" -> 6), Map("id" -> 0L))))),
+      Seq(f"${10L}%020d.checkpoint.parquet"))
+    Files.write(Paths.get(dir, "_delta_log", "_last_checkpoint"),
+      """{"version":10,"size":3}""".getBytes("UTF-8"))
+
+    val t = GraftTable.forPath(spark, dir) // must not refuse: the checkpoint IS the table
+    assert(t.latestVersion === 10L)
+    assert(t.toDF.count() === 7L)
+    assert(t.versionAsOf(10L).count() === 7L)
+    // no commit file survives → no history, no timestamp resolution
+    assert(t.history().count() === 0L)
+    intercept[Exception](t.timestampAsOf(new java.sql.Timestamp(1619112345500L)))
+    // version 0's JSON is free — a graft create landing there would put
+    // graft commits (and a later graft VACUUM) inside a live Delta table
+    val e = intercept[Exception](GraftTable.create(spark, dir, df(0 until 2)))
+    assert(e.getMessage.contains("already") || e.getMessage.contains("Delta"),
+      s"create inside a checkpoint-only Delta table must refuse, got $e")
+    // still read-only through every DML gate
+    intercept[GraftProtocolException](t.delete(col("id") >= 0L))
+  }
+
+  test("checkpoint-only log with a LOST _last_checkpoint recovers by listing") {
+    val dir = tmpDir("delta-compat-zerojson-noptr-")
+    Files.createDirectories(Paths.get(dir, "_delta_log"))
+    val (sz1, mt1) = dataFile(dir, "part-00000-aaa-c000.snappy.parquet", df(0 until 4))
+    // version 7 is deliberately UNALIGNED with graft's checkpoint interval
+    // — the aligned-probe fallback alone would never find it
+    deltaCheckpoint(dir, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"abc","format":{"provider":"parquet"},"schemaString":"$idSchema","partitionColumns":[],"configuration":{},"createdTime":1619112344000}}""",
+      add("part-00000-aaa-c000.snappy.parquet", sz1, mt1,
+        Some(stats(4, Map("id" -> 0), Map("id" -> 3), Map("id" -> 0L))))),
+      Seq(f"${7L}%020d.checkpoint.parquet"))
+    val t = GraftTable.forPath(spark, dir)
+    assert(t.latestVersion === 7L)
+    assert(t.toDF.count() === 4L)
+  }
+
+  test("INCOMPLETE multi-part checkpoint refuses loudly instead of folding partial state") {
+    val dir = tmpDir("delta-compat-cppartial-")
+    Files.createDirectories(Paths.get(dir, "_delta_log"))
+    val (sz1, mt1) = dataFile(dir, "part-00000-aaa-c000.snappy.parquet", df(0 until 4))
+    // only part 1 of 2 survives (lost part / eventually-consistent LIST):
+    // folding it would silently drop every AddFile in part 2
+    deltaCheckpoint(dir, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"abc","format":{"provider":"parquet"},"schemaString":"$idSchema","partitionColumns":[],"configuration":{},"createdTime":1619112344000}}""",
+      add("part-00000-aaa-c000.snappy.parquet", sz1, mt1,
+        Some(stats(4, Map("id" -> 0), Map("id" -> 3), Map("id" -> 0L))))),
+      Seq(f"${20L}%020d.checkpoint.${1}%010d.${2}%010d.parquet"))
+    Files.write(Paths.get(dir, "_delta_log", "_last_checkpoint"),
+      """{"version":20,"size":4,"parts":2}""".getBytes("UTF-8"))
+    val e = intercept[Exception](GraftTable.forPath(spark, dir).toDF.count())
+    assert(e.getMessage != null && e.getMessage.contains("incomplete"),
+      s"partial multi-part checkpoint must refuse by name, got $e")
+  }
+
+  test("null partition value in a foreign add maps to the Hive sentinel, not a missing key") {
+    import spark.implicits._
+    val dir = tmpDir("delta-compat-nullpart-")
+    val dfa = Seq(Tuple1(1L)).toDF("id")
+    val dfb = Seq(Tuple1(2L), Tuple1(3L)).toDF("id")
+    val (sz1, mt1) =
+      dataFile(dir, "p=__HIVE_DEFAULT_PARTITION__/part-00000-aaa-c000.snappy.parquet", dfa)
+    val (sz2, mt2) = dataFile(dir, "p=q/part-00001-bbb-c000.snappy.parquet", dfb)
+    val schema =
+      """{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},{\"name\":\"p\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}}]}"""
+    commit(dir, 0, Seq(
+      commitInfo(1619112345000L, "WRITE"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaData(schema, partitionColumns = Seq("p")),
+      // delta serializes a null partition value as JSON null — the key
+      // must SURVIVE (as the sentinel) or keyed lookups downstream throw
+      s"""{"add":{"path":"p=__HIVE_DEFAULT_PARTITION__/part-00000-aaa-c000.snappy.parquet","partitionValues":{"p":null},"size":$sz1,"modificationTime":$mt1,"dataChange":true,"stats":"${stats(1, Map("id" -> 1), Map("id" -> 1), Map("id" -> 0L))}"}}""",
+      add("p=q/part-00001-bbb-c000.snappy.parquet", sz2, mt2,
+        Some(stats(2, Map("id" -> 2), Map("id" -> 3), Map("id" -> 0L))),
+        partitionValues = Map("p" -> "q"))))
+    val t = GraftTable.forPath(spark, dir)
+    val sentinel = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .DEFAULT_PARTITION_NAME
+    assert(t.snapshot.files.flatMap(_.partitionValues.get("p")).toSet ===
+      Set(sentinel, "q"), "the null partition key must survive as the sentinel")
+    val rows = t.toDF.select($"id", $"p").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(rows === Map(1L -> null, 2L -> "q", 3L -> "q"))
+    assert(t.toDF.filter($"p".isNull).count() === 1L)
+  }
+
+  test("absolute add paths refuse in every spelling (scheme://, scheme:/, bare /)") {
+    for (bad <- Seq("s3a://bucket/part-x.parquet", "file:/ext/part-x.parquet",
+                    "/ext/part-x.parquet")) {
+      val dir = tmpDir("delta-compat-abs-")
+      val (sz1, mt1) = dataFile(dir, "part-00000-aaa-c000.snappy.parquet", df(0 until 2))
+      commit(dir, 0, Seq(
+        commitInfo(1619112345000L, "WRITE"),
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        metaData(idSchema),
+        add(bad, sz1, mt1, None)))
+      val e = intercept[Exception](GraftTable.forPath(spark, dir).toDF.count())
+      assert(e.getMessage != null && e.getMessage.contains("absolute"),
+        s"path '$bad' must refuse as absolute, got $e")
+    }
+  }
+
+  test("a native graft table with a column literally named dataChange stays writable") {
+    import spark.implicits._
+    val dir = tmpDir("graft-datachange-col-")
+    val seed = Seq((1L, 10L), (2L, 20L)).toDF("id", "dataChange")
+    val t = GraftTable.create(spark, dir, seed)
+    // commit 0's adds carry "dataChange" inside min/max stat KEYS — a raw
+    // substring probe would mistake the table for a foreign Delta log and
+    // brick it read-only; the node-level probe must not
+    t.append(Seq((3L, 30L)).toDF("id", "dataChange"))
+    assert(t.toDF.count() === 3L)
+    t.delete($"id" === 1L)
+    assert(t.toDF.count() === 2L)
+  }
 }
