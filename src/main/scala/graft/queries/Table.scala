@@ -1531,5 +1531,50 @@ object TableQueries {
         |  COUNT(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_with_chars,
         |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // ---- WRITE-side Delta compatibility ------------------------------------------
+    // The mirror of q180: under `compat.delta.write` every graft commit
+    // (and the checkpoint) lands in genuine delta-1.0 action shape —
+    // nested stats strings, dataChange, format/configuration blocks,
+    // versionless commitInfo, URI-encoded paths — so a REAL delta reader
+    // can open the table (DeltaWriteCompatSpec replays it with an
+    // independent delta-1.0 fold). The fixture runs DML UNDER the
+    // property, REQUIREs the emitted lines are delta-shaped with no
+    // graft-native inline stats, and REQUIREs a fresh fold (which seeds
+    // from the delta-FORMAT checkpoint) serves the same rows the oracle
+    // computes by replaying the DML in SQL.
+    "q184_delta_write_compat" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = cache.computeIfAbsent(s"deltaWriteCompat:$dir", _ => {
+          val nation = graft.Tables.nation(s, dir)
+          val tt = GraftTable.create(s,
+            graft.Scratch.dir("graft-delta-wcompat-").toString, nation)
+          tt.setProperty(graft.table.DeltaWriteCompat.Prop, "true")
+          tt.delete($"n_nationkey" % 3 === 0)
+          tt.append(nation.filter($"n_regionkey" === 0))
+          val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+            tt.path, "_delta_log", f"${tt.latestVersion}%020d.json"))
+          require(lines.stream().anyMatch(l =>
+              l.contains("\"add\"") && graft.table.Actions.isDeltaShaped(l) &&
+                l.contains("\"stats\"") && !l.contains("\"numRecords\":")),
+            "compat adds must carry delta's nested stats string, " +
+              "never graft-native inline stats")
+          tt.log.writeCheckpoint(tt.latestVersion)
+          val fresh = GraftTable.forPath(s, tt.path)
+          require(fresh.toDF.count() == tt.toDF.count(),
+            "a fresh fold must seed from the delta-format checkpoint")
+          tt
+        })
+        t.toDF.groupBy($"n_regionkey")
+          .agg(count(lit(1)).as("n"),
+               sum($"n_nationkey".cast("long")).as("sum_key"))
+          .orderBy($"n_regionkey")
+      },
+      """SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+        |FROM (SELECT n_nationkey, n_regionkey FROM nation WHERE n_nationkey % 3 <> 0
+        |      UNION ALL
+        |      SELECT n_nationkey, n_regionkey FROM nation WHERE n_regionkey = 0)
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
   )
 }

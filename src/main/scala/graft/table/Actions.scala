@@ -152,6 +152,22 @@ object Actions {
     (md != null && !md.isNull && (md.has("format") || md.has("configuration")))
   }
 
+  /** True when a delta-SHAPED log line declares graft authorship: the
+    * metaData configuration marker, or commitInfo.engineInfo (present in
+    * EVERY compat commit — the earliest retained commit after log cleanup
+    * may carry no metaData). Distinguishes `compat.delta.write` output
+    * (graft-writable) from a real delta-spark log (read-only). */
+  def hasGraftWriterMarker(line: String): Boolean = {
+    val root = try mapper.readTree(line) catch { case _: Exception => return false }
+    val md = root.get("metaData")
+    val ci = root.get("commitInfo")
+    (md != null && !md.isNull &&
+      Option(md.get("configuration")).exists(c =>
+        Option(c.get(DeltaWriteCompat.WriterMarker)).exists(_.asText() == "true"))) ||
+    (ci != null && !ci.isNull &&
+      Option(ci.get("engineInfo")).exists(_.asText() == DeltaWriteCompat.EngineInfo))
+  }
+
   private def strMap(node: JsonNode, field: String): Map[String, String] =
     Option(node.get(field)).map { m =>
       m.properties().asScala
@@ -302,17 +318,31 @@ object Actions {
       val partCols = Option(n.get("partitionColumns"))
         .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
       if (n.has("format") || n.has("configuration")) {
-        // REAL Delta metaData: table configuration lives in `configuration`,
-        // a `format` block names the file provider, createdTime is optional.
-        // The marker property makes the foreign provenance visible to every
-        // consumer of the folded snapshot (write refusal, feature gates).
+        // Delta-SHAPED metaData: table configuration lives in
+        // `configuration`, a `format` block names the file provider,
+        // createdTime is optional.
         val fmt = Option(n.get("format")).flatMap(f => Option(f.get("provider")))
           .map(_.asText()).getOrElse("parquet")
         if (!fmt.equalsIgnoreCase("parquet")) throw new GraftProtocolException(
           s"Delta table format.provider=$fmt is not readable (parquet only)")
-        MetaData(n.get("id").asText(), n.get("schemaString").asText(),
-          Option(n.get("createdTime")).map(_.asLong()).getOrElse(0L), partCols,
-          Map.empty, strMap(n, "configuration") + (DeltaReadMarker -> "true"))
+        val conf = strMap(n, "configuration")
+        if (conf.get(DeltaWriteCompat.WriterMarker).contains("true")) {
+          // graft's OWN delta-compat output (compat.delta.write): restore
+          // native semantics — constraints fold back out of the
+          // constraint.* configuration entries, no foreign marker (the
+          // table stays writable by this engine)
+          val (chk, plain) = (conf - DeltaWriteCompat.WriterMarker)
+            .partition(_._1.startsWith("constraint."))
+          MetaData(n.get("id").asText(), n.get("schemaString").asText(),
+            Option(n.get("createdTime")).map(_.asLong()).getOrElse(0L), partCols,
+            chk.map { case (k, v) => k.stripPrefix("constraint.") -> v }, plain)
+        } else
+          // REAL delta-spark metaData: the marker property makes the
+          // foreign provenance visible to every consumer of the folded
+          // snapshot (write refusal, feature gates).
+          MetaData(n.get("id").asText(), n.get("schemaString").asText(),
+            Option(n.get("createdTime")).map(_.asLong()).getOrElse(0L), partCols,
+            Map.empty, conf + (DeltaReadMarker -> "true"))
       } else MetaData(n.get("id").asText(), n.get("schemaString").asText(),
         n.get("createdTime").asLong(), partCols, strMap(n, "constraints"),
         strMap(n, "properties"))

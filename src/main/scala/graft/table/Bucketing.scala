@@ -1,0 +1,89 @@
+package graft.table
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Hash bucketing (Iceberg's `bucket(N, col)` transform): every data file
+  * belongs to exactly one of N hash buckets of a declared column, recorded
+  * as a hidden Hive-style `__bucket=<id>` directory — NOT a schema column.
+  *
+  * The payoff is the storage-partitioned join on HIGH-CARDINALITY keys:
+  * Hive partitioning co-locates joins only when the join key is a
+  * low-cardinality dimension you can afford one directory per value for;
+  * bucketing hashes an arbitrary key (document id, user id) into a fixed
+  * number of groups, and two tables bucketed (same column type, same N)
+  * join with ZERO ShuffleExchange — the key-grouped scan reports
+  * `KeyGroupedPartitioning(bucket(N, col))` and [[graft.sources.GraftCatalog]]
+  * (a `FunctionCatalog`) serves the bucket function so Spark can prove both
+  * sides hash identically. At 100 TB this converts the dominant fact-fact
+  * shuffle into a metadata-only zip of bucket groups.
+  *
+  * The bucket id is `pmod(hash(col), N)` — Spark's own `hash()` (Murmur3,
+  * seed 42) — so the WRITE side is one codegen'd projection and the
+  * reported V2 function ([[graft.sources.GraftBucketFunction]]) evaluates
+  * the exact same catalyst expression. Every write path funnels through
+  * [[withBucket]], so DML rewrites (DELETE/MERGE/OPTIMIZE) preserve bucket
+  * purity by construction: the id is a pure function of the row.
+  *
+  * Declared at CREATE only (`bucketing.column` + `bucketing.count` table
+  * properties; `PARTITIONED BY (bucket(N, col))` through the catalog) —
+  * re-bucketing existing files would require a full rewrite, so flipping
+  * the properties later refuses. Bucket-only in round 13: combining with
+  * Hive partition columns (basePath reconstruction would trip over the
+  * hidden dir) or column mapping refuses at declaration.
+  */
+object Bucketing {
+  val ColumnProp = "bucketing.column"
+  val CountProp = "bucketing.count"
+  /** Hidden partition-dir name; never a schema column. */
+  val BucketCol = "__bucket"
+
+  /** Supported bucket-column types: the ones [[graft.sources.GraftBucketFunction]]
+    * hashes (and the partition-value decoder round-trips). */
+  def typeSupported(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | StringType | ShortType | ByteType => true
+    case _ => false
+  }
+
+  def spec(meta: MetaData): Option[(String, Int)] = for {
+    c <- meta.properties.get(ColumnProp)
+    n <- meta.properties.get(CountProp).flatMap(v =>
+      scala.util.Try(v.trim.toInt).toOption)
+    if n > 0
+  } yield (c, n)
+
+  /** The bucket id of a row — Spark's `hash()` is Murmur3 seed 42; the V2
+    * bucket function MUST stay the same computation. */
+  def idExpr(column: String, n: Int): Column = pmod(hash(col(column)), lit(n))
+
+  /** Bucketed write shape: (frame with the hidden bucket column, dir
+    * columns). Identity when the table is unbucketed. */
+  def withBucket(df: DataFrame, meta: MetaData,
+      partitionCols: Seq[String]): (DataFrame, Seq[String]) =
+    spec(meta) match {
+      case Some((c, n)) => (df.withColumn(BucketCol, idExpr(c, n)),
+        partitionCols :+ BucketCol)
+      case None => (df, partitionCols)
+    }
+
+  /** Declaration-time validation (create / CTAS). */
+  def validate(schema: StructType, partitionBy: Seq[String],
+      props: Map[String, String]): Unit = {
+    val meta = MetaData("", schema.json, 0L, partitionBy, Map.empty, props)
+    spec(meta).foreach { case (c, _) =>
+      require(schema.fieldNames.contains(c),
+        s"bucketing column '$c' must exist in ${schema.fieldNames.toSeq}")
+      require(typeSupported(schema(c).dataType),
+        s"bucketing column '$c': type ${schema(c).dataType.catalogString} is " +
+          "not bucketable (int/long/short/byte/string)")
+      require(partitionBy.isEmpty,
+        "bucketing cannot combine with Hive partition columns (round-13 scope)")
+      require(!ColumnMapping.active(schema),
+        "bucketing cannot combine with column mapping")
+    }
+    if (props.contains(ColumnProp) != props.contains(CountProp))
+      throw new IllegalArgumentException(
+        s"$ColumnProp and $CountProp must be declared together")
+  }
+}

@@ -294,9 +294,16 @@ final class GraftLog(val tablePath: String,
     * instance, never per commit. */
   private lazy val foreignDeltaLog: Boolean =
     exists && {
-      try checkpointOnly ||
-        store.readLines(versionFile(earliestVersion)).exists(Actions.isDeltaShaped)
-      catch { case _: Exception => false }
+      // checkpointOnly ⇒ foreign: graft's own cleanup always retains the
+      // boundary JSON, so a zero-JSON log can only be delta-spark's. A
+      // delta-shaped earliest commit is graft's own when it carries the
+      // compat.delta.write authorship marker (metaData configuration or
+      // commitInfo.engineInfo — present in every compat commit).
+      try checkpointOnly || {
+        val lines = store.readLines(versionFile(earliestVersion))
+        lines.exists(Actions.isDeltaShaped) &&
+          !lines.exists(Actions.hasGraftWriterMarker)
+      } catch { case _: Exception => false }
     }
 
   def commit(v: Long, actions0: Seq[Action]): Unit = {
@@ -313,6 +320,30 @@ final class GraftLog(val tablePath: String,
         "graft table (GraftTable.create from a read of this path) to write")
     store.createDirectories(logDir)
     val actions = ensureSchemaFeatures(v, actions0)
+    // Delta write-compat: when the governing metaData (this commit's, or
+    // the previous snapshot's) declares compat.delta.write, the WHOLE
+    // commit serializes in delta-1.0 action shape via DeltaShapeWriter —
+    // readable by real delta readers, still writable by graft (the
+    // authorship markers keep the foreign probe quiet). Features a
+    // delta-1.0 reader cannot honor refuse HERE, which also makes the
+    // property-enabling commit itself the enforcement point.
+    // Try: v-1 may be unfoldable exactly when this commit is a doomed
+    // duplicate (a loser racing a version at the cleaned retention floor)
+    // — the publishIfAbsent CAS below still rejects it with the typed
+    // conflict, which must not be preempted by a fold error here.
+    val compatMeta = actions.collectFirst { case m: MetaData => m }
+      .orElse(if (v > 0) scala.util.Try(snapshotAt(v - 1).metaData).toOption
+              else None)
+      .filter(DeltaWriteCompat.enabled)
+    val serialize: Action => String = compatMeta match {
+      case Some(m) =>
+        DeltaWriteCompat.refusal(m, actions).foreach(why =>
+          throw new GraftProtocolException(
+            s"${DeltaWriteCompat.Prop}: a delta-1.0 reader cannot honor " +
+              s"$why — disable the feature or the compat property"))
+        new DeltaShapeWriter(m).line
+      case None => Actions.toJson
+    }
     // ATOMIC publish-or-fail: a direct CREATE_NEW write makes the version
     // file VISIBLE WHILE EMPTY — a concurrent reader probing latestVersion
     // in that window folds a truncated commit (dropping, e.g., an identity
@@ -325,7 +356,7 @@ final class GraftLog(val tablePath: String,
     // The body STREAMS line by line — a 1M-AddFile commit is a GB-scale
     // document and must never materialize as one driver-side string.
     val tmp = logDir.resolve(s".${java.util.UUID.randomUUID()}.commit.tmp")
-    store.writeTmpLines(tmp, actions.iterator.map(Actions.toJson))
+    store.writeTmpLines(tmp, actions.iterator.map(serialize))
     try store.publishIfAbsent(tmp, versionFile(v))
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -356,7 +387,7 @@ final class GraftLog(val tablePath: String,
         md.digest()
       }
       if (!java.util.Arrays.equals(digest(back.iterator),
-          digest(actions.iterator.map(Actions.toJson))))
+          digest(actions.iterator.map(serialize))))
         throw new java.util.ConcurrentModificationException(
           s"commit $v of $tablePath does not contain this writer's actions " +
             "after publish — the LogStore's publishIfAbsent is not atomic " +
@@ -444,6 +475,13 @@ final class GraftLog(val tablePath: String,
     // over a long-lived table's life (measured: ScalingProbe contention
     // readsPerCommit grew with history before this)
     val s = snapshotAt(v)
+    if (DeltaWriteCompat.enabled(s.metaData)) {
+      // compat tables always checkpoint in DELTA's parquet layout (a real
+      // delta reader must be able to seed from it; it would die on graft's
+      // codec), single-part, regardless of checkpoint.format/partSize
+      writeDeltaCompatCheckpoint(v, s)
+      return
+    }
     val parquet = s.metaData.properties.get("checkpoint.format") match {
       case Some("parquet") => true
       case Some("json") => false
@@ -545,12 +583,53 @@ final class GraftLog(val tablePath: String,
     finally store.deleteIfExists(tmp)
   }
 
-  private def publishPointer(v: Long, parts: Int): Unit = {
+  private def publishPointer(v: Long, parts: Int, size: Long = -1L): Unit = {
     val ptr = logDir.resolve(s".${java.util.UUID.randomUUID()}.ptr.tmp")
-    val body = if (parts > 1) s"""{"version":$v,"parts":$parts}"""
-               else s"""{"version":$v}"""
+    // `size` (action count) is what DELTA readers require of
+    // _last_checkpoint — emitted by the compat checkpoint; graft's own
+    // parser reads only `version`
+    val sz = if (size >= 0) s""","size":$size""" else ""
+    val body = if (parts > 1) s"""{"version":$v$sz,"parts":$parts}"""
+               else s"""{"version":$v$sz}"""
     store.writeTmp(ptr, body.getBytes(StandardCharsets.UTF_8))
     store.publishOverwrite(ptr, lastCheckpointFile)
+  }
+
+  /** Delta-1.x-format checkpoint for `compat.delta.write` tables: one
+    * nullable struct column per action, single part, `_last_checkpoint`
+    * with `size` — a real delta reader SEEDS from this (which is also what
+    * makes a compat log whose graft-shaped prefix was written before the
+    * property flipped fully delta-readable: the reader starts at the
+    * checkpoint, never the prefix). Graft's own fold reads it back through
+    * [[DeltaCheckpointCompat]]. Driver-side like the graft codec — the
+    * checkpoint is metadata, not data. */
+  private def writeDeltaCompatCheckpoint(v: Long, s: Snapshot): Unit = {
+    val w = new DeltaShapeWriter(s.metaData)
+    val actions: Seq[Action] =
+      (Protocol(1, 2) +: s.metaData +: s.files) ++
+        s.transactions.toSeq.sortBy(_._1).map { case (a, tv) => Txn(a, tv) }
+    val lines = actions.map(w.line)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.read.schema(DeltaWriteCompat.checkpointSchema)
+      .json(spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING))
+    val stage = Files.createTempDirectory("graft-delta-cp-")
+    try {
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(
+          s"delta-compat checkpoint $v produced no parquet part"))
+      val tmp = logDir.resolve(s".${java.util.UUID.randomUUID()}.cp.tmp")
+      Files.copy(part, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      try {
+        store.publishIfAbsent(tmp, parquetCheckpointFile(v))
+        publishPointer(v, 1, lines.size.toLong)
+      } catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      finally store.deleteIfExists(tmp)
+    } finally {
+      Files.list(stage).iterator().asScala.foreach(p => Files.deleteIfExists(p))
+      Files.deleteIfExists(stage)
+    }
   }
 
   private def checkpointExistsAt(cp: Long): Boolean =

@@ -1,0 +1,232 @@
+package graft.table
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** WRITE-side Delta compatibility (`compat.delta.write`): graft emits
+  * genuine delta-1.0 action shape, so real Delta readers can open graft
+  * tables — the mirror of DeltaCompatSpec's read-interop.
+  *
+  * No delta jar exists in this environment (which is the point: the
+  * format, not a library, is the contract), so the strongest evidence is
+  * an INDEPENDENT mini delta replayer written against the delta-1.0
+  * protocol spec alone — seed from `_last_checkpoint`, replay JSON tails,
+  * URI-decode paths, last-metaData-wins — that must reconstruct the same
+  * rows graft serves. */
+class DeltaWriteCompatSpec extends SparkTestBase {
+  private val mapper = new ObjectMapper()
+
+  private def logLines(dir: String, v: Long): Seq[String] =
+    Files.readAllLines(Paths.get(dir, "_delta_log", f"$v%020d.json")).asScala.toSeq
+
+  /** An independent delta-1.0 replayer: protocol-spec semantics only, no
+    * graft code in the fold. Returns the live (relative) data-file paths. */
+  private def deltaReplayLiveFiles(dir: String): Seq[String] = {
+    val logDir = Paths.get(dir, "_delta_log")
+    val last = Paths.get(logDir.toString, "_last_checkpoint")
+    val cpVersion: Option[Long] =
+      if (!Files.exists(last)) None
+      else Some(mapper.readTree(Files.readString(last)).get("version").asLong())
+    val live = scala.collection.mutable.LinkedHashMap[String, Boolean]()
+    def decode(p: String): String = new java.net.URI(p).getPath
+    // seed: the checkpoint parquet, read by column name as a delta reader does
+    cpVersion.foreach { cp =>
+      val cpFile = logDir.resolve(f"$cp%020d.checkpoint.parquet")
+      assert(Files.exists(cpFile), "compat checkpoint must use delta's single-part name")
+      spark.read.parquet(cpFile.toString).select("add.path").collect()
+        .foreach(r => if (!r.isNullAt(0)) live(decode(r.getString(0))) = true)
+    }
+    // tail: JSON commits after the checkpoint
+    val versions = Files.list(logDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.matches("\\d{20}\\.json"))
+      .map(_.stripSuffix(".json").toLong).toSeq.sorted
+      .dropWhile(v => cpVersion.exists(v <= _))
+    versions.foreach { v =>
+      logLines(dir, v).filter(_.nonEmpty).foreach { l =>
+        val root = mapper.readTree(l)
+        if (root.has("add")) live(decode(root.get("add").get("path").asText())) = true
+        if (root.has("remove")) live.remove(decode(root.get("remove").get("path").asText()))
+      }
+    }
+    live.keys.toSeq
+  }
+
+  private def assertDeltaShaped(dir: String, v: Long): Unit =
+    logLines(dir, v).filter(_.nonEmpty).foreach { l =>
+      val root = mapper.readTree(l)
+      assert(Actions.isDeltaShaped(l) || !root.has("add") && !root.has("metaData"),
+        s"line must be delta-shaped: $l")
+      if (root.has("add")) {
+        val n = root.get("add")
+        for (f <- Seq("path", "partitionValues", "size", "modificationTime",
+                      "dataChange", "stats"))
+          assert(n.has(f), s"delta add requires $f: $l")
+        assert(!n.has("numRecords") && !n.has("minValues"),
+          s"graft-native inline stats must not leak into a compat add: $l")
+        val st = mapper.readTree(n.get("stats").asText())
+        assert(st.has("numRecords") && st.has("minValues") && st.has("nullCount"),
+          s"stats string must carry delta's nested layout: $l")
+      }
+      if (root.has("metaData")) {
+        val n = root.get("metaData")
+        assert(n.get("format").get("provider").asText() == "parquet", l)
+        assert(n.has("configuration") && !n.has("properties"),
+          s"delta metaData carries configuration, never properties: $l")
+      }
+      if (root.has("protocol")) {
+        assert(root.get("protocol").get("minReaderVersion").asInt() == 1, l)
+        assert(root.get("protocol").get("minWriterVersion").asInt() == 2, l)
+      }
+      if (root.has("commitInfo"))
+        assert(!root.get("commitInfo").has("version"),
+          s"delta commitInfo is versionless (the file names the version): $l")
+      if (root.has("remove"))
+        assert(root.get("remove").get("dataChange").asBoolean(), l)
+    }
+
+  private def seed(n: Int) = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+  }
+
+  test("compat commits are pure delta-1.0 shape; an independent delta replay matches graft") {
+    val dir = tmpDir("dwc-basic-")
+    val t = GraftTable.create(spark, dir, seed(6))
+    t.setProperty(DeltaWriteCompat.Prop, "true")
+    t.append(seed(4).withColumn("id", col("id") + 100))
+    t.delete(col("id") === 101L)
+    (2L to t.latestVersion).foreach(assertDeltaShaped(dir, _))
+    // CHECKPOINT makes the table delta-readable END TO END even though
+    // commits 0-1 predate the property: a delta reader seeds from
+    // _last_checkpoint and never parses the graft-shaped prefix
+    t.log.writeCheckpoint(t.latestVersion)
+    val liveByDelta = deltaReplayLiveFiles(dir).map(p => s"$dir/$p")
+    val byDelta = spark.read.parquet(liveByDelta: _*)
+      .select("id").collect().map(_.getLong(0)).sorted
+    val byGraft = t.toDF.select("id").collect().map(_.getLong(0)).sorted
+    assert(byDelta.sameElements(byGraft),
+      "an independent delta-1.0 replay must serve exactly graft's rows")
+    assert(byGraft.toSeq === ((0L until 6L) ++ Seq(100L, 102L, 103L)))
+  }
+
+  test("graft re-opens a compat log as its OWN: reads, time travel, history, more writes") {
+    val dir = tmpDir("dwc-reopen-")
+    val t0 = GraftTable.create(spark, dir, seed(3))
+    t0.setProperty(DeltaWriteCompat.Prop, "true")
+    t0.append(seed(2))
+    val t = GraftTable.forPath(spark, dir) // fresh instance, fresh log fold
+    assert(t.toDF.count() === 5L)
+    assert(t.versionAsOf(0L).count() === 3L)
+    // versionless compat commitInfo is patched back from the file name
+    val hist = t.history().select("version", "operation").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hist(2L) === "APPEND" || hist(2L) === "WRITE", s"got $hist")
+    t.append(seed(1).withColumn("id", col("id") + 50)) // NOT flagged foreign
+    assert(t.toDF.count() === 6L)
+    assert(GraftTable.forPath(spark, dir).toDF.count() === 6L)
+  }
+
+  test("compat log survives log cleanup: earliest retained commit has no metaData, engineInfo marks it") {
+    val dir = tmpDir("dwc-cleanup-")
+    val t = GraftTable.create(spark, dir, seed(2))
+    t.setProperty(DeltaWriteCompat.Prop, "true")
+    (1 to 4).foreach(i => t.append(seed(1).withColumn("id", col("id") + i * 10)))
+    t.log.writeCheckpoint(t.latestVersion)
+    t.log.cleanupExpiredLogs(System.currentTimeMillis() + 1000)
+    val t2 = GraftTable.forPath(spark, dir)
+    assert(t2.toDF.count() === 6L)
+    t2.append(seed(1).withColumn("id", col("id") + 99)) // still graft-writable
+    assert(t2.toDF.count() === 7L)
+  }
+
+  test("null partition values and encodable paths round-trip (JSON null on disk, sentinel inside)") {
+    import spark.implicits._
+    val dir = tmpDir("dwc-nullpart-")
+    val df0 = Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "a"))
+      .toDF("id", "p")
+    val t = GraftTable.create(spark, dir, df0, partitionBy = Seq("p"))
+    t.setProperty(DeltaWriteCompat.Prop, "true")
+    t.append(Seq((4L, null.asInstanceOf[String])).toDF("id", "p"))
+    val addLine = logLines(dir, t.latestVersion).find(_.contains("\"add\"")).get
+    val pv = mapper.readTree(addLine).get("add").get("partitionValues")
+    assert(pv.has("p") && pv.get("p").isNull,
+      s"a null partition value must serialize as JSON null, got $addLine")
+    val t2 = GraftTable.forPath(spark, dir)
+    assert(t2.toDF.filter(col("p").isNull).count() === 2L)
+    assert(t2.toDF.count() === 4L)
+  }
+
+  test("constraints travel as constraint.* configuration and still enforce after reopen") {
+    val dir = tmpDir("dwc-constraint-")
+    val t = GraftTable.create(spark, dir, seed(3))
+    t.addConstraint("pos", "id >= 0")
+    t.setProperty(DeltaWriteCompat.Prop, "true")
+    t.append(seed(1).withColumn("id", col("id") + 7))
+    val t2 = GraftTable.forPath(spark, dir)
+    assert(t2.snapshot.metaData.constraints.get("pos").contains("id >= 0"))
+    intercept[Exception](t2.append(seed(1).withColumn("id", lit(-5L))))
+  }
+
+  test("features a delta-1.0 reader cannot honor refuse at the enabling commit") {
+    val dir = tmpDir("dwc-refuse-")
+    val t = GraftTable.create(spark, dir, seed(3))
+    t.setProperty("deletionVectors.enabled", "true")
+    val e = intercept[GraftProtocolException](
+      t.setProperty(DeltaWriteCompat.Prop, "true"))
+    assert(e.getMessage.contains("deletionVectors"), s"got $e")
+    // and the reverse order: compat first, then the incompatible feature
+    val dir2 = tmpDir("dwc-refuse2-")
+    val t2 = GraftTable.create(spark, dir2, seed(3))
+    t2.setProperty(DeltaWriteCompat.Prop, "true")
+    intercept[GraftProtocolException](t2.setProperty("changeDataFeed.enabled", "true"))
+    intercept[GraftProtocolException](t2.setProperty("columnMapping.mode", "name"))
+    t2.append(seed(1)) // the table itself stays healthy after refusals
+    assert(t2.toDF.count() === 4L)
+  }
+
+  test("compat checkpoint is delta layout: single part, _last_checkpoint carries size") {
+    val dir = tmpDir("dwc-cp-")
+    val t = GraftTable.create(spark, dir, seed(4))
+    t.setProperty(DeltaWriteCompat.Prop, "true")
+    t.append(seed(2))
+    t.log.writeCheckpoint(t.latestVersion)
+    val cp = Paths.get(dir, "_delta_log", f"${t.latestVersion}%020d.checkpoint.parquet")
+    assert(Files.exists(cp))
+    // delta's layout: nullable struct column per action, stats a STRING
+    val cpDf = spark.read.parquet(cp.toString)
+    assert(Set("add", "metaData", "protocol").subsetOf(cpDf.columns.toSet))
+    val addRows = cpDf.select("add.path", "add.stats", "add.dataChange")
+      .na.drop("all").collect()
+    assert(addRows.length === t.snapshot.files.size)
+    addRows.foreach { r =>
+      assert(r.getBoolean(2) === true)
+      assert(mapper.readTree(r.getString(1)).has("numRecords"))
+    }
+    val ptr = mapper.readTree(
+      Files.readString(Paths.get(dir, "_delta_log", "_last_checkpoint")))
+    assert(ptr.get("version").asLong() === t.latestVersion)
+    assert(ptr.get("size").asLong() > 0L)
+    // graft folds back from this checkpoint (fresh instance seeds from it)
+    assert(GraftTable.forPath(spark, dir).toDF.count() === 6L)
+  }
+
+  test("MERGE and metadata-only evolution stay delta-shaped") {
+    import spark.implicits._
+    val dir = tmpDir("dwc-merge-")
+    val t = GraftTable.create(spark, dir, seed(5))
+    t.setProperty(DeltaWriteCompat.Prop, "true")
+    t.merge(Seq((1L, "UPD"), (9L, "NEW")).toDF("id", "s"), "t.id = s.id")
+      .whenMatchedUpdate(Map("s" -> "s.s"))
+      .whenNotMatchedInsert(Map("id" -> "s.id", "s" -> "s.s"))
+      .execute()
+    assertDeltaShaped(dir, t.latestVersion)
+    t.addColumn("extra", org.apache.spark.sql.types.IntegerType)
+    assertDeltaShaped(dir, t.latestVersion)
+    val rows = GraftTable.forPath(spark, dir).toDF
+      .select("id", "s").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) === "UPD" && rows(9L) === "NEW" && rows.size === 6)
+  }
+}
