@@ -1576,5 +1576,64 @@ object TableQueries {
         |      UNION ALL
         |      SELECT n_nationkey, n_regionkey FROM nation WHERE n_regionkey = 0)
         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
+
+    // ---- Bucketed storage-partitioned join ---------------------------------------
+    // q169's zero-shuffle join needs the join key to BE a (low-cardinality)
+    // Hive partition column; bucketing removes that restriction —
+    // `bucket(8, doc_id)` hashes the high-cardinality key into hidden
+    // `__bucket=<id>` dirs, the key-grouped scan reports the bucket
+    // transform, and GraftCatalog (a FunctionCatalog) serves the bucket
+    // function Spark resolves it against. The fixture registers both
+    // bucketed tables in a catalog and REQUIREs the doc-level fact-fact
+    // join executes with ZERO exchange (broadcast disabled for the pin,
+    // confs scoped + restored). The returned query is that join's
+    // per-lang rollup, oracle-checked against a plain DuckDB join.
+    "q185_bucketed_spj_join" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        cache.computeIfAbsent(s"bucketSpj:$dir", _ => {
+          val docs = graft.Tables.documents(s, dir)
+          val pa = graft.Scratch.dir("graft-bkt-a-").toString
+          val pb = graft.Scratch.dir("graft-bkt-b-").toString
+          GraftTable.create(s, pa, docs.select($"doc_id", $"lang", $"n_chars"),
+            bucketBy = Some(("doc_id", 8)))
+          GraftTable.create(s, pb,
+            docs.select($"doc_id",
+              size(split($"text", " ")).cast("long").as("n_tokens")),
+            bucketBy = Some(("doc_id", 8)))
+          graft.sources.GraftCatalog.register(s,
+            graft.Scratch.dir("graft-bkt-wh-").toString, name = "bktq")
+          s.sql(s"CREATE TABLE bktq.default.a USING graft LOCATION '$pa'")
+          s.sql(s"CREATE TABLE bktq.default.b USING graft LOCATION '$pb'")
+          val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k =>
+            k -> scala.util.Try(s.conf.get(k)).toOption.flatMap(Option(_)))
+          try {
+            saved.foreach { case (k, _) => s.conf.set(k, "-1") }
+            val fact = s.sql(
+              """SELECT x.doc_id, x.lang, x.n_chars, y.n_tokens
+                |FROM bktq.default.a x JOIN bktq.default.b y
+                |ON x.doc_id = y.doc_id""".stripMargin)
+            fact.collect()
+            val plan = fact.queryExecution.executedPlan.toString
+            require(!plan.contains("Exchange") && plan.contains("SortMergeJoin"),
+              s"bucketed fact-fact join must plan zero shuffle:\n${plan.take(1000)}")
+          } finally saved.foreach {
+            case (k, Some(v)) => s.conf.set(k, v)
+            case (k, None)    => s.conf.unset(k)
+          }
+          GraftTable.forPath(s, pa) // cache value; the tables live in the catalog
+        })
+        s.sql(
+          """SELECT x.lang, COUNT(*) AS n_docs,
+            |  CAST(SUM(x.n_chars) AS BIGINT) AS sum_chars,
+            |  CAST(SUM(y.n_tokens) AS BIGINT) AS sum_tokens
+            |FROM bktq.default.a x JOIN bktq.default.b y ON x.doc_id = y.doc_id
+            |GROUP BY x.lang ORDER BY x.lang""".stripMargin)
+      },
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
   )
 }

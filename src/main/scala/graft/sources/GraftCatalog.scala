@@ -45,7 +45,23 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `TIMESTAMP AS OF`) maps to the log's snapshot resolution.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog with StagingTableCatalog {
+    with ProcedureCatalog with StagingTableCatalog with FunctionCatalog {
+
+  /** V2 function surface: Spark's storage-partitioned-join planner loads
+    * the `bucket` function from HERE (V2ExpressionUtils.loadV2FunctionOpt,
+    * empty-namespace identifier) to resolve the bucket transform the
+    * key-grouped scan reports — and to prove two bucketed tables hash
+    * identically (TransformExpression compatibility is canonicalName-
+    * based). Also lets SQL call it directly: `SELECT graft.bucket(16, id)`. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      Array(Identifier.of(namespace, "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name.equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   /** Maintenance procedures: `CALL graft.system.optimize/vacuum/restore`
     * (GraftProcedures.scala) — the statements Delta adds a SQL parser
@@ -178,12 +194,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new TableAlreadyExistsException(ident)
     if (!namespaceExists(ident.namespace))
       throw new NoSuchNamespaceException(ident.namespace)
-    val partitionCols = partitions.toSeq.map { t =>
-      require(t.name == "identity",
-        s"graft tables support identity partitioning only, got $t")
-      t.references.head.fieldNames.mkString(".")
-    }
-    val props = properties.asScala.toMap
+    val (partitionCols, bucketProps) = GraftCatalog.decodeTransforms(partitions.toSeq)
+    val props = properties.asScala.toMap ++ bucketProps
     // Spark normalizes LOCATION to a file: URI; the table layer wants a
     // plain local path.
     val location = props.get(TableCatalog.PROP_LOCATION).map { loc =>
@@ -235,13 +247,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"identity column '$c' must be declared BIGINT"))
         val bloomCols = props.get("bloom.columns").toSeq
           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        val bucketBy = for {
+          c <- props.get(graft.table.Bucketing.ColumnProp)
+          n <- props.get(graft.table.Bucketing.CountProp)
+        } yield (c, n.trim.toInt)
         val t = GraftTable.create(spark, dir, empty, partitionCols,
           bloomFilterOn = bloomCols,
           bloomNdv = props.get("bloom.ndv").map(_.toLong).getOrElse(100000L),
-          generated = generated, identity = identity)
+          generated = generated, identity = identity, bucketBy = bucketBy)
         props.filterNot { case (k, _) =>
           reservedProps.contains(k) || k.startsWith(TableCatalog.OPTION_PREFIX) ||
             k == "bloom.columns" || k == "bloom.ndv" ||
+            k == graft.table.Bucketing.ColumnProp ||
+            k == graft.table.Bucketing.CountProp ||
             k.startsWith("generated.") || k.startsWith("identity.")
         }.foreach {
           // a constraint declared at CREATE must land in
@@ -291,11 +309,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         k.startsWith("generated.") || k.startsWith("identity.")),
       "staged CREATE/REPLACE ... AS SELECT does not support generated/" +
         "identity columns — CREATE the table first, then INSERT")
-    val partitionCols = info.partitions.toSeq.map { t =>
-      require(t.name == "identity",
-        s"graft tables support identity partitioning only, got $t")
-      t.references.head.fieldNames.mkString(".")
-    }
+    val (partitionCols, bucketProps) =
+      GraftCatalog.decodeTransforms(info.partitions.toSeq)
     val location = props.get(TableCatalog.PROP_LOCATION).map { loc =>
       if (loc.startsWith("file:")) Paths.get(java.net.URI.create(loc)).toString else loc
     }
@@ -304,7 +319,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .getOrElse(tableDir(ident).toString)
     val tableProps = props.filterNot { case (k, _) =>
       reservedProps.contains(k) || k.startsWith(TableCatalog.OPTION_PREFIX)
-    }
+    } ++ bucketProps
+    graft.table.Bucketing.validate(info.schema(), partitionCols, tableProps)
     new GraftStagedTable(spark, this, ident, dir, info.schema(),
       partitionCols, tableProps, exists)
   }
@@ -468,6 +484,38 @@ object GraftCatalog {
     spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$name.warehouse", warehouse)
   }
+
+  /** Split DSv2 partitioning transforms into (identity partition columns,
+    * bucketing table properties). `PARTITIONED BY (bucket(16, doc_id))` is
+    * the SQL front door for hash bucketing (graft.table.Bucketing);
+    * at most one bucket transform, single-column, no mixing with identity
+    * columns (enforced by Bucketing.validate at create). */
+  private[sources] def decodeTransforms(
+      partitions: Seq[Transform]): (Seq[String], Map[String, String]) = {
+    val (buckets, rest) = partitions.partition(_.name == "bucket")
+    val partitionCols = rest.map { t =>
+      require(t.name == "identity",
+        s"graft tables support identity and bucket partitioning only, got $t")
+      t.references.head.fieldNames.mkString(".")
+    }
+    val bucketProps = buckets match {
+      case Seq() => Map.empty[String, String]
+      case Seq(b) =>
+        val refs = b.references.map(_.fieldNames.mkString("."))
+        require(refs.length == 1,
+          s"bucket transform must name exactly one column, got ${refs.toSeq}")
+        val n = b.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            String.valueOf(l.value()).toInt
+        }.getOrElse(throw new IllegalArgumentException(
+          s"bucket transform carries no bucket count: $b"))
+        Map(graft.table.Bucketing.ColumnProp -> refs.head,
+            graft.table.Bucketing.CountProp -> n.toString)
+      case many => throw new IllegalArgumentException(
+        s"at most one bucket transform per table, got ${many.toSeq}")
+    }
+    (partitionCols, bucketProps)
+  }
 }
 
 /** A graft table surfaced through the DSv2 `Table` interface; `pinned` holds
@@ -564,7 +612,9 @@ class GraftSqlTable(val table: GraftTable, ident: String,
   override def schema(): StructType = if (cdf) cdfSchema else snap.schema
 
   override def partitioning(): Array[Transform] =
-    snap.metaData.partitionColumns.map(Expressions.identity).toArray
+    snap.metaData.partitionColumns.map(Expressions.identity).toArray[Transform] ++
+      graft.table.Bucketing.spec(snap.metaData)
+        .map { case (c, n) => Expressions.bucket(n, c): Transform }
 
   override def properties(): java.util.Map[String, String] =
     (snap.metaData.properties ++ Map(
@@ -795,8 +845,9 @@ class GraftScanBuilder(table: GraftTable, snap: Snapshot,
   override def build(): Scan = {
     val prune = GraftFilters.toColumn(pushed.toSeq)
     val conf = org.apache.spark.sql.SparkSession.active.sessionState.conf
+    val bucketed = graft.table.Bucketing.spec(snap.metaData)
     val spjOk =
-      snap.metaData.partitionColumns.nonEmpty &&
+      (snap.metaData.partitionColumns.nonEmpty || bucketed.isDefined) &&
         conf.getConfString("spark.graft.spj.enabled", "true").toBoolean &&
         conf.getConfString("spark.sql.sources.v2.bucketing.enabled", "true").toBoolean &&
         !required.fieldNames.contains("_file") &&
@@ -805,7 +856,11 @@ class GraftScanBuilder(table: GraftTable, snap: Snapshot,
           .validateSchema(required)).isSuccess &&
         snap.metaData.partitionColumns.forall(c =>
           graft.streaming.GraftTableStream
-            .partitionKeyTypeSupported(snap.schema(c).dataType))
+            .partitionKeyTypeSupported(snap.schema(c).dataType)) &&
+        // every live file must carry its bucket id (a table created
+        // bucketed always does; defensive against hand-built layouts)
+        bucketed.forall(_ => snap.files.forall(
+          _.partitionValues.contains(graft.table.Bucketing.BucketCol)))
     if (spjOk) new GraftKeyGroupedScan(table, snap, required, prune, options)
     else new GraftV1Scan(table, snap, required, prune, options)
   }
@@ -1045,8 +1100,14 @@ class GraftStagedTable(spark: SparkSession, catalog: GraftCatalog,
                 k.stripPrefix("constraint.") -> v
             }
             val checked = GraftTable.constrained(aligned, checks, dir)
+            // bucketed CTAS/RTAS: the staged files land in their hidden
+            // __bucket dirs exactly like every post-create write
+            val bucketMeta = graft.table.MetaData("", declaredSchema.json, 0L,
+              partitionCols, Map.empty, props)
+            val (dfB, partsB) =
+              graft.table.Bucketing.withBucket(checked, bucketMeta, partitionCols)
             staged.synchronized {
-              staged ++= FileOps.writeDataFiles(checked, dir, partitionCols)
+              staged ++= FileOps.writeDataFiles(dfB, dir, partsB)
             }
           }
         }
@@ -1066,5 +1127,57 @@ class GraftStagedTable(spark: SparkSession, catalog: GraftCatalog,
   override def abortStagedChanges(): Unit = {
     val adds = staged.synchronized { val a = staged.toSeq; staged.clear(); a }
     adds.foreach(a => Files.deleteIfExists(Paths.get(dir, a.path)))
+  }
+}
+
+
+/** The `bucket(numBuckets, col)` V2 function: `pmod(hash(col), numBuckets)`
+  * where hash is Spark's own Murmur3 (seed 42) — EXACTLY the expression
+  * the write path materializes (graft.table.Bucketing.idExpr), which is
+  * the whole correctness argument for the bucketed storage-partitioned
+  * join: the scan's reported transform and the files' physical layout are
+  * the same function by construction. */
+object GraftBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(numBuckets, col): pmod(murmur3_hash(col), numBuckets) — the id " +
+      "of the hash bucket col falls in; matches the write-side layout of " +
+      "tables created with bucketBy / PARTITIONED BY (bucket(n, col))"
+
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.length == 2,
+      s"bucket takes (numBuckets INT, value), got ${inputType.simpleString}")
+    require(inputType(0).dataType == org.apache.spark.sql.types.IntegerType,
+      s"bucket count must be INT, got ${inputType(0).dataType.simpleString}")
+    require(graft.table.Bucketing.typeSupported(inputType(1).dataType),
+      s"bucket value type ${inputType(1).dataType.simpleString} is not bucketable")
+    new GraftBoundBucket(inputType(1).dataType)
+  }
+}
+
+final class GraftBoundBucket(dt: org.apache.spark.sql.types.DataType)
+    extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer] {
+  override def inputTypes(): Array[org.apache.spark.sql.types.DataType] =
+    Array(org.apache.spark.sql.types.IntegerType, dt)
+  override def resultType(): org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.IntegerType
+  override def name(): String = "bucket"
+  // one canonical name per value type: SPJ compatibility compares this —
+  // two graft tables bucketed on same-typed columns bind to the same name
+  override def canonicalName(): String = s"graft.bucket(${dt.catalogString})"
+  override def isResultNullable: Boolean = false
+
+  // the SAME catalyst expression the write side runs (hash() = Murmur3
+  // seed 42 over the value at ordinal 1 of the (numBuckets, value) row)
+  @transient private lazy val hasher =
+    new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(Seq(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(1, dt, nullable = true)))
+
+  override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow): Integer = {
+    val n = input.getInt(0)
+    val h = hasher.eval(input).asInstanceOf[Int]
+    ((h % n) + n) % n
   }
 }

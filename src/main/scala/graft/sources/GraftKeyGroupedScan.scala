@@ -47,7 +47,14 @@ class GraftKeyGroupedScan(table: GraftTable, snap: Snapshot,
   graft.streaming.GraftTableStream.validateSchema(required)
 
   private val partCols: Seq[String] = snap.metaData.partitionColumns
-  require(partCols.nonEmpty, "key-grouped scan requires a partitioned table")
+  /** Hash bucketing (`bucket(N, col)` — graft.table.Bucketing): the key is
+    * the file's bucket id and the reported transform is the bucket
+    * function served by GraftCatalog (a FunctionCatalog), which is how two
+    * bucketed tables join exchange-free on a HIGH-CARDINALITY key. */
+  private val bucketSpec: Option[(String, Int)] =
+    graft.table.Bucketing.spec(snap.metaData)
+  require(partCols.nonEmpty || bucketSpec.isDefined,
+    "key-grouped scan requires a partitioned or bucketed table")
 
   // resolved once: partition-column fields in declared order (key layout)
   private val keyFields = partCols.map(c => snap.schema(c))
@@ -64,7 +71,12 @@ class GraftKeyGroupedScan(table: GraftTable, snap: Snapshot,
     * the logical name for files logged before the key space was unified —
     * the exact lookup the reader factory's constant row performs. */
   private def keyOf(f: AddFile): InternalRow =
-    new GenericInternalRow(keyFields.map { fld =>
+    if (bucketSpec.isDefined)
+      // bucket mode: the key IS the bucket id (one int field, matching
+      // the single bucket transform reported below)
+      new GenericInternalRow(Array[Any](
+        f.partitionValues(graft.table.Bucketing.BucketCol).toInt))
+    else new GenericInternalRow(keyFields.map { fld =>
       val phys = graft.table.ColumnMapping.physicalName(fld)
       val v = f.partitionValues.getOrElse(phys, f.partitionValues(fld.name))
       graft.streaming.GraftTableStream.castPartitionValue(v, fld.dataType)
@@ -83,12 +95,17 @@ class GraftKeyGroupedScan(table: GraftTable, snap: Snapshot,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  override def outputPartitioning(): Partitioning =
-    new KeyGroupedPartitioning(
-      partCols.map(c =>
-        Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray,
+  override def outputPartitioning(): Partitioning = {
+    val transforms: Array[org.apache.spark.sql.connector.expressions.Expression] =
+      bucketSpec match {
+        case Some((c, n)) => Array(Expressions.bucket(n, c))
+        case None => partCols.map(c =>
+          Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray
+      }
+    new KeyGroupedPartitioning(transforms,
       planned.map(_.asInstanceOf[GraftKeyedFilePartition].partitionKey())
         .distinct.length)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = planned
 

@@ -818,6 +818,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * feature fails loudly from the first version that could use it. */
   def setProperty(key: String, value: String): Unit = {
     val s = snapshot
+    // bucketing is a PHYSICAL layout invariant: every live file already
+    // sits in its __bucket dir (or none do) — flipping column/count later
+    // would need a full rewrite, so the properties are create-time only
+    require(key != Bucketing.ColumnProp && key != Bucketing.CountProp,
+      s"$key is declared at CREATE (bucketBy / PARTITIONED BY bucket(n, col)) " +
+        "and cannot change — re-bucketing requires rewriting every file")
     val meta = s.metaData.copy(properties = s.metaData.properties + (key -> value))
     val feature: Option[String] = key match {
       case "deletionVectors.enabled" if value.equalsIgnoreCase("true") =>
@@ -2020,9 +2026,15 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val df = withOptimizedWrite(df0, meta)
     val schema = org.apache.spark.sql.types.DataType.fromJson(meta.schemaString)
       .asInstanceOf[StructType]
-    if (!ColumnMapping.active(schema))
-      FileOps.writeDataFiles(withShredColumns(df, meta), path, meta.partitionColumns,
+    if (!ColumnMapping.active(schema)) {
+      // bucketed tables write every file under its hidden __bucket=<id>
+      // dir — the id is a pure function of the row (pmod(hash(col), n)),
+      // so EVERY rewrite path through here preserves bucket purity
+      val (dfB, partsB) =
+        Bucketing.withBucket(withShredColumns(df, meta), meta, meta.partitionColumns)
+      FileOps.writeDataFiles(dfB, path, partsB,
         GraftTable.bloomWriteOptions(meta))
+    }
     else {
       // the materialized row-id column (row tracking) is not part of the
       // logical schema but must land in the file under its fixed name
@@ -3176,7 +3188,8 @@ object GraftTable {
              bloomFilterOn: Seq[String] = Nil,
              bloomNdv: Long = 100000L,
              generated: Map[String, String] = Map.empty,
-             identity: Map[String, (Long, Long)] = Map.empty): GraftTable = {
+             identity: Map[String, (Long, Long)] = Map.empty,
+             bucketBy: Option[(String, Int)] = None): GraftTable = {
     Files.createDirectories(Paths.get(path))
     val log = new GraftLog(path, LogStore.resolve(spark))
     require(!log.exists, s"$path is already a GraftTable")
@@ -3233,9 +3246,14 @@ object GraftTable {
       if (writerFeats.isEmpty) Nil
       else Seq(Protocol(minReaderVersion = 1, minWriterVersion = 2,
         writerFeatures = writerFeats))
+    val bucketProps = bucketBy.map { case (c, n) =>
+      Map(Bucketing.ColumnProp -> c, Bucketing.CountProp -> n.toString)
+    }.getOrElse(Map.empty)
+    Bucketing.validate(schema, partitionBy, props ++ bucketProps)
     val meta0 = MetaData(UUID.randomUUID().toString, schema.json,
-      System.currentTimeMillis(), partitionBy, Map.empty, props)
-    val addsRaw = FileOps.writeDataFiles(dfId, path, partitionBy, bloomWriteOptions(meta0))
+      System.currentTimeMillis(), partitionBy, Map.empty, props ++ bucketProps)
+    val (dfW, partsW) = Bucketing.withBucket(dfId, meta0, partitionBy)
+    val addsRaw = FileOps.writeDataFiles(dfW, path, partsW, bloomWriteOptions(meta0))
     // the identity frontier advances in the SAME commit that allocated it,
     // read from the written files' footer stats — no counting job. The
     // frontier reads the UNCAPPED harvest (the identity column may sit past
