@@ -357,7 +357,8 @@ object ScalingProbe {
       return
     }
     val chainMode = args.headOption.contains("dedup-chain")
-    val posArgs = if (chainMode) args.drop(1) else args
+    val bucketMode = args.headOption.contains("bucket-join")
+    val posArgs = if (chainMode || bucketMode) args.drop(1) else args
     val sfDir = posArgs.headOption.getOrElse("/root/testdata/sf0.1")
     val mults = if (posArgs.length > 1) posArgs.drop(1).map(_.toInt).toSeq
                 else Seq(1, 2, 4, 8)
@@ -443,6 +444,49 @@ object ScalingProbe {
 
     // warmup
     Tables.documents(spark, sfDir).groupBy($"lang").count().collect()
+
+    if (bucketMode) {
+      // Bucketed SPJ at scale: two tables bucketed bucket(16, doc_id) from
+      // the m×-replicated corpus, joined through the catalog. The probe
+      // REQUIREs the plan stays EXCHANGE-FREE at every replication — the
+      // 100-TB property under test is that co-location is metadata (bucket
+      // groups zip), so scaling the data scales only the per-task reads,
+      // never reintroduces the shuffle.
+      graft.sources.GraftCatalog.register(spark, "/tmp/graft-bkt-probe-wh", name = "bktp")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      for (m <- mults) {
+        val dir = replicated(m)
+        val pa = s"/tmp/graft-bkt-probe-$m-a"
+        val pb = s"/tmp/graft-bkt-probe-$m-b"
+        if (!graft.table.GraftTable.isGraftTable(pa)) {
+          val docs = Tables.documents(spark, dir)
+          graft.table.GraftTable.create(spark, pa,
+            docs.select($"doc_id", $"lang", $"n_chars"),
+            bucketBy = Some(("doc_id", 16)))
+          graft.table.GraftTable.create(spark, pb,
+            docs.select($"doc_id",
+              size(split($"text", " ")).cast("long").as("n_tokens")),
+            bucketBy = Some(("doc_id", 16)))
+          spark.sql(s"CREATE TABLE bktp.default.a$m USING graft LOCATION '$pa'")
+          spark.sql(s"CREATE TABLE bktp.default.b$m USING graft LOCATION '$pb'")
+        }
+        val t0 = System.nanoTime()
+        val df = spark.sql(
+          s"""SELECT x.doc_id, x.lang, x.n_chars, y.n_tokens
+             |FROM bktp.default.a$m x JOIN bktp.default.b$m y
+             |ON x.doc_id = y.doc_id""".stripMargin)
+        val rows = df.collect().length.toLong
+        val sec = (System.nanoTime() - t0) / 1e9
+        val plan = df.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange"),
+          s"bucketed join must stay exchange-free at ${m}x:\n${plan.take(1200)}")
+        require(plan.contains("SortMergeJoin"), "co-located sort-merge expected")
+        println(f"""BUCKET {"m":$m,"rows":$rows,"sec":$sec%.2f,"exchangeFree":true}""")
+      }
+      spark.stop()
+      return
+    }
 
     if (chainMode) {
       // The production dedup CHAIN, staged: q42 builds (and persists) the

@@ -175,5 +175,80 @@ object Sampling {
         |SELECT source, rk, doc_id, n_chars,
         |  round(priority * 1e18, 6) AS priority_e18
         |FROM ranked WHERE rk <= 10 ORDER BY source, rk""".stripMargin),
+
+    // ---- DSIR: data selection via importance resampling (Xie et al. 2023) ---------
+    // Select raw documents that LOOK LIKE a target distribution: hashed
+    // n-gram (unigram+bigram) features bucket into B=64 bins (portable
+    // md5-60bit — cross-engine identical), per-bin add-1-smoothed log
+    // probability ratios between the target (here: the lang='en' slice,
+    // the "formal text" stand-in) and the raw corpus, and each doc's
+    // importance weight is the sum of its grams' bin ratios. Top-N by
+    // weight (tie: doc_id) is the deterministic selection variant of the
+    // paper's Gumbel resampling.
+    //
+    // Exactness discipline: each of the 64 bin ratios is rounded to 9
+    // decimals ONCE (engine libm ulp differences vanish), weights are then
+    // exact DECIMAL sums of (count × ratio), surfaced as DOUBLE.
+    //
+    // Scale shape: the bin table is 64 rows — broadcast; the corpus makes
+    // ONE gram pass (map-side bucket + count), the per-doc weight is one
+    // fixed-width aggregation; nothing wide ever shuffles. At 100 TB the
+    // target-vs-raw histograms are two partial aggregations over the same
+    // single pass.
+    "q186_dsir_selection" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val h60 = "cast(conv(substring(md5(gram), 1, 15), 16, 10) as bigint)"
+        val grams = Tables.documents(s, dir)
+          .select($"doc_id", $"lang", split($"text", " ").as("toks"))
+          .select($"doc_id", $"lang", explode(expr(
+            """concat(toks,
+              |  transform(slice(toks, 1, size(toks) - 1),
+              |    (t, i) -> concat(t, ' ', element_at(toks, i + 2))))""".stripMargin))
+            .as("gram"))
+          .withColumn("b", expr(s"$h60 % 64"))
+        val cntR = grams.groupBy($"b").agg(count(lit(1)).as("cr"))
+        val cntT = grams.filter($"lang" === "en")
+          .groupBy($"b").agg(count(lit(1)).as("ct"))
+        val bins = s.range(0, 64).select($"id".as("b"))
+          .join(cntR, Seq("b"), "left").join(cntT, Seq("b"), "left")
+          .select($"b", coalesce($"cr", lit(0L)).as("cr"),
+            coalesce($"ct", lit(0L)).as("ct"))
+        val Seq(totR, totT) = bins.agg(sum($"cr"), sum($"ct")).head()
+          .toSeq.map(_.asInstanceOf[Long])
+        val ratios = bins.select($"b",
+          round(log(($"ct" + 1.0) / lit(totT + 64.0)) -
+                log(($"cr" + 1.0) / lit(totR + 64.0)), 9)
+            .cast("decimal(20,9)").as("ratio"))
+        grams.join(broadcast(ratios), Seq("b"))
+          .groupBy($"doc_id").agg(first($"lang").as("lang"),
+            sum($"ratio").cast("double").as("w"))
+          .orderBy($"w".desc, $"doc_id").limit(50)
+      },
+      """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, lang, unnest(t) AS gram FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, lang,
+        |    unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS gram
+        |  FROM toks),
+        |bg AS (SELECT doc_id, lang,
+        |         CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT) % 64 AS b
+        |       FROM grams),
+        |hist AS (
+        |  SELECT b.b,
+        |    COALESCE(cr.cr, 0) AS cr, COALESCE(ct.ct, 0) AS ct
+        |  FROM (SELECT unnest(range(0, 64)) AS b) b
+        |  LEFT JOIN (SELECT b, COUNT(*) AS cr FROM bg GROUP BY b) cr ON b.b = cr.b
+        |  LEFT JOIN (SELECT b, COUNT(*) AS ct FROM bg WHERE lang = 'en' GROUP BY b) ct
+        |    ON b.b = ct.b),
+        |tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM hist),
+        |ratios AS (
+        |  SELECT b, CAST(round(ln((ct + 1.0) / (tt + 64.0)) -
+        |                       ln((cr + 1.0) / (tr + 64.0)), 9) AS DECIMAL(20,9)) AS ratio
+        |  FROM hist, tot)
+        |SELECT doc_id, any_value(lang) AS lang, CAST(SUM(ratio) AS DOUBLE) AS w
+        |FROM bg JOIN ratios USING (b)
+        |GROUP BY doc_id ORDER BY w DESC, doc_id LIMIT 50""".stripMargin),
   )
 }

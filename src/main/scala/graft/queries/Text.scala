@@ -1110,5 +1110,80 @@ object Text {
         |  MAX(t.n_tok) AS max_word_tokens
         |FROM d JOIN tokw t ON d.w = t.w
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
+
+    // ---- Perplexity filtering (CCNet, Wenzek et al. 2020) --------------------------
+    // The classic LM-based quality gate: train a word-bigram language model
+    // on the TARGET slice (lang='en' — the "wikipedia-like reference"
+    // stand-in), score every document by its average negative log
+    // likelihood under that model, and surface the WORST-scoring documents
+    // — the ones perplexity filtering drops. Add-1 smoothing over the
+    // target's unigram vocabulary; OOV bigrams fall back to 1/V.
+    //
+    // Exactness discipline: bigrams/prefixes reduce to portable md5-60bit
+    // HASHES before any join (fixed-width keys — the same collision-
+    // tolerant trick production LM filters use, and what keeps the join
+    // scale-safe: the LM table is corpus-derived and must NEVER be
+    // broadcast); each conditional log-prob is rounded to 9 decimals once
+    // (integer-derived doubles → identical across engines), per-doc sums
+    // are exact DECIMAL, and the final NLL divides in double.
+    //
+    // Scale shape: one gram pass builds the LM (two partial aggs), one
+    // gram pass scores (shuffle join on fixed-width hashes), per-doc
+    // rollup. At 100 TB both passes are embarrassingly parallel; nothing
+    // document-sized crosses a shuffle after tokenization.
+    "q187_perplexity_filter" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val h60b = "cast(conv(substring(md5(concat(w1, ' ', w2)), 1, 15), 16, 10) as bigint)"
+        val h60u = "cast(conv(substring(md5(w1), 1, 15), 16, 10) as bigint)"
+        val bi = Tables.documents(s, dir)
+          .select($"doc_id", $"lang", split($"text", " ").as("toks"))
+          .filter(size($"toks") >= 2)
+          .select($"doc_id", $"lang", explode(expr(
+            """transform(slice(toks, 1, size(toks) - 1),
+              |  (t, i) -> struct(t as w1, element_at(toks, i + 2) as w2))""".stripMargin))
+            .as("g"))
+          .select($"doc_id", $"lang", $"g.w1".as("w1"), $"g.w2".as("w2"))
+          .select($"doc_id", $"lang",
+            expr(s"$h60b").as("h2"),
+            expr(s"$h60u").as("h1"))
+        val target = bi.filter($"lang" === "en")
+        val hb = target.groupBy($"h2").agg(count(lit(1)).as("cb"))
+        val hu = target.groupBy($"h1").agg(count(lit(1)).as("cu"))
+        val v = target.select($"h1").distinct().count()
+        val scored = bi
+          .join(hb, Seq("h2"), "left").join(hu, Seq("h1"), "left")
+          .select($"doc_id", $"lang",
+            round(log((coalesce($"cb", lit(0L)) + 1.0) /
+                      (coalesce($"cu", lit(0L)) + lit(v.toDouble))), 9)
+              .cast("decimal(20,9)").as("lp"))
+          .groupBy($"doc_id")
+          .agg(first($"lang").as("lang"), count(lit(1)).as("n_bigrams"),
+            // negate in DECIMAL (exact), divide once in double — the same
+            // -(S/n) the oracle computes (IEEE sign flip is exact)
+            (sum($"lp" * -1).cast("double") / count(lit(1))).as("nll0"))
+          .select($"doc_id", $"lang", $"n_bigrams", round($"nll0", 6).as("nll"))
+        scored.orderBy($"nll".desc, $"doc_id").limit(20)
+      },
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bi AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substring(md5(t[i] || ' ' || t[i+1]), 1, 15)) AS BIGINT) AS h2,
+        |    CAST(('0x' || substring(md5(t[i]), 1, 15)) AS BIGINT) AS h1
+        |  FROM (SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i FROM toks)),
+        |hb AS (SELECT h2, COUNT(*) AS cb FROM bi WHERE lang = 'en' GROUP BY h2),
+        |hu AS (SELECT h1, COUNT(*) AS cu FROM bi WHERE lang = 'en' GROUP BY h1),
+        |v AS (SELECT COUNT(DISTINCT h1) AS v FROM bi WHERE lang = 'en'),
+        |scored AS (
+        |  SELECT doc_id, any_value(lang) AS lang, COUNT(*) AS n_bigrams,
+        |    round(-(CAST(SUM(CAST(round(ln((COALESCE(cb, 0) + 1.0) /
+        |                                  (COALESCE(cu, 0) + v)), 9)
+        |                    AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*)), 6) AS nll
+        |  FROM bi LEFT JOIN hb USING (h2) LEFT JOIN hu USING (h1) CROSS JOIN v
+        |  GROUP BY doc_id)
+        |SELECT doc_id, lang, n_bigrams, nll
+        |FROM scored ORDER BY nll DESC, doc_id LIMIT 20""".stripMargin),
   )
 }

@@ -225,7 +225,13 @@ object GraftProcedures {
         "pre-shuffle partitioned writes on the partition columns: one file per partition value instead of tasks x values"),
       ("property", "rowTracking.enabled", "stable row ids materialized through rewrites; SELECT _row_id"),
       ("property", "columnMapping.mode", "name-based column mapping: RENAME/DROP COLUMN without rewriting data"),
-      ("property", "appendOnly", "reject deletes/updates/truncates at the commit gate"))
+      ("property", "appendOnly", "reject deletes/updates/truncates at the commit gate"),
+      ("property", "dataSkipping.numIndexedCols",
+        "min/max/null stats recorded for the first N schema columns only (default 32, Delta's default); partition/clustering/identity columns always kept; -1 indexes every column"),
+      ("property", "compat.delta.write",
+        "emit commits and checkpoints in genuine delta-1.0 action shape so real Delta readers open the table; graft keeps writing it (ownership markers); refuses DV/CDF/columnMapping/VARIANT"),
+      ("property", "bucketing.column",
+        "hash bucketing (+ bucketing.count): files land in hidden __bucket dirs by pmod(hash(col), n); two same-shape bucketed CATALOG tables join with zero shuffle (bucket SPJ); create-time only"))
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val topic =

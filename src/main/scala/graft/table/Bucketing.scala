@@ -57,6 +57,19 @@ object Bucketing {
     * bucket function MUST stay the same computation. */
   def idExpr(column: String, n: Int): Column = pmod(hash(col(column)), lit(n))
 
+  /** Bucket id of one predicate literal (catalyst-INTERNAL value, as
+    * DataSkipping.equalityProbes evals them) — the read-side twin of
+    * [[idExpr]], powering point-lookup file pruning: `WHERE col = v` on a
+    * bucketed table scans only bucket(v)'s files. None when the value
+    * cannot be hashed under `dt` (conservative: no pruning). */
+  def bucketOfValue(v: Any, dt: DataType, n: Int): Option[Int] =
+    scala.util.Try {
+      val h = new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(Seq(
+        org.apache.spark.sql.catalyst.expressions.Literal(v, dt)))
+        .eval(null).asInstanceOf[Int]
+      ((h % n) + n) % n
+    }.toOption
+
   /** Bucketed write shape: (frame with the hidden bucket column, dir
     * columns). Identity when the table is unbucketed. */
   def withBucket(df: DataFrame, meta: MetaData,

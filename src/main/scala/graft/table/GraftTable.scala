@@ -1848,17 +1848,37 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
            else f.nullCounts.flatMap { case (k, v) => p2l.get(k).map(_ -> v) }))
       DataSkipping.mayMatch(resolved, widened)
     }
+    // bucket skipping: an equality/IN probe on the BUCKETING column keeps
+    // only the probed keys' hash buckets — a point lookup on a bucketed
+    // table scans 1/N of the files with no stats at all (every row of a
+    // file shares the file's __bucket dir, so rows matching col = v can
+    // only live in bucket(v))
+    val bucketPruned = Bucketing.spec(s.metaData) match {
+      case Some((bc, n)) =>
+        val vals = DataSkipping.equalityProbes(resolved).getOrElse(bc, Nil)
+        val dt = s.schema.fields.find(_.name == bc).map(_.dataType)
+        val hashed = vals.map(v => dt.flatMap(t => Bucketing.bucketOfValue(v, t, n)))
+        // ANY unhashable probe value disables the prune (conservative);
+        // colliding values simply share a bucket
+        if (vals.isEmpty || hashed.exists(_.isEmpty)) statPruned
+        else {
+          val wanted = hashed.flatten.toSet
+          statPruned.filter(_.partitionValues.get(Bucketing.BucketCol)
+            .forall(b => wanted.contains(b.toInt)))
+        }
+      case None => statPruned
+    }
     // bloom skipping: equality probes on the table's bloom columns drop
     // files whose native parquet blooms provably exclude every candidate.
     // Runs only on min/max survivors and reads footer metadata only.
     val bloomCols = GraftTable.bloomColumns(s.metaData)
-    if (bloomCols.isEmpty) statPruned
+    if (bloomCols.isEmpty) bucketPruned
     else {
       val probes = DataSkipping.equalityProbes(resolved)
         .filter { case (c, _) => bloomCols.contains(c) }
         .map { case (c, v) => ColumnMapping.physicalOf(s.schema, c) -> v }
-      if (probes.isEmpty) statPruned
-      else statPruned.filter(f =>
+      if (probes.isEmpty) bucketPruned
+      else bucketPruned.filter(f =>
         FileOps.bloomMayMatch(Paths.get(path, f.path), probes))
     }
   }

@@ -329,6 +329,9 @@ class PlanAuditSpec extends SparkTestBase {
       "q172_ann_ivf_pq" -> "K x M codebook/LUT, both fixed by the algorithm",
       "q176_pq_index_probe" -> "K x M ADC lookup table, fixed by the algorithm",
       "q178_ann_ivf_pq_residual" -> "nprobe x K x M residual ADC tables, fixed by the algorithm",
+      // DSIR bin-ratio table: grouped on h60 % 64 — 64 rows by MODULUS
+      // construction (a feature-hashing hyperparameter), never corpus-sized
+      "q186_dsir_selection" -> "64 hash bins by modulus, fixed by the algorithm",
       )
     def boundedByInFilter(agg: Aggregate): Boolean = {
       val groupCols = agg.groupingExpressions.flatMap(_.references).map(_.name).toSet

@@ -140,6 +140,32 @@ class BucketedJoinSpec extends SparkTestBase {
     intercept[IllegalArgumentException](t.setProperty(Bucketing.ColumnProp, "id"))
   }
 
+  test("point lookups bucket-prune: WHERE doc_id = v scans only bucket(v)'s files") {
+    catalogReady
+    import spark.implicits._
+    val t = GraftTable.forPath(spark, pathA)
+    val s = t.snapshot
+    val buckets = s.files.flatMap(_.partitionValues.get(Bucketing.BucketCol)).distinct
+    assert(buckets.size > 1, "fixture must span several buckets")
+    val someId = t.toDF.select($"doc_id").head.getLong(0)
+    val pruned = t.prunedFiles(s, $"doc_id" === someId)
+    val wantBucket = Bucketing.bucketOfValue(someId,
+      org.apache.spark.sql.types.LongType, 8).get
+    assert(pruned.nonEmpty && pruned.forall(
+        _.partitionValues(Bucketing.BucketCol).toInt == wantBucket),
+      s"survivors must all sit in bucket $wantBucket")
+    assert(pruned.size < s.files.size, "pruning must actually drop files")
+    // IN probes prune to the union of the probed buckets; results exact
+    val ids = t.toDF.select($"doc_id").limit(3).collect().map(_.getLong(0))
+    val prunedIn = t.prunedFiles(s, $"doc_id".isin(ids: _*))
+    val wantIn = ids.flatMap(Bucketing.bucketOfValue(_,
+      org.apache.spark.sql.types.LongType, 8)).toSet
+    assert(prunedIn.forall(f =>
+      wantIn.contains(f.partitionValues(Bucketing.BucketCol).toInt)))
+    assert(t.scan($"doc_id" === someId).count() ===
+      t.toDF.filter($"doc_id" === someId).count(), "scan ≡ filter")
+  }
+
   test("the bucket function itself is SQL-callable and matches the write-side layout") {
     catalogReady
     import spark.implicits._
