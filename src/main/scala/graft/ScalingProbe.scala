@@ -455,26 +455,32 @@ object ScalingProbe {
       graft.sources.GraftCatalog.register(spark, "/tmp/graft-bkt-probe-wh", name = "bktp")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // paths and table names carry the CORPUS fingerprint: a fixed name
+      // keyed only by m would silently serve a previous run's data after
+      // an sfDir change, and a crash between create and CREATE TABLE would
+      // strand the rerun — the fingerprint makes every (corpus, m) fresh
+      val tag = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(sfDir).toLong & 0xffffffffL)
       for (m <- mults) {
         val dir = replicated(m)
-        val pa = s"/tmp/graft-bkt-probe-$m-a"
-        val pb = s"/tmp/graft-bkt-probe-$m-b"
-        if (!graft.table.GraftTable.isGraftTable(pa)) {
-          val docs = Tables.documents(spark, dir)
+        val pa = s"/tmp/graft-bkt-probe-$tag-$m-a"
+        val pb = s"/tmp/graft-bkt-probe-$tag-$m-b"
+        val docs = Tables.documents(spark, dir)
+        if (!graft.table.GraftTable.isGraftTable(pa))
           graft.table.GraftTable.create(spark, pa,
             docs.select($"doc_id", $"lang", $"n_chars"),
             bucketBy = Some(("doc_id", 16)))
+        if (!graft.table.GraftTable.isGraftTable(pb))
           graft.table.GraftTable.create(spark, pb,
             docs.select($"doc_id",
               size(split($"text", " ")).cast("long").as("n_tokens")),
             bucketBy = Some(("doc_id", 16)))
-          spark.sql(s"CREATE TABLE bktp.default.a$m USING graft LOCATION '$pa'")
-          spark.sql(s"CREATE TABLE bktp.default.b$m USING graft LOCATION '$pb'")
-        }
+        spark.sql(s"CREATE TABLE IF NOT EXISTS bktp.default.a${tag}_$m USING graft LOCATION '$pa'")
+        spark.sql(s"CREATE TABLE IF NOT EXISTS bktp.default.b${tag}_$m USING graft LOCATION '$pb'")
         val t0 = System.nanoTime()
         val df = spark.sql(
           s"""SELECT x.doc_id, x.lang, x.n_chars, y.n_tokens
-             |FROM bktp.default.a$m x JOIN bktp.default.b$m y
+             |FROM bktp.default.a${tag}_$m x JOIN bktp.default.b${tag}_$m y
              |ON x.doc_id = y.doc_id""".stripMargin)
         val rows = df.collect().length.toLong
         val sec = (System.nanoTime() - t0) / 1e9

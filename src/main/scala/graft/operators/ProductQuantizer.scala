@@ -57,6 +57,8 @@ object ProductQuantizer {
     val sub = subvectors(e, shape).persist()
     val seedIds = e.select($"vec_id").orderBy($"vec_id").limit(shape.k)
       .collect().map(_.getLong(0))
+    require(seedIds.length == shape.k,
+      s"PQ training needs at least k=${shape.k} vectors, got ${seedIds.length}")
     var codebook = sub.filter($"vec_id".isin(seedIds: _*))
       .withColumn("code",
         row_number().over(org.apache.spark.sql.expressions.Window
@@ -118,6 +120,12 @@ object ProductQuantizer {
       .agg(array_sort(collect_list(struct($"code", $"pd"))).as("cp"))
       .select($"sub", expr("transform(cp, x -> x.pd)").as("pds"))
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    // the flat LUT is indexed with stride k — a codebook that does not
+    // carry exactly k codewords per subspace would silently read the wrong
+    // subspace's distances, so refuse instead
+    (0 until shape.m).foreach(m0 => require(
+      lut.get(m0).exists(_.length == shape.k),
+      s"codebook must carry k=${shape.k} codewords for subspace $m0"))
     val flat = (0 until shape.m).flatMap(m0 => lut(m0)) // m*k doubles
     encoded
       .withColumn("adist", expr(

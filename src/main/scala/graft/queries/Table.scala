@@ -1591,6 +1591,11 @@ object TableQueries {
     "q185_bucketed_spj_join" -> Q(
       (s, dir) => {
         import s.implicits._
+        // table names carry a dir fingerprint: one JVM serves several data
+        // dirs (the bench warms at sf0.001 before timing at the bench SF),
+        // and a fixed name would CREATE-collide on the second dir
+        val tag = java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
         cache.computeIfAbsent(s"bucketSpj:$dir", _ => {
           val docs = graft.Tables.documents(s, dir)
           val pa = graft.Scratch.dir("graft-bkt-a-").toString
@@ -1603,16 +1608,16 @@ object TableQueries {
             bucketBy = Some(("doc_id", 8)))
           graft.sources.GraftCatalog.register(s,
             graft.Scratch.dir("graft-bkt-wh-").toString, name = "bktq")
-          s.sql(s"CREATE TABLE bktq.default.a USING graft LOCATION '$pa'")
-          s.sql(s"CREATE TABLE bktq.default.b USING graft LOCATION '$pb'")
+          s.sql(s"CREATE TABLE bktq.default.a_$tag USING graft LOCATION '$pa'")
+          s.sql(s"CREATE TABLE bktq.default.b_$tag USING graft LOCATION '$pb'")
           val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
             "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k =>
             k -> scala.util.Try(s.conf.get(k)).toOption.flatMap(Option(_)))
           try {
             saved.foreach { case (k, _) => s.conf.set(k, "-1") }
             val fact = s.sql(
-              """SELECT x.doc_id, x.lang, x.n_chars, y.n_tokens
-                |FROM bktq.default.a x JOIN bktq.default.b y
+              s"""SELECT x.doc_id, x.lang, x.n_chars, y.n_tokens
+                |FROM bktq.default.a_$tag x JOIN bktq.default.b_$tag y
                 |ON x.doc_id = y.doc_id""".stripMargin)
             fact.collect()
             val plan = fact.queryExecution.executedPlan.toString
@@ -1625,10 +1630,10 @@ object TableQueries {
           GraftTable.forPath(s, pa) // cache value; the tables live in the catalog
         })
         s.sql(
-          """SELECT x.lang, COUNT(*) AS n_docs,
+          s"""SELECT x.lang, COUNT(*) AS n_docs,
             |  CAST(SUM(x.n_chars) AS BIGINT) AS sum_chars,
             |  CAST(SUM(y.n_tokens) AS BIGINT) AS sum_tokens
-            |FROM bktq.default.a x JOIN bktq.default.b y ON x.doc_id = y.doc_id
+            |FROM bktq.default.a_$tag x JOIN bktq.default.b_$tag y ON x.doc_id = y.doc_id
             |GROUP BY x.lang ORDER BY x.lang""".stripMargin)
       },
       """SELECT lang, COUNT(*) AS n_docs,

@@ -28,6 +28,13 @@ object Text {
   private val substrIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.table.GraftTable]()
 
+  /** q187's target-corpus bigram LM histogram — (h1, h2, cb) — materialized
+    * as a graft table per (JVM, dir): the q42 pair-graph precedent, so
+    * repeat executions read parquet instead of stacking dead cached RDDs,
+    * and the artifact is the LM a production perplexity filter persists. */
+  private val pplxLmCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.table.GraftTable]()
+
   /** q183's persisted window-hash index: (h, first_doc) over every NON-batch
     * document, stored as a graft table, memoized per (JVM, dir). The build
     * also proves the MAINTENANCE step: the incoming batch's firsts MERGE
@@ -1147,10 +1154,18 @@ object Text {
           .select($"doc_id", $"lang",
             expr(s"$h60b").as("h2"),
             expr(s"$h60u").as("h1"))
-        val target = bi.filter($"lang" === "en")
-        val hb = target.groupBy($"h2").agg(count(lit(1)).as("cb"))
-        val hu = target.groupBy($"h1").agg(count(lit(1)).as("cu"))
-        val v = target.select($"h1").distinct().count()
+        // ONE target pass: the (h1, h2) bigram histogram; prefix counts and
+        // the vocabulary size are vocab-sized reaggregations of it — the
+        // corpus is touched exactly twice total (LM build + scoring join)
+        val h12 = pplxLmCache.computeIfAbsent(s"pplx:$dir", _ =>
+          graft.table.GraftTable.create(s,
+            graft.Scratch.dir("graft-pplx-lm-").toString,
+            bi.filter($"lang" === "en")
+              .groupBy($"h1", $"h2").agg(count(lit(1)).as("cb")))).toDF
+        val hb = h12.select($"h2", $"cb")
+          .groupBy($"h2").agg(sum($"cb").as("cb"))
+        val hu = h12.groupBy($"h1").agg(sum($"cb").as("cu"))
+        val v = h12.select($"h1").distinct().count()
         val scored = bi
           .join(hb, Seq("h2"), "left").join(hu, Seq("h1"), "left")
           .select($"doc_id", $"lang",

@@ -98,5 +98,12 @@ object Bucketing {
     if (props.contains(ColumnProp) != props.contains(CountProp))
       throw new IllegalArgumentException(
         s"$ColumnProp and $CountProp must be declared together")
+    // a declared-but-unusable count must refuse HERE: spec() filtering it
+    // to None would commit a mis-declared, effectively unbucketed table
+    // that the create-time-only rule then makes permanently uncorrectable
+    props.get(CountProp).foreach { raw =>
+      require(scala.util.Try(raw.trim.toInt).toOption.exists(_ > 0),
+        s"$CountProp must be a positive integer, got '$raw'")
+    }
   }
 }

@@ -53,10 +53,23 @@ object DeltaWriteCompat {
   def refusal(meta: MetaData, actions: Seq[Action]): Option[String] = {
     def on(k: String) = meta.properties.get(k).exists(v =>
       v.equalsIgnoreCase("true") || v.equalsIgnoreCase("name"))
+    def hasVariant(dt: DataType): Boolean = dt match {
+      case _: VariantType => true
+      case s: StructType => s.fields.exists(f => hasVariant(f.dataType))
+      case a: ArrayType => hasVariant(a.elementType)
+      case m: MapType => hasVariant(m.keyType) || hasVariant(m.valueType)
+      case _ => false
+    }
+    // substring is only the cheap PRE-filter; the schema parse decides —
+    // a column merely NAMED "variant" must not trip the refusal
+    def variantSchema: Boolean =
+      meta.schemaString.contains("\"variant\"") &&
+        (try hasVariant(DataType.fromJson(meta.schemaString))
+         catch { case _: Exception => false })
     if (on("deletionVectors.enabled")) Some("deletionVectors.enabled")
     else if (on("changeDataFeed.enabled")) Some("changeDataFeed.enabled")
     else if (on("columnMapping.mode")) Some("columnMapping.mode")
-    else if (meta.schemaString.contains("\"variant\"")) Some("VARIANT columns")
+    else if (variantSchema) Some("VARIANT columns")
     else if (actions.exists { case a: AddFile => a.dvPath.isDefined; case _ => false })
       Some("deletion-vector file references")
     else if (actions.exists(_.isInstanceOf[CdcFile])) Some("cdc actions")

@@ -327,12 +327,15 @@ final class GraftLog(val tablePath: String,
     // authorship markers keep the foreign probe quiet). Features a
     // delta-1.0 reader cannot honor refuse HERE, which also makes the
     // property-enabling commit itself the enforcement point.
-    // Try: v-1 may be unfoldable exactly when this commit is a doomed
-    // duplicate (a loser racing a version at the cleaned retention floor)
-    // — the publishIfAbsent CAS below still rejects it with the typed
-    // conflict, which must not be preempted by a fold error here.
+    // v-1 is only unfoldable when this commit is a doomed duplicate (a
+    // loser racing a version at/below the cleaned retention floor) — skip
+    // the fold THERE and let the publishIfAbsent CAS reject it with the
+    // typed conflict. Any OTHER fold failure rethrows: silently falling
+    // back to native serialization would publish a graft-shaped line into
+    // a delta-shaped compat log, breaking real Delta readers mid-tail.
     val compatMeta = actions.collectFirst { case m: MetaData => m }
-      .orElse(if (v > 0) scala.util.Try(snapshotAt(v - 1).metaData).toOption
+      .orElse(if (v > 0 && v - 1 >= earliestVersion)
+                Some(snapshotAt(v - 1).metaData)
               else None)
       .filter(DeltaWriteCompat.enabled)
     val serialize: Action => String = compatMeta match {
@@ -613,21 +616,28 @@ final class GraftLog(val tablePath: String,
     val df = spark.read.schema(DeltaWriteCompat.checkpointSchema)
       .json(spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING))
     val stage = Files.createTempDirectory("graft-delta-cp-")
+    def listStage(): Seq[Path] = {
+      val st = Files.list(stage)
+      try st.iterator().asScala.toSeq finally st.close()
+    }
     try {
       df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val part = Files.list(stage).iterator().asScala
+      val part = listStage()
         .find(_.getFileName.toString.endsWith(".parquet"))
         .getOrElse(throw new IllegalStateException(
           s"delta-compat checkpoint $v produced no parquet part"))
       val tmp = logDir.resolve(s".${java.util.UUID.randomUUID()}.cp.tmp")
-      Files.copy(part, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // stage THROUGH the store (never Files directly): on a non-posix
+      // LogStore the log namespace may not be locally writable at all —
+      // the same seam rule every other log write follows
+      store.writeTmp(tmp, Files.readAllBytes(part))
       try {
         store.publishIfAbsent(tmp, parquetCheckpointFile(v))
         publishPointer(v, 1, lines.size.toLong)
       } catch { case _: java.nio.file.FileAlreadyExistsException => () }
       finally store.deleteIfExists(tmp)
     } finally {
-      Files.list(stage).iterator().asScala.foreach(p => Files.deleteIfExists(p))
+      listStage().foreach(p => Files.deleteIfExists(p))
       Files.deleteIfExists(stage)
     }
   }
