@@ -27,8 +27,8 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftProcedures {
 
   val names: Seq[String] =
-    Seq("optimize", "vacuum", "restore", "convert", "generate_manifest",
-        "cleanup_logs", "clone", "fsck", "help")
+    Seq("optimize", "vacuum", "restore", "convert", "import_delta",
+        "generate_manifest", "cleanup_logs", "clone", "fsck", "help")
 
   def load(catalog: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.sameElements(Array("system")),
@@ -38,6 +38,7 @@ object GraftProcedures {
       case "vacuum"   => VacuumProc(catalog)
       case "restore"  => RestoreProc(catalog)
       case "convert"  => ConvertProc(catalog)
+      case "import_delta" => ImportDeltaProc(catalog)
       case "generate_manifest" => GenerateManifestProc(catalog)
       case "cleanup_logs" => CleanupLogsProc(catalog)
       case "clone" => CloneProc(catalog)
@@ -196,6 +197,7 @@ object GraftProcedures {
         "delete unreferenced data files past retention (retain_versions / retention_ms; dry_run => true lists only); listing/stat/delete distribute past 1024 candidates"),
       ("procedure", "restore", "roll the table head back to an earlier version as a NEW commit"),
       ("procedure", "convert", "import an existing parquet directory as commit 0 (footer-stat harvest distributes; real file mtimes recorded)"),
+      ("procedure", "import_delta", "copy a REAL delta-spark table (read natively via the round-13 interop) into a fresh graft table, preserving schema and partitioning; optional version pins the source snapshot"),
       ("procedure", "generate_manifest", "write a symlink-format manifest of the current snapshot"),
       ("procedure", "cleanup_logs", "drop expired commit files behind the checkpoint floor (log.retentionMs)"),
       ("procedure", "clone", "shallow clone: new table referencing the source's files in place, optionally at an older version"),
@@ -303,6 +305,41 @@ object GraftProcedures {
       val t = GraftTable.convert(SparkSession.active, input.getUTF8String(0).toString)
       val s = t.snapshot
       resultScan(out, row(s.files.size.toLong, s.files.map(_.numRecords).sum))
+    }
+  }
+
+  /** `CALL graft.system.import_delta(source => '/delta/t', dest => '/graft/t')`
+    * — the MIGRATION path the foreign-log write refusal points at, as one
+    * call: the source (a genuine delta-spark table, readable since the
+    * round-13 interop) is copied into a fresh graft table at `dest`,
+    * preserving schema and Hive partitioning; `version` pins an older
+    * source snapshot. The source is never touched — foreign logs stay
+    * read-only; the copy rewrites data (foreign adds reference the
+    * SOURCE's directory, so an in-place log swap cannot be atomic). */
+  case class ImportDeltaProc(catalog: GraftCatalog)
+      extends GraftProc("import_delta") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("source", StringType),
+      param("dest", StringType),
+      paramD("version", LongType, "-1")) // -1: the source head
+
+    private val out = StructType(Seq(
+      StructField("rows_imported", LongType, nullable = false),
+      StructField("source_version", LongType, nullable = false),
+      StructField("dest_path", StringType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val src = GraftTable.forPath(spark, input.getUTF8String(0).toString)
+      val dest = input.getUTF8String(1).toString
+      val v = if (input.isNullAt(2) || input.getLong(2) < 0) src.latestVersion
+              else input.getLong(2)
+      val df = src.versionAsOf(v)
+      val t = GraftTable.create(spark, dest, df,
+        partitionBy = src.snapshot.metaData.partitionColumns)
+      val n = t.snapshot.files.map(_.numRecords).sum
+      resultScan(out, row(n, v,
+        org.apache.spark.unsafe.types.UTF8String.fromString(dest)))
     }
   }
 

@@ -492,6 +492,40 @@ class DeltaCompatSpec extends SparkTestBase {
     }
   }
 
+  test("CALL graft.system.import_delta migrates a foreign table in one call") {
+    import spark.implicits._
+    val dir = tmpDir("delta-compat-import-")
+    val dfa = Seq((1L, "x"), (2L, "x")).toDF("id", "p")
+    val dfb = Seq((3L, "y")).toDF("id", "p")
+    val (sz1, mt1) = dataFile(dir, "p=x/part-00000-aaa-c000.snappy.parquet", dfa.drop("p"))
+    val (sz2, mt2) = dataFile(dir, "p=y/part-00001-bbb-c000.snappy.parquet", dfb.drop("p"))
+    val schema =
+      """{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},{\"name\":\"p\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}}]}"""
+    commit(dir, 0, Seq(
+      commitInfo(1619112345000L, "WRITE"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaData(schema, partitionColumns = Seq("p")),
+      add("p=x/part-00000-aaa-c000.snappy.parquet", sz1, mt1, None,
+        partitionValues = Map("p" -> "x")),
+      add("p=y/part-00001-bbb-c000.snappy.parquet", sz2, mt2, None,
+        partitionValues = Map("p" -> "y"))))
+    graft.sources.GraftCatalog.register(spark, tmpDir("delta-import-wh-"),
+      name = "dimp")
+    val dest = tmpDir("delta-import-dest-") + "/t"
+    val res = spark.sql(
+      s"CALL dimp.system.import_delta(source => '$dir', dest => '$dest')").head
+    assert(res.getLong(0) === 3L, "rows_imported")
+    val t = GraftTable.forPath(spark, dest)
+    assert(t.snapshot.metaData.partitionColumns === Seq("p"), "partitioning preserved")
+    assert(t.toDF.count() === 3L)
+    t.append(Seq((4L, "y")).toDF("id", "p")) // the copy is a NATIVE, writable table
+    assert(t.toDF.count() === 4L)
+    // the source stayed untouched and read-only
+    assert(GraftTable.forPath(spark, dir).toDF.count() === 3L)
+    intercept[GraftProtocolException](
+      GraftTable.forPath(spark, dir).delete(col("id") === 1L))
+  }
+
   test("a native graft table with a column literally named dataChange stays writable") {
     import spark.implicits._
     val dir = tmpDir("graft-datachange-col-")
