@@ -1141,19 +1141,24 @@ object Text {
     "q187_perplexity_filter" -> Q(
       (s, dir) => {
         import s.implicits._
-        val h60b = "cast(conv(substring(md5(concat(w1, ' ', w2)), 1, 15), 16, 10) as bigint)"
-        val h60u = "cast(conv(substring(md5(w1), 1, 15), 16, 10) as bigint)"
+        // each token is md5-hashed ONCE (reduced mod 1e9+7 so the bigram
+        // combine below stays inside int64); the bigram key is an
+        // arithmetic combine of the two token hashes — one md5 per token
+        // instead of three (w1 alone + w1 inside two bigram concats), the
+        // dominant cost of both corpus passes
         val bi = Tables.documents(s, dir)
           .select($"doc_id", $"lang", split($"text", " ").as("toks"))
           .filter(size($"toks") >= 2)
+          .select($"doc_id", $"lang", expr(
+            """transform(toks, t ->
+              |  cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)
+              |    % 1000000007)""".stripMargin).as("ht"))
           .select($"doc_id", $"lang", explode(expr(
-            """transform(slice(toks, 1, size(toks) - 1),
-              |  (t, i) -> struct(t as w1, element_at(toks, i + 2) as w2))""".stripMargin))
-            .as("g"))
-          .select($"doc_id", $"lang", $"g.w1".as("w1"), $"g.w2".as("w2"))
-          .select($"doc_id", $"lang",
-            expr(s"$h60b").as("h2"),
-            expr(s"$h60u").as("h1"))
+            """transform(slice(ht, 1, size(ht) - 1),
+              |  (h, i) -> struct(h as h1,
+              |    (h * 1000003 + element_at(ht, i + 2)) % 1000000007 as h2))"""
+              .stripMargin)).as("g"))
+          .select($"doc_id", $"lang", $"g.h2".as("h2"), $"g.h1".as("h1"))
         // ONE target pass: the (h1, h2) bigram histogram; prefix counts and
         // the vocabulary size are vocab-sized reaggregations of it — the
         // corpus is touched exactly twice total (LM build + scoring join)
@@ -1183,11 +1188,16 @@ object Text {
       """WITH toks AS (
         |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
         |  WHERE len(string_split(text, ' ')) >= 2),
+        |hashed AS (
+        |  SELECT doc_id, lang,
+        |    list_transform(t, x ->
+        |      CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT) % 1000000007) AS ht
+        |  FROM toks),
         |bi AS (
         |  SELECT doc_id, lang,
-        |    CAST(('0x' || substring(md5(t[i] || ' ' || t[i+1]), 1, 15)) AS BIGINT) AS h2,
-        |    CAST(('0x' || substring(md5(t[i]), 1, 15)) AS BIGINT) AS h1
-        |  FROM (SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i FROM toks)),
+        |    (ht[i] * 1000003 + ht[i+1]) % 1000000007 AS h2,
+        |    ht[i] AS h1
+        |  FROM (SELECT doc_id, lang, ht, unnest(range(1, len(ht))) AS i FROM hashed)),
         |hb AS (SELECT h2, COUNT(*) AS cb FROM bi WHERE lang = 'en' GROUP BY h2),
         |hu AS (SELECT h1, COUNT(*) AS cu FROM bi WHERE lang = 'en' GROUP BY h1),
         |v AS (SELECT COUNT(DISTINCT h1) AS v FROM bi WHERE lang = 'en'),
