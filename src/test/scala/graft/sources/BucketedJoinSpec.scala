@@ -140,6 +140,35 @@ class BucketedJoinSpec extends SparkTestBase {
     intercept[IllegalArgumentException](t.setProperty(Bucketing.ColumnProp, "id"))
   }
 
+  test("maintenance preserves bucketing: OPTIMIZE compacts within buckets, COPY INTO buckets") {
+    catalogReady
+    import spark.implicits._
+    val p = tmpDir("bucket-opt-") + "/t"
+    val docs = graft.Tables.documents(spark, sfDir).select($"doc_id", $"n_chars")
+    val t = GraftTable.create(spark, p, docs.limit(0), bucketBy = Some(("doc_id", 4)))
+    // many small appends → many small files per bucket
+    (0 until 4).foreach(i => t.append(docs.filter($"doc_id" % 4 === i)))
+    val before = t.snapshot.files.size
+    t.optimize(targetFileBytes = 128L * 1024 * 1024)
+    val s = t.snapshot
+    assert(s.files.size < before, "compaction must shrink the file count")
+    s.files.foreach { f =>
+      val declared = f.partitionValues(Bucketing.BucketCol).toInt
+      val held = spark.read.parquet(s"$p/${f.path}")
+        .select(Bucketing.idExpr("doc_id", 4).as("b")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      assert(held == Seq(declared),
+        s"OPTIMIZE output ${f.path} declares bucket $declared but holds $held")
+    }
+    assert(t.toDF.count() === docs.count())
+    // COPY INTO lands bucketed too (it rewrites through the chokepoint)
+    val land = tmpDir("bucket-land-")
+    docs.limit(7).coalesce(1).write.mode("overwrite").parquet(land)
+    assert(t.copyInto(land) === 7L)
+    assert(t.snapshot.files.forall(
+      _.partitionValues.contains(Bucketing.BucketCol)))
+  }
+
   test("point lookups bucket-prune: WHERE doc_id = v scans only bucket(v)'s files") {
     catalogReady
     import spark.implicits._
