@@ -335,8 +335,10 @@ object GraftProcedures {
       val v = if (input.isNullAt(2) || input.getLong(2) < 0) src.latestVersion
               else input.getLong(2)
       val df = src.versionAsOf(v)
+      // partitioning from the PINNED snapshot — the head's layout may have
+      // diverged from the version being imported
       val t = GraftTable.create(spark, dest, df,
-        partitionBy = src.snapshot.metaData.partitionColumns)
+        partitionBy = src.snapshotAt(v).metaData.partitionColumns)
       val n = t.snapshot.files.map(_.numRecords).sum
       resultScan(out, row(n, v,
         org.apache.spark.unsafe.types.UTF8String.fromString(dest)))
