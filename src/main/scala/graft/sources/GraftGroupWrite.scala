@@ -36,7 +36,7 @@ class GraftGroupBatchWrite(table: GraftTable, scannedSnap: () => Option[Snapshot
       .map(c => c -> bloomNdv).toMap
     GraftParquetWriterFactory(table.path,
       GraftWriteSchemas.withTableNullability(schema, table.snapshot.schema),
-      meta.partitionColumns, blooms)
+      meta.partitionColumns, blooms, graft.table.Bucketing.spec(meta))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -126,7 +126,7 @@ class GraftStreamingWrite(table: GraftTable, schema: StructType, queryId: String
       .map(c => c -> bloomNdv).toMap
     GraftStreamingWriterFactory(table.path,
       GraftWriteSchemas.withTableNullability(schema, table.snapshot.schema),
-      meta.partitionColumns, blooms)
+      meta.partitionColumns, blooms, graft.table.Bucketing.spec(meta))
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -183,22 +183,25 @@ class GraftStreamingWrite(table: GraftTable, schema: StructType, queryId: String
 }
 
 case class GraftStreamingWriterFactory(tablePath: String, schema: StructType,
-    partitionCols: Seq[String], bloomColumns: Map[String, Long])
+    partitionCols: Seq[String], bloomColumns: Map[String, Long],
+    bucket: Option[(String, Int)] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new GraftParquetDataWriter(tablePath, schema, partitionCols, bloomColumns)
+    new GraftParquetDataWriter(tablePath, schema, partitionCols, bloomColumns, bucket)
 }
 
 case class GraftParquetWriterFactory(tablePath: String, schema: StructType,
-    partitionCols: Seq[String], bloomColumns: Map[String, Long])
+    partitionCols: Seq[String], bloomColumns: Map[String, Long],
+    bucket: Option[(String, Int)] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftParquetDataWriter(tablePath, schema, partitionCols, bloomColumns)
+    new GraftParquetDataWriter(tablePath, schema, partitionCols, bloomColumns, bucket)
 }
 
 class GraftParquetDataWriter(tablePath: String, schema: StructType,
-    partitionCols: Seq[String], bloomColumns: Map[String, Long])
+    partitionCols: Seq[String], bloomColumns: Map[String, Long],
+    bucket: Option[(String, Int)] = None)
     extends DataWriter[InternalRow] {
 
   private val dataFields = schema.fields.filterNot(f => partitionCols.contains(f.name))
@@ -232,6 +235,10 @@ class GraftParquetDataWriter(tablePath: String, schema: StructType,
     * incoming rewrite rows interleave partition columns and may carry
     * leading metadata fields. Built on the first write (needs fieldOffset). */
   private var projected: graft.streaming.RemappedRow = _
+
+  /** pmod(hash(bucketCol), n) bound to this write's row layout — built on
+    * the first row (needs fieldOffset), null for unbucketed tables. */
+  private var bucketEval: org.apache.spark.sql.catalyst.expressions.Expression = _
 
   /** Spark's own parquet WriteSupport (ParquetWriteSupport): InternalRow
     * goes straight into the parquet column writers — no per-row Group
@@ -268,9 +275,15 @@ class GraftParquetDataWriter(tablePath: String, schema: StructType,
     // pv is keyed by PHYSICAL name — the one key space every write path
     // stores in AddFile.partitionValues (it matches the directory names);
     // readers translate to logical via the schema's mapping metadata.
-    val dir = partitionCols.map(c =>
+    // bucketed tables (never combined with Hive partition cols) land in
+    // the hidden __bucket=<id> dir, exactly like the batch write paths —
+    // losing the dir here would silently flip every future scan to the
+    // V1 fallback (spjOk requires every live file to carry its bucket id)
+    val dirKeys = partitionCols.map(physPart) ++
+      (if (bucket.isDefined) Seq(graft.table.Bucketing.BucketCol) else Nil)
+    val dir = dirKeys.map(c =>
       org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .getPartitionPathString(physPart(c), pv(physPart(c)))).mkString("/")
+        .getPartitionPathString(c, pv(c))).mkString("/")
     val rel = (if (dir.isEmpty) "" else s"$dir/") + s"part-${UUID.randomUUID()}.parquet"
     Files.createDirectories(Paths.get(tablePath, rel).getParent)
     var b = new RowWriterBuilder(new HPath(Paths.get(tablePath, rel).toString))
@@ -315,7 +328,25 @@ class GraftParquetDataWriter(tablePath: String, schema: StructType,
             "(declared nullable = false) received a null")
       i += 1
     }
-    val pv = partitionCols.map(c => physPart(c) -> partitionValue(row, c)).toMap
+    val pv0 = partitionCols.map(c => physPart(c) -> partitionValue(row, c)).toMap
+    val pv = bucket match {
+      case Some((c, n)) =>
+        // the SAME computation as Bucketing.idExpr (pmod(hash(col), n),
+        // Murmur3 seed 42) evaluated on the incoming internal row — bucket
+        // purity is a pure function of the row, preserved by every write
+        // path including this executor-side rewrite
+        if (bucketEval == null) {
+          import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal, Murmur3Hash, Pmod}
+          val si = schema.fieldIndex(c)
+          bucketEval = Pmod(
+            new Murmur3Hash(Seq(BoundReference(ord(row, si),
+              schema.fields(si).dataType, nullable = true))),
+            Literal(n))
+        }
+        pv0 + (graft.table.Bucketing.BucketCol ->
+          bucketEval.eval(row).asInstanceOf[Int].toString)
+      case None => pv0
+    }
     val (w, _) = writers.getOrElseUpdate(pv, open(pv))
     if (projected == null) {
       val map = dataFields.map(f => ord(row, schema.fieldIndex(f.name)))

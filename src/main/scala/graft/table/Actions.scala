@@ -95,7 +95,8 @@ object Protocol {
       // timestamp_ntz is Spark-native parquet; v2 checkpoints are simply
       // never consulted (foreign checkpoint decode falls back to full JSON
       // replay); vacuumProtocolCheck constrains VACUUM, which refuses on
-      // foreign tables wholesale. Foreign deletionVectors / columnMapping
+      // foreign tables wholesale (GraftTable.vacuum's DeltaReadMarker gate
+      // + GraftLog.refuseForeignMutation). Foreign deletionVectors / columnMapping
       // remain refused by their PRECISE gates (the DV descriptor parse and
       // the delta.columnMapping.mode configuration check) — feature-name
       // acceptance here lets a table that merely DECLARES them read fine
@@ -106,7 +107,14 @@ object Protocol {
     // (timestampNtz, v2Checkpoint, vacuumProtocolCheck) are readable but
     // this build must never claim to WRITE a table that requires them
     Set("deletionVectors", "columnMapping", "changeDataFeed", "rowTracking",
-      "variantType", "generatedColumns", "identityColumns", "appendOnly")
+      "variantType", "generatedColumns", "identityColumns", "appendOnly",
+      // compat.delta.write protocol spellings (DeltaWriteCompat
+      // .compatProtocol): the graft-private v7 names that lock FOREIGN
+      // writers out of engine-private column semantics, plus the legacy
+      // delta names for capabilities graft natively enforces — this build
+      // is exactly the writer those names demand
+      "graft.generatedColumns", "graft.identityColumns", "graft.rowTracking",
+      "invariants", "checkConstraints")
 }
 
 /** Named protocol-gate failure: the table requires a capability this
@@ -131,9 +139,12 @@ object Actions {
 
   /** Properties marker injected into the folded metaData of a table whose
     * log was written by REAL delta-spark (detected by action shape, never
-    * declared): read paths work transparently, write paths refuse —
-    * appending graft-format actions to a genuine Delta log would leave a
-    * mixed history neither engine can replay. */
+    * declared). It makes foreign provenance visible on the SNAPSHOT —
+    * `GraftTable.vacuum` refuses on it (covering checkpoint-only foreign
+    * folds the log-probe path also catches), and DESCRIBE DETAIL /
+    * properties surface it to users. The commit/maintenance gates
+    * additionally probe the log directly ([[graft.table.GraftLog]]
+    * refuseForeignMutation). */
   val DeltaReadMarker = "graft.compat.deltaRead"
 
   /** Node-level Delta-shape probe over one raw log line — the SAME
@@ -331,8 +342,13 @@ object Actions {
           // native semantics — constraints fold back out of the
           // constraint.* configuration entries, no foreign marker (the
           // table stays writable by this engine)
-          val (chk, plain) = (conf - DeltaWriteCompat.WriterMarker)
+          val (chk, plain0) = (conf - DeltaWriteCompat.WriterMarker)
             .partition(_._1.startsWith("constraint."))
+          // delta.constraints.* / delta.appendOnly are DERIVED mirrors the
+          // encoder re-emits from the native state on every commit — fold
+          // them out, or a dropped constraint would linger as a ghost key
+          val plain = plain0.filterNot { case (k, _) =>
+            k.startsWith("delta.constraints.") || k == "delta.appendOnly" }
           MetaData(n.get("id").asText(), n.get("schemaString").asText(),
             Option(n.get("createdTime")).map(_.asLong()).getOrElse(0L), partCols,
             chk.map { case (k, v) => k.stripPrefix("constraint.") -> v }, plain)
@@ -396,8 +412,11 @@ object Actions {
       val n = root.get("commitInfo")
       // Delta commitInfo has no version field (the commit FILE names the
       // version) — -1 here, patched to the file's version by readVersion
+      // the Delta spec makes EVERY commitInfo field optional — a foreign
+      // engine's {"commitInfo":{"operation":"WRITE"}} must degrade like
+      // the version/operation fields do, never NPE the whole version
       CommitInfo(Option(n.get("version")).map(_.asLong()).getOrElse(-1L),
-        n.get("timestamp").asLong(),
+        Option(n.get("timestamp")).map(_.asLong()).getOrElse(0L),
         Option(n.get("operation")).map(_.asText()).getOrElse("UNKNOWN"),
         strMap(n, "operationMetrics"))
     } else if (root.has("domainMetadata")) {

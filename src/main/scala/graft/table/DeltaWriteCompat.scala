@@ -28,8 +28,17 @@ import org.apache.spark.sql.types._
   * column mapping (physical names would not resolve), and VARIANT columns
   * (parquet layout delta 1.x predates). Generated/identity columns,
   * row tracking and constraints are reader-safe (materialized values /
-  * ignorable fields) and stay allowed; constraints travel as
-  * `constraint.*` configuration entries and fold back natively.
+  * ignorable fields) and stay allowed — but the emitted PROTOCOL must not
+  * invite a foreign WRITER to break invariants it cannot see (graft's
+  * generation expressions, identity frontiers and row-id stamps live
+  * under engine-private keys): [[compatProtocol]] declares them as
+  * protocol-v7 writer features under graft-private names no foreign
+  * engine claims, so foreign writers refuse to commit while readers
+  * (gated by minReaderVersion alone) are untouched. CHECK constraints ARE
+  * expressible to foreign writers — they emit as `delta.constraints.*`
+  * configuration under writer version 3 (the standard gate), alongside
+  * the `constraint.*` entries graft folds back natively; `appendOnly`
+  * likewise mirrors to `delta.appendOnly`.
   *
   * Stats fidelity note: numeric/boolean stat values emit as JSON numbers/
   * booleans (typed from the table schema); timestamp stats emit as the
@@ -47,6 +56,38 @@ object DeltaWriteCompat {
 
   def enabled(meta: MetaData): Boolean =
     meta.properties.get(Prop).exists(_.equalsIgnoreCase("true"))
+
+  /** The delta protocol line a compat table declares. Derived from the
+    * table's NATIVE protocol: writer-private column semantics (generation
+    * expressions under `graft.generationExpression`, identity frontiers in
+    * graft table properties, row-id stamping) cannot be maintained by a
+    * foreign Delta writer at ANY writer version — declaring the standard
+    * feature names (or a bare minWriter 2) would invite a capable foreign
+    * writer to insert rows that silently violate them. They emit as
+    * protocol-v7 writerFeatures under graft-private names no foreign
+    * engine claims, so every foreign writer refuses to COMMIT while
+    * readers (who check minReaderVersion alone) replay natively. CHECK
+    * constraints are foreign-enforceable (`delta.constraints.*`, writer
+    * version 3); a table with none of these is plain delta-1.0 (1, 2). */
+  def compatProtocol(p: Protocol, meta: MetaData): Protocol = {
+    val priv = p.writerFeatures.collect {
+      case f @ ("generatedColumns" | "identityColumns" | "rowTracking") =>
+        s"graft.$f"
+      // a folded compat protocol already spells the private names —
+      // re-deriving must be idempotent, not drop them
+      case f if f.startsWith("graft.") => f
+    }
+    val appendOnly =
+      meta.properties.get("appendOnly").exists(_.equalsIgnoreCase("true"))
+    if (priv.nonEmpty) {
+      // v7 lists EVERY active writer capability, legacy ones included
+      val legacy = Seq("invariants") ++
+        (if (meta.constraints.nonEmpty) Seq("checkConstraints") else Nil) ++
+        (if (appendOnly) Seq("appendOnly") else Nil)
+      Protocol(1, 7, Nil, (priv ++ legacy).distinct.sorted)
+    } else if (meta.constraints.nonEmpty) Protocol(1, 3)
+    else Protocol(1, 2)
+  }
 
   /** Table state a delta-1.0 reader cannot honor; checked at every compat
     * commit (including the one that tries to ENABLE the property). */
@@ -100,7 +141,8 @@ object DeltaWriteCompat {
       StructField("createdTime", LongType)))),
     StructField("protocol", StructType(Seq(
       StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType))))))
+      StructField("minWriterVersion", IntegerType),
+      StructField("writerFeatures", ArrayType(StringType)))))))
 }
 
 /** Serializer for one table's actions in delta-1.0 shape. Stat values are
@@ -150,7 +192,15 @@ final class DeltaShapeWriter(meta: MetaData) {
         val pc = n.putArray("partitionColumns"); m.partitionColumns.foreach(pc.add)
         val conf = n.putObject("configuration")
         m.properties.foreach { case (k, v) => conf.put(k, v) }
-        m.constraints.foreach { case (k, v) => conf.put(s"constraint.$k", v) }
+        m.constraints.foreach { case (k, v) =>
+          conf.put(s"constraint.$k", v)
+          // the standard key real Delta writers (≥ writer 3) ENFORCE —
+          // derived from the constraints map on every emit (fold-back
+          // strips it, so a dropped constraint never lingers as a ghost)
+          conf.put(s"delta.constraints.$k", v)
+        }
+        if (m.properties.get("appendOnly").exists(_.equalsIgnoreCase("true")))
+          conf.put("delta.appendOnly", "true")
         conf.put(DeltaWriteCompat.WriterMarker, "true")
         n.put("createdTime", m.createdTime)
       case f: AddFile =>
@@ -182,11 +232,18 @@ final class DeltaShapeWriter(meta: MetaData) {
         n.put("path", encodePath(r.path))
         n.put("deletionTimestamp", r.deletionTimestamp)
         n.put("dataChange", true)
-      case _: Protocol =>
-        // delta-1.0's whole protocol surface — graft feature names are
-        // engine-private and refusal() already excluded the unsafe ones
+      case p: Protocol =>
+        // the feature-derived declaration (see compatProtocol): plain
+        // tables say (1, 2); constraints gate at writer 3; graft-private
+        // writer semantics gate at v7 under names no foreign engine claims
+        val cp = DeltaWriteCompat.compatProtocol(p, meta)
         val n = root.putObject("protocol")
-        n.put("minReaderVersion", 1); n.put("minWriterVersion", 2)
+        n.put("minReaderVersion", cp.minReaderVersion)
+        n.put("minWriterVersion", cp.minWriterVersion)
+        if (cp.writerFeatures.nonEmpty) {
+          val wf = n.putArray("writerFeatures")
+          cp.writerFeatures.foreach(wf.add)
+        }
       case c: CommitInfo =>
         // versionless, like delta (the commit FILE names the version;
         // readVersion patches it back); engineInfo is the ownership marker

@@ -121,6 +121,10 @@ final class GraftLog(val tablePath: String,
     * older than the retention window dies — the same trade VACUUM makes
     * for data files. Returns the number of files removed. */
   def cleanupExpiredLogs(cutoffTs: Long): Int = {
+    // the read-only contract covers MAINTENANCE, not just commits: log
+    // cleanup deletes delta-spark's commit files and plants graft's
+    // _log_start pointer inside a log another engine owns
+    refuseForeignMutation("log cleanup")
     // stray staging files (".<uuid>...tmp") are crash leftovers: every
     // normal path deletes its tmp in `finally`, so anything old enough to
     // predate the cutoff can only be debris from a killed writer — sweep
@@ -292,6 +296,21 @@ final class GraftLog(val tablePath: String,
     * lazily at the FIRST commit attempt (a not-yet-existing table is
     * graft's own by construction) and memoized — one extra read per log
     * instance, never per commit. */
+  /** True when the log was written by real delta-spark — such tables are
+    * READ-ONLY end to end: commits, checkpoints, log cleanup and data
+    * vacuum all refuse (the foreign engine owns retention and layout). */
+  private[graft] def isForeignDelta: Boolean = foreignDeltaLog
+
+  /** Shared refusal for every path that would MUTATE a foreign Delta
+    * table's directory (write a file into its `_delta_log`, or delete one
+    * from it). */
+  private[table] def refuseForeignMutation(what: String): Unit =
+    if (foreignDeltaLog) throw new GraftProtocolException(
+      s"$tablePath is a Delta table written by delta-spark — graft reads " +
+        s"it transparently but $what would mutate state the foreign " +
+        "engine owns; copy it into a graft table (GraftTable.create from " +
+        "a read of this path, or CALL graft.system.import_delta) first")
+
   private lazy val foreignDeltaLog: Boolean =
     exists && {
       // checkpointOnly ⇒ foreign: graft's own cleanup always retains the
@@ -356,8 +375,12 @@ final class GraftLog(val tablePath: String,
     // it under the LogStore putIfAbsent contract: exactly one writer wins
     // version v, losers get FileAlreadyExists (the compare-and-swap the
     // commit protocol needs; PosixLogStore uses hard-link creation).
-    // The body STREAMS line by line — a 1M-AddFile commit is a GB-scale
-    // document and must never materialize as one driver-side string.
+    // The body is handed over line by line — a 1M-AddFile commit is a
+    // GB-scale document that must never materialize as one driver-side
+    // string here. How much the STORE buffers is its writeTmpLines
+    // contract: PosixLogStore streams to the file handle (zero buffering);
+    // the trait default spools to local scratch and pays one byte[] at
+    // the writeTmp hand-off.
     val tmp = logDir.resolve(s".${java.util.UUID.randomUUID()}.commit.tmp")
     store.writeTmpLines(tmp, actions.iterator.map(serialize))
     try store.publishIfAbsent(tmp, versionFile(v))
@@ -472,6 +495,7 @@ final class GraftLog(val tablePath: String,
     } catch { case _: java.io.IOException => None }
 
   def writeCheckpoint(v: Long): Unit = {
+    refuseForeignMutation("writing a checkpoint")
     // fold via snapshotAt: seeds from the newest checkpoint ≤ v and
     // replays only the tail — a full replay(0, v) here would re-read the
     // ENTIRE log every checkpointInterval commits, quadratic total work
@@ -545,7 +569,15 @@ final class GraftLog(val tablePath: String,
                   catch { case _: java.nio.file.NoSuchFileException |
                                _: java.io.FileNotFoundException => false }
                 if (same) done = true
-                else {
+                else if (store.exists(multipartManifestFile(v))) {
+                  // a manifest for v has LANDED: the checkpoint is complete
+                  // and readers may already be folding through it — deleting
+                  // one of its parts now would tear a published checkpoint.
+                  // The survivor set is internally coherent (its writer
+                  // published all parts before the manifest), so abandon our
+                  // attempt; `finally` sweeps our staged tmps.
+                  return
+                } else {
                   attempts += 1
                   if (attempts > 2) throw new IllegalStateException(
                     s"checkpoint part $target keeps reappearing with " +
@@ -609,7 +641,10 @@ final class GraftLog(val tablePath: String,
   private def writeDeltaCompatCheckpoint(v: Long, s: Snapshot): Unit = {
     val w = new DeltaShapeWriter(s.metaData)
     val actions: Seq[Action] =
-      (Protocol(1, 2) +: s.metaData +: s.files) ++
+      // the real snapshot protocol — DeltaShapeWriter derives the compat
+      // declaration (feature-gated minWriter) from it; hardcoding (1, 2)
+      // here would under-declare constraint/identity tables
+      (s.protocol +: s.metaData +: s.files) ++
         s.transactions.toSeq.sortBy(_._1).map { case (a, tv) => Txn(a, tv) }
     val lines = actions.map(w.line)
     val spark = org.apache.spark.sql.SparkSession.active
@@ -631,11 +666,18 @@ final class GraftLog(val tablePath: String,
       // LogStore the log namespace may not be locally writable at all —
       // the same seam rule every other log write follows
       store.writeTmp(tmp, Files.readAllBytes(part))
-      try {
-        store.publishIfAbsent(tmp, parquetCheckpointFile(v))
-        publishPointer(v, 1, lines.size.toLong)
-      } catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      try store.publishIfAbsent(tmp, parquetCheckpointFile(v))
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
       finally store.deleteIfExists(tmp)
+      // the pointer publishes UNCONDITIONALLY, outside the catch: a crash
+      // between checkpoint publish and pointer publish would otherwise
+      // make every retry hit FileAlreadyExists and skip the pointer
+      // forever — _last_checkpoint stays stale until some future version
+      // checkpoints, losing the seed for real Delta readers and graft's
+      // own boundary reads. The pointer body is deterministic at v (the
+      // snapshot fold fixes the action count), so re-publishing over a
+      // concurrent writer's pointer is idempotent.
+      publishPointer(v, 1, lines.size.toLong)
     } finally {
       listStage().foreach(p => Files.deleteIfExists(p))
       Files.deleteIfExists(stage)

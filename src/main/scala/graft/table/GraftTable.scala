@@ -273,9 +273,16 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   /** COUNT(*) answered purely from the transaction log — no data file is
     * opened (the Delta "metadata-only query" path: every add action carries
     * its footer row count, so the snapshot total is a driver-side log fold.
-    * At 100 TB this is a millisecond instead of a cluster-wide scan). */
-  def metadataCount(v: Long = latestVersion): Long =
-    snapshotAt(v).files.map(_.liveRecords).sum
+    * At 100 TB this is a millisecond instead of a cluster-wide scan).
+    * Foreign Delta adds may carry NO stats (numRecords = -1, the unknown
+    * sentinel) — summing the sentinel would return a silently wrong
+    * (negative) count, so those tables fall back to a real scan count,
+    * the same degradation MetadataOnlyCount's rewrite gate applies. */
+  def metadataCount(v: Long = latestVersion): Long = {
+    val s = snapshotAt(v)
+    if (s.files.exists(_.numRecords < 0)) readFiles(s, s.files).count()
+    else s.files.map(_.liveRecords).sum
+  }
 
   /** Column MIN/MAX answered purely from add-action footer stats, as the
     * stringified stat values the log stores. None when any live file lacks
@@ -288,19 +295,25 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   /** DESCRIBE DETAIL: one-row table summary from the log alone — version,
     * live file count, metadata row count, total bytes, partition columns,
     * constraint and property counts (the Delta `DESCRIBE DETAIL` surface;
-    * zero data files opened). */
+    * zero data files opened). `numRows` is NULL when any foreign Delta add
+    * lacks stats (numRecords = -1, the unknown sentinel) — a metadata-only
+    * surface must say "unknown", never sum the sentinel into a wrong
+    * number. */
   def detail(): DataFrame = {
     val s = snapshot
     val schema = StructType(Seq(
       StructField("version", LongType, nullable = false),
       StructField("numFiles", LongType, nullable = false),
-      StructField("numRows", LongType, nullable = false),
+      StructField("numRows", LongType, nullable = true),
       StructField("sizeInBytes", LongType, nullable = false),
       StructField("partitionColumns", ArrayType(StringType), nullable = false),
       StructField("numConstraints", IntegerType, nullable = false),
       StructField("properties", MapType(StringType, StringType), nullable = false)))
+    val numRows: Any =
+      if (s.files.exists(_.numRecords < 0)) null
+      else s.files.map(_.liveRecords).sum
     spark.createDataFrame(java.util.List.of(Row(
-      s.version, s.files.size.toLong, s.files.map(_.liveRecords).sum,
+      s.version, s.files.size.toLong, numRows,
       s.files.map(_.size).sum, s.metaData.partitionColumns,
       s.metaData.constraints.size, s.metaData.properties)), schema)
   }
@@ -1479,6 +1492,18 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * safe); tests/bench opt out explicitly via the property. */
   def vacuum(retainVersions: Int = 0, retentionMs: Long = -1L): Int = {
     val props = snapshot.metaData.properties
+    // foreign Delta tables are read-only END TO END: vacuum deletes data
+    // files whose retention the foreign engine owns (delta versions this
+    // fold cannot see may still reference them). Checked through BOTH
+    // provenance signals — the log probe and the folded metaData marker
+    // (the marker survives in checkpoint-only foreign snapshots). Dry-run
+    // stays allowed: auditing is always safe.
+    if (props.contains(Actions.DeltaReadMarker)) throw new GraftProtocolException(
+      s"$path is a Delta table written by delta-spark (folded snapshot " +
+        "carries the read-interop marker) — VACUUM would delete data files " +
+        "whose retention the foreign engine owns; import the table " +
+        "(CALL graft.system.import_delta) first")
+    log.refuseForeignMutation("VACUUM")
     val checkEnabled =
       !props.get("vacuum.retentionDurationCheck").exists(_.equalsIgnoreCase("false"))
     if (checkEnabled) {

@@ -60,20 +60,26 @@ trait LogStore {
   def writeTmp(p: Path, bytes: Array[Byte]): Unit
 
   /** Stage newline-terminated lines at a private tmp path. The DEFAULT
-    * buffers the body and delegates to `writeTmp` — correctness-first: a
-    * custom store that only implements the required primitives still
-    * stages through ITS OWN tmp path, never silently through the local
-    * filesystem. Stores that can do better override: [[PosixLogStore]]
-    * streams straight to a file handle (a 1M-AddFile commit is a GB-scale
-    * document the driver should not hold twice), and an object store
-    * would spool to multipart upload. */
+    * spools to LOCAL scratch (streamed, bounded memory) and then delegates
+    * the staging itself to `writeTmp` — correctness-first: a custom store
+    * that only implements the required primitives still stages through
+    * ITS OWN tmp path (the scratch file is working memory, never the
+    * staged artifact). One full byte[] still materializes at the
+    * `writeTmp` hand-off (its API is bytes) — stores that serve GB-scale
+    * commit bodies should override: [[PosixLogStore]] streams straight to
+    * a file handle with no buffering at all, and an object store would
+    * spool the scratch file to a multipart upload. */
   def writeTmpLines(p: Path, lines: Iterator[String]): Unit = {
-    val buf = new java.io.ByteArrayOutputStream()
-    lines.foreach { l =>
-      buf.write(l.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      buf.write('\n')
-    }
-    writeTmp(p, buf.toByteArray)
+    val spool = java.nio.file.Files.createTempFile("graft-lines-", ".spool")
+    try {
+      val out = new java.io.BufferedOutputStream(
+        java.nio.file.Files.newOutputStream(spool))
+      try lines.foreach { l =>
+        out.write(l.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.write('\n')
+      } finally out.close()
+      writeTmp(p, java.nio.file.Files.readAllBytes(spool))
+    } finally java.nio.file.Files.deleteIfExists(spool)
   }
 
   /** Publish `src` at `dst`; throws

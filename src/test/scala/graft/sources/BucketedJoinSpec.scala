@@ -195,6 +195,50 @@ class BucketedJoinSpec extends SparkTestBase {
       t.toDF.filter($"doc_id" === someId).count(), "scan ≡ filter")
   }
 
+  test("SQL UPDATE/MERGE rewrites preserve the hidden bucket layout (DSv2 writer path)") {
+    catalogReady
+    import spark.implicits._
+    // fresh tables: this test MUTATES, the shared fixtures must stay stable
+    val docs = graft.Tables.documents(spark, sfDir)
+    val pu = tmpDir("bucket-upd-") + "/t"
+    GraftTable.create(spark, pu, docs.select($"doc_id", $"lang", $"n_chars"),
+      bucketBy = Some(("doc_id", 8)))
+    spark.sql(s"CREATE TABLE bkt.default.upd USING graft LOCATION '$pu'")
+    // the UPDATE rewrite flows through GraftGroupBatchWrite — before the
+    // fix its writer factory got partitionColumns only, so rewritten
+    // files landed OUTSIDE the __bucket dirs and every future scan
+    // silently fell back to the V1 shuffle plan
+    spark.sql("UPDATE bkt.default.upd SET n_chars = n_chars + 1 WHERE doc_id % 7 = 0")
+    spark.sql(
+      """MERGE INTO bkt.default.upd t USING (SELECT 1L AS doc_id, 999L AS nc) s
+        |ON t.doc_id = s.doc_id WHEN MATCHED THEN UPDATE SET n_chars = s.nc""".stripMargin)
+    val t = GraftTable.forPath(spark, pu)
+    val s = t.snapshot
+    assert(s.files.nonEmpty)
+    s.files.foreach { f =>
+      assert(f.partitionValues.contains(Bucketing.BucketCol),
+        s"rewritten file ${f.path} lost its bucket id — SPJ silently dead")
+      val declared = f.partitionValues(Bucketing.BucketCol).toInt
+      val distinct = spark.read.parquet(s"$pu/${f.path}")
+        .select(Bucketing.idExpr("doc_id", 8).as("b")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      assert(distinct == Seq(declared),
+        s"file ${f.path} declares bucket $declared but holds $distinct")
+    }
+    // the rewrite took effect AND the bucketed join stays exchange-free
+    assert(spark.sql("SELECT n_chars FROM bkt.default.upd WHERE doc_id = 1")
+      .head.getLong(0) === 999L)
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val p = executed(spark.sql(
+        """SELECT x.doc_id, y.n_tokens FROM bkt.default.upd x
+          |JOIN bkt.default.b y ON x.doc_id = y.doc_id""".stripMargin))
+      assert(!p.contains("Exchange"),
+        s"post-UPDATE bucketed join must stay shuffle-free:\n${p.take(2000)}")
+    }
+  }
+
   test("the bucket function itself is SQL-callable and matches the write-side layout") {
     catalogReady
     import spark.implicits._

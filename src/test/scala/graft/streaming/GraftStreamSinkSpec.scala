@@ -67,4 +67,34 @@ class GraftStreamSinkSpec extends SparkTestBase {
     assert(GraftTable.forPath(spark, dst).toDF.collect()
       .map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
   }
+
+  test("streaming sink preserves the hidden bucket layout") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("gsink-bkt-")
+    GraftTable.create(spark, dir, Seq.empty[(Long, String)].toDF("id", "v"),
+      bucketBy = Some(("id", 4)))
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("id", "v").writeStream.format("graft")
+      .option("path", dir)
+      .option("checkpointLocation", tmpDir("gsink-bkt-ckpt-"))
+      .start()
+    try {
+      input.addData((1L, "a"), (2L, "b"), (9L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val t = GraftTable.forPath(spark, dir)
+    val s = t.snapshot
+    assert(s.files.nonEmpty)
+    s.files.foreach { f =>
+      assert(f.partitionValues.contains(graft.table.Bucketing.BucketCol),
+        s"streamed file ${f.path} lost its bucket id — SPJ silently dead")
+      val declared = f.partitionValues(graft.table.Bucketing.BucketCol).toInt
+      val distinct = spark.read.parquet(s"$dir/${f.path}")
+        .select(graft.table.Bucketing.idExpr("id", 4).as("b")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      assert(distinct == Seq(declared),
+        s"file ${f.path} declares bucket $declared but holds $distinct")
+    }
+    assert(t.toDF.count() === 3L)
+  }
 }

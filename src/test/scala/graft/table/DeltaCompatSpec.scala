@@ -139,6 +139,12 @@ class DeltaCompatSpec extends SparkTestBase {
     // ... and count(*) is still exact — the scan answers, never the log
     assert(t.toDF.count() === 10L)
     assert(t.scan(col("id") < 7L).count() === 7L)
+    // the METADATA-ONLY surfaces must not sum the sentinel into a wrong
+    // number: metadataCount falls back to the scan (exact), DESCRIBE
+    // DETAIL's numRows says NULL (unknown), never -1-tainted arithmetic
+    assert(t.metadataCount() === 10L)
+    assert(t.detail().head().isNullAt(2),
+      "detail().numRows must be NULL when any add lacks stats")
   }
 
   test("partitioned delta table: URI-encoded paths decode, partition dirs reconstruct") {
@@ -241,6 +247,54 @@ class DeltaCompatSpec extends SparkTestBase {
     val migrated = GraftTable.create(spark, tmpDir("delta-compat-migrated-"), t.toDF)
     migrated.delete(col("id") === 1L)
     assert(migrated.toDF.count() === 4L)
+  }
+
+  test("foreign delta logs are read-only for MAINTENANCE too: vacuum, log cleanup, checkpoints refuse") {
+    val dir = tmpDir("delta-compat-maint-")
+    val (sz1, mt1) = dataFile(dir, "part-00000-aaa-c000.snappy.parquet", df(0 until 5))
+    val (sz2, mt2) = dataFile(dir, "part-00001-bbb-c000.snappy.parquet", df(5 until 10))
+    commit(dir, 0, Seq(
+      commitInfo(1619112345000L, "WRITE"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaData(idSchema),
+      add("part-00000-aaa-c000.snappy.parquet", sz1, mt1,
+        Some(stats(5, Map("id" -> 0), Map("id" -> 4), Map("id" -> 0L)))),
+      add("part-00001-bbb-c000.snappy.parquet", sz2, mt2,
+        Some(stats(5, Map("id" -> 5), Map("id" -> 9), Map("id" -> 0L))))))
+    commit(dir, 1, Seq(
+      commitInfo(1619112346000L, "DELETE"),
+      s"""{"remove":{"path":"part-00001-bbb-c000.snappy.parquet","deletionTimestamp":1619112346000,"dataChange":true}}"""))
+    val t = GraftTable.forPath(spark, dir)
+    // vacuum would delete the tombstoned file — delta versions this fold
+    // cannot see may still reference it; MUST refuse (and leave it alone)
+    intercept[GraftProtocolException](t.vacuum(retentionMs = 0L))
+    assert(Files.exists(Paths.get(dir, "part-00001-bbb-c000.snappy.parquet")),
+      "refused vacuum must not have deleted anything")
+    // log cleanup would delete delta's commit files / plant _log_start
+    intercept[GraftProtocolException](t.cleanupExpiredLogs(retentionMs = 0L))
+    assert(Files.exists(Paths.get(dir, "_delta_log", f"${0L}%020d.json")))
+    // graft checkpoints must never land inside a foreign _delta_log
+    intercept[GraftProtocolException](t.log.writeCheckpoint(t.latestVersion))
+    // dry-run stays allowed: auditing a foreign table is always safe
+    assert(t.vacuumDryRun(retentionMs = 0L)
+      .contains("part-00001-bbb-c000.snappy.parquet"))
+    // reads keep working after every refusal
+    assert(t.toDF.count() === 5L)
+  }
+
+  test("foreign commitInfo with no timestamp degrades (all fields optional), never NPEs the version") {
+    val dir = tmpDir("delta-compat-noci-")
+    val (sz1, mt1) = dataFile(dir, "part-00000-aaa-c000.snappy.parquet", df(0 until 5))
+    commit(dir, 0, Seq(
+      """{"commitInfo":{"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaData(idSchema),
+      add("part-00000-aaa-c000.snappy.parquet", sz1, mt1,
+        Some(stats(5, Map("id" -> 0), Map("id" -> 4), Map("id" -> 0L))))))
+    val t = GraftTable.forPath(spark, dir)
+    assert(t.toDF.count() === 5L)
+    assert(t.history().count() === 1L)
+    assert(t.versionAsOf(0).count() === 5L)
   }
 
   /** Write delta-checkpoint rows (single-action JSON lines → parquet with

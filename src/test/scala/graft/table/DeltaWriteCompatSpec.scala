@@ -77,8 +77,14 @@ class DeltaWriteCompatSpec extends SparkTestBase {
           s"delta metaData carries configuration, never properties: $l")
       }
       if (root.has("protocol")) {
-        assert(root.get("protocol").get("minReaderVersion").asInt() == 1, l)
-        assert(root.get("protocol").get("minWriterVersion").asInt() == 2, l)
+        val p = root.get("protocol")
+        assert(p.get("minReaderVersion").asInt() == 1, l)
+        // feature-derived writer gate: 2 plain, 3 with CHECK constraints,
+        // 7 with graft-private writer semantics (writerFeatures listed)
+        val w = p.get("minWriterVersion").asInt()
+        assert(Set(2, 3, 7).contains(w), l)
+        assert(p.has("writerFeatures") == (w == 7),
+          s"writerFeatures iff protocol v7: $l")
       }
       if (root.has("commitInfo"))
         assert(!root.get("commitInfo").has("version"),
@@ -211,6 +217,72 @@ class DeltaWriteCompatSpec extends SparkTestBase {
     assert(ptr.get("size").asLong() > 0L)
     // graft folds back from this checkpoint (fresh instance seeds from it)
     assert(GraftTable.forPath(spark, dir).toDF.count() === 6L)
+  }
+
+  test("constraint tables declare writer 3 and delta.constraints.*; dropping kills the ghost") {
+    val dir = tmpDir("dwc-proto3-")
+    val t = GraftTable.create(spark, dir, seed(3))
+    t.addConstraint("pos", "id >= 0")
+    t.setProperty(DeltaWriteCompat.Prop, "true")
+    t.append(seed(1).withColumn("id", col("id") + 7))
+    // checkpoint carries the protocol line: feature-derived, not (1, 2) —
+    // a bare minWriter 2 would invite a real delta writer to INSERT rows
+    // violating a constraint it cannot see
+    t.log.writeCheckpoint(t.latestVersion)
+    val cp = Paths.get(dir, "_delta_log", f"${t.latestVersion}%020d.checkpoint.parquet")
+    val proto = spark.read.parquet(cp.toString)
+      .select("protocol.minReaderVersion", "protocol.minWriterVersion")
+      .na.drop("all").collect()
+    assert(proto.length === 1)
+    assert(proto.head.getInt(0) === 1 && proto.head.getInt(1) === 3,
+      "CHECK constraints gate foreign writers at delta writer version 3")
+    // the config carries the STANDARD key real delta writers enforce
+    val metaLine = logLines(dir, t.latestVersion - 1)
+      .find(_.contains("\"metaData\"")).orElse(
+        logLines(dir, 2L).find(_.contains("\"metaData\"")))
+    val conf = mapper.readTree(metaLine.get).get("metaData").get("configuration")
+    assert(conf.has("delta.constraints.pos") &&
+      conf.get("delta.constraints.pos").asText() == "id >= 0", metaLine.get)
+    assert(conf.has("constraint.pos"), "native round-trip key stays too")
+    // graft fold-back: constraint enforced, derived key not a ghost property
+    val t2 = GraftTable.forPath(spark, dir)
+    assert(t2.snapshot.metaData.constraints.get("pos").contains("id >= 0"))
+    assert(!t2.snapshot.metaData.properties.keys.exists(_.startsWith("delta.constraints.")),
+      "derived mirror keys must fold OUT of properties")
+    // dropping the constraint removes the delta.constraints ghost from
+    // the next emitted metaData (a foreign writer must stop enforcing)
+    t2.dropConstraint("pos")
+    val metaLine2 = logLines(dir, t2.latestVersion).find(_.contains("\"metaData\"")).get
+    val conf2 = mapper.readTree(metaLine2).get("metaData").get("configuration")
+    assert(!conf2.has("delta.constraints.pos") && !conf2.has("constraint.pos"),
+      s"dropped constraint must not linger: $metaLine2")
+  }
+
+  test("engine-private writer semantics gate foreign writers at v7 under graft-named features") {
+    import spark.implicits._
+    val dir = tmpDir("dwc-proto7-")
+    val t = GraftTable.create(spark, dir, Seq("a", "b").toDF("s"),
+      identity = Map("id" -> (1L, 1L)))
+    t.setProperty(DeltaWriteCompat.Prop, "true")
+    t.append(Seq("x").toDF("s"))
+    t.log.writeCheckpoint(t.latestVersion)
+    val cp = Paths.get(dir, "_delta_log", f"${t.latestVersion}%020d.checkpoint.parquet")
+    val proto = spark.read.parquet(cp.toString)
+      .select("protocol.minWriterVersion", "protocol.writerFeatures")
+      .na.drop("all").collect()
+    assert(proto.length === 1)
+    assert(proto.head.getInt(0) === 7,
+      "identity columns are maintainable by no foreign writer — v7 gate")
+    val feats = proto.head.getSeq[String](1)
+    assert(feats.contains("graft.identityColumns"),
+      s"graft-private feature name locks foreign writers out, got $feats")
+    assert(feats.contains("invariants"), s"v7 lists legacy capabilities: $feats")
+    // graft itself keeps writing THROUGH the gate (it is the declared writer)
+    val t2 = GraftTable.forPath(spark, dir)
+    t2.append(Seq("c").toDF("s"))
+    val got = t2.toDF.select("id").collect().map(_.getLong(0)).sorted
+    assert(got.length === 4 && got.distinct.length === 4 && got.forall(_ >= 1L),
+      s"identity allocation survives fold-back, got ${got.toSeq}")
   }
 
   test("MERGE and metadata-only evolution stay delta-shaped") {
