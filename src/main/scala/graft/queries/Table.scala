@@ -1640,5 +1640,153 @@ object TableQueries {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // ---- Foreign Delta deletion vectors -------------------------------------------
+    // A delta-spark merge-on-read DELETE leaves the data file intact and a
+    // roaring-bitmap deletion vector beside it; graft decodes the public
+    // DV format (descriptor, Z85, RoaringBitmapArray portable) into the
+    // same anti-join shape as its native sidecars. The fixture writes ONE
+    // file sorted by n_nationkey so tombstone POSITIONS are known, then
+    // the oracle replays the delete as a value predicate.
+    "q188_delta_dv_interop" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = deltaDvTable(s, dir)
+        t.toDF.groupBy($"n_regionkey")
+          .agg(count(lit(1)).as("n"),
+               sum($"n_nationkey".cast("long")).as("sum_key"))
+          .orderBy($"n_regionkey")
+      },
+      """SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+        |FROM nation WHERE n_nationkey % 4 <> 1
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
+
+    // ---- Foreign Delta column mapping (name mode) ---------------------------------
+    // delta.columnMapping.mode=name tables spell parquet columns by their
+    // PHYSICAL names (col-<id>); the fold translates the delta metadata
+    // key into graft's own mapping key, so projection and stats pruning
+    // run through the standard machinery. Oracle replays over the plain
+    // logical table.
+    "q189_delta_mapped_interop" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = deltaMappedTable(s, dir)
+        t.toDF.groupBy($"n_regionkey")
+          .agg(count(lit(1)).as("n"),
+               sum($"n_nationkey".cast("long")).as("sum_key"))
+          .orderBy($"n_regionkey")
+      },
+      """SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
   )
+
+  /** q188's foreign-DV table, memoized per (JVM, dir): one data file over
+    * `nation` SORTED by n_nationkey (so row POSITIONS are derivable), plus
+    * an inline ('i') Delta deletion-vector descriptor tombstoning every
+    * position whose key % 4 == 1. The fixture REQUIREs the metadata-only
+    * count already reflects the tombstones (numRecords - cardinality). */
+  private def deltaDvTable(s: SparkSession, dir: String): GraftTable =
+    cache.computeIfAbsent(s"deltaDv:$dir", _ => {
+      import s.implicits._
+      import java.nio.file.{Files, Paths}
+      val root = graft.Scratch.dir("graft-delta-dv-").toString
+      val nation = graft.Tables.nation(s, dir)
+      val sorted = nation.repartition(1).sortWithinPartitions($"n_nationkey")
+      val stage = Files.createTempDirectory("graft-dv-stage-")
+      sorted.write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val rel = "part-00000-dv-c000.snappy.parquet"
+      val target = Paths.get(root, rel)
+      Files.createDirectories(target.getParent)
+      Files.move(Paths.get(part), target)
+      val keys = sorted.select($"n_nationkey".cast("long")).collect().map(_.getLong(0))
+      val tomb = keys.zipWithIndex.collect {
+        case (k, i) if k % 4 == 1 => i.toLong }.toSeq
+      val (inline, szBytes) = graft.table.DeltaDeletionVectors.encodeInline(tomb)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val metaN = mapper.createObjectNode()
+      val m = metaN.putObject("metaData")
+      m.put("id", "6c0e2f4a-delta-dv-interop")
+      val fm = m.putObject("format"); fm.put("provider", "parquet"); fm.putObject("options")
+      m.put("schemaString", nation.schema.json)
+      m.putArray("partitionColumns"); m.putObject("configuration")
+      m.put("createdTime", 1619112344000L)
+      val addN = mapper.createObjectNode()
+      val a = addN.putObject("add")
+      a.put("path", rel); a.putObject("partitionValues")
+      a.put("size", Files.size(target))
+      a.put("modificationTime", Files.getLastModifiedTime(target).toMillis)
+      a.put("dataChange", true)
+      a.put("stats", s"""{"numRecords":${keys.length},"minValues":{},"maxValues":{},"nullCount":{}}""")
+      val dv = a.putObject("deletionVector")
+      dv.put("storageType", "i"); dv.put("pathOrInlineDv", inline)
+      dv.put("sizeInBytes", szBytes); dv.put("cardinality", tomb.size)
+      val logDir = Paths.get(root, "_delta_log")
+      Files.createDirectories(logDir)
+      Files.write(logDir.resolve(f"${0L}%020d.json"), Seq(
+        """{"commitInfo":{"timestamp":1619112345000,"operation":"DELETE"}}""",
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+        mapper.writeValueAsString(metaN),
+        mapper.writeValueAsString(addN)).mkString("", "\n", "\n").getBytes("UTF-8"))
+      val t = GraftTable.forPath(s, root)
+      require(t.metadataCount() == keys.length - tomb.size,
+        s"metadata count must net out DV cardinality: ${t.metadataCount()}")
+      t
+    })
+
+  /** q189's name-mapped table, memoized per (JVM, dir): the parquet file
+    * spells PHYSICAL column names; the logical schema binds them via
+    * delta.columnMapping.physicalName metadata (the shape delta-spark
+    * writes under columnMapping.mode = name). */
+  private def deltaMappedTable(s: SparkSession, dir: String): GraftTable =
+    cache.computeIfAbsent(s"deltaMapped:$dir", _ => {
+      import java.nio.file.{Files, Paths}
+      import org.apache.spark.sql.types.MetadataBuilder
+      val root = graft.Scratch.dir("graft-delta-cmap-").toString
+      val nation = graft.Tables.nation(s, dir)
+      val phys = nation.schema.fields.indices.map(i => s"col-phys$i")
+      val stage = Files.createTempDirectory("graft-cmap-stage-")
+      nation.toDF(phys: _*).coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val rel = "part-00000-cmap-c000.snappy.parquet"
+      val target = Paths.get(root, rel)
+      Files.createDirectories(target.getParent)
+      Files.move(Paths.get(part), target)
+      val mapped = org.apache.spark.sql.types.StructType(
+        nation.schema.fields.zipWithIndex.map { case (f, i) =>
+          f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putLong("delta.columnMapping.id", i + 1L)
+            .putString("delta.columnMapping.physicalName", phys(i)).build())
+        })
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val metaN = mapper.createObjectNode()
+      val m = metaN.putObject("metaData")
+      m.put("id", "7d1f3a5b-delta-cmap-interop")
+      val fm = m.putObject("format"); fm.put("provider", "parquet"); fm.putObject("options")
+      m.put("schemaString", mapped.json)
+      m.putArray("partitionColumns")
+      val conf = m.putObject("configuration")
+      conf.put("delta.columnMapping.mode", "name")
+      conf.put("delta.columnMapping.maxColumnId", phys.size.toString)
+      m.put("createdTime", 1619112344000L)
+      val addN = mapper.createObjectNode()
+      val a = addN.putObject("add")
+      a.put("path", rel); a.putObject("partitionValues")
+      a.put("size", Files.size(target))
+      a.put("modificationTime", Files.getLastModifiedTime(target).toMillis)
+      a.put("dataChange", true)
+      val logDir = Paths.get(root, "_delta_log")
+      Files.createDirectories(logDir)
+      Files.write(logDir.resolve(f"${0L}%020d.json"), Seq(
+        """{"commitInfo":{"timestamp":1619112345000,"operation":"WRITE"}}""",
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        mapper.writeValueAsString(metaN),
+        mapper.writeValueAsString(addN)).mkString("", "\n", "\n").getBytes("UTF-8"))
+      val t = GraftTable.forPath(s, root)
+      require(t.toDF.columns.sameElements(nation.columns),
+        s"mapped fold must project LOGICAL names, got ${t.toDF.columns.toSeq}")
+      t
+    })
 }

@@ -803,7 +803,7 @@ class GraftGroupScan(tablePath: String, snap: Snapshot,
     files.map(f => graft.streaming.GraftFilePartition(
       absPath(f), f.partitionValues, f.numRecords,
       // merge-on-read: the rewrite scan must NOT resurrect tombstoned rows
-      f.dvPath.map(p => java.nio.file.Paths.get(tablePath, p).toString),
+      f.dvPath.map(p => graft.table.FileOps.dvAbs(tablePath, p)),
       f.path.substring(f.path.lastIndexOf('/') + 1))
         : org.apache.spark.sql.connector.read.InputPartition).toArray
 

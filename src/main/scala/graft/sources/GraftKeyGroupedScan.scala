@@ -87,7 +87,7 @@ class GraftKeyGroupedScan(table: GraftTable, snap: Snapshot,
     GraftKeyedFilePartition(
       graft.streaming.GraftFilePartition(
         abs, f.partitionValues, f.numRecords,
-        f.dvPath.map(p => java.nio.file.Paths.get(table.path, p).toString),
+        f.dvPath.map(p => graft.table.FileOps.dvAbs(table.path, p)),
         f.path.substring(f.path.lastIndexOf('/') + 1)),
       keyOf(f)): InputPartition
   }.toArray

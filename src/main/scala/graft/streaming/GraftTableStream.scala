@@ -320,7 +320,7 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
     files.map(f => GraftFilePartition(
       Paths.get(tablePath, f.path).toString, f.partitionValues,
       f.numRecords,
-      f.dvPath.map(p => Paths.get(tablePath, p).toString),
+      f.dvPath.map(p => graft.table.FileOps.dvAbs(tablePath, p)),
       f.path.substring(f.path.lastIndexOf('/') + 1)): InputPartition).toArray
   }
 
@@ -336,7 +336,7 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
     def insertParts(files: Seq[AddFile], v: Long): Unit = files.foreach { f =>
       parts += GraftFilePartition(
         Paths.get(tablePath, f.path).toString, f.partitionValues, f.numRecords,
-        f.dvPath.map(p => Paths.get(tablePath, p).toString),
+        f.dvPath.map(p => graft.table.FileOps.dvAbs(tablePath, p)),
         f.path.substring(f.path.lastIndexOf('/') + 1),
         constOverrides = Seq("_change_type" -> "insert", "_commit_version" -> v.toString,
           "_commit_timestamp" -> tsOf(v)))
@@ -551,7 +551,7 @@ class GraftParquetReaderFactory(schema: StructType, partitionCols: Seq[String],
     // rows from the AddFile's row count — zero file IO
     if (lay.dataFields.isEmpty && lay.constFields.nonEmpty || schema.isEmpty) {
       val deleted = p.dvAbsPath.map(d =>
-        graft.table.FileOps.dvPositions(Paths.get(d), p.fname)).orNull
+        graft.table.FileOps.dvBitsFor(d, p.fname)).orNull
       val row = constRow(p, lay)
       val out = if (lay.trailing) row else new RemappedRow(lay.remap, schema).set(row)
       return new PartitionReader[InternalRow] {
@@ -577,7 +577,7 @@ class GraftParquetReaderFactory(schema: StructType, partitionCols: Seq[String],
     /** DV tombstones of THIS file (merge-on-read), applied as a row-index
       * skip over the vectorized cursor. Null when the file has no DV. */
     val deleted = p.dvAbsPath.map(d =>
-      graft.table.FileOps.dvPositions(Paths.get(d), p.fname)).orNull
+      graft.table.FileOps.dvBitsFor(d, p.fname)).orNull
     val wrapper = if (lay.trailing) null else new RemappedRow(lay.remap, schema)
     new PartitionReader[InternalRow] {
       private var rowIdx = -1L

@@ -96,11 +96,12 @@ object Protocol {
       // never consulted (foreign checkpoint decode falls back to full JSON
       // replay); vacuumProtocolCheck constrains VACUUM, which refuses on
       // foreign tables wholesale (GraftTable.vacuum's DeltaReadMarker gate
-      // + GraftLog.refuseForeignMutation). Foreign deletionVectors / columnMapping
-      // remain refused by their PRECISE gates (the DV descriptor parse and
-      // the delta.columnMapping.mode configuration check) — feature-name
-      // acceptance here lets a table that merely DECLARES them read fine
-      // when no DV / no mapped column actually exists.
+      // + GraftLog.refuseForeignMutation). Foreign deletionVectors READ
+      // natively (DeltaDeletionVectors decodes the roaring format into
+      // the same anti-join shape as graft sidecars); columnMapping
+      // remains refused by its PRECISE gate (the delta.columnMapping.mode
+      // configuration check) — feature-name acceptance here lets a table
+      // that merely DECLARES it read fine when no mapped column exists.
       "timestampNtz", "v2Checkpoint", "vacuumProtocolCheck")
   val supportedWriterFeatures: Set[String] =
     // NOT derived from the reader set: the foreign-read-only features
@@ -279,12 +280,29 @@ object Actions {
     * (snapshot, pruning, scan) works unchanged. Missing stats → numRecords
     * = -1, the "unknown" sentinel metadata-only answers must refuse. */
   private def deltaAdd(n: JsonNode): AddFile = {
-    Option(n.get("deletionVector")).foreach { dv =>
-      if (dv.has("storageType")) throw new GraftProtocolException(
-        "this Delta table carries REAL Delta deletion vectors " +
-          "(add.deletionVector.storageType) — a format this reader does not " +
-          "decode; compact the table with delta-spark (REORG PURGE) before " +
-          "opening it here")
+    // REAL Delta deletion vectors: the descriptor packs into the dvPath
+    // slot under a marker; GraftTable.dvEntries decodes the roaring
+    // bitmap into the same (__fname, __pos) anti-join shape graft's own
+    // parquet sidecars use (DeltaDeletionVectors has the format). An
+    // empty descriptor (delta writes storageType-less placeholders in
+    // some checkpoint rows) folds as "no DV".
+    val (dvPath, dvCount) = Option(n.get("deletionVector"))
+      .filter(_.has("storageType")) match {
+      case Some(dv) =>
+        val st = dv.get("storageType").asText()
+        if (st != "u" && st != "i" && st != "p") throw new GraftProtocolException(
+          s"this Delta table carries a deletion vector with storageType " +
+            s"'$st' — only u (relative file), i (inline), p (absolute " +
+            "file) are readable; compact the table with delta-spark " +
+            "(REORG PURGE) before opening it here")
+        (Some(DeltaDeletionVectors.pack(st,
+            Option(dv.get("pathOrInlineDv")).map(_.asText()).getOrElse(
+              throw new GraftProtocolException(
+                "delta deletionVector descriptor lacks pathOrInlineDv")),
+            Option(dv.get("offset")).map(_.asLong()).getOrElse(if (st == "i") 0L else 1L),
+            dv.get("sizeInBytes").asLong())),
+          dv.get("cardinality").asLong())
+      case None => (None, 0L)
     }
     val rawPath = n.get("path").asText()
     // Delta permits ABSOLUTE paths here (external locations, some clones),
@@ -316,7 +334,7 @@ object Actions {
       }
     AddFile(path, n.get("size").asLong(), n.get("modificationTime").asLong(),
       numRecords, mins.toMap, maxs.toMap, partMap(n),
-      None, 0L, Option(n.get("baseRowId")).map(_.asLong()),
+      dvPath, dvCount, Option(n.get("baseRowId")).map(_.asLong()),
       nulls.flatMap { case (k, v) =>
         scala.util.Try(v.toLong).toOption.map(k -> _) }.toMap,
       strMap(n, "tags"))
@@ -352,13 +370,23 @@ object Actions {
           MetaData(n.get("id").asText(), n.get("schemaString").asText(),
             Option(n.get("createdTime")).map(_.asLong()).getOrElse(0L), partCols,
             chk.map { case (k, v) => k.stripPrefix("constraint.") -> v }, plain)
-        } else
+        } else {
           // REAL delta-spark metaData: the marker property makes the
           // foreign provenance visible to every consumer of the folded
-          // snapshot (write refusal, feature gates).
-          MetaData(n.get("id").asText(), n.get("schemaString").asText(),
+          // snapshot (write refusal, feature gates). Name-mode column
+          // mapping translates into graft's own physical-name key so the
+          // whole read stack (projection, pruning, partition values)
+          // works unchanged; id mode keeps refusing (GraftLog's gate).
+          val rawSchema = n.get("schemaString").asText()
+          val schemaString =
+            if (conf.get("delta.columnMapping.mode").exists(_.equalsIgnoreCase("name")))
+              ColumnMapping.fromDeltaSchema(org.apache.spark.sql.types.DataType
+                .fromJson(rawSchema).asInstanceOf[org.apache.spark.sql.types.StructType]).json
+            else rawSchema
+          MetaData(n.get("id").asText(), schemaString,
             Option(n.get("createdTime")).map(_.asLong()).getOrElse(0L), partCols,
             Map.empty, conf + (DeltaReadMarker -> "true"))
+        }
       } else MetaData(n.get("id").asText(), n.get("schemaString").asText(),
         n.get("createdTime").asLong(), partCols, strMap(n, "constraints"),
         strMap(n, "properties"))

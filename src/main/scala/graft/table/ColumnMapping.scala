@@ -27,6 +27,42 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, Metadata,
 object ColumnMapping {
   val PhysKey = "graft.physicalName"
 
+  /** Delta's column-mapping metadata key (name mode) — translated into
+    * [[PhysKey]] when folding a REAL delta-spark table (read-interop), so
+    * every downstream consumer (physical schema projection, stats/
+    * partition translation in pruning) works unchanged. */
+  val DeltaPhysKey = "delta.columnMapping.physicalName"
+
+  /** Schema with delta's physicalName bindings copied into graft's key,
+    * recursively. Fields without the delta key keep physical == logical
+    * (the same pre-mapping rule graft's own tables use). */
+  def fromDeltaSchema(schema: StructType): StructType =
+    StructType(schema.fields.map(translateField))
+
+  private def translateField(f: StructField): StructField = {
+    val dt = f.dataType match {
+      case s: StructType => fromDeltaSchema(s)
+      case a: ArrayType => a.copy(elementType = translateType(a.elementType))
+      case m: MapType => m.copy(keyType = translateType(m.keyType),
+        valueType = translateType(m.valueType))
+      case other => other
+    }
+    val md =
+      if (f.metadata.contains(DeltaPhysKey))
+        new MetadataBuilder().withMetadata(f.metadata)
+          .putString(PhysKey, f.metadata.getString(DeltaPhysKey)).build()
+      else f.metadata
+    f.copy(dataType = dt, metadata = md)
+  }
+
+  private def translateType(dt: DataType): DataType = dt match {
+    case s: StructType => fromDeltaSchema(s)
+    case a: ArrayType => a.copy(elementType = translateType(a.elementType))
+    case m: MapType => m.copy(keyType = translateType(m.keyType),
+      valueType = translateType(m.valueType))
+    case other => other
+  }
+
   def physicalName(f: StructField): String =
     if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey) else f.name
 

@@ -374,6 +374,21 @@ object FileOps extends Serializable {
     * readers can't ride the batch scan's anti-join). A file's positions
     * are bounded by its row count (~1M for 128 MB), so the bitmap is
     * ≤ ~128 KB. */
+  /** Absolute DV reference for an InputPartition: native sidecars resolve
+    * against the table root; foreign Delta descriptors ride whole (the
+    * root rides inside, see DeltaDeletionVectors.packAbs). */
+  def dvAbs(tableRoot: String, dvPath: String): String =
+    if (DeltaDeletionVectors.isForeign(dvPath))
+      DeltaDeletionVectors.packAbs(tableRoot, dvPath)
+    else java.nio.file.Paths.get(tableRoot, dvPath).toString
+
+  /** Tombstone BitSet of one dvAbs reference — dispatches between graft's
+    * parquet sidecar format and the foreign Delta roaring format. */
+  def dvBitsFor(dvAbsRef: String, fname: String): java.util.BitSet =
+    if (DeltaDeletionVectors.isForeignAbs(dvAbsRef))
+      DeltaDeletionVectors.bitsAbs(dvAbsRef)
+    else dvPositions(java.nio.file.Paths.get(dvAbsRef), fname)
+
   def dvPositions(sidecar: Path, fname: String): java.util.BitSet = {
     val bits = new java.util.BitSet()
     val in = HadoopInputFile.fromPath(new HPath(sidecar.toString), new Configuration())

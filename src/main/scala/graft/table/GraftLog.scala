@@ -792,18 +792,19 @@ final class GraftLog(val tablePath: String,
   }
 
   /** Feature gate driven by the table CONFIGURATION of a foreign Delta
-    * log: column mapping rewrites every physical column name via
-    * `delta.columnMapping.*` schema metadata this reader does not apply —
-    * opening such a table would project garbage, so refuse loudly. Only
-    * foreign tables carry these keys (graft's own column mapping uses its
-    * own property and IS applied). */
+    * log. NAME-mode column mapping reads natively (the fold translates
+    * `delta.columnMapping.physicalName` into graft's own key, see
+    * Actions.fromJson / ColumnMapping.fromDeltaSchema); ID mode resolves
+    * columns by parquet field id — a lookup this reader does not perform,
+    * so opening such a table would project garbage: refuse loudly. */
   private def gateForeignMetadata(meta: MetaData): Unit = {
     val mode = meta.properties.get("delta.columnMapping.mode")
-      .filterNot(m => m.isEmpty || m.equalsIgnoreCase("none"))
+      .filterNot(m => m.isEmpty || m.equalsIgnoreCase("none") ||
+        m.equalsIgnoreCase("name"))
     if (mode.isDefined) throw new GraftProtocolException(
       s"table $tablePath is a Delta table with columnMapping.mode=" +
-        s"${mode.get} — physical column names are remapped via Delta " +
-        "schema metadata this reader does not decode")
+        s"${mode.get} — columns resolve by parquet field id, a lookup " +
+        "this reader does not perform (name mode reads natively)")
   }
 
   /** The unsupported-reader-feature gate. Applied to EVERY snapshot this

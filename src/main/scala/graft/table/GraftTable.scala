@@ -197,17 +197,40 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val withDv = files.filter(_.dvPath.isDefined)
     if (withDv.isEmpty) None
     else {
-      val refs = withDv.map(f => Row(fileName(f.path), f.dvPath.get)).distinct
-      val refSchema = StructType(Seq(
-        StructField("__fname", StringType, nullable = false),
-        StructField("__src", StringType, nullable = false)))
-      val refsDf = spark.createDataFrame(refs.asJava, refSchema)
-      val entries = withDv.map(_.dvPath.get).distinct.map { p =>
-        spark.read.parquet(s"$path/$p").withColumn("__src", lit(p))
-      }.reduce(_ unionByName _)
-        .withColumnRenamed("fname", "__fname")
-      Some(entries.join(broadcast(refsDf), Seq("__fname", "__src"), "left_semi")
-        .select(col("__fname"), col("pos").as("__pos")))
+      // foreign Delta DVs (read-interop): the packed descriptor decodes
+      // to row positions on the EXECUTORS — one task per descriptor, the
+      // bitmap bytes never collect on the driver
+      val (foreignDv, nativeDv) =
+        withDv.partition(f => DeltaDeletionVectors.isForeign(f.dvPath.get))
+      val nativeDf =
+        if (nativeDv.isEmpty) None
+        else {
+          val refs = nativeDv.map(f => Row(fileName(f.path), f.dvPath.get)).distinct
+          val refSchema = StructType(Seq(
+            StructField("__fname", StringType, nullable = false),
+            StructField("__src", StringType, nullable = false)))
+          val refsDf = spark.createDataFrame(refs.asJava, refSchema)
+          val entries = nativeDv.map(_.dvPath.get).distinct.map { p =>
+            spark.read.parquet(s"$path/$p").withColumn("__src", lit(p))
+          }.reduce(_ unionByName _)
+            .withColumnRenamed("fname", "__fname")
+          Some(entries.join(broadcast(refsDf), Seq("__fname", "__src"), "left_semi")
+            .select(col("__fname"), col("pos").as("__pos")))
+        }
+      val foreignDf =
+        if (foreignDv.isEmpty) None
+        else {
+          import spark.implicits._
+          val root = path
+          val pairs = foreignDv
+            .map(f => (fileName(f.path), f.dvPath.get)).distinct
+          Some(spark.createDataset(pairs)
+            .flatMap { case (fn, packed) =>
+              DeltaDeletionVectors.positions(root, packed).map(p => (fn, p))
+            }
+            .toDF("__fname", "__pos"))
+        }
+      Seq(nativeDf, foreignDf).flatten.reduceOption(_ unionByName _)
     }
   }
 

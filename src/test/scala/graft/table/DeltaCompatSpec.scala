@@ -180,25 +180,28 @@ class DeltaCompatSpec extends SparkTestBase {
     val dir = tmpDir("delta-compat-gate-")
     val (sz1, mt1) = dataFile(dir, "part-00000-aaa-c000.snappy.parquet", df(0 until 3))
 
-    // real Delta deletion vector on the add → refuse at parse, named error
+    // deletion vectors with u/i/p storage READ natively (DeltaDvCompatSpec);
+    // an UNKNOWN storage type must still refuse at parse with a named error
     commit(dir, 0, Seq(
       commitInfo(1619112345000L, "WRITE"),
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
       metaData(idSchema),
-      s"""{"add":{"path":"part-00000-aaa-c000.snappy.parquet","partitionValues":{},"size":$sz1,"modificationTime":$mt1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"ab^-aqEH.-t@S}K{vb[*k^","offset":4,"sizeInBytes":40,"cardinality":6}}}"""))
+      s"""{"add":{"path":"part-00000-aaa-c000.snappy.parquet","partitionValues":{},"size":$sz1,"modificationTime":$mt1,"dataChange":true,"deletionVector":{"storageType":"x","pathOrInlineDv":"ab^-aqEH.-t@S}K{vb[*k^","offset":4,"sizeInBytes":40,"cardinality":6}}}"""))
     val e1 = intercept[GraftProtocolException] {
       GraftTable.forPath(spark, dir).toDF.collect()
     }
-    assert(e1.getMessage.contains("deletion vectors"))
+    assert(e1.getMessage.contains("deletion vector") &&
+      e1.getMessage.contains("storageType"), s"got $e1")
 
-    // columnMapping.mode=name in the configuration → refuse at the gate
+    // columnMapping.mode=name READS natively (mapped-read test below);
+    // mode=id resolves by parquet field id → refuse at the gate
     val dir2 = tmpDir("delta-compat-gate2-")
     dataFile(dir2, "part-00000-aaa-c000.snappy.parquet", df(0 until 3))
     commit(dir2, 0, Seq(
       commitInfo(1619112345000L, "WRITE"),
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
       metaData(idSchema, configuration = Map(
-        "delta.columnMapping.mode" -> "name",
+        "delta.columnMapping.mode" -> "id",
         "delta.columnMapping.maxColumnId" -> "2"))))
     val e2 = intercept[GraftProtocolException] {
       GraftTable.forPath(spark, dir2).snapshot
@@ -227,6 +230,41 @@ class DeltaCompatSpec extends SparkTestBase {
       add("part-00000-aaa-c000.snappy.parquet", sz4, mt4,
         Some(stats(3, Map("id" -> 0), Map("id" -> 2), Map("id" -> 0L))))))
     assert(GraftTable.forPath(spark, dir4).toDF.count() === 3L)
+  }
+
+  test("columnMapping.mode=name reads natively: physical parquet names project to logical") {
+    import spark.implicits._
+    val dir = tmpDir("delta-compat-cmap-")
+    // the parquet file spells the PHYSICAL names (delta's col-<uuid> style)
+    val (sz, mt) = dataFile(dir, "part-00000-aaa-c000.snappy.parquet",
+      Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("col-aaa111", "col-bbb222"))
+    // logical schema binds physical names via delta.columnMapping metadata
+    val mappedSchema =
+      """{\"type\":\"struct\",\"fields\":[""" +
+        """{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{\"delta.columnMapping.id\":1,\"delta.columnMapping.physicalName\":\"col-aaa111\"}},""" +
+        """{\"name\":\"label\",\"type\":\"string\",\"nullable\":true,\"metadata\":{\"delta.columnMapping.id\":2,\"delta.columnMapping.physicalName\":\"col-bbb222\"}}]}"""
+    // delta stats under column mapping are keyed by PHYSICAL name
+    val physStats =
+      """{\"numRecords\":3,\"minValues\":{\"col-aaa111\":1},\"maxValues\":{\"col-aaa111\":3},\"nullCount\":{\"col-aaa111\":0}}"""
+    commit(dir, 0, Seq(
+      commitInfo(1619112345000L, "WRITE"),
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaData(mappedSchema, configuration = Map(
+        "delta.columnMapping.mode" -> "name",
+        "delta.columnMapping.maxColumnId" -> "2")),
+      s"""{"add":{"path":"part-00000-aaa-c000.snappy.parquet","partitionValues":{},"size":$sz,"modificationTime":$mt,"dataChange":true,"stats":"$physStats"}}"""))
+    val t = GraftTable.forPath(spark, dir)
+    assert(t.toDF.columns.toSeq === Seq("id", "label"),
+      "logical names project out of physically-named parquet")
+    assert(t.toDF.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ===
+      Map(1L -> "x", 2L -> "y", 3L -> "z"))
+    // pruning translates the logical predicate to the physical stat key
+    assert(t.prunedFiles(t.snapshot, col("id") > 10L).isEmpty,
+      "physical-keyed delta stats must prune through the mapping")
+    assert(t.prunedFiles(t.snapshot, col("id") === 2L).size === 1)
+    assert(t.scan(col("id") >= 2L).count() === 2L)
+    // still read-only
+    intercept[GraftProtocolException](t.delete(col("id") === 1L))
   }
 
   test("foreign delta logs are read-only: every write path refuses with the migration hint") {
