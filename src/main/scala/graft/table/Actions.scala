@@ -295,13 +295,17 @@ object Actions {
             s"'$st' — only u (relative file), i (inline), p (absolute " +
             "file) are readable; compact the table with delta-spark " +
             "(REORG PURGE) before opening it here")
+        def req(field: String): Long = Option(dv.get(field)).map(_.asLong())
+          .getOrElse(throw new GraftProtocolException(
+            s"delta deletionVector descriptor lacks $field"))
+        val card = req("cardinality")
         (Some(DeltaDeletionVectors.pack(st,
             Option(dv.get("pathOrInlineDv")).map(_.asText()).getOrElse(
               throw new GraftProtocolException(
                 "delta deletionVector descriptor lacks pathOrInlineDv")),
             Option(dv.get("offset")).map(_.asLong()).getOrElse(if (st == "i") 0L else 1L),
-            dv.get("sizeInBytes").asLong())),
-          dv.get("cardinality").asLong())
+            req("sizeInBytes"), card)),
+          card)
       case None => (None, 0L)
     }
     val rawPath = n.get("path").asText()

@@ -46,20 +46,25 @@ object DeltaDeletionVectors {
 
   /** Pack a parsed descriptor into the AddFile.dvPath slot. Fields are
     * tab-separated (tab cannot appear in Z85 or in a JSON string field
-    * unescaped, so the encoding is unambiguous). */
+    * unescaped, so the encoding is unambiguous). Cardinality rides along
+    * so the decode can RECONCILE: metadata-only counts subtract the
+    * descriptor's cardinality while scans filter the decoded positions —
+    * a disagreement between the two must fail loudly, never serve a
+    * silent metadata/scan divergence. */
   def pack(storageType: String, pathOrInlineDv: String, offset: Long,
-      sizeInBytes: Long): String =
-    s"$Marker$storageType\t$pathOrInlineDv\t$offset\t$sizeInBytes"
+      sizeInBytes: Long, cardinality: Long): String =
+    s"$Marker$storageType\t$pathOrInlineDv\t$offset\t$sizeInBytes\t$cardinality"
 
   def isForeign(dvPath: String): Boolean = dvPath.startsWith(Marker)
 
   final case class Descriptor(storageType: String, pathOrInlineDv: String,
-      offset: Long, sizeInBytes: Long)
+      offset: Long, sizeInBytes: Long, cardinality: Long)
 
   def unpack(dvPath: String): Descriptor = {
     require(isForeign(dvPath), s"not a delta DV marker: $dvPath")
     dvPath.stripPrefix(Marker).split('\t') match {
-      case Array(st, p, off, sz) => Descriptor(st, p, off.toLong, sz.toLong)
+      case Array(st, p, off, sz, card) =>
+        Descriptor(st, p, off.toLong, sz.toLong, card.toLong)
       case other => throw new GraftProtocolException(
         s"malformed delta DV marker (${other.length} fields): $dvPath")
     }
@@ -160,7 +165,12 @@ object DeltaDeletionVectors {
 
   private val Magic = 1681511377
 
-  /** All tombstoned row indexes of one serialized RoaringBitmapArray. */
+  /** All tombstoned row indexes of one serialized RoaringBitmapArray.
+    * Per the 64-bit portable layout (RoaringFormatSpec's 64-bit extension,
+    * what Roaring64NavigableMap.serializePortable writes and delta's
+    * RoaringBitmapArray mirrors): after the count, each bitmap is
+    * `[key: int32 LE][standard 32-bit roaring]` — the KEY carries the
+    * high 32 bits (keys may be sparse; never assume the loop index). */
   def decode(data: Array[Byte]): Array[Long] = {
     val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
     val magic = bb.getInt
@@ -171,7 +181,8 @@ object DeltaDeletionVectors {
     val out = Array.newBuilder[Long]
     var i = 0L
     while (i < n) {
-      decodeBitmap(bb, v32 => out += (i << 32) | (v32 & 0xFFFFFFFFL))
+      val key = bb.getInt.toLong & 0xFFFFFFFFL
+      decodeBitmap(bb, v32 => out += (key << 32) | (v32 & 0xFFFFFFFFL))
       i += 1
     }
     out.result()
@@ -242,10 +253,18 @@ object DeltaDeletionVectors {
   }
 
   /** Tombstoned positions of one packed descriptor — the executor-side
-    * entry point `GraftTable.dvEntries` maps over. */
+    * entry point `GraftTable.dvEntries` maps over. Reconciles the decoded
+    * count against the descriptor's declared cardinality (which is what
+    * metadata-only counts subtract): a mismatch — bit rot in the log line,
+    * a buggy writer, inline payloads which carry no CRC — must fail
+    * loudly, never split the table's COUNT(*) from its SELECT rows. */
   def positions(tableRoot: String, packed: String): Array[Long] = {
     val d = unpack(packed)
-    decode(blob(tableRoot, d))
+    val out = decode(blob(tableRoot, d))
+    require(out.length.toLong == d.cardinality,
+      s"delta DV decodes ${out.length} positions but the descriptor " +
+        s"declares cardinality ${d.cardinality} — refusing the divergence")
+    out
   }
 
   // ---- encode (fixtures / future write-compat) -------------------------------
@@ -273,15 +292,19 @@ object DeltaDeletionVectors {
 
   /** Serialize `rows` (64-bit indexes, array containers only — inline DVs
     * are small by definition) and Z85-encode as an inline ('i')
-    * descriptor payload. Returns (pathOrInlineDv, sizeInBytes). */
+    * descriptor payload. Returns (pathOrInlineDv, sizeInBytes). Layout per
+    * the 64-bit portable spec: count of (key, bitmap) PAIRS, then each
+    * pair as `[key: int32 LE][standard 32-bit roaring]` with container
+    * offsets relative to the START of that bitmap's own serialization. */
   def encodeInline(rows: Seq[Long]): (String, Int) = {
-    val byBitmap = rows.groupBy(r => (r >>> 32).toInt)
-    val maxIdx = if (byBitmap.isEmpty) -1 else byBitmap.keys.max
+    val byBitmap = rows.groupBy(r => (r >>> 32).toInt).toSeq.sortBy(_._1)
     val bb = ByteBuffer.allocate(1 << 20).order(ByteOrder.LITTLE_ENDIAN)
     bb.putInt(Magic)
-    bb.putLong((maxIdx + 1).toLong)
-    (0 to maxIdx).foreach { i =>
-      val vals = byBitmap.getOrElse(i, Nil).map(r => (r & 0xFFFFFFFFL).toInt)
+    bb.putLong(byBitmap.size.toLong)
+    byBitmap.foreach { case (idx, rs) =>
+      bb.putInt(idx)
+      val bitmapStart = bb.position()
+      val vals = rs.map(r => (r & 0xFFFFFFFFL).toInt)
       val byKey = vals.groupBy(v => v >>> 16).toSeq.sortBy(_._1)
         .map { case (k, vs) => k -> vs.map(_ & 0xFFFF).sorted }
       require(byKey.forall(_._2.size <= 4096),
@@ -291,7 +314,7 @@ object DeltaDeletionVectors {
       byKey.foreach { case (k, vs) =>
         bb.putShort(k.toShort); bb.putShort((vs.size - 1).toShort)
       }
-      var pos = bb.position() + 4 * byKey.size
+      var pos = (bb.position() - bitmapStart) + 4 * byKey.size
       byKey.foreach { case (_, vs) => bb.putInt(pos); pos += 2 * vs.size }
       byKey.foreach { case (_, vs) => vs.foreach(v => bb.putShort(v.toShort)) }
     }

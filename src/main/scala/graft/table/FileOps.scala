@@ -368,12 +368,6 @@ object FileOps extends Serializable {
     if (str) { if (a >= b) a else b }
     else { if (BigDecimal(a) >= BigDecimal(b)) a else b }
 
-  /** Load one data file's deletion-vector tombstones from a `_dv/` sidecar
-    * (columns fname/pos, written sorted) as a BitSet over row indexes —
-    * executor-side, parquet-mr only (the custom row-level/streaming
-    * readers can't ride the batch scan's anti-join). A file's positions
-    * are bounded by its row count (~1M for 128 MB), so the bitmap is
-    * ≤ ~128 KB. */
   /** Absolute DV reference for an InputPartition: native sidecars resolve
     * against the table root; foreign Delta descriptors ride whole (the
     * root rides inside, see DeltaDeletionVectors.packAbs). */
@@ -389,6 +383,12 @@ object FileOps extends Serializable {
       DeltaDeletionVectors.bitsAbs(dvAbsRef)
     else dvPositions(java.nio.file.Paths.get(dvAbsRef), fname)
 
+  /** Load one data file's deletion-vector tombstones from a `_dv/` sidecar
+    * (columns fname/pos, written sorted) as a BitSet over row indexes —
+    * executor-side, parquet-mr only (the custom row-level/streaming
+    * readers can't ride the batch scan's anti-join). A file's positions
+    * are bounded by its row count (~1M for 128 MB), so the bitmap is
+    * ≤ ~128 KB. */
   def dvPositions(sidecar: Path, fname: String): java.util.BitSet = {
     val bits = new java.util.BitSet()
     val in = HadoopInputFile.fromPath(new HPath(sidecar.toString), new Configuration())

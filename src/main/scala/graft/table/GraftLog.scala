@@ -611,11 +611,14 @@ final class GraftLog(val tablePath: String,
       store.writeTmp(tmp, body.getBytes(StandardCharsets.UTF_8))
     }
     val target = if (parquet) parquetCheckpointFile(v) else checkpointFile(v)
-    try {
-      store.publishIfAbsent(tmp, target)
-      publishPointer(v, 1)
-    } catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    try store.publishIfAbsent(tmp, target)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
     finally store.deleteIfExists(tmp)
+    // pointer publishes UNCONDITIONALLY, outside the catch (same repair as
+    // the compat and multipart branches): a crash between checkpoint
+    // publish and pointer publish must not leave retries hitting
+    // FileAlreadyExists and skipping the pointer forever
+    publishPointer(v, 1)
   }
 
   private def publishPointer(v: Long, parts: Int, size: Long = -1L): Unit = {

@@ -64,15 +64,15 @@ class DeltaDvCompatSpec extends SparkTestBase {
       out.putShort(k.toShort); out.putShort((vs.size - 1).toShort)
     }
     // offsets: always for 12346; for 12347 only when >= 4 containers.
-    // Values are byte positions from the bitmap's start — compute them by
-    // pre-measuring each container.
+    // Values are byte positions from THIS BITMAP's start (position 0 of
+    // this serialization) — compute by pre-measuring each container.
     def containerBytes(k: Int, vs: Seq[Int]): Int =
       if (runKeys.contains(k)) {
         2 + 4 * runsOf(vs).size
       } else if (vs.size <= 4096) 2 * vs.size
       else 8192
     if (!hasRun || n >= 4) {
-      var pos = out.position() + 4 * n
+      var pos = out.position() + 4 * n // out starts at this bitmap's cookie
       valuesByKey.foreach { case (k, vs) =>
         out.putInt(pos); pos += containerBytes(k, vs)
       }
@@ -107,16 +107,19 @@ class DeltaDvCompatSpec extends SparkTestBase {
     runs.toSeq
   }
 
-  /** Delta RoaringBitmapArray portable bytes for the given 64-bit indexes
-    * (this simple writer requires them grouped by high-32 index 0..k). */
+  /** Delta RoaringBitmapArray portable bytes for the given 64-bit
+    * indexes. Per the 64-bit portable spec (what the RoaringBitmap jar's
+    * Roaring64NavigableMap.serializePortable emits): count of (key,
+    * bitmap) PAIRS, then each pair as `[key: int32 LE][32-bit roaring]` —
+    * keys are explicit and may be SPARSE, never implied by position. */
   private def dvData(rows: Seq[Long]): Array[Byte] = {
-    val byBitmap = rows.groupBy(r => (r >>> 32).toInt)
-    val maxIdx = if (byBitmap.isEmpty) -1 else byBitmap.keys.max
+    val byBitmap = rows.groupBy(r => (r >>> 32).toInt).toSeq.sortBy(_._1)
     val out = ByteBuffer.allocate(1 << 20).order(ByteOrder.LITTLE_ENDIAN)
     out.putInt(1681511377) // magic
-    out.putLong((maxIdx + 1).toLong)
-    (0 to maxIdx).foreach { i =>
-      val vals = byBitmap.getOrElse(i, Nil).map(r => (r & 0xFFFFFFFFL).toInt)
+    out.putLong(byBitmap.size.toLong)
+    byBitmap.foreach { case (idx, rs) =>
+      out.putInt(idx)
+      val vals = rs.map(r => (r & 0xFFFFFFFFL).toInt)
       val byKey = vals.groupBy(v => v >>> 16).toSeq.sortBy(_._1)
         .map { case (k, vs) => k -> vs.map(_ & 0xFFFF).sorted }
       out.put(serializeRoaring(byKey))
@@ -199,6 +202,7 @@ class DeltaDvCompatSpec extends SparkTestBase {
     val runBitmap = {
       val out = ByteBuffer.allocate(1 << 16).order(ByteOrder.LITTLE_ENDIAN)
       out.putInt(1681511377); out.putLong(1L)
+      out.putInt(0) // (key, bitmap) pair: explicit key
       out.put(serializeRoaring(byKey, runKeys = Set(0)))
       java.util.Arrays.copyOf(out.array(), out.position())
     }
@@ -206,6 +210,29 @@ class DeltaDvCompatSpec extends SparkTestBase {
     // 64-bit: second bitmap (row index >= 2^32) decodes with the high bits
     val wide = Seq(4L, (1L << 32) | 7L)
     assert(DeltaDeletionVectors.decode(dvData(wide)).toSeq === wide)
+    // keys are explicit and may be SPARSE — decode must use the key,
+    // never the pair's position
+    val sparse = Seq((5L << 32) | 9L, (5L << 32) | 11L)
+    assert(DeltaDeletionVectors.decode(dvData(sparse)).toSeq === sparse)
+  }
+
+  test("golden 64-bit portable bytes: {1,3,7} under key 0 (Roaring64NavigableMap.serializePortable layout)") {
+    // hand-written from the RoaringFormatSpec: magic | count=1 (int64) |
+    // key=0 (int32) | cookie 12346 | nContainers=1 | header (key 0,
+    // card-1=2) | offset 16 (from THIS bitmap's start) | values 1,3,7
+    val bb = ByteBuffer.allocate(64).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(1681511377)
+    bb.putLong(1L)
+    bb.putInt(0)
+    bb.put(Array[Byte](0x3a, 0x30, 0, 0, 1, 0, 0, 0, 0, 0, 2, 0, 16, 0, 0, 0,
+      1, 0, 3, 0, 7, 0))
+    val data = java.util.Arrays.copyOf(bb.array(), bb.position())
+    assert(DeltaDeletionVectors.decode(data).toSeq === Seq(1L, 3L, 7L))
+    // the main-side encoder reproduces these exact bytes (spec-conformant
+    // output, not merely self-consistent with its own decoder)
+    val (enc, sz) = DeltaDeletionVectors.encodeInline(Seq(1L, 3L, 7L))
+    assert(DeltaDeletionVectors.z85Decode(enc, sz).sameElements(data),
+      "encodeInline must emit the golden byte layout")
   }
 
   test("u-type DV (Z85 uuid file): snapshot skips tombstoned rows end-to-end") {
@@ -293,7 +320,8 @@ class DeltaDvCompatSpec extends SparkTestBase {
     assert(e.getMessage != null || e.getCause != null) // loud, never a silent wrong count
     // size mismatch refuses too
     val e2 = intercept[Exception](
-      DeltaDeletionVectors.blob(dir, DeltaDeletionVectors.Descriptor("u", enc, off, size + 5)))
+      DeltaDeletionVectors.blob(dir,
+        DeltaDeletionVectors.Descriptor("u", enc, off, size + 5, 1L)))
     assert(e2.getMessage.contains("size"))
     // bad magic refuses
     val e3 = intercept[Exception](
