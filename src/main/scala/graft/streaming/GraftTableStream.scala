@@ -192,7 +192,7 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
     byteCountCache.getOrElseUpdate(v, {
       val actions = log.readVersion(v)
       val op = actions.collectFirst { case c: CommitInfo => c.operation }
-      if (op.exists(nonDataOps.contains)) 0L
+      if (op.exists(nonDataOps.contains) || foreignReorg(actions)) 0L
       else {
         // CDF admission sizes what the batch will actually READ: a commit
         // with `_cdc/` sidecars plans those, not its add files. A legacy
@@ -206,7 +206,7 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
           val sz = cdc.map(_.size).sum
           if (sz == 0L) Long.MaxValue / 4 else sz
         }
-        else actions.collect { case a: AddFile => a.size }.sum
+        else actions.collect { case a: AddFile if dataChanging(a) => a.size }.sum
       }
     })
   }
@@ -240,14 +240,14 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
     addCountCache.getOrElseUpdate(v, {
       val actions = log.readVersion(v)
       val op = actions.collectFirst { case c: CommitInfo => c.operation }
-      if (op.exists(nonDataOps.contains)) 0L
+      if (op.exists(nonDataOps.contains) || foreignReorg(actions)) 0L
       else {
         // CDF mode: the batch plans the commit's `_cdc/` sidecars when
         // present (rewrites), else its add files (appends) — size the cap
         // on what planInputPartitions will emit
         val cdc = actions.count(_.isInstanceOf[graft.table.CdcFile]).toLong
         if (cdfMode && cdc > 0) cdc
-        else actions.count(_.isInstanceOf[AddFile]).toLong
+        else actions.collect { case a: AddFile if dataChanging(a) => a }.size.toLong
       }
     })
   }
@@ -278,6 +278,22 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
   private val nonDataOps = Set("OPTIMIZE", "VACUUM", "SET TBLPROPERTIES",
     "UNSET TBLPROPERTIES", "ADD CONSTRAINT", "DROP CONSTRAINT")
 
+  /** An add carrying NEW rows (vs a foreign `dataChange = false`
+    * reorganization add — delta OPTIMIZE/clustering output). Graft's own
+    * maintenance is recognized by operation name above; the tag is the
+    * PROTOCOL-level signal for foreign logs, where commitInfo is
+    * free-form (optional fields, engine-specific operation names). */
+  private def dataChanging(a: AddFile): Boolean =
+    !a.tags.contains(graft.table.Actions.DataChangeFalseTag)
+
+  /** True when the commit is a foreign reorganization: it has adds, none
+    * of which carry new data — skip it wholesale (its removes pair with
+    * the compacted files, not with deleted rows). */
+  private def foreignReorg(actions: Seq[graft.table.Action]): Boolean = {
+    val adds = actions.collect { case a: AddFile => a }
+    adds.nonEmpty && !adds.exists(dataChanging)
+  }
+
   override def initialOffset(): Offset =
     GraftStreamOffset(startingVersion.map(_ - 1).getOrElse(-1L))
 
@@ -305,7 +321,7 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
         val actions = log.readVersion(v)
         failOnMidStreamEvolution(v, actions)
         val op = actions.collectFirst { case c: CommitInfo => c.operation }
-        if (op.exists(nonDataOps.contains)) Nil
+        if (op.exists(nonDataOps.contains) || foreignReorg(actions)) Nil
         else {
           val removes = actions.collect { case r: RemoveFile => r }
           if (removes.nonEmpty && !ignoreChanges)
@@ -355,7 +371,7 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
       val op = actions.collectFirst { case c: CommitInfo => c.operation }
       val commitTs = actions.collectFirst { case c: CommitInfo => c.timestamp }
         .getOrElse(0L).toString
-      if (!op.exists(nonDataOps.contains)) {
+      if (!op.exists(nonDataOps.contains) && !foreignReorg(actions)) {
         val cdc = actions.collect { case c: graft.table.CdcFile => c }
         val adds = actions.collect { case a: AddFile => a }
         val removes = actions.collect { case r: RemoveFile => r }

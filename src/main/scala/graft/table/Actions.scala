@@ -148,6 +148,12 @@ object Actions {
     * refuseForeignMutation). */
   val DeltaReadMarker = "graft.compat.deltaRead"
 
+  /** AddFile tag recording a foreign add's `dataChange = false` — the
+    * Delta protocol's reorganization flag (OPTIMIZE/clustering rewrites):
+    * such adds carry no NEW rows, and the streaming tail reader must skip
+    * them rather than re-serve compacted rows as appends. */
+  val DataChangeFalseTag = "graft.dataChange.false"
+
   /** Node-level Delta-shape probe over one raw log line — the SAME
     * criteria [[fromJson]] dispatches on (add with `dataChange`/`stats`/no
     * top-level `numRecords`; metaData with a `format` or `configuration`
@@ -336,12 +342,22 @@ object Actions {
         Option(st.get("maxValues")).foreach(flatten(_, "", maxs))
         Option(st.get("nullCount")).foreach(flatten(_, "", nulls))
       }
+    // dataChange=false is the PROTOCOL-level "reorganization, not new
+    // data" signal (delta OPTIMIZE / clustering adds) — engine-independent
+    // where commitInfo.operation is free-form. Carried as a tag so the
+    // streaming tail reader can skip such adds instead of re-serving
+    // compacted rows as fresh appends.
+    val tags0 = strMap(n, "tags")
+    val tags =
+      if (Option(n.get("dataChange")).exists(d => d.isBoolean && !d.asBoolean()))
+        tags0 + (DataChangeFalseTag -> "true")
+      else tags0
     AddFile(path, n.get("size").asLong(), n.get("modificationTime").asLong(),
       numRecords, mins.toMap, maxs.toMap, partMap(n),
       dvPath, dvCount, Option(n.get("baseRowId")).map(_.asLong()),
       nulls.flatMap { case (k, v) =>
         scala.util.Try(v.toLong).toOption.map(k -> _) }.toMap,
-      strMap(n, "tags"))
+      tags)
   }
 
   def fromJson(line: String): Action = {

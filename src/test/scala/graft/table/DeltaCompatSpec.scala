@@ -618,6 +618,51 @@ class DeltaCompatSpec extends SparkTestBase {
       GraftTable.forPath(spark, dir).delete(col("id") === 1L))
   }
 
+  test("foreign OPTIMIZE (dataChange=false, commitInfo-less) streams ZERO rows, not duplicates") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmpDir("delta-compat-reorg-")
+    val (sz1, mt1) = dataFile(dir, "part-00000-aaa-c000.snappy.parquet", df(0 until 3))
+    val (sz2, mt2) = dataFile(dir, "part-00001-bbb-c000.snappy.parquet", df(3 until 6))
+    val (szC, mtC) = dataFile(dir, "part-00002-compact-c000.snappy.parquet", df(0 until 6))
+    val (sz3, mt3) = dataFile(dir, "part-00003-ccc-c000.snappy.parquet", df(6 until 8))
+    commit(dir, 0, Seq(
+      commitInfo(1619112345000L, "WRITE"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaData(idSchema),
+      add("part-00000-aaa-c000.snappy.parquet", sz1, mt1,
+        Some(stats(3, Map("id" -> 0), Map("id" -> 2), Map("id" -> 0L)))),
+      add("part-00001-bbb-c000.snappy.parquet", sz2, mt2,
+        Some(stats(3, Map("id" -> 3), Map("id" -> 5), Map("id" -> 0L))))))
+    // a compaction by some OTHER engine: NO commitInfo at all (the Delta
+    // spec makes it optional) — the protocol-level reorganization signal
+    // is dataChange=false on the add; the stream must skip it wholesale
+    // instead of erroring (no recognizable operation name) or re-serving
+    // the compacted rows as fresh appends
+    commit(dir, 1, Seq(
+      s"""{"add":{"path":"part-00002-compact-c000.snappy.parquet","partitionValues":{},"size":$szC,"modificationTime":$mtC,"dataChange":false,"stats":"${stats(6, Map("id" -> 0), Map("id" -> 5), Map("id" -> 0L))}"}}""",
+      s"""{"remove":{"path":"part-00000-aaa-c000.snappy.parquet","deletionTimestamp":1619112346000,"dataChange":false}}""",
+      s"""{"remove":{"path":"part-00001-bbb-c000.snappy.parquet","deletionTimestamp":1619112346000,"dataChange":false}}"""))
+    commit(dir, 2, Seq(
+      commitInfo(1619112347000L, "WRITE"),
+      add("part-00003-ccc-c000.snappy.parquet", sz3, mt3,
+        Some(stats(2, Map("id" -> 6), Map("id" -> 7), Map("id" -> 0L))))))
+    // batch read folds the post-compaction snapshot (6 + 2 rows, once)
+    assert(GraftTable.forPath(spark, dir).toDF.count() === 8L)
+    // streamed tail from version 0: the reorg commit contributes NOTHING
+    val out = tmpDir("delta-compat-reorg-out-")
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "0").load(dir)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", tmpDir("delta-compat-reorg-ckpt-"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.read.parquet(out).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === (0L until 8L),
+      s"stream must serve each row exactly once across the reorg, got $got")
+  }
+
   test("a native graft table with a column literally named dataChange stays writable") {
     import spark.implicits._
     val dir = tmpDir("graft-datachange-col-")
