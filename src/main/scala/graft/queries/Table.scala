@@ -1678,6 +1678,43 @@ object TableQueries {
       },
       """SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
+
+    // ---- Merge-on-read under Delta write compatibility ----------------------------
+    // compat.delta.write + deletionVectors.enabled: a DV DELETE writes a
+    // genuine delta-format deletion_vector_*.bin and the add carries the
+    // descriptor real delta readers apply — merge-on-read stays available
+    // under compat. The fixture REQUIREs the descriptor shape on disk and
+    // that a FRESH fold (graft reading its own compat DVs through the
+    // read-interop decoder) nets the tombstones; the oracle replays the
+    // delete as a value predicate.
+    "q190_compat_dv_delete" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = cache.computeIfAbsent(s"compatDv:$dir", _ => {
+          val nation = graft.Tables.nation(s, dir)
+          val tt = GraftTable.create(s,
+            graft.Scratch.dir("graft-compat-dv-").toString, nation)
+          tt.setProperty(graft.table.DeltaWriteCompat.Prop, "true")
+          tt.setProperty("deletionVectors.enabled", "true")
+          tt.delete($"n_nationkey" % 5 === 2)
+          val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+            tt.path, "_delta_log", f"${tt.latestVersion}%020d.json"))
+          require(lines.stream().anyMatch(l =>
+              l.contains("\"deletionVector\"") && l.contains("\"storageType\":\"u\"")),
+            "compat DV delete must emit delta descriptors, not sidecar paths")
+          val fresh = GraftTable.forPath(s, tt.path)
+          require(fresh.toDF.count() == tt.toDF.count(),
+            "a fresh fold must apply the compat DVs")
+          tt
+        })
+        t.toDF.groupBy($"n_regionkey")
+          .agg(count(lit(1)).as("n"),
+               sum($"n_nationkey".cast("long")).as("sum_key"))
+          .orderBy($"n_regionkey")
+      },
+      """SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+        |FROM nation WHERE n_nationkey % 5 <> 2
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
   )
 
   /** q188's foreign-DV table, memoized per (JVM, dir): one data file over

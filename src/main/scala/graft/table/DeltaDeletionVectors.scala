@@ -122,8 +122,19 @@ object DeltaDeletionVectors {
     val b = z85Decode(enc, 16)
     val bb = ByteBuffer.wrap(b)
     val uuid = new java.util.UUID(bb.getLong, bb.getLong)
-    val dir = if (prefix.isEmpty) "" else s"$prefix/"
+    val dir = if (prefix.isEmpty) "" else s"${prefix.stripSuffix("/")}/"
     s"${dir}deletion_vector_$uuid.bin"
+  }
+
+  /** Re-anchor a packed marker under a relative directory (shallow-clone
+    * path rebasing): a `u`-type marker's prefix — the directory part of
+    * its resolved path — gains `dir/` in front; inline and absolute
+    * markers need no rebase. */
+  def rebase(packed: String, dir: String): String = {
+    val d = unpack(packed)
+    if (d.storageType != "u") packed
+    else pack("u", s"$dir/${d.pathOrInlineDv}", d.offset, d.sizeInBytes,
+      d.cardinality)
   }
 
   // ---- blob access ----------------------------------------------------------
@@ -267,7 +278,21 @@ object DeltaDeletionVectors {
     out
   }
 
-  // ---- encode (fixtures / future write-compat) -------------------------------
+  /** The table-relative STORAGE file a dvPath slot references (what
+    * vacuum must retain while the version is retained, and may collect
+    * once it expires): a native sidecar references itself; a packed
+    * 'u'-type marker references its `deletion_vector_*.bin`; inline
+    * markers reference nothing; 'p' markers point outside the table (not
+    * vacuum's to manage). */
+  def referencedFile(dvPath: String): Option[String] =
+    if (!isForeign(dvPath)) Some(dvPath)
+    else {
+      val d = unpack(dvPath)
+      if (d.storageType == "u") Some(resolveRelativePath(d.pathOrInlineDv))
+      else None
+    }
+
+  // ---- encode (fixtures / write-compat) --------------------------------------
 
   /** Z85-encode, zero-padding the tail group (delta's Base85Codec pads on
     * encode; decoders truncate via sizeInBytes). */
@@ -290,15 +315,19 @@ object DeltaDeletionVectors {
     sb.toString
   }
 
-  /** Serialize `rows` (64-bit indexes, array containers only — inline DVs
-    * are small by definition) and Z85-encode as an inline ('i')
-    * descriptor payload. Returns (pathOrInlineDv, sizeInBytes). Layout per
-    * the 64-bit portable spec: count of (key, bitmap) PAIRS, then each
-    * pair as `[key: int32 LE][standard 32-bit roaring]` with container
-    * offsets relative to the START of that bitmap's own serialization. */
-  def encodeInline(rows: Seq[Long]): (String, Int) = {
+  /** Serialize 64-bit row indexes as portable RoaringBitmapArray bytes.
+    * Layout per the 64-bit portable spec: count of (key, bitmap) PAIRS,
+    * then each pair as `[key: int32 LE][standard 32-bit roaring]` with
+    * container offsets relative to the START of that bitmap's own
+    * serialization. Containers: array ≤ 4096 values, 8 KiB bitmap beyond
+    * (runs never emitted — both forms are universally decodable). */
+  def serialize(rows: Seq[Long]): Array[Byte] = {
     val byBitmap = rows.groupBy(r => (r >>> 32).toInt).toSeq.sortBy(_._1)
-    val bb = ByteBuffer.allocate(1 << 20).order(ByteOrder.LITTLE_ENDIAN)
+    // worst case: every container a bitmap (8 KiB + headers)
+    val cap = 16 + byBitmap.map { case (_, rs) =>
+      16 + rs.map(r => ((r & 0xFFFFFFFFL) >>> 16).toInt).distinct.size * (8 + 8192)
+    }.sum
+    val bb = ByteBuffer.allocate(cap).order(ByteOrder.LITTLE_ENDIAN)
     bb.putInt(Magic)
     bb.putLong(byBitmap.size.toLong)
     byBitmap.foreach { case (idx, rs) =>
@@ -307,19 +336,66 @@ object DeltaDeletionVectors {
       val vals = rs.map(r => (r & 0xFFFFFFFFL).toInt)
       val byKey = vals.groupBy(v => v >>> 16).toSeq.sortBy(_._1)
         .map { case (k, vs) => k -> vs.map(_ & 0xFFFF).sorted }
-      require(byKey.forall(_._2.size <= 4096),
-        "encodeInline serves small DVs only (array containers)")
       bb.putInt(12346)
       bb.putInt(byKey.size)
       byKey.foreach { case (k, vs) =>
         bb.putShort(k.toShort); bb.putShort((vs.size - 1).toShort)
       }
+      def containerBytes(vs: Seq[Int]): Int = if (vs.size <= 4096) 2 * vs.size else 8192
       var pos = (bb.position() - bitmapStart) + 4 * byKey.size
-      byKey.foreach { case (_, vs) => bb.putInt(pos); pos += 2 * vs.size }
-      byKey.foreach { case (_, vs) => vs.foreach(v => bb.putShort(v.toShort)) }
+      byKey.foreach { case (_, vs) => bb.putInt(pos); pos += containerBytes(vs) }
+      byKey.foreach { case (_, vs) =>
+        if (vs.size <= 4096) vs.foreach(v => bb.putShort(v.toShort))
+        else {
+          val words = new Array[Long](1024)
+          vs.foreach(v => words(v / 64) |= (1L << (v % 64)))
+          words.foreach(bb.putLong)
+        }
+      }
     }
-    val data = java.util.Arrays.copyOf(bb.array(), bb.position())
+    java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
+  /** Serialize + Z85-encode as an inline ('i') descriptor payload.
+    * Returns (pathOrInlineDv, sizeInBytes). */
+  def encodeInline(rows: Seq[Long]): (String, Int) = {
+    val data = serialize(rows)
     (z85Encode(data), data.length)
+  }
+
+  /** Write ONE delta-format DV FILE (`deletion_vector_<uuid>.bin`:
+    * version byte 1, then per entry `[size: int32 BE][data][crc32: int32
+    * BE]`) holding each file's tombstone bitmap, under the table root.
+    * Returns fname → packed 'u'-type descriptor (what AddFile.dvPath
+    * carries; DeltaShapeWriter unpacks it into the descriptor JSON real
+    * delta readers consume, and graft's own scan decodes it through the
+    * read-interop path). */
+  def writeDvFile(tableRoot: String,
+      perFile: Seq[(String, Array[Long])]): Map[String, String] = {
+    val uuid = java.util.UUID.randomUUID()
+    val uuidBytes = ByteBuffer.allocate(16)
+      .putLong(uuid.getMostSignificantBits)
+      .putLong(uuid.getLeastSignificantBits).array()
+    val enc = z85Encode(uuidBytes)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(1) // version byte
+    var offset = 1L
+    val descriptors = perFile.map { case (fname, rows) =>
+      val data = serialize(rows.toSeq)
+      val crc = new java.util.zip.CRC32(); crc.update(data)
+      val head = ByteBuffer.allocate(4) // big-endian default
+      head.putInt(data.length)
+      out.write(head.array()); out.write(data)
+      val tail = ByteBuffer.allocate(4)
+      tail.putInt(crc.getValue.toInt)
+      out.write(tail.array())
+      val d = fname -> pack("u", enc, offset, data.length.toLong, rows.length.toLong)
+      offset += 4 + data.length + 4
+      d
+    }.toMap
+    val target = Paths.get(tableRoot, s"deletion_vector_$uuid.bin")
+    Files.write(target, out.toByteArray)
+    descriptors
   }
 
   /** Absolute form carried through InputPartitions (the per-file V2 /

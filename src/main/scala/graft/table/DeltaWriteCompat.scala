@@ -22,11 +22,17 @@ import org.apache.spark.sql.types._
   * probe never mistakes a compat table for a delta-spark one — compat
   * tables stay fully writable by graft while being readable by Delta.
   *
-  * The property REFUSES features whose on-disk semantics a delta-1.0
-  * reader cannot honor: graft deletion vectors (delta would resurrect the
-  * deleted rows), change data feed (graft cdc actions are not delta cdc),
-  * column mapping (physical names would not resolve), and VARIANT columns
-  * (parquet layout delta 1.x predates). Generated/identity columns,
+  * The property REFUSES features whose on-disk semantics a delta reader
+  * cannot honor: change data feed (graft cdc actions are not delta cdc),
+  * column mapping (physical names would not resolve), VARIANT columns
+  * (parquet layout delta 1.x predates), and NATIVE parquet-sidecar
+  * deletion vectors written before compat (no delta spelling — dropping
+  * them would resurrect deleted rows). Merge-on-read under compat stays
+  * AVAILABLE: deletionVectors.enabled tables write genuine delta-format
+  * DV files (GraftTable.writeDvStore → DeltaDeletionVectors.writeDvFile)
+  * and declare the standard protocol gate (minReader 3 + the
+  * deletionVectors reader feature), so DV-capable delta readers apply
+  * the same tombstones graft does. Generated/identity columns,
   * row tracking and constraints are reader-safe (materialized values /
   * ignorable fields) and stay allowed — but the emitted PROTOCOL must not
   * invite a foreign WRITER to break invariants it cannot see (graft's
@@ -79,12 +85,21 @@ object DeltaWriteCompat {
     }
     val appendOnly =
       meta.properties.get("appendOnly").exists(_.equalsIgnoreCase("true"))
-    if (priv.nonEmpty) {
+    // deletion vectors are the STANDARD delta feature — readers must
+    // prove they apply DVs (minReader 3 + the reader feature), and
+    // DV-capable foreign writers may legitimately write (their delta-
+    // format DVs read back through the interop path)
+    val dv =
+      meta.properties.get("deletionVectors.enabled").exists(_.equalsIgnoreCase("true")) ||
+        p.readerFeatures.contains("deletionVectors")
+    val dvFeat = if (dv) Seq("deletionVectors") else Nil
+    if (priv.nonEmpty || dv) {
       // v7 lists EVERY active writer capability, legacy ones included
       val legacy = Seq("invariants") ++
         (if (meta.constraints.nonEmpty) Seq("checkConstraints") else Nil) ++
         (if (appendOnly) Seq("appendOnly") else Nil)
-      Protocol(1, 7, Nil, (priv ++ legacy).distinct.sorted)
+      Protocol(if (dv) 3 else 1, 7, dvFeat,
+        (priv ++ dvFeat ++ legacy).distinct.sorted)
     } else if (meta.constraints.nonEmpty) Protocol(1, 3)
     else Protocol(1, 2)
   }
@@ -107,12 +122,20 @@ object DeltaWriteCompat {
       meta.schemaString.contains("\"variant\"") &&
         (try hasVariant(DataType.fromJson(meta.schemaString))
          catch { case _: Exception => false })
-    if (on("deletionVectors.enabled")) Some("deletionVectors.enabled")
-    else if (on("changeDataFeed.enabled")) Some("changeDataFeed.enabled")
+    if (on("changeDataFeed.enabled")) Some("changeDataFeed.enabled")
     else if (on("columnMapping.mode")) Some("columnMapping.mode")
     else if (variantSchema) Some("VARIANT columns")
-    else if (actions.exists { case a: AddFile => a.dvPath.isDefined; case _ => false })
-      Some("deletion-vector file references")
+    // deletionVectors.enabled is ALLOWED under compat since round 13:
+    // merge-on-read DML writes genuine delta-format DV files and carries
+    // packed descriptors (GraftTable.writeDvStore), which serialize to
+    // the descriptor JSON real delta readers apply. Only NATIVE parquet
+    // sidecars (written before compat) have no delta spelling — dropping
+    // them would resurrect deleted rows for every foreign reader.
+    else if (actions.exists {
+      case a: AddFile => a.dvPath.exists(p => !DeltaDeletionVectors.isForeign(p))
+      case _ => false })
+      Some("native deletion-vector sidecar references (OPTIMIZE to purge " +
+        "them before enabling compat)")
     else if (actions.exists(_.isInstanceOf[CdcFile])) Some("cdc actions")
     else None
   }
@@ -131,7 +154,13 @@ object DeltaWriteCompat {
       StructField("dataChange", BooleanType),
       StructField("stats", StringType),
       StructField("tags", MapType(StringType, StringType)),
-      StructField("baseRowId", LongType)))),
+      StructField("baseRowId", LongType),
+      StructField("deletionVector", StructType(Seq(
+        StructField("storageType", StringType),
+        StructField("pathOrInlineDv", StringType),
+        StructField("offset", LongType),
+        StructField("sizeInBytes", LongType),
+        StructField("cardinality", LongType))))))),
     StructField("metaData", StructType(Seq(
       StructField("id", StringType),
       StructField("format", StructType(Seq(StructField("provider", StringType)))),
@@ -227,6 +256,23 @@ final class DeltaShapeWriter(meta: MetaData) {
           f.tags.foreach { case (k, v) => tg.put(k, v) }
         }
         f.baseRowId.foreach(b => n.put("baseRowId", b))
+        f.dvPath.foreach { p =>
+          // merge-on-read DVs under compat are packed delta descriptors
+          // (GraftTable.writeDvStore) — unpack into the descriptor JSON
+          // real readers apply. A NATIVE sidecar here means a refusal
+          // gate was bypassed: emitting the add WITHOUT it would
+          // resurrect deleted rows for every delta reader — fail loudly.
+          if (!DeltaDeletionVectors.isForeign(p)) throw new GraftProtocolException(
+            s"add ${f.path} carries a native deletion-vector sidecar ($p) " +
+              "— no delta-1.0 spelling exists; OPTIMIZE to purge DVs first")
+          val d = DeltaDeletionVectors.unpack(p)
+          val dv = n.putObject("deletionVector")
+          dv.put("storageType", d.storageType)
+          dv.put("pathOrInlineDv", d.pathOrInlineDv)
+          if (d.storageType != "i") dv.put("offset", d.offset)
+          dv.put("sizeInBytes", d.sizeInBytes)
+          dv.put("cardinality", d.cardinality)
+        }
       case r: RemoveFile =>
         val n = root.putObject("remove")
         n.put("path", encodePath(r.path))
@@ -240,6 +286,10 @@ final class DeltaShapeWriter(meta: MetaData) {
         val n = root.putObject("protocol")
         n.put("minReaderVersion", cp.minReaderVersion)
         n.put("minWriterVersion", cp.minWriterVersion)
+        if (cp.readerFeatures.nonEmpty) {
+          val rf = n.putArray("readerFeatures")
+          cp.readerFeatures.foreach(rf.add)
+        }
         if (cp.writerFeatures.nonEmpty) {
           val wf = n.putArray("writerFeatures")
           cp.writerFeatures.foreach(wf.add)

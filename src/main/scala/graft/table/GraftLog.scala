@@ -363,6 +363,24 @@ final class GraftLog(val tablePath: String,
           throw new GraftProtocolException(
             s"${DeltaWriteCompat.Prop}: a delta-1.0 reader cannot honor " +
               s"$why — disable the feature or the compat property"))
+        // ENABLING-transition gate: the first compat commit must also
+        // prove no LIVE file still carries a native parquet-sidecar DV —
+        // those never appear in this commit's actions, but the compat
+        // CHECKPOINT re-serializes the whole live set, and a native
+        // sidecar has no delta spelling (dropping it silently resurrects
+        // deleted rows for every reader). Checked only on the transition
+        // (prev snapshot not compat), never per commit.
+        if (actions.exists(_.isInstanceOf[MetaData]) && v > 0 &&
+            v - 1 >= earliestVersion &&
+            !DeltaWriteCompat.enabled(snapshotAt(v - 1).metaData)) {
+          val nativeDv = snapshotAt(v - 1).files.filter(f =>
+            f.dvPath.exists(p => !DeltaDeletionVectors.isForeign(p)))
+          if (nativeDv.nonEmpty) throw new GraftProtocolException(
+            s"${DeltaWriteCompat.Prop}: ${nativeDv.size} live file(s) carry " +
+              "native deletion-vector sidecars written before compat — a " +
+              "delta reader cannot apply them; run OPTIMIZE (purges DVs) " +
+              "before enabling the property")
+        }
         new DeltaShapeWriter(m).line
       case None => Actions.toJson
     }

@@ -1433,12 +1433,15 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         val rel = Paths.get(dest).toAbsolutePath.normalize()
           .relativize(Paths.get(path).toAbsolutePath.normalize())
         s.files.map(f => f.copy(path = s"$rel/${f.path}",
-          dvPath = f.dvPath.map(p => s"$rel/$p")))
+          dvPath = f.dvPath.map(p =>
+            if (DeltaDeletionVectors.isForeign(p))
+              DeltaDeletionVectors.rebase(p, rel.toString)
+            else s"$rel/$p")))
       } else {
         s.files.map { f =>
           Files.createDirectories(Paths.get(dest, f.path).getParent)
           Files.copy(Paths.get(path, f.path), Paths.get(dest, f.path))
-          f.dvPath.foreach { p =>
+          f.dvPath.flatMap(DeltaDeletionVectors.referencedFile).foreach { p =>
             Files.createDirectories(Paths.get(dest, p).getParent)
             if (!Files.exists(Paths.get(dest, p)))
               Files.copy(Paths.get(path, p), Paths.get(dest, p))
@@ -1470,7 +1473,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val s = snapshot
     val root = path
     import spark.implicits._
-    val entries = s.files.map(f => (f.path, f.dvPath))
+    // a dvPath slot may be a packed foreign-DV marker — probe the STORAGE
+    // file it references (inline markers reference none and never go missing)
+    val entries = s.files.map(f =>
+      (f.path, f.dvPath.flatMap(DeltaDeletionVectors.referencedFile)))
     val missing: Seq[String] =
       if (entries.isEmpty) Nil
       else spark.createDataset(entries)
@@ -1598,10 +1604,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // commit: a file referenced by ANY retained snapshot is either live at
     // keepFrom or added after it. The old shape folded a full snapshot PER
     // retained version — O(retained × fold) log reads for the same set.
+    def dvRefs(f: AddFile): Seq[String] =
+      f.dvPath.toSeq.flatMap(DeltaDeletionVectors.referencedFile)
     val referenced = (
-      log.snapshotAt(keepFrom).files.flatMap(f => f.path +: f.dvPath.toSeq) ++
+      log.snapshotAt(keepFrom).files.flatMap(f => f.path +: dvRefs(f)) ++
       (keepFrom to latest).flatMap(v => log.readVersion(v).flatMap {
-        case a: AddFile if v > keepFrom => a.path +: a.dvPath.toSeq
+        case a: AddFile if v > keepFrom => a.path +: dvRefs(a)
         // change-data sidecars belong to COMMITS, not snapshots: keep
         // those of every retained version (keepFrom's own included) so
         // changes()/CDF streams stay readable
@@ -1640,7 +1648,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       val d = rootP.resolve(rel)
       val st = Files.newDirectoryStream(d)
       try st.iterator().asScala.flatMap { p =>
-        if (Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+        val nm = p.getFileName.toString
+        if (Files.isRegularFile(p) && (nm.endsWith(".parquet") ||
+            (nm.startsWith("deletion_vector_") && nm.endsWith(".bin"))))
           Some((rootP.relativize(p).toString,
             try Files.getLastModifiedTime(p).toMillis
             catch { case _: java.io.IOException => Long.MaxValue }))
@@ -2206,9 +2216,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // prior tombstones of touched files merge into the new sidecar; new
     // positions are disjoint from prior ones by construction
     val allPos = dvEntries(touched).map(_.unionByName(newPos)).getOrElse(newPos)
-    val rel = writeDvSidecar(allPos)
+    val dvPathOf = writeDvStore(s.metaData, allPos)
     val deleted = perFileNew.values.sum
-    val reAdds = touched.map(f => f.copy(dvPath = Some(rel),
+    val reAdds = touched.map(f => f.copy(dvPath = Some(dvPathOf(fileName(f.path))),
       dvCount = f.dvCount + perFileNew(fileName(f.path))))
     // operator-level CDC: the newly tombstoned rows are exactly the
     // matched rows — tag them directly
@@ -2227,6 +2237,31 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         touched.map(f => RemoveFile(f.path, ts)) ++ reAdds ++ cdc)
     Some(deleted)
   }
+
+  /** Tombstone store for one merge-on-read commit: fname → dvPath.
+    * Native tables share ONE `_dv/` parquet sidecar across the touched
+    * files; `compat.delta.write` tables write one DELTA-format
+    * `deletion_vector_<uuid>.bin` with a per-file roaring blob and carry
+    * packed descriptors instead — so a real delta reader applies the
+    * SAME tombstones graft does (merge-on-read DML stays available under
+    * compat). The compat branch collects positions driver-side: the set
+    * is hard-capped by `deletionVectors.maxTombstones` (callers fall
+    * back to copy-on-write beyond it), the same bound the native
+    * single-sidecar funnel rides. */
+  private def writeDvStore(meta: MetaData, entries: DataFrame): String => String =
+    if (!DeltaWriteCompat.enabled(meta)) {
+      val rel = writeDvSidecar(entries)
+      _ => rel
+    } else {
+      val perFile = entries
+        .select(col("__fname"), col("__pos").cast(LongType).as("__pos"))
+        .collect().groupBy(_.getString(0))
+        .map { case (f, rows) => f -> rows.map(_.getLong(1)).sorted }
+        .toSeq.sortBy(_._1)
+      val desc = DeltaDeletionVectors.writeDvFile(path, perFile)
+      f => desc.getOrElse(f, throw new IllegalStateException(
+        s"no deletion-vector blob was written for touched file $f"))
+    }
 
   /** Write tombstone entries as ONE `_dv/` parquet sidecar (fname, pos),
     * sorted for locality; returns the table-relative path. Tombstone sets
@@ -2370,13 +2405,13 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       if (perFile.values.sum + touched.map(_.dvCount).sum <= maxTombstones) {
         val tombstones = affected.select(col("__fname"), col("__pos"))
         val allPos = dvEntries(touched).map(_.unionByName(tombstones)).getOrElse(tombstones)
-        val rel = writeDvSidecar(allPos)
+        val dvPathOf = writeDvStore(s.metaData, allPos)
         // post-images all carry their materialized id — no base allocation
         val adds = writeDataMapped(enforceConstraints(
           conform(postImage(affected.drop("__fname", "__pos")), s.schema,
             keepRowId = true),
           s.metaData), s.metaData)
-        val reAdds = touched.map(f => f.copy(dvPath = Some(rel),
+        val reAdds = touched.map(f => f.copy(dvPath = Some(dvPathOf(fileName(f.path))),
           dvCount = f.dvCount + perFile(fileName(f.path))))
         val updated = perFile.values.sum
         val cdcFiles = cdc
@@ -2731,14 +2766,15 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         else {
           val tombstones = affected.select(col("__fname"), col("__pos"))
           val allPos = dvEntries(touched).map(_.unionByName(tombstones)).getOrElse(tombstones)
-          val rel = writeDvSidecar(allPos)
+          val dvPathOf = writeDvStore(s.metaData, allPos)
           val replacement = postImage(affected.filter(
             if (deleteIds.isEmpty) lit(true) else !col("__action").isin(deleteIds: _*)))
           val out = enforceConstraints(
             conform(replacement.unionByName(inserts), schema, keepRowId = true),
             s.metaData)
           val adds = stampRowIds(s, writeDataMapped(out, s.metaData))
-          val reAdds = touched.map(f => f.copy(dvPath = Some(rel),
+          val reAdds = touched.map(f => f.copy(
+            dvPath = Some(dvPathOf(fileName(f.path))),
             dvCount = f.dvCount + perFile.getOrElse(fileName(f.path), 0L)))
           val cdc = writeCdcFiles(s, mergeCdc(affected, inserts))
           commitDml(s, mergeTxnInfo(srcKeyPrune, prunedTargetFiles, touched),

@@ -78,9 +78,13 @@ class DeltaWriteCompatSpec extends SparkTestBase {
       }
       if (root.has("protocol")) {
         val p = root.get("protocol")
-        assert(p.get("minReaderVersion").asInt() == 1, l)
-        // feature-derived writer gate: 2 plain, 3 with CHECK constraints,
-        // 7 with graft-private writer semantics (writerFeatures listed)
+        // feature-derived gates: reader 1 plain, 3 with deletion vectors
+        // (readerFeatures listed); writer 2 plain, 3 with CHECK
+        // constraints, 7 with writer features (list present)
+        val r = p.get("minReaderVersion").asInt()
+        assert(Set(1, 3).contains(r), l)
+        assert(p.has("readerFeatures") == (r == 3),
+          s"readerFeatures iff protocol reader v3: $l")
         val w = p.get("minWriterVersion").asInt()
         assert(Set(2, 3, 7).contains(w), l)
         assert(p.has("writerFeatures") == (w == 7),
@@ -176,13 +180,21 @@ class DeltaWriteCompatSpec extends SparkTestBase {
     intercept[Exception](t2.append(seed(1).withColumn("id", lit(-5L))))
   }
 
-  test("features a delta-1.0 reader cannot honor refuse at the enabling commit") {
+  test("features a delta reader cannot honor refuse at the enabling commit") {
+    // PRE-COMPAT native DV sidecars: the live set (not this commit's
+    // actions) carries tombstones no delta reader can apply — the
+    // enabling-transition gate must refuse until OPTIMIZE purges them
     val dir = tmpDir("dwc-refuse-")
-    val t = GraftTable.create(spark, dir, seed(3))
+    val t = GraftTable.create(spark, dir, seed(6))
     t.setProperty("deletionVectors.enabled", "true")
+    t.delete(col("id") === 1L) // merge-on-read: native parquet sidecar
     val e = intercept[GraftProtocolException](
       t.setProperty(DeltaWriteCompat.Prop, "true"))
-    assert(e.getMessage.contains("deletionVectors"), s"got $e")
+    assert(e.getMessage.contains("native deletion-vector"), s"got $e")
+    // OPTIMIZE rebases the DV carriers (purges sidecars) — compat then enables
+    t.optimize()
+    t.setProperty(DeltaWriteCompat.Prop, "true")
+    assert(t.toDF.count() === 5L)
     // and the reverse order: compat first, then the incompatible feature
     val dir2 = tmpDir("dwc-refuse2-")
     val t2 = GraftTable.create(spark, dir2, seed(3))
@@ -191,6 +203,69 @@ class DeltaWriteCompatSpec extends SparkTestBase {
     intercept[GraftProtocolException](t2.setProperty("columnMapping.mode", "name"))
     t2.append(seed(1)) // the table itself stays healthy after refusals
     assert(t2.toDF.count() === 4L)
+  }
+
+  test("merge-on-read under compat: DV DML writes delta-format .bin, descriptors round-trip") {
+    val dir = tmpDir("dwc-dv-")
+    val t = GraftTable.create(spark, dir, seed(8))
+    t.setProperty(DeltaWriteCompat.Prop, "true")
+    t.setProperty("deletionVectors.enabled", "true")
+    t.delete(col("id") === 2L || col("id") === 5L)
+    // every re-add carries a delta DESCRIPTOR, not a sidecar path (the
+    // two tombstoned rows may live in one or two files — seed frames
+    // write several parquet parts)
+    val dvs = logLines(dir, t.latestVersion).filter(_.contains("\"add\""))
+      .map(l => mapper.readTree(l).get("add").get("deletionVector"))
+      .filter(_ != null)
+    assert(dvs.nonEmpty && dvs.forall(_.get("storageType").asText() == "u"))
+    assert(dvs.map(_.get("cardinality").asLong()).sum === 2L)
+    // the referenced .bin exists, is delta layout, and each blob verifies
+    // (version byte + size + CRC through the read-interop decoder)
+    val rel = DeltaDeletionVectors.resolveRelativePath(
+      dvs.head.get("pathOrInlineDv").asText())
+    assert(Files.exists(Paths.get(dir, rel)), s"DV file $rel must exist")
+    val pos = dvs.map(dv => DeltaDeletionVectors.positions(dir,
+      DeltaDeletionVectors.pack("u", dv.get("pathOrInlineDv").asText(),
+        dv.get("offset").asLong(), dv.get("sizeInBytes").asLong(),
+        dv.get("cardinality").asLong())).length).sum
+    assert(pos === 2)
+    // graft re-reads its own compat DVs through the interop path
+    val t2 = GraftTable.forPath(spark, dir)
+    assert(t2.toDF.select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(0L, 1L, 3L, 4L, 6L, 7L))
+    // protocol declares the standard DV gate: minReader 3 + reader feature
+    t2.log.writeCheckpoint(t2.latestVersion)
+    val cp = Paths.get(dir, "_delta_log", f"${t2.latestVersion}%020d.checkpoint.parquet")
+    val proto = spark.read.parquet(cp.toString)
+      .select("protocol.minReaderVersion", "protocol.minWriterVersion")
+      .na.drop("all").collect()
+    assert(proto.head.getInt(0) === 3 && proto.head.getInt(1) === 7)
+    // checkpoint round-trips the descriptor: a fresh fold seeded from it
+    // still applies the tombstones
+    val t3 = GraftTable.forPath(spark, dir)
+    assert(t3.toDF.count() === 6L)
+    // vacuum retains the referenced .bin while its version is retained
+    t2.setProperty("vacuum.retentionDurationCheck", "false")
+    GraftTable.forPath(spark, dir).vacuum(retainVersions = 0, retentionMs = 0L)
+    assert(Files.exists(Paths.get(dir, rel)),
+      "a DV file referenced by the live snapshot must survive vacuum")
+    // further merge-on-read DML through the SAME store path (MERGE twin) —
+    // the touched file's DV re-points at a fresh .bin (old + new positions)
+    import spark.implicits._
+    t2.merge(Seq((3L, "UPD")).toDF("id", "s"), "t.id = s.id")
+      .whenMatchedUpdate(Map("s" -> "s.s")).execute()
+    val rows = GraftTable.forPath(spark, dir).toDF.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(3L) === "UPD" && rows.size === 6)
+    // ... and once OPTIMIZE rebases every carrier (purging all DVs) no
+    // retained version references any bin — vacuum collects them like
+    // aged-out data files
+    val t4 = GraftTable.forPath(spark, dir)
+    t4.optimize()
+    t4.vacuum(retainVersions = 0, retentionMs = 0L)
+    assert(!Files.exists(Paths.get(dir, rel)),
+      "an unreferenced DV file must be vacuumed")
+    assert(t4.toDF.count() === 6L, "rows survive the purge+vacuum")
   }
 
   test("compat checkpoint is delta layout: single part, _last_checkpoint carries size") {
