@@ -323,13 +323,20 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
         val op = actions.collectFirst { case c: CommitInfo => c.operation }
         if (op.exists(nonDataOps.contains) || foreignReorg(actions)) Nil
         else {
-          val removes = actions.collect { case r: RemoveFile => r }
+          // dataChange=false removes pair with a reorganization's compacted
+          // files (the rows MOVED, delta's OPTIMIZE shape) — only
+          // data-changing removes break the append-only contract
+          val removes = actions.collect {
+            case r: RemoveFile if r.dataChange => r }
           if (removes.nonEmpty && !ignoreChanges)
             throw new IllegalStateException(
               s"commit $v of $tablePath rewrites files (${op.getOrElse("?")}); " +
                 "streaming reads are append-only — set option(\"ignoreChanges\", " +
                 "\"true\") to stream added files anyway (rewritten rows re-emit)")
-          actions.collect { case a: AddFile => a }
+          // a MIXED commit (new data + dataChange=false reorg adds) plans
+          // only the data-changing files — same filter as the admission
+          // counters, or compacted rows would re-serve as appends
+          actions.collect { case a: AddFile if dataChanging(a) => a }
         }
       }
     plannedColumnarOk = files.forall(_.dvPath.isEmpty)
@@ -374,7 +381,8 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
       if (!op.exists(nonDataOps.contains) && !foreignReorg(actions)) {
         val cdc = actions.collect { case c: graft.table.CdcFile => c }
         val adds = actions.collect { case a: AddFile => a }
-        val removes = actions.collect { case r: RemoveFile => r }
+        val removes = actions.collect {
+          case r: RemoveFile if r.dataChange => r }
         if (cdc.nonEmpty) cdc.foreach { c =>
           parts += GraftFilePartition(
             Paths.get(tablePath, c.path).toString, Map.empty, c.numRecords, None,
@@ -383,7 +391,7 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
               "_commit_timestamp" -> commitTs),
             partitionColsInFile = true)
         }
-        else if (removes.isEmpty) insertParts(adds, v)
+        else if (removes.isEmpty) insertParts(adds.filter(dataChanging), v)
         else throw new IllegalStateException(
           s"commit $v of $tablePath rewrites files without change data " +
             s"(${op.getOrElse("?")}); set changeDataFeed.enabled=true before " +

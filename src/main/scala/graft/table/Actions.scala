@@ -58,8 +58,14 @@ final case class AddFile(
   def liveRecords: Long = numRecords - dvCount
 }
 
-/** Tombstone: the file is no longer part of the snapshot from this commit. */
-final case class RemoveFile(path: String, deletionTimestamp: Long) extends Action
+/** Tombstone: the file is no longer part of the snapshot from this commit.
+  * `dataChange = false` marks a REORGANIZATION remove (the rows moved to a
+  * compacted file in the same commit, delta's OPTIMIZE shape) — streaming
+  * tail readers treat such commits as maintenance, never as rewrites.
+  * Graft-native logs always write true (graft maintenance is recognized
+  * by operation name); the flag folds in from foreign delta logs. */
+final case class RemoveFile(path: String, deletionTimestamp: Long,
+    dataChange: Boolean = true) extends Action
 
 /** Change-data file (Delta's AddCDCFile): a `_cdc/` parquet holding THIS
   * commit's row-level deltas (full rows + `_change_type`), written by DML
@@ -98,10 +104,10 @@ object Protocol {
       // foreign tables wholesale (GraftTable.vacuum's DeltaReadMarker gate
       // + GraftLog.refuseForeignMutation). Foreign deletionVectors READ
       // natively (DeltaDeletionVectors decodes the roaring format into
-      // the same anti-join shape as graft sidecars); columnMapping
-      // remains refused by its PRECISE gate (the delta.columnMapping.mode
-      // configuration check) — feature-name acceptance here lets a table
-      // that merely DECLARES it read fine when no mapped column exists.
+      // the same anti-join shape as graft sidecars); columnMapping reads
+      // natively in NAME mode (the fold translates the delta metadata key,
+      // ColumnMapping.fromDeltaSchema) while ID mode refuses at its
+      // PRECISE gate (the delta.columnMapping.mode configuration check).
       "timestampNtz", "v2Checkpoint", "vacuumProtocolCheck")
   val supportedWriterFeatures: Set[String] =
     // NOT derived from the reader set: the foreign-read-only features
@@ -240,7 +246,7 @@ object Actions {
           dv.put("path", p); dv.put("cardinality", dvCount)
         }
         baseRowId.foreach(b => n.put("baseRowId", b))
-      case RemoveFile(path, ts) =>
+      case RemoveFile(path, ts, _) =>
         val n = root.putObject("remove")
         n.put("path", path); n.put("deletionTimestamp", ts)
       case CdcFile(path, rows, size) =>
@@ -438,7 +444,9 @@ object Actions {
           }
         else rawPath
       RemoveFile(path,
-        Option(n.get("deletionTimestamp")).map(_.asLong()).getOrElse(0L))
+        Option(n.get("deletionTimestamp")).map(_.asLong()).getOrElse(0L),
+        dataChange = !Option(n.get("dataChange"))
+          .exists(d => d.isBoolean && !d.asBoolean()))
     } else if (root.has("cdc")) {
       val n = root.get("cdc")
       // size is absent in pre-round-11 logs — 0 degrades byte-capped CDF

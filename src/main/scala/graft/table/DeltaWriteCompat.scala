@@ -171,6 +171,7 @@ object DeltaWriteCompat {
     StructField("protocol", StructType(Seq(
       StructField("minReaderVersion", IntegerType),
       StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
       StructField("writerFeatures", ArrayType(StringType)))))))
 }
 

@@ -373,8 +373,13 @@ final class GraftLog(val tablePath: String,
         if (actions.exists(_.isInstanceOf[MetaData]) && v > 0 &&
             v - 1 >= earliestVersion &&
             !DeltaWriteCompat.enabled(snapshotAt(v - 1).metaData)) {
+          // the POST-commit live set is what the compat checkpoint will
+          // re-serialize: carriers this very commit removes (a REPLACE
+          // that rewrites the table while enabling compat) don't count
+          val removedNow = actions.collect { case r: RemoveFile => r.path }.toSet
           val nativeDv = snapshotAt(v - 1).files.filter(f =>
-            f.dvPath.exists(p => !DeltaDeletionVectors.isForeign(p)))
+            !removedNow.contains(f.path) &&
+              f.dvPath.exists(p => !DeltaDeletionVectors.isForeign(p)))
           if (nativeDv.nonEmpty) throw new GraftProtocolException(
             s"${DeltaWriteCompat.Prop}: ${nativeDv.size} live file(s) carry " +
               "native deletion-vector sidecars written before compat — a " +

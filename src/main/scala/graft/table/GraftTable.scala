@@ -1428,11 +1428,17 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     Files.createDirectories(Paths.get(dest))
     val destLog = new GraftLog(dest, LogStore.resolve(spark))
     require(!destLog.exists, s"$dest is already a GraftTable")
+    // the reorganization flag is COMMIT-scoped ("this commit served no new
+    // rows"), not durable file state: the clone's commit 0 IS its initial
+    // data, so a tag inherited from a foreign OPTIMIZE/checkpoint add must
+    // not make the clone's stream serve nothing
+    def untag(f: AddFile): AddFile =
+      f.copy(tags = f.tags - Actions.DataChangeFalseTag)
     val adds =
       if (shallow) {
         val rel = Paths.get(dest).toAbsolutePath.normalize()
           .relativize(Paths.get(path).toAbsolutePath.normalize())
-        s.files.map(f => f.copy(path = s"$rel/${f.path}",
+        s.files.map(f => untag(f).copy(path = s"$rel/${f.path}",
           dvPath = f.dvPath.map(p =>
             if (DeltaDeletionVectors.isForeign(p))
               DeltaDeletionVectors.rebase(p, rel.toString)
@@ -1446,12 +1452,15 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
             if (!Files.exists(Paths.get(dest, p)))
               Files.copy(Paths.get(path, p), Paths.get(dest, p))
           }
-          f
+          untag(f)
         }
       }
     val meta = s.metaData.copy(id = UUID.randomUUID().toString,
       createdTime = System.currentTimeMillis())
-    destLog.commit(0L, Seq(meta,
+    // the source's protocol rides along: a clone of a DV/column-mapped
+    // table must gate old readers exactly like its source (and a compat
+    // clone's version 0 must carry the protocol line delta requires)
+    destLog.commit(0L, Seq(meta, s.protocol,
       CommitInfo(0L, destLog.nextTimestamp(), "CLONE",
         Map("sourceTable" -> path, "sourceVersion" -> s.version.toString,
             "shallow" -> shallow.toString))) ++ adds)

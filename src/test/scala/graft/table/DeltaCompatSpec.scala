@@ -661,6 +661,41 @@ class DeltaCompatSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(got === (0L until 8L),
       s"stream must serve each row exactly once across the reorg, got $got")
+
+    // MIXED commit: new data + a reorg add in one version — only the
+    // data-changing file streams (the admission counters and the planner
+    // must agree, or compacted rows re-serve as appends)
+    val (szM, mtM) = dataFile(dir, "part-00004-mixed-c000.snappy.parquet", df(8 until 10))
+    val (szR, mtR) = dataFile(dir, "part-00005-recompact-c000.snappy.parquet", df(6 until 8))
+    commit(dir, 3, Seq(
+      s"""{"add":{"path":"part-00004-mixed-c000.snappy.parquet","partitionValues":{},"size":$szM,"modificationTime":$mtM,"dataChange":true,"stats":"${stats(2, Map("id" -> 8), Map("id" -> 9), Map("id" -> 0L))}"}}""",
+      s"""{"add":{"path":"part-00005-recompact-c000.snappy.parquet","partitionValues":{},"size":$szR,"modificationTime":$mtR,"dataChange":false,"stats":"${stats(2, Map("id" -> 6), Map("id" -> 7), Map("id" -> 0L))}"}}""",
+      s"""{"remove":{"path":"part-00003-ccc-c000.snappy.parquet","deletionTimestamp":1619112348000,"dataChange":false}}"""))
+    val q2 = spark.readStream.format("graft")
+      .option("startingVersion", "3").load(dir)
+      .writeStream.format("memory").queryName("dc_mixed")
+      .option("checkpointLocation", tmpDir("delta-compat-mixed-ckpt-"))
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    val mixed = spark.table("dc_mixed").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(mixed === Seq(8L, 9L),
+      s"mixed commit must stream only its data-changing add, got $mixed")
+
+    // CLONE of the foreign table: the reorganization flag is commit-
+    // scoped, so the clone's commit 0 (its initial data) must stream ALL
+    // rows even though some source adds carried dataChange=false
+    val cdest = tmpDir("delta-compat-clone-") + "/t"
+    val clone = GraftTable.forPath(spark, dir).cloneTo(cdest, shallow = false)
+    assert(clone.toDF.count() === 10L)
+    val q3 = spark.readStream.format("graft")
+      .option("startingVersion", "0").load(cdest)
+      .writeStream.format("memory").queryName("dc_clone")
+      .option("checkpointLocation", tmpDir("delta-compat-clone-ckpt-"))
+      .trigger(Trigger.AvailableNow()).start()
+    q3.awaitTermination(60000)
+    assert(spark.table("dc_clone").count() === 10L,
+      "a clone's commit 0 is its initial data — the inherited reorg tag must not silence it")
   }
 
   test("a native graft table with a column literally named dataChange stays writable") {
