@@ -392,7 +392,8 @@ object Actions {
           // encoder re-emits from the native state on every commit — fold
           // them out, or a dropped constraint would linger as a ghost key
           val plain = plain0.filterNot { case (k, _) =>
-            k.startsWith("delta.constraints.") || k == "delta.appendOnly" }
+            k.startsWith("delta.constraints.") || k == "delta.appendOnly" ||
+              k == "delta.enableChangeDataFeed" }
           MetaData(n.get("id").asText(), n.get("schemaString").asText(),
             Option(n.get("createdTime")).map(_.asLong()).getOrElse(0L), partCols,
             chk.map { case (k, v) => k.stripPrefix("constraint.") -> v }, plain)
@@ -451,8 +452,16 @@ object Actions {
       val n = root.get("cdc")
       // size is absent in pre-round-11 logs — 0 degrades byte-capped CDF
       // admission to file-count caps for those commits, never an error.
-      // Delta cdc actions carry no numRecords at all — same degradation.
-      CdcFile(n.get("path").asText(),
+      // Delta cdc actions (AddCDCFile: dataChange present, no numRecords)
+      // URI-encode the path like adds — same degradation for the count.
+      val rawPath = n.get("path").asText()
+      val path =
+        if (n.has("dataChange"))
+          try new java.net.URI(rawPath).getPath catch {
+            case _: java.net.URISyntaxException => rawPath
+          }
+        else rawPath
+      CdcFile(path,
         Option(n.get("numRecords")).map(_.asLong()).getOrElse(0L),
         Option(n.get("size")).map(_.asLong()).getOrElse(0L))
     } else if (root.has("txn")) {

@@ -23,16 +23,19 @@ import org.apache.spark.sql.types._
   * tables stay fully writable by graft while being readable by Delta.
   *
   * The property REFUSES features whose on-disk semantics a delta reader
-  * cannot honor: change data feed (graft cdc actions are not delta cdc),
-  * column mapping (physical names would not resolve), VARIANT columns
-  * (parquet layout delta 1.x predates), and NATIVE parquet-sidecar
-  * deletion vectors written before compat (no delta spelling — dropping
-  * them would resurrect deleted rows). Merge-on-read under compat stays
-  * AVAILABLE: deletionVectors.enabled tables write genuine delta-format
-  * DV files (GraftTable.writeDvStore → DeltaDeletionVectors.writeDvFile)
-  * and declare the standard protocol gate (minReader 3 + the
-  * deletionVectors reader feature), so DV-capable delta readers apply
-  * the same tombstones graft does. Generated/identity columns,
+  * cannot honor: column mapping (physical names would not resolve),
+  * VARIANT columns (parquet layout delta 1.x predates), NATIVE
+  * parquet-sidecar deletion vectors written before compat (no delta
+  * spelling — dropping them would resurrect deleted rows), and CDF on
+  * PARTITIONED tables (cdc partition-value reconstruction differs).
+  * Merge-on-read under compat stays AVAILABLE: deletionVectors.enabled
+  * tables write genuine delta-format DV files (GraftTable.writeDvStore →
+  * DeltaDeletionVectors.writeDvFile) and declare the standard protocol
+  * gate (minReader 3 + the deletionVectors reader feature), so DV-capable
+  * delta readers apply the same tombstones graft does. CDF on
+  * UNPARTITIONED tables stays available too — graft's `_cdc/` sidecars
+  * are delta's AddCDCFile layout, emitted as delta `cdc` actions with
+  * the `delta.enableChangeDataFeed` mirror. Generated/identity columns,
   * row tracking and constraints are reader-safe (materialized values /
   * ignorable fields) and stay allowed — but the emitted PROTOCOL must not
   * invite a foreign WRITER to break invariants it cannot see (graft's
@@ -93,13 +96,18 @@ object DeltaWriteCompat {
       meta.properties.get("deletionVectors.enabled").exists(_.equalsIgnoreCase("true")) ||
         p.readerFeatures.contains("deletionVectors")
     val dvFeat = if (dv) Seq("deletionVectors") else Nil
-    if (priv.nonEmpty || dv) {
+    // CDF is writer-gated (delta legacy writer 4): a writer that predates
+    // it would commit DML without change files, silently breaking the feed
+    val cdf = meta.properties.get("changeDataFeed.enabled")
+      .exists(_.equalsIgnoreCase("true"))
+    val cdfFeat = if (cdf) Seq("changeDataFeed") else Nil
+    if (priv.nonEmpty || dv || cdf) {
       // v7 lists EVERY active writer capability, legacy ones included
       val legacy = Seq("invariants") ++
         (if (meta.constraints.nonEmpty) Seq("checkConstraints") else Nil) ++
         (if (appendOnly) Seq("appendOnly") else Nil)
       Protocol(if (dv) 3 else 1, 7, dvFeat,
-        (priv ++ dvFeat ++ legacy).distinct.sorted)
+        (priv ++ dvFeat ++ cdfFeat ++ legacy).distinct.sorted)
     } else if (meta.constraints.nonEmpty) Protocol(1, 3)
     else Protocol(1, 2)
   }
@@ -122,7 +130,17 @@ object DeltaWriteCompat {
       meta.schemaString.contains("\"variant\"") &&
         (try hasVariant(DataType.fromJson(meta.schemaString))
          catch { case _: Exception => false })
-    if (on("changeDataFeed.enabled")) Some("changeDataFeed.enabled")
+    // CDF under compat is ALLOWED for unpartitioned tables since round 13:
+    // graft's _cdc/ sidecars are delta's AddCDCFile shape (full rows +
+    // _change_type), emitted as delta `cdc` actions with the
+    // delta.enableChangeDataFeed mirror — real delta CDF readers serve
+    // them. PARTITIONED tables refuse: graft cdc files carry partition
+    // columns IN-FILE with empty action partitionValues, and a delta
+    // reader reconstitutes partition columns from the action — it would
+    // serve nulls for them.
+    if (on("changeDataFeed.enabled") && meta.partitionColumns.nonEmpty)
+      Some("changeDataFeed.enabled on a PARTITIONED table (cdc " +
+        "partition-value reconstruction differs)")
     else if (on("columnMapping.mode")) Some("columnMapping.mode")
     else if (variantSchema) Some("VARIANT columns")
     // deletionVectors.enabled is ALLOWED under compat since round 13:
@@ -136,7 +154,6 @@ object DeltaWriteCompat {
       case _ => false })
       Some("native deletion-vector sidecar references (OPTIMIZE to purge " +
         "them before enabling compat)")
-    else if (actions.exists(_.isInstanceOf[CdcFile])) Some("cdc actions")
     else None
   }
 
@@ -231,6 +248,8 @@ final class DeltaShapeWriter(meta: MetaData) {
         }
         if (m.properties.get("appendOnly").exists(_.equalsIgnoreCase("true")))
           conf.put("delta.appendOnly", "true")
+        if (m.properties.get("changeDataFeed.enabled").exists(_.equalsIgnoreCase("true")))
+          conf.put("delta.enableChangeDataFeed", "true")
         conf.put(DeltaWriteCompat.WriterMarker, "true")
         n.put("createdTime", m.createdTime)
       case f: AddFile =>
@@ -307,6 +326,15 @@ final class DeltaShapeWriter(meta: MetaData) {
       case t: Txn =>
         val n = root.putObject("txn")
         n.put("appId", t.appId); n.put("version", t.version)
+      case c: CdcFile =>
+        // delta's AddCDCFile: URI-encoded path, explicit (empty)
+        // partitionValues, dataChange always false per spec; graft's
+        // _cdc/ files ARE the expected layout (full rows + _change_type)
+        val n = root.putObject("cdc")
+        n.put("path", encodePath(c.path))
+        n.putObject("partitionValues")
+        n.put("size", c.size)
+        n.put("dataChange", false)
       case other =>
         throw new GraftProtocolException(
           s"action $other has no delta-1.0 shape — compat refusal missed it")

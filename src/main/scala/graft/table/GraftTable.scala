@@ -1320,6 +1320,16 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       .withColumn("_commit_version", lit(v))
       .withColumn("_commit_timestamp", lit(commitTs))
     if (cdcFiles.nonEmpty) {
+      // FOREIGN partitioned delta CDF: delta's cdc files omit partition
+      // columns (the action's partitionValues carries them, which graft's
+      // CdcFile does not retain) — reading them through the full schema
+      // would serve silent NULLs for the partition columns. Refuse loudly.
+      if (cur.metaData.partitionColumns.nonEmpty &&
+          cur.metaData.properties.contains(Actions.DeltaReadMarker))
+        throw new GraftProtocolException(
+          s"change feed of PARTITIONED foreign Delta table $path is not " +
+            "readable (delta cdc files omit partition columns); read the " +
+            "table snapshots instead")
       val cdcSchema = cur.schema.add(StructField("_change_type", StringType, nullable = false))
       stamp(spark.read.schema(cdcSchema)
         .parquet(cdcFiles.map(c => Paths.get(path, c.path).toString): _*))

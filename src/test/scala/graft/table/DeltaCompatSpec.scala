@@ -698,6 +698,33 @@ class DeltaCompatSpec extends SparkTestBase {
       "a clone's commit 0 is its initial data — the inherited reorg tag must not silence it")
   }
 
+  test("foreign delta CDF: cdc actions (URI path, no numRecords) parse and serve the feed") {
+    val dir = tmpDir("delta-compat-cdf-")
+    val (sz1, mt1) = dataFile(dir, "part-00000-aaa-c000.snappy.parquet", df(0 until 4))
+    commit(dir, 0, Seq(
+      commitInfo(1619112345000L, "WRITE"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      metaData(idSchema, configuration = Map("delta.enableChangeDataFeed" -> "true")),
+      add("part-00000-aaa-c000.snappy.parquet", sz1, mt1,
+        Some(stats(4, Map("id" -> 0), Map("id" -> 3), Map("id" -> 0L))))))
+    // a delta DELETE with CDF: rewrite + an AddCDCFile carrying the deltas
+    val (sz2, mt2) = dataFile(dir, "part-00001-bbb-c000.snappy.parquet", df(0 until 3))
+    import spark.implicits._
+    val (szC, _) = dataFile(dir, "_change_data/cdc-x-c000.snappy.parquet",
+      Seq((3L, "delete")).toDF("id", "_change_type"))
+    commit(dir, 1, Seq(
+      commitInfo(1619112346000L, "DELETE"),
+      add("part-00001-bbb-c000.snappy.parquet", sz2, mt2,
+        Some(stats(3, Map("id" -> 0), Map("id" -> 2), Map("id" -> 0L)))),
+      s"""{"remove":{"path":"part-00000-aaa-c000.snappy.parquet","deletionTimestamp":1619112346000,"dataChange":true}}""",
+      s"""{"cdc":{"path":"_change_data/cdc-x-c000.snappy.parquet","partitionValues":{},"size":$szC,"dataChange":false}}"""))
+    val t = GraftTable.forPath(spark, dir)
+    assert(t.toDF.count() === 3L)
+    val ch = t.changes(0, 1).select("id", "_change_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(ch.toSeq === Seq(3L -> "delete"), s"got ${ch.toSeq}")
+  }
+
   test("a native graft table with a column literally named dataChange stays writable") {
     import spark.implicits._
     val dir = tmpDir("graft-datachange-col-")

@@ -199,7 +199,9 @@ class DeltaWriteCompatSpec extends SparkTestBase {
     val dir2 = tmpDir("dwc-refuse2-")
     val t2 = GraftTable.create(spark, dir2, seed(3))
     t2.setProperty(DeltaWriteCompat.Prop, "true")
-    intercept[GraftProtocolException](t2.setProperty("changeDataFeed.enabled", "true"))
+    // changeDataFeed is compat-legal on unpartitioned tables since the
+    // CDF emission landed (see the dedicated CDF test); columnMapping
+    // still has no delta-1.0 spelling
     intercept[GraftProtocolException](t2.setProperty("columnMapping.mode", "name"))
     t2.append(seed(1)) // the table itself stays healthy after refusals
     assert(t2.toDF.count() === 4L)
@@ -358,6 +360,41 @@ class DeltaWriteCompatSpec extends SparkTestBase {
     val got = t2.toDF.select("id").collect().map(_.getLong(0)).sorted
     assert(got.length === 4 && got.distinct.length === 4 && got.forall(_ >= 1L),
       s"identity allocation survives fold-back, got ${got.toSeq}")
+  }
+
+  test("CDF under compat: delta-shaped cdc actions, feed readable after reopen; partitioned refuses") {
+    val dir = tmpDir("dwc-cdf-")
+    val t = GraftTable.create(spark, dir, seed(6))
+    t.setProperty(DeltaWriteCompat.Prop, "true")
+    t.setProperty("changeDataFeed.enabled", "true")
+    t.delete(col("id") === 2L)
+    // the cdc action is delta's AddCDCFile shape: URI path, explicit
+    // partitionValues, dataChange=false, NO graft-native numRecords
+    val cdcLine = logLines(dir, t.latestVersion).find(_.contains("\"cdc\"")).get
+    val c = mapper.readTree(cdcLine).get("cdc")
+    assert(c.has("dataChange") && !c.get("dataChange").asBoolean(), cdcLine)
+    assert(c.has("partitionValues") && !c.has("numRecords"), cdcLine)
+    // the config mirror real delta CDF readers key on
+    val metaLine = logLines(dir, t.latestVersion - 1).find(_.contains("\"metaData\"")).get
+    assert(mapper.readTree(metaLine).get("metaData").get("configuration")
+      .get("delta.enableChangeDataFeed").asText() == "true", metaLine)
+    // fresh fold (delta-shaped cdc folds back with unknown count): the
+    // change feed still serves the delete
+    val t2 = GraftTable.forPath(spark, dir)
+    val ch = t2.changes(t.latestVersion - 1, t.latestVersion)
+      .select("id", "_change_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(ch.toSeq === Seq(2L -> "delete"), s"got ${ch.toSeq}")
+    assert(t2.toDF.count() === 5L)
+    // partitioned + CDF refuses under compat (cdc partition reconstruction)
+    import spark.implicits._
+    val pdir = tmpDir("dwc-cdf-part-")
+    val pt = GraftTable.create(spark, pdir,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "p"), partitionBy = Seq("p"))
+    pt.setProperty("changeDataFeed.enabled", "true")
+    val e = intercept[GraftProtocolException](
+      pt.setProperty(DeltaWriteCompat.Prop, "true"))
+    assert(e.getMessage.contains("PARTITIONED"), s"got $e")
   }
 
   test("MERGE and metadata-only evolution stay delta-shaped") {
