@@ -383,6 +383,18 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
         val adds = actions.collect { case a: AddFile => a }
         val removes = actions.collect {
           case r: RemoveFile if r.dataChange => r }
+        // PARTITIONED foreign delta CDF: delta cdc files omit partition
+        // columns (they live in the action's partitionValues, which the
+        // fold drops) — decoding them as missing columns would stream
+        // silent NULLs; refuse like the batch changes() path does
+        if (cdc.nonEmpty) {
+          val meta = log.snapshotAt(v).metaData
+          if (meta.partitionColumns.nonEmpty &&
+              meta.properties.contains(graft.table.Actions.DeltaReadMarker))
+            throw new graft.table.GraftProtocolException(
+              s"change feed of PARTITIONED foreign Delta table $tablePath " +
+                "is not streamable (delta cdc files omit partition columns)")
+        }
         if (cdc.nonEmpty) cdc.foreach { c =>
           parts += GraftFilePartition(
             Paths.get(tablePath, c.path).toString, Map.empty, c.numRecords, None,

@@ -246,9 +246,10 @@ object Actions {
           dv.put("path", p); dv.put("cardinality", dvCount)
         }
         baseRowId.foreach(b => n.put("baseRowId", b))
-      case RemoveFile(path, ts, _) =>
+      case RemoveFile(path, ts, dc) =>
         val n = root.putObject("remove")
         n.put("path", path); n.put("deletionTimestamp", ts)
+        if (!dc) n.put("dataChange", false) // absent = true (old logs)
       case CdcFile(path, rows, size) =>
         val n = root.putObject("cdc")
         n.put("path", path); n.put("numRecords", rows); n.put("size", size)
@@ -462,7 +463,10 @@ object Actions {
           }
         else rawPath
       CdcFile(path,
-        Option(n.get("numRecords")).map(_.asLong()).getOrElse(0L),
+        // -1 = unknown (foreign delta / graft compat cdc carry no count):
+        // the per-file reader recovers the true count from the parquet
+        // footer at -1, where an exact 0 would silently serve no rows
+        Option(n.get("numRecords")).map(_.asLong()).getOrElse(-1L),
         Option(n.get("size")).map(_.asLong()).getOrElse(0L))
     } else if (root.has("txn")) {
       val n = root.get("txn")

@@ -261,7 +261,9 @@ final class DeltaShapeWriter(meta: MetaData) {
         }
         n.put("size", f.size)
         n.put("modificationTime", f.modificationTime)
-        n.put("dataChange", true)
+        // reorganization adds (OPTIMIZE output) say so — a delta STREAM on
+        // the compat table must not treat compaction as a data rewrite
+        n.put("dataChange", !f.tags.contains(Actions.DataChangeFalseTag))
         val st = mapper.createObjectNode()
         st.put("numRecords", f.numRecords)
         val mins = st.putObject("minValues")
@@ -271,9 +273,12 @@ final class DeltaShapeWriter(meta: MetaData) {
         val nc = st.putObject("nullCount")
         f.nullCounts.toSeq.sortBy(_._1).foreach { case (k, v) => nc.put(k, v) }
         n.put("stats", mapper.writeValueAsString(st))
-        if (f.tags.nonEmpty) {
+        // the reorg marker is EXPRESSED as the dataChange field above;
+        // deltaAdd re-derives the tag on fold-back — never leak it as a tag
+        val emitTags = f.tags - Actions.DataChangeFalseTag
+        if (emitTags.nonEmpty) {
           val tg = n.putObject("tags")
-          f.tags.foreach { case (k, v) => tg.put(k, v) }
+          emitTags.foreach { case (k, v) => tg.put(k, v) }
         }
         f.baseRowId.foreach(b => n.put("baseRowId", b))
         f.dvPath.foreach { p =>
@@ -297,7 +302,7 @@ final class DeltaShapeWriter(meta: MetaData) {
         val n = root.putObject("remove")
         n.put("path", encodePath(r.path))
         n.put("deletionTimestamp", r.deletionTimestamp)
-        n.put("dataChange", true)
+        n.put("dataChange", r.dataChange)
       case p: Protocol =>
         // the feature-derived declaration (see compatProtocol): plain
         // tables say (1, 2); constraints gate at writer 3; graft-private

@@ -1465,8 +1465,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           untag(f)
         }
       }
+    // provenance is NOT inherited: the clone is graft-owned (writable,
+    // vacuumable, its own feeds) — the read-interop marker stays with the
+    // foreign source
     val meta = s.metaData.copy(id = UUID.randomUUID().toString,
-      createdTime = System.currentTimeMillis())
+      createdTime = System.currentTimeMillis(),
+      properties = s.metaData.properties - Actions.DeltaReadMarker)
     // the source's protocol rides along: a clone of a DV/column-mapped
     // table must gate old readers exactly like its source (and a compat
     // clone's version 0 must carry the protocol line delta requires)
@@ -1870,7 +1874,13 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
             (if (zCols.nonEmpty) Map("zorderBy" -> zCols.mkString(","))
              else Map.empty))) ++
         identityMeta(s, adds) ++
-        scoped.map(f => RemoveFile(f.path, ts)) ++ adds)
+        // reorganization, not new data: removes carry dataChange=false and
+        // the outputs the reorg tag — the PROTOCOL-level spelling (what
+        // compat emits for delta streams and the tail reader skips on),
+        // alongside the operation-name recognition graft always had
+        scoped.map(f => RemoveFile(f.path, ts, dataChange = false)) ++
+        adds.map(a => a.copy(tags =
+          a.tags + (Actions.DataChangeFalseTag -> "true"))))
   }
 
   /** DELETE rows matching `pred` (api.py:107). Files with no match survive

@@ -94,7 +94,8 @@ class DeltaWriteCompatSpec extends SparkTestBase {
         assert(!root.get("commitInfo").has("version"),
           s"delta commitInfo is versionless (the file names the version): $l")
       if (root.has("remove"))
-        assert(root.get("remove").get("dataChange").asBoolean(), l)
+        assert(root.get("remove").has("dataChange"),
+          s"delta removes declare dataChange (false for reorgs): $l")
     }
 
   private def seed(n: Int) = {
