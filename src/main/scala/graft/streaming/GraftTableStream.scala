@@ -68,6 +68,15 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
     * past rename can never misbind). Property-only MetaData commits
     * (identity frontiers, tblproperties) share the schemaString and pass. */
   private val creationHead = log.latestVersion
+  /** Lazy one-time probe for the partitioned-foreign-CDF refusal (see
+    * planCdfPartitions): both inputs are fixed for a running stream. */
+  private lazy val foreignPartitionedCdf: Boolean =
+    creationHead >= 0 && {
+      val m = log.snapshotAt(creationHead).metaData
+      m.partitionColumns.nonEmpty &&
+        m.properties.contains(graft.table.Actions.DeltaReadMarker)
+    }
+
   private val creationSchemaJson =
     if (creationHead < 0) "" else log.snapshotAt(creationHead).metaData.schemaString
 
@@ -387,14 +396,12 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
         // columns (they live in the action's partitionValues, which the
         // fold drops) — decoding them as missing columns would stream
         // silent NULLs; refuse like the batch changes() path does
-        if (cdc.nonEmpty) {
-          val meta = log.snapshotAt(v).metaData
-          if (meta.partitionColumns.nonEmpty &&
-              meta.properties.contains(graft.table.Actions.DeltaReadMarker))
-            throw new graft.table.GraftProtocolException(
-              s"change feed of PARTITIONED foreign Delta table $tablePath " +
-                "is not streamable (delta cdc files omit partition columns)")
-        }
+        // The probe is ONE fold at the creation head (partition columns
+        // and provenance are stable for a running stream), never per commit.
+        if (cdc.nonEmpty && foreignPartitionedCdf)
+          throw new graft.table.GraftProtocolException(
+            s"change feed of PARTITIONED foreign Delta table $tablePath " +
+              "is not streamable (delta cdc files omit partition columns)")
         if (cdc.nonEmpty) cdc.foreach { c =>
           parts += GraftFilePartition(
             Paths.get(tablePath, c.path).toString, Map.empty, c.numRecords, None,
