@@ -104,6 +104,11 @@ object Bench {
     val streamingS = results.collect { case (k, v) if v >= 0 && streaming(k) => v }.sum
     val batchS = total - streamingS
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"batch_s":$batchS,"streaming_fixed_s":$streamingS,"queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    // The harness stores only a bounded TAIL of stdout; the full line above
+    // is ~6 KB so its leading summary fields fall outside that window.
+    // Repeat the summary (sans the per-query map) as the FINAL line so any
+    // tail capture retains one complete, parseable JSON object.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"batch_s":$batchS,"streaming_fixed_s":$streamingS,"nqueries":${results.size},"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._2 < 0)) sys.exit(1)
   }

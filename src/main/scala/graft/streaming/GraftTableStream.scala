@@ -296,11 +296,20 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
     !a.tags.contains(graft.table.Actions.DataChangeFalseTag)
 
   /** True when the commit is a foreign reorganization: it has adds, none
-    * of which carry new data — skip it wholesale (its removes pair with
-    * the compacted files, not with deleted rows). */
+    * of which carry new data, every remove is ALSO flagged as a
+    * reorganization, and no change-data file is present — skip it
+    * wholesale (its removes pair with the compacted files, not with
+    * deleted rows). The remove/cdc guards matter because the add-side
+    * flag alone is ambiguous: a DV DELETE whose touched files all came
+    * out of a prior OPTIMIZE re-adds only previously-compacted paths, but
+    * its removes carry dataChange=true (and CDF mode ships a cdc file) —
+    * that commit changes data and must NOT be skipped. */
   private def foreignReorg(actions: Seq[graft.table.Action]): Boolean = {
     val adds = actions.collect { case a: AddFile => a }
-    adds.nonEmpty && !adds.exists(dataChanging)
+    adds.nonEmpty && !adds.exists(dataChanging) &&
+      actions.collect { case r: graft.table.RemoveFile => r }
+        .forall(!_.dataChange) &&
+      !actions.exists(_.isInstanceOf[graft.table.CdcFile])
   }
 
   override def initialOffset(): Offset =

@@ -160,6 +160,19 @@ object Actions {
     * them rather than re-serve compacted rows as appends. */
   val DataChangeFalseTag = "graft.dataChange.false"
 
+  /** Strip the reorganization flag when an EXISTING snapshot AddFile is
+    * re-emitted into a new data-changing commit (DV DELETE/UPDATE/MERGE
+    * re-adds, RESTORE, CLONE). The tag describes the commit that FIRST
+    * added the file (delta OPTIMIZE output); carried forward onto a
+    * data-changing commit it would make the streaming tail reader
+    * classify that commit as a reorganization and silently drop its
+    * change events, and the delta-compat writer would emit
+    * `dataChange:false` on an add whose sibling remove says true. */
+  def untagReAdd(f: AddFile): AddFile =
+    if (f.tags.contains(DataChangeFalseTag))
+      f.copy(tags = f.tags - DataChangeFalseTag)
+    else f
+
   /** Node-level Delta-shape probe over one raw log line — the SAME
     * criteria [[fromJson]] dispatches on (add with `dataChange`/`stats`/no
     * top-level `numRecords`; metaData with a `format` or `configuration`

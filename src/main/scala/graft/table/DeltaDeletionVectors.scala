@@ -1,7 +1,7 @@
 package graft.table
 
 import java.nio.{ByteBuffer, ByteOrder}
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
 
 /** Reader for REAL Delta deletion vectors — the last refusal gate in the
   * round-13 read-interop. A delta-spark table that ran a merge-on-read
@@ -148,7 +148,7 @@ object DeltaDeletionVectors {
       z85Decode(d.pathOrInlineDv, d.sizeInBytes.toInt)
     case "u" | "p" =>
       val p =
-        if (d.storageType == "p") Paths.get(d.pathOrInlineDv)
+        if (d.storageType == "p") absoluteDvPath(d.pathOrInlineDv)
         else Paths.get(tableRoot, resolveRelativePath(d.pathOrInlineDv))
       val all = Files.readAllBytes(p)
       require(all.nonEmpty && all(0) == 1,
@@ -170,6 +170,26 @@ object DeltaDeletionVectors {
       data
     case other => throw new GraftProtocolException(
       s"delta DV storageType '$other' is not readable (u, i, p)")
+  }
+
+  /** A `p`-type descriptor carries an ABSOLUTE path per the Delta
+    * protocol, which in real logs is a URI (`file:///...`, `s3://...`).
+    * `Paths.get("file:///x")` would treat the whole string as a relative
+    * path, so parse it as a URI first; scheme-less strings are plain
+    * filesystem paths, `file:` URIs resolve through the filesystem, and
+    * remote schemes refuse loudly — this engine has no object-store
+    * client, and a silent relative-path fallback would mis-resolve. */
+  private def absoluteDvPath(s: String): Path = {
+    val uri = try new java.net.URI(s) catch {
+      case _: java.net.URISyntaxException => return Paths.get(s)
+    }
+    uri.getScheme match {
+      case null   => Paths.get(s)
+      case "file" => Paths.get(uri)
+      case scheme => throw new GraftProtocolException(
+        s"delta DV absolute path '$s': scheme '$scheme' is not reachable " +
+          "from this engine (local file paths only)")
+    }
   }
 
   // ---- RoaringBitmapArray portable decode -----------------------------------

@@ -645,6 +645,14 @@ final class GraftLog(val tablePath: String,
   }
 
   private def publishPointer(v: Long, parts: Int, size: Long = -1L): Unit = {
+    // Monotonic guard: the pointer publishes unconditionally on the happy
+    // path (crash-repair — see callers), but a straggler RETRYING an old
+    // checkpoint after another writer already checkpointed a newer version
+    // must not regress `_last_checkpoint` — log cleanup keyed to the newer
+    // checkpoint may have deleted the files an older pointer references.
+    // Racy read-then-write is fine: both racers satisfy v >= existing, and
+    // either winning value is a valid, newer-than-before pointer.
+    if (lastCheckpointPointer.exists(_ > v)) return
     val ptr = logDir.resolve(s".${java.util.UUID.randomUUID()}.ptr.tmp")
     // `size` (action count) is what DELTA readers require of
     // _last_checkpoint — emitted by the compat checkpoint; graft's own

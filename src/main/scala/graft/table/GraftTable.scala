@@ -1408,8 +1408,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         (if (tgt.metaData != cur.metaData) Seq(tgt.metaData) else Nil) ++
         cur.files.filterNot(f => tgtPaths.contains(f.path)).map(f => RemoveFile(f.path, ts)) ++
         dvChanged.map(f => RemoveFile(f.path, ts)) ++
-        dvChanged ++
-        tgt.files.filterNot(f => curByPath.contains(f.path)) ++ cdc)
+        dvChanged.map(Actions.untagReAdd) ++
+        tgt.files.filterNot(f => curByPath.contains(f.path))
+          .map(Actions.untagReAdd) ++ cdc)
   }
 
   /** CLONE: branch this table's current snapshot into a new table at
@@ -1442,8 +1443,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // rows"), not durable file state: the clone's commit 0 IS its initial
     // data, so a tag inherited from a foreign OPTIMIZE/checkpoint add must
     // not make the clone's stream serve nothing
-    def untag(f: AddFile): AddFile =
-      f.copy(tags = f.tags - Actions.DataChangeFalseTag)
+    def untag(f: AddFile): AddFile = Actions.untagReAdd(f)
     val adds =
       if (shallow) {
         val rel = Paths.get(dest).toAbsolutePath.normalize()
@@ -2247,7 +2247,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val allPos = dvEntries(touched).map(_.unionByName(newPos)).getOrElse(newPos)
     val dvPathOf = writeDvStore(s.metaData, allPos)
     val deleted = perFileNew.values.sum
-    val reAdds = touched.map(f => f.copy(dvPath = Some(dvPathOf(fileName(f.path))),
+    val reAdds = touched.map(f => Actions.untagReAdd(f).copy(
+      dvPath = Some(dvPathOf(fileName(f.path))),
       dvCount = f.dvCount + perFileNew(fileName(f.path))))
     // operator-level CDC: the newly tombstoned rows are exactly the
     // matched rows — tag them directly
@@ -2440,7 +2441,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           conform(postImage(affected.drop("__fname", "__pos")), s.schema,
             keepRowId = true),
           s.metaData), s.metaData)
-        val reAdds = touched.map(f => f.copy(dvPath = Some(dvPathOf(fileName(f.path))),
+        val reAdds = touched.map(f => Actions.untagReAdd(f).copy(
+          dvPath = Some(dvPathOf(fileName(f.path))),
           dvCount = f.dvCount + perFile(fileName(f.path))))
         val updated = perFile.values.sum
         val cdcFiles = cdc
@@ -2802,7 +2804,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
             conform(replacement.unionByName(inserts), schema, keepRowId = true),
             s.metaData)
           val adds = stampRowIds(s, writeDataMapped(out, s.metaData))
-          val reAdds = touched.map(f => f.copy(
+          val reAdds = touched.map(f => Actions.untagReAdd(f).copy(
             dvPath = Some(dvPathOf(fileName(f.path))),
             dvCount = f.dvCount + perFile.getOrElse(fileName(f.path), 0L)))
           val cdc = writeCdcFiles(s, mergeCdc(affected, inserts))

@@ -222,6 +222,27 @@ class ChangeFeedSpec extends SparkTestBase {
       Option(e.getCause).exists(_.getMessage.contains("changeDataFeed")))
   }
 
+  test("CDF stream serves a DV DELETE whose files all came from a prior OPTIMIZE") {
+    // Pre-fix, the stale reorganization tag on the re-added optimize-output
+    // files made the tail classify the delete as maintenance and silently
+    // drop its delete change events.
+    val t = goldenCdf() // head: {2 Alice Smith, 4 New Person}
+    t.setProperty("deletionVectors.enabled", "true")
+    t.optimize()
+    t.delete(col("id") === 2)
+    val delV = t.log.latestVersion
+    val out = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", delV)
+      .load(t.path)
+    val q = out.writeStream.format("memory").queryName("cdf_optdel")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(canon(spark.table("cdf_optdel")) ===
+      Set((2, "Alice", "Smith", "delete", delV)),
+      "the post-OPTIMIZE DV delete must stream its delete events")
+  }
+
   test("vacuum keeps cdc sidecars of retained commits") {
     val t = goldenCdf()
     val cdcPaths = (2L to 3L).flatMap(v =>

@@ -91,6 +91,28 @@ class GraftTableStreamSpec extends SparkTestBase {
     assert(outIds(out) == Seq(1, 2, 2)) // id 2 re-emitted, documented semantic
   }
 
+  test("DV DELETE after OPTIMIZE is a data change: tail aborts, never silently skips") {
+    // Every file the delete touches came out of the prior OPTIMIZE, so all
+    // its re-adds were once tagged dataChange=false; the delete commit must
+    // still abort the append-only tail (its removes change data), not be
+    // misclassified as a reorganization and dropped wholesale.
+    val dir = tmpDir("gstream-optdv-")
+    val ckpt = tmpDir("gstream-optdv-ckpt-")
+    val out = tmpDir("gstream-optdv-out-")
+    val t = GraftTable.create(spark, dir,
+      Seq((1, "a"), (2, "b")).toDF("id", "v").repartition(2))
+    t.setProperty("deletionVectors.enabled", "true")
+    runToParquet(dir, ckpt, out)
+    t.optimize() // live files now all carry the reorganization flag
+    t.delete(col("id") === 1) // DV delete re-adds ONLY optimize-output files
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runToParquet(dir, ckpt, out)
+    }
+    assert(err.getMessage.contains("ignoreChanges") ||
+      Option(err.getCause).exists(_.getMessage.contains("ignoreChanges")),
+      s"the delete must abort as a rewrite, got: ${err.getMessage}")
+  }
+
   test("OPTIMIZE commits are maintenance, not data") {
     val dir = tmpDir("gstream-opt-")
     val ckpt = tmpDir("gstream-opt-ckpt-")

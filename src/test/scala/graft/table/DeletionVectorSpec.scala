@@ -253,4 +253,43 @@ class DeletionVectorSpec extends SparkTestBase {
     assert(t.toDF.collect().map(r => (r.getInt(0), r.getString(1))).toSet
       .contains((2, "TWO")))
   }
+
+  test("DV DML after OPTIMIZE strips the stale reorganization tag on re-adds") {
+    // OPTIMIZE output carries DataChangeFalseTag; a later DV DELETE re-adds
+    // exactly those files. Carrying the tag forward would make the
+    // streaming tail reader classify the DELETE as a reorganization and
+    // silently drop its change events.
+    val t = dvTable("dv-reorgtag-")
+    t.optimize()
+    assert(t.snapshot.files.nonEmpty &&
+      t.snapshot.files.forall(_.tags.contains(Actions.DataChangeFalseTag)),
+      "fixture: OPTIMIZE output must carry the reorganization flag")
+    assert(t.delete(col("id") === 2) === 1L)
+    val adds = t.log.readVersion(t.log.latestVersion)
+      .collect { case a: AddFile => a }
+    assert(adds.nonEmpty, "the DV delete re-adds the touched file")
+    assert(adds.forall(!_.tags.contains(Actions.DataChangeFalseTag)),
+      "a re-add into a data-changing commit must not inherit the flag")
+    // same guarantee through a DV MERGE
+    t.merge(df((3, "THREE")), "t.id = s.id")
+      .whenMatchedUpdate(Map("v" -> "s.v")).execute()
+    val mergeAdds = t.log.readVersion(t.log.latestVersion)
+      .collect { case a: AddFile => a }
+    assert(mergeAdds.nonEmpty &&
+      mergeAdds.forall(!_.tags.contains(Actions.DataChangeFalseTag)))
+  }
+
+  test("RESTORE to an OPTIMIZE-output snapshot strips the reorganization tag") {
+    val t = dvTable("dv-restoretag-")
+    t.optimize()
+    val postOpt = t.latestVersion // target snapshot = tagged optimize output
+    t.delete(col("id") === 1)
+    t.restore(postOpt) // re-emits the tagged files with a changed DV state
+    val adds = t.log.readVersion(t.latestVersion)
+      .collect { case a: AddFile => a }
+    assert(adds.nonEmpty, "fixture: the restore must re-add the DV-reverted file")
+    assert(adds.forall(!_.tags.contains(Actions.DataChangeFalseTag)),
+      "RESTORE re-emits snapshot files into a data-changing commit")
+    assert(ids(t.toDF) == Set(1, 2, 3, 4, 5, 6))
+  }
 }

@@ -282,6 +282,40 @@ class DeltaDvCompatSpec extends SparkTestBase {
       Seq(1L, 2L, 3L, 4L))
   }
 
+  test("p-type DV: absolute file: URI and plain path both resolve; remote schemes refuse") {
+    // The Delta protocol's 'p' storageType carries an ABSOLUTE path, which
+    // real logs spell as a URI (file:///…, s3://…). Paths.get("file:///x")
+    // would treat the whole string as a relative path, so the reader must
+    // parse it as a URI.
+    val store = Paths.get(tmpDir("delta-dv-p-store-"), "abs_dv.bin")
+    val data = dvData(Seq(1L, 4L))
+    val (off, size) = dvFile(store, data)
+    def table(prefix: String, pathSpelling: String): GraftTable = {
+      val dir = tmpDir(prefix)
+      val (sz, mt) = dataFile(dir, "part-00000-ddd-c000.snappy.parquet", df(0 until 6))
+      commit(dir, 0, Seq(
+        """{"commitInfo":{"timestamp":1619112345000,"operation":"DELETE"}}""",
+        metaLine,
+        addLine("part-00000-ddd-c000.snappy.parquet", sz, mt, 6L,
+          Some(s"""{"storageType":"p","pathOrInlineDv":"$pathSpelling","offset":$off,"sizeInBytes":$size,"cardinality":2}"""))))
+      GraftTable.forPath(spark, dir)
+    }
+    // file: URI spelling
+    assert(table("delta-dv-p-uri-", store.toUri.toString)
+      .toDF.select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(0L, 2L, 3L, 5L))
+    // scheme-less absolute path spelling
+    assert(table("delta-dv-p-plain-", store.toString)
+      .toDF.select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(0L, 2L, 3L, 5L))
+    // remote scheme: loud refusal, never a silent relative-path fallback
+    val e = intercept[Exception](
+      table("delta-dv-p-s3-", "s3://bucket/dv.bin").toDF.count())
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+    assert(chain(e).contains("not reachable"), s"got: ${chain(e)}")
+  }
+
   test("i-type (inline) DV decodes from the descriptor itself") {
     val dir = tmpDir("delta-dv-i-")
     val (sz, mt) = dataFile(dir, "part-00000-ccc-c000.snappy.parquet", df(0 until 5))

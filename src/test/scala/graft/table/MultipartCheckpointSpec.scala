@@ -90,4 +90,24 @@ class MultipartCheckpointSpec extends SparkTestBase {
     val s = new GraftLog(dir).snapshotAt(10L)
     assert(s.files.size === 9)
   }
+
+  test("a stale checkpoint retry cannot regress _last_checkpoint") {
+    // A straggler retrying an OLD checkpoint after another writer already
+    // checkpointed a newer version must not move the pointer backwards —
+    // log cleanup keyed to the newer checkpoint may have deleted the files
+    // the stale pointer references.
+    val dir = tmpDir("mpcp-ptr-")
+    val t = build(dir)
+    val log = new GraftLog(dir)
+    log.writeCheckpoint(10)
+    assert(Files.readString(log.lastCheckpointFile).contains(""""version":10"""))
+    log.writeCheckpoint(5) // straggler retry of an older version
+    assert(Files.readString(log.lastCheckpointFile).contains(""""version":10"""),
+      "the pointer must stay at the newest checkpoint")
+    // the v5 checkpoint itself may land (harmless); re-publishing the
+    // NEWEST version still refreshes the pointer (crash-repair path)
+    log.writeCheckpoint(10)
+    assert(Files.readString(log.lastCheckpointFile).contains(""""version":10"""))
+    assert(new GraftLog(dir).snapshotAt(10L).files.size === 9)
+  }
 }
