@@ -1715,7 +1715,113 @@ object TableQueries {
       """SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
         |FROM nation WHERE n_nationkey % 5 <> 2
         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
+
+    // ---- In-place Delta adoption (zero-copy migration) ----------------------------
+    // The closing move of the interop story: instead of copying a foreign
+    // delta table (import_delta rewrites 100 TB to move 100 TB),
+    // adopt_delta takes OWNERSHIP in place with one delta-shaped metadata
+    // commit. The fixture hand-authors a real delta-spark log, REQUIREs
+    // the pre-adoption refusal names the zero-copy path, adopts, runs
+    // graft DELETE + APPEND on the adopted files, and REQUIREs the
+    // continued log replays under an independent jackson-only delta-1.0
+    // fold to graft's own live set. Oracle replays the full lifecycle
+    // (foreign create → graft delete → graft append) in SQL.
+    "q191_adopt_delta" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = adoptedDeltaTable(s, dir)
+        t.toDF.groupBy($"n_regionkey")
+          .agg(count(lit(1)).as("n"),
+               sum($"n_nationkey".cast("long")).as("sum_key"))
+          .orderBy($"n_regionkey")
+      },
+      """WITH live AS (
+        |  SELECT n_nationkey, n_regionkey FROM nation WHERE n_nationkey % 2 = 0
+        |  UNION ALL
+        |  SELECT n_nationkey + 1000, n_regionkey FROM nation WHERE n_regionkey = 0
+        |)
+        |SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+        |FROM live GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
   )
+
+  /** q191's adopted table, memoized per (JVM, dir): a hand-authored
+    * delta-spark log (same shapes as q180's fixture) taken over IN PLACE
+    * by `GraftTable.adoptDelta`, then mutated by graft DML. The build
+    * REQUIREs (a) the pre-adoption refusal points at adopt_delta, (b) the
+    * adopting commit is metadata-only and ownership-marked, and (c) an
+    * independent delta-1.0 replay (raw jackson over the log, no graft
+    * code) of the CONTINUED log equals graft's live file set — the
+    * zero-copy migration leaves the table readable by real delta engines. */
+  private def adoptedDeltaTable(s: SparkSession, dir: String): GraftTable =
+    cache.computeIfAbsent(s"adoptDelta:$dir", _ => {
+      import s.implicits._
+      import java.nio.file.{Files, Paths}
+      val root = graft.Scratch.dir("graft-delta-adopt-").toString
+      val nation = graft.Tables.nation(s, dir)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      def writeOne(rel: String, df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val stage = Files.createTempDirectory("graft-adopt-stage-")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = Files.list(stage).toArray.map(_.toString)
+          .filter(_.endsWith(".parquet")).head
+        val target = Paths.get(root, rel)
+        Files.createDirectories(target.getParent)
+        Files.move(Paths.get(part), target)
+        (Files.size(target), Files.getLastModifiedTime(target).toMillis)
+      }
+      def addLine(rel: String, sz: Long, mt: Long, rows: Long): String =
+        s"""{"add":{"path":"$rel","partitionValues":{},"size":$sz,"modificationTime":$mt,"dataChange":true,"stats":"{\\"numRecords\\":$rows,\\"minValues\\":{},\\"maxValues\\":{},\\"nullCount\\":{}}"}}"""
+      val lo = nation.filter($"n_regionkey" < 2)
+      val hi = nation.filter($"n_regionkey" >= 2)
+      val (s1, m1) = writeOne("part-00000-lo-c000.snappy.parquet", lo)
+      val (s2, m2) = writeOne("part-00001-hi-c000.snappy.parquet", hi)
+      val logDir = Paths.get(root, "_delta_log")
+      Files.createDirectories(logDir)
+      Files.write(logDir.resolve(f"${0L}%020d.json"), Seq(
+        """{"commitInfo":{"timestamp":1619112345000,"operation":"WRITE","operationParameters":{},"isBlindAppend":true,"operationMetrics":{}}}""",
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"9f2b7c1e-delta-adopt","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(nation.schema.json)},"partitionColumns":[],"configuration":{},"createdTime":1619112344000}}""",
+        addLine("part-00000-lo-c000.snappy.parquet", s1, m1, lo.count()),
+        addLine("part-00001-hi-c000.snappy.parquet", s2, m2, hi.count())
+      ).mkString("", "\n", "\n").getBytes("UTF-8"))
+      // pre-adoption: foreign logs refuse writes, pointing at adoption
+      val refusal = scala.util.Try(GraftTable.forPath(s, root)
+        .delete($"n_nationkey" >= 0))
+      require(refusal.failed.toOption.exists(e =>
+          e.isInstanceOf[graft.table.GraftProtocolException] &&
+          e.getMessage.contains("adopt_delta")),
+        s"pre-adoption write must refuse with the zero-copy hint, got $refusal")
+      val t = GraftTable.adoptDelta(s, root)
+      val adoptLines = Files.readAllLines(logDir.resolve(f"${1L}%020d.json"))
+      require(adoptLines.stream().anyMatch(
+          graft.table.Actions.hasGraftWriterMarker(_)) &&
+          adoptLines.stream().noneMatch(_.contains("\"add\"")),
+        "the adopting commit must be metadata-only and ownership-marked")
+      // graft DML on the adopted files (delete odds, append shifted rows)
+      t.delete($"n_nationkey" % 2 === 1)
+      t.append(nation.filter($"n_regionkey" === 0)
+        .withColumn("n_nationkey", $"n_nationkey" + 1000))
+      // independent delta-1.0 replay: raw jackson over every JSON commit,
+      // last-writer-wins — must reconstruct graft's live set
+      val live = scala.collection.mutable.LinkedHashMap[String, Boolean]()
+      Files.list(logDir).toArray.map(_.toString)
+        .filter(_.matches(".*\\d{20}\\.json$")).sorted
+        .foreach { f =>
+          Files.readAllLines(Paths.get(f)).forEach { l =>
+            if (l.nonEmpty) {
+              val n = mapper.readTree(l)
+              if (n.has("add"))
+                live(new java.net.URI(n.get("add").get("path").asText()).getPath) = true
+              if (n.has("remove"))
+                live.remove(new java.net.URI(n.get("remove").get("path").asText()).getPath)
+            }
+          }
+        }
+      require(live.keys.toSet == t.snapshot.files.map(_.path).toSet,
+        s"independent delta replay must equal graft's live set: " +
+          s"${live.keys.toSet} vs ${t.snapshot.files.map(_.path).toSet}")
+      t
+    })
 
   /** q188's foreign-DV table, memoized per (JVM, dir): one data file over
     * `nation` SORTED by n_nationkey (so row POSITIONS are derivable), plus

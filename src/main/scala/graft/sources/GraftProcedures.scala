@@ -28,7 +28,8 @@ object GraftProcedures {
 
   val names: Seq[String] =
     Seq("optimize", "vacuum", "restore", "convert", "import_delta",
-        "generate_manifest", "cleanup_logs", "clone", "fsck", "help")
+        "adopt_delta", "generate_manifest", "cleanup_logs", "clone",
+        "fsck", "help")
 
   def load(catalog: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.sameElements(Array("system")),
@@ -39,6 +40,7 @@ object GraftProcedures {
       case "restore"  => RestoreProc(catalog)
       case "convert"  => ConvertProc(catalog)
       case "import_delta" => ImportDeltaProc(catalog)
+      case "adopt_delta" => AdoptDeltaProc(catalog)
       case "generate_manifest" => GenerateManifestProc(catalog)
       case "cleanup_logs" => CleanupLogsProc(catalog)
       case "clone" => CloneProc(catalog)
@@ -198,6 +200,7 @@ object GraftProcedures {
       ("procedure", "restore", "roll the table head back to an earlier version as a NEW commit"),
       ("procedure", "convert", "import an existing parquet directory as commit 0 (footer-stat harvest distributes; real file mtimes recorded)"),
       ("procedure", "import_delta", "copy a REAL delta-spark table (read natively via the round-13 interop) into a fresh graft table, preserving schema and partitioning; optional version pins the source snapshot"),
+      ("procedure", "adopt_delta", "take ownership of a REAL delta-spark table IN PLACE (zero copy at any size): one delta-shaped adopting commit enables compat.delta.write; graft DML/maintenance unlock while delta readers keep replaying the log; refuses protocols graft cannot continue"),
       ("procedure", "generate_manifest", "write a symlink-format manifest of the current snapshot"),
       ("procedure", "cleanup_logs", "drop expired commit files behind the checkpoint floor (log.retentionMs)"),
       ("procedure", "clone", "shallow clone: new table referencing the source's files in place, optionally at an older version"),
@@ -342,6 +345,32 @@ object GraftProcedures {
       val n = t.snapshot.files.map(_.numRecords).sum
       resultScan(out, row(n, v,
         org.apache.spark.unsafe.types.UTF8String.fromString(dest)))
+    }
+  }
+
+  /** `CALL graft.system.adopt_delta(path => '/delta/t')` — ZERO-COPY
+    * migration: take ownership of a foreign delta-spark table IN PLACE by
+    * committing one delta-shaped metadata action (compat.delta.write +
+    * the graft ownership markers) as its next version. No data file moves;
+    * real delta readers keep replaying the continued log; graft DML and
+    * maintenance unlock. Refuses (pointing at import_delta's copy) when
+    * the table's protocol demands writer capabilities graft cannot honor
+    * in delta spelling — see GraftTable.adoptDelta. */
+  case class AdoptDeltaProc(catalog: GraftCatalog)
+      extends GraftProc("adopt_delta") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("path", StringType))
+
+    private val out = StructType(Seq(
+      StructField("adopted_version", LongType, nullable = false),
+      StructField("num_files", LongType, nullable = false),
+      StructField("path", StringType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val path = input.getUTF8String(0).toString
+      val t = GraftTable.adoptDelta(SparkSession.active, path)
+      resultScan(out, row(t.latestVersion, t.snapshot.files.size.toLong,
+        UTF8String.fromString(path)))
     }
   }
 

@@ -308,22 +308,65 @@ final class GraftLog(val tablePath: String,
     if (foreignDeltaLog) throw new GraftProtocolException(
       s"$tablePath is a Delta table written by delta-spark — graft reads " +
         s"it transparently but $what would mutate state the foreign " +
-        "engine owns; copy it into a graft table (GraftTable.create from " +
-        "a read of this path, or CALL graft.system.import_delta) first")
+        "engine owns; adopt it in place (CALL graft.system.adopt_delta — " +
+        "zero copy) or copy it into a fresh graft table " +
+        "(CALL graft.system.import_delta) first")
 
-  private lazy val foreignDeltaLog: Boolean =
-    exists && {
+  /** Memoized but INVALIDATABLE: [[adoptForeignDelta]] flips ownership in
+    * place, so the probe cannot be a one-shot lazy val. */
+  @volatile private var foreignDeltaCache: Option[Boolean] = None
+
+  private def foreignDeltaLog: Boolean = foreignDeltaCache.getOrElse {
+    val r = exists && {
       // checkpointOnly ⇒ foreign: graft's own cleanup always retains the
       // boundary JSON, so a zero-JSON log can only be delta-spark's. A
       // delta-shaped earliest commit is graft's own when it carries the
       // compat.delta.write authorship marker (metaData configuration or
       // commitInfo.engineInfo — present in every compat commit).
-      try checkpointOnly || {
-        val lines = store.readLines(versionFile(earliestVersion))
-        lines.exists(Actions.isDeltaShaped) &&
-          !lines.exists(Actions.hasGraftWriterMarker)
-      } catch { case _: Exception => false }
+      val foreignByEarliest =
+        try checkpointOnly || {
+          val lines = store.readLines(versionFile(earliestVersion))
+          lines.exists(Actions.isDeltaShaped) &&
+            !lines.exists(Actions.hasGraftWriterMarker)
+        } catch { case _: Exception => false }
+      // ADOPTED logs keep their foreign prefix forever, but their NEWEST
+      // commit carries the graft ownership markers (the adopting commit,
+      // then every compat commit graft writes). If a foreign engine wrote
+      // PAST the adoption, the newest commit loses the marker and the
+      // table flips back to read-only foreign — the safe default for
+      // contested ownership (re-adopt to reclaim).
+      foreignByEarliest && {
+        val adopted =
+          try !checkpointOnly &&
+            store.readLines(versionFile(latestVersion))
+              .exists(Actions.hasGraftWriterMarker)
+          catch { case _: Exception => false }
+        !adopted
+      }
     }
+    foreignDeltaCache = Some(r)
+    r
+  }
+
+  /** One-shot bypass for the adopting commit ([[adoptForeignDelta]]). */
+  @volatile private var adoptionInProgress = false
+
+  /** In-place adoption of a foreign delta log (zero-copy migration):
+    * publish the ownership-stamping actions as version `v`, bypassing the
+    * foreign-mutation refusal for exactly this one commit, then flip the
+    * memoized ownership probe. The caller (GraftTable.adoptDelta) has
+    * already verified every protocol/feature gate; the actions MUST
+    * include a compat-enabled MetaData, or the commit would serialize
+    * graft-shaped into a delta-shaped log. */
+  private[graft] def adoptForeignDelta(v: Long, actions: Seq[Action]): Unit = {
+    require(actions.collectFirst { case m: MetaData => m }
+      .exists(DeltaWriteCompat.enabled),
+      "the adopting commit must carry a compat.delta.write metaData")
+    adoptionInProgress = true
+    try commit(v, actions)
+    finally adoptionInProgress = false
+    foreignDeltaCache = Some(false)
+  }
 
   def commit(v: Long, actions0: Seq[Action]): Unit = {
     // Foreign Delta logs are READ-ONLY: appending graft-format actions
@@ -333,10 +376,11 @@ final class GraftLog(val tablePath: String,
     // log (all JSONs cleaned) leaves 0.json free, and a graft create
     // landing there would put graft data (and a later graft VACUUM)
     // inside a live Delta table. A truly fresh directory probes false.
-    if (foreignDeltaLog) throw new GraftProtocolException(
+    if (foreignDeltaLog && !adoptionInProgress) throw new GraftProtocolException(
       s"$tablePath is a Delta table written by delta-spark — graft reads " +
-        "it transparently but will not append to its log; copy it into a " +
-        "graft table (GraftTable.create from a read of this path) to write")
+        "it transparently but will not append to its log; adopt it in " +
+        "place (CALL graft.system.adopt_delta — zero copy) or copy it " +
+        "into a fresh graft table (CALL graft.system.import_delta) to write")
     store.createDirectories(logDir)
     val actions = ensureSchemaFeatures(v, actions0)
     // Delta write-compat: when the governing metaData (this commit's, or

@@ -3428,6 +3428,125 @@ object GraftTable {
   def createIfAbsent(spark: SparkSession, path: String, seed: => DataFrame): GraftTable =
     if (isGraftTable(path)) forPath(spark, path) else create(spark, path, seed)
 
+  /** ADOPT a foreign delta-spark table IN PLACE — the zero-copy migration
+    * path for every existing `df.write.format("delta")` table (reference:
+    * spark_project.py:36). Where `import_delta` rewrites 100 TB to move a
+    * 100 TB table, adoption commits ONE metadata action: the next version
+    * of the foreign log, in genuine delta-1.0 shape, enabling
+    * `compat.delta.write` and stamping the graft ownership markers
+    * (`graft.writer` in the configuration + `engineInfo` on every later
+    * commitInfo). Data files never move; real delta readers keep replaying
+    * the continued log natively (every graft commit after adoption is
+    * delta-shaped); graft DML, checkpoints, vacuum and log cleanup unlock.
+    *
+    * Gates — refused, with the copy fallback, when a wrong "yes" would let
+    * graft commit state a delta reader (or the table's own invariants)
+    * could not honor:
+    *   - protocol reader/writer features outside what graft can CONTINUE
+    *     in delta spelling (column mapping, delta-spelled generated /
+    *     identity columns, row tracking, v2 checkpoints, TIMESTAMP_NTZ);
+    *   - legacy writer versions 5/6 (column mapping, identity);
+    *   - everything `compat.delta.write` itself refuses (VARIANT, CDF on
+    *     partitioned tables).
+    *
+    * Delta-spelled table configuration translates to the graft keys DML
+    * enforcement reads (`delta.appendOnly` → `appendOnly`,
+    * `delta.enableChangeDataFeed` → `changeDataFeed.enabled`,
+    * `delta.enableDeletionVectors` → `deletionVectors.enabled`,
+    * `delta.constraints.*` → CHECK constraints,
+    * `delta.dataSkippingNumIndexedCols` → `dataSkipping.numIndexedCols`);
+    * unknown `delta.*` keys ride along untouched.
+    *
+    * Ownership after adoption is graft's: if a foreign engine writes past
+    * the adopting commit, the ownership probe flips the table back to
+    * read-only foreign (newest-commit marker check) — re-adopt to reclaim.
+    */
+  def adoptDelta(spark: SparkSession, path: String): GraftTable = {
+    val log = new GraftLog(path, LogStore.resolve(spark))
+    require(log.exists, s"$path is not a table (no _delta_log)")
+    if (!log.isForeignDelta) throw new GraftProtocolException(
+      s"$path is not a foreign delta table — nothing to adopt (graft " +
+        "already owns it; write to it directly)")
+    val s = log.snapshotAt(log.latestVersion)
+    val p = s.protocol
+    val meta = s.metaData
+    def refuse(why: String): Nothing = throw new GraftProtocolException(
+      s"cannot adopt $path in place: $why; " +
+        "CALL graft.system.import_delta copies it into a fresh graft table instead")
+    // ---- protocol gates -----------------------------------------------
+    // Reader side: graft only needs to KEEP reading what it already reads,
+    // but continuing the log means future readers gate on these features —
+    // only the ones graft's own commits can coexist with may stay.
+    val readerAllow = Set("deletionVectors")
+    val writerAllow =
+      Set("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+        "deletionVectors")
+    if (p.minReaderVersion == 2)
+      refuse("legacy reader version 2 (column mapping)")
+    if (p.minReaderVersion >= 3) {
+      val bad = p.readerFeatures.filterNot(readerAllow)
+      if (bad.nonEmpty) refuse(s"reader feature(s) ${bad.mkString(", ")} " +
+        "have no graft-continuable semantics")
+    }
+    if (p.minWriterVersion == 5 || p.minWriterVersion == 6)
+      refuse(s"legacy writer version ${p.minWriterVersion} " +
+        "(column mapping / identity columns)")
+    if (p.minWriterVersion >= 7) {
+      val bad = p.writerFeatures.filterNot(writerAllow)
+      if (bad.nonEmpty) refuse(s"writer feature(s) ${bad.mkString(", ")} " +
+        "demand maintenance graft cannot perform in delta spelling")
+    }
+    // Legacy writer ≤ 4 admits generated columns via schema metadata —
+    // graft will not maintain delta-spelled generation rules on insert.
+    val schema = DataType.fromJson(meta.schemaString).asInstanceOf[StructType]
+    if (schema.fields.exists(_.metadata.contains("delta.generationExpression")))
+      refuse("delta-spelled generated columns (the generation rule would " +
+        "go unmaintained)")
+    if (schema.fields.exists(f =>
+        f.metadata.contains("delta.identity.start") ||
+        f.metadata.contains("delta.identity.allowExplicitInsert")))
+      refuse("delta-spelled identity columns")
+    if (meta.properties.get("delta.columnMapping.mode")
+        .exists(m => !m.equalsIgnoreCase("none")))
+      refuse("column mapping")
+    // ---- property translation -----------------------------------------
+    val conf = meta.properties -
+      Actions.DeltaReadMarker - "delta.columnMapping.mode"
+    val (constraintConf, rest) =
+      conf.partition(_._1.startsWith("delta.constraints."))
+    def flag(k: String): Boolean =
+      conf.get(k).exists(_.equalsIgnoreCase("true"))
+    val translated = rest --
+      Seq("delta.appendOnly", "delta.enableChangeDataFeed",
+        "delta.enableDeletionVectors", "delta.dataSkippingNumIndexedCols") ++
+      (if (flag("delta.appendOnly")) Map("appendOnly" -> "true") else Map.empty) ++
+      (if (flag("delta.enableChangeDataFeed"))
+        Map("changeDataFeed.enabled" -> "true") else Map.empty) ++
+      (if (flag("delta.enableDeletionVectors"))
+        Map("deletionVectors.enabled" -> "true") else Map.empty) ++
+      conf.get("delta.dataSkippingNumIndexedCols")
+        .map(v => Map("dataSkipping.numIndexedCols" -> v)).getOrElse(Map.empty)
+    val newMeta = meta.copy(
+      constraints = meta.constraints ++ constraintConf.map { case (k, v) =>
+        k.stripPrefix("delta.constraints.") -> v },
+      properties = translated + (DeltaWriteCompat.Prop -> "true"))
+    // compat-level refusals (VARIANT schema, CDF on partitioned tables)
+    DeltaWriteCompat.refusal(newMeta, Nil).foreach(refuse)
+    // DVs the continued log could not spell: adoption keeps every existing
+    // descriptor verbatim, but each must be a form graft DML can UNION
+    // with (u/i/p all decode; anything else is unreadable and folding
+    // already failed) — nothing further to gate here.
+    val newProtocol = DeltaWriteCompat.compatProtocol(p, newMeta)
+    val v = s.version + 1
+    log.adoptForeignDelta(v, Seq(
+      CommitInfo(v, System.currentTimeMillis(), "ADOPT",
+        Map("sourceEngine" -> "delta-spark",
+            "adoptedVersion" -> s.version.toString,
+            "numAdoptedFiles" -> s.files.size.toString)),
+      newProtocol, newMeta))
+    forPath(spark, path)
+  }
+
   /** CONVERT TO GRAFT (Delta's CONVERT TO DELTA): import an existing
     * parquet directory IN PLACE as commit 0 — every user with existing
     * data's onramp. No file is rewritten, moved, or even fully read:

@@ -1,0 +1,262 @@
+package graft.table
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** IN-PLACE adoption of a foreign delta-spark table (zero-copy migration):
+  * `GraftTable.adoptDelta` commits ownership markers as the log's next
+  * version instead of copying 100 TB through `import_delta`. These tests
+  * pin (a) adoption unlocks graft DML/maintenance while the CONTINUED log
+  * stays replayable by an independent delta-1.0 fold, (b) every refusal
+  * gate (protocols graft cannot continue), (c) delta-config translation
+  * into the keys graft enforcement reads, and (d) ownership reverts to
+  * read-only foreign if a foreign engine writes past the adoption. */
+class DeltaAdoptionSpec extends SparkTestBase {
+  private val mapper = new ObjectMapper()
+
+  // ---- foreign-log fixture plumbing (DeltaCompatSpec shapes) ----------------
+
+  private def dataFile(tablePath: String, relPath: String,
+      df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val stage = tmpDir("adopt-stage-")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = Files.list(Paths.get(stage)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    val target = Paths.get(tablePath, relPath)
+    Files.createDirectories(target.getParent)
+    Files.move(Paths.get(part), target, StandardCopyOption.REPLACE_EXISTING)
+    (Files.size(target), Files.getLastModifiedTime(target).toMillis)
+  }
+
+  private def commit(tablePath: String, v: Long, lines: Seq[String]): Unit = {
+    val logDir = Paths.get(tablePath, "_delta_log")
+    Files.createDirectories(logDir)
+    Files.write(logDir.resolve(f"$v%020d.json"),
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+  }
+
+  private val idSchema =
+    """{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},{\"name\":\"s\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}}]}"""
+
+  private def metaLine(configuration: Map[String, String] = Map.empty,
+      schema: String = idSchema): String = {
+    val conf = configuration.map { case (k, v) => s""""$k":"$v"""" }
+      .mkString("{", ",", "}")
+    s"""{"metaData":{"id":"aaaa-adopt-1111","format":{"provider":"parquet","options":{}},"schemaString":"$schema","partitionColumns":[],"configuration":$conf,"createdTime":1619112344000}}"""
+  }
+
+  private def addLine(path: String, size: Long, mtime: Long, rows: Long): String =
+    s"""{"add":{"path":"$path","partitionValues":{},"size":$size,"modificationTime":$mtime,"dataChange":true,"stats":"{\\"numRecords\\":$rows,\\"minValues\\":{},\\"maxValues\\":{},\\"nullCount\\":{}}"}}"""
+
+  private def infoLine(ts: Long, op: String): String =
+    s"""{"commitInfo":{"timestamp":$ts,"operation":"$op","operationParameters":{},"isBlindAppend":true,"operationMetrics":{}}}"""
+
+  private def df(range: Range) = {
+    import spark.implicits._
+    range.map(i => (i.toLong, s"row$i")).toDF("id", "s")
+  }
+
+  /** A plain 2-commit foreign delta table over `0 until 8`: commit 0 adds
+    * two files, commit 1 deletes the high file the delta way. Live rows
+    * after the fixture: 0..3. */
+  private def foreignTable(configuration: Map[String, String] = Map.empty,
+      protocolLine: String =
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      schema: String = idSchema): String = {
+    val dir = tmpDir("adopt-foreign-")
+    val (s1, m1) = dataFile(dir, "part-00000-lo-c000.snappy.parquet", df(0 until 4))
+    val (s2, m2) = dataFile(dir, "part-00001-hi-c000.snappy.parquet", df(4 until 8))
+    commit(dir, 0, Seq(infoLine(1619112345000L, "WRITE"), protocolLine,
+      metaLine(configuration, schema),
+      addLine("part-00000-lo-c000.snappy.parquet", s1, m1, 4L),
+      addLine("part-00001-hi-c000.snappy.parquet", s2, m2, 4L)))
+    commit(dir, 1, Seq(infoLine(1619112346000L, "DELETE"),
+      s"""{"remove":{"path":"part-00001-hi-c000.snappy.parquet","deletionTimestamp":1619112346000,"dataChange":true}}"""))
+    dir
+  }
+
+  /** Independent delta-1.0 replay (protocol-spec semantics, no graft code
+    * in the fold): live relative file paths, last-writer-wins. */
+  private def deltaReplayLiveFiles(dir: String): Set[String] = {
+    val logDir = Paths.get(dir, "_delta_log")
+    val live = scala.collection.mutable.LinkedHashMap[String, Boolean]()
+    def decode(p: String): String = new java.net.URI(p).getPath
+    val versions = Files.list(logDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.matches("\\d{20}\\.json"))
+      .map(_.stripSuffix(".json").toLong).toSeq.sorted
+    versions.foreach { v =>
+      Files.readAllLines(logDir.resolve(f"$v%020d.json")).asScala
+        .filter(_.nonEmpty).foreach { l =>
+          val root = mapper.readTree(l)
+          if (root.has("add")) live(decode(root.get("add").get("path").asText())) = true
+          if (root.has("remove")) live.remove(decode(root.get("remove").get("path").asText()))
+        }
+    }
+    live.keys.toSet
+  }
+
+  private def ids(t: GraftTable): Set[Long] =
+    t.toDF.select("id").collect().map(_.getLong(0)).toSet
+
+  // ---------------------------------------------------------------------------
+
+  test("adopt, then graft DML on the foreign files; the continued log stays delta-replayable") {
+    val dir = foreignTable()
+    // pre-adoption: reads fine, writes refuse with the adoption hint
+    val before = GraftTable.forPath(spark, dir)
+    assert(ids(before) === Set(0L, 1L, 2L, 3L))
+    val refusal = intercept[GraftProtocolException](before.delete(col("id") === 0L))
+    assert(refusal.getMessage.contains("adopt_delta"),
+      s"the refusal must point at the zero-copy path: ${refusal.getMessage}")
+
+    val t = GraftTable.adoptDelta(spark, dir)
+    // the adopting commit: delta-shaped, ownership-marked, metadata-only
+    val adoptLines = Files.readAllLines(
+      Paths.get(dir, "_delta_log", f"${2L}%020d.json")).asScala
+    assert(adoptLines.exists(Actions.hasGraftWriterMarker),
+      "the adopting commit must carry the graft ownership marker")
+    assert(!adoptLines.exists(_.contains("\"add\"")),
+      "adoption is metadata-only — no data file moves")
+    assert(ids(t) === Set(0L, 1L, 2L, 3L), "adoption must not change content")
+
+    // graft DML now works against the adopted files
+    t.append(df(100 until 103))
+    assert(t.delete(col("id") === 1L) === 1L)
+    t.merge(df(102 until 105), "t.id = s.id")
+      .whenMatchedUpdate(Map("s" -> "s.s"))
+      .whenNotMatchedInsert(Map("id" -> "s.id", "s" -> "s.s"))
+      .execute()
+    assert(ids(t) === Set(0L, 2L, 3L, 100L, 101L, 102L, 103L, 104L))
+
+    // the whole continued log — foreign prefix AND graft continuation —
+    // replays under an independent delta-1.0 fold to the same live set
+    val replayed = deltaReplayLiveFiles(dir)
+    assert(replayed === t.snapshot.files.map(_.path).toSet,
+      s"delta replay $replayed must equal graft's live set")
+    assert(spark.read.parquet(replayed.map(p => s"$dir/$p").toSeq: _*)
+      .select("id").collect().map(_.getLong(0)).toSet ===
+      Set(0L, 2L, 3L, 100L, 101L, 102L, 103L, 104L))
+
+    // maintenance unlocks too (both refused pre-adoption)
+    t.log.writeCheckpoint(t.latestVersion)
+    t.setProperty("vacuum.retentionDurationCheck", "false")
+    t.vacuum(retainVersions = 100, retentionMs = 0L)
+
+    // a FRESH instance (new probe) also sees graft ownership
+    val fresh = GraftTable.forPath(spark, dir)
+    fresh.append(df(200 until 201))
+    assert(ids(fresh).contains(200L))
+    // time travel below the adoption still serves the foreign history
+    assert(fresh.versionAsOf(0).count() === 8L)
+    assert(fresh.versionAsOf(1).count() === 4L)
+  }
+
+  test("delta table configuration translates to the keys graft enforces") {
+    val dir = foreignTable(configuration = Map(
+      "delta.appendOnly" -> "true",
+      "delta.dataSkippingNumIndexedCols" -> "7",
+      "delta.checkpointInterval" -> "25"))
+    val t = GraftTable.adoptDelta(spark, dir)
+    val props = t.snapshot.metaData.properties
+    assert(props.get("appendOnly").contains("true"))
+    assert(props.get("dataSkipping.numIndexedCols").contains("7"))
+    assert(props.get("delta.checkpointInterval").contains("25"),
+      "unknown delta keys ride along untouched")
+    assert(!props.contains(Actions.DeltaReadMarker),
+      "the foreign-provenance marker must not survive adoption")
+    // the translated key ENFORCES: appendOnly refuses the delete
+    intercept[Exception](t.delete(col("id") === 0L))
+    t.append(df(50 until 51)) // appends stay legal
+    assert(ids(t).contains(50L))
+  }
+
+  test("refusal gates: protocols and features graft cannot continue") {
+    def adoptFails(dir: String, needle: String): Unit = {
+      val e = intercept[GraftProtocolException](GraftTable.adoptDelta(spark, dir))
+      assert(e.getMessage.contains(needle) &&
+        e.getMessage.contains("import_delta"),
+        s"expected '$needle' + copy fallback, got: ${e.getMessage}")
+    }
+    // column mapping (any mode)
+    adoptFails(foreignTable(configuration = Map(
+      "delta.columnMapping.mode" -> "name",
+      "delta.columnMapping.maxColumnId" -> "2")), "column mapping")
+    // legacy writer 5
+    adoptFails(foreignTable(protocolLine =
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""),
+      "reader version 2")
+    // v7 writer feature graft cannot maintain
+    adoptFails(foreignTable(protocolLine =
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking"]}}"""),
+      "rowTracking")
+    // v3 reader feature with no continuable semantics
+    adoptFails(foreignTable(protocolLine =
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}"""),
+      "v2Checkpoint")
+    // delta-spelled generated column (legacy writer 4 admits them silently)
+    val genSchema =
+      """{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},{\"name\":\"s\",\"type\":\"string\",\"nullable\":true,\"metadata\":{\"delta.generationExpression\":\"CAST(id AS STRING)\"}}]}"""
+    adoptFails(foreignTable(protocolLine =
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      schema = genSchema), "generated columns")
+    // a graft-owned table has nothing to adopt
+    val own = tmpDir("adopt-own-")
+    GraftTable.create(spark, own, df(0 until 3))
+    val e = intercept[GraftProtocolException](GraftTable.adoptDelta(spark, own))
+    assert(e.getMessage.contains("nothing to adopt"))
+  }
+
+  test("allowed protocols adopt: writer-7 feature subset, DV-capable reader") {
+    val dir = foreignTable(protocolLine =
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors","appendOnly","invariants"]}}""",
+      configuration = Map("delta.enableDeletionVectors" -> "true"))
+    val t = GraftTable.adoptDelta(spark, dir)
+    assert(t.snapshot.metaData.properties.get("deletionVectors.enabled")
+      .contains("true"))
+    assert(t.snapshot.protocol.minReaderVersion === 3)
+    assert(t.snapshot.protocol.readerFeatures.contains("deletionVectors"))
+    // merge-on-read DML on the adopted table writes DELTA-format DVs
+    // (compat is on), so the continued log keeps its reader guarantee
+    assert(t.delete(col("id") === 2L) === 1L)
+    assert(ids(t) === Set(0L, 1L, 3L))
+    val lastLines = Files.readAllLines(Paths.get(dir, "_delta_log",
+      f"${t.latestVersion}%020d.json")).asScala
+    assert(lastLines.exists(_.contains("deletionVector")),
+      "the adopted DV delete must carry a delta deletionVector descriptor")
+  }
+
+  test("a foreign write past the adoption flips the table back to read-only") {
+    val dir = foreignTable()
+    val t = GraftTable.adoptDelta(spark, dir)
+    t.append(df(10 until 12))
+    // a foreign engine (no markers) commits the next version directly
+    val (s3, m3) = dataFile(dir, "part-00009-foreign-c000.snappy.parquet", df(90 until 92))
+    commit(dir, t.latestVersion + 1, Seq(infoLine(1619112399000L, "WRITE"),
+      addLine("part-00009-foreign-c000.snappy.parquet", s3, m3, 2L)))
+    val fresh = GraftTable.forPath(spark, dir)
+    assert(ids(fresh).contains(90L), "the foreign tail still READS")
+    val e = intercept[GraftProtocolException](fresh.delete(col("id") === 0L))
+    assert(e.getMessage.contains("adopt_delta"),
+      "contested ownership must revert to read-only foreign (re-adopt to reclaim)")
+    // re-adoption reclaims
+    val again = GraftTable.adoptDelta(spark, dir)
+    again.append(df(300 until 301))
+    assert(ids(again).contains(300L))
+  }
+
+  test("adopt_delta procedure: one CALL, ownership taken, result row reports it") {
+    val dir = foreignTable()
+    graft.sources.GraftCatalog.register(spark, tmpDir("adopt-wh-"), name = "adpt")
+    val rows = spark.sql(
+      s"CALL adpt.system.adopt_delta(path => '$dir')").collect()
+    assert(rows.length === 1)
+    assert(rows(0).getLong(0) === 2L, "adopted_version = foreign head + 1")
+    assert(rows(0).getLong(1) === 1L, "one live file after the foreign delete")
+    val t = GraftTable.forPath(spark, dir)
+    t.append(df(40 until 42))
+    assert(ids(t) === Set(0L, 1L, 2L, 3L, 40L, 41L))
+  }
+}
