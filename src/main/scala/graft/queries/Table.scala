@@ -1742,6 +1742,31 @@ object TableQueries {
         |)
         |SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
         |FROM live GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
+
+    // ---- Foreign PARTITIONED change data feed ------------------------------------
+    // Round 13 refused the change feed of a partitioned foreign delta
+    // table because delta cdc files omit the partition columns; the cdc
+    // ACTION's partitionValues carries them, and the reader now
+    // reconstitutes the columns from it — the same decode data files get.
+    // Most production delta tables are partitioned and CDF is the
+    // incremental-consumption idiom, so this is the interop surface a
+    // migration hits first. The fixture REQUIREs the CDF STREAM serves
+    // the identical feed through the reader factory's constant-row path.
+    "q192_foreign_partitioned_cdf" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = partitionedCdfTable(s, dir)
+        t.changes(0, 1)
+          .filter($"_change_type" === "delete")
+          .groupBy($"n_regionkey")
+          .agg(count(lit(1)).as("n_deleted"),
+               sum($"n_nationkey".cast("long")).as("sum_key"))
+          .orderBy($"n_regionkey")
+      },
+      """SELECT n_regionkey, COUNT(*) AS n_deleted,
+        |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+        |FROM nation WHERE n_regionkey <= 1 AND n_nationkey % 2 = 1
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
   )
 
   /** q191's adopted table, memoized per (JVM, dir): a hand-authored
@@ -1820,6 +1845,98 @@ object TableQueries {
       require(live.keys.toSet == t.snapshot.files.map(_.path).toSet,
         s"independent delta replay must equal graft's live set: " +
           s"${live.keys.toSet} vs ${t.snapshot.files.map(_.path).toSet}")
+      t
+    })
+
+  /** q192's foreign PARTITIONED CDF table, memoized per (JVM, dir): a
+    * hand-authored delta-spark log partitioned by n_regionkey with
+    * changeDataFeed enabled. v0 lands one file per region — data files
+    * OMIT the partition column (delta's layout); v1 DELETEs odd nation
+    * keys in regions 0 and 1 the delta way: remove + rewritten add + one
+    * AddCDCFile per touched partition whose partitionValues carries the
+    * region. The build REQUIREs the CDF STREAM (readChangeFeed) serves the
+    * same feed — partition columns decoded through the reader factory's
+    * constant row, never silent NULLs. */
+  private def partitionedCdfTable(s: SparkSession, dir: String): GraftTable =
+    cache.computeIfAbsent(s"partCdf:$dir", _ => {
+      import s.implicits._
+      import java.nio.file.{Files, Paths}
+      val root = graft.Scratch.dir("graft-part-cdf-").toString
+      val nation = graft.Tables.nation(s, dir)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      def writeOne(rel: String, df: org.apache.spark.sql.DataFrame): Long = {
+        val stage = Files.createTempDirectory("graft-part-cdf-stage-")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = Files.list(stage).toArray.map(_.toString)
+          .filter(_.endsWith(".parquet")).head
+        val target = Paths.get(root, rel)
+        Files.createDirectories(target.getParent)
+        Files.move(Paths.get(part), target)
+        Files.size(target)
+      }
+      def fileLine(kind: String, rel: String, sz: Long, region: Int,
+          dataChange: Boolean): String = {
+        val n = mapper.createObjectNode(); val a = n.putObject(kind)
+        a.put("path", rel)
+        a.putObject("partitionValues").put("n_regionkey", region.toString)
+        a.put("size", sz); a.put("modificationTime", 1619112345000L)
+        a.put("dataChange", dataChange)
+        mapper.writeValueAsString(n)
+      }
+      def infoLine(ts: Long, op: String): String =
+        s"""{"commitInfo":{"timestamp":$ts,"operation":"$op","operationParameters":{},"isBlindAppend":false,"operationMetrics":{}}}"""
+      val dataCols = nation.select($"n_nationkey", $"n_name")
+      val regions = nation.select($"n_regionkey").distinct()
+        .collect().map(_.getInt(0)).sorted
+      val logDir = Paths.get(root, "_delta_log")
+      Files.createDirectories(logDir)
+      val v0adds = regions.map { r =>
+        val rel = f"n_regionkey=$r/part-0000$r-a-c000.snappy.parquet"
+        val sz = writeOne(rel, dataCols.filter(nation("n_regionkey") === r))
+        fileLine("add", rel, sz, r, dataChange = true)
+      }.toSeq
+      Files.write(logDir.resolve(f"${0L}%020d.json"), (Seq(
+        infoLine(1619112345000L, "WRITE"),
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+        s"""{"metaData":{"id":"9f2b7c1e-part-cdf","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(nation.schema.json)},"partitionColumns":["n_regionkey"],"configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":1619112344000}}"""
+      ) ++ v0adds).mkString("", "\n", "\n").getBytes("UTF-8"))
+      val v1lines = Seq(0, 1).flatMap { r =>
+        val keepRel = f"n_regionkey=$r/part-0000$r-b-c000.snappy.parquet"
+        val cdcRel = f"_change_data/n_regionkey=$r/cdc-0000$r-c000.snappy.parquet"
+        val inRegion = nation("n_regionkey") === r
+        val keepSz = writeOne(keepRel,
+          dataCols.filter(inRegion && $"n_nationkey" % 2 === 0))
+        val cdcSz = writeOne(cdcRel,
+          dataCols.filter(inRegion && $"n_nationkey" % 2 === 1)
+            .withColumn("_change_type", lit("delete")))
+        Seq(
+          fileLine("add", keepRel, keepSz, r, dataChange = true),
+          s"""{"remove":{"path":"n_regionkey=$r/part-0000$r-a-c000.snappy.parquet","deletionTimestamp":1619112346000,"dataChange":true,"partitionValues":{"n_regionkey":"$r"}}}""",
+          fileLine("cdc", cdcRel, cdcSz, r, dataChange = false))
+      }
+      Files.write(logDir.resolve(f"${1L}%020d.json"),
+        (infoLine(1619112346000L, "DELETE") +: v1lines)
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
+      val t = GraftTable.forPath(s, root)
+      // the CDF STREAM must serve the identical feed (constant-row decode)
+      val q = s.readStream.format("graft")
+        .option("readChangeFeed", "true").option("startingVersion", 1)
+        .load(root)
+        .writeStream.format("memory").queryName("q192_part_cdf_probe")
+        .option("checkpointLocation",
+          graft.Scratch.dir("graft-part-cdf-ckpt-").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      val streamed = s.table("q192_part_cdf_probe")
+        .filter($"_change_type" === "delete")
+        .select($"n_nationkey", $"n_regionkey").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSet
+      val batch = t.changes(0, 1).filter($"_change_type" === "delete")
+        .select($"n_nationkey", $"n_regionkey").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSet
+      require(streamed == batch && streamed.nonEmpty &&
+          streamed.forall { case (k, r) => k % 2 == 1 && r <= 1 },
+        s"partitioned CDF stream must equal the batch feed: $streamed vs $batch")
       t
     })
 

@@ -68,14 +68,12 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
     * past rename can never misbind). Property-only MetaData commits
     * (identity frontiers, tblproperties) share the schemaString and pass. */
   private val creationHead = log.latestVersion
-  /** Lazy one-time probe for the partitioned-foreign-CDF refusal (see
-    * planCdfPartitions): both inputs are fixed for a running stream. */
-  private lazy val foreignPartitionedCdf: Boolean =
-    creationHead >= 0 && {
-      val m = log.snapshotAt(creationHead).metaData
-      m.partitionColumns.nonEmpty &&
-        m.properties.contains(graft.table.Actions.DeltaReadMarker)
-    }
+  /** Lazy one-time provenance probe (foreign delta log?) — feeds the
+    * malformed-cdc refusal in planCdfPartitions; fixed for a running
+    * stream, so one fold at the creation head, never per commit. */
+  private lazy val foreignProvenance: Boolean =
+    creationHead >= 0 && log.snapshotAt(creationHead).metaData
+      .properties.contains(graft.table.Actions.DeltaReadMarker)
 
   private val creationSchemaJson =
     if (creationHead < 0) "" else log.snapshotAt(creationHead).metaData.schemaString
@@ -401,23 +399,33 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
         val adds = actions.collect { case a: AddFile => a }
         val removes = actions.collect {
           case r: RemoveFile if r.dataChange => r }
-        // PARTITIONED foreign delta CDF: delta cdc files omit partition
-        // columns (they live in the action's partitionValues, which the
-        // fold drops) — decoding them as missing columns would stream
-        // silent NULLs; refuse like the batch changes() path does
-        // The probe is ONE fold at the creation head (partition columns
-        // and provenance are stable for a running stream), never per commit.
-        if (cdc.nonEmpty && foreignPartitionedCdf)
-          throw new graft.table.GraftProtocolException(
-            s"change feed of PARTITIONED foreign Delta table $tablePath " +
-              "is not streamable (delta cdc files omit partition columns)")
+        // Per-file cdc shape, told by the ACTION's partitionValues: a map
+        // covering the partition columns is delta's AddCDCFile (partition
+        // columns OMITTED from the file — foreign delta DML and graft's
+        // compat sidecars), served through the reader factory's constant
+        // row exactly like data files; an empty map is graft-native
+        // (columns IN the file). A partitioned FOREIGN cdc action without
+        // values is malformed — refuse loudly, never stream silent NULLs.
         if (cdc.nonEmpty) cdc.foreach { c =>
+          def valueOf(pc: String): Option[String] = {
+            val phys = schema.fields.find(_.name == pc)
+              .map(f => graft.table.ColumnMapping.physicalName(f)).getOrElse(pc)
+            c.partitionValues.get(phys).orElse(c.partitionValues.get(pc))
+          }
+          val colsFromAction =
+            partitionCols.nonEmpty && partitionCols.forall(pc => valueOf(pc).isDefined)
+          if (partitionCols.nonEmpty && !colsFromAction && foreignProvenance)
+            throw new graft.table.GraftProtocolException(
+              s"cdc action of PARTITIONED foreign Delta table $tablePath at " +
+                s"version $v carries no partitionValues; the change feed " +
+                "cannot reconstitute its partition columns")
           parts += GraftFilePartition(
-            Paths.get(tablePath, c.path).toString, Map.empty, c.numRecords, None,
+            Paths.get(tablePath, c.path).toString, c.partitionValues,
+            c.numRecords, None,
             c.path.substring(c.path.lastIndexOf('/') + 1),
             constOverrides = Seq("_commit_version" -> v.toString,
               "_commit_timestamp" -> commitTs),
-            partitionColsInFile = true)
+            partitionColsInFile = !colsFromAction)
         }
         else if (removes.isEmpty) insertParts(adds.filter(dataChanging), v)
         else throw new IllegalStateException(
@@ -709,6 +717,11 @@ object GraftTableStream {
     * identically or storage-partitioned join key grouping would diverge
     * from the decoded column values. */
   def castPartitionValue(v: String, dt: DataType): Any = dt match {
+    // the Hive null-partition sentinel decodes to NULL for every type —
+    // the same mapping Spark's basePath dir inference applies, so the V1
+    // scan, the SPJ keys and the streaming constant row always agree
+    case _ if v == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .DEFAULT_PARTITION_NAME => null
     case StringType => UTF8String.fromString(v)
     // Two producers feed timestamp decode, with disjoint encodings: CDF
     // `_commit_timestamp` constants ship epoch-MILLIS digit strings, and

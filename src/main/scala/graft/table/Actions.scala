@@ -71,9 +71,18 @@ final case class RemoveFile(path: String, deletionTimestamp: Long,
   * commit's row-level deltas (full rows + `_change_type`), written by DML
   * when `changeDataFeed.enabled` is set. Not part of the snapshot state —
   * the fold ignores it; `changes()` and the CDF stream read it instead of
-  * re-diffing the commit's files. */
+  * re-diffing the commit's files.
+  *
+  * `partitionValues` carries the file's Hive partition values when the cdc
+  * file OMITS the table's partition columns (delta's AddCDCFile shape on a
+  * partitioned table, and graft's own compat-mode sidecars): readers
+  * reconstitute the columns from the map, exactly like data files. Empty
+  * on graft-native sidecars, which store partition columns IN the file —
+  * the map (not table provenance) is what tells a reader which shape each
+  * individual file has. */
 final case class CdcFile(path: String, numRecords: Long,
-    size: Long = 0L) extends Action
+    size: Long = 0L,
+    partitionValues: Map[String, String] = Map.empty) extends Action
 
 /** Idempotent-transaction marker (Delta's SetTransaction): the latest
   * `version` committed by application `appId` folds into the snapshot, so
@@ -263,9 +272,10 @@ object Actions {
         val n = root.putObject("remove")
         n.put("path", path); n.put("deletionTimestamp", ts)
         if (!dc) n.put("dataChange", false) // absent = true (old logs)
-      case CdcFile(path, rows, size) =>
+      case CdcFile(path, rows, size, partVals) =>
         val n = root.putObject("cdc")
         n.put("path", path); n.put("numRecords", rows); n.put("size", size)
+        if (partVals.nonEmpty) putMap(n, "partitionValues", partVals)
       case Txn(appId, v) =>
         val n = root.putObject("txn")
         n.put("appId", appId); n.put("version", v)
@@ -480,7 +490,10 @@ object Actions {
         // the per-file reader recovers the true count from the parquet
         // footer at -1, where an exact 0 would silently serve no rows
         Option(n.get("numRecords")).map(_.asLong()).getOrElse(-1L),
-        Option(n.get("size")).map(_.asLong()).getOrElse(0L))
+        Option(n.get("size")).map(_.asLong()).getOrElse(0L),
+        // delta serializes a null partition value as JSON null — same
+        // sentinel mapping as adds, so the readers' per-key lookups hold
+        partMap(n))
     } else if (root.has("txn")) {
       val n = root.get("txn")
       Txn(n.get("appId").asText(), n.get("version").asLong())

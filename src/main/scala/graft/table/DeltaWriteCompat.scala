@@ -130,18 +130,14 @@ object DeltaWriteCompat {
       meta.schemaString.contains("\"variant\"") &&
         (try hasVariant(DataType.fromJson(meta.schemaString))
          catch { case _: Exception => false })
-    // CDF under compat is ALLOWED for unpartitioned tables since round 13:
-    // graft's _cdc/ sidecars are delta's AddCDCFile shape (full rows +
-    // _change_type), emitted as delta `cdc` actions with the
-    // delta.enableChangeDataFeed mirror — real delta CDF readers serve
-    // them. PARTITIONED tables refuse: graft cdc files carry partition
-    // columns IN-FILE with empty action partitionValues, and a delta
-    // reader reconstitutes partition columns from the action — it would
-    // serve nulls for them.
-    if (on("changeDataFeed.enabled") && meta.partitionColumns.nonEmpty)
-      Some("changeDataFeed.enabled on a PARTITIONED table (cdc " +
-        "partition-value reconstruction differs)")
-    else if (on("columnMapping.mode")) Some("columnMapping.mode")
+    // CDF under compat is ALLOWED since round 13 (round 14 for partitioned
+    // tables): graft's compat _cdc/ sidecars are delta's AddCDCFile shape —
+    // data columns + _change_type in the file, partition columns carried
+    // as the cdc action's partitionValues (writeCdcFiles stages the change
+    // frame partitionBy(partCols) under compat) — emitted as delta `cdc`
+    // actions with the delta.enableChangeDataFeed mirror, so real delta
+    // CDF readers reconstitute partition columns exactly like data files.
+    if (on("columnMapping.mode")) Some("columnMapping.mode")
     else if (variantSchema) Some("VARIANT columns")
     // deletionVectors.enabled is ALLOWED under compat since round 13:
     // merge-on-read DML writes genuine delta-format DV files and carries
@@ -332,12 +328,17 @@ final class DeltaShapeWriter(meta: MetaData) {
         val n = root.putObject("txn")
         n.put("appId", t.appId); n.put("version", t.version)
       case c: CdcFile =>
-        // delta's AddCDCFile: URI-encoded path, explicit (empty)
-        // partitionValues, dataChange always false per spec; graft's
-        // _cdc/ files ARE the expected layout (full rows + _change_type)
+        // delta's AddCDCFile: URI-encoded path, dataChange always false per
+        // spec; graft's compat _cdc/ files ARE the expected layout (data
+        // columns + _change_type, partition columns reconstituted from the
+        // action's partitionValues — null values spell as JSON null, the
+        // same inverse as adds)
         val n = root.putObject("cdc")
         n.put("path", encodePath(c.path))
-        n.putObject("partitionValues")
+        val pv = n.putObject("partitionValues")
+        c.partitionValues.foreach { case (k, v) =>
+          if (v == sentinel) pv.putNull(k) else pv.put(k, v)
+        }
         n.put("size", c.size)
         n.put("dataChange", false)
       case other =>

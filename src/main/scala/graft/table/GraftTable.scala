@@ -1320,19 +1320,58 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       .withColumn("_commit_version", lit(v))
       .withColumn("_commit_timestamp", lit(commitTs))
     if (cdcFiles.nonEmpty) {
-      // FOREIGN partitioned delta CDF: delta's cdc files omit partition
-      // columns (the action's partitionValues carries them, which graft's
-      // CdcFile does not retain) — reading them through the full schema
-      // would serve silent NULLs for the partition columns. Refuse loudly.
-      if (cur.metaData.partitionColumns.nonEmpty &&
+      // Per-file cdc shape, told by the ACTION's partitionValues: a map
+      // covering the partition columns is delta's AddCDCFile (partition
+      // columns OMITTED from the file — foreign delta DML and graft's own
+      // compat sidecars), reconstituted here from the action exactly like
+      // data files; an empty map is graft-native (columns IN the file).
+      // Both shapes can coexist in one table's history (compat enabled
+      // mid-life), so the split is per file, never per table.
+      val cdcSchema = cur.schema.add(StructField("_change_type", StringType, nullable = false))
+      val partCols = cur.metaData.partitionColumns
+      def valueOf(c: CdcFile, pc: String): Option[String] = {
+        val phys = cur.schema.fields.find(_.name == pc)
+          .map(ColumnMapping.physicalName).getOrElse(pc)
+        c.partitionValues.get(phys).orElse(c.partitionValues.get(pc))
+      }
+      val (shaped, inFile) =
+        if (partCols.isEmpty) (Nil, cdcFiles)
+        else cdcFiles.partition(c => partCols.forall(pc => valueOf(c, pc).isDefined))
+      // a partitioned FOREIGN cdc action without partitionValues is
+      // malformed (nothing can reconstitute the columns) — refuse loudly
+      // rather than serve silent NULLs
+      if (inFile.nonEmpty && partCols.nonEmpty &&
           cur.metaData.properties.contains(Actions.DeltaReadMarker))
         throw new GraftProtocolException(
-          s"change feed of PARTITIONED foreign Delta table $path is not " +
-            "readable (delta cdc files omit partition columns); read the " +
-            "table snapshots instead")
-      val cdcSchema = cur.schema.add(StructField("_change_type", StringType, nullable = false))
-      stamp(spark.read.schema(cdcSchema)
-        .parquet(cdcFiles.map(c => Paths.get(path, c.path).toString): _*))
+          s"cdc action of PARTITIONED foreign Delta table $path at version " +
+            s"$v carries no partitionValues; the change feed cannot " +
+            "reconstitute its partition columns")
+      val inFileDf =
+        if (inFile.isEmpty) Nil
+        else Seq(spark.read.schema(cdcSchema)
+          .parquet(inFile.map(c => Paths.get(path, c.path).toString): _*))
+      // delta-shaped files read through the non-partition (physical-named)
+      // schema, rename back to logical, then attach the decoded partition
+      // values as constants — same cast the Hive dir decode applies
+      val nonPart = StructType(cur.schema.fields.filterNot(f => partCols.contains(f.name)))
+      val physData = ColumnMapping.physicalSchema(nonPart)
+        .add(StructField("_change_type", StringType, nullable = false))
+      val sentinel = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .DEFAULT_PARTITION_NAME
+      val shapedDfs = shaped.groupBy(c => partCols.map(pc => valueOf(c, pc).get))
+        .toSeq.map { case (vals, cs) =>
+          val base = spark.read.schema(physData)
+            .parquet(cs.map(c => Paths.get(path, c.path).toString): _*)
+          val logical = base.select(
+            nonPart.fields.map(ColumnMapping.logicalColumn).toSeq :+ col("_change_type"): _*)
+          val withParts = partCols.zip(vals).foldLeft(logical) { case (df, (pc, pv)) =>
+            val dt = cur.schema(pc).dataType
+            df.withColumn(pc,
+              if (pv == sentinel) lit(null).cast(dt) else lit(pv).cast(dt))
+          }
+          withParts.select(cdcSchema.fieldNames.map(col).toIndexedSeq: _*)
+        }
+      stamp((inFileDf ++ shapedDfs).reduce(_ unionByName _))
     } else if (removePaths.isEmpty) {
       stamp(readFiles(cur, addedFiles)
         .withColumn("_change_type", lit("insert")))
@@ -2191,20 +2230,42 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   private def writeCdcFiles(s: Snapshot, change: => DataFrame): Seq[CdcFile] = {
     if (!cdfEnabled(s.metaData)) return Nil
     val staging = Paths.get(path, s".cdcstage-${UUID.randomUUID()}")
-    change.write.parquet(staging.toString)
+    // Under delta write-compat on a PARTITIONED table the sidecars take
+    // delta's AddCDCFile shape: the staging write partitions by the table's
+    // partition columns (Spark moves them out of the file into `k=v` dirs,
+    // nulls as the Hive sentinel), and each file's values ride on the
+    // CdcFile action — real delta CDF readers reconstitute the columns
+    // from the action exactly like data files, and so do graft's own
+    // changes()/stream paths. Native tables keep the full-row shape
+    // (partition columns IN the file), so pre-existing sidecars and new
+    // ones coexist: the shape is per-file, told by the action's map.
+    val partCols = s.metaData.partitionColumns
+    val deltaShape = partCols.nonEmpty && DeltaWriteCompat.enabled(s.metaData)
+    if (deltaShape) change.write.partitionBy(partCols: _*).parquet(staging.toString)
+    else change.write.parquet(staging.toString)
     Files.createDirectories(Paths.get(path, "_cdc"))
     val parts = Files.walk(staging).iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
       .toSeq
+    def dirValues(p: java.nio.file.Path): Map[String, String] =
+      staging.relativize(p).toString.split('/').dropRight(1)
+        .filter(_.contains("=")).map { seg =>
+          val i = seg.indexOf('=')
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(seg.take(i)) ->
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(seg.drop(i + 1))
+        }.toMap
     val actions = parts.flatMap { p =>
       val (rows, _, _, _) = FileOps.footerStats(p)
       if (rows == 0L) None
       else {
+        val pv = if (deltaShape) dirValues(p) else Map.empty[String, String]
         val rel = s"_cdc/cdc-${UUID.randomUUID()}.parquet"
         val target = Paths.get(path, rel)
         Files.move(p, target)
         // size feeds the CDF stream's maxBytesPerTrigger admission
-        Some(CdcFile(rel, rows, Files.size(target)))
+        Some(CdcFile(rel, rows, Files.size(target), pv))
       }
     }
     Files.walk(staging).iterator().asScala.toSeq.reverse.foreach(p =>
@@ -3446,8 +3507,8 @@ object GraftTable {
     *     in delta spelling (column mapping, delta-spelled generated /
     *     identity columns, row tracking, v2 checkpoints, TIMESTAMP_NTZ);
     *   - legacy writer versions 5/6 (column mapping, identity);
-    *   - everything `compat.delta.write` itself refuses (VARIANT, CDF on
-    *     partitioned tables).
+    *   - everything `compat.delta.write` itself refuses (VARIANT columns,
+    *     column mapping).
     *
     * Delta-spelled table configuration translates to the graft keys DML
     * enforcement reads (`delta.appendOnly` → `appendOnly`,
@@ -3530,7 +3591,7 @@ object GraftTable {
       constraints = meta.constraints ++ constraintConf.map { case (k, v) =>
         k.stripPrefix("delta.constraints.") -> v },
       properties = translated + (DeltaWriteCompat.Prop -> "true"))
-    // compat-level refusals (VARIANT schema, CDF on partitioned tables)
+    // compat-level refusals (VARIANT schema, column mapping)
     DeltaWriteCompat.refusal(newMeta, Nil).foreach(refuse)
     // DVs the continued log could not spell: adoption keeps every existing
     // descriptor verbatim, but each must be a form graft DML can UNION

@@ -738,4 +738,108 @@ class DeltaCompatSpec extends SparkTestBase {
     t.delete($"id" === 1L)
     assert(t.toDF.count() === 2L)
   }
+
+  // partitioned schema for the CDF reconstitution tests: `lang` is a
+  // partition column — absent from every data and cdc FILE, carried by the
+  // actions' partitionValues (delta's layout for partitioned tables)
+  private val partSchema =
+    """{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},{\"name\":\"lang\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}}]}"""
+
+  /** Foreign PARTITIONED delta table with CDF: three partitions (en, fr,
+    * and the null partition), a DELETE with a cdc action per touched
+    * partition. Round 13 refused this table; the reader now reconstitutes
+    * the partition columns from the cdc actions' partitionValues —
+    * delta cdc files omit them, exactly like data files. */
+  private def partitionedCdfFixture(): String = {
+    import spark.implicits._
+    val dir = tmpDir("delta-compat-part-cdf-")
+    def ids(r: Range) = r.map(_.toLong).toDF("id")
+    val (szE, mtE) = dataFile(dir, "lang=en/part-00000-aaa-c000.snappy.parquet", ids(0 until 4))
+    val (szF, mtF) = dataFile(dir, "lang=fr/part-00001-bbb-c000.snappy.parquet", ids(10 until 13))
+    val (szN, mtN) = dataFile(dir,
+      "lang=__HIVE_DEFAULT_PARTITION__/part-00002-ccc-c000.snappy.parquet", ids(20 until 22))
+    commit(dir, 0, Seq(
+      commitInfo(1619112345000L, "WRITE"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      metaData(partSchema, partitionColumns = Seq("lang"),
+        configuration = Map("delta.enableChangeDataFeed" -> "true")),
+      s"""{"add":{"path":"lang=en/part-00000-aaa-c000.snappy.parquet","partitionValues":{"lang":"en"},"size":$szE,"modificationTime":$mtE,"dataChange":true,"stats":"${stats(4, Map("id" -> 0), Map("id" -> 3), Map("id" -> 0L))}"}}""",
+      s"""{"add":{"path":"lang=fr/part-00001-bbb-c000.snappy.parquet","partitionValues":{"lang":"fr"},"size":$szF,"modificationTime":$mtF,"dataChange":true,"stats":"${stats(3, Map("id" -> 10), Map("id" -> 12), Map("id" -> 0L))}"}}""",
+      s"""{"add":{"path":"lang=__HIVE_DEFAULT_PARTITION__/part-00002-ccc-c000.snappy.parquet","partitionValues":{"lang":null},"size":$szN,"modificationTime":$mtN,"dataChange":true,"stats":"${stats(2, Map("id" -> 20), Map("id" -> 21), Map("id" -> 0L))}"}}"""))
+    // v1: DELETE id=3 in lang=en — rewrite + one cdc action carrying the
+    // partition value on the ACTION (the cdc file has id+_change_type only)
+    val (szE2, mtE2) = dataFile(dir, "lang=en/part-00003-ddd-c000.snappy.parquet", ids(0 until 3))
+    val (szC1, _) = dataFile(dir, "_change_data/lang=en/cdc-aaa-c000.snappy.parquet",
+      Seq((3L, "delete")).toDF("id", "_change_type"))
+    commit(dir, 1, Seq(
+      commitInfo(1619112346000L, "DELETE"),
+      s"""{"add":{"path":"lang=en/part-00003-ddd-c000.snappy.parquet","partitionValues":{"lang":"en"},"size":$szE2,"modificationTime":$mtE2,"dataChange":true,"stats":"${stats(3, Map("id" -> 0), Map("id" -> 2), Map("id" -> 0L))}"}}""",
+      s"""{"remove":{"path":"lang=en/part-00000-aaa-c000.snappy.parquet","deletionTimestamp":1619112346000,"dataChange":true,"partitionValues":{"lang":"en"}}}""",
+      s"""{"cdc":{"path":"_change_data/lang=en/cdc-aaa-c000.snappy.parquet","partitionValues":{"lang":"en"},"size":$szC1,"dataChange":false}}"""))
+    // v2: DELETE the whole null partition — cdc partitionValues spells
+    // the null value as JSON null (delta's encoding), decoded to a NULL
+    // column, never the Hive sentinel string
+    val (szC2, _) = dataFile(dir, "_change_data/cdc-bbb-c000.snappy.parquet",
+      Seq((20L, "delete"), (21L, "delete")).toDF("id", "_change_type"))
+    commit(dir, 2, Seq(
+      commitInfo(1619112347000L, "DELETE"),
+      s"""{"remove":{"path":"lang=__HIVE_DEFAULT_PARTITION__/part-00002-ccc-c000.snappy.parquet","deletionTimestamp":1619112347000,"dataChange":true,"partitionValues":{"lang":null}}}""",
+      s"""{"cdc":{"path":"_change_data/cdc-bbb-c000.snappy.parquet","partitionValues":{"lang":null},"size":$szC2,"dataChange":false}}"""))
+    dir
+  }
+
+  test("foreign PARTITIONED delta CDF: partition columns reconstitute from cdc partitionValues") {
+    val dir = partitionedCdfFixture()
+    val t = GraftTable.forPath(spark, dir)
+    assert(t.toDF.count() === 6L) // en 3 + fr 3 + null partition emptied
+    val ch = t.changes(0, 2)
+      .select("id", "lang", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1),
+        r.getString(2), r.getLong(3))).toSet
+    assert(ch === Set(
+      (3L, "en", "delete", 1L),
+      (20L, null, "delete", 2L),
+      (21L, null, "delete", 2L)), s"got $ch")
+  }
+
+  test("foreign PARTITIONED delta CDF streams: cdc partitions serve values through the constant row") {
+    val dir = partitionedCdfFixture()
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", 1)
+      .load(dir)
+      .writeStream.format("memory").queryName("part_cdf_stream")
+      .option("checkpointLocation", tmpDir("delta-compat-part-cdf-ckpt-"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("part_cdf_stream")
+      .select("id", "lang", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1),
+        r.getString(2), r.getLong(3))).toSet
+    assert(got === Set(
+      (3L, "en", "delete", 1L),
+      (20L, null, "delete", 2L),
+      (21L, null, "delete", 2L)), s"got $got")
+  }
+
+  test("malformed partitioned foreign cdc (no partitionValues) refuses loudly") {
+    import spark.implicits._
+    val dir = tmpDir("delta-compat-bad-cdf-")
+    def ids(r: Range) = r.map(_.toLong).toDF("id")
+    val (szE, mtE) = dataFile(dir, "lang=en/part-00000-aaa-c000.snappy.parquet", ids(0 until 2))
+    val (szC, _) = dataFile(dir, "_change_data/cdc-aaa-c000.snappy.parquet",
+      Seq((0L, "delete")).toDF("id", "_change_type"))
+    commit(dir, 0, Seq(
+      commitInfo(1619112345000L, "WRITE"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      metaData(partSchema, partitionColumns = Seq("lang"),
+        configuration = Map("delta.enableChangeDataFeed" -> "true")),
+      s"""{"add":{"path":"lang=en/part-00000-aaa-c000.snappy.parquet","partitionValues":{"lang":"en"},"size":$szE,"modificationTime":$mtE,"dataChange":true}}"""))
+    commit(dir, 1, Seq(
+      commitInfo(1619112346000L, "DELETE"),
+      s"""{"remove":{"path":"lang=en/part-00000-aaa-c000.snappy.parquet","deletionTimestamp":1619112346000,"dataChange":true}}""",
+      s"""{"cdc":{"path":"_change_data/cdc-aaa-c000.snappy.parquet","partitionValues":{},"size":$szC,"dataChange":false}}"""))
+    val t = GraftTable.forPath(spark, dir)
+    val e = intercept[GraftProtocolException](t.changes(0, 1).collect())
+    assert(e.getMessage.contains("partitionValues"))
+  }
 }

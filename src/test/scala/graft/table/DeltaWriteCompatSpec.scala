@@ -363,7 +363,7 @@ class DeltaWriteCompatSpec extends SparkTestBase {
       s"identity allocation survives fold-back, got ${got.toSeq}")
   }
 
-  test("CDF under compat: delta-shaped cdc actions, feed readable after reopen; partitioned refuses") {
+  test("CDF under compat: delta-shaped cdc actions, feed readable after reopen") {
     val dir = tmpDir("dwc-cdf-")
     val t = GraftTable.create(spark, dir, seed(6))
     t.setProperty(DeltaWriteCompat.Prop, "true")
@@ -387,15 +387,50 @@ class DeltaWriteCompatSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getString(1))
     assert(ch.toSeq === Seq(2L -> "delete"), s"got ${ch.toSeq}")
     assert(t2.toDF.count() === 5L)
-    // partitioned + CDF refuses under compat (cdc partition reconstruction)
+  }
+
+  test("CDF under compat on a PARTITIONED table: cdc files omit partition columns, actions carry them") {
     import spark.implicits._
-    val pdir = tmpDir("dwc-cdf-part-")
-    val pt = GraftTable.create(spark, pdir,
-      Seq((1L, "a"), (2L, "b")).toDF("id", "p"), partitionBy = Seq("p"))
-    pt.setProperty("changeDataFeed.enabled", "true")
-    val e = intercept[GraftProtocolException](
-      pt.setProperty(DeltaWriteCompat.Prop, "true"))
-    assert(e.getMessage.contains("PARTITIONED"), s"got $e")
+    val dir = tmpDir("dwc-cdf-part-")
+    val t = GraftTable.create(spark, dir,
+      Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b")).toDF("id", "p"),
+      partitionBy = Seq("p"))
+    t.setProperty("changeDataFeed.enabled", "true")
+    t.setProperty(DeltaWriteCompat.Prop, "true")
+    t.delete(col("id").isin(2L, 3L)) // touches BOTH partitions
+    val v = t.latestVersion
+    assertDeltaShaped(dir, v)
+    // one cdc action per touched partition, each carrying its value on the
+    // ACTION (delta's AddCDCFile layout); the FILE must omit the partition
+    // column — a real delta reader reconstitutes it from partitionValues
+    val cdcNodes = logLines(dir, v).filter(_.contains("\"cdc\""))
+      .map(l => mapper.readTree(l).get("cdc"))
+    assert(cdcNodes.map(_.get("partitionValues").get("p").asText()).toSet
+      === Set("a", "b"), s"got ${cdcNodes}")
+    cdcNodes.foreach { c =>
+      val f = spark.read.parquet(Paths.get(dir,
+        new java.net.URI(c.get("path").asText()).getPath).toString)
+      assert(!f.columns.contains("p"),
+        s"compat cdc file must omit the partition column, got ${f.columns.toSeq}")
+      assert(f.columns.contains("_change_type"))
+    }
+    // fresh fold reconstitutes the columns in batch changes() ...
+    val t2 = GraftTable.forPath(spark, dir)
+    val ch = t2.changes(v - 1, v).select("id", "p", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(ch === Set((2L, "a", "delete"), (3L, "b", "delete")), s"got $ch")
+    assert(t2.toDF.count() === 2L)
+    // ... and in the CDF stream (the constant-row path)
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", v)
+      .load(dir)
+      .writeStream.format("memory").queryName("dwc_part_cdf")
+      .option("checkpointLocation", tmpDir("dwc-cdf-part-ckpt-"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("dwc_part_cdf").select("id", "p", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set((2L, "a", "delete"), (3L, "b", "delete")), s"got $got")
   }
 
   test("MERGE and metadata-only evolution stay delta-shaped") {
