@@ -185,26 +185,139 @@ object Bpe {
     merges.result()
   }
 
-  /** Encode one string with a learned merge table (rank order). */
+  /** Encode one string with a learned merge table: the REFERENCE
+    * computation — one full left-to-right pass per merge in rank order.
+    * O(merges × len): fine as the spec oracle, NOT the production path
+    * (a 50k-merge vocabulary means 50k sequential scans per document);
+    * `encodeFast` is the apply path and is proven bit-identical. */
   def encode(text: String, merges: Seq[Merge]): IndexedSeq[String] = {
     var toks = seed(text)
     merges.sortBy(_.rank).foreach(m => toks = mergeOnce(toks, m.left, m.right))
     toks
   }
 
+  /** Pair-rank lookup for `encodeFast`, built once per merge table and
+    * shared (broadcast-sized: one map entry per merge). */
+  def rankMap(merges: Seq[Merge]): java.util.HashMap[(String, String), java.lang.Integer] = {
+    // values box explicitly: a primitive-valued java map would turn a
+    // missing key into 0 — a phantom rank that merges everything
+    val m = new java.util.HashMap[(String, String), java.lang.Integer](merges.size * 2)
+    merges.foreach(mg => m.put((mg.left, mg.right), Integer.valueOf(mg.rank)))
+    m
+  }
+
+  /** PRODUCTION encode (the shape every real BPE tokenizer uses): instead
+    * of replaying the merge table pass-by-pass — O(vocab) scans per
+    * document — keep the token sequence as a doubly-linked list and a
+    * min-heap of (rank, position) candidates, always merging the
+    * lowest-rank pair present (leftmost on ties) and pushing only the two
+    * pairs the merge created. O(len·log len) per document, INDEPENDENT of
+    * vocabulary size; heap entries validate lazily on pop (a merge can
+    * orphan a queued candidate), so no decrease-key is needed.
+    *
+    * Bit-identical to `encode` for LEARNED merge tables (BpeSpec pins it
+    * at ≥5k merges on real documents): training can only form a pair from
+    * tokens that already exist, so every pair containing merge k's output
+    * has rank > k — the global-minimum-rank order and the sequential
+    * rank-by-rank replay therefore perform the same merges. */
+  def encodeFast(text: String,
+      ranks: java.util.Map[(String, String), java.lang.Integer]): IndexedSeq[String] = {
+    val n = text.length
+    if (n == 0) return IndexedSeq.empty
+    val toks = new Array[String](n)
+    val next = new Array[Int](n)
+    val prev = new Array[Int](n)
+    val alive = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = String.valueOf(text.charAt(i))
+      prev(i) = i - 1
+      next(i) = if (i + 1 < n) i + 1 else -1
+      alive(i) = true
+      i += 1
+    }
+    // (rank, leftPos) min-heap; Long packs both so comparison is primitive
+    val pq = new java.util.PriorityQueue[java.lang.Long](16)
+    def push(p: Int): Unit = {
+      val nx = next(p)
+      if (nx >= 0) {
+        val r = ranks.get((toks(p), toks(nx)))
+        if (r != null) pq.add((r.longValue() << 32) | p.toLong)
+      }
+    }
+    i = 0
+    while (i < n) { push(i); i += 1 }
+    while (!pq.isEmpty) {
+      val packed = pq.poll().longValue()
+      val rank = (packed >>> 32).toInt
+      val p = (packed & 0xffffffffL).toInt
+      val nx = if (alive(p)) next(p) else -1
+      // lazy validation: the queued pair must still be adjacent AND still
+      // spell the rank it was queued under (either side may have merged)
+      if (nx >= 0 && alive(nx) && {
+            val r = ranks.get((toks(p), toks(nx)))
+            r != null && r.intValue() == rank
+          }) {
+        toks(p) = toks(p) + toks(nx)
+        alive(nx) = false
+        val nn = next(nx)
+        next(p) = nn
+        if (nn >= 0) prev(nn) = p
+        if (prev(p) >= 0) push(prev(p))
+        push(p)
+      }
+    }
+    val out = IndexedSeq.newBuilder[String]
+    var p = 0
+    while (p >= 0) { if (alive(p)) out += toks(p); p = next(p) }
+    out.result()
+  }
+
   /** Tokenize a corpus column map-side with a learned merge table:
     * (doc_id, n_tokens, tokens). Decode == concatenation, so
-    * `concat_ws("", tokens) == text` always. */
+    * `concat_ws("", tokens) == text` always.
+    *
+    * Scale shape: encoding is `encodeFast` (vocab-size-independent) and,
+    * when the table was trained word-level (no merge touches a space —
+    * merges then never cross space boundaries, so a document encodes as
+    * its words encoded independently), each DISTINCT word encodes once
+    * per partition through a per-partition memo — the q119 discipline
+    * without the join back. ONE Spark job for the whole corpus regardless
+    * of vocabulary size (BpeSpec pins the job count with a listener). */
   def tokenize(docs: DataFrame, idCol: String, textCol: String,
                merges: Seq[Merge]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val ms = merges.sortBy(_.rank).map(m => (m.left, m.right))
+    val table = merges.sortBy(_.rank).map(m => (m.left, m.right, m.rank))
+    val wordLevel = merges.forall(m => !m.left.contains(' ') && !m.right.contains(' '))
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
-      .map { case (id, text) =>
-        var toks = seed(text)
-        ms.foreach { case (l, r) => toks = mergeOnce(toks, l, r) }
-        (id, toks.length, toks: Seq[String])
+      .mapPartitions { rows =>
+        val ranks = new java.util.HashMap[(String, String), java.lang.Integer](table.size * 2)
+        table.foreach { case (l, r, k) => ranks.put((l, r), Integer.valueOf(k)) }
+        val memo = new java.util.HashMap[String, IndexedSeq[String]]()
+        def word(w: String): IndexedSeq[String] = {
+          var t = memo.get(w)
+          if (t == null) { t = encodeFast(w, ranks); memo.put(w, t) }
+          t
+        }
+        val space = IndexedSeq(" ")
+        rows.map { case (id, text) =>
+          val toks =
+            if (!wordLevel) encodeFast(text, ranks)
+            else {
+              // split preserves empty segments: "a  b" → two space tokens
+              val segs = text.split(" ", -1)
+              val out = IndexedSeq.newBuilder[String]
+              var i = 0
+              while (i < segs.length) {
+                if (i > 0) out ++= space
+                out ++= word(segs(i))
+                i += 1
+              }
+              out.result()
+            }
+          (id, toks.length, toks: Seq[String])
+        }
       }.toDF(idCol, "n_tokens", "tokens")
   }
 }

@@ -81,6 +81,83 @@ class BpeSpec extends SparkTestBase {
         s"histogram training must be O(1) corpus passes, ran ${jobs.get()} jobs")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+  test("encodeFast is bit-identical to sequential replay at production vocab scale (>=5k merges)") {
+    // The real testdata corpus has ~31 distinct words — far too small to
+    // sustain a production-sized merge table — so the vocabulary here is
+    // synthetic but DETERMINISTIC (seeded): ~1000 distinct random words
+    // whose histogram sustains >5k merges, the scale where the old
+    // O(vocab) per-document replay stopped being viable.
+    val rnd = new scala.util.Random(42)
+    val words = (0 until 1000).map(_ => (0 until (8 + rnd.nextInt(9)))
+      .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString).distinct
+    val histo = words.map(w => (w, 1L + rnd.nextInt(9)))
+    val merges = Bpe.trainFromHistogram(histo, numMerges = 5200)
+    assert(merges.length === 5200,
+      s"vocabulary must sustain 5200 merges, got ${merges.length}")
+    val ranks = Bpe.rankMap(merges)
+    // documents assembled from the vocabulary (plus runs of spaces)
+    val docs = (0 until 30).map { _ =>
+      (0 until 20).map(_ => words(rnd.nextInt(words.length)))
+        .mkString(if (rnd.nextBoolean()) " " else "  ")
+    }
+    docs.foreach { text =>
+      val ref = Bpe.encode(text, merges)
+      val fast = Bpe.encodeFast(text, ranks)
+      assert(fast === ref, s"encodeFast diverged on: ${text.take(60)}…")
+    }
+    // and through the DataFrame path (per-partition word memo + space
+    // reassembly), including the roundtrip invariant
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Bpe.tokenize(df, "doc_id", "text", merges)
+      .select($"doc_id", $"tokens").as[(Long, Seq[String])].collect().toMap
+    docs.zipWithIndex.foreach { case (text, i) =>
+      assert(got(i.toLong) === (Bpe.encode(text, merges): Seq[String]))
+    }
+  }
+
+  test("tokenize runs O(1) Spark jobs regardless of vocabulary size") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val words = (0 until 400).map(_ => (0 until (6 + rnd.nextInt(8)))
+      .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString).distinct
+    val merges = Bpe.trainFromHistogram(words.map((_, 1L)), numMerges = 2000)
+    assert(merges.length >= 1500)
+    val df = (0 until 50).map(i => (i.toLong,
+      (0 until 12).map(_ => words(rnd.nextInt(words.length))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Bpe.tokenize(df, "doc_id", "text", merges).collect()
+      Thread.sleep(300)
+      assert(jobs.get() <= 3,
+        s"encode must be one corpus pass independent of vocab, ran ${jobs.get()} jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("char-level tables (merges crossing spaces) take the whole-text fast path, still bit-identical") {
+    import spark.implicits._
+    // Bpe.train is CHAR-level: spaces are tokens and merges may span
+    // word boundaries — the word-split memo would be unsound, so tokenize
+    // must fall back to whole-text encodeFast and still match encode.
+    val corpus = Seq("ab ab ab", "ab cd ab", "cd cd ab ab")
+    val merges = Bpe.train(corpus.toDS(), numMerges = 8)
+    assert(merges.exists(m => m.left.contains(" ") || m.right.contains(" ")),
+      s"fixture must learn a space-crossing merge, got $merges")
+    val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Bpe.tokenize(df, "doc_id", "text", merges)
+      .select($"doc_id", $"tokens").as[(Long, Seq[String])].collect().toMap
+    corpus.zipWithIndex.foreach { case (text, i) =>
+      assert(got(i.toLong) === (Bpe.encode(text, merges): Seq[String]))
+    }
+  }
+
   test("q177 corpus encode: planted words tokenize to the hand-derived counts") {
     import spark.implicits._
     val dir = tmpDir("planted-bpe-")
