@@ -1679,6 +1679,26 @@ object TableQueries {
       """SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
 
+    // ---- Foreign Delta column mapping: ID mode -------------------------------------
+    // q189's twin for columnMapping.mode=id — the shape Iceberg-converted
+    // tables and delta-spark 2.x+ defaults produce: columns resolve by
+    // the parquet FIELD ID, not by name. The fixture's file keeps column
+    // names that match NOTHING in the delta schema (physicalNames are
+    // decoys), so correct results prove the id lookup ran; the fold
+    // translates delta's field ids into Spark's parquet.field.id metadata
+    // and the scan flips Spark's field-id resolution on.
+    "q193_delta_idmap_interop" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = deltaIdMappedTable(s, dir)
+        t.toDF.groupBy($"n_regionkey")
+          .agg(count(lit(1)).as("n"),
+               sum($"n_nationkey".cast("long")).as("sum_key"))
+          .orderBy($"n_regionkey")
+      },
+      """SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
+
     // ---- Merge-on-read under Delta write compatibility ----------------------------
     // compat.delta.write + deletionVectors.enabled: a DV DELETE writes a
     // genuine delta-format deletion_vector_*.bin and the add carries the
@@ -1767,6 +1787,66 @@ object TableQueries {
         |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
         |FROM nation WHERE n_regionkey <= 1 AND n_nationkey % 2 = 1
         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
+
+    // ---- Partitioned AND bucketed storage-partitioned join ------------------------
+    // The standard lakehouse fact layout: Hive-partition by the time/dim
+    // column, hash-bucket by the high-cardinality join key. q169 covers
+    // partition-only SPJ and q185 bucket-only; since round 14 the two
+    // COMPOSE — the key-grouped scan reports (identity(lang),
+    // bucket(8, doc_id)) and a fact-fact join carrying both keys plans
+    // ZERO exchange. The fixture REQUIREs exactly that (broadcast
+    // disabled for the pin, confs scoped + restored); the query is the
+    // join's per-lang rollup, oracle-checked against a plain DuckDB join.
+    "q194_partitioned_bucketed_spj" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val tag = java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+        cache.computeIfAbsent(s"partBucketSpj:$dir", _ => {
+          val docs = graft.Tables.documents(s, dir)
+          val pa = graft.Scratch.dir("graft-pbkt-a-").toString
+          val pb = graft.Scratch.dir("graft-pbkt-b-").toString
+          GraftTable.create(s, pa, docs.select($"doc_id", $"lang", $"n_chars"),
+            partitionBy = Seq("lang"), bucketBy = Some(("doc_id", 8)))
+          GraftTable.create(s, pb,
+            docs.select($"doc_id", $"lang",
+              size(split($"text", " ")).cast("long").as("n_tokens")),
+            partitionBy = Seq("lang"), bucketBy = Some(("doc_id", 8)))
+          graft.sources.GraftCatalog.register(s,
+            graft.Scratch.dir("graft-pbkt-wh-").toString, name = "pbktq")
+          s.sql(s"CREATE TABLE pbktq.default.a_$tag USING graft LOCATION '$pa'")
+          s.sql(s"CREATE TABLE pbktq.default.b_$tag USING graft LOCATION '$pb'")
+          val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k =>
+            k -> scala.util.Try(s.conf.get(k)).toOption.flatMap(Option(_)))
+          try {
+            saved.foreach { case (k, _) => s.conf.set(k, "-1") }
+            val fact = s.sql(
+              s"""SELECT x.doc_id, x.lang, x.n_chars, y.n_tokens
+                |FROM pbktq.default.a_$tag x JOIN pbktq.default.b_$tag y
+                |ON x.doc_id = y.doc_id AND x.lang = y.lang""".stripMargin)
+            fact.collect()
+            val plan = fact.queryExecution.executedPlan.toString
+            require(!plan.contains("Exchange") && plan.contains("SortMergeJoin"),
+              s"partitioned+bucketed fact join must plan zero shuffle:\n${plan.take(1000)}")
+          } finally saved.foreach {
+            case (k, Some(v)) => s.conf.set(k, v)
+            case (k, None)    => s.conf.unset(k)
+          }
+          GraftTable.forPath(s, pa)
+        })
+        s.sql(
+          s"""SELECT x.lang, COUNT(*) AS n_docs,
+            |  CAST(SUM(x.n_chars) AS BIGINT) AS sum_chars,
+            |  CAST(SUM(y.n_tokens) AS BIGINT) AS sum_tokens
+            |FROM pbktq.default.a_$tag x JOIN pbktq.default.b_$tag y
+            |ON x.doc_id = y.doc_id AND x.lang = y.lang
+            |GROUP BY x.lang ORDER BY x.lang""".stripMargin)
+      },
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
   )
 
   /** q191's adopted table, memoized per (JVM, dir): a hand-authored
@@ -2047,6 +2127,71 @@ object TableQueries {
       val t = GraftTable.forPath(s, root)
       require(t.toDF.columns.sameElements(nation.columns),
         s"mapped fold must project LOGICAL names, got ${t.toDF.columns.toSeq}")
+      t
+    })
+
+  /** q193's ID-mapped table, memoized per (JVM, dir): the parquet file
+    * keeps the ORIGINAL column names (the Iceberg-conversion shape) with
+    * parquet field ids stamped; the delta schema's physicalNames are
+    * DECOYS that match nothing in the file, so only field-id resolution
+    * can bind the columns — the build REQUIREs a name-resolution
+    * mis-bind is impossible by construction (decoy names + correct
+    * values). */
+  private def deltaIdMappedTable(s: SparkSession, dir: String): GraftTable =
+    cache.computeIfAbsent(s"deltaIdMapped:$dir", _ => {
+      import java.nio.file.{Files, Paths}
+      import org.apache.spark.sql.types.{MetadataBuilder, StructType}
+      val root = graft.Scratch.dir("graft-delta-idmap-").toString
+      val nation = graft.Tables.nation(s, dir)
+      // the FILE: original names + field ids (Spark stamps ids on write
+      // when the schema metadata carries parquet.field.id)
+      val withIds = StructType(nation.schema.fields.zipWithIndex.map { case (f, i) =>
+        f.copy(metadata = new MetadataBuilder()
+          .putLong("parquet.field.id", i + 1L).build())
+      })
+      s.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      val stage = Files.createTempDirectory("graft-idmap-stage-")
+      s.createDataFrame(nation.rdd, withIds)
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val rel = "part-00000-idmap-c000.snappy.parquet"
+      val target = Paths.get(root, rel)
+      Files.createDirectories(target.getParent)
+      Files.move(Paths.get(part), target)
+      // the LOG: logical names + decoy physicalNames + the binding ids
+      val mapped = StructType(nation.schema.fields.zipWithIndex.map { case (f, i) =>
+        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putLong("delta.columnMapping.id", i + 1L)
+          .putString("delta.columnMapping.physicalName", s"col-decoy$i").build())
+      })
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val metaN = mapper.createObjectNode()
+      val m = metaN.putObject("metaData")
+      m.put("id", "8e2a4b6c-delta-idmap-interop")
+      val fm = m.putObject("format"); fm.put("provider", "parquet"); fm.putObject("options")
+      m.put("schemaString", mapped.json)
+      m.putArray("partitionColumns")
+      val conf = m.putObject("configuration")
+      conf.put("delta.columnMapping.mode", "id")
+      conf.put("delta.columnMapping.maxColumnId", nation.schema.size.toString)
+      m.put("createdTime", 1619112344000L)
+      val addN = mapper.createObjectNode()
+      val a = addN.putObject("add")
+      a.put("path", rel); a.putObject("partitionValues")
+      a.put("size", Files.size(target))
+      a.put("modificationTime", Files.getLastModifiedTime(target).toMillis)
+      a.put("dataChange", true)
+      val logDir = Paths.get(root, "_delta_log")
+      Files.createDirectories(logDir)
+      Files.write(logDir.resolve(f"${0L}%020d.json"), Seq(
+        """{"commitInfo":{"timestamp":1619112345000,"operation":"WRITE"}}""",
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        mapper.writeValueAsString(metaN),
+        mapper.writeValueAsString(addN)).mkString("", "\n", "\n").getBytes("UTF-8"))
+      val t = GraftTable.forPath(s, root)
+      require(t.toDF.columns.sameElements(nation.columns),
+        s"id-mapped fold must project LOGICAL names, got ${t.toDF.columns.toSeq}")
       t
     })
 }

@@ -275,8 +275,9 @@ class GraftParquetDataWriter(tablePath: String, schema: StructType,
     // pv is keyed by PHYSICAL name — the one key space every write path
     // stores in AddFile.partitionValues (it matches the directory names);
     // readers translate to logical via the schema's mapping metadata.
-    // bucketed tables (never combined with Hive partition cols) land in
-    // the hidden __bucket=<id> dir, exactly like the batch write paths —
+    // bucketed tables land in the hidden __bucket=<id> dir (nested
+    // inside the Hive partition dirs when both are declared), exactly
+    // like the batch write paths —
     // losing the dir here would silently flip every future scan to the
     // V1 fallback (spjOk requires every live file to carry its bucket id)
     val dirKeys = partitionCols.map(physPart) ++

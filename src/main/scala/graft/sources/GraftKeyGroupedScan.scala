@@ -70,17 +70,20 @@ class GraftKeyGroupedScan(table: GraftTable, snap: Snapshot,
     * keyed by PHYSICAL name (it mirrors the directory names); fall back to
     * the logical name for files logged before the key space was unified —
     * the exact lookup the reader factory's constant row performs. */
-  private def keyOf(f: AddFile): InternalRow =
-    if (bucketSpec.isDefined)
-      // bucket mode: the key IS the bucket id (one int field, matching
-      // the single bucket transform reported below)
-      new GenericInternalRow(Array[Any](
-        f.partitionValues(graft.table.Bucketing.BucketCol).toInt))
-    else new GenericInternalRow(keyFields.map { fld =>
+  private def keyOf(f: AddFile): InternalRow = {
+    // key layout = partition values in declared order, then (when
+    // bucketed) the bucket id — matching the transform order reported in
+    // outputPartitioning. Bucket-only tables get a one-int key; the
+    // partition-by-day-bucket-by-key layout gets (day, bucket).
+    val partVals = keyFields.map { fld =>
       val phys = graft.table.ColumnMapping.physicalName(fld)
       val v = f.partitionValues.getOrElse(phys, f.partitionValues(fld.name))
       graft.streaming.GraftTableStream.castPartitionValue(v, fld.dataType)
-    }.toArray[Any])
+    }
+    val bucketVal = bucketSpec.map(_ =>
+      f.partitionValues(graft.table.Bucketing.BucketCol).toInt: Any)
+    new GenericInternalRow((partVals ++ bucketVal).toArray[Any])
+  }
 
   private lazy val planned: Array[InputPartition] = files.map { f =>
     val abs = java.nio.file.Paths.get(table.path, f.path).toString
@@ -96,12 +99,14 @@ class GraftKeyGroupedScan(table: GraftTable, snap: Snapshot,
   override def toBatch: Batch = this
 
   override def outputPartitioning(): Partitioning = {
+    // identity transforms for the Hive partition columns, then the bucket
+    // transform — the same order keyOf encodes the key fields in
     val transforms: Array[org.apache.spark.sql.connector.expressions.Expression] =
-      bucketSpec match {
-        case Some((c, n)) => Array(Expressions.bucket(n, c))
-        case None => partCols.map(c =>
-          Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray
-      }
+      (partCols.map(c =>
+        Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression) ++
+        bucketSpec.map { case (c, n) =>
+          Expressions.bucket(n, c): org.apache.spark.sql.connector.expressions.Expression
+        }).toArray
     new KeyGroupedPartitioning(transforms,
       planned.map(_.asInstanceOf[GraftKeyedFilePartition].partitionKey())
         .distinct.length)

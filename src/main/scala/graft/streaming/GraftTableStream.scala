@@ -552,6 +552,12 @@ class GraftParquetReaderFactory(schema: StructType, partitionCols: Seq[String],
       classOf[ParquetReadSupport].getName)
     conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, dataSchema.json)
     ParquetWriteSupport.setSchema(dataSchema, conf)
+    // id-mode column mapping: the physical schema carries parquet field
+    // ids — Spark's read support resolves those fields by id when the
+    // flag is on (fields without ids keep name resolution, so this is a
+    // no-op for every non-id table)
+    if (graft.table.ColumnMapping.hasFieldIds(dataSchema))
+      conf.setBoolean(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, true)
     conf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key, false)
     conf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, true)
     conf.setBoolean(SQLConf.CASE_SENSITIVE.key, false)

@@ -107,16 +107,17 @@ object Protocol {
     Set("deletionVectors", "columnMapping", "changeDataFeed", "rowTracking",
       "variantType",
       // Foreign (delta-spark) reader features this build reads correctly:
-      // timestamp_ntz is Spark-native parquet; v2 checkpoints are simply
-      // never consulted (foreign checkpoint decode falls back to full JSON
-      // replay); vacuumProtocolCheck constrains VACUUM, which refuses on
+      // timestamp_ntz is Spark-native parquet; v2 checkpoints decode
+      // natively (DeltaCheckpointCompat folds the UUID manifest + its
+      // sidecar files); vacuumProtocolCheck constrains VACUUM, which refuses on
       // foreign tables wholesale (GraftTable.vacuum's DeltaReadMarker gate
       // + GraftLog.refuseForeignMutation). Foreign deletionVectors READ
       // natively (DeltaDeletionVectors decodes the roaring format into
       // the same anti-join shape as graft sidecars); columnMapping reads
-      // natively in NAME mode (the fold translates the delta metadata key,
-      // ColumnMapping.fromDeltaSchema) while ID mode refuses at its
-      // PRECISE gate (the delta.columnMapping.mode configuration check).
+      // natively in NAME mode (the fold translates the delta metadata
+      // key, ColumnMapping.fromDeltaSchema) AND in ID mode (field ids
+      // translate to Spark's parquet.field.id and the read paths enable
+      // Spark's field-id resolution).
       "timestampNtz", "v2Checkpoint", "vacuumProtocolCheck")
   val supportedWriterFeatures: Set[String] =
     // NOT derived from the reader set: the foreign-read-only features
@@ -424,15 +425,20 @@ object Actions {
         } else {
           // REAL delta-spark metaData: the marker property makes the
           // foreign provenance visible to every consumer of the folded
-          // snapshot (write refusal, feature gates). Name-mode column
-          // mapping translates into graft's own physical-name key so the
-          // whole read stack (projection, pruning, partition values)
-          // works unchanged; id mode keeps refusing (GraftLog's gate).
+          // snapshot (write refusal, feature gates). Column mapping
+          // translates into graft's own keys so the whole read stack
+          // (projection, pruning, partition values) works unchanged:
+          // name mode via the physical-name key; id mode additionally
+          // copies delta's field ids into Spark's `parquet.field.id`
+          // metadata, which flips every parquet read to id resolution.
           val rawSchema = n.get("schemaString").asText()
+          val mapMode = conf.get("delta.columnMapping.mode").map(_.toLowerCase)
           val schemaString =
-            if (conf.get("delta.columnMapping.mode").exists(_.equalsIgnoreCase("name")))
-              ColumnMapping.fromDeltaSchema(org.apache.spark.sql.types.DataType
-                .fromJson(rawSchema).asInstanceOf[org.apache.spark.sql.types.StructType]).json
+            if (mapMode.exists(m => m == "name" || m == "id"))
+              ColumnMapping.fromDeltaSchema(
+                org.apache.spark.sql.types.DataType.fromJson(rawSchema)
+                  .asInstanceOf[org.apache.spark.sql.types.StructType],
+                copyFieldIds = mapMode.contains("id")).json
             else rawSchema
           MetaData(n.get("id").asText(), schemaString,
             Option(n.get("createdTime")).map(_.asLong()).getOrElse(0L), partCols,

@@ -90,8 +90,13 @@ object Bucketing {
       require(typeSupported(schema(c).dataType),
         s"bucketing column '$c': type ${schema(c).dataType.catalogString} is " +
           "not bucketable (int/long/short/byte/string)")
-      require(partitionBy.isEmpty,
-        "bucketing cannot combine with Hive partition columns (round-13 scope)")
+      // Hive partition columns COMPOSE with bucketing since round 14 (the
+      // standard lakehouse layout: partition by day, bucket by key) — the
+      // hidden __bucket dir nests inside the partition dirs; the bucket
+      // column itself must not also be a partition column (its dir would
+      // carry the value once per file already)
+      require(!partitionBy.contains(c),
+        s"bucketing column '$c' is already a partition column")
       require(!ColumnMapping.active(schema),
         "bucketing cannot combine with column mapping")
     }

@@ -33,33 +33,66 @@ object ColumnMapping {
     * partition translation in pruning) works unchanged. */
   val DeltaPhysKey = "delta.columnMapping.physicalName"
 
-  /** Schema with delta's physicalName bindings copied into graft's key,
-    * recursively. Fields without the delta key keep physical == logical
-    * (the same pre-mapping rule graft's own tables use). */
-  def fromDeltaSchema(schema: StructType): StructType =
-    StructType(schema.fields.map(translateField))
+  /** Delta's column-mapping FIELD ID key (id mode): columns resolve by
+    * the id stamped in the parquet schema, not by name. Translated into
+    * Spark's own `parquet.field.id` metadata key — Spark's parquet
+    * readers (V1 scan and the vectorized V2 factory alike) resolve
+    * requested fields by id natively once
+    * `spark.sql.parquet.fieldId.read.enabled` is on, so graft inherits
+    * the whole id-resolution machinery instead of reimplementing it. */
+  val DeltaIdKey = "delta.columnMapping.id"
+  /** Spark's parquet field-id metadata key
+    * (ParquetUtils.FIELD_ID_METADATA_KEY). */
+  val FieldIdKey = "parquet.field.id"
 
-  private def translateField(f: StructField): StructField = {
+  /** Schema with delta's physicalName bindings copied into graft's key
+    * and — in ID mode only — delta's field ids copied into Spark's
+    * parquet key, recursively. Fields without the delta key keep
+    * physical == logical (the same pre-mapping rule graft's own tables
+    * use). `copyFieldIds` is the table's mode: NAME-mode schemas carry
+    * `delta.columnMapping.id` metadata too, but their FILES resolve by
+    * physical name and may predate field-id stamping — requesting ids
+    * there would refuse files id resolution was never meant for. */
+  def fromDeltaSchema(schema: StructType, copyFieldIds: Boolean = false): StructType =
+    StructType(schema.fields.map(f => translateField(f, copyFieldIds)))
+
+  private def translateField(f: StructField, copyFieldIds: Boolean): StructField = {
     val dt = f.dataType match {
-      case s: StructType => fromDeltaSchema(s)
-      case a: ArrayType => a.copy(elementType = translateType(a.elementType))
-      case m: MapType => m.copy(keyType = translateType(m.keyType),
-        valueType = translateType(m.valueType))
+      case s: StructType => fromDeltaSchema(s, copyFieldIds)
+      case a: ArrayType => a.copy(elementType = translateType(a.elementType, copyFieldIds))
+      case m: MapType => m.copy(keyType = translateType(m.keyType, copyFieldIds),
+        valueType = translateType(m.valueType, copyFieldIds))
       case other => other
     }
-    val md =
-      if (f.metadata.contains(DeltaPhysKey))
-        new MetadataBuilder().withMetadata(f.metadata)
-          .putString(PhysKey, f.metadata.getString(DeltaPhysKey)).build()
-      else f.metadata
-    f.copy(dataType = dt, metadata = md)
+    var b = new MetadataBuilder().withMetadata(f.metadata)
+    var changed = false
+    if (f.metadata.contains(DeltaPhysKey)) {
+      b = b.putString(PhysKey, f.metadata.getString(DeltaPhysKey)); changed = true
+    }
+    if (copyFieldIds && f.metadata.contains(DeltaIdKey)) {
+      b = b.putLong(FieldIdKey, f.metadata.getLong(DeltaIdKey)); changed = true
+    }
+    f.copy(dataType = dt, metadata = if (changed) b.build() else f.metadata)
   }
 
-  private def translateType(dt: DataType): DataType = dt match {
-    case s: StructType => fromDeltaSchema(s)
-    case a: ArrayType => a.copy(elementType = translateType(a.elementType))
-    case m: MapType => m.copy(keyType = translateType(m.keyType),
-      valueType = translateType(m.valueType))
+  /** Any field (nested included) carrying a parquet field id — the signal
+    * that reads must enable Spark's field-id resolution. */
+  def hasFieldIds(schema: StructType): Boolean = {
+    def inType(dt: DataType): Boolean = dt match {
+      case s: StructType => s.fields.exists(f =>
+        f.metadata.contains(FieldIdKey) || inType(f.dataType))
+      case a: ArrayType => inType(a.elementType)
+      case m: MapType => inType(m.keyType) || inType(m.valueType)
+      case _ => false
+    }
+    inType(schema)
+  }
+
+  private def translateType(dt: DataType, copyFieldIds: Boolean): DataType = dt match {
+    case s: StructType => fromDeltaSchema(s, copyFieldIds)
+    case a: ArrayType => a.copy(elementType = translateType(a.elementType, copyFieldIds))
+    case m: MapType => m.copy(keyType = translateType(m.keyType, copyFieldIds),
+      valueType = translateType(m.valueType, copyFieldIds))
     case other => other
   }
 
@@ -82,12 +115,21 @@ object ColumnMapping {
     case _ => false
   }
 
+  /** Metadata carrying ONLY the parquet field id (empty when absent):
+    * the one key the physical read schema must keep — Spark's readers
+    * resolve id-mode columns through it. */
+  private def fieldIdOnly(md: Metadata): Metadata =
+    if (md.contains(FieldIdKey))
+      new MetadataBuilder().putLong(FieldIdKey, md.getLong(FieldIdKey)).build()
+    else Metadata.empty
+
   /** `dt` with every nested field under its PHYSICAL name, metadata
-    * stripped — the spelling the parquet files use. */
+    * stripped down to the parquet field id (if any) — the spelling the
+    * parquet files use, plus the id Spark's readers resolve by. */
   def physicalType(dt: DataType): DataType = dt match {
     case s: StructType => StructType(s.fields.map(f =>
       f.copy(name = physicalName(f), dataType = physicalType(f.dataType),
-        metadata = Metadata.empty)))
+        metadata = fieldIdOnly(f.metadata))))
     case a: ArrayType => a.copy(elementType = physicalType(a.elementType))
     case m: MapType => m.copy(keyType = physicalType(m.keyType),
       valueType = physicalType(m.valueType))
@@ -109,7 +151,7 @@ object ColumnMapping {
   def physicalSchema(schema: StructType): StructType =
     StructType(schema.fields.map(f =>
       f.copy(name = physicalName(f),
-        dataType = physicalType(f.dataType), metadata = Metadata.empty)))
+        dataType = physicalType(f.dataType), metadata = fieldIdOnly(f.metadata))))
 
   def physicalOf(schema: StructType, logical: String): String =
     schema.fields.find(_.name == logical).map(physicalName).getOrElse(logical)

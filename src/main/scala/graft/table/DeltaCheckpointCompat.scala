@@ -26,7 +26,10 @@ import java.nio.file.Path
   */
 object DeltaCheckpointCompat {
 
-  /** Fold the delta checkpoint parquet file(s) at `cp` into a Snapshot.
+  /** Fold the delta checkpoint file(s) at `cp` into a Snapshot — classic
+    * single parquet, multi-part parquet, or a V2 manifest
+    * (`<v>.checkpoint.<uuid>.{parquet|json}`) whose `sidecar` actions
+    * reference add/remove parquet files under `_delta_log/_sidecars/`.
     * Requires an active SparkSession (always true under any graft read
     * path — forPath/catalog/queries all run inside one). */
   def read(files: Seq[Path], cp: Long): Snapshot = {
@@ -50,10 +53,49 @@ object DeltaCheckpointCompat {
           "silently drop live files)")
     }
     val spark = org.apache.spark.sql.SparkSession.active
-    val actions = spark.read.parquet(files.map(_.toString): _*)
-      .toJSON.collect().iterator
-      .filter(l => l.nonEmpty && l != "{}")
-      .map(Actions.fromJson).toSeq
+    def linesOf(fs: Seq[Path]): Seq[String] =
+      if (fs.exists(_.toString.endsWith(".json")))
+        // a v2 manifest may be JSON lines — same action-per-line shape
+        fs.flatMap(f => new String(java.nio.file.Files.readAllBytes(f),
+          java.nio.charset.StandardCharsets.UTF_8).split('\n').toSeq)
+      else spark.read.parquet(fs.map(_.toString): _*).toJSON.collect().toSeq
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val raw = linesOf(files).filter(l => l.nonEmpty && l != "{}")
+    // V2 layout: `checkpointMetadata` names the checkpoint's version
+    // (validated — a torn rename could leave a mismatched manifest);
+    // `sidecar` actions reference the add/remove files. Both action types
+    // exist only in v2 manifests; classic checkpoints have neither.
+    val sidecarPaths = scala.collection.mutable.ArrayBuffer[Path]()
+    val logDir = files.head.getParent
+    val plain = raw.filter { l =>
+      val n = mapper.readTree(l)
+      if (n.has("checkpointMetadata")) {
+        val declared = n.get("checkpointMetadata").get("version").asLong()
+        require(declared == cp,
+          s"v2 checkpoint manifest at $cp declares version $declared — " +
+            "refusing a mismatched (torn?) manifest")
+        false
+      } else if (n.has("sidecar")) {
+        val rel = n.get("sidecar").get("path").asText()
+        // the spec allows absolute sidecar URIs; graft refuses them like
+        // every other absolute-path spelling (escape from the table root)
+        require(!rel.contains("://") && !rel.startsWith("/"),
+          s"v2 checkpoint sidecar path '$rel' is absolute — only " +
+            "_delta_log/_sidecars/-relative names are readable")
+        val p = logDir.resolve("_sidecars").resolve(rel)
+        require(java.nio.file.Files.isRegularFile(p),
+          s"v2 checkpoint $cp references sidecar $rel which does not " +
+            "exist — refusing to fold a torn checkpoint (missing sidecars " +
+            "would silently drop live files)")
+        sidecarPaths += p
+        false
+      } else true
+    }
+    val sidecarLines =
+      if (sidecarPaths.isEmpty) Nil
+      else spark.read.parquet(sidecarPaths.map(_.toString).toSeq: _*)
+        .toJSON.collect().toSeq.filter(l => l.nonEmpty && l != "{}")
+    val actions = (plain ++ sidecarLines).map(Actions.fromJson)
     val meta = actions.collectFirst { case m: MetaData => m }.getOrElse(
       throw new IllegalStateException(s"delta checkpoint $cp lacks metaData"))
     Snapshot(cp, meta,

@@ -78,7 +78,10 @@ final class GraftLog(val tablePath: String,
       if (!store.isDirectory(logDir)) None
       else {
         listingCount += 1
-        store.list(logDir, "*.checkpoint*.parquet")
+        // one glob covers every checkpoint spelling: graft json/parquet,
+        // delta classic/multi-part parquet, and v2 UUID manifests (which
+        // may be .json — the old *.parquet glob missed those)
+        store.list(logDir, "*.checkpoint*")
           .map(_.getFileName.toString)
           .flatMap(n => "^(\\d{20})\\.checkpoint".r
             .findFirstMatchIn(n).map(_.group(1).toLong))
@@ -805,19 +808,31 @@ final class GraftLog(val tablePath: String,
 
   /** The delta-spark checkpoint file set at `cp`: the single
     * `%020d.checkpoint.parquet` (same name graft uses — the content, not
-    * the name, decides the codec) or delta's multi-part
+    * the name, decides the codec), delta's multi-part
     * `%020d.checkpoint.%010d.%010d.parquet` naming (part i of n, no
-    * manifest — one listing resolves the set). */
+    * manifest — one listing resolves the set), or a V2 checkpoint's
+    * UUID-named manifest `%020d.checkpoint.<uuid>.{parquet|json}` (one
+    * complete checkpoint per manifest; its `sidecar` actions name the
+    * rest — DeltaCheckpointCompat resolves them). */
   private def deltaCheckpointFiles(cp: Long): Seq[Path] = {
     val single = parquetCheckpointFile(cp)
     if (store.isRegularFile(single)) Seq(single)
     else {
       listingCount += 1
       if (!store.isDirectory(logDir)) Nil
-      else store.list(logDir, f"$cp%020d.checkpoint.*.parquet")
-        .filter(_.getFileName.toString
+      else {
+        val listed = store.list(logDir, f"$cp%020d.checkpoint.*")
+        val multi = listed.filter(_.getFileName.toString
           .matches("\\d{20}\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet"))
-        .sortBy(_.getFileName.toString)
+          .sortBy(_.getFileName.toString)
+        if (multi.nonEmpty) multi
+        // any ONE v2 manifest is a complete checkpoint (a writer may leave
+        // several; each is self-contained) — take the lexicographically
+        // first for determinism
+        else listed.filter(_.getFileName.toString
+          .matches("\\d{20}\\.checkpoint\\.[0-9a-zA-Z-]+\\.(parquet|json)"))
+          .sortBy(_.getFileName.toString).take(1)
+      }
     }
   }
 
@@ -872,17 +887,20 @@ final class GraftLog(val tablePath: String,
   /** Feature gate driven by the table CONFIGURATION of a foreign Delta
     * log. NAME-mode column mapping reads natively (the fold translates
     * `delta.columnMapping.physicalName` into graft's own key, see
-    * Actions.fromJson / ColumnMapping.fromDeltaSchema); ID mode resolves
-    * columns by parquet field id — a lookup this reader does not perform,
-    * so opening such a table would project garbage: refuse loudly. */
+    * Actions.fromJson / ColumnMapping.fromDeltaSchema); ID mode reads
+    * natively too since round 14 — the fold copies delta's field ids
+    * into Spark's `parquet.field.id` metadata and every parquet read
+    * path (V1 scan, vectorized V2 factory) enables Spark's field-id
+    * resolution when the schema carries ids. Any OTHER mode a future
+    * protocol invents refuses loudly. */
   private def gateForeignMetadata(meta: MetaData): Unit = {
     val mode = meta.properties.get("delta.columnMapping.mode")
       .filterNot(m => m.isEmpty || m.equalsIgnoreCase("none") ||
-        m.equalsIgnoreCase("name"))
+        m.equalsIgnoreCase("name") || m.equalsIgnoreCase("id"))
     if (mode.isDefined) throw new GraftProtocolException(
       s"table $tablePath is a Delta table with columnMapping.mode=" +
-        s"${mode.get} — columns resolve by parquet field id, a lookup " +
-        "this reader does not perform (name mode reads natively)")
+        s"${mode.get} — a resolution rule this reader does not know " +
+        "(name and id modes read natively)")
   }
 
   /** The unsupported-reader-feature gate. Applied to EVERY snapshot this
@@ -956,10 +974,10 @@ final class GraftLog(val tablePath: String,
                   replay(0L, v, None)
                 case scala.util.Failure(e2) => throw new GraftProtocolException(
                   s"checkpoint $cp of $tablePath decodes as neither a graft " +
-                    "checkpoint nor a Delta 1.x single/multi-part parquet " +
-                    "checkpoint (a v2 checkpoint with sidecars?), and the " +
-                    "JSON commits before it were already cleaned up — " +
-                    s"cannot fold version $v: graft codec: $e; delta: $e2")
+                    "checkpoint nor a Delta single/multi-part/v2 " +
+                    "checkpoint, and the JSON commits before it were " +
+                    s"already cleaned up — cannot fold version $v: " +
+                    s"graft codec: $e; delta: $e2")
               }
           }
         case None => replay(0L, v, None)

@@ -56,14 +56,25 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val physSchema =
       if (!withMaterializedRowId) physSchema0
       else physSchema0.add(StructField(GraftTable.RowIdCol, LongType, nullable = true))
+    // id-mode column mapping: the physical schema carries parquet field
+    // ids — flip Spark's field-id resolution on (a session conf; no-op
+    // for id-less schemas) so the scan binds columns by id, not name
+    if (ColumnMapping.hasFieldIds(physSchema))
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], physSchema)
-    else if (s.metaData.partitionColumns.nonEmpty)
+    else if (s.metaData.partitionColumns.nonEmpty) {
       // basePath reconstructs partition columns from Hive-style dir names;
       // it requires every file under the table root
-      spark.read.schema(physSchema).option("basePath", path)
+      val raw = spark.read.schema(physSchema).option("basePath", path)
         .parquet(files.map(f => s"$path/${f.path}"): _*)
-    else
+      // partitioned AND bucketed: basePath inference appends the hidden
+      // __bucket dir as an extra trailing column — project it away (the
+      // bucket id is layout, never schema)
+      if (Bucketing.spec(s.metaData).isDefined)
+        raw.select(physSchema.fieldNames.map(n => raw(n)).toIndexedSeq: _*)
+      else raw
+    } else
       // no basePath: shallow-clone references ("../src/...") stay readable
       spark.read.schema(physSchema)
         .parquet(files.map(f => s"$path/${f.path}"): _*)
@@ -814,8 +825,14 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // (A driver-side re-formatting of collected row values disagreed for
     // null and timestamp partitions, leaving the old generation alive
     // beside the new one.) The set is bounded by the partitions written.
-    val combos = adds.map(_.partitionValues).toSet
-    val touched = s.files.filter(f => combos.contains(f.partitionValues))
+    // a bucketed table's partitionValues also carry the hidden __bucket id
+    // — strip it on BOTH sides: the overwrite unit is the Hive partition,
+    // and keeping the bucket would spare old files in buckets the new
+    // data happens to miss (a partial, wrong overwrite)
+    def hiveOnly(pv: Map[String, String]): Map[String, String] =
+      pv - Bucketing.BucketCol
+    val combos = adds.map(a => hiveOnly(a.partitionValues)).toSet
+    val touched = s.files.filter(f => combos.contains(hiveOnly(f.partitionValues)))
     // operator-level CDC: every row of a replaced partition is deleted,
     // every replacement row inserted
     val cdc = writeCdcFiles(s,
@@ -859,7 +876,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // would need a full rewrite, so the properties are create-time only
     require(key != Bucketing.ColumnProp && key != Bucketing.CountProp,
       s"$key is declared at CREATE (bucketBy / PARTITIONED BY bucket(n, col)) " +
-        "and cannot change — re-bucketing requires rewriting every file")
+        "and cannot change through SET TBLPROPERTIES — re-bucketing rewrites " +
+        "every file: use optimize(rebucketTo = (column, n))")
     val meta = s.metaData.copy(properties = s.metaData.properties + (key -> value))
     val feature: Option[String] = key match {
       case "deletionVectors.enabled" if value.equalsIgnoreCase("true") =>
@@ -1756,9 +1774,24 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
                  * under the declared clustering, conforming or not — the
                  * escape hatch when incremental cube boundaries have
                  * drifted from the data distribution. */
-               full: Boolean = false): Unit = {
+               full: Boolean = false,
+               /** Re-bucket the table to `bucket(n, column)` — the ONE
+                 * legal escape from create-time bucketing immutability,
+                 * because it IS the full rewrite the immutability rule
+                 * exists to make explicit: every file rewrites under the
+                 * new layout and the bucketing properties swap in the
+                 * SAME commit. Time travel below the commit folds the old
+                 * metaData, so old snapshots keep their old layout. */
+               rebucketTo: Option[(String, Int)] = None): Unit = {
     require(clusterBy.isEmpty || zorderBy.isEmpty,
       "clusterBy and zorderBy are exclusive")
+    rebucketTo match {
+      case Some((c, n)) =>
+        require(clusterBy.isEmpty && zorderBy.isEmpty && where.isEmpty && !full,
+          "rebucketTo is a standalone full rewrite — no clustering or scoping")
+        return rebucket(c, n, targetFileBytes)
+      case None => ()
+    }
     val s = snapshot
     // INCREMENTAL CLUSTERING (the Delta liquid-clustering direction): with
     // the table properties `clustering.columns` (+ optional
@@ -1918,6 +1951,43 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         // compat emits for delta streams and the tail reader skips on),
         // alongside the operation-name recognition graft always had
         scoped.map(f => RemoveFile(f.path, ts, dataChange = false)) ++
+        adds.map(a => a.copy(tags =
+          a.tags + (Actions.DataChangeFalseTag -> "true"))))
+  }
+
+  /** The `optimize(rebucketTo = ...)` rewrite: every live file reads back
+    * (deletion vectors applied — the rewrite purges them like any
+    * OPTIMIZE) and lands under the NEW `bucket(n, column)` layout; the
+    * bucketing properties swap in the same commit, so readers never see a
+    * half-bucketed table. Still a reorganization (rows unchanged):
+    * removes carry dataChange=false, outputs the reorg tag, streams skip
+    * it by operation name — but the conflict domain is the WHOLE table
+    * (a rebase past any concurrent change would rewrite it away). */
+  private def rebucket(column: String, n: Int, targetFileBytes: Long): Unit = {
+    val s = snapshot
+    val props = s.metaData.properties +
+      (Bucketing.ColumnProp -> column) + (Bucketing.CountProp -> n.toString)
+    Bucketing.validate(s.schema, s.metaData.partitionColumns, props)
+    val newMeta = s.metaData.copy(properties = props)
+    val totalBytes = s.files.map(_.size).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val rows =
+      if (!rowTrackingEnabled(s.metaData)) readFiles(s, s.files)
+      else readFilesMeta(s, s.files).drop("__fname", "__pos")
+    // co-locate each NEW bucket's rows before the partitioned write: a
+    // task then writes whole buckets instead of tasks × buckets fragments
+    val adds = writeDataMapped(
+      rows.repartition(nOut, Bucketing.idExpr(column, n)), newMeta)
+    commitDml(s,
+      TxnInfo(readWholeTable = true, None,
+        s.files.map(_.path).toSet, s.files.map(_.path).toSet),
+      (v, ts) =>
+        Seq(CommitInfo(v, ts, "OPTIMIZE",
+          Map("rebucketTo" -> s"bucket($n, $column)",
+              "numFilesBefore" -> s.files.size.toString,
+              "numFilesAfter" -> adds.size.toString)),
+          newMeta) ++
+        s.files.map(f => RemoveFile(f.path, ts, dataChange = false)) ++
         adds.map(a => a.copy(tags =
           a.tags + (Actions.DataChangeFalseTag -> "true"))))
   }

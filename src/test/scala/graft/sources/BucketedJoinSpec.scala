@@ -126,18 +126,123 @@ class BucketedJoinSpec extends SparkTestBase {
     assert(t.toDF.count() === docs.count())
   }
 
-  test("declaration-time refusals: mixing, retyping, and post-create flips") {
+  test("declaration-time refusals: retyping, bucket==partition col, post-create flips") {
     import spark.implicits._
     val df = Seq((1L, "a", 0.5)).toDF("id", "s", "d")
+    // bucketing the PARTITION column is redundant-and-wrong; a different
+    // partition column composes (dedicated test below)
     intercept[IllegalArgumentException](GraftTable.create(spark,
       tmpDir("bucket-bad1-") + "/t", df,
-      partitionBy = Seq("s"), bucketBy = Some(("id", 4))))
+      partitionBy = Seq("id"), bucketBy = Some(("id", 4))))
     intercept[IllegalArgumentException](GraftTable.create(spark,
       tmpDir("bucket-bad2-") + "/t", df, bucketBy = Some(("d", 4))))
     intercept[IllegalArgumentException](GraftTable.create(spark,
       tmpDir("bucket-bad3-") + "/t", df, bucketBy = Some(("nope", 4))))
     val t = GraftTable.create(spark, tmpDir("bucket-ok-") + "/t", df)
     intercept[IllegalArgumentException](t.setProperty(Bucketing.ColumnProp, "id"))
+  }
+
+  test("bucketing composes with Hive partitioning: day-partitioned bucketed pair joins exchange-free") {
+    catalogReady
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val pc = tmpDir("bucket-part-a-") + "/t"
+    val pd = tmpDir("bucket-part-b-") + "/t"
+    GraftTable.create(spark, pc, docs.select($"doc_id", $"lang", $"n_chars"),
+      partitionBy = Seq("lang"), bucketBy = Some(("doc_id", 8)))
+    GraftTable.create(spark, pd,
+      docs.select($"doc_id", $"lang",
+        size(split($"text", " ")).cast("long").as("n_tokens")),
+      partitionBy = Seq("lang"), bucketBy = Some(("doc_id", 8)))
+    // physical layout: hidden __bucket dirs NEST inside the partition dirs
+    val t = GraftTable.forPath(spark, pc)
+    t.snapshot.files.foreach { f =>
+      assert(f.partitionValues.contains("lang") &&
+        f.partitionValues.contains(Bucketing.BucketCol),
+        s"file ${f.path} must carry both the partition and bucket values")
+      assert(f.path.matches("lang=[^/]+/__bucket=\\d+/.*"),
+        s"expected lang=../__bucket=../ nesting, got ${f.path}")
+    }
+    // V1 read: the hidden dir must NOT leak into the schema, values intact
+    assert(t.toDF.columns.toSeq === Seq("doc_id", "lang", "n_chars"))
+    assert(t.toDF.count() === docs.count())
+    // DML purity through the rewrite chokepoint
+    t.delete($"doc_id" % 11 === 3)
+    t.snapshot.files.foreach { f =>
+      val declared = f.partitionValues(Bucketing.BucketCol).toInt
+      val held = spark.read.parquet(s"$pc/${f.path}")
+        .select(Bucketing.idExpr("doc_id", 8).as("b")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      assert(held == Seq(declared),
+        s"rewritten ${f.path} declares bucket $declared but holds $held")
+    }
+    // SPJ: both transforms report (identity(lang), bucket(8, doc_id)) and
+    // the fact-fact join on (lang, doc_id) plans ZERO exchange
+    spark.sql(s"CREATE TABLE bkt.default.pa USING graft LOCATION '$pc'")
+    spark.sql(s"CREATE TABLE bkt.default.pb USING graft LOCATION '$pd'")
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql(
+        """SELECT x.doc_id, x.lang, x.n_chars, y.n_tokens
+          |FROM bkt.default.pa x JOIN bkt.default.pb y
+          |ON x.doc_id = y.doc_id AND x.lang = y.lang""".stripMargin)
+      val p = executed(df)
+      assert(!p.contains("Exchange"),
+        s"partitioned+bucketed join must not shuffle:\n${p.take(2000)}")
+      // correctness vs the plain shuffle join over raw parquet
+      val expect = docs.select($"doc_id", $"lang").count()
+      assert(df.count() >= expect - docs.filter($"doc_id" % 11 === 3).count())
+    }
+  }
+
+  test("optimize(rebucketTo): full rewrite swaps the layout in ONE commit; time travel below intact") {
+    catalogReady
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir).select($"doc_id", $"n_chars")
+    val p = tmpDir("bucket-rebkt-") + "/t"
+    val t = GraftTable.create(spark, p, docs, bucketBy = Some(("doc_id", 4)))
+    t.delete($"doc_id" % 13 === 1)
+    val preVersion = t.latestVersion
+    val preRows = t.toDF.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // rebucket 4 → 16: one commit, every file rewritten, properties swap
+    t.optimize(rebucketTo = Some(("doc_id", 16)))
+    assert(t.latestVersion === preVersion + 1, "rebucket is ONE commit")
+    val s = t.snapshot
+    assert(Bucketing.spec(s.metaData) === Some(("doc_id", 16)))
+    s.files.foreach { f =>
+      val declared = f.partitionValues(Bucketing.BucketCol).toInt
+      val held = spark.read.parquet(s"$p/${f.path}")
+        .select(Bucketing.idExpr("doc_id", 16).as("b")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      assert(held == Seq(declared),
+        s"rebucketed ${f.path} declares bucket $declared under N=16 but holds $held")
+    }
+    // rows identical; history below the rebucket folds the OLD layout
+    assert(t.toDF.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      === preRows)
+    val old = t.snapshotAt(preVersion)
+    assert(Bucketing.spec(old.metaData) === Some(("doc_id", 4)))
+    assert(t.versionAsOf(preVersion).count() === preRows.size.toLong)
+    // SPJ plans on the NEW layout (joins b: bucket(8) ≠ bucket(16) would
+    // shuffle, so join a 16-bucket twin)
+    val p2 = tmpDir("bucket-rebkt2-") + "/t"
+    GraftTable.create(spark, p2,
+      docs.withColumnRenamed("n_chars", "nc2"), bucketBy = Some(("doc_id", 16)))
+    spark.sql(s"CREATE TABLE bkt.default.r16 USING graft LOCATION '$p'")
+    spark.sql(s"CREATE TABLE bkt.default.s16 USING graft LOCATION '$p2'")
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val plan = executed(spark.sql(
+        """SELECT x.doc_id, y.nc2 FROM bkt.default.r16 x
+          |JOIN bkt.default.s16 y ON x.doc_id = y.doc_id""".stripMargin))
+      assert(!plan.contains("Exchange"),
+        s"post-rebucket SPJ join must not shuffle:\n${plan.take(2000)}")
+    }
+    // rebucketTo composes with nothing else (standalone full rewrite)
+    intercept[IllegalArgumentException](
+      t.optimize(zorderBy = Seq("doc_id"), rebucketTo = Some(("doc_id", 8))))
   }
 
   test("maintenance preserves bucketing: OPTIMIZE compacts within buckets, COPY INTO buckets") {

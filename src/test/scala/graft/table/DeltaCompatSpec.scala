@@ -193,15 +193,15 @@ class DeltaCompatSpec extends SparkTestBase {
     assert(e1.getMessage.contains("deletion vector") &&
       e1.getMessage.contains("storageType"), s"got $e1")
 
-    // columnMapping.mode=name READS natively (mapped-read test below);
-    // mode=id resolves by parquet field id → refuse at the gate
+    // columnMapping name and id modes READ natively (dedicated tests
+    // below); a mode this reader does not know refuses at the gate
     val dir2 = tmpDir("delta-compat-gate2-")
     dataFile(dir2, "part-00000-aaa-c000.snappy.parquet", df(0 until 3))
     commit(dir2, 0, Seq(
       commitInfo(1619112345000L, "WRITE"),
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
       metaData(idSchema, configuration = Map(
-        "delta.columnMapping.mode" -> "id",
+        "delta.columnMapping.mode" -> "hypothetical",
         "delta.columnMapping.maxColumnId" -> "2"))))
     val e2 = intercept[GraftProtocolException] {
       GraftTable.forPath(spark, dir2).snapshot
@@ -265,6 +265,176 @@ class DeltaCompatSpec extends SparkTestBase {
     assert(t.scan(col("id") >= 2L).count() === 2L)
     // still read-only
     intercept[GraftProtocolException](t.delete(col("id") === 1L))
+  }
+
+  test("columnMapping.mode=id reads natively: columns resolve by parquet FIELD ID, not name") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("delta-compat-idmap-")
+    // The file's column NAMES match NOTHING in the delta schema — the
+    // Iceberg-conversion shape (converted tables keep their original
+    // parquet names); only the stamped field ids can bind the columns.
+    // Name-based resolution would read all-nulls, so correct values here
+    // PROVE the id lookup ran.
+    val fileSchema = StructType(Seq(
+      StructField("orig_key", LongType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 1L).build()),
+      StructField("orig_label", StringType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 2L).build())))
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val (sz, mt) = dataFile(dir, "part-00000-aaa-c000.snappy.parquet",
+      spark.createDataFrame(
+        java.util.Arrays.asList(Row(1L, "x"), Row(2L, "y"), Row(3L, "z")),
+        fileSchema))
+    val mappedSchema =
+      """{\"type\":\"struct\",\"fields\":[""" +
+        """{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{\"delta.columnMapping.id\":1,\"delta.columnMapping.physicalName\":\"col-aaa111\"}},""" +
+        """{\"name\":\"label\",\"type\":\"string\",\"nullable\":true,\"metadata\":{\"delta.columnMapping.id\":2,\"delta.columnMapping.physicalName\":\"col-bbb222\"}}]}"""
+    // delta stats stay keyed by PHYSICAL name in id mode too
+    val physStats =
+      """{\"numRecords\":3,\"minValues\":{\"col-aaa111\":1},\"maxValues\":{\"col-aaa111\":3},\"nullCount\":{\"col-aaa111\":0}}"""
+    commit(dir, 0, Seq(
+      commitInfo(1619112345000L, "WRITE"),
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaData(mappedSchema, configuration = Map(
+        "delta.columnMapping.mode" -> "id",
+        "delta.columnMapping.maxColumnId" -> "2")),
+      s"""{"add":{"path":"part-00000-aaa-c000.snappy.parquet","partitionValues":{},"size":$sz,"modificationTime":$mt,"dataChange":true,"stats":"$physStats"}}"""))
+    val t = GraftTable.forPath(spark, dir)
+    assert(t.toDF.columns.toSeq === Seq("id", "label"))
+    assert(t.toDF.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ===
+      Map(1L -> "x", 2L -> "y", 3L -> "z"),
+      "values must bind by field id (name lookup would serve nulls)")
+    // pruning still translates logical predicates to physical stat keys
+    assert(t.prunedFiles(t.snapshot, org.apache.spark.sql.functions.col("id") > 10L).isEmpty)
+    assert(t.scan(org.apache.spark.sql.functions.col("id") >= 2L).count() === 2L)
+    // a RENAME in the log history is metadata-only: same ids, new logical
+    commit(dir, 1, Seq(
+      commitInfo(1619112346000L, "RENAME COLUMN"),
+      metaData(mappedSchema.replace("""\"name\":\"label\"""", """\"name\":\"txt\""""),
+        configuration = Map(
+          "delta.columnMapping.mode" -> "id",
+          "delta.columnMapping.maxColumnId" -> "2"))))
+    val t2 = GraftTable.forPath(spark, dir)
+    assert(t2.toDF.columns.toSeq === Seq("id", "txt"))
+    assert(t2.toDF.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ===
+      Map(1L -> "x", 2L -> "y", 3L -> "z"))
+    // the STREAM decodes through the vectorized V2 factory — same id path
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "0").load(dir)
+      .writeStream.format("memory").queryName("idmap_stream")
+      .option("checkpointLocation", tmpDir("delta-compat-idmap-ckpt-"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("idmap_stream").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap ===
+      Map(1L -> "x", 2L -> "y", 3L -> "z"),
+      "the vectorized factory must resolve id-mode columns by field id")
+    // still read-only
+    intercept[GraftProtocolException](t2.delete(org.apache.spark.sql.functions.col("id") === 1L))
+  }
+
+  test("delta V2 checkpoint (UUID manifest + sidecars) folds; checkpoint-only survives cleanup; torn sidecar refuses") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // --- a foreign log whose checkpoint is V2: manifest + two sidecars ---
+    val dir = tmpDir("delta-compat-v2cp-")
+    val (sz1, mt1) = dataFile(dir, "part-00000-aaa-c000.snappy.parquet", df(0 until 4))
+    val (sz2, mt2) = dataFile(dir, "part-00001-bbb-c000.snappy.parquet", df(4 until 9))
+    commit(dir, 0, Seq(
+      commitInfo(1619112345000L, "WRITE"),
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+      metaData(idSchema),
+      add("part-00000-aaa-c000.snappy.parquet", sz1, mt1,
+        Some(stats(4, Map("id" -> 0), Map("id" -> 3), Map("id" -> 0L))))))
+    commit(dir, 1, Seq(
+      commitInfo(1619112346000L, "WRITE"),
+      add("part-00001-bbb-c000.snappy.parquet", sz2, mt2,
+        Some(stats(5, Map("id" -> 4), Map("id" -> 8), Map("id" -> 0L))))))
+    val jsonReplay = GraftTable.forPath(spark, dir).toDF
+      .collect().map(_.getLong(0)).sorted.toSeq
+
+    // the sidecars: add-action parquet under _delta_log/_sidecars/
+    val addType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType, true)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType)))
+    val sidecarSchema = StructType(Seq(StructField("add", addType)))
+    def sidecarRow(p: String, sz: Long, mt: Long) =
+      Row(Row(p, Map.empty[String, String], sz, mt, false))
+    dataFile(dir, "_delta_log/_sidecars/sc-aaa.parquet",
+      spark.createDataFrame(java.util.Arrays.asList(
+        sidecarRow("part-00000-aaa-c000.snappy.parquet", sz1, mt1)), sidecarSchema))
+    dataFile(dir, "_delta_log/_sidecars/sc-bbb.parquet",
+      spark.createDataFrame(java.util.Arrays.asList(
+        sidecarRow("part-00001-bbb-c000.snappy.parquet", sz2, mt2)), sidecarSchema))
+    // the manifest: metaData + protocol + checkpointMetadata + sidecar refs
+    val manifestSchema = StructType(Seq(
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(StructField("provider", StringType)))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType)),
+        StructField("createdTime", LongType)))),
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
+      StructField("checkpointMetadata", StructType(Seq(
+        StructField("version", LongType)))),
+      StructField("sidecar", StructType(Seq(
+        StructField("path", StringType),
+        StructField("sizeInBytes", LongType))))))
+    val plainSchema = idSchema.replace("\\\"", "\"")
+    def manifestRows(version: Long, sidecars: Seq[String]) = {
+      val rows = new java.util.ArrayList[Row]()
+      rows.add(Row(
+        Row("v2cp-1111", Row("parquet"), plainSchema, Seq.empty[String],
+          Map.empty[String, String], 1619112344000L),
+        Row(3, 7, Seq("v2Checkpoint"), Seq("v2Checkpoint")), null, null))
+      rows.add(Row(null, null, Row(version), null))
+      sidecars.foreach(s => rows.add(Row(null, null, null, Row(s, 1024L))))
+      rows
+    }
+    dataFile(dir, "_delta_log/00000000000000000001.checkpoint.4d2a55ae-0001.parquet",
+      spark.createDataFrame(manifestRows(1L, Seq("sc-aaa.parquet", "sc-bbb.parquet")),
+        manifestSchema))
+    Files.write(Paths.get(dir, "_delta_log", "_last_checkpoint"),
+      """{"version":1}""".getBytes("UTF-8"))
+    // cleanup: delete every JSON commit — the v2 checkpoint is now the
+    // ONLY seed (the delta-3.x metadata-cleanup shape that used to refuse)
+    Files.delete(Paths.get(dir, "_delta_log", f"${0L}%020d.json"))
+    Files.delete(Paths.get(dir, "_delta_log", f"${1L}%020d.json"))
+    val t = GraftTable.forPath(spark, dir)
+    assert(t.toDF.collect().map(_.getLong(0)).sorted.toSeq === jsonReplay,
+      "v2 checkpoint fold must equal the JSON replay")
+
+    // --- torn checkpoint: a manifest referencing a MISSING sidecar ---
+    // (checkpoint-only, like the cleaned shape above — with JSON commits
+    // intact a torn checkpoint falls back to full replay instead)
+    val dir2 = tmpDir("delta-compat-v2cp-torn-")
+    dataFile(dir2, "part-00000-aaa-c000.snappy.parquet", df(0 until 3))
+    dataFile(dir2, "_delta_log/00000000000000000001.checkpoint.4d2a55ae-0002.parquet",
+      spark.createDataFrame(manifestRows(1L, Seq("sc-lost.parquet")), manifestSchema))
+    Files.write(Paths.get(dir2, "_delta_log", "_last_checkpoint"),
+      """{"version":1}""".getBytes("UTF-8"))
+    val e = intercept[Exception](GraftTable.forPath(spark, dir2).toDF.count())
+    assert(e.getMessage.contains("sidecar"),
+      s"torn v2 checkpoint must refuse naming the sidecar, got $e")
+
+    // --- mismatched manifest version refuses ---
+    val dir3 = tmpDir("delta-compat-v2cp-mismatch-")
+    dataFile(dir3, "part-00000-aaa-c000.snappy.parquet", df(0 until 3))
+    dataFile(dir3, "_delta_log/00000000000000000001.checkpoint.4d2a55ae-0003.parquet",
+      spark.createDataFrame(manifestRows(7L, Nil), manifestSchema))
+    Files.write(Paths.get(dir3, "_delta_log", "_last_checkpoint"),
+      """{"version":1}""".getBytes("UTF-8"))
+    val e2 = intercept[Exception](GraftTable.forPath(spark, dir3).toDF.count())
+    assert(e2.getMessage.contains("declares version"), s"got $e2")
   }
 
   test("foreign delta logs are read-only: every write path refuses with the migration hint") {
