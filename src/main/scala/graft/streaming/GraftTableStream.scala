@@ -407,13 +407,9 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
         // (columns IN the file). A partitioned FOREIGN cdc action without
         // values is malformed — refuse loudly, never stream silent NULLs.
         if (cdc.nonEmpty) cdc.foreach { c =>
-          def valueOf(pc: String): Option[String] = {
-            val phys = schema.fields.find(_.name == pc)
-              .map(f => graft.table.ColumnMapping.physicalName(f)).getOrElse(pc)
-            c.partitionValues.get(phys).orElse(c.partitionValues.get(pc))
-          }
-          val colsFromAction =
-            partitionCols.nonEmpty && partitionCols.forall(pc => valueOf(pc).isDefined)
+          val colsFromAction = graft.table.ColumnMapping
+            .cdcPartitionValues(schema, partitionCols, c.partitionValues)
+            .isDefined
           if (partitionCols.nonEmpty && !colsFromAction && foreignProvenance)
             throw new graft.table.GraftProtocolException(
               s"cdc action of PARTITIONED foreign Delta table $tablePath at " +
@@ -425,7 +421,12 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
             c.path.substring(c.path.lastIndexOf('/') + 1),
             constOverrides = Seq("_commit_version" -> v.toString,
               "_commit_timestamp" -> commitTs),
-            partitionColsInFile = !colsFromAction)
+            // partitionColsInFile also selects the requested NAME SPACE:
+            // graft-native sidecars are logical-named; foreign delta cdc
+            // files spell physical names (+ field ids in id mode), so a
+            // foreign unpartitioned cdc must still take the physical
+            // branch or column mapping would decode silent NULLs
+            partitionColsInFile = !colsFromAction && !foreignProvenance)
         }
         else if (removes.isEmpty) insertParts(adds.filter(dataChanging), v)
         else throw new IllegalStateException(

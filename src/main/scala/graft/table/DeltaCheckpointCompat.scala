@@ -68,6 +68,12 @@ object DeltaCheckpointCompat {
     val sidecarPaths = scala.collection.mutable.ArrayBuffer[Path]()
     val logDir = files.head.getParent
     val plain = raw.filter { l =>
+      // cheap substring gate first: a classic checkpoint is millions of
+      // add lines and can never contain these v2-only actions — parsing
+      // every line twice just to probe two keys would double the
+      // driver-side fold cost of every foreign table open
+      if (!l.contains("\"checkpointMetadata\"") && !l.contains("\"sidecar\"")) true
+      else {
       val n = mapper.readTree(l)
       if (n.has("checkpointMetadata")) {
         val declared = n.get("checkpointMetadata").get("version").asLong()
@@ -90,6 +96,7 @@ object DeltaCheckpointCompat {
         sidecarPaths += p
         false
       } else true
+      }
     }
     val sidecarLines =
       if (sidecarPaths.isEmpty) Nil

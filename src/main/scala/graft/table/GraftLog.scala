@@ -316,39 +316,58 @@ final class GraftLog(val tablePath: String,
         "(CALL graft.system.import_delta) first")
 
   /** Memoized but INVALIDATABLE: [[adoptForeignDelta]] flips ownership in
-    * place, so the probe cannot be a one-shot lazy val. */
-  @volatile private var foreignDeltaCache: Option[Boolean] = None
+    * place, so the probe cannot be a one-shot lazy val. The cache carries
+    * (isForeign, hasForeignPrefix, latestVersion at probe time): for
+    * ADOPTED logs (foreign prefix, graft-marked head) the answer
+    * re-validates whenever the log GREW past the probed version — a
+    * foreign engine committing past the adoption must flip even a
+    * long-lived handle back to read-only foreign, not only fresh opens. */
+  @volatile private var foreignDeltaCache: Option[(Boolean, Boolean, Long)] = None
 
-  private def foreignDeltaLog: Boolean = foreignDeltaCache.getOrElse {
-    val r = exists && {
+  /** The newest commit carries the graft ownership markers (the adopting
+    * commit, then every compat commit graft writes). */
+  private def graftOwnedHead(lv: Long): Boolean =
+    try !checkpointOnly &&
+      store.readLines(versionFile(lv)).exists(Actions.hasGraftWriterMarker)
+    catch { case _: Exception => false }
+
+  private def foreignDeltaLog: Boolean = foreignDeltaCache match {
+    // stable answers: a natively-graft log never becomes foreign, and a
+    // foreign log only becomes graft's through adoptForeignDelta (which
+    // rewrites the cache itself); another HANDLE's adoption keeps this one
+    // refusing writes until reopened — conservative, never corrupting
+    case Some((ans, false, _)) => ans
+    case Some((true, _, _)) => true
+    // ADOPTED: contested-ownership check — if the log grew since the
+    // probe, re-read just the newest commit's marker (cached read)
+    case Some((false, true, v0)) =>
+      val lv = latestVersion
+      if (lv == v0) false
+      else {
+        val owned = graftOwnedHead(lv)
+        foreignDeltaCache = Some((!owned, true, lv))
+        !owned
+      }
+    case None =>
+      val lv = if (exists) latestVersion else -1L
       // checkpointOnly ⇒ foreign: graft's own cleanup always retains the
       // boundary JSON, so a zero-JSON log can only be delta-spark's. A
       // delta-shaped earliest commit is graft's own when it carries the
       // compat.delta.write authorship marker (metaData configuration or
       // commitInfo.engineInfo — present in every compat commit).
-      val foreignByEarliest =
+      val foreignByEarliest = exists && {
         try checkpointOnly || {
           val lines = store.readLines(versionFile(earliestVersion))
           lines.exists(Actions.isDeltaShaped) &&
             !lines.exists(Actions.hasGraftWriterMarker)
         } catch { case _: Exception => false }
-      // ADOPTED logs keep their foreign prefix forever, but their NEWEST
-      // commit carries the graft ownership markers (the adopting commit,
-      // then every compat commit graft writes). If a foreign engine wrote
-      // PAST the adoption, the newest commit loses the marker and the
-      // table flips back to read-only foreign — the safe default for
-      // contested ownership (re-adopt to reclaim).
-      foreignByEarliest && {
-        val adopted =
-          try !checkpointOnly &&
-            store.readLines(versionFile(latestVersion))
-              .exists(Actions.hasGraftWriterMarker)
-          catch { case _: Exception => false }
-        !adopted
       }
-    }
-    foreignDeltaCache = Some(r)
-    r
+      // If a foreign engine wrote PAST an adoption, the newest commit
+      // loses the marker and the table is read-only foreign — the safe
+      // default for contested ownership (re-adopt to reclaim).
+      val r = foreignByEarliest && !graftOwnedHead(lv)
+      foreignDeltaCache = Some((r, foreignByEarliest, lv))
+      r
   }
 
   /** One-shot bypass for the adopting commit ([[adoptForeignDelta]]). */
@@ -368,7 +387,7 @@ final class GraftLog(val tablePath: String,
     adoptionInProgress = true
     try commit(v, actions)
     finally adoptionInProgress = false
-    foreignDeltaCache = Some(false)
+    foreignDeltaCache = Some((false, true, v))
   }
 
   def commit(v: Long, actions0: Seq[Action]): Unit = {
@@ -828,10 +847,15 @@ final class GraftLog(val tablePath: String,
         if (multi.nonEmpty) multi
         // any ONE v2 manifest is a complete checkpoint (a writer may leave
         // several; each is self-contained) — take the lexicographically
-        // first for determinism
-        else listed.filter(_.getFileName.toString
-          .matches("\\d{20}\\.checkpoint\\.[0-9a-zA-Z-]+\\.(parquet|json)"))
-          .sortBy(_.getFileName.toString).take(1)
+        // first for determinism. A PURE-DIGIT middle is excluded: that is
+        // graft's own multipart PART naming (%020d.checkpoint.%010d), and
+        // a crash mid-multipart-publish leaves manifest-less part debris
+        // that must stay invisible, never masquerade as a v2 manifest.
+        else listed.filter { p =>
+          val n = p.getFileName.toString
+          n.matches("\\d{20}\\.checkpoint\\.[0-9a-zA-Z-]+\\.(parquet|json)") &&
+            !n.matches("\\d{20}\\.checkpoint\\.\\d+\\.(parquet|json)")
+        }.sortBy(_.getFileName.toString).take(1)
       }
     }
   }

@@ -56,11 +56,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val physSchema =
       if (!withMaterializedRowId) physSchema0
       else physSchema0.add(StructField(GraftTable.RowIdCol, LongType, nullable = true))
-    // id-mode column mapping: the physical schema carries parquet field
-    // ids — flip Spark's field-id resolution on (a session conf; no-op
-    // for id-less schemas) so the scan binds columns by id, not name
-    if (ColumnMapping.hasFieldIds(physSchema))
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    ensureFieldIdResolution(physSchema)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], physSchema)
     else if (s.metaData.partitionColumns.nonEmpty) {
@@ -79,6 +75,16 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       spark.read.schema(physSchema)
         .parquet(files.map(f => s"$path/${f.path}"): _*)
   }
+
+  /** id-mode column mapping: Spark resolves parquet columns by field id
+    * only when this session conf is on. Flipping it is a no-op for
+    * id-less schemas (name resolution unchanged), so EVERY read path that
+    * builds its own `spark.read` (the V1 scan, the change feed) calls
+    * this one chokepoint with its physical read schema; the vectorized V2
+    * factory sets the equivalent per-task hadoop flag itself. */
+  private def ensureFieldIdResolution(physSchema: StructType): Unit =
+    if (ColumnMapping.hasFieldIds(physSchema))
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
   /** Rename a physical-named frame back to the snapshot's logical names
     * (identity — and zero plan nodes — when mapping is inactive), keeping
@@ -1347,14 +1353,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       // mid-life), so the split is per file, never per table.
       val cdcSchema = cur.schema.add(StructField("_change_type", StringType, nullable = false))
       val partCols = cur.metaData.partitionColumns
-      def valueOf(c: CdcFile, pc: String): Option[String] = {
-        val phys = cur.schema.fields.find(_.name == pc)
-          .map(ColumnMapping.physicalName).getOrElse(pc)
-        c.partitionValues.get(phys).orElse(c.partitionValues.get(pc))
-      }
-      val (shaped, inFile) =
-        if (partCols.isEmpty) (Nil, cdcFiles)
-        else cdcFiles.partition(c => partCols.forall(pc => valueOf(c, pc).isDefined))
+      def shapeOf(c: CdcFile): Option[Seq[String]] =
+        ColumnMapping.cdcPartitionValues(cur.schema, partCols, c.partitionValues)
+      val (shaped, inFile) = cdcFiles.partition(c => shapeOf(c).isDefined)
       // a partitioned FOREIGN cdc action without partitionValues is
       // malformed (nothing can reconstitute the columns) — refuse loudly
       // rather than serve silent NULLs
@@ -1364,19 +1365,37 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           s"cdc action of PARTITIONED foreign Delta table $path at version " +
             s"$v carries no partitionValues; the change feed cannot " +
             "reconstitute its partition columns")
+      val foreignTable = cur.metaData.properties.contains(Actions.DeltaReadMarker)
       val inFileDf =
         if (inFile.isEmpty) Nil
-        else Seq(spark.read.schema(cdcSchema)
-          .parquet(inFile.map(c => Paths.get(path, c.path).toString): _*))
+        else if (!foreignTable)
+          // graft-native sidecars are written from LOGICAL-named frames
+          // (writeCdcFiles) — request logical names directly
+          Seq(spark.read.schema(cdcSchema)
+            .parquet(inFile.map(c => Paths.get(path, c.path).toString): _*))
+        else {
+          // FOREIGN delta cdc files spell PHYSICAL column names (and carry
+          // field ids in id mode) — read physically, rename back to
+          // logical, exactly like data files; a logical-named request
+          // would silently serve NULL columns under column mapping
+          val physFull = ColumnMapping.physicalSchema(cur.schema)
+            .add(StructField("_change_type", StringType, nullable = false))
+          ensureFieldIdResolution(physFull)
+          val base = spark.read.schema(physFull)
+            .parquet(inFile.map(c => Paths.get(path, c.path).toString): _*)
+          Seq(base.select(cur.schema.fields.map(ColumnMapping.logicalColumn).toSeq
+            :+ col("_change_type"): _*))
+        }
       // delta-shaped files read through the non-partition (physical-named)
       // schema, rename back to logical, then attach the decoded partition
       // values as constants — same cast the Hive dir decode applies
       val nonPart = StructType(cur.schema.fields.filterNot(f => partCols.contains(f.name)))
       val physData = ColumnMapping.physicalSchema(nonPart)
         .add(StructField("_change_type", StringType, nullable = false))
+      ensureFieldIdResolution(physData)
       val sentinel = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .DEFAULT_PARTITION_NAME
-      val shapedDfs = shaped.groupBy(c => partCols.map(pc => valueOf(c, pc).get))
+      val shapedDfs = shaped.groupBy(c => shapeOf(c).get)
         .toSeq.map { case (vals, cs) =>
           val base = spark.read.schema(physData)
             .parquet(cs.map(c => Paths.get(path, c.path).toString): _*)

@@ -247,6 +247,23 @@ class DeltaAdoptionSpec extends SparkTestBase {
     assert(ids(again).contains(300L))
   }
 
+  test("a LONG-LIVED adopted handle detects a foreign write too (no stale ownership cache)") {
+    val dir = foreignTable()
+    val t = GraftTable.adoptDelta(spark, dir)
+    t.append(df(10 until 12)) // warm the ownership cache on THIS handle
+    assert(ids(t).contains(10L))
+    // a foreign engine commits past the adoption while the handle lives
+    val (s3, m3) = dataFile(dir, "part-00010-foreign-c000.snappy.parquet", df(95 until 97))
+    commit(dir, t.latestVersion + 1, Seq(infoLine(1619112400000L, "WRITE"),
+      addLine("part-00010-foreign-c000.snappy.parquet", s3, m3, 2L)))
+    // the SAME handle must refuse its next write — a memoized "owned"
+    // answer here would interleave graft commits with the contesting
+    // engine's, the exact dual-writer state the flip exists to prevent
+    val e = intercept[GraftProtocolException](t.append(df(500 until 501)))
+    assert(e.getMessage.contains("adopt_delta"),
+      s"stale ownership cache: the live handle wrote past a foreign commit ($e)")
+  }
+
   test("adopt_delta procedure: one CALL, ownership taken, result row reports it") {
     val dir = foreignTable()
     graft.sources.GraftCatalog.register(spark, tmpDir("adopt-wh-"), name = "adpt")

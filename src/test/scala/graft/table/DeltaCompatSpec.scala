@@ -265,6 +265,20 @@ class DeltaCompatSpec extends SparkTestBase {
     assert(t.scan(col("id") >= 2L).count() === 2L)
     // still read-only
     intercept[GraftProtocolException](t.delete(col("id") === 1L))
+
+    // foreign cdc files spell PHYSICAL names too — the change feed must
+    // read them physically and rename, or every mapped column serves NULL
+    val (szC, _) = dataFile(dir, "_change_data/cdc-cmap-c000.snappy.parquet",
+      Seq((3L, "z", "delete")).toDF("col-aaa111", "col-bbb222", "_change_type"))
+    commit(dir, 1, Seq(
+      commitInfo(1619112346000L, "DELETE"),
+      s"""{"remove":{"path":"part-00000-aaa-c000.snappy.parquet","deletionTimestamp":1619112346000,"dataChange":true}}""",
+      s"""{"cdc":{"path":"_change_data/cdc-cmap-c000.snappy.parquet","partitionValues":{},"size":$szC,"dataChange":false}}"""))
+    val ch = GraftTable.forPath(spark, dir).changes(0, 1)
+      .select("id", "label", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(ch.toSeq === Seq((3L, "z", "delete")),
+      s"name-mapped cdc must bind physical names to logical columns, got ${ch.toSeq}")
   }
 
   test("columnMapping.mode=id reads natively: columns resolve by parquet FIELD ID, not name") {
@@ -332,6 +346,24 @@ class DeltaCompatSpec extends SparkTestBase {
       "the vectorized factory must resolve id-mode columns by field id")
     // still read-only
     intercept[GraftProtocolException](t2.delete(org.apache.spark.sql.functions.col("id") === 1L))
+
+    // the CHANGE FEED binds by field id too, even when no prior read
+    // flipped the session flag (changes() builds its own spark.read — it
+    // must enable field-id resolution itself, never depend on read order)
+    val (szC, _) = dataFile(dir, "_change_data/cdc-idmap-c000.snappy.parquet",
+      spark.createDataFrame(
+        java.util.Arrays.asList(Row(3L, "z", "delete")),
+        fileSchema.add(StructField("_change_type", StringType, nullable = true))))
+    commit(dir, 2, Seq(
+      commitInfo(1619112347000L, "DELETE"),
+      s"""{"remove":{"path":"part-00000-aaa-c000.snappy.parquet","deletionTimestamp":1619112347000,"dataChange":true}}""",
+      s"""{"cdc":{"path":"_change_data/cdc-idmap-c000.snappy.parquet","partitionValues":{},"size":$szC,"dataChange":false}}"""))
+    spark.conf.unset("spark.sql.parquet.fieldId.read.enabled")
+    val ch = GraftTable.forPath(spark, dir).changes(1, 2)
+      .select("id", "txt", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(ch.toSeq === Seq((3L, "z", "delete")),
+      s"id-mode cdc must bind by field id (name lookup serves NULLs), got ${ch.toSeq}")
   }
 
   test("delta V2 checkpoint (UUID manifest + sidecars) folds; checkpoint-only survives cleanup; torn sidecar refuses") {
@@ -403,6 +435,13 @@ class DeltaCompatSpec extends SparkTestBase {
     dataFile(dir, "_delta_log/00000000000000000001.checkpoint.4d2a55ae-0001.parquet",
       spark.createDataFrame(manifestRows(1L, Seq("sc-aaa.parquet", "sc-bbb.parquet")),
         manifestSchema))
+    // crash DEBRIS: a graft-multipart-named part file with no manifest
+    // (%020d.checkpoint.%010d.parquet — a pure-digit middle) must stay
+    // invisible, never be picked as "the v2 manifest" (it sorts BEFORE
+    // the uuid name, so a greedy take(1) would fold garbage)
+    Files.write(Paths.get(dir, "_delta_log",
+      "00000000000000000001.checkpoint.0000000001.parquet"),
+      "not a parquet file".getBytes("UTF-8"))
     Files.write(Paths.get(dir, "_delta_log", "_last_checkpoint"),
       """{"version":1}""".getBytes("UTF-8"))
     // cleanup: delete every JSON commit — the v2 checkpoint is now the
