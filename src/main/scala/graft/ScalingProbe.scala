@@ -489,6 +489,35 @@ object ScalingProbe {
           s"bucketed join must stay exchange-free at ${m}x:\n${plan.take(1200)}")
         require(plan.contains("SortMergeJoin"), "co-located sort-merge expected")
         println(f"""BUCKET {"m":$m,"rows":$rows,"sec":$sec%.2f,"exchangeFree":true}""")
+
+        // the COMPOSED layout (round 14): Hive-partition by lang AND
+        // bucket by doc_id — the standard lakehouse fact shape. The SPJ
+        // key is (lang, bucket); the same exchange-free property must
+        // hold at every replication.
+        val pc = s"/tmp/graft-bkt-probe-$tag-$m-c"
+        val pd = s"/tmp/graft-bkt-probe-$tag-$m-d"
+        if (!graft.table.GraftTable.isGraftTable(pc))
+          graft.table.GraftTable.create(spark, pc,
+            docs.select($"doc_id", $"lang", $"n_chars"),
+            partitionBy = Seq("lang"), bucketBy = Some(("doc_id", 16)))
+        if (!graft.table.GraftTable.isGraftTable(pd))
+          graft.table.GraftTable.create(spark, pd,
+            docs.select($"doc_id", $"lang",
+              size(split($"text", " ")).cast("long").as("n_tokens")),
+            partitionBy = Seq("lang"), bucketBy = Some(("doc_id", 16)))
+        spark.sql(s"CREATE TABLE IF NOT EXISTS bktp.default.c${tag}_$m USING graft LOCATION '$pc'")
+        spark.sql(s"CREATE TABLE IF NOT EXISTS bktp.default.d${tag}_$m USING graft LOCATION '$pd'")
+        val t1 = System.nanoTime()
+        val df2 = spark.sql(
+          s"""SELECT x.doc_id, x.lang, x.n_chars, y.n_tokens
+             |FROM bktp.default.c${tag}_$m x JOIN bktp.default.d${tag}_$m y
+             |ON x.doc_id = y.doc_id AND x.lang = y.lang""".stripMargin)
+        val rows2 = df2.collect().length.toLong
+        val sec2 = (System.nanoTime() - t1) / 1e9
+        val plan2 = df2.queryExecution.executedPlan.toString
+        require(!plan2.contains("Exchange"),
+          s"partitioned+bucketed join must stay exchange-free at ${m}x:\n${plan2.take(1200)}")
+        println(f"""PARTBUCKET {"m":$m,"rows":$rows2,"sec":$sec2%.2f,"exchangeFree":true}""")
       }
       spark.stop()
       return

@@ -131,7 +131,7 @@ object Protocol {
       // delta names for capabilities graft natively enforces — this build
       // is exactly the writer those names demand
       "graft.generatedColumns", "graft.identityColumns", "graft.rowTracking",
-      "invariants", "checkConstraints")
+      "graft.bucketing", "invariants", "checkConstraints")
 }
 
 /** Named protocol-gate failure: the table requires a capability this

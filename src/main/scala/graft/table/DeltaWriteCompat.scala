@@ -85,7 +85,15 @@ object DeltaWriteCompat {
       // a folded compat protocol already spells the private names —
       // re-deriving must be idempotent, not drop them
       case f if f.startsWith("graft.") => f
-    }
+    } ++
+      // hash bucketing is an engine-private WRITE invariant exactly like
+      // generation rules: a foreign delta writer appending unbucketed
+      // files would silently kill the zero-exchange join plan (spjOk
+      // requires every live file to carry its bucket id), so bucketed
+      // compat tables gate foreign writers at v7 under a graft-private
+      // name — readers (minReader gated) are untouched
+      (if (meta.properties.contains(Bucketing.ColumnProp))
+         Seq("graft.bucketing") else Nil)
     val appendOnly =
       meta.properties.get("appendOnly").exists(_.equalsIgnoreCase("true"))
     // deletion vectors are the STANDARD delta feature — readers must

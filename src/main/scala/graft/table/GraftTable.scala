@@ -940,7 +940,19 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
          meta.copy(properties = meta.properties +
            (GraftTable.RowIdHwmKey -> hwm.toString)))
       } else (Nil, meta)
-    log.commit(s.version + 1, upgrade ++ Seq(metaFinal,
+    // enabling compat RE-STATES the protocol action in the enabling
+    // commit: a delta log must CONTAIN a protocol line (graft tables with
+    // no writer features never committed one), and the compat serializer
+    // derives the delta spelling from it — including the v7 graft-private
+    // gates (graft.bucketing etc.) that lock foreign writers out of
+    // engine-private layout invariants. Without this the protocol only
+    // ever reached delta readers through a later checkpoint.
+    val compatEnable: Seq[Action] =
+      if (key == DeltaWriteCompat.Prop && value.equalsIgnoreCase("true") &&
+          upgrade.isEmpty)
+        Seq(s.protocol)
+      else Nil
+    log.commit(s.version + 1, upgrade ++ compatEnable ++ Seq(metaFinal,
       CommitInfo(s.version + 1, log.nextTimestamp(), "SET TBLPROPERTIES",
         Map(key -> value))) ++ backfill)
   }

@@ -264,6 +264,50 @@ class DeltaAdoptionSpec extends SparkTestBase {
       s"stale ownership cache: the live handle wrote past a foreign commit ($e)")
   }
 
+  test("adopt a PARTITIONED foreign table with CDF: the feed continues across the ownership boundary") {
+    import spark.implicits._
+    // foreign partitioned delta table, CDF on: one file per lang, plus a
+    // foreign DELETE with a partition-carrying AddCDCFile (round-14 read)
+    val dir = tmpDir("adopt-part-cdf-")
+    val partSchema =
+      """{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},{\"name\":\"lang\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}}]}"""
+    def ids(r: Range) = r.map(_.toLong).toDF("id")
+    val (sE, mE) = dataFile(dir, "lang=en/part-00000-aaa-c000.snappy.parquet", ids(0 until 4))
+    val (sF, mF) = dataFile(dir, "lang=fr/part-00001-bbb-c000.snappy.parquet", ids(10 until 13))
+    commit(dir, 0, Seq(infoLine(1619112345000L, "WRITE"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      s"""{"metaData":{"id":"aaaa-adopt-2222","format":{"provider":"parquet","options":{}},"schemaString":"$partSchema","partitionColumns":["lang"],"configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":1619112344000}}""",
+      s"""{"add":{"path":"lang=en/part-00000-aaa-c000.snappy.parquet","partitionValues":{"lang":"en"},"size":$sE,"modificationTime":$mE,"dataChange":true}}""",
+      s"""{"add":{"path":"lang=fr/part-00001-bbb-c000.snappy.parquet","partitionValues":{"lang":"fr"},"size":$sF,"modificationTime":$mF,"dataChange":true}}"""))
+    val (sE2, mE2) = dataFile(dir, "lang=en/part-00002-ccc-c000.snappy.parquet", ids(0 until 3))
+    val (sC, _) = dataFile(dir, "_change_data/lang=en/cdc-aaa-c000.snappy.parquet",
+      Seq((3L, "delete")).toDF("id", "_change_type"))
+    commit(dir, 1, Seq(infoLine(1619112346000L, "DELETE"),
+      s"""{"add":{"path":"lang=en/part-00002-ccc-c000.snappy.parquet","partitionValues":{"lang":"en"},"size":$sE2,"modificationTime":$mE2,"dataChange":true}}""",
+      s"""{"remove":{"path":"lang=en/part-00000-aaa-c000.snappy.parquet","deletionTimestamp":1619112346000,"dataChange":true,"partitionValues":{"lang":"en"}}}""",
+      s"""{"cdc":{"path":"_change_data/lang=en/cdc-aaa-c000.snappy.parquet","partitionValues":{"lang":"en"},"size":$sC,"dataChange":false}}"""))
+    // adopt (partitioned + CDF is compat-legal since round 14) and run
+    // graft DML — its cdc sidecars land delta-shaped on a partitioned
+    // compat table (values on the action, columns omitted from the file)
+    val t = GraftTable.adoptDelta(spark, dir)
+    t.delete($"id" === 11L) // lang=fr
+    val adoptedHead = t.latestVersion
+    val cdcLine = Files.readAllLines(
+      Paths.get(dir, "_delta_log", f"$adoptedHead%020d.json")).asScala
+      .find(_.contains("\"cdc\"")).get
+    val cdcNode = mapper.readTree(cdcLine).get("cdc")
+    assert(cdcNode.get("partitionValues").get("lang").asText() === "fr",
+      s"graft's compat cdc action must carry the partition value: $cdcLine")
+    // ONE feed across the boundary: foreign commit 1 + graft DML commit
+    val ch = t.changes(0, adoptedHead)
+      .filter($"_change_type" === "delete")
+      .select("id", "lang", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(ch === Set((3L, "en", 1L), (11L, "fr", adoptedHead)),
+      s"the change feed must span foreign and graft eras, got $ch")
+    assert(t.toDF.count() === 5L) // en 3 + fr 2
+  }
+
   test("adopt_delta procedure: one CALL, ownership taken, result row reports it") {
     val dir = foreignTable()
     graft.sources.GraftCatalog.register(spark, tmpDir("adopt-wh-"), name = "adpt")

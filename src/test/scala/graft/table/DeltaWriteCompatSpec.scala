@@ -433,6 +433,37 @@ class DeltaWriteCompatSpec extends SparkTestBase {
     assert(got === Set((2L, "a", "delete"), (3L, "b", "delete")), s"got $got")
   }
 
+  test("BUCKETED tables under compat: v7 graft.bucketing gates foreign writers; layout round-trips") {
+    import spark.implicits._
+    val dir = tmpDir("dwc-bucket-")
+    val t = GraftTable.create(spark, dir,
+      (0L until 40L).map(i => (i, s"v$i")).toDF("id", "s"),
+      bucketBy = Some(("id", 4)))
+    t.setProperty(DeltaWriteCompat.Prop, "true")
+    t.delete(col("id") % 7 === 0L)
+    val v = t.latestVersion
+    assertDeltaShaped(dir, v)
+    // bucket purity is an engine-private write invariant — the emitted
+    // protocol must lock foreign writers out at v7 under the graft name
+    val protoLine = (0L to v).flatMap(i => logLines(dir, i))
+      .filter(_.contains("\"protocol\"")).last
+    val p = mapper.readTree(protoLine).get("protocol")
+    assert(p.get("minWriterVersion").asInt() === 7, protoLine)
+    assert(p.get("writerFeatures").toString.contains("graft.bucketing"), protoLine)
+    // fold-back keeps every bucket id (the SPJ eligibility invariant) and
+    // graft stays the writer
+    val t2 = GraftTable.forPath(spark, dir)
+    assert(t2.snapshot.files.nonEmpty)
+    assert(t2.snapshot.files.forall(
+      _.partitionValues.contains(graft.table.Bucketing.BucketCol)),
+      "compat round-trip must keep the hidden bucket ids")
+    t2.append(Seq((100L, "x")).toDF("id", "s"))
+    assert(t2.toDF.count() === 40L - 6L + 1L)
+    // the independent delta-1.0 replay still reconstructs the live set
+    assert(deltaReplayLiveFiles(dir).toSet ===
+      t2.snapshot.files.map(_.path).toSet)
+  }
+
   test("MERGE and metadata-only evolution stay delta-shaped") {
     import spark.implicits._
     val dir = tmpDir("dwc-merge-")
