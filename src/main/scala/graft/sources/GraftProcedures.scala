@@ -100,7 +100,11 @@ object GraftProcedures {
       paramD("where", StringType, "''"),
       // Delta's `OPTIMIZE t FULL`: on a clustering-property table,
       // re-cluster every in-scope file, conforming or not
-      paramD("full", BooleanType, "false"))
+      paramD("full", BooleanType, "false"),
+      // "column,count" — re-bucket the table to bucket(count, column):
+      // the one legal full-rewrite escape from create-time bucketing
+      // immutability (layout swaps in the same commit; standalone only)
+      paramD("rebucket_to", StringType, "''"))
 
     private val out = StructType(Seq(
       StructField("files_before", LongType, nullable = false),
@@ -119,8 +123,17 @@ object GraftProcedures {
           .map(org.apache.spark.sql.functions.expr)
       val before = t.snapshot.files.size.toLong
       val full = !input.isNullAt(5) && input.getBoolean(5)
+      val rebucket: Option[(String, Int)] =
+        if (input.isNullAt(6)) None
+        else Some(input.getUTF8String(6).toString.trim).filter(_.nonEmpty).map { s =>
+          s.split(',').map(_.trim).filter(_.nonEmpty) match {
+            case Array(c, n) if n.forall(_.isDigit) => (c, n.toInt)
+            case _ => throw new IllegalArgumentException(
+              s"rebucket_to must be 'column,count', got '$s'")
+          }
+        }
       t.optimize(targetFileBytes = target, clusterBy = cols(3), zorderBy = cols(2),
-        where = where, full = full)
+        where = where, full = full, rebucketTo = rebucket)
       val s = t.snapshot
       resultScan(out, row(before, s.files.size.toLong, s.version))
     }
@@ -194,7 +207,7 @@ object GraftProcedures {
 
     private val entries: Seq[(String, String, String)] = Seq(
       ("procedure", "optimize",
-        "bin-pack small files (target_file_bytes; outputs land in [target, 2x target) for convergence); cluster_by/zorder_by re-cluster; full => true rewrites everything; where scopes files"),
+        "bin-pack small files (target_file_bytes; outputs land in [target, 2x target) for convergence); cluster_by/zorder_by re-cluster; full => true rewrites everything; where scopes files; rebucket_to => 'col,n' swaps the hash-bucket layout in one full rewrite"),
       ("procedure", "vacuum",
         "delete unreferenced data files past retention (retain_versions / retention_ms; dry_run => true lists only); listing/stat/delete distribute past 1024 candidates"),
       ("procedure", "restore", "roll the table head back to an earlier version as a NEW commit"),

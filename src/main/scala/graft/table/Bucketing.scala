@@ -26,12 +26,16 @@ import org.apache.spark.sql.types._
   * [[withBucket]], so DML rewrites (DELETE/MERGE/OPTIMIZE) preserve bucket
   * purity by construction: the id is a pure function of the row.
   *
-  * Declared at CREATE only (`bucketing.column` + `bucketing.count` table
+  * Declared at CREATE (`bucketing.column` + `bucketing.count` table
   * properties; `PARTITIONED BY (bucket(N, col))` through the catalog) —
-  * re-bucketing existing files would require a full rewrite, so flipping
-  * the properties later refuses. Bucket-only in round 13: combining with
-  * Hive partition columns (basePath reconstruction would trip over the
-  * hidden dir) or column mapping refuses at declaration.
+  * re-bucketing existing files requires a full rewrite, so flipping the
+  * properties via SET TBLPROPERTIES refuses; `optimize(rebucketTo =
+  * (col, n))` is the one legal escape (the rewrite made explicit).
+  * Since round 14 bucketing COMPOSES with Hive partition columns (the
+  * hidden dir nests inside the partition dirs; the SPJ key is
+  * (partitions..., bucket)) and with column mapping (the stored column
+  * name is the stable PHYSICAL name; `spec` resolves it to the current
+  * logical name, so RENAME of the bucket column keeps the layout live).
   */
 object Bucketing {
   val ColumnProp = "bucketing.column"
@@ -46,12 +50,30 @@ object Bucketing {
     case _ => false
   }
 
-  def spec(meta: MetaData): Option[(String, Int)] = for {
+  /** The declared bucket spec, with the column resolved to its CURRENT
+    * logical name. Under column mapping the stored name stays pinned to
+    * the declaration-time spelling while RENAME moves the logical name;
+    * the stored name matches the field's stable PHYSICAL name (create
+    * stores logical==physical for pre-mapping tables, and mapping
+    * enablement never changes physical names), so resolution is
+    * physical-first with a logical fallback. Unmapped tables skip the
+    * schema parse entirely. */
+  def spec(meta: MetaData): Option[(String, Int)] = (for {
     c <- meta.properties.get(ColumnProp)
     n <- meta.properties.get(CountProp).flatMap(v =>
       scala.util.Try(v.trim.toInt).toOption)
     if n > 0
-  } yield (c, n)
+  } yield (c, n)).map { case (c, n) =>
+    if (!meta.properties.get("columnMapping.mode").exists(_.equalsIgnoreCase("name")))
+      (c, n)
+    else {
+      val schema = DataType.fromJson(meta.schemaString).asInstanceOf[StructType]
+      val logical = schema.fields.find(f => ColumnMapping.physicalName(f) == c)
+        .orElse(schema.fields.find(_.name == c))
+        .map(_.name).getOrElse(c)
+      (logical, n)
+    }
+  }
 
   /** The bucket id of a row — Spark's `hash()` is Murmur3 seed 42; the V2
     * bucket function MUST stay the same computation. */
@@ -97,8 +119,6 @@ object Bucketing {
       // carry the value once per file already)
       require(!partitionBy.contains(c),
         s"bucketing column '$c' is already a partition column")
-      require(!ColumnMapping.active(schema),
-        "bucketing cannot combine with column mapping")
     }
     if (props.contains(ColumnProp) != props.contains(CountProp))
       throw new IllegalArgumentException(

@@ -1269,6 +1269,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       g != name && generationRefs(e).exists(_.equalsIgnoreCase(name)) }
     require(genHit.isEmpty,
       s"cannot drop $name: referenced by generated column ${genHit.get._1}'s expression")
+    // the bucket column is load-bearing physical layout — dropping it
+    // would leave every file's __bucket dir derived from a column that no
+    // longer exists (re-bucket first: optimize(rebucketTo = ...))
+    require(!Bucketing.spec(s.metaData).map(_._1).contains(name),
+      s"cannot drop $name: it is the table's hash-bucketing column " +
+        "(optimize(rebucketTo = (other, n)) first)")
     val bloomHit = GraftTable.bloomColumns(s.metaData).contains(name)
     val meta0 = s.metaData.copy(
       schemaString = StructType(s.schema.fields.filterNot(_.name == name)).json)
@@ -1997,7 +2003,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   private def rebucket(column: String, n: Int, targetFileBytes: Long): Unit = {
     val s = snapshot
     val props = s.metaData.properties +
-      (Bucketing.ColumnProp -> column) + (Bucketing.CountProp -> n.toString)
+      (Bucketing.ColumnProp -> ColumnMapping.physicalOf(s.schema, column)) +
+      (Bucketing.CountProp -> n.toString)
     Bucketing.validate(s.schema, s.metaData.partitionColumns, props)
     val newMeta = s.metaData.copy(properties = props)
     val totalBytes = s.files.map(_.size).sum
@@ -2287,9 +2294,17 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       // logical schema but must land in the file under its fixed name
       val rid = if (df.columns.contains(GraftTable.RowIdCol))
         Seq(col(GraftTable.RowIdCol)) else Nil
-      val renamed = df.select(
-        schema.fields.map(ColumnMapping.physicalColumn).toSeq ++ rid: _*)
-      val physParts = meta.partitionColumns.map(ColumnMapping.physicalOf(schema, _))
+      // the bucket id computes on the LOGICAL frame (spec resolves the
+      // current logical name under mapping) and rides the rename as the
+      // hidden dir column — purity through this chokepoint, same as the
+      // unmapped branch
+      val bucketed = Bucketing.spec(meta).isDefined
+      val (dfB, _) = Bucketing.withBucket(df, meta, Nil)
+      val bucketPass = if (bucketed) Seq(col(Bucketing.BucketCol)) else Nil
+      val renamed = dfB.select(
+        schema.fields.map(ColumnMapping.physicalColumn).toSeq ++ rid ++ bucketPass: _*)
+      val physParts = meta.partitionColumns.map(ColumnMapping.physicalOf(schema, _)) ++
+        (if (bucketed) Seq(Bucketing.BucketCol) else Nil)
       val physBloomMeta = meta.copy(properties = meta.properties ++
         meta.properties.get("bloom.columns").map(cols => "bloom.columns" ->
           cols.split(",").map(_.trim).filter(_.nonEmpty)
@@ -3543,8 +3558,12 @@ object GraftTable {
       if (writerFeats.isEmpty) Nil
       else Seq(Protocol(minReaderVersion = 1, minWriterVersion = 2,
         writerFeatures = writerFeats))
+    // the stored bucket column is the PHYSICAL name (stable across later
+    // renames under column mapping; identity for unmapped schemas) — the
+    // reader-side spec() resolves it back to the current logical name
     val bucketProps = bucketBy.map { case (c, n) =>
-      Map(Bucketing.ColumnProp -> c, Bucketing.CountProp -> n.toString)
+      Map(Bucketing.ColumnProp -> ColumnMapping.physicalOf(schema, c),
+          Bucketing.CountProp -> n.toString)
     }.getOrElse(Map.empty)
     Bucketing.validate(schema, partitionBy, props ++ bucketProps)
     val meta0 = MetaData(UUID.randomUUID().toString, schema.json,

@@ -196,6 +196,63 @@ class BucketedJoinSpec extends SparkTestBase {
     }
   }
 
+  test("bucketing composes with column mapping: RENAME of the bucket column keeps the layout live") {
+    catalogReady
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir).select($"doc_id", $"n_chars")
+    val p = tmpDir("bucket-cmap-") + "/t"
+    val t = GraftTable.create(spark, p, docs, bucketBy = Some(("doc_id", 4)))
+    t.setProperty("columnMapping.mode", "name")
+    t.renameColumn("doc_id", "document_id")
+    // spec resolves the stored (physical) name to the CURRENT logical one
+    assert(Bucketing.spec(t.snapshot.metaData) === Some(("document_id", 4)))
+    // DML purity through the mapped write path: the bucket id computes on
+    // the renamed logical column, files land in their __bucket dirs
+    t.delete($"document_id" % 9 === 2)
+    t.append(docs.filter($"doc_id" % 9 === 2)
+      .withColumnRenamed("doc_id", "document_id"))
+    val s = t.snapshot
+    assert(s.files.nonEmpty)
+    s.files.foreach { f =>
+      assert(f.partitionValues.contains(Bucketing.BucketCol),
+        s"mapped rewrite ${f.path} lost its bucket id")
+      val declared = f.partitionValues(Bucketing.BucketCol).toInt
+      // files spell the PHYSICAL column name (pre-mapping: doc_id)
+      val held = spark.read.parquet(s"$p/${f.path}")
+        .select(Bucketing.idExpr("doc_id", 4).as("b")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      assert(held == Seq(declared),
+        s"file ${f.path} declares bucket $declared but holds $held")
+    }
+    assert(t.toDF.count() === docs.count())
+    // point lookups still bucket-prune on the renamed column
+    val someId = t.toDF.select($"document_id").head.getLong(0)
+    val pruned = t.prunedFiles(s, $"document_id" === someId)
+    val want = Bucketing.bucketOfValue(someId,
+      org.apache.spark.sql.types.LongType, 4).get
+    assert(pruned.nonEmpty && pruned.forall(
+      _.partitionValues(Bucketing.BucketCol).toInt == want))
+    assert(pruned.size < s.files.size, "bucket pruning must drop files")
+    // the bucket column cannot be dropped out from under the layout
+    val e = intercept[IllegalArgumentException](t.dropColumn("document_id"))
+    assert(e.getMessage.contains("bucket"))
+    // SPJ: a mapped+renamed bucketed pair still joins exchange-free
+    val p2 = tmpDir("bucket-cmap2-") + "/t"
+    GraftTable.create(spark, p2,
+      docs.toDF("document_id", "nc2"), bucketBy = Some(("document_id", 4)))
+    spark.sql(s"CREATE TABLE bkt.default.cm1 USING graft LOCATION '$p'")
+    spark.sql(s"CREATE TABLE bkt.default.cm2 USING graft LOCATION '$p2'")
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val plan = executed(spark.sql(
+        """SELECT x.document_id, y.nc2 FROM bkt.default.cm1 x
+          |JOIN bkt.default.cm2 y ON x.document_id = y.document_id""".stripMargin))
+      assert(!plan.contains("Exchange"),
+        s"mapped bucketed join must not shuffle:\n${plan.take(2000)}")
+    }
+  }
+
   test("optimize(rebucketTo): full rewrite swaps the layout in ONE commit; time travel below intact") {
     catalogReady
     import spark.implicits._
@@ -243,6 +300,12 @@ class BucketedJoinSpec extends SparkTestBase {
     // rebucketTo composes with nothing else (standalone full rewrite)
     intercept[IllegalArgumentException](
       t.optimize(zorderBy = Seq("doc_id"), rebucketTo = Some(("doc_id", 8))))
+    // SQL front door: the same rewrite through CALL ... optimize
+    spark.sql(
+      "CALL bkt.system.optimize(`table` => 'default.r16', rebucket_to => 'doc_id,8')")
+    val t3 = GraftTable.forPath(spark, p)
+    assert(Bucketing.spec(t3.snapshot.metaData) === Some(("doc_id", 8)))
+    assert(t3.toDF.count() === preRows.size.toLong)
   }
 
   test("maintenance preserves bucketing: OPTIMIZE compacts within buckets, COPY INTO buckets") {
