@@ -308,6 +308,30 @@ class BucketedJoinSpec extends SparkTestBase {
     assert(t3.toDF.count() === preRows.size.toLong)
   }
 
+  test("a rebucket commit is invisible to table streams (pure reorganization)") {
+    import spark.implicits._
+    val p = tmpDir("bucket-rebkt-stream-") + "/t"
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"n_chars").limit(60)
+    val t = GraftTable.create(spark, p, docs, bucketBy = Some(("doc_id", 4)))
+    t.append(docs.withColumn("doc_id", $"doc_id" + 1000000L))
+    t.optimize(rebucketTo = Some(("doc_id", 8)))
+    // replay the WHOLE history: the rebucket commit must contribute zero
+    // rows — every row serves exactly once despite the full rewrite
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "0").load(p)
+      .writeStream.format("memory").queryName("rebkt_stream")
+      .option("checkpointLocation", tmpDir("bucket-rebkt-stream-ckpt-"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("rebkt_stream").select($"doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val want = t.toDF.select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === want,
+      s"stream must serve each row exactly once across the rebucket " +
+        s"(got ${got.size} rows, want ${want.size})")
+  }
+
   test("maintenance preserves bucketing: OPTIMIZE compacts within buckets, COPY INTO buckets") {
     catalogReady
     import spark.implicits._
