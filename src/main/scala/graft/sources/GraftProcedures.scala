@@ -127,9 +127,9 @@ object GraftProcedures {
         if (input.isNullAt(6)) None
         else Some(input.getUTF8String(6).toString.trim).filter(_.nonEmpty).map { s =>
           s.split(',').map(_.trim).filter(_.nonEmpty) match {
-            case Array(c, n) if n.forall(_.isDigit) => (c, n.toInt)
+            case Array(c, n) if n.toIntOption.exists(_ > 0) => (c, n.toInt)
             case _ => throw new IllegalArgumentException(
-              s"rebucket_to must be 'column,count', got '$s'")
+              s"rebucket_to must be 'column,positive count', got '$s'")
           }
         }
       t.optimize(targetFileBytes = target, clusterBy = cols(3), zorderBy = cols(2),

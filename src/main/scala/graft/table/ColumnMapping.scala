@@ -178,6 +178,34 @@ object ColumnMapping {
     else c.as(physicalName(f))
   }
 
+  /** `schema` with every mapping-related metadata key removed,
+    * recursively — the birth state of a NEW table. A seed frame read from
+    * a mapped (or id-mode foreign) table carries physicalName / field-id
+    * bindings that describe the SOURCE's files; inheriting them into a
+    * fresh table whose own files are written under logical names would
+    * make every read request columns the files do not spell (silent
+    * NULLs). Mapping on the new table starts fresh via setProperty. */
+  def stripMappingMetadata(schema: StructType): StructType = {
+    def clean(md: Metadata): Metadata = {
+      val keys = Seq(PhysKey, DeltaPhysKey, DeltaIdKey, FieldIdKey)
+      if (!keys.exists(md.contains)) md
+      else {
+        val b = new MetadataBuilder().withMetadata(md)
+        keys.foreach(b.remove)
+        b.build()
+      }
+    }
+    def inType(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = inType(f.dataType), metadata = clean(f.metadata))))
+      case a: ArrayType => a.copy(elementType = inType(a.elementType))
+      case m: MapType => m.copy(keyType = inType(m.keyType),
+        valueType = inType(m.valueType))
+      case other => other
+    }
+    inType(schema).asInstanceOf[StructType]
+  }
+
   /** Partition values a cdc ACTION carries for the given partition
     * columns, looked up physical-name-first (the key space data files
     * use) with a logical-name fallback: Some(values in partitionCols

@@ -948,8 +948,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // engine-private layout invariants. Without this the protocol only
     // ever reached delta readers through a later checkpoint.
     val compatEnable: Seq[Action] =
-      if (key == DeltaWriteCompat.Prop && value.equalsIgnoreCase("true") &&
-          upgrade.isEmpty)
+      if (key == DeltaWriteCompat.Prop && value.equalsIgnoreCase("true"))
         Seq(s.protocol)
       else Nil
     log.commit(s.version + 1, upgrade ++ compatEnable ++ Seq(metaFinal,
@@ -1307,6 +1306,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   /** UNSET TBLPROPERTIES: commit a metaData with the property removed. */
   def removeProperty(key: String): Unit = {
     val s = snapshot
+    // same layout-invariant guard as setProperty: UNSET of the bucketing
+    // properties would half-de-bucket the table (old files keep their
+    // __bucket dirs, new writes stop producing them) with no rewrite
+    require(key != Bucketing.ColumnProp && key != Bucketing.CountProp,
+      s"$key is the table's physical bucket layout and cannot be unset — " +
+        "re-layout with optimize(rebucketTo = (column, n))")
     val meta = s.metaData.copy(properties = s.metaData.properties - key)
     log.commit(s.version + 1, Seq(meta,
       CommitInfo(s.version + 1, log.nextTimestamp(), "UNSET TBLPROPERTIES",
@@ -2002,9 +2007,14 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * (a rebase past any concurrent change would rewrite it away). */
   private def rebucket(column: String, n: Int, targetFileBytes: Long): Unit = {
     val s = snapshot
+    // the stored name is PHYSICAL only when the table actually maps
+    // columns — resolving through stray metadata an unmapped schema
+    // inherited from its seed frame would pin a stale spelling
+    val stored =
+      if (columnMappingEnabled(s.metaData)) ColumnMapping.physicalOf(s.schema, column)
+      else column
     val props = s.metaData.properties +
-      (Bucketing.ColumnProp -> ColumnMapping.physicalOf(s.schema, column)) +
-      (Bucketing.CountProp -> n.toString)
+      (Bucketing.ColumnProp -> stored) + (Bucketing.CountProp -> n.toString)
     Bucketing.validate(s.schema, s.metaData.partitionColumns, props)
     val newMeta = s.metaData.copy(properties = props)
     val totalBytes = s.files.map(_.size).sum
@@ -2016,6 +2026,13 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // task then writes whole buckets instead of tasks × buckets fragments
     val adds = writeDataMapped(
       rows.repartition(nOut, Bucketing.idExpr(column, n)), newMeta)
+    // a COMPAT table re-states the protocol action in this commit: the
+    // serializer derives the v7 graft.bucketing gate from the commit's
+    // newMeta, and without the line a real delta writer replaying the
+    // JSON log would still see the pre-bucketing writer version and
+    // append unbucketed files (the gate must not wait for a checkpoint)
+    val protocolLine: Seq[Action] =
+      if (DeltaWriteCompat.enabled(newMeta)) Seq(s.protocol) else Nil
     commitDml(s,
       TxnInfo(readWholeTable = true, None,
         s.files.map(_.path).toSet, s.files.map(_.path).toSet),
@@ -2024,7 +2041,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           Map("rebucketTo" -> s"bucket($n, $column)",
               "numFilesBefore" -> s.files.size.toString,
               "numFilesAfter" -> adds.size.toString)),
-          newMeta) ++
+          newMeta) ++ protocolLine ++
         s.files.map(f => RemoveFile(f.path, ts, dataChange = false)) ++
         adds.map(a => a.copy(tags =
           a.tags + (Actions.DataChangeFalseTag -> "true"))))
@@ -2297,14 +2314,14 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       // the bucket id computes on the LOGICAL frame (spec resolves the
       // current logical name under mapping) and rides the rename as the
       // hidden dir column — purity through this chokepoint, same as the
-      // unmapped branch
-      val bucketed = Bucketing.spec(meta).isDefined
-      val (dfB, _) = Bucketing.withBucket(df, meta, Nil)
-      val bucketPass = if (bucketed) Seq(col(Bucketing.BucketCol)) else Nil
+      // unmapped branch. withBucket's second element IS the extra dir
+      // column list (empty when unbucketed).
+      val (dfB, bucketDir) = Bucketing.withBucket(df, meta, Nil)
       val renamed = dfB.select(
-        schema.fields.map(ColumnMapping.physicalColumn).toSeq ++ rid ++ bucketPass: _*)
-      val physParts = meta.partitionColumns.map(ColumnMapping.physicalOf(schema, _)) ++
-        (if (bucketed) Seq(Bucketing.BucketCol) else Nil)
+        schema.fields.map(ColumnMapping.physicalColumn).toSeq ++ rid ++
+          bucketDir.map(col): _*)
+      val physParts =
+        meta.partitionColumns.map(ColumnMapping.physicalOf(schema, _)) ++ bucketDir
       val physBloomMeta = meta.copy(properties = meta.properties ++
         meta.properties.get("bloom.columns").map(cols => "bloom.columns" ->
           cols.split(",").map(_.trim).filter(_.nonEmpty)
@@ -3527,7 +3544,13 @@ object GraftTable {
     // assigned value. The physical data is never null.
     def withNullDefault(b: org.apache.spark.sql.types.MetadataBuilder) =
       b.putString("CURRENT_DEFAULT", "NULL").putString("EXISTS_DEFAULT", "NULL")
-    val schema = StructType(dfId.schema.fields.map { f =>
+    // a seed frame read from a MAPPED (or id-mode foreign) table carries
+    // physicalName / field-id metadata describing the SOURCE's files; the
+    // new table's files are written under logical names, so inheriting
+    // those bindings would make every read request columns the files do
+    // not spell (silent NULLs). Mapping starts fresh via setProperty.
+    val seedSchema = ColumnMapping.stripMappingMetadata(dfId.schema)
+    val schema = StructType(seedSchema.fields.map { f =>
       (generated.get(f.name), identity.get(f.name)) match {
         case (Some(e), _) => f.copy(nullable = true,
           metadata = withNullDefault(new org.apache.spark.sql.types.MetadataBuilder()
@@ -3558,12 +3581,12 @@ object GraftTable {
       if (writerFeats.isEmpty) Nil
       else Seq(Protocol(minReaderVersion = 1, minWriterVersion = 2,
         writerFeatures = writerFeats))
-    // the stored bucket column is the PHYSICAL name (stable across later
-    // renames under column mapping; identity for unmapped schemas) — the
-    // reader-side spec() resolves it back to the current logical name
+    // the stored bucket column name is physical == logical at birth
+    // (stripMappingMetadata above guarantees a fresh mapping state, and
+    // enabling mapping later keeps existing physical names); spec()
+    // resolves it physical-first, so a later RENAME never orphans it
     val bucketProps = bucketBy.map { case (c, n) =>
-      Map(Bucketing.ColumnProp -> ColumnMapping.physicalOf(schema, c),
-          Bucketing.CountProp -> n.toString)
+      Map(Bucketing.ColumnProp -> c, Bucketing.CountProp -> n.toString)
     }.getOrElse(Map.empty)
     Bucketing.validate(schema, partitionBy, props ++ bucketProps)
     val meta0 = MetaData(UUID.randomUUID().toString, schema.json,

@@ -140,6 +140,25 @@ class BucketedJoinSpec extends SparkTestBase {
       tmpDir("bucket-bad3-") + "/t", df, bucketBy = Some(("nope", 4))))
     val t = GraftTable.create(spark, tmpDir("bucket-ok-") + "/t", df)
     intercept[IllegalArgumentException](t.setProperty(Bucketing.ColumnProp, "id"))
+    // UNSET is guarded too: silently de-bucketing would leave old files
+    // in __bucket dirs and new writes outside them — a half-bucketed
+    // layout with no rewrite
+    val tb = GraftTable.create(spark, tmpDir("bucket-unset-") + "/t", df,
+      bucketBy = Some(("id", 4)))
+    intercept[IllegalArgumentException](tb.removeProperty(Bucketing.ColumnProp))
+    intercept[IllegalArgumentException](tb.removeProperty(Bucketing.CountProp))
+    // a seed frame carrying STRAY mapping metadata (read from a mapped
+    // source) must not pin stale physical names on the new table
+    import org.apache.spark.sql.types.MetadataBuilder
+    val mappedSeedSchema = org.apache.spark.sql.types.StructType(df.schema.fields.map(f =>
+      f.copy(metadata = new MetadataBuilder()
+        .putString("graft.physicalName", s"col-stale-${f.name}").build())))
+    val mappedSeed = spark.createDataFrame(df.collectAsList(), mappedSeedSchema)
+    val tc = GraftTable.create(spark, tmpDir("bucket-stray-") + "/t", mappedSeed,
+      bucketBy = Some(("id", 4)))
+    assert(Bucketing.spec(tc.snapshot.metaData) === Some(("id", 4)))
+    assert(tc.toDF.collect().map(_.getLong(0)).toSeq === Seq(1L),
+      "stray source mapping metadata must not misbind the new table's reads")
   }
 
   test("bucketing composes with Hive partitioning: day-partitioned bucketed pair joins exchange-free") {

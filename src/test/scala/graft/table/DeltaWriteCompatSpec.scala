@@ -462,6 +462,22 @@ class DeltaWriteCompatSpec extends SparkTestBase {
     // the independent delta-1.0 replay still reconstructs the live set
     assert(deltaReplayLiveFiles(dir).toSet ===
       t2.snapshot.files.map(_.path).toSet)
+
+    // REBUCKETING an (unbucketed) compat table must introduce the v7
+    // gate IN the rebucket commit itself — a foreign writer replaying
+    // the JSON log must never see a window where the table is bucketed
+    // but still writable at the old writer version
+    val dir2 = tmpDir("dwc-rebucket-")
+    val u = GraftTable.create(spark, dir2, seed(12))
+    u.setProperty(DeltaWriteCompat.Prop, "true")
+    u.optimize(rebucketTo = Some(("id", 4)))
+    val lastProto = (0L to u.latestVersion).flatMap(i => logLines(dir2, i))
+      .filter(_.contains("\"protocol\"")).last
+    val lp = mapper.readTree(lastProto).get("protocol")
+    assert(lp.get("minWriterVersion").asInt() === 7, lastProto)
+    assert(lp.get("writerFeatures").toString.contains("graft.bucketing"), lastProto)
+    assert(GraftTable.forPath(spark, dir2).snapshot.files.forall(
+      _.partitionValues.contains(graft.table.Bucketing.BucketCol)))
   }
 
   test("MERGE and metadata-only evolution stay delta-shaped") {
