@@ -44,9 +44,16 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
 
   /** Raw parquet scan of a file subset, no deletion-vector filtering.
     * basePath lets Spark reconstruct partition columns from the Hive-style
-    * directory names when the table is partitioned. */
+    * directory names when the table is partitioned.
+    *
+    * `perScan` decorates each LEAF scan before any union — the hook the
+    * provenance helpers attach `_metadata`-derived columns through
+    * (metadata columns resolve against a single file relation, never
+    * across a union), so shapes that must union several scans (the
+    * shallow-clone branch below) stay transparent to every caller. */
   private def readFilesRaw(s: Snapshot, files: Seq[AddFile],
-      withMaterializedRowId: Boolean = false): DataFrame = {
+      withMaterializedRowId: Boolean = false,
+      perScan: DataFrame => DataFrame = identity): DataFrame = {
     // under column mapping the FILES carry physical column names; the scan
     // reads them and toLogical() renames at the end of each read helper.
     // With row tracking, the materialized `_row_id` column joins the read
@@ -57,9 +64,48 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       if (!withMaterializedRowId) physSchema0
       else physSchema0.add(StructField(GraftTable.RowIdCol, LongType, nullable = true))
     ensureFieldIdResolution(physSchema)
+    val partCols = s.metaData.partitionColumns
     if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], physSchema)
-    else if (s.metaData.partitionColumns.nonEmpty) {
+      perScan(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], physSchema))
+    else if (partCols.nonEmpty && files.exists(_.path.startsWith(".."))) {
+      // SHALLOW-CLONE references escape the table root, so basePath (which
+      // requires every file under one root) cannot reconstruct the
+      // partition columns — attach them from the LOG instead: files group
+      // by their partition values and each group scans the non-partition
+      // schema with typed constants appended, exactly the decode the V2
+      // reader factory applies per file. Plan width grows with the
+      // DISTINCT partition combos of the scanned set — the
+      // clone-then-evolve shape (an OPTIMIZE localizes the files and
+      // restores the single basePath scan).
+      val logicalFields = s.schema.fields
+      val dataSchema = StructType(physSchema.fields.zipWithIndex.collect {
+        case (f, i) if i >= logicalFields.length ||
+          !partCols.contains(logicalFields(i).name) => f
+      })
+      val partIdx = logicalFields.zipWithIndex
+        .filter { case (lf, _) => partCols.contains(lf.name) }
+      def valueOf(f: AddFile, lf: StructField): String = {
+        val phys = ColumnMapping.physicalName(lf)
+        f.partitionValues.getOrElse(phys, f.partitionValues(lf.name))
+      }
+      val sentinel = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .DEFAULT_PARTITION_NAME
+      val unioned = files.groupBy(f => partIdx.map { case (lf, _) => valueOf(f, lf) })
+        .toSeq.map { case (vals, fs) =>
+          val base = perScan(spark.read.schema(dataSchema)
+            .parquet(fs.map(f => s"$path/${f.path}"): _*))
+          partIdx.zip(vals).foldLeft(base) { case (d, ((lf, i), v)) =>
+            d.withColumn(physSchema.fields(i).name,
+              if (v == sentinel) lit(null).cast(lf.dataType)
+              else lit(v).cast(lf.dataType))
+          }
+        }.reduce(_ unionByName _)
+      // restore schema column order (callers may rely on it when mapping
+      // is inactive and toLogical is the identity); perScan-added columns
+      // trail in whatever order the hook produced
+      val extras = unioned.columns.toSeq.diff(physSchema.fieldNames.toSeq)
+      unioned.select((physSchema.fieldNames.toSeq ++ extras).map(unioned(_)): _*)
+    } else if (partCols.nonEmpty) {
       // basePath reconstructs partition columns from Hive-style dir names;
       // it requires every file under the table root
       val raw = spark.read.schema(physSchema).option("basePath", path)
@@ -67,13 +113,14 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       // partitioned AND bucketed: basePath inference appends the hidden
       // __bucket dir as an extra trailing column — project it away (the
       // bucket id is layout, never schema)
-      if (Bucketing.spec(s.metaData).isDefined)
-        raw.select(physSchema.fieldNames.map(n => raw(n)).toIndexedSeq: _*)
-      else raw
+      perScan(
+        if (Bucketing.spec(s.metaData).isDefined)
+          raw.select(physSchema.fieldNames.map(n => raw(n)).toIndexedSeq: _*)
+        else raw)
     } else
       // no basePath: shallow-clone references ("../src/...") stay readable
-      spark.read.schema(physSchema)
-        .parquet(files.map(f => s"$path/${f.path}"): _*)
+      perScan(spark.read.schema(physSchema)
+        .parquet(files.map(f => s"$path/${f.path}"): _*))
   }
 
   /** id-mode column mapping: Spark resolves parquet columns by field id
@@ -108,7 +155,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * in. At 100 TB with one tombstoned file, the other 99.99% of the table
     * must not pay a per-row hash probe on a string file-name key. */
   private[graft] def readFiles(s: Snapshot, files: Seq[AddFile]): DataFrame =
-    toLogical(s, splitOnDv(files, readFilesRaw(s, _)))
+    toLogical(s, splitOnDv(files, (fs, mark) => readFilesRaw(s, fs, perScan = mark)))
 
   /** readFiles variant carrying a `_file` column (the row's data file as a
     * plain absolute path) — the V1 scan's metadata column. Derived from
@@ -118,8 +165,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     if (files.isEmpty)
       toLogical(s, readFilesRaw(s, files).withColumn("_file", lit("")), Seq("_file"))
     else
-      toLogical(s, splitOnDv(files, fs => readFilesRaw(s, fs).withColumn("_file",
-        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))), Seq("_file"))
+      toLogical(s, splitOnDv(files, (fs, mark) => readFilesRaw(s, fs,
+        perScan = df => mark(df.withColumn("_file",
+          regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))))), Seq("_file"))
 
   /** readFiles variant that keeps `__fname`/`__pos` provenance columns —
     * the DV delete path needs the surviving rows' positions. */
@@ -131,9 +179,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         .withColumn("__fname", lit(""))
         .withColumn("__pos", lit(0L)), Seq("__fname", "__pos") ++ rid)
     def marked(fs: Seq[AddFile]): DataFrame =
-      readFilesRaw(s, fs, withMaterializedRowId = rt)
-        .withColumn("__fname", col("_metadata.file_name"))
-        .withColumn("__pos", col("_metadata.row_index"))
+      readFilesRaw(s, fs, withMaterializedRowId = rt, perScan = markProvenance)
     val (withDv, noDv) = files.partition(_.dvPath.isDefined)
     val out =
       if (withDv.isEmpty) marked(files)
@@ -180,13 +226,22 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
 
   /** Scan `files` via `scan`, anti-joining ONLY the subset that carries a
     * deletion vector; DV-free files union in raw (plan has no join). */
-  private def splitOnDv(files: Seq[AddFile], scan: Seq[AddFile] => DataFrame): DataFrame = {
+  /** The `_metadata`-derived provenance columns the DV anti-join keys on.
+    * Applied INSIDE each leaf scan (readFilesRaw's perScan hook): metadata
+    * columns resolve against a single file relation, never across the
+    * unions the shallow-clone read shape produces. */
+  private val markProvenance: DataFrame => DataFrame = df =>
+    df.withColumn("__fname", col("_metadata.file_name"))
+      .withColumn("__pos", col("_metadata.row_index"))
+
+  private def splitOnDv(files: Seq[AddFile],
+      scan: (Seq[AddFile], DataFrame => DataFrame) => DataFrame): DataFrame = {
     val (withDv, noDv) = files.partition(_.dvPath.isDefined)
-    if (withDv.isEmpty) scan(files)
+    if (withDv.isEmpty) scan(files, identity)
     else {
-      val filtered = antiJoinDv(scan(withDv), dvEntries(withDv).get,
+      val filtered = antiJoinDv(scan(withDv, markProvenance), dvEntries(withDv).get,
         withDv.map(_.dvCount).sum).drop("__fname", "__pos")
-      if (noDv.isEmpty) filtered else scan(noDv).unionByName(filtered)
+      if (noDv.isEmpty) filtered else scan(noDv, identity).unionByName(filtered)
     }
   }
 
@@ -199,10 +254,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   private def maybeBroadcast(dv: DataFrame, totalTombstones: Long): DataFrame =
     if (totalTombstones * 56L <= 64L * 1024 * 1024) broadcast(dv) else dv
 
+  /** `base` must already carry the `__fname`/`__pos` provenance columns
+    * (markProvenance applied inside its leaf scans). */
   private def antiJoinDv(base: DataFrame, dv: DataFrame, total: Long): DataFrame =
-    base.withColumn("__fname", col("_metadata.file_name"))
-      .withColumn("__pos", col("_metadata.row_index"))
-      .join(maybeBroadcast(dv, total), Seq("__fname", "__pos"), "left_anti")
+    base.join(maybeBroadcast(dv, total), Seq("__fname", "__pos"), "left_anti")
 
   /** Tombstone entries (`__fname`, `__pos`) for the given files, or None
     * when no file carries a DV. Sidecars are commit-scoped (one file may
@@ -1526,15 +1581,15 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * files the shallow clone's log still references and breaks the clone;
     * the source has no record of who cloned it. Use deep clones when the
     * source's retention window may outrun the clone's lifetime.
-    * Shallow cloning a partitioned table is rejected: partition-value
-    * reconstruction requires files under the table root. */
+    * PARTITIONED tables shallow-clone too (since round 14): escaped file
+    * references read through per-partition-group scans that attach the
+    * partition columns from the log (readFilesRaw's shallow-clone
+    * branch) — basePath reconstruction is only for root-local files. */
   def cloneTo(dest: String, shallow: Boolean = true,
               asOfVersion: Option[Long] = None): GraftTable = {
     // CLONE ... VERSION AS OF: branch an EARLIER snapshot — reproduce an
     // experiment against last week's table without restoring the source
     val s = asOfVersion.map(snapshotAt).getOrElse(snapshot)
-    require(!shallow || s.metaData.partitionColumns.isEmpty,
-      "shallow clone of a partitioned table is not supported (basePath reconstruction)")
     Files.createDirectories(Paths.get(dest))
     val destLog = new GraftLog(dest, LogStore.resolve(spark))
     require(!destLog.exists, s"$dest is already a GraftTable")

@@ -77,12 +77,45 @@ class CloneSpec extends SparkTestBase {
       s"carried constraint must reject the write: ${msgs(ex).mkString(" | ")}")
   }
 
-  test("shallow clone of a partitioned table is rejected") {
-    val src = GraftTable.create(spark, tmpDir("clone-src-"),
-      df((1, "a"), (2, "b")), partitionBy = Seq("v"))
-    intercept[IllegalArgumentException] { src.cloneTo(tmpDir("clone-dst-")) }
-    // deep clone of a partitioned table works
-    val c = src.cloneTo(tmpDir("clone-dst-"), shallow = false)
-    assert(ids(c.toDF) === Set(1, 2))
+  test("shallow clone of a PARTITIONED table: partition columns reconstitute from the log") {
+    import spark.implicits._
+    val src = GraftTable.create(spark, tmpDir("clone-psrc-"),
+      df((1, "a"), (2, "b"), (3, "a"), (4, "b"), (5, "c")), partitionBy = Seq("v"))
+    val dest = tmpDir("clone-pdst-")
+    val c = src.cloneTo(dest)
+    // zero data copied; partition VALUES served from the log, not basePath
+    val copied = java.nio.file.Files.walk(java.nio.file.Paths.get(dest))
+      .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    assert(copied === 0, "shallow partitioned clone must copy zero data files")
+    assert(c.toDF.collect().map(r => r.getInt(0) -> r.getString(1)).toSet ===
+      Set(1 -> "a", 2 -> "b", 3 -> "a", 4 -> "b", 5 -> "c"))
+    assert(c.toDF.columns.toSeq === Seq("id", "v"), "schema order preserved")
+    // partition pruning still works off the clone's AddFile values
+    assert(c.scan($"v" === "a").count() === 2L)
+    // the clone evolves independently: DML mixes escaped + local files
+    c.delete($"id" === 1)
+    c.append(df((10, "a"), (11, "d")))
+    assert(c.toDF.collect().map(r => r.getInt(0) -> r.getString(1)).toSet ===
+      Set(2 -> "b", 3 -> "a", 4 -> "b", 5 -> "c", 10 -> "a", 11 -> "d"))
+    assert(ids(src.toDF) === Set(1, 2, 3, 4, 5), "the source never mutates")
+    // deep clone of a partitioned table still works
+    val d = src.cloneTo(tmpDir("clone-pdeep-"), shallow = false)
+    assert(ids(d.toDF) === Set(1, 2, 3, 4, 5))
+  }
+
+  test("shallow partitioned clone of a DV table: merge-on-read rides the grouped scan") {
+    import spark.implicits._
+    val src = GraftTable.create(spark, tmpDir("clone-dvsrc-"),
+      df((1 to 8).map(i => (i, if (i % 2 == 0) "e" else "o")): _*),
+      partitionBy = Seq("v"))
+    src.setProperty("deletionVectors.enabled", "true")
+    src.delete($"id".isin(2, 3)) // tombstones via DV sidecars
+    val c = src.cloneTo(tmpDir("clone-dvdst-"))
+    // the DV anti-join's provenance columns attach INSIDE each leaf scan
+    // of the per-partition-group union — tombstoned rows stay dead
+    assert(ids(c.toDF) === Set(1, 4, 5, 6, 7, 8))
+    // and the provenance-carrying DML path works on the clone too
+    c.delete($"id" === 5)
+    assert(ids(c.toDF) === Set(1, 4, 6, 7, 8))
   }
 }
