@@ -1847,6 +1847,50 @@ object TableQueries {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // ---- Shallow clone of a PARTITIONED table ------------------------------------
+    // Round 13 refused this (basePath cannot reconstruct partition
+    // columns for file references outside the clone root); the read now
+    // attaches them from the LOG via per-partition-group scans, so
+    // zero-copy branching covers the standard layout. The fixture clones
+    // a lang-partitioned documents table shallow (REQUIREs zero data
+    // files copied), DELETEs one lang in the CLONE only, appends fresh
+    // rows, and the query aggregates the diverged clone — the oracle
+    // replays the lifecycle in SQL while the source stays untouched.
+    "q195_partitioned_shallow_clone" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val c = cache.computeIfAbsent(s"partClone:$dir", _ => {
+          val docs = graft.Tables.documents(s, dir)
+            .select($"doc_id", $"lang", $"n_chars")
+          val srcPath = graft.Scratch.dir("graft-pclone-src-").toString
+          val src = GraftTable.create(s, srcPath, docs, partitionBy = Seq("lang"))
+          val destPath = graft.Scratch.dir("graft-pclone-dst-").toString + "/t"
+          val cl = src.cloneTo(destPath)
+          val copied = java.nio.file.Files.walk(java.nio.file.Paths.get(destPath))
+            .iterator()
+          var n = 0
+          while (copied.hasNext) { if (copied.next().toString.endsWith(".parquet")) n += 1 }
+          require(n == 0, s"shallow partitioned clone must copy zero data files, got $n")
+          cl.delete($"lang" === "en")
+          cl.append(docs.filter($"lang" === "en")
+            .withColumn("doc_id", $"doc_id" + 5000000L)
+            .withColumn("n_chars", $"n_chars" * 2))
+          require(src.toDF.count() == docs.count(), "the source must never mutate")
+          cl
+        })
+        c.toDF.groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+               sum($"n_chars".cast("long")).as("sum_chars"))
+          .orderBy($"lang")
+      },
+      """WITH clone AS (
+        |  SELECT doc_id, lang, n_chars FROM documents WHERE lang <> 'en'
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, lang, n_chars * 2 FROM documents WHERE lang = 'en'
+        |)
+        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM clone GROUP BY lang ORDER BY lang""".stripMargin),
   )
 
   /** q191's adopted table, memoized per (JVM, dir): a hand-authored
