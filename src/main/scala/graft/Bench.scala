@@ -103,12 +103,20 @@ object Bench {
       "q139_stream_incremental_dedup", "q140_stream_sink_tumbling")
     val streamingS = results.collect { case (k, v) if v >= 0 && streaming(k) => v }.sum
     val batchS = total - streamingS
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"batch_s":$batchS,"streaming_fixed_s":$streamingS,"queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
-    // The harness stores only a bounded TAIL of stdout; the full line above
-    // is ~6 KB so its leading summary fields fall outside that window.
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"batch_s":$batchS,"streaming_fixed_s":$streamingS,"queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    println(fullLine)
+    // The harness stores only a bounded TAIL of stdout, which truncates
+    // the per-query map above — persist the COMPLETE line to a file so
+    // cross-round per-query comparison never depends on the tail window.
+    // Best-effort: a read-only cwd must not fail the bench.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_queries.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case _: Exception => () }
     // Repeat the summary (sans the per-query map) as the FINAL line so any
-    // tail capture retains one complete, parseable JSON object.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"batch_s":$batchS,"streaming_fixed_s":$streamingS,"nqueries":${results.size},"errors":$errors,"sf":"$sfDir"}""")
+    // tail capture retains one complete, parseable JSON object — it also
+    // points at the full artifact.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"batch_s":$batchS,"streaming_fixed_s":$streamingS,"nqueries":${results.size},"errors":$errors,"sf":"$sfDir","perQueryFile":"bench_queries.json"}""")
     spark.stop()
     if (results.exists(_._2 < 0)) sys.exit(1)
   }

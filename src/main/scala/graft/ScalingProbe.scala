@@ -331,7 +331,170 @@ object ScalingProbe {
     spark.stop()
   }
 
+  /** Adoption-at-scale probe (round-15 brief): a synthetic FOREIGN delta
+    * log with `n` live files — a delta checkpoint parquet at v1 carrying
+    * every add (plus the v0/v1 JSON commits, so a full replay IS possible
+    * and seeding is a measured choice, not a forced one) and a 10-commit
+    * JSON tail. REQUIREs (a) the adopting commit is metadata-only and
+    * O(1)-sized — independent of n, the zero-copy property — and (b) the
+    * first post-adoption snapshot fold SEEDS from the foreign checkpoint:
+    * storage-level commit reads equal the tail length exactly (a full
+    * JSON replay would also read the n-add v1 commit).
+    * Usage: tools/run.sh graft.ScalingProbe adopt [nFiles]. */
+  private def runAdoptProbe(n: Int): Unit = {
+    import graft.table._
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = Scratch.dir("graft-adoptprobe-").toString
+    val logDir = java.nio.file.Paths.get(dir, "_delta_log")
+    java.nio.file.Files.createDirectories(logDir)
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"""ADOPTPROBE {"step":"$label","n":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.3f}""")
+      r
+    }
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType))).json
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val protoLine = """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["vacuumProtocolCheck"],"writerFeatures":["vacuumProtocolCheck"]}}"""
+    val metaLine = s"""{"metaData":{"id":"adopt-probe-1","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(schemaJson)},"partitionColumns":[],"configuration":{},"createdTime":1619112344000}}"""
+    def addLine(i: Int): String = {
+      val p = f"part-$i%07d-a-c000.snappy.parquet"
+      s"""{"add":{"path":"$p","partitionValues":{},"size":134217728,"modificationTime":1619112345000,"dataChange":true,"stats":"{\\"numRecords\\":1000000,\\"minValues\\":{\\"id\\":${i * 1000L}},\\"maxValues\\":{\\"id\\":${(i + 1) * 1000L}},\\"nullCount\\":{\\"id\\":0}}"}}"""
+    }
+    def info(ts: Long) =
+      s"""{"commitInfo":{"timestamp":$ts,"operation":"WRITE","operationMetrics":{}}}"""
+    timed("author_foreign_log") {
+      java.nio.file.Files.write(logDir.resolve(f"${0L}%020d.json"),
+        Seq(info(1619112345000L), protoLine, metaLine)
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(logDir.resolve(f"${1L}%020d.json"),
+        (info(1619112346000L) +: (0 until n).map(addLine))
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
+      // the delta checkpoint at v1: protocol + metaData + every add
+      val stage = Scratch.dir("graft-adoptprobe-cp-")
+      spark.read.json((Seq(protoLine, metaLine) ++ (0 until n).map(addLine)).toDS)
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        logDir.resolve(f"${1L}%020d.checkpoint.parquet"))
+      java.nio.file.Files.write(logDir.resolve("_last_checkpoint"),
+        s"""{"version":1,"size":${n + 2}}""".getBytes("UTF-8"))
+      // 10-commit foreign tail past the checkpoint
+      (2 to 11).foreach { v =>
+        java.nio.file.Files.write(logDir.resolve(f"$v%020d.json"),
+          (info(1619112346000L + v) +: Seq(addLine(n + v)))
+            .mkString("", "\n", "\n").getBytes("UTF-8"))
+      }
+    }
+    val preLog = new GraftLog(dir)
+    val pre = timed("foreign_fold_checkpoint_seeded") { preLog.snapshotAt(11L) }
+    require(pre.files.size == n + 10, s"foreign fold lost files: ${pre.files.size}")
+    require(preLog.uncachedVersionReads <= 11,
+      s"foreign fold must seed from the checkpoint, read " +
+        s"${preLog.uncachedVersionReads} commits (tail is 10)")
+    timed("adopt") { GraftTable.adoptDelta(spark, dir) }
+    val adoptFile = logDir.resolve(f"${12L}%020d.json")
+    val adoptBytes = java.nio.file.Files.size(adoptFile)
+    val adoptLines = java.nio.file.Files.readAllLines(adoptFile)
+    require(adoptLines.stream().noneMatch(_.contains("\"add\"")) &&
+        adoptBytes < 8192,
+      s"adopting commit must be metadata-only and O(1)-sized, got $adoptBytes bytes")
+    println(s"""ADOPTPROBE {"step":"adopt_commit_bytes","n":$n,"bytes":$adoptBytes}""")
+    // FIRST post-adoption fold: a fresh log instance must seed from the
+    // FOREIGN checkpoint and replay only the (2..12) tail — exactly 11
+    // commit reads; a full JSON replay would read 13 including the n-add v1
+    val postLog = new GraftLog(dir)
+    val post = timed("post_adoption_fold") { postLog.snapshotAt(12L) }
+    require(post.files.size == n + 10, s"post-adoption fold lost files: ${post.files.size}")
+    require(postLog.uncachedVersionReads <= 11,
+      s"post-adoption fold must reuse the foreign checkpoint, read " +
+        s"${postLog.uncachedVersionReads} commits (tail is 11)")
+    // and graft DML proceeds on the adopted table
+    val t = GraftTable.forPath(spark, dir)
+    timed("post_adoption_history") { t.history().count() }
+    spark.stop()
+  }
+
+  /** Shallow-clone scan-planning probe (round-15 brief): a partitioned
+    * table with `n` DISTINCT partition values, shallow-cloned, then the
+    * clone's FIRST scan is planned and executed. REQUIREs the plan holds
+    * exactly ONE parquet leaf regardless of n — the round-14 shape
+    * planned one union leg per partition combo, making driver-side
+    * planning O(partitions) on the feature's headline use case (branch a
+    * 100-TB partitioned table, scan before any OPTIMIZE localizes files).
+    * Usage: tools/run.sh graft.ScalingProbe clone [nPartitions]. */
+  private def runCloneProbe(n: Int): Unit = {
+    import graft.table._
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"""CLONEPROBE {"step":"$label","n":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.3f}""")
+      r
+    }
+    val src = Scratch.dir("graft-cloneprobe-src-").toString
+    timed("build_partitioned_source") {
+      // one physical parquet file copied under n partition dirs, then
+      // CONVERT references them in place (footer harvest is one executor
+      // job) — n real files without an n-way shuffle write
+      val stage = Scratch.dir("graft-cloneprobe-stage-")
+      Seq((1L, "x")).toDF("id", "payload").coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      (0 until n).foreach { i =>
+        val d = java.nio.file.Paths.get(src, f"p=v$i%04d")
+        java.nio.file.Files.createDirectories(d)
+        java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+          d.resolve("part-00000-c000.parquet"))
+      }
+      GraftTable.convert(spark, src)
+    }
+    val t = GraftTable.forPath(spark, src)
+    val c = timed("shallow_clone") {
+      t.cloneTo(Scratch.dir("graft-cloneprobe-dst-").toString + "/t")
+    }
+    val scan = c.toDF
+    val plan = timed("plan_first_scan") {
+      scan.queryExecution.executedPlan.toString
+    }
+    val leaves = "FileScan parquet".r.findAllIn(plan).size
+    require(leaves == 1,
+      s"escaped-file scan must plan ONE parquet leaf at $n combos, got $leaves")
+    println(s"""CLONEPROBE {"step":"plan_leaves","n":$n,"leaves":$leaves}""")
+    val rows = timed("execute_first_scan") { scan.count() }
+    require(rows == n.toLong, s"clone scan lost rows: $rows of $n")
+    val pruned = timed("partition_pruned_scan") {
+      c.scan($"p" === "v0007").count()
+    }
+    require(pruned == 1L, s"partition value must prune to one row, got $pruned")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("clone")) {
+      runCloneProbe(args.drop(1).headOption.map(_.toInt).getOrElse(1000))
+      return
+    }
+    if (args.headOption.contains("adopt")) {
+      runAdoptProbe(args.drop(1).headOption.map(_.toInt).getOrElse(100000))
+      return
+    }
     if (args.headOption.contains("log")) {
       runLogProbe(args.drop(1).headOption.map(_.toInt).getOrElse(100000))
       return

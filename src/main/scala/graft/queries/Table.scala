@@ -1891,6 +1891,83 @@ object TableQueries {
         |)
         |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM clone GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // ---- Adopt a MODERN delta table (feature-trio protocol) ----------------------
+    // Current delta-spark stamps vacuumProtocolCheck (+ increasingly
+    // v2Checkpoint, timestampNtz) on FRESH tables — round 14's allowlist
+    // refused exactly those, routing the most common real tables through
+    // the 100-TB import_delta copy. The fixture hand-authors a foreign
+    // log whose protocol declares the trio at (3,7), adopts it (REQUIREd
+    // metadata-only + feature continuation in the adopting protocol),
+    // runs graft DML, and REQUIREs an independent jackson-only delta
+    // replay equals graft's live set.
+    "q196_adopt_modern_delta" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = modernAdoptedTable(s, dir)
+        t.toDF.groupBy($"n_regionkey")
+          .agg(count(lit(1)).as("n"),
+               sum($"n_nationkey".cast("long")).as("sum_key"))
+          .orderBy($"n_regionkey")
+      },
+      """WITH live AS (
+        |  SELECT n_nationkey, n_regionkey FROM nation WHERE n_regionkey < 3
+        |  UNION ALL
+        |  SELECT n_nationkey + 2000, n_regionkey FROM nation WHERE n_regionkey = 1
+        |)
+        |SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+        |FROM live GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
+
+    // ---- Adopt a NAME-mode column-mapped delta table, then RENAME ----------------
+    // Round 14 refused mapped tables wholesale; graft speaks delta's
+    // physicalName spelling end to end, so name-mode tables now adopt and
+    // keep the schema change mapping exists for: the fixture adopts a
+    // foreign mapped table (physical parquet columns differ from logical
+    // names), RENAMEs a column, runs DML, REQUIREs the continued log's
+    // metaData carries the standard delta mapping spelling (mode +
+    // per-field physicalName/id) and an independent replay equality.
+    "q197_adopt_mapped_rename" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = mappedAdoptedTable(s, dir)
+        t.toDF.groupBy($"region")
+          .agg(count(lit(1)).as("n"),
+               sum($"n_nationkey".cast("long")).as("sum_key"))
+          .orderBy($"region")
+      },
+      """WITH live AS (
+        |  SELECT n_nationkey, n_regionkey AS region FROM nation WHERE n_nationkey % 2 = 0
+        |  UNION ALL
+        |  SELECT n_nationkey + 3000, n_regionkey FROM nation WHERE n_regionkey = 2
+        |)
+        |SELECT region, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+        |FROM live GROUP BY region ORDER BY region""".stripMargin),
+
+    // ---- TIMESTAMP_NTZ native column: stats skipping + aggregation ---------------
+    // NTZ is a native graft type since round 15 (create/conform/stats/
+    // partition values/skipping all speak LOCAL micros). The fixture
+    // loads events into an NTZ-typed graft table in weekly slices (one
+    // file per week, disjoint ts ranges), REQUIREs the timestampNtz
+    // protocol feature was stamped and that an NTZ range predicate
+    // PRUNES files off footer stats; the query is the pruned scan's
+    // per-day rollup, oracle-checked against DuckDB's naive TIMESTAMP.
+    "q198_ntz_skipping" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = ntzEventsTable(s, dir)
+        val bound = lit("2024-01-22 00:00:00")
+          .cast(org.apache.spark.sql.types.TimestampNTZType)
+        t.scan($"ts_ntz" >= bound)
+          .groupBy(date_format($"ts_ntz", "yyyy-MM-dd").as("d"))
+          .agg(count(lit(1)).as("n"),
+               round(sum($"value".cast("decimal(28,9)")).cast("double"), 3)
+                 .as("sum_value"))
+          .orderBy($"d")
+      },
+      """SELECT strftime(ts, '%Y-%m-%d') AS d, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,9))) AS DOUBLE), 3) AS sum_value
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-22 00:00:00'
+        |GROUP BY d ORDER BY d""".stripMargin),
   )
 
   /** q191's adopted table, memoized per (JVM, dir): a hand-authored
@@ -1969,6 +2046,187 @@ object TableQueries {
       require(live.keys.toSet == t.snapshot.files.map(_.path).toSet,
         s"independent delta replay must equal graft's live set: " +
           s"${live.keys.toSet} vs ${t.snapshot.files.map(_.path).toSet}")
+      t
+    })
+
+  /** q196's adopted MODERN delta table, memoized per (JVM, dir): a
+    * hand-authored foreign log whose protocol declares the feature trio
+    * current delta-spark stamps on fresh tables (vacuumProtocolCheck,
+    * v2Checkpoint, timestampNtz at (3,7)). The build REQUIREs (a) the
+    * adopting commit is metadata-only, (b) the continued protocol RETAINS
+    * the trio (dropping them would invalidate state existing delta
+    * readers gate on), and (c) an independent jackson-only delta replay
+    * of the continued log equals graft's live set after DML. */
+  private def modernAdoptedTable(s: SparkSession, dir: String): GraftTable =
+    cache.computeIfAbsent(s"modernAdopt:$dir", _ => {
+      import s.implicits._
+      import java.nio.file.{Files, Paths}
+      val root = graft.Scratch.dir("graft-delta-modern-").toString
+      val nation = graft.Tables.nation(s, dir)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      def writeOne(rel: String, df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val stage = Files.createTempDirectory("graft-modern-stage-")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = Files.list(stage).toArray.map(_.toString)
+          .filter(_.endsWith(".parquet")).head
+        val target = Paths.get(root, rel)
+        Files.createDirectories(target.getParent)
+        Files.move(Paths.get(part), target)
+        (Files.size(target), Files.getLastModifiedTime(target).toMillis)
+      }
+      def addLine(rel: String, sz: Long, mt: Long, rows: Long): String =
+        s"""{"add":{"path":"$rel","partitionValues":{},"size":$sz,"modificationTime":$mt,"dataChange":true,"stats":"{\\"numRecords\\":$rows,\\"minValues\\":{},\\"maxValues\\":{},\\"nullCount\\":{}}"}}"""
+      val lo = nation.filter($"n_regionkey" < 3)
+      val (s1, m1) = writeOne("part-00000-mod-c000.snappy.parquet", lo)
+      val logDir = Paths.get(root, "_delta_log")
+      Files.createDirectories(logDir)
+      Files.write(logDir.resolve(f"${0L}%020d.json"), Seq(
+        """{"commitInfo":{"timestamp":1619112345000,"operation":"WRITE","operationParameters":{},"isBlindAppend":true,"operationMetrics":{}}}""",
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz","v2Checkpoint","vacuumProtocolCheck"],"writerFeatures":["timestampNtz","v2Checkpoint","vacuumProtocolCheck","invariants","appendOnly"]}}""",
+        s"""{"metaData":{"id":"9f2b7c1e-delta-modern","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(nation.schema.json)},"partitionColumns":[],"configuration":{},"createdTime":1619112344000}}""",
+        addLine("part-00000-mod-c000.snappy.parquet", s1, m1, lo.count())
+      ).mkString("", "\n", "\n").getBytes("UTF-8"))
+      val t = GraftTable.adoptDelta(s, root)
+      val adoptLines = Files.readAllLines(logDir.resolve(f"${1L}%020d.json"))
+      require(adoptLines.stream().noneMatch(_.contains("\"add\"")),
+        "the adopting commit must be metadata-only")
+      val p = t.snapshot.protocol
+      require(Seq("timestampNtz", "v2Checkpoint", "vacuumProtocolCheck")
+          .forall(f => p.readerFeatures.contains(f) && p.writerFeatures.contains(f)),
+        s"the continued protocol must retain the adopted feature trio: $p")
+      // graft DML on the adopted table
+      t.append(nation.filter($"n_regionkey" === 1)
+        .withColumn("n_nationkey", $"n_nationkey" + 2000))
+      // independent delta replay (raw jackson, last-writer-wins)
+      val live = scala.collection.mutable.LinkedHashMap[String, Boolean]()
+      Files.list(logDir).toArray.map(_.toString)
+        .filter(_.matches(".*\\d{20}\\.json$")).sorted
+        .foreach { f =>
+          Files.readAllLines(Paths.get(f)).forEach { l =>
+            if (l.nonEmpty) {
+              val n = mapper.readTree(l)
+              if (n.has("add"))
+                live(new java.net.URI(n.get("add").get("path").asText()).getPath) = true
+              if (n.has("remove"))
+                live.remove(new java.net.URI(n.get("remove").get("path").asText()).getPath)
+            }
+          }
+        }
+      require(live.keys.toSet == t.snapshot.files.map(_.path).toSet,
+        "independent delta replay must equal graft's live set")
+      t
+    })
+
+  /** q197's adopted NAME-mode MAPPED table, memoized per (JVM, dir): the
+    * foreign file's physical parquet columns (pc_k / pc_r / pc_n /
+    * pc_c) differ from the logical schema names; delta's per-field
+    * physicalName/id metadata binds them. The build adopts, RENAMEs
+    * n_regionkey → region (the schema change mapping exists for), runs
+    * DML, and REQUIREs the continued log's latest metaData carries the
+    * standard delta mapping spelling plus independent replay equality. */
+  private def mappedAdoptedTable(s: SparkSession, dir: String): GraftTable =
+    cache.computeIfAbsent(s"mappedAdopt:$dir", _ => {
+      import s.implicits._
+      import java.nio.file.{Files, Paths}
+      val root = graft.Scratch.dir("graft-delta-mapped-adopt-").toString
+      val nation = graft.Tables.nation(s, dir)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val phys = Map("n_nationkey" -> "pc_k", "n_name" -> "pc_n",
+        "n_regionkey" -> "pc_r", "n_comment" -> "pc_c")
+      val stage = Files.createTempDirectory("graft-mapped-stage-")
+      nation.select(nation.columns.toIndexedSeq.map(c => col(c).as(phys(c))): _*)
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val rel = "part-00000-map-c000.snappy.parquet"
+      val target = Paths.get(root, rel)
+      Files.createDirectories(target.getParent)
+      Files.move(Paths.get(part), target)
+      val mappedSchema = org.apache.spark.sql.types.StructType(
+        nation.schema.fields.zipWithIndex.map { case (f, i) =>
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("delta.columnMapping.physicalName", phys(f.name))
+            .putLong("delta.columnMapping.id", i + 1L).build())
+        })
+      val logDir = Paths.get(root, "_delta_log")
+      Files.createDirectories(logDir)
+      Files.write(logDir.resolve(f"${0L}%020d.json"), Seq(
+        """{"commitInfo":{"timestamp":1619112345000,"operation":"WRITE","operationParameters":{},"isBlindAppend":true,"operationMetrics":{}}}""",
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"9f2b7c1e-delta-mapadopt","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(mappedSchema.json)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"4"},"createdTime":1619112344000}}""",
+        s"""{"add":{"path":"$rel","partitionValues":{},"size":${Files.size(target)},"modificationTime":${Files.getLastModifiedTime(target).toMillis},"dataChange":true,"stats":"{\\"numRecords\\":${nation.count()},\\"minValues\\":{},\\"maxValues\\":{},\\"nullCount\\":{}}"}}"""
+      ).mkString("", "\n", "\n").getBytes("UTF-8"))
+      val t = GraftTable.adoptDelta(s, root)
+      // the schema change mapping exists for, then DML over it
+      t.renameColumn("n_regionkey", "region")
+      t.delete($"n_nationkey" % 2 === 1)
+      t.append(nation.filter($"n_regionkey" === 2)
+        .withColumn("n_nationkey", $"n_nationkey" + 3000)
+        .withColumnRenamed("n_regionkey", "region"))
+      // the continued log's latest metaData spells delta mapping
+      val metaJson = (t.latestVersion to 1L by -1L).iterator
+        .flatMap(v => Files.readAllLines(
+          logDir.resolve(f"$v%020d.json")).toArray.map(_.toString))
+        .find(_.contains("\"metaData\"")).get
+      val mNode = mapper.readTree(metaJson).get("metaData")
+      require(mNode.get("configuration").get("delta.columnMapping.mode")
+          .asText() == "name", "continued metaData must declare name mode")
+      val emitted = org.apache.spark.sql.types.DataType
+        .fromJson(mNode.get("schemaString").asText())
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val reg = emitted.fields.find(_.name == "region").get
+      require(reg.metadata.getString("delta.columnMapping.physicalName") == "pc_r" &&
+          reg.metadata.getLong("delta.columnMapping.id") == 3L,
+        "the renamed column must keep its foreign physical name and id")
+      // independent delta replay equality over the continued log
+      val live = scala.collection.mutable.LinkedHashMap[String, Boolean]()
+      Files.list(logDir).toArray.map(_.toString)
+        .filter(_.matches(".*\\d{20}\\.json$")).sorted
+        .foreach { f =>
+          Files.readAllLines(Paths.get(f)).forEach { l =>
+            if (l.nonEmpty) {
+              val n = mapper.readTree(l)
+              if (n.has("add"))
+                live(new java.net.URI(n.get("add").get("path").asText()).getPath) = true
+              if (n.has("remove"))
+                live.remove(new java.net.URI(n.get("remove").get("path").asText()).getPath)
+            }
+          }
+        }
+      require(live.keys.toSet == t.snapshot.files.map(_.path).toSet,
+        "independent delta replay must equal graft's live set")
+      t
+    })
+
+  /** q198's NTZ events table, memoized per (JVM, dir): events loaded into
+    * a TIMESTAMP_NTZ-typed graft table in WEEKLY slices (one append per
+    * week → files with disjoint local-micros ranges). The build REQUIREs
+    * the timestampNtz protocol feature was stamped at create and that an
+    * NTZ range predicate PRUNES files off footer stats — the skipping
+    * evidence VERDICT r14 task 4 names. */
+  private def ntzEventsTable(s: SparkSession, dir: String): GraftTable =
+    cache.computeIfAbsent(s"ntzEvents:$dir", _ => {
+      import s.implicits._
+      val ntz = org.apache.spark.sql.types.TimestampNTZType
+      val ev = graft.Tables.events(s, dir)
+        .select($"event_id", $"user_id", $"value",
+          $"ts".cast(ntz).as("ts_ntz"))
+      def week(w: Int) = {
+        val loD = (w - 1) * 7 + 1; val hiD = loD + 7
+        ev.filter($"ts_ntz" >= lit(f"2024-01-$loD%02d 00:00:00").cast(ntz) &&
+          (if (hiD > 31) lit(true)
+           else $"ts_ntz" < lit(f"2024-01-$hiD%02d 00:00:00").cast(ntz)))
+      }
+      val p = graft.Scratch.dir("graft-ntz-events-").toString
+      val t = GraftTable.create(s, p, week(1))
+      (2 to 5).foreach(w => t.append(week(w)))
+      require(t.snapshot.protocol.readerFeatures.contains("timestampNtz"),
+        "an NTZ schema must stamp the protocol feature")
+      val total = t.snapshot.files.size
+      val kept = t.prunedFiles(t.snapshot,
+        $"ts_ntz" >= lit("2024-01-22 00:00:00").cast(ntz))
+      require(kept.size < total,
+        s"NTZ footer stats must prune the early weeks: kept ${kept.size}/$total")
       t
     })
 

@@ -120,11 +120,15 @@ object Protocol {
       // Spark's field-id resolution).
       "timestampNtz", "v2Checkpoint", "vacuumProtocolCheck")
   val supportedWriterFeatures: Set[String] =
-    // NOT derived from the reader set: the foreign-read-only features
-    // (timestampNtz, v2Checkpoint, vacuumProtocolCheck) are readable but
-    // this build must never claim to WRITE a table that requires them
     Set("deletionVectors", "columnMapping", "changeDataFeed", "rowTracking",
       "variantType", "generatedColumns", "identityColumns", "appendOnly",
+      // Continuable writer-side features of ADOPTED delta tables (round
+      // 15): timestampNtz is a native column type (create/stats/skipping
+      // all speak local micros); vacuumProtocolCheck demands exactly the
+      // protocol-gated vacuum graft performs; v2Checkpoint tables legally
+      // continue with classic checkpoints (the delta spec keeps them
+      // valid on a v2Checkpoint table — writers may produce either form).
+      "timestampNtz", "v2Checkpoint", "vacuumProtocolCheck",
       // compat.delta.write protocol spellings (DeltaWriteCompat
       // .compatProtocol): the graft-private v7 names that lock FOREIGN
       // writers out of engine-private column semantics, plus the legacy
@@ -418,7 +422,12 @@ object Actions {
           // them out, or a dropped constraint would linger as a ghost key
           val plain = plain0.filterNot { case (k, _) =>
             k.startsWith("delta.constraints.") || k == "delta.appendOnly" ||
-              k == "delta.enableChangeDataFeed" }
+              k == "delta.enableChangeDataFeed" ||
+              // derived mirror of the graft columnMapping.mode property
+              // (delta.columnMapping.maxColumnId is NOT filtered: graft
+              // stores it under the delta key natively, one source of
+              // truth for both engines)
+              k == "delta.columnMapping.mode" }
           MetaData(n.get("id").asText(), n.get("schemaString").asText(),
             Option(n.get("createdTime")).map(_.asLong()).getOrElse(0L), partCols,
             chk.map { case (k, v) => k.stripPrefix("constraint.") -> v }, plain)

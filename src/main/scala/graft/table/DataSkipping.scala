@@ -106,6 +106,9 @@ object DataSkipping {
            _: DoubleType | _: FloatType | _: DecimalType =>
         Some(Left(BigDecimal(v.toString)))
       case _: TimestampType => Some(Left(BigDecimal(v.toString))) // micros
+      // NTZ evaluates to LOCAL micros — the exact unit the footer harvest
+      // records for isAdjustedToUTC=false parquet columns
+      case TimestampNTZType => Some(Left(BigDecimal(v.toString)))
       case _: DateType      => Some(Left(BigDecimal(v.toString))) // epoch days
       case _: StringType    => Some(Right(v.toString))
       case _                => None

@@ -78,6 +78,36 @@ object DeltaWriteCompat {
     * readers (who check minReaderVersion alone) replay natively. CHECK
     * constraints are foreign-enforceable (`delta.constraints.*`, writer
     * version 3); a table with none of these is plain delta-1.0 (1, 2). */
+  /** Reader+writer features an ADOPTED foreign protocol carries that graft
+    * continues rather than re-derives: dropping them from the continued
+    * log would invalidate state delta readers already gate on (existing
+    * v2 checkpoints, NTZ columns, the vacuum protocol check). */
+  private val ContinuedFeatures: Set[String] =
+    Set("timestampNtz", "v2Checkpoint", "vacuumProtocolCheck")
+
+  private def parsedSchema(meta: MetaData): StructType =
+    try DataType.fromJson(meta.schemaString).asInstanceOf[StructType]
+    catch { case _: Exception => new StructType() }
+
+  private def anyType(dt: DataType)(pred: DataType => Boolean): Boolean =
+    pred(dt) || (dt match {
+      case s: StructType => s.fields.exists(f => anyType(f.dataType)(pred))
+      case a: ArrayType => anyType(a.elementType)(pred)
+      case m: MapType => anyType(m.keyType)(pred) || anyType(m.valueType)(pred)
+      case _ => false
+    })
+
+  private[table] def hasVariantType(meta: MetaData): Boolean =
+    meta.schemaString.contains("\"variant\"") &&
+      anyType(parsedSchema(meta))(_.isInstanceOf[VariantType])
+
+  private[table] def hasNtzType(meta: MetaData): Boolean =
+    meta.schemaString.contains("timestamp_ntz") &&
+      anyType(parsedSchema(meta))(_ == TimestampNTZType)
+
+  private def mappingName(meta: MetaData): Boolean =
+    meta.properties.get("columnMapping.mode").exists(_.equalsIgnoreCase("name"))
+
   def compatProtocol(p: Protocol, meta: MetaData): Protocol = {
     val priv = p.writerFeatures.collect {
       case f @ ("generatedColumns" | "identityColumns" | "rowTracking") =>
@@ -109,13 +139,26 @@ object DeltaWriteCompat {
     val cdf = meta.properties.get("changeDataFeed.enabled")
       .exists(_.equalsIgnoreCase("true"))
     val cdfFeat = if (cdf) Seq("changeDataFeed") else Nil
-    if (priv.nonEmpty || dv || cdf) {
+    // Reader+writer table features beyond DVs (round 15): VARIANT columns
+    // and TIMESTAMP_NTZ derive from the CURRENT schema, column mapping
+    // from the mapping mode property, and the adoption-continued trio
+    // rides through from the native protocol (which folded them from the
+    // foreign log). All of these require (3, 7) with the feature named on
+    // BOTH sides — the standard delta spelling.
+    val schemaFeat =
+      (if (hasVariantType(meta)) Seq("variantType") else Nil) ++
+        (if (hasNtzType(meta)) Seq("timestampNtz") else Nil) ++
+        (if (mappingName(meta)) Seq("columnMapping") else Nil)
+    val continued =
+      (p.readerFeatures ++ p.writerFeatures).filter(ContinuedFeatures).distinct
+    val readerFeats = (dvFeat ++ schemaFeat ++ continued).distinct.sorted
+    if (priv.nonEmpty || cdf || readerFeats.nonEmpty) {
       // v7 lists EVERY active writer capability, legacy ones included
       val legacy = Seq("invariants") ++
         (if (meta.constraints.nonEmpty) Seq("checkConstraints") else Nil) ++
         (if (appendOnly) Seq("appendOnly") else Nil)
-      Protocol(if (dv) 3 else 1, 7, dvFeat,
-        (priv ++ dvFeat ++ cdfFeat ++ legacy).distinct.sorted)
+      Protocol(if (readerFeats.nonEmpty) 3 else 1, 7, readerFeats,
+        (priv ++ readerFeats ++ cdfFeat ++ legacy).distinct.sorted)
     } else if (meta.constraints.nonEmpty) Protocol(1, 3)
     else Protocol(1, 2)
   }
@@ -123,21 +166,6 @@ object DeltaWriteCompat {
   /** Table state a delta-1.0 reader cannot honor; checked at every compat
     * commit (including the one that tries to ENABLE the property). */
   def refusal(meta: MetaData, actions: Seq[Action]): Option[String] = {
-    def on(k: String) = meta.properties.get(k).exists(v =>
-      v.equalsIgnoreCase("true") || v.equalsIgnoreCase("name"))
-    def hasVariant(dt: DataType): Boolean = dt match {
-      case _: VariantType => true
-      case s: StructType => s.fields.exists(f => hasVariant(f.dataType))
-      case a: ArrayType => hasVariant(a.elementType)
-      case m: MapType => hasVariant(m.keyType) || hasVariant(m.valueType)
-      case _ => false
-    }
-    // substring is only the cheap PRE-filter; the schema parse decides —
-    // a column merely NAMED "variant" must not trip the refusal
-    def variantSchema: Boolean =
-      meta.schemaString.contains("\"variant\"") &&
-        (try hasVariant(DataType.fromJson(meta.schemaString))
-         catch { case _: Exception => false })
     // CDF under compat is ALLOWED since round 13 (round 14 for partitioned
     // tables): graft's compat _cdc/ sidecars are delta's AddCDCFile shape —
     // data columns + _change_type in the file, partition columns carried
@@ -145,8 +173,19 @@ object DeltaWriteCompat {
     // frame partitionBy(partCols) under compat) — emitted as delta `cdc`
     // actions with the delta.enableChangeDataFeed mirror, so real delta
     // CDF readers reconstitute partition columns exactly like data files.
-    if (on("columnMapping.mode")) Some("columnMapping.mode")
-    else if (variantSchema) Some("VARIANT columns")
+    // Column mapping (NAME mode) and VARIANT columns are ALLOWED since
+    // round 15: the emitter spells mapping as the standard
+    // delta.columnMapping.* metadata (field ids stamped at commit via
+    // withFieldIds) and both gate the emitted protocol at (3, 7) with the
+    // standard feature names — delta readers that predate the features
+    // refuse loudly, exactly as the spec intends. ID-mode mapping stays
+    // refused: graft writes no parquet field ids into data files, so an
+    // id-resolving reader could never bind new files' columns.
+    if (meta.properties.get("columnMapping.mode").exists(m =>
+        !m.equalsIgnoreCase("name") && !m.equalsIgnoreCase("none")))
+      Some("columnMapping.mode=" +
+        meta.properties("columnMapping.mode") +
+        " (only name mode has a delta spelling graft's files satisfy)")
     // deletionVectors.enabled is ALLOWED under compat since round 13:
     // merge-on-read DML writes genuine delta-format DV files and carries
     // packed descriptors (GraftTable.writeDvStore), which serialize to
@@ -159,6 +198,98 @@ object DeltaWriteCompat {
       Some("native deletion-vector sidecar references (OPTIMIZE to purge " +
         "them before enabling compat)")
     else None
+  }
+
+  /** Key delta stores the mapping id high-water mark under. Graft uses
+    * the DELTA key natively — one source of truth that rides through the
+    * compat configuration and the fold-back verbatim (never a derived
+    * mirror that could ghost). */
+  val MaxColumnIdKey = "delta.columnMapping.maxColumnId"
+
+  /** `meta` with a delta column-mapping field id stamped on every field
+    * (nested included) that lacks one, and [[MaxColumnIdKey]] advanced to
+    * the highest id — idempotent: fully-stamped metas return `meta`
+    * itself. Runs at the COMMIT chokepoint (GraftLog.commit) for every
+    * compat + name-mode metaData, which covers enable-in-either-order,
+    * ADD COLUMN, and merge schema evolution with a single site; ids are
+    * persisted in the committed schemaString, so they are stable across
+    * every later commit (delta requires stable unique ids per field).
+    * Adopted foreign schemas arrive pre-stamped and pass through; the
+    * counter starts past their highest id so a later ADD can never
+    * re-issue a foreign id. */
+  def withFieldIds(meta: MetaData): MetaData = {
+    val schema = parsedSchema(meta)
+    if (schema.fields.isEmpty) return meta
+    def maxIn(dt: DataType): Long = dt match {
+      case s: StructType => s.fields.foldLeft(0L) { (acc, f) =>
+        math.max(acc, math.max(
+          if (f.metadata.contains(ColumnMapping.DeltaIdKey))
+            f.metadata.getLong(ColumnMapping.DeltaIdKey) else 0L,
+          maxIn(f.dataType)))
+      }
+      case a: ArrayType => maxIn(a.elementType)
+      case m: MapType => math.max(maxIn(m.keyType), maxIn(m.valueType))
+      case _ => 0L
+    }
+    var maxId = math.max(
+      meta.properties.get(MaxColumnIdKey).flatMap(v =>
+        scala.util.Try(v.toLong).toOption).getOrElse(0L),
+      maxIn(schema))
+    var changed = false
+    def stampType(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(stampField))
+      case a: ArrayType => a.copy(elementType = stampType(a.elementType))
+      case m: MapType => m.copy(keyType = stampType(m.keyType),
+        valueType = stampType(m.valueType))
+      case other => other
+    }
+    def stampField(f: StructField): StructField = {
+      val dt = stampType(f.dataType)
+      if (f.metadata.contains(ColumnMapping.DeltaIdKey)) f.copy(dataType = dt)
+      else {
+        maxId += 1; changed = true
+        f.copy(dataType = dt, metadata = new MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putLong(ColumnMapping.DeltaIdKey, maxId).build())
+      }
+    }
+    val stamped = StructType(schema.fields.map(stampField))
+    val propStale = !meta.properties.get(MaxColumnIdKey)
+      .flatMap(v => scala.util.Try(v.toLong).toOption).exists(_ >= maxId)
+    if (!changed && !propStale) meta
+    else meta.copy(
+      schemaString = if (changed) stamped.json else meta.schemaString,
+      properties =
+        if (propStale) meta.properties + (MaxColumnIdKey -> maxId.toString)
+        else meta.properties)
+  }
+
+  /** The schemaString a delta name-mode reader expects: every field
+    * (nested included) carries `delta.columnMapping.physicalName` (from
+    * graft's binding — logical name when still implicit) alongside the
+    * `delta.columnMapping.id` [[withFieldIds]] stamped. Graft's own
+    * `graft.physicalName` key rides along untouched so the compat
+    * fold-back (which returns the schemaString verbatim) keeps native
+    * reads working — delta readers ignore unknown metadata keys. */
+  def deltaMappedSchemaString(meta: MetaData): String = {
+    def onType(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(onField))
+      case a: ArrayType => a.copy(elementType = onType(a.elementType))
+      case m: MapType => m.copy(keyType = onType(m.keyType),
+        valueType = onType(m.valueType))
+      case other => other
+    }
+    def onField(f: StructField): StructField = {
+      if (!f.metadata.contains(ColumnMapping.DeltaIdKey))
+        throw new GraftProtocolException(
+          s"field ${f.name} lacks a column-mapping id under compat — " +
+            "withFieldIds must stamp every committed metaData")
+      f.copy(dataType = onType(f.dataType),
+        metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putString(ColumnMapping.DeltaPhysKey,
+            ColumnMapping.physicalName(f)).build())
+    }
+    StructType(parsedSchema(meta).fields.map(onField)).json
   }
 
   /** Checkpoint parquet layout of delta 1.x: one nullable struct column
@@ -210,7 +341,8 @@ final class DeltaShapeWriter(meta: MetaData) {
       catch { case _: Exception => new StructType() }
     schema.fields.collect {
       case f if (f.dataType match {
-        case _: NumericType | BooleanType | DateType | TimestampType => true
+        case _: NumericType | BooleanType | DateType | TimestampType |
+             TimestampNTZType => true
         case _ => false
       }) => f.name
     }.toSet
@@ -239,10 +371,17 @@ final class DeltaShapeWriter(meta: MetaData) {
         val n = root.putObject("metaData")
         n.put("id", m.id)
         n.putObject("format").put("provider", "parquet").putObject("options")
-        n.put("schemaString", m.schemaString)
+        val mapped = m.properties.get("columnMapping.mode")
+          .exists(_.equalsIgnoreCase("name"))
+        n.put("schemaString",
+          if (mapped) DeltaWriteCompat.deltaMappedSchemaString(m)
+          else m.schemaString)
         val pc = n.putArray("partitionColumns"); m.partitionColumns.foreach(pc.add)
         val conf = n.putObject("configuration")
         m.properties.foreach { case (k, v) => conf.put(k, v) }
+        // the standard delta key (derived mirror of graft's
+        // columnMapping.mode property; fold-back filters it)
+        if (mapped) conf.put("delta.columnMapping.mode", "name")
         m.constraints.foreach { case (k, v) =>
           conf.put(s"constraint.$k", v)
           // the standard key real Delta writers (≥ writer 3) ENFORCE —

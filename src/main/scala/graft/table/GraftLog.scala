@@ -259,30 +259,29 @@ final class GraftLog(val tablePath: String,
     * that cannot decode the parquet variant group refuses the table at the
     * gate instead of misreading it. */
   private def ensureSchemaFeatures(v: Long, actions: Seq[Action]): Seq[Action] = {
-    def hasVariant(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-      case _: org.apache.spark.sql.types.VariantType => true
-      case s: StructType => s.fields.exists(f => hasVariant(f.dataType))
-      case a: org.apache.spark.sql.types.ArrayType => hasVariant(a.elementType)
-      case m: org.apache.spark.sql.types.MapType =>
-        hasVariant(m.keyType) || hasVariant(m.valueType)
-      case _ => false
-    }
-    val needs = actions.exists {
-      // cheap substring pre-filter before parsing the schema JSON
-      case m: MetaData => m.schemaString.contains("\"variant\"") &&
-        hasVariant(DataType.fromJson(m.schemaString))
-      case _ => false
-    }
-    if (!needs) return actions
+    // schema-derived protocol features: a reader that predates the TYPE
+    // (variant's parquet layout; NTZ's zone-less timestamp semantics)
+    // must fail loudly at load, so the first commit whose schema carries
+    // it stamps the feature in the same version
+    val needed: Seq[String] = actions.collectFirst { case m: MetaData => m }
+      .map { m =>
+        // cheap substring pre-filters before parsing the schema JSON
+        (if (m.schemaString.contains("\"variant\"") &&
+             DeltaWriteCompat.hasVariantType(m)) Seq("variantType") else Nil) ++
+        (if (m.schemaString.contains("timestamp_ntz") &&
+             DeltaWriteCompat.hasNtzType(m)) Seq("timestampNtz") else Nil)
+      }.getOrElse(Nil)
+    if (needed.isEmpty) return actions
     val base = actions.collectFirst { case p: Protocol => p }
       .getOrElse(if (v == 0) Protocol() else snapshotAt(v - 1).protocol)
-    if (base.readerFeatures.contains("variantType")) actions
+    val missing = needed.filterNot(base.readerFeatures.contains)
+    if (missing.isEmpty) actions
     else {
       val up = base.copy(
         minReaderVersion = math.max(base.minReaderVersion, 2),
         minWriterVersion = math.max(base.minWriterVersion, 2),
-        readerFeatures = base.readerFeatures :+ "variantType",
-        writerFeatures = (base.writerFeatures :+ "variantType").distinct)
+        readerFeatures = base.readerFeatures ++ missing,
+        writerFeatures = (base.writerFeatures ++ missing).distinct)
       up +: actions.filterNot(_.isInstanceOf[Protocol])
     }
   }
@@ -390,6 +389,20 @@ final class GraftLog(val tablePath: String,
     foreignDeltaCache = Some((false, true, v))
   }
 
+  /** Compat + name-mode mapping: every COMMITTED metaData carries a delta
+    * column-mapping id on every field (DeltaWriteCompat.withFieldIds —
+    * idempotent, persisted in the schemaString so ids stay stable for
+    * the table's lifetime). One site covers enabling compat and mapping
+    * in either order, ADD COLUMN, and merge schema evolution. */
+  private def stampMappingIds(actions: Seq[Action]): Seq[Action] =
+    actions.map {
+      case m: MetaData if DeltaWriteCompat.enabled(m) &&
+          m.properties.get("columnMapping.mode")
+            .exists(_.equalsIgnoreCase("name")) =>
+        DeltaWriteCompat.withFieldIds(m)
+      case a => a
+    }
+
   def commit(v: Long, actions0: Seq[Action]): Unit = {
     // Foreign Delta logs are READ-ONLY: appending graft-format actions
     // would leave a mixed history that neither delta-spark nor this
@@ -404,7 +417,7 @@ final class GraftLog(val tablePath: String,
         "place (CALL graft.system.adopt_delta — zero copy) or copy it " +
         "into a fresh graft table (CALL graft.system.import_delta) to write")
     store.createDirectories(logDir)
-    val actions = ensureSchemaFeatures(v, actions0)
+    val actions = stampMappingIds(ensureSchemaFeatures(v, actions0))
     // Delta write-compat: when the governing metaData (this commit's, or
     // the previous snapshot's) declares compat.delta.write, the WHOLE
     // commit serializes in delta-1.0 action shape via DeltaShapeWriter —

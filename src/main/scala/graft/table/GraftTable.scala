@@ -70,13 +70,18 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     else if (partCols.nonEmpty && files.exists(_.path.startsWith(".."))) {
       // SHALLOW-CLONE references escape the table root, so basePath (which
       // requires every file under one root) cannot reconstruct the
-      // partition columns — attach them from the LOG instead: files group
-      // by their partition values and each group scans the non-partition
-      // schema with typed constants appended, exactly the decode the V2
-      // reader factory applies per file. Plan width grows with the
-      // DISTINCT partition combos of the scanned set — the
-      // clone-then-evolve shape (an OPTIMIZE localizes the files and
-      // restores the single basePath scan).
+      // partition columns — attach them from the LOG instead. ONE scan
+      // leaf reads every escaped file with the non-partition schema and
+      // each row recovers its partition values through a broadcast
+      // file-name → values map (driver-built, O(files) rows — the same
+      // bounded shape as the row-tracking base map below), then casts
+      // them to the declared partition types. Plan width is CONSTANT in
+      // the number of distinct partition combos: the first scan of a
+      // freshly cloned 100-TB table with thousands of partitions plans
+      // exactly one parquet leaf + one broadcast hash join, not a
+      // thousands-leg union (ShallowClonePlanSpec pins this at 100+
+      // combos; an OPTIMIZE still localizes files and restores the plain
+      // basePath scan).
       val logicalFields = s.schema.fields
       val dataSchema = StructType(physSchema.fields.zipWithIndex.collect {
         case (f, i) if i >= logicalFields.length ||
@@ -90,21 +95,40 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       }
       val sentinel = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .DEFAULT_PARTITION_NAME
-      val unioned = files.groupBy(f => partIdx.map { case (lf, _) => valueOf(f, lf) })
-        .toSeq.map { case (vals, fs) =>
-          val base = perScan(spark.read.schema(dataSchema)
-            .parquet(fs.map(f => s"$path/${f.path}"): _*))
-          partIdx.zip(vals).foldLeft(base) { case (d, ((lf, i), v)) =>
-            d.withColumn(physSchema.fields(i).name,
-              if (v == sentinel) lit(null).cast(lf.dataType)
-              else lit(v).cast(lf.dataType))
-          }
-        }.reduce(_ unionByName _)
+      val pvCols = partIdx.indices.map(i => s"__pv_$i")
+      val pvSchema = StructType(
+        StructField("__pfname", StringType, nullable = false) +:
+          pvCols.map(c => StructField(c, StringType, nullable = true)))
+      // keyed by the NORMALIZED absolute path, never the basename: clone
+      // references can point at converted/foreign layouts where many
+      // partition dirs hold a same-named file, and a basename key would
+      // multiply every row by its name-collision count
+      val pvRows = files.map { f =>
+        Row.fromSeq(Paths.get(s"$path/${f.path}").normalize.toString +:
+          partIdx.map { case (lf, _) =>
+            val v = valueOf(f, lf)
+            if (v == sentinel) null else v
+          })
+      }.asJava
+      val pvDf = broadcast(spark.createDataFrame(pvRows, pvSchema))
+      // __pfname materializes BEFORE perScan so both resolve `_metadata`
+      // against the single leaf relation (metadata columns propagate
+      // through the projection, but hooks like markProvenance were
+      // written against a bare scan)
+      val base = perScan(spark.read.schema(dataSchema)
+        .parquet(files.map(f => s"$path/${f.path}"): _*)
+        .withColumn("__pfname",
+          regexp_replace(col("_metadata.file_path"), "^file:/+", "/")))
+      val joined = partIdx.zip(pvCols).foldLeft(
+        base.join(pvDf, Seq("__pfname"), "left")) {
+          case (d, ((lf, i), c)) =>
+            d.withColumn(physSchema.fields(i).name, col(c).cast(lf.dataType))
+        }.drop("__pfname" +: pvCols: _*)
       // restore schema column order (callers may rely on it when mapping
       // is inactive and toLogical is the identity); perScan-added columns
       // trail in whatever order the hook produced
-      val extras = unioned.columns.toSeq.diff(physSchema.fieldNames.toSeq)
-      unioned.select((physSchema.fieldNames.toSeq ++ extras).map(unioned(_)): _*)
+      val extras = joined.columns.toSeq.diff(physSchema.fieldNames.toSeq)
+      joined.select((physSchema.fieldNames.toSeq ++ extras).map(joined(_)): _*)
     } else if (partCols.nonEmpty) {
       // basePath reconstructs partition columns from Hive-style dir names;
       // it requires every file under the table root
@@ -2139,6 +2163,15 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
               .toOption.map(k -> _)
           case Some(_: org.apache.spark.sql.types.TimestampType) =>
             None // dir strings carry no zone; never guess micros
+          case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+            // NTZ is zone-LESS by definition: the dir string "yyyy-MM-dd
+            // HH:mm:ss[.f]" IS the value — parse to local micros, the
+            // stored form litValue compares. Unparseable → no stat (keep).
+            scala.util.Try {
+              val ldt = java.time.LocalDateTime.parse(v.replace(' ', 'T'))
+              (ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+                ldt.getNano / 1000L).toString
+            }.toOption.map(k -> _)
           case _ => Some(k -> v)
         }
       }
@@ -3702,11 +3735,13 @@ object GraftTable {
     * graft commit state a delta reader (or the table's own invariants)
     * could not honor:
     *   - protocol reader/writer features outside what graft can CONTINUE
-    *     in delta spelling (column mapping, delta-spelled generated /
-    *     identity columns, row tracking, v2 checkpoints, TIMESTAMP_NTZ);
-    *   - legacy writer versions 5/6 (column mapping, identity);
-    *   - everything `compat.delta.write` itself refuses (VARIANT columns,
-    *     column mapping).
+    *     in delta spelling (delta-spelled generated / identity columns,
+    *     row tracking, ID-mode column mapping). Since round 15 the
+    *     features current delta-spark stamps on fresh tables —
+    *     vacuumProtocolCheck, v2Checkpoint, timestampNtz, variantType,
+    *     NAME-mode columnMapping — all continue;
+    *   - legacy writer version 6 (identity columns);
+    *   - everything `compat.delta.write` itself refuses (ID-mode mapping).
     *
     * Delta-spelled table configuration translates to the graft keys DML
     * enforcement reads (`delta.appendOnly` → `appendOnly`,
@@ -3736,20 +3771,43 @@ object GraftTable {
     // Reader side: graft only needs to KEEP reading what it already reads,
     // but continuing the log means future readers gate on these features —
     // only the ones graft's own commits can coexist with may stay.
-    val readerAllow = Set("deletionVectors")
+    // Widened in round 15 to what current delta-spark stamps on FRESH
+    // tables: vacuumProtocolCheck (graft's vacuum honors protocol
+    // gating), v2Checkpoint (classic checkpoints stay legal on such
+    // tables; compatProtocol continues the declaration so existing v2
+    // checkpoints keep gating old readers), timestampNtz (a native graft
+    // column type since round 15), variantType, and NAME-mode column
+    // mapping (graft speaks delta's physicalName spelling end to end —
+    // renames/drops keep working after adoption). ID mode stays refused:
+    // graft writes no parquet field ids, so an id-resolving reader could
+    // never bind columns in files graft writes after adoption.
+    val readerAllow = Set("deletionVectors", "columnMapping", "variantType",
+      "timestampNtz", "v2Checkpoint", "vacuumProtocolCheck")
     val writerAllow =
       Set("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
-        "deletionVectors")
-    if (p.minReaderVersion == 2)
-      refuse("legacy reader version 2 (column mapping)")
+        "deletionVectors", "columnMapping", "variantType",
+        "timestampNtz", "v2Checkpoint", "vacuumProtocolCheck")
+    val mapMode = meta.properties.get("delta.columnMapping.mode")
+      .map(_.toLowerCase).filterNot(_ == "none")
+    if (mapMode.exists(_ != "name"))
+      refuse(s"column mapping in ${mapMode.get} mode (graft writes no " +
+        "parquet field ids, so an id-resolving reader could never bind " +
+        "columns of files written after adoption)")
+    if (p.minReaderVersion == 2 && mapMode.isEmpty)
+      refuse("legacy reader version 2 declares column mapping but the " +
+        "table states no mapping mode")
     if (p.minReaderVersion >= 3) {
       val bad = p.readerFeatures.filterNot(readerAllow)
       if (bad.nonEmpty) refuse(s"reader feature(s) ${bad.mkString(", ")} " +
         "have no graft-continuable semantics")
+      if (p.readerFeatures.contains("columnMapping") && mapMode.isEmpty)
+        refuse("columnMapping reader feature without a declared mapping mode")
     }
-    if (p.minWriterVersion == 5 || p.minWriterVersion == 6)
-      refuse(s"legacy writer version ${p.minWriterVersion} " +
-        "(column mapping / identity columns)")
+    if (p.minWriterVersion == 5 && mapMode.isEmpty)
+      refuse("legacy writer version 5 declares column mapping but the " +
+        "table states no mapping mode")
+    if (p.minWriterVersion == 6)
+      refuse("legacy writer version 6 (identity columns)")
     if (p.minWriterVersion >= 7) {
       val bad = p.writerFeatures.filterNot(writerAllow)
       if (bad.nonEmpty) refuse(s"writer feature(s) ${bad.mkString(", ")} " +
@@ -3765,9 +3823,6 @@ object GraftTable {
         f.metadata.contains("delta.identity.start") ||
         f.metadata.contains("delta.identity.allowExplicitInsert")))
       refuse("delta-spelled identity columns")
-    if (meta.properties.get("delta.columnMapping.mode")
-        .exists(m => !m.equalsIgnoreCase("none")))
-      refuse("column mapping")
     // ---- property translation -----------------------------------------
     val conf = meta.properties -
       Actions.DeltaReadMarker - "delta.columnMapping.mode"
@@ -3784,7 +3839,12 @@ object GraftTable {
       (if (flag("delta.enableDeletionVectors"))
         Map("deletionVectors.enabled" -> "true") else Map.empty) ++
       conf.get("delta.dataSkippingNumIndexedCols")
-        .map(v => Map("dataSkipping.numIndexedCols" -> v)).getOrElse(Map.empty)
+        .map(v => Map("dataSkipping.numIndexedCols" -> v)).getOrElse(Map.empty) ++
+      // NAME-mode mapping continues under graft's key (the folded schema
+      // already carries the physicalName bindings); maxColumnId rides
+      // along untouched under its delta key
+      (if (mapMode.contains("name")) Map("columnMapping.mode" -> "name")
+       else Map.empty)
     val newMeta = meta.copy(
       constraints = meta.constraints ++ constraintConf.map { case (k, v) =>
         k.stripPrefix("delta.constraints.") -> v },

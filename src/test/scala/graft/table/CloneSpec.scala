@@ -103,6 +103,60 @@ class CloneSpec extends SparkTestBase {
     assert(ids(d.toDF) === Set(1, 2, 3, 4, 5))
   }
 
+  test("shallow partitioned clone plans ONE parquet leaf at 100+ partition combos") {
+    import spark.implicits._
+    // 120 distinct partition values: the round-14 union-per-combo read
+    // would plan 120 scan legs here — the flattened read must plan ONE
+    // parquet leaf (plus the broadcast file→partition-values map), the
+    // shape that keeps driver-side planning constant when a 100-TB clone
+    // carries thousands of partitions.
+    val rows = (1 to 400).map(i => (i, f"p${i % 120}%03d"))
+    val src = GraftTable.create(spark, tmpDir("clone-wide-src-"),
+      df(rows: _*), partitionBy = Seq("v"))
+    val c = src.cloneTo(tmpDir("clone-wide-dst-"))
+    val scan = c.toDF
+    val plan = scan.queryExecution.executedPlan.toString
+    val leaves = "FileScan parquet".r.findAllIn(plan).size
+    assert(leaves === 1,
+      s"escaped-file scan must plan one parquet leaf, got $leaves:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"partition values must attach via a broadcast join:\n${plan.take(2000)}")
+    // value parity: every row lands in its declared partition
+    assert(scan.count() === 400L)
+    assert(scan.groupBy($"v").count().count() === 120L)
+    assert(c.scan($"v" === "p005").collect().map(_.getInt(0)).toSet ===
+      rows.filter(_._2 == "p005").map(_._1).toSet)
+    // and DML over the wide clone keeps provenance intact
+    c.delete($"v" === "p007")
+    assert(c.toDF.count() === rows.count(_._2 != "p007").toLong)
+  }
+
+  test("shallow clone of a CONVERTED layout: same-named files in different partitions stay distinct") {
+    import spark.implicits._
+    // converted/foreign layouts commonly hold one "part-00000..." per
+    // partition dir — the partition-value join must key on the full
+    // normalized path, never the basename (a basename key multiplies
+    // every row by its name-collision count; caught by ScalingProbe clone)
+    val src = tmpDir("clone-conv-src-")
+    val stage = tmpDir("clone-conv-stage-")
+    Seq((1, "x")).toDF("id", "payload").coalesce(1)
+      .write.mode("overwrite").parquet(stage)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+      .toArray.map(_.toString).filter(_.endsWith(".parquet")).head
+    (0 until 6).foreach { i =>
+      val d = java.nio.file.Paths.get(src, s"p=v$i")
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+        d.resolve("part-00000-c000.parquet"))
+    }
+    val t = GraftTable.convert(spark, src)
+    val c = t.cloneTo(tmpDir("clone-conv-dst-"))
+    assert(c.toDF.count() === 6L,
+      "every same-named file must contribute exactly its own rows")
+    assert(c.toDF.select($"p").distinct().count() === 6L)
+    assert(c.scan($"p" === "v3").count() === 1L)
+  }
+
   test("shallow partitioned clone of a DV table: merge-on-read rides the grouped scan") {
     import spark.implicits._
     val src = GraftTable.create(spark, tmpDir("clone-dvsrc-"),

@@ -180,11 +180,13 @@ class DeltaAdoptionSpec extends SparkTestBase {
         e.getMessage.contains("import_delta"),
         s"expected '$needle' + copy fallback, got: ${e.getMessage}")
     }
-    // column mapping (any mode)
+    // ID-mode column mapping: graft writes no parquet field ids, so an
+    // id-resolving reader could never bind post-adoption files' columns
+    // (NAME mode is continuable since round 15 — dedicated test below)
     adoptFails(foreignTable(configuration = Map(
-      "delta.columnMapping.mode" -> "name",
+      "delta.columnMapping.mode" -> "id",
       "delta.columnMapping.maxColumnId" -> "2")), "column mapping")
-    // legacy writer 5
+    // legacy reader 2 / writer 5 declaring mapping WITHOUT a stated mode
     adoptFails(foreignTable(protocolLine =
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""),
       "reader version 2")
@@ -192,10 +194,12 @@ class DeltaAdoptionSpec extends SparkTestBase {
     adoptFails(foreignTable(protocolLine =
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking"]}}"""),
       "rowTracking")
-    // v3 reader feature with no continuable semantics
+    // v3 reader feature with no continuable semantics (rowTracking READS
+    // fine — foreign ids are ignorable — but graft will not maintain
+    // delta-spelled row ids on its own commits)
     adoptFails(foreignTable(protocolLine =
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}"""),
-      "v2Checkpoint")
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["rowTracking"],"writerFeatures":["rowTracking"]}}"""),
+      "rowTracking")
     // delta-spelled generated column (legacy writer 4 admits them silently)
     val genSchema =
       """{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},{\"name\":\"s\",\"type\":\"string\",\"nullable\":true,\"metadata\":{\"delta.generationExpression\":\"CAST(id AS STRING)\"}}]}"""
@@ -307,6 +311,81 @@ class DeltaAdoptionSpec extends SparkTestBase {
       s"the change feed must span foreign and graft eras, got $ch")
     assert(t.toDF.count() === 5L) // en 3 + fr 2
   }
+
+  test("modern delta-spark defaults adopt: vacuumProtocolCheck + v2Checkpoint + timestampNtz continue") {
+    // current delta-spark stamps exactly this trio on FRESH tables — the
+    // round-14 allowlist refused them, routing the most common real
+    // tables through the 100-TB copy; each is continuable: graft's vacuum
+    // honors protocol gating, classic checkpoints stay legal on a
+    // v2Checkpoint table, and NTZ is a native graft type since round 15
+    val dir = foreignTable(protocolLine =
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz","v2Checkpoint","vacuumProtocolCheck"],"writerFeatures":["timestampNtz","v2Checkpoint","vacuumProtocolCheck","appendOnly","invariants"]}}""")
+    val t = GraftTable.adoptDelta(spark, dir)
+    // the continued protocol RETAINS the trio: dropping them would
+    // invalidate state existing delta readers already gate on
+    val p = t.snapshot.protocol
+    for (f <- Seq("timestampNtz", "v2Checkpoint", "vacuumProtocolCheck")) {
+      assert(p.readerFeatures.contains(f), s"reader feature $f must continue")
+      assert(p.writerFeatures.contains(f), s"writer feature $f must continue")
+    }
+    assert(p.minReaderVersion === 3 && p.minWriterVersion === 7)
+    // DML + maintenance on the adopted table
+    assert(t.delete(col("id") === 1L) === 1L)
+    t.append(df(70 until 72))
+    assert(ids(t) === Set(0L, 2L, 3L, 70L, 71L))
+    t.log.writeCheckpoint(t.latestVersion) // classic checkpoint stays legal
+    t.setProperty("vacuum.retentionDurationCheck", "false")
+    t.vacuum(retainVersions = 100, retentionMs = 0L)
+    // independent delta-1.0 replay of the continued log equals graft
+    assert(deltaReplayLiveFiles(dir) === t.snapshot.files.map(_.path).toSet)
+  }
+
+  test("NAME-mode mapped foreign table adopts: rename + DML continue in delta spelling") {
+    import spark.implicits._
+    val dir = tmpDir("adopt-mapped-")
+    // physical parquet columns col-1/col-2 bound to logical id/s
+    val (s1, m1) = dataFile(dir, "part-00000-m-c000.snappy.parquet",
+      df(0 until 4).select($"id".as("col-1"), $"s".as("col-2")))
+    val mappedSchema = org.apache.spark.sql.types.StructType(Seq(
+      field("id", "col-1", 1L, org.apache.spark.sql.types.LongType),
+      field("s", "col-2", 2L, org.apache.spark.sql.types.StringType)))
+    commit(dir, 0, Seq(infoLine(1619112345000L, "WRITE"),
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"bbbb-adopt-2222","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(mappedSchema.json)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"2"},"createdTime":1619112344000}}""",
+      addLine("part-00000-m-c000.snappy.parquet", s1, m1, 4L)))
+    val t = GraftTable.adoptDelta(spark, dir)
+    assert(t.toDF.columns.toSeq === Seq("id", "s"))
+    // RENAME — the schema change adoption existed to keep — then DML
+    t.renameColumn("s", "label")
+    t.append(df(90 until 92).withColumnRenamed("s", "label"))
+    assert(t.toDF.filter($"label" === "row90").count() === 1L)
+    assert(ids(t) === Set(0L, 1L, 2L, 3L, 90L, 91L))
+    // the rename commit stays delta-shaped: metaData carries the standard
+    // mapping spelling (mode + per-field physicalName/id), and the new
+    // logical name binds the ORIGINAL physical column
+    val metaJson = (t.latestVersion to 1L by -1L).iterator
+      .flatMap(v => Files.readAllLines(
+        Paths.get(dir, "_delta_log", f"$v%020d.json")).asScala)
+      .find(_.contains("\"metaData\"")).get
+    val mNode = mapper.readTree(metaJson).get("metaData")
+    assert(mNode.get("configuration").get("delta.columnMapping.mode")
+      .asText() === "name")
+    val emitted = org.apache.spark.sql.types.DataType
+      .fromJson(mNode.get("schemaString").asText())
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val lbl = emitted.fields.find(_.name == "label").get
+    assert(lbl.metadata.getString("delta.columnMapping.physicalName") === "col-2")
+    assert(lbl.metadata.getLong("delta.columnMapping.id") === 2L)
+    // independent delta-1.0 replay equality over the continued log
+    assert(deltaReplayLiveFiles(dir) === t.snapshot.files.map(_.path).toSet)
+  }
+
+  private def field(logical: String, physical: String, id: Long,
+      dt: org.apache.spark.sql.types.DataType) =
+    org.apache.spark.sql.types.StructField(logical, dt, nullable = true,
+      metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", physical)
+        .putLong("delta.columnMapping.id", id).build())
 
   test("adopt_delta procedure: one CALL, ownership taken, result row reports it") {
     val dir = foreignTable()

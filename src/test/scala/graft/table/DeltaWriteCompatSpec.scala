@@ -201,9 +201,10 @@ class DeltaWriteCompatSpec extends SparkTestBase {
     val t2 = GraftTable.create(spark, dir2, seed(3))
     t2.setProperty(DeltaWriteCompat.Prop, "true")
     // changeDataFeed is compat-legal on unpartitioned tables since the
-    // CDF emission landed (see the dedicated CDF test); columnMapping
-    // still has no delta-1.0 spelling
-    intercept[GraftProtocolException](t2.setProperty("columnMapping.mode", "name"))
+    // CDF emission landed (see the dedicated CDF test); NAME-mode column
+    // mapping emits the standard delta spelling since round 15 — but ID
+    // mode still refuses (graft writes no parquet field ids)
+    intercept[GraftProtocolException](t2.setProperty("columnMapping.mode", "id"))
     t2.append(seed(1)) // the table itself stays healthy after refusals
     assert(t2.toDF.count() === 4L)
   }
@@ -495,5 +496,87 @@ class DeltaWriteCompatSpec extends SparkTestBase {
     val rows = GraftTable.forPath(spark, dir).toDF
       .select("id", "s").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(rows(1L) === "UPD" && rows(9L) === "NEW" && rows.size === 6)
+  }
+
+  test("NAME-mode column mapping under compat: rename round-trips through a real mapped log") {
+    import spark.implicits._
+    val dir = tmpDir("dwc-map-")
+    val t = GraftTable.create(spark, dir, seed(5))
+    t.setProperty(DeltaWriteCompat.Prop, "true")
+    t.setProperty("columnMapping.mode", "name")
+    // the enabling commit stamps delta field ids + maxColumnId and the
+    // (3,7) columnMapping protocol — checked on the RAW log line
+    val enableLines = logLines(dir, t.latestVersion)
+    val metaNode = enableLines.filter(_.contains("\"metaData\""))
+      .map(mapper.readTree(_).get("metaData")).head
+    assert(metaNode.get("configuration").get("delta.columnMapping.mode")
+      .asText() === "name")
+    assert(metaNode.get("configuration").get("delta.columnMapping.maxColumnId")
+      .asText() === "2")
+    val emittedSchema = org.apache.spark.sql.types.DataType
+      .fromJson(metaNode.get("schemaString").asText())
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    emittedSchema.fields.foreach { f =>
+      assert(f.metadata.contains("delta.columnMapping.id"), s"id on ${f.name}")
+      assert(f.metadata.contains("delta.columnMapping.physicalName"),
+        s"physicalName on ${f.name}")
+    }
+    val protoNode = enableLines.filter(_.contains("\"protocol\""))
+      .map(mapper.readTree(_).get("protocol")).head
+    assert(protoNode.get("minReaderVersion").asInt() === 3)
+    assert(protoNode.get("readerFeatures").toString.contains("columnMapping"))
+    assert(protoNode.get("writerFeatures").toString.contains("columnMapping"))
+    // RENAME + DROP + re-ADD + DML — the schema changes mapping exists for
+    t.renameColumn("s", "label")
+    t.append(Seq((100L, "fresh")).toDF("id", "label"))
+    t.dropColumn("label")
+    t.addColumn("label", org.apache.spark.sql.types.StringType)
+    // the re-added column gets a FRESH id past the dropped one's
+    val metaJson2 = (t.latestVersion to 1L by -1L).iterator
+      .flatMap(v => logLines(dir, v)).find(_.contains("\"metaData\"")).get
+    val emitted2 = org.apache.spark.sql.types.DataType
+      .fromJson(mapper.readTree(metaJson2).get("metaData")
+        .get("schemaString").asText())
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val readded = emitted2.fields.find(_.name == "label").get
+    assert(readded.metadata.getLong("delta.columnMapping.id") === 3L,
+      "re-added column must get a fresh id (never the dropped column's)")
+    assert(readded.metadata.getString("delta.columnMapping.physicalName")
+      .startsWith("col-"), "re-added column binds a fresh physical name")
+    // every commit stayed delta-shaped; graft reopens the log as its own
+    (2L to t.latestVersion).foreach(assertDeltaShaped(dir, _))
+    val t2 = GraftTable.forPath(spark, dir)
+    assert(t2.toDF.columns.toSeq === Seq("id", "label"))
+    assert(t2.toDF.filter($"label".isNotNull).count() === 0L,
+      "dropped data must not resurrect into the re-added column")
+    assert(t2.toDF.count() === 6L)
+    // independent delta replay equality
+    assert(deltaReplayLiveFiles(dir).toSet ===
+      t2.snapshot.files.map(_.path).toSet)
+  }
+
+  test("VARIANT under compat: the variantType feature gates the emitted protocol, shred stats intact") {
+    import spark.implicits._
+    val dir = tmpDir("dwc-var-")
+    val t = GraftTable.create(spark, dir,
+      seed(5).withColumn("props",
+        expr("parse_json(concat('{\"k\":', CAST(id AS STRING), '}'))")))
+    // enable compat ON a variant table (round-14 refused this)
+    t.setProperty(DeltaWriteCompat.Prop, "true")
+    t.append(seed(2).withColumn("id", $"id" + 50)
+      .withColumn("props", expr("parse_json('{\"k\":99}')")))
+    (1L to t.latestVersion).foreach(assertDeltaShaped(dir, _))
+    val protoNode = (t.latestVersion to 1L by -1L).iterator
+      .flatMap(v => logLines(dir, v)).filter(_.contains("\"protocol\""))
+      .map(mapper.readTree(_).get("protocol")).next()
+    assert(protoNode.get("minReaderVersion").asInt() === 3)
+    assert(protoNode.get("readerFeatures").toString.contains("variantType"))
+    assert(protoNode.get("writerFeatures").toString.contains("variantType"))
+    // variant values and the ingestion path survive the compat reopen
+    val t2 = GraftTable.forPath(spark, dir)
+    assert(t2.toDF.selectExpr("CAST(try_variant_get(props, '$.k', 'long') AS LONG)")
+      .collect().map(_.getLong(0)).toSet === Set(0L, 1L, 2L, 3L, 4L, 99L))
+    assert(deltaReplayLiveFiles(dir).toSet ===
+      t2.snapshot.files.map(_.path).toSet)
   }
 }
