@@ -804,7 +804,7 @@ class GraftGroupScan(tablePath: String, snap: Snapshot,
       absPath(f), f.partitionValues, f.numRecords,
       // merge-on-read: the rewrite scan must NOT resurrect tombstoned rows
       f.dvPath.map(p => graft.table.FileOps.dvAbs(tablePath, p)),
-      f.path.substring(f.path.lastIndexOf('/') + 1))
+      f.path)
         : org.apache.spark.sql.connector.read.InputPartition).toArray
 
   override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =

@@ -91,7 +91,7 @@ class GraftKeyGroupedScan(table: GraftTable, snap: Snapshot,
       graft.streaming.GraftFilePartition(
         abs, f.partitionValues, f.numRecords,
         f.dvPath.map(p => graft.table.FileOps.dvAbs(table.path, p)),
-        f.path.substring(f.path.lastIndexOf('/') + 1)),
+        f.path),
       keyOf(f)): InputPartition
   }.toArray
 

@@ -360,7 +360,7 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
       Paths.get(tablePath, f.path).toString, f.partitionValues,
       f.numRecords,
       f.dvPath.map(p => graft.table.FileOps.dvAbs(tablePath, p)),
-      f.path.substring(f.path.lastIndexOf('/') + 1)): InputPartition).toArray
+      f.path): InputPartition).toArray
   }
 
   /** CDF planning: the initial batch (no startingVersion) emits the folded
@@ -376,7 +376,7 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
       parts += GraftFilePartition(
         Paths.get(tablePath, f.path).toString, f.partitionValues, f.numRecords,
         f.dvPath.map(p => graft.table.FileOps.dvAbs(tablePath, p)),
-        f.path.substring(f.path.lastIndexOf('/') + 1),
+        f.path,
         constOverrides = Seq("_change_type" -> "insert", "_commit_version" -> v.toString,
           "_commit_timestamp" -> tsOf(v)))
     }
@@ -418,7 +418,7 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
           parts += GraftFilePartition(
             Paths.get(tablePath, c.path).toString, c.partitionValues,
             c.numRecords, None,
-            c.path.substring(c.path.lastIndexOf('/') + 1),
+            c.path,
             constOverrides = Seq("_commit_version" -> v.toString,
               "_commit_timestamp" -> commitTs),
             // partitionColsInFile also selects the requested NAME SPACE:

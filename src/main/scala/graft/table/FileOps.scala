@@ -391,6 +391,16 @@ object FileOps extends Serializable {
     * ≤ ~128 KB. */
   def dvPositions(sidecar: Path, fname: String): java.util.BitSet = {
     val bits = new java.util.BitSet()
+    // PATH-SUFFIX matching: round-15 sidecars store the data file's
+    // table-relative path ("p=b1/part-0.parquet"), pre-round-15 ones the
+    // bare basename, and a shallow CLONE's reader passes an escaped
+    // spelling ("../src/p=b1/part-0.parquet"). Exact equality or a
+    // '/'-bounded suffix relation covers all three without letting
+    // same-basename files in DIFFERENT dirs match each other's entries
+    // ("p=b2/part-0.parquet" is no suffix of "p=b1/part-0.parquet").
+    def matches(stored: String): Boolean =
+      stored == fname || fname.endsWith("/" + stored) ||
+        stored.endsWith("/" + fname)
     val in = HadoopInputFile.fromPath(new HPath(sidecar.toString), new Configuration())
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
@@ -402,7 +412,7 @@ object FileOps extends Serializable {
             new org.apache.parquet.example.data.simple.convert.GroupRecordConverter(schema))
         (0L until rg.get.getRowCount).foreach { _ =>
           val g = rr.read()
-          if (g.getBinary("fname", 0).toStringUsingUTF8 == fname)
+          if (matches(g.getBinary("fname", 0).toStringUsingUTF8))
             bits.set(g.getLong("pos", 0).toInt)
         }
         rg = Option(reader.readNextRowGroup())

@@ -104,7 +104,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       // partition dirs hold a same-named file, and a basename key would
       // multiply every row by its name-collision count
       val pvRows = files.map { f =>
-        Row.fromSeq(Paths.get(s"$path/${f.path}").normalize.toString +:
+        Row.fromSeq(canonPath(f.path) +:
           partIdx.map { case (lf, _) =>
             val v = valueOf(f, lf)
             if (v == sentinel) null else v
@@ -220,7 +220,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       if (!rt) out
       else {
         val baseDf = broadcast(spark.createDataFrame(
-          files.map(f => Row(fileName(f.path), f.baseRowId.map(Long.box).orNull)).asJava,
+          files.map(f => Row(canonPath(f.path), f.baseRowId.map(Long.box).orNull)).asJava,
           StructType(Seq(
             StructField("__bfname", StringType, nullable = false),
             StructField("__base", LongType, nullable = true)))))
@@ -255,7 +255,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * columns resolve against a single file relation, never across the
     * unions the shallow-clone read shape produces. */
   private val markProvenance: DataFrame => DataFrame = df =>
-    df.withColumn("__fname", col("_metadata.file_name"))
+    // keyed by the NORMALIZED absolute path, never the basename: graft's
+    // own part files are UUID-named, but CONVERT-ed and foreign layouts
+    // routinely hold one same-named file per partition dir — a basename
+    // key would tombstone (or base-id) every name-collided file at once
+    df.withColumn("__fname",
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
       .withColumn("__pos", col("_metadata.row_index"))
 
   private def splitOnDv(files: Seq[AddFile],
@@ -301,17 +306,64 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       val nativeDf =
         if (nativeDv.isEmpty) None
         else {
-          val refs = nativeDv.map(f => Row(fileName(f.path), f.dvPath.get)).distinct
+          // a sidecar's `fname` column stores the data file's TABLE-
+          // RELATIVE path (round 15; pre-round-15 sidecars stored the
+          // bare basename) — either spelling maps to the scan's
+          // normalized-absolute-path key through this driver-built
+          // (spelling, sidecar) → canonical map. A LEGACY basename that
+          // names two different files within one sidecar is genuinely
+          // ambiguous (the information was never written) — refuse
+          // loudly rather than tombstone both files' rows.
+          val bySpelling = nativeDv.flatMap { f =>
+            // third spelling: a shallow CLONE references the source's
+            // sidecar ("../src/_dv/…") alongside its data file
+            // ("../src/p=x/part.parquet") — the entry inside was written
+            // relative to the SOURCE root, i.e. the data path with the
+            // sidecar's own root prefix stripped
+            val dv = f.dvPath.get
+            val i = dv.indexOf("_dv/")
+            val viaSidecarRoot =
+              if (i > 0 && f.path.startsWith(dv.take(i))) Seq(f.path.drop(i))
+              else Nil
+            (Seq(f.path, fileName(f.path)) ++ viaSidecarRoot).distinct.map(sp =>
+              (sp, dv) -> canonPath(f.path))
+          }
+          // an AMBIGUOUS spelling — a legacy basename that names two live
+          // files within ONE sidecar — is excluded from the map; entries
+          // actually USING it (possible only in pre-round-15 sidecars; new
+          // sidecars spell the relative path) refuse at runtime below, so
+          // healthy new-format shared sidecars never refuse spuriously
+          val ambiguous = bySpelling.groupBy(_._1)
+            .filter(_._2.map(_._2).distinct.size > 1).keySet
+          val refs = bySpelling.filterNot(t => ambiguous(t._1)).distinct
+            .map { case ((sp, src), canon) => Row(sp, src, canon) }
           val refSchema = StructType(Seq(
             StructField("__fname", StringType, nullable = false),
-            StructField("__src", StringType, nullable = false)))
+            StructField("__src", StringType, nullable = false),
+            StructField("__canon", StringType, nullable = false)))
           val refsDf = spark.createDataFrame(refs.asJava, refSchema)
           val entries = nativeDv.map(_.dvPath.get).distinct.map { p =>
             spark.read.parquet(s"$path/$p").withColumn("__src", lit(p))
           }.reduce(_ unionByName _)
             .withColumnRenamed("fname", "__fname")
-          Some(entries.join(broadcast(refsDf), Seq("__fname", "__src"), "left_semi")
-            .select(col("__fname"), col("pos").as("__pos")))
+          if (ambiguous.nonEmpty) {
+            val ambDf = spark.createDataFrame(
+              ambiguous.toSeq.map { case (sp, src) => Row(sp, src) }.asJava,
+              StructType(refSchema.fields.take(2)))
+            val bad = entries.join(broadcast(ambDf), Seq("__fname", "__src"),
+              "left_semi").limit(1).collect()
+            if (bad.nonEmpty) throw new GraftProtocolException(
+              s"a legacy deletion-vector sidecar of $path carries a bare " +
+                s"basename entry ('${bad.head.getString(0)}') that names " +
+                "more than one live file — the entry cannot be attributed; " +
+                "rewrite the files (OPTIMIZE after a copy-on-write DELETE) " +
+                "to clear the ambiguous state")
+          }
+          // inner join ≡ the old semi (sidecars are commit-scoped; only
+          // the exact (file, sidecar) pairs the AddFiles reference count)
+          // + the canonical-key remap in the same broadcast probe
+          Some(entries.join(broadcast(refsDf), Seq("__fname", "__src"))
+            .select(col("__canon").as("__fname"), col("pos").as("__pos")))
         }
       val foreignDf =
         if (foreignDv.isEmpty) None
@@ -319,7 +371,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           import spark.implicits._
           val root = path
           val pairs = foreignDv
-            .map(f => (fileName(f.path), f.dvPath.get)).distinct
+            .map(f => (canonPath(f.path), f.dvPath.get)).distinct
           Some(spark.createDataset(pairs)
             .flatMap { case (fn, packed) =>
               DeltaDeletionVectors.positions(root, packed).map(p => (fn, p))
@@ -859,7 +911,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // rows (partial overlap) are carried into the rewrite
     val touchedNames = readFilesMeta(s, candidates).filter(pred)
       .select(col("__fname")).distinct().collect().map(_.getString(0)).toSet
-    val touched = s.files.filter(f => touchedNames.contains(fileName(f.path)))
+    val touched = s.files.filter(f => touchedNames.contains(canonPath(f.path)))
     // carried (out-of-scope) rows keep their materialized row ids; the
     // replacement frame is all-fresh (null ids for the union)
     val carried = readFilesMeta(s, touched).filter(!coalesce(pred, lit(false)))
@@ -2519,7 +2571,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val perFileNew = newPos.groupBy("__fname").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     if (perFileNew.isEmpty) { commitNoop(s, "DELETE"); return Some(0L) }
-    val touched = s.files.filter(f => perFileNew.contains(fileName(f.path)))
+    val touched = s.files.filter(f => perFileNew.contains(canonPath(f.path)))
     val maxTombstones = s.metaData.properties
       .get("deletionVectors.maxTombstones").map(_.toLong).getOrElse(4L * 1000 * 1000)
     if (perFileNew.values.sum + touched.map(_.dvCount).sum > maxTombstones)
@@ -2527,11 +2579,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // prior tombstones of touched files merge into the new sidecar; new
     // positions are disjoint from prior ones by construction
     val allPos = dvEntries(touched).map(_.unionByName(newPos)).getOrElse(newPos)
-    val dvPathOf = writeDvStore(s.metaData, allPos)
+    val dvPathOf = writeDvStore(s.metaData, allPos, touched)
     val deleted = perFileNew.values.sum
     val reAdds = touched.map(f => Actions.untagReAdd(f).copy(
-      dvPath = Some(dvPathOf(fileName(f.path))),
-      dvCount = f.dvCount + perFileNew(fileName(f.path))))
+      dvPath = Some(dvPathOf(canonPath(f.path))),
+      dvCount = f.dvCount + perFileNew(canonPath(f.path))))
     // operator-level CDC: the newly tombstoned rows are exactly the
     // matched rows — tag them directly
     val cdc = writeCdcFiles(s, readFilesMeta(s, touched)
@@ -2560,20 +2612,32 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * is hard-capped by `deletionVectors.maxTombstones` (callers fall
     * back to copy-on-write beyond it), the same bound the native
     * single-sidecar funnel rides. */
-  private def writeDvStore(meta: MetaData, entries: DataFrame): String => String =
+  private def writeDvStore(meta: MetaData, entries: DataFrame,
+      touched: Seq[AddFile]): String => String = {
+    // entries arrive keyed by the CANONICAL absolute path (the scan's
+    // provenance spelling); persistence and descriptors re-key to the
+    // table-relative path so sidecars survive a table relocation
+    val relOf = touched.map(f => canonPath(f.path) -> f.path).toMap
     if (!DeltaWriteCompat.enabled(meta)) {
-      val rel = writeDvSidecar(entries)
+      val relDf = broadcast(spark.createDataFrame(
+        relOf.toSeq.map { case (c, r) => Row(c, r) }.asJava,
+        StructType(Seq(
+          StructField("__fname", StringType, nullable = false),
+          StructField("__rel", StringType, nullable = false)))))
+      val rel = writeDvSidecar(entries.join(relDf, Seq("__fname"))
+        .select(col("__rel").as("__fname"), col("__pos")))
       _ => rel
     } else {
       val perFile = entries
         .select(col("__fname"), col("__pos").cast(LongType).as("__pos"))
-        .collect().groupBy(_.getString(0))
+        .collect().groupBy(r => relOf(r.getString(0)))
         .map { case (f, rows) => f -> rows.map(_.getLong(1)).sorted }
         .toSeq.sortBy(_._1)
       val desc = DeltaDeletionVectors.writeDvFile(path, perFile)
-      f => desc.getOrElse(f, throw new IllegalStateException(
+      f => desc.getOrElse(relOf(f), throw new IllegalStateException(
         s"no deletion-vector blob was written for touched file $f"))
     }
+  }
 
   /** Write tombstone entries as ONE `_dv/` parquet sidecar (fname, pos),
     * sorted for locality; returns the table-relative path. Tombstone sets
@@ -2627,9 +2691,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       .map(_.getString(0)).toSet
     if (touchedNames.isEmpty) { commitNoop(s, "DELETE"); return 0L }
 
-    // part-file names are UUID-unique per table, so name-level matching is
-    // safe across partition directories
-    val touched = s.files.filter(f => touchedNames.contains(fileName(f.path)))
+    // path-level matching (normalized absolute spelling) — safe even for
+    // converted/foreign layouts whose basenames collide across dirs
+    val touched = s.files.filter(f => touchedNames.contains(canonPath(f.path)))
     // with row tracking, `keep` carries each surviving row's `_row_id`
     // (readFilesMeta resolves it) and the rewrite MATERIALIZES it into the
     // new files — the id survives the copy-on-write
@@ -2711,21 +2775,21 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       val perFile = affected.groupBy("__fname").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       if (perFile.isEmpty) { commitNoop(s, "UPDATE"); return 0L }
-      val touched = s.files.filter(f => perFile.contains(fileName(f.path)))
+      val touched = s.files.filter(f => perFile.contains(canonPath(f.path)))
       val maxTombstones = s.metaData.properties
         .get("deletionVectors.maxTombstones").map(_.toLong).getOrElse(4L * 1000 * 1000)
       if (perFile.values.sum + touched.map(_.dvCount).sum <= maxTombstones) {
         val tombstones = affected.select(col("__fname"), col("__pos"))
         val allPos = dvEntries(touched).map(_.unionByName(tombstones)).getOrElse(tombstones)
-        val dvPathOf = writeDvStore(s.metaData, allPos)
+        val dvPathOf = writeDvStore(s.metaData, allPos, touched)
         // post-images all carry their materialized id — no base allocation
         val adds = writeDataMapped(enforceConstraints(
           conform(postImage(affected.drop("__fname", "__pos")), s.schema,
             keepRowId = true),
           s.metaData), s.metaData)
         val reAdds = touched.map(f => Actions.untagReAdd(f).copy(
-          dvPath = Some(dvPathOf(fileName(f.path))),
-          dvCount = f.dvCount + perFile(fileName(f.path))))
+          dvPath = Some(dvPathOf(canonPath(f.path))),
+          dvCount = f.dvCount + perFile(canonPath(f.path))))
         val updated = perFile.values.sum
         val cdcFiles = cdc
         commitDml(s,
@@ -2748,7 +2812,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     val perFileTouched = matched.groupBy(col("__fname")).count().collect()
     if (perFileTouched.isEmpty) { commitNoop(s, "UPDATE"); return 0L }
     val touchedNames = perFileTouched.map(_.getString(0)).toSet
-    val touched = s.files.filter(f => touchedNames.contains(fileName(f.path)))
+    val touched = s.files.filter(f => touchedNames.contains(canonPath(f.path)))
     // one projection rewrites the touched files: matching rows take their
     // SET expressions, the rest pass through (and every row keeps its
     // materialized row id under row tracking)
@@ -2796,6 +2860,16 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         Map("numDeletedRows" -> "0", "numRewrittenFiles" -> "0"))))
 
   private def fileName(uri: String): String = uri.substring(uri.lastIndexOf('/') + 1)
+
+  /** The driver-side spelling of a table file's provenance key: the
+    * normalized absolute path URI-ENCODED the way Spark spells
+    * `_metadata.file_path` (space → %20, literal %% → %%25 — partition
+    * dir names carry both), matching the `__fname` column markProvenance
+    * attaches. Hadoop normalizes the open path, so escaped clone
+    * references ("../src/…") land on the same spelling. */
+  private def canonPath(rel: String): String =
+    new org.apache.hadoop.fs.Path(
+      Paths.get(s"$path/$rel").normalize.toString).toUri.toString
 
   /** MERGE builder, mirroring the reference's Delta call shape
     * (api.py:92-102): condition references `<targetAlias>.<col>` and
@@ -2951,7 +3025,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
             r.getAs[Long]("__mx") > 1))
           throw new IllegalStateException(
             "MERGE failed: multiple source rows matched the same target row")
-        s.files.filter(f => touchedNames.contains(fileName(f.path)))
+        s.files.filter(f => touchedNames.contains(canonPath(f.path)))
       }
 
     if (touched.nonEmpty) {
@@ -3079,7 +3153,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         else {
           val tombstones = affected.select(col("__fname"), col("__pos"))
           val allPos = dvEntries(touched).map(_.unionByName(tombstones)).getOrElse(tombstones)
-          val dvPathOf = writeDvStore(s.metaData, allPos)
+          val dvPathOf = writeDvStore(s.metaData, allPos, touched)
           val replacement = postImage(affected.filter(
             if (deleteIds.isEmpty) lit(true) else !col("__action").isin(deleteIds: _*)))
           val out = enforceConstraints(
@@ -3087,8 +3161,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
             s.metaData)
           val adds = stampRowIds(s, writeDataMapped(out, s.metaData))
           val reAdds = touched.map(f => Actions.untagReAdd(f).copy(
-            dvPath = Some(dvPathOf(fileName(f.path))),
-            dvCount = f.dvCount + perFile.getOrElse(fileName(f.path), 0L)))
+            dvPath = Some(dvPathOf(canonPath(f.path))),
+            dvCount = f.dvCount + perFile.getOrElse(canonPath(f.path), 0L)))
           val cdc = writeCdcFiles(s, mergeCdc(affected, inserts))
           commitDml(s, mergeTxnInfo(srcKeyPrune, prunedTargetFiles, touched),
             (v, ts) =>

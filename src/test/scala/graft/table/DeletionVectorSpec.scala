@@ -292,4 +292,114 @@ class DeletionVectorSpec extends SparkTestBase {
       "RESTORE re-emits snapshot files into a data-changing commit")
     assert(ids(t.toDF) == Set(1, 2, 3, 4, 5, 6))
   }
+
+  /** A CONVERTED layout: one same-named part file per partition dir —
+    * the shape every `CONVERT TO GRAFT` import of a Hive layout has. */
+  private def convertedCollidingTable(prefix: String): GraftTable = {
+    val src = tmpDir(prefix)
+    val stage = tmpDir(prefix + "stage-")
+    import spark.implicits._
+    (1 to 4).foreach { i =>
+      Seq((i, s"v$i")).toDF("id", "v").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+        .toArray.map(_.toString).filter(_.endsWith(".parquet")).head
+      val d = java.nio.file.Paths.get(src, s"p=b$i")
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        d.resolve("part-00000-c000.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val t = GraftTable.convert(spark, src)
+    t.setProperty("deletionVectors.enabled", "true")
+    t
+  }
+
+  test("DV DML on a CONVERTED layout: same-named files in different dirs tombstone independently") {
+    // provenance keys on the normalized path, never the basename — with
+    // basename keys every one of these four "part-00000-c000.parquet"
+    // files would share one tombstone set and a delete in p=b1 would
+    // kill the same position in b2/b3/b4 too
+    val t = convertedCollidingTable("dv-conv-")
+    assert(t.delete(col("id") === 1) === 1L)
+    assert(ids(t.toDF) === Set(2, 3, 4),
+      "rows of the OTHER same-named files must survive")
+    assert(t.delete(col("id") === 3) === 1L)
+    assert(ids(t.toDF) === Set(2, 4))
+    // both tombstoned files re-read correctly through a fresh handle
+    assert(ids(GraftTable.forPath(spark, t.path).toDF) === Set(2, 4))
+    // CoW SQL-free update path over the remaining collided files
+    t.update(col("id") === 2, Map("v" -> "'patched'"))
+    assert(t.toDF.filter(col("v") === "patched").count() === 1L)
+
+    // ONE commit tombstoning TWO same-named files shares one sidecar —
+    // the round-15 relative-path spelling keeps it fully attributable
+    // (no spurious legacy-ambiguity refusal), and each file loses
+    // exactly its own row
+    val t2 = convertedCollidingTable("dv-conv2-")
+    assert(t2.delete(col("id").isin(1, 3)) === 2L)
+    assert(ids(t2.toDF) === Set(2, 4))
+    assert(ids(GraftTable.forPath(spark, t2.path).toDF) === Set(2, 4))
+  }
+
+  test("row tracking on a CONVERTED layout: colliding basenames keep distinct base ids") {
+    val t = convertedCollidingTable("dv-conv-rt-")
+    t.setProperty("rowTracking.enabled", "true")
+    val rows = t.scanWithRowIds().collect()
+    assert(rows.length === 4, "a basename-keyed base map would duplicate rows")
+    val rids = rows.map(_.getAs[Long](GraftTable.RowIdCol)).toSet
+    assert(rids.size === 4, s"row ids must be distinct, got $rids")
+  }
+
+  test("LEGACY basename sidecars still apply; ambiguous legacy state refuses loudly") {
+    import spark.implicits._
+    // legacy spelling on a NON-colliding partitioned table: rewrite the
+    // sidecar's fname column from the round-15 relative path back to the
+    // bare basename pre-round-15 code wrote — the read must still apply it
+    val t = GraftTable.create(spark, tmpDir("dv-legacy-"),
+      df((1, "a"), (2, "b"), (3, "a"), (4, "b")), partitionBy = Seq("v"))
+    t.setProperty("deletionVectors.enabled", "true")
+    assert(t.delete(col("id") === 3) === 1L)
+    val dvRel = t.snapshot.files.flatMap(_.dvPath).head
+    val dvAbs = java.nio.file.Paths.get(t.path, dvRel).toString
+    val legacy = spark.read.parquet(dvAbs)
+      .withColumn("fname", element_at(split(col("fname"), "/"), -1))
+      .collect()
+    val tmp = tmpDir("dv-legacy-rw-")
+    spark.createDataFrame(java.util.Arrays.asList(legacy: _*),
+      spark.read.parquet(dvAbs).schema)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+      .toArray.map(_.toString).filter(_.endsWith(".parquet")).head
+    java.nio.file.Files.move(java.nio.file.Paths.get(part),
+      java.nio.file.Paths.get(dvAbs),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    assert(ids(GraftTable.forPath(spark, t.path).toDF) === Set(1, 2, 4),
+      "a legacy basename sidecar must still tombstone its row")
+
+    // AMBIGUOUS legacy state: one commit's sidecar covering TWO files
+    // that share a basename, downgraded to basename spelling — the
+    // attribution was never written, so the read must refuse loudly
+    // rather than tombstone both files' rows
+    val c = convertedCollidingTable("dv-legacy-amb-")
+    assert(c.delete(col("id").isin(1, 2)) === 2L) // one sidecar, two files
+    val rel2 = c.snapshot.files.flatMap(_.dvPath).distinct
+    assert(rel2.size === 1, "one commit writes one shared sidecar")
+    val abs2 = java.nio.file.Paths.get(c.path, rel2.head).toString
+    val rows2 = spark.read.parquet(abs2)
+      .withColumn("fname", element_at(split(col("fname"), "/"), -1))
+      .collect()
+    val tmp2 = tmpDir("dv-legacy-amb-rw-")
+    spark.createDataFrame(java.util.Arrays.asList(rows2: _*),
+      spark.read.parquet(abs2).schema)
+      .coalesce(1).write.mode("overwrite").parquet(tmp2)
+    val part2 = java.nio.file.Files.list(java.nio.file.Paths.get(tmp2))
+      .toArray.map(_.toString).filter(_.endsWith(".parquet")).head
+    java.nio.file.Files.move(java.nio.file.Paths.get(part2),
+      java.nio.file.Paths.get(abs2),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val e = intercept[GraftProtocolException](
+      GraftTable.forPath(spark, c.path).toDF.collect())
+    assert(e.getMessage.contains("cannot be attributed"), s"got $e")
+  }
 }
