@@ -44,9 +44,15 @@ object Bucketing {
   val BucketCol = "__bucket"
 
   /** Supported bucket-column types: the ones [[graft.sources.GraftBucketFunction]]
-    * hashes (and the partition-value decoder round-trips). */
+    * hashes (and the partition-value decoder round-trips). Date/timestamp
+    * keys (round 15) hash their internal representation — epoch days /
+    * micros — through the same Murmur3, so the write projection, the V2
+    * bucket function and the point-lookup prober all agree by
+    * construction; time usually belongs in the PARTITION column, but an
+    * event-id-less time-keyed fact-fact join has no other co-location. */
   def typeSupported(dt: DataType): Boolean = dt match {
-    case IntegerType | LongType | StringType | ShortType | ByteType => true
+    case IntegerType | LongType | StringType | ShortType | ByteType |
+         DateType | TimestampType | TimestampNTZType => true
     case _ => false
   }
 
@@ -111,7 +117,7 @@ object Bucketing {
         s"bucketing column '$c' must exist in ${schema.fieldNames.toSeq}")
       require(typeSupported(schema(c).dataType),
         s"bucketing column '$c': type ${schema(c).dataType.catalogString} is " +
-          "not bucketable (int/long/short/byte/string)")
+          "not bucketable (int/long/short/byte/string/date/timestamp)")
       // Hive partition columns COMPOSE with bucketing since round 14 (the
       // standard lakehouse layout: partition by day, bucket by key) — the
       // hidden __bucket dir nests inside the partition dirs; the bucket

@@ -450,6 +450,45 @@ class BucketedJoinSpec extends SparkTestBase {
     }
   }
 
+  test("TIMESTAMP bucket keys: a time-keyed fact-fact pair joins exchange-free; DATE point lookups prune") {
+    import spark.implicits._
+    // timestamp keys hash their internal micros through the same Murmur3
+    // as the int/long/string keys — the SPJ proof (canonicalName per
+    // value type) and the write layout agree by construction (round 15)
+    GraftCatalog.register(spark, tmpDir("bucket-ts-wh-"), name = "bktts")
+    val ev = graft.Tables.events(spark, sfDir).select($"event_id", $"ts", $"value")
+    val pa = tmpDir("bucket-ts-a-") + "/t"
+    val pb = tmpDir("bucket-ts-b-") + "/t"
+    GraftTable.create(spark, pa, ev.select($"ts", $"event_id"),
+      bucketBy = Some(("ts", 4)))
+    GraftTable.create(spark, pb, ev.select($"ts", $"value"),
+      bucketBy = Some(("ts", 4)))
+    spark.sql(s"CREATE TABLE bktts.default.ta USING graft LOCATION '$pa'")
+    spark.sql(s"CREATE TABLE bktts.default.tb USING graft LOCATION '$pb'")
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql(
+        """SELECT x.ts, x.event_id, y.value
+          |FROM bktts.default.ta x JOIN bktts.default.tb y ON x.ts = y.ts""".stripMargin)
+      val p = executed(df)
+      assert(!p.contains("Exchange"),
+        s"timestamp-bucketed SPJ join must not shuffle:\n${p.take(2000)}")
+      assert(p.contains("SortMergeJoin"), "expected a co-located sort-merge join")
+    }
+    // DATE bucket key: an equality probe scans only bucket(v)'s files
+    val dated = ev.select(to_date($"ts").as("d"), $"event_id")
+    val t = GraftTable.create(spark, tmpDir("bucket-date-") + "/t",
+      dated, bucketBy = Some(("d", 4)))
+    val s = t.snapshot
+    val probe = dated.select($"d").distinct().limit(1).collect()(0).getDate(0)
+    val kept = t.prunedFiles(s, $"d" === lit(probe))
+    assert(kept.size < s.files.size,
+      s"date point lookup must bucket-prune: kept ${kept.size}/${s.files.size}")
+    assert(t.scan($"d" === lit(probe)).count() ===
+      dated.filter($"d" === lit(probe)).count())
+  }
+
   test("the bucket function itself is SQL-callable and matches the write-side layout") {
     catalogReady
     import spark.implicits._
