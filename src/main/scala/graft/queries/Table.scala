@@ -2029,25 +2029,37 @@ object TableQueries {
         .withColumn("n_nationkey", $"n_nationkey" + 1000))
       // independent delta-1.0 replay: raw jackson over every JSON commit,
       // last-writer-wins — must reconstruct graft's live set
-      val live = scala.collection.mutable.LinkedHashMap[String, Boolean]()
-      Files.list(logDir).toArray.map(_.toString)
-        .filter(_.matches(".*\\d{20}\\.json$")).sorted
-        .foreach { f =>
-          Files.readAllLines(Paths.get(f)).forEach { l =>
-            if (l.nonEmpty) {
-              val n = mapper.readTree(l)
-              if (n.has("add"))
-                live(new java.net.URI(n.get("add").get("path").asText()).getPath) = true
-              if (n.has("remove"))
-                live.remove(new java.net.URI(n.get("remove").get("path").asText()).getPath)
-            }
-          }
-        }
-      require(live.keys.toSet == t.snapshot.files.map(_.path).toSet,
+      val live = deltaReplayLive(logDir)
+      require(live == t.snapshot.files.map(_.path).toSet,
         s"independent delta replay must equal graft's live set: " +
-          s"${live.keys.toSet} vs ${t.snapshot.files.map(_.path).toSet}")
+          s"$live vs ${t.snapshot.files.map(_.path).toSet}")
       t
     })
+
+  /** Independent delta-1.0 replay over every JSON commit in `logDir` —
+    * raw jackson, last-writer-wins, URI-decoded paths, zero graft code in
+    * the fold. The adoption fixtures' shared proof that a CONTINUED log
+    * stays replayable by a real delta reader; returns the live relative
+    * data-file paths. */
+  private def deltaReplayLive(logDir: java.nio.file.Path): Set[String] = {
+    import java.nio.file.{Files, Paths}
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val live = scala.collection.mutable.LinkedHashMap[String, Boolean]()
+    Files.list(logDir).toArray.map(_.toString)
+      .filter(_.matches(".*\\d{20}\\.json$")).sorted
+      .foreach { f =>
+        Files.readAllLines(Paths.get(f)).forEach { l =>
+          if (l.nonEmpty) {
+            val n = mapper.readTree(l)
+            if (n.has("add"))
+              live(new java.net.URI(n.get("add").get("path").asText()).getPath) = true
+            if (n.has("remove"))
+              live.remove(new java.net.URI(n.get("remove").get("path").asText()).getPath)
+          }
+        }
+      }
+    live.keys.toSet
+  }
 
   /** q196's adopted MODERN delta table, memoized per (JVM, dir): a
     * hand-authored foreign log whose protocol declares the feature trio
@@ -2098,21 +2110,8 @@ object TableQueries {
       t.append(nation.filter($"n_regionkey" === 1)
         .withColumn("n_nationkey", $"n_nationkey" + 2000))
       // independent delta replay (raw jackson, last-writer-wins)
-      val live = scala.collection.mutable.LinkedHashMap[String, Boolean]()
-      Files.list(logDir).toArray.map(_.toString)
-        .filter(_.matches(".*\\d{20}\\.json$")).sorted
-        .foreach { f =>
-          Files.readAllLines(Paths.get(f)).forEach { l =>
-            if (l.nonEmpty) {
-              val n = mapper.readTree(l)
-              if (n.has("add"))
-                live(new java.net.URI(n.get("add").get("path").asText()).getPath) = true
-              if (n.has("remove"))
-                live.remove(new java.net.URI(n.get("remove").get("path").asText()).getPath)
-            }
-          }
-        }
-      require(live.keys.toSet == t.snapshot.files.map(_.path).toSet,
+      val live = deltaReplayLive(logDir)
+      require(live == t.snapshot.files.map(_.path).toSet,
         "independent delta replay must equal graft's live set")
       t
     })
@@ -2179,21 +2178,8 @@ object TableQueries {
           reg.metadata.getLong("delta.columnMapping.id") == 3L,
         "the renamed column must keep its foreign physical name and id")
       // independent delta replay equality over the continued log
-      val live = scala.collection.mutable.LinkedHashMap[String, Boolean]()
-      Files.list(logDir).toArray.map(_.toString)
-        .filter(_.matches(".*\\d{20}\\.json$")).sorted
-        .foreach { f =>
-          Files.readAllLines(Paths.get(f)).forEach { l =>
-            if (l.nonEmpty) {
-              val n = mapper.readTree(l)
-              if (n.has("add"))
-                live(new java.net.URI(n.get("add").get("path").asText()).getPath) = true
-              if (n.has("remove"))
-                live.remove(new java.net.URI(n.get("remove").get("path").asText()).getPath)
-            }
-          }
-        }
-      require(live.keys.toSet == t.snapshot.files.map(_.path).toSet,
+      val live = deltaReplayLive(logDir)
+      require(live == t.snapshot.files.map(_.path).toSet,
         "independent delta replay must equal graft's live set")
       t
     })

@@ -751,6 +751,12 @@ object GraftTableStream {
           .getOrElse(throw new IllegalArgumentException(
             s"cannot parse timestamp partition value '$v'"))
       }
+    // NTZ is zone-LESS: the dir string "yyyy-MM-dd HH:mm:ss[.f]" IS the
+    // value — local micros, no session-zone involvement (round 15, the
+    // executor-side twin of GraftTable's pruning decode)
+    case TimestampNTZType =>
+      val ldt = java.time.LocalDateTime.parse(v.replace(' ', 'T'))
+      ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
     case IntegerType => v.toInt
     case LongType => v.toLong
     case DoubleType => v.toDouble
@@ -766,7 +772,7 @@ object GraftTableStream {
     * scheme of all) gets the zero-shuffle fact-fact join path. */
   def partitionKeyTypeSupported(dt: DataType): Boolean = dt match {
     case StringType | IntegerType | LongType | DoubleType |
-         BooleanType | DateType | TimestampType => true
+         BooleanType | DateType | TimestampType | TimestampNTZType => true
     case _ => false
   }
 

@@ -391,16 +391,18 @@ object FileOps extends Serializable {
     * ≤ ~128 KB. */
   def dvPositions(sidecar: Path, fname: String): java.util.BitSet = {
     val bits = new java.util.BitSet()
-    // PATH-SUFFIX matching: round-15 sidecars store the data file's
-    // table-relative path ("p=b1/part-0.parquet"), pre-round-15 ones the
-    // bare basename, and a shallow CLONE's reader passes an escaped
-    // spelling ("../src/p=b1/part-0.parquet"). Exact equality or a
-    // '/'-bounded suffix relation covers all three without letting
-    // same-basename files in DIFFERENT dirs match each other's entries
+    // PATH-SUFFIX matching, one direction only: round-15 sidecars store
+    // the data file's table-relative path ("p=b1/part-0.parquet"),
+    // pre-round-15 ones the bare basename, and a shallow CLONE's reader
+    // passes an escaped spelling ("../src/p=b1/part-0.parquet") — the
+    // STORED spelling is never more qualified than the reader's `fname`,
+    // so only `stored` may be a '/'-bounded suffix of `fname`. The
+    // reverse direction would let a root-level twin's relative-path
+    // entry ("part-0.parquet") tombstone a nested same-named file, and
+    // same-basename files in DIFFERENT dirs never match either way
     // ("p=b2/part-0.parquet" is no suffix of "p=b1/part-0.parquet").
     def matches(stored: String): Boolean =
-      stored == fname || fname.endsWith("/" + stored) ||
-        stored.endsWith("/" + fname)
+      stored == fname || fname.endsWith("/" + stored)
     val in = HadoopInputFile.fromPath(new HPath(sidecar.toString), new Configuration())
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {

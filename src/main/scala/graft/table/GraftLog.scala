@@ -263,13 +263,12 @@ final class GraftLog(val tablePath: String,
     // (variant's parquet layout; NTZ's zone-less timestamp semantics)
     // must fail loudly at load, so the first commit whose schema carries
     // it stamps the feature in the same version
+    // hasVariantType / hasNtzType carry their own cheap substring
+    // pre-filters before the schema-JSON parse
     val needed: Seq[String] = actions.collectFirst { case m: MetaData => m }
       .map { m =>
-        // cheap substring pre-filters before parsing the schema JSON
-        (if (m.schemaString.contains("\"variant\"") &&
-             DeltaWriteCompat.hasVariantType(m)) Seq("variantType") else Nil) ++
-        (if (m.schemaString.contains("timestamp_ntz") &&
-             DeltaWriteCompat.hasNtzType(m)) Seq("timestampNtz") else Nil)
+        (if (DeltaWriteCompat.hasVariantType(m)) Seq("variantType") else Nil) ++
+        (if (DeltaWriteCompat.hasNtzType(m)) Seq("timestampNtz") else Nil)
       }.getOrElse(Nil)
     if (needed.isEmpty) return actions
     val base = actions.collectFirst { case p: Protocol => p }

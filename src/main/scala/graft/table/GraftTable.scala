@@ -275,13 +275,18 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   }
 
   /** Broadcast the tombstone set only while its estimated SIZE stays inside
-    * sane broadcast territory (~56 bytes per (fname, pos) row, 64 MB cap ≈
-    * 1.2M tombstones) — a row-count threshold alone would happily ship
-    * hundreds of MB to the driver and every executor. Beyond the cap the
-    * anti-join falls back to a shuffle join, which is the right plan for a
-    * tombstone set that large anyway. */
-  private def maybeBroadcast(dv: DataFrame, totalTombstones: Long): DataFrame =
-    if (totalTombstones * 56L <= 64L * 1024 * 1024) broadcast(dv) else dv
+    * sane broadcast territory (64 MB cap) — a row-count threshold alone
+    * would happily ship hundreds of MB to the driver and every executor.
+    * Per-row estimate: the key is a full absolute path since round 15
+    * (sized from this table's own root, +32 for the file name and
+    * UnsafeRow overhead, +24 for the long and headers), never the old
+    * basename-era constant. Beyond the cap the anti-join falls back to a
+    * shuffle join, which is the right plan for a tombstone set that large
+    * anyway. */
+  private def maybeBroadcast(dv: DataFrame, totalTombstones: Long): DataFrame = {
+    val perRow = path.length + 32L + 24L
+    if (totalTombstones * perRow <= 64L * 1024 * 1024) broadcast(dv) else dv
+  }
 
   /** `base` must already carry the `__fname`/`__pos` provenance columns
     * (markProvenance applied inside its leaf scans). */
@@ -2868,8 +2873,11 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * attaches. Hadoop normalizes the open path, so escaped clone
     * references ("../src/…") land on the same spelling. */
   private def canonPath(rel: String): String =
+    // toAbsolutePath: a handle opened with a RELATIVE table path must
+    // still produce the absolute spelling the scan reports — a relative
+    // key would silently mismatch every provenance join
     new org.apache.hadoop.fs.Path(
-      Paths.get(s"$path/$rel").normalize.toString).toUri.toString
+      Paths.get(s"$path/$rel").toAbsolutePath.normalize.toString).toUri.toString
 
   /** MERGE builder, mirroring the reference's Delta call shape
     * (api.py:92-102): condition references `<targetAlias>.<col>` and

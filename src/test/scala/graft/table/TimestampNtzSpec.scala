@@ -73,6 +73,34 @@ class TimestampNtzSpec extends SparkTestBase {
     assert(t.toDF.count() === 7L)
   }
 
+  test("NTZ PARTITION column through the catalog: V2 scan constants + SQL DML decode local micros") {
+    import spark.implicits._
+    // the executor-side partition-value decoder (GraftTableStream
+    // .castPartitionValue) serves the catalog's V2 scan and the SQL
+    // row-level rewrites — it must speak NTZ dir strings too, not just
+    // the V1 pruning path
+    val dir = tmpDir("ntz-cat-")
+    GraftTable.create(spark, dir, ntzDf(6), partitionBy = Seq("ts"))
+    graft.sources.GraftCatalog.register(spark, tmpDir("ntz-cat-wh-"), name = "ntzc")
+    spark.sql(s"CREATE TABLE ntzc.default.t USING graft LOCATION '$dir'")
+    val got = spark.sql(
+      "SELECT id, CAST(ts AS STRING) AS s FROM ntzc.default.t ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(4L) === "2024-03-01 04:30:00",
+      "the V2 scan must decode NTZ partition constants as local micros")
+    assert(got.size === 6)
+    // SQL row-level DML rides the same decoder through the group scan
+    spark.sql("DELETE FROM ntzc.default.t WHERE ts = TIMESTAMP_NTZ'2024-03-01 02:30:00'")
+    assert(spark.sql("SELECT COUNT(*) FROM ntzc.default.t").head.getLong(0) === 5L)
+    // and the streaming source serves the NTZ-partitioned snapshot
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName("ntz_cat_stream")
+      .option("checkpointLocation", tmpDir("ntz-cat-ckpt-"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("ntz_cat_stream").count() === 5L)
+  }
+
   test("NTZ under compat: timestampNtz gates the emitted delta protocol; stats emit as micros") {
     import spark.implicits._
     val dir = tmpDir("ntz-compat-")
