@@ -479,8 +479,9 @@ object ScalingProbe {
     println(s"""CLONEPROBE {"step":"plan_leaves","n":$n,"leaves":$leaves}""")
     val rows = timed("execute_first_scan") { scan.count() }
     require(rows == n.toLong, s"clone scan lost rows: $rows of $n")
+    val probeVal = f"v${math.min(7, n - 1)}%04d"
     val pruned = timed("partition_pruned_scan") {
-      c.scan($"p" === "v0007").count()
+      c.scan($"p" === probeVal).count()
     }
     require(pruned == 1L, s"partition value must prune to one row, got $pruned")
     spark.stop()

@@ -799,13 +799,16 @@ class GraftGroupScan(tablePath: String, snap: Snapshot,
     }
   }
 
-  override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] =
+  override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val strictDv = graft.streaming.GraftTableStream.dvBasenameCollisions(files)
     files.map(f => graft.streaming.GraftFilePartition(
       absPath(f), f.partitionValues, f.numRecords,
       // merge-on-read: the rewrite scan must NOT resurrect tombstoned rows
       f.dvPath.map(p => graft.table.FileOps.dvAbs(tablePath, p)),
-      f.path)
+      f.path,
+      dvRequireQualified = strictDv(f.path))
         : org.apache.spark.sql.connector.read.InputPartition).toArray
+  }
 
   override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
     // columnar is scan-uniform: one DV-carrying file anywhere in the

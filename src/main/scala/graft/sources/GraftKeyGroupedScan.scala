@@ -85,15 +85,19 @@ class GraftKeyGroupedScan(table: GraftTable, snap: Snapshot,
     new GenericInternalRow((partVals ++ bucketVal).toArray[Any])
   }
 
-  private lazy val planned: Array[InputPartition] = files.map { f =>
-    val abs = java.nio.file.Paths.get(table.path, f.path).toString
-    GraftKeyedFilePartition(
-      graft.streaming.GraftFilePartition(
-        abs, f.partitionValues, f.numRecords,
-        f.dvPath.map(p => graft.table.FileOps.dvAbs(table.path, p)),
-        f.path),
-      keyOf(f)): InputPartition
-  }.toArray
+  private lazy val planned: Array[InputPartition] = {
+    val strictDv = graft.streaming.GraftTableStream.dvBasenameCollisions(files)
+    files.map { f =>
+      val abs = java.nio.file.Paths.get(table.path, f.path).toString
+      GraftKeyedFilePartition(
+        graft.streaming.GraftFilePartition(
+          abs, f.partitionValues, f.numRecords,
+          f.dvPath.map(p => graft.table.FileOps.dvAbs(table.path, p)),
+          f.path,
+          dvRequireQualified = strictDv(f.path)),
+        keyOf(f)): InputPartition
+    }.toArray
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this

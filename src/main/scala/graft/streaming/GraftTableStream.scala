@@ -356,11 +356,13 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
         }
       }
     plannedColumnarOk = files.forall(_.dvPath.isEmpty)
+    val strictDv = GraftTableStream.dvBasenameCollisions(files)
     files.map(f => GraftFilePartition(
       Paths.get(tablePath, f.path).toString, f.partitionValues,
       f.numRecords,
       f.dvPath.map(p => graft.table.FileOps.dvAbs(tablePath, p)),
-      f.path): InputPartition).toArray
+      f.path,
+      dvRequireQualified = strictDv(f.path)): InputPartition).toArray
   }
 
   /** CDF planning: the initial batch (no startingVersion) emits the folded
@@ -372,13 +374,17 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
     val parts = scala.collection.mutable.ArrayBuffer[GraftFilePartition]()
     def tsOf(v: Long): String = log.readVersion(v)
       .collectFirst { case c: CommitInfo => c.timestamp }.getOrElse(0L).toString
-    def insertParts(files: Seq[AddFile], v: Long): Unit = files.foreach { f =>
-      parts += GraftFilePartition(
-        Paths.get(tablePath, f.path).toString, f.partitionValues, f.numRecords,
-        f.dvPath.map(p => graft.table.FileOps.dvAbs(tablePath, p)),
-        f.path,
-        constOverrides = Seq("_change_type" -> "insert", "_commit_version" -> v.toString,
-          "_commit_timestamp" -> tsOf(v)))
+    def insertParts(files: Seq[AddFile], v: Long): Unit = {
+      val strictDv = GraftTableStream.dvBasenameCollisions(files)
+      files.foreach { f =>
+        parts += GraftFilePartition(
+          Paths.get(tablePath, f.path).toString, f.partitionValues, f.numRecords,
+          f.dvPath.map(p => graft.table.FileOps.dvAbs(tablePath, p)),
+          f.path,
+          constOverrides = Seq("_change_type" -> "insert", "_commit_version" -> v.toString,
+            "_commit_timestamp" -> tsOf(v)),
+          dvRequireQualified = strictDv(f.path))
+      }
     }
     if (s < 0 && startingVersion.isEmpty) {
       // same creation-race guard as the main source's initial load: a
@@ -470,7 +476,11 @@ case class GraftFilePartition(absPath: String,
     partitionValues: Map[String, String], numRecords: Long,
     dvAbsPath: Option[String] = None, fname: String = "",
     constOverrides: Seq[(String, String)] = Nil,
-    partitionColsInFile: Boolean = false) extends InputPartition
+    partitionColsInFile: Boolean = false,
+    // planner's verdict that another planned file shares (sidecar,
+    // basename) with this one: legacy bare-basename entries are then
+    // unattributable and the reader refuses instead of tombstoning twins
+    dvRequireQualified: Boolean = false) extends InputPartition
 
 /** Decodes table files with Spark's VECTORIZED parquet reader — the same
   * columnar decoder the batch parquet scan uses (column-at-a-time page
@@ -618,7 +628,7 @@ class GraftParquetReaderFactory(schema: StructType, partitionCols: Seq[String],
     // rows from the AddFile's row count — zero file IO
     if (lay.dataFields.isEmpty && lay.constFields.nonEmpty || schema.isEmpty) {
       val deleted = p.dvAbsPath.map(d =>
-        graft.table.FileOps.dvBitsFor(d, p.fname)).orNull
+        graft.table.FileOps.dvBitsFor(d, p.fname, p.dvRequireQualified)).orNull
       val row = constRow(p, lay)
       val out = if (lay.trailing) row else new RemappedRow(lay.remap, schema).set(row)
       return new PartitionReader[InternalRow] {
@@ -644,7 +654,7 @@ class GraftParquetReaderFactory(schema: StructType, partitionCols: Seq[String],
     /** DV tombstones of THIS file (merge-on-read), applied as a row-index
       * skip over the vectorized cursor. Null when the file has no DV. */
     val deleted = p.dvAbsPath.map(d =>
-      graft.table.FileOps.dvBitsFor(d, p.fname)).orNull
+      graft.table.FileOps.dvBitsFor(d, p.fname, p.dvRequireQualified)).orNull
     val wrapper = if (lay.trailing) null else new RemappedRow(lay.remap, schema)
     new PartitionReader[InternalRow] {
       private var rowIdx = -1L
@@ -765,6 +775,19 @@ object GraftTableStream {
     case other => throw new UnsupportedOperationException(
       s"unsupported partition column type for streaming: $other")
   }
+
+  /** File paths of planned files that share (sidecar, basename) with
+    * another planned file — for those, a LEGACY bare-basename sidecar
+    * entry is unattributable and the per-file reader must refuse (the
+    * same verdict the batch path's dvEntries reaches), never silently
+    * tombstone both twins. Round-15 sidecars spell the relative path, so
+    * healthy new-format shared sidecars never set the flag's refusal off. */
+  def dvBasenameCollisions(files: Seq[AddFile]): Set[String] =
+    files.filter(_.dvPath.isDefined)
+      .groupBy(f => (f.dvPath.get,
+        f.path.substring(f.path.lastIndexOf('/') + 1)))
+      .collect { case (_, fs) if fs.size > 1 => fs.map(_.path) }
+      .flatten.toSet
 
   /** Types the SPJ scan can decode into partition keys — including
     * TimestampType since the decoder above learned the Hive dir form: an

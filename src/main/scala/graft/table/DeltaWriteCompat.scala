@@ -272,6 +272,11 @@ object DeltaWriteCompat {
     * fold-back (which returns the schemaString verbatim) keeps native
     * reads working — delta readers ignore unknown metadata keys. */
   def deltaMappedSchemaString(meta: MetaData): String = {
+    // STRICT parse: an unparseable stored schema must fail the commit
+    // loudly — the lenient parsedSchema would emit an EMPTY fields list
+    // into the continued delta log, silently wiping the schema for every
+    // downstream reader
+    val schema = DataType.fromJson(meta.schemaString).asInstanceOf[StructType]
     def onType(dt: DataType): DataType = dt match {
       case s: StructType => StructType(s.fields.map(onField))
       case a: ArrayType => a.copy(elementType = onType(a.elementType))
@@ -289,7 +294,7 @@ object DeltaWriteCompat {
           .putString(ColumnMapping.DeltaPhysKey,
             ColumnMapping.physicalName(f)).build())
     }
-    StructType(parsedSchema(meta).fields.map(onField)).json
+    StructType(schema.fields.map(onField)).json
   }
 
   /** Checkpoint parquet layout of delta 1.x: one nullable struct column

@@ -377,11 +377,16 @@ object FileOps extends Serializable {
     else java.nio.file.Paths.get(tableRoot, dvPath).toString
 
   /** Tombstone BitSet of one dvAbs reference — dispatches between graft's
-    * parquet sidecar format and the foreign Delta roaring format. */
-  def dvBitsFor(dvAbsRef: String, fname: String): java.util.BitSet =
+    * parquet sidecar format and the foreign Delta roaring format.
+    * `requireQualified` is the planner's verdict that this file shares
+    * (sidecar, basename) with another planned file: a bare-basename
+    * entry is then genuinely unattributable and must refuse like the
+    * batch path does, never silently tombstone both twins. */
+  def dvBitsFor(dvAbsRef: String, fname: String,
+      requireQualified: Boolean = false): java.util.BitSet =
     if (DeltaDeletionVectors.isForeignAbs(dvAbsRef))
       DeltaDeletionVectors.bitsAbs(dvAbsRef)
-    else dvPositions(java.nio.file.Paths.get(dvAbsRef), fname)
+    else dvPositions(java.nio.file.Paths.get(dvAbsRef), fname, requireQualified)
 
   /** Load one data file's deletion-vector tombstones from a `_dv/` sidecar
     * (columns fname/pos, written sorted) as a BitSet over row indexes —
@@ -389,7 +394,8 @@ object FileOps extends Serializable {
     * readers can't ride the batch scan's anti-join). A file's positions
     * are bounded by its row count (~1M for 128 MB), so the bitmap is
     * ≤ ~128 KB. */
-  def dvPositions(sidecar: Path, fname: String): java.util.BitSet = {
+  def dvPositions(sidecar: Path, fname: String,
+      requireQualified: Boolean = false): java.util.BitSet = {
     val bits = new java.util.BitSet()
     // PATH-SUFFIX matching, one direction only: round-15 sidecars store
     // the data file's table-relative path ("p=b1/part-0.parquet"),
@@ -414,8 +420,16 @@ object FileOps extends Serializable {
             new org.apache.parquet.example.data.simple.convert.GroupRecordConverter(schema))
         (0L until rg.get.getRowCount).foreach { _ =>
           val g = rr.read()
-          if (matches(g.getBinary("fname", 0).toStringUsingUTF8))
+          val stored = g.getBinary("fname", 0).toStringUsingUTF8
+          if (matches(stored)) {
+            if (requireQualified && !stored.contains('/'))
+              throw new GraftProtocolException(
+                s"a legacy deletion-vector sidecar entry ('$stored' in " +
+                  s"$sidecar) names more than one live file — the entry " +
+                  "cannot be attributed; rewrite the files (OPTIMIZE after " +
+                  "a copy-on-write DELETE) to clear the ambiguous state")
             bits.set(g.getLong("pos", 0).toInt)
+          }
         }
         rg = Option(reader.readNextRowGroup())
       }

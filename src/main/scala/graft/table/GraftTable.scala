@@ -117,8 +117,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       // written against a bare scan)
       val base = perScan(spark.read.schema(dataSchema)
         .parquet(files.map(f => s"$path/${f.path}"): _*)
-        .withColumn("__pfname",
-          regexp_replace(col("_metadata.file_path"), "^file:/+", "/")))
+        .withColumn("__pfname", scanFilePath))
       val joined = partIdx.zip(pvCols).foldLeft(
         base.join(pvDf, Seq("__pfname"), "left")) {
           case (d, ((lf, i), c)) =>
@@ -190,8 +189,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       toLogical(s, readFilesRaw(s, files).withColumn("_file", lit("")), Seq("_file"))
     else
       toLogical(s, splitOnDv(files, (fs, mark) => readFilesRaw(s, fs,
-        perScan = df => mark(df.withColumn("_file",
-          regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))))), Seq("_file"))
+        perScan = df => mark(df.withColumn("_file", scanFilePath)))), Seq("_file"))
 
   /** readFiles variant that keeps `__fname`/`__pos` provenance columns —
     * the DV delete path needs the surviving rows' positions. */
@@ -254,13 +252,22 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * Applied INSIDE each leaf scan (readFilesRaw's perScan hook): metadata
     * columns resolve against a single file relation, never across the
     * unions the shallow-clone read shape produces. */
+  /** The scan-side spelling of a row's data-file key: Spark's
+    * `_metadata.file_path` (URI-encoded absolute path) with the scheme
+    * stripped. [[canonPath]] is the DRIVER twin — the two must stay
+    * byte-identical or every provenance join silently mismatches, which
+    * is why both are defined once and every consumer (markProvenance,
+    * the shallow-clone partition-value join, the `_file` column) reads
+    * this one expression. */
+  private def scanFilePath: Column =
+    regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
+
   private val markProvenance: DataFrame => DataFrame = df =>
     // keyed by the NORMALIZED absolute path, never the basename: graft's
     // own part files are UUID-named, but CONVERT-ed and foreign layouts
     // routinely hold one same-named file per partition dir — a basename
     // key would tombstone (or base-id) every name-collided file at once
-    df.withColumn("__fname",
-        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+    df.withColumn("__fname", scanFilePath)
       .withColumn("__pos", col("_metadata.row_index"))
 
   private def splitOnDv(files: Seq[AddFile],
@@ -2872,12 +2879,22 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * dir names carry both), matching the `__fname` column markProvenance
     * attaches. Hadoop normalizes the open path, so escaped clone
     * references ("../src/…") land on the same spelling. */
-  private def canonPath(rel: String): String =
-    // toAbsolutePath: a handle opened with a RELATIVE table path must
-    // still produce the absolute spelling the scan reports — a relative
-    // key would silently mismatch every provenance join
-    new org.apache.hadoop.fs.Path(
-      Paths.get(s"$path/$rel").toAbsolutePath.normalize.toString).toUri.toString
+  private def canonPath(rel: String): String = {
+    val joined = s"$path/$rel"
+    // Scheme-qualified table paths: the DATA plane requires a mounted
+    // (POSIX-pathed) filesystem (see FileOps.harvestStats), so java.nio
+    // resolution is sound for every operable table — but keep a
+    // scheme-carrying path's key consistent with the scan spelling
+    // rather than silently mangling it through Paths.get.
+    if (joined.contains("://"))
+      new org.apache.hadoop.fs.Path(joined).toUri.toString
+    else
+      // toAbsolutePath: a handle opened with a RELATIVE table path must
+      // still produce the absolute spelling the scan reports — a relative
+      // key would silently mismatch every provenance join
+      new org.apache.hadoop.fs.Path(
+        Paths.get(joined).toAbsolutePath.normalize.toString).toUri.toString
+  }
 
   /** MERGE builder, mirroring the reference's Delta call shape
     * (api.py:92-102): condition references `<targetAlias>.<col>` and

@@ -401,5 +401,16 @@ class DeletionVectorSpec extends SparkTestBase {
     val e = intercept[GraftProtocolException](
       GraftTable.forPath(spark, c.path).toDF.collect())
     assert(e.getMessage.contains("cannot be attributed"), s"got $e")
+    // the V2 (catalog) read path reaches the SAME verdict — the planner
+    // flags the (sidecar, basename) twins and the per-file reader refuses
+    // the bare-basename entry instead of tombstoning both files' rows
+    graft.sources.GraftCatalog.register(spark, tmpDir("dv-amb-wh-"), name = "dvamb")
+    spark.sql(s"CREATE TABLE dvamb.default.t USING graft LOCATION '${c.path}'")
+    val e2 = intercept[Exception](
+      spark.sql("SELECT * FROM dvamb.default.t").collect())
+    def msgs(th: Throwable): Seq[String] =
+      if (th == null) Nil else Option(th.getMessage).toSeq ++ msgs(th.getCause)
+    assert(msgs(e2).exists(_.contains("cannot be attributed")),
+      s"V2 path must refuse like the batch path: ${msgs(e2).mkString(" | ")}")
   }
 }
