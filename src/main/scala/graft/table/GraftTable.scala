@@ -2715,7 +2715,14 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // no base allocation (and therefore no hwm bump — the commit stays
     // metadata-conflict-free for concurrent writers)
     val adds = writeDataMapped(keep, s.metaData)
-    val deleted = touched.map(_.numRecords).sum - adds.map(_.numRecords).sum
+    // foreign stat-less adds carry numRecords = -1 (unknown) — the
+    // difference arithmetic would go NEGATIVE on an adopted table's first
+    // delete; count the matched rows directly in that case (one extra
+    // bounded scan over the touched files, only on the unknown-stat path)
+    val deleted =
+      if (touched.forall(_.numRecords >= 0))
+        touched.map(_.numRecords).sum - adds.map(_.numRecords).sum
+      else readFilesMeta(s, touched).filter(coalesce(pred, lit(false))).count()
     // operator-level CDC: the deleted rows ARE the matched rows — tag them
     // directly instead of re-reading and multiset-diffing the rewrite
     val cdc = writeCdcFiles(s, readFilesMeta(s, touched)

@@ -387,6 +387,104 @@ class DeltaAdoptionSpec extends SparkTestBase {
         .putString("delta.columnMapping.physicalName", physical)
         .putLong("delta.columnMapping.id", id).build())
 
+  test("CHECKPOINT-ONLY v2 foreign log adopts: zero JSON commits, the v2 manifest is the seed") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // the delta-3.x metadata-cleanup shape: every JSON commit deleted,
+    // a v2 UUID manifest + _sidecars/ is the ONLY replay seed — exactly
+    // what a long-lived production table looks like when adopted
+    val dir = tmpDir("adopt-v2cp-")
+    val (s1, m1) = dataFile(dir, "part-00000-v2-c000.snappy.parquet", df(0 until 4))
+    val addType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType, true)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType)))
+    val sidecarSchema = StructType(Seq(StructField("add", addType)))
+    val stage = tmpDir("adopt-v2cp-stage-")
+    spark.createDataFrame(java.util.Arrays.asList(
+      Row(Row("part-00000-v2-c000.snappy.parquet", Map.empty[String, String], s1, m1, false))),
+      sidecarSchema).coalesce(1).write.mode("overwrite").parquet(stage)
+    val scPart = Files.list(Paths.get(stage)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    Files.createDirectories(Paths.get(dir, "_delta_log", "_sidecars"))
+    Files.move(Paths.get(scPart),
+      Paths.get(dir, "_delta_log", "_sidecars", "sc-v2a.parquet"))
+    val manifestSchema = StructType(Seq(
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(StructField("provider", StringType)))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType)),
+        StructField("createdTime", LongType)))),
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
+      StructField("checkpointMetadata", StructType(Seq(
+        StructField("version", LongType)))),
+      StructField("sidecar", StructType(Seq(
+        StructField("path", StringType),
+        StructField("sizeInBytes", LongType))))))
+    val plainSchema = idSchema.replace("\\\"", "\"")
+    // one ACTION per row, as real delta checkpoints lay out
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row(
+      Row("v2cp-adopt-1", Row("parquet"), plainSchema, Seq.empty[String],
+        Map.empty[String, String], 1619112344000L),
+      null, null, null))
+    rows.add(Row(null,
+      Row(3, 7, Seq("v2Checkpoint", "vacuumProtocolCheck"),
+        Seq("v2Checkpoint", "vacuumProtocolCheck")), null, null))
+    rows.add(Row(null, null, Row(3L), null))
+    rows.add(Row(null, null, null, Row("sc-v2a.parquet", 1024L)))
+    val stage2 = tmpDir("adopt-v2cp-man-")
+    spark.createDataFrame(rows, manifestSchema)
+      .coalesce(1).write.mode("overwrite").parquet(stage2)
+    val manPart = Files.list(Paths.get(stage2)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    Files.move(Paths.get(manPart), Paths.get(dir, "_delta_log",
+      "00000000000000000003.checkpoint.9a7b55ae-0001.parquet"))
+    Files.write(Paths.get(dir, "_delta_log", "_last_checkpoint"),
+      """{"version":3}""".getBytes("UTF-8"))
+    // zero JSON commits exist — reads fold from the manifest alone
+    assert(ids(GraftTable.forPath(spark, dir)) === Set(0L, 1L, 2L, 3L))
+    // adoption continues the log at v4 and unlocks DML
+    val t = GraftTable.adoptDelta(spark, dir)
+    assert(t.latestVersion === 4L, "adoption commits the checkpoint version + 1")
+    val p = t.snapshot.protocol
+    assert(p.readerFeatures.contains("v2Checkpoint") &&
+      p.writerFeatures.contains("vacuumProtocolCheck"),
+      s"the continued protocol must retain the adopted features: $p")
+    assert(t.delete(col("id") === 1L) === 1L)
+    t.append(df(80 until 82))
+    assert(ids(t) === Set(0L, 2L, 3L, 80L, 81L))
+    // independent fold: v2 sidecar adds seeded, then the graft-authored
+    // delta-shaped JSON tail replayed last-writer-wins
+    val live = scala.collection.mutable.LinkedHashMap[String, Boolean]()
+    spark.read.parquet(Paths.get(dir, "_delta_log", "_sidecars").toString)
+      .select("add.path").collect()
+      .foreach(r => if (!r.isNullAt(0)) live(r.getString(0)) = true)
+    Files.list(Paths.get(dir, "_delta_log")).toArray.map(_.toString)
+      .filter(_.matches(".*\\d{20}\\.json$")).sorted
+      .foreach { f =>
+        Files.readAllLines(Paths.get(f)).forEach { l =>
+          if (l.nonEmpty) {
+            val n = mapper.readTree(l)
+            if (n.has("add"))
+              live(new java.net.URI(n.get("add").get("path").asText()).getPath) = true
+            if (n.has("remove"))
+              live.remove(new java.net.URI(n.get("remove").get("path").asText()).getPath)
+          }
+        }
+      }
+    assert(live.keys.toSet === t.snapshot.files.map(_.path).toSet,
+      "checkpoint-seed + continued-tail replay must equal graft's live set")
+  }
+
   test("adopt_delta procedure: one CALL, ownership taken, result row reports it") {
     val dir = foreignTable()
     graft.sources.GraftCatalog.register(spark, tmpDir("adopt-wh-"), name = "adpt")
