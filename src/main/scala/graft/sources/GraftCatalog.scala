@@ -800,7 +800,10 @@ class GraftGroupScan(tablePath: String, snap: Snapshot,
   }
 
   override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] = {
-    val strictDv = graft.streaming.GraftTableStream.dvBasenameCollisions(files)
+    // collision verdict over the snapshot's FULL live set, never the
+    // runtime-filtered subset: pruning one (sidecar, basename) twin must
+    // not let the other twin's legacy entry silently re-attribute
+    val strictDv = graft.streaming.GraftTableStream.dvBasenameCollisions(snap.files)
     files.map(f => graft.streaming.GraftFilePartition(
       absPath(f), f.partitionValues, f.numRecords,
       // merge-on-read: the rewrite scan must NOT resurrect tombstoned rows

@@ -86,7 +86,10 @@ class GraftKeyGroupedScan(table: GraftTable, snap: Snapshot,
   }
 
   private lazy val planned: Array[InputPartition] = {
-    val strictDv = graft.streaming.GraftTableStream.dvBasenameCollisions(files)
+    // collision verdict over the snapshot's FULL live set, never the
+    // pruned subset (see GraftTable.dvEntries: a pruned basename twin
+    // must still force the refusal for its surviving twin)
+    val strictDv = graft.streaming.GraftTableStream.dvBasenameCollisions(snap.files)
     files.map { f =>
       val abs = java.nio.file.Paths.get(table.path, f.path).toString
       GraftKeyedFilePartition(

@@ -776,12 +776,20 @@ object GraftTableStream {
       s"unsupported partition column type for streaming: $other")
   }
 
-  /** File paths of planned files that share (sidecar, basename) with
-    * another planned file — for those, a LEGACY bare-basename sidecar
-    * entry is unattributable and the per-file reader must refuse (the
-    * same verdict the batch path's dvEntries reaches), never silently
+  /** File paths of files that share (sidecar, basename) with another
+    * file in `files` — for those, a LEGACY bare-basename sidecar entry
+    * is unattributable and the per-file reader must refuse (the same
+    * verdict the batch path's dvEntries reaches), never silently
     * tombstone both twins. Round-15 sidecars spell the relative path, so
-    * healthy new-format shared sidecars never set the flag's refusal off. */
+    * healthy new-format shared sidecars never set the flag's refusal off.
+    *
+    * CONTRACT: `files` must contain every live file sharing a sidecar
+    * with the planned set — the snapshot's full live set for batch scans
+    * (a pruned twin must still force the refusal for its survivor), or a
+    * single commit's adds for the streaming tail (complete by
+    * construction: a DV commit re-adds every file of the new sidecar it
+    * writes in that same commit, and a shallow clone lands all source
+    * references in one commit). */
   def dvBasenameCollisions(files: Seq[AddFile]): Set[String] =
     files.filter(_.dvPath.isDefined)
       .groupBy(f => (f.dvPath.get,

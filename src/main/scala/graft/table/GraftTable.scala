@@ -178,7 +178,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * in. At 100 TB with one tombstoned file, the other 99.99% of the table
     * must not pay a per-row hash probe on a string file-name key. */
   private[graft] def readFiles(s: Snapshot, files: Seq[AddFile]): DataFrame =
-    toLogical(s, splitOnDv(files, (fs, mark) => readFilesRaw(s, fs, perScan = mark)))
+    toLogical(s, splitOnDv(s, files, (fs, mark) => readFilesRaw(s, fs, perScan = mark)))
 
   /** readFiles variant carrying a `_file` column (the row's data file as a
     * plain absolute path) — the V1 scan's metadata column. Derived from
@@ -188,7 +188,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     if (files.isEmpty)
       toLogical(s, readFilesRaw(s, files).withColumn("_file", lit("")), Seq("_file"))
     else
-      toLogical(s, splitOnDv(files, (fs, mark) => readFilesRaw(s, fs,
+      toLogical(s, splitOnDv(s, files, (fs, mark) => readFilesRaw(s, fs,
         perScan = df => mark(df.withColumn("_file", scanFilePath)))), Seq("_file"))
 
   /** readFiles variant that keeps `__fname`/`__pos` provenance columns —
@@ -207,7 +207,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       if (withDv.isEmpty) marked(files)
       else {
         val filtered = marked(withDv).join(
-          maybeBroadcast(dvEntries(withDv).get, withDv.map(_.dvCount).sum),
+          maybeBroadcast(dvEntries(s, withDv).get, withDv.map(_.dvCount).sum),
           Seq("__fname", "__pos"), "left_anti")
         if (noDv.isEmpty) filtered else marked(noDv).unionByName(filtered)
       }
@@ -270,12 +270,12 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     df.withColumn("__fname", scanFilePath)
       .withColumn("__pos", col("_metadata.row_index"))
 
-  private def splitOnDv(files: Seq[AddFile],
+  private def splitOnDv(s: Snapshot, files: Seq[AddFile],
       scan: (Seq[AddFile], DataFrame => DataFrame) => DataFrame): DataFrame = {
     val (withDv, noDv) = files.partition(_.dvPath.isDefined)
     if (withDv.isEmpty) scan(files, identity)
     else {
-      val filtered = antiJoinDv(scan(withDv, markProvenance), dvEntries(withDv).get,
+      val filtered = antiJoinDv(scan(withDv, markProvenance), dvEntries(s, withDv).get,
         withDv.map(_.dvCount).sum).drop("__fname", "__pos")
       if (noDv.isEmpty) filtered else scan(noDv, identity).unionByName(filtered)
     }
@@ -305,8 +305,16 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * hold entries for many data files, and an entry's data file may have
     * been re-pointed to a NEWER sidecar by a later delete), so entries are
     * semi-joined against the exact (file, sidecar) pairs the AddFiles
-    * reference — driver-built metadata, broadcast. */
-  private def dvEntries(files: Seq[AddFile]): Option[DataFrame] = {
+    * reference — driver-built metadata, broadcast.
+    *
+    * `s` supplies the snapshot's FULL live set: the legacy-basename
+    * ambiguity verdict must be derived from every live file sharing a
+    * referenced sidecar, never from the scanned/planned subset — when
+    * partition pruning removes one (sidecar, basename) twin, a legacy
+    * bare-basename entry belonging to the pruned twin would otherwise
+    * silently re-attribute to the surviving file and tombstone rows that
+    * were never deleted. */
+  private def dvEntries(s: Snapshot, files: Seq[AddFile]): Option[DataFrame] = {
     val withDv = files.filter(_.dvPath.isDefined)
     if (withDv.isEmpty) None
     else {
@@ -326,7 +334,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           // names two different files within one sidecar is genuinely
           // ambiguous (the information was never written) — refuse
           // loudly rather than tombstone both files' rows.
-          val bySpelling = nativeDv.flatMap { f =>
+          def spellingsOf(f: AddFile): Seq[((String, String), String)] = {
             // third spelling: a shallow CLONE references the source's
             // sidecar ("../src/_dv/…") alongside its data file
             // ("../src/p=x/part.parquet") — the entry inside was written
@@ -340,12 +348,22 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
             (Seq(f.path, fileName(f.path)) ++ viaSidecarRoot).distinct.map(sp =>
               (sp, dv) -> canonPath(f.path))
           }
+          val bySpelling = nativeDv.flatMap(spellingsOf)
           // an AMBIGUOUS spelling — a legacy basename that names two live
           // files within ONE sidecar — is excluded from the map; entries
           // actually USING it (possible only in pre-round-15 sidecars; new
           // sidecars spell the relative path) refuse at runtime below, so
-          // healthy new-format shared sidecars never refuse spuriously
-          val ambiguous = bySpelling.groupBy(_._1)
+          // healthy new-format shared sidecars never refuse spuriously.
+          // The verdict derives from ALL live files sharing each referenced
+          // sidecar — never from the scanned/planned subset: with one
+          // basename twin pruned away, a subset-local check would see no
+          // collision and silently attribute the pruned twin's legacy
+          // entry to the surviving file, vanishing never-deleted rows.
+          val refSidecars = nativeDv.map(_.dvPath.get).toSet
+          val ambiguous = s.files
+            .filter(_.dvPath.exists(refSidecars.contains))
+            .flatMap(spellingsOf)
+            .groupBy(_._1)
             .filter(_._2.map(_._2).distinct.size > 1).keySet
           val refs = bySpelling.filterNot(t => ambiguous(t._1)).distinct
             .map { case ((sp, src), canon) => Row(sp, src, canon) }
@@ -2590,7 +2608,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       return None
     // prior tombstones of touched files merge into the new sidecar; new
     // positions are disjoint from prior ones by construction
-    val allPos = dvEntries(touched).map(_.unionByName(newPos)).getOrElse(newPos)
+    val allPos = dvEntries(s, touched).map(_.unionByName(newPos)).getOrElse(newPos)
     val dvPathOf = writeDvStore(s.metaData, allPos, touched)
     val deleted = perFileNew.values.sum
     val reAdds = touched.map(f => Actions.untagReAdd(f).copy(
@@ -2799,7 +2817,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         .get("deletionVectors.maxTombstones").map(_.toLong).getOrElse(4L * 1000 * 1000)
       if (perFile.values.sum + touched.map(_.dvCount).sum <= maxTombstones) {
         val tombstones = affected.select(col("__fname"), col("__pos"))
-        val allPos = dvEntries(touched).map(_.unionByName(tombstones)).getOrElse(tombstones)
+        val allPos = dvEntries(s, touched).map(_.unionByName(tombstones)).getOrElse(tombstones)
         val dvPathOf = writeDvStore(s.metaData, allPos, touched)
         // post-images all carry their materialized id — no base allocation
         val adds = writeDataMapped(enforceConstraints(
@@ -3184,7 +3202,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         if (perFile.values.sum + touched.map(_.dvCount).sum > maxTombstones) false
         else {
           val tombstones = affected.select(col("__fname"), col("__pos"))
-          val allPos = dvEntries(touched).map(_.unionByName(tombstones)).getOrElse(tombstones)
+          val allPos = dvEntries(s, touched).map(_.unionByName(tombstones)).getOrElse(tombstones)
           val dvPathOf = writeDvStore(s.metaData, allPos, touched)
           val replacement = postImage(affected.filter(
             if (deleteIds.isEmpty) lit(true) else !col("__action").isin(deleteIds: _*)))

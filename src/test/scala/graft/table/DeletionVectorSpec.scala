@@ -412,5 +412,24 @@ class DeletionVectorSpec extends SparkTestBase {
       if (th == null) Nil else Option(th.getMessage).toSeq ++ msgs(th.getCause)
     assert(msgs(e2).exists(_.contains("cannot be attributed")),
       s"V2 path must refuse like the batch path: ${msgs(e2).mkString(" | ")}")
+
+    // PRUNED scans reach the same verdict (round 16): the ambiguity set
+    // derives from ALL live files sharing the sidecar, never the scanned
+    // subset — partition-pruning one (sidecar, basename) twin away must
+    // not let the pruned twin's legacy entry silently tombstone rows of
+    // the surviving file (previously scan(p === "b1") returned the wrong
+    // row set instead of refusing)
+    val e3 = intercept[GraftProtocolException](
+      GraftTable.forPath(spark, c.path).scan(col("p") === "b1").collect())
+    assert(e3.getMessage.contains("cannot be attributed"), s"got $e3")
+    // a pruned scan of a DV-FREE twin stays readable: no entry of the
+    // shared sidecar can apply to it, so there is nothing to refuse
+    assert(ids(GraftTable.forPath(spark, c.path).scan(col("p") === "b3")) ===
+      Set(3))
+    // the V2 (catalog) path prunes through its own planner — same verdict
+    val e4 = intercept[Exception](
+      spark.sql("SELECT * FROM dvamb.default.t WHERE p = 'b1'").collect())
+    assert(msgs(e4).exists(_.contains("cannot be attributed")),
+      s"pruned V2 scan must refuse like the batch path: ${msgs(e4).mkString(" | ")}")
   }
 }
