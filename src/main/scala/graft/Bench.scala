@@ -68,6 +68,16 @@ object Bench {
     // a second lap would measure a pre-built scenario, dropping the DML
     // work the query exists to measure.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    // Dispersion accounting (VERDICT r15 watch item 2): this host's
+    // ambient load swings totals ±35%, which swallows any real ≤30%
+    // per-query regression if only a point estimate is recorded. The
+    // artifact therefore persists EVERY rep (min AND max recoverable) and
+    // the 1-minute load average at start/end, so a cross-round consumer
+    // can reject noise without re-running.
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadStart = loadAvg()
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 } catch {
@@ -103,7 +113,10 @@ object Bench {
       "q139_stream_incremental_dedup", "q140_stream_sink_tumbling")
     val streamingS = results.collect { case (k, v) if v >= 0 && streaming(k) => v }.sum
     val batchS = total - streamingS
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"batch_s":$batchS,"streaming_fixed_s":$streamingS,"queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    val sampleJson = ordered.map { case (k, _) =>
+      "\"" + k + "\":[" + samples(k).reverse.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"batch_s":$batchS,"streaming_fixed_s":$streamingS,"loadavg_start":$loadStart,"loadavg_end":${loadAvg()},"queries":$qs,"samples":$sampleJson,"errors":$errors,"sf":"$sfDir"}"""
     println(fullLine)
     // The harness stores only a bounded TAIL of stdout, which truncates
     // the per-query map above — persist the COMPLETE line to a file so

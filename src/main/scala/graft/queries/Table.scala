@@ -1968,6 +1968,62 @@ object TableQueries {
         |  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,9))) AS DOUBLE), 3) AS sum_value
         |FROM events WHERE ts >= TIMESTAMP '2024-01-22 00:00:00'
         |GROUP BY d ORDER BY d""".stripMargin),
+
+    // ---- Adopt an ID-mode column-mapped delta table (round 16) -------------------
+    // The delta-spark 3.x / UniForm / Iceberg-converted default: columns
+    // resolve by parquet FIELD ID, and until this round every such table
+    // routed through the 100-TB import_delta copy. The fixture adopts a
+    // foreign id-mode table whose physicalNames are decoys, RENAMEs a
+    // column (id-mode schema evolution), runs CoW DELETE + APPEND —
+    // every graft-written file must carry the mapping's field ids under
+    // the decoy physical names (REQUIREd off the parquet footers), the
+    // continued metaData must keep the standard id-mode spelling, and an
+    // independent jackson-only replay must equal graft's live set. The
+    // oracle equality is the id-binding proof: a name-resolving reader
+    // could never produce these rows from decoy-named files.
+    "q199_adopt_idmap" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = idMappedAdoptedTable(s, dir)
+        t.toDF.groupBy($"region")
+          .agg(count(lit(1)).as("n"),
+               sum($"n_nationkey".cast("long")).as("sum_key"))
+          .orderBy($"region")
+      },
+      """WITH live AS (
+        |  SELECT n_nationkey, n_regionkey AS region FROM nation WHERE n_nationkey % 2 = 0
+        |  UNION ALL
+        |  SELECT n_nationkey + 4000, n_regionkey FROM nation WHERE n_regionkey = 3
+        |)
+        |SELECT region, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+        |FROM live GROUP BY region ORDER BY region""".stripMargin),
+
+    // ---- Adopt delta-spelled identity + generated columns (round 16) -------------
+    // delta.identity.* / delta.generationExpression schema metadata
+    // translates into graft's native machinery at adoption: the engine
+    // ASSIGNS identity values above the adopted frontier and RECOMPUTES
+    // the generation expression on every post-adoption write. The fixture
+    // REQUIREs fresh ids stay unique and above the foreign high-water
+    // mark; the oracle checks the deterministic columns (the generated
+    // value is a pure function — identity values are engine-chosen and
+    // deliberately excluded).
+    "q200_adopt_identity" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = identityAdoptedTable(s, dir)
+        t.toDF.groupBy($"n_regionkey")
+          .agg(count(lit(1)).as("n"),
+               sum($"rk2".cast("long")).as("sum_rk2"))
+          .orderBy($"n_regionkey")
+      },
+      """WITH live AS (
+        |  SELECT n_regionkey FROM nation
+        |  UNION ALL
+        |  SELECT n_regionkey FROM nation WHERE n_regionkey = 1
+        |)
+        |SELECT n_regionkey, COUNT(*) AS n,
+        |  CAST(SUM(n_regionkey * 2) AS BIGINT) AS sum_rk2
+        |FROM live GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
   )
 
   /** q191's adopted table, memoized per (JVM, dir): a hand-authored
@@ -2425,6 +2481,175 @@ object TableQueries {
     * can bind the columns — the build REQUIREs a name-resolution
     * mis-bind is impossible by construction (decoy names + correct
     * values). */
+  /** q199's adopted ID-mode MAPPED table, memoized per (JVM, dir): the
+    * foreign file spells the LOGICAL column names but binds by field id
+    * (physicalNames are decoys), the shape q193 reads; this fixture goes
+    * further and takes OWNERSHIP. Adoption + RENAME + CoW DELETE +
+    * APPEND, with REQUIREs that (a) the adopting commit is
+    * metadata-only, (b) every graft-written live file spells the DECOY
+    * physical names AND carries the mapping's parquet field ids in its
+    * footer (an id-resolving delta reader binds them natively — the
+    * refusal this round lifted), (c) the continued metaData keeps the
+    * standard delta id-mode spelling, and (d) an independent
+    * jackson-only replay equals graft's live set. */
+  private def idMappedAdoptedTable(s: SparkSession, dir: String): GraftTable =
+    cache.computeIfAbsent(s"idMappedAdopt:$dir", _ => {
+      import s.implicits._
+      import java.nio.file.{Files, Paths}
+      import org.apache.spark.sql.types.{MetadataBuilder, StructType}
+      val root = graft.Scratch.dir("graft-delta-idmap-adopt-").toString
+      val nation = graft.Tables.nation(s, dir)
+      // the FILE: logical names + field ids (Spark stamps ids on write)
+      val withIds = StructType(nation.schema.fields.zipWithIndex.map { case (f, i) =>
+        f.copy(metadata = new MetadataBuilder()
+          .putLong("parquet.field.id", i + 1L).build())
+      })
+      s.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      val stage = Files.createTempDirectory("graft-idmap-adopt-stage-")
+      s.createDataFrame(nation.rdd, withIds)
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val rel = "part-00000-idadopt-c000.snappy.parquet"
+      val target = Paths.get(root, rel)
+      Files.createDirectories(target.getParent)
+      Files.move(Paths.get(part), target)
+      // the LOG: logical names + decoy physicalNames + the binding ids
+      val mapped = StructType(nation.schema.fields.zipWithIndex.map { case (f, i) =>
+        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putLong("delta.columnMapping.id", i + 1L)
+          .putString("delta.columnMapping.physicalName", s"col-decoy$i").build())
+      })
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val logDir = Paths.get(root, "_delta_log")
+      Files.createDirectories(logDir)
+      Files.write(logDir.resolve(f"${0L}%020d.json"), Seq(
+        """{"commitInfo":{"timestamp":1619112345000,"operation":"WRITE"}}""",
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"8e2a4b6c-delta-idmap-adopt","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(mapped.json)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"${nation.schema.size}"},"createdTime":1619112344000}}""",
+        s"""{"add":{"path":"$rel","partitionValues":{},"size":${Files.size(target)},"modificationTime":${Files.getLastModifiedTime(target).toMillis},"dataChange":true,"stats":"{\\"numRecords\\":${nation.count()},\\"minValues\\":{},\\"maxValues\\":{},\\"nullCount\\":{}}"}}"""
+      ).mkString("", "\n", "\n").getBytes("UTF-8"))
+      val t = GraftTable.adoptDelta(s, root)
+      val adoptLines = Files.readAllLines(logDir.resolve(f"${1L}%020d.json"))
+      require(adoptLines.stream().noneMatch(_.contains("\"add\"")),
+        "the adopting commit must be metadata-only")
+      // id-mode schema evolution, then DML over the adopted files
+      t.renameColumn("n_regionkey", "region")
+      t.delete($"n_nationkey" % 2 === 1)
+      t.append(nation.filter($"n_regionkey" === 3)
+        .withColumn("n_nationkey", $"n_nationkey" + 4000)
+        .withColumnRenamed("n_regionkey", "region"))
+      // every live file is now graft-written (the CoW delete rewrote the
+      // foreign file): footers must spell the DECOY physical names and
+      // carry the mapping's field ids — the contract an id-resolving
+      // delta reader binds new files through
+      t.snapshot.files.foreach { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(Paths.get(root, f.path).toString),
+          new org.apache.hadoop.conf.Configuration())
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val fields = rd.getFooter.getFileMetaData.getSchema.getFields
+          import scala.jdk.CollectionConverters._
+          val byName = fields.asScala.map(fl => fl.getName ->
+            Option(fl.getId).map(_.intValue)).toMap
+          val decoys = nation.schema.indices.map(i => s"col-decoy$i").toSet
+          require(byName.keySet == decoys,
+            s"graft-written id-mode files must spell the decoy physical " +
+              s"names, got ${byName.keySet} in ${f.path}")
+          nation.schema.indices.foreach(i =>
+            require(byName(s"col-decoy$i").contains(i + 1),
+              s"field col-decoy$i of ${f.path} must carry parquet field id " +
+                s"${i + 1}, got ${byName(s"col-decoy$i")}"))
+        } finally rd.close()
+      }
+      // the continued log's latest metaData keeps the id-mode spelling
+      val metaJson = (t.latestVersion to 1L by -1L).iterator
+        .flatMap(v => Files.readAllLines(
+          logDir.resolve(f"$v%020d.json")).toArray.map(_.toString))
+        .find(_.contains("\"metaData\"")).get
+      val mNode = mapper.readTree(metaJson).get("metaData")
+      require(mNode.get("configuration").get("delta.columnMapping.mode")
+          .asText() == "id", "continued metaData must declare id mode")
+      val emitted = org.apache.spark.sql.types.DataType
+        .fromJson(mNode.get("schemaString").asText())
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val reg = emitted.fields.find(_.name == "region").get
+      require(reg.metadata.getString("delta.columnMapping.physicalName") == "col-decoy2" &&
+          reg.metadata.getLong("delta.columnMapping.id") == 3L,
+        "the renamed column must keep its foreign physical name and id")
+      // independent delta replay equality over the continued log
+      val live = deltaReplayLive(logDir)
+      require(live == t.snapshot.files.map(_.path).toSet,
+        "independent delta replay must equal graft's live set")
+      // fresh fold end-to-end: a new handle re-reads everything by id
+      require(GraftTable.forPath(s, root).toDF.count() == t.toDF.count(),
+        "a fresh fold must re-bind every file by field id")
+      t
+    })
+
+  /** q200's adopted IDENTITY + GENERATED table, memoized per (JVM, dir):
+    * a foreign log whose schema spells delta.identity.* (start 1, step 1,
+    * highWaterMark = row count) on `rid` and delta.generationExpression
+    * (`n_regionkey * 2`) on `rk2`, gated at writer 7. Adoption translates
+    * both into graft's native machinery; the build REQUIREs fresh ids
+    * stay unique and above the adopted frontier and the generation rule
+    * recomputes on the post-adoption append. */
+  private def identityAdoptedTable(s: SparkSession, dir: String): GraftTable =
+    cache.computeIfAbsent(s"identityAdopt:$dir", _ => {
+      import s.implicits._
+      import java.nio.file.{Files, Paths}
+      import org.apache.spark.sql.types._
+      val root = graft.Scratch.dir("graft-delta-idgen-adopt-").toString
+      val nation = graft.Tables.nation(s, dir)
+      val nRows = nation.count()
+      val seed = nation
+        .withColumn("rid", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy($"n_nationkey")).cast("long"))
+        .withColumn("rk2", ($"n_regionkey" * 2).cast("long"))
+      val stage = Files.createTempDirectory("graft-idgen-stage-")
+      seed.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val rel = "part-00000-idgen-c000.snappy.parquet"
+      val target = Paths.get(root, rel)
+      Files.createDirectories(target.getParent)
+      Files.move(Paths.get(part), target)
+      val foreignSchema = StructType(
+        nation.schema.fields.toSeq ++ Seq(
+          StructField("rid", LongType, nullable = true,
+            metadata = new MetadataBuilder()
+              .putLong("delta.identity.start", 1L)
+              .putLong("delta.identity.step", 1L)
+              .putLong("delta.identity.highWaterMark", nRows)
+              .putBoolean("delta.identity.allowExplicitInsert", false).build()),
+          StructField("rk2", LongType, nullable = true,
+            metadata = new MetadataBuilder()
+              .putString("delta.generationExpression", "n_regionkey * 2").build())))
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val logDir = Paths.get(root, "_delta_log")
+      Files.createDirectories(logDir)
+      Files.write(logDir.resolve(f"${0L}%020d.json"), Seq(
+        """{"commitInfo":{"timestamp":1619112345000,"operation":"WRITE"}}""",
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["identityColumns","generatedColumns","invariants"]}}""",
+        s"""{"metaData":{"id":"9c3d5e7f-delta-idgen-adopt","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(foreignSchema.json)},"partitionColumns":[],"configuration":{},"createdTime":1619112344000}}""",
+        s"""{"add":{"path":"$rel","partitionValues":{},"size":${Files.size(target)},"modificationTime":${Files.getLastModifiedTime(target).toMillis},"dataChange":true,"stats":"{\\"numRecords\\":$nRows,\\"minValues\\":{},\\"maxValues\\":{},\\"nullCount\\":{}}"}}"""
+      ).mkString("", "\n", "\n").getBytes("UTF-8"))
+      val t = GraftTable.adoptDelta(s, root)
+      // post-adoption INSERT: ids engine-assigned, generation recomputed
+      t.append(nation.filter($"n_regionkey" === 1))
+      val got = t.toDF.select($"rid", $"rk2", $"n_regionkey").collect()
+      require(got.map(_.getLong(0)).distinct.length == got.length,
+        "identity values must stay unique across the adoption boundary")
+      require(got.forall(r =>
+          r.getLong(1) == java.lang.Long.parseLong(r.get(2).toString) * 2L),
+        "the generation rule must recompute on post-adoption writes")
+      val freshMin = got.map(_.getLong(0)).sorted.drop(nRows.toInt).headOption
+      require(freshMin.forall(_ > nRows),
+        s"fresh ids must exceed the adopted frontier $nRows")
+      t
+    })
+
   private def deltaIdMappedTable(s: SparkSession, dir: String): GraftTable =
     cache.computeIfAbsent(s"deltaIdMapped:$dir", _ => {
       import java.nio.file.{Files, Paths}

@@ -205,9 +205,11 @@ class GraftParquetDataWriter(tablePath: String, schema: StructType,
     extends DataWriter[InternalRow] {
 
   private val dataFields = schema.fields.filterNot(f => partitionCols.contains(f.name))
-  /** Files spell columns by their PHYSICAL names under column mapping. */
+  /** Files spell columns by their PHYSICAL names under column mapping,
+    * with the mapping's parquet field ids attached (write-side schema:
+    * id-mode readers bind new files through the ids). */
   private val dataSchema =
-    graft.table.ColumnMapping.physicalSchema(StructType(dataFields))
+    graft.table.ColumnMapping.physicalWriteSchema(StructType(dataFields))
   private val partIdx = partitionCols.map(c => c -> schema.fieldIndex(c)).toMap
   private def physPart(c: String): String =
     graft.table.ColumnMapping.physicalOf(schema, c)
@@ -262,7 +264,11 @@ class GraftParquetDataWriter(tablePath: String, schema: StructType,
     conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
     conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key, "CORRECTED")
     conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key, "CORRECTED")
-    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "false")
+    // stamp parquet field ids exactly when the write schema carries them
+    // (mapped tables — the delta columnMapping contract); id-less schemas
+    // keep the converter id-free either way
+    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
+      graft.table.ColumnMapping.hasFieldIds(dataSchema).toString)
     conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key, "false")
     conf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, "UTC")
     conf

@@ -51,7 +51,13 @@ final case class AddFile(
     /** Free-form file tags (Delta's AddFile.tags). `clustered` records the
       * clustering spec the file was written under — incremental OPTIMIZE
       * skips files whose tag matches the table's current clustering. */
-    tags: Map[String, String] = Map.empty) extends Action {
+    tags: Map[String, String] = Map.empty,
+    /** Delta rowTracking's per-file commit version (the commit whose rows
+      * this file introduced, for row LINEAGE — row IDs need only
+      * baseRowId). Stamped at the commit chokepoint when row tracking is
+      * on; preserved verbatim on re-adds and through checkpoints; folds
+      * in from foreign delta logs. */
+    defaultRowCommitVersion: Option[Long] = None) extends Action {
   /** Rows served by this file = physical rows minus deletion-vector
     * tombstones (`numRecords` stays the parquet footer count — min/max
     * stats remain sound over-approximations under a DV). */
@@ -135,7 +141,13 @@ object Protocol {
       // delta names for capabilities graft natively enforces — this build
       // is exactly the writer those names demand
       "graft.generatedColumns", "graft.identityColumns", "graft.rowTracking",
-      "graft.bucketing", "invariants", "checkConstraints")
+      "graft.bucketing", "invariants", "checkConstraints",
+      // round 16: rowTracking's standard spelling needs domainMetadata
+      // (the hwm domain, re-derived from the metaData properties on every
+      // compat emit); clustering adopts by folding the delta.clustering
+      // domain onto graft's own clustering.columns at adoption; ICT is
+      // graft's already-monotone commit clock under its delta spelling
+      "domainMetadata", "clustering", "inCommitTimestamp")
 }
 
 /** Named protocol-gate failure: the table requires a capability this
@@ -257,22 +269,24 @@ object Actions {
         partCols.foreach(arr.add)
         putMap(n, "constraints", constraints)
         if (properties.nonEmpty) putMap(n, "properties", properties)
-      case AddFile(path, size, mtime, rows, mins, maxs, partVals, dvPath, dvCount, baseRowId, nullCounts, tags) =>
+      case f: AddFile =>
         val n = root.putObject("add")
-        n.put("path", path); n.put("size", size); n.put("modificationTime", mtime)
-        n.put("numRecords", rows)
-        putMap(n, "minValues", mins); putMap(n, "maxValues", maxs)
-        putMap(n, "partitionValues", partVals)
-        if (tags.nonEmpty) putMap(n, "tags", tags)
-        if (nullCounts.nonEmpty) {
+        n.put("path", f.path); n.put("size", f.size)
+        n.put("modificationTime", f.modificationTime)
+        n.put("numRecords", f.numRecords)
+        putMap(n, "minValues", f.minValues); putMap(n, "maxValues", f.maxValues)
+        putMap(n, "partitionValues", f.partitionValues)
+        if (f.tags.nonEmpty) putMap(n, "tags", f.tags)
+        if (f.nullCounts.nonEmpty) {
           val nc = n.putObject("nullCounts")
-          nullCounts.toSeq.sortBy(_._1).foreach { case (k, v) => nc.put(k, v) }
+          f.nullCounts.toSeq.sortBy(_._1).foreach { case (k, v) => nc.put(k, v) }
         }
-        dvPath.foreach { p =>
+        f.dvPath.foreach { p =>
           val dv = n.putObject("deletionVector")
-          dv.put("path", p); dv.put("cardinality", dvCount)
+          dv.put("path", p); dv.put("cardinality", f.dvCount)
         }
-        baseRowId.foreach(b => n.put("baseRowId", b))
+        f.baseRowId.foreach(b => n.put("baseRowId", b))
+        f.defaultRowCommitVersion.foreach(v => n.put("defaultRowCommitVersion", v))
       case RemoveFile(path, ts, dc) =>
         val n = root.putObject("remove")
         n.put("path", path); n.put("deletionTimestamp", ts)
@@ -392,7 +406,8 @@ object Actions {
       dvPath, dvCount, Option(n.get("baseRowId")).map(_.asLong()),
       nulls.flatMap { case (k, v) =>
         scala.util.Try(v.toLong).toOption.map(k -> _) }.toMap,
-      tags)
+      tags,
+      Option(n.get("defaultRowCommitVersion")).map(_.asLong()))
   }
 
   def fromJson(line: String): Action = {
@@ -427,7 +442,11 @@ object Actions {
               // (delta.columnMapping.maxColumnId is NOT filtered: graft
               // stores it under the delta key natively, one source of
               // truth for both engines)
-              k == "delta.columnMapping.mode" }
+              k == "delta.columnMapping.mode" ||
+              // derived mirrors of graft's rowTracking.enabled (the
+              // materialized column name is the constant _row_id)
+              k == "delta.enableRowTracking" ||
+              k == "delta.rowTracking.materializedRowIdColumnName" }
           MetaData(n.get("id").asText(), n.get("schemaString").asText(),
             Option(n.get("createdTime")).map(_.asLong()).getOrElse(0L), partCols,
             chk.map { case (k, v) => k.stripPrefix("constraint.") -> v }, plain)
@@ -471,7 +490,8 @@ object Actions {
         n.get("modificationTime").asLong(), n.get("numRecords").asLong(),
         strMap(n, "minValues"), strMap(n, "maxValues"), strMap(n, "partitionValues"),
         dvPath, dvCount, Option(n.get("baseRowId")).map(_.asLong()), nullCounts,
-        strMap(n, "tags"))
+        strMap(n, "tags"),
+        Option(n.get("defaultRowCommitVersion")).map(_.asLong()))
     } else if (root.has("remove")) {
       val n = root.get("remove")
       // Delta removes URI-encode the path like adds, and may omit the
@@ -526,7 +546,12 @@ object Actions {
       // engine's {"commitInfo":{"operation":"WRITE"}} must degrade like
       // the version/operation fields do, never NPE the whole version
       CommitInfo(Option(n.get("version")).map(_.asLong()).getOrElse(-1L),
-        Option(n.get("timestamp")).map(_.asLong()).getOrElse(0L),
+        // inCommitTimestamp (delta 4.x ICT) is AUTHORITATIVE when present
+        // — the legacy timestamp field is file-modification-time-based
+        // and the spec directs readers to prefer ICT; history() and
+        // timestampAsOf then see the monotone clock both engines share
+        Option(n.get("inCommitTimestamp")).map(_.asLong())
+          .orElse(Option(n.get("timestamp")).map(_.asLong())).getOrElse(0L),
         Option(n.get("operation")).map(_.asText()).getOrElse("UNKNOWN"),
         strMap(n, "operationMetrics"))
     } else if (root.has("domainMetadata")) {

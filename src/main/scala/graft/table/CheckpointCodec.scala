@@ -46,7 +46,8 @@ object CheckpointCodec {
       optStr("metaId"), optStr("schemaString"), optLong("createdTime"),
       optStr("partitionColumns"), optStr("constraints"), optStr("properties"),
       optStr("txnAppId"), optLong("txnVersion"), optStr("protocolJson"),
-      optLong("baseRowId"), optStr("nullCounts"), optStr("tags"))
+      optLong("baseRowId"), optStr("nullCounts"), optStr("tags"),
+      optLong("defaultRowCommitVersion"))
   }
 
   private def jsonMap(m: Map[String, String]): String = {
@@ -184,6 +185,7 @@ object CheckpointCodec {
         if (f.nullCounts.nonEmpty)
           g.add("nullCounts", jsonMap(f.nullCounts.map { case (k, v) => k -> v.toString }))
         if (f.tags.nonEmpty) g.add("tags", jsonMap(f.tags))
+        f.defaultRowCommitVersion.foreach(v => g.add("defaultRowCommitVersion", v))
         w.write(g)
       }
     } finally w.close()
@@ -204,7 +206,8 @@ object CheckpointCodec {
       StructField("constraints", StringType), StructField("properties", StringType),
       StructField("txnAppId", StringType), StructField("txnVersion", LongType),
       StructField("protocolJson", StringType), StructField("baseRowId", LongType),
-      StructField("nullCounts", StringType), StructField("tags", StringType)))
+      StructField("nullCounts", StringType), StructField("tags", StringType),
+      StructField("defaultRowCommitVersion", LongType)))
   }
 
   /** Read a parquet checkpoint back to the folded snapshot at `version`.
@@ -288,7 +291,9 @@ object CheckpointCodec {
               if (batch.column(19).isNullAt(r)) None else Some(batch.column(19).getLong(r)),
               if (batch.column(20).isNullAt(r)) Map.empty
               else readMap(str(20, r)).map { case (k, v) => k -> v.toLong },
-              if (batch.column(21).isNullAt(r)) Map.empty else readMap(str(21, r)))
+              if (batch.column(21).isNullAt(r)) Map.empty else readMap(str(21, r)),
+              if (batch.numCols() <= 22 || batch.column(22).isNullAt(r)) None
+              else Some(batch.column(22).getLong(r)))
             case "meta" => meta = Some(MetaData(
               str(10, r), str(11, r), lng(12, r),
               readSeq(str(13, r)), readMap(str(14, r)), readMap(str(15, r))))

@@ -123,6 +123,61 @@ object ColumnMapping {
       new MetadataBuilder().putLong(FieldIdKey, md.getLong(FieldIdKey)).build()
     else Metadata.empty
 
+  /** WRITE-side field-id metadata: the parquet field id Spark's writer
+    * should stamp into new files — Spark's own key when present (adopted
+    * foreign id-mode schemas, translated at fold time), else delta's
+    * mapping id (graft-native mapped schemas, stamped by
+    * DeltaWriteCompat.withFieldIds at the commit chokepoint). Distinct
+    * from [[fieldIdOnly]] on purpose: READ schemas must carry ids only
+    * when the table's files actually resolve by id (flipping resolution
+    * on for a name-mode table whose old files predate ids would refuse
+    * them), while WRITE schemas stamp ids whenever the mapping declares
+    * them — the delta columnMapping spec requires field ids in every
+    * file a mapped table writes, and id-mode READERS can only bind
+    * graft-written files through them. */
+  private def writeFieldId(md: Metadata): Option[Long] =
+    if (md.contains(FieldIdKey)) Some(md.getLong(FieldIdKey))
+    else if (md.contains(DeltaIdKey)) Some(md.getLong(DeltaIdKey))
+    else None
+
+  private def writeIdMetadata(md: Metadata): Metadata =
+    writeFieldId(md).map(id =>
+      new MetadataBuilder().putLong(FieldIdKey, id).build())
+      .getOrElse(Metadata.empty)
+
+  /** Any field (nested included) carrying a write-side id source. */
+  def hasWriteIds(schema: StructType): Boolean = {
+    def inType(dt: DataType): Boolean = dt match {
+      case s: StructType => s.fields.exists(f =>
+        writeFieldId(f.metadata).isDefined || inType(f.dataType))
+      case a: ArrayType => inType(a.elementType)
+      case m: MapType => inType(m.keyType) || inType(m.valueType)
+      case _ => false
+    }
+    inType(schema)
+  }
+
+  /** `dt` with every nested field under its PHYSICAL name and the
+    * write-side parquet field id attached — the schema new data files
+    * are written with under column mapping. */
+  def physicalWriteType(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(name = physicalName(f), dataType = physicalWriteType(f.dataType),
+        metadata = writeIdMetadata(f.metadata))))
+    case a: ArrayType => a.copy(elementType = physicalWriteType(a.elementType))
+    case m: MapType => m.copy(keyType = physicalWriteType(m.keyType),
+      valueType = physicalWriteType(m.valueType))
+    case other => other
+  }
+
+  /** The WRITE twin of [[physicalSchema]]: physical names + write-side
+    * field ids (see [[writeIdMetadata]]). */
+  def physicalWriteSchema(schema: StructType): StructType =
+    StructType(schema.fields.map(f =>
+      f.copy(name = physicalName(f),
+        dataType = physicalWriteType(f.dataType),
+        metadata = writeIdMetadata(f.metadata))))
+
   /** `dt` with every nested field under its PHYSICAL name, metadata
     * stripped down to the parquet field id (if any) — the spelling the
     * parquet files use, plus the id Spark's readers resolve by. */
@@ -176,6 +231,17 @@ object ColumnMapping {
     val c = col(f.name)
     if (nestedActive(f.dataType)) c.cast(physicalType(f.dataType)).as(physicalName(f))
     else c.as(physicalName(f))
+  }
+
+  /** [[physicalColumn]] with write-side field ids attached: the alias
+    * carries `parquet.field.id` metadata (Spark's parquet writer stamps
+    * ids from it — PARQUET_FIELD_ID_WRITE_ENABLED defaults on) and
+    * nested fields ride a cast whose TARGET type spells the ids. */
+  def physicalWriteColumn(f: StructField): Column = {
+    val c = col(f.name)
+    val target = physicalWriteType(f.dataType)
+    val base = if (target != f.dataType) c.cast(target) else c
+    base.as(physicalName(f), writeIdMetadata(f.metadata))
   }
 
   /** `schema` with every mapping-related metadata key removed,

@@ -115,6 +115,26 @@ object DataSkipping {
     }
   }
 
+  /** ISO-8601 timestamp stat → comparable micros: zoned forms normalize
+    * to UTC micros (TimestampType's comparison unit), zoneless forms to
+    * local micros (NTZ's). Delta serializes timestamp stats as ISO
+    * strings — both in REAL delta logs (read interop: without this,
+    * time-range predicates never prune a foreign table) and, since round
+    * 16, in graft's own compat emissions. */
+  private def isoMicros(s: String): BigDecimal = {
+    val t = s.replace(' ', 'T')
+    val micros =
+      try {
+        val odt = java.time.OffsetDateTime.parse(t)
+        odt.toInstant.getEpochSecond * 1000000L + odt.getNano / 1000L
+      } catch { case _: java.time.format.DateTimeParseException =>
+        val ldt = java.time.LocalDateTime.parse(t)
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          ldt.getNano / 1000L
+      }
+    BigDecimal(micros)
+  }
+
   private def conjunctMayMatch(c: Expression, f: AddFile): Boolean = {
     def bounds(name: String, asString: Boolean): Option[(Ord, Ord)] =
       for {
@@ -122,6 +142,8 @@ object DataSkipping {
         hi <- f.maxValues.get(name)
         b <- if (asString) Some((Right(lo): Ord, Right(hi): Ord))
              else scala.util.Try((Left(BigDecimal(lo)): Ord, Left(BigDecimal(hi)): Ord)).toOption
+               .orElse(scala.util.Try(
+                 (Left(isoMicros(lo)): Ord, Left(isoMicros(hi)): Ord)).toOption)
       } yield b
 
     def cmp(a: Ord, b: Ord): Option[Int] = (a, b) match {

@@ -35,24 +35,31 @@ import org.apache.spark.sql.types._
   * delta readers apply the same tombstones graft does. CDF on
   * UNPARTITIONED tables stays available too — graft's `_cdc/` sidecars
   * are delta's AddCDCFile layout, emitted as delta `cdc` actions with
-  * the `delta.enableChangeDataFeed` mirror. Generated/identity columns,
-  * row tracking and constraints are reader-safe (materialized values /
-  * ignorable fields) and stay allowed — but the emitted PROTOCOL must not
-  * invite a foreign WRITER to break invariants it cannot see (graft's
-  * generation expressions, identity frontiers and row-id stamps live
-  * under engine-private keys): [[compatProtocol]] declares them as
-  * protocol-v7 writer features under graft-private names no foreign
-  * engine claims, so foreign writers refuse to commit while readers
-  * (gated by minReaderVersion alone) are untouched. CHECK constraints ARE
-  * expressible to foreign writers — they emit as `delta.constraints.*`
-  * configuration under writer version 3 (the standard gate), alongside
-  * the `constraint.*` entries graft folds back natively; `appendOnly`
-  * likewise mirrors to `delta.appendOnly`.
+  * the `delta.enableChangeDataFeed` mirror. Generated/identity columns
+  * and constraints are reader-safe (materialized values / ignorable
+  * fields) and stay allowed — but the emitted PROTOCOL must not invite a
+  * foreign WRITER to break invariants it cannot see (graft's generation
+  * expressions and identity frontiers live under engine-private keys):
+  * [[compatProtocol]] declares them as protocol-v7 writer features under
+  * graft-private names no foreign engine claims, so foreign writers
+  * refuse to commit while readers (gated by minReaderVersion alone) are
+  * untouched. Row tracking emits the STANDARD delta spelling since round
+  * 16 (rowTracking + domainMetadata features, baseRowId/
+  * defaultRowCommitVersion on adds, the hwm as a delta.rowTracking
+  * domain): graft's model matches delta's, so a rowTracking-capable
+  * foreign writer maintains the same state — and any foreign commit
+  * flips ownership anyway (re-adoption folds the domain back). CHECK
+  * constraints ARE expressible to foreign writers — they emit as
+  * `delta.constraints.*` configuration under writer version 3 (the
+  * standard gate), alongside the `constraint.*` entries graft folds back
+  * natively; `appendOnly` likewise mirrors to `delta.appendOnly`.
   *
   * Stats fidelity note: numeric/boolean stat values emit as JSON numbers/
-  * booleans (typed from the table schema); timestamp stats emit as the
-  * epoch numbers the native harvest records — a delta reader that expects
-  * ISO strings simply skips them (stats are advisory, never correctness).
+  * booleans (typed from the table schema); timestamp/NTZ stats emit as
+  * full-microsecond ISO-8601 strings (delta's spelling — a JSON number
+  * would read back as epoch SECONDS in delta's stats parser, and a millis
+  * truncation would round the max DOWN, both unsound for skipping);
+  * DataSkipping parses the ISO form back to comparison micros.
   */
 object DeltaWriteCompat {
   /** Table property switching the log to delta-1.0 action shape. */
@@ -105,16 +112,26 @@ object DeltaWriteCompat {
     meta.schemaString.contains("timestamp_ntz") &&
       anyType(parsedSchema(meta))(_ == TimestampNTZType)
 
-  private def mappingName(meta: MetaData): Boolean =
-    meta.properties.get("columnMapping.mode").exists(_.equalsIgnoreCase("name"))
+  /** Active column-mapping mode (name | id), None when unmapped. */
+  private[table] def mappingMode(meta: MetaData): Option[String] =
+    meta.properties.get("columnMapping.mode").map(_.toLowerCase)
+      .filter(m => m == "name" || m == "id")
+
+  /** Does the commit chokepoint stamp mapping ids for this metaData?
+    * The data-write paths mirror this EXACTLY (GraftTable
+    * .writeDataMappedUncapped stamps the same deterministic ids into the
+    * files it writes): ids stamped into parquet must be the ones the
+    * committed schema will carry. */
+  def stampsIds(meta: MetaData): Boolean = enabled(meta) && mappingMode(meta).isDefined
 
   def compatProtocol(p: Protocol, meta: MetaData): Protocol = {
     val priv = p.writerFeatures.collect {
-      case f @ ("generatedColumns" | "identityColumns" | "rowTracking") =>
+      case f @ ("generatedColumns" | "identityColumns") =>
         s"graft.$f"
       // a folded compat protocol already spells the private names —
-      // re-deriving must be idempotent, not drop them
-      case f if f.startsWith("graft.") => f
+      // re-deriving must be idempotent, not drop them. graft.rowTracking
+      // (pre-round-16 logs) upgrades to the STANDARD spelling below.
+      case f if f.startsWith("graft.") && f != "graft.rowTracking" => f
     } ++
       // hash bucketing is an engine-private WRITE invariant exactly like
       // generation rules: a foreign delta writer appending unbucketed
@@ -139,6 +156,25 @@ object DeltaWriteCompat {
     val cdf = meta.properties.get("changeDataFeed.enabled")
       .exists(_.equalsIgnoreCase("true"))
     val cdfFeat = if (cdf) Seq("changeDataFeed") else Nil
+    // Row tracking emits the STANDARD delta spelling since round 16:
+    // writer features rowTracking + domainMetadata, baseRowId +
+    // defaultRowCommitVersion on adds, the high-water mark as a
+    // delta.rowTracking domainMetadata action, and the materialized
+    // column named in the configuration — delta readers consume graft
+    // row ids natively, and a rowTracking-capable delta writer that
+    // commits keeps the same state (re-adoption folds its domain back).
+    val rt = meta.properties.get("rowTracking.enabled")
+      .exists(_.equalsIgnoreCase("true")) ||
+      p.writerFeatures.contains("rowTracking") ||
+      p.writerFeatures.contains("graft.rowTracking")
+    val rtFeat = if (rt) Seq("rowTracking", "domainMetadata") else Nil
+    // in-commit timestamps (delta 4.x): graft's commit timestamps are
+    // already strictly monotone, so the feature is a spelling — the
+    // commitInfo carries inCommitTimestamp and the protocol declares the
+    // writer feature. The delta key IS the graft property (one source of
+    // truth, like maxColumnId).
+    val ict = ictOn(meta) || p.writerFeatures.contains("inCommitTimestamp")
+    val ictFeat = if (ict) Seq("inCommitTimestamp") else Nil
     // Reader+writer table features beyond DVs (round 15): VARIANT columns
     // and TIMESTAMP_NTZ derive from the CURRENT schema, column mapping
     // from the mapping mode property, and the adoption-continued trio
@@ -148,20 +184,32 @@ object DeltaWriteCompat {
     val schemaFeat =
       (if (hasVariantType(meta)) Seq("variantType") else Nil) ++
         (if (hasNtzType(meta)) Seq("timestampNtz") else Nil) ++
-        (if (mappingName(meta)) Seq("columnMapping") else Nil)
+        (if (mappingMode(meta).isDefined) Seq("columnMapping") else Nil)
     val continued =
       (p.readerFeatures ++ p.writerFeatures).filter(ContinuedFeatures).distinct
     val readerFeats = (dvFeat ++ schemaFeat ++ continued).distinct.sorted
-    if (priv.nonEmpty || cdf || readerFeats.nonEmpty) {
+    if (priv.nonEmpty || cdf || rt || ict || readerFeats.nonEmpty) {
       // v7 lists EVERY active writer capability, legacy ones included
       val legacy = Seq("invariants") ++
         (if (meta.constraints.nonEmpty) Seq("checkConstraints") else Nil) ++
         (if (appendOnly) Seq("appendOnly") else Nil)
       Protocol(if (readerFeats.nonEmpty) 3 else 1, 7, readerFeats,
-        (priv ++ readerFeats ++ cdfFeat ++ legacy).distinct.sorted)
+        (priv ++ readerFeats ++ cdfFeat ++ rtFeat ++ ictFeat ++ legacy)
+          .distinct.sorted)
     } else if (meta.constraints.nonEmpty) Protocol(1, 3)
     else Protocol(1, 2)
   }
+
+  /** Is row tracking active on this metaData? (the compat emitter's and
+    * commit chokepoint's shared gate) */
+  def rowTrackingOn(meta: MetaData): Boolean =
+    meta.properties.get("rowTracking.enabled").exists(_.equalsIgnoreCase("true"))
+
+  /** Are in-commit timestamps active? The delta key is the graft property
+    * (verbatim ride-through on adoption and fold-back). */
+  def ictOn(meta: MetaData): Boolean =
+    meta.properties.get("delta.enableInCommitTimestamps")
+      .exists(_.equalsIgnoreCase("true"))
 
   /** Table state a delta-1.0 reader cannot honor; checked at every compat
     * commit (including the one that tries to ENABLE the property). */
@@ -178,14 +226,19 @@ object DeltaWriteCompat {
     // delta.columnMapping.* metadata (field ids stamped at commit via
     // withFieldIds) and both gate the emitted protocol at (3, 7) with the
     // standard feature names — delta readers that predate the features
-    // refuse loudly, exactly as the spec intends. ID-mode mapping stays
-    // refused: graft writes no parquet field ids into data files, so an
-    // id-resolving reader could never bind new files' columns.
+    // refuse loudly, exactly as the spec intends. ID-mode mapping is
+    // ALLOWED since round 16: every data-write path stamps
+    // `parquet.field.id` into new files from the same ids the committed
+    // schema carries (ColumnMapping.physicalWriteSchema), so an
+    // id-resolving reader binds graft-written files natively. Only a
+    // mode neither name nor id — a resolution rule no delta reader
+    // knows — still refuses.
     if (meta.properties.get("columnMapping.mode").exists(m =>
-        !m.equalsIgnoreCase("name") && !m.equalsIgnoreCase("none")))
+        !m.equalsIgnoreCase("name") && !m.equalsIgnoreCase("id") &&
+          !m.equalsIgnoreCase("none")))
       Some("columnMapping.mode=" +
         meta.properties("columnMapping.mode") +
-        " (only name mode has a delta spelling graft's files satisfy)")
+        " (only name and id modes have a delta spelling graft's files satisfy)")
     // deletionVectors.enabled is ALLOWED under compat since round 13:
     // merge-on-read DML writes genuine delta-format DV files and carries
     // packed descriptors (GraftTable.writeDvStore), which serialize to
@@ -312,6 +365,7 @@ object DeltaWriteCompat {
       StructField("stats", StringType),
       StructField("tags", MapType(StringType, StringType)),
       StructField("baseRowId", LongType),
+      StructField("defaultRowCommitVersion", LongType),
       StructField("deletionVector", StructType(Seq(
         StructField("storageType", StringType),
         StructField("pathOrInlineDv", StringType),
@@ -329,7 +383,13 @@ object DeltaWriteCompat {
       StructField("minReaderVersion", IntegerType),
       StructField("minWriterVersion", IntegerType),
       StructField("readerFeatures", ArrayType(StringType)),
-      StructField("writerFeatures", ArrayType(StringType)))))))
+      StructField("writerFeatures", ArrayType(StringType))))),
+    // rowTracking's high-water mark rides checkpoints as the domain
+    // action delta readers seed from (commits re-derive it per emit)
+    StructField("domainMetadata", StructType(Seq(
+      StructField("domain", StringType),
+      StructField("configuration", StringType),
+      StructField("removed", BooleanType))))))
 }
 
 /** Serializer for one table's actions in delta-1.0 shape. Stat values are
@@ -340,17 +400,35 @@ object DeltaWriteCompat {
   * reader AND reads natively in delta. */
 final class DeltaShapeWriter(meta: MetaData) {
   private val mapper = new ObjectMapper()
-  private val numericish: Set[String] = {
-    val schema =
-      try DataType.fromJson(meta.schemaString).asInstanceOf[StructType]
-      catch { case _: Exception => new StructType() }
-    schema.fields.collect {
-      case f if (f.dataType match {
-        case _: NumericType | BooleanType | DateType | TimestampType |
-             TimestampNTZType => true
-        case _ => false
-      }) => f.name
-    }.toSet
+  private val parsed: StructType = {
+    try DataType.fromJson(meta.schemaString).asInstanceOf[StructType]
+    catch { case _: Exception => new StructType() }
+  }
+  private val numericish: Set[String] = parsed.fields.collect {
+    case f if (f.dataType match {
+      case _: NumericType | BooleanType | DateType => true
+      case _ => false
+    }) => f.name
+  }.toSet
+  /** Timestamp stat columns: name → zoned? Delta serializes timestamp
+    * min/max as ISO-8601 strings (a JSON integer would read back as
+    * epoch SECONDS in delta's stats parser — million-fold-off bounds,
+    * unsound foreign skipping); graft's native micros convert on emit.
+    * Full microsecond precision — a millis truncation would round the
+    * max DOWN, which is unsound for skipping. */
+  private val tsCols: Map[String, Boolean] = parsed.fields.collect {
+    case f if f.dataType == TimestampType => f.name -> true
+    case f if f.dataType == TimestampNTZType => f.name -> false
+  }.toMap
+
+  private def isoOfMicros(micros: Long, zoned: Boolean): String = {
+    val secs = Math.floorDiv(micros, 1000000L)
+    val nanos = Math.floorMod(micros, 1000000L) * 1000L
+    val ldt = java.time.LocalDateTime.ofEpochSecond(secs, nanos.toInt,
+      java.time.ZoneOffset.UTC)
+    val base = ldt.format(java.time.format.DateTimeFormatter
+      .ofPattern("uuuu-MM-dd'T'HH:mm:ss.SSSSSS"))
+    if (zoned) base + "Z" else base
   }
   private val sentinel =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME
@@ -360,7 +438,12 @@ final class DeltaShapeWriter(meta: MetaData) {
     catch { case _: java.net.URISyntaxException => p }
 
   private def statVal(node: ObjectNode, k: String, v: String): Unit =
-    if (numericish(k))
+    if (tsCols.contains(k))
+      // native micros → delta's ISO-8601 spelling; an already-ISO value
+      // (a file adopted from a foreign log) rides through verbatim
+      try node.put(k, isoOfMicros(v.toLong, tsCols(k)))
+      catch { case _: NumberFormatException => node.put(k, v) }
+    else if (numericish(k))
       try node.put(k, new java.math.BigDecimal(v))
       catch { case _: NumberFormatException =>
         if (v == "true" || v == "false") node.put(k, v.toBoolean)
@@ -376,17 +459,16 @@ final class DeltaShapeWriter(meta: MetaData) {
         val n = root.putObject("metaData")
         n.put("id", m.id)
         n.putObject("format").put("provider", "parquet").putObject("options")
-        val mapped = m.properties.get("columnMapping.mode")
-          .exists(_.equalsIgnoreCase("name"))
+        val mapMode = DeltaWriteCompat.mappingMode(m)
         n.put("schemaString",
-          if (mapped) DeltaWriteCompat.deltaMappedSchemaString(m)
+          if (mapMode.isDefined) DeltaWriteCompat.deltaMappedSchemaString(m)
           else m.schemaString)
         val pc = n.putArray("partitionColumns"); m.partitionColumns.foreach(pc.add)
         val conf = n.putObject("configuration")
         m.properties.foreach { case (k, v) => conf.put(k, v) }
         // the standard delta key (derived mirror of graft's
         // columnMapping.mode property; fold-back filters it)
-        if (mapped) conf.put("delta.columnMapping.mode", "name")
+        mapMode.foreach(conf.put("delta.columnMapping.mode", _))
         m.constraints.foreach { case (k, v) =>
           conf.put(s"constraint.$k", v)
           // the standard key real Delta writers (≥ writer 3) ENFORCE —
@@ -398,6 +480,15 @@ final class DeltaShapeWriter(meta: MetaData) {
           conf.put("delta.appendOnly", "true")
         if (m.properties.get("changeDataFeed.enabled").exists(_.equalsIgnoreCase("true")))
           conf.put("delta.enableChangeDataFeed", "true")
+        if (DeltaWriteCompat.rowTrackingOn(m)) {
+          // the standard delta keys (derived mirrors of graft's
+          // rowTracking.enabled; fold-back filters them): row ids are
+          // delivered to delta readers as baseRowId + the materialized
+          // `_row_id` column graft stamps into rewritten files
+          conf.put("delta.enableRowTracking", "true")
+          conf.put("delta.rowTracking.materializedRowIdColumnName",
+            GraftTable.RowIdCol)
+        }
         conf.put(DeltaWriteCompat.WriterMarker, "true")
         n.put("createdTime", m.createdTime)
       case f: AddFile =>
@@ -429,6 +520,7 @@ final class DeltaShapeWriter(meta: MetaData) {
           emitTags.foreach { case (k, v) => tg.put(k, v) }
         }
         f.baseRowId.foreach(b => n.put("baseRowId", b))
+        f.defaultRowCommitVersion.foreach(v => n.put("defaultRowCommitVersion", v))
         f.dvPath.foreach { p =>
           // merge-on-read DVs under compat are packed delta descriptors
           // (GraftTable.writeDvStore) — unpack into the descriptor JSON
@@ -472,6 +564,9 @@ final class DeltaShapeWriter(meta: MetaData) {
         // readVersion patches it back); engineInfo is the ownership marker
         val n = root.putObject("commitInfo")
         n.put("timestamp", c.timestamp)
+        // under ICT the same monotone clock is ALSO spelled as the
+        // authoritative inCommitTimestamp field delta 4.x readers use
+        if (DeltaWriteCompat.ictOn(meta)) n.put("inCommitTimestamp", c.timestamp)
         n.put("operation", c.operation)
         val om = n.putObject("operationMetrics")
         c.operationMetrics.foreach { case (k, v) => om.put(k, v) }
@@ -499,4 +594,27 @@ final class DeltaShapeWriter(meta: MetaData) {
     }
     mapper.writeValueAsString(root)
   }
+
+}
+
+object DeltaShapeWriter {
+  private val mapper = new ObjectMapper()
+
+  /** Extra delta-only action lines a commit/checkpoint must carry beyond
+    * graft's own actions: the `delta.rowTracking` domainMetadata holding
+    * the row-id high-water mark (delta keeps it in a domain; graft in the
+    * metaData properties — this derives the domain from the property on
+    * every emit, so it can never go stale). Graft's own fold skips
+    * domainMetadata actions (IgnoredAction); real delta readers require
+    * the domain to allocate ids safely after their own commits. */
+  def domainLines(m: MetaData): Seq[String] =
+    if (!DeltaWriteCompat.rowTrackingOn(m)) Nil
+    else m.properties.get(GraftTable.RowIdHwmKey).map { hwm =>
+      val root = mapper.createObjectNode()
+      val n = root.putObject("domainMetadata")
+      n.put("domain", "delta.rowTracking")
+      n.put("configuration", s"""{"rowIdHighWaterMark":$hwm}""")
+      n.put("removed", false)
+      mapper.writeValueAsString(root)
+    }.toSeq
 }

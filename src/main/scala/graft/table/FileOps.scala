@@ -397,22 +397,31 @@ object FileOps extends Serializable {
   def dvPositions(sidecar: Path, fname: String,
       requireQualified: Boolean = false): java.util.BitSet = {
     val bits = new java.util.BitSet()
-    // PATH-SUFFIX matching, one direction only: round-15 sidecars store
-    // the data file's table-relative path ("p=b1/part-0.parquet"),
-    // pre-round-15 ones the bare basename, and a shallow CLONE's reader
-    // passes an escaped spelling ("../src/p=b1/part-0.parquet") — the
-    // STORED spelling is never more qualified than the reader's `fname`,
-    // so only `stored` may be a '/'-bounded suffix of `fname`. The
-    // reverse direction would let a root-level twin's relative-path
-    // entry ("part-0.parquet") tombstone a nested same-named file, and
-    // same-basename files in DIFFERENT dirs never match either way
-    // ("p=b2/part-0.parquet" is no suffix of "p=b1/part-0.parquet").
-    def matches(stored: String): Boolean =
-      stored == fname || fname.endsWith("/" + stored)
     val in = HadoopInputFile.fromPath(new HPath(sidecar.toString), new Configuration())
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       val schema = reader.getFooter.getFileMetaData.getSchema
+      // round-16 sidecars carry the `rel` FORMAT MARKER column: every
+      // entry stores the full table-relative path, so a bare basename is
+      // a genuine root-level file — matched exactly (plus the
+      // clone-escape form, where the reader's fname leads with "../"),
+      // and the legacy-ambiguity refusal never applies. The marker is
+      // explicit format metadata, not inferred from '/' presence: a
+      // root-level file's round-16 entry IS a bare basename, and the
+      // old inference would spuriously refuse (or misattribute) it
+      // against a same-named nested twin.
+      val markedRel = schema.containsField("rel")
+      // LEGACY sidecars: PATH-SUFFIX matching, one direction only —
+      // round-15 entries store the table-relative path, pre-round-15 the
+      // bare basename, and a shallow CLONE's reader passes an escaped
+      // spelling ("../src/p=b1/part-0.parquet"); the STORED spelling is
+      // never more qualified than the reader's `fname`, so only `stored`
+      // may be a '/'-bounded suffix of `fname`.
+      def matches(stored: String): Boolean =
+        if (markedRel)
+          stored == fname ||
+            (fname.endsWith("/" + stored) && fname.startsWith(".."))
+        else stored == fname || fname.endsWith("/" + stored)
       var rg = Option(reader.readNextRowGroup())
       while (rg.isDefined) {
         val rr = new org.apache.parquet.io.ColumnIOFactory().getColumnIO(schema)
@@ -422,7 +431,7 @@ object FileOps extends Serializable {
           val g = rr.read()
           val stored = g.getBinary("fname", 0).toStringUsingUTF8
           if (matches(stored)) {
-            if (requireQualified && !stored.contains('/'))
+            if (!markedRel && requireQualified && !stored.contains('/'))
               throw new GraftProtocolException(
                 s"a legacy deletion-vector sidecar entry ('$stored' in " +
                   s"$sidecar) names more than one live file — the entry " +

@@ -229,6 +229,35 @@ final class GraftLog(val tablePath: String,
         size > 256
     }
 
+  /** Newest configuration JSON of a delta `domainMetadata` domain in the
+    * retained JSON tail (head → earliest), None when absent or when the
+    * newest mention removed the domain. Graft's own fold skips domain
+    * actions (IgnoredAction) — this raw scan is how ADOPTION folds the
+    * engine state delta keeps in domains (the rowTracking high-water
+    * mark, liquid clustering columns) into graft's native spellings. */
+  private[table] def domainConfig(domain: String): Option[String] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val first = earliestVersion
+    var v = latestVersion
+    while (v >= first) {
+      val f = versionFile(v)
+      if (store.exists(f)) {
+        val hits = store.readLines(f).filter(_.contains("\"domainMetadata\""))
+          .flatMap { l =>
+            val n = mapper.readTree(l)
+            Option(n.get("domainMetadata"))
+              .filter(_.get("domain").asText() == domain)
+          }
+        hits.lastOption.foreach { n =>
+          return if (Option(n.get("removed")).exists(_.asBoolean())) None
+                 else Some(n.get("configuration").asText())
+        }
+      }
+      v -= 1
+    }
+    None
+  }
+
   def readVersion(v: Long): Seq[Action] = synchronized {
     val cached = actionCache.get(v)
     if (cached != null) cached
@@ -388,16 +417,17 @@ final class GraftLog(val tablePath: String,
     foreignDeltaCache = Some((false, true, v))
   }
 
-  /** Compat + name-mode mapping: every COMMITTED metaData carries a delta
-    * column-mapping id on every field (DeltaWriteCompat.withFieldIds —
-    * idempotent, persisted in the schemaString so ids stay stable for
-    * the table's lifetime). One site covers enabling compat and mapping
-    * in either order, ADD COLUMN, and merge schema evolution. */
+  /** Compat + mapped (name OR id mode): every COMMITTED metaData carries
+    * a delta column-mapping id on every field (DeltaWriteCompat
+    * .withFieldIds — idempotent, persisted in the schemaString so ids
+    * stay stable for the table's lifetime). One site covers enabling
+    * compat and mapping in either order, ADD COLUMN, and merge schema
+    * evolution. The data-write paths stamp the SAME deterministic ids
+    * into new parquet files (GraftTable.writeDataMappedUncapped), so a
+    * schema-evolving commit's files carry the ids its schema declares. */
   private def stampMappingIds(actions: Seq[Action]): Seq[Action] =
     actions.map {
-      case m: MetaData if DeltaWriteCompat.enabled(m) &&
-          m.properties.get("columnMapping.mode")
-            .exists(_.equalsIgnoreCase("name")) =>
+      case m: MetaData if DeltaWriteCompat.stampsIds(m) =>
         DeltaWriteCompat.withFieldIds(m)
       case a => a
     }
@@ -467,6 +497,33 @@ final class GraftLog(val tablePath: String,
         new DeltaShapeWriter(m).line
       case None => Actions.toJson
     }
+    // Row tracking under compat (round 16): adds stamp their
+    // defaultRowCommitVersion (= this commit, unless the add already
+    // carries one — re-adds keep their birth version), and any commit
+    // whose MetaData may have moved the row-id high-water mark carries
+    // the delta.rowTracking domainMetadata line deriving it from that
+    // metaData — the standard delta spelling rowTracking readers/writers
+    // require (metaData-less commits emit no line: the hwm only moves
+    // with a MetaData action, so the last emitted domain stays current).
+    // Native (non-compat) commits that carry a MetaData stamp the version
+    // too (the field is part of the model and both checkpoint codecs
+    // round-trip it), but emit no domain line.
+    val rtOn = compatMeta.exists(DeltaWriteCompat.rowTrackingOn) ||
+      (compatMeta.isEmpty && actions.collectFirst { case m: MetaData => m }
+        .exists(DeltaWriteCompat.rowTrackingOn))
+    val stamped =
+      if (!rtOn) actions
+      else actions.map {
+        case a: AddFile if a.defaultRowCommitVersion.isEmpty =>
+          a.copy(defaultRowCommitVersion = Some(v))
+        case other => other
+      }
+    val domainLines: Seq[String] =
+      if (compatMeta.isEmpty) Nil
+      else stamped.collectFirst { case mm: MetaData => mm }
+        .map(DeltaShapeWriter.domainLines).getOrElse(Nil)
+    def commitLines: Iterator[String] =
+      stamped.iterator.map(serialize) ++ domainLines.iterator
     // ATOMIC publish-or-fail: a direct CREATE_NEW write makes the version
     // file VISIBLE WHILE EMPTY — a concurrent reader probing latestVersion
     // in that window folds a truncated commit (dropping, e.g., an identity
@@ -483,7 +540,7 @@ final class GraftLog(val tablePath: String,
     // the trait default spools to local scratch and pays one byte[] at
     // the writeTmp hand-off.
     val tmp = logDir.resolve(s".${java.util.UUID.randomUUID()}.commit.tmp")
-    store.writeTmpLines(tmp, actions.iterator.map(serialize))
+    store.writeTmpLines(tmp, commitLines)
     try store.publishIfAbsent(tmp, versionFile(v))
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -514,14 +571,17 @@ final class GraftLog(val tablePath: String,
         md.digest()
       }
       if (!java.util.Arrays.equals(digest(back.iterator),
-          digest(actions.iterator.map(serialize))))
+          digest(commitLines)))
         throw new java.util.ConcurrentModificationException(
           s"commit $v of $tablePath does not contain this writer's actions " +
             "after publish — the LogStore's publishIfAbsent is not atomic " +
             "(a concurrent writer overwrote the commit); see the LogStore " +
             "contract for what an object store must provide")
     }
-    synchronized { actionCache.put(v, actions) }
+    // cache the STAMPED actions — what the file actually says (a fold
+    // from cache must equal a fold from storage; caching the pre-stamp
+    // list would drop defaultRowCommitVersion until the next cold read)
+    synchronized { actionCache.put(v, stamped) }
     if (v > 0 && v % checkpointInterval == 0) writeCheckpoint(v)
   }
 
@@ -758,7 +818,10 @@ final class GraftLog(val tablePath: String,
       // here would under-declare constraint/identity tables
       (s.protocol +: s.metaData +: s.files) ++
         s.transactions.toSeq.sortBy(_._1).map { case (a, tv) => Txn(a, tv) }
-    val lines = actions.map(w.line)
+    // + the rowTracking high-water-mark domain: a delta reader SEEDING
+    // from this checkpoint must see it (the JSON commits behind the
+    // checkpoint may be cleaned away)
+    val lines = actions.map(w.line) ++ DeltaShapeWriter.domainLines(s.metaData)
     val spark = org.apache.spark.sql.SparkSession.active
     val df = spark.read.schema(DeltaWriteCompat.checkpointSchema)
       .json(spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING))

@@ -334,6 +334,16 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
           // names two different files within one sidecar is genuinely
           // ambiguous (the information was never written) — refuse
           // loudly rather than tombstone both files' rows.
+          val bySidecar: Seq[(String, DataFrame)] =
+            nativeDv.map(_.dvPath.get).distinct.map(p =>
+              p -> spark.read.parquet(s"$path/$p"))
+          // round-16 sidecars carry the `rel` FORMAT MARKER: every entry
+          // stores the full table-relative path, so a bare basename is a
+          // genuine root-level file — such sidecars never contribute the
+          // legacy-basename spelling (and therefore can never be flagged
+          // ambiguous by a same-named nested twin)
+          val marked: Set[String] = bySidecar.collect {
+            case (p, df) if df.columns.contains("rel") => p }.toSet
           def spellingsOf(f: AddFile): Seq[((String, String), String)] = {
             // third spelling: a shallow CLONE references the source's
             // sidecar ("../src/_dv/…") alongside its data file
@@ -345,7 +355,9 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
             val viaSidecarRoot =
               if (i > 0 && f.path.startsWith(dv.take(i))) Seq(f.path.drop(i))
               else Nil
-            (Seq(f.path, fileName(f.path)) ++ viaSidecarRoot).distinct.map(sp =>
+            val legacyBasename =
+              if (marked(dv)) Nil else Seq(fileName(f.path))
+            (Seq(f.path) ++ legacyBasename ++ viaSidecarRoot).distinct.map(sp =>
               (sp, dv) -> canonPath(f.path))
           }
           val bySpelling = nativeDv.flatMap(spellingsOf)
@@ -372,8 +384,10 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
             StructField("__src", StringType, nullable = false),
             StructField("__canon", StringType, nullable = false)))
           val refsDf = spark.createDataFrame(refs.asJava, refSchema)
-          val entries = nativeDv.map(_.dvPath.get).distinct.map { p =>
-            spark.read.parquet(s"$path/$p").withColumn("__src", lit(p))
+          val entries = bySidecar.map { case (p, df) =>
+            // normalize to (fname, pos) before the union — round-16
+            // sidecars carry the extra `rel` marker column
+            df.select(col("fname"), col("pos")).withColumn("__src", lit(p))
           }.reduce(_ unionByName _)
             .withColumnRenamed("fname", "__fname")
           if (ambiguous.nonEmpty) {
@@ -1045,6 +1059,14 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       s"$key is declared at CREATE (bucketBy / PARTITIONED BY bucket(n, col)) " +
         "and cannot change through SET TBLPROPERTIES — re-bucketing rewrites " +
         "every file: use optimize(rebucketTo = (column, n))")
+    // id mode cannot be ENABLED on an existing table: its pre-mapping
+    // files carry no parquet field ids, so an id-resolving reader could
+    // never bind them (delta makes the same restriction — id mode exists
+    // only from creation / conversion; it arrives here via adoptDelta)
+    require(!(key == "columnMapping.mode" && value.equalsIgnoreCase("id")),
+      "columnMapping.mode=id cannot be enabled on an existing table " +
+        "(files written before it carry no field ids); use name mode, " +
+        "or adopt an id-mode delta table in place")
     val meta = s.metaData.copy(properties = s.metaData.properties + (key -> value))
     val feature: Option[String] = key match {
       case "deletionVectors.enabled" if value.equalsIgnoreCase("true") =>
@@ -1109,11 +1131,28 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // engine-private layout invariants. Without this the protocol only
     // ever reached delta readers through a later checkpoint.
     val compatEnable: Seq[Action] =
-      if (key == DeltaWriteCompat.Prop && value.equalsIgnoreCase("true"))
+      if (value.equalsIgnoreCase("true") &&
+          (key == DeltaWriteCompat.Prop ||
+            // ICT is a compat-spelling feature: the enabling commit must
+            // re-state the protocol so the serializer derives the
+            // inCommitTimestamp writer feature delta 4.x readers gate on
+            key == "delta.enableInCommitTimestamps"))
         Seq(s.protocol)
       else Nil
-    log.commit(s.version + 1, upgrade ++ compatEnable ++ Seq(metaFinal,
-      CommitInfo(s.version + 1, log.nextTimestamp(), "SET TBLPROPERTIES",
+    val ts = log.nextTimestamp()
+    // ICT enabled post-creation pins the delta enablement markers the
+    // spec requires (version + timestamp of the first ICT commit) so a
+    // delta 4.x reader knows where the authoritative clock starts
+    val metaIct =
+      if (key == "delta.enableInCommitTimestamps" &&
+          value.equalsIgnoreCase("true") &&
+          !metaFinal.properties.contains("delta.inCommitTimestampEnablementVersion"))
+        metaFinal.copy(properties = metaFinal.properties ++ Map(
+          "delta.inCommitTimestampEnablementVersion" -> (s.version + 1).toString,
+          "delta.inCommitTimestampEnablementTimestamp" -> ts.toString))
+      else metaFinal
+    log.commit(s.version + 1, upgrade ++ compatEnable ++ Seq(metaIct,
+      CommitInfo(s.version + 1, ts, "SET TBLPROPERTIES",
         Map(key -> value))) ++ backfill)
   }
 
@@ -1349,7 +1388,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   }
 
   private def columnMappingEnabled(meta: MetaData): Boolean =
-    meta.properties.get("columnMapping.mode").exists(_.equalsIgnoreCase("name"))
+    meta.properties.get("columnMapping.mode").exists(m =>
+      m.equalsIgnoreCase("name") || m.equalsIgnoreCase("id"))
 
   /** Column names a generation expression references, from the PARSED
     * expression tree (unparseable ⇒ treat every name as referenced —
@@ -1372,8 +1412,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   def renameColumn(oldName: String, newName: String): Unit = {
     val s = snapshot
     require(columnMappingEnabled(s.metaData),
-      "RENAME COLUMN requires columnMapping.mode = name " +
-        "(setProperty(\"columnMapping.mode\", \"name\") — protocol-gated)")
+      "RENAME COLUMN requires column mapping (name or id mode; " +
+        "setProperty(\"columnMapping.mode\", \"name\") — protocol-gated)")
     require(s.schema.fieldNames.contains(oldName), s"no such column: $oldName")
     require(!s.schema.fieldNames.contains(newName), s"column $newName already exists")
     val evolved = StructType(s.schema.fields.map { f =>
@@ -1414,8 +1454,8 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
   def dropColumn(name: String): Unit = {
     val s = snapshot
     require(columnMappingEnabled(s.metaData),
-      "DROP COLUMN requires columnMapping.mode = name " +
-        "(setProperty(\"columnMapping.mode\", \"name\") — protocol-gated)")
+      "DROP COLUMN requires column mapping (name or id mode; " +
+        "setProperty(\"columnMapping.mode\", \"name\") — protocol-gated)")
     require(s.schema.fieldNames.contains(name), s"no such column: $name")
     require(s.schema.fields.length > 1, "cannot drop the only column")
     require(!s.metaData.partitionColumns.contains(name),
@@ -2465,14 +2505,34 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
 
   private def writeDataMappedUncapped(df0: DataFrame, meta: MetaData): Seq[AddFile] = {
     val df = withOptimizedWrite(df0, meta)
-    val schema = org.apache.spark.sql.types.DataType.fromJson(meta.schemaString)
+    // Under compat + mapping, data files must carry parquet field ids
+    // (delta's columnMapping contract; id-mode READERS can only bind new
+    // files through them). The ids are stamped here pre-write with the
+    // SAME deterministic assignment the commit chokepoint persists
+    // (GraftLog.stampMappingIds → withFieldIds: sequential from the
+    // metaData's maxColumnId over the same schema), so a schema-evolving
+    // commit's files spell exactly the ids its committed schema declares.
+    val metaW =
+      if (DeltaWriteCompat.stampsIds(meta)) DeltaWriteCompat.withFieldIds(meta)
+      else meta
+    val schema = org.apache.spark.sql.types.DataType.fromJson(metaW.schemaString)
       .asInstanceOf[StructType]
     if (!ColumnMapping.active(schema)) {
+      // physical == logical everywhere, but a freshly-mapped (or
+      // decoy-free adopted) table still needs its field ids in the files
+      val dfI =
+        if (!ColumnMapping.hasWriteIds(schema)) df
+        else {
+          val byName = schema.fields.map(f => f.name -> f).toMap
+          df.select(df.columns.toIndexedSeq.map(c =>
+            byName.get(c).map(ColumnMapping.physicalWriteColumn)
+              .getOrElse(col(c))): _*)
+        }
       // bucketed tables write every file under its hidden __bucket=<id>
       // dir — the id is a pure function of the row (pmod(hash(col), n)),
       // so EVERY rewrite path through here preserves bucket purity
       val (dfB, partsB) =
-        Bucketing.withBucket(withShredColumns(df, meta), meta, meta.partitionColumns)
+        Bucketing.withBucket(withShredColumns(dfI, meta), meta, meta.partitionColumns)
       FileOps.writeDataFiles(dfB, path, partsB,
         GraftTable.bloomWriteOptions(meta))
     }
@@ -2488,7 +2548,7 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       // column list (empty when unbucketed).
       val (dfB, bucketDir) = Bucketing.withBucket(df, meta, Nil)
       val renamed = dfB.select(
-        schema.fields.map(ColumnMapping.physicalColumn).toSeq ++ rid ++
+        schema.fields.map(ColumnMapping.physicalWriteColumn).toSeq ++ rid ++
           bucketDir.map(col): _*)
       val physParts =
         meta.partitionColumns.map(ColumnMapping.physicalOf(schema, _)) ++ bucketDir
@@ -2677,7 +2737,15 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * right shape and the repartition(1) funnel is bounded. */
   private def writeDvSidecar(entries: DataFrame): String = {
     val staging = Paths.get(path, s".dvstage-${UUID.randomUUID()}")
-    entries.select(col("__fname").as("fname"), col("__pos").cast(LongType).as("pos"))
+    // `rel = true` is the FORMAT MARKER (round 16): every entry in this
+    // sidecar stores the data file's full table-relative path — a bare
+    // basename here is a genuine root-level file, never a pre-round-15
+    // legacy spelling. Readers match such entries exactly (plus the
+    // clone-escape form) and never raise the legacy-ambiguity refusal
+    // on them; sidecars WITHOUT the column keep the conservative
+    // suffix-matching + refusal semantics.
+    entries.select(col("__fname").as("fname"), col("__pos").cast(LongType).as("pos"),
+        lit(true).as("rel"))
       .repartition(1).sortWithinPartitions("fname", "pos")
       .write.parquet(staging.toString)
     val part = Files.walk(staging).iterator().asScala
@@ -3902,21 +3970,38 @@ object GraftTable {
     // checkpoints keep gating old readers), timestampNtz (a native graft
     // column type since round 15), variantType, and NAME-mode column
     // mapping (graft speaks delta's physicalName spelling end to end —
-    // renames/drops keep working after adoption). ID mode stays refused:
-    // graft writes no parquet field ids, so an id-resolving reader could
-    // never bind columns in files graft writes after adoption.
+    // renames/drops keep working after adoption). ID mode continues too
+    // since round 16: the fold translates delta's field ids into Spark's
+    // parquet.field.id for reads, and every graft data-write path stamps
+    // the same ids into new files (ColumnMapping.physicalWriteSchema),
+    // so id-resolving readers bind graft-written files natively.
     val readerAllow = Set("deletionVectors", "columnMapping", "variantType",
-      "timestampNtz", "v2Checkpoint", "vacuumProtocolCheck")
+      "timestampNtz", "v2Checkpoint", "vacuumProtocolCheck",
+      // rowTracking is a writer feature in the delta spec, but tolerate a
+      // log that lists it reader-side: materialized ids are plain data
+      "rowTracking")
     val writerAllow =
       Set("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
         "deletionVectors", "columnMapping", "variantType",
-        "timestampNtz", "v2Checkpoint", "vacuumProtocolCheck")
+        "timestampNtz", "v2Checkpoint", "vacuumProtocolCheck",
+        // delta-spelled generated/identity columns translate into graft's
+        // native machinery at adoption (round 16) — the rules stay
+        // maintained on every graft write, and the continued protocol
+        // locks foreign writers out under the graft-private v7 names
+        "generatedColumns", "identityColumns",
+        // round 16: rowTracking continues in the STANDARD spelling (graft's
+        // model is the same shape — baseRowId + materialized column + hwm,
+        // the hwm folded from the delta.rowTracking domain below);
+        // domainMetadata/clustering adopt by folding the clustering domain
+        // onto graft's own clustering.columns maintenance; ICT continues
+        // verbatim (graft's commit clock is already strictly monotone and
+        // the fold prefers inCommitTimestamp where present)
+        "rowTracking", "domainMetadata", "clustering", "inCommitTimestamp")
     val mapMode = meta.properties.get("delta.columnMapping.mode")
       .map(_.toLowerCase).filterNot(_ == "none")
-    if (mapMode.exists(_ != "name"))
-      refuse(s"column mapping in ${mapMode.get} mode (graft writes no " +
-        "parquet field ids, so an id-resolving reader could never bind " +
-        "columns of files written after adoption)")
+    if (mapMode.exists(m => m != "name" && m != "id"))
+      refuse(s"column mapping in ${mapMode.get} mode — a resolution rule " +
+        "neither this engine nor any delta reader knows")
     if (p.minReaderVersion == 2 && mapMode.isEmpty)
       refuse("legacy reader version 2 declares column mapping but the " +
         "table states no mapping mode")
@@ -3930,23 +4015,65 @@ object GraftTable {
     if (p.minWriterVersion == 5 && mapMode.isEmpty)
       refuse("legacy writer version 5 declares column mapping but the " +
         "table states no mapping mode")
-    if (p.minWriterVersion == 6)
-      refuse("legacy writer version 6 (identity columns)")
     if (p.minWriterVersion >= 7) {
       val bad = p.writerFeatures.filterNot(writerAllow)
       if (bad.nonEmpty) refuse(s"writer feature(s) ${bad.mkString(", ")} " +
         "demand maintenance graft cannot perform in delta spelling")
     }
-    // Legacy writer ≤ 4 admits generated columns via schema metadata —
-    // graft will not maintain delta-spelled generation rules on insert.
+    // ---- delta-spelled identity / generated columns (round 16) ---------
+    // Translated into graft's native machinery — the rules stay
+    // MAINTAINED on every graft write (conform recomputes generation
+    // expressions; identity values engine-assign above the adopted
+    // frontier) — and the delta spellings ride along in the continued
+    // schemaString for provenance. Legacy writer versions 4 (generated)
+    // and 6 (identity) adopt through the same translation. Refusals
+    // narrow to semantics graft genuinely lacks: allowExplicitInsert
+    // (graft always engine-assigns) and descending identity steps (the
+    // footer-stat frontier advance assumes max = newest).
     val schema = DataType.fromJson(meta.schemaString).asInstanceOf[StructType]
-    if (schema.fields.exists(_.metadata.contains("delta.generationExpression")))
-      refuse("delta-spelled generated columns (the generation rule would " +
-        "go unmaintained)")
-    if (schema.fields.exists(f =>
-        f.metadata.contains("delta.identity.start") ||
-        f.metadata.contains("delta.identity.allowExplicitInsert")))
-      refuse("delta-spelled identity columns")
+    schema.fields.foreach { f =>
+      if (f.metadata.contains("delta.identity.allowExplicitInsert") &&
+          f.metadata.getBoolean("delta.identity.allowExplicitInsert"))
+        refuse(s"identity column ${f.name} allows explicit inserts " +
+          "(graft always engine-assigns identity values)")
+      if (f.metadata.contains("delta.identity.step") &&
+          f.metadata.getLong("delta.identity.step") <= 0)
+        refuse(s"identity column ${f.name} has a non-positive step " +
+          "(the footer-stat frontier advance requires ascending values)")
+    }
+    def longMeta(f: StructField, k: String, dflt: Long): Long =
+      if (f.metadata.contains(k)) f.metadata.getLong(k) else dflt
+    val translatedFields = schema.fields.map { f =>
+      var b = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+      if (f.metadata.contains("delta.generationExpression"))
+        b = b.putString(GeneratedColumns.MetadataKey,
+          f.metadata.getString("delta.generationExpression"))
+      if (f.metadata.contains("delta.identity.start")) {
+        b = b.putLong(IdentityColumns.StartKey,
+            longMeta(f, "delta.identity.start", 1L))
+          .putLong(IdentityColumns.StepKey,
+            longMeta(f, "delta.identity.step", 1L))
+        // delta keeps the frontier IN the schema metadata; graft keeps it
+        // in table properties (advanced with the allocating commit) —
+        // drop the schema copy so it can never go stale in the continued
+        // log (start/step stay for provenance; foreign writers are locked
+        // out at v7 anyway)
+        b = b.remove("delta.identity.highWaterMark")
+      }
+      f.copy(metadata = b.build())
+    }
+    val translatedSchema = StructType(translatedFields)
+    // frontier: delta.identity.highWaterMark (absent = nothing allocated)
+    val identityProps = schema.fields.collect {
+      case f if f.metadata.contains("delta.identity.highWaterMark") =>
+        IdentityColumns.hwmKey(f.name) ->
+          f.metadata.getLong("delta.identity.highWaterMark").toString
+    }.toMap
+    val genTranslated =
+      schema.fields.exists(_.metadata.contains("delta.generationExpression"))
+    val idTranslated =
+      schema.fields.exists(_.metadata.contains("delta.identity.start"))
     // ---- property translation -----------------------------------------
     val conf = meta.properties -
       Actions.DeltaReadMarker - "delta.columnMapping.mode"
@@ -3954,9 +4081,59 @@ object GraftTable {
       conf.partition(_._1.startsWith("delta.constraints."))
     def flag(k: String): Boolean =
       conf.get(k).exists(_.equalsIgnoreCase("true"))
+    // ---- rowTracking / clustering domain folds (round 16) --------------
+    // delta keeps engine state in domainMetadata actions graft's snapshot
+    // fold ignores — adoption is where it translates into graft's native
+    // spellings (properties), after which every graft commit maintains it
+    // and the compat emitter derives the delta domain back per commit.
+    val matName = conf.get("delta.rowTracking.materializedRowIdColumnName")
+    if (matName.exists(_ != GraftTable.RowIdCol))
+      refuse(s"rowTracking materializes row ids under column " +
+        s"'${matName.get}' — graft's reader binds the constant " +
+        s"${GraftTable.RowIdCol}, so rewritten rows' ids would silently " +
+        "recompute from position")
+    val jm = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rtEnabled = flag("delta.enableRowTracking")
+    val rowIdHwm: Option[Long] =
+      if (!rtEnabled) None
+      else {
+        val domain = log.domainConfig("delta.rowTracking").flatMap(c =>
+          scala.util.Try(jm.readTree(c)
+            .get("rowIdHighWaterMark").asLong()).toOption)
+        // live-derived floor (ids live files provably consumed) and any
+        // prior graft property (re-adoption after a foreign write) — the
+        // max of all three can never re-issue an allocated id
+        val liveMax = s.files.flatMap(f =>
+          f.baseRowId.map(_ + math.max(f.numRecords, 1L) - 1L)).maxOption
+        val prior = conf.get(GraftTable.RowIdHwmKey)
+          .flatMap(v => scala.util.Try(v.toLong).toOption)
+        (domain.toSeq ++ liveMax.toSeq ++ prior.toSeq).maxOption
+      }
+    // liquid clustering: fold the domain's columns onto graft's own
+    // incremental clustering when every column exists (top-level only);
+    // otherwise the domain is dropped — OPTIMIZE then treats the table as
+    // unclustered, which is safe (clustering is layout advice, not data)
+    val clusteringCols: Option[String] =
+      log.domainConfig("delta.clustering").flatMap(c => scala.util.Try {
+        val n = jm.readTree(c).get("clusteringColumns")
+        (0 until n.size).map(n.get).map { parts =>
+          require(parts.size == 1, "nested clustering column")
+          parts.get(0).asText()
+        }
+      }.toOption)
+        .filter(cols => cols.nonEmpty &&
+          cols.forall(schema.fieldNames.contains))
+        .map(_.mkString(","))
     val translated = rest --
       Seq("delta.appendOnly", "delta.enableChangeDataFeed",
-        "delta.enableDeletionVectors", "delta.dataSkippingNumIndexedCols") ++
+        "delta.enableDeletionVectors", "delta.dataSkippingNumIndexedCols",
+        "delta.enableRowTracking",
+        "delta.rowTracking.materializedRowIdColumnName") ++
+      (if (rtEnabled) Map("rowTracking.enabled" -> "true") else Map.empty) ++
+      rowIdHwm.map(h => Map(GraftTable.RowIdHwmKey -> h.toString))
+        .getOrElse(Map.empty) ++
+      clusteringCols.map(c => Map("clustering.columns" -> c))
+        .getOrElse(Map.empty) ++
       (if (flag("delta.appendOnly")) Map("appendOnly" -> "true") else Map.empty) ++
       (if (flag("delta.enableChangeDataFeed"))
         Map("changeDataFeed.enabled" -> "true") else Map.empty) ++
@@ -3964,25 +4141,42 @@ object GraftTable {
         Map("deletionVectors.enabled" -> "true") else Map.empty) ++
       conf.get("delta.dataSkippingNumIndexedCols")
         .map(v => Map("dataSkipping.numIndexedCols" -> v)).getOrElse(Map.empty) ++
-      // NAME-mode mapping continues under graft's key (the folded schema
-      // already carries the physicalName bindings); maxColumnId rides
-      // along untouched under its delta key
-      (if (mapMode.contains("name")) Map("columnMapping.mode" -> "name")
-       else Map.empty)
+      // NAME- and ID-mode mapping continue under graft's key (the folded
+      // schema already carries the physicalName bindings — plus, in id
+      // mode, delta's field ids translated to parquet.field.id);
+      // maxColumnId rides along untouched under its delta key
+      mapMode.map(m => Map("columnMapping.mode" -> m)).getOrElse(Map.empty)
     val newMeta = meta.copy(
+      schemaString =
+        if (genTranslated || idTranslated) translatedSchema.json
+        else meta.schemaString,
       constraints = meta.constraints ++ constraintConf.map { case (k, v) =>
         k.stripPrefix("delta.constraints.") -> v },
-      properties = translated + (DeltaWriteCompat.Prop -> "true"))
+      properties = translated ++ identityProps + (DeltaWriteCompat.Prop -> "true"))
     // compat-level refusals (VARIANT schema, column mapping)
     DeltaWriteCompat.refusal(newMeta, Nil).foreach(refuse)
     // DVs the continued log could not spell: adoption keeps every existing
     // descriptor verbatim, but each must be a form graft DML can UNION
     // with (u/i/p all decode; anything else is unreadable and folding
     // already failed) — nothing further to gate here.
-    val newProtocol = DeltaWriteCompat.compatProtocol(p, newMeta)
+    // Translated generated/identity columns gate FOREIGN writers exactly
+    // like native ones: the protocol lists the legacy feature names so
+    // compatProtocol maps them onto the graft-private v7 spellings (a
+    // foreign writer that cannot maintain the rules refuses to commit).
+    val pAug = {
+      val feats =
+        (if (genTranslated) Seq("generatedColumns") else Nil) ++
+          (if (idTranslated) Seq("identityColumns") else Nil)
+      if (feats.isEmpty) p
+      else p.copy(writerFeatures = (p.writerFeatures ++ feats).distinct)
+    }
+    val newProtocol = DeltaWriteCompat.compatProtocol(pAug, newMeta)
     val v = s.version + 1
     log.adoptForeignDelta(v, Seq(
-      CommitInfo(v, System.currentTimeMillis(), "ADOPT",
+      // nextTimestamp, never raw wall time: an adopted ICT table's
+      // authoritative clock may LEAD the wall clock, and the continued
+      // clock must stay strictly monotone past it
+      CommitInfo(v, log.nextTimestamp(), "ADOPT",
         Map("sourceEngine" -> "delta-spark",
             "adoptedVersion" -> s.version.toString,
             "numAdoptedFiles" -> s.files.size.toString)),

@@ -362,12 +362,14 @@ class DeletionVectorSpec extends SparkTestBase {
     assert(t.delete(col("id") === 3) === 1L)
     val dvRel = t.snapshot.files.flatMap(_.dvPath).head
     val dvAbs = java.nio.file.Paths.get(t.path, dvRel).toString
-    val legacy = spark.read.parquet(dvAbs)
+    // the downgrade DROPS the round-16 `rel` format marker too — a real
+    // pre-round-15 sidecar has neither the relative paths nor the marker
+    val legacy = spark.read.parquet(dvAbs).drop("rel")
       .withColumn("fname", element_at(split(col("fname"), "/"), -1))
       .collect()
     val tmp = tmpDir("dv-legacy-rw-")
     spark.createDataFrame(java.util.Arrays.asList(legacy: _*),
-      spark.read.parquet(dvAbs).schema)
+      spark.read.parquet(dvAbs).drop("rel").schema)
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
       .toArray.map(_.toString).filter(_.endsWith(".parquet")).head
@@ -386,12 +388,12 @@ class DeletionVectorSpec extends SparkTestBase {
     val rel2 = c.snapshot.files.flatMap(_.dvPath).distinct
     assert(rel2.size === 1, "one commit writes one shared sidecar")
     val abs2 = java.nio.file.Paths.get(c.path, rel2.head).toString
-    val rows2 = spark.read.parquet(abs2)
+    val rows2 = spark.read.parquet(abs2).drop("rel")
       .withColumn("fname", element_at(split(col("fname"), "/"), -1))
       .collect()
     val tmp2 = tmpDir("dv-legacy-amb-rw-")
     spark.createDataFrame(java.util.Arrays.asList(rows2: _*),
-      spark.read.parquet(abs2).schema)
+      spark.read.parquet(abs2).drop("rel").schema)
       .coalesce(1).write.mode("overwrite").parquet(tmp2)
     val part2 = java.nio.file.Files.list(java.nio.file.Paths.get(tmp2))
       .toArray.map(_.toString).filter(_.endsWith(".parquet")).head
@@ -431,5 +433,43 @@ class DeletionVectorSpec extends SparkTestBase {
       spark.sql("SELECT * FROM dvamb.default.t WHERE p = 'b1'").collect())
     assert(msgs(e4).exists(_.contains("cannot be attributed")),
       s"pruned V2 scan must refuse like the batch path: ${msgs(e4).mkString(" | ")}")
+  }
+
+  test("round-16 `rel` marker: a bare-basename entry is a ROOT-LEVEL path, never legacy") {
+    import spark.implicits._
+    // a marked sidecar whose entry names a root-level file ("part-0
+    // .parquet" IS its full table-relative path). Before the marker, the
+    // '/'-presence inference treated it as potentially legacy: a nested
+    // same-named twin would suffix-match it (misattribution) or — under
+    // requireQualified — refuse spuriously.
+    val dir = tmpDir("dv-marker-")
+    Seq(("part-0.parquet", 0L, true)).toDF("fname", "pos", "rel")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val sc = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .toArray.map(_.toString).filter(_.endsWith(".parquet")).head
+    val p = java.nio.file.Paths.get(sc)
+    def posOf(fname: String, strict: Boolean = false): Set[Int] = {
+      val b = graft.table.FileOps.dvPositions(p, fname, strict)
+      b.stream().toArray.toSet
+    }
+    assert(posOf("part-0.parquet") === Set(0), "exact root-level match")
+    assert(posOf("p=b1/part-0.parquet") === Set.empty[Int],
+      "a nested same-named twin must NOT suffix-match a marked root entry")
+    // requireQualified never refuses a marked entry (it is not legacy)
+    assert(posOf("p=b1/part-0.parquet", strict = true) === Set.empty[Int])
+    assert(posOf("part-0.parquet", strict = true) === Set(0))
+    // the clone-escape spelling still binds (reader fname leads with ../)
+    assert(posOf("../src/part-0.parquet") === Set(0))
+    // and an UNMARKED sidecar keeps the conservative legacy semantics
+    val dir2 = tmpDir("dv-marker-legacy-")
+    Seq(("part-0.parquet", 0L)).toDF("fname", "pos")
+      .coalesce(1).write.mode("overwrite").parquet(dir2)
+    val sc2 = java.nio.file.Files.list(java.nio.file.Paths.get(dir2))
+      .toArray.map(_.toString).filter(_.endsWith(".parquet")).head
+    val p2 = java.nio.file.Paths.get(sc2)
+    assert(graft.table.FileOps.dvPositions(p2, "p=b1/part-0.parquet")
+      .stream().toArray.toSet === Set(0), "legacy suffix matching preserved")
+    intercept[GraftProtocolException](
+      graft.table.FileOps.dvPositions(p2, "p=b1/part-0.parquet", true))
   }
 }

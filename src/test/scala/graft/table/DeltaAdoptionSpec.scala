@@ -180,32 +180,32 @@ class DeltaAdoptionSpec extends SparkTestBase {
         e.getMessage.contains("import_delta"),
         s"expected '$needle' + copy fallback, got: ${e.getMessage}")
     }
-    // ID-mode column mapping: graft writes no parquet field ids, so an
-    // id-resolving reader could never bind post-adoption files' columns
-    // (NAME mode is continuable since round 15 — dedicated test below)
-    adoptFails(foreignTable(configuration = Map(
-      "delta.columnMapping.mode" -> "id",
-      "delta.columnMapping.maxColumnId" -> "2")), "column mapping")
+    // column mapping in a mode NEITHER name nor id — a resolution rule
+    // no reader knows (name continues since round 15, id since round 16):
+    // refuses at the READ gate, before adoption can even fold a snapshot
+    val eMode = intercept[GraftProtocolException](GraftTable.adoptDelta(spark,
+      foreignTable(configuration = Map(
+        "delta.columnMapping.mode" -> "hash",
+        "delta.columnMapping.maxColumnId" -> "2"))))
+    assert(eMode.getMessage.contains("resolution rule"), s"got $eMode")
     // legacy reader 2 / writer 5 declaring mapping WITHOUT a stated mode
     adoptFails(foreignTable(protocolLine =
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""),
       "reader version 2")
-    // v7 writer feature graft cannot maintain
+    // v7 writer feature graft cannot maintain (rowTracking adopts in the
+    // standard spelling since round 16 — dedicated test below)
     adoptFails(foreignTable(protocolLine =
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking"]}}"""),
-      "rowTracking")
-    // v3 reader feature with no continuable semantics (rowTracking READS
-    // fine — foreign ids are ignorable — but graft will not maintain
-    // delta-spelled row ids on its own commits)
-    adoptFails(foreignTable(protocolLine =
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["rowTracking"],"writerFeatures":["rowTracking"]}}"""),
-      "rowTracking")
-    // delta-spelled generated column (legacy writer 4 admits them silently)
-    val genSchema =
-      """{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},{\"name\":\"s\",\"type\":\"string\",\"nullable\":true,\"metadata\":{\"delta.generationExpression\":\"CAST(id AS STRING)\"}}]}"""
-    adoptFails(foreignTable(protocolLine =
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
-      schema = genSchema), "generated columns")
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["icebergCompatV9"]}}"""),
+      "icebergCompatV9")
+    // v3 reader feature with no continuable semantics refuses at the READ
+    // gate (the snapshot fold itself), before adoption can run
+    val eReader = intercept[GraftProtocolException](GraftTable.adoptDelta(spark,
+      foreignTable(protocolLine =
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["futureReaderFeature"],"writerFeatures":["futureReaderFeature"]}}""")))
+    assert(eReader.getMessage.contains("futureReaderFeature"), s"got $eReader")
+    // delta-spelled generated columns ADOPT since round 16 (translated
+    // into graft's native machinery — dedicated test below); the refusal
+    // set narrows to allowExplicitInsert / descending identity steps
     // a graft-owned table has nothing to adopt
     val own = tmpDir("adopt-own-")
     GraftTable.create(spark, own, df(0 until 3))
@@ -386,6 +386,304 @@ class DeltaAdoptionSpec extends SparkTestBase {
       metadata = new org.apache.spark.sql.types.MetadataBuilder()
         .putString("delta.columnMapping.physicalName", physical)
         .putLong("delta.columnMapping.id", id).build())
+
+  test("ID-mode mapped foreign table adopts: writes stamp ids; drop + re-add never resurrects") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("adopt-idmap-")
+    // the FILE binds by field id alone: its column names (x1/x2) match
+    // NEITHER the logical names nor the log's physicalNames (col-1/col-2)
+    val fileSchema = StructType(Seq(
+      StructField("x1", LongType, nullable = true,
+        metadata = new MetadataBuilder().putLong("parquet.field.id", 1L).build()),
+      StructField("x2", StringType, nullable = true,
+        metadata = new MetadataBuilder().putLong("parquet.field.id", 2L).build())))
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val (s1, m1) = dataFile(dir, "part-00000-id-c000.snappy.parquet",
+      spark.createDataFrame(df(0 until 4).rdd, fileSchema))
+    val mappedSchema = StructType(Seq(
+      field("id", "col-1", 1L, LongType),
+      field("s", "col-2", 2L, StringType)))
+    commit(dir, 0, Seq(infoLine(1619112345000L, "WRITE"),
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"cccc-adopt-3333","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(mappedSchema.json)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"2"},"createdTime":1619112344000}}""",
+      addLine("part-00000-id-c000.snappy.parquet", s1, m1, 4L)))
+    val t = GraftTable.adoptDelta(spark, dir)
+    assert(ids(t) === Set(0L, 1L, 2L, 3L), "id binding must survive adoption")
+    // DML: graft-written files must carry the mapping's field ids under
+    // the log's physical names — the contract id-resolving readers need
+    assert(t.delete($"id" === 1L) === 1L)
+    t.append(df(90 until 92))
+    def footerIds(rel: String): Map[String, Option[Int]] = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(Paths.get(dir, rel).toString),
+        new org.apache.hadoop.conf.Configuration())
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try rd.getFooter.getFileMetaData.getSchema.getFields.asScala
+        .map(f => f.getName -> Option(f.getId).map(_.intValue)).toMap
+      finally rd.close()
+    }
+    t.snapshot.files.map(_.path).filterNot(_ == "part-00000-id-c000.snappy.parquet")
+      .foreach { rel =>
+        val f = footerIds(rel)
+        assert(f.keySet === Set("col-1", "col-2") &&
+            f("col-1").contains(1) && f("col-2").contains(2),
+          s"graft-written id-mode files must carry physical names + ids: $f in $rel")
+      }
+    assert(ids(t) === Set(0L, 2L, 3L, 90L, 91L))
+    // DROP + re-ADD: the fresh column takes a FRESH id — under id
+    // resolution the dropped column's data can never resurrect
+    t.dropColumn("s")
+    t.addColumn("s2", StringType)
+    val metaJson = (t.latestVersion to 1L by -1L).iterator
+      .flatMap(v => Files.readAllLines(
+        Paths.get(dir, "_delta_log", f"$v%020d.json")).asScala)
+      .find(_.contains("\"metaData\"")).get
+    val mNode = mapper.readTree(metaJson).get("metaData")
+    assert(mNode.get("configuration").get("delta.columnMapping.mode")
+      .asText() === "id")
+    val emitted = org.apache.spark.sql.types.DataType
+      .fromJson(mNode.get("schemaString").asText()).asInstanceOf[StructType]
+    val s2f = emitted.fields.find(_.name == "s2").get
+    assert(s2f.metadata.getLong("delta.columnMapping.id") === 3L,
+      "re-added column must take a fresh id, never the dropped column's")
+    val t2 = GraftTable.forPath(spark, dir)
+    assert(t2.toDF.filter($"s2".isNotNull).count() === 0L,
+      "dropped data must not resurrect into the re-added column")
+    // independent delta-1.0 replay equality over the continued log
+    assert(deltaReplayLiveFiles(dir) === t2.snapshot.files.map(_.path).toSet)
+  }
+
+  test("delta-spelled identity + generated columns adopt: the rules stay maintained") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("adopt-idgen-")
+    // the foreign table: rid GENERATED ALWAYS AS IDENTITY (start 10, step
+    // 2, hwm 16 — four rows allocated), s, and g GENERATED ALWAYS AS
+    // (upper(s)) — delta's schema-metadata spelling, gated at writer 7
+    val seedDf = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(10L, "a", "A"), org.apache.spark.sql.Row(12L, "b", "B"),
+      org.apache.spark.sql.Row(14L, "c", "C"), org.apache.spark.sql.Row(16L, "d", "D")),
+      StructType(Seq(StructField("rid", LongType), StructField("s", StringType),
+        StructField("g", StringType))))
+    val (s1, m1) = dataFile(dir, "part-00000-idg-c000.snappy.parquet", seedDf)
+    val foreignSchema = StructType(Seq(
+      StructField("rid", LongType, nullable = true,
+        metadata = new MetadataBuilder()
+          .putLong("delta.identity.start", 10L)
+          .putLong("delta.identity.step", 2L)
+          .putLong("delta.identity.highWaterMark", 16L)
+          .putBoolean("delta.identity.allowExplicitInsert", false).build()),
+      StructField("s", StringType, nullable = true),
+      StructField("g", StringType, nullable = true,
+        metadata = new MetadataBuilder()
+          .putString("delta.generationExpression", "upper(s)").build())))
+    commit(dir, 0, Seq(infoLine(1619112345000L, "WRITE"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["identityColumns","generatedColumns","invariants"]}}""",
+      s"""{"metaData":{"id":"dddd-adopt-4444","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(foreignSchema.json)},"partitionColumns":[],"configuration":{},"createdTime":1619112344000}}""",
+      addLine("part-00000-idg-c000.snappy.parquet", s1, m1, 4L)))
+    val t = GraftTable.adoptDelta(spark, dir)
+    // INSERT: the engine assigns fresh identity values ABOVE the adopted
+    // frontier and recomputes the generation expression
+    t.append(Seq("x", "y").toDF("s"))
+    val rows = t.toDF.orderBy($"rid").collect()
+    assert(rows.length === 6)
+    val fresh = rows.filter(r => Set("x", "y")(r.getAs[String]("s")))
+    assert(fresh.length === 2)
+    fresh.foreach { r =>
+      assert(r.getAs[Long]("rid") > 16L,
+        s"fresh identity values must exceed the adopted frontier: $r")
+      assert(r.getAs[String]("g") === r.getAs[String]("s").toUpperCase,
+        s"the generation rule must be maintained: $r")
+    }
+    assert(fresh.map(_.getAs[Long]("rid")).distinct.length === 2)
+    // the frontier advanced in table properties (graft's spelling)
+    val hwm = t.snapshot.metaData.properties("identity.rid.highWaterMark").toLong
+    assert(hwm >= fresh.map(_.getAs[Long]("rid")).max)
+    // a writer-supplied identity value refuses (GENERATED ALWAYS)
+    intercept[Exception](t.append(Seq((99L, "z", "Z")).toDF("rid", "s", "g")))
+    // the continued metaData keeps the delta spellings for provenance
+    // (minus the schema-held frontier, which graft moves to properties)
+    val metaJson = (t.latestVersion to 1L by -1L).iterator
+      .flatMap(v => Files.readAllLines(
+        Paths.get(dir, "_delta_log", f"$v%020d.json")).asScala)
+      .find(_.contains("\"metaData\"")).get
+    val emitted = org.apache.spark.sql.types.DataType
+      .fromJson(mapper.readTree(metaJson).get("metaData")
+        .get("schemaString").asText()).asInstanceOf[StructType]
+    val ridF = emitted.fields.find(_.name == "rid").get
+    assert(ridF.metadata.getLong("delta.identity.start") === 10L)
+    assert(ridF.metadata.getLong("delta.identity.step") === 2L)
+    assert(!ridF.metadata.contains("delta.identity.highWaterMark"),
+      "the schema-held frontier must not linger (it would go stale)")
+    assert(emitted.fields.find(_.name == "g").get.metadata
+      .getString("delta.generationExpression") === "upper(s)")
+    // foreign writers are locked out under the graft-private v7 names
+    val proto = t.snapshot.protocol
+    assert(proto.writerFeatures.contains("graft.identityColumns") &&
+      proto.writerFeatures.contains("graft.generatedColumns"), s"$proto")
+    // independent delta-1.0 replay equality
+    assert(deltaReplayLiveFiles(dir) === t.snapshot.files.map(_.path).toSet)
+    // refusals narrow to genuinely unsupported semantics
+    def schemaWith(md: MetadataBuilder): String = StructType(Seq(
+      StructField("rid", LongType, nullable = true, metadata = md.build()),
+      StructField("s", StringType, nullable = true))).json
+    val dirA = tmpDir("adopt-idgen-aei-")
+    val (sa, ma) = dataFile(dirA, "part-00000-a.snappy.parquet",
+      Seq((10L, "a")).toDF("rid", "s"))
+    commit(dirA, 0, Seq(infoLine(1619112345000L, "WRITE"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}""",
+      s"""{"metaData":{"id":"eeee-adopt-5555","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(schemaWith(new MetadataBuilder()
+        .putLong("delta.identity.start", 10L)
+        .putLong("delta.identity.step", 1L)
+        .putBoolean("delta.identity.allowExplicitInsert", true)))},"partitionColumns":[],"configuration":{},"createdTime":1619112344000}}""",
+      addLine("part-00000-a.snappy.parquet", sa, ma, 1L)))
+    val eA = intercept[GraftProtocolException](GraftTable.adoptDelta(spark, dirA))
+    assert(eA.getMessage.contains("allowExplicitInsert") ||
+      eA.getMessage.contains("explicit inserts"), s"got $eA")
+    val dirB = tmpDir("adopt-idgen-neg-")
+    val (sb, mb) = dataFile(dirB, "part-00000-b.snappy.parquet",
+      Seq((10L, "a")).toDF("rid", "s"))
+    commit(dirB, 0, Seq(infoLine(1619112345000L, "WRITE"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}""",
+      s"""{"metaData":{"id":"ffff-adopt-6666","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(schemaWith(new MetadataBuilder()
+        .putLong("delta.identity.start", 10L)
+        .putLong("delta.identity.step", -1L)))},"partitionColumns":[],"configuration":{},"createdTime":1619112344000}}""",
+      addLine("part-00000-b.snappy.parquet", sb, mb, 1L)))
+    val eB = intercept[GraftProtocolException](GraftTable.adoptDelta(spark, dirB))
+    assert(eB.getMessage.contains("non-positive step"), s"got $eB")
+  }
+
+  test("rowTracking foreign table adopts: the hwm folds from the domain, ids continue") {
+    import spark.implicits._
+    val dir = tmpDir("adopt-rt-")
+    val (s1, m1) = dataFile(dir, "part-00000-rt-c000.snappy.parquet", df(0 until 4))
+    // the domain's hwm (9) is deliberately HIGHER than what the live file
+    // consumed (0..3): a removed file allocated 4..9 — continuing from
+    // the live-derived max alone would re-issue those ids
+    commit(dir, 0, Seq(infoLine(1619112345000L, "WRITE"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking","domainMetadata","invariants"]}}""",
+      metaLine(configuration = Map("delta.enableRowTracking" -> "true")),
+      s"""{"add":{"path":"part-00000-rt-c000.snappy.parquet","partitionValues":{},"size":$s1,"modificationTime":$m1,"dataChange":true,"baseRowId":0,"defaultRowCommitVersion":0,"stats":"{\\"numRecords\\":4,\\"minValues\\":{},\\"maxValues\\":{},\\"nullCount\\":{}}"}}""",
+      """{"domainMetadata":{"domain":"delta.rowTracking","configuration":"{\"rowIdHighWaterMark\":9}","removed":false}}"""))
+    val t = GraftTable.adoptDelta(spark, dir)
+    assert(t.snapshot.metaData.properties.get("rowTracking.enabled")
+      .contains("true"))
+    assert(t.snapshot.metaData.properties(GraftTable.RowIdHwmKey).toLong === 9L,
+      "the hwm must fold from the delta.rowTracking domain, not the live max")
+    // fresh allocations start ABOVE the domain hwm
+    t.append(df(90 until 92))
+    val rows = t.scanWithRowIds().collect()
+    assert(rows.length === 6)
+    val rids = rows.map(_.getAs[Long](GraftTable.RowIdCol))
+    assert(rids.distinct.length === 6)
+    val freshIds = rows.filter(_.getAs[Long]("id") >= 90L)
+      .map(_.getAs[Long](GraftTable.RowIdCol))
+    assert(freshIds.forall(_ > 9L),
+      s"fresh ids must exceed the adopted hwm: ${freshIds.toSeq}")
+    // the append commit carries the STANDARD delta spelling: baseRowId +
+    // defaultRowCommitVersion on the add, and the refreshed hwm domain
+    val appendLines = Files.readAllLines(
+      Paths.get(dir, "_delta_log", f"${t.latestVersion}%020d.json")).asScala
+    val addLine2 = appendLines.find(_.contains("\"add\"")).get
+    val addN = mapper.readTree(addLine2).get("add")
+    assert(addN.get("baseRowId").asLong() > 9L)
+    assert(addN.get("defaultRowCommitVersion").asLong() === t.latestVersion)
+    val domLine = appendLines.find(_.contains("\"domainMetadata\"")).get
+    val domN = mapper.readTree(domLine).get("domainMetadata")
+    assert(domN.get("domain").asText() === "delta.rowTracking")
+    assert(mapper.readTree(domN.get("configuration").asText())
+      .get("rowIdHighWaterMark").asLong() >= freshIds.max)
+    // the continued protocol declares the standard features + config keys
+    val protoLine = appendLines.find(_.contains("\"protocol\""))
+      .orElse(Files.readAllLines(Paths.get(dir, "_delta_log",
+        f"${1L}%020d.json")).asScala.find(_.contains("\"protocol\""))).get
+    assert(protoLine.contains("\"rowTracking\"") &&
+      protoLine.contains("\"domainMetadata\""), protoLine)
+    val metaLine2 = Files.readAllLines(Paths.get(dir, "_delta_log",
+      f"${1L}%020d.json")).asScala.find(_.contains("\"metaData\"")).get
+    assert(metaLine2.contains("\"delta.enableRowTracking\":\"true\""))
+    assert(metaLine2.contains(
+      "\"delta.rowTracking.materializedRowIdColumnName\":\"_row_id\""))
+    // independent replay equality over the continued log
+    assert(deltaReplayLiveFiles(dir) === t.snapshot.files.map(_.path).toSet)
+    // a foreign materialized-id column name graft cannot bind refuses
+    val dir2 = tmpDir("adopt-rt-mat-")
+    val (s2, m2) = dataFile(dir2, "part-00000-rtm-c000.snappy.parquet", df(0 until 2))
+    commit(dir2, 0, Seq(infoLine(1619112345000L, "WRITE"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking","domainMetadata"]}}""",
+      metaLine(configuration = Map("delta.enableRowTracking" -> "true",
+        "delta.rowTracking.materializedRowIdColumnName" -> "_row-id-col-abc")),
+      addLine("part-00000-rtm-c000.snappy.parquet", s2, m2, 2L)))
+    val eMat = intercept[GraftProtocolException](GraftTable.adoptDelta(spark, dir2))
+    assert(eMat.getMessage.contains("materializes row ids"), s"got $eMat")
+  }
+
+  test("liquid-clustered foreign table adopts: the clustering domain folds onto clustering.columns") {
+    val dir = tmpDir("adopt-liquid-")
+    val (s1, m1) = dataFile(dir, "part-00000-lc-c000.snappy.parquet", df(0 until 4))
+    commit(dir, 0, Seq(infoLine(1619112345000L, "WRITE"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["clustering","domainMetadata","invariants"]}}""",
+      metaLine(),
+      addLine("part-00000-lc-c000.snappy.parquet", s1, m1, 4L),
+      """{"domainMetadata":{"domain":"delta.clustering","configuration":"{\"clusteringColumns\":[[\"id\"]]}","removed":false}}"""))
+    val t = GraftTable.adoptDelta(spark, dir)
+    assert(t.snapshot.metaData.properties.get("clustering.columns")
+      .contains("id"),
+      "the foreign clustering domain must fold onto graft's clustering")
+    // graft's own incremental clustering maintains the layout from here
+    t.append(df(50 until 54))
+    t.optimize()
+    assert(ids(t) === (0 until 4).map(_.toLong).toSet ++ (50 until 54).map(_.toLong))
+    assert(deltaReplayLiveFiles(dir) === t.snapshot.files.map(_.path).toSet)
+    // a clustering domain naming an unknown column DROPS (layout advice,
+    // never data) instead of refusing the whole adoption
+    val dir2 = tmpDir("adopt-liquid-unk-")
+    val (s2, m2) = dataFile(dir2, "part-00000-lcu-c000.snappy.parquet", df(0 until 2))
+    commit(dir2, 0, Seq(infoLine(1619112345000L, "WRITE"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["clustering","domainMetadata"]}}""",
+      metaLine(),
+      addLine("part-00000-lcu-c000.snappy.parquet", s2, m2, 2L),
+      """{"domainMetadata":{"domain":"delta.clustering","configuration":"{\"clusteringColumns\":[[\"nested\",\"col\"]]}","removed":false}}"""))
+    val t2 = GraftTable.adoptDelta(spark, dir2)
+    assert(!t2.snapshot.metaData.properties.contains("clustering.columns"))
+  }
+
+  test("ICT foreign table adopts: the authoritative clock continues monotone") {
+    import spark.implicits._
+    val dir = tmpDir("adopt-ict-")
+    val (s1, m1) = dataFile(dir, "part-00000-ict-c000.snappy.parquet", df(0 until 3))
+    // the foreign inCommitTimestamp deliberately diverges from (and leads)
+    // the legacy timestamp field — the spec makes ICT authoritative, and a
+    // continuation keyed off the legacy field would emit a NON-monotone
+    // authoritative clock
+    val foreignIct = System.currentTimeMillis() + 3600L * 1000
+    commit(dir, 0, Seq(
+      s"""{"commitInfo":{"timestamp":1619112345000,"inCommitTimestamp":$foreignIct,"operation":"WRITE","operationParameters":{},"operationMetrics":{}}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["inCommitTimestamp","invariants"]}}""",
+      metaLine(configuration = Map(
+        "delta.enableInCommitTimestamps" -> "true",
+        "delta.inCommitTimestampEnablementVersion" -> "0",
+        "delta.inCommitTimestampEnablementTimestamp" -> foreignIct.toString)),
+      addLine("part-00000-ict-c000.snappy.parquet", s1, m1, 3L)))
+    val t = GraftTable.adoptDelta(spark, dir)
+    t.append(df(50 until 52))
+    // every continued commit carries the ICT field, strictly above the
+    // foreign clock (never reset to wall time behind it)
+    (1L to t.latestVersion).foreach { v =>
+      val ci = Files.readAllLines(Paths.get(dir, "_delta_log",
+        f"$v%020d.json")).asScala.map(mapper.readTree)
+        .find(_.has("commitInfo")).map(_.get("commitInfo")).get
+      assert(ci.has("inCommitTimestamp"), s"v$v must carry the ICT field")
+      assert(ci.get("inCommitTimestamp").asLong() > foreignIct,
+        s"the continued clock must stay monotone past the foreign ICT at v$v")
+    }
+    // history() serves the authoritative clock for the FOREIGN commit too
+    val h0 = t.history().filter(col("version") === 0L)
+      .select("timestamp").head.getTimestamp(0).getTime
+    assert(h0 === foreignIct)
+    assert(deltaReplayLiveFiles(dir) === t.snapshot.files.map(_.path).toSet)
+  }
 
   test("CHECKPOINT-ONLY v2 foreign log adopts: zero JSON commits, the v2 manifest is the seed") {
     import org.apache.spark.sql.Row

@@ -202,9 +202,13 @@ class DeltaWriteCompatSpec extends SparkTestBase {
     t2.setProperty(DeltaWriteCompat.Prop, "true")
     // changeDataFeed is compat-legal on unpartitioned tables since the
     // CDF emission landed (see the dedicated CDF test); NAME-mode column
-    // mapping emits the standard delta spelling since round 15 — but ID
-    // mode still refuses (graft writes no parquet field ids)
-    intercept[GraftProtocolException](t2.setProperty("columnMapping.mode", "id"))
+    // mapping emits the standard delta spelling since round 15. ID mode
+    // cannot be ENABLED on an existing table (its pre-mapping files carry
+    // no field ids — delta has the same restriction; it arrives only via
+    // adoptDelta, round 16) — setProperty refuses up front
+    val eId = intercept[IllegalArgumentException](
+      t2.setProperty("columnMapping.mode", "id"))
+    assert(eId.getMessage.contains("cannot be enabled on an existing table"))
     t2.append(seed(1)) // the table itself stays healthy after refusals
     assert(t2.toDF.count() === 4L)
   }
@@ -553,6 +557,201 @@ class DeltaWriteCompatSpec extends SparkTestBase {
     // independent delta replay equality
     assert(deltaReplayLiveFiles(dir).toSet ===
       t2.snapshot.files.map(_.path).toSet)
+  }
+
+  test("mapped compat data files carry parquet field ids matching the committed schema") {
+    import spark.implicits._
+    val dir = tmpDir("dwc-mapids-")
+    val t = GraftTable.create(spark, dir, seed(4))
+    t.setProperty(DeltaWriteCompat.Prop, "true")
+    t.setProperty("columnMapping.mode", "name")
+    t.renameColumn("s", "label") // physical stays "s", id 2
+    t.append(Seq((50L, "x")).toDF("id", "label"))
+    assert(t.delete($"id" === 1L) === 1L) // CoW rewrite path
+    // every live file written under mapping (the append + the rewrite)
+    // must spell the PHYSICAL names and carry the committed field ids —
+    // the delta columnMapping write contract (id-resolving readers bind
+    // new files only through the ids)
+    def footerIds(rel: String): Map[String, Option[Int]] = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(Paths.get(dir, rel).toString),
+        new org.apache.hadoop.conf.Configuration())
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try rd.getFooter.getFileMetaData.getSchema.getFields.asScala
+        .map(f => f.getName -> Option(f.getId).map(_.intValue)).toMap
+      finally rd.close()
+    }
+    val createAdds = logLines(dir, 0L).filter(_.contains("\"add\""))
+      .map(mapper.readTree(_).get("add").get("path").asText()).toSet
+    val mappedWritten = t.snapshot.files.map(_.path).filterNot(createAdds)
+    assert(mappedWritten.nonEmpty, "fixture: DML must have written new files")
+    mappedWritten.foreach { rel =>
+      val ids = footerIds(rel)
+      assert(ids.keySet === Set("id", "s"),
+        s"mapped files spell physical names, got ${ids.keySet} in $rel")
+      assert(ids("id").contains(1) && ids("s").contains(2),
+        s"field ids must match the committed mapping ids, got $ids in $rel")
+    }
+    // pre-mapping files legally carry no ids (name-mode readers resolve
+    // by physicalName); only files written under mapping must
+    val pre = t.snapshot.files.map(_.path).find(createAdds).toSeq
+    pre.foreach(rel => assert(footerIds(rel).values.forall(_.isEmpty),
+      "create-time files predate the mapping — no ids expected"))
+    // the V2 writer path (catalog INSERT) stamps the same ids
+    val beforeV2 = t.snapshot.files.map(_.path).toSet
+    graft.sources.GraftCatalog.register(spark, tmpDir("dwc-mapids-wh-"),
+      name = "mapids")
+    spark.sql(s"CREATE TABLE mapids.default.t USING graft LOCATION '$dir'")
+    spark.sql("INSERT INTO mapids.default.t VALUES (60, 'v2row')")
+    val t2 = GraftTable.forPath(spark, dir)
+    val v2New = t2.snapshot.files.map(_.path).filterNot(beforeV2)
+    assert(v2New.size === 1, s"one V2-written file expected, got $v2New")
+    val v2Ids = footerIds(v2New.head)
+    assert(v2Ids.keySet === Set("id", "s") &&
+        v2Ids("id").contains(1) && v2Ids("s").contains(2),
+      s"the V2 writer must stamp the same physical names + ids, got $v2Ids")
+    assert(t2.toDF.filter($"label" === "v2row").count() === 1L)
+  }
+
+  test("row tracking under compat: standard delta spelling, baseRowId continuity across DML") {
+    import spark.implicits._
+    val dir = tmpDir("dwc-rt-")
+    // one seed file: the CoW delete below must REWRITE it (a per-row file
+    // layout would just drop the whole file, leaving no add to inspect)
+    val t = GraftTable.create(spark, dir, seed(4).coalesce(1))
+    t.setProperty(DeltaWriteCompat.Prop, "true")
+    t.setProperty("rowTracking.enabled", "true")
+    // the enabling commit: standard rowTracking + domainMetadata writer
+    // features, the config mirrors, and the hwm domain (backfill set it)
+    val enable = logLines(dir, t.latestVersion)
+    val protoN = enable.filter(_.contains("\"protocol\""))
+      .map(mapper.readTree(_).get("protocol")).head
+    assert(protoN.get("writerFeatures").toString.contains("rowTracking"))
+    assert(protoN.get("writerFeatures").toString.contains("domainMetadata"))
+    assert(!protoN.get("writerFeatures").toString.contains("graft.rowTracking"),
+      "round 16 emits the STANDARD spelling, not the private name")
+    val metaN = enable.filter(_.contains("\"metaData\""))
+      .map(mapper.readTree(_).get("metaData")).head
+    assert(metaN.get("configuration").get("delta.enableRowTracking")
+      .asText() === "true")
+    assert(metaN.get("configuration")
+      .get("delta.rowTracking.materializedRowIdColumnName").asText() === "_row_id")
+    def domainHwm(lines: Seq[String]): Option[Long] =
+      lines.map(mapper.readTree).find(_.has("domainMetadata")).map { n =>
+        val d = n.get("domainMetadata")
+        assert(d.get("domain").asText() === "delta.rowTracking")
+        mapper.readTree(d.get("configuration").asText())
+          .get("rowIdHighWaterMark").asLong()
+      }
+    assert(domainHwm(enable).contains(3L), "backfill hwm = 4 rows - 1")
+    // DML: append mints ids, CoW delete preserves survivors' ids — the
+    // delta-visible state (baseRowId + materialized column) must agree
+    val idsBefore = t.scanWithRowIds()
+      .select($"id", col(GraftTable.RowIdCol)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    t.append(Seq((50L, "x"), (51L, "y")).toDF("id", "s"))
+    val appendLines = logLines(dir, t.latestVersion)
+    val appendAdd = appendLines.filter(_.contains("\"add\""))
+      .map(mapper.readTree(_).get("add")).head
+    assert(appendAdd.get("baseRowId").asLong() === 4L,
+      "fresh base ids continue above the backfill hwm")
+    assert(appendAdd.get("defaultRowCommitVersion").asLong() === t.latestVersion)
+    assert(domainHwm(appendLines).contains(5L), "hwm advances with the append")
+    assert(t.delete($"id" === 1L) === 1L)
+    val delLines = logLines(dir, t.latestVersion)
+    val delAdd = delLines.filter(_.contains("\"add\""))
+      .map(mapper.readTree(_).get("add")).head
+    // graft's CoW rewrite materializes EVERY surviving row's id into the
+    // new file and deliberately omits a fresh baseRowId (allocating one
+    // would force an hwm MetaData bump, re-introducing metadata conflicts
+    // for concurrent appends). A delta reader's id rule —
+    // coalesce(materialized, base + pos) — never reaches the base for
+    // such files: the materialized column is TOTAL, proven below.
+    assert(delAdd.has("defaultRowCommitVersion"),
+      "rewrite adds still stamp their commit version")
+    val after = t.scanWithRowIds()
+      .select($"id", col(GraftTable.RowIdCol)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    idsBefore.foreach { case (id, rid) =>
+      if (id != 1L) assert(after(id) === rid,
+        s"row $id must keep its id across the CoW delete")
+    }
+    // the rewritten parquet file physically carries the materialized
+    // _row_id column (what the config key promises delta readers), with
+    // NO null — total coverage is what makes the omitted base sound
+    val rewrittenRel = delAdd.get("path").asText()
+    val rewritten = spark.read.parquet(Paths.get(dir,
+      new java.net.URI(rewrittenRel).getPath).toString)
+    assert(rewritten.columns.contains("_row_id"),
+      s"got ${rewritten.columns.toSeq}")
+    assert(rewritten.filter(col("_row_id").isNull).count() === 0L,
+      "every rewritten row must carry its materialized id")
+    // every commit stayed delta-shaped; independent replay equality
+    (2L to t.latestVersion).foreach(assertDeltaShaped(dir, _))
+    assert(deltaReplayLiveFiles(dir).toSet === t.snapshot.files.map(_.path).toSet)
+    // checkpoint leg: drive to the checkpoint interval — the compat
+    // checkpoint must carry the hwm domain + per-add row-id fields so a
+    // delta reader SEEDING from it keeps allocating safely
+    while (t.latestVersion < 10L) t.append(Seq((60L + t.latestVersion, "z")).toDF("id", "s"))
+    assert(Files.exists(Paths.get(dir, "_delta_log",
+      f"${10L}%020d.checkpoint.parquet")))
+    val cp = spark.read.parquet(Paths.get(dir, "_delta_log",
+      f"${10L}%020d.checkpoint.parquet").toString)
+    val cpDom = cp.filter(col("domainMetadata").isNotNull)
+      .select("domainMetadata.domain", "domainMetadata.configuration").collect()
+    assert(cpDom.length === 1 && cpDom(0).getString(0) === "delta.rowTracking")
+    val cpAdds = cp.filter(col("add").isNotNull)
+      .select("add.baseRowId", "add.defaultRowCommitVersion").collect()
+    assert(cpAdds.nonEmpty && cpAdds.forall(r => !r.isNullAt(1)),
+      "checkpointed adds must keep defaultRowCommitVersion")
+    assert(cpAdds.count(r => !r.isNullAt(0)) === cpAdds.length - 1,
+      "every add except the fully-materialized rewrite keeps its baseRowId")
+    // graft itself re-reads its compat checkpoint (fold through the
+    // delta-checkpoint reader) with ids intact
+    val t2 = GraftTable.forPath(spark, dir)
+    assert(t2.scanWithRowIds().select(col(GraftTable.RowIdCol)).distinct().count()
+      === t2.toDF.count())
+  }
+
+  test("in-commit timestamps under compat: feature declared, the replayed clock equals history") {
+    import spark.implicits._
+    val dir = tmpDir("dwc-ict-")
+    val t = GraftTable.create(spark, dir, seed(3))
+    t.setProperty(DeltaWriteCompat.Prop, "true")
+    t.setProperty("delta.enableInCommitTimestamps", "true")
+    val enableV = t.latestVersion
+    // the enabling commit declares the feature and pins the enablement
+    // markers delta 4.x readers use to locate the clock switch
+    val enable = logLines(dir, enableV)
+    val protoN = enable.map(mapper.readTree).find(_.has("protocol"))
+      .map(_.get("protocol")).get
+    assert(protoN.get("writerFeatures").toString.contains("inCommitTimestamp"))
+    val metaN = enable.map(mapper.readTree).find(_.has("metaData"))
+      .map(_.get("metaData")).get
+    assert(metaN.get("configuration")
+      .get("delta.inCommitTimestampEnablementVersion").asText().toLong === enableV)
+    assert(metaN.get("configuration")
+      .has("delta.inCommitTimestampEnablementTimestamp"))
+    t.append(Seq((10L, "a")).toDF("id", "s"))
+    t.append(Seq((11L, "b")).toDF("id", "s"))
+    // every post-enablement commitInfo carries the authoritative field,
+    // equal to the legacy timestamp (one monotone clock, two spellings)
+    val icts = (enableV to t.latestVersion).map { v =>
+      val ci = logLines(dir, v).map(mapper.readTree)
+        .find(_.has("commitInfo")).map(_.get("commitInfo")).get
+      assert(ci.has("inCommitTimestamp"), s"v$v must carry the ICT field")
+      assert(ci.get("inCommitTimestamp").asLong() === ci.get("timestamp").asLong())
+      ci.get("inCommitTimestamp").asLong()
+    }
+    assert(icts == icts.sorted && icts.distinct.length == icts.length,
+      s"the ICT clock must be strictly monotone: $icts")
+    // the independent replay's clock equals graft's own history()
+    val hist = t.history().select("version", "timestamp").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    (enableV to t.latestVersion).zip(icts).foreach { case (v, ict) =>
+      assert(hist(v) === ict, s"history must serve the ICT clock at v$v")
+    }
+    (2L to t.latestVersion).foreach(assertDeltaShaped(dir, _))
   }
 
   test("VARIANT under compat: the variantType feature gates the emitted protocol, shred stats intact") {

@@ -101,7 +101,7 @@ class TimestampNtzSpec extends SparkTestBase {
     assert(spark.table("ntz_cat_stream").count() === 5L)
   }
 
-  test("NTZ under compat: timestampNtz gates the emitted delta protocol; stats emit as micros") {
+  test("NTZ under compat: timestampNtz gates the emitted delta protocol; stats emit as ISO strings") {
     import spark.implicits._
     val dir = tmpDir("ntz-compat-")
     val t = GraftTable.create(spark, dir, ntzDf(4))
@@ -115,12 +115,26 @@ class TimestampNtzSpec extends SparkTestBase {
     assert(protoNode.get("minReaderVersion").asInt() === 3)
     assert(protoNode.get("readerFeatures").toString.contains("timestampNtz"))
     assert(protoNode.get("writerFeatures").toString.contains("timestampNtz"))
-    // NTZ min/max emit as JSON NUMBERS (micros) in the delta stats string
+    // NTZ min/max emit as zoneless ISO-8601 strings in the delta stats
+    // (delta's spelling — a JSON number would read back as epoch SECONDS
+    // in delta's stats parser, million-fold-off bounds; the native log
+    // keeps micros, and round-16 DataSkipping parses the ISO form back)
     val addNode = logLines(t.latestVersion)
       .filter(_.contains("\"add\"")).map(mapper.readTree(_).get("add")).head
     val st = mapper.readTree(addNode.get("stats").asText())
-    assert(st.get("minValues").get("ts").isNumber,
-      s"NTZ stats must emit as micros numbers: $st")
+    val minTs = st.get("minValues").get("ts")
+    assert(minTs.isTextual && minTs.asText().contains("T") &&
+        !minTs.asText().endsWith("Z"),
+      s"NTZ stats must emit as zoneless ISO strings: $st")
+    // a FRESH fold of the compat log still prunes on the NTZ range —
+    // the ISO stats parse back to the same local micros
+    val fresh = GraftTable.forPath(spark, dir)
+    val ntzLit = org.apache.spark.sql.functions.lit("2024-03-01 02:00:00")
+      .cast(TimestampNTZType)
+    val kept = fresh.prunedFiles(fresh.snapshot,
+      org.apache.spark.sql.functions.col("ts") >= ntzLit)
+    assert(kept.size < fresh.snapshot.files.size,
+      s"ISO NTZ stats must still drive pruning: kept ${kept.size}")
   }
 
   test("FOREIGN delta table with an NTZ column reads natively") {
@@ -142,13 +156,21 @@ class TimestampNtzSpec extends SparkTestBase {
       """{"commitInfo":{"timestamp":1619112345000,"operation":"WRITE","operationMetrics":{}}}""",
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz"]}}""",
       s"""{"metaData":{"id":"ntz-foreign-1","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(schemaJson)},"partitionColumns":[],"configuration":{},"createdTime":1619112344000}}""",
-      s"""{"add":{"path":"part-00000-ntz-c000.snappy.parquet","partitionValues":{},"size":${Files.size(target)},"modificationTime":${Files.getLastModifiedTime(target).toMillis},"dataChange":true,"stats":"{\\"numRecords\\":4,\\"minValues\\":{},\\"maxValues\\":{},\\"nullCount\\":{}}"}}"""
+      s"""{"add":{"path":"part-00000-ntz-c000.snappy.parquet","partitionValues":{},"size":${Files.size(target)},"modificationTime":${Files.getLastModifiedTime(target).toMillis},"dataChange":true,"stats":"{\\"numRecords\\":4,\\"minValues\\":{\\"ts\\":\\"2024-03-01T00:30:00.000000\\"},\\"maxValues\\":{\\"ts\\":\\"2024-03-01T03:30:00.000000\\"},\\"nullCount\\":{\\"ts\\":0}}"}}"""
     ).mkString("", "\n", "\n").getBytes("UTF-8"))
     val t = GraftTable.forPath(spark, dir)
     assert(t.snapshot.schema("ts").dataType === TimestampNTZType)
     assert(t.toDF.selectExpr("CAST(ts AS STRING)").collect()
       .map(_.getString(0)).toSet
       .contains("2024-03-01 03:30:00"))
+    // delta spells timestamp stats as ISO strings — they must DRIVE
+    // pruning (round 16): out-of-range prunes the file, in-range keeps it
+    def keptFor(litS: String) = t.prunedFiles(t.snapshot,
+      org.apache.spark.sql.functions.col("ts") >=
+        org.apache.spark.sql.functions.lit(litS).cast(TimestampNTZType)).size
+    assert(keptFor("2024-03-02 00:00:00") === 0,
+      "an out-of-range NTZ predicate must prune off the foreign ISO stats")
+    assert(keptFor("2024-03-01 01:00:00") === 1)
     // and ADOPTION continues it (the NTZ leg of the widened allowlist)
     val adopted = GraftTable.adoptDelta(spark, dir)
     adopted.append(ntzDf(1).withColumn("id", $"id" + 100))
