@@ -70,7 +70,8 @@ object Bucketing {
       scala.util.Try(v.trim.toInt).toOption)
     if n > 0
   } yield (c, n)).map { case (c, n) =>
-    if (!meta.properties.get("columnMapping.mode").exists(_.equalsIgnoreCase("name")))
+    if (!meta.properties.get("columnMapping.mode").exists(m =>
+        m.equalsIgnoreCase("name") || m.equalsIgnoreCase("id")))
       (c, n)
     else {
       val schema = DataType.fromJson(meta.schemaString).asInstanceOf[StructType]

@@ -4086,14 +4086,16 @@ object GraftTable {
     // fold ignores — adoption is where it translates into graft's native
     // spellings (properties), after which every graft commit maintains it
     // and the compat emitter derives the delta domain back per commit.
+    val jm = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rtEnabled = flag("delta.enableRowTracking")
+    // the refusal is scoped to ENABLED row tracking: with it off, any
+    // materialized column in old files is dead data graft never reads
     val matName = conf.get("delta.rowTracking.materializedRowIdColumnName")
-    if (matName.exists(_ != GraftTable.RowIdCol))
+    if (rtEnabled && matName.exists(_ != GraftTable.RowIdCol))
       refuse(s"rowTracking materializes row ids under column " +
         s"'${matName.get}' — graft's reader binds the constant " +
         s"${GraftTable.RowIdCol}, so rewritten rows' ids would silently " +
         "recompute from position")
-    val jm = new com.fasterxml.jackson.databind.ObjectMapper()
-    val rtEnabled = flag("delta.enableRowTracking")
     val rowIdHwm: Option[Long] =
       if (!rtEnabled) None
       else {
