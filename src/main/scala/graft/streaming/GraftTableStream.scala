@@ -412,7 +412,14 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
         // row exactly like data files; an empty map is graft-native
         // (columns IN the file). A partitioned FOREIGN cdc action without
         // values is malformed — refuse loudly, never stream silent NULLs.
-        if (cdc.nonEmpty) cdc.foreach { c =>
+        if (cdc.nonEmpty) {
+          // compat-written sidecars spell PHYSICAL names like foreign
+          // delta cdc files (round 16) — per-VERSION dispatch by the
+          // governing metaData, so mixed histories (compat enabled
+          // mid-life) stream each sidecar in its written spelling
+          val compatV = graft.table.DeltaWriteCompat
+            .enabled(log.snapshotAt(v).metaData)
+          cdc.foreach { c =>
           val colsFromAction = graft.table.ColumnMapping
             .cdcPartitionValues(schema, partitionCols, c.partitionValues)
             .isDefined
@@ -428,11 +435,13 @@ class GraftMicroBatchStream(tablePath: String, schema: StructType,
             constOverrides = Seq("_commit_version" -> v.toString,
               "_commit_timestamp" -> commitTs),
             // partitionColsInFile also selects the requested NAME SPACE:
-            // graft-native sidecars are logical-named; foreign delta cdc
-            // files spell physical names (+ field ids in id mode), so a
-            // foreign unpartitioned cdc must still take the physical
-            // branch or column mapping would decode silent NULLs
-            partitionColsInFile = !colsFromAction && !foreignProvenance)
+            // graft-native sidecars are logical-named; foreign delta and
+            // graft-compat cdc files spell physical names (+ field ids in
+            // id mode), so those take the physical branch or column
+            // mapping would decode silent NULLs
+            partitionColsInFile = !colsFromAction && !foreignProvenance &&
+              !compatV)
+        }
         }
         else if (removes.isEmpty) insertParts(adds.filter(dataChanging), v)
         else throw new IllegalStateException(

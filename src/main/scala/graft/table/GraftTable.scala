@@ -1590,18 +1590,24 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
             s"$v carries no partitionValues; the change feed cannot " +
             "reconstitute its partition columns")
       val foreignTable = cur.metaData.properties.contains(Actions.DeltaReadMarker)
+      // compat-written sidecars spell PHYSICAL names like foreign delta
+      // cdc files (round 16) — dispatch per VERSION by the governing
+      // metaData, so mixed histories (compat enabled mid-life) read each
+      // sidecar in the spelling it was written with
+      val compatV = DeltaWriteCompat.enabled(cur.metaData)
       val inFileDf =
         if (inFile.isEmpty) Nil
-        else if (!foreignTable)
+        else if (!foreignTable && !compatV)
           // graft-native sidecars are written from LOGICAL-named frames
           // (writeCdcFiles) — request logical names directly
           Seq(spark.read.schema(cdcSchema)
             .parquet(inFile.map(c => Paths.get(path, c.path).toString): _*))
         else {
-          // FOREIGN delta cdc files spell PHYSICAL column names (and carry
-          // field ids in id mode) — read physically, rename back to
-          // logical, exactly like data files; a logical-named request
-          // would silently serve NULL columns under column mapping
+          // FOREIGN delta and graft-compat cdc files spell PHYSICAL
+          // column names (and carry field ids in id mode) — read
+          // physically, rename back to logical, exactly like data files;
+          // a logical-named request would silently serve NULL columns
+          // under column mapping
           val physFull = ColumnMapping.physicalSchema(cur.schema)
             .add(StructField("_change_type", StringType, nullable = false))
           ensureFieldIdResolution(physFull)
@@ -2603,9 +2609,41 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // (partition columns IN the file), so pre-existing sidecars and new
     // ones coexist: the shape is per-file, told by the action's map.
     val partCols = s.metaData.partitionColumns
-    val deltaShape = partCols.nonEmpty && DeltaWriteCompat.enabled(s.metaData)
-    if (deltaShape) change.write.partitionBy(partCols: _*).parquet(staging.toString)
-    else change.write.parquet(staging.toString)
+    val compat = DeltaWriteCompat.enabled(s.metaData)
+    val deltaShape = partCols.nonEmpty && compat
+    // Under compat the cdc DATA columns spell their PHYSICAL names (+ the
+    // mapping's parquet field ids) — exactly like data files. A logical
+    // spelling would silently decode as NULL for any renamed column, both
+    // in a real delta CDF reader and in graft's own physical-requesting
+    // shaped read (round 16; previously only partition-column handling
+    // was delta-shaped and a mapped+renamed+CDF compat table misread).
+    // Native (non-compat) sidecars stay logical-named — their readers
+    // request logical names, dispatched per-version by the governing
+    // metaData's compat flag.
+    val changeW =
+      if (!compat) change
+      else {
+        val metaW =
+          if (DeltaWriteCompat.stampsIds(s.metaData))
+            DeltaWriteCompat.withFieldIds(s.metaData)
+          else s.metaData
+        val schemaW = org.apache.spark.sql.types.DataType
+          .fromJson(metaW.schemaString).asInstanceOf[StructType]
+        val byName = schemaW.fields.map(f => f.name -> f).toMap
+        val c0 = change
+        c0.select(c0.columns.toIndexedSeq.map(c =>
+          byName.get(c).map(ColumnMapping.physicalWriteColumn)
+            .getOrElse(col(c))): _*)
+      }
+    val physParts =
+      if (!compat) partCols
+      else {
+        val schema = org.apache.spark.sql.types.DataType
+          .fromJson(s.metaData.schemaString).asInstanceOf[StructType]
+        partCols.map(ColumnMapping.physicalOf(schema, _))
+      }
+    if (deltaShape) changeW.write.partitionBy(physParts: _*).parquet(staging.toString)
+    else changeW.write.parquet(staging.toString)
     Files.createDirectories(Paths.get(path, "_cdc"))
     val parts = Files.walk(staging).iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))

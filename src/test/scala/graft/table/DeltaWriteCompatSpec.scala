@@ -438,6 +438,86 @@ class DeltaWriteCompatSpec extends SparkTestBase {
     assert(got === Set((2L, "a", "delete"), (3L, "b", "delete")), s"got $got")
   }
 
+  test("CDF under compat + column mapping: cdc files spell PHYSICAL names; both feeds read back") {
+    import spark.implicits._
+    val dir = tmpDir("dwc-cdf-map-")
+    val t = GraftTable.create(spark, dir,
+      Seq((1L, "a", "x1"), (2L, "a", "x2"), (3L, "b", "x3"), (4L, "b", "x4"))
+        .toDF("id", "p", "s"),
+      partitionBy = Seq("p"))
+    t.setProperty(DeltaWriteCompat.Prop, "true")
+    t.setProperty("columnMapping.mode", "name")
+    t.setProperty("changeDataFeed.enabled", "true")
+    t.renameColumn("s", "label") // physical stays "s", logical diverges
+    t.delete($"id".isin(2L, 3L)) // touches BOTH partitions
+    val v = t.latestVersion
+    assertDeltaShaped(dir, v)
+    // the cdc FILES spell the PHYSICAL column name — a logical spelling
+    // would silently NULL the renamed column for every delta CDF reader
+    // AND for graft's own physical-requesting shaped read (round 16)
+    val cdcNodes = logLines(dir, v).filter(_.contains("\"cdc\""))
+      .map(l => mapper.readTree(l).get("cdc"))
+    assert(cdcNodes.nonEmpty)
+    cdcNodes.foreach { c =>
+      val f = spark.read.parquet(Paths.get(dir,
+        new java.net.URI(c.get("path").asText()).getPath).toString)
+      assert(f.columns.toSet === Set("id", "s", "_change_type"),
+        s"cdc files must spell physical names (partition col omitted), " +
+          s"got ${f.columns.toSeq}")
+    }
+    // batch changes(): logical names, renamed column VALUES intact
+    val ch = t.changes(v - 1, v).select("id", "p", "label", "_change_type")
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(ch === Set((2L, "a", "x2", "delete"), (3L, "b", "x3", "delete")),
+      s"got $ch")
+    // the CDF stream decodes the same sidecars through the reader factory
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", v)
+      .load(dir)
+      .writeStream.format("memory").queryName("dwc_map_cdf")
+      .option("checkpointLocation", tmpDir("dwc-cdf-map-ckpt-"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("dwc_map_cdf").select("id", "p", "label", "_change_type")
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(got === ch, s"stream/batch CDF parity: $got vs $ch")
+    // a pre-compat NATIVE sidecar in the same table's history would read
+    // logical — per-version dispatch, pinned by the existing mixed-shape
+    // coverage; here the post-enable feed replays delta-shaped end to end
+    assert(deltaReplayLiveFiles(dir).toSet === t.snapshot.files.map(_.path).toSet)
+  }
+
+  test("mixed cdc history: native (logical) sidecars and compat (physical) sidecars both replay") {
+    import spark.implicits._
+    val dir = tmpDir("dwc-cdf-mixed-")
+    val t = GraftTable.create(spark, dir,
+      Seq((1L, "x1"), (2L, "x2"), (3L, "x3"), (4L, "x4")).toDF("id", "s"))
+    t.setProperty("changeDataFeed.enabled", "true")
+    t.delete($"id" === 1L) // NATIVE sidecar: logical-named columns
+    val vNative = t.latestVersion
+    t.setProperty(DeltaWriteCompat.Prop, "true")
+    t.setProperty("columnMapping.mode", "name")
+    t.renameColumn("s", "label")
+    t.delete($"id" === 2L) // COMPAT sidecar: physical-named columns
+    val vCompat = t.latestVersion
+    // per-VERSION dispatch: the pre-compat sidecar reads logical, the
+    // post-compat one physical — one feed serves both spellings. (The
+    // pre-rename delete is read through ITS version's schema, where the
+    // column was still logically named s.)
+    val t2 = GraftTable.forPath(spark, dir)
+    val chNative = t2.changes(vNative - 1, vNative)
+      .select("id", "s", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(chNative === Set((1L, "x1", "delete")), s"got $chNative")
+    val chCompat = t2.changes(vCompat - 1, vCompat)
+      .select("id", "label", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(chCompat === Set((2L, "x2", "delete")), s"got $chCompat")
+    assert(t2.toDF.count() === 2L)
+  }
+
   test("BUCKETED tables under compat: v7 graft.bucketing gates foreign writers; layout round-trips") {
     import spark.implicits._
     val dir = tmpDir("dwc-bucket-")
