@@ -229,13 +229,16 @@ final class GraftLog(val tablePath: String,
         size > 256
     }
 
-  /** Newest configuration JSON of a delta `domainMetadata` domain in the
-    * retained JSON tail (head → earliest), None when absent or when the
-    * newest mention removed the domain. Graft's own fold skips domain
-    * actions (IgnoredAction) — this raw scan is how ADOPTION folds the
-    * engine state delta keeps in domains (the rowTracking high-water
-    * mark, liquid clustering columns) into graft's native spellings. */
-  private[table] def domainConfig(domain: String): Option[String] = {
+  /** Newest mention of a delta `domainMetadata` domain in the retained
+    * JSON tail (head → earliest): Some(Some(cfg)) when present,
+    * Some(None) when the newest mention REMOVED it (a checkpoint fallback
+    * must not resurrect it), None when the tail never mentions it (the
+    * domain may still live in a checkpoint — domains survive metadata
+    * cleanup only there). Graft's own fold skips domain actions
+    * (IgnoredAction) — this raw scan is how ADOPTION folds the engine
+    * state delta keeps in domains (the rowTracking high-water mark,
+    * liquid clustering columns) into graft's native spellings. */
+  private[table] def domainConfig(domain: String): Option[Option[String]] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val first = earliestVersion
     var v = latestVersion
@@ -249,14 +252,21 @@ final class GraftLog(val tablePath: String,
               .filter(_.get("domain").asText() == domain)
           }
         hits.lastOption.foreach { n =>
-          return if (Option(n.get("removed")).exists(_.asBoolean())) None
-                 else Some(n.get("configuration").asText())
+          return if (Option(n.get("removed")).exists(_.asBoolean())) Some(None)
+                 else Some(Some(n.get("configuration").asText()))
         }
       }
       v -= 1
     }
     None
   }
+
+  /** The delta checkpoint file set at the `_last_checkpoint` version —
+    * adoption's domain fallback reads domainMetadata rows from it when
+    * the JSON tail never mentions the domain (metadata cleanup leaves
+    * the checkpoint as the only carrier). */
+  private[table] def checkpointFilesForDomains: Seq[Path] =
+    lastCheckpointPointer.toSeq.flatMap(deltaCheckpointFiles)
 
   def readVersion(v: Long): Seq[Action] = synchronized {
     val cached = actionCache.get(v)

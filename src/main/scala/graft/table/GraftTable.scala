@@ -4134,10 +4134,50 @@ object GraftTable {
         s"'${matName.get}' — graft's reader binds the constant " +
         s"${GraftTable.RowIdCol}, so rewritten rows' ids would silently " +
         "recompute from position")
+    // Domain lookup: gated on the domainMetadata writer feature (a log
+    // without it can carry no domains — plain adoptions never pay the
+    // tail re-read), tail-first, falling back to the _last_checkpoint
+    // files when the tail never mentions the domain (after delta's
+    // metadata cleanup the checkpoint is the only carrier). An explicit
+    // tail REMOVAL is terminal — the fallback must not resurrect it.
+    def checkpointDomain(domain: String): Option[String] = {
+      val files = log.checkpointFilesForDomains
+      if (files.isEmpty) return None
+      val (jsonF, pqF) = files.partition(_.toString.endsWith(".json"))
+      val fromJson = jsonF.flatMap { f =>
+        Files.readAllLines(f).asScala
+          .filter(_.contains("\"domainMetadata\""))
+          .flatMap(l => Option(jm.readTree(l).get("domainMetadata"))
+            .filter(_.get("domain").asText() == domain))
+      }.lastOption.flatMap(n =>
+        if (Option(n.get("removed")).exists(_.asBoolean())) None
+        else Some(n.get("configuration").asText()))
+      fromJson.orElse {
+        if (pqF.isEmpty) None
+        else scala.util.Try {
+          val df = spark.read.parquet(pqF.map(_.toString): _*)
+          if (!df.columns.contains("domainMetadata")) None
+          else df
+            .filter(col("domainMetadata.domain") === domain)
+            .select(col("domainMetadata.configuration"),
+              col("domainMetadata.removed"))
+            .collect().headOption
+            .filterNot(r => !r.isNullAt(1) && r.getBoolean(1))
+            .map(_.getString(0))
+        }.toOption.flatten
+      }
+    }
+    val hasDomains = p.writerFeatures.contains("domainMetadata")
+    def domainOf(domain: String): Option[String] =
+      if (!hasDomains) None
+      else log.domainConfig(domain) match {
+        case Some(res) => res // found — or explicitly removed in the tail
+        case None => checkpointDomain(domain)
+      }
     val rowIdHwm: Option[Long] =
       if (!rtEnabled) None
       else {
-        val domain = log.domainConfig("delta.rowTracking").flatMap(c =>
+        val domain = domainOf("delta.rowTracking").flatMap(c =>
           scala.util.Try(jm.readTree(c)
             .get("rowIdHighWaterMark").asLong()).toOption)
         // live-derived floor (ids live files provably consumed) and any
@@ -4154,7 +4194,7 @@ object GraftTable {
     // otherwise the domain is dropped — OPTIMIZE then treats the table as
     // unclustered, which is safe (clustering is layout advice, not data)
     val clusteringCols: Option[String] =
-      log.domainConfig("delta.clustering").flatMap(c => scala.util.Try {
+      domainOf("delta.clustering").flatMap(c => scala.util.Try {
         val n = jm.readTree(c).get("clusteringColumns")
         (0 until n.size).map(n.get).map { parts =>
           require(parts.size == 1, "nested clustering column")

@@ -452,6 +452,23 @@ class DeltaAdoptionSpec extends SparkTestBase {
       "dropped data must not resurrect into the re-added column")
     // independent delta-1.0 replay equality over the continued log
     assert(deltaReplayLiveFiles(dir) === t2.snapshot.files.map(_.path).toSet)
+    // V2 catalog leg: the vectorized scan resolves by field id, and the
+    // V2 row writer stamps ids into its files too
+    graft.sources.GraftCatalog.register(spark, tmpDir("adopt-idmap-wh-"),
+      name = "idadopt")
+    spark.sql(s"CREATE TABLE idadopt.default.t USING graft LOCATION '$dir'")
+    assert(spark.sql("SELECT SUM(id) FROM idadopt.default.t").head.getLong(0)
+      === (0L + 2L + 3L + 90L + 91L))
+    val beforeIns = t2.snapshot.files.map(_.path).toSet
+    spark.sql("INSERT INTO idadopt.default.t VALUES (200, 'v2')")
+    val t3 = GraftTable.forPath(spark, dir)
+    val insNew = t3.snapshot.files.map(_.path).filterNot(beforeIns)
+    assert(insNew.size === 1)
+    val insIds = footerIds(insNew.head)
+    assert(insIds("col-1").contains(1),
+      s"the V2 writer must stamp field ids on an adopted id-mode table: $insIds")
+    assert(spark.sql("SELECT s2 FROM idadopt.default.t WHERE id = 200")
+      .head.getString(0) === "v2")
   }
 
   test("delta-spelled identity + generated columns adopt: the rules stay maintained") {
@@ -617,6 +634,72 @@ class DeltaAdoptionSpec extends SparkTestBase {
       addLine("part-00000-rtm-c000.snappy.parquet", s2, m2, 2L)))
     val eMat = intercept[GraftProtocolException](GraftTable.adoptDelta(spark, dir2))
     assert(eMat.getMessage.contains("materializes row ids"), s"got $eMat")
+  }
+
+  test("rowTracking hwm folds from the CHECKPOINT when the JSON tail never mentions the domain") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // delta's metadata cleanup can leave the checkpoint as the ONLY
+    // carrier of the rowTracking domain; a live-derived fallback alone
+    // could re-issue ids a REMOVED file had allocated
+    val dir = tmpDir("adopt-rt-cp-")
+    val (s1, m1) = dataFile(dir, "part-00000-rtc-c000.snappy.parquet", df(0 until 4))
+    commit(dir, 0, Seq(infoLine(1619112345000L, "WRITE"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking","domainMetadata","invariants"]}}""",
+      metaLine(configuration = Map("delta.enableRowTracking" -> "true")),
+      s"""{"add":{"path":"part-00000-rtc-c000.snappy.parquet","partitionValues":{},"size":$s1,"modificationTime":$m1,"dataChange":true,"baseRowId":0,"stats":"{\\"numRecords\\":4,\\"minValues\\":{},\\"maxValues\\":{},\\"nullCount\\":{}}"}}"""))
+    // classic checkpoint at v0: protocol + metaData + add + the domain
+    val cpSchema = StructType(Seq(
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(StructField("provider", StringType)))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType)),
+        StructField("createdTime", LongType)))),
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType),
+        StructField("writerFeatures", ArrayType(StringType))))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("baseRowId", LongType)))),
+      StructField("domainMetadata", StructType(Seq(
+        StructField("domain", StringType),
+        StructField("configuration", StringType),
+        StructField("removed", BooleanType))))))
+    val plainSchema = idSchema.replace("\\\"", "\"")
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row(Row("rtcp-adopt-1", Row("parquet"), plainSchema,
+      Seq.empty[String], Map("delta.enableRowTracking" -> "true"),
+      1619112344000L), null, null, null))
+    rows.add(Row(null, Row(1, 7,
+      Seq("rowTracking", "domainMetadata", "invariants")), null, null))
+    rows.add(Row(null, null, Row("part-00000-rtc-c000.snappy.parquet",
+      Map.empty[String, String], s1, m1, true, 0L), null))
+    rows.add(Row(null, null, null,
+      Row("delta.rowTracking", """{"rowIdHighWaterMark":9}""", false)))
+    val stage = tmpDir("adopt-rt-cp-stage-")
+    spark.createDataFrame(rows, cpSchema)
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val cpPart = Files.list(Paths.get(stage)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    Files.move(Paths.get(cpPart), Paths.get(dir, "_delta_log",
+      f"${0L}%020d.checkpoint.parquet"))
+    Files.write(Paths.get(dir, "_delta_log", "_last_checkpoint"),
+      """{"version":0}""".getBytes("UTF-8"))
+    val t = GraftTable.adoptDelta(spark, dir)
+    assert(t.snapshot.metaData.properties(GraftTable.RowIdHwmKey).toLong === 9L,
+      "the hwm must fold from the checkpoint's domain row (live max is 3)")
+    t.append(df(70 until 72))
+    val fresh = t.scanWithRowIds()
+      .filter(col("id") >= 70L).collect()
+      .map(_.getAs[Long](GraftTable.RowIdCol))
+    assert(fresh.forall(_ > 9L), s"fresh ids must clear the checkpoint hwm: ${fresh.toSeq}")
   }
 
   test("liquid-clustered foreign table adopts: the clustering domain folds onto clustering.columns") {
