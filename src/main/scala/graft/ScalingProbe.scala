@@ -424,6 +424,97 @@ object ScalingProbe {
     spark.stop()
   }
 
+  /** ID-mode + rowTracking adoption probe (round-16): the delta-spark 3.x
+    * default shape at scale — a synthetic id-mode FOREIGN log with `n`
+    * live files, rowTracking enabled, and the row-id high-water-mark
+    * domain living ONLY in the checkpoint (delta's metadata-cleanup
+    * shape; the JSON tail never mentions it), so adoption exercises the
+    * WORST-case domain fold: the tail scan misses and the fallback reads
+    * the n-row checkpoint. REQUIREs the adopting commit stays
+    * metadata-only and O(1)-sized, the hwm folds from the checkpoint
+    * domain (not the live-derived floor), and the id-mode mapping
+    * translates (columnMapping.mode=id + field-id read resolution).
+    * Usage: tools/run.sh graft.ScalingProbe adopt-id [nFiles]. */
+  private def runAdoptIdProbe(n: Int): Unit = {
+    import graft.table._
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = Scratch.dir("graft-adoptidprobe-").toString
+    val logDir = java.nio.file.Paths.get(dir, "_delta_log")
+    java.nio.file.Files.createDirectories(logDir)
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"""ADOPTIDPROBE {"step":"$label","n":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.3f}""")
+      r
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = true,
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("delta.columnMapping.id", 1L)
+          .putString("delta.columnMapping.physicalName", "col-1").build()))).json
+    val protoLine = """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"],"writerFeatures":["columnMapping","rowTracking","domainMetadata","invariants"]}}"""
+    val metaLine = s"""{"metaData":{"id":"adopt-id-probe-1","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(schemaJson)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"1","delta.enableRowTracking":"true"},"createdTime":1619112344000}}"""
+    // each file claims 1000 allocated row ids; the domain's hwm leads the
+    // live-derived floor by a margin the REQUIRE below pins
+    val hwm = n * 1000L + 999999L
+    val domainLine =
+      s"""{"domainMetadata":{"domain":"delta.rowTracking","configuration":"{\\"rowIdHighWaterMark\\":$hwm}","removed":false}}"""
+    def addLine(i: Int): String = {
+      val p = f"part-$i%07d-a-c000.snappy.parquet"
+      s"""{"add":{"path":"$p","partitionValues":{},"size":134217728,"modificationTime":1619112345000,"dataChange":true,"baseRowId":${i * 1000L},"defaultRowCommitVersion":1,"stats":"{\\"numRecords\\":1000,\\"minValues\\":{\\"id\\":${i * 1000L}},\\"maxValues\\":{\\"id\\":${(i + 1) * 1000L}},\\"nullCount\\":{\\"id\\":0}}"}}"""
+    }
+    def info(ts: Long) =
+      s"""{"commitInfo":{"timestamp":$ts,"operation":"WRITE","operationMetrics":{}}}"""
+    timed("author_foreign_log") {
+      java.nio.file.Files.write(logDir.resolve(f"${0L}%020d.json"),
+        Seq(info(1619112345000L), protoLine, metaLine)
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(logDir.resolve(f"${1L}%020d.json"),
+        (info(1619112346000L) +: (0 until n).map(addLine))
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
+      // the checkpoint carries every add + the DOMAIN (tail never does)
+      val stage = Scratch.dir("graft-adoptidprobe-cp-")
+      spark.read.json(
+        (Seq(protoLine, metaLine, domainLine) ++ (0 until n).map(addLine)).toDS)
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        logDir.resolve(f"${1L}%020d.checkpoint.parquet"))
+      java.nio.file.Files.write(logDir.resolve("_last_checkpoint"),
+        s"""{"version":1,"size":${n + 3}}""".getBytes("UTF-8"))
+      // a 10-commit domain-less foreign tail past the checkpoint
+      (2 to 11).foreach { v =>
+        java.nio.file.Files.write(logDir.resolve(f"$v%020d.json"),
+          (info(1619112346000L + v) +: Seq(addLine(n + v)))
+            .mkString("", "\n", "\n").getBytes("UTF-8"))
+      }
+    }
+    val t = timed("adopt_idmode") { GraftTable.adoptDelta(spark, dir) }
+    val adoptFile = logDir.resolve(f"${12L}%020d.json")
+    val adoptBytes = java.nio.file.Files.size(adoptFile)
+    require(java.nio.file.Files.readAllLines(adoptFile).stream()
+        .noneMatch(_.contains("\"add\"")) && adoptBytes < 8192,
+      s"adopting commit must be metadata-only and O(1)-sized, got $adoptBytes bytes")
+    println(s"""ADOPTIDPROBE {"step":"adopt_commit_bytes","n":$n,"bytes":$adoptBytes}""")
+    val props = t.snapshot.metaData.properties
+    require(props.get("columnMapping.mode").contains("id"),
+      "id-mode mapping must translate")
+    require(props.get(GraftTable.RowIdHwmKey).map(_.toLong).contains(hwm),
+      s"the hwm must fold from the CHECKPOINT domain ($hwm), got " +
+        s"${props.get(GraftTable.RowIdHwmKey)} — the live floor alone " +
+        "would re-issue removed files' ids")
+    spark.stop()
+  }
+
   /** Shallow-clone scan-planning probe (round-15 brief): a partitioned
     * table with `n` DISTINCT partition values, shallow-cloned, then the
     * clone's FIRST scan is planned and executed. REQUIREs the plan holds
@@ -494,6 +585,10 @@ object ScalingProbe {
     }
     if (args.headOption.contains("adopt")) {
       runAdoptProbe(args.drop(1).headOption.map(_.toInt).getOrElse(100000))
+      return
+    }
+    if (args.headOption.contains("adopt-id")) {
+      runAdoptIdProbe(args.drop(1).headOption.map(_.toInt).getOrElse(100000))
       return
     }
     if (args.headOption.contains("log")) {
