@@ -471,6 +471,58 @@ class DeltaAdoptionSpec extends SparkTestBase {
       .head.getString(0) === "v2")
   }
 
+  test("adopted ID-mode table with deletionVectors: merge-on-read DML continues") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // the delta-spark 3.x DEFAULT table: id-mode mapping + DVs enabled.
+    // Merge-on-read DML after adoption must tombstone through genuine
+    // delta-format descriptors while every read binds by field id.
+    val dir = tmpDir("adopt-iddv-")
+    val fileSchema = StructType(Seq(
+      StructField("x1", LongType, nullable = true,
+        metadata = new MetadataBuilder().putLong("parquet.field.id", 1L).build()),
+      StructField("x2", StringType, nullable = true,
+        metadata = new MetadataBuilder().putLong("parquet.field.id", 2L).build())))
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val (s1, m1) = dataFile(dir, "part-00000-iddv-c000.snappy.parquet",
+      spark.createDataFrame(df(0 until 6).coalesce(1).rdd, fileSchema))
+    val mappedSchema = StructType(Seq(
+      field("id", "col-1", 1L, LongType),
+      field("s", "col-2", 2L, StringType)))
+    commit(dir, 0, Seq(infoLine(1619112345000L, "WRITE"),
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping","deletionVectors"],"writerFeatures":["columnMapping","deletionVectors","invariants"]}}""",
+      s"""{"metaData":{"id":"gggg-adopt-7777","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(mappedSchema.json)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"2","delta.enableDeletionVectors":"true"},"createdTime":1619112344000}}""",
+      addLine("part-00000-iddv-c000.snappy.parquet", s1, m1, 6L)))
+    val t = GraftTable.adoptDelta(spark, dir)
+    assert(t.snapshot.metaData.properties.get("deletionVectors.enabled")
+      .contains("true"))
+    // merge-on-read DELETE: zero files rewritten, a delta-format
+    // descriptor on the re-add (readable by DV-capable delta readers)
+    assert(t.delete($"id".isin(1L, 4L)) === 2L)
+    val delLines = Files.readAllLines(Paths.get(dir, "_delta_log",
+      f"${t.latestVersion}%020d.json")).asScala
+    val addN = delLines.map(mapper.readTree).find(_.has("add")).map(_.get("add")).get
+    assert(addN.get("path").asText() === "part-00000-iddv-c000.snappy.parquet",
+      "merge-on-read must re-add the SAME data file")
+    assert(addN.has("deletionVector") &&
+        addN.get("deletionVector").get("storageType").asText() == "u",
+      s"the re-add must carry a delta-format DV descriptor: $addN")
+    assert(ids(t) === Set(0L, 2L, 3L, 5L))
+    // fresh fold: id resolution + DV tombstones both re-bind
+    assert(ids(GraftTable.forPath(spark, dir)) === Set(0L, 2L, 3L, 5L))
+    // a MERGE over the tombstoned id-mode table: matched update never
+    // resurrects tombstoned rows; the insert allocates through conform
+    t.merge(df(3 until 5).withColumn("s", concat($"s", lit("U"))), "t.id = s.id")
+      .whenMatchedUpdate(Map("s" -> "s.s"))
+      .whenNotMatchedInsert(Map("id" -> "s.id", "s" -> "s.s"))
+      .execute()
+    val rows = t.toDF.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.keySet === Set(0L, 2L, 3L, 4L, 5L))
+    assert(rows(3L) === "row3U", "matched row updated")
+    assert(rows(4L) === "row4U", "tombstoned id re-inserted as a fresh row")
+    assert(deltaReplayLiveFiles(dir) === t.snapshot.files.map(_.path).toSet)
+  }
+
   test("delta-spelled identity + generated columns adopt: the rules stay maintained") {
     import spark.implicits._
     import org.apache.spark.sql.types._
