@@ -242,12 +242,15 @@ object GraftProcedures {
       ("property", "optimizeWrite.enabled",
         "pre-shuffle partitioned writes on the partition columns: one file per partition value instead of tasks x values"),
       ("property", "rowTracking.enabled", "stable row ids materialized through rewrites; SELECT _row_id"),
-      ("property", "columnMapping.mode", "name-based column mapping: RENAME/DROP COLUMN without rewriting data"),
+      ("property", "columnMapping.mode",
+        "column mapping: RENAME/DROP COLUMN without rewriting data; name mode is enableable, id mode arrives via adopt_delta (mapped compat writes stamp parquet field ids)"),
+      ("property", "delta.enableInCommitTimestamps",
+        "in-commit timestamps under compat: commitInfo carries the authoritative inCommitTimestamp + the delta 4.x feature; enablement markers pinned at the enabling commit"),
       ("property", "appendOnly", "reject deletes/updates/truncates at the commit gate"),
       ("property", "dataSkipping.numIndexedCols",
         "min/max/null stats recorded for the first N schema columns only (default 32, Delta's default); partition/clustering/identity columns always kept; -1 indexes every column"),
       ("property", "compat.delta.write",
-        "emit commits and checkpoints in genuine delta-1.0 action shape so real Delta readers open the table; graft keeps writing it (ownership markers); refuses DV/CDF/columnMapping/VARIANT"),
+        "emit commits and checkpoints in genuine delta action shape so real Delta readers open the table; graft keeps writing it (ownership markers); DV/CDF/columnMapping/VARIANT/NTZ/rowTracking/ICT all emit standard spellings — only pre-compat native DV sidecars refuse"),
       ("property", "bucketing.column",
         "hash bucketing (+ bucketing.count): files land in hidden __bucket dirs by pmod(hash(col), n); two same-shape bucketed CATALOG tables join with zero shuffle (bucket SPJ); create-time only"))
 
