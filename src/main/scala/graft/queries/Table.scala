@@ -2024,6 +2024,56 @@ object TableQueries {
         |SELECT n_regionkey, COUNT(*) AS n,
         |  CAST(SUM(n_regionkey * 2) AS BIGINT) AS sum_rk2
         |FROM live GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
+
+    // ---- Adopt a TYPE-WIDENED delta table (round 17) ------------------------------
+    // q157's shape across an ADOPTION boundary: the foreign table's only
+    // file is INT32-typed under a BIGINT schema carrying delta's
+    // typeChanges record and the typeWidening feature — until this round
+    // the feature refused adoption outright. The fixture REQUIREs the
+    // adoption is metadata-only, the continued protocol keeps the
+    // feature declared (a pre-widening delta reader must refuse, never
+    // misread INT32 as BIGINT), a post-adoption graft widen APPENDS to
+    // the typeChanges history, and an independent jackson replay equals
+    // graft's live set. The oracle aggregates both type eras.
+    "q201_adopt_widened" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = widenAdoptedTable(s, dir)
+        t.toDF.agg(
+          sum($"v").as("sum_v"),
+          count(lit(1)).as("n_rows"),
+          max($"v").as("max_v"))
+      },
+      """SELECT CAST(SUM(v) AS BIGINT) AS sum_v,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(MAX(v) AS BIGINT) AS max_v
+        |FROM (SELECT CAST(n_regionkey AS BIGINT) AS v FROM nation
+        |      UNION ALL
+        |      SELECT n_regionkey + 10000000000 FROM nation)""".stripMargin),
+
+    // ---- Adopt a delta table with COLUMN DEFAULTS (round 17) ----------------------
+    // delta's allowColumnDefaults spells defaults in Spark's own
+    // CURRENT_DEFAULT field metadata — the exact keys graft's SET
+    // DEFAULT machinery maintains, so the schema adopts VERBATIM and a
+    // SQL INSERT that omits the column receives the adopted default.
+    // The fixture REQUIREs the filled value and that graft's own SET
+    // DEFAULT keeps maintaining the same metadata afterwards; the
+    // oracle pins the per-status aggregate.
+    "q202_adopt_defaults" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = defaultsAdoptedTable(s, dir)
+        t.toDF.groupBy($"status")
+          .agg(count(lit(1)).as("n"),
+               sum($"n_nationkey".cast("long")).as("sum_k"))
+          .orderBy($"status")
+      },
+      """WITH live AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, 'orig' AS status FROM nation
+        |  UNION ALL SELECT 9001, 'fresh'
+        |  UNION ALL SELECT 9002, 'newer')
+        |SELECT status, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sum_k
+        |FROM live GROUP BY status ORDER BY status""".stripMargin),
   )
 
   /** q191's adopted table, memoized per (JVM, dir): a hand-authored
@@ -2504,10 +2554,18 @@ object TableQueries {
         f.copy(metadata = new MetadataBuilder()
           .putLong("parquet.field.id", i + 1L).build())
       })
+      // restore the session conf after the staged write: a leaked
+      // session-wide flag is a cross-query contamination channel in a
+      // shared-session harness
+      val prevFieldIdConf = s.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
       s.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
       val stage = Files.createTempDirectory("graft-idmap-adopt-stage-")
-      s.createDataFrame(nation.rdd, withIds)
+      try s.createDataFrame(nation.rdd, withIds)
         .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      finally prevFieldIdConf match {
+        case Some(v) => s.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
+        case None => s.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+      }
       val part = Files.list(stage).toArray.map(_.toString)
         .filter(_.endsWith(".parquet")).head
       val rel = "part-00000-idadopt-c000.snappy.parquet"
@@ -2650,6 +2708,143 @@ object TableQueries {
       t
     })
 
+  /** q201's adopted TYPE-WIDENED table, memoized per (JVM, dir): the
+    * foreign file is INT32-typed for `v` under a BIGINT schema carrying
+    * delta's typeChanges record and the typeWidening reader+writer
+    * feature (the post-ALTER state of a real type-widened delta table).
+    * Adoption must be metadata-only, the continued protocol must keep
+    * the feature declared, reads must upcast the narrow era, the wide
+    * era appends, and a post-adoption graft widen must EXTEND the
+    * typeChanges history in delta's spelling. */
+  private def widenAdoptedTable(s: SparkSession, dir: String): GraftTable =
+    cache.computeIfAbsent(s"widenAdopt:$dir", _ => {
+      import s.implicits._
+      import java.nio.file.{Files, Paths}
+      import org.apache.spark.sql.types._
+      val root = graft.Scratch.dir("graft-delta-widen-adopt-").toString
+      val nation = graft.Tables.nation(s, dir)
+      val narrow = nation
+        .select($"n_nationkey".cast("int").as("k"),
+                $"n_regionkey".cast("int").as("v"))
+      val stage = Files.createTempDirectory("graft-widen-stage-")
+      narrow.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val rel = "part-00000-widen-c000.snappy.parquet"
+      val target = Paths.get(root, rel)
+      Files.createDirectories(target.getParent)
+      Files.move(Paths.get(part), target)
+      val widenedSchema = StructType(Seq(
+        StructField("k", IntegerType, nullable = true),
+        StructField("v", LongType, nullable = true,
+          metadata = new MetadataBuilder().putMetadataArray("delta.typeChanges",
+            Array(new MetadataBuilder().putString("fromType", "integer")
+              .putString("toType", "long").build())).build())))
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val logDir = Paths.get(root, "_delta_log")
+      Files.createDirectories(logDir)
+      Files.write(logDir.resolve(f"${0L}%020d.json"), Seq(
+        """{"commitInfo":{"timestamp":1619112345000,"operation":"WRITE"}}""",
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening","invariants"]}}""",
+        s"""{"metaData":{"id":"7d1c3e5a-delta-widen-adopt","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(widenedSchema.json)},"partitionColumns":[],"configuration":{},"createdTime":1619112344000}}""",
+        s"""{"add":{"path":"$rel","partitionValues":{},"size":${Files.size(target)},"modificationTime":${Files.getLastModifiedTime(target).toMillis},"dataChange":true,"stats":"{\\"numRecords\\":${nation.count()},\\"minValues\\":{},\\"maxValues\\":{},\\"nullCount\\":{}}"}}"""
+      ).mkString("", "\n", "\n").getBytes("UTF-8"))
+      val filesBefore = Set(rel)
+      val t = GraftTable.adoptDelta(s, root)
+      require(t.snapshot.files.map(_.path).toSet == filesBefore,
+        "widened-table adoption must be metadata-only")
+      require(t.snapshot.schema("v").dataType == LongType,
+        "the adopted schema must keep the widened type")
+      // wide era: values only BIGINT can hold
+      t.append(nation
+        .select(($"n_nationkey" + 1000).cast("int").as("k"),
+                ($"n_regionkey" + lit(10000000000L)).as("v")))
+      // a post-adoption graft widen EXTENDS the history in delta spelling
+      t.alterColumnType("k", LongType)
+      val kChanges = t.snapshot.schema("k").metadata
+        .getMetadataArray(GraftTable.TypeChangesKey)
+      require(kChanges.length == 1 && kChanges(0).getString("toType") == "long",
+        "alterColumnType must record the widen in delta.typeChanges")
+      require(t.snapshot.schema("v").metadata
+          .getMetadataArray(GraftTable.TypeChangesKey).length == 1,
+        "the adopted typeChanges history must survive untouched")
+      // the widening commit re-declares the feature for delta readers
+      val protoJson = (t.latestVersion to 1L by -1L).iterator
+        .flatMap(v => Files.readAllLines(
+          logDir.resolve(f"$v%020d.json")).toArray.map(_.toString))
+        .find(_.contains("\"protocol\"")).get
+      require(protoJson.contains("typeWidening"),
+        "the continued protocol must keep typeWidening declared")
+      require(deltaReplayLive(logDir) == t.snapshot.files.map(_.path).toSet,
+        "independent delta replay must equal graft's live set")
+      t
+    })
+
+  /** q202's adopted COLUMN-DEFAULTS table, memoized per (JVM, dir): the
+    * foreign schema carries CURRENT_DEFAULT/EXISTS_DEFAULT on `status`
+    * (delta spells defaults in Spark's own metadata keys) gated by the
+    * allowColumnDefaults writer feature. Adoption keeps the metadata
+    * verbatim; a SQL INSERT omitting the column receives the adopted
+    * default, and graft's native SET DEFAULT keeps maintaining it. */
+  private def defaultsAdoptedTable(s: SparkSession, dir: String): GraftTable =
+    cache.computeIfAbsent(s"defaultsAdopt:$dir", _ => {
+      import s.implicits._
+      import java.nio.file.{Files, Paths}
+      import org.apache.spark.sql.types._
+      val root = graft.Scratch.dir("graft-delta-def-adopt-").toString
+      val nation = graft.Tables.nation(s, dir)
+      val seed = nation.select($"n_nationkey".cast("long").as("n_nationkey"),
+        lit("orig").as("status"))
+      val stage = Files.createTempDirectory("graft-def-stage-")
+      seed.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val rel = "part-00000-defs-c000.snappy.parquet"
+      val target = Paths.get(root, rel)
+      Files.createDirectories(target.getParent)
+      Files.move(Paths.get(part), target)
+      val defSchema = StructType(Seq(
+        StructField("n_nationkey", LongType, nullable = true),
+        StructField("status", StringType, nullable = true,
+          metadata = new MetadataBuilder()
+            .putString("CURRENT_DEFAULT", "'fresh'")
+            .putString("EXISTS_DEFAULT", "'orig'").build())))
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val logDir = Paths.get(root, "_delta_log")
+      Files.createDirectories(logDir)
+      Files.write(logDir.resolve(f"${0L}%020d.json"), Seq(
+        """{"commitInfo":{"timestamp":1619112345000,"operation":"WRITE"}}""",
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["allowColumnDefaults","invariants"]}}""",
+        s"""{"metaData":{"id":"6b4e2d8c-delta-def-adopt","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(defSchema.json)},"partitionColumns":[],"configuration":{},"createdTime":1619112344000}}""",
+        s"""{"add":{"path":"$rel","partitionValues":{},"size":${Files.size(target)},"modificationTime":${Files.getLastModifiedTime(target).toMillis},"dataChange":true,"stats":"{\\"numRecords\\":${nation.count()},\\"minValues\\":{},\\"maxValues\\":{},\\"nullCount\\":{}}"}}"""
+      ).mkString("", "\n", "\n").getBytes("UTF-8"))
+      val t = GraftTable.adoptDelta(s, root)
+      require(t.snapshot.schema("status").metadata
+          .getString("CURRENT_DEFAULT") == "'fresh'",
+        "the adopted schema must keep the delta-spelled default verbatim")
+      // SQL INSERTs omitting the column receive the default (Spark's
+      // analyzer fills CURRENT_DEFAULT from the adopted schema metadata)
+      val tag = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+      graft.sources.GraftCatalog.register(s,
+        graft.Scratch.dir("graft-def-wh-").toString, name = "adq")
+      s.sql(s"CREATE TABLE adq.default.defs_$tag USING graft LOCATION '$root'")
+      s.sql(s"INSERT INTO adq.default.defs_$tag (n_nationkey) VALUES (9001)")
+      require(s.sql(s"SELECT status FROM adq.default.defs_$tag WHERE n_nationkey = 9001")
+        .head().getString(0) == "fresh",
+        "the adopted default must fill the omitted column")
+      // graft's native SET DEFAULT keeps maintaining the same metadata
+      GraftTable.forPath(s, root).setColumnDefault("status", Some("'newer'"))
+      s.sql(s"INSERT INTO adq.default.defs_$tag (n_nationkey) VALUES (9002)")
+      require(s.sql(s"SELECT status FROM adq.default.defs_$tag WHERE n_nationkey = 9002")
+        .head().getString(0) == "newer",
+        "a post-adoption SET DEFAULT must govern later inserts")
+      require(deltaReplayLive(logDir) ==
+          GraftTable.forPath(s, root).snapshot.files.map(_.path).toSet,
+        "independent delta replay must equal graft's live set")
+      t
+    })
+
   private def deltaIdMappedTable(s: SparkSession, dir: String): GraftTable =
     cache.computeIfAbsent(s"deltaIdMapped:$dir", _ => {
       import java.nio.file.{Files, Paths}
@@ -2662,10 +2857,17 @@ object TableQueries {
         f.copy(metadata = new MetadataBuilder()
           .putLong("parquet.field.id", i + 1L).build())
       })
+      // same restore discipline as idMappedAdoptedTable — never leak the
+      // session-wide flag past the staged write
+      val prevFieldIdConf = s.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
       s.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
       val stage = Files.createTempDirectory("graft-idmap-stage-")
-      s.createDataFrame(nation.rdd, withIds)
+      try s.createDataFrame(nation.rdd, withIds)
         .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      finally prevFieldIdConf match {
+        case Some(v) => s.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
+        case None => s.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+      }
       val part = Files.list(stage).toArray.map(_.toString)
         .filter(_.endsWith(".parquet")).head
       val rel = "part-00000-idmap-c000.snappy.parquet"

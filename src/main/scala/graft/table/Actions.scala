@@ -124,7 +124,12 @@ object Protocol {
       // key, ColumnMapping.fromDeltaSchema) AND in ID mode (field ids
       // translate to Spark's parquet.field.id and the read paths enable
       // Spark's field-id resolution).
-      "timestampNtz", "v2Checkpoint", "vacuumProtocolCheck")
+      "timestampNtz", "v2Checkpoint", "vacuumProtocolCheck",
+      // type widening: the vectorized parquet reader serves every
+      // conversion in GraftTable.isWidening (TypeWideningSpec), which is
+      // exactly what the feature demands of readers — files written under
+      // the narrower type upcast through the current schema
+      "typeWidening", "typeWidening-preview")
   val supportedWriterFeatures: Set[String] =
     Set("deletionVectors", "columnMapping", "changeDataFeed", "rowTracking",
       "variantType", "generatedColumns", "identityColumns", "appendOnly",
@@ -147,7 +152,13 @@ object Protocol {
       // compat emit); clustering adopts by folding the delta.clustering
       // domain onto graft's own clustering.columns at adoption; ICT is
       // graft's already-monotone commit clock under its delta spelling
-      "domainMetadata", "clustering", "inCommitTimestamp")
+      "domainMetadata", "clustering", "inCommitTimestamp",
+      // round 17: metadata-only widening is native DDL (alterColumnType
+      // stamps delta.typeChanges); SQL column defaults are native DDL
+      // too (setColumnDefault / CREATE ... DEFAULT both spell Spark's
+      // CURRENT_DEFAULT key, the exact metadata allowColumnDefaults
+      // governs)
+      "typeWidening", "typeWidening-preview", "allowColumnDefaults")
 }
 
 /** Named protocol-gate failure: the table requires a capability this

@@ -90,7 +90,12 @@ object DeltaWriteCompat {
     * log would invalidate state delta readers already gate on (existing
     * v2 checkpoints, NTZ columns, the vacuum protocol check). */
   private val ContinuedFeatures: Set[String] =
-    Set("timestampNtz", "v2Checkpoint", "vacuumProtocolCheck")
+    Set("timestampNtz", "v2Checkpoint", "vacuumProtocolCheck",
+      // a foreign widening history must stay declared even before graft's
+      // first own widen (the narrow-typed files still need upcasting
+      // reads); the preview spelling continues verbatim — readers gating
+      // on it know that name
+      "typeWidening", "typeWidening-preview")
 
   private def parsedSchema(meta: MetaData): StructType =
     try DataType.fromJson(meta.schemaString).asInstanceOf[StructType]
@@ -111,6 +116,30 @@ object DeltaWriteCompat {
   private[table] def hasNtzType(meta: MetaData): Boolean =
     meta.schemaString.contains("timestamp_ntz") &&
       anyType(parsedSchema(meta))(_ == TimestampNTZType)
+
+  /** Any field carrying delta's `delta.typeChanges` widening history
+    * (stamped by alterColumnType, or adopted from a foreign log) — such
+    * files need upcasting reads, so the typeWidening reader+writer
+    * feature must gate the table. Top-level only: alterColumnType only
+    * widens top-level columns. */
+  private[table] def hasTypeChanges(meta: MetaData): Boolean =
+    meta.schemaString.contains(GraftTable.TypeChangesKey) &&
+      parsedSchema(meta).fields.exists(
+        _.metadata.contains(GraftTable.TypeChangesKey))
+
+  /** Any column carrying a SQL DEFAULT (Spark's CURRENT_DEFAULT /
+    * EXISTS_DEFAULT field-metadata keys — the exact spelling delta's
+    * allowColumnDefaults writer feature governs): the emitted protocol
+    * must declare the feature so a foreign delta writer that cannot
+    * honor defaults refuses to commit instead of silently dropping
+    * them. Includes the NULL defaults graft stamps on generated/identity
+    * columns — those fields carry the keys in the schemaString too. */
+  private[table] def hasColumnDefaults(meta: MetaData): Boolean =
+    (meta.schemaString.contains("CURRENT_DEFAULT") ||
+      meta.schemaString.contains("EXISTS_DEFAULT")) &&
+      parsedSchema(meta).fields.exists(f =>
+        f.metadata.contains("CURRENT_DEFAULT") ||
+          f.metadata.contains("EXISTS_DEFAULT"))
 
   /** Active column-mapping mode (name | id), None when unmapped. */
   private[table] def mappingMode(meta: MetaData): Option[String] =
@@ -181,21 +210,38 @@ object DeltaWriteCompat {
     // rides through from the native protocol (which folded them from the
     // foreign log). All of these require (3, 7) with the feature named on
     // BOTH sides — the standard delta spelling.
+    val continued =
+      (p.readerFeatures ++ p.writerFeatures).filter(ContinuedFeatures).distinct
+    // type widening is reader+writer: narrow-typed files written before a
+    // widen need upcasting reads. Derived from the schema's typeChanges
+    // history — unless the table already continues the PREVIEW spelling
+    // (readers gating on that name know it; emitting both would be noise).
+    val widenFeat =
+      if (hasTypeChanges(meta) && !continued.contains("typeWidening-preview"))
+        Seq("typeWidening") else Nil
     val schemaFeat =
       (if (hasVariantType(meta)) Seq("variantType") else Nil) ++
         (if (hasNtzType(meta)) Seq("timestampNtz") else Nil) ++
-        (if (mappingMode(meta).isDefined) Seq("columnMapping") else Nil)
-    val continued =
-      (p.readerFeatures ++ p.writerFeatures).filter(ContinuedFeatures).distinct
+        (if (mappingMode(meta).isDefined) Seq("columnMapping") else Nil) ++
+        widenFeat
+    // writer-only standard features: SQL column defaults (foreign writers
+    // must honor CURRENT_DEFAULT on inserts that omit the column) and
+    // liquid clustering (the delta.clustering domain rides every commit;
+    // clustering requires domainMetadata per the delta spec)
+    val defFeat = if (hasColumnDefaults(meta)) Seq("allowColumnDefaults") else Nil
+    val cluFeat =
+      if (meta.properties.contains("clustering.columns"))
+        Seq("clustering", "domainMetadata") else Nil
     val readerFeats = (dvFeat ++ schemaFeat ++ continued).distinct.sorted
-    if (priv.nonEmpty || cdf || rt || ict || readerFeats.nonEmpty) {
+    if (priv.nonEmpty || cdf || rt || ict || readerFeats.nonEmpty ||
+        defFeat.nonEmpty || cluFeat.nonEmpty) {
       // v7 lists EVERY active writer capability, legacy ones included
       val legacy = Seq("invariants") ++
         (if (meta.constraints.nonEmpty) Seq("checkConstraints") else Nil) ++
         (if (appendOnly) Seq("appendOnly") else Nil)
       Protocol(if (readerFeats.nonEmpty) 3 else 1, 7, readerFeats,
-        (priv ++ readerFeats ++ cdfFeat ++ rtFeat ++ ictFeat ++ legacy)
-          .distinct.sorted)
+        (priv ++ readerFeats ++ cdfFeat ++ rtFeat ++ ictFeat ++ defFeat ++
+          cluFeat ++ legacy).distinct.sorted)
     } else if (meta.constraints.nonEmpty) Protocol(1, 3)
     else Protocol(1, 2)
   }
@@ -404,21 +450,28 @@ final class DeltaShapeWriter(meta: MetaData) {
     try DataType.fromJson(meta.schemaString).asInstanceOf[StructType]
     catch { case _: Exception => new StructType() }
   }
+  // Stat maps are keyed by the columns' PHYSICAL names (parquet footer
+  // harvest; see GraftTable.pruneCandidates' p2l translation), so the
+  // type-dispatch tables below must be too — keying by logical name
+  // would miss every renamed mapped column (raw-micros timestamp stats,
+  // losing foreign skipping) and could even type a stat by the WRONG
+  // column when a rename shadows another column's physical name.
+  // physicalName falls back to f.name for unmapped schemas.
   private val numericish: Set[String] = parsed.fields.collect {
     case f if (f.dataType match {
       case _: NumericType | BooleanType | DateType => true
       case _ => false
-    }) => f.name
+    }) => ColumnMapping.physicalName(f)
   }.toSet
-  /** Timestamp stat columns: name → zoned? Delta serializes timestamp
-    * min/max as ISO-8601 strings (a JSON integer would read back as
-    * epoch SECONDS in delta's stats parser — million-fold-off bounds,
-    * unsound foreign skipping); graft's native micros convert on emit.
-    * Full microsecond precision — a millis truncation would round the
-    * max DOWN, which is unsound for skipping. */
+  /** Timestamp stat columns: physical name → zoned? Delta serializes
+    * timestamp min/max as ISO-8601 strings (a JSON integer would read
+    * back as epoch SECONDS in delta's stats parser — million-fold-off
+    * bounds, unsound foreign skipping); graft's native micros convert on
+    * emit. Full microsecond precision — a millis truncation would round
+    * the max DOWN, which is unsound for skipping. */
   private val tsCols: Map[String, Boolean] = parsed.fields.collect {
-    case f if f.dataType == TimestampType => f.name -> true
-    case f if f.dataType == TimestampNTZType => f.name -> false
+    case f if f.dataType == TimestampType => ColumnMapping.physicalName(f) -> true
+    case f if f.dataType == TimestampNTZType => ColumnMapping.physicalName(f) -> false
   }.toMap
 
   private def isoOfMicros(micros: Long, zoned: Boolean): String = {
@@ -601,20 +654,48 @@ object DeltaShapeWriter {
   private val mapper = new ObjectMapper()
 
   /** Extra delta-only action lines a commit/checkpoint must carry beyond
-    * graft's own actions: the `delta.rowTracking` domainMetadata holding
-    * the row-id high-water mark (delta keeps it in a domain; graft in the
-    * metaData properties — this derives the domain from the property on
-    * every emit, so it can never go stale). Graft's own fold skips
-    * domainMetadata actions (IgnoredAction); real delta readers require
-    * the domain to allocate ids safely after their own commits. */
-  def domainLines(m: MetaData): Seq[String] =
-    if (!DeltaWriteCompat.rowTrackingOn(m)) Nil
-    else m.properties.get(GraftTable.RowIdHwmKey).map { hwm =>
+    * graft's own actions — both DERIVED from the metaData properties on
+    * every emit, so they can never go stale. Graft's own fold skips
+    * domainMetadata actions (IgnoredAction).
+    *
+    *  - `delta.rowTracking`: the row-id high-water mark (delta keeps it
+    *    in a domain; graft in the metaData properties) — real delta
+    *    readers require it to allocate ids safely after their own commits.
+    *  - `delta.clustering`: the clustering columns (graft's own
+    *    `clustering.columns` incremental maintenance), spelled as
+    *    PHYSICAL single-element paths per delta-spark's convention — the
+    *    write-side twin of adoptDelta's domain fold, so foreign engines
+    *    see the clustering advice and a re-adoption of graft's own
+    *    emission folds back to the identical property. */
+  def domainLines(m: MetaData): Seq[String] = {
+    val rt =
+      if (!DeltaWriteCompat.rowTrackingOn(m)) Nil
+      else m.properties.get(GraftTable.RowIdHwmKey).map { hwm =>
+        val root = mapper.createObjectNode()
+        val n = root.putObject("domainMetadata")
+        n.put("domain", "delta.rowTracking")
+        n.put("configuration", s"""{"rowIdHighWaterMark":$hwm}""")
+        n.put("removed", false)
+        mapper.writeValueAsString(root)
+      }.toSeq
+    val clu = m.properties.get("clustering.columns").toSeq.map { cols =>
+      val schema =
+        try DataType.fromJson(m.schemaString).asInstanceOf[StructType]
+        catch { case _: Exception => new StructType() }
+      def phys(name: String): String =
+        schema.fields.find(_.name == name)
+          .map(ColumnMapping.physicalName).getOrElse(name)
+      val conf = mapper.createObjectNode()
+      val arr = conf.putArray("clusteringColumns")
+      cols.split(",").map(_.trim).filter(_.nonEmpty)
+        .foreach(c => arr.addArray().add(phys(c)))
       val root = mapper.createObjectNode()
       val n = root.putObject("domainMetadata")
-      n.put("domain", "delta.rowTracking")
-      n.put("configuration", s"""{"rowIdHighWaterMark":$hwm}""")
+      n.put("domain", "delta.clustering")
+      n.put("configuration", mapper.writeValueAsString(conf))
       n.put("removed", false)
       mapper.writeValueAsString(root)
-    }.toSeq
+    }
+    rt ++ clu
+  }
 }

@@ -470,11 +470,11 @@ final class GraftLog(val tablePath: String,
     // typed conflict. Any OTHER fold failure rethrows: silently falling
     // back to native serialization would publish a graft-shaped line into
     // a delta-shaped compat log, breaking real Delta readers mid-tail.
-    val compatMeta = actions.collectFirst { case m: MetaData => m }
+    val governingMeta = actions.collectFirst { case m: MetaData => m }
       .orElse(if (v > 0 && v - 1 >= earliestVersion)
                 Some(snapshotAt(v - 1).metaData)
               else None)
-      .filter(DeltaWriteCompat.enabled)
+    val compatMeta = governingMeta.filter(DeltaWriteCompat.enabled)
     val serialize: Action => String = compatMeta match {
       case Some(m) =>
         DeltaWriteCompat.refusal(m, actions).foreach(why =>
@@ -515,19 +515,35 @@ final class GraftLog(val tablePath: String,
     // metaData — the standard delta spelling rowTracking readers/writers
     // require (metaData-less commits emit no line: the hwm only moves
     // with a MetaData action, so the last emitted domain stays current).
-    // Native (non-compat) commits that carry a MetaData stamp the version
-    // too (the field is part of the model and both checkpoint codecs
-    // round-trip it), but emit no domain line.
-    val rtOn = compatMeta.exists(DeltaWriteCompat.rowTrackingOn) ||
-      (compatMeta.isEmpty && actions.collectFirst { case m: MetaData => m }
-        .exists(DeltaWriteCompat.rowTrackingOn))
-    val stamped =
+    // Native (non-compat) commits stamp the version too (the field is
+    // part of the model and both checkpoint codecs round-trip it), but
+    // emit no domain line. Derived from the GOVERNING metaData (this
+    // commit's, else the previous snapshot's) regardless of compat: a
+    // native rowTracking commit that adds files WITHOUT a MetaData action
+    // (e.g. OPTIMIZE re-adds preserving ids via the materialized column)
+    // must still stamp defaultRowCommitVersion — if compat is enabled
+    // later, the compat checkpoint re-serializes those adds and delta's
+    // rowTracking expects the field on every add of an enabled table.
+    val rtOn = governingMeta.exists(DeltaWriteCompat.rowTrackingOn)
+    val stamped0 =
       if (!rtOn) actions
       else actions.map {
         case a: AddFile if a.defaultRowCommitVersion.isEmpty =>
           a.copy(defaultRowCommitVersion = Some(v))
         case other => other
       }
+    // Delta's in-commit-timestamp spec requires commitInfo to be the
+    // FIRST action of every commit once ICT is enabled (real readers'
+    // ICT fast path reads only the first action). One chokepoint covers
+    // the DDL builders that lead with protocol/metaData — including the
+    // ICT-enabling commit itself. Replay is order-insensitive within a
+    // commit (one metaData/protocol each; adds/removes commute), so the
+    // reorder is pure serialization.
+    val stamped =
+      if (compatMeta.exists(DeltaWriteCompat.ictOn)) {
+        val (ci, rest) = stamped0.partition(_.isInstanceOf[CommitInfo])
+        ci ++ rest
+      } else stamped0
     val domainLines: Seq[String] =
       if (compatMeta.isEmpty) Nil
       else stamped.collectFirst { case mm: MetaData => mm }

@@ -1131,12 +1131,17 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     // engine-private layout invariants. Without this the protocol only
     // ever reached delta readers through a later checkpoint.
     val compatEnable: Seq[Action] =
-      if (value.equalsIgnoreCase("true") &&
+      if ((value.equalsIgnoreCase("true") &&
           (key == DeltaWriteCompat.Prop ||
             // ICT is a compat-spelling feature: the enabling commit must
             // re-state the protocol so the serializer derives the
             // inCommitTimestamp writer feature delta 4.x readers gate on
-            key == "delta.enableInCommitTimestamps"))
+            key == "delta.enableInCommitTimestamps")) ||
+          // clustering advice changes the emitted protocol (clustering +
+          // domainMetadata writer features) and starts the delta.clustering
+          // domain emission — re-state so a delta reader sees the feature
+          // in the enabling commit, not first at a checkpoint
+          key == "clustering.columns")
         Seq(s.protocol)
       else Nil
     val ts = log.nextTimestamp()
@@ -1326,7 +1331,15 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       case None    => mb.remove("CURRENT_DEFAULT")
     }
     val evolved = StructType(s.schema.fields.updated(idx, f.copy(metadata = mb.build())))
-    log.commit(s.version + 1, Seq(
+    // feature-enabling under compat: SET DEFAULT puts CURRENT_DEFAULT in
+    // the emitted schemaString, which delta's allowColumnDefaults writer
+    // feature governs — re-state the protocol so the serializer declares
+    // it in this very commit (foreign writers that predate defaults then
+    // refuse instead of silently dropping them)
+    val proto: Seq[Action] =
+      if (sql.isDefined && DeltaWriteCompat.enabled(s.metaData))
+        Seq(s.protocol) else Nil
+    log.commit(s.version + 1, proto ++ Seq(
       s.metaData.copy(schemaString = evolved.json),
       CommitInfo(s.version + 1, log.nextTimestamp(), "ALTER COLUMN",
         Map("column" -> name,
@@ -1379,8 +1392,36 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         s"${newType.simpleString} is not a supported widening " +
         "(byte/short/int→{short,int,long,double}, float→double, " +
         "decimal precision/scale growth); narrowing requires a rewrite")
-    val evolved = StructType(s.schema.fields.updated(idx, f.copy(dataType = newType)))
-    log.commit(s.version + 1, Seq(
+    // Record the change under delta's standard `delta.typeChanges` field
+    // metadata (always, not only under compat): the history is real
+    // regardless, it rides the schemaString verbatim, and a compat table
+    // (or a later compat enable) then declares the `typeWidening` feature
+    // from it — so a real delta reader upcasts the narrow-typed files
+    // instead of failing its scan on a BIGINT schema over INT32 parquet.
+    val history: Seq[org.apache.spark.sql.types.Metadata] =
+      (if (f.metadata.contains(GraftTable.TypeChangesKey))
+         f.metadata.getMetadataArray(GraftTable.TypeChangesKey).toSeq
+       else Nil) :+
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("fromType", GraftTable.deltaTypeName(f.dataType))
+          .putString("toType", GraftTable.deltaTypeName(newType))
+          .build()
+    val widenedMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata)
+      .putMetadataArray(GraftTable.TypeChangesKey, history.toArray)
+      .build()
+    val evolved = StructType(s.schema.fields.updated(idx,
+      f.copy(dataType = newType, metadata = widenedMeta)))
+    // under compat the widening commit is a FEATURE-ENABLING commit: the
+    // re-stated protocol serializes with the typeWidening reader+writer
+    // feature (derived from the typeChanges history the new metaData
+    // carries), so a delta reader that cannot upcast the narrow-typed
+    // files refuses at the gate instead of failing its scan — the
+    // enabling-commit doctrine (GraftLog.commit) satisfied by declaration
+    // rather than refusal
+    val proto: Seq[Action] =
+      if (DeltaWriteCompat.enabled(s.metaData)) Seq(s.protocol) else Nil
+    log.commit(s.version + 1, proto ++ Seq(
       s.metaData.copy(schemaString = evolved.json),
       CommitInfo(s.version + 1, log.nextTimestamp(), "ALTER COLUMN",
         Map("column" -> name,
@@ -3765,6 +3806,20 @@ object GraftTable {
     * carry the narrower physical type (so the widen stays metadata-only).
     * Mirrors Delta's type-widening feature matrix for integral/floating
     * types plus decimal growth. */
+  /** Delta's per-field type-change history key (type-widening feature):
+    * an array of {fromType, toType} records on the widened field, the
+    * spelling delta readers use to decide which parquet upcasts a scan
+    * must serve. Stamped by [[alterColumnType]], declared as the
+    * `typeWidening` reader+writer feature under compat. */
+  val TypeChangesKey = "delta.typeChanges"
+
+  /** Delta's primitive type-name spelling for typeChanges records
+    * ("integer", "long", "decimal(12,2)", ...). */
+  private[table] def deltaTypeName(dt: DataType): String = dt match {
+    case d: DecimalType => d.simpleString
+    case other => other.typeName
+  }
+
   private[graft] def isWidening(from: DataType, to: DataType): Boolean =
     (from, to) match {
       case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
@@ -4017,7 +4072,12 @@ object GraftTable {
       "timestampNtz", "v2Checkpoint", "vacuumProtocolCheck",
       // rowTracking is a writer feature in the delta spec, but tolerate a
       // log that lists it reader-side: materialized ids are plain data
-      "rowTracking")
+      "rowTracking",
+      // round 17: widening history continues — graft's vectorized reads
+      // serve the upcasts, alterColumnType extends delta.typeChanges, and
+      // compatProtocol keeps the feature declared (preview spelling
+      // continues verbatim)
+      "typeWidening", "typeWidening-preview")
     val writerAllow =
       Set("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
         "deletionVectors", "columnMapping", "variantType",
@@ -4034,7 +4094,14 @@ object GraftTable {
         // onto graft's own clustering.columns maintenance; ICT continues
         // verbatim (graft's commit clock is already strictly monotone and
         // the fold prefers inCommitTimestamp where present)
-        "rowTracking", "domainMetadata", "clustering", "inCommitTimestamp")
+        "rowTracking", "domainMetadata", "clustering", "inCommitTimestamp",
+        // round 17: typeWidening continues (see readerAllow);
+        // allowColumnDefaults adopts VERBATIM — delta spells defaults in
+        // Spark's own CURRENT_DEFAULT/EXISTS_DEFAULT field metadata, the
+        // exact keys graft's native SET/DROP DEFAULT machinery maintains,
+        // so the schema rides through untranslated and INSERTs that omit
+        // the column keep receiving the default
+        "typeWidening", "typeWidening-preview", "allowColumnDefaults")
     val mapMode = meta.properties.get("delta.columnMapping.mode")
       .map(_.toLowerCase).filterNot(_ == "none")
     if (mapMode.exists(m => m != "name" && m != "id"))
@@ -4193,12 +4260,27 @@ object GraftTable {
     // incremental clustering when every column exists (top-level only);
     // otherwise the domain is dropped — OPTIMIZE then treats the table as
     // unclustered, which is safe (clustering is layout advice, not data)
+    // the domain spells PHYSICAL names under column mapping (delta-spark's
+    // ClusteringMetadataDomain convention) — translate back to logical so
+    // graft's maintenance (and the compat re-emission, which re-derives
+    // physical from the schema) keys the same columns the foreign engine
+    // clustered by
+    val physToLogical: Map[String, String] = schema.fields.map { f =>
+      val phys =
+        if (f.metadata.contains(ColumnMapping.PhysKey))
+          f.metadata.getString(ColumnMapping.PhysKey)
+        else if (f.metadata.contains(ColumnMapping.DeltaPhysKey))
+          f.metadata.getString(ColumnMapping.DeltaPhysKey)
+        else f.name
+      phys -> f.name
+    }.toMap
     val clusteringCols: Option[String] =
       domainOf("delta.clustering").flatMap(c => scala.util.Try {
         val n = jm.readTree(c).get("clusteringColumns")
         (0 until n.size).map(n.get).map { parts =>
           require(parts.size == 1, "nested clustering column")
-          parts.get(0).asText()
+          val raw = parts.get(0).asText()
+          physToLogical.getOrElse(raw, raw)
         }
       }.toOption)
         .filter(cols => cols.nonEmpty &&

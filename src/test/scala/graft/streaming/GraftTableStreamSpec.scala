@@ -329,4 +329,58 @@ class GraftTableStreamSpec extends SparkTestBase {
     assert(merged.select("id").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
     assert(merged.columns.contains("w"))
   }
+
+  test("readStream over a NON-adopted foreign delta table serves the tail, table stays read-only") {
+    import java.nio.file.{Files, Paths}
+    // streams only READ the log — the same commit-version offsets work on
+    // a foreign delta-spark table without adoption (the interop parse is
+    // the batch reader's), while every WRITE path keeps refusing
+    val dir = tmpDir("gstream-foreign-")
+    def stageFile(rel: String, df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val stage = tmpDir("gsf-stage-")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage)).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val target = Paths.get(dir, rel)
+      Files.createDirectories(target.getParent)
+      Files.move(Paths.get(part), target)
+      (Files.size(target), Files.getLastModifiedTime(target).toMillis)
+    }
+    def addLine(rel: String, sz: Long, mt: Long, rows: Long): String =
+      s"""{"add":{"path":"$rel","partitionValues":{},"size":$sz,"modificationTime":$mt,"dataChange":true,"stats":"{\\"numRecords\\":$rows,\\"minValues\\":{},\\"maxValues\\":{},\\"nullCount\\":{}}"}}"""
+    def writeCommit(v: Long, lines: Seq[String]): Unit = {
+      val logDir = Paths.get(dir, "_delta_log")
+      Files.createDirectories(logDir)
+      Files.write(logDir.resolve(f"$v%020d.json"),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    }
+    val (s1, m1) = stageFile("part-00000-f0-c000.snappy.parquet",
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "s"))
+    writeCommit(0, Seq(
+      """{"commitInfo":{"timestamp":1619112345000,"operation":"WRITE","operationParameters":{},"isBlindAppend":true,"operationMetrics":{}}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      """{"metaData":{"id":"aaaa-stream-foreign","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"integer\",\"nullable\":true,\"metadata\":{}},{\"name\":\"s\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}}]}","partitionColumns":[],"configuration":{},"createdTime":1619112344000}}""",
+      addLine("part-00000-f0-c000.snappy.parquet", s1, m1, 3L)))
+    val ckpt = tmpDir("gsf-ckpt-")
+    val out = tmpDir("gsf-out-")
+    runToParquet(dir, ckpt, out)
+    assert(outIds(out) == Seq(1, 2, 3),
+      "the initial snapshot of a foreign table must stream")
+    // a FOREIGN append lands between runs: the restarted stream serves
+    // exactly the tail (commit versions are the offsets, same as graft's)
+    val (s2, m2) = stageFile("part-00001-f1-c000.snappy.parquet",
+      Seq((10, "x"), (11, "y")).toDF("id", "s"))
+    writeCommit(1, Seq(
+      """{"commitInfo":{"timestamp":1619112346000,"operation":"WRITE","operationParameters":{},"isBlindAppend":true,"operationMetrics":{}}}""",
+      addLine("part-00001-f1-c000.snappy.parquet", s2, m2, 2L)))
+    runToParquet(dir, ckpt, out)
+    assert(outIds(out) == Seq(1, 2, 3, 10, 11),
+      "the restarted stream must serve the foreign tail exactly once")
+    // reading never loosened the write gate: DML still refuses with the
+    // adoption hint
+    val e = intercept[graft.table.GraftProtocolException](
+      GraftTable.forPath(spark, dir).append(Seq((99, "z")).toDF("id", "s")))
+    assert(e.getMessage.contains("adopt_delta"),
+      s"the foreign table must stay read-only under streaming: ${e.getMessage}")
+  }
 }

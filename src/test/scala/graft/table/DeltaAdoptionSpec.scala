@@ -918,6 +918,198 @@ class DeltaAdoptionSpec extends SparkTestBase {
       "checkpoint-seed + continued-tail replay must equal graft's live set")
   }
 
+  test("type-widened foreign table adopts: typeChanges history continues, narrow files upcast") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("adopt-widen-")
+    // the foreign table's only file is INT32-typed for `id`; the current
+    // schema says LONG with the delta.typeChanges record of the widen —
+    // exactly the post-ALTER state a real type-widened delta table holds
+    val narrow = (0 until 4).map(i => (i, i + 10, s"row$i")).toDF("id", "v", "s")
+    val (s1, m1) = dataFile(dir, "part-00000-tw-c000.snappy.parquet", narrow)
+    val widenedSchema = StructType(Seq(
+      StructField("id", LongType, nullable = true,
+        metadata = new MetadataBuilder().putMetadataArray("delta.typeChanges",
+          Array(new MetadataBuilder().putString("fromType", "integer")
+            .putString("toType", "long").build())).build()),
+      StructField("v", IntegerType, nullable = true),
+      StructField("s", StringType, nullable = true)))
+    commit(dir, 0, Seq(infoLine(1619112345000L, "WRITE"),
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening","invariants"]}}""",
+      s"""{"metaData":{"id":"aaaa-widen-1","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(widenedSchema.json)},"partitionColumns":[],"configuration":{},"createdTime":1619112344000}}""",
+      addLine("part-00000-tw-c000.snappy.parquet", s1, m1, 4L)))
+    val t = GraftTable.adoptDelta(spark, dir)
+    // the narrow-typed foreign file reads through the wide schema
+    assert(t.toDF.schema("id").dataType === LongType)
+    assert(t.toDF.select(sum($"id")).head().getLong(0) === 6L)
+    // the history survived the adoption fold
+    val idField = t.snapshot.schema.fields.find(_.name == "id").get
+    assert(idField.metadata.contains("delta.typeChanges"))
+    // continued writes: a wide-era append and a FURTHER graft-initiated
+    // widen both land in delta shape with the feature still declared
+    t.append(Seq((10L * Int.MaxValue, 99, "wide")).toDF("id", "v", "s"))
+    t.alterColumnType("v", LongType)
+    val widenV = t.latestVersion
+    val lines = Files.readAllLines(
+      Paths.get(dir, "_delta_log", f"$widenV%020d.json")).asScala
+    val protoN = lines.map(mapper.readTree).find(_.has("protocol"))
+      .map(_.get("protocol")).get
+    assert(protoN.get("readerFeatures").toString.contains("typeWidening"))
+    val metaN = lines.map(mapper.readTree).find(_.has("metaData"))
+      .map(_.get("metaData")).get
+    val vField = DataType.fromJson(metaN.get("schemaString").asText())
+      .asInstanceOf[StructType].fields.find(_.name == "v").get
+    assert(vField.metadata.getMetadataArray("delta.typeChanges")
+      .head.getString("toType") === "long")
+    assert(t.toDF.select(max($"id")).head().getLong(0) === 10L * Int.MaxValue)
+    assert(deltaReplayLiveFiles(dir) === t.snapshot.files.map(_.path).toSet)
+    // the PREVIEW spelling adopts and continues verbatim (readers gating
+    // on that name know it; no duplicate stable-name emission)
+    val dir2 = tmpDir("adopt-widen-prev-")
+    val (s2, m2) = dataFile(dir2, "part-00000-twp-c000.snappy.parquet",
+      (0 until 3).map(i => (i, s"r$i")).toDF("id", "s"))
+    val prevSchema = StructType(Seq(
+      StructField("id", LongType, nullable = true,
+        metadata = new MetadataBuilder().putMetadataArray("delta.typeChanges",
+          Array(new MetadataBuilder().putString("fromType", "integer")
+            .putString("toType", "long").build())).build()),
+      StructField("s", StringType, nullable = true)))
+    commit(dir2, 0, Seq(infoLine(1619112345000L, "WRITE"),
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening-preview"],"writerFeatures":["typeWidening-preview","invariants"]}}""",
+      s"""{"metaData":{"id":"aaaa-widen-2","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(prevSchema.json)},"partitionColumns":[],"configuration":{},"createdTime":1619112344000}}""",
+      addLine("part-00000-twp-c000.snappy.parquet", s2, m2, 3L)))
+    val t2 = GraftTable.adoptDelta(spark, dir2)
+    t2.setProperty("some.key", "v")
+    // the newest protocol line is the ADOPTING commit's (plain property
+    // commits re-state no protocol)
+    val proto2 = (t2.latestVersion to 1L by -1L).iterator
+      .flatMap(v => Files.readAllLines(
+        Paths.get(dir2, "_delta_log", f"$v%020d.json")).asScala)
+      .map(mapper.readTree).find(_.has("protocol")).map(_.get("protocol")).get
+    val rf = proto2.get("readerFeatures").toString
+    assert(rf.contains("typeWidening-preview"))
+    assert(!rf.contains("\"typeWidening\""),
+      s"the stable name must not duplicate the continued preview spelling: $rf")
+  }
+
+  test("foreign table with allowColumnDefaults adopts: INSERTs omitting the column receive the default") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("adopt-defaults-")
+    val (s1, m1) = dataFile(dir, "part-00000-def-c000.snappy.parquet", df(0 until 4))
+    // delta spells column defaults in Spark's own CURRENT_DEFAULT /
+    // EXISTS_DEFAULT field metadata — the exact keys graft's SET DEFAULT
+    // machinery maintains, so the schema adopts verbatim
+    val defSchema = StructType(Seq(
+      StructField("id", LongType, nullable = true),
+      StructField("s", StringType, nullable = true,
+        metadata = new MetadataBuilder()
+          .putString("CURRENT_DEFAULT", "'fresh'")
+          .putString("EXISTS_DEFAULT", "'orig'").build())))
+    commit(dir, 0, Seq(infoLine(1619112345000L, "WRITE"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["allowColumnDefaults","invariants"]}}""",
+      s"""{"metaData":{"id":"aaaa-defs-1","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(defSchema.json)},"partitionColumns":[],"configuration":{},"createdTime":1619112344000}}""",
+      addLine("part-00000-def-c000.snappy.parquet", s1, m1, 4L)))
+    val t = GraftTable.adoptDelta(spark, dir)
+    val sField = t.snapshot.schema.fields.find(_.name == "s").get
+    assert(sField.metadata.getString("CURRENT_DEFAULT") === "'fresh'")
+    // the adopting commit re-declares the feature (the continued protocol
+    // keeps foreign default-blind writers locked out)
+    val adoptProto = Files.readAllLines(Paths.get(dir, "_delta_log",
+      f"${t.latestVersion}%020d.json")).asScala
+      .map(mapper.readTree).find(_.has("protocol")).map(_.get("protocol")).get
+    assert(adoptProto.get("writerFeatures").toString.contains("allowColumnDefaults"))
+    // INSERT omitting the defaulted column receives it (Spark's analyzer
+    // fills CURRENT_DEFAULT from the adopted schema metadata)
+    graft.sources.GraftCatalog.register(spark, tmpDir("adopt-def-wh-"), name = "adfc")
+    spark.sql(s"CREATE TABLE adfc.default.d USING graft LOCATION '$dir'")
+    spark.sql("INSERT INTO adfc.default.d (id) VALUES (100)")
+    val got = spark.sql("SELECT s FROM adfc.default.d WHERE id = 100")
+      .head().getString(0)
+    assert(got === "fresh", s"the adopted default must fill the omitted column, got $got")
+    // graft's native SET DEFAULT keeps maintaining the same metadata
+    t.setColumnDefault("s", Some("'newer'"))
+    spark.sql("INSERT INTO adfc.default.d (id) VALUES (101)")
+    assert(spark.sql("SELECT s FROM adfc.default.d WHERE id = 101")
+      .head().getString(0) === "newer")
+    assert(deltaReplayLiveFiles(dir) === GraftTable.forPath(spark, dir)
+      .snapshot.files.map(_.path).toSet)
+  }
+
+  test("allowlist audit: known-unsupported delta features refuse BY NAME with the import_delta fallback") {
+    // table-driven over the delta feature registry's known-unsupported
+    // tail — the allowlist's completeness is a test, not a hope: any
+    // feature graft cannot maintain must refuse naming ITSELF and the
+    // copy fallback, never a generic error
+    val unsupportedWriter = Seq(
+      "icebergCompatV1", "icebergCompatV2", // graft cannot maintain the Iceberg mirror
+      "checkpointProtection",               // pins checkpoint lifecycles graft's cleanup ignores
+      "catalogOwned-preview",               // commits coordinated through a catalog service
+      "coordinatedCommits-preview",         // same, older spelling
+      "redirectReaderWriter-preview",       // table redirection protocol
+      "collations-preview")                 // collation-aware comparators graft lacks
+    unsupportedWriter.foreach { f =>
+      val dir = foreignTable(protocolLine =
+        s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["$f","invariants"]}}""")
+      val e = intercept[GraftProtocolException](GraftTable.adoptDelta(spark, dir))
+      assert(e.getMessage.contains(f),
+        s"the refusal must name the feature $f: ${e.getMessage}")
+      assert(e.getMessage.contains("import_delta"),
+        s"the refusal must point at the copy fallback: ${e.getMessage}")
+    }
+    // reader-side spellings refuse at the READ gate (before adoption can
+    // fold a snapshot), still naming the feature
+    Seq("collations-preview", "checkpointProtection").foreach { f =>
+      val dir = foreignTable(protocolLine =
+        s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["$f"],"writerFeatures":["$f"]}}""")
+      val e = intercept[GraftProtocolException](GraftTable.adoptDelta(spark, dir))
+      assert(e.getMessage.contains(f),
+        s"the reader gate must name the feature $f: ${e.getMessage}")
+    }
+  }
+
+  test("MAPPED clustering domain folds to LOGICAL names; graft's emission round-trips") {
+    import org.apache.spark.sql.types._
+    // delta-spark spells the clustering domain in PHYSICAL names under
+    // column mapping — the fold must translate back to logical so graft's
+    // maintenance (and the physical re-emission) keys the same columns
+    val dir = tmpDir("adopt-clu-map-")
+    val phys = Map("id" -> "pc_one", "s" -> "pc_two")
+    val mappedSchema = StructType(Seq(
+      StructField("id", LongType, nullable = true,
+        metadata = new MetadataBuilder()
+          .putLong("delta.columnMapping.id", 1L)
+          .putString("delta.columnMapping.physicalName", phys("id")).build()),
+      StructField("s", StringType, nullable = true,
+        metadata = new MetadataBuilder()
+          .putLong("delta.columnMapping.id", 2L)
+          .putString("delta.columnMapping.physicalName", phys("s")).build())))
+    // the data file spells the physical names
+    val physDf = df(0 until 4).toDF(phys("id"), phys("s"))
+    val (s1, m1) = dataFile(dir, "part-00000-clum-c000.snappy.parquet", physDf)
+    commit(dir, 0, Seq(infoLine(1619112345000L, "WRITE"),
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":7,"writerFeatures":["columnMapping","clustering","domainMetadata","invariants"]}}""",
+      s"""{"metaData":{"id":"aaaa-clum-1","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(mappedSchema.json)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"2"},"createdTime":1619112344000}}""",
+      addLine("part-00000-clum-c000.snappy.parquet", s1, m1, 4L),
+      s"""{"domainMetadata":{"domain":"delta.clustering","configuration":"{\\"clusteringColumns\\":[[\\"${phys("id")}\\"]]}","removed":false}}"""))
+    val t = GraftTable.adoptDelta(spark, dir)
+    assert(t.snapshot.metaData.properties.get("clustering.columns")
+      .contains("id"),
+      "the physical-spelled domain must fold to the LOGICAL column name")
+    // graft's own emission spells physical again: the write-side twin
+    t.setProperty("some.key", "v")
+    val domN = Files.readAllLines(Paths.get(dir, "_delta_log",
+      f"${t.latestVersion}%020d.json")).asScala
+      .map(mapper.readTree)
+      .find(n => n.has("domainMetadata") &&
+        n.get("domainMetadata").get("domain").asText() == "delta.clustering")
+      .map(_.get("domainMetadata"))
+    assert(domN.isDefined, "every compat commit re-derives the clustering domain")
+    val cols = mapper.readTree(domN.get.get("configuration").asText())
+      .get("clusteringColumns")
+    assert(cols.size === 1 && cols.get(0).get(0).asText() === phys("id"),
+      s"graft must re-emit the domain in PHYSICAL spelling: $cols")
+  }
+
   test("adopt_delta procedure: one CALL, ownership taken, result row reports it") {
     val dir = foreignTable()
     graft.sources.GraftCatalog.register(spark, tmpDir("adopt-wh-"), name = "adpt")

@@ -858,4 +858,172 @@ class DeltaWriteCompatSpec extends SparkTestBase {
     assert(deltaReplayLiveFiles(dir).toSet ===
       t2.snapshot.files.map(_.path).toSet)
   }
+
+  test("ICT commits lead with commitInfo — DDL/metadata commits included") {
+    import spark.implicits._
+    val dir = tmpDir("dwc-ict-first-")
+    val t = GraftTable.create(spark, dir, seed(3))
+    t.setProperty(DeltaWriteCompat.Prop, "true")
+    t.setProperty("delta.enableInCommitTimestamps", "true")
+    val enableV = t.latestVersion
+    // exercise the DDL builders that historically serialized protocol/
+    // metaData BEFORE commitInfo — delta's ICT fast path reads only a
+    // commit's FIRST action, so these commits would break real readers
+    t.addConstraint("pos_id", "id >= 0")
+    t.addColumn("extra", org.apache.spark.sql.types.LongType)
+    t.setProperty("some.key", "v1")
+    t.append(seed(2).withColumn("id", $"id" + 10)
+      .withColumn("extra", $"id" + 1))
+    t.delete(col("id") === 1)
+    (enableV to t.latestVersion).foreach { v =>
+      val first = mapper.readTree(logLines(dir, v).head)
+      assert(first.has("commitInfo"),
+        s"v$v: commitInfo must be the FIRST action under ICT, got " +
+          logLines(dir, v).head.take(80))
+      assert(first.get("commitInfo").has("inCommitTimestamp"),
+        s"v$v: the leading commitInfo must carry the ICT field")
+    }
+  }
+
+  test("mapped compat stats key PHYSICAL names: a renamed timestamp column emits ISO under its physical key") {
+    import spark.implicits._
+    val dir = tmpDir("dwc-statphys-")
+    val df = seed(3).withColumn("ts", expr("timestamp_seconds(1700000000 + id)"))
+    val t = GraftTable.create(spark, dir, df)
+    t.setProperty(DeltaWriteCompat.Prop, "true")
+    t.setProperty("columnMapping.mode", "name")
+    // the logical name diverges from the physical one ("ts" stays pinned
+    // in the parquet footers); stat maps are physical-keyed, so the
+    // emitter's timestamp dispatch must be too — keying by logical name
+    // would emit raw micros under "ts" (delta readers lose skipping, or
+    // worse parse micros as epoch seconds)
+    t.renameColumn("ts", "event_ts")
+    t.append(seed(2).withColumn("id", $"id" + 100)
+      .withColumn("ts", expr("timestamp_seconds(1800000000 + id)"))
+      .withColumnRenamed("ts", "event_ts").coalesce(1))
+    val addN = logLines(dir, t.latestVersion).map(mapper.readTree)
+      .find(_.has("add")).map(_.get("add")).get
+    val st = mapper.readTree(addN.get("stats").asText())
+    assert(st.get("minValues").has("ts"),
+      s"stats must key the PHYSICAL name: ${addN.get("stats").asText()}")
+    val minTs = st.get("minValues").get("ts")
+    assert(minTs.isTextual && minTs.asText().matches(
+      """\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{6}Z"""),
+      s"renamed timestamp stat must emit ISO-8601, got $minTs")
+    val maxTs = st.get("maxValues").get("ts")
+    assert(maxTs.isTextual && maxTs.asText() > minTs.asText())
+    // the numeric dispatch stays physical-keyed too (id emits as a number)
+    assert(st.get("minValues").get("id").isNumber)
+  }
+
+  test("type widening under compat: typeWidening feature + delta.typeChanges, both file eras replay") {
+    import spark.implicits._
+    val dir = tmpDir("dwc-widen-")
+    val narrow = (0 until 4).map(i => (i, i + 1)).toDF("k", "v") // v: INT
+    val t = GraftTable.create(spark, dir, narrow)
+    t.setProperty(DeltaWriteCompat.Prop, "true")
+    val filesBefore = t.snapshot.files.map(_.path).toSet
+    t.alterColumnType("v", org.apache.spark.sql.types.LongType)
+    assert(t.snapshot.files.map(_.path).toSet === filesBefore,
+      "widening must stay metadata-only under compat")
+    // wide era: values only BIGINT holds
+    t.append(Seq((100, 10L * Int.MaxValue)).toDF("k", "v"))
+    (1L to t.latestVersion).foreach(assertDeltaShaped(dir, _))
+    // the widening commit declares delta's typeWidening feature on BOTH
+    // sides — a delta reader that predates it refuses instead of failing
+    // its scan on BIGINT-schema-over-INT32-parquet
+    val protoN = (t.latestVersion to 1L by -1L).iterator
+      .flatMap(v => logLines(dir, v)).filter(_.contains("\"protocol\""))
+      .map(mapper.readTree(_).get("protocol")).next()
+    assert(protoN.get("minReaderVersion").asInt() === 3)
+    assert(protoN.get("readerFeatures").toString.contains("typeWidening"))
+    assert(protoN.get("writerFeatures").toString.contains("typeWidening"))
+    // the committed schemaString records the change in delta's spelling
+    val metaN = (t.latestVersion to 1L by -1L).iterator
+      .flatMap(v => logLines(dir, v)).filter(_.contains("\"metaData\""))
+      .map(mapper.readTree(_).get("metaData")).next()
+    val widened = org.apache.spark.sql.types.DataType
+      .fromJson(metaN.get("schemaString").asText())
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val vField = widened.fields.find(_.name == "v").get
+    assert(vField.dataType === org.apache.spark.sql.types.LongType)
+    assert(vField.metadata.contains("delta.typeChanges"))
+    val changes = vField.metadata.getMetadataArray("delta.typeChanges")
+    assert(changes.length === 1)
+    assert(changes(0).getString("fromType") === "integer")
+    assert(changes(0).getString("toType") === "long")
+    // independent replay sees both eras; reading the narrow file through
+    // the wide schema upcasts (what the feature promises delta readers)
+    assert(deltaReplayLiveFiles(dir).toSet ===
+      t.snapshot.files.map(_.path).toSet)
+    val agg = t.toDF.agg(sum($"v"), max($"v")).head()
+    assert(agg.getLong(1) === 10L * Int.MaxValue)
+    assert(agg.getLong(0) === (1L + 2 + 3 + 4) + 10L * Int.MaxValue)
+    // a second widen APPENDS to the history, never overwrites it
+    t.alterColumnType("k", org.apache.spark.sql.types.LongType)
+    val kField = t.snapshot.schema.fields.find(_.name == "k").get
+    assert(kField.metadata.getMetadataArray("delta.typeChanges").length === 1)
+    val vField2 = t.snapshot.schema.fields.find(_.name == "v").get
+    assert(vField2.metadata.getMetadataArray("delta.typeChanges").length === 1,
+      "an unrelated widen must not touch another column's history")
+  }
+
+  test("column defaults under compat declare allowColumnDefaults") {
+    val dir = tmpDir("dwc-defaults-")
+    val t = GraftTable.create(spark, dir, seed(3))
+    t.setProperty(DeltaWriteCompat.Prop, "true")
+    t.setColumnDefault("s", Some("'fresh'"))
+    val protoN = (t.latestVersion to 1L by -1L).iterator
+      .flatMap(v => logLines(dir, v)).filter(_.contains("\"protocol\""))
+      .map(mapper.readTree(_).get("protocol")).next()
+    assert(protoN.get("minWriterVersion").asInt() === 7)
+    assert(protoN.get("writerFeatures").toString.contains("allowColumnDefaults"),
+      "CURRENT_DEFAULT in the schemaString requires the feature — a " +
+        "foreign writer that predates defaults must refuse to commit")
+    val metaN = (t.latestVersion to 1L by -1L).iterator
+      .flatMap(v => logLines(dir, v)).filter(_.contains("\"metaData\""))
+      .map(mapper.readTree(_).get("metaData")).next()
+    assert(metaN.get("schemaString").asText().contains("CURRENT_DEFAULT"))
+    (1L to t.latestVersion).foreach(assertDeltaShaped(dir, _))
+  }
+
+  test("clustering.columns emits the delta.clustering domain and rides the checkpoint") {
+    import spark.implicits._
+    val dir = tmpDir("dwc-clu-")
+    val t = GraftTable.create(spark, dir,
+      seed(4).withColumn("ts", expr("timestamp_seconds(1700000000 + id)")))
+    t.setProperty(DeltaWriteCompat.Prop, "true")
+    t.setProperty("columnMapping.mode", "name")
+    t.renameColumn("s", "label")
+    t.setProperty("clustering.columns", "label,id")
+    // the domain line rides the enabling commit — spelled with PHYSICAL
+    // names (delta-spark's convention for the clustering domain)
+    val domN = logLines(dir, t.latestVersion).map(mapper.readTree)
+      .find(n => n.has("domainMetadata") &&
+        n.get("domainMetadata").get("domain").asText() == "delta.clustering")
+      .map(_.get("domainMetadata"))
+    assert(domN.isDefined, "the clustering domain must ride the commit")
+    val cluConf = mapper.readTree(domN.get.get("configuration").asText())
+    val cols = (0 until cluConf.get("clusteringColumns").size()).map(i =>
+      cluConf.get("clusteringColumns").get(i).get(0).asText())
+    assert(cols === Seq("s", "id"),
+      s"the domain must spell PHYSICAL names (label's footer name is s): $cols")
+    // the protocol declares clustering + domainMetadata (writer features)
+    val protoN = (t.latestVersion to 1L by -1L).iterator
+      .flatMap(v => logLines(dir, v)).filter(_.contains("\"protocol\""))
+      .map(mapper.readTree(_).get("protocol")).next()
+    assert(protoN.get("writerFeatures").toString.contains("\"clustering\""))
+    assert(protoN.get("writerFeatures").toString.contains("domainMetadata"))
+    // the compat checkpoint re-serializes the domain (a delta reader
+    // seeding from it must see the clustering advice)
+    t.log.writeCheckpoint(t.latestVersion)
+    val cp = Paths.get(dir, "_delta_log",
+      f"${t.latestVersion}%020d.checkpoint.parquet")
+    assert(Files.exists(cp))
+    val domRows = spark.read.parquet(cp.toString)
+      .select("domainMetadata.domain", "domainMetadata.configuration")
+      .collect().filter(r => !r.isNullAt(0) && r.getString(0) == "delta.clustering")
+    assert(domRows.length === 1)
+    assert(domRows.head.getString(1).contains("\"s\""))
+  }
 }

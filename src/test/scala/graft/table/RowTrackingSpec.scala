@@ -159,6 +159,37 @@ class RowTrackingSpec extends SparkTestBase {
     assert(after == rows - 2, "SQL-served ids must survive the rewrite")
   }
 
+  test("MetaData-less commits on a native rowTracking table still stamp defaultRowCommitVersion") {
+    // OPTIMIZE re-adds preserve ids (materialized column), so the commit
+    // carries NO MetaData action — the version stamp must derive from the
+    // GOVERNING metaData (previous snapshot), not from this commit's
+    // actions: if compat is enabled later, the compat checkpoint
+    // re-serializes these adds and delta's rowTracking expects the field
+    // on every add of an enabled table.
+    val t = mk()
+    t.append(df((4, "d"), (5, "e")))
+    t.optimize(targetFileBytes = 512L * 1024 * 1024)
+    val optV = t.latestVersion
+    val actions = t.log.readVersion(optV)
+    assert(!actions.exists(_.isInstanceOf[MetaData]),
+      "the compaction commit must be the MetaData-less shape under test")
+    val adds = actions.collect { case a: AddFile => a }
+    assert(adds.nonEmpty, "OPTIMIZE must have re-added compacted files")
+    adds.foreach(a => assert(a.defaultRowCommitVersion.contains(optV),
+      s"compaction re-add ${a.path} must stamp defaultRowCommitVersion=$optV"))
+    // enabling compat afterwards re-serializes the live set through the
+    // checkpoint with the field intact
+    t.setProperty(DeltaWriteCompat.Prop, "true")
+    t.log.writeCheckpoint(t.latestVersion)
+    val cp = java.nio.file.Paths.get(t.path, "_delta_log",
+      f"${t.latestVersion}%020d.checkpoint.parquet")
+    val cpAdds = spark.read.parquet(cp.toString)
+      .select("add.path", "add.defaultRowCommitVersion")
+      .collect().filter(!_.isNullAt(0))
+    assert(cpAdds.nonEmpty && cpAdds.forall(!_.isNullAt(1)),
+      "the compat checkpoint must carry defaultRowCommitVersion on every add")
+  }
+
   test("streaming sink and SQL rewrites refuse row-tracking tables") {
     val t = mk()
     val se = intercept[IllegalArgumentException](
