@@ -359,7 +359,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
           "graft tables support top-level ADD COLUMN only")
-        t.addColumn(add.fieldNames.head, add.dataType)
+        // a user-declared DEFAULT rides the change as a ColumnDefaultValue
+        // — dropping it silently would leave a column the user believes
+        // defaulted reading NULL for every pre-existing row
+        t.addColumn(add.fieldNames.head, add.dataType,
+          Option(add.defaultValue()).flatMap(dv => Option(dv.getSql)))
       case rn: TableChange.RenameColumn =>
         require(rn.fieldNames.length == 1,
           "graft tables support top-level RENAME COLUMN only")

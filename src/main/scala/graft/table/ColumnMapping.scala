@@ -118,10 +118,29 @@ object ColumnMapping {
   /** Metadata carrying ONLY the parquet field id (empty when absent):
     * the one key the physical read schema must keep — Spark's readers
     * resolve id-mode columns through it. */
-  private def fieldIdOnly(md: Metadata): Metadata =
-    if (md.contains(FieldIdKey))
-      new MetadataBuilder().putLong(FieldIdKey, md.getLong(FieldIdKey)).build()
-    else Metadata.empty
+  /** READ-schema metadata: the parquet field id (id resolution) plus the
+    * EXISTS_DEFAULT existence default — Spark's parquet readers fill a
+    * column MISSING from a file (added after the file was written) from
+    * that key, which is what keeps ADD COLUMN ... DEFAULT metadata-only;
+    * stripping it here made pre-add rows silently read NULL. Everything
+    * else (mapping bindings, CURRENT_DEFAULT, comments) stays stripped —
+    * the reader must never see graft's logical-side keys. */
+  private def fieldIdOnly(md: Metadata): Metadata = {
+    val hasId = md.contains(FieldIdKey)
+    val hasExists = md.contains(ExistsDefaultKey)
+    if (!hasId && !hasExists) Metadata.empty
+    else {
+      var b = new MetadataBuilder()
+      if (hasId) b = b.putLong(FieldIdKey, md.getLong(FieldIdKey))
+      if (hasExists)
+        b = b.putString(ExistsDefaultKey, md.getString(ExistsDefaultKey))
+      b.build()
+    }
+  }
+
+  /** Spark's existence-default key (ResolveDefaultColumns) — what rows
+    * written before a column existed read. */
+  val ExistsDefaultKey = "EXISTS_DEFAULT"
 
   /** WRITE-side field-id metadata: the parquet field id Spark's writer
     * should stamp into new files — Spark's own key when present (adopted

@@ -296,6 +296,19 @@ object DeltaWriteCompat {
       case _ => false })
       Some("native deletion-vector sidecar references (OPTIMIZE to purge " +
         "them before enabling compat)")
+    // existence defaults (ADD COLUMN ... DEFAULT on a table with existing
+    // files): graft's scan fills the default for files that predate the
+    // column; delta readers fill NULL — silent per-row divergence, and
+    // delta itself rejects the DDL. Refuse until the old files are
+    // rewritten (OPTIMIZE materializes the values through the filling
+    // scan) and the marker property cleared.
+    else if (meta.properties.get(GraftTable.ExistenceDefaultsProp)
+        .exists(_.nonEmpty))
+      Some("existence defaults on column(s) " +
+        meta.properties(GraftTable.ExistenceDefaultsProp) +
+        " (files written before ADD COLUMN ... DEFAULT read the default " +
+        "in graft but NULL in delta readers; OPTIMIZE to materialize the " +
+        s"values, then clear ${GraftTable.ExistenceDefaultsProp})")
     else None
   }
 

@@ -1245,8 +1245,35 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * appended to the innermost struct. Under column mapping the new leaf
     * gets a fresh physical name — so a re-added nested field can never
     * resurrect a dropped field's physical data — exactly as at top level. */
-  def addColumn(name: String, dataType: DataType): Unit = {
+  def addColumn(name: String, dataType: DataType): Unit =
+    addColumn(name, dataType, None)
+
+  /** ADD COLUMN with a SQL DEFAULT (Spark's two-key contract): the new
+    * field carries `CURRENT_DEFAULT` (what future writes that omit the
+    * column receive — raw SQL, SET DEFAULT can change it later) and
+    * `EXISTS_DEFAULT` (what rows written BEFORE the column existed read —
+    * constant-FOLDED here, fixed forever: re-evaluating a non-literal like
+    * CURRENT_DATE at read time would make old rows' values drift). The
+    * scan applies EXISTS_DEFAULT for files that predate the column —
+    * Spark's parquet readers fill missing columns from the schema
+    * metadata — so the add stays metadata-only at any table size.
+    * Top-level columns only (nested fields have no default contract). */
+  def addColumn(name: String, dataType: DataType, default: Option[String]): Unit = {
     val s = snapshot
+    require(default.isEmpty || !name.contains("."),
+      s"ADD COLUMN $name: defaults are supported on top-level columns only")
+    // fold the default ONCE: EXISTS_DEFAULT must be a literal (the value
+    // old rows hold from now on); an unfoldable/mistyped expression must
+    // fail the DDL loudly, never the first read that consults it
+    val existsLiteral: Option[String] = default.map { sql =>
+      val v = try spark.sql(s"SELECT CAST(($sql) AS ${dataType.sql})").head().get(0)
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"ADD COLUMN $name: default ($sql) does not evaluate as " +
+          s"${dataType.simpleString}: ${e.getMessage.linesIterator.next()}") }
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .convertToCatalyst(v), dataType).sql
+    }
     // under column mapping a NEW column gets a fresh physical name — if a
     // column of this logical name was ever dropped, its physical data
     // must not resurrect into the successor
@@ -1254,10 +1281,18 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
       if (columnMappingEnabled(s.metaData))
         ColumnMapping.withPhysical(f, s"col-${UUID.randomUUID()}")
       else f
+    def withDefault(f: StructField): StructField = default match {
+      case None => f
+      case Some(sql) => f.copy(metadata =
+        new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+          .putString("CURRENT_DEFAULT", sql)
+          .putString("EXISTS_DEFAULT", existsLiteral.get).build())
+    }
     def insert(st: StructType, path: List[String]): StructType = path match {
       case leaf :: Nil =>
         require(!st.fieldNames.contains(leaf), s"column $name already exists")
-        StructType(st.fields :+ fresh(StructField(leaf, dataType, nullable = true)))
+        StructType(st.fields :+
+          fresh(withDefault(StructField(leaf, dataType, nullable = true))))
       case head :: rest =>
         val idx = st.fieldNames.indexOf(head)
         require(idx >= 0, s"no such column: $head (adding $name)")
@@ -1269,11 +1304,37 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         }
       case Nil => throw new IllegalArgumentException(s"empty column name")
     }
+    // Delta has NO spelling for existence defaults: its allowColumnDefaults
+    // feature covers CURRENT_DEFAULT (future inserts) only, and delta
+    // itself rejects ADD COLUMN ... DEFAULT for exactly this reason — a
+    // delta reader fills a missing column with NULL where graft would fill
+    // the default, silently diverging on every pre-add row. The
+    // enabling-commit doctrine applies: refuse HERE on compat tables
+    // (delta parity; ADD then SET DEFAULT covers future inserts), and on
+    // NATIVE tables record the load-bearing columns in a marker property
+    // so a LATER compat enable refuses until the old files are rewritten.
+    if (default.isDefined && DeltaWriteCompat.enabled(s.metaData))
+      throw new GraftProtocolException(
+        s"${DeltaWriteCompat.Prop}: ADD COLUMN $name DEFAULT has no delta " +
+          "spelling (rows written before the column would read the default " +
+          "in graft but NULL in every delta reader; delta itself rejects " +
+          "this DDL) — ADD the column, then ALTER COLUMN SET DEFAULT " +
+          "(future inserts only)")
     val evolved = insert(s.schema, name.split('.').toList)
-    log.commit(s.version + 1, Seq(
-      s.metaData.copy(schemaString = evolved.json),
+    val markedMeta =
+      if (default.isEmpty) s.metaData.copy(schemaString = evolved.json)
+      else {
+        val prior = s.metaData.properties
+          .get(GraftTable.ExistenceDefaultsProp).filter(_.nonEmpty)
+        s.metaData.copy(schemaString = evolved.json,
+          properties = s.metaData.properties +
+            (GraftTable.ExistenceDefaultsProp ->
+              (prior.map(_ + ",").getOrElse("") + name)))
+      }
+    log.commit(s.version + 1, Seq(markedMeta,
       CommitInfo(s.version + 1, log.nextTimestamp(), "ADD COLUMNS",
-        Map("column" -> s"$name ${dataType.simpleString}"))))
+        Map("column" -> s"$name ${dataType.simpleString}") ++
+          default.map("default" -> _))))
   }
 
   /** ALTER TABLE ... ALTER COLUMN ... SET / DROP NOT NULL. DROP NOT NULL
@@ -3800,6 +3861,14 @@ object GraftTable {
   val RowIdCol = "_row_id"
   /** Table property holding the highest allocated row id. */
   val RowIdHwmKey = "rowTracking.rowIdHighWaterMark"
+
+  /** Columns whose EXISTS_DEFAULT is LOAD-BEARING: added with a DEFAULT
+    * after files already existed, so some live files may physically lack
+    * them and the scan fills the default. Delta has no such semantics —
+    * the compat enable refuses while this names columns; OPTIMIZE
+    * rewrites materialize the values (the rewrite reads through the
+    * filling scan), after which the property can be cleared. */
+  val ExistenceDefaultsProp = "graft.existenceDefaults"
 
   /** The widening lattice `alterColumnType` accepts: exactly the
     * conversions the parquet VECTORIZED reader can serve when old files

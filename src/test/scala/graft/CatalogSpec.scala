@@ -510,6 +510,21 @@ class CatalogSpec extends SparkTestBase {
       .contains("ALTER COLUMN"))
   }
 
+  test("ADD COLUMN ... DEFAULT: existing rows read the existence default, future writes the current one") {
+    registered
+    sql("CREATE TABLE gcat.default.acd (id INT) USING graft")
+    sql("INSERT INTO gcat.default.acd VALUES (1)")
+    sql("ALTER TABLE gcat.default.acd ADD COLUMN c STRING DEFAULT 'x'")
+    // the pre-existing row reads the EXISTS_DEFAULT (fixed at ADD COLUMN);
+    // an insert omitting the column receives the CURRENT_DEFAULT
+    sql("INSERT INTO gcat.default.acd (id) VALUES (2)")
+    sql("INSERT INTO gcat.default.acd VALUES (3, 'explicit')")
+    val rows = sql("SELECT id, c FROM gcat.default.acd ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows === Seq((1, "x"), (2, "x"), (3, "explicit")),
+      s"old rows must read the existence default, got $rows")
+  }
+
   test("ALTER COLUMN COMMENT lands in the versioned schema") {
     registered
     sql("CREATE TABLE gcat.default.cmts (id INT, score DOUBLE) USING graft")

@@ -987,6 +987,46 @@ class DeltaWriteCompatSpec extends SparkTestBase {
     (1L to t.latestVersion).foreach(assertDeltaShaped(dir, _))
   }
 
+  test("existence defaults have no delta spelling: compat refuses ADD COLUMN DEFAULT and the later enable") {
+    import spark.implicits._
+    // ON a compat table the DDL itself refuses (delta parity — delta
+    // rejects ADD COLUMN DEFAULT because its readers fill missing columns
+    // with NULL, not the default)
+    val dir = tmpDir("dwc-exdef-")
+    val t = GraftTable.create(spark, dir, seed(3))
+    t.setProperty(DeltaWriteCompat.Prop, "true")
+    val e = intercept[GraftProtocolException](
+      t.addColumn("c", org.apache.spark.sql.types.StringType, Some("'x'")))
+    assert(e.getMessage.contains("SET DEFAULT"), e.getMessage)
+    // on a NATIVE table the add works (scan fills the default for old
+    // files) but a LATER compat enable refuses until the files rewrite
+    val dir2 = tmpDir("dwc-exdef2-")
+    val t2 = GraftTable.create(spark, dir2, seed(3))
+    t2.addColumn("c", org.apache.spark.sql.types.StringType, Some("'x'"))
+    assert(t2.toDF.select("c").collect().forall(_.getString(0) == "x"),
+      "pre-add rows must read the existence default natively")
+    val e2 = intercept[GraftProtocolException](
+      t2.setProperty(DeltaWriteCompat.Prop, "true"))
+    assert(e2.getMessage.contains("existence defaults") &&
+      e2.getMessage.contains("c"), e2.getMessage)
+    // OPTIMIZE rewrites through the filling scan — values materialize
+    t2.optimize(targetFileBytes = 512L * 1024 * 1024)
+    t2.setProperty(GraftTable.ExistenceDefaultsProp, "")
+    t2.setProperty(DeltaWriteCompat.Prop, "true")
+    val enableV = t2.latestVersion
+    // the materialized values are IN the files now: delta readers agree
+    val live = GraftTable.forPath(spark, dir2).snapshot.files.map(_.path)
+    val raw = spark.read.parquet(live.map(p => s"$dir2/$p"): _*)
+    assert(raw.columns.contains("c") &&
+      raw.select("c").collect().forall(_.getString(0) == "x"),
+      "post-OPTIMIZE files must carry the materialized default")
+    // the pre-compat prefix legally stays graft-shaped (delta readers
+    // seed from the compat checkpoint); the tail is delta
+    t2.append(seed(2).withColumn("id", col("id") + 50)
+      .withColumn("c", lit("later")))
+    (enableV to t2.latestVersion).foreach(assertDeltaShaped(dir2, _))
+  }
+
   test("clustering.columns emits the delta.clustering domain and rides the checkpoint") {
     import spark.implicits._
     val dir = tmpDir("dwc-clu-")
