@@ -2074,6 +2074,28 @@ object TableQueries {
         |  UNION ALL SELECT 9002, 'newer')
         |SELECT status, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sum_k
         |FROM live GROUP BY status ORDER BY status""".stripMargin),
+
+    // ---- ADD COLUMN ... DEFAULT: existence defaults (round 17) --------------------
+    // The ADD lands metadata-only at ANY table size (the fixture REQUIREs
+    // a byte-identical file set): pre-add files fill the constant-folded
+    // EXISTS_DEFAULT at scan time, while later INSERTs that omit the
+    // column receive the CURRENT_DEFAULT — changed AFTER the add, so the
+    // oracle observably separates the two keys (old rows stay 'legacy'
+    // while new omissions read 'fresh').
+    "q203_existence_default" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = existenceDefaultTable(s, dir)
+        t.toDF.groupBy($"tier")
+          .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"))
+          .orderBy($"tier")
+      },
+      """WITH live AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS k, 'legacy' AS tier FROM nation
+        |  UNION ALL SELECT 9001, 'fresh'
+        |  UNION ALL SELECT 9002, 'explicit')
+        |SELECT tier, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
+        |FROM live GROUP BY tier ORDER BY tier""".stripMargin),
   )
 
   /** q191's adopted table, memoized per (JVM, dir): a hand-authored
@@ -2842,6 +2864,44 @@ object TableQueries {
       require(deltaReplayLive(logDir) ==
           GraftTable.forPath(s, root).snapshot.files.map(_.path).toSet,
         "independent delta replay must equal graft's live set")
+      t
+    })
+
+  /** q203's native EXISTENCE-DEFAULT table, memoized per (JVM, dir):
+    * nation seeds it, then `ADD COLUMN tier STRING DEFAULT 'legacy'`
+    * lands as a METADATA-ONLY commit (REQUIREd byte-identical file set)
+    * whose constant-folded EXISTS_DEFAULT the scan fills for every
+    * pre-add file — a defaulted column lands on a 100-TB table without
+    * touching one data file. The CURRENT_DEFAULT then changes to
+    * 'fresh', so a later omitted-column INSERT observably reads the
+    * NEW current default while pre-add rows keep the FIXED existence
+    * default — the two-key contract separated end to end. */
+  private def existenceDefaultTable(s: SparkSession, dir: String): GraftTable =
+    cache.computeIfAbsent(s"existsDefault:$dir", _ => {
+      import s.implicits._
+      val root = graft.Scratch.dir("graft-exists-default-").toString
+      val nation = graft.Tables.nation(s, dir)
+      val t = GraftTable.create(s, root,
+        nation.select($"n_nationkey".cast("long").as("k")))
+      val filesBefore = t.snapshot.files.map(_.path).toSet
+      t.addColumn("tier", StringType, Some("'legacy'"))
+      require(t.snapshot.files.map(_.path).toSet == filesBefore,
+        "ADD COLUMN ... DEFAULT must be metadata-only")
+      require(t.toDF.filter($"k" < 9000).select($"tier").collect()
+          .forall(_.getString(0) == "legacy"),
+        "pre-add rows must read the existence default")
+      // CURRENT_DEFAULT moves; EXISTS_DEFAULT is fixed at the add forever
+      t.setColumnDefault("tier", Some("'fresh'"))
+      val tag = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+      graft.sources.GraftCatalog.register(s,
+        graft.Scratch.dir("graft-exd-wh-").toString, name = "exd")
+      s.sql(s"CREATE TABLE exd.default.tiers_$tag USING graft LOCATION '$root'")
+      s.sql(s"INSERT INTO exd.default.tiers_$tag (k) VALUES (9001)")
+      s.sql(s"INSERT INTO exd.default.tiers_$tag VALUES (9002, 'explicit')")
+      require(s.sql(s"SELECT tier FROM exd.default.tiers_$tag WHERE k = 9001")
+          .head().getString(0) == "fresh",
+        "an INSERT omitting the column must receive the CURRENT default")
       t
     })
 
