@@ -158,7 +158,12 @@ object Protocol {
       // too (setColumnDefault / CREATE ... DEFAULT both spell Spark's
       // CURRENT_DEFAULT key, the exact metadata allowColumnDefaults
       // governs)
-      "typeWidening", "typeWidening-preview", "allowColumnDefaults")
+      "typeWidening", "typeWidening-preview", "allowColumnDefaults",
+      // round 17: checkpointProtection's writer obligation is a cleanup
+      // clamp (truncate at or above the protected version) that
+      // GraftLog.cleanupExpiredLogs enforces — this build is a
+      // conforming writer
+      "checkpointProtection")
 }
 
 /** Named protocol-gate failure: the table requires a capability this

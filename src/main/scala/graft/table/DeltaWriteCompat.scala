@@ -97,6 +97,14 @@ object DeltaWriteCompat {
       // on it know that name
       "typeWidening", "typeWidening-preview")
 
+  /** WRITER-ONLY foreign features graft continues: checkpointProtection
+    * (metadata cleanup honors the protected-version clamp — truncation
+    * only at or above `delta.requireCheckpointProtectionBeforeVersion`,
+    * GraftLog.cleanupExpiredLogs). Kept OUT of the reader list: the
+    * delta spec registers it writer-side, and emitting it reader-side
+    * would make real delta readers refuse a table they can read. */
+  private val ContinuedWriterFeatures: Set[String] = Set("checkpointProtection")
+
   private def parsedSchema(meta: MetaData): StructType =
     try DataType.fromJson(meta.schemaString).asInstanceOf[StructType]
     catch { case _: Exception => new StructType() }
@@ -212,6 +220,7 @@ object DeltaWriteCompat {
     // BOTH sides — the standard delta spelling.
     val continued =
       (p.readerFeatures ++ p.writerFeatures).filter(ContinuedFeatures).distinct
+    val continuedW = p.writerFeatures.filter(ContinuedWriterFeatures).distinct
     // type widening is reader+writer: narrow-typed files written before a
     // widen need upcasting reads. Derived from the schema's typeChanges
     // history — unless the table already continues the PREVIEW spelling
@@ -234,14 +243,14 @@ object DeltaWriteCompat {
         Seq("clustering", "domainMetadata") else Nil
     val readerFeats = (dvFeat ++ schemaFeat ++ continued).distinct.sorted
     if (priv.nonEmpty || cdf || rt || ict || readerFeats.nonEmpty ||
-        defFeat.nonEmpty || cluFeat.nonEmpty) {
+        defFeat.nonEmpty || cluFeat.nonEmpty || continuedW.nonEmpty) {
       // v7 lists EVERY active writer capability, legacy ones included
       val legacy = Seq("invariants") ++
         (if (meta.constraints.nonEmpty) Seq("checkConstraints") else Nil) ++
         (if (appendOnly) Seq("appendOnly") else Nil)
       Protocol(if (readerFeats.nonEmpty) 3 else 1, 7, readerFeats,
         (priv ++ readerFeats ++ cdfFeat ++ rtFeat ++ ictFeat ++ defFeat ++
-          cluFeat ++ legacy).distinct.sorted)
+          cluFeat ++ continuedW ++ legacy).distinct.sorted)
     } else if (meta.constraints.nonEmpty) Protocol(1, 3)
     else Protocol(1, 2)
   }

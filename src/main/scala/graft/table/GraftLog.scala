@@ -122,8 +122,21 @@ final class GraftLog(val tablePath: String,
     * boundary checkpoint is the replay seed), the log stops growing
     * without bound at one commit file per write forever, and time travel
     * older than the retention window dies — the same trade VACUUM makes
-    * for data files. Returns the number of files removed. */
-  def cleanupExpiredLogs(cutoffTs: Long): Int = {
+    * for data files. Returns the number of files removed.
+    *
+    * `protectedBelow` (delta's checkpointProtection feature, from the
+    * `delta.requireCheckpointProtectionBeforeVersion` property): the spec
+    * permits metadata cleanup ONLY as a truncation to a boundary AT OR
+    * ABOVE the protected version — the protected range holds checkpoints
+    * a feature-drop workflow planted to shield old readers, and
+    * recreating a boundary checkpoint inside it could resurrect state
+    * those checkpoints exist to hide. When the newest in-retention
+    * checkpoint falls below the protected version there is NO legal
+    * boundary, so cleanup no-ops (the spec's alternative — validate every
+    * feature of every removed commit — is intentionally unused: the
+    * truncation path is always sound and eventually unblocks as the
+    * table's own checkpoints pass the protected version). */
+  def cleanupExpiredLogs(cutoffTs: Long, protectedBelow: Long = -1L): Int = {
     // the read-only contract covers MAINTENANCE, not just commits: log
     // cleanup deletes delta-spark's commit files and plants graft's
     // _log_start pointer inside a log another engine owns
@@ -135,6 +148,10 @@ final class GraftLog(val tablePath: String,
     var removed = sweepStaleTmp(cutoffTs)
     val boundaryVersion = lastVersionAtOrBefore(cutoffTs).getOrElse(return removed)
     val cp = latestCheckpointAtOrBefore(boundaryVersion).getOrElse(return removed)
+    // checkpointProtection clamp: a truncation below the protected
+    // version is illegal under the delta spec — no-op until the newest
+    // in-retention checkpoint reaches it
+    if (cp < protectedBelow) return removed
     val first = earliestVersion
     if (cp <= first) return removed
     // publish the new start BEFORE deleting: a concurrent reader either

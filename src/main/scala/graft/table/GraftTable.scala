@@ -2007,11 +2007,19 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
     * dies, like VACUUM for data files. Resolves `log.retentionMs` when the
     * argument is negative. Returns files removed. */
   def cleanupExpiredLogs(retentionMs: Long = -1L): Int = {
+    val meta = snapshot.metaData
     val retention =
       if (retentionMs >= 0) retentionMs
-      else snapshot.metaData.properties.get("log.retentionMs").map(_.toLong)
+      else meta.properties.get("log.retentionMs").map(_.toLong)
         .getOrElse(30L * 24 * 3600 * 1000)
-    log.cleanupExpiredLogs(System.currentTimeMillis() - retention)
+    // checkpointProtection (adopted delta tables): cleanup may only
+    // truncate AT OR ABOVE the protected version. An unparsable value
+    // protects forever — never guess a boundary the spec pins.
+    val protectedBelow = meta.properties
+      .get("delta.requireCheckpointProtectionBeforeVersion")
+      .map(v => scala.util.Try(v.trim.toLong).getOrElse(Long.MaxValue))
+      .getOrElse(-1L)
+    log.cleanupExpiredLogs(System.currentTimeMillis() - retention, protectedBelow)
   }
 
   /** VACUUM DRY RUN (Delta parity): the files a `vacuum` with the same
@@ -4170,7 +4178,13 @@ object GraftTable {
         // exact keys graft's native SET/DROP DEFAULT machinery maintains,
         // so the schema rides through untranslated and INSERTs that omit
         // the column keep receiving the default
-        "typeWidening", "typeWidening-preview", "allowColumnDefaults")
+        "typeWidening", "typeWidening-preview", "allowColumnDefaults",
+        // round 17: checkpointProtection continues — graft's metadata
+        // cleanup honors the protected-version clamp (truncation only at
+        // or above delta.requireCheckpointProtectionBeforeVersion, which
+        // rides the configuration verbatim), satisfying the spec's
+        // writer obligation
+        "checkpointProtection")
     val mapMode = meta.properties.get("delta.columnMapping.mode")
       .map(_.toLowerCase).filterNot(_ == "none")
     if (mapMode.exists(m => m != "name" && m != "id"))

@@ -1042,7 +1042,6 @@ class DeltaAdoptionSpec extends SparkTestBase {
     // copy fallback, never a generic error
     val unsupportedWriter = Seq(
       "icebergCompatV1", "icebergCompatV2", // graft cannot maintain the Iceberg mirror
-      "checkpointProtection",               // pins checkpoint lifecycles graft's cleanup ignores
       "catalogOwned-preview",               // commits coordinated through a catalog service
       "coordinatedCommits-preview",         // same, older spelling
       "redirectReaderWriter-preview",       // table redirection protocol
@@ -1057,7 +1056,9 @@ class DeltaAdoptionSpec extends SparkTestBase {
         s"the refusal must point at the copy fallback: ${e.getMessage}")
     }
     // reader-side spellings refuse at the READ gate (before adoption can
-    // fold a snapshot), still naming the feature
+    // fold a snapshot), still naming the feature. checkpointProtection is
+    // registered writer-side in the delta spec — a log that (wrongly)
+    // lists it reader-side keeps refusing, like any unknown reader gate.
     Seq("collations-preview", "checkpointProtection").foreach { f =>
       val dir = foreignTable(protocolLine =
         s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["$f"],"writerFeatures":["$f"]}}""")
@@ -1065,6 +1066,45 @@ class DeltaAdoptionSpec extends SparkTestBase {
       assert(e.getMessage.contains(f),
         s"the reader gate must name the feature $f: ${e.getMessage}")
     }
+  }
+
+  test("checkpointProtection adopts: cleanup clamps below the protected version, then unblocks") {
+    import spark.implicits._
+    // a feature-drop workflow pinned the protected range up to version 15
+    val dir = foreignTable(
+      configuration =
+        Map("delta.requireCheckpointProtectionBeforeVersion" -> "15"),
+      protocolLine =
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["checkpointProtection","invariants"]}}""")
+    val t = GraftTable.adoptDelta(spark, dir)
+    // the continued protocol keeps the feature declared — WRITER-side
+    // only (the spec registers it there; a reader-side spelling would
+    // make real delta readers refuse a table they can read)
+    val proto = Files.readAllLines(Paths.get(dir, "_delta_log",
+      f"${t.latestVersion}%020d.json")).asScala
+      .map(mapper.readTree).find(_.has("protocol")).map(_.get("protocol")).get
+    assert(proto.get("writerFeatures").toString.contains("checkpointProtection"))
+    assert(proto.get("readerFeatures") == null ||
+      !proto.get("readerFeatures").toString.contains("checkpointProtection"))
+    // grow past a checkpoint BELOW the protected version (interval 10)
+    (0 until 10).foreach(i => t.append(Seq((100L + i, s"g$i")).toDF("id", "s")))
+    val tt = GraftTable.forPath(spark, dir)
+    assert(tt.latestVersion >= 10 && tt.latestVersion < 15,
+      s"fixture must sit between the checkpoint and the protected version, at ${tt.latestVersion}")
+    // newest in-retention checkpoint (10) < protected version (15): no
+    // legal truncation exists — cleanup must no-op, protected history
+    // fully readable
+    assert(tt.cleanupExpiredLogs(retentionMs = 0) == 0,
+      "cleanup must not truncate below the protected version")
+    assert(tt.log.earliestVersion == 0)
+    assert(tt.versionAsOf(0).count() == 8)
+    // once the table's own checkpoints pass the protected version the
+    // truncation unblocks and removes the whole protected range atomically
+    (0 until 10).foreach(i => tt.append(Seq((200L + i, s"h$i")).toDF("id", "s")))
+    assert(tt.cleanupExpiredLogs(retentionMs = 0) > 0,
+      "a boundary at or above the protected version must clean up")
+    assert(tt.log.earliestVersion >= 15)
+    assert(GraftTable.forPath(spark, dir).toDF.count() === 4 + 20)
   }
 
   test("MAPPED clustering domain folds to LOGICAL names; graft's emission round-trips") {
