@@ -2096,6 +2096,33 @@ object TableQueries {
         |  UNION ALL SELECT 9002, 'explicit')
         |SELECT tier, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
         |FROM live GROUP BY tier ORDER BY tier""".stripMargin),
+
+    // ---- Collated string columns (round 17) ---------------------------------------
+    // A UTF8_LCASE column through the full table layer: the collation
+    // round-trips the log's schemaString, equality/distinct compare
+    // case-insensitively through the scan, and — the load-bearing
+    // negative — byte-ordered file stats never prune a collated
+    // predicate (the fixture plants a file whose byte range excludes
+    // the probe value while its rows MATCH under the collation, and
+    // REQUIREs the pruner keeps it). DuckDB twins the semantics with
+    // lower() — exact for this ASCII corpus.
+    "q204_collated_strings" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = collatedTable(s, dir)
+        t.toDF.agg(
+          count(when($"name" === "Germany", 1)).as("n_match"),
+          sum(when($"name" === "Germany", $"k")).as("sum_match_k"),
+          countDistinct($"name").as("n_ci"))
+      },
+      """WITH live AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name FROM nation
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey AS BIGINT) + 1000, lower(n_name) FROM nation)
+        |SELECT COUNT(CASE WHEN lower(name) = 'germany' THEN 1 END) AS n_match,
+        |       CAST(SUM(CASE WHEN lower(name) = 'germany' THEN k END) AS BIGINT) AS sum_match_k,
+        |       COUNT(DISTINCT lower(name)) AS n_ci
+        |FROM live""".stripMargin),
   )
 
   /** q191's adopted table, memoized per (JVM, dir): a hand-authored
@@ -2903,6 +2930,45 @@ object TableQueries {
           .head().getString(0) == "fresh",
         "an INSERT omitting the column must receive the CURRENT default")
       t
+    })
+
+  /** q204's COLLATED table, memoized per (JVM, dir): nation's uppercase
+    * names seed file 1 under a UTF8_LCASE column, a lowercased copy
+    * appends as file 2. The build REQUIREs (a) the collation survives a
+    * fresh schemaString parse, (b) the `graft.collations` protocol gate
+    * is stamped, and (c) the PRUNING TRAP holds: probing 'germany'
+    * (0x67...) against file 1's byte bounds (min/max inside the
+    * uppercase range, 0x41-0x56) would skip it though its GERMANY row
+    * MATCHES under the collation — the pruner must keep both files. */
+  private def collatedTable(s: SparkSession, dir: String): GraftTable =
+    cache.computeIfAbsent(s"collated:$dir", _ => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.lower
+      val root = graft.Scratch.dir("graft-collated-").toString
+      val nation = graft.Tables.nation(s, dir)
+      val ci = StringType("UTF8_LCASE")
+      val ciSchema = StructType(Seq(
+        StructField("k", LongType, nullable = true),
+        StructField("name", ci, nullable = true)))
+      def shaped(df: org.apache.spark.sql.DataFrame) =
+        s.createDataFrame(df.collectAsList(), ciSchema).coalesce(1)
+      val t = GraftTable.create(s, root, shaped(nation
+        .select($"n_nationkey".cast("long").as("k"), $"n_name".as("name"))))
+      t.append(shaped(nation
+        .select(($"n_nationkey" + 1000).cast("long").as("k"),
+                lower($"n_name").as("name"))))
+      val fresh = GraftTable.forPath(s, root)
+      require(fresh.snapshot.schema("name").dataType == ci,
+        "the collation must survive the log round trip")
+      require(fresh.snapshot.protocol.readerFeatures.contains("graft.collations"),
+        "a collated schema must gate the protocol")
+      require(fresh.snapshot.files.size == 2, "trap needs both files")
+      val resolved = graft.table.DataSkipping.resolve(s, fresh.snapshot.schema,
+        org.apache.spark.sql.functions.col("name") === "germany")
+      require(graft.table.DataSkipping
+          .prune(resolved, fresh.snapshot.files).size == 2,
+        "byte-ordered stats must never prune a collated predicate")
+      fresh
     })
 
   private def deltaIdMappedTable(s: SparkSession, dir: String): GraftTable =

@@ -811,6 +811,10 @@ object GraftTableStream {
     * event-time-partitioned fact table (the most common partitioning
     * scheme of all) gets the zero-shuffle fact-fact join path. */
   def partitionKeyTypeSupported(dt: DataType): Boolean = dt match {
+    // the StringType SINGLETON deliberately: a COLLATED partition column
+    // must not pass — partition values co-locate by BYTE equality, so
+    // SPJ over collation-equal-but-byte-distinct keys would join
+    // partition-wise and miss matches (such tables keep the V1 scan)
     case StringType | IntegerType | LongType | DoubleType |
          BooleanType | DateType | TimestampType | TimestampNTZType => true
     case _ => false

@@ -129,7 +129,10 @@ object Protocol {
       // conversion in GraftTable.isWidening (TypeWideningSpec), which is
       // exactly what the feature demands of readers — files written under
       // the narrower type upcast through the current schema
-      "typeWidening", "typeWidening-preview")
+      "typeWidening", "typeWidening-preview",
+      // graft-private gate for collated string schemas (round 17): this
+      // build compares through Spark's collation-aware StringType
+      "graft.collations")
   val supportedWriterFeatures: Set[String] =
     Set("deletionVectors", "columnMapping", "changeDataFeed", "rowTracking",
       "variantType", "generatedColumns", "identityColumns", "appendOnly",
@@ -163,7 +166,10 @@ object Protocol {
       // clamp (truncate at or above the protected version) that
       // GraftLog.cleanupExpiredLogs enforces — this build is a
       // conforming writer
-      "checkpointProtection")
+      "checkpointProtection",
+      // collated schemas gate writers too (stats/bloom/bucket decisions
+      // must be collation-aware; see DataSkipping.binaryOrdered)
+      "graft.collations")
 }
 
 /** Named protocol-gate failure: the table requires a capability this

@@ -51,6 +51,10 @@ object Bucketing {
     * construction; time usually belongs in the PARTITION column, but an
     * event-id-less time-keyed fact-fact join has no other co-location. */
   def typeSupported(dt: DataType): Boolean = dt match {
+    // the StringType SINGLETON deliberately: a COLLATED string instance
+    // must not match — bucket ids hash bytes, so two collation-equal but
+    // byte-distinct keys would land in different buckets and a co-located
+    // join on them would silently miss matches
     case IntegerType | LongType | StringType | ShortType | ByteType |
          DateType | TimestampType | TimestampNTZType => true
     case _ => false

@@ -45,6 +45,27 @@ object DataSkipping {
   def prune(resolvedPred: Expression, files: Seq[AddFile]): Seq[AddFile] =
     files.filter(mayMatch(resolvedPred, _))
 
+  /** Byte-ORDER soundness gate for stat bounds: footer min/max are
+    * byte-ordered, so every interval test against them is meaningless
+    * under a collation that orders differently ('GERMANY' = 'germany'
+    * under UTF8_LCASE but a byte-range apart) — acting on the bounds
+    * would prune files whose rows MATCH. Non-string types always pass. */
+  private def binaryOrdered(e: Expression): Boolean = e.dataType match {
+    // the singleton IS the UTF8_BINARY collation (equals compares
+    // collationId); every other collation is conservatively unordered —
+    // the finer supportsBinaryOrdering distinction is private[sql]
+    case st: StringType => st == StringType
+    case _ => true
+  }
+
+  /** Byte-EQUALITY soundness gate for bloom probes: a bloom holds hashes
+    * of the stored bytes, so probing a collation-equal-but-byte-different
+    * value would miss and wrongly skip the file. */
+  private def binaryEquality(e: Expression): Boolean = e.dataType match {
+    case st: StringType => st == StringType
+    case _ => true
+  }
+
   /** Equality probes for bloom-filter skipping: column → candidate values
     * from top-level `col = v` / `col IN (...)` conjuncts, as raw Catalyst
     * literal values. Only these shapes can consult a bloom (range predicates
@@ -54,9 +75,11 @@ object DataSkipping {
       if (!e.foldable) None
       else try Option(e.eval(null)) catch { case _: Exception => None }
     val pairs = splitConjuncts(resolved).flatMap {
-      case EqualTo(a: AttributeReference, l) => rawLit(l).map(v => a.name -> Seq(v))
-      case EqualTo(l, a: AttributeReference) => rawLit(l).map(v => a.name -> Seq(v))
-      case In(a: AttributeReference, vs) if vs.nonEmpty =>
+      case EqualTo(a: AttributeReference, l) if binaryEquality(a) =>
+        rawLit(l).map(v => a.name -> Seq(v))
+      case EqualTo(l, a: AttributeReference) if binaryEquality(a) =>
+        rawLit(l).map(v => a.name -> Seq(v))
+      case In(a: AttributeReference, vs) if vs.nonEmpty && binaryEquality(a) =>
         val evs = vs.map(rawLit)
         if (evs.forall(_.isDefined)) Some(a.name -> evs.flatten) else None
       case _ => None
@@ -110,7 +133,9 @@ object DataSkipping {
       // records for isAdjustedToUTC=false parquet columns
       case TimestampNTZType => Some(Left(BigDecimal(v.toString)))
       case _: DateType      => Some(Left(BigDecimal(v.toString))) // epoch days
-      case _: StringType    => Some(Right(v.toString))
+      // collated strings refuse: the byte-ordered stat bounds do not
+      // order these values (see binaryOrdered)
+      case st: StringType if st == StringType => Some(Right(v.toString))
       case _                => None
     }
   }
@@ -163,8 +188,13 @@ object DataSkipping {
         case None => true // no stats → cannot skip
       }
 
+    // BOTH sides must be binary-ordered: the analyzer may leave the
+    // literal in the default collation while the column is collated (or
+    // vice versa), and either side escaping the gate would re-admit the
+    // unsound byte-interval test
     def attrLit(a: Expression, l: Expression): Option[(String, Ord)] =
-      for { n <- attrName(a); v <- litValue(l) } yield (n, v)
+      if (!binaryOrdered(a)) None
+      else for { n <- attrName(a); v <- litValue(l) } yield (n, v)
 
     // null-count tier (independent of min/max): a file whose footer proves
     // zero nulls can't serve IS NULL; all-null can't serve IS NOT NULL —
@@ -183,7 +213,8 @@ object DataSkipping {
       // string range provably misses it (the log-prefix / path-prefix
       // query shape). Last char at Char.MaxValue → no upper bound, only
       // the lower check applies.
-      case StartsWith(a, Literal(pfx, StringType)) if pfx != null =>
+      case StartsWith(a, Literal(pfx, StringType)) if pfx != null &&
+          binaryOrdered(a) =>
         attrName(a).forall { n =>
           if (allNull(n)) false
           else {
@@ -215,7 +246,8 @@ object DataSkipping {
         attrLit(a, l).forall { case (n, v) => checkNN(n, v, (cl, _) => cl <= 0) }
       case LessThanOrEqual(l, a) if attrLit(a, l).isDefined =>      // v <= col ⇔ col >= v
         attrLit(a, l).forall { case (n, v) => checkNN(n, v, (_, ch) => ch >= 0) }
-      case In(a, vs) if attrName(a).isDefined && vs.nonEmpty && vs.forall(litValue(_).isDefined) =>
+      case In(a, vs) if attrName(a).isDefined && binaryOrdered(a) &&
+          vs.nonEmpty && vs.forall(litValue(_).isDefined) =>
         vs.exists(v => checkNN(attrName(a).get, litValue(v).get, (cl, ch) => cl <= 0 && ch >= 0))
       case _ => true // unknown shape → cannot skip
     }

@@ -135,6 +135,19 @@ object DeltaWriteCompat {
       parsedSchema(meta).fields.exists(
         _.metadata.contains(GraftTable.TypeChangesKey))
 
+  /** Any COLLATED (non-UTF8_BINARY) string in the schema — Spark
+    * serializes collations under the `__COLLATIONS` field-metadata key
+    * (cheap substring pre-filter) and parses them back as StringType
+    * instances ≠ the binary singleton. Collation changes equality and
+    * ordering semantics, so both the native protocol gate
+    * (GraftLog.ensureSchemaFeatures) and the compat refusal key on it. */
+  private[table] def hasCollatedStrings(meta: MetaData): Boolean =
+    meta.schemaString.contains("__COLLATIONS") &&
+      anyType(parsedSchema(meta)) {
+        case st: StringType => st != StringType
+        case _ => false
+      }
+
   /** Any column carrying a SQL DEFAULT (Spark's CURRENT_DEFAULT /
     * EXISTS_DEFAULT field-metadata keys — the exact spelling delta's
     * allowColumnDefaults writer feature governs): the emitted protocol
@@ -318,6 +331,14 @@ object DeltaWriteCompat {
         " (files written before ADD COLUMN ... DEFAULT read the default " +
         "in graft but NULL in delta readers; OPTIMIZE to materialize the " +
         s"values, then clear ${GraftTable.ExistenceDefaultsProp})")
+    // collated strings: delta spells collations behind its own (preview)
+    // feature this engine does not emit — publishing the schema without it
+    // would make delta readers compare the column by BINARY order,
+    // silently changing equality, GROUP BY and sort semantics
+    else if (hasCollatedStrings(meta))
+      Some("collated string columns (no delta collation spelling is " +
+        "emitted; a delta reader would compare by binary order, silently " +
+        "changing equality/sort semantics)")
     else None
   }
 

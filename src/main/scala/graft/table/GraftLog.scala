@@ -324,7 +324,14 @@ final class GraftLog(val tablePath: String,
     val needed: Seq[String] = actions.collectFirst { case m: MetaData => m }
       .map { m =>
         (if (DeltaWriteCompat.hasVariantType(m)) Seq("variantType") else Nil) ++
-        (if (DeltaWriteCompat.hasNtzType(m)) Seq("timestampNtz") else Nil)
+        (if (DeltaWriteCompat.hasNtzType(m)) Seq("timestampNtz") else Nil) ++
+        // collated strings (round 17): a reader that predates collations
+        // would compare the column by binary order — silently wrong
+        // equality/GROUP BY/sort — so the first collated schema gates the
+        // table under a graft-private feature name (delta's own collation
+        // spelling is preview-only; compat refuses collated schemas)
+        (if (DeltaWriteCompat.hasCollatedStrings(m)) Seq("graft.collations")
+         else Nil)
       }.getOrElse(Nil)
     if (needed.isEmpty) return actions
     val base = actions.collectFirst { case p: Protocol => p }

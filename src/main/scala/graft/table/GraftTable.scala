@@ -3814,6 +3814,12 @@ object GraftTable {
     * metadata-only aggregate rule, which folds a PINNED snapshot). */
   private[graft] def metadataMinMaxOf(snap: Snapshot, column: String): Option[(String, String)] = {
     val schema = DataType.fromJson(snap.metaData.schemaString).asInstanceOf[StructType]
+    // collated strings refuse EXPLICITLY: byte-ordered stat bounds are
+    // not the collation's extrema ('a' < 'B' under UTF8_LCASE but not in
+    // byte order) — fall back to the scan, which compares correctly
+    if (schema.fields.find(_.name == column).map(_.dataType).exists {
+        case st: StringType => st != StringType // any non-binary collation
+        case _ => false }) return None
     val isStr = schema.fields.find(_.name == column).exists(_.dataType == StringType)
     // stats (and partition values) are keyed by PHYSICAL name under
     // column mapping — a logical-name lookup would bind a dropped
