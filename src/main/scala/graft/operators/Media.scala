@@ -278,6 +278,64 @@ object Media {
     out.toByteArray
   }
 
+  /** A deterministic in-memory PNG with four uniform 2×2 QUADRANTS (each
+    * `w/2 × h/2` at its own gray level) — the fixture shape for perceptual
+    * hashing: every 4×4-grid cell of a quadrant decodes to the same
+    * luminance, so the aHash bits are a closed-form function of the four
+    * gray values. */
+  def quadPng(w: Int, h: Int, g0: Int, g1: Int, g2: Int, g3: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = (if (y < h / 2) if (x < w / 2) g0 else g1
+                 else if (x < w / 2) g2 else g3)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Average-hash (aHash), the classic perceptual image fingerprint: bit i
+    * of the 16-bit hash is set iff grid cell i's luminance STRICTLY
+    * exceeds the grid mean. Uniform-content changes (brightness scaling
+    * aside) move few bits; near-duplicate frames land within a small
+    * hamming radius — the image-side analogue of SimHash over text. */
+  def averageHash(features: Array[Float]): Int = {
+    var s = 0f
+    var i = 0
+    while (i < features.length) { s += features(i); i += 1 }
+    val mean = s / features.length
+    var h = 0
+    i = 0
+    while (i < features.length) {
+      if (features(i) > mean) h |= 1 << i
+      i += 1
+    }
+    h
+  }
+
+  /** QUADRANT-aligned 4-bit bands of a 16-bit aHash (grid cell gy*4+gx;
+    * quadrant 0 = top-left cells {0,1,4,5}, 1 = top-right {2,3,6,7},
+    * 2 = bottom-left {8,9,12,13}, 3 = bottom-right {10,11,14,15}).
+    * Spatially-local image edits flip bits of ONE quadrant, leaving 3 of
+    * 4 bands identical — the pigeonhole guarantee the banded candidate
+    * join keys on (the SimHash band discipline: candidates via band
+    * equality, exact hamming rescore, never all-pairs). */
+  def ahashBands(hash: Int): Array[Int] = {
+    val quads = Array(Array(0, 1, 4, 5), Array(2, 3, 6, 7),
+                      Array(8, 9, 12, 13), Array(10, 11, 14, 15))
+    quads.map(cells => cells.zipWithIndex.foldLeft(0) { case (acc, (cell, k)) =>
+      acc | (((hash >> cell) & 1) << k)
+    })
+  }
+
   /** Documents as a typed media Dataset (payload = UTF-8 bytes; stands in
     * for image/audio blobs). */
   def mediaDataset(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {

@@ -179,5 +179,65 @@ object Multimodal {
         |  CAST((20 * i + 120) % 256 AS INTEGER) AS lum4
         |FROM (SELECT unnest(range(1, 9)) AS i)
         |ORDER BY doc_id""".stripMargin),
+
+    // ---- Image NEAR-DUP via perceptual hash (round 17) ---------------------------
+    // The multimodal dedup leg: REAL PNG decode (ImageIoCodec) → 16-bit
+    // average-hash (bit = grid cell above the grid mean) → quadrant-
+    // aligned 4-bit bands → banded candidate self-join → exact hamming
+    // rescore at radius 4. Never all-pairs; payload bytes never shuffle
+    // (only (doc_id, ahash) leaves the map side). The fixture's quadrant
+    // PNGs make every hash CLOSED-FORM (quadrant bit = gray above the
+    // quadrant mean), so the expected pair set is hand-derived: image 2
+    // is a brightness-jittered copy of 1 (hamming 0), images 3/5 differ
+    // from 1 in ONE quadrant (hamming 4, found via 3 shared bands), 4-5
+    // likewise; everything else is ≥ 8 bits apart and rescored away.
+    "q205_image_neardup" -> Q(
+      (s, _) => {
+        import s.implicits._
+        import graft.operators.Media
+        val quads: Map[Long, (Int, Int, Int, Int)] = Map(
+          1L -> ((200, 0, 0, 0)),   // q0 bright        → bits of q0
+          2L -> ((180, 20, 0, 0)),  // jittered copy    → same bits
+          3L -> ((200, 200, 0, 0)), // q1 also bright   → +q1 (4 bits)
+          4L -> ((0, 0, 200, 0)),   // q2 bright        → bits of q2
+          5L -> ((200, 0, 200, 0))) // q0+q2            → 1+{q2} / 4+{q0}
+        val rows = s.range(1, 6).map { i =>
+          val q = quads(i)
+          Media.MediaRow(i, Media.quadPng(64, 64, q._1, q._2, q._3, q._4), "img")
+        }
+        val hashes = Media.decode(rows, Media.ImageIoCodec)
+          .map(f => (f.doc_id, Media.averageHash(f.features)))
+          .toDF("doc_id", "ahash")
+        val bands = hashes.select($"doc_id", $"ahash",
+            posexplode(udfFreeBands($"ahash")).as(Seq("band", "bits")))
+        val pairs = bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+            col("x.ahash").as("ha"), col("y.ahash").as("hb"))
+          .distinct()
+        pairs
+          .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+          .filter($"hamming" <= 4)
+          .select($"a", $"b", $"hamming".cast("long").as("hamming"))
+          .orderBy($"a", $"b")
+      },
+      """SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+        |       CAST(h AS BIGINT) AS hamming
+        |FROM (VALUES (1, 2, 0), (1, 3, 4), (1, 5, 4),
+        |             (2, 3, 4), (2, 5, 4), (4, 5, 4)) AS t(a, b, h)
+        |ORDER BY a, b""".stripMargin),
   )
+
+  /** Quadrant-band extraction as pure codegen'd column math (no UDF):
+    * band k of the 16-bit aHash gathers the 4 bits of quadrant k's grid
+    * cells — mirrors graft.operators.Media.ahashBands bit for bit. */
+  private def udfFreeBands(ahash: org.apache.spark.sql.Column) = {
+    val cells = Seq(Seq(0, 1, 4, 5), Seq(2, 3, 6, 7),
+                    Seq(8, 9, 12, 13), Seq(10, 11, 14, 15))
+    array(cells.map(q =>
+      q.zipWithIndex.map { case (cell, k) =>
+        shiftleft(shiftright(ahash, cell).bitwiseAND(lit(1)), k)
+      }.reduce(_ + _)): _*)
+  }
 }

@@ -258,4 +258,28 @@ class MediaSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Media.VideoCodec().decode("not a video".getBytes))
   }
+
+  test("averageHash: closed-form quadrant hashes; one-quadrant edit leaves 3 of 4 bands") {
+    def hash(g0: Int, g1: Int, g2: Int, g3: Int): Int =
+      Media.averageHash(Media.ImageIoCodec.decode(
+        Media.quadPng(64, 64, g0, g1, g2, g3)))
+    val h1 = hash(200, 0, 0, 0)
+    // quadrant 0 (top-left) covers grid cells {0, 1, 4, 5}
+    assert(h1 === ((1 << 0) | (1 << 1) | (1 << 4) | (1 << 5)),
+      s"single-bright-quadrant hash must be closed-form, got ${h1.toBinaryString}")
+    // brightness jitter that keeps every quadrant on its side of the mean
+    // is hash-invariant — the perceptual property
+    assert(hash(180, 20, 0, 0) === h1)
+    // lighting ONE more quadrant flips exactly that quadrant's 4 bits...
+    val h3 = hash(200, 200, 0, 0)
+    assert(Integer.bitCount(h1 ^ h3) === 4)
+    // ...which the quadrant-aligned bands localize: 3 of 4 bands identical
+    // (the pigeonhole guarantee the q205 candidate join keys on)
+    val shared = Media.ahashBands(h1).zip(Media.ahashBands(h3))
+      .count { case (a, b) => a == b }
+    assert(shared === 3, s"one-quadrant edit must leave 3 shared bands, got $shared")
+    // bands partition the hash bits exactly
+    val b = Media.ahashBands(h1)
+    assert(b.map(Integer.bitCount).sum === Integer.bitCount(h1))
+  }
 }
