@@ -690,6 +690,72 @@ object Dedup {
          |FROM documents d LEFT JOIN per_source p ON d.source = p.source
          |GROUP BY d.source ORDER BY d.source""".stripMargin),
 
+    // ---- SEMANTIC decontamination: embedding similarity vs an eval set (round 17) --
+    // q104 catches verbatim n-gram leaks; paraphrased/reformatted leaks
+    // need the EMBEDDING space. The benchmark suite here is a scaled copy
+    // of selected corpus vectors (vec_id % 50 = 0, rescaled ×2 — cosine
+    // is scale-invariant, so the leaked originals score ≈1.0 while the
+    // max unrelated cosine in this corpus is ~0.51; threshold 0.99 has a
+    // huge margin on both sides, and the output carries only integer
+    // counts, so no float boundary can flip a row). Scale shape: the
+    // corpus side reduces to sign-bit bands (q45's discipline), the TINY
+    // eval side BROADCASTS at both the band join and the rescore — the
+    // corpus never shuffles, exact cosine runs only on band-collision
+    // candidates, never all-pairs.
+    "q206_semantic_decontaminate" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.VectorFunctions.vecDot
+        val e = Tables.embeddings(s, dir)
+          .select($"vec_id",
+            expr("transform(embedding, x -> cast(x as double))").as("v"), $"label")
+        val bench = e.filter($"vec_id" % 50 === 0)
+          .select($"vec_id".as("bench_id"),
+            expr("transform(v, x -> x * 2.0d)").as("bv"))
+        def bands(df: DataFrame, vec: String, id: Seq[Column]) = df
+          .withColumn("bits", expr(s"transform($vec, x -> if(x > 0d, 1, 0))"))
+          .select(id :+ posexplode(
+            expr("transform(sequence(0, 3), b -> slice(bits, b * 16 + 1, 16))")): _*)
+          .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_bits"))
+        val cand = bands(e, "v", Seq($"vec_id"))
+          .join(broadcast(bands(bench, "bv", Seq($"bench_id"))),
+            Seq("band", "band_bits"))
+          .select($"vec_id", $"bench_id").distinct()
+        val corpN = e.withColumn("nrm", sqrt(vecDot($"v", $"v")))
+        val benchN = bench.withColumn("bnrm", sqrt(vecDot($"bv", $"bv")))
+        cand
+          .join(corpN, "vec_id")
+          .join(broadcast(benchN), "bench_id")
+          .filter(vecDot($"v", $"bv") / ($"nrm" * $"bnrm") >= 0.99)
+          .select($"vec_id", $"label").distinct()
+          .groupBy($"label")
+          .agg(count(lit(1)).as("n_flagged"), sum($"vec_id").as("sum_flagged"))
+          .orderBy($"label")
+      },
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v, label
+        |  FROM embeddings),
+        |ev AS (
+        |  SELECT vec_id AS bench_id, list_transform(v, x -> x * 2.0) bv
+        |  FROM e WHERE vec_id % 50 = 0),
+        |cb AS (
+        |  SELECT vec_id, i AS band,
+        |    array_to_string(list_transform(v, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)[(i*16+1):(i*16+16)], '') bb
+        |  FROM e, (SELECT unnest(range(4)) AS i)),
+        |eb AS (
+        |  SELECT bench_id, i AS band,
+        |    array_to_string(list_transform(bv, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)[(i*16+1):(i*16+16)], '') bb
+        |  FROM ev, (SELECT unnest(range(4)) AS i)),
+        |cand AS (SELECT DISTINCT vec_id, bench_id FROM cb JOIN eb USING (band, bb)),
+        |flag AS (
+        |  SELECT DISTINCT n.vec_id, n.label
+        |  FROM cand
+        |  JOIN (SELECT vec_id, label, v, sqrt(list_inner_product(v, v)) nrm FROM e) n USING (vec_id)
+        |  JOIN (SELECT bench_id, bv, sqrt(list_inner_product(bv, bv)) bnrm FROM ev) m USING (bench_id)
+        |  WHERE list_inner_product(n.v, m.bv) / (n.nrm * m.bnrm) >= 0.99)
+        |SELECT label, COUNT(*) AS n_flagged, CAST(SUM(vec_id) AS BIGINT) AS sum_flagged
+        |FROM flag GROUP BY label ORDER BY label""".stripMargin),
+
     // ---- Canonical selection: the keep/drop EXECUTION of near-dup dedup -----------
     // q57 names each near-dup cluster; this picks the winner — keep the
     // LONGEST doc per cluster (tie → min doc_id), drop the rest. That is

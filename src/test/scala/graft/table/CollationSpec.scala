@@ -117,6 +117,26 @@ class CollationSpec extends SparkTestBase {
     assert(!t2.snapshot.protocol.readerFeatures.contains("graft.collations"))
   }
 
+  test("DML through a collated predicate: DELETE removes BOTH case variants") {
+    val dir = tmpDir("collate-dml-")
+    // same trap layout as the pruning test: the uppercase-only file's byte
+    // bounds exclude the lowercase probe — a pruner that consulted them
+    // would leave the GERMANY row alive after DELETE (silent wrong data)
+    val t = GraftTable.create(spark, dir, spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, "GERMANY"),
+        org.apache.spark.sql.Row(2L, "France")),
+      ciSchema))
+    t.append(spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(3L, "germany")), ciSchema))
+    t.delete(col("name") === "Germany")
+    val left = t.toDF.collect().map(_.getLong(0)).toSet
+    assert(left === Set(2L), s"DELETE must hit both case variants, kept $left")
+    // UPDATE through the same machinery
+    t.update(col("name") === "france", Map("name" -> "'FR'"))
+    assert(t.toDF.head().getString(1) === "FR")
+  }
+
   test("SQL front door: CREATE ... COLLATE, INSERT, collation-aware GROUP BY") {
     graft.sources.GraftCatalog.register(spark, tmpDir("collate-wh-"), name = "colc")
     spark.sql("CREATE TABLE colc.default.langs (id BIGINT, lang STRING COLLATE UTF8_LCASE) USING graft")
