@@ -383,4 +383,20 @@ class GraftTableStreamSpec extends SparkTestBase {
     assert(e.getMessage.contains("adopt_delta"),
       s"the foreign table must stay read-only under streaming: ${e.getMessage}")
   }
+
+  test("existence defaults stream: pre-add files emit the default, not null") {
+    // the batch scan fills EXISTS_DEFAULT for files that predate an
+    // ADD COLUMN ... DEFAULT; the streaming source decodes through its own
+    // vectorized factory and must agree — a null here would silently
+    // diverge the streamed corpus from the batch one
+    val dir = tmpDir("gstream-exdef-")
+    val t = GraftTable.create(spark, dir, Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    t.addColumn("tier", org.apache.spark.sql.types.StringType, Some("'legacy'"))
+    val out = tmpDir("gstream-exdef-out-")
+    runToParquet(dir, tmpDir("gstream-exdef-ckpt-"), out)
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getInt(0), r.getString(2))).sortBy(_._1).toSeq
+    assert(rows === Seq((1, "legacy"), (2, "legacy")),
+      s"streamed pre-add rows must carry the existence default, got $rows")
+  }
 }
