@@ -389,6 +389,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "graft tables support top-level ALTER COLUMN DEFAULT only")
         t.setColumnDefault(ud.fieldNames.head,
           Option(ud.newCurrentDefault()).flatMap(d => Option(d.getSql)))
+      // ALTER TABLE ... CLUSTER BY (cols) / CLUSTER BY NONE: redeclare or
+      // drop the clustering advice (metadata-only; the NEXT bare OPTIMIZE
+      // re-clusters once — tag mismatch — then maintains incrementally)
+      case cb: TableChange.ClusterBy =>
+        val cols = cb.clusteringColumns().map(_.fieldNames.mkString("."))
+        if (cols.isEmpty) t.removeProperty("clustering.columns")
+        else t.setProperty("clustering.columns", cols.mkString(","))
       // ALTER COLUMN ... COMMENT: metadata-only documentation
       case uc: TableChange.UpdateColumnComment =>
         require(uc.fieldNames.length == 1,
@@ -496,7 +503,23 @@ object GraftCatalog {
     * columns (enforced by Bucketing.validate at create). */
   private[sources] def decodeTransforms(
       partitions: Seq[Transform]): (Seq[String], Map[String, String]) = {
-    val (buckets, rest) = partitions.partition(_.name == "bucket")
+    // CREATE TABLE ... CLUSTER BY (cols): Spark 4 delivers the clause as a
+    // ClusterByTransform in the partitioning array — it becomes graft's
+    // clustering.columns property (liquid-clustering declaration; bare
+    // OPTIMIZE maintains it incrementally), NOT a partition layout
+    val (clusters, nonCluster) = partitions.partition(
+      _.isInstanceOf[org.apache.spark.sql.connector.expressions.ClusterByTransform])
+    val clusterProps = clusters match {
+      case Seq() => Map.empty[String, String]
+      case Seq(cb) => Map("clustering.columns" ->
+        cb.references.map(_.fieldNames.mkString(".")).mkString(","))
+      case many => throw new IllegalArgumentException(
+        s"at most one CLUSTER BY clause per table, got ${many.toSeq}")
+    }
+    require(clusters.isEmpty || nonCluster.isEmpty,
+      "CLUSTER BY cannot combine with PARTITIONED BY on graft tables " +
+        "(clustering is a within-file layout; partitioning would shadow it)")
+    val (buckets, rest) = nonCluster.partition(_.name == "bucket")
     val partitionCols = rest.map { t =>
       require(t.name == "identity",
         s"graft tables support identity and bucket partitioning only, got $t")
@@ -518,7 +541,7 @@ object GraftCatalog {
       case many => throw new IllegalArgumentException(
         s"at most one bucket transform per table, got ${many.toSeq}")
     }
-    (partitionCols, bucketProps)
+    (partitionCols, bucketProps ++ clusterProps)
   }
 }
 
@@ -618,7 +641,15 @@ class GraftSqlTable(val table: GraftTable, ident: String,
   override def partitioning(): Array[Transform] =
     snap.metaData.partitionColumns.map(Expressions.identity).toArray[Transform] ++
       graft.table.Bucketing.spec(snap.metaData)
-        .map { case (c, n) => Expressions.bucket(n, c): Transform }
+        .map { case (c, n) => Expressions.bucket(n, c): Transform } ++
+      // declared clustering reports back as the standard ClusterByTransform
+      // (DESCRIBE shows `cluster_by`; round-trips CREATE ... CLUSTER BY)
+      snap.metaData.properties.get("clustering.columns")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty))
+        .filter(_.nonEmpty)
+        .map(cols => org.apache.spark.sql.connector.expressions.ClusterByTransform(
+          cols.toIndexedSeq.map(c => Expressions.column(c): NamedReference))
+          : Transform)
 
   override def properties(): java.util.Map[String, String] =
     (snap.metaData.properties ++ Map(

@@ -525,6 +525,42 @@ class CatalogSpec extends SparkTestBase {
       s"old rows must read the existence default, got $rows")
   }
 
+  test("CREATE/ALTER TABLE ... CLUSTER BY routes to clustering.columns; OPTIMIZE maintains it") {
+    registered
+    sql("CREATE TABLE gcat.default.clus (id BIGINT, score DOUBLE, day INT) USING graft CLUSTER BY (id, score)")
+    val dir = sql("DESCRIBE TABLE EXTENDED gcat.default.clus")
+      .filter("col_name = 'Location'").head().getString(1)
+    def prop(): Option[String] = graft.table.GraftTable.forPath(spark, dir)
+      .snapshot.metaData.properties.get("clustering.columns")
+    assert(prop().contains("id,score"),
+      s"CLUSTER BY must land as the clustering property, got ${prop()}")
+    // the declaration round-trips the DSv2 partitioning report
+    import scala.jdk.CollectionConverters._
+    val cat = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("default"), "clus"))
+    assert(tbl.partitioning().exists(
+      _.isInstanceOf[org.apache.spark.sql.connector.expressions.ClusterByTransform]))
+    // writes + bare OPTIMIZE maintain the declared clustering
+    sql("INSERT INTO gcat.default.clus SELECT id, id * 1.5, 1 FROM range(2000)")
+    val t = graft.table.GraftTable.forPath(spark, dir)
+    val before = t.latestVersion
+    t.optimize()
+    assert(t.latestVersion > before &&
+      t.snapshot.files.forall(_.tags.contains("clustered")),
+      "bare OPTIMIZE must run the DECLARED clustering and tag the output")
+    // re-declare and drop through ALTER
+    sql("ALTER TABLE gcat.default.clus CLUSTER BY (day)")
+    assert(prop().contains("day"))
+    sql("ALTER TABLE gcat.default.clus CLUSTER BY NONE")
+    assert(prop().isEmpty, "CLUSTER BY NONE must drop the declaration")
+    // CLUSTER BY + PARTITIONED BY refuses (delta liquid-clustering parity)
+    val e = intercept[Exception](sql(
+      "CREATE TABLE gcat.default.clus2 (id BIGINT, day INT) USING graft PARTITIONED BY (day) CLUSTER BY (id)"))
+    assert(e.getMessage.toLowerCase.contains("cluster"), e.getMessage)
+  }
+
   test("ALTER COLUMN COMMENT lands in the versioned schema") {
     registered
     sql("CREATE TABLE gcat.default.cmts (id INT, score DOUBLE) USING graft")
