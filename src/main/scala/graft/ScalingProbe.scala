@@ -578,6 +578,80 @@ object ScalingProbe {
     spark.stop()
   }
 
+  /** Round-17 DDL-at-scale probe: on a SYNTHETIC n-file table (no data
+    * files — none of these ops may open one), REQUIRE that ADD COLUMN
+    * ... DEFAULT, ALTER COLUMN TYPE (widen) and the CLUSTER BY
+    * declaration each land as ONE SMALL metadata-only commit (< 64 KB —
+    * a commit that re-listed the files would be ~15 MB at n=100k), and
+    * that stats pruning over the 100k AddFiles stays O(files) with the
+    * collation guard costing nothing measurable (a collated predicate
+    * prunes NOTHING — correctness — at the same order wall-clock as the
+    * binary predicate that prunes). */
+  private def runDdlProbe(n: Int): Unit = {
+    import graft.table._
+    import org.apache.spark.sql.types._
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = Scratch.dir("graft-ddlprobe-").toString
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"""DDLPROBE {"step":"$label","n":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.3f}""")
+      r
+    }
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("cnt", IntegerType),
+      StructField("name", StringType("UTF8_LCASE"))))
+    val now = System.currentTimeMillis()
+    def addFile(i: Int): AddFile = AddFile(
+      f"part-$i%07d-xxxxxxxx.parquet", 128L * 1024 * 1024, now, 1000000L,
+      Map("id" -> (i * 1000L).toString, "cnt" -> "0", "name" -> "AAAA"),
+      Map("id" -> ((i + 1) * 1000L).toString, "cnt" -> "99", "name" -> "MZZZ"))
+    val log = new GraftLog(dir)
+    timed("author_100k_file_log") {
+      log.commit(0L, Seq(
+        MetaData(java.util.UUID.randomUUID().toString, schema.json, now, Nil,
+          Map.empty, Map.empty),
+        CommitInfo(0L, log.nextTimestamp(), "CONVERT", Map.empty)) ++
+        (0 until n).map(addFile))
+    }
+    val t = GraftTable.forPath(spark, dir)
+    require(t.snapshot.files.size == n, "fold lost files")
+    def commitBytes(v: Long): Long = java.nio.file.Files.size(
+      java.nio.file.Paths.get(dir, "_delta_log", f"$v%020d.json"))
+    timed("add_column_default") {
+      t.addColumn("tier", StringType, Some("'legacy'"))
+    }
+    require(t.latestVersion == 1 && commitBytes(1) < 64 * 1024,
+      s"ADD COLUMN DEFAULT must be metadata-only (${commitBytes(1)} B)")
+    timed("widen_cnt_int_to_long") { t.alterColumnType("cnt", LongType) }
+    require(t.latestVersion == 2 && commitBytes(2) < 64 * 1024,
+      s"type widening must be metadata-only (${commitBytes(2)} B)")
+    timed("declare_cluster_by") { t.setProperty("clustering.columns", "id") }
+    require(commitBytes(3) < 64 * 1024, "CLUSTER BY declaration must be tiny")
+    require(t.snapshot.files.size == n, "no DDL may touch the file set")
+    // stats pruning at n files: binary predicate prunes, collated cannot
+    val snap = t.snapshot
+    val pruned = timed("prune_binary_id") {
+      DataSkipping.prune(DataSkipping.resolve(spark, snap.schema,
+        org.apache.spark.sql.functions.col("id") < 500000L), snap.files).size
+    }
+    require(pruned < n / 100, s"binary pruning must bite, kept $pruned")
+    val keptCollated = timed("prune_collated_name") {
+      DataSkipping.prune(DataSkipping.resolve(spark, snap.schema,
+        org.apache.spark.sql.functions.col("name") === "zz"), snap.files).size
+    }
+    require(keptCollated == n,
+      s"a collated predicate must never prune (kept $keptCollated of $n)")
+    println(s"DDLPROBE done n=$n commits=[${commitBytes(1)},${commitBytes(2)},${commitBytes(3)}]B")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("clone")) {
       runCloneProbe(args.drop(1).headOption.map(_.toInt).getOrElse(1000))
@@ -613,6 +687,10 @@ object ScalingProbe {
     }
     if (args.headOption.contains("dml")) {
       runDmlProbe(args.drop(1).headOption.map(_.toInt).getOrElse(3))
+      return
+    }
+    if (args.headOption.contains("ddl")) {
+      runDdlProbe(args.drop(1).headOption.map(_.toInt).getOrElse(100000))
       return
     }
     val chainMode = args.headOption.contains("dedup-chain")

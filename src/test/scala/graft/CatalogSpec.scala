@@ -561,6 +561,17 @@ class CatalogSpec extends SparkTestBase {
     assert(e.getMessage.toLowerCase.contains("cluster"), e.getMessage)
   }
 
+  test("CREATE TABLE with a column DEFAULT: omitted-column inserts receive it from commit 0") {
+    registered
+    sql("CREATE TABLE gcat.default.ctd (id INT, c STRING DEFAULT 'seed') USING graft")
+    sql("INSERT INTO gcat.default.ctd (id) VALUES (1)")
+    sql("INSERT INTO gcat.default.ctd VALUES (2, 'explicit')")
+    val rows = sql("SELECT id, c FROM gcat.default.ctd ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows === Seq((1, "seed"), (2, "explicit")),
+      s"a create-time DEFAULT must govern omitted-column inserts, got $rows")
+  }
+
   test("ALTER COLUMN COMMENT lands in the versioned schema") {
     registered
     sql("CREATE TABLE gcat.default.cmts (id INT, score DOUBLE) USING graft")
