@@ -1107,6 +1107,111 @@ class DeltaAdoptionSpec extends SparkTestBase {
     assert(GraftTable.forPath(spark, dir).toDF.count() === 4 + 20)
   }
 
+  test("delta 4.x kitchen sink adopts: id mapping + ICT + widening + defaults + checkpointProtection + rowTracking + DVs in ONE table") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // every round-15..17 interop leg ACTIVE AT ONCE — the adoption test
+    // that matters, because real delta-4.x tables carry these together
+    // and the features interact (stats keys are physical under mapping,
+    // the widen era binds by field id, defaults ride the mapped schema,
+    // ICT orders every continued commit, the rowTracking hwm must outlive
+    // the DV tombstones)
+    val dir = tmpDir("adopt-sink-")
+    // the FILE: INT32-typed id (the pre-widen era) + string s, bound by
+    // FIELD ID alone (names x1/x2 match nothing in the log)
+    val fileSchema = StructType(Seq(
+      StructField("x1", IntegerType, nullable = true,
+        metadata = new MetadataBuilder().putLong("parquet.field.id", 1L).build()),
+      StructField("x2", StringType, nullable = true,
+        metadata = new MetadataBuilder().putLong("parquet.field.id", 2L).build())))
+    val prevFieldId = spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val (s1, m1) =
+      try dataFile(dir, "part-00000-sink-c000.snappy.parquet",
+        spark.createDataFrame(
+          df(0 until 4).select(col("id").cast("int"), col("s")).rdd, fileSchema))
+      finally prevFieldId match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
+        case None => spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+      }
+    val sinkSchema = StructType(Seq(
+      StructField("id", LongType, nullable = true,
+        metadata = new MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", "col-1")
+          .putLong("delta.columnMapping.id", 1L)
+          .putMetadataArray("delta.typeChanges", Array(
+            new MetadataBuilder().putString("fromType", "integer")
+              .putString("toType", "long").build())).build()),
+      StructField("s", StringType, nullable = true,
+        metadata = new MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", "col-2")
+          .putLong("delta.columnMapping.id", 2L)
+          .putString("CURRENT_DEFAULT", "'fresh'")
+          .putString("EXISTS_DEFAULT", "'orig'").build())))
+    val foreignIct = System.currentTimeMillis() + 3600L * 1000
+    commit(dir, 0, Seq(
+      // commitInfo FIRST — the ICT spec's ordering, which graft must keep
+      s"""{"commitInfo":{"timestamp":1619112345000,"inCommitTimestamp":$foreignIct,"operation":"WRITE","operationParameters":{},"operationMetrics":{}}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping","typeWidening","deletionVectors"],"writerFeatures":["columnMapping","typeWidening","deletionVectors","allowColumnDefaults","checkpointProtection","rowTracking","domainMetadata","inCommitTimestamp","invariants"]}}""",
+      s"""{"metaData":{"id":"dddd-sink-4444","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(sinkSchema.json)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"2","delta.enableInCommitTimestamps":"true","delta.inCommitTimestampEnablementVersion":"0","delta.inCommitTimestampEnablementTimestamp":"$foreignIct","delta.requireCheckpointProtectionBeforeVersion":"1","delta.enableRowTracking":"true","delta.enableDeletionVectors":"true"},"createdTime":1619112344000}}""",
+      s"""{"add":{"path":"part-00000-sink-c000.snappy.parquet","partitionValues":{},"size":$s1,"modificationTime":$m1,"dataChange":true,"baseRowId":0,"defaultRowCommitVersion":0,"stats":"{\\"numRecords\\":4,\\"minValues\\":{},\\"maxValues\\":{},\\"nullCount\\":{}}"}}""",
+      """{"domainMetadata":{"domain":"delta.rowTracking","configuration":"{\"rowIdHighWaterMark\":3}","removed":false}}"""))
+    val t = GraftTable.adoptDelta(spark, dir)
+    // int32 era upcasts under field-id resolution into the widened schema
+    assert(ids(t) === Set(0L, 1L, 2L, 3L))
+    assert(t.snapshot.schema("id").dataType === LongType)
+    assert(t.snapshot.metaData.properties(GraftTable.RowIdHwmKey).toLong === 3L)
+    // the continued protocol keeps EVERY feature, checkpointProtection
+    // writer-side only
+    val adoptProto = Files.readAllLines(Paths.get(dir, "_delta_log",
+      f"${t.latestVersion}%020d.json")).asScala
+      .map(mapper.readTree).find(_.has("protocol")).map(_.get("protocol")).get
+    val wf = adoptProto.get("writerFeatures").toString
+    Seq("columnMapping", "typeWidening", "allowColumnDefaults",
+        "checkpointProtection", "rowTracking", "domainMetadata",
+        "inCommitTimestamp", "deletionVectors").foreach(f =>
+      assert(wf.contains(f), s"continued protocol must keep $f: $wf"))
+    assert(!adoptProto.get("readerFeatures").toString.contains("checkpointProtection"))
+    // merge-on-read DELETE through the adopted combo, then an append
+    assert(t.delete($"id" === 1L) === 1L)
+    t.append(df(90 until 92))
+    val t2 = GraftTable.forPath(spark, dir)
+    assert(ids(t2) === Set(0L, 2L, 3L, 90L, 91L))
+    // row ids: distinct, fresh ones above the adopted hwm
+    val rids = t2.scanWithRowIds().collect()
+      .map(_.getAs[Long](GraftTable.RowIdCol))
+    assert(rids.distinct.length === rids.length)
+    // every continued commit LEADS with a commitInfo whose ICT stays
+    // strictly monotone past the foreign clock
+    var prevIct = foreignIct
+    (1L to t2.latestVersion).foreach { v =>
+      val first = Files.readAllLines(Paths.get(dir, "_delta_log",
+        f"$v%020d.json")).asScala.head
+      val node = mapper.readTree(first)
+      assert(node.has("commitInfo"), s"v$v must lead with commitInfo (ICT)")
+      val ict = node.get("commitInfo").get("inCommitTimestamp").asLong()
+      assert(ict > prevIct, s"ICT must stay monotone at v$v")
+      prevIct = ict
+    }
+    // SQL INSERT omitting the defaulted column receives the adopted default
+    graft.sources.GraftCatalog.register(spark, tmpDir("adopt-sink-wh-"),
+      name = "sinkc")
+    spark.sql(s"CREATE TABLE sinkc.default.t USING graft LOCATION '$dir'")
+    spark.sql("INSERT INTO sinkc.default.t (id) VALUES (200)")
+    assert(spark.sql("SELECT s FROM sinkc.default.t WHERE id = 200")
+      .head.getString(0) === "fresh")
+    // metadata cleanup honors the protection clamp (boundary would sit
+    // below requireCheckpointProtectionBeforeVersion=1 only if a v0
+    // checkpoint existed; either way nothing below the protected version
+    // may vanish)
+    GraftTable.forPath(spark, dir).cleanupExpiredLogs(retentionMs = 0)
+    assert(Files.exists(Paths.get(dir, "_delta_log", f"${0L}%020d.json")),
+      "the protected foreign commit must survive cleanup")
+    // independent delta replay equality over the whole continued log
+    assert(deltaReplayLiveFiles(dir) ===
+      GraftTable.forPath(spark, dir).snapshot.files.map(_.path).toSet)
+  }
+
   test("MAPPED clustering domain folds to LOGICAL names; graft's emission round-trips") {
     import org.apache.spark.sql.types._
     // delta-spark spells the clustering domain in PHYSICAL names under
