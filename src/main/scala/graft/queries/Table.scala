@@ -2123,6 +2123,26 @@ object TableQueries {
         |       CAST(SUM(CASE WHEN lower(name) = 'germany' THEN k END) AS BIGINT) AS sum_match_k,
         |       COUNT(DISTINCT lower(name)) AS n_ci
         |FROM live""".stripMargin),
+
+    // ---- Adopt the delta-4.x KITCHEN SINK (round 17) ------------------------------
+    // One foreign table carrying id-mode mapping + ICT + a typeWidening
+    // history (INT32 file under a BIGINT schema) + allowColumnDefaults +
+    // checkpointProtection + rowTracking + deletionVectors — adopted in
+    // place, DV-deleted, appended, and SQL-inserted with the defaulted
+    // column omitted. The fixture REQUIREs every feature continues (ICT
+    // commitInfo-first and monotone, checkpointProtection writer-side
+    // only, cleanup clamp holds, jackson replay equality); the oracle
+    // states the final table literally.
+    "q207_adopt_kitchen_sink" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val t = sinkAdoptedTable(s, dir)
+        t.toDF.select($"id", $"s").orderBy($"id")
+      },
+      """SELECT CAST(id AS BIGINT) AS id, s
+        |FROM (VALUES (0, 'row0'), (2, 'row2'), (3, 'row3'),
+        |             (90, 'row90'), (91, 'row91'), (200, 'fresh')) AS t(id, s)
+        |ORDER BY id""".stripMargin),
   )
 
   /** q191's adopted table, memoized per (JVM, dir): a hand-authored
@@ -2969,6 +2989,106 @@ object TableQueries {
           .prune(resolved, fresh.snapshot.files).size == 2,
         "byte-ordered stats must never prune a collated predicate")
       fresh
+    })
+
+  /** q207's delta-4.x KITCHEN-SINK table, memoized per (JVM, dir): ONE
+    * hand-authored foreign log activating id-mode column mapping, ICT, a
+    * typeWidening history (the only data file is INT32-typed under the
+    * BIGINT schema), allowColumnDefaults, checkpointProtection,
+    * rowTracking and deletionVectors — adopted in place, then driven
+    * through DV DELETE, append, and a default-filled SQL INSERT. The
+    * REQUIREs pin the interactions: narrow-era reads bind by field id
+    * AND upcast, every continued commit leads with a monotone
+    * inCommitTimestamp, the continued protocol keeps every feature
+    * (checkpointProtection writer-side only), cleanup cannot remove the
+    * protected foreign commit, and an independent jackson replay equals
+    * graft's live set. */
+  private def sinkAdoptedTable(s: SparkSession, dir: String): GraftTable =
+    cache.computeIfAbsent(s"sinkAdopt:$dir", _ => {
+      import s.implicits._
+      import java.nio.file.{Files, Paths}
+      import org.apache.spark.sql.types._
+      val root = graft.Scratch.dir("graft-delta-sink-adopt-").toString
+      val seed = s.range(0, 4)
+        .select($"id".cast("int"), concat(lit("row"), $"id").as("s"))
+      val fileSchema = StructType(Seq(
+        StructField("x1", IntegerType, nullable = true,
+          metadata = new MetadataBuilder().putLong("parquet.field.id", 1L).build()),
+        StructField("x2", StringType, nullable = true,
+          metadata = new MetadataBuilder().putLong("parquet.field.id", 2L).build())))
+      val prevFieldId = s.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
+      s.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      val staged =
+        try {
+          val stage = Files.createTempDirectory("graft-sink-stage-")
+          s.createDataFrame(seed.rdd, fileSchema).coalesce(1)
+            .write.mode("overwrite").parquet(stage.toString)
+          Files.list(stage).toArray.map(_.toString)
+            .filter(_.endsWith(".parquet")).head
+        } finally prevFieldId match {
+          case Some(v) => s.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
+          case None => s.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+        }
+      val rel = "part-00000-sink-c000.snappy.parquet"
+      val target = Paths.get(root, rel)
+      Files.createDirectories(target.getParent)
+      Files.move(Paths.get(staged), target)
+      val sinkSchema = StructType(Seq(
+        StructField("id", LongType, nullable = true,
+          metadata = new MetadataBuilder()
+            .putString("delta.columnMapping.physicalName", "col-1")
+            .putLong("delta.columnMapping.id", 1L)
+            .putMetadataArray("delta.typeChanges", Array(
+              new MetadataBuilder().putString("fromType", "integer")
+                .putString("toType", "long").build())).build()),
+        StructField("s", StringType, nullable = true,
+          metadata = new MetadataBuilder()
+            .putString("delta.columnMapping.physicalName", "col-2")
+            .putLong("delta.columnMapping.id", 2L)
+            .putString("CURRENT_DEFAULT", "'fresh'")
+            .putString("EXISTS_DEFAULT", "'orig'").build())))
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val foreignIct = System.currentTimeMillis() + 3600L * 1000
+      val logDir = Paths.get(root, "_delta_log")
+      Files.createDirectories(logDir)
+      Files.write(logDir.resolve(f"${0L}%020d.json"), Seq(
+        s"""{"commitInfo":{"timestamp":1619112345000,"inCommitTimestamp":$foreignIct,"operation":"WRITE","operationParameters":{},"operationMetrics":{}}}""",
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping","typeWidening","deletionVectors"],"writerFeatures":["columnMapping","typeWidening","deletionVectors","allowColumnDefaults","checkpointProtection","rowTracking","domainMetadata","inCommitTimestamp","invariants"]}}""",
+        s"""{"metaData":{"id":"dddd-sink-oracle","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(sinkSchema.json)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"2","delta.enableInCommitTimestamps":"true","delta.inCommitTimestampEnablementVersion":"0","delta.inCommitTimestampEnablementTimestamp":"$foreignIct","delta.requireCheckpointProtectionBeforeVersion":"1","delta.enableRowTracking":"true","delta.enableDeletionVectors":"true"},"createdTime":1619112344000}}""",
+        s"""{"add":{"path":"$rel","partitionValues":{},"size":${Files.size(target)},"modificationTime":${Files.getLastModifiedTime(target).toMillis},"dataChange":true,"baseRowId":0,"defaultRowCommitVersion":0,"stats":"{\\"numRecords\\":4,\\"minValues\\":{},\\"maxValues\\":{},\\"nullCount\\":{}}"}}""",
+        """{"domainMetadata":{"domain":"delta.rowTracking","configuration":"{\"rowIdHighWaterMark\":3}","removed":false}}"""
+      ).mkString("", "\n", "\n").getBytes("UTF-8"))
+      val t = GraftTable.adoptDelta(s, root)
+      require(t.snapshot.schema("id").dataType == LongType &&
+          t.toDF.select(sum($"id")).head.getLong(0) == 6L,
+        "the INT32 era must bind by field id and upcast")
+      require(t.delete($"id" === 1L) == 1L)
+      t.append(s.range(90, 92)
+        .select($"id", concat(lit("row"), $"id").as("s")))
+      // every continued commit leads with a monotone inCommitTimestamp
+      var prevIct = foreignIct
+      (1L to t.latestVersion).foreach { v =>
+        val first = mapper.readTree(Files.readAllLines(
+          logDir.resolve(f"$v%020d.json")).get(0))
+        require(first.has("commitInfo") &&
+            first.get("commitInfo").get("inCommitTimestamp").asLong() > prevIct,
+          s"v$v must lead with a monotone ICT commitInfo")
+        prevIct = first.get("commitInfo").get("inCommitTimestamp").asLong()
+      }
+      val tag = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+      graft.sources.GraftCatalog.register(s,
+        graft.Scratch.dir("graft-sink-wh-").toString, name = "snk")
+      s.sql(s"CREATE TABLE snk.default.sink_$tag USING graft LOCATION '$root'")
+      s.sql(s"INSERT INTO snk.default.sink_$tag (id) VALUES (200)")
+      // the cleanup clamp keeps the protected foreign commit on disk
+      GraftTable.forPath(s, root).cleanupExpiredLogs(retentionMs = 0)
+      require(Files.exists(logDir.resolve(f"${0L}%020d.json")),
+        "cleanup must not remove the protected commit")
+      require(deltaReplayLive(logDir) ==
+          GraftTable.forPath(s, root).snapshot.files.map(_.path).toSet,
+        "independent delta replay must equal graft's live set")
+      GraftTable.forPath(s, root)
     })
 
   private def deltaIdMappedTable(s: SparkSession, dir: String): GraftTable =

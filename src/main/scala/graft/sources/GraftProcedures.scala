@@ -252,7 +252,7 @@ object GraftProcedures {
       ("property", "compat.delta.write",
         "emit commits and checkpoints in genuine delta action shape so real Delta readers open the table; graft keeps writing it (ownership markers); DV/CDF/columnMapping/VARIANT/NTZ/rowTracking/ICT/typeWidening/column-defaults/clustering all emit standard spellings — only pre-compat native DV sidecars refuse"),
       ("property", "clustering.columns",
-        "incremental clustering maintained by OPTIMIZE; under compat the delta.clustering domain (physical-name spelling) rides every commit and checkpoint so foreign engines see the layout advice; adopt_delta folds a foreign domain back onto this property"),
+        "incremental clustering maintained by OPTIMIZE (SQL: CREATE/ALTER TABLE ... CLUSTER BY); under compat the delta.clustering domain (physical-name spelling) rides every commit and checkpoint so foreign engines see the layout advice; adopt_delta folds a foreign domain back onto this property"),
       ("property", "graft.existenceDefaults",
         "columns added with ADD COLUMN ... DEFAULT whose EXISTS_DEFAULT is load-bearing (pre-add files fill it at scan); blocks compat.delta.write until OPTIMIZE materializes the values"),
       ("property", "bucketing.column",
