@@ -29,7 +29,7 @@ object GraftProcedures {
   val names: Seq[String] =
     Seq("optimize", "vacuum", "restore", "convert", "import_delta",
         "adopt_delta", "generate_manifest", "cleanup_logs", "clone",
-        "fsck", "help")
+        "fsck", "drop_feature", "help")
 
   def load(catalog: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.sameElements(Array("system")),
@@ -45,6 +45,7 @@ object GraftProcedures {
       case "cleanup_logs" => CleanupLogsProc(catalog)
       case "clone" => CloneProc(catalog)
       case "fsck" => FsckProc(catalog)
+      case "drop_feature" => DropFeatureProc(catalog)
       case "help" => HelpProc(catalog)
       case other => throw new IllegalArgumentException(
         s"unknown procedure graft.system.$other (have: ${names.mkString(", ")})")
@@ -216,6 +217,8 @@ object GraftProcedures {
       ("procedure", "adopt_delta", "take ownership of a REAL delta-spark table IN PLACE (zero copy at any size): one delta-shaped adopting commit enables compat.delta.write; graft DML/maintenance unlock while delta readers keep replaying the log; refuses protocols graft cannot continue"),
       ("procedure", "generate_manifest", "write a symlink-format manifest of the current snapshot"),
       ("procedure", "cleanup_logs", "drop expired commit files behind the checkpoint floor (log.retentionMs)"),
+      ("procedure", "drop_feature",
+        "remove a no-longer-used protocol feature (deletionVectors after an OPTIMIZE purge, changeDataFeed) via the checkpoint-protected drop: boundary checkpoint + delta.requireCheckpointProtectionBeforeVersion"),
       ("procedure", "clone", "shallow clone: new table referencing the source's files in place, optionally at an older version"),
       ("procedure", "fsck", "verify data files against the log; repair => true drops dangling references"),
       ("procedure", "help", "this listing (topic => substring filter)"),
@@ -269,6 +272,27 @@ object GraftProcedures {
           UTF8String.fromString(d))
       }
       resultScan(out, rows: _*)
+    }
+  }
+
+  /** `CALL graft.system.drop_feature(table => ..., feature => ...)` —
+    * delta's ALTER TABLE ... DROP FEATURE as a procedure: remove a
+    * no-longer-used protocol feature via the checkpoint-protected drop
+    * (GraftTable.dropFeature). */
+  case class DropFeatureProc(catalog: GraftCatalog) extends GraftProc("drop_feature") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("feature", StringType))
+
+    private val out = StructType(Seq(
+      StructField("dropped", StringType, nullable = false),
+      StructField("protected_below_version", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val t = resolve(catalog, input.getUTF8String(0).toString)
+      val feature = input.getUTF8String(1).toString
+      t.dropFeature(feature)
+      resultScan(out, row(UTF8String.fromString(feature), t.latestVersion))
     }
   }
 

@@ -1621,6 +1621,67 @@ final class GraftTable private (val spark: SparkSession, val path: String) {
         Map("key" -> key))))
   }
 
+  /** Delta's `ALTER TABLE ... DROP FEATURE` (the delta-4.x
+    * checkpoint-protected workflow): remove a protocol feature a table no
+    * longer uses, so feature-blind engines can work with it again.
+    *
+    * Supported: `deletionVectors` (requires zero LIVE sidecars — OPTIMIZE
+    * purges the merge-on-read debt first; history may still contain DV
+    * commits) and `changeDataFeed` (historical `_cdc` sidecars stay
+    * readable for old versions; capture simply stops). Both follow the
+    * protected-drop flow: the drop commit removes the feature from BOTH
+    * protocol sides and disables the property, a CHECKPOINT lands at the
+    * drop version (readers seed there and never replay the pre-drop
+    * history whose actions still carry the dropped feature's fields), and
+    * `delta.requireCheckpointProtectionBeforeVersion` pins the boundary
+    * under the `checkpointProtection` writer feature — metadata cleanup
+    * (ours via the clamp, foreign writers via the feature gate) can never
+    * recreate a checkpoint inside the protected range, which is what
+    * makes the drop sound for readers that no longer understand the
+    * feature. */
+  def dropFeature(feature: String): Unit = {
+    val s = snapshot
+    val dropVersion = s.version + 1
+    def active(f: String): Boolean =
+      s.protocol.readerFeatures.contains(f) || s.protocol.writerFeatures.contains(f)
+    val disabledProp: String = feature match {
+      case "deletionVectors" =>
+        require(active("deletionVectors") ||
+            s.metaData.properties.get("deletionVectors.enabled")
+              .exists(_.equalsIgnoreCase("true")),
+          "deletionVectors is not active on this table")
+        val live = s.files.count(_.dvPath.isDefined)
+        require(live == 0,
+          s"cannot drop deletionVectors: $live live file(s) still carry " +
+            "deletion-vector sidecars — OPTIMIZE rebases and purges them first")
+        "deletionVectors.enabled"
+      case "changeDataFeed" =>
+        require(active("changeDataFeed") ||
+            s.metaData.properties.get("changeDataFeed.enabled")
+              .exists(_.equalsIgnoreCase("true")),
+          "changeDataFeed is not active on this table")
+        "changeDataFeed.enabled"
+      case other => throw new IllegalArgumentException(
+        s"DROP FEATURE supports deletionVectors and changeDataFeed; '$other' " +
+          "is either not droppable (its traces live in data files) or not a " +
+          "graft feature")
+    }
+    val meta = s.metaData.copy(properties =
+      s.metaData.properties - disabledProp +
+        ("delta.requireCheckpointProtectionBeforeVersion" -> dropVersion.toString))
+    val proto = s.protocol.copy(
+      readerFeatures = s.protocol.readerFeatures.filterNot(_ == feature),
+      writerFeatures =
+        (s.protocol.writerFeatures.filterNot(_ == feature) :+
+          "checkpointProtection").distinct,
+      minWriterVersion = math.max(s.protocol.minWriterVersion, 7))
+    log.commit(dropVersion, Seq(proto, meta,
+      CommitInfo(dropVersion, log.nextTimestamp(), "DROP FEATURE",
+        Map("feature" -> feature))))
+    // the protected boundary checkpoint: readers seed at the drop version
+    log.writeCheckpoint(dropVersion)
+  }
+
   private def autoCompact(): Unit =
     // The WHOLE body is best-effort: a malformed maxFiles/targetBytes
     // property (NumberFormatException) or an IO error inside optimize()

@@ -1027,6 +1027,49 @@ class DeltaWriteCompatSpec extends SparkTestBase {
     (enableV to t2.latestVersion).foreach(assertDeltaShaped(dir2, _))
   }
 
+  test("DROP FEATURE under compat: the drop commit is delta-shaped, feature-free, checkpoint-protected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("dwc-dropfeat-")
+    val t = GraftTable.create(spark, dir, seed(4))
+    t.setProperty(DeltaWriteCompat.Prop, "true")
+    t.setProperty("deletionVectors.enabled", "true")
+    t.delete(col("id") === 1L)
+    t.optimize() // purge the DV debt
+    t.dropFeature("deletionVectors")
+    val dropV = t.latestVersion
+    assertDeltaShaped(dir, dropV)
+    // the drop commit's protocol: deletionVectors gone from both sides,
+    // checkpointProtection declared writer-side only
+    val proto = logLines(dir, dropV).map(mapper.readTree)
+      .find(_.has("protocol")).map(_.get("protocol")).get
+    assert(!proto.toString.contains("deletionVectors"), proto.toString)
+    assert(proto.get("writerFeatures").toString.contains("checkpointProtection"))
+    assert(proto.get("readerFeatures") == null ||
+      !proto.get("readerFeatures").toString.contains("checkpointProtection"))
+    val metaN = logLines(dir, dropV).map(mapper.readTree)
+      .find(_.has("metaData")).map(_.get("metaData")).get
+    assert(metaN.get("configuration")
+      .get("delta.requireCheckpointProtectionBeforeVersion").asText().toLong === dropV)
+    // the continued tail stays delta-shaped and DV-free
+    t.append(seed(2).withColumn("id", col("id") + 100))
+    (dropV to t.latestVersion).foreach(assertDeltaShaped(dir, _))
+    assert(t.snapshot.files.forall(_.dvPath.isEmpty))
+    // the SQL spelling drives the same flow
+    graft.sources.GraftCatalog.register(spark, tmpDir("dwc-dropfeat-wh-"),
+      name = "dfc")
+    val dir2 = tmpDir("dwc-dropfeat2-")
+    val t2 = GraftTable.create(spark, dir2, seed(3))
+    t2.setProperty("changeDataFeed.enabled", "true")
+    val r = spark.sql(
+      s"CALL dfc.system.drop_feature(table => '$dir2', feature => 'changeDataFeed')")
+      .head()
+    assert(r.getString(0) === "changeDataFeed")
+    val s2 = GraftTable.forPath(spark, dir2).snapshot
+    assert(!s2.protocol.writerFeatures.contains("changeDataFeed") &&
+      !s2.metaData.properties.contains("changeDataFeed.enabled"))
+  }
+
   test("clustering.columns emits the delta.clustering domain and rides the checkpoint") {
     import spark.implicits._
     val dir = tmpDir("dwc-clu-")

@@ -21,6 +21,54 @@ class ProtocolSpec extends SparkTestBase {
   private def df(rows: (Int, String)*) =
     spark.createDataFrame(rows.map { case (i, s) => Row(i, s) }.asJava, schema)
 
+  test("DROP FEATURE deletionVectors: purge-validated, checkpoint-protected, clean truncation") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("dropfeat-")
+    val t = GraftTable.create(spark, dir, df((1, "a"), (2, "b"), (3, "c")))
+    t.setProperty("deletionVectors.enabled", "true")
+    t.delete(col("id") === 2)
+    assert(t.snapshot.files.exists(_.dvPath.isDefined),
+      "fixture needs a live DV to validate the purge gate")
+    // live sidecars block the drop, naming the purge path
+    val e = intercept[IllegalArgumentException](t.dropFeature("deletionVectors"))
+    assert(e.getMessage.contains("OPTIMIZE"), e.getMessage)
+    t.optimize()
+    assert(t.snapshot.files.forall(_.dvPath.isEmpty))
+    t.dropFeature("deletionVectors")
+    val dropV = t.latestVersion
+    val s = t.snapshot
+    // the feature is gone from BOTH protocol sides; the protected-drop
+    // machinery is in place
+    assert(!s.protocol.readerFeatures.contains("deletionVectors") &&
+      !s.protocol.writerFeatures.contains("deletionVectors"))
+    assert(s.protocol.writerFeatures.contains("checkpointProtection"))
+    assert(!s.metaData.properties.contains("deletionVectors.enabled"))
+    assert(s.metaData.properties(
+      "delta.requireCheckpointProtectionBeforeVersion").toLong === dropV)
+    // the boundary checkpoint landed at the drop version
+    assert(Files.exists(Paths.get(dir, "_delta_log",
+        f"$dropV%020d.checkpoint.json")) ||
+      Files.exists(Paths.get(dir, "_delta_log",
+        f"$dropV%020d.checkpoint.parquet")),
+      "the drop must write its protected boundary checkpoint")
+    // post-drop DML runs copy-on-write (no DV sidecars ever again)
+    t.delete(col("id") === 1)
+    assert(t.snapshot.files.forall(_.dvPath.isEmpty))
+    assert(t.toDF.collect().map(_.getInt(0)).toSet === Set(3))
+    // cleanup: the ONLY legal truncation is to the drop boundary or above
+    // — one atomic prune of the whole protected (DV-era) history
+    t.cleanupExpiredLogs(retentionMs = 0)
+    assert(t.log.earliestVersion >= dropV,
+      s"cleanup must truncate at/above the protected version, at ${t.log.earliestVersion}")
+    val fresh = GraftTable.forPath(spark, dir)
+    assert(fresh.toDF.collect().map(_.getInt(0)).toSet === Set(3))
+    // unsupported / inactive features refuse by name
+    assert(intercept[IllegalArgumentException](
+      t.dropFeature("rowTracking")).getMessage.contains("rowTracking"))
+    assert(intercept[IllegalArgumentException](
+      t.dropFeature("changeDataFeed")).getMessage.contains("not active"))
+  }
+
   test("unknown reader feature fails loudly with a named error") {
     val t = GraftTable.create(spark, tmpDir("proto-"), df((1, "a")))
     // a future build committed a protocol requiring a feature we predate
