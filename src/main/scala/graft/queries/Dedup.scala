@@ -101,7 +101,12 @@ object Dedup {
     * first would only save key width. */
   private[queries] def lshCandidates(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sigs = minhashSignatures(s, dir)
+    // The signature frame feeds THREE plan references (the banded probe and
+    // both signature join-backs); localCheckpoint materializes it once per
+    // invocation so the shingle → hash → 32-way min aggregation runs once,
+    // not three times (guide §1.2: remove repeated passes; the lineage cut
+    // is the q92-pagerank pattern — per-run, nothing persists across runs).
+    val sigs = minhashSignatures(s, dir).localCheckpoint(true)
     val banded = sigs.select($"doc_id",
         posexplode(expr(s"transform(sequence(0, ${Bands - 1}), " +
           s"b -> slice(sig, b * $RowsPerBand + 1, $RowsPerBand))")))
@@ -218,9 +223,11 @@ object Dedup {
     val e = Tables.embeddings(s, dir)
       .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
     val bits = e.withColumn("bits", expr("transform(v, x -> if(x > 0d, 1, 0))"))
+    // banded feeds both sides of the self-join — materialize once (guide §1.2)
     val banded = bits.select($"vec_id",
         posexplode(expr("transform(sequence(0, 3), b -> slice(bits, b * 16 + 1, 16))")))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_bits"))
+      .localCheckpoint(true)
     val l = banded.select($"band", $"band_bits", $"vec_id".as("a"))
     val r = banded.select($"band", $"band_bits", $"vec_id".as("b"))
     val pairs = l.join(r, Seq("band", "band_bits")).filter($"a" < $"b")
@@ -350,10 +357,14 @@ object Dedup {
         // (no second exchange), and one fewer derivation of the tokenized
         // shingle stream per reference.
         val byShingle = Window.partitionBy($"shingle")
+        // kept feeds THREE references (sizes + both sides of the self-join):
+        // localCheckpoint runs the tokenize → shingle → df-window pipeline
+        // once per invocation instead of three times (guide §1.2)
         val kept = docShingles(s, dir)
           .withColumn("df", count(lit(1)).over(byShingle))
           .filter($"df" <= DfCap)
           .select($"doc_id", $"shingle")
+          .localCheckpoint(true)
         val sizes = kept.groupBy($"doc_id").agg(count(lit(1)).as("n"))
         val a = kept.select($"shingle", $"doc_id".as("a"))
         val b = kept.select($"shingle", $"doc_id".as("b"))
@@ -412,7 +423,10 @@ object Dedup {
     "q46_simhash_pairs" -> Q(
       (s, dir) => {
         import s.implicits._
-        val packed = simhashPacked(s, dir)
+        // packed feeds both sides of the band self-join: localCheckpoint
+        // runs the token-explode → 60-bit-sum aggregation once per
+        // invocation instead of twice (guide §1.2)
+        val packed = simhashPacked(s, dir).localCheckpoint(true)
         val banded = packed.select($"doc_id", $"sim_lo", $"sim_hi",
             posexplode(expr(
               """transform(sequence(0, 3), b ->

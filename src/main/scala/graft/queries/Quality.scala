@@ -50,27 +50,32 @@ object DataQuality {
         // rows at 100 TB) — a forced hint OOMs instead of degrading.
         // Catalyst auto-broadcasts while the side is under the threshold
         // and falls back to a shuffled anti-join beyond it.
-        val fkLi = Tables.lineitem(s, dir).join(
-            Tables.orders(s, dir).select($"o_orderkey"),
-            $"l_orderkey" === $"o_orderkey", "left_anti")
-          .agg(count(lit(1)).as("n_violations"))
-          .select(lit("lineitem_fk_orders").as("check_name"),
-            lit(null).cast("long").as("n_checked"), $"n_violations")
         val fkOrd = Tables.orders(s, dir).join(
             Tables.customer(s, dir).select($"c_custkey"),
             $"o_custkey" === $"c_custkey", "left_anti")
           .agg(count(lit(1)).as("n_violations"))
           .select(lit("orders_fk_customer").as("check_name"),
             lit(null).cast("long").as("n_checked"), $"n_violations")
-        // cross-field/table consistency: a lineitem cannot ship before its order
-        val shipped = Tables.lineitem(s, dir)
-          .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
-          .agg(count(lit(1)).as("n"),
-            sum(($"l_shipdate" < $"o_orderdate").cast("long")).as("v"))
-          .select(lit("lineitem_ship_after_order").as("check_name"),
-            $"n".as("n_checked"), $"v".as("n_violations"))
-        li.unionByName(ord).unionByName(doc).unionByName(fkLi)
-          .unionByName(fkOrd).unionByName(shipped)
+        // FK orphans + ship-before-order from ONE left join (guide §1.2 /
+        // this module's one-scan doctrine): an unmatched lineitem surfaces
+        // exactly once with a null o_orderkey (= the old anti-join count),
+        // a matched one carries its order's date (the old inner join,
+        // multiplicity included — duplicate order PKs expand identically);
+        // previously this pair of checks scanned and joined lineitem↔orders
+        // twice. Values are unchanged row-for-row.
+        val liOrd = Tables.lineitem(s, dir).select($"l_orderkey", $"l_shipdate")
+          .join(Tables.orders(s, dir).select($"o_orderkey", $"o_orderdate"),
+            $"l_orderkey" === $"o_orderkey", "left")
+          .agg(
+            coalesce(sum($"o_orderkey".isNull.cast("long")), lit(0L)).as("fk_v"),
+            coalesce(sum($"o_orderkey".isNotNull.cast("long")), lit(0L)).as("ship_n"),
+            coalesce(sum(($"l_shipdate" < $"o_orderdate").cast("long")), lit(0L)).as("ship_v"))
+          .select(expr("stack(2, " +
+            "'lineitem_fk_orders', cast(null as bigint), fk_v, " +
+            "'lineitem_ship_after_order', ship_n, ship_v) " +
+            "AS (check_name, n_checked, n_violations)"))
+        li.unionByName(ord).unionByName(doc)
+          .unionByName(fkOrd).unionByName(liOrd)
           .withColumn("pass", $"n_violations" === 0)
           .orderBy($"check_name")
       },

@@ -34,11 +34,25 @@ object Similarity {
 
   private val Planes = 6 // 64 buckets
 
-  /** PQ training + encoding shared by q172 (in-query) and q176 (persisted
-    * index table): M=4 × 16-dim subspaces, K=4 codewords per subspace from
-    * one deterministic Lloyd step (seeds = subvectors of vec_id 0..3),
-    * means through the DECIMAL(25,9) discipline — bit-identical to the
-    * DuckDB oracle's replay. */
+  /** Collect a provably tiny DERIVED frame (codebooks, centroids, seeds,
+    * LUTs — O(K·M) rows by construction, never corpus-sized) and replay it
+    * as a local relation. The aggregation pipeline that produced it then
+    * runs ONCE per query instead of once per downstream plan reference
+    * (guide §1.2/§2.4: the round-17 baseline plan of q178 held 78 Exchanges
+    * and 36 scans because every reference to the codebook/centroid frames
+    * re-embedded their full derivation subtree). Values round-trip in
+    * memory — no text conversion — so doubles are bit-identical and every
+    * oracle hash is unchanged. The collect is bounded exactly like the
+    * probe-label collect q176 has always done (O(K·M) rows ≪ a broadcast). */
+  private[queries] def smallLocal(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+
+  /** PQ training shared by q172 (in-query), q176 (persisted index table)
+    * and q178 (residual space): M=4 × 16-dim subspaces, K=4 codewords per
+    * subspace from one deterministic Lloyd step (seeds = subvectors of
+    * vec_id 0..3), means through the DECIMAL(25,9) discipline —
+    * bit-identical to the DuckDB oracle's replay. */
   private[queries] def pqSubvectors(e: DataFrame): DataFrame = {
     val s = e.sparkSession; import s.implicits._
     e.select($"vec_id", posexplode(expr(
@@ -46,19 +60,53 @@ object Similarity {
       .select($"vec_id", $"pos".as("sub"), $"col".as("sv"))
   }
 
+  /** Codeword set (sub, code, cw, cc) collected to the driver — the literal
+    * form every map-side argmin/ADC expression builds from. */
+  private[queries] case class Codeword(sub: Int, code: Int, cw: Seq[Double], cc: Double)
+
+  private[queries] def collectCodewords(cb: DataFrame): Seq[Codeword] =
+    cb.select(col("sub"), col("code"), col("cw"), col("cc")).collect().toSeq
+      .map(r => Codeword(r.getInt(0), r.getInt(1), r.getSeq[Double](2), r.getDouble(3)))
+      .sortBy(c => (c.sub, c.code))
+
+  /** Map-side nearest-codeword selection for the 16-dim subvector `sv` of
+    * subspace `sub`, against literal codewords: d2 = sv·sv − 2·sv·cw + cc
+    * with the identical IEEE op order as the former join+groupBy argmin,
+    * ties → lowest code via least(struct(d2, code)) — the same comparator
+    * as min(struct(d2, code)). K is 4: the argmin that used to cost a
+    * K-way broadcast-join fan-out plus a (vec, sub)-keyed shuffle is pure
+    * whole-stage-codegen expression work (guide §2.4: remove the shuffle
+    * outright — assignment against a broadcast-sized codebook never needed
+    * one; this is the standard distributed-quantization shape at any
+    * scale). */
+  private def nearestCode(cws: Seq[Codeword], sub: Column, sv: Column): Column = {
+    import graft.functions.VectorFunctions.vecDot
+    val bySub = cws.groupBy(_.sub).toSeq.sortBy(_._1)
+    val armed = bySub.map { case (sIdx, cands) =>
+      val structs = cands.sortBy(_.code).map { c =>
+        struct((vecDot(sv, sv) - lit(2.0) * vecDot(sv, typedLit(c.cw)) + lit(c.cc)).as("d2"),
+          lit(c.code).as("code"))
+      }
+      (sIdx, least(structs: _*).getField("code"))
+    }
+    if (armed.size == 1) armed.head._2 // caller already fixed the subspace
+    else armed.tail.foldLeft(when(sub === lit(armed.head._1), armed.head._2)) {
+      case (acc, (sIdx, sel)) => acc.when(sub === lit(sIdx), sel)
+    }
+  }
+
   private[queries] def pqCodebook(e: DataFrame): DataFrame = {
     val s = e.sparkSession; import s.implicits._
     import graft.functions.VectorFunctions.vecDot
     val sub = pqSubvectors(e)
-    val seeds = sub.filter($"vec_id" < 4)
-      .select($"sub", $"vec_id".cast("int").as("code"), $"sv".as("cw"))
-    val assigned = sub.join(broadcast(seeds), Seq("sub"))
-      .withColumn("d2",
-        vecDot($"sv", $"sv") - lit(2.0) * vecDot($"sv", $"cw") +
-          vecDot($"cw", $"cw"))
-      .groupBy($"vec_id", $"sub")
-      .agg(min(struct($"d2", $"code")).as("m"), first($"sv").as("sv"))
-      .select($"vec_id", $"sub", $"m.code".as("code"), $"sv")
+    // seeds are K·M = 16 rows by construction (vec_id < 4 × 4 subspaces):
+    // collect once and assign map-side instead of join + (vec, sub) shuffle
+    val seeds = collectCodewords(smallLocal(
+      sub.filter($"vec_id" < 4)
+        .select($"sub", $"vec_id".cast("int").as("code"), $"sv".as("cw"))
+        .withColumn("cc", vecDot($"cw", $"cw"))))
+    val assigned = sub
+      .select($"sub", nearestCode(seeds, $"sub", $"sv").as("code"), $"sv")
     assigned.select($"sub", $"code", posexplode($"sv"))
       .groupBy($"sub", $"code", $"pos")
       .agg((sum($"col".cast("decimal(25,9)")).cast("double") /
@@ -69,16 +117,13 @@ object Similarity {
       .withColumn("cc", vecDot($"cw", $"cw"))
   }
 
-  /** PQ codes per (vec_id, sub) against a trained codebook. */
-  private[queries] def pqEncode(e: DataFrame, codebook: DataFrame): DataFrame = {
+  /** PQ codes per (vec_id, sub) against literal trained codewords — pure
+    * map-side expression work over the subvector stream (no join, no
+    * shuffle; see nearestCode). */
+  private[queries] def pqEncode(e: DataFrame, cws: Seq[Codeword]): DataFrame = {
     val s = e.sparkSession; import s.implicits._
-    import graft.functions.VectorFunctions.vecDot
-    pqSubvectors(e).join(broadcast(codebook), Seq("sub"))
-      .withColumn("d2",
-        vecDot($"sv", $"sv") - lit(2.0) * vecDot($"sv", $"cw") + $"cc")
-      .groupBy($"vec_id", $"sub")
-      .agg(min(struct($"d2", $"code")).as("m"))
-      .select($"vec_id", $"sub", $"m.code".as("code"))
+    pqSubvectors(e).select($"vec_id", $"sub",
+      nearestCode(cws, $"sub", $"sv").as("code"))
   }
 
   /** IVF coarse centroids: exact decimal element-wise mean per label. */
@@ -93,18 +138,39 @@ object Similarity {
   }
 
   /** Asymmetric-distance lookup table for the query vector: per (sub,
-    * code), the L2 distance ||q_m − cw||². K×M rows — always broadcast. */
-  private[queries] def pqLut(e: DataFrame, codebook: DataFrame): DataFrame = {
-    val s = e.sparkSession; import s.implicits._
+    * code), the L2 distance ||q_m − cw||², as a dense [sub][code] array of
+    * literals. Built by a LOCAL spark job over the two already-collected
+    * tiny frames (so every double op is the same vecDot codegen the old
+    * broadcast-join LUT ran — bit-identical pd values), then collected:
+    * K×M = 16 doubles. The ADC estimate then needs no join at all. */
+  private[queries] def pqLutArr(q: DataFrame, codebook: DataFrame): IndexedSeq[IndexedSeq[Double]] = {
+    val s = q.sparkSession; import s.implicits._
     import graft.functions.VectorFunctions.vecDot
-    val qsub = e.filter($"vec_id" === 0)
-      .select(posexplode(expr(
-        "transform(sequence(0, 3), m -> slice(v, m * 16 + 1, 16))")))
+    val qsub = q.select(posexplode(expr(
+        "transform(sequence(0, 3), m -> slice(qv, m * 16 + 1, 16))")))
       .select($"pos".as("sub"), $"col".as("qsv"))
-    codebook.join(broadcast(qsub), Seq("sub"))
+    val pd = codebook.join(qsub, Seq("sub"))
       .select($"sub", $"code",
         (vecDot($"qsv", $"qsv") - lit(2.0) * vecDot($"qsv", $"cw") + $"cc")
           .as("pd"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    (0 until 4).map(m => (0 until 4).map(k => pd((m, k))))
+  }
+
+  /** ADC estimate over literal LUTs: est = Σ_m round(pd[m][code_m], 9) as
+    * an exact DECIMAL(25,9) sum (4 addends — associativity-free, the same
+    * value the former sum() aggregate produced), cast to double last. The
+    * per-row codes come from `nearestCode` on the row's own subvectors, so
+    * candidate scoring is one scan + projection: no posexplode, no
+    * broadcast-join, no (vec_id)-keyed aggregation. */
+  private def adcEst(cws: Seq[Codeword], lut: IndexedSeq[IndexedSeq[Double]],
+                     v: Column): Column = {
+    val terms = (0 until 4).map { m =>
+      val sv = slice(v, m * 16 + 1, 16)
+      val code = nearestCode(cws.filter(_.sub == m), lit(m), sv)
+      round(element_at(typedLit(lut(m)), code + lit(1)), 9).cast("decimal(25,9)")
+    }
+    terms.reduce(_ + _).cast("double")
   }
 
   /** Sign-bit bucket id from `Planes` pseudo-random hyperplanes.
@@ -420,13 +486,22 @@ object Similarity {
         import graft.functions.VectorFunctions.vecDot
         val e = normed(s, dir).select($"vec_id", $"v")
           .withColumn("vv", vecDot($"v", $"v"))
-        // assign each vector to the nearest centroid (ties → lowest cid)
-        def assign(cents: DataFrame): DataFrame =
-          e.crossJoin(broadcast(cents))
-            .withColumn("d2", $"vv" - lit(2.0) * vecDot($"v", $"c") + $"cc")
-            .groupBy($"vec_id")
-            .agg(min(struct($"d2", $"cid")).as("m"), first($"v").as("v"))
+        // Round-17 optimization (guide §2.4): k = 4 centroids collect to
+        // the driver (the broadcast-sized side of the old crossJoin) and
+        // assignment becomes a map-side least(struct(d2, cid)) over literal
+        // centroids — the same d2 op order and the same min-struct
+        // comparator as the former groupBy(vec_id) argmin, with ZERO
+        // per-iteration shuffle of the vectors (the textbook distributed
+        // k-means shape: only the narrow (cid, dim) update aggregation
+        // exchanges data). Inertia/sizes are bit-identical.
+        def assign(cents: Seq[org.apache.spark.sql.Row]): DataFrame = {
+          val m = least(cents.sortBy(_.get(0).toString.toLong).map { r =>
+            struct(($"vv" - lit(2.0) * vecDot($"v", typedLit(r.getSeq[Double](1))) +
+              lit(r.getDouble(2))).as("d2"), lit(r.get(0)).as("cid"))
+          }: _*)
+          e.withColumn("m", m)
             .select($"vec_id", $"m.cid".as("cid"), $"m.d2".as("d2"), $"v")
+        }
         // recompute centroids as exact element-wise decimal means
         def update(assigned: DataFrame): DataFrame =
           assigned.select($"cid", posexplode($"v"))
@@ -438,7 +513,8 @@ object Similarity {
             .withColumn("cc", vecDot($"c", $"c"))
         val c0 = e.filter($"vec_id" < 4)
           .select($"vec_id".as("cid"), $"v".as("c"), $"vv".as("cc"))
-        val a2 = assign(update(assign(c0)))
+          .collect().toSeq
+        val a2 = assign(update(assign(c0)).collect().toSeq)
         a2.groupBy($"cid")
           .agg(count(lit(1)).as("n_members"),
                sum(round($"d2", 9).cast("decimal(25,9)")).cast("double").as("inertia"))
@@ -495,30 +571,33 @@ object Similarity {
         import s.implicits._
         import graft.functions.VectorFunctions.vecDot
         val e = normed(s, dir)
-        val codebook = pqCodebook(e)
-        val codes = pqEncode(e, codebook)
-        // IVF coarse layer: label centroids (q53's), probe top-2 for recall
-        val centroids = ivfCentroids(e)
-        val q = e.filter($"vec_id" === 0).select($"v".as("qv"), $"nrm".as("qn"))
-        val probes = centroids.crossJoin(broadcast(q))
+        // Round-17 optimization (guide §1.2/§2.4): the tiny derived frames
+        // (codebook 16 rows, centroids 4, query 1, LUT 16) are materialized
+        // ONCE — the old plan re-embedded their full training subtrees at
+        // every reference (40 Exchanges / 22 scans); encoding + ADC scoring
+        // are now literal-codebook projections, so the candidate pipeline is
+        // one scan → map-side est → TakeOrdered, with identical values at
+        // every step (same vecDot op order, same decimal sums).
+        val q = smallLocal(e.filter($"vec_id" === 0)
+          .select($"v".as("qv"), $"nrm".as("qn")))
+        val codebook = smallLocal(pqCodebook(e))
+        val cws = collectCodewords(codebook)
+        // IVF coarse layer: label centroids (q53's), probe top-2 for recall;
+        // the probe labels collect to the driver (2 ints — bounded like a
+        // broadcast, q176's long-standing shape) and prune as literals
+        val probeLabels = smallLocal(ivfCentroids(e)).crossJoin(q)
           .withColumn("cd", vecDot($"centroid", $"qv"))
           .orderBy($"cd".desc, $"c_label").limit(2)
-          .select($"c_label")
-        // asymmetric-distance LUT: ||q_m − cw||² per (subspace, code)
-        val lut = pqLut(e, codebook)
-        // candidates: probed lists only; ADC estimate = exact decimal sum
-        // of the 4 LUT entries (order-free), then top-C=25 by (est, vec_id)
-        val cand = e.filter($"vec_id" =!= 0)
-          .join(broadcast(probes), $"label" === $"c_label")
-          .select($"vec_id")
-          .join(codes, "vec_id")
-          .join(broadcast(lut), Seq("sub", "code"))
-          .groupBy($"vec_id")
-          .agg(sum(round($"pd", 9).cast("decimal(25,9)")).cast("double").as("est"))
+          .select($"c_label").collect().map(_.getInt(0)).toSeq
+        val lut = pqLutArr(q, codebook)
+        // candidates: probed lists only; est is the exact decimal LUT sum
+        // computed per row (adcEst), then top-C=25 by (est, vec_id) — the
+        // row keeps v/nrm/label so the rerank needs no join back
+        val cand = e.filter($"vec_id" =!= 0 && $"label".isin(probeLabels: _*))
+          .withColumn("est", adcEst(cws, lut, $"v"))
           .orderBy($"est", $"vec_id").limit(25)
         // exact rerank of the survivors — 25 float vectors, not the corpus
-        cand.join(e, "vec_id")
-          .crossJoin(broadcast(q))
+        cand.crossJoin(q)
           .withColumn("cos_sim", round(vecDot($"v", $"qv") / ($"nrm" * $"qn"), 6))
           .select($"vec_id", $"label", round($"est", 6).as("adc_est"), $"cos_sim")
           .orderBy($"cos_sim".desc, $"vec_id")
@@ -544,7 +623,7 @@ object Similarity {
         import graft.functions.VectorFunctions.vecDot
         val e = normed(s, dir)
         val t = pqIndexCache.computeIfAbsent(dir, _ => {
-          val codes = pqEncode(e, pqCodebook(e))
+          val codes = pqEncode(e, collectCodewords(smallLocal(pqCodebook(e))))
           val wide = codes.groupBy($"vec_id").agg(
             max(when($"sub" === 0, $"code")).as("c0"),
             max(when($"sub" === 1, $"code")).as("c1"),
@@ -555,11 +634,14 @@ object Similarity {
             Tables.embeddings(s, dir).select($"vec_id", $"label").join(wide, "vec_id"),
             partitionBy = Seq("label"))
         })
-        val codebook = pqCodebook(e)
-        val q = e.filter($"vec_id" === 0).select($"v".as("qv"), $"nrm".as("qn"))
+        // tiny frames materialized once (guide §2.4; see q172) — the
+        // codebook training pipeline no longer re-runs inside the LUT branch
+        val codebook = smallLocal(pqCodebook(e))
+        val q = smallLocal(e.filter($"vec_id" === 0)
+          .select($"v".as("qv"), $"nrm".as("qn")))
         // top-2 IVF lists collect to the driver (2 ints — bounded like a
         // broadcast) and become partition-pruning literals
-        val probeLabels = ivfCentroids(e).crossJoin(broadcast(q))
+        val probeLabels = smallLocal(ivfCentroids(e)).crossJoin(q)
           .withColumn("cd", vecDot($"centroid", $"qv"))
           .orderBy($"cd".desc, $"c_label").limit(2)
           .select($"c_label").collect().map(_.getInt(0)).toSeq
@@ -576,17 +658,21 @@ object Similarity {
           s"IVF probe must prune to exactly the probed lists $probeSet: " +
             s"${pruned.size}/${snap.files.size} files, partitions " +
             pruned.flatMap(_.partitionValues.get("label")).distinct.sorted)
-        val lut = pqLut(e, codebook)
+        // ADC estimate from the stored codes against the literal LUT — an
+        // exact decimal 4-term sum per row (same value as the former
+        // explode + broadcast-join + groupBy pipeline), so the probe is
+        // scan → projection → TakeOrdered
+        val lut = pqLutArr(q, codebook)
+        val estCol = Seq($"c0", $"c1", $"c2", $"c3").zipWithIndex.map { case (c, m) =>
+            round(element_at(typedLit(lut(m)), c + lit(1)), 9).cast("decimal(25,9)")
+          }.reduce(_ + _).cast("double")
         val cand = t.scan(pred)
           .filter($"vec_id" =!= 0)
-          .select($"vec_id", posexplode(array($"c0", $"c1", $"c2", $"c3")))
-          .select($"vec_id", $"pos".as("sub"), $"col".as("code"))
-          .join(broadcast(lut), Seq("sub", "code"))
-          .groupBy($"vec_id")
-          .agg(sum(round($"pd", 9).cast("decimal(25,9)")).cast("double").as("est"))
+          .withColumn("est", estCol)
+          .select($"vec_id", $"est")
           .orderBy($"est", $"vec_id").limit(25)
-        cand.join(e, "vec_id")
-          .crossJoin(broadcast(q))
+        e.join(broadcast(cand), "vec_id")
+          .crossJoin(q)
           .withColumn("cos_sim", round(vecDot($"v", $"qv") / ($"nrm" * $"qn"), 6))
           .select($"vec_id", $"label", round($"est", 6).as("adc_est"), $"cos_sim")
           .orderBy($"cos_sim".desc, $"vec_id")
@@ -610,40 +696,63 @@ object Similarity {
         import s.implicits._
         import graft.functions.VectorFunctions.vecDot
         val e = normed(s, dir)
-        val cent = ivfCentroids(e)
+        // Round-17 optimization (guide §1.2/§2.4): the baseline plan held 78
+        // Exchanges / 36 scans — every reference to centroids, the residual
+        // codebook and the per-list LUTs re-embedded their whole training
+        // subtree. All tiny frames now materialize once; candidate scoring
+        // fuses residual → code → LUT into map-side expressions over the
+        // probed lists (values identical op-for-op; see q172).
+        val cent = smallLocal(ivfCentroids(e))
         // residual frame: v := v − centroid(own label)
-        val rFrame = e.join(cent, $"label" === $"c_label")
+        val rFrame = e.join(broadcast(cent), $"label" === $"c_label")
           .select($"vec_id",
             expr("zip_with(v, centroid, (x, c) -> x - c)").as("v"))
-        val codebook = pqCodebook(rFrame)
-        val codes = pqEncode(rFrame, codebook)
-        val q = e.filter($"vec_id" === 0).select($"v".as("qv"), $"nrm".as("qn"))
-        val probes = cent.crossJoin(broadcast(q))
+        val codebook = smallLocal(pqCodebook(rFrame))
+        val cws = collectCodewords(codebook)
+        val q = smallLocal(e.filter($"vec_id" === 0)
+          .select($"v".as("qv"), $"nrm".as("qn")))
+        val probes = smallLocal(cent.crossJoin(q)
           .withColumn("cd", vecDot($"centroid", $"qv"))
           .orderBy($"cd".desc, $"c_label").limit(2)
-          .select($"c_label", $"centroid")
-        // per-list ADC tables over the query's residual vs THAT centroid
-        val qres = broadcast(probes).crossJoin(broadcast(q))
+          .select($"c_label", $"centroid"))
+        // per-list ADC tables over the query's residual vs THAT centroid —
+        // a local job over local relations (identical vecDot ops), then
+        // collected: nprobe × K × M = 32 doubles keyed [label][sub][code]
+        val qres = probes.crossJoin(q)
           .select($"c_label", posexplode(expr(
             "transform(sequence(0, 3), m -> " +
               "slice(zip_with(qv, centroid, (x, c) -> x - c), m * 16 + 1, 16))")))
           .select($"c_label", $"pos".as("sub"), $"col".as("qsv"))
-        val lut = codebook.join(broadcast(qres), Seq("sub"))
+        val lutByLabel = codebook.join(qres, Seq("sub"))
           .select($"c_label", $"sub", $"code",
             (vecDot($"qsv", $"qsv") - lit(2.0) * vecDot($"qsv", $"cw") + $"cc")
               .as("pd"))
-        val cand = e.filter($"vec_id" =!= 0)
-          .join(broadcast(probes.select($"c_label")), $"label" === $"c_label")
-          .select($"vec_id", $"label")
-          .join(codes, "vec_id")
-          .join(broadcast(lut),
-            $"label" === lut("c_label") && codes("sub") === lut("sub") &&
-              codes("code") === lut("code"))
-          .groupBy($"vec_id")
-          .agg(sum(round($"pd", 9).cast("decimal(25,9)")).cast("double").as("est"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (l, rows) =>
+            val m = rows.map(r => ((r.getInt(1), r.getInt(2)), r.getDouble(3))).toMap
+            l -> (0 until 4).map(i => (0 until 4).map(k => m((i, k))))
+          }
+        val probeLabels = lutByLabel.keys.toSeq.sorted
+        // candidates: probed lists only — residual, per-sub code and the
+        // per-list LUT sum all computed in one projection over the scan
+        val estCol = lutByLabel.toSeq.sortBy(_._1).map { case (l, lut) =>
+            (l, (0 until 4).map { m =>
+              val sv = slice($"rv", m * 16 + 1, 16)
+              val code = nearestCode(cws.filter(_.sub == m), lit(m), sv)
+              round(element_at(typedLit(lut(m)), code + lit(1)), 9).cast("decimal(25,9)")
+            }.reduce(_ + _).cast("double"))
+          } match {
+            case Seq((l0, e0), (l1, e1)) => when($"label" === l0, e0).when($"label" === l1, e1)
+            case Seq((l0, e0))           => when($"label" === l0, e0)
+          }
+        val cand = e.filter($"vec_id" =!= 0 && $"label".isin(probeLabels: _*))
+          .join(broadcast(probes), $"label" === $"c_label")
+          .withColumn("rv", expr("zip_with(v, centroid, (x, c) -> x - c)"))
+          .withColumn("est", estCol)
+          .select($"vec_id", $"label", $"v", $"nrm", $"est")
           .orderBy($"est", $"vec_id").limit(25)
-        cand.join(e, "vec_id")
-          .crossJoin(broadcast(q))
+        cand.crossJoin(q)
           .withColumn("cos_sim", round(vecDot($"v", $"qv") / ($"nrm" * $"qn"), 6))
           .select($"vec_id", $"label", round($"est", 6).as("adc_est"), $"cos_sim")
           .orderBy($"cos_sim".desc, $"vec_id")

@@ -184,10 +184,15 @@ object Text {
         val scored = toks.join(profile, "token")
           .groupBy($"doc_id", $"lang", $"plang")
           .agg(sum($"w").as("score"))
-        val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"plang")
-        scored.withColumn("rn", row_number().over(w))
-          .filter($"rn" === 1)
-          .groupBy($"lang", $"plang".as("predicted"))
+        // best-scoring plang per doc via min(struct(-score, plang)) — the
+        // same (score DESC, plang ASC) winner the old row_number window
+        // picked, but as an aggregation: partial map-side agg replaces the
+        // window's per-doc sort and one fewer wide shuffle row survives to
+        // the exchange (guide §2.3 "aggregate before you shuffle")
+        scored
+          .groupBy($"doc_id", $"lang")
+          .agg(min(struct(-$"score", $"plang")).as("m"))
+          .groupBy($"lang", $"m.plang".as("predicted"))
           .agg(count(lit(1)).as("n_docs"))
           .orderBy($"lang", $"predicted")
       },
@@ -591,13 +596,18 @@ object Text {
           .filter(length($"token") > 0)
         val n = Tables.documents(s, dir).agg(count(lit(1)).cast("double").as("n_docs"))
         val tokDocs = docToks.groupBy($"token").agg(count(lit(1)).as("n_tok"))
+          .localCheckpoint(true)
         // Participation caps: V = top-10000 vocab, K = 512 tokens per doc
         // (cooccurrenceParticipants above). Both are generous next to the
         // synthetic corpus (vocab ≪ V, doc distinct-tokens ≪ K) so the
         // oracle result is unchanged; at web scale they bound the
         // single-task fan-out a pathological document could otherwise
         // create.
-        val part = cooccurrenceParticipants(s, dir)
+        // part feeds both sides of the self-join and tokDocs feeds two
+        // join-backs: localCheckpoint each so the tokenize → vocab-window
+        // pipeline and the per-token histogram run once per invocation,
+        // not 2× (guide §1.2; the q92-pagerank lineage-cut pattern)
+        val part = cooccurrenceParticipants(s, dir).localCheckpoint(true)
         val pairs = part.as("x")
           .join(part.as("y"), $"x.doc_id" === $"y.doc_id" && $"x.token" < $"y.token")
           .groupBy($"x.token".as("a"), $"y.token".as("b"))
@@ -1170,12 +1180,19 @@ object Text {
         val hb = h12.select($"h2", $"cb")
           .groupBy($"h2").agg(sum($"cb").as("cb"))
         val hu = h12.groupBy($"h1").agg(sum($"cb").as("cu"))
-        val v = h12.select($"h1").distinct().count()
+        // vocabulary size as a broadcast one-row frame instead of a driver
+        // .count() action: saves a whole extra aggregation JOB over the LM
+        // table per invocation (guide §5: the driver shouldn't run data
+        // jobs the plan can carry); the exact integer count → double cast
+        // is unchanged
+        val v = broadcast(h12.agg(
+          countDistinct($"h1").cast("double").as("v_size")))
         val scored = bi
           .join(hb, Seq("h2"), "left").join(hu, Seq("h1"), "left")
+          .crossJoin(v)
           .select($"doc_id", $"lang",
             round(log((coalesce($"cb", lit(0L)) + 1.0) /
-                      (coalesce($"cu", lit(0L)) + lit(v.toDouble))), 9)
+                      (coalesce($"cu", lit(0L)) + $"v_size")), 9)
               .cast("decimal(20,9)").as("lp"))
           .groupBy($"doc_id")
           .agg(first($"lang").as("lang"), count(lit(1)).as("n_bigrams"),

@@ -185,12 +185,16 @@ class PlanAuditSpec extends SparkTestBase {
     assert(exchanges <= 1, s"got $exchanges hash exchanges")
   }
 
-  test("q116: k-means assignment broadcasts centroids, never a shuffle join") {
+  test("q116: k-means assignment is map-side over literal centroids — no join at all") {
+    // Round 17: the k = 4 centroids collect to the driver and assignment
+    // is a least(struct(d2, cid)) projection — the final-iteration plan
+    // must be scan → project → the two aggregations (inertia + sort), with
+    // no join OF ANY KIND and no per-vector shuffle beyond the final agg.
     val p = plan("q116_kmeans")
     assert(!p.contains("CartesianProduct"), "assignment must not plan a product")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      "k centroids must broadcast against the vector scan")
-    assert(!p.contains("SortMergeJoin"), "no vector-side shuffle join")
+    assert(!p.contains("Join"), s"assignment must be pure projection, got:\n$p")
+    assert(" Exchange \\(".r.findAllIn(p).size <= 2,
+      s"final iteration carries only the inertia agg + output sort exchanges:\n$p")
   }
 
   test("q171: corpus tokens shuffle at most once — only to co-locate the strip join") {
@@ -231,14 +235,22 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("q172/q178: PQ candidate scoring never shuffles the float vectors") {
+    // Round 17: codebooks and ADC LUTs are literals, so candidate scoring
+    // is scan → map-side est → TakeOrderedAndProject — no shuffle of the
+    // candidate stream at all, and the only join left is the rerank's
+    // 1-row query-vector broadcast (q178 adds the ≤2-row probe-centroid
+    // broadcast for the residual).
     for (q <- Seq("q172_ann_ivf_pq", "q178_ann_ivf_pq_residual")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a product")
-      // the LUT joins must be broadcast — K×M(×nprobe) rows; a shuffled
-      // LUT join would reshuffle the candidate codes for 32 doubles
-      assert(p.contains("BroadcastHashJoin"), s"$q: the ADC LUT must broadcast")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q: candidate top-C must be a TakeOrdered, not a global sort")
       assert(!p.contains("SortMergeJoin"),
         s"$q must not sort-merge anything — every join side is tiny or broadcast")
+      // " Exchange (" matches only shuffle-exchange tree nodes (Broadcast-
+      // Exchange prints without the leading space-delimited "Exchange")
+      assert(" Exchange \\(".r.findAllIn(p).isEmpty,
+        s"$q: the scored candidate stream must not shuffle:\n$p")
     }
   }
 
@@ -265,18 +277,17 @@ class PlanAuditSpec extends SparkTestBase {
     // forces a review of what is being broadcast.
     val bnljAllowed = Map(
       "q29_edit_distance" -> 2, "q36_tfidf_keywords" -> 2, "q50_knn_brute" -> 2,
-      "q53_ann_ivf" -> 2, "q91_bm25_search" -> 2, "q116_kmeans" -> 4,
+      "q53_ann_ivf" -> 2, "q91_bm25_search" -> 2,
       "q121_cooccurrence" -> 2, "q130_decayed_score" -> 2,
-      // q172: the 1-row query vector broadcasts twice (probe selection +
-      // exact rerank) — each printed twice in the formatted plan
-      "q172_ann_ivf_pq" -> 4,
-      // q176: probe labels resolve to literals in the builder, so only
-      // the rerank's 1-row query-vector broadcast remains
+      // q187: the 1-row vocabulary-size scalar (round 17 — previously a
+      // driver-side .count() action; same class as q36/q91's scalars)
+      "q187_perplexity_filter" -> 2,
+      // q172/q176/q178 (round 17): codebooks/centroids/LUTs are literals
+      // now, so only the rerank's 1-row query-vector broadcast remains
+      // (printed twice in the formatted plan)
+      "q172_ann_ivf_pq" -> 2,
       "q176_pq_index_probe" -> 2,
-      // q178: 1-row query vector broadcasts against centroid selection,
-      // the per-probe residual slices (probes × q, ≤2 rows), and the
-      // rerank — all problem-bounded singles/pairs, each printed twice
-      "q178_ann_ivf_pq_residual" -> 8)
+      "q178_ann_ivf_pq_residual" -> 2)
     for ((name, _) <- graft.SparkEntry.queries.toSeq.sortBy(_._1) if !skip(name)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),
