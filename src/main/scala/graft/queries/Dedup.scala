@@ -831,8 +831,11 @@ object Dedup {
         import s.implicits._
         val idx = sigIndex(s, dir)
         val corpusSigs = idx.toDF
+        // newSigs feeds the banded probe AND a signature join-back —
+        // materialize the incoming batch's signatures once (guide §1.2)
         val newSigs = minhashSignaturesOf(
           Tables.documents(s, dir).filter($"doc_id" % 7 === 3))
+          .localCheckpoint(true)
         val pairs = bandedOf(newSigs, "new_doc")
           .join(bandedOf(corpusSigs, "corpus_doc"), Seq("band", "band_sig"))
           .select($"new_doc", $"corpus_doc").distinct()

@@ -728,18 +728,23 @@ object Relational {
           .groupBy($"l_returnflag".as("flag"),
             least(lit(99), floor($"l_extendedprice" / binW)).cast("int").as("bin"))
           .agg(count(lit(1)).as("c"))
-        val tot = h.groupBy($"flag").agg(sum($"c").as("n"))
+        // Round 17 (guide §1.2/§2.4): per-flag totals ride a whole-partition
+        // window over the SAME flag exchange the cumulative sum already
+        // needs (no tot join, the histogram aggregates once), and each
+        // quantile picks its covering bin via min(struct(bin, est)) over the
+        // rows passing its cum-threshold — the identical first-qualifying-
+        // bin the old filter + row_number + self-join selected, in ONE
+        // aggregation. The whole sketch is now scan → histogram agg → one
+        // flag-keyed window pass → final agg.
         val w = Window.partitionBy($"flag").orderBy($"bin")
-        val cum = h.withColumn("cum", sum($"c").over(w)).join(tot, "flag")
-        def est(p: Double, name: String) = {
-          val first = Window.partitionBy($"flag").orderBy($"bin")
-          cum.filter($"cum" >= $"n" * p)
-            .withColumn("rn", row_number().over(first))
-            .filter($"rn" === 1)
-            .select($"flag", round(
-              $"bin" * binW + lit(binW) * (($"n" * p - ($"cum" - $"c")) / $"c"), 6).as(name))
-        }
-        est(0.5, "p50_est").join(est(0.95, "p95_est"), "flag")
+        val cum = h.withColumn("cum", sum($"c").over(w))
+          .withColumn("n", sum($"c").over(Window.partitionBy($"flag")))
+        def est(p: Double) = min(when($"cum" >= $"n" * p,
+          struct($"bin", round(
+            $"bin" * binW + lit(binW) * (($"n" * p - ($"cum" - $"c")) / $"c"), 6).as("v"))))
+        cum.groupBy($"flag")
+          .agg(est(0.5).getField("v").as("p50_est"),
+               est(0.95).getField("v").as("p95_est"))
           .orderBy($"flag")
       },
       """WITH h AS (

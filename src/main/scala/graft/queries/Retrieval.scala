@@ -38,9 +38,12 @@ object Retrieval {
         val dl = docs.select($"doc_id", size(split($"text", " ")).cast("long").as("dl"))
         val stats = dl.agg(count(lit(1)).as("n_docs"),
           (sum($"dl").cast("double") / count(lit(1))).as("avgdl"))
+        // tf feeds the df aggregation AND the scoring join — materialize
+        // the tokenize + term filter + count once (guide §1.2)
         val tf = docs.select($"doc_id", explode(split($"text", " ")).as("token"))
           .filter($"token".isin(Terms: _*)) // prune BEFORE the shuffle
           .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+          .localCheckpoint(true)
         val dfT = tf.groupBy($"token").agg(count(lit(1)).as("df"))
         tf.join(broadcast(dfT), "token")
           .join(dl, "doc_id")

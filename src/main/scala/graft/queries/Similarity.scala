@@ -48,6 +48,18 @@ object Similarity {
     df.sparkSession.createDataFrame(
       java.util.Arrays.asList(df.collect(): _*), df.schema)
 
+  /** Run two independent materialization jobs concurrently (guide §2.6:
+    * actions are only sequential because the driver calls them
+    * sequentially — the codebook and centroid trainings share no state, so
+    * the second job's tasks back-fill executors freed by the first's tail). */
+  private def inParallel[A, B](fa: => A, fb: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val f = Future(fa)
+    val b = fb
+    (Await.result(f, scala.concurrent.duration.Duration.Inf), b)
+  }
+
   /** PQ training shared by q172 (in-query), q176 (persisted index table)
     * and q178 (residual space): M=4 × 16-dim subspaces, K=4 codewords per
     * subspace from one deterministic Lloyd step (seeds = subvectors of
@@ -335,6 +347,10 @@ object Similarity {
     "q51_ann_lsh" -> Q(
       (s, dir) => {
         import s.implicits._
+        // NOT materialized (round 17, measured): the query branch's bucket
+        // fold evaluates for one pushed-down row only, so the two scans
+        // overlap on n + 1 bucket folds — a localCheckpoint paid more in
+        // materialization than it saved (0.76 s → 0.80 s)
         val e = normed(s, dir).withColumn("bucket", lshBucket($"v"))
         val q = e.filter($"vec_id" === 0)
           .select($"v".as("qv"), $"nrm".as("qn"), $"bucket".as("qbucket"))
@@ -380,12 +396,13 @@ object Similarity {
         import graft.functions.VectorFunctions.vecDot
         val e = normed(s, dir)
         // coarse quantizer: element-wise mean per label (one narrow shuffle;
-        // exact decimal sum, one double division — order-independent)
-        val centroids = e.select($"label", posexplode($"v"))
-          .groupBy($"label", $"pos")
-          .agg((sum($"col".cast("decimal(25,9)")).cast("double") / count(lit(1))).as("m"))
-          .groupBy($"label").agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
-          .select($"label".as("c_label"), expr("transform(pm, x -> x.m)").as("centroid"))
+        // exact decimal sum, one double division — order-independent).
+        // NOT rewritten onto smallLocal/literal probes (round 17, measured):
+        // every subtree here is referenced once, so splitting the single
+        // action into collect jobs added fixed job overhead for nothing
+        // (0.63 s → 0.81 s) — the q172/q176/q178 materialization only pays
+        // where training frames feed MULTIPLE plan references.
+        val centroids = ivfCentroids(e)
         val q = e.filter($"vec_id" === 0).select($"v".as("qv"), $"nrm".as("qn"))
         // probe = nearest centroid to the query (tiny cross join, k rows)
         val probe = centroids.crossJoin(broadcast(q))
@@ -578,17 +595,23 @@ object Similarity {
         // are now literal-codebook projections, so the candidate pipeline is
         // one scan → map-side est → TakeOrdered, with identical values at
         // every step (same vecDot op order, same decimal sums).
-        val q = smallLocal(e.filter($"vec_id" === 0)
-          .select($"v".as("qv"), $"nrm".as("qn")))
-        val codebook = smallLocal(pqCodebook(e))
+        // the codebook training and the (query vector → centroid probe)
+        // chain are independent jobs — overlap them (guide §2.6)
+        val (codebook, (q, probeLabels)) = inParallel(
+          smallLocal(pqCodebook(e)), {
+            val q = smallLocal(e.filter($"vec_id" === 0)
+              .select($"v".as("qv"), $"nrm".as("qn")))
+            // IVF coarse layer: label centroids (q53's), probe top-2 for
+            // recall; the probe labels collect to the driver (2 ints —
+            // bounded like a broadcast, q176's long-standing shape) and
+            // prune as literals
+            val labels = smallLocal(ivfCentroids(e)).crossJoin(q)
+              .withColumn("cd", vecDot($"centroid", $"qv"))
+              .orderBy($"cd".desc, $"c_label").limit(2)
+              .select($"c_label").collect().map(_.getInt(0)).toSeq
+            (q, labels)
+          })
         val cws = collectCodewords(codebook)
-        // IVF coarse layer: label centroids (q53's), probe top-2 for recall;
-        // the probe labels collect to the driver (2 ints — bounded like a
-        // broadcast, q176's long-standing shape) and prune as literals
-        val probeLabels = smallLocal(ivfCentroids(e)).crossJoin(q)
-          .withColumn("cd", vecDot($"centroid", $"qv"))
-          .orderBy($"cd".desc, $"c_label").limit(2)
-          .select($"c_label").collect().map(_.getInt(0)).toSeq
         val lut = pqLutArr(q, codebook)
         // candidates: probed lists only; est is the exact decimal LUT sum
         // computed per row (adcEst), then top-C=25 by (est, vec_id) — the
@@ -635,16 +658,20 @@ object Similarity {
             partitionBy = Seq("label"))
         })
         // tiny frames materialized once (guide §2.4; see q172) — the
-        // codebook training pipeline no longer re-runs inside the LUT branch
-        val codebook = smallLocal(pqCodebook(e))
-        val q = smallLocal(e.filter($"vec_id" === 0)
-          .select($"v".as("qv"), $"nrm".as("qn")))
-        // top-2 IVF lists collect to the driver (2 ints — bounded like a
-        // broadcast) and become partition-pruning literals
-        val probeLabels = smallLocal(ivfCentroids(e)).crossJoin(q)
-          .withColumn("cd", vecDot($"centroid", $"qv"))
-          .orderBy($"cd".desc, $"c_label").limit(2)
-          .select($"c_label").collect().map(_.getInt(0)).toSeq
+        // codebook training pipeline no longer re-runs inside the LUT
+        // branch — and the two independent trainings overlap (guide §2.6)
+        val (codebook, (q, probeLabels)) = inParallel(
+          smallLocal(pqCodebook(e)), {
+            val q = smallLocal(e.filter($"vec_id" === 0)
+              .select($"v".as("qv"), $"nrm".as("qn")))
+            // top-2 IVF lists collect to the driver (2 ints — bounded like
+            // a broadcast) and become partition-pruning literals
+            val labels = smallLocal(ivfCentroids(e)).crossJoin(q)
+              .withColumn("cd", vecDot($"centroid", $"qv"))
+              .orderBy($"cd".desc, $"c_label").limit(2)
+              .select($"c_label").collect().map(_.getInt(0)).toSeq
+            (q, labels)
+          })
         val snap = t.snapshot
         val pred = $"label".isin(probeLabels: _*)
         // the pin runs on EVERY probe (it sits outside the index cache, so a
@@ -707,14 +734,19 @@ object Similarity {
         val rFrame = e.join(broadcast(cent), $"label" === $"c_label")
           .select($"vec_id",
             expr("zip_with(v, centroid, (x, c) -> x - c)").as("v"))
-        val codebook = smallLocal(pqCodebook(rFrame))
+        // the residual codebook training and the (query vector → probe)
+        // chain are independent jobs — overlap them (guide §2.6)
+        val (codebook, (q, probes)) = inParallel(
+          smallLocal(pqCodebook(rFrame)), {
+            val q = smallLocal(e.filter($"vec_id" === 0)
+              .select($"v".as("qv"), $"nrm".as("qn")))
+            val probes = smallLocal(cent.crossJoin(q)
+              .withColumn("cd", vecDot($"centroid", $"qv"))
+              .orderBy($"cd".desc, $"c_label").limit(2)
+              .select($"c_label", $"centroid"))
+            (q, probes)
+          })
         val cws = collectCodewords(codebook)
-        val q = smallLocal(e.filter($"vec_id" === 0)
-          .select($"v".as("qv"), $"nrm".as("qn")))
-        val probes = smallLocal(cent.crossJoin(q)
-          .withColumn("cd", vecDot($"centroid", $"qv"))
-          .orderBy($"cd".desc, $"c_label").limit(2)
-          .select($"c_label", $"centroid"))
         // per-list ADC tables over the query's residual vs THAT centroid —
         // a local job over local relations (identical vecDot ops), then
         // collected: nprobe × K × M = 32 doubles keyed [label][sub][code]
@@ -844,9 +876,11 @@ object Similarity {
         val e = graft.Tables.embeddings(s, dir)
           .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
         val bits = e.withColumn("bits", expr("transform(v, x -> if(x > 0d, 1, 0))"))
+        // banded feeds both sides of the self-join — materialize once
         val banded = bits.select($"vec_id",
             posexplode(expr("transform(sequence(0, 3), b -> slice(bits, b * 16 + 1, 16))")))
           .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_bits"))
+          .localCheckpoint(true)
         val cand = banded.select($"band", $"band_bits", $"vec_id".as("anchor"))
           .join(banded.select($"band", $"band_bits", $"vec_id".as("nb")),
             Seq("band", "band_bits"))

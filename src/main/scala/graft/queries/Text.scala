@@ -268,9 +268,12 @@ object Text {
         // N folded into the plan (single-row broadcast cross join, exactly
         // like the oracle's CROSS JOIN n) — no driver-side count() job.
         val nDf = docs.agg(count(lit(1)).cast("double").as("n_total"))
+        // tf feeds the df aggregation AND the scored join side —
+        // materialize the tokenize + (doc, token) count once (guide §1.2)
         val tf = docs.select($"doc_id", explode(split($"text", " ")).as("token"))
           .filter(length($"token") > 0)
           .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+          .localCheckpoint(true)
         val df_ = tf.groupBy($"token").agg(count(lit(1)).as("df"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy($"doc_id").orderBy($"score".desc, $"token")

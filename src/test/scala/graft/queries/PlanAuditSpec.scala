@@ -339,6 +339,10 @@ class PlanAuditSpec extends SparkTestBase {
       // rows fixed by the ALGORITHM's parameters — never corpus-sized
       "q172_ann_ivf_pq" -> "K x M codebook/LUT, both fixed by the algorithm",
       "q176_pq_index_probe" -> "K x M ADC lookup table, fixed by the algorithm",
+      // per-term df over tf pre-filtered to the 3 LITERAL query terms — the
+      // round-17 localCheckpoint of tf hides that isin filter from this
+      // prover (LogicalRDD has no provenance), but the bound is unchanged
+      "q91_bm25_search" -> "df over <= 3 literal query terms (tf isin-filtered before its checkpoint)",
       "q178_ann_ivf_pq_residual" -> "nprobe x K x M residual ADC tables, fixed by the algorithm",
       // DSIR bin-ratio table: grouped on h60 % 64 — 64 rows by MODULUS
       // construction (a feature-hashing hyperparameter), never corpus-sized
