@@ -36,9 +36,13 @@ object GraphQueries {
       .union(edgesUndir.select($"b".as("src"), $"a".as("dst")))
       .localCheckpoint(true)
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
-    val nAgg = nodes.agg(count(lit(1)).cast("double").as("n"))
-    var pr = nodes.crossJoin(broadcast(nAgg))
-      .select($"id", (lit(1.0) / $"n").as("pr")).localCheckpoint(true)
+    // node count as ONE driver scalar (round 17, guide §1.2): as a plan
+    // fragment it re-aggregated the node scan inside every iteration's
+    // checkpoint (2·iters + 1 subtree executions); the literal carries the
+    // identical double (exact integer count) through the same arithmetic
+    val n = lit(nodes.count().toDouble)
+    var pr = nodes
+      .select($"id", (lit(1.0) / n).as("pr")).localCheckpoint(true)
     for (_ <- 1 to Iters) {
       val withDeg = pr.join(deg, pr("id") === deg("src"), "left")
       val contribs = withDeg.filter($"deg".isNotNull)
@@ -49,10 +53,9 @@ object GraphQueries {
         .agg(coalesce(sum(round($"pr", 12).cast("decimal(38,12)")).cast("double"), lit(0.0)).as("dg"))
       pr = nodes.join(contribs, Seq("id"), "left")
         .crossJoin(broadcast(dangling))
-        .crossJoin(broadcast(nAgg))
         .select($"id",
-          round(lit(1 - Damping) / $"n" +
-            lit(Damping) * (coalesce($"cs", lit(0.0)) + $"dg" / $"n"), 12).as("pr"))
+          round(lit(1 - Damping) / n +
+            lit(Damping) * (coalesce($"cs", lit(0.0)) + $"dg" / n), 12).as("pr"))
         .localCheckpoint(true)
     }
     pr

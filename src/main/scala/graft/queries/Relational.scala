@@ -565,7 +565,14 @@ object Relational {
     "q47_range_join" -> Q(
       (s, dir) => {
         import s.implicits._
-        val binDays = 365
+        // Round 17 (guide §2.3 — shuffle/join fewer rows): 365-day bins
+        // against month-grain probes fanned every interval out to ~12
+        // probe months per bin before the residual BETWEEN filter; 32-day
+        // bins keep the equi-join fan-out at ~1 probe per bin for the same
+        // lossless rewrite (an interval still explodes every bin it
+        // touches, a probe month still lands in exactly one bin), cutting
+        // the joined row count ~5× with identical survivors.
+        val binDays = 32
         val day0 = to_date(lit("1970-01-01"))
         val iv = Tables.orders(s, dir)
           .join(Tables.lineitem(s, dir).groupBy($"l_orderkey").agg(max($"l_shipdate").as("iv_end")),

@@ -98,8 +98,11 @@ object Retrieval {
           .select(explode(split($"text", " ")).as("token"))
           .filter(length($"token") > 0)
           .groupBy($"token").agg(count(lit(1)).as("n_exact"))
+        // cells feeds the counter aggregation AND the estimate join-back —
+        // materialize the md5 cell derivation once (guide §1.2)
         val cells = exact.select($"token", $"n_exact", posexplode(expr(cellExpr)))
           .withColumnsRenamed(Map("pos" -> "r", "col" -> "cell"))
+          .localCheckpoint(true)
         val counters = cells.groupBy($"r", $"cell").agg(sum($"n_exact").as("cnt"))
         cells.join(counters, Seq("r", "cell"))
           .groupBy($"token", $"n_exact").agg(min($"cnt").as("est"))

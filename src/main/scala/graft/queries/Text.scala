@@ -471,16 +471,31 @@ object Text {
     "q105_repetition_quality" -> Q(
       (s, dir) => {
         import s.implicits._
-        val toks = Tables.documents(s, dir)
-          .select($"doc_id", posexplode(split($"text", " ")))
-          .withColumnsRenamed(Map("pos" -> "i", "col" -> "tok"))
-        // longest consecutive run of one token (run id = i - rank-in-token)
-        val runW = Window.partitionBy($"doc_id", $"tok").orderBy($"i")
-        val runs = toks
-          .withColumn("run_key", $"i" - row_number().over(runW))
-          .groupBy($"doc_id", $"tok", $"run_key").agg(count(lit(1)).as("run_len"))
-          .groupBy($"doc_id").agg(max($"run_len").as("max_run"))
-        // most frequent bigram's claim on the token stream
+        // longest consecutive run of one token, as a PER-ROW left fold over
+        // the token array (round 17, guide §1.2/§2.4): a run is bounded by
+        // the document, so the old gaps-and-islands pipeline — posexplode +
+        // (doc, tok)-windowed row_number + two aggregations + a join back —
+        // never needed to leave the row. Same integer logic (count of the
+        // longest stretch of equal adjacent tokens), map-side, one scan
+        // shared with the n_tokens/n_distinct projections.
+        val runFold =
+          """aggregate(t,
+            |  named_struct('prev', cast(null as string),
+            |               'run', cast(0 as bigint), 'mx', cast(0 as bigint)),
+            |  (acc, x) -> named_struct(
+            |    'prev', x,
+            |    'run', if(x <=> acc.prev, acc.run + 1, cast(1 as bigint)),
+            |    'mx', greatest(acc.mx,
+            |      if(x <=> acc.prev, acc.run + 1, cast(1 as bigint)))),
+            |  acc -> acc.mx)""".stripMargin
+        val base = Tables.documents(s, dir)
+          .select($"doc_id", split($"text", " ").as("t"))
+          .select($"doc_id",
+            size($"t").cast("long").as("n_tokens"),
+            size(array_distinct($"t")).cast("long").as("n_distinct"),
+            expr(runFold).as("max_run"))
+        // most frequent bigram's claim on the token stream (kept as an
+        // aggregation: a per-row bigram histogram fold would be O(len²))
         val bigrams = Tables.documents(s, dir)
           .select($"doc_id", split($"text", " ").as("t"))
           .filter(size($"t") >= 2)
@@ -488,10 +503,7 @@ object Text {
             "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))")).as("bg"))
           .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("n"))
           .groupBy($"doc_id").agg(max($"n").as("top_bigram_n"))
-        Tables.documents(s, dir)
-          .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"),
-            size(array_distinct(split($"text", " "))).cast("long").as("n_distinct"))
-          .join(runs, "doc_id").join(bigrams, "doc_id")
+        base.join(bigrams, "doc_id")
           .withColumn("dup_frac", ($"n_tokens" - $"n_distinct").cast("double") / $"n_tokens")
           .withColumn("top_bigram_frac", lit(2) * $"top_bigram_n" / $"n_tokens")
           .withColumn("keep",
