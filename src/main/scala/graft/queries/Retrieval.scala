@@ -98,11 +98,12 @@ object Retrieval {
           .select(explode(split($"text", " ")).as("token"))
           .filter(length($"token") > 0)
           .groupBy($"token").agg(count(lit(1)).as("n_exact"))
-        // cells feeds the counter aggregation AND the estimate join-back —
-        // materialize the md5 cell derivation once (guide §1.2)
+        // NOT materialized (round 17, measured): cells does feed two plan
+        // references, but a localCheckpoint benched SLOWER (0.48 → 0.57 s
+        // at sf0.1) — the vocab-sized md5 recompute is cheaper than the
+        // materialization + lost scan parallelism at this shape
         val cells = exact.select($"token", $"n_exact", posexplode(expr(cellExpr)))
           .withColumnsRenamed(Map("pos" -> "r", "col" -> "cell"))
-          .localCheckpoint(true)
         val counters = cells.groupBy($"r", $"cell").agg(sum($"n_exact").as("cnt"))
         cells.join(counters, Seq("r", "cell"))
           .groupBy($"token", $"n_exact").agg(min($"cnt").as("est"))
